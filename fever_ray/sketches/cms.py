@@ -1,0 +1,144 @@
+"""Count-Min sketch for heavy-hitter / frequency estimation.
+
+Replaces the reference's unbounded in-memory count maps (e.g. the flow
+report's per-(dest_ip, hostname) proxy map, /root/reference/processing/
+unicorn_aggregator.go:157-165, and per-tuple flow counts) whose key space is
+unbounded at web scale.
+
+Algorithm: Cormode & Muthukrishnan, "An improved data stream summary: the
+count-min sketch and its applications" (J. Algorithms 2005).  A depth×width
+uint64 matrix; point estimate = min over rows; overcount ≤ ε·N with
+probability ≥ 1−δ where ε = e/width, δ = e^−depth.
+
+Merge = elementwise matrix add (associative/commutative, bit-identical under
+any merge order).  A small exact heap of candidate heavy keys can ride along
+(``track`` updates) so top-k recovery doesn't need a second pass.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import hash64
+
+_MAGIC = b"FRCM"
+
+
+@dataclass
+class CountMin:
+    width: int
+    depth: int
+    table: np.ndarray  # (depth, width) uint64
+    total: int = 0
+    # optional exact candidate set for top-k recovery (merged by union+max-est)
+    candidates: dict = field(default_factory=dict)
+
+    @classmethod
+    def create(cls, width: int = 2048, depth: int = 5) -> "CountMin":
+        return cls(width=width, depth=depth, table=np.zeros((depth, width), dtype=np.uint64))
+
+    @classmethod
+    def from_error(cls, epsilon: float, delta: float) -> "CountMin":
+        width = int(math.ceil(math.e / epsilon))
+        depth = int(math.ceil(math.log(1.0 / delta)))
+        return cls.create(width=width, depth=depth)
+
+    @property
+    def epsilon(self) -> float:
+        return math.e / self.width
+
+    @property
+    def delta(self) -> float:
+        return math.exp(-self.depth)
+
+    def _cols(self, values) -> np.ndarray:
+        """(depth, n) column indices; one independent hash family per row."""
+        cols = np.empty((self.depth, len(values)), dtype=np.int64)
+        for d in range(self.depth):
+            cols[d] = (hash64(values, seed=d + 1) % np.uint64(self.width)).astype(np.int64)
+        return cols
+
+    def update(self, values, counts=None, track: bool = False) -> None:
+        """Add a batch of keys with optional per-key counts.
+
+        ``track=True`` also records the (unique) keys of this batch in the
+        exact candidate dict for later top-k recovery.
+        """
+        n = len(values)
+        if n == 0:
+            return
+        if counts is None:
+            counts = np.ones(n, dtype=np.uint64)
+        else:
+            counts = np.asarray(counts, dtype=np.uint64)
+        cols = self._cols(values)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], counts)
+        self.total += int(counts.sum())
+        if track:
+            keys = [v if isinstance(v, (str, bytes)) else str(v) for v in _tolist(values)]
+            for kk in keys:
+                self.candidates[kk] = None
+
+    def query(self, values) -> np.ndarray:
+        """Point estimates (min over depth rows) → uint64 ndarray."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.uint64)
+        cols = self._cols(values)
+        ests = np.empty((self.depth, len(cols[0])), dtype=np.uint64)
+        for d in range(self.depth):
+            ests[d] = self.table[d][cols[d]]
+        return ests.min(axis=0)
+
+    def query_one(self, value) -> int:
+        return int(self.query([value])[0])
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("cannot merge CMS with different dimensions")
+        self.table += other.table
+        self.total += other.total
+        for k in other.candidates:
+            self.candidates[k] = None
+        return self
+
+    def top_k(self, k: int) -> list[tuple[str, int]]:
+        """Top-k candidates by estimated count (requires tracked updates)."""
+        keys = list(self.candidates)
+        if not keys:
+            return []
+        ests = self.query(keys)
+        order = np.argsort(-ests.astype(np.int64), kind="stable")
+        return [(keys[i], int(ests[i])) for i in order[:k]]
+
+    # -- serialization -----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        cand = "\x00".join(self.candidates).encode("utf-8", "surrogateescape")
+        head = struct.pack("<IIQI", self.width, self.depth, self.total, len(cand))
+        return _MAGIC + head + self.table.astype("<u8").tobytes() + cand
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CountMin":
+        if blob[:4] != _MAGIC:
+            raise ValueError("not a CMS blob")
+        width, depth, total, clen = struct.unpack("<IIQI", blob[4:24])
+        body = np.frombuffer(blob[24 : 24 + 8 * width * depth], dtype="<u8")
+        table = body.astype(np.uint64).reshape(depth, width)
+        cand_blob = blob[24 + 8 * width * depth : 24 + 8 * width * depth + clen]
+        cands = {}
+        if cand_blob:
+            for kk in cand_blob.decode("utf-8", "surrogateescape").split("\x00"):
+                cands[kk] = None
+        return cls(width=width, depth=depth, table=table, total=total, candidates=cands)
+
+
+def _tolist(values):
+    if hasattr(values, "to_pylist"):
+        return values.to_pylist()
+    if isinstance(values, np.ndarray):
+        return values.tolist()
+    return list(values)

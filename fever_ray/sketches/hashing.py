@@ -1,0 +1,142 @@
+"""Vectorized 64-bit hashing kernels (numpy, no Python-per-row loops).
+
+Two families:
+
+* ``fnv1_64`` / ``fnv1a_64`` / ``fnv_pair``: bit-exact FNV-1 / FNV-1a 64-bit
+  (same as Go's stdlib ``hash/fnv`` ``New64``/``New64a``) — required for
+  byte-format compatibility with DCSO/bloom filter files (the reference loads
+  them in /root/reference/processing/bloom_handler.go:104; the library is
+  github.com/DCSO/bloom v0.2.3, /root/reference/go.mod:6, which hashes with
+  stdlib FNV + Kirsch–Mitzenmacher double hashing).
+* ``hash64``: a well-mixed 64-bit hash for sketch use (HLL/CMS/MinHash):
+  FNV-1a followed by the splitmix64 finalizer (public constants from
+  Steele et al., "Fast splittable pseudorandom number generators", OOPSLA'14).
+  FNV alone has weak avalanche in the low bits; the finalizer fixes that.
+
+All kernels are vectorized over a batch of variable-length byte strings:
+the per-row cost is O(max_len) numpy ops over the whole batch, not a Python
+loop per row.  Inputs come zero-copy from Arrow string/binary arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV64_PRIME = np.uint64(0x100000001B3)
+
+# splitmix64 finalizer constants
+_SM64_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _as_byte_matrix(values) -> tuple[np.ndarray, np.ndarray]:
+    """Convert a batch of byte strings to a padded (n, L) uint8 matrix + lengths.
+
+    Accepts a ``pyarrow`` string/large_string/binary array, a numpy object
+    array of ``bytes``, or a list of ``bytes``/``str``.  Nulls hash as empty
+    strings (callers mask them out when the semantics require it).
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        if pa.types.is_string(values.type) or pa.types.is_binary(values.type):
+            values = values.cast(pa.large_binary())
+        elif pa.types.is_large_string(values.type):
+            values = values.cast(pa.large_binary())
+        if values.null_count:
+            values = values.fill_null(b"")
+        data_buf = values.buffers()[2]
+        buf = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        offsets = np.frombuffer(values.buffers()[1], dtype=np.int64)
+        offsets = offsets[values.offset : values.offset + len(values) + 1]
+        starts = offsets[:-1]
+        lens = np.diff(offsets)
+    else:
+        bs = [v.encode("utf-8") if isinstance(v, str) else (v or b"") for v in values]
+        lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+        buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+
+    n = len(lens)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.uint8), lens
+    max_len = int(lens.max()) if n else 0
+    mat = np.zeros((n, max_len), dtype=np.uint8)
+    if max_len:
+        # gather: mat[i, j] = buf[starts[i] + j] for j < lens[i]
+        idx = starts[:, None] + np.arange(max_len)[None, :]
+        valid = np.arange(max_len)[None, :] < lens[:, None]
+        np.clip(idx, 0, max(len(buf) - 1, 0), out=idx)
+        mat = np.where(valid, buf[idx] if len(buf) else 0, 0).astype(np.uint8)
+    return mat, lens
+
+
+def fnv_pair(values) -> tuple[np.ndarray, np.ndarray]:
+    """Return (FNV-1 64, FNV-1a 64) of each byte string, vectorized.
+
+    Bit-exact with Go ``hash/fnv`` ``New64``/``New64a`` Sum64 over the same
+    bytes (verified against published FNV test vectors in tests).
+    """
+    mat, lens = _as_byte_matrix(values)
+    n, L = mat.shape if mat.ndim == 2 else (len(lens), 0)
+    h1 = np.full(n, _FNV64_OFFSET, dtype=np.uint64)  # FNV-1: h = h*p ^ b
+    h2 = np.full(n, _FNV64_OFFSET, dtype=np.uint64)  # FNV-1a: h = (h ^ b)*p
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            active = j < lens
+            if not active.any():
+                break
+            b = mat[:, j].astype(np.uint64)
+            nh1 = (h1 * _FNV64_PRIME) ^ b
+            nh2 = (h2 ^ b) * _FNV64_PRIME
+            h1 = np.where(active, nh1, h1)
+            h2 = np.where(active, nh2, h2)
+    return h1, h2
+
+
+def fnv1_64(values) -> np.ndarray:
+    return fnv_pair(values)[0]
+
+
+def fnv1a_64(values) -> np.ndarray:
+    return fnv_pair(values)[1]
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: strong avalanche mixing of 64-bit values."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= _SM64_M1
+        x ^= x >> np.uint64(27)
+        x *= _SM64_M2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def hash64(values, seed: int = 0) -> np.ndarray:
+    """Well-mixed 64-bit hash of a batch of byte strings (sketch-grade).
+
+    Not DCSO-format-bound; used by HLL/CMS/MinHash/SimHash.  ``seed`` derives
+    an independent hash family member.
+    """
+    h = fnv1a_64(values)
+    if seed:
+        with np.errstate(over="ignore"):
+            h = h ^ splitmix64(np.full(len(h), np.uint64(seed & 0xFFFFFFFFFFFFFFFF)))
+    return splitmix64(h)
+
+
+def hash64_ints(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Well-mixed 64-bit hash of an int array (no byte conversion)."""
+    x = np.asarray(values).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        if seed:
+            x = x ^ splitmix64(np.full(len(x), np.uint64(seed & 0xFFFFFFFFFFFFFFFF)))
+        return splitmix64(x ^ _FNV64_OFFSET)

@@ -1,0 +1,213 @@
+"""HLL / CMS / t-digest / KLL: error bounds vs exact oracles, merge-order
+invariance, serialization round-trips (FIXTURES.md F3/F4)."""
+
+import numpy as np
+import pytest
+
+from fever_ray.sketches import CountMin, HyperLogLog, KLL, TDigest
+
+
+# ---------------------------------------------------------------- HLL
+def _hll_keys(n, seed=0):
+    return [f"u{seed}-{i}" for i in range(n)]
+
+
+@pytest.mark.parametrize("n", [100, 5000, 200000])
+def test_hll_within_3sigma(n):
+    h = HyperLogLog.create(p=14)
+    h.update(_hll_keys(n))
+    est = h.estimate()
+    bound = 3 * 1.04 / np.sqrt(h.m)
+    assert abs(est - n) <= max(bound * n, 1.0), (est, n)
+
+
+def test_hll_duplicates_dont_count():
+    h = HyperLogLog.create(p=12)
+    keys = _hll_keys(1000)
+    for _ in range(5):
+        h.update(keys)
+    assert abs(h.estimate() - 1000) <= 3 * 1.04 / np.sqrt(h.m) * 1000 + 1
+
+
+def test_hll_merge_bit_identical_any_order():
+    parts = []
+    for i in range(5):
+        h = HyperLogLog.create(p=12)
+        h.update(_hll_keys(2000, seed=i))
+        parts.append(h.to_bytes())
+
+    def merged(order):
+        acc = HyperLogLog.create(p=12)
+        for i in order:
+            acc.merge(HyperLogLog.from_bytes(parts[i]))
+        return acc
+
+    a = merged([0, 1, 2, 3, 4])
+    b = merged([4, 2, 0, 3, 1])
+    assert np.array_equal(a.registers, b.registers)
+    # merged estimate ≈ union cardinality (all disjoint → 10000)
+    assert abs(a.estimate() - 10000) <= 3 * 1.04 / np.sqrt(a.m) * 10000
+
+
+def test_hll_int_updates_match_distinct():
+    h = HyperLogLog.create(p=14)
+    vals = np.arange(50000) % 7000
+    h.update_ints(vals)
+    assert abs(h.estimate() - 7000) <= 3 * 1.04 / np.sqrt(h.m) * 7000
+
+
+def test_hll_roundtrip():
+    h = HyperLogLog.create(p=10)
+    h.update(_hll_keys(500))
+    back = HyperLogLog.from_bytes(h.to_bytes())
+    assert back.p == 10 and np.array_equal(back.registers, h.registers)
+
+
+# ---------------------------------------------------------------- CMS
+def test_cms_never_undercounts_and_bounded_overcount():
+    rng = np.random.default_rng(3)
+    zipf = rng.zipf(1.3, size=50000)
+    keys = [f"host{z}" for z in zipf]
+    cms = CountMin.create(width=2048, depth=5)
+    cms.update(keys, track=True)
+    uniq, exact = np.unique(keys, return_counts=True)
+    est = cms.query(list(uniq))
+    assert (est.astype(np.int64) >= exact).all()
+    # ε = e/width; allow the full ε·N overcount bound
+    eps_n = np.e / 2048 * len(keys)
+    frac_ok = np.mean(est.astype(np.int64) - exact <= eps_n)
+    assert frac_ok >= 1 - np.exp(-5) * 10  # w.h.p. bound with slack
+
+
+def test_cms_weighted_updates_and_total():
+    cms = CountMin.create(width=512, depth=4)
+    cms.update(["a", "b"], counts=[10, 5])
+    cms.update(["a"], counts=[7])
+    assert cms.query_one("a") >= 17
+    assert cms.total == 22
+
+
+def test_cms_merge_bit_identical_and_topk():
+    parts = []
+    for i in range(4):
+        c = CountMin.create(width=1024, depth=5)
+        c.update([f"k{j}" for j in range(20) for _ in range(j + 1)], track=True)
+        parts.append(c.to_bytes())
+
+    def merged(order):
+        acc = CountMin.create(width=1024, depth=5)
+        for i in order:
+            acc.merge(CountMin.from_bytes(parts[i]))
+        return acc
+
+    a, b = merged([0, 1, 2, 3]), merged([2, 3, 0, 1])
+    assert np.array_equal(a.table, b.table)
+    assert a.total == b.total
+    top = a.top_k(3)
+    assert [t[0] for t in top] == ["k19", "k18", "k17"]
+    assert top[0][1] >= 4 * 20
+
+
+def test_cms_roundtrip():
+    c = CountMin.create(width=256, depth=3)
+    c.update(["x", "y", "x"], track=True)
+    back = CountMin.from_bytes(c.to_bytes())
+    assert np.array_equal(back.table, c.table)
+    assert back.total == 3 and set(back.candidates) == {"x", "y"}
+
+
+# ---------------------------------------------------------------- quantiles
+QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def _rank_error(sketch_vals, data, qs):
+    data_sorted = np.sort(data)
+    errs = []
+    for q, v in zip(qs, sketch_vals):
+        true_rank = np.searchsorted(data_sorted, v, side="right") / len(data_sorted)
+        errs.append(abs(true_rank - q))
+    return max(errs)
+
+
+@pytest.mark.parametrize("dist", ["lognormal", "uniform", "bimodal"])
+def test_tdigest_rank_error(dist):
+    rng = np.random.default_rng(11)
+    if dist == "lognormal":
+        data = rng.lognormal(8, 1.5, size=100000)
+    elif dist == "uniform":
+        data = rng.uniform(0, 1, size=100000)
+    else:
+        data = np.concatenate([rng.normal(0, 1, 50000), rng.normal(100, 1, 50000)])
+    td = TDigest.create(delta=100)
+    for chunk in np.array_split(data, 20):
+        td.update(chunk)
+    err = _rank_error(td.quantiles(QS), data, QS)
+    assert err < 0.02, err
+
+
+def test_tdigest_merge_within_bound():
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(8, 1.5, size=60000)
+    chunks = np.array_split(data, 6)
+    parts = []
+    for ch in chunks:
+        td = TDigest.create(delta=100)
+        td.update(ch)
+        parts.append(td.to_bytes())
+
+    def merged(order):
+        acc = TDigest.create(delta=100)
+        for i in order:
+            acc.merge(TDigest.from_bytes(parts[i]))
+        return acc
+
+    for order in ([0, 1, 2, 3, 4, 5], [5, 3, 1, 0, 2, 4]):
+        err = _rank_error(merged(order).quantiles(QS), data, QS)
+        assert err < 0.03, (order, err)
+
+
+def test_tdigest_extremes_and_roundtrip():
+    td = TDigest.create()
+    td.update([5.0, 1.0, 9.0])
+    assert td.quantile(0.0) == 1.0 and td.quantile(1.0) == 9.0
+    back = TDigest.from_bytes(td.to_bytes())
+    assert back.quantile(0.5) == td.quantile(0.5)
+
+
+def test_kll_rank_error():
+    rng = np.random.default_rng(13)
+    data = rng.lognormal(8, 1.5, size=100000)
+    kll = KLL.create(k=200)
+    for chunk in np.array_split(data, 25):
+        kll.update(chunk)
+    err = _rank_error(kll.quantiles(QS), data, QS)
+    assert err < 2.296 / 200 + 0.005, err
+
+
+def test_kll_merge_within_bound_any_order():
+    rng = np.random.default_rng(17)
+    data = rng.normal(0, 10, size=80000)
+    chunks = np.array_split(data, 8)
+    parts = []
+    for i, ch in enumerate(chunks):
+        k = KLL.create(k=200, seed=100 + i)
+        k.update(ch)
+        parts.append(k.to_bytes())
+
+    def merged(order):
+        acc = KLL.create(k=200)
+        for i in order:
+            acc.merge(KLL.from_bytes(parts[i]))
+        return acc
+
+    for order in ([0, 1, 2, 3, 4, 5, 6, 7], [7, 2, 5, 0, 6, 1, 4, 3]):
+        err = _rank_error(merged(order).quantiles(QS), data, QS)
+        assert err < 0.025, (order, err)
+
+
+def test_kll_nan_skipped_and_roundtrip():
+    k = KLL.create(k=50)
+    k.update([1.0, np.nan, 3.0])
+    assert k.n == 2
+    back = KLL.from_bytes(k.to_bytes())
+    assert back.n == 2 and back.quantile(1.0) == 3.0
