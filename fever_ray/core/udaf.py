@@ -1,0 +1,214 @@
+"""Sketch-build driver: the engine's replacement for fever's handler/
+aggregator core (/root/reference/processing/handler_dispatcher.go:26-171 and
+the per-handler mutex-guarded aggregation maps).
+
+Where fever dispatches every event through a single goroutine into N stateful
+handlers, we compute ALL requested sketches in ONE streaming pass:
+
+    ds.map_batches(partials_fn)          # stateless tasks, one tiny partial
+                                         # row per (block-batch, sketch)
+      .groupby(["sketch_id", "salt"])    # phase-1 merge (bounded fan-in,
+      .map_groups(merge)                 #   skew-proof: payload-hash salt)
+      .groupby("sketch_id").map_groups(merge)   # phase-2 final merge
+      → dict[name, Sketch]               # tiny driver-side result
+
+Merges are associative (bit-identical for HLL/CMS/Bloom; within published
+bound for quantile sketches), so partial order — and therefore Ray's
+scheduling — cannot change results.
+
+At 10^12-doc scale the two-phase merge bounds any single merge group to
+``fanout`` payloads (HLL p14 partial = 16 KiB → a group is ≤ fanout·16 KiB),
+so the shuffle moves only KBs per block regardless of input size.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from ..sketches import SKETCH_TYPES, sketch_from_bytes
+from ..sketches.bloom import BloomFilter
+from ..sketches.cms import CountMin
+from ..sketches.hll import HyperLogLog
+from ..sketches.kll import KLL
+from ..sketches.tdigest import TDigest
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("sketch_id", pa.string()),
+        ("salt", pa.int32()),
+        ("payload", pa.large_binary()),
+        ("rows", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class SketchSpec:
+    """One sketch over one input column.
+
+    value_kind: 'string' (hash bytes), 'int' (hash the int64 directly),
+    'float' (numeric quantile sketches).  ``params`` go to the sketch
+    constructor (``create``/``initialize``).
+    """
+
+    name: str
+    kind: str  # hll | cms | tdigest | kll | bloom
+    column: str
+    params: dict = field(default_factory=dict)
+    value_kind: str = "string"
+    track: bool = False  # CMS: keep exact candidate keys for top-k
+
+    def make(self):
+        cls = SKETCH_TYPES[self.kind]
+        if self.kind == "bloom":
+            return BloomFilter.initialize(
+                self.params.get("n", 1_000_000), self.params.get("p", 1e-6)
+            )
+        return cls.create(**self.params)
+
+
+def _column_values(batch: pa.Table, spec: SketchSpec):
+    col = batch.column(spec.column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if spec.value_kind == "float":
+        return col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+    if spec.value_kind == "int":
+        return col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+    return col.drop_null()
+
+
+def _update(sketch, spec: SketchSpec, values) -> None:
+    if spec.kind == "hll":
+        if spec.value_kind == "int":
+            sketch.update_ints(values)
+        else:
+            sketch.update(values)
+    elif spec.kind == "cms":
+        sketch.update(values, track=spec.track)
+    elif spec.kind in ("tdigest", "kll"):
+        sketch.update(values)
+    elif spec.kind == "bloom":
+        sketch.add(values)
+    else:
+        raise ValueError(spec.kind)
+
+
+def make_partials_fn(specs: list[SketchSpec], fanout: int = 64):
+    """Stateless map_batches function: batch → one partial row per sketch.
+
+    The salt is a pure function of the payload bytes (crc32 % fanout): no
+    wall clock, no task identity → deterministic and resume-safe.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids, salts, payloads, rows = [], [], [], []
+        for spec in specs:
+            sk = spec.make()
+            vals = _column_values(batch, spec)
+            _update(sk, spec, vals)
+            blob = sk.to_bytes()
+            ids.append(spec.name)
+            salts.append(zlib.crc32(blob) % fanout)
+            payloads.append(blob)
+            rows.append(len(vals))
+        return pa.table(
+            {
+                "sketch_id": pa.array(ids, type=pa.string()),
+                "salt": pa.array(salts, type=pa.int32()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+                "rows": pa.array(rows, type=pa.int64()),
+            }
+        )
+
+    return partials
+
+
+def make_merge_fn(specs: list[SketchSpec]):
+    """map_groups function merging all partial payloads of one sketch_id."""
+    kinds = {s.name: s.kind for s in specs}
+
+    def merge(group: pa.Table) -> pa.Table:
+        sid = group.column("sketch_id")[0].as_py()
+        payloads = group.column("payload").to_pylist()
+        acc = sketch_from_bytes(kinds[sid], payloads[0])
+        for blob in payloads[1:]:
+            acc.merge(sketch_from_bytes(kinds[sid], blob))
+        out_blob = acc.to_bytes()
+        return pa.table(
+            {
+                "sketch_id": pa.array([sid], type=pa.string()),
+                "salt": pa.array([zlib.crc32(out_blob) % 1], type=pa.int32()),
+                "payload": pa.array([out_blob], type=pa.large_binary()),
+                "rows": pa.array(
+                    [int(pa.compute.sum(group.column("rows")).as_py() or 0)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return merge
+
+
+def build_sketches(
+    ds,
+    specs: list[SketchSpec],
+    fanout: int = 64,
+    batch_size: int | None = 16384,
+) -> dict[str, Any]:
+    """Run the full partial→merge pipeline; returns {name: sketch}.
+
+    ``ds`` is any ray.data.Dataset containing the spec columns.  The input
+    stream is consumed ONCE for all sketches.
+    """
+    partials = ds.map_batches(
+        make_partials_fn(specs, fanout=fanout),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    merge = make_merge_fn(specs)
+    phase1 = partials.groupby(["sketch_id", "salt"]).map_groups(
+        merge, batch_format="pyarrow"
+    )
+    phase2 = phase1.groupby("sketch_id").map_groups(merge, batch_format="pyarrow")
+    out = {}
+    for row in phase2.take_all():
+        spec = next(s for s in specs if s.name == row["sketch_id"])
+        out[spec.name] = sketch_from_bytes(spec.kind, row["payload"])
+    return out
+
+
+def merge_partial_tables(tables: list[pa.Table], specs: list[SketchSpec]) -> dict[str, Any]:
+    """Driver-side merge of partial tables (used by the checkpoint/resume
+    path, where per-partition partials are read back from parquet)."""
+    kinds = {s.name: s.kind for s in specs}
+    acc: dict[str, Any] = {}
+    for t in tables:
+        for row in t.to_pylist():
+            sid = row["sketch_id"]
+            sk = sketch_from_bytes(kinds[sid], row["payload"])
+            if sid in acc:
+                acc[sid].merge(sk)
+            else:
+                acc[sid] = sk
+    return acc
+
+
+def finalize(sketch, spec: SketchSpec, quantiles=(0.01, 0.25, 0.5, 0.75, 0.99)) -> dict:
+    """Human/table-friendly summary of one finished sketch."""
+    if spec.kind == "hll":
+        return {"estimate": sketch.estimate(), "rse": sketch.relative_error}
+    if spec.kind == "cms":
+        top = sketch.top_k(10) if sketch.candidates else []
+        return {"total": sketch.total, "top_k": top, "epsilon": sketch.epsilon}
+    if spec.kind in ("tdigest", "kll"):
+        return {"quantiles": {str(q): float(sketch.quantile(q)) for q in quantiles}}
+    if spec.kind == "bloom":
+        return {"N": sketch.N, "fill_ratio": sketch.fill_ratio}
+    raise ValueError(spec.kind)

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .hashing import hash64
+from .hashing import hash64, hash64_ints
 
 _MAGIC = b"FRCM"
 
@@ -57,9 +57,12 @@ class CountMin:
 
     def _cols(self, values) -> np.ndarray:
         """(depth, n) column indices; one independent hash family per row."""
+        hasher = hash64
+        if isinstance(values, np.ndarray) and np.issubdtype(values.dtype, np.integer):
+            hasher = hash64_ints
         cols = np.empty((self.depth, len(values)), dtype=np.int64)
         for d in range(self.depth):
-            cols[d] = (hash64(values, seed=d + 1) % np.uint64(self.width)).astype(np.int64)
+            cols[d] = (hasher(values, seed=d + 1) % np.uint64(self.width)).astype(np.int64)
         return cols
 
     def update(self, values, counts=None, track: bool = False) -> None:

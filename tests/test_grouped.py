@@ -1,0 +1,70 @@
+"""Grouped sketches: per-key estimates vs exact oracles on the page table."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from fever_ray.core.udaf import SketchSpec
+from fever_ray.core.grouped import grouped_build, grouped_estimates
+from fever_ray.sketches import sketch_from_bytes
+
+
+def _exact(pages_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW pages AS SELECT * FROM parquet_scan('{pages_dir}/*.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_per_lang_distinct_urls(ray_session, pages_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir + "/")
+    spec = SketchSpec("hll_per_lang", "hll", "url", {"p": 12})
+    out = grouped_estimates(ds, "lang", spec, batch_size=256)
+    got = {k: e for k, e in zip(out.column("key").to_pylist(), out.column("estimate").to_pylist())}
+    exact = dict(_exact(pages_dir, "SELECT lang, COUNT(DISTINCT url) FROM pages GROUP BY lang"))
+    assert set(got) == set(exact)
+    for lang, cnt in exact.items():
+        bound = 3 * 1.04 / np.sqrt(1 << 12) * cnt + 2
+        assert abs(got[lang] - cnt) <= bound, (lang, got[lang], cnt)
+
+
+def test_per_lang_quantiles(ray_session, pages_dir):
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(pages_dir + "/", columns=["lang", "text"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "text_len", pc.cast(pc.utf8_length(b.column("text")), "int64")
+        ),
+        batch_format="pyarrow",
+    )
+    spec = SketchSpec("kll_per_lang", "kll", "text_len", {"k": 200}, value_kind="float")
+    out = grouped_estimates(ds, "lang", spec, quantiles=(0.5,), batch_size=256)
+    exact = dict(
+        _exact(
+            pages_dir,
+            "SELECT lang, median(length(text)) FROM pages GROUP BY lang",
+        )
+    )
+    got = dict(zip(out.column("key").to_pylist(), out.column("q50").to_pylist()))
+    # per-lang medians within a tolerant rank window (small per-group n)
+    for lang in exact:
+        lens = [r[0] for r in _exact(pages_dir, f"SELECT length(text) FROM pages WHERE lang='{lang}'")]
+        lens = np.sort(np.array(lens, dtype=float))
+        r = np.searchsorted(lens, got[lang], side="right") / len(lens)
+        assert 0.4 <= r <= 0.6, (lang, got[lang], exact[lang], r)
+
+
+def test_grouped_rows_accounting(ray_session, pages_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir + "/", columns=["lang", "url"])
+    spec = SketchSpec("hll2", "hll", "url", {"p": 10})
+    merged = grouped_build(ds, "lang", spec, batch_size=256)
+    rows = {r["key"]: r["rows"] for r in merged.take_all()}
+    exact = dict(_exact(pages_dir, "SELECT lang, COUNT(*) FROM pages GROUP BY lang"))
+    assert rows == exact
