@@ -1,0 +1,163 @@
+"""Flagship pipeline: the engine's end-to-end showcase.
+
+    read_parquet(pages)                                (columnar, pruned)
+      → map_batches(derive: hostname, text_len, html_len)   (stateless,
+                                                        vectorized pyarrow)
+      → ONE pass building ALL standard sketches         (mergeable UDAFs)
+      + PageIocMatcher actor pool                       (bloom broadcast once
+                                                        per actor)
+      → summary table + match table
+
+This is the Ray-Data-native re-expression of fever's main loop
+(/root/reference/cmd/fever/cmds/run.go:598-600: one goroutine dispatching
+each event to every registered handler): instead of dispatching rows to
+handlers, every batch flows once through a vectorized stage that feeds all
+sketches, and the stateful bloom matcher is an actor pool.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.udaf import SketchSpec, build_sketches, finalize
+from ..io_.checkpoint import run_partitioned_build
+from ..ops.extract import hostname_of
+from ..ops.ioc import PageIocMatcher
+from ..sketches.bloom import BloomFilter
+
+STANDARD_SPECS = [
+    SketchSpec("hll_urls", "hll", "url", {"p": 14}),
+    SketchSpec("hll_hostnames", "hll", "hostname", {"p": 14}),
+    SketchSpec("cms_hostnames", "cms", "hostname", {"width": 2048, "depth": 5}, track=True),
+    SketchSpec("cms_langs", "cms", "lang", {"width": 2048, "depth": 5}, track=True),
+    SketchSpec("tdigest_html_len", "tdigest", "html_len", {"delta": 100}, value_kind="float"),
+    SketchSpec("kll_text_len", "kll", "text_len", {"k": 200}, value_kind="float"),
+    SketchSpec("kll_warc_ts", "kll", "warc_ts_us", {"k": 200}, value_kind="float"),
+    SketchSpec("bloom_hostnames", "bloom", "hostname", {"n": 1_000_000, "p": 1e-6}),
+]
+
+
+def derive_page_columns(batch: pa.Table) -> pa.Table:
+    """Stateless vectorized derivations; drops the wide html payload AFTER
+    computing its length (project early — html never reaches the shuffle)."""
+    batch = batch.append_column(
+        "html_len", pc.cast(pc.binary_length(batch.column("html")), "int64")
+    )
+    batch = batch.append_column(
+        "text_len", pc.cast(pc.utf8_length(batch.column("text")), "int64")
+    )
+    batch = batch.append_column("hostname", hostname_of(batch.column("url")))
+    batch = batch.append_column(
+        "warc_ts_us", batch.column("warc_ts").cast(pa.int64())
+    )
+    return batch.drop_columns(["html", "text"])
+
+
+def pages_dataset(path: str, columns=None):
+    import ray.data as rd
+
+    if os.path.isdir(path):
+        path = path.rstrip("/") + "/"
+    return rd.read_parquet(path, columns=columns)
+
+
+def run_flagship(
+    pages_path: str,
+    out_dir: str | None = None,
+    ioc_bloom: BloomFilter | None = None,
+    checkpoint_dir: str | None = None,
+    batch_size: int | None = 16384,
+    ioc_concurrency: int | None = None,
+) -> dict:
+    """Returns {"summary": pa.Table, "matches": pa.Table | None, ...}."""
+    specs = STANDARD_SPECS
+
+    if checkpoint_dir:
+        # checkpointed path reads raw files; derivation runs inside the
+        # partial fn via the prepare hook
+        files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+        result = run_partitioned_build(
+            files,
+            specs,
+            checkpoint_dir,
+            batch_size=batch_size,
+            prepare=derive_page_columns,
+        )
+        sketches = result["sketches"]
+        lineage = result["lineage"]
+    else:
+        ds = pages_dataset(pages_path).map_batches(
+            derive_page_columns,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        sketches = build_sketches(ds, specs, batch_size=batch_size)
+        lineage = []
+
+    # sketch summary table
+    names, kinds, ests, details = [], [], [], []
+    for spec in specs:
+        sk = sketches.get(spec.name)
+        if sk is None:
+            continue
+        d = finalize(sk, spec)
+        names.append(spec.name)
+        kinds.append(spec.kind)
+        if spec.kind == "hll":
+            ests.append(float(d["estimate"]))
+        elif spec.kind == "cms":
+            ests.append(float(d["total"]))
+        elif spec.kind == "bloom":
+            ests.append(float(d["N"]))
+        else:
+            ests.append(float(d["quantiles"]["0.5"]))
+        details.append(json.dumps(d, sort_keys=True, default=str))
+
+    matches_table = None
+    if ioc_bloom is not None:
+        mds = pages_dataset(pages_path, columns=["url"]).map_batches(
+            PageIocMatcher,
+            fn_constructor_kwargs={"bloom_bytes": ioc_bloom.to_bytes()},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=ioc_concurrency,
+            zero_copy_batch=True,
+        )
+        matches_table = pa.Table.from_pylist(
+            mds.take_all(),
+            schema=pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("ioc", pa.string()),
+                    ("match_type", pa.string()),
+                    ("signature", pa.string()),
+                ]
+            ),
+        )
+        names.append("ioc_matches")
+        kinds.append("bloom-match")
+        ests.append(float(matches_table.num_rows))
+        details.append(json.dumps({"n_matches": matches_table.num_rows}))
+
+    summary = pa.table(
+        {
+            "sketch": pa.array(names, type=pa.string()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "estimate": pa.array(ests, type=pa.float64()),
+            "detail": pa.array(details, type=pa.string()),
+        }
+    )
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(summary, os.path.join(out_dir, "summary.parquet"))
+        if matches_table is not None:
+            pq.write_table(matches_table, os.path.join(out_dir, "matches.parquet"))
+    return {"summary": summary, "matches": matches_table, "lineage": lineage}

@@ -1,0 +1,89 @@
+"""Checkpoint/resume semantics (FIXTURES.md F4): interrupted run resumes
+without recomputing done partitions; final results identical to an
+uninterrupted run; lineage + metrics records per partition."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+
+from fever_ray.core.udaf import SketchSpec
+from fever_ray.io_.checkpoint import done_partitions, run_partitioned_build
+from fever_ray.pipelines.flagship import derive_page_columns, run_flagship
+
+SPECS = [
+    SketchSpec("hll_urls", "hll", "url", {"p": 12}),
+    SketchSpec("cms_langs", "cms", "lang", {"width": 512, "depth": 5}, track=True),
+]
+
+
+def test_resume_skips_done_and_matches_uninterrupted(ray_session, pages_dir, tmp_path):
+    files = sorted(glob.glob(pages_dir + "/*.parquet"))
+    assert len(files) == 4
+
+    # "interrupted" run: only 2 of 4 partitions complete
+    ck = str(tmp_path / "ck")
+    r1 = run_partitioned_build(files[:2], SPECS, ck, batch_size=256)
+    assert len(done_partitions(ck)) == 2
+
+    # resume over the full file list: the 2 done partitions are skipped
+    r2 = run_partitioned_build(files, SPECS, ck, batch_size=256)
+    completed_inputs = {c["input_path"] for c in r2["completed"]}
+    assert completed_inputs == set(files[2:])
+    assert len(done_partitions(ck)) == 4
+
+    # uninterrupted control run in a fresh dir → bit-identical sketches
+    ck2 = str(tmp_path / "ck2")
+    r3 = run_partitioned_build(files, SPECS, ck2, batch_size=256)
+    assert np.array_equal(
+        r2["sketches"]["hll_urls"].registers, r3["sketches"]["hll_urls"].registers
+    )
+    assert np.array_equal(
+        r2["sketches"]["cms_langs"].table, r3["sketches"]["cms_langs"].table
+    )
+
+
+def test_rerun_is_fully_idempotent(ray_session, pages_dir, tmp_path):
+    files = sorted(glob.glob(pages_dir + "/*.parquet"))
+    ck = str(tmp_path / "ck")
+    run_partitioned_build(files, SPECS, ck, batch_size=256)
+    digests1 = {k: v["payload_digest"] for k, v in done_partitions(ck).items()}
+    r = run_partitioned_build(files, SPECS, ck, batch_size=256)
+    assert r["completed"] == []  # nothing recomputed
+    digests2 = {k: v["payload_digest"] for k, v in done_partitions(ck).items()}
+    assert digests1 == digests2
+
+
+def test_lineage_and_metrics_records(ray_session, pages_dir, tmp_path):
+    files = sorted(glob.glob(pages_dir + "/*.parquet"))
+    ck = str(tmp_path / "ck")
+    r = run_partitioned_build(files, SPECS, ck, batch_size=256)
+    assert len(r["lineage"]) == 4
+    for rec in r["lineage"]:
+        assert rec["input_path"] in files
+        assert rec["rows"] > 0
+        assert set(rec["sketch_ids"]) == {"hll_urls", "cms_langs"}
+        assert len(rec["payload_digest"]) == 40
+        assert os.path.exists(rec["payload_path"])
+        m = rec["metrics"]
+        assert m["rows"] > 0 and m["payload_bytes"] > 0 and m["write_wall_s"] >= 0
+
+
+def test_checkpointed_flagship_equals_streaming_flagship(ray_session, pages_dir, tmp_path):
+    res_stream = run_flagship(pages_dir, batch_size=256)
+    res_ck = run_flagship(
+        pages_dir, checkpoint_dir=str(tmp_path / "ckf"), batch_size=256
+    )
+    s1 = {
+        r["sketch"]: r for r in res_stream["summary"].to_pylist()
+    }
+    s2 = {r["sketch"]: r for r in res_ck["summary"].to_pylist()}
+    assert set(s1) == set(s2)
+    # order-invariant sketches agree exactly; quantile sketches approximately
+    for name in ("hll_urls", "hll_hostnames", "cms_hostnames", "cms_langs", "bloom_hostnames"):
+        assert s1[name]["estimate"] == s2[name]["estimate"], name
+    for name in ("tdigest_html_len", "kll_text_len", "kll_warc_ts"):
+        a, b = s1[name]["estimate"], s2[name]["estimate"]
+        assert abs(a - b) <= 0.05 * max(abs(a), abs(b)), name
