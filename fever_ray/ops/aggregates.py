@@ -1,0 +1,213 @@
+"""Ray-Data-native equivalents of fever's aggregation handlers (SURVEY §2.6),
+expressed over the driver's ``events`` table (event_id, ts, user_id,
+event_type, value, props) — the closest analogue of fever's event stream.
+
+Each function takes a ray.data.Dataset and returns a Dataset; hot paths
+pre-aggregate inside map_batches (one partial row per key per batch) before
+the shuffle, so the groupby moves partials, not raw rows — the
+partial+final shape every fever aggregator already has (copy-and-reset
+flush under mutex, e.g. /root/reference/processing/flow_aggregator.go:80-148)
+re-expressed as a real distributed combine.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _distinct(batch: pa.Table, keys: list[str]) -> pa.Table:
+    """Within-batch exact distinct of key tuples (vectorized C++ hash agg).
+    NB: pyarrow's aggregate([]) is a no-op, so count_all anchors the group."""
+    t = pa.TableGroupBy(batch.select(keys), keys).aggregate([([], "count_all")])
+    return t.drop_columns(["count_all"])
+
+
+def event_profiler(events_ds):
+    """fever EventProfiler (processing/event_profiler.go:127-134): per
+    event_type count + total payload bytes (props length here)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "props_bytes", pc.cast(pc.binary_length(batch.column("props")), "int64")
+        )
+        t = pa.TableGroupBy(batch.select(["event_type", "props_bytes"]), ["event_type"]).aggregate(
+            [("props_bytes", "sum"), ("props_bytes", "count")]
+        )
+        return t.rename_columns(["event_type", "sum_bytes", "n_events"])
+
+    from ray.data.aggregate import Sum
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_bytes", alias_name="sum_bytes")
+    )
+    return out
+
+
+def flow_aggregator(events_ds):
+    """fever FlowAggregator (processing/flow_aggregator.go:111-148): grouped
+    sums + first-seen timestamp.  Key here: (user_id, event_type)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(
+            batch.select(["user_id", "event_type", "value", "ts"]),
+            ["user_id", "event_type"],
+        ).aggregate([("value", "sum"), ("value", "count"), ("ts", "min")])
+        return t.rename_columns(["user_id", "event_type", "sum_value", "n", "first_ts"])
+
+    from ray.data.aggregate import Min, Sum
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["user_id", "event_type"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n", alias_name="n"),
+        Min("first_ts", alias_name="first_ts"),
+    )
+
+
+def unicorn_flow_report(events_ds, event_type: str = "purchase"):
+    """fever UnicornAggregator (processing/unicorn_aggregator.go:202-218):
+    pre-filter (proto==TCP && bytes>0 → here event_type==purchase &&
+    value>0), then per-key count + sum."""
+
+    def fil(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch.column("event_type"), event_type),
+            pc.greater(batch.column("value"), 0.0),
+        )
+        return batch.filter(mask)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch.select(["user_id", "value"]), ["user_id"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return t.rename_columns(["user_id", "n_flows", "total_value"])
+
+    from ray.data.aggregate import Sum
+
+    partials = events_ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("user_id").aggregate(
+        Sum("n_flows", alias_name="n_flows"), Sum("total_value", alias_name="total_value")
+    )
+
+
+def dns_aggregator(events_ds):
+    """fever DNSAggregator (processing/dns_aggregator.go:145-168): per-key
+    exact distinct sets.  Here: distinct users per event_type, computed as a
+    two-level exact distinct (dedup pairs first, then count) — the scalable
+    exact form; HLL replaces it when keys explode (see grouped sketches)."""
+    pairs = events_ds.map_batches(
+        lambda b: _distinct(b, ["event_type", "user_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from ray.data.aggregate import Count
+
+    distinct_pairs = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_c")
+    )
+    return (
+        distinct_pairs.drop_columns(["_c"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_distinct_users"))
+    )
+
+
+def pdns_collector(events_ds):
+    """fever PDNSCollector (processing/pdns_collector.go:123-223): two-level
+    rrname → answer-tuple counts.  Here: (event_type, user_id) counts with
+    first/last seen — the flattened form of the nested count map."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(
+            batch.select(["event_type", "user_id", "ts"]), ["event_type", "user_id"]
+        ).aggregate([("ts", "count"), ("ts", "min"), ("ts", "max")])
+        return t.rename_columns(["event_type", "user_id", "n", "first_ts", "last_ts"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["event_type", "user_id"]).aggregate(
+        Sum("n", alias_name="n"),
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
+    )
+
+
+def context_collector(events_ds, mark_type: str = "error"):
+    """fever ContextCollector (processing/context_collector.go:88-133):
+    ship every event of a flow once the flow is 'marked' by an alert.
+    Batch form: semi-join of all events against the marked-key set.
+
+    The marked set is collected first (small: distinct keys with alerts) and
+    broadcast into the filter stage via ray.put — a broadcast semi-join, no
+    shuffle of the big side."""
+    import ray
+
+    marked = events_ds.map_batches(
+        lambda b: _distinct(
+            b.filter(pc.equal(b.column("event_type"), mark_type)), ["user_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).unique("user_id")
+    marked_ref = ray.put(frozenset(marked))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(marked_ref)
+        import numpy as np
+
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        mask = np.fromiter((u in keys for u in uid), dtype=bool, count=len(uid))
+        return batch.filter(pa.array(mask))
+
+    return events_ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heartbeat_injector(events_ds, n_heartbeats: int = 24):
+    """fever HeartbeatInjector (processing/heartbeat_injector.go:67-119):
+    deterministic synthetic canary rows unioned into the stream."""
+    import ray.data as rd
+
+    base_ts = 1704067200_000_000  # 2024-01-01T00:00:00Z
+    rows = [
+        {
+            "event_id": -1 - i,
+            "ts": base_ts + i * 3600_000_000,
+            "user_id": -1,
+            "event_type": "heartbeat",
+            "value": 0.0,
+            "props": "{}",
+        }
+        for i in range(n_heartbeats)
+    ]
+    hb = rd.from_items(rows).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("ts"),
+            "ts",
+            b.column("ts").cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+    return events_ds.union(hb)
+
+
+def flow_profiler(docs_ds):
+    """fever FlowProfiler (processing/flow_profiler.go:93-107): per app_proto
+    packet/byte sums → here per-lang doc count + char sum over documents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch.select(["lang", "n_chars"]), ["lang"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")]
+        )
+        return t.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    from ray.data.aggregate import Sum
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
+    )

@@ -1,0 +1,338 @@
+"""Deduplication family over document/page tables — the core training-data
+pipeline operators:
+
+* exact_dedup        — content-hash partition + per-group min-id keeper
+* minhash_lsh        — shingle → MinHash → LSH band buckets → verified
+                       Jaccard pairs → connected components (min-label
+                       propagation via groupby rounds)
+* simhash_dedup      — 64-bit SimHash + banded buckets → Hamming-verified
+* ngram_jaccard      — exact n-gram Jaccard verification kernel
+* embedding_dups     — cosine-similarity near-dup pairs over an embedding
+                       column (brute force per LSH bucket)
+
+Scale notes (10^12 docs): every family shuffles only (key, small-payload)
+rows — content hashes, signatures, band buckets — never raw text.  The
+reference's only dedup is exact side-sets inside one process
+(/root/reference/processing/dns_aggregator.go:145-168); these operators are
+its web-scale generalization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches.hashing import hash64
+from ..sketches.minhash import (
+    band_hashes,
+    minhash_signature,
+    shingle_hashes,
+    simhash,
+    hamming_distance,
+)
+
+
+# ------------------------------------------------------------------ exact
+def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    h = hash64(text).astype(np.int64)
+    return batch.append_column("content_hash", pa.array(h, type=pa.int64()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the min-id row per distinct content. Returns (content keeper id,
+    n_copies) plus the text hash.  Shuffle key = 64-bit content hash, so the
+    shuffle moves (hash, id) pairs, not text."""
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col).select([id_col, "content_hash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch, ["content_hash"]).aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
+        return t.rename_columns(["content_hash", "keep_id", "n_copies"])
+
+    from ray.data.aggregate import Min, Sum
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("content_hash").aggregate(
+        Min("keep_id", alias_name="keep_id"), Sum("n_copies", alias_name="n_copies")
+    )
+
+
+# ------------------------------------------------------------------ minhash
+class MinHashSignatures:
+    """Actor stage: per-doc shingle → MinHash signature + LSH band rows.
+
+    Emits exploded (band, band_hash, doc_id) rows ready for the bucket
+    groupby.  num_perm/bands/rows and the shingle width are pinned
+    parameters of the dedup job."""
+
+    def __init__(self, n_shingle: int = 3, num_perm: int = 64, bands: int = 16, seed: int = 1):
+        assert num_perm % bands == 0
+        self.n = n_shingle
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.seed = seed
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(
+            shingle_hashes(text, n=self.n), num_perm=self.num_perm, seed=self.seed
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for did, text in zip(ids, texts):
+            sig = self.signature(text or "")
+            bh = band_hashes(sig, self.bands, self.rows)
+            out_band.extend(range(self.bands))
+            out_hash.extend(bh.astype(np.int64).tolist())
+            out_id.extend([did] * self.bands)
+        return pa.table(
+            {
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.int64()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(ds, n_shingle=3, num_perm=64, bands=16, concurrency=None):
+    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets."""
+    band_rows = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={
+            "n_shingle": n_shingle,
+            "num_perm": num_perm,
+            "bands": bands,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 4),
+        zero_copy_batch=True,
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+        )
+
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    # dedup pairs produced by multiple bands
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact n-gram (word-shingle) Jaccard similarity — the verification
+    kernel for candidate pairs."""
+    sa = set(shingle_hashes(text_a, n=n).tolist())
+    sb = set(shingle_hashes(text_b, n=n).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def minhash_dedup_components(ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16):
+    """Full near-dedup: candidates → exact-Jaccard verify → connected
+    components → (doc_id, cluster_id = min doc id of its component).
+
+    Verification joins text back per pair via a broadcast id→text map
+    (small-corpus path; at 10^12 scale this becomes a bucketed join keyed on
+    doc_id — see ops.relational.partitioned_hash_join).  Components use
+    min-label propagation on the driver over the verified edge list, which
+    is provably small (≤ pairs that shared an LSH band)."""
+    import ray
+
+    pairs = minhash_candidate_pairs(
+        ds, n_shingle=n_shingle, num_perm=num_perm, bands=bands
+    ).take_all()
+    texts = {}
+    for batch in ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
+        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            texts[did] = text
+
+    edges = []
+    for p in pairs:
+        a, b = p["doc_a"], p["doc_b"]
+        if ngram_jaccard(texts[a] or "", texts[b] or "", n=n_shingle) >= threshold:
+            edges.append((a, b))
+
+    # union-find over the (small) verified edge set
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = [
+        {"doc_id": d, "cluster_id": find(d)}
+        for d in sorted({x for e in edges for x in e})
+    ]
+    return pa.Table.from_pylist(
+        rows or [],
+        schema=pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+    )
+
+
+# ------------------------------------------------------------------ simhash
+class SimHashFingerprints:
+    """Actor stage: 64-bit SimHash per doc + 4×16-bit band keys for
+    bucketing (docs within Hamming distance ≤3 share ≥1 band — pigeonhole)."""
+
+    def __init__(self, n_bands: int = 4):
+        self.n_bands = n_bands
+        self.band_bits = 64 // n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        fps = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if toks:
+                fps[i] = simhash(hash64(toks))
+        out_id, out_band, out_key, out_fp = [], [], [], []
+        for i, did in enumerate(ids):
+            for b in range(self.n_bands):
+                key = int((fps[i] >> np.uint64(b * self.band_bits)) & np.uint64((1 << self.band_bits) - 1))
+                out_id.append(did)
+                out_band.append(b)
+                out_key.append(key)
+                out_fp.append(int(fps[i]) - (1 << 63))  # store as int64
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_key": pa.array(out_key, type=pa.int64()),
+                "simhash": pa.array(out_fp, type=pa.int64()),
+            }
+        )
+
+
+def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
+    """Banded SimHash blocking + exact Hamming verification per bucket."""
+    rows = ds.map_batches(
+        SimHashFingerprints,
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 4),
+        zero_copy_batch=True,
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        fps = (group.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64) + (1 << 63)).astype(
+            np.uint64
+        )
+        a, b, d = [], [], []
+        for i in range(len(ids)):
+            dist = hamming_distance(np.full(len(ids) - i - 1, fps[i]), fps[i + 1 :])
+            for off, dd in enumerate(dist):
+                if dd <= max_hamming:
+                    x, y = ids[i], ids[i + 1 + off]
+                    if x != y:
+                        a.append(min(x, y))
+                        b.append(max(x, y))
+                        d.append(int(dd))
+        return pa.table(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "hamming": pa.array(d, type=pa.int64()),
+            }
+        )
+
+    pairs = rows.groupby(["band", "band_key"]).map_groups(verify, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------------------------ embeddings
+def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8, verify_all: bool = False):
+    """Near-dup pairs by embedding cosine similarity.
+
+    Scale path: random-hyperplane LSH bucket (n_planes-bit signature of the
+    sign pattern) then exact cosine verification inside buckets; two vectors
+    with cosine ≥ threshold collide with high probability.  ``verify_all``
+    forces a single bucket (exact brute force) for small inputs/oracles."""
+    import ray
+
+    def to_mat(batch: pa.Table):
+        emb = batch.column("embedding")
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb.to_pylist()])
+        return mat
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = to_mat(batch)
+        if verify_all:
+            sig = np.zeros(len(mat), dtype=np.int64)
+        else:
+            # seeded plane matrix regenerated per task: deterministic and
+            # cheaper than broadcasting (dim × n_planes floats)
+            pl = np.random.default_rng(7).standard_normal((mat.shape[1], n_planes))
+            bits = (mat @ pl) > 0
+            sig = np.zeros(len(mat), dtype=np.int64)
+            for j in range(bits.shape[1]):
+                sig |= bits[:, j].astype(np.int64) << j
+        norms = np.linalg.norm(mat, axis=1)
+        normed = mat / np.maximum(norms, 1e-12)[:, None]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(sig, type=pa.int64()),
+                "vec": pa.array(list(normed), type=pa.list_(pa.float64())),
+            }
+        )
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_pylist()
+        mat = np.vstack([np.asarray(v) for v in group.column("vec").to_pylist()])
+        sims = mat @ mat.T
+        a, b, s = [], [], []
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        for i, j, sv in zip(iu[keep], ju[keep], sims[iu, ju][keep]):
+            x, y = ids[int(i)], ids[int(j)]
+            a.append(min(x, y))
+            b.append(max(x, y))
+            s.append(float(sv))
+        return pa.table(
+            {
+                "vec_a": pa.array(a, type=pa.int64()),
+                "vec_b": pa.array(b, type=pa.int64()),
+                "cosine": pa.array(s, type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = rows.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))

@@ -1,0 +1,115 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata.
+
+Images/audio/video ride the pipeline as ``binary`` columns exactly like the
+page table's ``html``.  The Ray-side plumbing — schema, actor-pool stage
+shape, small batch sizes for wide rows, output layout — is real and tested;
+the codec itself is STUBBED because no image/audio libraries exist in this
+container:
+
+* ``DecodeImageStub`` raises ``NotImplementedError`` when asked for a real
+  decode (``strict=True``), and otherwise produces a DETERMINISTIC FAKE
+  decode: metadata and a feature vector derived purely from the payload
+  bytes (documented, seeded, reproducible) so downstream stages and tests
+  exercise the full dataflow.
+
+A real deployment replaces ``_fake_decode`` with PIL/ffmpeg calls in
+``__init__``-loaded codecs; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sketches.hashing import hash64, splitmix64
+
+FEATURE_DIM = 8
+
+
+def _fake_decode(payloads: list[bytes | None]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic fake decode: width/height from byte-length arithmetic,
+    features from a seeded hash chain of the payload bytes."""
+    n = len(payloads)
+    widths = np.zeros(n, dtype=np.int32)
+    heights = np.zeros(n, dtype=np.int32)
+    feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
+    blobs = [p or b"" for p in payloads]
+    h0 = hash64(blobs)
+    for j in range(FEATURE_DIM):
+        hj = splitmix64(h0 ^ np.uint64(0x9E3779B97F4A7C15 * (j + 1) & 0xFFFFFFFFFFFFFFFF))
+        feats[:, j] = (hj.astype(np.float64) / 2**64).astype(np.float32)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    widths[:] = (16 + (lens % 1024)).astype(np.int32)
+    heights[:] = (16 + ((lens // 1024) % 1024)).astype(np.int32)
+    return widths, heights, feats
+
+
+class DecodeImageStub:
+    """Actor-pool stage over a binary payload column.
+
+    STUB: real decoding unavailable in this environment.  With
+    ``strict=True`` the stage raises NotImplementedError (the behavior a
+    production build would override); default is the deterministic fake.
+    Use small ``batch_size`` (e.g. 64) — payload rows are wide."""
+
+    def __init__(self, payload_col: str = "html", strict: bool = False):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "image decode requires an image library not present in this "
+                "container; run with strict=False for the deterministic stub"
+            )
+        payloads = batch.column(self.payload_col).to_pylist()
+        w, h, feats = _fake_decode(payloads)
+        batch = batch.append_column("img_width", pa.array(w, type=pa.int32()))
+        batch = batch.append_column("img_height", pa.array(h, type=pa.int32()))
+        batch = batch.append_column(
+            "img_features",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()), FEATURE_DIM
+            ),
+        )
+        return batch.drop_columns([self.payload_col])
+
+
+def decode_images(ds, payload_col: str = "html", batch_size: int = 64, concurrency=None):
+    """Wide-row actor stage: deliberately small batches so
+    batch_size × concurrency payload bytes fit worker heaps."""
+    return ds.map_batches(
+        DecodeImageStub,
+        fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 4),
+        zero_copy_batch=True,
+    )
+
+
+class FrameSampleStub:
+    """Video frame-sampling stage shape: emits one row per sampled 'frame'
+    (flat_map semantics via map_batches returning more rows than input).
+    Frame count/positions derive deterministically from payload length."""
+
+    def __init__(self, payload_col: str = "html", every_n_bytes: int = 4096, max_frames: int = 4):
+        self.payload_col = payload_col
+        self.every = every_n_bytes
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        keys = [c for c in batch.column_names if c != self.payload_col]
+        out_rows = {k: [] for k in keys}
+        out_rows["frame_index"] = []
+        out_rows["frame_offset"] = []
+        for i, p in enumerate(payloads):
+            n = min(max(len(p or b"") // self.every, 1), self.max_frames)
+            for f in range(n):
+                for k in keys:
+                    out_rows[k].append(batch.column(k)[i].as_py())
+                out_rows["frame_index"].append(f)
+                out_rows["frame_offset"].append(f * self.every)
+        t = pa.table({k: pa.array(v) for k, v in out_rows.items()})
+        return t

@@ -1,0 +1,136 @@
+"""Text-analysis operators over the documents/pages tables: token counting,
+quality scoring, language ID (n-gram/stopword heuristic), document
+fingerprinting.  These are the training-data-pipeline operators layered on
+the same engine (ops beyond the reference's inventory; the reference's
+closest relative is its per-event profiling, SURVEY §2.6).
+
+All hot paths are vectorized pyarrow/numpy; the language-ID stage is a
+callable class (actor pool) whose stopword tables are built once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches.hashing import hash64
+from ..sketches.minhash import simhash
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + char stats, all SQL-mirrorable kernels:
+    n_tokens = #spaces + 1 on space-normalized text; avg token length from
+    char counts."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(text), "int64")
+    # single-space-separated generator text: tokens = spaces + 1 (0 for empty)
+    n_spaces = pc.cast(
+        pc.count_substring(text, " "), "int64"
+    )
+    n_tokens = pc.if_else(
+        pc.equal(n_chars, 0), pa.scalar(0, type=pa.int64()), pc.add(n_spaces, 1)
+    )
+    batch = batch.append_column("n_tokens", n_tokens)
+    batch = batch.append_column("n_text_chars", n_chars)
+    return batch
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality components (each SQL-mirrorable) + a composite score:
+    stop_ratio (occurrences of ' the ' per token), mean token length,
+    and the composite = n_tokens>=5 AND mean_token_len in [2, 12]."""
+    batch = token_stats(batch, text_col)
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_tokens = batch.column("n_tokens")
+    n_chars = batch.column("n_text_chars")
+    nt = pc.cast(n_tokens, "float64")
+    denom = pc.max_element_wise(nt, pa.scalar(1.0))
+    # 'the' as a whole token (pad with spaces; count on padded text)
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * len(text)), text.cast(pa.string()), pa.array([" "] * len(text)), ""
+    )
+    n_the = pc.cast(pc.count_substring(padded, " the "), "float64")
+    stop_ratio = pc.divide(n_the, denom)
+    mean_tok_len = pc.divide(
+        pc.subtract(pc.cast(n_chars, "float64"), pc.subtract(nt, 1.0)), denom
+    )
+    good = pc.and_(
+        pc.greater_equal(n_tokens, 5),
+        pc.and_(
+            pc.greater_equal(mean_tok_len, 2.0), pc.less_equal(mean_tok_len, 12.0)
+        ),
+    )
+    batch = batch.append_column("stop_ratio", stop_ratio)
+    batch = batch.append_column("mean_token_len", mean_tok_len)
+    batch = batch.append_column("quality_ok", good)
+    return batch
+
+
+# language → characteristic stopwords (tiny deterministic tables; a real
+# deployment would load fastText-style models in the actor __init__)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "that", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "avec"},
+    "es": {"el", "la", "los", "y", "es", "no", "con"},
+    "it": {"il", "la", "gli", "e", "è", "non", "con"},
+    "nl": {"de", "het", "een", "en", "is", "niet", "met"},
+    "pt": {"o", "a", "os", "e", "é", "não", "com"},
+}
+
+
+class LangId:
+    """Heuristic language ID as an actor-pool stage: marker tables compiled
+    once per actor (__init__), batches scored vectorized per token multiset.
+    Unknown/ambiguous text → 'und'."""
+
+    def __init__(self) -> None:
+        self.markers = {
+            lang: frozenset(words) for lang, words in _LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks_list = pc.split_pattern(
+            pc.utf8_lower(pc.cast(text, pa.string())), " "
+        ).to_pylist()
+        preds = []
+        for toks in toks_list:
+            if not toks:
+                preds.append("und")
+                continue
+            tokset = set(toks)
+            best, best_n = "und", 0
+            for lang, markers in self.markers.items():
+                n = len(tokset & markers)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit content fingerprints: fnv-based content hash (exact-dup key)
+    and SimHash over the token multiset (near-dup key)."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    content_hash = hash64(text).astype(np.int64)
+    toks_per_doc = pc.split_pattern(pc.cast(text, pa.string()), " ").to_pylist()
+    sims = np.zeros(len(toks_per_doc), dtype=np.uint64)
+    for i, toks in enumerate(toks_per_doc):
+        if toks:
+            sims[i] = simhash(hash64(toks))
+    batch = batch.append_column("content_hash", pa.array(content_hash, type=pa.int64()))
+    batch = batch.append_column("simhash", pa.array(sims.astype(np.int64), type=pa.int64()))
+    return batch

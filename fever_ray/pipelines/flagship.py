@@ -126,7 +126,7 @@ def run_flagship(
             fn_constructor_kwargs={"bloom_bytes": ioc_bloom.to_bytes()},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=ioc_concurrency,
+            concurrency=ioc_concurrency or (1, 8),
             zero_copy_batch=True,
         )
         matches_table = pa.Table.from_pylist(

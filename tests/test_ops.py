@@ -1,0 +1,263 @@
+"""Operator-level tests: aggregates vs duckdb oracles on the driver tables,
+CIDR matching, alertify, textstats, multimodal stubs."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import fever_ray.ops.aggregates as agg
+from fever_ray.ops.alertify import ExactMatcher, alertify
+from fever_ray.ops.cidr import CidrMatcher, cidr_match, ipv4_to_uint32
+from fever_ray.ops.multimodal import DecodeImageStub, FrameSampleStub, decode_images
+from fever_ray.ops.textstats import LangId, fingerprint, quality_score, token_stats
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def test_event_profiler(events_ds, sf_dir):
+    out = {r["event_type"]: r for r in agg.event_profiler(events_ds).take_all()}
+    exact = _duck(
+        sf_dir,
+        "SELECT event_type, COUNT(*), SUM(strlen(props)) FROM events GROUP BY event_type",
+    )
+    for et, n, sb in exact:
+        assert out[et]["n_events"] == n
+        assert out[et]["sum_bytes"] == sb
+
+
+def test_flow_aggregator(events_ds, sf_dir):
+    rows = agg.flow_aggregator(events_ds).take_all()
+    got = {(r["user_id"], r["event_type"]): r for r in rows}
+    exact = _duck(
+        sf_dir,
+        "SELECT user_id, event_type, SUM(value), COUNT(*), MIN(ts) FROM events GROUP BY 1,2",
+    )
+    assert len(got) == len(exact)
+    for uid, et, sv, n, mts in exact:
+        r = got[(uid, et)]
+        assert abs(r["sum_value"] - sv) < 1e-6
+        assert r["n"] == n
+        assert r["first_ts"] == mts
+
+
+def test_unicorn_flow_report(events_ds, sf_dir):
+    rows = agg.unicorn_flow_report(events_ds).take_all()
+    got = {r["user_id"]: r for r in rows}
+    exact = _duck(
+        sf_dir,
+        "SELECT user_id, COUNT(*), SUM(value) FROM events "
+        "WHERE event_type='purchase' AND value>0 GROUP BY user_id",
+    )
+    assert len(got) == len(exact)
+    for uid, n, sv in exact:
+        assert got[uid]["n_flows"] == n
+        assert abs(got[uid]["total_value"] - sv) < 1e-6
+
+
+def test_dns_aggregator_distinct(events_ds, sf_dir):
+    rows = agg.dns_aggregator(events_ds).take_all()
+    got = {r["event_type"]: r["n_distinct_users"] for r in rows}
+    exact = dict(
+        _duck(sf_dir, "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1")
+    )
+    assert got == exact
+
+
+def test_pdns_collector(events_ds, sf_dir):
+    rows = agg.pdns_collector(events_ds).take_all()
+    got = {(r["event_type"], r["user_id"]): r for r in rows}
+    exact = _duck(
+        sf_dir,
+        "SELECT event_type, user_id, COUNT(*), MIN(ts), MAX(ts) FROM events GROUP BY 1,2",
+    )
+    assert len(got) == len(exact)
+    for et, uid, n, mn, mx in exact:
+        r = got[(et, uid)]
+        assert (r["n"], r["first_ts"], r["last_ts"]) == (n, mn, mx)
+
+
+def test_context_collector_semi_join(events_ds, sf_dir):
+    out = agg.context_collector(events_ds, mark_type="error").take_all()
+    got_ids = sorted(r["event_id"] for r in out)
+    exact = [
+        r[0]
+        for r in _duck(
+            sf_dir,
+            "SELECT event_id FROM events WHERE user_id IN "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type='error') ORDER BY event_id",
+        )
+    ]
+    assert got_ids == exact
+
+
+def test_heartbeat_injector(events_ds, sf_dir):
+    n0 = events_ds.count()
+    out = agg.heartbeat_injector(events_ds, n_heartbeats=24)
+    assert out.count() == n0 + 24
+    hb = [r for r in out.take_all() if r["event_type"] == "heartbeat"]
+    assert len(hb) == 24
+
+
+def test_flow_profiler_docs(ray_session, sf_dir):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = agg.flow_profiler(docs).take_all()
+    got = {r["lang"]: (r["n_docs"], r["sum_chars"]) for r in rows}
+    exact = {
+        r[0]: (r[1], r[2])
+        for r in _duck(sf_dir, "SELECT lang, COUNT(*), SUM(n_chars) FROM documents GROUP BY 1")
+    }
+    assert got == exact
+
+
+# ------------------------------------------------------------------ cidr
+def test_ipv4_to_uint32():
+    vals, valid = ipv4_to_uint32(["10.0.0.1", "255.255.255.255", "1.2.3.999", "junk", None])
+    assert vals[0] == (10 << 24) + 1
+    assert vals[1] == 0xFFFFFFFF
+    assert valid.tolist() == [True, True, False, False, False]
+
+
+def test_cidr_matcher_semantics():
+    batch = pa.table(
+        {
+            "ip": ["10.3.7.1", "10.4.0.1", "192.168.1.5", "10.3.0.0", "8.8.8.8"],
+            "row": [0, 1, 2, 3, 4],
+        }
+    )
+    m = CidrMatcher(("10.3.0.0/16", "# comment", "10.0.0.0/8", "8.8.8.8"), ip_col="ip")
+    out = m(batch)
+    got = sorted(zip(out.column("row").to_pylist(), out.column("matched_cidr").to_pylist()))
+    # row 0 and 3 are in BOTH 10.3/16 and 10/8 → one match row per range
+    assert got == [
+        (0, "10.0.0.0/8"),
+        (0, "10.3.0.0/16"),
+        (1, "10.0.0.0/8"),
+        (3, "10.0.0.0/8"),
+        (3, "10.3.0.0/16"),
+        (4, "8.8.8.8/32"),
+    ]
+
+
+def test_cidr_over_dataset(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"ip": f"10.{i % 4}.0.1", "i": i} for i in range(100)])
+    out = cidr_match(ds, ("10.1.0.0/16",)).take_all()
+    assert len(out) == 25
+    assert all(r["matched_cidr"] == "10.1.0.0/16" for r in out)
+
+
+# ------------------------------------------------------------------ alertify
+def test_exact_matcher():
+    batch = pa.table(
+        {
+            "host": ["evil.com", "ok.com", "evil.com"],
+            "url": ["/x", "/implant/yes", "/y"],
+        }
+    )
+    m = ExactMatcher(("evil.com", "implant"), exact_cols=("host",), substr_cols=("url",))
+    out = m(batch)
+    got = sorted(zip(out.column("matched_field").to_pylist(), out.column("ioc").to_pylist()))
+    assert got == [("host", "evil.com"), ("host", "evil.com"), ("url", "implant")]
+
+
+def test_alertify_limit(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"host": "evil.com"} for _ in range(50)])
+    out = alertify(ds, ("evil.com",), exact_cols=("host",), limit=5, concurrency=1).take_all()
+    assert len(out) == 5
+
+
+# ------------------------------------------------------------------ textstats
+def test_token_stats_and_quality():
+    batch = pa.table({"text": ["a bb ccc", "", "the cat in the hat", "x"]})
+    out = quality_score(batch)
+    assert out.column("n_tokens").to_pylist() == [3, 0, 5, 1]
+    assert out.column("n_text_chars").to_pylist() == [8, 0, 18, 1]
+    # ' the ' as whole token occurs twice → wait: 'the cat in the hat' has 2
+    assert out.column("stop_ratio").to_pylist()[2] == pytest.approx(2 / 5)
+    assert out.column("quality_ok").to_pylist() == [False, False, True, False]
+
+
+def test_lang_id_heuristic():
+    batch = pa.table(
+        {
+            "text": [
+                "the cat and the dog is that with",
+                "der hund und die katze ist nicht mit",
+                "le chat et la maison est avec",
+                "zzz qqq www",
+            ]
+        }
+    )
+    out = LangId()(batch)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_determinism_and_near_dup():
+    batch = pa.table(
+        {
+            "text": [
+                "alpha bravo charlie delta echo foxtrot golf hotel",
+                "alpha bravo charlie delta echo foxtrot golf hotels",
+                "completely different words entirely here now ok yes",
+            ]
+        }
+    )
+    out1 = fingerprint(batch)
+    out2 = fingerprint(batch)
+    assert out1.column("simhash").to_pylist() == out2.column("simhash").to_pylist()
+    s = out1.column("simhash").to_pylist()
+    from fever_ray.sketches.minhash import hamming_distance
+
+    d_near = hamming_distance(np.array([s[0]], dtype=np.int64).astype(np.uint64),
+                              np.array([s[1]], dtype=np.int64).astype(np.uint64))[0]
+    d_far = hamming_distance(np.array([s[0]], dtype=np.int64).astype(np.uint64),
+                             np.array([s[2]], dtype=np.int64).astype(np.uint64))[0]
+    assert d_near < d_far
+
+
+# ------------------------------------------------------------------ multimodal
+def test_decode_stub_strict_raises():
+    m = DecodeImageStub(strict=True)
+    with pytest.raises(NotImplementedError):
+        m(pa.table({"html": [b"x"]}))
+
+
+def test_decode_stub_deterministic_schema(ray_session, pages_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir + "/", columns=["url", "html"])
+    out = decode_images(ds, batch_size=64)
+    t1 = out.take(5)
+    t2 = decode_images(rd.read_parquet(pages_dir + "/", columns=["url", "html"]), batch_size=64).take(5)
+    assert [r["img_features"] for r in t1] == [r["img_features"] for r in t2]
+    schema = out.schema()
+    assert "img_width" in schema.names and "img_features" in schema.names
+    assert all(len(r["img_features"]) == 8 for r in t1)
+
+
+def test_frame_sample_stub():
+    m = FrameSampleStub(payload_col="html", every_n_bytes=10, max_frames=3)
+    out = m(pa.table({"html": [b"x" * 35, b"y"], "id": [1, 2]}))
+    rows = out.to_pylist()
+    assert [r["id"] for r in rows] == [1, 1, 1, 2]
+    assert [r["frame_index"] for r in rows] == [0, 1, 2, 0]
