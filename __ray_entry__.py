@@ -1,44 +1,537 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship sketch-build + IoC pipeline on sf0.001 pages.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL where the operator is SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+here (or in fever_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------- entry
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on deterministic sf0.001-scale pages: one streaming
+    pass building HLL/CMS/t-digest/KLL/Bloom + the IoC actor-pool matcher."""
+    from fever_ray.gen.pages import ensure_pages
+    from fever_ray.pipelines.flagship import run_flagship
+    from fever_ray.sketches.bloom import BloomFilter
+
+    pages_dir = "/tmp/fever_ray_pages/t1"
+    ensure_pages(
+        pages_dir,
+        n_rows=2000,
+        n_files=4,
+        seed=42,
+        ioc_hosts=("evil0.example.com", "evil1.example.net"),
+        ioc_paths=("/oddlyspecific/implant.html",),
+        ioc_frac=0.01,
+    )
+    bf = BloomFilter.initialize(100000, 1e-7)
+    bf.add(["evil0.example.com", "evil1.example.net", "/oddlyspecific/implant.html"])
+    res = run_flagship(pages_dir, ioc_bloom=bf, batch_size=512)
+    return res["summary"]
 
 
+# ------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import fever_ray.ops.aggregates as agg
+    import fever_ray.ops.relational as rel
+    from fever_ray.core.grouped import grouped_estimates
+    from fever_ray.core.udaf import SketchSpec, build_sketches
+    from fever_ray.io_.docpages import docs_to_pages
+    from fever_ray.ops.alertify import alertify
+    from fever_ray.ops.cidr import cidr_match
+    from fever_ray.ops.dedup import (
+        embedding_dup_pairs,
+        exact_dedup,
+        minhash_dedup_components,
+        simhash_near_dup_pairs,
+    )
+    from fever_ray.ops.extract import extract_text, hostname_of
+    from fever_ray.ops.ioc import PageIocMatcher
+    from fever_ray.ops.knn import knn_bruteforce, knn_lsh
+    from fever_ray.ops.multimodal import decode_images
+    from fever_ray.ops.textstats import LangId, fingerprint, quality_score, token_stats
+    from fever_ray.sketches.bloom import BloomFilter
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- fever aggregation handlers over events --------------------------
+    def q_event_profiler(sf):
+        return agg.event_profiler(_t(sf, "events", ["event_type", "props"]))
+
+    def q_flow_aggregator(sf):
+        return agg.flow_aggregator(_t(sf, "events", ["user_id", "event_type", "value", "ts"]))
+
+    def q_unicorn_flow_report(sf):
+        return agg.unicorn_flow_report(_t(sf, "events", ["user_id", "event_type", "value"]))
+
+    def q_dns_aggregator(sf):
+        return agg.dns_aggregator(_t(sf, "events", ["event_type", "user_id"]))
+
+    def q_pdns_collector(sf):
+        return agg.pdns_collector(_t(sf, "events", ["event_type", "user_id", "ts"]))
+
+    def q_context_collector(sf):
+        ds = agg.context_collector(_t(sf, "events", ["event_id", "user_id", "event_type"]))
+        return ds
+
+    def q_heartbeat_injector(sf):
+        from ray.data.aggregate import Sum
+
+        ds = agg.heartbeat_injector(_t(sf, "events"))
+        partial = ds.map_batches(
+            lambda b: pa.TableGroupBy(b.select(["event_type"]), ["event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "n"]),
+            batch_format="pyarrow",
+        )
+        return partial.groupby("event_type").aggregate(Sum("n", alias_name="n"))
+
+    def q_flow_profiler(sf):
+        return agg.flow_profiler(_t(sf, "documents", ["lang", "n_chars"]))
+
+    # ---- relational ------------------------------------------------------
+    def q_pricing_summary(sf):
+        return rel.pricing_summary(
+            _t(
+                sf,
+                "lineitem",
+                [
+                    "l_returnflag",
+                    "l_linestatus",
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_shipdate",
+                ],
+            )
+        )
+
+    def q_segment_revenue(sf):
+        import pyarrow.parquet as pq
+
+        cust = pq.read_table(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        return rel.segment_revenue(_t(sf, "orders", ["o_custkey", "o_totalprice"]), cust)
+
+    def q_top_orders(sf):
+        return rel.top_k_orders(_t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]), k=10)
+
+    def q_filter_project(sf):
+        ds = rel.filter_project(
+            _t(
+                sf,
+                "lineitem",
+                ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+            ),
+            min_qty=49.0,
+        )
+        return ds.map_batches(
+            lambda b: b.select(["l_orderkey", "l_linenumber", "l_quantity", "revenue"]),
+            batch_format="pyarrow",
+        )
+
+    def q_bucketed_join(sf):
+        joined = rel.partitioned_hash_join(
+            _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+            _t(sf, "customer", ["c_custkey", "c_name"]),
+            "o_custkey",
+            "c_custkey",
+            n_buckets=8,
+        )
+        return joined.map_batches(
+            lambda b: b.select(["o_orderkey", "o_custkey", "c_name"]),
+            batch_format="pyarrow",
+        )
+
+    # ---- text analysis over documents ------------------------------------
+    def q_token_stats(sf):
+        return _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: token_stats(b).select(["doc_id", "n_tokens", "n_text_chars"]),
+            batch_format="pyarrow",
+        )
+
+    def q_quality_score(sf):
+        return _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: quality_score(b).select(
+                ["doc_id", "n_tokens", "stop_ratio", "mean_token_len", "quality_ok"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_lang_id(sf):
+        return _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            LangId, batch_format="pyarrow", concurrency=(1, 4)
+        ).map_batches(
+            lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+        )
+
+    def q_fingerprint(sf):
+        return _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: fingerprint(b).select(["doc_id", "content_hash", "simhash"]),
+            batch_format="pyarrow",
+        )
+
+    # ---- dedup family ----------------------------------------------------
+    def q_exact_dedup(sf):
+        ds = exact_dedup(_t(sf, "documents", ["doc_id", "text"]))
+        return ds.map_batches(
+            lambda b: b.select(["keep_id", "n_copies"]), batch_format="pyarrow"
+        )
+
+    def q_minhash_dedup(sf):
+        return minhash_dedup_components(_t(sf, "documents", ["doc_id", "text"]))
+
+    def q_simhash_pairs(sf):
+        return simhash_near_dup_pairs(_t(sf, "documents", ["doc_id", "text"]))
+
+    def q_embedding_dups(sf):
+        ds = embedding_dup_pairs(
+            _t(sf, "embeddings", ["vec_id", "embedding"]), threshold=0.4, verify_all=True
+        )
+        rows = ds.take_all()
+        # materialize with an explicit schema (an empty Dataset would
+        # otherwise lose its column names through to_pandas)
+        return pa.Table.from_pylist(
+            [{"vec_a": r["vec_a"], "vec_b": r["vec_b"]} for r in rows],
+            schema=pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
+        )
+
+    # ---- similarity search ----------------------------------------------
+    def _queries_mat(sf, n=3):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        order = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+        t = t.take(order[:n])
+        return np.vstack([np.asarray(v) for v in t.column("embedding").to_pylist()])
+
+    def q_knn_bruteforce(sf):
+        out = knn_bruteforce(_t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf), k=5)
+        return out.map_batches(
+            lambda b: b.select(["query_id", "vec_id"]), batch_format="pyarrow"
+        )
+
+    def q_knn_lsh(sf):
+        return knn_lsh(_t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf), k=5)
+
+    # ---- IoC / matching --------------------------------------------------
+    def q_page_ioc_match(sf):
+        bf = BloomFilter.initialize(100000, 1e-7)
+        bf.add(["src1.example.com", "src3.example.com"])
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+        return pages.map_batches(
+            PageIocMatcher,
+            fn_constructor_kwargs={"bloom_bytes": bf.to_bytes()},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ).map_batches(
+            lambda b: b.select(["url", "ioc", "match_type"]), batch_format="pyarrow"
+        )
+
+    def q_alertify(sf):
+        ds = alertify(
+            _t(sf, "documents", ["doc_id", "source", "text"]),
+            ("src2", "vector window"),
+            exact_cols=("source",),
+            substr_cols=("text",),
+        )
+        return ds.map_batches(
+            lambda b: b.select(["doc_id", "matched_field", "ioc"]), batch_format="pyarrow"
+        )
+
+    def q_cidr_match(sf):
+        ds = _t(sf, "events", ["event_id", "user_id"]).map_batches(
+            lambda b: b.append_column(
+                "ip",
+                pc.binary_join_element_wise(
+                    pa.array(["10."] * b.num_rows),
+                    pc.cast(pc.subtract(b.column("user_id"), pc.multiply(pc.divide(b.column("user_id"), 4), 4)), pa.string()),
+                    pa.array([".0.1"] * b.num_rows),
+                    "",
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        out = cidr_match(ds, ("10.1.0.0/16", "10.0.0.0/8"))
+        return out.map_batches(
+            lambda b: b.select(["event_id", "ip", "matched_cidr"]), batch_format="pyarrow"
+        )
+
+    # ---- pages pipeline (documents→pages derivation for oracle parity) ---
+    def q_extract_text_len(sf):
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+
+        def ext(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_extracted_chars": pc.cast(
+                        pc.utf8_length(extract_text(b.column("html"))), "int64"
+                    ),
+                }
+            )
+
+        return pages.map_batches(ext, batch_format="pyarrow")
+
+    def q_hostname_counts(sf):
+        from ray.data.aggregate import Sum
+
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+        partial = pages.map_batches(
+            lambda b: pa.TableGroupBy(
+                pa.table({"hostname": hostname_of(b.column("url"))}), ["hostname"]
+            )
+            .aggregate([([], "count_all")])
+            .rename_columns(["hostname", "n"]),
+            batch_format="pyarrow",
+        )
+        return partial.groupby("hostname").aggregate(Sum("n", alias_name="n"))
+
+    def q_exact_distinct_users(sf):
+        from ray.data.aggregate import Count
+
+        ds = _t(sf, "events", ["user_id"])
+        distinct = ds.map_batches(
+            lambda b: pa.TableGroupBy(b, ["user_id"]).aggregate([([], "count_all")]).select(["user_id"]),
+            batch_format="pyarrow",
+        ).groupby("user_id").aggregate(Count(alias_name="_c"))
+        import ray
+
+        n = distinct.count()
+        return pa.table({"n_distinct_users": pa.array([n], type=pa.int64())})
+
+    # ---- sketches (approximate: no SQL oracle; pytest asserts bounds) ----
+    def q_sketch_suite(sf):
+        specs = [
+            SketchSpec("hll_users", "hll", "user_id", {"p": 14}, value_kind="int"),
+            SketchSpec("cms_types", "cms", "event_type", {"width": 2048, "depth": 5}, track=True),
+            SketchSpec("kll_value", "kll", "value", {"k": 200}, value_kind="float"),
+            SketchSpec("td_value", "tdigest", "value", {"delta": 100}, value_kind="float"),
+        ]
+        sk = build_sketches(
+            _t(sf, "events", ["user_id", "event_type", "value"]), specs, batch_size=8192
+        )
+        rows = []
+        rows.append({"sketch": "hll_users", "estimate": float(sk["hll_users"].estimate())})
+        rows.append({"sketch": "cms_types_total", "estimate": float(sk["cms_types"].total)})
+        rows.append({"sketch": "kll_value_p50", "estimate": float(sk["kll_value"].quantile(0.5))})
+        rows.append({"sketch": "td_value_p50", "estimate": float(sk["td_value"].quantile(0.5))})
+        return pa.Table.from_pylist(rows)
+
+    def q_grouped_sketch_per_lang(sf):
+        spec = SketchSpec("hll_texts", "hll", "text", {"p": 14})
+        out = grouped_estimates(
+            _t(sf, "documents", ["lang", "text"]), "lang", spec, batch_size=4096
+        )
+        # exact at this scale w.h.p. (distinct texts ≪ 1/rse): compare vs SQL
+        return pa.table(
+            {
+                "lang": out.column("key"),
+                "n_docs": out.column("rows"),
+            }
+        )
+
+    def q_multimodal_decode(sf):
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+        out = decode_images(pages.map_batches(
+            lambda b: b.select(["doc_id", "html"]), batch_format="pyarrow"
+        ), batch_size=64)
+        return out.map_batches(
+            lambda b: b.select(["doc_id", "img_width", "img_height"]),
+            batch_format="pyarrow",
+        )
+
+    return {
+        "event_profiler": q_event_profiler,
+        "flow_aggregator": q_flow_aggregator,
+        "unicorn_flow_report": q_unicorn_flow_report,
+        "dns_aggregator": q_dns_aggregator,
+        "pdns_collector": q_pdns_collector,
+        "context_collector": q_context_collector,
+        "heartbeat_injector": q_heartbeat_injector,
+        "flow_profiler": q_flow_profiler,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "top_orders": q_top_orders,
+        "filter_project": q_filter_project,
+        "bucketed_join": q_bucketed_join,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "page_ioc_match": q_page_ioc_match,
+        "alertify": q_alertify,
+        "cidr_match": q_cidr_match,
+        "extract_text_len": q_extract_text_len,
+        "hostname_counts": q_hostname_counts,
+        "exact_distinct_users": q_exact_distinct_users,
+        "sketch_suite": q_sketch_suite,
+        "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
+# ---------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    url_expr = "'https://' || source || '.example.com/doc/' || doc_id || '.html'"
+    return {
+        "event_profiler": (
+            "SELECT event_type, COUNT(*) AS n_events, SUM(strlen(props)) AS sum_bytes "
+            "FROM events GROUP BY event_type"
+        ),
+        "flow_aggregator": (
+            "SELECT user_id, event_type, SUM(value) AS sum_value, COUNT(*) AS n, "
+            "MIN(ts) AS first_ts FROM events GROUP BY user_id, event_type"
+        ),
+        "unicorn_flow_report": (
+            "SELECT user_id, COUNT(*) AS n_flows, SUM(value) AS total_value "
+            "FROM events WHERE event_type = 'purchase' AND value > 0 GROUP BY user_id"
+        ),
+        "dns_aggregator": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "pdns_collector": (
+            "SELECT event_type, user_id, COUNT(*) AS n, MIN(ts) AS first_ts, "
+            "MAX(ts) AS last_ts FROM events GROUP BY event_type, user_id"
+        ),
+        "context_collector": (
+            "SELECT event_id, user_id, event_type FROM events WHERE user_id IN "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = 'error')"
+        ),
+        "heartbeat_injector": (
+            "SELECT event_type, COUNT(*) AS n FROM ("
+            "SELECT event_type FROM events UNION ALL "
+            "SELECT 'heartbeat' AS event_type FROM range(24)) GROUP BY event_type"
+        ),
+        "flow_profiler": (
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "SUM(l_extendedprice) AS sum_base_price, "
+            "SUM(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price, "
+            "COUNT(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "segment_revenue": (
+            "SELECT c_mktsegment, SUM(o_totalprice) AS revenue, COUNT(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "filter_project": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "l_extendedprice * (1.0 - l_discount) AS revenue "
+            "FROM lineitem WHERE l_quantity >= 49.0"
+        ),
+        "bucketed_join": (
+            "SELECT o_orderkey, o_custkey, c_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "token_stats": (
+            "SELECT doc_id, CASE WHEN strlen(text) = 0 THEN 0 "
+            "ELSE strlen(text) - strlen(replace(text, ' ', '')) + 1 END AS n_tokens, "
+            "strlen(text) AS n_text_chars FROM documents"
+        ),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, text, "
+            "  CASE WHEN strlen(text) = 0 THEN 0 "
+            "  ELSE strlen(text) - strlen(replace(text, ' ', '')) + 1 END AS n_tokens, "
+            "  CAST(strlen(text) AS DOUBLE) AS n_chars, "
+            "  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS DOUBLE) AS n_the "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "n_the / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio, "
+            "(n_chars - (CAST(n_tokens AS DOUBLE) - 1.0)) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) AS mean_token_len, "
+            "(n_tokens >= 5 AND "
+            " (n_chars - (CAST(n_tokens AS DOUBLE) - 1.0)) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) >= 2.0 AND "
+            " (n_chars - (CAST(n_tokens AS DOUBLE) - 1.0)) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) <= 12.0) AS quality_ok "
+            "FROM t"
+        ),
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "embedding_dups": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 3) "
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.query_id, e.vec_id, "
+            "  list_cosine_similarity(q.qe, e.embedding) AS cos, "
+            "  ROW_NUMBER() OVER (PARTITION BY q.query_id "
+            "    ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rn "
+            "  FROM q CROSS JOIN embeddings e) WHERE rn <= 5"
+        ),
+        "page_ioc_match": (
+            f"SELECT {url_expr} AS url, source || '.example.com' AS ioc, "
+            "'http-host' AS match_type FROM documents "
+            "WHERE source IN ('src1', 'src3')"
+        ),
+        "alertify": (
+            "SELECT doc_id, 'source' AS matched_field, source AS ioc FROM documents "
+            "WHERE source = 'src2' "
+            "UNION ALL "
+            "SELECT doc_id, 'text' AS matched_field, 'vector window' AS ioc "
+            "FROM documents WHERE contains(text, 'vector window')"
+        ),
+        "cidr_match": (
+            "SELECT event_id, '10.' || (user_id % 4) || '.0.1' AS ip, "
+            "'10.1.0.0/16' AS matched_cidr FROM events WHERE user_id % 4 = 1 "
+            "UNION ALL "
+            "SELECT event_id, '10.' || (user_id % 4) || '.0.1' AS ip, "
+            "'10.0.0.0/8' AS matched_cidr FROM events"
+        ),
+        "extract_text_len": (
+            "SELECT doc_id, strlen(text) AS n_extracted_chars FROM documents"
+        ),
+        "hostname_counts": (
+            "SELECT source || '.example.com' AS hostname, COUNT(*) AS n "
+            "FROM documents GROUP BY source"
+        ),
+        "exact_distinct_users": (
+            "SELECT COUNT(DISTINCT user_id) AS n_distinct_users FROM events"
+        ),
+        "grouped_sketch_per_lang": (
+            "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+    }

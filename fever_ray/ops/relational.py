@@ -99,12 +99,16 @@ def top_k_orders(orders_ds, k: int = 10):
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         idx = pc.select_k_unstable(
-            batch, k=min(k, batch.num_rows), sort_keys=[("o_totalprice", "descending")]
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
         )
         return batch.take(idx).select(["o_orderkey", "o_custkey", "o_totalprice"])
 
     candidates = orders_ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
-    return candidates.sort("o_totalprice", descending=True).limit(k)
+    return candidates.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
 
 
 def filter_project(lineitem_ds, min_qty: float = 45.0):

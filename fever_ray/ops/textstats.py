@@ -53,9 +53,12 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_chars = batch.column("n_text_chars")
     nt = pc.cast(n_tokens, "float64")
     denom = pc.max_element_wise(nt, pa.scalar(1.0))
-    # 'the' as a whole token (pad with spaces; count on padded text)
+    # 'the' as a whole token: double every space first so consecutive
+    # occurrences (" the the ") don't share a delimiter — non-overlapping
+    # count_substring then counts exact whole-token occurrences
+    doubled = pc.replace_substring(text.cast(pa.string()), pattern=" ", replacement="  ")
     padded = pc.binary_join_element_wise(
-        pa.array([" "] * len(text)), text.cast(pa.string()), pa.array([" "] * len(text)), ""
+        pa.array([" "] * len(text)), doubled, pa.array([" "] * len(text)), ""
     )
     n_the = pc.cast(pc.count_substring(padded, " the "), "float64")
     stop_ratio = pc.divide(n_the, denom)
