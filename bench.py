@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: flagship sketch-build throughput (docs/sec) over a deterministic
+cached synthetic page corpus (BASELINE.json input shape), plus per-pipeline
+timings over $GRAFT_SF_DIR tables.
+
+    python bench.py             # one JSON line on stdout
+    python bench.py --scaling   # same pipeline at num_cpus=8 and 32 in
+                                # fresh processes; reports scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+BENCH_PAGES_ROWS (default 200000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "200000"))
+PAGES_DIR = f"/tmp/fever_ray_pages/bench_{PAGES_ROWS}"
+
+
+def _ensure_pages():
+    from fever_ray.gen.pages import ensure_pages
+
+    ensure_pages(
+        PAGES_DIR,
+        n_rows=PAGES_ROWS,
+        n_files=32,
+        seed=42,
+        ioc_hosts=("evil0.example.com", "evil1.example.net"),
+        ioc_paths=("/oddlyspecific/implant.html",),
+        ioc_frac=0.005,
+    )
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 4)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    import fever_ray.ops.aggregates as agg
+    import fever_ray.ops.relational as rel
+    from fever_ray.ops.dedup import exact_dedup, minhash_candidate_pairs
+    from fever_ray.ops.knn import knn_bruteforce
+    from fever_ray.pipelines.flagship import run_flagship
+    from fever_ray.sketches.bloom import BloomFilter
+
+    _ensure_pages()
+
+    # warm-up: page cache AND worker processes (each Ray worker imports
+    # fever_ray/pyarrow/numpy on its first UDF — a fixed startup cost that
+    # would otherwise be billed to the first timed pipeline)
+    rd.read_parquet(PAGES_DIR + "/").count()
+    run_flagship(PAGES_DIR, batch_size=65536)
+
+    timings: dict[str, float] = {}
+
+    # headline: flagship sketch suite over pages (one streaming pass)
+    t0 = time.perf_counter()
+    run_flagship(PAGES_DIR, batch_size=16384)
+    headline = time.perf_counter() - t0
+    timings["flagship_sketches"] = round(headline, 4)
+
+    # IoC actor-pool matcher over pages (matcher alone, no sketch suite)
+    from fever_ray.ops.ioc import PageIocMatcher
+
+    bf = BloomFilter.initialize(100000, 1e-7)
+    bf.add(["evil0.example.com", "evil1.example.net", "/oddlyspecific/implant.html"])
+    timings["ioc_match"] = _timed(
+        lambda: rd.read_parquet(PAGES_DIR + "/", columns=["url"])
+        .map_batches(
+            PageIocMatcher,
+            fn_constructor_kwargs={"bloom_bytes": bf.to_bytes()},
+            batch_format="pyarrow",
+            batch_size=16384,
+            concurrency=(1, max(NUM_CPUS // 2, 2)),
+        )
+        .materialize()
+    )
+
+    # events / lineitem / documents pipelines at GRAFT_SF_DIR
+    ev = lambda cols=None: rd.read_parquet(f"{SF_DIR}/events.parquet", columns=cols)  # noqa: E731
+    timings["event_profiler"] = _timed(
+        lambda: agg.event_profiler(ev(["event_type", "props"])).materialize()
+    )
+    timings["pdns_collector"] = _timed(
+        lambda: agg.pdns_collector(ev(["event_type", "user_id", "ts"])).materialize()
+    )
+    timings["pricing_summary"] = _timed(
+        lambda: rel.pricing_summary(
+            rd.read_parquet(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=[
+                    "l_returnflag",
+                    "l_linestatus",
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_shipdate",
+                ],
+            )
+        ).materialize()
+    )
+    timings["exact_dedup"] = _timed(
+        lambda: exact_dedup(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        ).materialize()
+    )
+    timings["minhash_candidates"] = _timed(
+        lambda: minhash_candidate_pairs(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        ).materialize()
+    )
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    queries = np.vstack([np.asarray(v) for v in emb.column("embedding").to_pylist()[:8]])
+    timings["knn_bruteforce"] = _timed(
+        lambda: knn_bruteforce(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            queries,
+            k=10,
+        ).materialize()
+    )
+
+    docs_per_sec = int(PAGES_ROWS / headline)
+    return {
+        "metric": "flagship_pages_sketch_build_sec",
+        "value": round(headline, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_rows": PAGES_ROWS,
+        "docs_per_sec": docs_per_sec,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (the in-sandbox
+    evidence for the N→4N cluster-scaling criterion)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pages_rows": r_lo["pages_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))

@@ -1,0 +1,184 @@
+"""CLI driver — the ``ray job submit`` entry point.
+
+Mirrors the reference's cascading config idea (fever's viper/cobra YAML+flags,
+/root/reference/cmd/fever/cmds/run.go:611-753) with argparse + optional YAML:
+flags override YAML override defaults.
+
+Subcommands:
+    run        flagship sketch build (optionally checkpointed/resumable)
+    ioc        bloom/IoC matching over a page table
+    bloom      build / inspect a DCSO-format bloom filter artifact
+    gen        generate a synthetic page corpus
+
+Example (cluster):
+    ray job submit --working-dir . -- python -m fever_ray.cli run \
+        --input /data/pages --out /data/out --checkpoint /data/ck
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _maybe_yaml(path: str | None) -> dict:
+    if not path:
+        return {}
+    try:
+        import yaml  # type: ignore
+
+        with open(path) as fh:
+            return yaml.safe_load(fh) or {}
+    except ImportError:
+        # YAML lib absent: accept JSON config files too
+        with open(path) as fh:
+            return json.load(fh)
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        if os.environ.get("RAY_ADDRESS", "") in ("", "local"):
+            kwargs["address"] = "local"
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_run(args) -> int:
+    from .pipelines.flagship import run_flagship
+    from .sketches.bloom import BloomFilter
+
+    _init_ray(args.num_cpus)
+    bloom = None
+    if args.bloom_file:
+        bloom = BloomFilter.load_with_fallback(args.bloom_file, compressed=args.bloom_zipped)
+    res = run_flagship(
+        args.input,
+        out_dir=args.out,
+        ioc_bloom=bloom,
+        checkpoint_dir=args.checkpoint,
+        batch_size=args.batch_size,
+    )
+    print(res["summary"].to_pandas().to_string(index=False))
+    return 0
+
+
+def cmd_ioc(args) -> int:
+    import ray.data as rd
+
+    from .ops.ioc import PageIocMatcher
+    from .sketches.bloom import BloomFilter
+
+    _init_ray(args.num_cpus)
+    bloom = BloomFilter.load_with_fallback(args.bloom_file, compressed=args.bloom_zipped)
+    blacklist = tuple(args.blacklist.split(",")) if args.blacklist else ()
+    ds = rd.read_parquet(args.input, columns=["url"]).map_batches(
+        PageIocMatcher,
+        fn_constructor_kwargs={
+            "bloom_bytes": bloom.to_bytes(),
+            "blacklist": blacklist,
+            "alert_prefix": args.alert_prefix,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, args.concurrency),
+    )
+    if args.out:
+        ds.write_parquet(args.out)
+        print(f"matches written to {args.out}")
+    else:
+        for row in ds.take(args.limit):
+            print(json.dumps(row))
+    return 0
+
+
+def cmd_bloom(args) -> int:
+    from .sketches.bloom import BloomFilter, build_filter
+
+    if args.action == "create":
+        with open(args.iocs) as fh:
+            iocs = [line.strip() for line in fh if line.strip()]
+        bf = build_filter(iocs, n=args.capacity or len(iocs), p=args.p)
+        bf.save(args.file, compressed=args.zipped)
+        print(f"wrote {args.file}: n={bf.n} p={bf.p} k={bf.k} m={bf.m} N={bf.N}")
+    elif args.action == "show":
+        bf = BloomFilter.load_with_fallback(args.file, compressed=args.zipped)
+        print(
+            json.dumps(
+                {"n": bf.n, "p": bf.p, "k": bf.k, "m": bf.m, "N": bf.N, "fill_ratio": bf.fill_ratio}
+            )
+        )
+    elif args.action == "check":
+        bf = BloomFilter.load_with_fallback(args.file, compressed=args.zipped)
+        for v in args.values:
+            print(f"{v}\t{bf.check_one(v)}")
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from .gen.pages import write_pages
+
+    write_pages(args.out, args.rows, n_files=args.files, seed=args.seed)
+    print(f"wrote {args.rows} rows in {args.files} files under {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fever_ray", description=__doc__)
+    p.add_argument("--config", help="YAML/JSON config file (flags override)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="flagship sketch build")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--out")
+    pr.add_argument("--checkpoint")
+    pr.add_argument("--bloom-file", dest="bloom_file")
+    pr.add_argument("--bloom-zipped", dest="bloom_zipped", action="store_true")
+    pr.add_argument("--batch-size", dest="batch_size", type=int, default=16384)
+    pr.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pr.set_defaults(fn=cmd_run)
+
+    pi = sub.add_parser("ioc", help="IoC matching over pages")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--bloom-file", dest="bloom_file", required=True)
+    pi.add_argument("--bloom-zipped", dest="bloom_zipped", action="store_true")
+    pi.add_argument("--blacklist", default="")
+    pi.add_argument("--alert-prefix", dest="alert_prefix", default="BLF")
+    pi.add_argument("--out")
+    pi.add_argument("--limit", type=int, default=20)
+    pi.add_argument("--concurrency", type=int, default=8)
+    pi.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pi.set_defaults(fn=cmd_ioc)
+
+    pb = sub.add_parser("bloom", help="bloom artifact management")
+    pb.add_argument("action", choices=["create", "show", "check"])
+    pb.add_argument("file")
+    pb.add_argument("values", nargs="*")
+    pb.add_argument("--iocs", help="one IoC per line (create)")
+    pb.add_argument("--capacity", type=int)
+    pb.add_argument("--p", type=float, default=1e-6)
+    pb.add_argument("--zipped", action="store_true")
+    pb.set_defaults(fn=cmd_bloom)
+
+    pg = sub.add_parser("gen", help="generate synthetic pages")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--rows", type=int, default=10000)
+    pg.add_argument("--files", type=int, default=4)
+    pg.add_argument("--seed", type=int, default=42)
+    pg.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    cfg = _maybe_yaml(args.config)
+    for k, v in cfg.items():
+        k = k.replace("-", "_")
+        if getattr(args, k, None) in (None, "", False):
+            setattr(args, k, v)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -130,25 +130,36 @@ def make_partials_fn(specs: list[SketchSpec], fanout: int = 64):
 
 
 def make_merge_fn(specs: list[SketchSpec]):
-    """map_groups function merging all partial payloads of one sketch_id."""
+    """Batch/group merge: merges every sketch_id present in the table down to
+    one row each.  Associativity makes it valid for ANY grouping of partials
+    — a keyed group (map_groups) or an arbitrary coalesced block
+    (map_batches) alike."""
     kinds = {s.name: s.kind for s in specs}
 
     def merge(group: pa.Table) -> pa.Table:
-        sid = group.column("sketch_id")[0].as_py()
+        sids = group.column("sketch_id").to_pylist()
         payloads = group.column("payload").to_pylist()
-        acc = sketch_from_bytes(kinds[sid], payloads[0])
-        for blob in payloads[1:]:
-            acc.merge(sketch_from_bytes(kinds[sid], blob))
-        out_blob = acc.to_bytes()
+        rows = group.column("rows").to_pylist()
+        accs: dict[str, Any] = {}
+        rowsum: dict[str, int] = {}
+        for sid, blob, r in zip(sids, payloads, rows):
+            sk = sketch_from_bytes(kinds[sid], blob)
+            if sid in accs:
+                accs[sid].merge(sk)
+                rowsum[sid] += r
+            else:
+                accs[sid] = sk
+                rowsum[sid] = r
+        out_ids = sorted(accs)
+        blobs = [accs[s].to_bytes() for s in out_ids]
         return pa.table(
             {
-                "sketch_id": pa.array([sid], type=pa.string()),
-                "salt": pa.array([zlib.crc32(out_blob) % 1], type=pa.int32()),
-                "payload": pa.array([out_blob], type=pa.large_binary()),
-                "rows": pa.array(
-                    [int(pa.compute.sum(group.column("rows")).as_py() or 0)],
-                    type=pa.int64(),
+                "sketch_id": pa.array(out_ids, type=pa.string()),
+                "salt": pa.array(
+                    [zlib.crc32(b) % 2**31 for b in blobs], type=pa.int32()
                 ),
+                "payload": pa.array(blobs, type=pa.large_binary()),
+                "rows": pa.array([rowsum[s] for s in out_ids], type=pa.int64()),
             }
         )
 
@@ -160,11 +171,24 @@ def build_sketches(
     specs: list[SketchSpec],
     fanout: int = 64,
     batch_size: int | None = 16384,
+    merge_strategy: str = "coalesce",
 ) -> dict[str, Any]:
     """Run the full partial→merge pipeline; returns {name: sketch}.
 
     ``ds`` is any ray.data.Dataset containing the spec columns.  The input
     stream is consumed ONCE for all sketches.
+
+    merge_strategy:
+      * "coalesce" (default): associativity means NO key shuffle is needed to
+        merge global sketches — partials are coalesced into ``fanout`` blocks
+        (narrow repartition, no sort), merged per block, then coalesced to
+        one block for the final merge.  Two narrow exchanges of KB-sized
+        rows; at 10^12-doc scale each merge task still sees ≤ ~partials/fanout
+        payloads.
+      * "groupby": the salted two-phase groupby/map_groups path (a real
+        keyed shuffle with skew-proof salting) — same result bit-for-bit for
+        order-invariant sketches; kept for parity/verification and as the
+        template the *grouped* (per-key) sketches genuinely need.
     """
     partials = ds.map_batches(
         make_partials_fn(specs, fanout=fanout),
@@ -173,12 +197,24 @@ def build_sketches(
         zero_copy_batch=True,
     )
     merge = make_merge_fn(specs)
-    phase1 = partials.groupby(["sketch_id", "salt"]).map_groups(
-        merge, batch_format="pyarrow"
-    )
-    phase2 = phase1.groupby("sketch_id").map_groups(merge, batch_format="pyarrow")
+    if merge_strategy == "coalesce":
+        phase1 = partials.repartition(fanout).map_batches(
+            merge, batch_format="pyarrow", batch_size=None
+        )
+        final_rows = phase1.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    elif merge_strategy == "groupby":
+        phase1 = partials.groupby(["sketch_id", "salt"]).map_groups(
+            merge, batch_format="pyarrow"
+        )
+        final_rows = (
+            phase1.groupby("sketch_id").map_groups(merge, batch_format="pyarrow").take_all()
+        )
+    else:
+        raise ValueError(merge_strategy)
     out = {}
-    for row in phase2.take_all():
+    for row in final_rows:
         spec = next(s for s in specs if s.name == row["sketch_id"])
         out[spec.name] = sketch_from_bytes(spec.kind, row["payload"])
     return out

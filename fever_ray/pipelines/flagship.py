@@ -38,7 +38,11 @@ STANDARD_SPECS = [
     SketchSpec("tdigest_html_len", "tdigest", "html_len", {"delta": 100}, value_kind="float"),
     SketchSpec("kll_text_len", "kll", "text_len", {"k": 200}, value_kind="float"),
     SketchSpec("kll_warc_ts", "kll", "warc_ts_us", {"k": 200}, value_kind="float"),
-    SketchSpec("bloom_hostnames", "bloom", "hostname", {"n": 1_000_000, "p": 1e-6}),
+    # bloom partial = m/8 bytes PER BATCH partial; size n to the expected
+    # DISTINCT key count (hostname pool), not the row count — at 10^12 docs
+    # hostname-scale filters should be built per-partition (checkpoint path)
+    # or via the groupby strategy, not per 16k-row batch
+    SketchSpec("bloom_hostnames", "bloom", "hostname", {"n": 200_000, "p": 1e-6}),
 ]
 
 
