@@ -10,7 +10,7 @@ timings over $GRAFT_SF_DIR tables.
                                 # fresh processes; reports scaling efficiency
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-BENCH_PAGES_ROWS (default 200000).
+BENCH_PAGES_ROWS (default 1000000).
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "200000"))
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "1000000"))
 PAGES_DIR = f"/tmp/fever_ray_pages/bench_{PAGES_ROWS}"
 
 
@@ -33,7 +33,7 @@ def _ensure_pages():
     ensure_pages(
         PAGES_DIR,
         n_rows=PAGES_ROWS,
-        n_files=32,
+        n_files=64,
         seed=42,
         ioc_hosts=("evil0.example.com", "evil1.example.net"),
         ioc_paths=("/oddlyspecific/implant.html",),
@@ -78,13 +78,13 @@ def run_bench() -> dict:
     # fever_ray/pyarrow/numpy on its first UDF — a fixed startup cost that
     # would otherwise be billed to the first timed pipeline)
     rd.read_parquet(PAGES_DIR + "/").count()
-    run_flagship(PAGES_DIR, batch_size=65536)
+    run_flagship(PAGES_DIR, batch_size=8192, extract=True)  # untimed warm run
 
     timings: dict[str, float] = {}
 
     # headline: flagship sketch suite over pages (one streaming pass)
     t0 = time.perf_counter()
-    run_flagship(PAGES_DIR, batch_size=16384)
+    run_flagship(PAGES_DIR, batch_size=8192, extract=True)
     headline = time.perf_counter() - t0
     timings["flagship_sketches"] = round(headline, 4)
 

@@ -107,11 +107,29 @@ def make_partials_fn(specs: list[SketchSpec], fanout: int = 64):
     """
 
     def partials(batch: pa.Table) -> pa.Table:
+        from ..sketches.hashing import fnv_pair, splitmix64
+
         ids, salts, payloads, rows = [], [], [], []
+        # hash-reuse: each string column is FNV-hashed ONCE per batch and the
+        # pair feeds every hashing sketch over that column (bit-identical
+        # with the per-sketch update paths; asserted in tests)
+        col_cache: dict[str, tuple] = {}
         for spec in specs:
             sk = spec.make()
-            vals = _column_values(batch, spec)
-            _update(sk, spec, vals)
+            if spec.value_kind == "string" and spec.kind in ("hll", "cms", "bloom"):
+                if spec.column not in col_cache:
+                    vals = _column_values(batch, spec)
+                    col_cache[spec.column] = (vals, *fnv_pair(vals))
+                vals, h1, h2 = col_cache[spec.column]
+                if spec.kind == "hll":
+                    sk.update_hashes(splitmix64(h2))
+                elif spec.kind == "cms":
+                    sk.update_from_fnv(h2, values=vals if spec.track else None, track=spec.track)
+                else:
+                    sk.add_hashes(h1, h2)
+            else:
+                vals = _column_values(batch, spec)
+                _update(sk, spec, vals)
             blob = sk.to_bytes()
             ids.append(spec.name)
             salts.append(zlib.crc32(blob) % fanout)
@@ -198,12 +216,17 @@ def build_sketches(
     )
     merge = make_merge_fn(specs)
     if merge_strategy == "coalesce":
-        phase1 = partials.repartition(fanout).map_batches(
-            merge, batch_format="pyarrow", batch_size=None
+        # block-bundled tree merge: map_batches with a row-count batch_size
+        # bundles consecutive partial blocks into merge tasks — no
+        # repartition, no sort, no blob re-splitting.  Two levels bound the
+        # driver-side remainder to ≤ ~(partials/bundle²)·n_specs tiny rows.
+        bundle = max(fanout, 8) * max(len(specs), 1)
+        phase1 = partials.map_batches(merge, batch_format="pyarrow", batch_size=bundle)
+        remainder = pa.Table.from_pylist(
+            phase1.take_all(), schema=PARTIAL_SCHEMA
         )
-        final_rows = phase1.repartition(1).map_batches(
-            merge, batch_format="pyarrow", batch_size=None
-        ).take_all()
+        acc = merge_partial_tables([remainder], specs)
+        return acc
     elif merge_strategy == "groupby":
         phase1 = partials.groupby(["sketch_id", "salt"]).map_groups(
             merge, batch_format="pyarrow"

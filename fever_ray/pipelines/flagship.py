@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 from ..core.udaf import SketchSpec, build_sketches, finalize
 from ..io_.checkpoint import run_partitioned_build
-from ..ops.extract import hostname_of
+from ..ops.extract import extract_text, hostname_of
 from ..ops.ioc import PageIocMatcher
 from ..sketches.bloom import BloomFilter
 
@@ -46,28 +46,43 @@ STANDARD_SPECS = [
 ]
 
 
-def derive_page_columns(batch: pa.Table) -> pa.Table:
+def derive_page_columns(batch: pa.Table, extract: bool = False) -> pa.Table:
     """Stateless vectorized derivations; drops the wide html payload AFTER
-    computing its length (project early — html never reaches the shuffle)."""
+    computing its length (project early — html never reaches the shuffle).
+
+    ``extract=True`` runs the pinned html→text extractor (the production
+    path at 100 TB, where ``text`` doesn't pre-exist) and derives text
+    stats from the extracted bytes."""
+    text = extract_text(batch.column("html")) if extract else batch.column("text")
     batch = batch.append_column(
         "html_len", pc.cast(pc.binary_length(batch.column("html")), "int64")
     )
-    batch = batch.append_column(
-        "text_len", pc.cast(pc.utf8_length(batch.column("text")), "int64")
-    )
+    batch = batch.append_column("text_len", pc.cast(pc.utf8_length(text), "int64"))
     batch = batch.append_column("hostname", hostname_of(batch.column("url")))
     batch = batch.append_column(
         "warc_ts_us", batch.column("warc_ts").cast(pa.int64())
     )
-    return batch.drop_columns(["html", "text"])
+    return batch.drop_columns(
+        [c for c in ("html", "text") if c in batch.column_names]
+    )
 
 
-def pages_dataset(path: str, columns=None):
+def make_derive_fn(extract: bool = False):
+    def derive(batch: pa.Table) -> pa.Table:
+        return derive_page_columns(batch, extract=extract)
+
+    return derive
+
+
+def pages_dataset(path: str, columns=None, override_num_blocks: int | None = None):
     import ray.data as rd
 
     if os.path.isdir(path):
         path = path.rstrip("/") + "/"
-    return rd.read_parquet(path, columns=columns)
+    kwargs = {}
+    if override_num_blocks:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def run_flagship(
@@ -77,9 +92,16 @@ def run_flagship(
     checkpoint_dir: str | None = None,
     batch_size: int | None = 16384,
     ioc_concurrency: int | None = None,
+    extract: bool = False,
+    override_num_blocks: int | None = None,
 ) -> dict:
-    """Returns {"summary": pa.Table, "matches": pa.Table | None, ...}."""
+    """Returns {"summary": pa.Table, "matches": pa.Table | None, ...}.
+
+    ``extract=True`` runs the pinned extractor on html (production path);
+    ``override_num_blocks`` pins the read parallelism (≈2× CPU count avoids
+    both tiny-block overhead and parallelism starvation)."""
     specs = STANDARD_SPECS
+    derive = make_derive_fn(extract)
 
     if checkpoint_dir:
         # checkpointed path reads raw files; derivation runs inside the
@@ -90,13 +112,19 @@ def run_flagship(
             specs,
             checkpoint_dir,
             batch_size=batch_size,
-            prepare=derive_page_columns,
+            prepare=derive,
         )
         sketches = result["sketches"]
         lineage = result["lineage"]
     else:
-        ds = pages_dataset(pages_path).map_batches(
-            derive_page_columns,
+        # prune at the read: extract mode recomputes text from html, so the
+        # stored text column never leaves storage (and vice versa html's
+        # length is still needed, so html stays either way)
+        columns = ["url", "warc_ts", "html", "lang"] if extract else None
+        ds = pages_dataset(
+            pages_path, columns=columns, override_num_blocks=override_num_blocks
+        ).map_batches(
+            derive,
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,

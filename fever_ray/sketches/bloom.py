@@ -81,11 +81,12 @@ class BloomFilter:
     # -- hashing -----------------------------------------------------------
     def _indices(self, values) -> np.ndarray:
         """(n_values, k) bit indices via double hashing, uint64 wraparound."""
-        h1, h2 = fnv_pair(values)
+        return self._indices_from_hashes(*fnv_pair(values))
+
+    def _indices_from_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         i = np.arange(self.k, dtype=np.uint64)[None, :]
         with np.errstate(over="ignore"):
-            idx = (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
-        return idx
+            return (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
 
     # -- operations --------------------------------------------------------
     def add(self, values) -> None:
@@ -93,7 +94,15 @@ class BloomFilter:
         num = len(values)
         if num == 0:
             return
-        idx = self._indices(values)
+        self.add_hashes(*fnv_pair(values))
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Insert pre-computed (FNV-1, FNV-1a) hash pairs (hash-reuse path;
+        bit-identical with ``add`` on the corresponding byte strings)."""
+        num = len(h1)
+        if num == 0:
+            return
+        idx = self._indices_from_hashes(h1, h2)
         words = (idx >> np.uint64(6)).ravel()
         bits = (np.uint64(1) << (idx & np.uint64(63))).ravel()
         np.bitwise_or.at(self.v, words.astype(np.int64), bits)

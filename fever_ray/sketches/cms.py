@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .hashing import hash64, hash64_ints
+from .hashing import hash64, hash64_ints, splitmix64
 
 _MAGIC = b"FRCM"
 
@@ -65,6 +65,32 @@ class CountMin:
             cols[d] = (hasher(values, seed=d + 1) % np.uint64(self.width)).astype(np.int64)
         return cols
 
+    def _cols_from_fnv(self, h2: np.ndarray) -> np.ndarray:
+        """Column indices from a pre-computed FNV-1a base hash — replicates
+        ``hash64(values, seed=d+1)`` exactly (hash-reuse fast path)."""
+        cols = np.empty((self.depth, len(h2)), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for d in range(self.depth):
+                seed_arr = np.full(len(h2), np.uint64(d + 1))
+                h = splitmix64(h2 ^ splitmix64(seed_arr))
+                cols[d] = (h % np.uint64(self.width)).astype(np.int64)
+        return cols
+
+    def update_from_fnv(self, h2: np.ndarray, values=None, track: bool = False) -> None:
+        """Add one count per pre-hashed key (bit-identical with ``update``).
+        ``values`` supplies the original strings when ``track=True``."""
+        n = len(h2)
+        if n == 0:
+            return
+        counts = np.ones(n, dtype=np.uint64)
+        cols = self._cols_from_fnv(h2)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], counts)
+        self.total += n
+        if track and values is not None:
+            for kk in _unique_list(values):
+                self.candidates[kk if isinstance(kk, (str, bytes)) else str(kk)] = None
+
     def update(self, values, counts=None, track: bool = False) -> None:
         """Add a batch of keys with optional per-key counts.
 
@@ -83,9 +109,8 @@ class CountMin:
             np.add.at(self.table[d], cols[d], counts)
         self.total += int(counts.sum())
         if track:
-            keys = [v if isinstance(v, (str, bytes)) else str(v) for v in _tolist(values)]
-            for kk in keys:
-                self.candidates[kk] = None
+            for v in _unique_list(values):
+                self.candidates[v if isinstance(v, (str, bytes)) else str(v)] = None
 
     def query(self, values) -> np.ndarray:
         """Point estimates (min over depth rows) → uint64 ndarray."""
@@ -145,3 +170,18 @@ def _tolist(values):
     if isinstance(values, np.ndarray):
         return values.tolist()
     return list(values)
+
+
+def _unique_list(values):
+    """Distinct values with dedup done in C (pyarrow/numpy), not Python."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            return pc.unique(values).to_pylist()
+    except ImportError:
+        pass
+    if isinstance(values, np.ndarray):
+        return np.unique(values).tolist()
+    return list(dict.fromkeys(values))

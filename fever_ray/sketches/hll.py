@@ -84,6 +84,12 @@ class HyperLogLog:
             return
         self._update_hashes(hash64(values))
 
+    def update_hashes(self, h: np.ndarray) -> None:
+        """Add pre-computed ``hash64`` values (hash-reuse fast path; must be
+        the same hash family as ``update`` for bit-identical registers)."""
+        if len(h):
+            self._update_hashes(h)
+
     def update_ints(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return

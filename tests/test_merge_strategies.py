@@ -1,0 +1,49 @@
+"""The coalesce-tree merge and the salted-groupby merge must produce
+bit-identical results for order-invariant sketches, and the flagship with
+extract=True must equal the precomputed-text path (extractor invariant)."""
+
+import numpy as np
+
+from fever_ray.core.udaf import SketchSpec, build_sketches
+from fever_ray.pipelines.flagship import make_derive_fn, run_flagship
+
+
+SPECS = [
+    SketchSpec("hll_urls", "hll", "url", {"p": 12}),
+    SketchSpec("cms_langs", "cms", "lang", {"width": 512, "depth": 5}, track=True),
+    SketchSpec("bloom_urls", "bloom", "url", {"n": 10000, "p": 1e-5}),
+]
+
+
+def test_coalesce_equals_groupby(ray_session, pages_dir):
+    import ray.data as rd
+
+    a = build_sketches(
+        rd.read_parquet(pages_dir + "/"), SPECS, batch_size=256, merge_strategy="coalesce"
+    )
+    b = build_sketches(
+        rd.read_parquet(pages_dir + "/"), SPECS, batch_size=256, merge_strategy="groupby"
+    )
+    assert np.array_equal(a["hll_urls"].registers, b["hll_urls"].registers)
+    assert np.array_equal(a["cms_langs"].table, b["cms_langs"].table)
+    assert a["cms_langs"].total == b["cms_langs"].total
+    assert np.array_equal(a["bloom_urls"].v, b["bloom_urls"].v)
+    assert a["bloom_urls"].N == b["bloom_urls"].N
+
+
+def test_extract_mode_matches_precomputed_text(ray_session, pages_dir):
+    """extract=True recomputes text from html via the pinned extractor; the
+    generator guarantees byte-identity, so every text-derived sketch value
+    must agree exactly with the text-column path."""
+    r1 = run_flagship(pages_dir, batch_size=256, extract=False)
+    r2 = run_flagship(pages_dir, batch_size=256, extract=True)
+    s1 = {r["sketch"]: r["estimate"] for r in r1["summary"].to_pylist()}
+    s2 = {r["sketch"]: r["estimate"] for r in r2["summary"].to_pylist()}
+    assert set(s1) == set(s2)
+    for name in s1:
+        if name.startswith(("tdigest", "kll")):
+            # quantile sketches are only order-invariant within bound, and
+            # the streaming executor does not fix partial merge order
+            assert abs(s1[name] - s2[name]) <= 0.05 * max(abs(s1[name]), 1.0), name
+        else:
+            assert s1[name] == s2[name], name
