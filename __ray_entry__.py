@@ -354,6 +354,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    # ---- event-time windows / sessions / as-of (SURVEY §2.11) ------------
+    def q_tumbling_window(sf):
+        from fever_ray.ops.windows import tumbling_window
+
+        return tumbling_window(
+            _t(sf, "events", ["ts", "event_type", "value"]), size_s=3600
+        )
+
+    def q_sessionize(sf):
+        from fever_ray.ops.windows import sessionize
+
+        return sessionize(_t(sf, "events", ["user_id", "ts"]), gap_s=1800)
+
+    def q_asof_join(sf):
+        from fever_ray.ops.windows import asof_join
+
+        left = _t(sf, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+            lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+                ["event_id", "user_id", "ts"]
+            ),
+            batch_format="pyarrow",
+        )
+        right = _t(sf, "events", ["user_id", "ts", "event_type"]).map_batches(
+            lambda b: (lambda f: f.append_column("ts_copy", f.column("ts")))(
+                b.filter(pc.equal(b.column("event_type"), "signup")).select(
+                    ["user_id", "ts"]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        return asof_join(
+            left, right, key="user_id", ts_col="ts", right_cols=["user_id", "ts", "ts_copy"]
+        )
+
     def q_multimodal_decode(sf):
         pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
         out = decode_images(pages.map_batches(
@@ -397,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_suite": q_sketch_suite,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "multimodal_decode": q_multimodal_decode,
+        "tumbling_window": q_tumbling_window,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
     }
 
 
@@ -533,5 +570,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_sketch_per_lang": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "tumbling_window": (
+            "SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) "
+            "AS window_start, event_type, COUNT(*) AS n, SUM(value) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH o AS (SELECT user_id, ts, "
+            "  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END AS brk "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER "
+            "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_id "
+            "  FROM o) "
+            "SELECT user_id, session_id, MIN(ts) AS session_start, "
+            "MAX(ts) AS session_end, COUNT(*) AS n_events FROM s GROUP BY 1, 2"
+        ),
+        "asof_join": (
+            "SELECT l.event_id, l.user_id, l.ts, r.ts AS r_ts_copy "
+            "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l "
+            "ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
     }

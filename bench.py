@@ -106,20 +106,15 @@ def run_bench() -> dict:
             "docs_per_sec": int(PAGES_ROWS / headline),
         }
 
-    # IoC actor-pool matcher over pages (matcher alone, no sketch suite)
-    from fever_ray.ops.ioc import PageIocMatcher
+    # IoC matcher over pages (stateless tasks + per-process filter cache)
+    from fever_ray.ops.ioc import make_page_ioc_fn
 
     bf = BloomFilter.initialize(100000, 1e-7)
     bf.add(["evil0.example.com", "evil1.example.net", "/oddlyspecific/implant.html"])
+    ioc_fn = make_page_ioc_fn(bf.to_bytes())
     timings["ioc_match"] = _timed(
         lambda: rd.read_parquet(PAGES_DIR + "/", columns=["url"])
-        .map_batches(
-            PageIocMatcher,
-            fn_constructor_kwargs={"bloom_bytes": bf.to_bytes()},
-            batch_format="pyarrow",
-            batch_size=16384,
-            concurrency=(1, max(NUM_CPUS // 2, 2)),
-        )
+        .map_batches(ioc_fn, batch_format="pyarrow", batch_size=16384)
         .materialize()
     )
 

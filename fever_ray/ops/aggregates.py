@@ -23,7 +23,38 @@ def _distinct(batch: pa.Table, keys: list[str]) -> pa.Table:
     return t.drop_columns(["count_all"])
 
 
-def event_profiler(events_ds):
+def tree_groupby(partials_ds, keys: list[str], aggs: list[tuple[str, str]]):
+    """Exact grouped aggregation WITHOUT a sort shuffle.
+
+    sum/count/min/max are associative, so per-batch partial tables can be
+    re-combined by bundling blocks through ``map_batches`` (the same
+    coalesce-tree the sketch merge uses) instead of Ray's sort-based
+    ``groupby`` — partial rows are (key, partial-agg) and each combine level
+    runs pyarrow's C++ hash aggregation.
+
+    Valid when the distinct-key count is bounded (fits one task's memory) —
+    the profile/report aggregations here have 10-10^5 keys.  For unbounded
+    key spaces use ``Dataset.groupby`` (a real shuffle) or a sketch.
+
+    ``aggs``: [(col, fn)] with fn ∈ {sum, min, max}; re-apply the SAME fn at
+    every level (count must already be a partial count re-aggregated by sum).
+    """
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch, keys).aggregate(aggs)
+        return t.rename_columns(keys + [c for c, _ in aggs])
+
+    level1 = partials_ds.map_batches(
+        combine, batch_format="pyarrow", batch_size=65536
+    )
+    # repartition(1) (narrow: rows are tiny partials) guarantees the final
+    # combine sees everything in one batch → globally unique keys
+    return level1.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
+def event_profiler(events_ds, strategy: str = "tree"):
     """fever EventProfiler (processing/event_profiler.go:127-134): per
     event_type count + total payload bytes (props length here)."""
 
@@ -36,16 +67,19 @@ def event_profiler(events_ds):
         )
         return t.rename_columns(["event_type", "sum_bytes", "n_events"])
 
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if strategy == "tree":
+        return tree_groupby(
+            partials, ["event_type"], [("sum_bytes", "sum"), ("n_events", "sum")]
+        )
     from ray.data.aggregate import Sum
 
-    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.groupby("event_type").aggregate(
+    return partials.groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_bytes", alias_name="sum_bytes")
     )
-    return out
 
 
-def flow_aggregator(events_ds):
+def flow_aggregator(events_ds, strategy: str = "tree"):
     """fever FlowAggregator (processing/flow_aggregator.go:111-148): grouped
     sums + first-seen timestamp.  Key here: (user_id, event_type)."""
 
@@ -56,9 +90,15 @@ def flow_aggregator(events_ds):
         ).aggregate([("value", "sum"), ("value", "count"), ("ts", "min")])
         return t.rename_columns(["user_id", "event_type", "sum_value", "n", "first_ts"])
 
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if strategy == "tree":
+        return tree_groupby(
+            partials,
+            ["user_id", "event_type"],
+            [("sum_value", "sum"), ("n", "sum"), ("first_ts", "min")],
+        )
     from ray.data.aggregate import Min, Sum
 
-    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(["user_id", "event_type"]).aggregate(
         Sum("sum_value", alias_name="sum_value"),
         Sum("n", alias_name="n"),
@@ -66,7 +106,7 @@ def flow_aggregator(events_ds):
     )
 
 
-def unicorn_flow_report(events_ds, event_type: str = "purchase"):
+def unicorn_flow_report(events_ds, event_type: str = "purchase", strategy: str = "tree"):
     """fever UnicornAggregator (processing/unicorn_aggregator.go:202-218):
     pre-filter (proto==TCP && bytes>0 → here event_type==purchase &&
     value>0), then per-key count + sum."""
@@ -84,17 +124,21 @@ def unicorn_flow_report(events_ds, event_type: str = "purchase"):
         )
         return t.rename_columns(["user_id", "n_flows", "total_value"])
 
-    from ray.data.aggregate import Sum
-
     partials = events_ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         partial, batch_format="pyarrow"
     )
+    if strategy == "tree":
+        return tree_groupby(
+            partials, ["user_id"], [("n_flows", "sum"), ("total_value", "sum")]
+        )
+    from ray.data.aggregate import Sum
+
     return partials.groupby("user_id").aggregate(
         Sum("n_flows", alias_name="n_flows"), Sum("total_value", alias_name="total_value")
     )
 
 
-def dns_aggregator(events_ds):
+def dns_aggregator(events_ds, strategy: str = "tree"):
     """fever DNSAggregator (processing/dns_aggregator.go:145-168): per-key
     exact distinct sets.  Here: distinct users per event_type, computed as a
     two-level exact distinct (dedup pairs first, then count) — the scalable
@@ -104,6 +148,24 @@ def dns_aggregator(events_ds):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if strategy == "tree":
+        # distinct is idempotent+associative → same coalesce-tree combine
+        dedup1 = pairs.map_batches(
+            lambda b: _distinct(b, ["event_type", "user_id"]),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+
+        def final(batch: pa.Table) -> pa.Table:
+            d = _distinct(batch, ["event_type", "user_id"])
+            t = pa.TableGroupBy(d.select(["event_type"]), ["event_type"]).aggregate(
+                [([], "count_all")]
+            )
+            return t.rename_columns(["event_type", "n_distinct_users"])
+
+        return dedup1.repartition(1).map_batches(
+            final, batch_format="pyarrow", batch_size=None
+        )
     from ray.data.aggregate import Count
 
     distinct_pairs = pairs.groupby(["event_type", "user_id"]).aggregate(
@@ -116,7 +178,7 @@ def dns_aggregator(events_ds):
     )
 
 
-def pdns_collector(events_ds):
+def pdns_collector(events_ds, strategy: str = "tree"):
     """fever PDNSCollector (processing/pdns_collector.go:123-223): two-level
     rrname → answer-tuple counts.  Here: (event_type, user_id) counts with
     first/last seen — the flattened form of the nested count map."""
@@ -127,9 +189,15 @@ def pdns_collector(events_ds):
         ).aggregate([("ts", "count"), ("ts", "min"), ("ts", "max")])
         return t.rename_columns(["event_type", "user_id", "n", "first_ts", "last_ts"])
 
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if strategy == "tree":
+        return tree_groupby(
+            partials,
+            ["event_type", "user_id"],
+            [("n", "sum"), ("first_ts", "min"), ("last_ts", "max")],
+        )
     from ray.data.aggregate import Max, Min, Sum
 
-    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(["event_type", "user_id"]).aggregate(
         Sum("n", alias_name="n"),
         Min("first_ts", alias_name="first_ts"),
@@ -195,7 +263,7 @@ def heartbeat_injector(events_ds, n_heartbeats: int = 24):
     return events_ds.union(hb)
 
 
-def flow_profiler(docs_ds):
+def flow_profiler(docs_ds, strategy: str = "tree"):
     """fever FlowProfiler (processing/flow_profiler.go:93-107): per app_proto
     packet/byte sums → here per-lang doc count + char sum over documents."""
 
@@ -205,9 +273,13 @@ def flow_profiler(docs_ds):
         )
         return t.rename_columns(["lang", "n_docs", "sum_chars"])
 
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if strategy == "tree":
+        return tree_groupby(
+            partials, ["lang"], [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
     from ray.data.aggregate import Sum
 
-    partials = docs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
     )

@@ -267,6 +267,35 @@ class PageIocMatcher(IocMatcher):
 
 _SCHEME_HOST_RE = r"^[^:/?#]+://[^/?#]*"
 
+# process-level matcher cache for the stateless-task path: Ray worker
+# processes are reused across tasks, so the filter is deserialized once per
+# process (same amortization as an actor pool, none of the pool startup)
+_MATCHER_CACHE: dict = {}
+
+
+def make_page_ioc_fn(bloom_bytes: bytes, blacklist: tuple = (), alert_prefix: str = DEFAULT_ALERT_PREFIX):
+    """Stateless map_batches fn for page IoC matching.
+
+    The filter bytes ride the object store ONCE (ray.put) and each worker
+    process builds the matcher on first touch.  Prefer this over the actor
+    pool when runs are short-lived (no pool spin-up) — semantics identical.
+    """
+    import ray
+
+    blob_ref = ray.put(bloom_bytes)
+    cache_key = (blob_ref.hex(), tuple(blacklist), alert_prefix)
+
+    def match_pages(batch: pa.Table) -> pa.Table:
+        m = _MATCHER_CACHE.get(cache_key)
+        if m is None:
+            m = PageIocMatcher(
+                ray.get(blob_ref), blacklist=tuple(blacklist), alert_prefix=alert_prefix
+            )
+            _MATCHER_CACHE[cache_key] = m
+        return m(batch)
+
+    return match_pages
+
 
 def _arr(x) -> pa.Array:
     if isinstance(x, pa.ChunkedArray):

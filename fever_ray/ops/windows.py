@@ -1,0 +1,185 @@
+"""Event-time windowing + sessionization + as-of join.
+
+The reference's windows are processing-time tumbling flushes per aggregator
+(SURVEY §2.11; e.g. /root/reference/processing/flow_aggregator.go:152-170 —
+a timer goroutine, no event time, no watermarks).  In a batch Ray Data
+engine, windows become event-time bucket KEYS — strictly stronger semantics
+(late data lands in the right window by construction):
+
+* ``tumbling_window``  — GROUP BY (bucket(ts), key) with the usual
+  partial+combine shape; bucket = floor(epoch/size).
+* ``sessionize``       — fever's flow-context grouping
+  (context_collector.go:95-133 keys events by flow_id and closes on a
+  terminal event / TTL) generalized: per-key gap-based session windows via
+  ``groupby(key).map_groups`` over ts-sorted groups.
+* ``asof_join``        — each left row matched to the latest right row with
+  ts ≤ left.ts per key: bucketed co-group + ``pd.merge_asof`` per bucket
+  (the custom-operator pattern: partitioning assumption = one key's rows
+  fit a group).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .aggregates import tree_groupby
+
+
+def tumbling_window(events_ds, ts_col: str = "ts", key: str | None = "event_type",
+                    size_s: int = 3600, value_col: str = "value",
+                    strategy: str = "tree"):
+    """Per-(window, key) count + sum over ``value_col``.
+
+    Window id = floor(epoch_seconds / size_s) * size_s (window start epoch).
+    """
+    keys = ["window_start"] + ([key] if key else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch.column(ts_col), pa.int64())  # microseconds
+        win = pc.multiply(
+            pc.divide(epoch, pa.scalar(size_s * 1_000_000, type=pa.int64())),
+            pa.scalar(size_s * 1_000_000, type=pa.int64()),
+        ).cast(pa.timestamp("us"))
+        batch = batch.append_column("window_start", win)
+        t = pa.TableGroupBy(batch.select(keys + [value_col]), keys).aggregate(
+            [(value_col, "count"), (value_col, "sum")]
+        )
+        return t.rename_columns(keys + ["n", "sum_value"])
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if strategy == "tree":
+        return tree_groupby(partials, keys, [("n", "sum"), ("sum_value", "sum")])
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(keys).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+
+def sessionize(events_ds, key: str = "user_id", ts_col: str = "ts",
+               gap_s: int = 1800):
+    """Gap-based session windows per key.
+
+    Returns one row per session: (key, session_id, session_start,
+    session_end, n_events).  session_id = per-key ordinal (0-based by start
+    time).  Partitioning assumption: all rows of one key fit one group (the
+    same assumption fever's in-memory flow-context cache makes,
+    context_collector.go:39-143 — its TTL cap is our group memory cap).
+    """
+    gap_us = gap_s * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col].astype("int64").to_numpy()
+        new_session = np.concatenate(([True], np.diff(ts) > gap_us))
+        sid = np.cumsum(new_session) - 1
+        out = (
+            pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "_ts": ts})
+            .groupby("session_id", as_index=False)
+            .agg(
+                **{
+                    key: (key, "first"),
+                    "session_start": ("_ts", "min"),
+                    "session_end": ("_ts", "max"),
+                    "n_events": ("_ts", "size"),
+                }
+            )
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        return out[[key, "session_id", "session_start", "session_end", "n_events"]]
+
+    return events_ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
+              n_buckets: int = 16, direction: str = "backward",
+              right_cols: list[str] | None = None):
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts (direction='backward') sharing ``key``.
+
+    Implementation: hash-bucket both sides on key, union with a side tag,
+    co-group per bucket, ``pd.merge_asof`` per bucket after sorting.
+    Partitioning assumption: one bucket fits a worker (choose n_buckets so
+    rows/bucket is bounded; salt hot keys upstream if needed).
+    """
+    from ..sketches.hashing import hash64_ints
+
+    def tag(side, cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(cols)
+            k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = (hash64_ints(k) % np.uint64(n_buckets)).astype(np.int32)
+            batch = batch.append_column("__bucket", pa.array(b, type=pa.int32()))
+            return batch.append_column("__side", pa.array([side] * batch.num_rows))
+
+        return fn
+
+    lschema = left_ds.schema().base_schema
+    l_cols = list(lschema.names)
+    r_cols = right_cols if right_cols else list(right_ds.schema().base_schema.names)
+    if key not in r_cols:
+        r_cols = [key] + r_cols
+    if ts_col not in r_cols:
+        r_cols = r_cols + [ts_col]
+
+    # pad to a common schema for union
+    def pad(cols_needed, src_cols, side):
+        base = tag(side, src_cols)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = base(batch)
+            for name in cols_needed:
+                if name not in batch.column_names:
+                    batch = batch.append_column(
+                        name, pa.nulls(batch.num_rows, all_types[name])
+                    )
+            return batch.select(sorted(batch.column_names))
+
+        return fn
+
+    all_types = {}
+    for f in lschema:
+        all_types[f.name] = f.type
+    for f in right_ds.schema().base_schema:
+        if f.name not in all_types:
+            all_types[f.name] = f.type
+    # right-side value columns get a suffix to avoid collision (except key/ts)
+    r_value_cols = [c for c in r_cols if c not in (key, ts_col)]
+    union_cols = set(l_cols) | {key, ts_col} | {f"r_{c}" for c in r_value_cols}
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        batch = batch.select(r_cols)
+        for c in r_value_cols:
+            batch = batch.rename_columns(
+                [f"r_{n}" if n == c else n for n in batch.column_names]
+            )
+        return batch
+
+    right_renamed = right_ds.map_batches(prep_right, batch_format="pyarrow")
+    for c in r_value_cols:
+        all_types[f"r_{c}"] = all_types[c]
+
+    left_t = left_ds.map_batches(
+        pad(union_cols, l_cols, "l"), batch_format="pyarrow"
+    )
+    right_t = right_renamed.map_batches(
+        pad(union_cols, [key, ts_col] + [f"r_{c}" for c in r_value_cols], "r"),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["__side"] == "l"][[c for c in g.columns if c in l_cols]]
+        rt = g[g["__side"] == "r"][[key, ts_col] + [f"r_{c}" for c in r_value_cols]]
+        lt = lt.sort_values(ts_col, kind="mergesort")
+        rt = rt.sort_values(ts_col, kind="mergesort")
+        out = pd.merge_asof(
+            lt, rt, on=ts_col, by=key, direction=direction, suffixes=("", "_r")
+        )
+        return out
+
+    both = left_t.union(right_t)
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
