@@ -299,7 +299,10 @@ def make_page_ioc_fn(bloom_bytes: bytes, blacklist: tuple = (), alert_prefix: st
 
 def _arr(x) -> pa.Array:
     if isinstance(x, pa.ChunkedArray):
-        return x.combine_chunks()
-    if isinstance(x, pa.Array):
-        return x
-    return pa.array(x, type=pa.string())
+        x = x.combine_chunks()
+    if not isinstance(x, pa.Array):
+        return pa.array(x, type=pa.string())
+    if pa.types.is_null(x.type):
+        # all-null columns infer as null type; treat as null strings
+        return pa.nulls(len(x), pa.string())
+    return x

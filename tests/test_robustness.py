@@ -1,0 +1,113 @@
+"""Null/degenerate-input robustness (FIXTURES.md F5, modeled on the
+reference's null-heavy parser fixtures util/testdata/jsonparse_eve_nulls.json)
++ matcher-path equivalence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fever_ray.core.udaf import SketchSpec, build_sketches
+from fever_ray.ops.extract import extract_text, hostname_of
+from fever_ray.ops.ioc import IocMatcher, PageIocMatcher, make_page_ioc_fn
+from fever_ray.gen.pages import PAGES_SCHEMA
+from fever_ray.sketches.bloom import BloomFilter
+
+
+def dirty_pages_table() -> pa.Table:
+    """Nulls, empties, dup urls with differing ts, zero-length url."""
+    rows = [
+        {"url": "https://a.com/x", "warc_ts": 1, "html": b"<p>ok</p>", "text": "ok", "lang": "en"},
+        {"url": "https://a.com/x", "warc_ts": 2, "html": b"<p>ok</p>", "text": "ok", "lang": "en"},
+        {"url": "", "warc_ts": 3, "html": b"", "text": "", "lang": "de"},
+        {"url": None, "warc_ts": None, "html": None, "text": None, "lang": None},
+        {"url": "https://b.com/", "warc_ts": 4, "html": b"<html></html>", "text": "", "lang": None},
+    ]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def test_sketch_build_skips_nulls(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(dirty_pages_table())
+    specs = [
+        SketchSpec("hll", "hll", "url", {"p": 10}),
+        SketchSpec("cms", "cms", "lang", {"width": 256, "depth": 4}, track=True),
+        SketchSpec("bloom", "bloom", "url", {"n": 100, "p": 1e-4}),
+    ]
+    sk = build_sketches(ds, specs, batch_size=2)
+    # nulls skipped: 4 non-null urls (3 distinct incl. ""), 3 non-null langs
+    assert sk["bloom"].N == 4
+    assert sk["cms"].total == 3
+    assert set(sk["cms"].candidates) == {"en", "de"}
+    est = sk["hll"].estimate()
+    assert 2 <= est <= 4.5
+
+
+def test_extract_and_hostname_handle_degenerate_rows():
+    t = dirty_pages_table()
+    out = extract_text(t.column("html"))
+    assert out.to_pylist() == ["ok", "ok", "", None, ""]
+    hosts = hostname_of(t.column("url"))
+    assert hosts.to_pylist() == ["a.com", "a.com", None, None, "b.com"]
+
+
+def test_ioc_matcher_on_dirty_batch():
+    bf = BloomFilter.initialize(1000, 1e-5)
+    bf.add(["a.com"])
+    m = PageIocMatcher(bf.to_bytes())
+    out = m(dirty_pages_table())
+    # both dup rows alert on hostname a.com; null/empty rows never alert
+    assert out.num_rows == 2
+    assert set(out.column("ioc").to_pylist()) == {"a.com"}
+
+
+def test_empty_batch_everywhere():
+    empty = dirty_pages_table().slice(0, 0)
+    bf = BloomFilter.initialize(100, 1e-4)
+    m = PageIocMatcher(bf.to_bytes())
+    assert m(empty).num_rows == 0
+    assert len(extract_text(empty.column("html"))) == 0
+
+
+def test_stateless_fn_equals_actor_path(ray_session, pages_dir):
+    import ray.data as rd
+
+    bf = BloomFilter.initialize(100000, 1e-7)
+    bf.add(["evil0.example.com", "/oddlyspecific/implant.html"])
+    actor_out = (
+        rd.read_parquet(pages_dir + "/", columns=["url"])
+        .map_batches(
+            PageIocMatcher,
+            fn_constructor_kwargs={"bloom_bytes": bf.to_bytes()},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .take_all()
+    )
+    fn = make_page_ioc_fn(bf.to_bytes())
+    fn_out = (
+        rd.read_parquet(pages_dir + "/", columns=["url"])
+        .map_batches(fn, batch_format="pyarrow")
+        .take_all()
+    )
+    key = lambda r: (r["url"], r["ioc"], r["match_type"], r["signature"])  # noqa: E731
+    assert sorted(map(key, actor_out)) == sorted(map(key, fn_out))
+    assert len(fn_out) > 0
+
+
+def test_tls_dns_null_fields():
+    bf = BloomFilter.initialize(1000, 1e-5)
+    bf.add(["evil.sni"])
+    m = IocMatcher(bf.to_bytes())
+    batch = pa.table(
+        {
+            "event_type": ["tls", "tls", "dns"],
+            "tls_sni": ["evil.sni", None, None],
+            "tls_fingerprint": [None, None, None],
+            "dns_rrname": [None, None, None],
+            "dns_type": [None, None, "query"],
+        }
+    )
+    out = m(batch)
+    assert out.num_rows == 1
+    assert out.column("ioc")[0].as_py() == "evil.sni"
