@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the sketch kernels: FNV scalar
+parity on arbitrary bytes, DCSO codec round-trips on arbitrary parameters,
+merge-union invariants, quantile rank bounds on arbitrary floats."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from fever_ray.sketches import BloomFilter, CountMin, HyperLogLog, KLL
+from fever_ray.sketches.hashing import fnv_pair
+
+
+def _fnv1_ref(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF) ^ b
+    return h
+
+
+def _fnv1a_ref(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=20))
+def test_fnv_vectorized_equals_scalar(batch):
+    h1, h2 = fnv_pair(batch)
+    for b, a1, a2 in zip(batch, h1, h2):
+        assert int(a1) == _fnv1_ref(b)
+        assert int(a2) == _fnv1a_ref(b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10**7),
+    p=st.floats(min_value=1e-12, max_value=0.5, allow_nan=False),
+)
+def test_bloom_codec_roundtrip_any_params(n, p):
+    bf = BloomFilter.initialize(n, p)
+    bf.add([b"some-key"])
+    back = BloomFilter.from_bytes(bf.to_bytes())
+    assert (back.n, back.p, back.k, back.m, back.N) == (bf.n, bf.p, bf.k, bf.m, bf.N)
+    assert np.array_equal(back.v, bf.v)
+    assert back.check_one(b"some-key")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=50),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bloom_merge_equals_single_filter(parts):
+    """Union of per-part filters == one filter over all values (same params)."""
+    merged = BloomFilter.initialize(1000, 1e-4)
+    single = BloomFilter.initialize(1000, 1e-4)
+    for part in parts:
+        bf = BloomFilter.initialize(1000, 1e-4)
+        bf.add(part)
+        merged.merge(bf)
+        single.add(part)
+    assert np.array_equal(merged.v, single.v)
+    assert merged.N == single.N
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(min_size=1, max_size=20), min_size=0, max_size=100),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_hll_cms_merge_equals_single_pass(parts):
+    m_h, s_h = HyperLogLog.create(p=10), HyperLogLog.create(p=10)
+    m_c, s_c = CountMin.create(width=128, depth=4), CountMin.create(width=128, depth=4)
+    for part in parts:
+        h = HyperLogLog.create(p=10)
+        h.update(part)
+        m_h.merge(h)
+        s_h.update(part)
+        c = CountMin.create(width=128, depth=4)
+        c.update(part)
+        m_c.merge(c)
+        s_c.update(part)
+    assert np.array_equal(m_h.registers, s_h.registers)
+    assert np.array_equal(m_c.table, s_c.table)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+        ),
+        min_size=10,
+        max_size=2000,
+    )
+)
+def test_kll_rank_bound_arbitrary_data(data):
+    k = KLL.create(k=100)
+    k.update(np.array(data))
+    arr = np.sort(np.array(data))
+    for q in (0.1, 0.5, 0.9):
+        v = k.quantile(q)
+        lo = np.searchsorted(arr, v, side="left") / len(arr)
+        hi = np.searchsorted(arr, v, side="right") / len(arr)
+        # true rank interval of the returned value must be within eps of q
+        eps = 2.296 / 100 + 1.0 / len(arr) + 1e-9
+        assert lo - eps <= q <= hi + eps, (q, v, lo, hi)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300))
+def test_cms_point_estimates_never_undercount(keys):
+    keys = [f"k{v}" for v in keys]
+    cms = CountMin.create(width=64, depth=4)
+    cms.update(keys)
+    uniq, counts = np.unique(keys, return_counts=True)
+    est = cms.query(list(uniq))
+    assert (est.astype(np.int64) >= counts).all()
+    assert cms.total == len(keys)
