@@ -251,6 +251,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["url", "ioc", "match_type"]), batch_format="pyarrow"
         )
 
+    def q_bloom_filter_pages(sf):
+        """Bloom-selector semi-join filter (flow_extractor.go:93-97 analog):
+        keep pages whose hostname is in the filter; rows pass whole."""
+        from fever_ray.ops.extract import hostname_of as _hof
+        from fever_ray.ops.ioc import make_bloom_selector_fn
+
+        bf = BloomFilter.initialize(100000, 1e-7)
+        bf.add(["src0.example.com", "src4.example.com"])
+        sel = make_bloom_selector_fn(bf.to_bytes(), column="hostname")
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+        with_host = pages.map_batches(
+            lambda b: b.append_column("hostname", _hof(b.column("url"))),
+            batch_format="pyarrow",
+        )
+        return with_host.map_batches(sel, batch_format="pyarrow").map_batches(
+            lambda b: b.select(["doc_id", "hostname", "lang"]), batch_format="pyarrow"
+        )
+
     def q_alertify(sf):
         ds = alertify(
             _t(sf, "documents", ["doc_id", "source", "text"]),
@@ -424,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "page_ioc_match": q_page_ioc_match,
         "alertify": q_alertify,
+        "bloom_filter_pages": q_bloom_filter_pages,
         "cidr_match": q_cidr_match,
         "extract_text_len": q_extract_text_len,
         "hostname_counts": q_hostname_counts,
@@ -543,6 +562,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {url_expr} AS url, source || '.example.com' AS ioc, "
             "'http-host' AS match_type FROM documents "
             "WHERE source IN ('src1', 'src3')"
+        ),
+        "bloom_filter_pages": (
+            "SELECT doc_id, source || '.example.com' AS hostname, lang "
+            "FROM documents WHERE source IN ('src0', 'src4')"
         ),
         "alertify": (
             "SELECT doc_id, 'source' AS matched_field, source AS ioc FROM documents "

@@ -83,25 +83,43 @@ class MinHashSignatures:
         self.seed = seed
 
     def signature(self, text: str) -> np.ndarray:
-        return minhash_signature(
-            shingle_hashes(text, n=self.n), num_perm=self.num_perm, seed=self.seed
-        )
+        from ..sketches.minhash import batch_minhash_signatures
+
+        return batch_minhash_signatures(
+            [text], n=self.n, num_perm=self.num_perm, seed=self.seed
+        )[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for did, text in zip(ids, texts):
-            sig = self.signature(text or "")
-            bh = band_hashes(sig, self.bands, self.rows)
-            out_band.extend(range(self.bands))
-            out_hash.extend(bh.astype(np.int64).tolist())
-            out_id.extend([did] * self.bands)
+        from ..sketches.minhash import batch_minhash_signatures
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = batch_minhash_signatures(
+            batch.column("text"), n=self.n, num_perm=self.num_perm, seed=self.seed
+        )  # (n_docs, num_perm), fully vectorized
+        # docs too short to shingle share the empty (all-max) signature —
+        # dropping them prevents a quadratic all-pairs bucket of short docs
+        has_sig = sigs[:, 0] != np.iinfo(np.uint64).max
+        ids = ids[has_sig]
+        sigs = sigs[has_sig]
+        n_docs = len(ids)
+        # band hashes for the whole batch: fold each band's rows (vectorized
+        # across docs; loop only over rows-per-band, typically 4)
+        groups = sigs[:, : self.bands * self.rows].reshape(n_docs, self.bands, self.rows)
+        with np.errstate(over="ignore"):
+            acc = np.zeros((n_docs, self.bands), dtype=np.uint64)
+            from ..sketches.hashing import splitmix64
+
+            for r in range(self.rows):
+                acc = splitmix64(acc ^ groups[:, :, r] ^ np.uint64(r + 1))
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
-                "doc_id": pa.array(out_id, type=pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n_docs), type=pa.int32()
+                ),
+                "band_hash": pa.array(
+                    acc.reshape(-1).astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(np.repeat(ids, self.bands), type=pa.int64()),
             }
         )
 
@@ -209,27 +227,25 @@ class SimHashFingerprints:
         self.band_bits = 64 // n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        fps = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if toks:
-                fps[i] = simhash(hash64(toks))
-        out_id, out_band, out_key, out_fp = [], [], [], []
-        for i, did in enumerate(ids):
-            for b in range(self.n_bands):
-                key = int((fps[i] >> np.uint64(b * self.band_bits)) & np.uint64((1 << self.band_bits) - 1))
-                out_id.append(did)
-                out_band.append(b)
-                out_key.append(key)
-                out_fp.append(int(fps[i]) - (1 << 63))  # store as int64
+        from ..sketches.minhash import batch_simhash
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = batch_simhash(batch.column("text"))  # vectorized whole batch
+        n_docs = len(ids)
+        bands = np.arange(self.n_bands, dtype=np.uint64)
+        mask = np.uint64((1 << self.band_bits) - 1)
+        with np.errstate(over="ignore"):
+            keys = (fps[:, None] >> (bands[None, :] * np.uint64(self.band_bits))) & mask
+        fp_i64 = fps.view(np.int64)  # two's-complement reinterpretation
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_key": pa.array(out_key, type=pa.int64()),
-                "simhash": pa.array(out_fp, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.n_bands), type=pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.n_bands, dtype=np.int32), n_docs),
+                    type=pa.int32(),
+                ),
+                "band_key": pa.array(keys.reshape(-1).astype(np.int64), type=pa.int64()),
+                "simhash": pa.array(np.repeat(fp_i64, self.n_bands), type=pa.int64()),
             }
         )
 
@@ -245,8 +261,11 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
 
     def verify(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_pylist()
-        fps = (group.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64) + (1 << 63)).astype(
-            np.uint64
+        fps = (
+            group.column("simhash")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
         )
         a, b, d = [], [], []
         for i in range(len(ids)):

@@ -297,6 +297,32 @@ def make_page_ioc_fn(bloom_bytes: bytes, blacklist: tuple = (), alert_prefix: st
     return match_pages
 
 
+def make_bloom_selector_fn(bloom_bytes: bytes, column: str = "hostname"):
+    """Bloom-selector FILTER (the reference's flow-extractor gate,
+    /root/reference/processing/flow_extractor.go:93-97: keep a record iff a
+    key field is in the filter) — a bloom-accelerated semi-join that passes
+    whole rows through.  Stateless tasks + per-process filter cache."""
+    import ray
+
+    blob_ref = ray.put(bloom_bytes)
+    cache_key = ("selector", blob_ref.hex(), column)
+
+    def select(batch: pa.Table) -> pa.Table:
+        bloom = _MATCHER_CACHE.get(cache_key)
+        if bloom is None:
+            from ..sketches.bloom import BloomFilter as _BF
+
+            bloom = _BF.from_bytes(ray.get(blob_ref))
+            _MATCHER_CACHE[cache_key] = bloom
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = bloom.check(pc.fill_null(col, ""))
+        return batch.filter(pa.array(mask))
+
+    return select
+
+
 def _arr(x) -> pa.Array:
     if isinstance(x, pa.ChunkedArray):
         x = x.combine_chunks()

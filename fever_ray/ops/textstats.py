@@ -124,16 +124,15 @@ class LangId:
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit content fingerprints: fnv-based content hash (exact-dup key)
-    and SimHash over the token multiset (near-dup key)."""
+    and SimHash over the token multiset (near-dup key) — both fully
+    vectorized across the batch."""
+    from ..sketches.minhash import batch_simhash
+
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     content_hash = hash64(text).astype(np.int64)
-    toks_per_doc = pc.split_pattern(pc.cast(text, pa.string()), " ").to_pylist()
-    sims = np.zeros(len(toks_per_doc), dtype=np.uint64)
-    for i, toks in enumerate(toks_per_doc):
-        if toks:
-            sims[i] = simhash(hash64(toks))
+    sims = batch_simhash(text)
     batch = batch.append_column("content_hash", pa.array(content_hash, type=pa.int64()))
-    batch = batch.append_column("simhash", pa.array(sims.astype(np.int64), type=pa.int64()))
+    batch = batch.append_column("simhash", pa.array(sims.view(np.int64), type=pa.int64()))
     return batch

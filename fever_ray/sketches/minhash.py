@@ -80,6 +80,100 @@ def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.u
     return out
 
 
+def _tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a batch of texts in C: returns (flat token hash
+    array, doc offsets into it)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array([t if t is not None else "" for t in texts], type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts.cast(pa.string()), "")
+    toks = pc.split_pattern(texts, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # a sliced/offset list array's offsets may not start at 0
+    offsets = offsets - offsets[0]
+    tok_h = hash64(flat)
+    return tok_h, offsets
+
+
+def _shingle_hash_flat(tok_h: np.ndarray, offsets: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of n-token shingles for every doc, flattened, plus per-doc
+    shingle offsets.  A shingle hash combines n consecutive token hashes
+    with a position-mixed fold (multiset semantics; min over a multiset
+    equals min over the set, so MinHash is unaffected by duplicates)."""
+    total = len(tok_h)
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(len(offsets), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        sh = tok_h.copy()
+        for j in range(1, n):
+            shifted = np.empty_like(tok_h)
+            shifted[: total - j] = tok_h[j:]
+            shifted[total - j :] = 0
+            sh = splitmix64(sh ^ (shifted * np.uint64(2 * j + 1)))
+    # valid shingle start positions per doc: doc_start .. doc_end - n
+    doc_lens = np.diff(offsets)
+    sh_lens = np.maximum(doc_lens - n + 1, 0)
+    sh_offsets = np.concatenate(([0], np.cumsum(sh_lens))).astype(np.int64)
+    # keep the first sh_lens[d] positions of each doc, fully vectorized
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], doc_lens)
+    keep = pos_in_doc < np.repeat(sh_lens, doc_lens)
+    return sh[keep], sh_offsets
+
+
+def batch_minhash_signatures(
+    texts, n: int = 3, num_perm: int = 64, seed: int = 1
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures for a whole batch, fully
+    vectorized: one C tokenize, one vectorized token-hash pass, n-1 folds
+    for shingles, then num_perm mix+segmented-min passes (reduceat).
+    Docs with no shingles get the empty signature (all max)."""
+    tok_h, offsets = _tokenize_batch(texts)
+    sh, sh_offsets = _shingle_hash_flat(tok_h, offsets, n)
+    n_docs = len(offsets) - 1
+    rng = np.random.default_rng(seed)
+    salts = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    starts = sh_offsets[:-1]
+    nonempty = np.diff(sh_offsets) > 0
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            mixed = splitmix64(sh ^ salts[p])
+            # reduceat quirk: empty segments return the element at the start
+            # index — mask them back to "empty" afterwards
+            mins = np.minimum.reduceat(mixed, np.minimum(starts, len(sh) - 1))
+            sig[nonempty, p] = mins[nonempty]
+    return sig
+
+
+def batch_simhash(texts) -> np.ndarray:
+    """(n_docs,) 64-bit SimHash fingerprints, vectorized: per-bit weighted
+    sums via segmented reduceat over the flat token-hash array."""
+    tok_h, offsets = _tokenize_batch(texts)
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(tok_h) == 0:
+        return out
+    starts = np.minimum(offsets[:-1], max(len(tok_h) - 1, 0))
+    doc_lens = np.diff(offsets)
+    nonempty = doc_lens > 0
+    for b in range(64):
+        bits = ((tok_h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bits, starts)
+        # score = ones - zeros = 2*ones - len; bit set iff score > 0
+        score = 2 * ones - doc_lens
+        out |= ((score > 0) & nonempty).astype(np.uint64) << np.uint64(b)
+    return out
+
+
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 fingerprints."""
     x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
