@@ -125,18 +125,16 @@ class MinHashSignatures:
 
 
 def minhash_candidate_pairs(ds, n_shingle=3, num_perm=64, bands=16, concurrency=None):
-    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets."""
-    band_rows = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={
-            "n_shingle": n_shingle,
-            "num_perm": num_perm,
-            "bands": bands,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency or (1, 4),
-        zero_copy_batch=True,
-    )
+    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets.
+
+    The signature stage is stateless (no loaded artifact), so it runs as
+    plain tasks — no actor-pool spin-up."""
+    signer = MinHashSignatures(n_shingle=n_shingle, num_perm=num_perm, bands=bands)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        return signer(batch)
+
+    band_rows = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids = sorted(group.column("doc_id").to_pylist())
@@ -252,12 +250,12 @@ class SimHashFingerprints:
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
     """Banded SimHash blocking + exact Hamming verification per bucket."""
-    rows = ds.map_batches(
-        SimHashFingerprints,
-        batch_format="pyarrow",
-        concurrency=concurrency or (1, 4),
-        zero_copy_batch=True,
-    )
+    fingerprinter = SimHashFingerprints()
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return fingerprinter(batch)
+
+    rows = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
     def verify(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_pylist()
