@@ -193,14 +193,26 @@ def write_pages(
     return paths
 
 
+GEN_VERSION = "g1"  # bump when generator output changes → caches regenerate
+
+
 def ensure_pages(
     out_dir: str, n_rows: int, n_files: int = 4, seed: int = 42, **kwargs
 ) -> str:
-    """Idempotent cached generation (used by tests/bench/entry)."""
+    """Idempotent cached generation (used by tests/bench/entry).
+
+    The marker records the generator version and parameters; a mismatch
+    (e.g. the generator changed between rounds) regenerates the corpus."""
     marker = os.path.join(out_dir, "_DONE")
+    stamp = f"version={GEN_VERSION} rows={n_rows} files={n_files} seed={seed}\n"
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out_dir
+        # stale cache from an older generator: rebuild
+        for f in os.listdir(out_dir):
+            os.remove(os.path.join(out_dir, f))
     write_pages(out_dir, n_rows, n_files=n_files, seed=seed, **kwargs)
     with open(marker, "w") as fh:
-        fh.write(f"rows={n_rows} files={n_files} seed={seed}\n")
+        fh.write(stamp)
     return out_dir
