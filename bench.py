@@ -152,6 +152,29 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # full MinHash-LSH near-dedup candidates over the 1M-page corpus
+    import numpy as np
+    from fever_ray.sketches.hashing import hash64
+
+    def _pages_docs():
+        import pyarrow as pa
+
+        return rd.read_parquet(PAGES_DIR + "/", columns=["url", "text"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), type=pa.int64()
+                    ),
+                    "text": b.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    timings["near_dedup_pages"] = _timed(
+        lambda: minhash_candidate_pairs(_pages_docs()).materialize()
+    )
+
     import numpy as np
     import pyarrow.parquet as pq
 

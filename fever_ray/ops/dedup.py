@@ -136,19 +136,54 @@ def minhash_candidate_pairs(ds, n_shingle=3, num_perm=64, bands=16, concurrency=
 
     band_rows = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+    # Pair generation: millions of tiny (band, band_hash) buckets would cost
+    # one Python map_groups call EACH — instead hash-partition buckets into
+    # ~n_parts coarse partitions (one Python call per partition), sort within
+    # the partition, and emit pairs per bucket-run vectorized.
+    n_parts = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        part = (bh.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("band", "ascending"), ("band_hash", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+            )
+        change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1
+        starts = np.concatenate(([0], change, [n]))
+        a_out, b_out = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            k = e - s
+            if k > 1:
+                iu, ju = np.triu_indices(k, k=1)
+                a_out.append(ids[s:e][iu])
+                b_out.append(ids[s:e][ju])
+        if not a_out:
+            return pa.table(
+                {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+            )
         return pa.table(
-            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+            {
+                "doc_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+            }
         )
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    pairs = (
+        band_rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
     )
     # dedup pairs produced by multiple bands
     from ray.data.aggregate import Count
@@ -257,33 +292,64 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
 
     rows = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        fps = (
-            group.column("simhash")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            .view(np.uint64)
+    # coarse partitions, one Python call each; verify per bucket-run inside
+    n_parts = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bk = batch.column("band_key").to_numpy(zero_copy_only=False)
+        part = (bk.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def verify_partition(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("band", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")],
         )
-        a, b, d = [], [], []
-        for i in range(len(ids)):
-            dist = hamming_distance(np.full(len(ids) - i - 1, fps[i]), fps[i + 1 :])
-            for off, dd in enumerate(dist):
-                if dd <= max_hamming:
-                    x, y = ids[i], ids[i + 1 + off]
-                    if x != y:
-                        a.append(min(x, y))
-                        b.append(max(x, y))
-                        d.append(int(dd))
+        g = group.take(order)
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        bk = g.column("band_key").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        fps = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        n = len(ids)
+        a_out, b_out, d_out = [], [], []
+        if n:
+            change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bk) != 0)) + 1
+            starts = np.concatenate(([0], change, [n]))
+            for s, e in zip(starts[:-1], starts[1:]):
+                k = e - s
+                if k <= 1:
+                    continue
+                iu, ju = np.triu_indices(k, k=1)
+                da = hamming_distance(fps[s:e][iu], fps[s:e][ju])
+                keep = (da <= max_hamming) & (ids[s:e][iu] != ids[s:e][ju])
+                if keep.any():
+                    xa, xb = ids[s:e][iu][keep], ids[s:e][ju][keep]
+                    a_out.append(np.minimum(xa, xb))
+                    b_out.append(np.maximum(xa, xb))
+                    d_out.append(da[keep])
+        if not a_out:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "doc_a": pa.array(a, type=pa.int64()),
-                "doc_b": pa.array(b, type=pa.int64()),
-                "hamming": pa.array(d, type=pa.int64()),
+                "doc_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+                "hamming": pa.array(np.concatenate(d_out).astype(np.int64), type=pa.int64()),
             }
         )
 
-    pairs = rows.groupby(["band", "band_key"]).map_groups(verify, batch_format="pyarrow")
+    pairs = (
+        rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify_partition, batch_format="pyarrow")
+    )
     from ray.data.aggregate import Min
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
