@@ -594,6 +594,16 @@ def oracle_sql() -> dict[str, str]:
         "grouped_sketch_per_lang": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
         ),
+        "multimodal_decode": (
+            # the decode STUB's metadata is a pure function of payload bytes:
+            # html = 28-byte prefix + text + 18-byte suffix (docpages.py), so
+            # width/height mirror in SQL — the plumbing is oracle-checked even
+            # though the codec itself is a documented stub
+            "SELECT doc_id, "
+            "CAST(16 + ((strlen(text) + 46) % 1024) AS INT) AS img_width, "
+            "CAST(16 + (((strlen(text) + 46) // 1024) % 1024) AS INT) AS img_height "
+            "FROM documents"
+        ),
         "tumbling_window": (
             "SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) "
             "AS window_start, event_type, COUNT(*) AS n, SUM(value) AS sum_value "
