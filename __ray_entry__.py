@@ -71,7 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from fever_ray.ops.extract import extract_text, hostname_of
     from fever_ray.ops.ioc import PageIocMatcher
-    from fever_ray.ops.knn import knn_bruteforce, knn_lsh
+    from fever_ray.ops.knn import knn_bruteforce, knn_ivf, knn_lsh
     from fever_ray.ops.multimodal import decode_images
     from fever_ray.ops.textstats import LangId, fingerprint, quality_score, token_stats
     from fever_ray.sketches.bloom import BloomFilter
@@ -236,6 +236,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_knn_lsh(sf):
         return knn_lsh(_t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf), k=5)
+
+    def q_knn_ivf(sf):
+        return knn_ivf(
+            _t(sf, "embeddings", ["vec_id", "embedding"]),
+            _queries_mat(sf),
+            k=5,
+            n_centroids=8,
+            nprobe=4,
+        )
 
     # ---- IoC / matching --------------------------------------------------
     def q_page_ioc_match(sf):
@@ -440,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "page_ioc_match": q_page_ioc_match,
         "alertify": q_alertify,
         "bloom_filter_pages": q_bloom_filter_pages,

@@ -81,6 +81,104 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id")
     )
 
 
+def train_ivf_centroids(
+    ds, n_centroids: int = 16, sample_rows: int = 2048, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: seeded mini k-means over a driver-side
+    sample (the sample is small by construction; training cost is O(sample ×
+    centroids), independent of corpus size)."""
+    sample = []
+    for batch in ds.iter_batches(batch_size=sample_rows, batch_format="pyarrow"):
+        sample.append(_normalize(_embedding_matrix(batch)))
+        if sum(len(s) for s in sample) >= sample_rows:
+            break
+    x = np.vstack(sample)[:sample_rows]
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    seed: int = 5,
+):
+    """IVF ANN: vectors partition into Voronoi cells of a trained coarse
+    quantizer; each query scans only its ``nprobe`` nearest cells.
+
+    The centroid matrix is broadcast (ray.put); per batch the cell
+    assignment and the per-cell query scan are pure matmuls.  Returns the
+    brute-force output schema; recall < 1 by design (measured in tests)."""
+    import ray
+
+    cents = train_ivf_centroids(ds, n_centroids=n_centroids, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_cells = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    # cell → probing queries
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(q)):
+        for c in q_cells[qi]:
+            probe.setdefault(int(c), []).append(qi)
+    ctx = ray.put({"q": q, "cents": cents, "probe": probe})
+
+    def local(batch: pa.Table) -> pa.Table:
+        c = ray.get(ctx)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_embedding_matrix(batch))
+        cells = np.argmax(mat @ c["cents"].T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for cell in np.unique(cells):
+            qids = c["probe"].get(int(cell))
+            if not qids:
+                continue
+            mask = cells == cell
+            sub, sub_ids = mat[mask], ids[mask]
+            sims = c["q"][qids] @ sub.T
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            for row, qi in enumerate(qids):
+                out_q.extend([qi] * kk)
+                out_id.extend(sub_ids[idx[row]].tolist())
+                out_s.extend(sims[row, idx[row]].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = (
+            pa.TableGroupBy(group, ["query_id", "vec_id"]).aggregate([("cosine", "max")])
+        ).rename_columns(["query_id", "vec_id", "cosine"])
+        order = pc.sort_indices(
+            group, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(order[:k])
+
+    return (
+        candidates.groupby("query_id")
+        .map_groups(global_topk, batch_format="pyarrow")
+        .sort(["query_id", "cosine"], descending=[False, True])
+    )
+
+
 def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (mat @ planes) > 0
     sig = np.zeros(len(mat), dtype=np.int64)

@@ -140,3 +140,26 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session, sf_dir):
         l = {r["vec_id"] for r in lsh if r["query_id"] == qi}
         recalls.append(len(b & l) / len(b))
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fever_ray.ops.knn import knn_ivf
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.vstack([np.asarray(v) for v in t.column("embedding").to_pylist()])
+    queries = mat[:5]
+    bf = knn_bruteforce(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=5).take_all()
+    ivf = knn_ivf(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=5,
+        n_centroids=8, nprobe=4,
+    ).take_all()
+    recalls = []
+    for qi in range(5):
+        b = {r["vec_id"] for r in bf if r["query_id"] == qi}
+        v = {r["vec_id"] for r in ivf if r["query_id"] == qi}
+        recalls.append(len(b & v) / len(b))
+    # probing half the cells should recover most true neighbors
+    assert np.mean(recalls) >= 0.6, recalls
