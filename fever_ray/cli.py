@@ -122,7 +122,14 @@ def cmd_bloom(args) -> int:
 def cmd_gen(args) -> int:
     from .gen.pages import write_pages
 
-    write_pages(args.out, args.rows, n_files=args.files, seed=args.seed)
+    kwargs = {}
+    if args.ioc_hosts:
+        kwargs["ioc_hosts"] = tuple(args.ioc_hosts.split(","))
+    if args.ioc_paths:
+        kwargs["ioc_paths"] = tuple(args.ioc_paths.split(","))
+    if args.ioc_frac is not None:
+        kwargs["ioc_frac"] = args.ioc_frac
+    write_pages(args.out, args.rows, n_files=args.files, seed=args.seed, **kwargs)
     print(f"wrote {args.rows} rows in {args.files} files under {args.out}")
     return 0
 
@@ -169,6 +176,9 @@ def main(argv=None) -> int:
     pg.add_argument("--rows", type=int, default=10000)
     pg.add_argument("--files", type=int, default=4)
     pg.add_argument("--seed", type=int, default=42)
+    pg.add_argument("--ioc-hosts", dest="ioc_hosts", help="comma-separated hostnames to plant")
+    pg.add_argument("--ioc-paths", dest="ioc_paths", help="comma-separated url paths to plant")
+    pg.add_argument("--ioc-frac", dest="ioc_frac", type=float, help="fraction of pages carrying a planted IoC")
     pg.set_defaults(fn=cmd_gen)
 
     args = p.parse_args(argv)
@@ -177,7 +187,14 @@ def main(argv=None) -> int:
         k = k.replace("-", "_")
         if getattr(args, k, None) in (None, "", False):
             setattr(args, k, v)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: input not found: {e}", file=sys.stderr)
+        return 2
+    except (ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":
