@@ -389,6 +389,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "events", ["ts", "event_type", "value"]), size_s=3600
         )
 
+    def q_hopping_window(sf):
+        from fever_ray.ops.windows import hopping_window
+
+        return hopping_window(
+            _t(sf, "events", ["ts", "event_type", "value"]), size_s=3600, step_s=900
+        )
+
     def q_sessionize(sf):
         from fever_ray.ops.windows import sessionize
 
@@ -461,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "multimodal_decode": q_multimodal_decode,
         "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
     }
@@ -618,6 +626,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) "
             "AS window_start, event_type, COUNT(*) AS n, SUM(value) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "hopping_window": (
+            # each event joins the size/step hop offsets of its containing hops
+            "SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 * 1000000 AS BIGINT) "
+            "  - k.k * 900 * 1000000) AS window_start, "
+            "event_type, COUNT(*) AS n, SUM(value) AS sum_value "
+            "FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k) k "
+            "GROUP BY 1, 2"
         ),
         "sessionize": (
             "WITH o AS (SELECT user_id, ts, "

@@ -59,6 +59,46 @@ def tumbling_window(events_ds, ts_col: str = "ts", key: str | None = "event_type
     )
 
 
+def hopping_window(events_ds, ts_col: str = "ts", key: str | None = "event_type",
+                   size_s: int = 3600, step_s: int = 900, value_col: str = "value",
+                   strategy: str = "tree"):
+    """Hopping (sliding) windows: window starts at every multiple of
+    ``step_s``; an event at t belongs to each window with start in
+    (t - size_s, t].  Each row fans out to size/step window replicas
+    (vectorized np.repeat), then the usual partial+combine.
+    """
+    assert size_s % step_s == 0, "step must divide size"
+    n_hops = size_s // step_s
+    keys = ["window_start"] + ([key] if key else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        step_us = step_s * 1_000_000
+        base = (epoch // step_us) * step_us  # latest window start containing t
+        n = len(epoch)
+        # fan out: window_start = base - k*step for k in 0..n_hops-1
+        ks = np.tile(np.arange(n_hops, dtype=np.int64) * step_us, n)
+        starts = np.repeat(base, n_hops) - ks
+        rep_idx = np.repeat(np.arange(n, dtype=np.int64), n_hops)
+        rep = batch.take(pa.array(rep_idx))
+        rep = rep.append_column(
+            "window_start", pa.array(starts, type=pa.int64()).cast(pa.timestamp("us"))
+        )
+        t = pa.TableGroupBy(rep.select(keys + [value_col]), keys).aggregate(
+            [(value_col, "count"), (value_col, "sum")]
+        )
+        return t.rename_columns(keys + ["n", "sum_value"])
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if strategy == "tree":
+        return tree_groupby(partials, keys, [("n", "sum"), ("sum_value", "sum")])
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(keys).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+
 def sessionize(events_ds, key: str = "user_id", ts_col: str = "ts",
                gap_s: int = 1800):
     """Gap-based session windows per key.
