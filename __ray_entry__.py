@@ -368,6 +368,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows.append({"sketch": "td_value_p50", "estimate": float(sk["td_value"].quantile(0.5))})
         return pa.Table.from_pylist(rows)
 
+    def q_user_overlap_exact(sf):
+        """Exact |purchasers ∩ error-users| (the set-algebra oracle the theta
+        sketch approximates): batch-level distinct pairs → tree combine →
+        single-batch set intersection."""
+        import fever_ray.ops.aggregates as agg_mod
+
+        pairs = _t(sf, "events", ["event_type", "user_id"]).map_batches(
+            lambda b: agg_mod._distinct(b, ["event_type", "user_id"]),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda b: agg_mod._distinct(b, ["event_type", "user_id"]),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+
+        def final(batch: pa.Table) -> pa.Table:
+            d = agg_mod._distinct(batch, ["event_type", "user_id"])
+            et = np.array(d.column("event_type").to_pylist())
+            uid = np.array(d.column("user_id").to_pylist())
+            buyers = set(uid[et == "purchase"].tolist())
+            errers = set(uid[et == "error"].tolist())
+            return pa.table(
+                {
+                    "n_purchasers": pa.array([len(buyers)], type=pa.int64()),
+                    "n_error_users": pa.array([len(errers)], type=pa.int64()),
+                    "n_both": pa.array([len(buyers & errers)], type=pa.int64()),
+                }
+            )
+
+        return pairs.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+    def q_theta_set_algebra(sf):
+        """Theta-sketch estimates of the same set algebra (approximate; no
+        SQL oracle — bounds asserted in pytest)."""
+        from fever_ray.sketches.theta import ThetaSketch
+
+        ds = _t(sf, "events", ["event_type", "user_id"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            out_rows = []
+            for et in ("purchase", "error"):
+                sub = batch.filter(pc.equal(batch.column("event_type"), et))
+                sk = ThetaSketch.create(k=4096)
+                sk.update_ints(sub.column("user_id").to_numpy(zero_copy_only=False))
+                out_rows.append({"set_name": et, "payload": sk.to_bytes()})
+            return pa.Table.from_pylist(out_rows)
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        acc = {}
+        for r in rows:
+            sk = ThetaSketch.from_bytes(r["payload"])
+            if r["set_name"] in acc:
+                acc[r["set_name"]].merge(sk)
+            else:
+                acc[r["set_name"]] = sk
+        a, b = acc["purchase"], acc["error"]
+        return pa.table(
+            {
+                "n_purchasers": pa.array([a.estimate()], type=pa.float64()),
+                "n_error_users": pa.array([b.estimate()], type=pa.float64()),
+                "n_both": pa.array([a.intersection_estimate(b)], type=pa.float64()),
+            }
+        )
+
     def q_grouped_sketch_per_lang(sf):
         spec = SketchSpec("hll_texts", "hll", "text", {"p": 14})
         out = grouped_estimates(
@@ -465,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hostname_counts": q_hostname_counts,
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
+        "user_overlap_exact": q_user_overlap_exact,
+        "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "multimodal_decode": q_multimodal_decode,
         "tumbling_window": q_tumbling_window,
@@ -611,6 +677,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_sketch_per_lang": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "user_overlap_exact": (
+            "SELECT "
+            "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS n_purchasers, "
+            "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'error') AS n_error_users, "
+            "(SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'purchase' "
+            " INTERSECT SELECT user_id FROM events WHERE event_type = 'error')) AS n_both"
         ),
         "multimodal_decode": (
             # the decode STUB's metadata is a pure function of payload bytes:

@@ -36,6 +36,7 @@ from ..sketches.cms import CountMin
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLL
 from ..sketches.tdigest import TDigest
+from ..sketches.theta import ThetaSketch
 
 PARTIAL_SCHEMA = pa.schema(
     [
@@ -71,6 +72,8 @@ class SketchSpec:
             )
         return cls.create(**self.params)
 
+    # theta sketches join the generic update path below
+
 
 def _column_values(batch: pa.Table, spec: SketchSpec):
     col = batch.column(spec.column)
@@ -95,6 +98,11 @@ def _update(sketch, spec: SketchSpec, values) -> None:
         sketch.update(values)
     elif spec.kind == "bloom":
         sketch.add(values)
+    elif spec.kind == "theta":
+        if spec.value_kind == "int":
+            sketch.update_ints(values)
+        else:
+            sketch.update(values)
     else:
         raise ValueError(spec.kind)
 

@@ -20,6 +20,7 @@ from .cms import CountMin
 from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
+from .theta import ThetaSketch
 from . import hashing, minhash
 
 SKETCH_TYPES = {
@@ -28,6 +29,7 @@ SKETCH_TYPES = {
     "tdigest": TDigest,
     "kll": KLL,
     "bloom": BloomFilter,
+    "theta": ThetaSketch,
 }
 
 
@@ -44,6 +46,7 @@ __all__ = [
     "HyperLogLog",
     "KLL",
     "TDigest",
+    "ThetaSketch",
     "SKETCH_TYPES",
     "sketch_from_bytes",
     "hashing",
