@@ -278,4 +278,6 @@ def finalize(sketch, spec: SketchSpec, quantiles=(0.01, 0.25, 0.5, 0.75, 0.99)) 
         return {"quantiles": {str(q): float(sketch.quantile(q)) for q in quantiles}}
     if spec.kind == "bloom":
         return {"N": sketch.N, "fill_ratio": sketch.fill_ratio}
+    if spec.kind == "theta":
+        return {"estimate": sketch.estimate(), "rse": sketch.relative_error}
     raise ValueError(spec.kind)

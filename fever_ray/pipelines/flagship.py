@@ -43,6 +43,7 @@ STANDARD_SPECS = [
     # hostname-scale filters should be built per-partition (checkpoint path)
     # or via the groupby strategy, not per 16k-row batch
     SketchSpec("bloom_hostnames", "bloom", "hostname", {"n": 200_000, "p": 1e-6}),
+    SketchSpec("theta_urls", "theta", "url", {"k": 4096}),
 ]
 
 
@@ -141,7 +142,7 @@ def run_flagship(
         d = finalize(sk, spec)
         names.append(spec.name)
         kinds.append(spec.kind)
-        if spec.kind == "hll":
+        if spec.kind in ("hll", "theta"):
             ests.append(float(d["estimate"]))
         elif spec.kind == "cms":
             ests.append(float(d["total"]))
