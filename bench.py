@@ -221,6 +221,9 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("SCALE_HI", "16"))
     os.environ["BENCH_REPEATS"] = "3"
     os.environ["BENCH_ONLY_HEADLINE"] = "1"
+    # longer runs damp shared-box noise: scale the corpus up for the
+    # efficiency measurement (regenerated once, then cached)
+    os.environ["BENCH_PAGES_ROWS"] = os.environ.get("SCALE_ROWS", "3000000")
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
