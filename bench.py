@@ -6,8 +6,9 @@ cached synthetic page corpus (BASELINE.json input shape), plus per-pipeline
 timings over $GRAFT_SF_DIR tables.
 
     python bench.py             # one JSON line on stdout
-    python bench.py --scaling   # same pipeline at num_cpus=8 and 32 in
+    python bench.py --scaling   # same pipeline at two parallelism levels in
                                 # fresh processes; reports scaling efficiency
+    python bench.py --stats     # per-operator ds.stats() for the headline
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
 BENCH_PAGES_ROWS (default 1000000).
@@ -241,9 +242,43 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the flagship pipeline's per-operator ds.stats() breakdown
+    (the evidence behind the tuning decisions in DESIGN.md §7)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from fever_ray.core.udaf import make_merge_fn, make_partials_fn
+    from fever_ray.pipelines.flagship import STANDARD_SPECS, make_derive_fn, pages_dataset
+
+    _ensure_pages()
+    rd.read_parquet(PAGES_DIR + "/").count()
+    derive = make_derive_fn(True)
+    ds = pages_dataset(PAGES_DIR, columns=["url", "warc_ts", "html", "lang"],
+                       override_num_blocks=64).map_batches(
+        derive, batch_format="pyarrow", batch_size=8192)
+    pp = ds.map_batches(make_partials_fn(STANDARD_SPECS), batch_format="pyarrow",
+                        batch_size=8192)
+    f = pp.map_batches(make_merge_fn(STANDARD_SPECS), batch_format="pyarrow",
+                       batch_size=64 * len(STANDARD_SPECS))
+    f.take_all()
+    print(f.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
+    elif "--stats" in sys.argv:
+        run_stats()
+        sys.exit(0)
     else:
         result = run_bench()
         import ray
