@@ -91,12 +91,19 @@ class CountMin:
             for kk in _unique_list(values):
                 self.candidates[kk if isinstance(kk, (str, bytes)) else str(kk)] = None
 
-    def update(self, values, counts=None, track: bool = False) -> None:
+    def update(self, values, counts=None, track: bool = False, conservative: bool = False) -> None:
         """Add a batch of keys with optional per-key counts.
 
         ``track=True`` also records the (unique) keys of this batch in the
         exact candidate dict for later top-k recovery.
-        """
+
+        ``conservative=True`` applies conservative update (Estan & Varghese,
+        SIGCOMM 2002): each key's counters only rise to min-estimate+count,
+        which tightens the overcount on skewed streams.  Partials updated
+        conservatively still merge ADDITIVELY (each partial never
+        undercounts its share, so the sum never undercounts the total); the
+        merged bound sits between plain CMS and a fully sequential
+        conservative stream."""
         n = len(values)
         if n == 0:
             return
@@ -104,13 +111,34 @@ class CountMin:
             counts = np.ones(n, dtype=np.uint64)
         else:
             counts = np.asarray(counts, dtype=np.uint64)
-        cols = self._cols(values)
-        for d in range(self.depth):
-            np.add.at(self.table[d], cols[d], counts)
-        self.total += int(counts.sum())
+        if conservative:
+            self._update_conservative(values, counts)
+        else:
+            cols = self._cols(values)
+            for d in range(self.depth):
+                np.add.at(self.table[d], cols[d], counts)
+            self.total += int(counts.sum())
         if track:
             for v in _unique_list(values):
                 self.candidates[v if isinstance(v, (str, bytes)) else str(v)] = None
+
+    def _update_conservative(self, values, counts: np.ndarray) -> None:
+        # aggregate duplicate keys first so each unique key is applied once
+        if hasattr(values, "to_pylist"):
+            arr = np.array(values.to_pylist(), dtype=object)
+        else:
+            arr = np.asarray(values, dtype=object)
+        uniq, inverse = np.unique(arr.astype(str), return_inverse=True)
+        agg = np.zeros(len(uniq), dtype=np.uint64)
+        np.add.at(agg, inverse, counts)
+        cols = self._cols(list(uniq))
+        est = self.table[0][cols[0]].copy()
+        for d in range(1, self.depth):
+            np.minimum(est, self.table[d][cols[d]], out=est)
+        target = est + agg
+        for d in range(self.depth):
+            np.maximum.at(self.table[d], cols[d], target)
+        self.total += int(counts.sum())
 
     def query(self, values) -> np.ndarray:
         """Point estimates (min over depth rows) → uint64 ndarray."""

@@ -27,6 +27,7 @@ import numpy as np
 from .hashing import hash64, hash64_ints
 
 _MAGIC = b"FRHL"
+_MAGIC_SPARSE = b"FRHS"
 
 
 def _alpha(m: int) -> float:
@@ -41,18 +42,72 @@ def _alpha(m: int) -> float:
 
 @dataclass
 class HyperLogLog:
+    """Dense by default; ``create(p, sparse=True)`` starts in sparse mode —
+    (idx, rho) pairs instead of the 2^p register array — and auto-promotes
+    to dense past m/4 distinct registers.  Sparse mode is what makes
+    per-key grouped HLLs affordable at 10^12 group keys: a low-cardinality
+    key's partial is tens of bytes, not 2^p.
+
+    Dense materialization of a sparse sketch is bit-identical to the sketch
+    having been dense all along (max per register), so merge invariants and
+    estimates are unchanged (tested)."""
+
     p: int
-    registers: np.ndarray  # uint8, len m = 2^p
+    registers: np.ndarray | None  # uint8, len m = 2^p (None while sparse)
+    sparse_idx: np.ndarray | None = None  # sorted unique int32 register ids
+    sparse_rho: np.ndarray | None = None  # uint8 max-rho per id
 
     @classmethod
-    def create(cls, p: int = 14) -> "HyperLogLog":
+    def create(cls, p: int = 14, sparse: bool = False) -> "HyperLogLog":
         if not (4 <= p <= 18):
             raise ValueError("p must be in [4, 18]")
+        if sparse:
+            return cls(
+                p=p,
+                registers=None,
+                sparse_idx=np.zeros(0, dtype=np.int32),
+                sparse_rho=np.zeros(0, dtype=np.uint8),
+            )
         return cls(p=p, registers=np.zeros(1 << p, dtype=np.uint8))
 
     @property
     def m(self) -> int:
         return 1 << self.p
+
+    @property
+    def is_sparse(self) -> bool:
+        return self.registers is None
+
+    def _densify(self) -> None:
+        if self.registers is None:
+            regs = np.zeros(self.m, dtype=np.uint8)
+            if len(self.sparse_idx):
+                regs[self.sparse_idx] = self.sparse_rho
+            self.registers = regs
+            self.sparse_idx = None
+            self.sparse_rho = None
+
+    def dense_registers(self) -> np.ndarray:
+        """The dense register view (materializes without changing mode)."""
+        if self.registers is not None:
+            return self.registers
+        regs = np.zeros(self.m, dtype=np.uint8)
+        if len(self.sparse_idx):
+            regs[self.sparse_idx] = self.sparse_rho
+        return regs
+
+    def _sparse_absorb(self, idx: np.ndarray, rho: np.ndarray) -> None:
+        """Merge (idx, rho) observations into sparse state (max per id),
+        promoting to dense past m/4 distinct registers."""
+        all_idx = np.concatenate([self.sparse_idx, idx.astype(np.int32)])
+        all_rho = np.concatenate([self.sparse_rho, rho.astype(np.uint8)])
+        order = np.lexsort((-all_rho.astype(np.int64), all_idx))
+        all_idx, all_rho = all_idx[order], all_rho[order]
+        first = np.concatenate(([True], np.diff(all_idx) != 0))
+        self.sparse_idx = all_idx[first]
+        self.sparse_rho = all_rho[first]  # max rho = first in (-rho) order
+        if len(self.sparse_idx) > self.m // 4:
+            self._densify()
 
     def _update_hashes(self, h: np.ndarray) -> None:
         p64 = np.uint64(self.p)
@@ -76,7 +131,10 @@ class HyperLogLog:
             lz_nz = np.uint64(63) - top
             lz[nz] = np.minimum(lz_nz, np.uint64(64 - self.p))
         rho = (lz + np.uint64(1)).astype(np.uint8)
-        np.maximum.at(self.registers, idx, rho)
+        if self.registers is None:
+            self._sparse_absorb(idx, rho)
+        else:
+            np.maximum.at(self.registers, idx, rho)
 
     def update(self, values) -> None:
         """Add a batch of byte strings (list / ndarray / pyarrow array)."""
@@ -98,15 +156,24 @@ class HyperLogLog:
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if self.p != other.p:
             raise ValueError("cannot merge HLLs with different precision")
-        np.maximum(self.registers, other.registers, out=self.registers)
+        if self.is_sparse and other.is_sparse:
+            self._sparse_absorb(other.sparse_idx, other.sparse_rho)
+        elif self.is_sparse:
+            self._densify()
+            np.maximum(self.registers, other.registers, out=self.registers)
+        elif other.is_sparse:
+            if len(other.sparse_idx):
+                np.maximum.at(self.registers, other.sparse_idx, other.sparse_rho)
+        else:
+            np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
     def estimate(self) -> float:
         m = self.m
-        regs = self.registers.astype(np.float64)
+        regs = self.dense_registers().astype(np.float64)
         e = _alpha(m) * m * m / np.sum(np.exp2(-regs))
         if e <= 2.5 * m:
-            zeros = int(np.count_nonzero(self.registers == 0))
+            zeros = int(np.count_nonzero(self.dense_registers() == 0))
             if zeros:
                 return m * math.log(m / zeros)
         return float(e)
@@ -117,10 +184,23 @@ class HyperLogLog:
 
     # -- serialization -----------------------------------------------------
     def to_bytes(self) -> bytes:
+        if self.is_sparse:
+            n = len(self.sparse_idx)
+            return (
+                _MAGIC_SPARSE
+                + struct.pack("<BI", self.p, n)
+                + self.sparse_idx.astype("<i4").tobytes()
+                + self.sparse_rho.tobytes()
+            )
         return _MAGIC + struct.pack("<B", self.p) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "HyperLogLog":
+        if blob[:4] == _MAGIC_SPARSE:
+            p, n = struct.unpack("<BI", blob[4:9])
+            idx = np.frombuffer(blob[9 : 9 + 4 * n], dtype="<i4").astype(np.int32)
+            rho = np.frombuffer(blob[9 + 4 * n : 9 + 5 * n], dtype=np.uint8).copy()
+            return cls(p=p, registers=None, sparse_idx=idx, sparse_rho=rho)
         if blob[:4] != _MAGIC:
             raise ValueError("not an HLL blob")
         p = struct.unpack("<B", blob[4:5])[0]

@@ -211,3 +211,38 @@ def test_kll_nan_skipped_and_roundtrip():
     assert k.n == 2
     back = KLL.from_bytes(k.to_bytes())
     assert back.n == 2 and back.quantile(1.0) == 3.0
+
+
+def test_cms_conservative_update_tightens_overcount():
+    rng = np.random.default_rng(9)
+    zipf = rng.zipf(1.2, size=30000)
+    keys = [f"h{z}" for z in zipf]
+    plain = CountMin.create(width=256, depth=4)
+    cons = CountMin.create(width=256, depth=4)
+    for chunk in np.array_split(np.array(keys, dtype=object), 10):
+        plain.update(list(chunk))
+        cons.update(list(chunk), conservative=True)
+    uniq, exact = np.unique(keys, return_counts=True)
+    e_plain = plain.query(list(uniq)).astype(np.int64)
+    e_cons = cons.query(list(uniq)).astype(np.int64)
+    # both never undercount; conservative strictly tightens total overcount
+    assert (e_plain >= exact).all()
+    assert (e_cons >= exact).all()
+    over_plain = int((e_plain - exact).sum())
+    over_cons = int((e_cons - exact).sum())
+    assert over_cons < over_plain, (over_cons, over_plain)
+    assert cons.total == plain.total == len(keys)
+
+
+def test_cms_conservative_partials_merge_additively_and_never_undercount():
+    rng = np.random.default_rng(4)
+    keys = [f"k{v}" for v in rng.integers(0, 50, 20000)]
+    merged = CountMin.create(width=128, depth=4)
+    for chunk in np.array_split(np.array(keys, dtype=object), 6):
+        part = CountMin.create(width=128, depth=4)
+        part.update(list(chunk), conservative=True)
+        merged.merge(part)
+    uniq, exact = np.unique(keys, return_counts=True)
+    est = merged.query(list(uniq)).astype(np.int64)
+    assert (est >= exact).all()
+    assert merged.total == len(keys)
