@@ -486,6 +486,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left, right, key="user_id", ts_col="ts", right_cols=["user_id", "ts", "ts_copy"]
         )
 
+    def q_grouped_sketch_per_host(sf):
+        """Per-hostname grouped HLL in SPARSE mode (the 10^12-group-key
+        memory path): low-cardinality keys cost tens of bytes per partial."""
+        from fever_ray.ops.extract import hostname_of as _hof
+
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+        with_host = pages.map_batches(
+            lambda b: b.append_column("hostname", _hof(b.column("url"))),
+            batch_format="pyarrow",
+        )
+        spec = SketchSpec("hll_per_host", "hll", "url", {"p": 12, "sparse": True})
+        out = grouped_estimates(with_host, "hostname", spec, batch_size=4096)
+        return pa.table({"hostname": out.column("key"), "n_docs": out.column("rows")})
+
     def q_multimodal_decode(sf):
         pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
         out = decode_images(pages.map_batches(
@@ -532,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_exact": q_user_overlap_exact,
         "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
+        "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
@@ -677,6 +692,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_sketch_per_lang": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "grouped_sketch_per_host": (
+            "SELECT source || '.example.com' AS hostname, COUNT(*) AS n_docs "
+            "FROM documents GROUP BY source"
         ),
         "user_overlap_exact": (
             "SELECT "
