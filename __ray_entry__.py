@@ -560,15 +560,19 @@ def oracle_sql() -> dict[str, str]:
     url_expr = "'https://' || source || '.example.com/doc/' || doc_id || '.html'"
     return {
         "event_profiler": (
-            "SELECT event_type, COUNT(*) AS n_events, SUM(strlen(props)) AS sum_bytes "
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(strlen(props)) AS BIGINT) AS sum_bytes "
             "FROM events GROUP BY event_type"
         ),
         "flow_aggregator": (
-            "SELECT user_id, event_type, SUM(value) AS sum_value, COUNT(*) AS n, "
+            "SELECT user_id, event_type, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value, "
+            "COUNT(*) AS n, "
             "MIN(ts) AS first_ts FROM events GROUP BY user_id, event_type"
         ),
         "unicorn_flow_report": (
-            "SELECT user_id, COUNT(*) AS n_flows, SUM(value) AS total_value "
+            "SELECT user_id, COUNT(*) AS n_flows, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value "
             "FROM events WHERE event_type = 'purchase' AND value > 0 GROUP BY user_id"
         ),
         "dns_aggregator": (
@@ -589,19 +593,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'heartbeat' AS event_type FROM range(24)) GROUP BY event_type"
         ),
         "flow_profiler": (
-            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
         ),
         "pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
-            "SUM(l_extendedprice) AS sum_base_price, "
-            "SUM(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price, "
+            # money sums in integer cents (prices 2-dp, disc_price 4-dp) so the
+            # distributed partial-sum order can't move the last ulp; one final
+            # division by a power of ten is bit-deterministic on both engines
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+            "  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price, "
             "COUNT(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
             "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
         ),
         "segment_revenue": (
-            "SELECT c_mktsegment, SUM(o_totalprice) AS revenue, COUNT(*) AS n_orders "
+            "SELECT c_mktsegment, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue, "
+            "COUNT(*) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
@@ -716,14 +728,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tumbling_window": (
             "SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) "
-            "AS window_start, event_type, COUNT(*) AS n, SUM(value) AS sum_value "
+            "AS window_start, event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
         "hopping_window": (
             # each event joins the size/step hop offsets of its containing hops
             "SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 * 1000000 AS BIGINT) "
             "  - k.k * 900 * 1000000) AS window_start, "
-            "event_type, COUNT(*) AS n, SUM(value) AS sum_value "
+            "event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value "
             "FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k) k "
             "GROUP BY 1, 2"
         ),
@@ -732,8 +746,8 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
             "  THEN 1 ELSE 0 END AS brk "
             "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-            "s AS (SELECT user_id, ts, SUM(brk) OVER "
-            "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_id "
+            "s AS (SELECT user_id, ts, CAST(SUM(brk) OVER "
+            "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id "
             "  FROM o) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, COUNT(*) AS n_events FROM s GROUP BY 1, 2"

@@ -16,6 +16,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _cents(col) -> pa.ChunkedArray:
+    """Exact integer cents from a 2-dp float column: makes distributed sums
+    order-independent (float partial-sum order moves the last ulp, which a
+    value-hash correctness gate catches)."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def _uncents(col) -> pa.ChunkedArray:
+    return pc.divide(pc.cast(col, pa.float64()), 100.0)
+
+
 def _distinct(batch: pa.Table, keys: list[str]) -> pa.Table:
     """Within-batch exact distinct of key tuples (vectorized C++ hash agg).
     NB: pyarrow's aggregate([]) is a no-op, so count_all anchors the group."""
@@ -84,26 +95,40 @@ def flow_aggregator(events_ds, strategy: str = "tree"):
     sums + first-seen timestamp.  Key here: (user_id, event_type)."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("val_c", _cents(batch.column("value")))
         t = pa.TableGroupBy(
-            batch.select(["user_id", "event_type", "value", "ts"]),
+            batch.select(["user_id", "event_type", "val_c", "ts"]),
             ["user_id", "event_type"],
-        ).aggregate([("value", "sum"), ("value", "count"), ("ts", "min")])
-        return t.rename_columns(["user_id", "event_type", "sum_value", "n", "first_ts"])
+        ).aggregate([("val_c", "sum"), ("val_c", "count"), ("ts", "min")])
+        return t.rename_columns(["user_id", "event_type", "val_c", "n", "first_ts"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "sum_value": _uncents(batch.column("val_c")),
+                "n": batch.column("n"),
+                "first_ts": batch.column("first_ts"),
+            }
+        )
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if strategy == "tree":
-        return tree_groupby(
+        out = tree_groupby(
             partials,
             ["user_id", "event_type"],
-            [("sum_value", "sum"), ("n", "sum"), ("first_ts", "min")],
+            [("val_c", "sum"), ("n", "sum"), ("first_ts", "min")],
         )
-    from ray.data.aggregate import Min, Sum
+    else:
+        from ray.data.aggregate import Min, Sum
 
-    return partials.groupby(["user_id", "event_type"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"),
-        Sum("n", alias_name="n"),
-        Min("first_ts", alias_name="first_ts"),
-    )
+        out = partials.groupby(["user_id", "event_type"]).aggregate(
+            Sum("val_c", alias_name="val_c"),
+            Sum("n", alias_name="n"),
+            Min("first_ts", alias_name="first_ts"),
+        )
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def unicorn_flow_report(events_ds, event_type: str = "purchase", strategy: str = "tree"):
@@ -119,23 +144,35 @@ def unicorn_flow_report(events_ds, event_type: str = "purchase", strategy: str =
         return batch.filter(mask)
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = pa.TableGroupBy(batch.select(["user_id", "value"]), ["user_id"]).aggregate(
-            [("value", "count"), ("value", "sum")]
+        batch = batch.append_column("val_c", _cents(batch.column("value")))
+        t = pa.TableGroupBy(batch.select(["user_id", "val_c"]), ["user_id"]).aggregate(
+            [("val_c", "count"), ("val_c", "sum")]
         )
-        return t.rename_columns(["user_id", "n_flows", "total_value"])
+        return t.rename_columns(["user_id", "n_flows", "val_c"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_flows": batch.column("n_flows"),
+                "total_value": _uncents(batch.column("val_c")),
+            }
+        )
 
     partials = events_ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         partial, batch_format="pyarrow"
     )
     if strategy == "tree":
-        return tree_groupby(
-            partials, ["user_id"], [("n_flows", "sum"), ("total_value", "sum")]
+        out = tree_groupby(
+            partials, ["user_id"], [("n_flows", "sum"), ("val_c", "sum")]
         )
-    from ray.data.aggregate import Sum
+    else:
+        from ray.data.aggregate import Sum
 
-    return partials.groupby("user_id").aggregate(
-        Sum("n_flows", alias_name="n_flows"), Sum("total_value", alias_name="total_value")
-    )
+        out = partials.groupby("user_id").aggregate(
+            Sum("n_flows", alias_name="n_flows"), Sum("val_c", alias_name="val_c")
+        )
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def dns_aggregator(events_ds, strategy: str = "tree"):

@@ -14,44 +14,78 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Exact integer cents from a 2-dp decimal stored as float64.  x*100 is
+    within an ulp of an integer for 2-dp money values, so the rounding mode
+    can never flip a .5 — both engines land on the same integer."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
 def pricing_summary(lineitem_ds, cutoff: str = "1998-09-01"):
-    """TPC-H Q1 shape: filter by ship date, grouped sums/counts/means."""
+    """TPC-H Q1 shape: filter by ship date, grouped sums/counts/means.
+
+    Money sums run in integer cents (disc_price in 10^-4 units: cents ×
+    integer discount percent) so partial-sum order is irrelevant — float
+    accumulation order differs across engines/partitionings and moves the
+    last ulp, which a value-hash gate catches.  One final division by a
+    power of ten converts back to float64 bit-deterministically.
+    """
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
             pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff).cast(pa.timestamp("us")))
         )
-        disc_price = pc.multiply(
-            batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
-        )
-        batch = batch.append_column("disc_price", disc_price)
+        qty_c = _cents(batch.column("l_quantity"))
+        price_c = _cents(batch.column("l_extendedprice"))
+        disc_pct = _cents(batch.column("l_discount"))  # 0..100 integer percent
+        disc_price_4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
         t = pa.TableGroupBy(
-            batch.select(
-                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+            pa.table(
+                {
+                    "l_returnflag": batch.column("l_returnflag"),
+                    "l_linestatus": batch.column("l_linestatus"),
+                    "qty_c": qty_c,
+                    "price_c": price_c,
+                    "disc4": disc_price_4,
+                }
             ),
             ["l_returnflag", "l_linestatus"],
         ).aggregate(
-            [
-                ("l_quantity", "sum"),
-                ("l_extendedprice", "sum"),
-                ("disc_price", "sum"),
-                ("l_quantity", "count"),
-            ]
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc4", "sum"), ("qty_c", "count")]
         )
         return t.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "n"]
+            ["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc4", "n"]
         )
 
     from ray.data.aggregate import Sum
 
     partials = lineitem_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("price_c", alias_name="price_c"),
+        Sum("disc4", alias_name="disc4"),
         Sum("n", alias_name="count_order"),
     )
-    return out.sort(["l_returnflag", "l_linestatus"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pc.divide(pc.cast(batch.column("qty_c"), pa.float64()), 100.0),
+                "sum_base_price": pc.divide(
+                    pc.cast(batch.column("price_c"), pa.float64()), 100.0
+                ),
+                "sum_disc_price": pc.divide(
+                    pc.cast(batch.column("disc4"), pa.float64()), 10000.0
+                ),
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
 
 
 def segment_revenue(orders_ds, customer_table: pa.Table):
@@ -60,37 +94,42 @@ def segment_revenue(orders_ds, customer_table: pa.Table):
     ray.put; each batch does a vectorized dictionary lookup — the broadcast
     semi-join pattern fever uses for its bloom/trie lookups (SURVEY §2.7),
     generalized to carry payload columns."""
-    import numpy as np
     import ray
 
-    cust = {
-        int(k): seg
-        for k, seg in zip(
-            customer_table.column("c_custkey").to_pylist(),
-            customer_table.column("c_mktsegment").to_pylist(),
-        )
-    }
-    cust_ref = ray.put(cust)
+    cust_ref = ray.put(
+        customer_table.select(["c_custkey", "c_mktsegment"]).combine_chunks()
+    )
 
     def join(batch: pa.Table) -> pa.Table:
         lookup = ray.get(cust_ref)
-        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        segs = [lookup.get(int(k)) for k in keys]
-        batch = batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
-        batch = batch.filter(pc.is_valid(batch.column("c_mktsegment")))
+        # vectorized C++ hash join against the broadcast small side (inner:
+        # orders without a customer drop out, matching the SQL inner join)
+        joined = batch.select(["o_custkey", "o_totalprice"]).join(
+            lookup, keys="o_custkey", right_keys="c_custkey", join_type="inner"
+        )
+        joined = joined.append_column("rev_c", _cents(joined.column("o_totalprice")))
         t = pa.TableGroupBy(
-            batch.select(["c_mktsegment", "o_totalprice"]), ["c_mktsegment"]
-        ).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
-        return t.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+            joined.select(["c_mktsegment", "rev_c"]), ["c_mktsegment"]
+        ).aggregate([("rev_c", "sum"), ("rev_c", "count")])
+        return t.rename_columns(["c_mktsegment", "rev_c", "n_orders"])
 
     from ray.data.aggregate import Sum
 
     partials = orders_ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
-    return (
-        partials.groupby("c_mktsegment")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
-        .sort("c_mktsegment")
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("rev_c", alias_name="rev_c"), Sum("n_orders", alias_name="n_orders")
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "revenue": pc.divide(pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("c_mktsegment")
 
 
 def top_k_orders(orders_ds, k: int = 10):

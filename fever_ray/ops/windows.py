@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .aggregates import tree_groupby
+from .aggregates import _cents, _uncents, tree_groupby
 
 
 def tumbling_window(events_ds, ts_col: str = "ts", key: str | None = "event_type",
@@ -44,19 +44,29 @@ def tumbling_window(events_ds, ts_col: str = "ts", key: str | None = "event_type
             pa.scalar(size_s * 1_000_000, type=pa.int64()),
         ).cast(pa.timestamp("us"))
         batch = batch.append_column("window_start", win)
-        t = pa.TableGroupBy(batch.select(keys + [value_col]), keys).aggregate(
-            [(value_col, "count"), (value_col, "sum")]
+        batch = batch.append_column("val_c", _cents(batch.column(value_col)))
+        t = pa.TableGroupBy(batch.select(keys + ["val_c"]), keys).aggregate(
+            [("val_c", "count"), ("val_c", "sum")]
         )
-        return t.rename_columns(keys + ["n", "sum_value"])
+        return t.rename_columns(keys + ["n", "val_c"])
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if strategy == "tree":
-        return tree_groupby(partials, keys, [("n", "sum"), ("sum_value", "sum")])
-    from ray.data.aggregate import Sum
+        out = tree_groupby(partials, keys, [("n", "sum"), ("val_c", "sum")])
+    else:
+        from ray.data.aggregate import Sum
 
-    return partials.groupby(keys).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
-    )
+        out = partials.groupby(keys).aggregate(
+            Sum("n", alias_name="n"), Sum("val_c", alias_name="val_c")
+        )
+    return out.map_batches(_finish_sum_value, batch_format="pyarrow")
+
+
+def _finish_sum_value(batch: pa.Table) -> pa.Table:
+    """Replace the integer-cents partial column with the float sum_value."""
+    cols = {n: batch.column(n) for n in batch.column_names if n != "val_c"}
+    cols["sum_value"] = _uncents(batch.column("val_c"))
+    return pa.table(cols)
 
 
 def hopping_window(events_ds, ts_col: str = "ts", key: str | None = "event_type",
@@ -84,19 +94,22 @@ def hopping_window(events_ds, ts_col: str = "ts", key: str | None = "event_type"
         rep = rep.append_column(
             "window_start", pa.array(starts, type=pa.int64()).cast(pa.timestamp("us"))
         )
-        t = pa.TableGroupBy(rep.select(keys + [value_col]), keys).aggregate(
-            [(value_col, "count"), (value_col, "sum")]
+        rep = rep.append_column("val_c", _cents(rep.column(value_col)))
+        t = pa.TableGroupBy(rep.select(keys + ["val_c"]), keys).aggregate(
+            [("val_c", "count"), ("val_c", "sum")]
         )
-        return t.rename_columns(keys + ["n", "sum_value"])
+        return t.rename_columns(keys + ["n", "val_c"])
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if strategy == "tree":
-        return tree_groupby(partials, keys, [("n", "sum"), ("sum_value", "sum")])
-    from ray.data.aggregate import Sum
+        out = tree_groupby(partials, keys, [("n", "sum"), ("val_c", "sum")])
+    else:
+        from ray.data.aggregate import Sum
 
-    return partials.groupby(keys).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
-    )
+        out = partials.groupby(keys).aggregate(
+            Sum("n", alias_name="n"), Sum("val_c", alias_name="val_c")
+        )
+    return out.map_batches(_finish_sum_value, batch_format="pyarrow")
 
 
 def sessionize(events_ds, key: str = "user_id", ts_col: str = "ts",
@@ -128,8 +141,14 @@ def sessionize(events_ds, key: str = "user_id", ts_col: str = "ts",
                 }
             )
         )
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        # pin us resolution: pandas to_datetime defaults to ns, and a value
+        # hash distinguishes datetime64[ns] from the oracle's datetime64[us]
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us").astype(
+            "datetime64[us]"
+        )
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us").astype(
+            "datetime64[us]"
+        )
         return out[[key, "session_id", "session_start", "session_end", "n_events"]]
 
     return events_ds.groupby(key).map_groups(per_key, batch_format="pandas")
@@ -211,9 +230,17 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
         batch_format="pyarrow",
     )
 
+    # the union pads each side's missing columns with nulls, which floats
+    # pandas int columns; restore the left schema's integer dtypes after the
+    # side filter (no nulls remain) so e.g. event_id stays int64
+    l_int_cols = [
+        f.name for f in lschema if pa.types.is_integer(f.type) and f.name != key
+    ]
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lt = g[g["__side"] == "l"][[c for c in g.columns if c in l_cols]]
         rt = g[g["__side"] == "r"][[key, ts_col] + [f"r_{c}" for c in r_value_cols]]
+        lt = lt.astype({c: "int64" for c in l_int_cols if c in lt.columns})
         lt = lt.sort_values(ts_col, kind="mergesort")
         rt = rt.sort_values(ts_col, kind="mergesort")
         out = pd.merge_asof(

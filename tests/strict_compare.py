@@ -1,0 +1,115 @@
+"""Strict (bit-exact) gate mimic: run queries() vs oracle_sql() at a given
+sf and compare values EXACTLY after sorting columns by name — the same
+comparison shape the driver's hash gate uses.  Run directly:
+
+    python tests/strict_compare.py [sf_dir] [query ...]
+
+Exits non-zero if any checked query differs.  Unlike test_entry_parity's
+rtol-tolerant compare, this catches dtype and last-ulp drift before the
+driver does.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def oracle_df(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Return a list of human-readable diffs; empty == exact match."""
+    problems: list[str] = []
+    got, want = canon(got), canon(want)
+    if list(got.columns) != list(want.columns):
+        return [f"columns {list(got.columns)} != {list(want.columns)}"]
+    if len(got) != len(want):
+        return [f"rows {len(got)} != {len(want)}"]
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if str(g.dtype) != str(w.dtype):
+            problems.append(f"col {c}: dtype {g.dtype} != {w.dtype}")
+            continue
+        if pd.api.types.is_float_dtype(g):
+            ga, wa = g.to_numpy(), w.to_numpy()
+            eq = (ga == wa) | (np.isnan(ga) & np.isnan(wa))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} value diffs, first at row {i}: "
+                    f"{ga[i]!r} != {wa[i]!r}"
+                )
+        else:
+            eq = (g.to_numpy() == w.to_numpy()) | (g.isna() & w.isna()).to_numpy()
+            if not np.asarray(eq).all():
+                i = int(np.argmin(np.asarray(eq)))
+                problems.append(
+                    f"col {c}: {int((~np.asarray(eq)).sum())} value diffs, first at "
+                    f"row {i}: {g.iloc[i]!r} != {w.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    import __ray_entry__ as entrymod
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = sys.argv[2:] or sorted(n for n in queries if n in oracles)
+    bad = 0
+    for name in names:
+        if name not in oracles:
+            print(f"{name}: SKIP (no oracle)")
+            continue
+        got = to_df(queries[name](sf_dir))
+        want = oracle_df(sf_dir, oracles[name])
+        problems = compare(name, got, want)
+        if problems:
+            bad += 1
+            print(f"{name}: FAIL")
+            for p in problems:
+                print(f"    {p}")
+        else:
+            print(f"{name}: exact")
+    ray.shutdown()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
