@@ -307,6 +307,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["event_id", "ip", "matched_cidr"]), batch_format="pyarrow"
         )
 
+    def q_cidr_match_v6(sf):
+        # synthetic v6 literals: 2001:db8:<user_id%4>::<user_id%256 in hex>;
+        # ranges exercise the /32 (all), /48 (hi-lane) and /124 (lo-lane) paths
+        def add_ip(b: pa.Table) -> pa.Table:
+            uid = b.column("user_id")
+            group = pc.cast(
+                pc.subtract(uid, pc.multiply(pc.divide(uid, 4), 4)), pa.string()
+            )
+            low = pc.subtract(uid, pc.multiply(pc.divide(uid, 256), 256))
+            # hex of 0..255 lower-case, via a small vectorized lookup
+            import numpy as np
+
+            lut = np.array([format(i, "x") for i in range(256)], dtype=object)
+            low_np = low.to_numpy(zero_copy_only=False).astype(np.int64)
+            hexs = pa.array(lut[low_np].tolist(), type=pa.string())
+            ip = pc.binary_join_element_wise(
+                pa.array(["2001:db8:"] * b.num_rows), group,
+                pa.array(["::"] * b.num_rows), hexs, "",
+            )
+            return b.append_column("ip", ip)
+
+        ds = _t(sf, "events", ["event_id", "user_id"]).map_batches(
+            add_ip, batch_format="pyarrow"
+        )
+        out = cidr_match(
+            ds, ("2001:db8::/32", "2001:db8:1::/48", "2001:db8:2::/124")
+        )
+        return out.map_batches(
+            lambda b: b.select(["event_id", "ip", "matched_cidr"]), batch_format="pyarrow"
+        )
+
     # ---- pages pipeline (documents→pages derivation for oracle parity) ---
     def q_extract_text_len(sf):
         pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
@@ -539,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alertify": q_alertify,
         "bloom_filter_pages": q_bloom_filter_pages,
         "cidr_match": q_cidr_match,
+        "cidr_match_v6": q_cidr_match_v6,
         "extract_text_len": q_extract_text_len,
         "hostname_counts": q_hostname_counts,
         "exact_distinct_users": q_exact_distinct_users,
@@ -691,6 +723,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT event_id, '10.' || (user_id % 4) || '.0.1' AS ip, "
             "'10.0.0.0/8' AS matched_cidr FROM events"
+        ),
+        "cidr_match_v6": (
+            "WITH e AS (SELECT event_id, "
+            "'2001:db8:' || (user_id % 4) || '::' || printf('%x', user_id % 256) AS ip, "
+            "user_id % 4 AS g, user_id % 256 AS low FROM events) "
+            "SELECT event_id, ip, '2001:db8::/32' AS matched_cidr FROM e "
+            "UNION ALL "
+            "SELECT event_id, ip, '2001:db8:1::/48' AS matched_cidr FROM e WHERE g = 1 "
+            "UNION ALL "
+            "SELECT event_id, ip, '2001:db8:2::/124' AS matched_cidr FROM e "
+            "WHERE g = 2 AND low <= 15"
         ),
         "extract_text_len": (
             "SELECT doc_id, strlen(text) AS n_extracted_chars FROM documents"

@@ -68,7 +68,11 @@ def run_bench() -> dict:
 
     import fever_ray.ops.aggregates as agg
     import fever_ray.ops.relational as rel
-    from fever_ray.ops.dedup import exact_dedup, minhash_candidate_pairs
+    from fever_ray.ops.dedup import (
+        exact_dedup,
+        minhash_candidate_pairs,
+        minhash_dedup_components,
+    )
     from fever_ray.ops.knn import knn_bruteforce
     from fever_ray.pipelines.flagship import run_flagship
     from fever_ray.sketches.bloom import BloomFilter
@@ -172,8 +176,12 @@ def run_bench() -> dict:
             batch_format="pyarrow",
         )
 
+    # FULL near-dedup: candidates → distributed Jaccard verify (bucketed
+    # joins) → distributed connected components.  No driver-side text state.
     timings["near_dedup_pages"] = _timed(
-        lambda: minhash_candidate_pairs(_pages_docs()).materialize()
+        lambda: minhash_dedup_components(
+            _pages_docs(), threshold=0.7, num_partitions=min(NUM_CPUS, 32)
+        ).materialize()
     )
 
     import numpy as np

@@ -259,14 +259,14 @@ def context_collector(events_ds, mark_type: str = "error"):
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).unique("user_id")
-    marked_ref = ray.put(frozenset(marked))
+    import numpy as np
+
+    marked_ref = ray.put(np.unique(np.asarray(marked, dtype=np.int64)))
 
     def semi(batch: pa.Table) -> pa.Table:
-        keys = ray.get(marked_ref)
-        import numpy as np
-
+        keys = ray.get(marked_ref)  # sorted unique int64 array
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        mask = np.fromiter((u in keys for u in uid), dtype=bool, count=len(uid))
+        mask = np.isin(uid, keys)  # vectorized sorted-membership semi-join
         return batch.filter(pa.array(mask))
 
     return events_ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)

@@ -19,6 +19,8 @@ its web-scale generalization.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -31,6 +33,33 @@ from ..sketches.minhash import (
     simhash,
     hamming_distance,
 )
+
+logger = logging.getLogger(__name__)
+
+
+def _auto_parts(ds, floor: int = 64, per_file: int = 2) -> int:
+    """Coarse-partition count for bucket processing, scaled with input size.
+
+    A fixed count means one map_groups partition holds 1/N of ALL band rows
+    regardless of corpus size — a single-task memory ceiling.  Scaling with
+    the input file count keeps per-partition rows roughly constant (each
+    parquet shard contributes ~rows/shard × bands band rows spread over
+    ``per_file`` partitions per shard)."""
+    try:
+        files = ds.input_files()
+        if files:
+            return max(floor, per_file * len(files))
+    except Exception:
+        pass
+    return floor
+
+
+def _chain_pairs(ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Linear fallback for an oversized bucket: adjacent-id chain pairs.
+    Preserves connectivity (every member still reaches the bucket's min id
+    through the verified-edge graph) while emitting O(k) instead of O(k²)
+    pairs."""
+    return ids_sorted[:-1], ids_sorted[1:]
 
 
 # ------------------------------------------------------------------ exact
@@ -124,11 +153,20 @@ class MinHashSignatures:
         )
 
 
-def minhash_candidate_pairs(ds, n_shingle=3, num_perm=64, bands=16, concurrency=None):
+def minhash_candidate_pairs(
+    ds, n_shingle=3, num_perm=64, bands=16, concurrency=None,
+    n_parts: int | None = None, max_bucket: int = 8192,
+):
     """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets.
 
     The signature stage is stateless (no loaded artifact), so it runs as
-    plain tasks — no actor-pool spin-up."""
+    plain tasks — no actor-pool spin-up.
+
+    ``n_parts`` (default: scaled with input file count, see ``_auto_parts``)
+    bounds per-partition rows at scale.  Buckets larger than ``max_bucket``
+    would emit O(k²) pairs (a near-constant bucket is usually boilerplate
+    text); they fall back to a connectivity-preserving adjacent-id chain and
+    the count is logged — no silent truncation."""
     signer = MinHashSignatures(n_shingle=n_shingle, num_perm=num_perm, bands=bands)
 
     def sign(batch: pa.Table) -> pa.Table:
@@ -140,7 +178,8 @@ def minhash_candidate_pairs(ds, n_shingle=3, num_perm=64, bands=16, concurrency=
     # one Python map_groups call EACH — instead hash-partition buckets into
     # ~n_parts coarse partitions (one Python call per partition), sort within
     # the partition, and emit pairs per bucket-run vectorized.
-    n_parts = 64
+    if n_parts is None:
+        n_parts = _auto_parts(ds)
 
     def add_part(batch: pa.Table) -> pa.Table:
         bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
@@ -163,12 +202,34 @@ def minhash_candidate_pairs(ds, n_shingle=3, num_perm=64, bands=16, concurrency=
         change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1
         starts = np.concatenate(([0], change, [n]))
         a_out, b_out = [], []
+        n_over = over_rows = 0
         for s, e in zip(starts[:-1], starts[1:]):
             k = e - s
-            if k > 1:
-                iu, ju = np.triu_indices(k, k=1)
-                a_out.append(ids[s:e][iu])
-                b_out.append(ids[s:e][ju])
+            if k <= 1:
+                continue
+            if k > max_bucket:
+                n_over += 1
+                over_rows += k
+                uids = np.unique(ids[s:e])
+                if len(uids) > 1:
+                    ca, cb = _chain_pairs(uids)
+                    a_out.append(ca)
+                    b_out.append(cb)
+                continue
+            # duplicate doc ids (same id seen twice in a bucket) would emit
+            # degenerate (x, x) pairs — drop to unique ids first
+            uids = np.unique(ids[s:e])
+            k = len(uids)
+            if k <= 1:
+                continue
+            iu, ju = np.triu_indices(k, k=1)
+            a_out.append(uids[iu])
+            b_out.append(uids[ju])
+        if n_over:
+            logger.warning(
+                "minhash LSH: %d bucket(s) over max_bucket=%d (%d rows total) "
+                "fell back to chain pairs", n_over, max_bucket, over_rows,
+            )
         if not a_out:
             return pa.table(
                 {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
@@ -201,53 +262,288 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
-def minhash_dedup_components(ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16):
-    """Full near-dedup: candidates → exact-Jaccard verify → connected
-    components → (doc_id, cluster_id = min doc id of its component).
+def _shingle_blob_table(batch: pa.Table, n: int, cand_sorted: np.ndarray | None) -> pa.Table:
+    """(doc_id, sh) rows: per-doc SORTED UNIQUE shingle hashes packed into a
+    large_binary blob (acero hash joins don't carry list columns, and a
+    binary blob round-trips zero-copy via np.frombuffer).
 
-    Verification joins text back per pair via a broadcast id→text map
-    (small-corpus path; at 10^12 scale this becomes a bucketed join keyed on
-    doc_id — see ops.relational.partitioned_hash_join).  Components use
-    min-label propagation on the driver over the verified edge list, which
-    is provably small (≤ pairs that shared an LSH band)."""
+    Shingle hashes are the same position-mixed token-hash folds the MinHash
+    signature stage uses, so "same shingle" means exactly "same n-token
+    window" — Jaccard over these sets equals Jaccard over string n-gram
+    sets modulo 64-bit hash collisions."""
+    from ..sketches.minhash import _shingle_hash_flat, _tokenize_batch
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    # one blob per doc id within the batch: duplicate ids (e.g. the same url
+    # ingested twice) would multiply join fan-out quadratically downstream
+    _, first_idx = np.unique(ids, return_index=True)
+    if len(first_idx) != len(ids):
+        batch = batch.take(pa.array(np.sort(first_idx)))
+        ids = ids[np.sort(first_idx)]
+    if cand_sorted is not None:
+        mask = np.isin(ids, cand_sorted)
+        if not mask.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.large_binary())}
+            )
+        batch = batch.filter(pa.array(mask))
+        ids = ids[mask]
+    tok_h, offsets = _tokenize_batch(batch.column("text"))
+    sh, sh_off = _shingle_hash_flat(tok_h, offsets, n)
+    blobs = [np.unique(sh[s:e]).tobytes() for s, e in zip(sh_off[:-1], sh_off[1:])]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(blobs, pa.large_binary())}
+    )
+
+
+def _blob_offsets_data(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (element offsets, uint64 data) view of a large_binary
+    column of packed uint64 arrays."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.zeros(1, np.int64), np.zeros(0, np.uint64)
+    off = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, np.uint8)[: off[-1]].view(np.uint64) if buf else np.zeros(0, np.uint64)
+    return off // 8, data
+
+
+def verified_minhash_edges(
+    ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16,
+    num_partitions: int = 16, n_parts: int | None = None,
+):
+    """Candidate pairs → exact-Jaccard-verified edge Dataset (doc_a, doc_b,
+    jaccard), fully distributed:
+
+    1. LSH candidate pairs (small: only docs sharing a band).
+    2. Per-doc shingle-set blobs for CANDIDATE docs only — the candidate id
+       set (ids only, 8 B each) is broadcast via ray.put and applied as an
+       np.isin prefilter inside the blob stage, so the shuffle below moves
+       candidate blobs, never the corpus.  (If the candidate id set ever
+       outgrew driver memory, drop the prefilter and let the inner join do
+       the filtering — same result, full-shingle shuffle.)
+    3. Two distributed hash joins pull sh_a/sh_b onto each pair; a
+       vectorized kernel computes exact Jaccard per pair (np.intersect1d
+       over presorted unique arrays — no Python sets, no driver state).
+    """
     import ray
 
-    pairs = minhash_candidate_pairs(
-        ds, n_shingle=n_shingle, num_perm=num_perm, bands=bands
-    ).take_all()
-    texts = {}
-    for batch in ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
-        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            texts[did] = text
-
-    edges = []
-    for p in pairs:
-        a, b = p["doc_a"], p["doc_b"]
-        if ngram_jaccard(texts[a] or "", texts[b] or "", n=n_shingle) >= threshold:
-            edges.append((a, b))
-
-    # union-find over the (small) verified edge set
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    rows = [
-        {"doc_id": d, "cluster_id": find(d)}
-        for d in sorted({x for e in edges for x in e})
-    ]
-    return pa.Table.from_pylist(
-        rows or [],
-        schema=pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+    # repartition before the joins: the pair-gen groupby emits one (mostly
+    # empty) block per coarse partition, and Ray's hash-shuffle join stalls
+    # when fed hundreds of near-empty input blocks; the candidate set is
+    # small, so a narrow coalesce to num_partitions blocks is cheap
+    pairs = (
+        minhash_candidate_pairs(
+            ds, n_shingle=n_shingle, num_perm=num_perm, bands=bands, n_parts=n_parts
+        )
+        .repartition(num_partitions)
+        .materialize()
     )
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    # candidate doc ids in ONE narrow pass (per-batch np.unique partials,
+    # tiny driver merge) — cheaper than two groupby shuffles via unique()
+    def batch_ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch.column("doc_a").to_numpy(zero_copy_only=False),
+                    batch.column("doc_b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"doc_id": pa.array(u, pa.int64())})
+
+    id_parts = pairs.map_batches(batch_ids, batch_format="pyarrow").take_all()
+    cand_ids = np.unique(np.array([r["doc_id"] for r in id_parts], dtype=np.int64))
+    cand_ref = ray.put(cand_ids)
+
+    def blobs(batch: pa.Table) -> pa.Table:
+        return _shingle_blob_table(batch, n_shingle, ray.get(cand_ref))
+
+    sh_ds = (
+        ds.map_batches(blobs, batch_format="pyarrow", zero_copy_batch=True)
+        # cross-batch id dedup: exactly ONE blob per doc id, or the verify
+        # joins fan out multiplicatively on re-ingested ids (a shuffle over
+        # candidate blobs only — never the corpus)
+        .groupby("doc_id")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    # materialize between the two joins: each join spawns its own pool of
+    # shuffle-aggregator actors, and two pools scheduled inside ONE streaming
+    # execution deadlock on small clusters; j1 is candidate-bounded (pairs ×
+    # one blob), so the barrier is cheap
+    j1 = pairs.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.rename_columns(["sh_a" if c == "sh" else c for c in b.column_names]),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = j1.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        off_a, dat_a = _blob_offsets_data(batch.column("sh_a"))
+        off_b, dat_b = _blob_offsets_data(batch.column("sh"))
+        n = batch.num_rows
+        jac = np.zeros(n, np.float64)
+        for i in range(n):
+            a = dat_a[off_a[i] : off_a[i + 1]]
+            b = dat_b[off_b[i] : off_b[i + 1]]
+            if len(a) == 0 and len(b) == 0:
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            jac[i] = inter / max(len(a) + len(b) - inter, 1)
+        keep = jac >= threshold
+        out = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        return out.append_column("jaccard", pa.array(jac[keep], pa.float64()))
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def connected_components(edges_ds, num_partitions: int = 16, max_rounds: int = 64):
+    """Distributed connected components over an undirected edge Dataset
+    (doc_a, doc_b) → (doc_id, cluster_id = component min id).
+
+    Min-label propagation WITH pointer jumping: each round (1) every node
+    takes the min of its own and its neighbors' labels (one hash join over
+    the symmetric edge list), then (2) jumps to its label's label (one hash
+    join of the label table against itself) — the doubling step that makes
+    path graphs converge in O(log diameter) rounds instead of O(diameter).
+    Labels are monotonically non-increasing, so SUM(label) strictly
+    decreases until the fixpoint — a cheap O(1)-size convergence probe.
+    Every per-round structure is edge/node-sized, never corpus-sized; each
+    join is materialized on its own (two shuffle-aggregator pools inside one
+    streaming execution can deadlock small clusters)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges_sym = (
+        edges_ds.map_batches(sym, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    if edges_sym.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+
+    labels = (
+        edges_sym.groupby("src")
+        .aggregate(Min("dst", alias_name="min_dst"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("src"),
+                    "label": pc.min_element_wise(b.column("src"), b.column("min_dst")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev = labels.sum("label")
+    for _ in range(max_rounds):
+        # (1) neighbor propagation: label(x) ← min(label(x), label(N(x)))
+        msgs = edges_sym.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("dst"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev:
+            # neighbor-prop fixpoint ⇒ labels constant within every
+            # component ⇒ converged; skip the jump join
+            break
+        prev = cur
+        # (2) pointer jump: label(x) ← min(label(x), label(label(x)))
+        jtab = labels.map_batches(
+            lambda b: pa.table({"jnode": b.column("node"), "jlabel": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.join(
+                jtab, join_type="inner", num_partitions=num_partitions,
+                on=("label",), right_on=("jnode",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("node"),
+                        "label": pc.min_element_wise(
+                            b.column("label"), b.column("jlabel")
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"), "cluster_id": b.column("label")}),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dedup_components(
+    ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16,
+    num_partitions: int = 16, n_parts: int | None = None,
+):
+    """Full near-dedup: candidates → distributed exact-Jaccard verify →
+    distributed connected components → Dataset (doc_id, cluster_id = min
+    doc id of its component).
+
+    Nothing materializes on the driver except the candidate-id broadcast
+    and an O(1) convergence probe per label-propagation round; texts never
+    leave the cluster (only candidate shingle-set blobs move through the
+    verify joins).  The at-scale generalization of the reference's
+    in-process side-set dedup (dns_aggregator.go:145-168)."""
+    edges = verified_minhash_edges(
+        ds, threshold=threshold, n_shingle=n_shingle, num_perm=num_perm,
+        bands=bands, num_partitions=num_partitions, n_parts=n_parts,
+    )
+    return connected_components(edges, num_partitions=num_partitions)
 
 
 # ------------------------------------------------------------------ simhash
@@ -356,66 +652,141 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
 
 
 # ------------------------------------------------------------------ embeddings
-def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8, verify_all: bool = False):
-    """Near-dup pairs by embedding cosine similarity.
+def embedding_dup_pairs(
+    ds, threshold: float = 0.95, n_planes: int = 8, n_tables: int = 8,
+    verify_all: bool = False, n_parts: int | None = None, max_bucket: int = 4096,
+):
+    """Near-dup pairs by embedding cosine similarity — banded multi-table
+    random-hyperplane LSH + exact in-bucket verification.
 
-    Scale path: random-hyperplane LSH bucket (n_planes-bit signature of the
-    sign pattern) then exact cosine verification inside buckets; two vectors
-    with cosine ≥ threshold collide with high probability.  ``verify_all``
-    forces a single bucket (exact brute force) for small inputs/oracles."""
-    import ray
+    Scale path: ``n_tables`` independent hyperplane tables of ``n_planes``
+    sign bits each; two vectors with cosine ≥ threshold collide in ≥1 table
+    w.h.p. (p_plane = 1 - θ/π per plane; recall measured vs verify_all in
+    tests).  Buckets are processed the same way as the MinHash path: coarse
+    hash partitions + vectorized run detection (never one Python call per
+    tiny bucket), matrices rebuilt zero-copy from the list column
+    (knn._embedding_matrix reshape), oversized buckets fall back to the
+    connectivity-preserving adjacent chain with a logged count.
 
-    def to_mat(batch: pa.Table):
-        emb = batch.column("embedding")
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb.to_pylist()])
-        return mat
+    ``verify_all`` forces a single bucket (exact all-pairs brute force) for
+    small inputs/oracles."""
+    from .knn import _embedding_matrix, _normalize
+
+    if verify_all:
+        n_tables = 1
+    if n_parts is None:
+        n_parts = _auto_parts(ds)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        mat = to_mat(batch)
+        mat = _normalize(_embedding_matrix(batch))
+        n, d = mat.shape
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if verify_all:
-            sig = np.zeros(len(mat), dtype=np.int64)
+            sig = np.zeros((n, 1), dtype=np.int64)
         else:
-            # seeded plane matrix regenerated per task: deterministic and
-            # cheaper than broadcasting (dim × n_planes floats)
-            pl = np.random.default_rng(7).standard_normal((mat.shape[1], n_planes))
+            # seeded plane tensor regenerated per task: deterministic and
+            # cheaper than broadcasting (d × n_tables·n_planes floats)
+            pl = np.random.default_rng(7).standard_normal((d, n_tables * n_planes))
             bits = (mat @ pl) > 0
-            sig = np.zeros(len(mat), dtype=np.int64)
-            for j in range(bits.shape[1]):
-                sig |= bits[:, j].astype(np.int64) << j
-        norms = np.linalg.norm(mat, axis=1)
-        normed = mat / np.maximum(norms, 1e-12)[:, None]
+            weights = (1 << np.arange(n_planes, dtype=np.int64))
+            sig = (
+                bits.reshape(n, n_tables, n_planes).astype(np.int64) * weights
+            ).sum(axis=2)
+        tables = np.tile(np.arange(n_tables, dtype=np.int32), n)
+        rep = np.repeat(np.arange(n, dtype=np.int64), n_tables)
+        flat = mat[rep].reshape(-1)
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
-                "bucket": pa.array(sig, type=pa.int64()),
-                "vec": pa.array(list(normed), type=pa.list_(pa.float64())),
+                "vec_id": pa.array(ids[rep], type=pa.int64()),
+                "table": pa.array(tables, type=pa.int32()),
+                "bucket": pa.array(sig.reshape(-1), type=pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, type=pa.float64()), d
+                ),
             }
         )
 
     rows = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_pylist()
-        mat = np.vstack([np.asarray(v) for v in group.column("vec").to_pylist()])
-        sims = mat @ mat.T
-        a, b, s = [], [], []
-        n = len(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        keep = sims[iu, ju] >= threshold
-        for i, j, sv in zip(iu[keep], ju[keep], sims[iu, ju][keep]):
-            x, y = ids[int(i)], ids[int(j)]
-            a.append(min(x, y))
-            b.append(max(x, y))
-            s.append(float(sv))
+    def add_part(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        tb = batch.column("table").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((bk * np.uint64(0x9E3779B97F4A7C15) ^ tb) % np.uint64(n_parts)).astype(
+            np.int32
+        )
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def verify_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("table", "ascending"), ("bucket", "ascending"), ("vec_id", "ascending")],
+        )
+        g = group.take(order)
+        tb = g.column("table").to_numpy(zero_copy_only=False)
+        bk = g.column("bucket").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        vec_col = g.column("vec")
+        if isinstance(vec_col, pa.ChunkedArray):
+            vec_col = vec_col.combine_chunks()
+        d = vec_col.type.list_size
+        mat = np.asarray(vec_col.values).reshape(n, d)
+        change = np.flatnonzero((np.diff(tb) != 0) | (np.diff(bk) != 0)) + 1
+        starts = np.concatenate(([0], change, [n]))
+        a_out, b_out, c_out = [], [], []
+        n_over = over_rows = 0
+        for s, e in zip(starts[:-1], starts[1:]):
+            k = e - s
+            if k <= 1:
+                continue
+            sub = mat[s:e]
+            sub_ids = ids[s:e]
+            if k > max_bucket:
+                n_over += 1
+                over_rows += k
+                ca, cb = sub_ids[:-1], sub_ids[1:]
+                cs = np.einsum("ij,ij->i", sub[:-1], sub[1:])
+                keep = cs >= threshold
+                a_out.append(ca[keep]); b_out.append(cb[keep]); c_out.append(cs[keep])
+                continue
+            sims = sub @ sub.T
+            iu, ju = np.triu_indices(k, k=1)
+            sv = sims[iu, ju]
+            keep = sv >= threshold
+            if keep.any():
+                xa, xb = sub_ids[iu[keep]], sub_ids[ju[keep]]
+                a_out.append(np.minimum(xa, xb))
+                b_out.append(np.maximum(xa, xb))
+                c_out.append(sv[keep])
+        if n_over:
+            logger.warning(
+                "embedding LSH: %d bucket(s) over max_bucket=%d (%d rows total) "
+                "fell back to chain verification", n_over, max_bucket, over_rows,
+            )
+        if not a_out:
+            return empty
         return pa.table(
             {
-                "vec_a": pa.array(a, type=pa.int64()),
-                "vec_b": pa.array(b, type=pa.int64()),
-                "cosine": pa.array(s, type=pa.float64()),
+                "vec_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+                "vec_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(c_out), type=pa.float64()),
             }
         )
 
     from ray.data.aggregate import Max
 
-    pairs = rows.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    pairs = (
+        rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify_partition, batch_format="pyarrow")
+    )
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))

@@ -99,17 +99,23 @@ class FrameSampleStub:
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column(self.payload_col).to_pylist()
+        import pyarrow.compute as pc
+
+        lens = pc.binary_length(
+            pc.fill_null(batch.column(self.payload_col), b"")
+        ).to_numpy(zero_copy_only=False)
+        n_frames = np.clip(lens // self.every, 1, self.max_frames).astype(np.int64)
+        # vectorized fan-out: repeat each source row n_frames[i] times via a
+        # single take, then attach per-frame index/offset columns
+        rep_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_frames)
+        total = int(n_frames.sum())
+        frame_index = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_frames)[:-1])), n_frames
+        )
         keys = [c for c in batch.column_names if c != self.payload_col]
-        out_rows = {k: [] for k in keys}
-        out_rows["frame_index"] = []
-        out_rows["frame_offset"] = []
-        for i, p in enumerate(payloads):
-            n = min(max(len(p or b"") // self.every, 1), self.max_frames)
-            for f in range(n):
-                for k in keys:
-                    out_rows[k].append(batch.column(k)[i].as_py())
-                out_rows["frame_index"].append(f)
-                out_rows["frame_offset"].append(f * self.every)
-        t = pa.table({k: pa.array(v) for k, v in out_rows.items()})
+        t = batch.select(keys).take(pa.array(rep_idx))
+        t = t.append_column("frame_index", pa.array(frame_index, type=pa.int64()))
+        t = t.append_column(
+            "frame_offset", pa.array(frame_index * self.every, type=pa.int64())
+        )
         return t

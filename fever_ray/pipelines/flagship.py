@@ -153,6 +153,7 @@ def run_flagship(
         details.append(json.dumps(d, sort_keys=True, default=str))
 
     matches_table = None
+    matches_path = None
     if ioc_bloom is not None:
         mds = pages_dataset(pages_path, columns=["url"]).map_batches(
             PageIocMatcher,
@@ -162,21 +163,36 @@ def run_flagship(
             concurrency=ioc_concurrency or (1, 8),
             zero_copy_batch=True,
         )
-        matches_table = pa.Table.from_pylist(
-            mds.take_all(),
-            schema=pa.schema(
-                [
-                    ("url", pa.string()),
-                    ("ioc", pa.string()),
-                    ("match_type", pa.string()),
-                    ("signature", pa.string()),
-                ]
-            ),
-        )
+        if out_dir:
+            # at scale matches can be millions of rows — stream them to
+            # partitioned parquet instead of materializing on the driver;
+            # the count comes from the written file footers (metadata-only)
+            import pyarrow.parquet as pq
+
+            matches_path = os.path.join(out_dir, "matches")
+            os.makedirs(matches_path, exist_ok=True)
+            mds.write_parquet(matches_path)
+            n_matches = sum(
+                pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(matches_path, "*.parquet"))
+            )
+        else:
+            matches_table = pa.Table.from_pylist(
+                mds.take_all(),
+                schema=pa.schema(
+                    [
+                        ("url", pa.string()),
+                        ("ioc", pa.string()),
+                        ("match_type", pa.string()),
+                        ("signature", pa.string()),
+                    ]
+                ),
+            )
+            n_matches = matches_table.num_rows
         names.append("ioc_matches")
         kinds.append("bloom-match")
-        ests.append(float(matches_table.num_rows))
-        details.append(json.dumps({"n_matches": matches_table.num_rows}))
+        ests.append(float(n_matches))
+        details.append(json.dumps({"n_matches": n_matches}))
 
     summary = pa.table(
         {
@@ -191,6 +207,9 @@ def run_flagship(
         import pyarrow.parquet as pq
 
         pq.write_table(summary, os.path.join(out_dir, "summary.parquet"))
-        if matches_table is not None:
-            pq.write_table(matches_table, os.path.join(out_dir, "matches.parquet"))
-    return {"summary": summary, "matches": matches_table, "lineage": lineage}
+    return {
+        "summary": summary,
+        "matches": matches_table,
+        "matches_path": matches_path,
+        "lineage": lineage,
+    }

@@ -46,7 +46,7 @@ def test_exact_dedup(dup_docs):
 def test_minhash_lsh_finds_planted_near_dups(dup_docs):
     ds, rows = dup_docs
     comp = dd.minhash_dedup_components(ds, threshold=0.5)
-    clusters = {r["doc_id"]: r["cluster_id"] for r in comp.to_pylist()}
+    clusters = {r["doc_id"]: r["cluster_id"] for r in comp.take_all()}
     for i in range(10):
         assert clusters.get(210 + i) == clusters.get(i) == i  # exact dup joined
     near_hits = sum(1 for i in range(10) if clusters.get(230 + i) == clusters.get(10 + i))
@@ -57,7 +57,7 @@ def test_minhash_no_false_merges(dup_docs):
     ds, rows = dup_docs
     comp = dd.minhash_dedup_components(ds, threshold=0.5)
     texts = {r["doc_id"]: r["text"] for r in rows}
-    for rec in comp.to_pylist():
+    for rec in comp.take_all():
         if rec["doc_id"] != rec["cluster_id"]:
             sim = dd.ngram_jaccard(texts[rec["doc_id"]], texts[rec["cluster_id"]])
             # transitivity can chain, but everything in a cluster must be
@@ -163,3 +163,74 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session, sf_dir):
         recalls.append(len(b & v) / len(b))
     # probing half the cells should recover most true neighbors
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_embedding_lsh_recall_vs_bruteforce(ray_session):
+    """Scale-path LSH (multi-table banded) must recover nearly all true
+    high-cosine pairs found by the exact verify_all path."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 32))
+    rows = []
+    vid = 0
+    for i in range(200):
+        rows.append({"vec_id": vid, "embedding": base[i].tolist()}); vid += 1
+    # planted near-dups: tiny perturbations of the first 40 vectors
+    for i in range(40):
+        v = base[i] + rng.standard_normal(32) * 0.02
+        rows.append({"vec_id": vid, "embedding": v.tolist()}); vid += 1
+    ds = rd.from_items(rows)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dd.embedding_dup_pairs(ds, threshold=0.9, verify_all=True).take_all()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in dd.embedding_dup_pairs(ds, threshold=0.9).take_all()
+    }
+    assert exact, "fixture must plant high-cosine pairs"
+    assert lsh <= exact  # in-bucket verification is exact: no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact))
+
+
+def test_minhash_oversized_bucket_chain_cap(ray_session):
+    """A degenerate corpus (every doc identical) must emit O(k) chain pairs
+    per band bucket, not O(k²) — the single-task memory cap at scale."""
+    import ray.data as rd
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    ds = rd.from_items([{"doc_id": i, "text": text} for i in range(300)])
+    pairs = dd.minhash_candidate_pairs(ds, n_parts=8, max_bucket=50).take_all()
+    # all-pairs would be 300*299/2 = 44850 per band; the chain cap bounds the
+    # distinct pair count to < 2 * n_docs
+    assert 0 < len(pairs) < 600, len(pairs)
+    # connectivity preserved: the chain must link every doc into one component
+    import pyarrow as pa
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([p["doc_a"] for p in pairs], pa.int64()),
+                "doc_b": pa.array([p["doc_b"] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    comp = dd.connected_components(edges, num_partitions=4).take_all()
+    assert len(comp) == 300
+    assert len({r["cluster_id"] for r in comp}) == 1
+
+
+def test_connected_components_chain(ray_session):
+    """Min-label propagation converges on a diameter-9 chain (multi-round)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    edges = rd.from_arrow(
+        pa.table({"doc_a": list(range(9)), "doc_b": list(range(1, 10))})
+    )
+    out = dd.connected_components(edges, num_partitions=4).take_all()
+    assert sorted((r["doc_id"], r["cluster_id"]) for r in out) == [
+        (i, 0) for i in range(10)
+    ]
