@@ -194,6 +194,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_content_fingerprint(sf):
+        # oracle-gated slice of q_fingerprint: the 64-bit content hash
+        # (splitmix64 ∘ FNV-1a) is mirrored bit-exactly in DuckDB SQL via
+        # HUGEINT mod-2^64 arithmetic (ASCII corpus: codepoint == utf-8 byte)
+        return _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: fingerprint(b).select(["doc_id", "content_hash"]),
+            batch_format="pyarrow",
+        )
+
+    def _ann_recall_gate(sf, ann_rows, threshold: float):
+        """Recall gate for ANN methods (no exact SQL analog exists for the
+        pruned search itself): compute exact top-k and the ANN answer
+        engine-side; if mean per-query recall ≥ threshold, emit the exact
+        top-k rows (bit-stable, matches the brute-force oracle), else emit
+        nothing so the gate fails on rows_match.  This turns 'recall ≥ X'
+        into a driver-checkable pass/fail signal."""
+        bf = knn_bruteforce(
+            _t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf), k=5
+        ).to_pandas()
+        ann = {(int(r["query_id"]), int(r["vec_id"])) for r in ann_rows}
+        recalls = []
+        for qi in sorted(set(bf["query_id"])):
+            want = {int(v) for v in bf[bf["query_id"] == qi]["vec_id"]}
+            got = {v for (q_, v) in ann if q_ == qi}
+            recalls.append(len(want & got) / len(want))
+        import numpy as _np
+
+        out = bf[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"])
+        if _np.mean(recalls) < threshold:
+            out = out.iloc[0:0]
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+    def q_knn_lsh_recall_gate(sf):
+        ann = knn_lsh(
+            _t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf),
+            k=5, n_planes=4,
+        ).take_all()
+        return _ann_recall_gate(sf, ann, threshold=0.3)
+
+    def q_knn_ivf_recall_gate(sf):
+        ann = knn_ivf(
+            _t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf),
+            k=5, n_centroids=8, nprobe=6,
+        ).take_all()
+        return _ann_recall_gate(sf, ann, threshold=0.6)
+
     # ---- dedup family ----------------------------------------------------
     def q_exact_dedup(sf):
         ds = exact_dedup(_t(sf, "documents", ["doc_id", "text"]))
@@ -559,6 +605,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "content_fingerprint": q_content_fingerprint,
+        "knn_lsh_recall_gate": q_knn_lsh_recall_gate,
+        "knn_ivf_recall_gate": q_knn_ivf_recall_gate,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -700,6 +749,75 @@ def oracle_sql() -> dict[str, str]:
             "  ROW_NUMBER() OVER (PARTITION BY q.query_id "
             "    ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rn "
             "  FROM q CROSS JOIN embeddings e) WHERE rn <= 5"
+        ),
+        # ANN recall gates: the engine emits the exact top-k only when its
+        # LSH/IVF answer reaches the recall threshold, so pass/fail lands in
+        # rows_match (see _ann_recall_gate) while values hash against the
+        # same exact top-k the brute-force oracle computes.
+        "knn_lsh_recall_gate": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 3) "
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.query_id, e.vec_id, "
+            "  ROW_NUMBER() OVER (PARTITION BY q.query_id "
+            "    ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rn "
+            "  FROM q CROSS JOIN embeddings e) WHERE rn <= 5"
+        ),
+        "knn_ivf_recall_gate": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 3) "
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.query_id, e.vec_id, "
+            "  ROW_NUMBER() OVER (PARTITION BY q.query_id "
+            "    ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rn "
+            "  FROM q CROSS JOIN embeddings e) WHERE rn <= 5"
+        ),
+        # bit-exact SQL mirror of hash64 = splitmix64(FNV-1a 64): FNV runs as
+        # a list_reduce over codepoints (== utf-8 bytes on this ASCII corpus);
+        # the two splitmix multiplications are split into 32-bit halves so the
+        # HUGEINT intermediate never overflows 128 bits
+        "content_fingerprint": (
+            "WITH f AS (SELECT doc_id, list_reduce("
+            "  list_prepend(CAST(14695981039346656037 AS UBIGINT),"
+            "    list_transform(range(1, strlen(text) + 1),"
+            "                   i -> CAST(unicode(text[i]) AS UBIGINT))),"
+            "  (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) "
+            "    % 18446744073709551616 AS UBIGINT)) AS h0 FROM documents), "
+            "a1 AS (SELECT doc_id, xor(h0, h0 >> 30) AS y FROM f), "
+            "b1 AS (SELECT doc_id, CAST(((CAST(y % 4294967296 AS HUGEINT) * 13787848793156543929) + "
+            "  ((CAST(y >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "  % 18446744073709551616 AS UBIGINT) AS x FROM a1), "
+            "a2 AS (SELECT doc_id, xor(x, x >> 27) AS y FROM b1), "
+            "b2 AS (SELECT doc_id, CAST(((CAST(y % 4294967296 AS HUGEINT) * 10723151780598845931) + "
+            "  ((CAST(y >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "  % 18446744073709551616 AS UBIGINT) AS x FROM a2), "
+            "a3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM b2) "
+            "SELECT doc_id, CAST(CAST(x AS HUGEINT) - CASE WHEN x >= CAST(9223372036854775808 AS UBIGINT) "
+            "  THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS content_hash "
+            "FROM a3"
+        ),
+        # exact mirror of LangId: per-language count of DISTINCT marker
+        # tokens; winner = max count with ties to the earlier language in
+        # registration order (en, de, fr, es, it, nl, pt); 0 markers → 'und'
+        "lang_id": (
+            "WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks "
+            "FROM documents), c AS (SELECT doc_id, "
+            "len(list_intersect(toks, ['the','and','of','to','is','that','with'])) AS n_en, "
+            "len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit'])) AS n_de, "
+            "len(list_intersect(toks, ['le','la','les','et','est','pas','avec'])) AS n_fr, "
+            "len(list_intersect(toks, ['el','la','los','y','es','no','con'])) AS n_es, "
+            "len(list_intersect(toks, ['il','la','gli','e','è','non','con'])) AS n_it, "
+            "len(list_intersect(toks, ['de','het','een','en','is','niet','met'])) AS n_nl, "
+            "len(list_intersect(toks, ['o','a','os','e','é','não','com'])) AS n_pt FROM t) "
+            "SELECT doc_id, CASE "
+            "WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_it AND n_en >= n_nl AND n_en >= n_pt THEN 'en' "
+            "WHEN n_de > 0 AND n_de > n_en AND n_de >= n_fr AND n_de >= n_es AND n_de >= n_it AND n_de >= n_nl AND n_de >= n_pt THEN 'de' "
+            "WHEN n_fr > 0 AND n_fr > n_en AND n_fr > n_de AND n_fr >= n_es AND n_fr >= n_it AND n_fr >= n_nl AND n_fr >= n_pt THEN 'fr' "
+            "WHEN n_es > 0 AND n_es > n_en AND n_es > n_de AND n_es > n_fr AND n_es >= n_it AND n_es >= n_nl AND n_es >= n_pt THEN 'es' "
+            "WHEN n_it > 0 AND n_it > n_en AND n_it > n_de AND n_it > n_fr AND n_it > n_es AND n_it >= n_nl AND n_it >= n_pt THEN 'it' "
+            "WHEN n_nl > 0 AND n_nl > n_en AND n_nl > n_de AND n_nl > n_fr AND n_nl > n_es AND n_nl > n_it AND n_nl >= n_pt THEN 'nl' "
+            "WHEN n_pt > 0 AND n_pt > n_en AND n_pt > n_de AND n_pt > n_fr AND n_pt > n_es AND n_pt > n_it AND n_pt > n_nl THEN 'pt' "
+            "ELSE 'und' END AS lang_pred FROM c"
         ),
         "page_ioc_match": (
             f"SELECT {url_expr} AS url, source || '.example.com' AS ioc, "

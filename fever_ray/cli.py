@@ -112,6 +112,19 @@ def cmd_bloom(args) -> int:
                 {"n": bf.n, "p": bf.p, "k": bf.k, "m": bf.m, "N": bf.N, "fill_ratio": bf.fill_ratio}
             )
         )
+    elif args.action == "add":
+        # incremental add-then-save on an existing filter file — the batch
+        # analog of the reference's live BloomAdd mgmt call
+        # (/root/reference/mgmt/mgmtserver.go:118-160): same DCSO byte
+        # format in and out, so fever-written files round-trip
+        bf = BloomFilter.load_with_fallback(args.file, compressed=args.zipped)
+        values = list(args.values)
+        if args.iocs:
+            with open(args.iocs) as fh:
+                values += [line.strip() for line in fh if line.strip()]
+        bf.add(values)
+        bf.save(args.file, compressed=args.zipped)
+        print(f"added {len(values)} values: N={bf.N} fill={bf.fill_ratio:.6g}")
     elif args.action == "check":
         bf = BloomFilter.load_with_fallback(args.file, compressed=args.zipped)
         for v in args.values:
@@ -162,7 +175,7 @@ def main(argv=None) -> int:
     pi.set_defaults(fn=cmd_ioc)
 
     pb = sub.add_parser("bloom", help="bloom artifact management")
-    pb.add_argument("action", choices=["create", "show", "check"])
+    pb.add_argument("action", choices=["create", "add", "show", "check"])
     pb.add_argument("file")
     pb.add_argument("values", nargs="*")
     pb.add_argument("--iocs", help="one IoC per line (create)")
@@ -183,10 +196,19 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     cfg = _maybe_yaml(args.config)
+    # cascade: explicit flags > YAML > parser defaults.  "Explicit" means
+    # the long option appeared on the command line — comparing against the
+    # parsed value can't distinguish "--batch-size 16384" from the default
+    # 16384, which previously made YAML unable to set any flag whose
+    # argparse default is non-falsy.
+    tokens = list(sys.argv[1:] if argv is None else argv)
+    given = {t.split("=", 1)[0] for t in tokens if t.startswith("--")}
     for k, v in cfg.items():
-        k = k.replace("-", "_")
-        if getattr(args, k, None) in (None, "", False):
-            setattr(args, k, v)
+        dest = k.replace("-", "_")
+        if not hasattr(args, dest):
+            continue
+        if "--" + dest.replace("_", "-") not in given:
+            setattr(args, dest, v)
     try:
         return args.fn(args)
     except FileNotFoundError as e:

@@ -42,6 +42,9 @@ from ..core.udaf import SketchSpec, make_merge_fn, make_partials_fn
 from ..sketches import sketch_from_bytes
 
 PARTITION_COL = "__partition"
+# synthetic partial row carrying a batch's true input row count (summed per
+# partition); never written to the sketch payload checkpoint
+INPUT_ROWS_ID = "__input_rows"
 
 
 def partition_key(path: str) -> str:
@@ -62,16 +65,27 @@ class _WritePartition:
         self.sketch_ids = sketch_ids
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t0 = time.perf_counter()
         part = group.column(PARTITION_COL)[0].as_py()
         key = partition_key(part)
         payload_path = os.path.join(self.out_dir, "partials", f"{key}.parquet")
+        # split off the synthetic input-row-count row: it carries the
+        # partition's true INPUT row count (per-sketch 'rows' are non-null
+        # counts of the sketched column, which undercount on nully columns)
+        is_count = pc.equal(group.column("sketch_id"), INPUT_ROWS_ID)
+        count_rows = group.filter(is_count)
+        group = group.filter(pc.invert(is_count))
         payload = group.drop_columns([PARTITION_COL])
         _atomic_write(payload_path, lambda p: pq.write_table(payload, p))
         digest = hashlib.sha1(
             b"".join(sorted(group.column("payload").to_pylist()))
         ).hexdigest()
-        rows = int(pa.compute.max(group.column("rows")).as_py() or 0)
+        if count_rows.num_rows:
+            rows = int(pa.compute.sum(count_rows.column("rows")).as_py() or 0)
+        else:  # pre-synthetic checkpoints: best-effort non-null max
+            rows = int(pa.compute.max(group.column("rows")).as_py() or 0)
         nbytes = sum(len(b) for b in group.column("payload").to_pylist())
         manifest = {
             "partition": key,
@@ -148,9 +162,19 @@ def run_partitioned_build(
             for part in pc.unique(batch.column("path")).to_pylist():
                 sub = batch.filter(pc.equal(batch.column("path"), part))
                 sub = sub.drop_columns(["path"])
+                n_input = sub.num_rows
                 if prepare is not None:
                     sub = prepare(sub)
                 out = base_partials(sub)
+                count_row = pa.table(
+                    {
+                        "sketch_id": pa.array([INPUT_ROWS_ID], type=pa.string()),
+                        "salt": pa.array([0], type=pa.int32()),
+                        "payload": pa.array([b""], type=pa.large_binary()),
+                        "rows": pa.array([n_input], type=pa.int64()),
+                    }
+                )
+                out = pa.concat_tables([out, count_row])
                 outs.append(
                     out.append_column(
                         PARTITION_COL,
@@ -163,7 +187,20 @@ def run_partitioned_build(
 
         def merge_keep_partition(group: pa.Table) -> pa.Table:
             part = group.column(PARTITION_COL)[0].as_py()
-            merged = merge(group.drop_columns([PARTITION_COL]))
+            sid0 = group.column("sketch_id")[0].as_py()
+            if sid0 == INPUT_ROWS_ID:
+                # synthetic count rows: sum, don't sketch-merge
+                total = int(pa.compute.sum(group.column("rows")).as_py() or 0)
+                merged = pa.table(
+                    {
+                        "sketch_id": pa.array([INPUT_ROWS_ID], type=pa.string()),
+                        "salt": pa.array([0], type=pa.int32()),
+                        "payload": pa.array([b""], type=pa.large_binary()),
+                        "rows": pa.array([total], type=pa.int64()),
+                    }
+                )
+            else:
+                merged = merge(group.drop_columns([PARTITION_COL]))
             return merged.append_column(
                 PARTITION_COL, pa.array([part] * merged.num_rows, type=pa.string())
             )

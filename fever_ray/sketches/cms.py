@@ -123,15 +123,23 @@ class CountMin:
                 self.candidates[v if isinstance(v, (str, bytes)) else str(v)] = None
 
     def _update_conservative(self, values, counts: np.ndarray) -> None:
-        # aggregate duplicate keys first so each unique key is applied once
-        if hasattr(values, "to_pylist"):
-            arr = np.array(values.to_pylist(), dtype=object)
+        # aggregate duplicate keys first so each unique key is applied once.
+        # The key dtype must survive aggregation: _cols hashes integer
+        # ndarrays with hash64_ints and str/bytes with hash64, so a str
+        # round-trip here would land int keys in different counters than
+        # query() reads (and crash on non-UTF-8 bytes).
+        if isinstance(values, np.ndarray) and np.issubdtype(values.dtype, np.integer):
+            uniq, inverse = np.unique(values, return_inverse=True)
         else:
-            arr = np.asarray(values, dtype=object)
-        uniq, inverse = np.unique(arr.astype(str), return_inverse=True)
+            vals = values.to_pylist() if hasattr(values, "to_pylist") else list(values)
+            index: dict = {}
+            inverse = np.empty(len(vals), dtype=np.int64)
+            for i, v in enumerate(vals):
+                inverse[i] = index.setdefault(v, len(index))
+            uniq = list(index)
         agg = np.zeros(len(uniq), dtype=np.uint64)
         np.add.at(agg, inverse, counts)
-        cols = self._cols(list(uniq))
+        cols = self._cols(uniq)
         est = self.table[0][cols[0]].copy()
         for d in range(1, self.depth):
             np.minimum(est, self.table[d][cols[d]], out=est)

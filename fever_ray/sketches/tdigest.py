@@ -46,13 +46,16 @@ class TDigest:
 
     def update(self, values, weights=None) -> None:
         vals = np.asarray(values, dtype=np.float64)
-        vals = vals[~np.isnan(vals)]
+        # one NaN mask applied to BOTH arrays — filtering only vals would
+        # desynchronize the (vals, weights) pair buffered for _flush
+        keep = ~np.isnan(vals)
+        vals = vals[keep]
         if len(vals) == 0:
             return
         w = (
             np.ones(len(vals))
             if weights is None
-            else np.asarray(weights, dtype=np.float64)
+            else np.asarray(weights, dtype=np.float64)[keep]
         )
         self._buf.append((vals, w))
         if sum(len(v) for v, _ in self._buf) > 16 * self.delta:

@@ -88,7 +88,12 @@ class ThetaSketch:
     def merge(self, other: "ThetaSketch") -> "ThetaSketch":
         if self.k != other.k or self.seed != other.seed:
             raise ValueError("cannot merge theta sketches with different k/seed")
-        self._ingest(other.values, other.keys)
+        if self.keys is not None and other.keys is None:
+            # merging a keyless sketch would update values but not keys,
+            # silently desynchronizing sample_keys(); drop key tracking
+            # instead (union semantics survive, sampled keys do not)
+            self.keys = None
+        self._ingest(other.values, other.keys if self.keys is not None else None)
         return self
 
     # -------------------------------------------------------------- estimates

@@ -47,3 +47,50 @@ def test_rebuilding_reproduces_identical_bytes():
     assert hashlib.sha1(bf.to_bytes()).hexdigest() == GOLDEN_SHA1
     with open(FIXTURE, "rb") as fh:
         assert fh.read() == bf.to_bytes()
+
+
+def test_cli_add_then_save_roundtrip_matches_build_at_once(tmp_path):
+    """`bloom add` on an existing filter file (the mgmt BloomAdd analog,
+    /root/reference/mgmt/mgmtserver.go:118-160): incremental add-then-save
+    must produce the byte-identical DCSO layout of a filter built with all
+    values at once."""
+    from fever_ray import cli as cli_mod
+
+    first, extra = _planted()[:80], _planted()[80:]
+    f_inc = str(tmp_path / "inc.bloom")
+    bf = BloomFilter.initialize(1000, 0.0001)
+    bf.add(first)
+    bf.save(f_inc)
+
+    iocs = tmp_path / "extra.txt"
+    iocs.write_text("".join(v + "\n" for v in extra))
+    rc = cli_mod.main(["bloom", "add", f_inc, "--iocs", str(iocs)])
+    assert rc == 0
+
+    ref = BloomFilter.initialize(1000, 0.0001)
+    ref.add(_planted())
+    got = open(f_inc, "rb").read()
+    assert got == ref.to_bytes()
+    # and the grown filter still answers membership correctly
+    bf2 = BloomFilter.load(f_inc)
+    assert bf2.check(_planted()).all()
+    assert bf2.N == len(_planted())
+
+
+def test_add_then_save_on_golden_fixture(tmp_path):
+    """Adding to the GOLDEN fever-written file and saving must preserve the
+    DCSO layout: reload sees old + new members with pinned params."""
+    import shutil
+
+    from fever_ray import cli as cli_mod
+
+    work = str(tmp_path / "work.bloom")
+    shutil.copy(FIXTURE, work)
+    rc = cli_mod.main(["bloom", "add", work, "new-ioc.example.org"])
+    assert rc == 0
+    bf = BloomFilter.load(work)
+    assert (bf.n, bf.p, bf.k, bf.m) == (1000, 0.0001, 14, 19170)
+    assert bf.N == 104  # golden 103 + 1
+    assert bf.check(_planted()).all()
+    assert bf.check_one("new-ioc.example.org")
+    assert bf.data == b"fever_ray golden fixture v1"

@@ -87,3 +87,22 @@ def test_checkpointed_flagship_equals_streaming_flagship(ray_session, pages_dir,
     for name in ("tdigest_html_len", "kll_text_len", "kll_warc_ts"):
         a, b = s1[name]["estimate"], s2[name]["estimate"]
         assert abs(a - b) <= 0.05 * max(abs(a), abs(b)), name
+
+
+def test_lineage_rows_counts_inputs_not_nonnull(ray_session, tmp_path):
+    """Partition 'rows' must be the INPUT row count even when every sketched
+    column contains nulls (per-sketch non-null counts undercount)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "url": pa.array(["a", None, "c", None, None, "f"], type=pa.string()),
+            "lang": pa.array([None, "en", None, "de", None, "fr"], type=pa.string()),
+        }
+    )
+    src = str(tmp_path / "nully.parquet")
+    pq.write_table(t, src)
+    r = run_partitioned_build([src], SPECS, str(tmp_path / "ck"), batch_size=256)
+    assert len(r["lineage"]) == 1
+    assert r["lineage"][0]["rows"] == 6  # not max(3, 3)

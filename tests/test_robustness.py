@@ -111,3 +111,32 @@ def test_tls_dns_null_fields():
     out = m(batch)
     assert out.num_rows == 1
     assert out.column("ioc")[0].as_py() == "evil.sni"
+
+
+def test_cli_yaml_sets_nonfalsy_default_flags(tmp_path, monkeypatch):
+    """Config cascade: flags > YAML > defaults — including flags whose
+    argparse default is non-falsy (batch_size etc.), which the old merge
+    could never set from YAML."""
+    import json as _json
+
+    from fever_ray import cli as cli_mod
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({"batch-size": 1234, "limit": 7}))
+    captured = {}
+
+    def fake_ioc(args):
+        captured["batch"] = getattr(args, "batch_size", None)
+        captured["limit"] = args.limit
+        return 0
+
+    monkeypatch.setattr(cli_mod, "cmd_ioc", fake_ioc)
+    # re-build parser wiring around the patched handler
+    rc = cli_mod.main(
+        ["--config", str(cfg), "ioc", "--input", "x", "--bloom-file", "y", "--limit", "9"]
+    )
+    assert rc == 0
+    assert captured["limit"] == 9  # explicit flag wins over YAML
+    rc = cli_mod.main(["--config", str(cfg), "ioc", "--input", "x", "--bloom-file", "y"])
+    assert rc == 0
+    assert captured["limit"] == 7  # YAML beats the non-falsy argparse default

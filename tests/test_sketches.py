@@ -246,3 +246,50 @@ def test_cms_conservative_partials_merge_additively_and_never_undercount():
     est = merged.query(list(uniq)).astype(np.int64)
     assert (est >= exact).all()
     assert merged.total == len(keys)
+
+
+def test_cms_conservative_update_int_and_bytes_keys():
+    """Conservative updates must land in the SAME counters query() reads:
+    int ndarrays hash via hash64_ints, bytes without str coercion (the str
+    round-trip previously zeroed every int-key conservative estimate)."""
+    from fever_ray.sketches.cms import CountMin
+
+    cms = CountMin.create(width=512, depth=4)
+    keys = np.array([7, 7, 42, 1000], dtype=np.int64)
+    cms.update(keys, conservative=True)
+    est = cms.query(keys)
+    assert est[0] >= 2 and est[1] >= 2  # duplicate aggregated
+    assert est[2] >= 1 and est[3] >= 1
+
+    cms2 = CountMin.create(width=512, depth=4)
+    bkeys = [b"\xff\xfe-not-utf8", b"plain"]
+    cms2.update(bkeys, conservative=True)  # must not raise UnicodeDecodeError
+    assert (cms2.query(bkeys) >= 1).all()
+
+
+def test_tdigest_nan_values_with_weights():
+    """The NaN mask must apply to values AND caller weights together."""
+    from fever_ray.sketches.tdigest import TDigest
+
+    td = TDigest.create(delta=50)
+    vals = np.array([1.0, np.nan, 3.0, np.nan, 5.0])
+    w = np.array([1.0, 99.0, 1.0, 99.0, 1.0])
+    td.update(vals, weights=w)
+    td._flush()
+    # NaN rows (and their big weights) dropped as a pair: total weight == 3
+    assert td.total == pytest.approx(3.0)
+    assert td.quantile(0.5) == pytest.approx(3.0, abs=2.0)
+
+
+def test_theta_merge_keyless_drops_key_tracking():
+    """Merging a keyless sketch into a keyed one must not desynchronize
+    values/keys — key tracking is dropped instead."""
+    from fever_ray.sketches.theta import ThetaSketch
+
+    keyed = ThetaSketch.create(k=64, keep_keys=True)
+    keyed.update(["a", "b", "c"])
+    keyless = ThetaSketch.create(k=64)
+    keyless.update(["d", "e"])
+    keyed.merge(keyless)
+    assert keyed.keys is None
+    assert keyed.estimate() == pytest.approx(5.0)

@@ -77,3 +77,44 @@ def test_same_results_across_parallelism_levels(pages_dir):
         assert line, out.stderr[-2000:]
         results.append(json.loads(line[0][8:]))
     assert results[0] == results[1]
+
+
+def test_jsonl_null_heavy_ingest_parity(ray_session, tmp_path):
+    """Null-heavy / ragged EVE-style ingest (the reference's
+    util/testdata/jsonparse_eve_nulls.json pattern): explicit JSON nulls,
+    missing keys, and extra unknown keys must all land as proper Arrow
+    nulls / be ignored — never strings like 'None' or parse crashes."""
+    path = str(tmp_path / "nulls.jsonl")
+    lines = [
+        # fully-populated row
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7,
+         "event_type": "view", "value": 1.5, "props": "{}"},
+        # explicit nulls everywhere but the id
+        {"event_id": 2, "ts": None, "user_id": None, "event_type": None,
+         "value": None, "props": None},
+        # missing keys entirely + an unknown nested extra
+        {"event_id": 3, "extra": {"deep": None, "x": [1, None]}},
+        # null inside a present string field
+        {"event_id": 4, "ts": "2024-01-02T03:04:05", "event_type": "click",
+         "props": None, "user_id": 9, "value": 0.0},
+    ]
+    with open(path, "w") as fh:
+        for r in lines:
+            fh.write(json.dumps(r) + "\n")
+    out = (
+        read_event_jsonl([path])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["event_id"]) == [1, 2, 3, 4]
+    import pandas as pd
+
+    # row 2: explicit nulls -> missing values, not "None" strings
+    assert pd.isna(out.loc[1, "event_type"]) and pd.isna(out.loc[1, "value"])
+    assert pd.isna(out.loc[1, "ts"]) and pd.isna(out.loc[1, "user_id"])
+    # row 3: absent keys -> nulls; unknown 'extra' dropped by projection
+    assert pd.isna(out.loc[2, "event_type"]) and "extra" not in out.columns
+    # row 4: mixed null/non-null within a row
+    assert out.loc[3, "event_type"] == "click" and pd.isna(out.loc[3, "props"])
+    assert out.loc[0, "value"] == 1.5
