@@ -32,9 +32,11 @@ def ipv4_to_uint32(ips) -> tuple[np.ndarray, np.ndarray]:
         vals = np.zeros(len(ips), dtype=np.uint64)
         for i, f in enumerate(("a", "b", "c", "d")):
             col = pc.struct_field(parts, f)
-            nums = np.array(
-                [int(x) if x is not None else 0 for x in col.to_pylist()], dtype=np.uint64
-            )
+            # vectorized octet cast: cap absurd digit runs first so the
+            # uint64 cast can't overflow, then range-check ≤ 255
+            too_long = pc.fill_null(pc.greater(pc.utf8_length(col), 3), True)
+            col = pc.if_else(too_long, "999", pc.fill_null(col, "0"))
+            nums = pc.cast(col, pa.uint64()).to_numpy(zero_copy_only=False)
             ok = nums <= 255
             valid &= ok
             vals |= (nums & np.uint64(0xFF)) << np.uint64(8 * (3 - i))

@@ -38,7 +38,9 @@ _TAG_RE = r"<[^>]*>"
 _NL_COLLAPSE_RE = r"[ \t\r\f\v]*\n[ \t\r\f\v\n]*"
 
 
-def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+def extract_text(
+    html: pa.Array | pa.ChunkedArray, target_chunk_bytes: int | None = None
+) -> pa.Array:
     """Pinned extractor v1: html (binary/string) → text (string).
 
     Specification (applied in exactly this order):
@@ -51,9 +53,30 @@ def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
       5. HTML entities &lt; &gt; &quot; &#39; then &amp; are decoded
       6. whitespace around newlines collapses to a single '\n'; leading and
          trailing whitespace is stripped
+
+    Implementation detail (NOT part of the spec — per-row results are
+    unchanged): with ``target_chunk_bytes`` set, the 12-kernel chain runs
+    over column slices of that size so intermediates stay cache-resident
+    instead of streaming DRAM 12× per pass.  Measured ~14% faster
+    single-threaded at 1 MB slices but a wash under multi-core contention
+    on this box, so the default stays monolithic; the knob exists for
+    hosts where the cache-residency win survives parallelism.
     """
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
+    n = len(html)
+    if target_chunk_bytes and n and html.nbytes > 2 * target_chunk_bytes:
+        n_chunks = max(1, html.nbytes // target_chunk_bytes)
+        step = max(1, n // int(n_chunks))
+        outs = [
+            _extract_text_one(html.slice(s0, min(step, n - s0)))
+            for s0 in range(0, n, step)
+        ]
+        return pa.concat_arrays(outs) if len(outs) > 1 else outs[0]
+    return _extract_text_one(html)
+
+
+def _extract_text_one(html: pa.Array) -> pa.Array:
     s = html
     if pa.types.is_binary(s.type) or pa.types.is_large_binary(s.type):
         s = s.cast(pa.large_string())
@@ -64,8 +87,13 @@ def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     s = pc.replace_substring_regex(s, pattern=_COMMENT_RE, replacement="")
     s = pc.replace_substring_regex(s, pattern=_BLOCK_CLOSE_RE, replacement="\n")
     s = pc.replace_substring_regex(s, pattern=_TAG_RE, replacement="")
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
-        s = pc.replace_substring(s, pattern=ent, replacement=ch)
+    # entity decode: every entity starts with '&', so one allocation-free
+    # scan gates all five replace passes (each otherwise copies the whole
+    # column — 10 GB of memory traffic per GB of html skipped when absent);
+    # byte-identical with the unconditional chain by construction
+    if pc.any(pc.match_substring(s, "&")).as_py():
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+            s = pc.replace_substring(s, pattern=ent, replacement=ch)
     s = pc.replace_substring_regex(s, pattern=_NL_COLLAPSE_RE, replacement="\n")
     s = pc.utf8_trim_whitespace(s)
     return s.cast(pa.large_string())

@@ -26,21 +26,28 @@ from ..sketches.hashing import hash64, splitmix64
 FEATURE_DIM = 8
 
 
-def _fake_decode(payloads: list[bytes | None]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _fake_decode(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Deterministic fake decode: width/height from byte-length arithmetic,
-    features from a seeded hash chain of the payload bytes."""
-    n = len(payloads)
-    widths = np.zeros(n, dtype=np.int32)
-    heights = np.zeros(n, dtype=np.int32)
+    features from a seeded hash chain of the payload bytes.  Accepts an
+    Arrow binary array (zero-copy hashing/lengths) or a list of bytes."""
+    import pyarrow.compute as pc
+
+    if isinstance(payloads, pa.ChunkedArray):
+        payloads = payloads.combine_chunks()
+    if isinstance(payloads, pa.Array):
+        arr = payloads.fill_null(b"") if payloads.null_count else payloads
+        lens = pc.binary_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    else:
+        arr = [p or b"" for p in payloads]
+        lens = np.array([len(b) for b in arr], dtype=np.int64)
+    n = len(lens)
     feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
-    blobs = [p or b"" for p in payloads]
-    h0 = hash64(blobs)
+    h0 = hash64(arr)
     for j in range(FEATURE_DIM):
         hj = splitmix64(h0 ^ np.uint64(0x9E3779B97F4A7C15 * (j + 1) & 0xFFFFFFFFFFFFFFFF))
         feats[:, j] = (hj.astype(np.float64) / 2**64).astype(np.float32)
-    lens = np.array([len(b) for b in blobs], dtype=np.int64)
-    widths[:] = (16 + (lens % 1024)).astype(np.int32)
-    heights[:] = (16 + ((lens // 1024) % 1024)).astype(np.int32)
+    widths = (16 + (lens % 1024)).astype(np.int32)
+    heights = (16 + ((lens // 1024) % 1024)).astype(np.int32)
     return widths, heights, feats
 
 
@@ -62,8 +69,7 @@ class DecodeImageStub:
                 "image decode requires an image library not present in this "
                 "container; run with strict=False for the deterministic stub"
             )
-        payloads = batch.column(self.payload_col).to_pylist()
-        w, h, feats = _fake_decode(payloads)
+        w, h, feats = _fake_decode(batch.column(self.payload_col))
         batch = batch.append_column("img_width", pa.array(w, type=pa.int32()))
         batch = batch.append_column("img_height", pa.array(h, type=pa.int32()))
         batch = batch.append_column(

@@ -92,34 +92,45 @@ _LANG_MARKERS = {
 
 class LangId:
     """Heuristic language ID as an actor-pool stage: marker tables compiled
-    once per actor (__init__), batches scored vectorized per token multiset.
-    Unknown/ambiguous text → 'und'."""
+    once per actor (__init__), scoring fully vectorized — per marker word
+    one C++ string-equality pass over the batch's flat token array plus a
+    segmented any-per-doc reduction; no Python-per-row loop, no hashing
+    (exact string compare keeps oracle parity collision-free).
+    Winner = max distinct-marker count, ties to the earlier language in
+    registration order; zero markers → 'und'."""
 
     def __init__(self) -> None:
-        self.markers = {
-            lang: frozenset(words) for lang, words in _LANG_MARKERS.items()
-        }
+        self.lang_order = list(_LANG_MARKERS)
+        self.marker_words = [sorted(_LANG_MARKERS[lang]) for lang in self.lang_order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        toks_list = pc.split_pattern(
-            pc.utf8_lower(pc.cast(text, pa.string())), " "
-        ).to_pylist()
-        preds = []
-        for toks in toks_list:
-            if not toks:
-                preds.append("und")
-                continue
-            tokset = set(toks)
-            best, best_n = "und", 0
-            for lang, markers in self.markers.items():
-                n = len(tokset & markers)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+        toks = pc.split_pattern(pc.utf8_lower(pc.cast(text, pa.string())), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        n_docs = len(toks)
+        doc_lens = np.diff(offsets)
+        counts = np.zeros((n_docs, len(self.lang_order)), dtype=np.int64)
+        if len(flat):
+            starts = np.minimum(offsets[:-1], len(flat) - 1)
+            nonempty = doc_lens > 0
+            for li, words in enumerate(self.marker_words):
+                for w in words:
+                    eq = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+                    present = np.maximum.reduceat(eq.astype(np.int64), starts)
+                    counts[:, li] += np.where(nonempty, present, 0)
+        best_n = counts.max(axis=1)
+        best_ix = counts.argmax(axis=1)  # first max → earliest language wins ties
+        langs = np.asarray(self.lang_order, dtype=object)
+        preds = np.where(best_n > 0, langs[best_ix], "und")
+        return batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), type=pa.string())
+        )
 
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
