@@ -261,3 +261,38 @@ def test_frame_sample_stub():
     rows = out.to_pylist()
     assert [r["id"] for r in rows] == [1, 1, 1, 2]
     assert [r["frame_index"] for r in rows] == [0, 1, 2, 0]
+
+
+def test_ipv6_prefix_lanes_edges():
+    """Two-uint64-lane masks at the prefix-length edge cases (/0, /48, /64,
+    /65, /124, /128) vs ipaddress ground truth."""
+    import ipaddress
+
+    import numpy as np
+
+    from fever_ray.ops.cidr import _prefix_lanes, ipv6_lanes
+
+    cases = [
+        ("::/0", ["::", "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff", "2001:db8::1"], []),
+        ("2001:db8::/48", ["2001:db8:0:1::5", "2001:db8::"], ["2001:db9::", "2001:db8:1::"]),
+        ("2001:db8::/64", ["2001:db8::ffff:ffff:ffff:ffff"], ["2001:db8:0:1::"]),
+        ("2001:db8::/65", ["2001:db8::1", "2001:db8:0:0:7fff::"], ["2001:db8:0:0:8000::"]),
+        ("2001:db8::/124", ["2001:db8::e"], ["2001:db8::10"]),
+        ("2001:db8::42/128", ["2001:db8::42"], ["2001:db8::43"]),
+    ]
+    for cidr, inside, outside in cases:
+        net = ipaddress.ip_network(cidr, strict=False)
+        _, hb, lb, hm, lm = (cidr,) + _prefix_lanes(net)
+        ips = inside + outside
+        hi, lo, ok = ipv6_lanes(ips)
+        assert ok.all()
+        hit = ((hi & hm) == hb) & ((lo & lm) == lb)
+        want = np.array([ipaddress.ip_address(s) in net for s in ips])
+        assert (hit == want).all(), (cidr, list(zip(ips, hit, want)))
+
+
+def test_ipv6_lanes_invalid_inputs():
+    from fever_ray.ops.cidr import ipv6_lanes
+
+    hi, lo, ok = ipv6_lanes(["2001:db8::1", "not-an-ip", "10.0.0.1", ""])
+    assert list(ok) == [True, False, False, False]
