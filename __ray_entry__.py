@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fever_ray.ops.alertify import alertify
     from fever_ray.ops.cidr import cidr_match
     from fever_ray.ops.dedup import (
+        connected_components,
         embedding_dup_pairs,
         exact_dedup,
         minhash_dedup_components,
@@ -241,6 +242,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ann_recall_gate(sf, ann, threshold=0.6)
 
     # ---- dedup family ----------------------------------------------------
+    def q_connected_components(sf):
+        # deterministic chain graph over the events user ids: edge
+        # (u-1, u) whenever u % 10 != 0 → components are the runs of 10
+        # consecutive ids.  Oracle: DuckDB recursive CTE computing min
+        # reachable id over the symmetric closure — the exact semantic of
+        # distributed min-label propagation.
+        def edges(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            a = u[u % 10 != 0]
+            return pa.table(
+                {
+                    "doc_a": pa.array(a - 1, type=pa.int64()),
+                    "doc_b": pa.array(a, type=pa.int64()),
+                }
+            )
+
+        e = _t(sf, "events", ["user_id"]).map_batches(edges, batch_format="pyarrow")
+        return connected_components(e, num_partitions=8)
+
     def q_exact_dedup(sf):
         ds = exact_dedup(_t(sf, "documents", ["doc_id", "text"]))
         return ds.map_batches(
@@ -609,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_recall_gate": q_knn_lsh_recall_gate,
         "knn_ivf_recall_gate": q_knn_ivf_recall_gate,
         "exact_dedup": q_exact_dedup,
+        "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -734,6 +755,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "connected_components": (
+            "WITH RECURSIVE e0 AS (SELECT DISTINCT user_id - 1 AS a, user_id AS b "
+            "  FROM events WHERE user_id % 10 <> 0), "
+            "sym AS (SELECT a, b FROM e0 UNION SELECT e0.b AS a, e0.a AS b FROM e0), "
+            "reach AS (SELECT a, b FROM sym "
+            "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
+            "SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a"
         ),
         "embedding_dups": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "

@@ -197,6 +197,34 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # windows / sessions / text analysis breadth (same sf tables)
+    from fever_ray.ops.dedup import embedding_dup_pairs
+    from fever_ray.ops.textstats import LangId
+    from fever_ray.ops.windows import hopping_window, sessionize, tumbling_window
+
+    timings["tumbling_window"] = _timed(
+        lambda: tumbling_window(ev(["ts", "event_type", "value"])).materialize()
+    )
+    timings["hopping_window"] = _timed(
+        lambda: hopping_window(
+            ev(["ts", "event_type", "value"]), size_s=3600, step_s=900
+        ).materialize()
+    )
+    timings["sessionize"] = _timed(
+        lambda: sessionize(ev(["user_id", "ts"]), gap_s=1800).materialize()
+    )
+    timings["lang_id"] = _timed(
+        lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8))
+        .materialize()
+    )
+    timings["embedding_dups"] = _timed(
+        lambda: embedding_dup_pairs(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            threshold=0.9,
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
