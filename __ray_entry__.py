@@ -658,6 +658,146 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ---------------------------------------------------------------- oracle SQL
+def _simhash_sql() -> str:
+    """Bit-exact DuckDB mirror of ops.textstats.fingerprint: splitmix64∘FNV-1a
+    content hash AND the 64-bit SimHash (per-bit majority vote over token
+    hashes), generated programmatically — the splitmix multiplications are
+    split into 32-bit halves so HUGEINT never overflows, and each of the 64
+    bit-vote terms is an explicit CASE (codepoint == utf-8 byte on this
+    ASCII corpus)."""
+    m = "18446744073709551616"
+
+    def mulmod(y: str, mult: str) -> str:
+        return (
+            f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
+            f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
+            f"% {m} AS UBIGINT)"
+        )
+
+    fnv_token = (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
+        "list_transform(range(1, strlen(t) + 1), i -> CAST(unicode(t[i]) AS UBIGINT))),"
+        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {m} AS UBIGINT))"
+    )
+    fnv_text = (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
+        "list_transform(range(1, strlen(text) + 1), i -> CAST(unicode(text[i]) AS UBIGINT))),"
+        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {m} AS UBIGINT))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> CAST((h >> {b}) & 1 AS BIGINT))) > n "
+        f"THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS HUGEINT) ELSE 0 END)"
+        for b in range(64)
+    )
+    to_i64 = (
+        "CAST(CAST(x AS HUGEINT) - CASE WHEN x >= CAST(9223372036854775808 AS UBIGINT) "
+        f"THEN CAST({m} AS HUGEINT) ELSE 0 END AS BIGINT)"
+    )
+    return (
+        f"WITH ch0 AS (SELECT doc_id, string_split(text, ' ') AS toks, {fnv_text} AS h0 FROM documents), "
+        "ca1 AS (SELECT doc_id, toks, xor(h0, h0 >> 30) AS y FROM ch0), "
+        f"cb1 AS (SELECT doc_id, toks, {mulmod('y', '13787848793156543929')} AS x FROM ca1), "
+        "ca2 AS (SELECT doc_id, toks, xor(x, x >> 27) AS y FROM cb1), "
+        f"cb2 AS (SELECT doc_id, toks, {mulmod('y', '10723151780598845931')} AS x FROM ca2), "
+        "ca3 AS (SELECT doc_id, toks, xor(x, x >> 31) AS x FROM cb2), "
+        f"chash AS (SELECT doc_id, toks, {to_i64} AS content_hash FROM ca3), "
+        f"t0 AS (SELECT doc_id, content_hash, len(toks) AS n, list_transform(toks, t -> {fnv_token}) AS hs FROM chash), "
+        "t1 AS (SELECT doc_id, content_hash, n, list_transform(hs, h -> xor(h, h >> 30)) AS hs FROM t0), "
+        f"t2 AS (SELECT doc_id, content_hash, n, list_transform(hs, y -> {mulmod('y', '13787848793156543929')}) AS hs FROM t1), "
+        "t3 AS (SELECT doc_id, content_hash, n, list_transform(hs, x -> xor(x, x >> 27)) AS hs FROM t2), "
+        f"t4 AS (SELECT doc_id, content_hash, n, list_transform(hs, y -> {mulmod('y', '10723151780598845931')}) AS hs FROM t3), "
+        "t5 AS (SELECT doc_id, content_hash, n, list_transform(hs, x -> xor(x, x >> 31)) AS hs FROM t4) "
+        f"SELECT doc_id, content_hash, CAST({bit_terms} AS BIGINT) AS simhash FROM t5"
+    )
+
+
+def _minhash_dedup_sql() -> str:
+    """Generated DuckDB mirror of the ENTIRE MinHash near-dedup pipeline —
+    tokenize → hash64 per token → position-mixed 3-token shingle folds →
+    64 seeded MinHash permutations (salts hardcoded from the engine's
+    rng(seed=1) stream) → 16-band LSH fold → candidate pairs → exact
+    shingle-set Jaccard ≥ 0.7 → connected components via a recursive-CTE
+    min-reachable closure.  Every splitmix64 runs as five elementwise
+    list_transform stages (an inline expansion would duplicate its argument
+    ~72× per application) and the per-permutation mins slice one flat
+    (salt × shingle) cross list, so the SQL stays linear in data size."""
+    import numpy as np
+
+    m = "18446744073709551616"
+
+    def mulmod(y: str, mult: str) -> str:
+        return (
+            f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
+            f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
+            f"% {m} AS UBIGINT)"
+        )
+
+    def sm_steps(col: str) -> list[str]:
+        return [
+            f"list_transform({col}, x -> xor(x, x >> 30))",
+            f"list_transform({col}, y -> {mulmod('y', '13787848793156543929')})",
+            f"list_transform({col}, x -> xor(x, x >> 27))",
+            f"list_transform({col}, y -> {mulmod('y', '10723151780598845931')})",
+            f"list_transform({col}, x -> xor(x, x >> 31))",
+        ]
+
+    fnv_token = (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
+        "list_transform(range(1, strlen(t) + 1), i -> CAST(unicode(t[i]) AS UBIGINT))),"
+        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {m} AS UBIGINT))"
+    )
+    salts = np.random.default_rng(1).integers(0, 2**63, size=64, dtype=np.uint64)
+    salts_list = "[" + ",".join(f"CAST({int(s)} AS UBIGINT)" for s in salts) + "]"
+
+    ctes: list[tuple[str, str]] = []
+
+    def add(name: str, body: str) -> None:
+        ctes.append((name, body))
+
+    def chain(base: str, col: str, prefix: str) -> str:
+        prev = base
+        for i, expr in enumerate(sm_steps(col)):
+            nm = f"{prefix}{i}"
+            add(nm, f"SELECT * REPLACE ({expr} AS {col}) FROM {prev}")
+            prev = nm
+        return prev
+
+    add("tk", f"SELECT doc_id, list_transform(string_split(text, ' '), t -> {fnv_token}) AS hs FROM documents")
+    prev = chain("tk", "hs", "tkx")
+    add("sf0", f"SELECT doc_id, hs, len(hs) AS L, list_transform(range(1, greatest(len(hs) - 2, 0) + 1), "
+               f"i -> xor(hs[i], CAST((CAST(hs[i+1] AS HUGEINT) * 3) % {m} AS UBIGINT))) AS sh FROM {prev}")
+    prev = chain("sf0", "sh", "sfa")
+    add("sf2", f"SELECT doc_id, hs, L, list_transform(range(1, greatest(L - 2, 0) + 1), "
+               f"i -> xor(sh[i], CAST((CAST(hs[i+2] AS HUGEINT) * 5) % {m} AS UBIGINT))) AS sh FROM {prev}")
+    prev = chain("sf2", "sh", "sfb")
+    add("shu", f"SELECT doc_id, list_distinct(sh) AS sh FROM {prev} WHERE len(sh) > 0")
+    add("cr", f"SELECT doc_id, sh, len(sh) AS S, flatten(list_transform({salts_list}, "
+              "s -> list_transform(sh, x -> xor(x, s)))) AS fl FROM shu")
+    prev = chain("cr", "fl", "crx")
+    add("sig", f"SELECT doc_id, sh, list_transform(range(0, 64), p -> list_min(fl[p*S + 1 : p*S + S])) AS sig FROM {prev}")
+    add("bd0", "SELECT doc_id, sh, sig, list_transform(range(0, 16), b -> xor(sig[4*b + 1], CAST(1 AS UBIGINT))) AS acc FROM sig")
+    prev = chain("bd0", "acc", "bda")
+    for r in (1, 2, 3):
+        add(f"bd{r}", f"SELECT doc_id, sh, sig, list_transform(range(0, 16), "
+                      f"b -> xor(xor(acc[b + 1], sig[4*b + {r+1}]), CAST({r+1} AS UBIGINT))) AS acc FROM {prev}")
+        prev = chain(f"bd{r}", "acc", f"bd{r}x")
+    add("bandrows", f"SELECT doc_id, sh, u.b AS band_idx, acc[u.b + 1] AS band_hash FROM {prev}, "
+                    "(SELECT UNNEST(range(0,16)) AS b) u")
+    add("cand", "SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bandrows a JOIN bandrows b "
+                "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id")
+    add("shset", "SELECT DISTINCT doc_id, sh FROM shu")
+    add("verify", "SELECT c.da, c.db FROM cand c JOIN shset x ON x.doc_id = c.da "
+                  "JOIN shset y ON y.doc_id = c.db "
+                  "WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
+                  "GREATEST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1) >= 0.7")
+    add("sym", "SELECT da AS a, db AS b FROM verify UNION SELECT db AS a, da AS b FROM verify")
+    return (
+        "WITH RECURSIVE " + ", ".join(f"{n} AS ({b})" for n, b in ctes) +
+        ", reach AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
+        "SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     url_expr = "'https://' || source || '.example.com/doc/' || doc_id || '.html'"
     return {
@@ -870,6 +1010,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT event_id, '10.' || (user_id % 4) || '.0.1' AS ip, "
             "'10.0.0.0/8' AS matched_cidr FROM events"
+        ),
+        "fingerprint": _simhash_sql(),
+        "minhash_dedup": _minhash_dedup_sql(),
+        # SimHash near-dup pairs: all-pairs over the SQL-mirrored simhash —
+        # pairs share ≥1 of the 4 16-bit bands AND hamming ≤ 3 (bit_count of
+        # the two's-complement xor is bitwise-identical to the uint64 view)
+        "simhash_pairs": (
+            f"WITH s0 AS ({_simhash_sql()}), "
+            "s AS (SELECT doc_id, CAST(CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0 "
+            "  THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS UBIGINT) AS u, "
+            "  simhash FROM s0) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 AND ("
+            "((a.u >> 0) & 65535) = ((b.u >> 0) & 65535) OR "
+            "((a.u >> 16) & 65535) = ((b.u >> 16) & 65535) OR "
+            "((a.u >> 32) & 65535) = ((b.u >> 32) & 65535) OR "
+            "((a.u >> 48) & 65535) = ((b.u >> 48) & 65535))"
         ),
         "cidr_match_v6": (
             "WITH e AS (SELECT event_id, "
