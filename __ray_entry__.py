@@ -1065,6 +1065,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'purchase' "
             " INTERSECT SELECT user_id FROM events WHERE event_type = 'error')) AS n_both"
         ),
+        # theta/KMV is EXACT below saturation (distinct users 150 ≪ k=4096:
+        # estimate = len(values), theta = 1.0), so the full sketch path —
+        # per-batch build, serialization, merge, intersection clamp — gates
+        # against exact set arithmetic; 64-bit hash collisions would fail
+        # the gate and are ~1e-15 at this cardinality
+        "theta_set_algebra": (
+            "SELECT "
+            "CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS DOUBLE) AS n_purchasers, "
+            "CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'error') AS DOUBLE) AS n_error_users, "
+            "CAST((SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'purchase' "
+            " INTERSECT SELECT user_id FROM events WHERE event_type = 'error')) AS DOUBLE) AS n_both"
+        ),
         "multimodal_decode": (
             # the decode STUB's metadata is a pure function of payload bytes:
             # html = 28-byte prefix + text + 18-byte suffix (docpages.py), so
