@@ -749,10 +749,14 @@ def _minhash_dedup_sql() -> str:
     salts = np.random.default_rng(1).integers(0, 2**63, size=64, dtype=np.uint64)
     salts_list = "[" + ",".join(f"CAST({int(s)} AS UBIGINT)" for s in salts) + "]"
 
-    ctes: list[tuple[str, str]] = []
+    ctes: list[tuple[str, str, bool]] = []
 
-    def add(name: str, body: str) -> None:
-        ctes.append((name, body))
+    def add(name: str, body: str, mat: bool = False) -> None:
+        # mat=True → AS MATERIALIZED: DuckDB inlines CTEs by default, so a
+        # CTE referenced twice (self-joins below) re-runs its whole
+        # upstream pipeline per reference — materializing the fan-out
+        # points cuts the oracle from ~60s to seconds
+        ctes.append((name, body, mat))
 
     def chain(base: str, col: str, prefix: str) -> str:
         prev = base
@@ -762,19 +766,40 @@ def _minhash_dedup_sql() -> str:
             prev = nm
         return prev
 
-    add("tk", f"SELECT doc_id, list_transform(string_split(text, ' '), t -> {fnv_token}) AS hs FROM documents")
-    prev = chain("tk", "hs", "tkx")
+    # token hashes ROW-LEVEL: zipped UNNEST → one FNV list_reduce per token
+    # row → five scalar splitmix stages (vectorized) → re-aggregate ordered
+    add("tok", "SELECT doc_id, string_split(text, ' ') AS toks FROM documents")
+    add("trow", "SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS ti, UNNEST(toks) AS t FROM tok")
+    add("th0", f"SELECT doc_id, ti, {fnv_token} AS v FROM trow")
+    add("th1", "SELECT doc_id, ti, xor(v, v >> 30) AS v FROM th0")
+    add("th2", f"SELECT doc_id, ti, {mulmod('v', '13787848793156543929')} AS v FROM th1")
+    add("th3", "SELECT doc_id, ti, xor(v, v >> 27) AS v FROM th2")
+    add("th4", f"SELECT doc_id, ti, {mulmod('v', '10723151780598845931')} AS v FROM th3")
+    add("th5", "SELECT doc_id, ti, xor(v, v >> 31) AS v FROM th4")
+    prev = "tk"
+    add("tk", "SELECT doc_id, array_agg(v ORDER BY ti) AS hs FROM th5 GROUP BY doc_id", mat=True)
     add("sf0", f"SELECT doc_id, hs, len(hs) AS L, list_transform(range(1, greatest(len(hs) - 2, 0) + 1), "
                f"i -> xor(hs[i], CAST((CAST(hs[i+1] AS HUGEINT) * 3) % {m} AS UBIGINT))) AS sh FROM {prev}")
     prev = chain("sf0", "sh", "sfa")
     add("sf2", f"SELECT doc_id, hs, L, list_transform(range(1, greatest(L - 2, 0) + 1), "
                f"i -> xor(sh[i], CAST((CAST(hs[i+2] AS HUGEINT) * 5) % {m} AS UBIGINT))) AS sh FROM {prev}")
     prev = chain("sf2", "sh", "sfb")
-    add("shu", f"SELECT doc_id, list_distinct(sh) AS sh FROM {prev} WHERE len(sh) > 0")
-    add("cr", f"SELECT doc_id, sh, len(sh) AS S, flatten(list_transform({salts_list}, "
-              "s -> list_transform(sh, x -> xor(x, s)))) AS fl FROM shu")
-    prev = chain("cr", "fl", "crx")
-    add("sig", f"SELECT doc_id, sh, list_transform(range(0, 64), p -> list_min(fl[p*S + 1 : p*S + S])) AS sig FROM {prev}")
+    add("shu", f"SELECT doc_id, list_distinct(sh) AS sh FROM {prev} WHERE len(sh) > 0", mat=True)
+    # signature stage RELATIONALLY: unnest (doc, shingle) rows × 64 salts,
+    # run splitmix as scalar column stages (vectorized C++, ~64× faster
+    # than per-row list lambdas), then group back to per-(doc, perm) minima
+    add("shrow", "SELECT doc_id, UNNEST(sh) AS x FROM shu")
+    add("salt", f"SELECT p, ({salts_list})[p + 1] AS s FROM (SELECT UNNEST(range(0, 64)) AS p)")
+    add("cx0", "SELECT doc_id, p, xor(x, s) AS v FROM shrow, salt")
+    add("cx1", "SELECT doc_id, p, xor(v, v >> 30) AS v FROM cx0")
+    add("cx2", f"SELECT doc_id, p, {mulmod('v', '13787848793156543929')} AS v FROM cx1")
+    add("cx3", "SELECT doc_id, p, xor(v, v >> 27) AS v FROM cx2")
+    add("cx4", f"SELECT doc_id, p, {mulmod('v', '10723151780598845931')} AS v FROM cx3")
+    add("cx5", "SELECT doc_id, p, xor(v, v >> 31) AS v FROM cx4")
+    add("sigrow", "SELECT doc_id, p, MIN(v) AS sv FROM cx5 GROUP BY doc_id, p")
+    add("sig", "SELECT s0.doc_id, shu.sh, s0.sig FROM "
+               "(SELECT doc_id, array_agg(sv ORDER BY p) AS sig FROM sigrow GROUP BY doc_id) s0 "
+               "JOIN shu ON shu.doc_id = s0.doc_id")
     add("bd0", "SELECT doc_id, sh, sig, list_transform(range(0, 16), b -> xor(sig[4*b + 1], CAST(1 AS UBIGINT))) AS acc FROM sig")
     prev = chain("bd0", "acc", "bda")
     for r in (1, 2, 3):
@@ -782,18 +807,21 @@ def _minhash_dedup_sql() -> str:
                       f"b -> xor(xor(acc[b + 1], sig[4*b + {r+1}]), CAST({r+1} AS UBIGINT))) AS acc FROM {prev}")
         prev = chain(f"bd{r}", "acc", f"bd{r}x")
     add("bandrows", f"SELECT doc_id, sh, u.b AS band_idx, acc[u.b + 1] AS band_hash FROM {prev}, "
-                    "(SELECT UNNEST(range(0,16)) AS b) u")
+                    "(SELECT UNNEST(range(0,16)) AS b) u", mat=True)
     add("cand", "SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bandrows a JOIN bandrows b "
                 "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id")
-    add("shset", "SELECT DISTINCT doc_id, sh FROM shu")
+    add("shset", "SELECT DISTINCT doc_id, sh FROM shu", mat=True)
     add("verify", "SELECT c.da, c.db FROM cand c JOIN shset x ON x.doc_id = c.da "
                   "JOIN shset y ON y.doc_id = c.db "
                   "WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
-                  "GREATEST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1) >= 0.7")
-    add("sym", "SELECT da AS a, db AS b FROM verify UNION SELECT db AS a, da AS b FROM verify")
+                  "GREATEST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1) >= 0.7", mat=True)
+    add("sym", "SELECT da AS a, db AS b FROM verify UNION SELECT db AS a, da AS b FROM verify", mat=True)
     return (
-        "WITH RECURSIVE " + ", ".join(f"{n} AS ({b})" for n, b in ctes) +
-        ", reach AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
+        "WITH RECURSIVE "
+        + ", ".join(
+            f"{n} AS {'MATERIALIZED ' if mt else ''}({b})" for n, b, mt in ctes
+        )
+        + ", reach AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
         "SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a"
     )
 
