@@ -70,6 +70,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         minhash_dedup_components,
         simhash_near_dup_pairs,
     )
+    from fever_ray.ops.curate import (
+        curation_filter,
+        domain_cap,
+        hash_sample,
+        token_repetition,
+    )
     from fever_ray.ops.extract import extract_text, hostname_of
     from fever_ray.ops.ioc import PageIocMatcher
     from fever_ray.ops.knn import knn_bruteforce, knn_ivf, knn_lsh
@@ -240,6 +246,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=5, n_centroids=8, nprobe=6,
         ).take_all()
         return _ann_recall_gate(sf, ann, threshold=0.6)
+
+    # ---- corpus curation -------------------------------------------------
+    def q_hash_sample(sf):
+        # deterministic Bernoulli(0.25) split keyed on (doc_id, seed=7);
+        # oracle mirrors hash64_ints (splitmix64 stages) bit-exactly
+        return hash_sample(_t(sf, "documents", ["doc_id", "source"]), 0.25, seed=7)
+
+    def q_domain_cap(sf):
+        ds = domain_cap(_t(sf, "documents", ["doc_id", "source"]), cap=7)
+        return ds.map_batches(
+            lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+        )
+
+    def q_token_repetition(sf):
+        return _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: token_repetition(b).select(
+                [
+                    "doc_id",
+                    "n_tokens",
+                    "n_distinct_tokens",
+                    "dup_token_ratio",
+                    "top_token_frac",
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_curation_filter(sf):
+        ds = curation_filter(
+            _t(sf, "documents", ["doc_id", "text"]),
+            min_tokens=40,
+            max_tokens=120,
+            max_dup_ratio=0.5,
+            max_top_frac=0.16,
+        )
+        return ds.map_batches(
+            lambda b: b.select(["doc_id", "len_ok", "rep_ok", "keep"]),
+            batch_format="pyarrow",
+        )
 
     # ---- dedup family ----------------------------------------------------
     def q_connected_components(sf):
@@ -628,6 +673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprint": q_content_fingerprint,
         "knn_lsh_recall_gate": q_knn_lsh_recall_gate,
         "knn_ivf_recall_gate": q_knn_ivf_recall_gate,
+        "hash_sample": q_hash_sample,
+        "domain_cap": q_domain_cap,
+        "token_repetition": q_token_repetition,
+        "curation_filter": q_curation_filter,
         "exact_dedup": q_exact_dedup,
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
@@ -709,6 +758,60 @@ def _simhash_sql() -> str:
         "t5 AS (SELECT doc_id, content_hash, n, list_transform(hs, x -> xor(x, x >> 31)) AS hs FROM t4) "
         f"SELECT doc_id, content_hash, CAST({bit_terms} AS BIGINT) AS simhash FROM t5"
     )
+
+
+def _hash_sample_sql(fraction: float, seed: int) -> str:
+    """Bit-exact DuckDB mirror of ops.curate.hash_sample: the five-stage
+    splitmix64 finalizer over ``doc_id ^ splitmix64(seed) ^ FNV_OFFSET``
+    compared against the SAME integer threshold the engine uses (computed
+    once by ``sample_threshold``, never re-derived from the float)."""
+    import numpy as np
+
+    from fever_ray.ops.curate import sample_threshold
+    from fever_ray.sketches.hashing import splitmix64
+
+    c = int(splitmix64(np.array([seed], dtype=np.uint64))[0]) if seed else 0
+    thr = sample_threshold(fraction)
+    fnv_offset = 0xCBF29CE484222325
+    m = "18446744073709551616"
+
+    def mulmod(y: str, mult: str) -> str:
+        return (
+            f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
+            f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
+            f"% {m} AS UBIGINT)"
+        )
+
+    return (
+        f"WITH s0 AS (SELECT doc_id, source, xor(xor(CAST(doc_id AS UBIGINT), "
+        f"CAST({c} AS UBIGINT)), CAST({fnv_offset} AS UBIGINT)) AS x FROM documents), "
+        "s1 AS (SELECT doc_id, source, xor(x, x >> 30) AS y FROM s0), "
+        f"s2 AS (SELECT doc_id, source, {mulmod('y', '13787848793156543929')} AS x FROM s1), "
+        "s3 AS (SELECT doc_id, source, xor(x, x >> 27) AS y FROM s2), "
+        f"s4 AS (SELECT doc_id, source, {mulmod('y', '10723151780598845931')} AS x FROM s3), "
+        "s5 AS (SELECT doc_id, source, xor(x, x >> 31) AS h FROM s4) "
+        f"SELECT doc_id, source FROM s5 WHERE h < CAST({thr} AS UBIGINT)"
+    )
+
+
+_TOKEN_REPETITION_CTE = (
+    # exact per-doc token multiset stats via explode + two groupbys; empty
+    # text is defined as zero tokens (the engine's token_stats convention)
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+    "FROM documents WHERE text <> ''), "
+    "tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t), "
+    "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_distinct_tokens, "
+    "CAST(max(c) AS BIGINT) AS top_c FROM tc GROUP BY doc_id), "
+    "rep AS (SELECT d.doc_id, "
+    "coalesce(a.n_tokens, 0) AS n_tokens, "
+    "coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens, "
+    "CAST(coalesce(a.n_tokens, 0) - coalesce(a.n_distinct_tokens, 0) AS DOUBLE) "
+    "/ CAST(greatest(coalesce(a.n_tokens, 0), 1) AS DOUBLE) AS dup_token_ratio, "
+    "CAST(coalesce(a.top_c, 0) AS DOUBLE) "
+    "/ CAST(greatest(coalesce(a.n_tokens, 0), 1) AS DOUBLE) AS top_token_frac "
+    "FROM documents d LEFT JOIN agg a USING (doc_id)) "
+)
 
 
 def _minhash_dedup_sql() -> str:
@@ -861,6 +964,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n FROM ("
             "SELECT event_type FROM events UNION ALL "
             "SELECT 'heartbeat' AS event_type FROM range(24)) GROUP BY event_type"
+        ),
+        "hash_sample": _hash_sample_sql(0.25, 7),
+        "domain_cap": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 7"
+        ),
+        "token_repetition": (
+            _TOKEN_REPETITION_CTE
+            + "SELECT doc_id, n_tokens, n_distinct_tokens, dup_token_ratio, "
+            "top_token_frac FROM rep"
+        ),
+        "curation_filter": (
+            _TOKEN_REPETITION_CTE
+            + "SELECT doc_id, "
+            "(n_tokens >= 40 AND n_tokens <= 120) AS len_ok, "
+            "(dup_token_ratio <= 0.5 AND top_token_frac <= 0.16) AS rep_ok, "
+            "(n_tokens >= 40 AND n_tokens <= 120 AND dup_token_ratio <= 0.5 "
+            "AND top_token_frac <= 0.16) AS keep FROM rep"
         ),
         "flow_profiler": (
             "SELECT lang, COUNT(*) AS n_docs, "

@@ -1,0 +1,223 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+hash sampling, per-domain caps, token-repetition statistics (Gopher-style
+repetition signals), and a composite keep/drop curation filter.
+
+These extend the engine beyond the reference's inventory the same way the
+dedup family does (the reference's nearest relative is its per-event
+profiling / flow filtering, SURVEY §2.6-2.7): every operator is a
+map_batches kernel or a bounded two-phase groupby, never a full-corpus
+shuffle of raw text.
+
+Scale notes (10^12 docs):
+
+* ``hash_sample`` is embarrassingly parallel — one vectorized hash pass per
+  batch, no shuffle, deterministic under any partitioning (membership
+  depends only on the id, not on block layout), so a resumed or re-sharded
+  run selects the identical sample.
+* ``domain_cap`` pre-prunes inside each batch to ≤ cap rows per key before
+  the groupby, so the shuffle carries at most cap × (#distinct keys per
+  block) rows — bounded by cap × #domains overall, never by corpus size.
+* ``token_repetition`` is one dictionary-encode + one np.unique per batch;
+  no Python-per-row loop, no shuffle.
+* ``curation_filter`` composes the per-batch kernels; the decision columns
+  are emitted per document so downstream stages can filter, audit, or
+  invert the decision without recomputation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches.hashing import hash64_ints, splitmix64
+
+__all__ = [
+    "hash_sample",
+    "sample_threshold",
+    "domain_cap",
+    "token_repetition",
+    "curation_filter",
+]
+
+
+def sample_threshold(fraction: float) -> int:
+    """Exact uint64 threshold for a Bernoulli(fraction) hash sample.
+
+    Computed once in integer arithmetic so the engine and any SQL mirror
+    compare against the *same* integer (float rounding happens here, in one
+    place, not per row)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return min(int(fraction * 2.0**64), 2**64 - 1)
+
+
+def hash_sample(ds, fraction: float, seed: int = 0, id_col: str = "doc_id"):
+    """Deterministic Bernoulli sample: keep rows where
+    ``hash64_ints(id, seed) < fraction * 2^64``.
+
+    Membership is a pure function of (id, seed) — stable across reruns,
+    re-partitioning and cluster size, which is what makes held-out splits
+    and ablation subsets reproducible at 100 TB.  One vectorized splitmix64
+    pass per batch; no shuffle, no driver state."""
+    thr = np.uint64(sample_threshold(fraction))
+    seed = int(seed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _rank_within_key(key_codes: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """0-based rank of each row within its key group, ordered by ``order``
+    (ties broken by original position via stable sort).  Fully vectorized:
+    one lexsort + one run-length subtraction."""
+    n = len(key_codes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    perm = np.lexsort((order, key_codes))
+    sk = key_codes[perm]
+    run_start = np.zeros(n, dtype=np.int64)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=new_run[1:])
+    run_start[new_run] = np.flatnonzero(new_run)
+    np.maximum.accumulate(run_start, out=run_start)
+    rank_sorted = np.arange(n, dtype=np.int64) - run_start
+    rank = np.empty(n, dtype=np.int64)
+    rank[perm] = rank_sorted
+    return rank
+
+
+def domain_cap(ds, cap: int, key_col: str = "source", order_col: str = "doc_id"):
+    """Keep at most ``cap`` rows per key, deterministically the ones with the
+    smallest ``order_col`` values (ties impossible for unique ids; otherwise
+    first-seen wins) — the per-domain quota every crawl-curation pipeline
+    applies so one mega-site cannot dominate the corpus.
+
+    Two phases: (1) a local map_batches prune keeps ≤ cap rows per key per
+    batch, so phase (2)'s groupby shuffles at most cap × #domains rows —
+    the raw corpus never moves."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = batch.column(order_col).to_numpy(zero_copy_only=False)
+        rank = _rank_within_key(codes.astype(np.int64), order)
+        return batch.filter(pa.array(rank < cap))
+
+    def global_head(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        return group.take(idx[:cap])
+
+    return (
+        ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(global_head, batch_format="pyarrow")
+    )
+
+
+def token_repetition(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document token-repetition signals (the Gopher/C4 repetition
+    family, computed exactly):
+
+    * ``n_tokens``          — space-separated token count (0 for empty text)
+    * ``n_distinct_tokens`` — exact distinct token count
+    * ``dup_token_ratio``   — (n_tokens − n_distinct) / n_tokens
+    * ``top_token_frac``    — occurrences of the most frequent token / n_tokens
+
+    Fully vectorized: one dictionary-encode of the flat token array + one
+    np.unique over (doc, token-code) pairs + segmented reductions.  Exact
+    string identity (no hashing) keeps SQL-oracle parity collision-free."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(pc.cast(text, pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_docs = len(toks)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    doc_lens = np.diff(offsets)
+    flat = toks.flatten()
+
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    top_count = np.zeros(n_docs, dtype=np.int64)
+    if len(flat):
+        codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+        # (doc, code) packed into one int64: codes are batch-local (< 2^31)
+        pair = (doc_idx << np.int64(32)) | codes.astype(np.int64)
+        uniq, counts = np.unique(pair, return_counts=True)
+        doc_of = (uniq >> np.int64(32)).astype(np.int64)
+        n_distinct = np.bincount(doc_of, minlength=n_docs)
+        starts = np.flatnonzero(
+            np.concatenate(([True], doc_of[1:] != doc_of[:-1]))
+        )
+        if len(starts):
+            seg_max = np.maximum.reduceat(counts, starts)
+            top_count[doc_of[starts]] = seg_max
+
+    # empty text splits to [''] — define it as zero tokens (matches
+    # textstats.token_stats) and zero ratios
+    empty = np.asarray(
+        pc.equal(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+    )
+    n_tokens = np.where(empty, 0, doc_lens)
+    n_distinct = np.where(empty, 0, n_distinct)
+    top_count = np.where(empty, 0, top_count)
+    denom = np.maximum(n_tokens, 1).astype(np.float64)
+    dup_ratio = (n_tokens - n_distinct).astype(np.float64) / denom
+    top_frac = top_count.astype(np.float64) / denom
+
+    batch = batch.append_column("n_tokens", pa.array(n_tokens, type=pa.int64()))
+    batch = batch.append_column(
+        "n_distinct_tokens", pa.array(n_distinct, type=pa.int64())
+    )
+    batch = batch.append_column("dup_token_ratio", pa.array(dup_ratio, type=pa.float64()))
+    batch = batch.append_column("top_token_frac", pa.array(top_frac, type=pa.float64()))
+    return batch
+
+
+def curation_filter(
+    ds,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 1_000_000,
+    max_dup_ratio: float = 0.6,
+    max_top_frac: float = 0.2,
+):
+    """Composite keep/drop curation decision per document — the standard
+    web-corpus gauntlet (length bounds + repetition caps) as ONE vectorized
+    pass.  Emits boolean reason columns (``len_ok``, ``rep_ok``) plus the
+    conjunction ``keep`` so audits can see *why* a document was dropped;
+    filtering is the caller's one-liner ``.filter(pc.field("keep"))``."""
+
+    def decide(batch: pa.Table) -> pa.Table:
+        batch = token_repetition(batch, text_col)
+        n_tokens = batch.column("n_tokens")
+        len_ok = pc.and_(
+            pc.greater_equal(n_tokens, min_tokens),
+            pc.less_equal(n_tokens, max_tokens),
+        )
+        rep_ok = pc.and_(
+            pc.less_equal(batch.column("dup_token_ratio"), max_dup_ratio),
+            pc.less_equal(batch.column("top_token_frac"), max_top_frac),
+        )
+        batch = batch.append_column("len_ok", len_ok)
+        batch = batch.append_column("rep_ok", rep_ok)
+        batch = batch.append_column("keep", pc.and_(len_ok, rep_ok))
+        return batch
+
+    return ds.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,172 @@
+"""Curation-operator tests: deterministic hash sampling (partition
+invariance + fraction bounds), per-domain caps (vs a DuckDB window oracle +
+bounded shuffle), token repetition stats (vs an exact explode/groupby
+oracle), and the composite curation filter."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fever_ray.ops.curate import (
+    _rank_within_key,
+    curation_filter,
+    domain_cap,
+    hash_sample,
+    sample_threshold,
+    token_repetition,
+)
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_sample_threshold_exact():
+    assert sample_threshold(0.0) == 0
+    assert sample_threshold(0.25) == 1 << 62
+    assert sample_threshold(0.5) == 1 << 63
+    assert sample_threshold(1.0) == 2**64 - 1
+    with pytest.raises(ValueError):
+        sample_threshold(1.5)
+
+
+def test_hash_sample_partition_invariant(docs_ds):
+    """Membership depends only on (id, seed): any re-partitioning selects
+    the identical id set, and different seeds select different sets."""
+    a = sorted(
+        r["doc_id"] for r in hash_sample(docs_ds, 0.3, seed=7).take_all()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs_ds.repartition(7), 0.3, seed=7).take_all()
+    )
+    assert a == b and len(a) > 0
+    c = sorted(r["doc_id"] for r in hash_sample(docs_ds, 0.3, seed=8).take_all())
+    assert a != c
+    n = docs_ds.count()
+    # Bernoulli(0.3): 4-sigma band
+    sd = (0.3 * 0.7 * n) ** 0.5
+    assert abs(len(a) - 0.3 * n) < 4 * sd + 1
+
+
+def test_domain_cap_vs_oracle(docs_ds, sf_dir):
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in domain_cap(docs_ds, cap=3).take_all()
+    )
+    want = sorted(
+        _duck(
+            sf_dir,
+            "SELECT source, doc_id FROM (SELECT source, doc_id, "
+            "row_number() OVER (PARTITION BY source ORDER BY doc_id) rn "
+            "FROM documents) WHERE rn <= 3",
+        )
+    )
+    assert got == want
+
+
+def test_domain_cap_local_prune_bounds_shuffle(ray_session):
+    """The per-batch prune guarantees ≤ cap rows per key leave any batch —
+    a skewed key costs cap × n_blocks shuffle rows, never its row count."""
+    import ray.data as rd
+
+    from fever_ray.ops.curate import domain_cap as dc
+
+    n = 5000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(["hot"] * (n - 10) + [f"s{i}" for i in range(10)]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    out = dc(ds, cap=5).take_all()
+    per_key = {}
+    for r in out:
+        per_key[r["source"]] = per_key.get(r["source"], 0) + 1
+    assert per_key["hot"] == 5
+    assert all(v <= 5 for v in per_key.values())
+    # hot key keeps its 5 smallest doc_ids
+    hot = sorted(r["doc_id"] for r in out if r["source"] == "hot")
+    assert hot == [0, 1, 2, 3, 4]
+
+
+def test_rank_within_key_stable_ties():
+    codes = np.array([1, 1, 1, 0], dtype=np.int64)
+    order = np.array([7, 7, 3, 9], dtype=np.int64)
+    # ties on order broken by original position (stable lexsort)
+    assert _rank_within_key(codes, order).tolist() == [1, 2, 0, 0]
+
+
+def test_token_repetition_vs_oracle(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    got = (
+        token_repetition(t)
+        .select(
+            ["doc_id", "n_tokens", "n_distinct_tokens", "dup_token_ratio", "top_token_frac"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows = _duck(
+        sf_dir,
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t "
+        "FROM documents WHERE text <> ''), "
+        "tc AS (SELECT doc_id, t, count(*) c FROM tok GROUP BY doc_id, t), "
+        "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n, CAST(count(*) AS BIGINT) d, "
+        "CAST(max(c) AS BIGINT) tc FROM tc GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n,0), coalesce(a.d,0), "
+        "CAST(coalesce(a.n,0)-coalesce(a.d,0) AS DOUBLE)/CAST(greatest(coalesce(a.n,0),1) AS DOUBLE), "
+        "CAST(coalesce(a.tc,0) AS DOUBLE)/CAST(greatest(coalesce(a.n,0),1) AS DOUBLE) "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id",
+    )
+    for i, (doc_id, n, d, dup, top) in enumerate(rows):
+        assert got.loc[i, "doc_id"] == doc_id
+        assert got.loc[i, "n_tokens"] == n
+        assert got.loc[i, "n_distinct_tokens"] == d
+        assert got.loc[i, "dup_token_ratio"] == dup
+        assert got.loc[i, "top_token_frac"] == top
+
+
+def test_token_repetition_edge_cases():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["", "a", "a a a a", "a b a b c"]),
+        }
+    )
+    out = token_repetition(t)
+    assert out.column("n_tokens").to_pylist() == [0, 1, 4, 5]
+    assert out.column("n_distinct_tokens").to_pylist() == [0, 1, 1, 3]
+    assert out.column("dup_token_ratio").to_pylist() == [0.0, 0.0, 0.75, 0.4]
+    assert out.column("top_token_frac").to_pylist() == [0.0, 1.0, 1.0, 0.4]
+
+
+def test_curation_filter_reasons(docs_ds):
+    out = curation_filter(
+        docs_ds, min_tokens=40, max_tokens=120, max_dup_ratio=0.5, max_top_frac=0.16
+    ).take_all()
+    assert len(out) == docs_ds.count()
+    for r in out:
+        assert r["keep"] == (r["len_ok"] and r["rep_ok"])
+        assert r["len_ok"] == (40 <= r["n_tokens"] <= 120)
+        assert r["rep_ok"] == (
+            r["dup_token_ratio"] <= 0.5 and r["top_token_frac"] <= 0.16
+        )
+    kept = sum(1 for r in out if r["keep"])
+    assert 0 < kept < len(out)
