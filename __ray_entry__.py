@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation_filter,
         domain_cap,
         hash_sample,
+        quantile_length_filter,
         token_repetition,
     )
     from fever_ray.ops.extract import extract_text, hostname_of
@@ -284,6 +285,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(
             lambda b: b.select(["doc_id", "len_ok", "rep_ok", "keep"]),
             batch_format="pyarrow",
+        )
+
+    def q_quantile_length_filter(sf):
+        # sketch-driven filter: KLL learns the p10/p90 token-count
+        # thresholds in pass 1; below saturation (500 docs < k=1024 buffer)
+        # the KLL quantile IS the exact "first rank ≥ q·n" order statistic,
+        # which the oracle computes with a window function
+        return quantile_length_filter(
+            _t(sf, "documents", ["doc_id", "text"]), lo_q=0.1, hi_q=0.9, kll_k=1024
         )
 
     # ---- dedup family ----------------------------------------------------
@@ -677,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q_domain_cap,
         "token_repetition": q_token_repetition,
         "curation_filter": q_curation_filter,
+        "quantile_length_filter": q_quantile_length_filter,
         "exact_dedup": q_exact_dedup,
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
@@ -984,6 +995,22 @@ def oracle_sql() -> dict[str, str]:
             "(dup_token_ratio <= 0.5 AND top_token_frac <= 0.16) AS rep_ok, "
             "(n_tokens >= 40 AND n_tokens <= 120 AND dup_token_ratio <= 0.5 "
             "AND top_token_frac <= 0.16) AS keep FROM rep"
+        ),
+        "quantile_length_filter": (
+            # mirror of the engine's below-saturation KLL quantile rule:
+            # threshold = value at the first rank ≥ q·n (searchsorted-left
+            # on the weight cumsum, all weights 1 below saturation)
+            "WITH tl AS (SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE "
+            "strlen(text) - strlen(replace(text, ' ', '')) + 1 END AS n_tokens "
+            "FROM documents), "
+            "r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn, "
+            "count(*) OVER () AS n FROM tl), "
+            "lo AS (SELECT n_tokens AS v FROM r WHERE rn = "
+            "LEAST(GREATEST(CAST(CEIL(0.1 * n) AS BIGINT), 1), n)), "
+            "hi AS (SELECT n_tokens AS v FROM r WHERE rn = "
+            "LEAST(GREATEST(CAST(CEIL(0.9 * n) AS BIGINT), 1), n)) "
+            "SELECT doc_id, n_tokens FROM tl WHERE "
+            "n_tokens >= (SELECT v FROM lo) AND n_tokens <= (SELECT v FROM hi)"
         ),
         "flow_profiler": (
             "SELECT lang, COUNT(*) AS n_docs, "

@@ -225,6 +225,25 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # corpus curation over the full page corpus: exact repetition stats +
+    # keep/drop decision per page; text is dropped before materialize so
+    # only the decision columns hit the object store
+    from fever_ray.ops.curate import curation_filter
+
+    timings["curate_pages"] = _timed(
+        lambda: curation_filter(
+            rd.read_parquet(PAGES_DIR + "/", columns=["url", "text"]),
+            min_tokens=20,
+            max_dup_ratio=0.8,
+            max_top_frac=0.3,
+        )
+        .map_batches(
+            lambda b: b.select(["url", "n_tokens", "dup_token_ratio", "keep"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",

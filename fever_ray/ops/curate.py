@@ -38,6 +38,7 @@ __all__ = [
     "domain_cap",
     "token_repetition",
     "curation_filter",
+    "quantile_length_filter",
 ]
 
 
@@ -188,6 +189,73 @@ def token_repetition(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = batch.append_column("dup_token_ratio", pa.array(dup_ratio, type=pa.float64()))
     batch = batch.append_column("top_token_frac", pa.array(top_frac, type=pa.float64()))
     return batch
+
+
+def _token_counts(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(id, n_tokens) per row: #spaces + 1 on space-normalized text, 0 for
+    empty — the same formula as textstats.token_stats (and its SQL mirror
+    ``strlen(text) - strlen(replace(text, ' ', '')) + 1``)."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(text), "int64")
+    n_tokens = pc.if_else(
+        pc.equal(n_chars, 0),
+        pa.scalar(0, type=pa.int64()),
+        pc.add(pc.cast(pc.count_substring(text, " "), "int64"), 1),
+    )
+    return pa.table({id_col: batch.column(id_col), "n_tokens": n_tokens})
+
+
+def quantile_length_filter(
+    ds,
+    lo_q: float = 0.1,
+    hi_q: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kll_k: int = 1024,
+):
+    """Sketch-driven adaptive length filter: keep documents whose token
+    count lies between the corpus's lo_q and hi_q quantiles — the thresholds
+    are LEARNED from the data in a first streaming pass, not hardcoded.
+
+    Two passes, both scale-clean:
+
+    1. One `build_sketches` pass folds every document's token count into a
+       mergeable KLL sketch (KB-sized partials, coalesce-tree merge — no
+       keyed shuffle).  Below the sketch's saturation point (n ≤ its buffer
+       capacity) the returned quantile is the EXACT order statistic
+       ``sorted[first rank ≥ q·n]`` — which is what the SQL oracle gates at
+       test scale; above it, the thresholds carry KLL's published rank-error
+       bound (the right trade at 10^12 docs, where a ±ε-rank threshold is
+       indistinguishable in effect).
+    2. The two scalar thresholds ride the closure into a plain map_batches
+       filter — no broadcast table, no join, no second aggregation.
+    """
+    from ..core.udaf import SketchSpec, build_sketches
+
+    counts = ds.map_batches(
+        lambda b: _token_counts(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    spec = SketchSpec(
+        name="len", kind="kll", column="n_tokens",
+        params={"k": kll_k}, value_kind="float",
+    )
+    sk = build_sketches(counts, [spec])["len"]
+    lo_v = sk.quantile(lo_q)
+    hi_v = sk.quantile(hi_q)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        t = _token_counts(batch, text_col, id_col)
+        n = t.column("n_tokens")
+        keep = pc.and_(
+            pc.greater_equal(n, pa.scalar(lo_v)), pc.less_equal(n, pa.scalar(hi_v))
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def curation_filter(

@@ -13,6 +13,7 @@ from fever_ray.ops.curate import (
     curation_filter,
     domain_cap,
     hash_sample,
+    quantile_length_filter,
     sample_threshold,
     token_repetition,
 )
@@ -155,6 +156,35 @@ def test_token_repetition_edge_cases():
     assert out.column("n_distinct_tokens").to_pylist() == [0, 1, 1, 3]
     assert out.column("dup_token_ratio").to_pylist() == [0.0, 0.0, 0.75, 0.4]
     assert out.column("top_token_frac").to_pylist() == [0.0, 1.0, 1.0, 0.4]
+
+
+def test_quantile_length_filter_exact_below_saturation(docs_ds, sf_dir):
+    """Below the KLL buffer capacity the learned thresholds are the exact
+    'first rank ≥ q·n' order statistics — verified against a window-function
+    oracle, with the input repartitioned so the merge path is exercised."""
+    got = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in quantile_length_filter(
+            docs_ds.repartition(5), lo_q=0.25, hi_q=0.75, kll_k=1024
+        ).take_all()
+    )
+    want = sorted(
+        _duck(
+            sf_dir,
+            "WITH tl AS (SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE "
+            "strlen(text) - strlen(replace(text, ' ', '')) + 1 END AS n_tokens "
+            "FROM documents), "
+            "r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) rn, "
+            "count(*) OVER () n FROM tl), "
+            "lo AS (SELECT n_tokens v FROM r WHERE rn = "
+            "LEAST(GREATEST(CAST(CEIL(0.25 * n) AS BIGINT), 1), n)), "
+            "hi AS (SELECT n_tokens v FROM r WHERE rn = "
+            "LEAST(GREATEST(CAST(CEIL(0.75 * n) AS BIGINT), 1), n)) "
+            "SELECT doc_id, n_tokens FROM tl WHERE "
+            "n_tokens >= (SELECT v FROM lo) AND n_tokens <= (SELECT v FROM hi)",
+        )
+    )
+    assert got == want and len(got) > 0
 
 
 def test_curation_filter_reasons(docs_ds):
