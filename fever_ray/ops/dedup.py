@@ -311,6 +311,7 @@ def _blob_offsets_data(col) -> tuple[np.ndarray, np.ndarray]:
 def verified_minhash_edges(
     ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16,
     num_partitions: int = 16, n_parts: int | None = None,
+    broadcast_bytes: int = 256 << 20,
 ):
     """Candidate pairs → exact-Jaccard-verified edge Dataset (doc_a, doc_b,
     jaccard), fully distributed:
@@ -381,6 +382,47 @@ def verified_minhash_edges(
         .repartition(num_partitions)
         .materialize()
     )
+
+    # Small-side broadcast fast path: when the candidate blob table fits a
+    # worker's heap (it holds CANDIDATE docs only, never the corpus), skip
+    # both distributed joins — ray.put one CSR-packed copy of the blobs and
+    # verify pairs in a plain map_batches.  Each hash join costs its own
+    # shuffle-actor pool spin-up, which dwarfs the work when candidates are
+    # sparse (the common case on a mostly-unique corpus); the join path
+    # below remains the scale fallback and computes the identical result.
+    blob_bytes = sh_ds.size_bytes() or 0
+    if blob_bytes <= broadcast_bytes:
+        rows = sh_ds.take_all()
+        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        blobs = [np.frombuffer(rows[i]["sh"], np.uint64) for i in order]
+        ids_sorted = ids[order]
+        lens = np.array([len(b) for b in blobs], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        flat = np.concatenate(blobs) if blobs else np.zeros(0, np.uint64)
+        csr_ref = ray.put((ids_sorted, offs, flat))
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            ids_s, off, dat = ray.get(csr_ref)
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+            n = batch.num_rows
+            jac = np.zeros(n, np.float64)
+            for i in range(n):
+                xa = dat[off[ia[i]] : off[ia[i] + 1]]
+                xb = dat[off[ib[i]] : off[ib[i] + 1]]
+                if len(xa) == 0 and len(xb) == 0:
+                    jac[i] = 1.0
+                    continue
+                inter = len(np.intersect1d(xa, xb, assume_unique=True))
+                jac[i] = inter / max(len(xa) + len(xb) - inter, 1)
+            keep = jac >= threshold
+            out = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+            return out.append_column("jaccard", pa.array(jac[keep], pa.float64()))
+
+        return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
 
     # materialize between the two joins: each join spawns its own pool of
     # shuffle-aggregator actors, and two pools scheduled inside ONE streaming
