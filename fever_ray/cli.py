@@ -68,6 +68,44 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_follow(args) -> int:
+    """Daemon-style tail of a growing shard directory (fever's run loop,
+    batch-native): poll → build unseen partitions (checkpointed) → print
+    the refreshed suite; stops after --max-iterations or --max-idle-polls."""
+    from .pipelines.flagship import STANDARD_SPECS, make_derive_fn
+    from .pipelines.follow import follow
+
+    _init_ray(args.num_cpus)
+    pattern = args.input if args.input.endswith(".parquet") else os.path.join(
+        args.input, "*.parquet"
+    )
+    for status in follow(
+        pattern,
+        STANDARD_SPECS,
+        args.checkpoint,
+        poll_s=args.poll,
+        max_iterations=args.max_iterations,
+        max_idle_polls=args.max_idle_polls,
+        prepare=make_derive_fn(False),
+    ):
+        ests = {
+            name: round(float(sk.estimate()), 1)
+            for name, sk in status["sketches"].items()
+            if hasattr(sk, "estimate")
+        }
+        print(
+            json.dumps(
+                {
+                    "iteration": status["iteration"],
+                    "new_files": len(status["new_files"]),
+                    "total_files": status["total_files"],
+                    "estimates": ests,
+                }
+            )
+        )
+    return 0
+
+
 def cmd_ioc(args) -> int:
     import ray.data as rd
 
@@ -161,6 +199,15 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", dest="batch_size", type=int, default=16384)
     pr.add_argument("--num-cpus", dest="num_cpus", type=int)
     pr.set_defaults(fn=cmd_run)
+
+    pf = sub.add_parser("follow", help="tail a growing shard dir (daemon analog)")
+    pf.add_argument("--input", required=True, help="directory or glob of parquet shards")
+    pf.add_argument("--checkpoint", required=True)
+    pf.add_argument("--poll", type=float, default=5.0)
+    pf.add_argument("--max-iterations", dest="max_iterations", type=int)
+    pf.add_argument("--max-idle-polls", dest="max_idle_polls", type=int, default=3)
+    pf.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pf.set_defaults(fn=cmd_follow)
 
     pi = sub.add_parser("ioc", help="IoC matching over pages")
     pi.add_argument("--input", required=True)
