@@ -81,7 +81,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fever_ray.ops.ioc import PageIocMatcher
     from fever_ray.ops.knn import knn_bruteforce, knn_ivf, knn_lsh
     from fever_ray.ops.multimodal import decode_images
-    from fever_ray.ops.textstats import LangId, fingerprint, quality_score, token_stats
+    from fever_ray.ops.textstats import (
+        LangId,
+        fingerprint,
+        quality_score,
+        token_stats,
+        top_ngrams,
+    )
     from fever_ray.sketches.bloom import BloomFilter
 
     # ---- fever aggregation handlers over events --------------------------
@@ -286,6 +292,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["doc_id", "len_ok", "rep_ok", "keep"]),
             batch_format="pyarrow",
         )
+
+    def q_top_ngrams(sf):
+        # corpus-wide exact bigram counts, top 20, lexicographic tie-break
+        return top_ngrams(_t(sf, "documents", ["doc_id", "text"]), n=2, k=20)
 
     def q_quantile_length_filter(sf):
         # sketch-driven filter: KLL learns the p10/p90 token-count
@@ -688,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_repetition": q_token_repetition,
         "curation_filter": q_curation_filter,
         "quantile_length_filter": q_quantile_length_filter,
+        "top_ngrams": q_top_ngrams,
         "exact_dedup": q_exact_dedup,
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
@@ -995,6 +1006,15 @@ def oracle_sql() -> dict[str, str]:
             "(dup_token_ratio <= 0.5 AND top_token_frac <= 0.16) AS rep_ok, "
             "(n_tokens >= 40 AND n_tokens <= 120 AND dup_token_ratio <= 0.5 "
             "AND top_token_frac <= 0.16) AS keep FROM rep"
+        ),
+        "top_ngrams": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents "
+            "WHERE text <> ''), "
+            "bi AS (SELECT unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i+1])) AS ngram FROM toks), "
+            "cnt AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM bi "
+            "GROUP BY ngram) "
+            "SELECT ngram, n FROM cnt ORDER BY n DESC, ngram ASC LIMIT 20"
         ),
         "quantile_length_filter": (
             # mirror of the engine's below-saturation KLL quantile rule:

@@ -163,6 +163,83 @@ class LangId:
         )
 
 
+def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Corpus-wide top-k token n-grams by exact count — the vocabulary /
+    phrase-frequency profile every corpus audit starts with.
+
+    Scale shape: per-batch partial counts first (one dictionary-encode +
+    bincount per batch, so the shuffle carries the BATCH VOCABULARY, not
+    one row per n-gram occurrence), then a keyed sum, then per-block top-k
+    candidate pruning into a tiny global sort+limit.  Ties break
+    lexicographically so results are deterministic under any partitioning.
+    Per-batch top-k pruning before the sum would be WRONG (a globally
+    frequent n-gram can be locally rare everywhere) — pruning happens only
+    after the global counts exist."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.cast(text, pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        doc_lens = np.diff(offsets)
+        total = len(flat)
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if total < n:
+            return empty
+        # n-gram strings at every flat position, vectorized; then keep only
+        # positions with all n tokens inside one document.  Empty text
+        # contributes no tokens (its split yields [''] — a 1-token doc that
+        # can't form an n-gram for n >= 2; for n == 1 it counts '' like the
+        # SQL mirror does, a corpus-dependent corner the caller filters).
+        parts = [flat.slice(j, total - n + 1) for j in range(n)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = pc.binary_join_element_wise(grams, p, " ")
+        pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+            offsets[:-1], doc_lens
+        )
+        valid = (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[: total - n + 1]
+        grams = grams.filter(pa.array(valid))
+        if len(grams) == 0:
+            return empty
+        dic = grams.dictionary_encode()
+        counts = np.bincount(
+            dic.indices.to_numpy(zero_copy_only=False),
+            minlength=len(dic.dictionary),
+        )
+        return pa.table(
+            {
+                "ngram": dic.dictionary,
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("n", "descending"), ("ngram", "ascending")],
+        )
+        return batch.take(idx)
+
+    candidates = summed.map_batches(block_topk, batch_format="pyarrow")
+    return candidates.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit content fingerprints: fnv-based content hash (exact-dup key)
     and SimHash over the token multiset (near-dup key) — both fully

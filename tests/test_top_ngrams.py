@@ -1,0 +1,55 @@
+"""top_ngrams: exact global counts (no per-batch pruning before the sum),
+deterministic tie-break, partition invariance, trigram support."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from fever_ray.ops.textstats import top_ngrams
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _oracle(sf_dir, n, k):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf_dir}/documents.parquet')"
+    )
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return con.execute(
+        f"WITH toks AS (SELECT string_split(text,' ') AS t FROM documents WHERE text <> ''), "
+        f"bi AS (SELECT unnest(list_transform(range(1, len(t) - {n - 2}), i -> {gram})) AS ngram FROM toks), "
+        "cnt AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY ngram) "
+        f"SELECT ngram, n FROM cnt ORDER BY n DESC, ngram ASC LIMIT {k}"
+    ).fetchall()
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_top_ngrams_vs_oracle(docs_ds, sf_dir, n):
+    got = [(r["ngram"], r["n"]) for r in top_ngrams(docs_ds, n=n, k=15).take_all()]
+    assert got == _oracle(sf_dir, n, 15)
+
+
+def test_partition_invariance(docs_ds, sf_dir):
+    a = [(r["ngram"], r["n"]) for r in top_ngrams(docs_ds, n=2, k=10).take_all()]
+    b = [
+        (r["ngram"], r["n"])
+        for r in top_ngrams(docs_ds.repartition(11), n=2, k=10).take_all()
+    ]
+    assert a == b
+
+
+def test_cross_doc_ngrams_not_counted(ray_session):
+    """The last token of one doc never pairs with the first of the next."""
+    import ray.data as rd
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array(["a b", "c d"])}
+    )
+    out = {(r["ngram"], r["n"]) for r in top_ngrams(rd.from_arrow(t), n=2, k=10).take_all()}
+    assert out == {("a b", 1), ("c d", 1)}
