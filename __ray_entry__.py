@@ -110,6 +110,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = agg.context_collector(_t(sf, "events", ["event_id", "user_id", "event_type"]))
         return ds
 
+    def q_anti_join(sf):
+        # drop every event of users with a high-value error (broadcast
+        # anti-join); project the marking column back out so the oracle's
+        # column set matches
+        ds = agg.context_excluder(
+            _t(sf, "events", ["event_id", "user_id", "event_type", "value"]),
+            min_value=200.0,
+        )
+        return ds.map_batches(
+            lambda b: b.select(["event_id", "user_id", "event_type"]),
+            batch_format="pyarrow",
+        )
+
     def q_heartbeat_injector(sf):
         from ray.data.aggregate import Sum
 
@@ -679,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dns_aggregator": q_dns_aggregator,
         "pdns_collector": q_pdns_collector,
         "context_collector": q_context_collector,
+        "anti_join": q_anti_join,
         "heartbeat_injector": q_heartbeat_injector,
         "flow_profiler": q_flow_profiler,
         "pricing_summary": q_pricing_summary,
@@ -981,6 +995,11 @@ def oracle_sql() -> dict[str, str]:
         "context_collector": (
             "SELECT event_id, user_id, event_type FROM events WHERE user_id IN "
             "(SELECT DISTINCT user_id FROM events WHERE event_type = 'error')"
+        ),
+        "anti_join": (
+            "SELECT event_id, user_id, event_type FROM events WHERE user_id NOT IN "
+            "(SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'error' AND value > 200.0)"
         ),
         "heartbeat_injector": (
             "SELECT event_type, COUNT(*) AS n FROM ("

@@ -272,6 +272,37 @@ def context_collector(events_ds, mark_type: str = "error"):
     return events_ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def context_excluder(events_ds, mark_type: str = "error", min_value: float | None = None):
+    """Broadcast ANTI-join — the complement of ``context_collector``: drop
+    every event of any flow that was marked (fever's suppression-list /
+    whitelist shape: the reference filters flagged flows OUT via its bloom
+    blacklist, bloom_handler.go blacklist branch).  Same broadcast pattern,
+    negated mask — still no shuffle of the big side.  ``min_value``
+    optionally narrows the marking predicate (type AND value > threshold)."""
+    import ray
+
+    def mark(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), mark_type)
+        if min_value is not None:
+            m = pc.and_(m, pc.greater(b.column("value"), min_value))
+        return _distinct(b.filter(m), ["user_id"])
+
+    marked = events_ds.map_batches(
+        mark, batch_format="pyarrow", zero_copy_batch=True
+    ).unique("user_id")
+    import numpy as np
+
+    marked_ref = ray.put(np.unique(np.asarray(marked, dtype=np.int64)))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(marked_ref)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        mask = ~np.isin(uid, keys)
+        return batch.filter(pa.array(mask))
+
+    return events_ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def heartbeat_injector(events_ds, n_heartbeats: int = 24):
     """fever HeartbeatInjector (processing/heartbeat_injector.go:67-119):
     deterministic synthetic canary rows unioned into the stream."""
