@@ -621,6 +621,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     # ---- event-time windows / sessions / as-of (SURVEY §2.11) ------------
+    def q_window_distinct(sf):
+        from fever_ray.ops.windows import window_distinct
+
+        return window_distinct(_t(sf, "events", ["ts", "user_id"]), size_s=3600)
+
     def q_tumbling_window(sf):
         from fever_ray.ops.windows import tumbling_window
 
@@ -736,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
         "tumbling_window": q_tumbling_window,
+        "window_distinct": q_window_distinct,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1309,6 +1315,11 @@ def oracle_sql() -> dict[str, str]:
             "AS window_start, event_type, COUNT(*) AS n, "
             "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "window_distinct": (
+            "SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) "
+            "AS window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY 1"
         ),
         "hopping_window": (
             # each event joins the size/step hop offsets of its containing hops

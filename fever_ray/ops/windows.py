@@ -62,6 +62,44 @@ def tumbling_window(events_ds, ts_col: str = "ts", key: str | None = "event_type
     return out.map_batches(_finish_sum_value, batch_format="pyarrow")
 
 
+def window_distinct(events_ds, ts_col: str = "ts", size_s: int = 3600,
+                    key_col: str = "user_id"):
+    """Per-tumbling-window EXACT distinct keys — the windows × distinct
+    composition (e.g. hourly unique users).  Two-level distinct like
+    ``dns_aggregator``: per-batch (window, key) dedup bounds the shuffle by
+    distinct pairs per batch, a second dedup level collapses across
+    batches, and the final count runs over the (windows × keys)-bounded
+    pair set.  At key-explosion scale the grouped-HLL path replaces the
+    exact count; this is the exact form the oracle can gate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch.column(ts_col), pa.int64())
+        win = pc.multiply(
+            pc.divide(epoch, pa.scalar(size_s * 1_000_000, type=pa.int64())),
+            pa.scalar(size_s * 1_000_000, type=pa.int64()),
+        ).cast(pa.timestamp("us"))
+        t = pa.table({"window_start": win, key_col: batch.column(key_col)})
+        return t.group_by(["window_start", key_col]).aggregate([])
+
+    pairs = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    dedup1 = pairs.map_batches(
+        lambda b: b.group_by(["window_start", key_col]).aggregate([]),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        d = batch.group_by(["window_start", key_col]).aggregate([])
+        t = pa.TableGroupBy(d.select(["window_start"]), ["window_start"]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns(["window_start", "n_distinct"])
+
+    return dedup1.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _finish_sum_value(batch: pa.Table) -> pa.Table:
     """Replace the integer-cents partial column with the float sum_value."""
     cols = {n: batch.column(n) for n in batch.column_names if n != "val_c"}

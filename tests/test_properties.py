@@ -124,3 +124,76 @@ def test_cms_point_estimates_never_undercount(keys):
     est = cms.query(list(uniq))
     assert (est.astype(np.int64) >= counts).all()
     assert cms.total == len(keys)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=60
+    )
+)
+def test_rank_within_key_matches_bruteforce(pairs):
+    from fever_ray.ops.curate import _rank_within_key
+
+    codes = np.array([p[0] for p in pairs], dtype=np.int64)
+    order = np.array([p[1] for p in pairs], dtype=np.int64)
+    got = _rank_within_key(codes, order)
+    # brute force: rank of i within its key group by (order, position)
+    for i in range(len(pairs)):
+        better = sum(
+            1
+            for j in range(len(pairs))
+            if codes[j] == codes[i]
+            and (order[j], j) < (order[i], i)
+        )
+        assert got[i] == better
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=20
+    )
+)
+def test_token_repetition_matches_counter(texts):
+    import collections
+
+    import pyarrow as pa
+
+    from fever_ray.ops.curate import token_repetition
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = token_repetition(t)
+    for i, text in enumerate(texts):
+        toks = text.split(" ") if text != "" else []
+        c = collections.Counter(toks)
+        n = len(toks)
+        assert out.column("n_tokens")[i].as_py() == n
+        assert out.column("n_distinct_tokens")[i].as_py() == len(c)
+        top = max(c.values()) if c else 0
+        denom = max(n, 1)
+        assert out.column("top_token_frac")[i].as_py() == top / denom
+        assert out.column("dup_token_ratio")[i].as_py() == (n - len(c)) / denom
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=40))
+def test_batch_simhash_matches_scalar(texts_bytes):
+    """Tiled batch SimHash equals the per-doc scalar formulation."""
+    import pyarrow as pa
+
+    from fever_ray.sketches.hashing import hash64
+    from fever_ray.sketches.minhash import batch_simhash, simhash
+
+    texts = [b.decode("latin-1").replace("\x00", "") for b in texts_bytes]
+    arr = pa.array(texts, pa.string())
+    got = batch_simhash(arr)
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        ref = simhash(hash64(toks))
+        assert int(got[i]) == int(ref)
