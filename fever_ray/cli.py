@@ -106,6 +106,63 @@ def cmd_follow(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Corpus curation pass over a page table: keep/drop decision per page
+    (length + repetition gauntlet), optional deterministic hash sample and
+    per-domain cap, kept pages written as partitioned parquet."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .ops.curate import curation_filter, domain_cap, hash_sample
+    from .ops.extract import hostname_of
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input, columns=["url", "text"])
+    if args.sample and args.sample < 1.0:
+        # ids from url hashes: deterministic under re-sharding
+        import numpy as np
+        import pyarrow as pa
+
+        from .sketches.hashing import hash64
+
+        ds = ds.map_batches(
+            lambda b: b.append_column(
+                "doc_id",
+                pa.array(hash64(b.column("url")).view(np.int64), type=pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        ds = hash_sample(ds, args.sample, seed=args.seed)
+    ds = curation_filter(
+        ds,
+        min_tokens=args.min_tokens,
+        max_dup_ratio=args.max_dup_ratio,
+        max_top_frac=args.max_top_frac,
+    )
+    kept = ds.filter(expr="keep")
+    if args.domain_cap:
+        kept = kept.map_batches(
+            lambda b: b.append_column("hostname", hostname_of(b.column("url"))),
+            batch_format="pyarrow",
+        )
+        kept = domain_cap(kept, args.domain_cap, key_col="hostname", order_col="url")
+    n_in = ds.count()
+    if args.out:
+        kept.write_parquet(args.out)
+        import glob as _g
+
+        import pyarrow.parquet as pq
+
+        n_kept = sum(
+            pq.read_metadata(f).num_rows for f in _g.glob(os.path.join(args.out, "*.parquet"))
+        )
+        print(json.dumps({"pages_in": n_in, "pages_kept": n_kept, "out": args.out}))
+    else:
+        n_kept = kept.count()
+        print(json.dumps({"pages_in": n_in, "pages_kept": n_kept}))
+    return 0
+
+
 def cmd_ioc(args) -> int:
     import ray.data as rd
 
@@ -199,6 +256,18 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", dest="batch_size", type=int, default=16384)
     pr.add_argument("--num-cpus", dest="num_cpus", type=int)
     pr.set_defaults(fn=cmd_run)
+
+    pc_ = sub.add_parser("curate", help="keep/drop curation pass over pages")
+    pc_.add_argument("--input", required=True)
+    pc_.add_argument("--out")
+    pc_.add_argument("--sample", type=float, help="deterministic Bernoulli fraction")
+    pc_.add_argument("--seed", type=int, default=0)
+    pc_.add_argument("--min-tokens", dest="min_tokens", type=int, default=20)
+    pc_.add_argument("--max-dup-ratio", dest="max_dup_ratio", type=float, default=0.8)
+    pc_.add_argument("--max-top-frac", dest="max_top_frac", type=float, default=0.3)
+    pc_.add_argument("--domain-cap", dest="domain_cap", type=int)
+    pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pc_.set_defaults(fn=cmd_curate)
 
     pf = sub.add_parser("follow", help="tail a growing shard dir (daemon analog)")
     pf.add_argument("--input", required=True, help="directory or glob of parquet shards")
