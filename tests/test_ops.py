@@ -247,19 +247,27 @@ def test_decode_stub_deterministic_schema(ray_session, pages_dir):
 
     ds = rd.read_parquet(pages_dir + "/", columns=["url", "html"])
     out = decode_images(ds, batch_size=64)
-    # features are a pure function of the payload — compare keyed by url,
-    # not by row order (take() block order can vary under cluster load)
-    t1 = {r["url"]: r["img_features"] for r in out.take_all()}
-    t2 = {
-        r["url"]: r["img_features"]
-        for r in decode_images(
+
+    # features are a pure function of the payload; row order varies with
+    # block scheduling AND the same url can carry different html (IoC
+    # planting collides hot hosts onto one path) — so compare the full
+    # sorted multiset of result tuples, not row order or a url-keyed dict
+    def rows(d):
+        return sorted(
+            (r["url"], r["img_width"], r["img_height"], tuple(r["img_features"]))
+            for r in d.take_all()
+        )
+
+    t1 = rows(out)
+    t2 = rows(
+        decode_images(
             rd.read_parquet(pages_dir + "/", columns=["url", "html"]), batch_size=64
-        ).take_all()
-    }
+        )
+    )
     assert t1 == t2
     schema = out.schema()
     assert "img_width" in schema.names and "img_features" in schema.names
-    assert all(len(v) == 8 for v in t1.values())
+    assert all(len(feats) == 8 for (_, _, _, feats) in t1)
 
 
 def test_frame_sample_stub():
