@@ -68,6 +68,68 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Full near-dedup over a page table: MinHash-LSH candidates →
+    distributed exact-Jaccard verify → connected components; writes the
+    (doc_id, cluster_id) map (and optionally the deduplicated corpus —
+    cluster representatives only) as parquet."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .ops.dedup import minhash_dedup_components
+    from .sketches.hashing import hash64
+
+    _init_ray(args.num_cpus)
+
+    def pages():
+        return rd.read_parquet(args.input, columns=["url", "text"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), type=pa.int64()
+                    ),
+                    "text": b.column("text"),
+                    "url": b.column("url"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    clusters = minhash_dedup_components(
+        pages(), threshold=args.threshold, num_partitions=args.partitions
+    ).materialize()
+    n_clustered = clusters.count()
+    os.makedirs(args.out, exist_ok=True)
+    cl_dir = os.path.join(args.out, "clusters")
+    clusters.write_parquet(cl_dir)
+    summary = {"docs_in_near_dup_clusters": n_clustered, "clusters_out": cl_dir}
+    if args.write_deduped:
+        import ray
+
+        # drop docs whose cluster representative is another doc (keep the
+        # min-id member); broadcast the small drop set
+        drop = clusters.map_batches(
+            lambda b: b.filter(
+                pa.compute.not_equal(b.column("doc_id"), b.column("cluster_id"))
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).take_all()
+        drop_ids = np.unique(np.array([r["doc_id"] for r in drop], dtype=np.int64))
+        drop_ref = ray.put(drop_ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+
+        out_dir = os.path.join(args.out, "deduped")
+        pages().map_batches(keep, batch_format="pyarrow").write_parquet(out_dir)
+        summary["deduped_out"] = out_dir
+        summary["docs_dropped"] = int(len(drop_ids))
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_follow(args) -> int:
     """Daemon-style tail of a growing shard directory (fever's run loop,
     batch-native): poll → build unseen partitions (checkpointed) → print
@@ -256,6 +318,16 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", dest="batch_size", type=int, default=16384)
     pr.add_argument("--num-cpus", dest="num_cpus", type=int)
     pr.set_defaults(fn=cmd_run)
+
+    pd_ = sub.add_parser("dedup", help="MinHash-LSH near-dedup over pages")
+    pd_.add_argument("--input", required=True)
+    pd_.add_argument("--out", required=True)
+    pd_.add_argument("--threshold", type=float, default=0.7)
+    pd_.add_argument("--partitions", type=int, default=16)
+    pd_.add_argument("--write-deduped", dest="write_deduped", action="store_true",
+                     help="also write the corpus keeping one doc per cluster")
+    pd_.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pd_.set_defaults(fn=cmd_dedup)
 
     pc_ = sub.add_parser("curate", help="keep/drop curation pass over pages")
     pc_.add_argument("--input", required=True)
