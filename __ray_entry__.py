@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         domain_cap,
         hash_sample,
         quantile_length_filter,
+        regex_scrub,
         token_repetition,
     )
     from fever_ray.ops.extract import extract_text, hostname_of
@@ -303,6 +304,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.map_batches(
             lambda b: b.select(["doc_id", "len_ok", "rep_ok", "keep"]),
+            batch_format="pyarrow",
+        )
+
+    def q_regex_scrub(sf):
+        # sequential RE2 scrub rules; Arrow and DuckDB share the RE2
+        # engine, so replace + non-overlapping match counts mirror exactly
+        ds = regex_scrub(
+            _t(sf, "documents", ["doc_id", "text"]),
+            rules=[(r"[aeiou]+", "*"), (r"[xyz]", "#")],
+        )
+        return ds.map_batches(
+            lambda b: b.select(["doc_id", "scrubbed", "n_redactions"]),
             batch_format="pyarrow",
         )
 
@@ -718,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_filter": q_curation_filter,
         "quantile_length_filter": q_quantile_length_filter,
         "top_ngrams": q_top_ngrams,
+        "regex_scrub": q_regex_scrub,
         "exact_dedup": q_exact_dedup,
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
@@ -1031,6 +1045,14 @@ def oracle_sql() -> dict[str, str]:
             "(dup_token_ratio <= 0.5 AND top_token_frac <= 0.16) AS rep_ok, "
             "(n_tokens >= 40 AND n_tokens <= 120 AND dup_token_ratio <= 0.5 "
             "AND top_token_frac <= 0.16) AS keep FROM rep"
+        ),
+        "regex_scrub": (
+            "WITH s1 AS (SELECT doc_id, regexp_replace(text, '[aeiou]+', '*', 'g') "
+            "AS t1, CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS c1 "
+            "FROM documents), "
+            "s2 AS (SELECT doc_id, regexp_replace(t1, '[xyz]', '#', 'g') AS scrubbed, "
+            "c1 + CAST(len(regexp_extract_all(t1, '[xyz]')) AS BIGINT) AS n_redactions "
+            "FROM s1) SELECT doc_id, scrubbed, n_redactions FROM s2"
         ),
         "top_ngrams": (
             "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents "

@@ -39,6 +39,8 @@ __all__ = [
     "token_repetition",
     "curation_filter",
     "quantile_length_filter",
+    "RegexScrub",
+    "regex_scrub",
 ]
 
 
@@ -256,6 +258,62 @@ def quantile_length_filter(
         return t.filter(keep)
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class RegexScrub:
+    """Actor-pool scrub stage — the PII-redaction shape: an ordered list of
+    (pattern, replacement) rules applied sequentially to a text column,
+    emitting the scrubbed text plus a per-document redaction count.
+
+    Patterns are RE2 (Arrow's regex engine — the same engine DuckDB uses,
+    which is what makes the SQL oracle bit-exact); they are validated once
+    per actor in __init__, and each rule is ONE vectorized C++ pass per
+    batch (count, then replace).  Counts are non-overlapping matches
+    against the text as it stands when the rule runs (sequential
+    semantics), so rule order is part of the contract."""
+
+    def __init__(
+        self,
+        rules: list[tuple[str, str]],
+        text_col: str = "text",
+        out_col: str = "scrubbed",
+    ):
+        if not rules:
+            raise ValueError("RegexScrub needs at least one (pattern, replacement)")
+        probe = pa.array([""], type=pa.string())
+        for pat, _ in rules:
+            pc.count_substring_regex(probe, pat)  # raises on invalid RE2
+        self.rules = list(rules)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.string())
+        counts = np.zeros(len(text), dtype=np.int64)
+        for pat, repl in self.rules:
+            counts += pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            text = pc.replace_substring_regex(text, pattern=pat, replacement=repl)
+        batch = batch.append_column(self.out_col, text)
+        batch = batch.append_column(
+            "n_redactions", pa.array(counts, type=pa.int64())
+        )
+        return batch
+
+
+def regex_scrub(ds, rules: list[tuple[str, str]], text_col: str = "text"):
+    """Apply ``RegexScrub`` as an actor-pool map_batches stage."""
+    return ds.map_batches(
+        RegexScrub,
+        fn_constructor_kwargs={"rules": rules, "text_col": text_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
 
 
 def curation_filter(

@@ -200,3 +200,42 @@ def test_curation_filter_reasons(docs_ds):
         )
     kept = sum(1 for r in out if r["keep"])
     assert 0 < kept < len(out)
+
+
+def test_regex_scrub_pii_rules(docs_ds):
+    """Email/phone-shaped scrub rules on synthetic rows: sequential rule
+    semantics, per-doc redaction counts, invalid patterns rejected."""
+    import ray.data as rd
+
+    from fever_ray.ops.curate import RegexScrub, regex_scrub
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a@b.com and c.d@e.org today",
+                    "call 555-123-4567 twice 555-000-1111",
+                    "nothing sensitive",
+                ]
+            ),
+        }
+    )
+    rules = [
+        (r"[\w.]+@[\w.]+", "<email>"),
+        (r"\d{3}-\d{3}-\d{4}", "<phone>"),
+    ]
+    out = sorted(
+        regex_scrub(rd.from_arrow(t), rules).take_all(), key=lambda r: r["doc_id"]
+    )
+    assert out[0]["scrubbed"] == "mail <email> and <email> today"
+    assert out[0]["n_redactions"] == 2
+    assert out[1]["scrubbed"] == "call <phone> twice <phone>"
+    assert out[1]["n_redactions"] == 2
+    assert out[2]["scrubbed"] == "nothing sensitive"
+    assert out[2]["n_redactions"] == 0
+
+    with pytest.raises(Exception):
+        RegexScrub([("([unclosed", "x")])
+    with pytest.raises(ValueError):
+        RegexScrub([])
