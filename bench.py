@@ -244,6 +244,25 @@ def run_bench() -> dict:
         .materialize()
     )
 
+    from fever_ray.ops.textstats import top_ngrams
+    from fever_ray.ops.windows import window_distinct
+
+    # exact bigram top-k over the documents table.  NOT the 1M-page corpus:
+    # the synthetic page text draws words UNIFORMLY (no Zipf head), so its
+    # bigram vocabulary is ~#occurrences and per-batch partials can't
+    # compress — that run (59 s) measures a worst-case string shuffle, not
+    # the operator; real web text is Zipfian and compresses per batch
+    timings["top_ngrams"] = _timed(
+        lambda: top_ngrams(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+            n=2,
+            k=20,
+        ).materialize()
+    )
+    timings["window_distinct"] = _timed(
+        lambda: window_distinct(ev(["ts", "user_id"]), size_s=3600).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
