@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fever_ray.ops.textstats import (
         LangId,
         fingerprint,
+        heavy_ngrams,
         quality_score,
         token_stats,
         top_ngrams,
@@ -322,6 +323,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_top_ngrams(sf):
         # corpus-wide exact bigram counts, top 20, lexicographic tie-break
         return top_ngrams(_t(sf, "documents", ["doc_id", "text"]), n=2, k=20)
+
+    def q_heavy_ngrams(sf):
+        # sketch-pruned exact heavy hitters: CMS pass bounds the shuffle,
+        # the exact survivor count + HAVING removes all false positives —
+        # the answer is exact, so the plain SQL HAVING mirrors it
+        return heavy_ngrams(
+            _t(sf, "documents", ["doc_id", "text"]),
+            n=2, min_count=35, k=20, width=1 << 16, depth=4,
+        )
 
     def q_quantile_length_filter(sf):
         # sketch-driven filter: KLL learns the p10/p90 token-count
@@ -731,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_filter": q_curation_filter,
         "quantile_length_filter": q_quantile_length_filter,
         "top_ngrams": q_top_ngrams,
+        "heavy_ngrams": q_heavy_ngrams,
         "regex_scrub": q_regex_scrub,
         "exact_dedup": q_exact_dedup,
         "connected_components": q_connected_components,
@@ -1062,6 +1073,16 @@ def oracle_sql() -> dict[str, str]:
             "cnt AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM bi "
             "GROUP BY ngram) "
             "SELECT ngram, n FROM cnt ORDER BY n DESC, ngram ASC LIMIT 20"
+        ),
+        "heavy_ngrams": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents "
+            "WHERE text <> ''), "
+            "bi AS (SELECT unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i+1])) AS ngram FROM toks), "
+            "cnt AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM bi "
+            "GROUP BY ngram) "
+            "SELECT ngram, n FROM cnt WHERE n >= 35 "
+            "ORDER BY n DESC, ngram ASC LIMIT 20"
         ),
         "quantile_length_filter": (
             # mirror of the engine's below-saturation KLL quantile rule:

@@ -178,49 +178,16 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        text = batch.column(text_col)
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        toks = pc.split_pattern(pc.cast(text, pa.string()), " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offsets = offsets - offsets[0]
-        doc_lens = np.diff(offsets)
-        total = len(flat)
-        empty = pa.table(
-            {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-        )
-        if total < n:
-            return empty
-        # n-gram strings at every flat position, vectorized; then keep only
-        # positions with all n tokens inside one document.  Empty text
-        # contributes no tokens (its split yields [''] — a 1-token doc that
-        # can't form an n-gram for n >= 2; for n == 1 it counts '' like the
-        # SQL mirror does, a corpus-dependent corner the caller filters).
-        parts = [flat.slice(j, total - n + 1) for j in range(n)]
-        grams = parts[0]
-        for p in parts[1:]:
-            grams = pc.binary_join_element_wise(grams, p, " ")
-        pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
-            offsets[:-1], doc_lens
-        )
-        valid = (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[: total - n + 1]
-        grams = grams.filter(pa.array(valid))
-        if len(grams) == 0:
-            return empty
-        dic = grams.dictionary_encode()
-        counts = np.bincount(
-            dic.indices.to_numpy(zero_copy_only=False),
-            minlength=len(dic.dictionary),
-        )
-        return pa.table(
-            {
-                "ngram": dic.dictionary,
-                "n": pa.array(counts.astype(np.int64), pa.int64()),
-            }
-        )
+        # per-batch vocabulary partials via the shared _gram_counts kernel;
+        # empty text contributes no tokens (its split yields [''] — a
+        # 1-token doc that can't form an n-gram for n >= 2; for n == 1 it
+        # counts '' like the SQL mirror does, a corner the caller filters)
+        grams, counts = _gram_counts(batch, n, text_col)
+        if grams is None:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return pa.table({"ngram": grams, "n": pa.array(counts, pa.int64())})
 
     summed = (
         ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
@@ -238,6 +205,170 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
 
     candidates = summed.map_batches(block_topk, batch_format="pyarrow")
     return candidates.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def _gram_counts(batch: pa.Table, n: int, text_col: str):
+    """Per-batch unique n-gram strings + occurrence counts (the shared
+    kernel of top_ngrams / heavy_ngrams): split → positional joins →
+    in-document validity mask → dictionary-encode + bincount."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(pc.cast(text, pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    doc_lens = np.diff(offsets)
+    total = len(flat)
+    if total < n:
+        return None, None
+    parts = [flat.slice(j, total - n + 1) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = pc.binary_join_element_wise(grams, p, " ")
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], doc_lens)
+    valid = (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[: total - n + 1]
+    grams = grams.filter(pa.array(valid))
+    if len(grams) == 0:
+        return None, None
+    dic = grams.dictionary_encode()
+    counts = np.bincount(
+        dic.indices.to_numpy(zero_copy_only=False), minlength=len(dic.dictionary)
+    ).astype(np.int64)
+    return dic.dictionary, counts
+
+
+class _HeavySurvivorFilter:
+    """Actor-pool pass-2 stage of ``heavy_ngrams``: the merged CMS
+    deserializes ONCE per actor (__init__), then each batch emits only the
+    n-grams whose CMS estimate clears ``min_count`` — CMS never
+    undercounts, so no true heavy hitter is ever dropped here."""
+
+    def __init__(self, cms_ref, n: int, min_count: int, text_col: str):
+        import ray
+
+        from ..sketches.cms import CountMin
+
+        self.cms = CountMin.from_bytes(ray.get(cms_ref))
+        self.n = n
+        self.min_count = min_count
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        grams, counts = _gram_counts(batch, self.n, self.text_col)
+        if grams is None:
+            return empty
+        est = self.cms.query(hash64(grams))
+        keep = est >= np.uint64(self.min_count)
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "ngram": grams.filter(pa.array(keep)),
+                "n": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+
+def heavy_ngrams(
+    ds,
+    n: int = 2,
+    min_count: int = 100,
+    k: int = 20,
+    text_col: str = "text",
+    width: int = 1 << 20,
+    depth: int = 4,
+):
+    """EXACT heavy-hitter n-grams (count ≥ min_count, top-k) for corpora
+    whose n-gram vocabulary is too large to shuffle — the scale path where
+    ``top_ngrams``'s exact global groupby stops compressing (uniform-ish
+    tails, 10^9+ distinct n-grams).
+
+    Sketch-pruned exactness in two streaming passes:
+
+    1. A mergeable Count-Min over n-gram hashes (fixed width×depth memory
+       per partial, coalesce-tree merge — no keyed shuffle).
+    2. An actor-pool filter keeps only n-grams whose CMS estimate clears
+       ``min_count`` (CMS never undercounts ⇒ ZERO false negatives; the
+       overcount ε·N admits some extras), then an exact groupby counts the
+       SURVIVORS only and the final ``HAVING count ≥ min_count`` + top-k
+       removes the false positives.  The result is therefore EXACT — the
+       sketch only bounds the shuffle, never the answer — which is what
+       lets the SQL oracle gate it bit-for-bit.
+
+    Sizing rule (measured): pruning power collapses when the CMS saturates
+    — expected collision inflation is ≈ total_count / width per cell, so
+    pick ``width`` ≫ total_count / min_count.  On Zipf-distributed text
+    (real web corpora) that is cheap because min_count targets the head;
+    on a HEADLESS corpus (uniform synthetic text) no width prunes — every
+    key's true count sits near the mean, which is the regime where
+    heavy-hitter mining itself is meaningless (measured: a 2^21-wide CMS
+    over 16M near-uniform bigrams passes everything through)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..sketches.cms import CountMin
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        grams, counts = _gram_counts(batch, n, text_col)
+        cms = CountMin.create(width, depth)
+        if grams is not None:
+            cms.update(hash64(grams), counts=counts)
+        return pa.table({"payload": pa.array([cms.to_bytes()], pa.large_binary())})
+
+    def merge_blobs(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("payload").to_pylist()
+        acc = CountMin.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(CountMin.from_bytes(b))
+        return pa.table({"payload": pa.array([acc.to_bytes()], pa.large_binary())})
+
+    partials = ds.map_batches(cms_partial, batch_format="pyarrow", zero_copy_batch=True)
+    # one tree level bundles 8 partials per merge task; the driver folds the
+    # small remainder
+    level1 = partials.map_batches(merge_blobs, batch_format="pyarrow", batch_size=8)
+    rows = level1.take_all()
+    acc = CountMin.from_bytes(rows[0]["payload"])
+    for r in rows[1:]:
+        acc.merge(CountMin.from_bytes(r["payload"]))
+    cms_ref = ray.put(acc.to_bytes())
+
+    survivors = ds.map_batches(
+        _HeavySurvivorFilter,
+        fn_constructor_kwargs={
+            "cms_ref": cms_ref,
+            "n": n,
+            "min_count": min_count,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    summed = survivors.groupby("ngram").aggregate(Sum("n", alias_name="n"))
+
+    def exact_filter_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch.column("n"), pa.scalar(min_count, pa.int64()))
+        )
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("n", "descending"), ("ngram", "ascending")],
+        )
+        return batch.take(idx)
+
+    return (
+        summed.map_batches(exact_filter_topk, batch_format="pyarrow")
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(k)
+    )
 
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -53,3 +53,48 @@ def test_cross_doc_ngrams_not_counted(ray_session):
     )
     out = {(r["ngram"], r["n"]) for r in top_ngrams(rd.from_arrow(t), n=2, k=10).take_all()}
     assert out == {("a b", 1), ("c d", 1)}
+
+
+def test_heavy_ngrams_zipf_matches_bruteforce(ray_session):
+    """On Zipf-distributed text (the real-web regime heavy_ngrams targets)
+    the sketch-pruned result equals brute-force heavy hitters exactly, and
+    the CMS pass prunes the survivor shuffle hard."""
+    import collections
+
+    import numpy as np
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import heavy_ngrams
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(2000)]
+    texts = []
+    for _ in range(1500):
+        ids = np.minimum(rng.zipf(1.3, size=40) - 1, len(vocab) - 1)
+        texts.append(" ".join(vocab[i] for i in ids))
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+    counter = collections.Counter()
+    for text in texts:
+        toks = text.split(" ")
+        counter.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    min_count = 30
+    want = sorted(
+        ((g, c) for g, c in counter.items() if c >= min_count),
+        key=lambda gc: (-gc[1], gc[0]),
+    )[:20]
+
+    got = [
+        (r["ngram"], r["n"])
+        for r in heavy_ngrams(
+            rd.from_arrow(t).repartition(6),
+            n=2,
+            min_count=min_count,
+            k=20,
+            width=1 << 16,
+            depth=4,
+        ).take_all()
+    ]
+    assert got == want and len(got) == 20
