@@ -18,6 +18,34 @@ import pyarrow as pa
 
 EVENT_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
+# canonical types for the event schema — missing columns project to TYPED
+# nulls (a string-typed null ts/value would conflict with blocks from shards
+# that do carry the column and break concat/schema unification)
+EVENT_TYPES = {
+    "event_id": pa.int64(),
+    "ts": pa.timestamp("us"),
+    "user_id": pa.int64(),
+    "event_type": pa.string(),
+    "value": pa.float64(),
+    "props": pa.string(),
+}
+
+
+def project_events(batch: pa.Table, want: list[str]) -> pa.Table:
+    """Project a parsed batch onto the standard event schema: present
+    columns pass through (``ts`` normalized to timestamp[us]); missing
+    columns become typed nulls.  Shared by the JSONL / CSV / IPC sources."""
+    cols = {}
+    for name in want:
+        if name in batch.column_names:
+            col = batch.column(name)
+            if name == "ts" and not pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("us"))
+            cols[name] = col
+        else:
+            cols[name] = pa.nulls(batch.num_rows, EVENT_TYPES.get(name, pa.string()))
+    return pa.table(cols)
+
 
 def read_event_jsonl(paths, columns: list[str] | None = None):
     """Read newline-delimited JSON events into the standard event schema.
@@ -28,22 +56,12 @@ def read_event_jsonl(paths, columns: list[str] | None = None):
     import ray.data as rd
 
     ds = rd.read_json(paths)
-
     want = columns or EVENT_COLUMNS
-
-    def project(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for name in want:
-            if name in batch.column_names:
-                col = batch.column(name)
-                if name == "ts" and not pa.types.is_timestamp(col.type):
-                    col = col.cast(pa.timestamp("us"))
-                cols[name] = col
-            else:
-                cols[name] = pa.nulls(batch.num_rows, pa.string())
-        return pa.table(cols)
-
-    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: project_events(b, want),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def write_event_jsonl(table: pa.Table, path: str) -> str:

@@ -281,8 +281,12 @@ class RegexScrub:
         if not rules:
             raise ValueError("RegexScrub needs at least one (pattern, replacement)")
         probe = pa.array([""], type=pa.string())
-        for pat, _ in rules:
+        for pat, repl in rules:
             pc.count_substring_regex(probe, pat)  # raises on invalid RE2
+            # also probe the rewrite: an invalid replacement (e.g. a \9
+            # backref) would otherwise surface per batch inside the actor
+            # pool, after work has been done
+            pc.replace_substring_regex(probe, pattern=pat, replacement=repl)
         self.rules = list(rules)
         self.text_col = text_col
         self.out_col = out_col

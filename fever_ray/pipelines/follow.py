@@ -51,11 +51,26 @@ def follow(
     fever-style).  ``poll_s`` sleeps only between *idle* polls, so a test
     can drive it with ``poll_s=0``.
     """
+    from ..io_.checkpoint import done_partitions
+
     iteration = 0
     idle = 0
     first = True
     while True:
         files = sorted(_glob.glob(input_glob))
+        # cheap pre-check: when every globbed file is already in the
+        # manifest (and we've reported at least once), skip the build —
+        # otherwise every idle poll would re-read and re-merge EVERY
+        # partition's partials just to discard the result
+        if not first:
+            done_inputs = {r["input_path"] for r in done_partitions(out_dir).values()}
+            if all(f in done_inputs for f in files):
+                idle += 1
+                if max_idle_polls is not None and idle >= max_idle_polls:
+                    return
+                if poll_s:
+                    time.sleep(poll_s)
+                continue
         result = run_partitioned_build(files, specs, out_dir, prepare=prepare)
         new = result["completed"]
         # the first poll always yields (reports the resumed state even when

@@ -239,3 +239,12 @@ def test_regex_scrub_pii_rules(docs_ds):
         RegexScrub([("([unclosed", "x")])
     with pytest.raises(ValueError):
         RegexScrub([])
+
+
+def test_regex_scrub_rejects_bad_replacement():
+    """Invalid rewrite patterns fail at construction, not per batch in the
+    actor pool."""
+    from fever_ray.ops.curate import RegexScrub
+
+    with pytest.raises(Exception):
+        RegexScrub([(r"(\d+)", r"\9")])

@@ -81,3 +81,27 @@ def test_missing_columns_become_nulls(ray_session, tmp_path):
     out = read_event_csv(p).take_all()
     assert [r["event_id"] for r in out] == [1, 2]
     assert all(r["value"] is None and r["props"] is None for r in out)
+
+
+def test_heterogeneous_ipc_shards_unify(ray_session, tmp_path):
+    """A shard missing ts/value projects TYPED nulls, so blocks from mixed
+    shards concat and unify instead of raising on schema conflict."""
+    import pyarrow as pa
+
+    full = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([1.5], pa.float64()),
+        }
+    )
+    partial = pa.table(
+        {"event_id": pa.array([2], pa.int64()), "event_type": pa.array(["view"])}
+    )
+    write_event_ipc(full, str(tmp_path / "a.arrow"))
+    write_event_ipc(partial, str(tmp_path / "b.arrow"))
+    out = read_event_ipc(str(tmp_path)).take_all()
+    rows = {r["event_id"]: r for r in out}
+    assert rows[1]["value"] == 1.5 and rows[1]["ts"] is not None
+    assert rows[2]["value"] is None and rows[2]["ts"] is None
