@@ -6,6 +6,9 @@ flags override YAML override defaults.
 
 Subcommands:
     run        flagship sketch build (optionally checkpointed/resumable)
+    follow     daemon-style tail of a growing shard directory
+    dedup      MinHash-LSH near-dedup (clusters + representative corpus)
+    curate     sample → keep/drop gauntlet → domain cap → parquet
     ioc        bloom/IoC matching over a page table
     bloom      build / inspect a DCSO-format bloom filter artifact
     gen        generate a synthetic page corpus
@@ -208,20 +211,18 @@ def cmd_curate(args) -> int:
             batch_format="pyarrow",
         )
         kept = domain_cap(kept, args.domain_cap, key_col="hostname", order_col="url")
-    n_in = ds.count()
+    # pages_total is a metadata-only count (no second pipeline execution);
+    # the kept set is materialized ONCE and both counted and written from
+    # that materialization — counting output-directory globs would include
+    # stale files from earlier runs
+    n_total = rd.read_parquet(args.input).count()
+    kept = kept.materialize()
+    n_kept = kept.count()
+    summary = {"pages_total": n_total, "pages_kept": n_kept}
     if args.out:
         kept.write_parquet(args.out)
-        import glob as _g
-
-        import pyarrow.parquet as pq
-
-        n_kept = sum(
-            pq.read_metadata(f).num_rows for f in _g.glob(os.path.join(args.out, "*.parquet"))
-        )
-        print(json.dumps({"pages_in": n_in, "pages_kept": n_kept, "out": args.out}))
-    else:
-        n_kept = kept.count()
-        print(json.dumps({"pages_in": n_in, "pages_kept": n_kept}))
+        summary["out"] = args.out
+    print(json.dumps(summary))
     return 0
 
 
@@ -305,11 +306,17 @@ def cmd_gen(args) -> int:
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(prog="fever_ray", description=__doc__)
+    # allow_abbrev=False: the YAML cascade detects "explicitly given" flags
+    # by their literal tokens, so an accepted abbreviation (--thresh for
+    # --threshold) would not register as given and YAML would silently
+    # override the typed value
+    p = argparse.ArgumentParser(
+        prog="fever_ray", description=__doc__, allow_abbrev=False
+    )
     p.add_argument("--config", help="YAML/JSON config file (flags override)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pr = sub.add_parser("run", help="flagship sketch build")
+    pr = sub.add_parser("run", allow_abbrev=False, help="flagship sketch build")
     pr.add_argument("--input", required=True)
     pr.add_argument("--out")
     pr.add_argument("--checkpoint")
@@ -319,7 +326,7 @@ def main(argv=None) -> int:
     pr.add_argument("--num-cpus", dest="num_cpus", type=int)
     pr.set_defaults(fn=cmd_run)
 
-    pd_ = sub.add_parser("dedup", help="MinHash-LSH near-dedup over pages")
+    pd_ = sub.add_parser("dedup", allow_abbrev=False, help="MinHash-LSH near-dedup over pages")
     pd_.add_argument("--input", required=True)
     pd_.add_argument("--out", required=True)
     pd_.add_argument("--threshold", type=float, default=0.7)
@@ -329,7 +336,7 @@ def main(argv=None) -> int:
     pd_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pd_.set_defaults(fn=cmd_dedup)
 
-    pc_ = sub.add_parser("curate", help="keep/drop curation pass over pages")
+    pc_ = sub.add_parser("curate", allow_abbrev=False, help="keep/drop curation pass over pages")
     pc_.add_argument("--input", required=True)
     pc_.add_argument("--out")
     pc_.add_argument("--sample", type=float, help="deterministic Bernoulli fraction")
@@ -341,7 +348,7 @@ def main(argv=None) -> int:
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
 
-    pf = sub.add_parser("follow", help="tail a growing shard dir (daemon analog)")
+    pf = sub.add_parser("follow", allow_abbrev=False, help="tail a growing shard dir (daemon analog)")
     pf.add_argument("--input", required=True, help="directory or glob of parquet shards")
     pf.add_argument("--checkpoint", required=True)
     pf.add_argument("--poll", type=float, default=5.0)
@@ -350,7 +357,7 @@ def main(argv=None) -> int:
     pf.add_argument("--num-cpus", dest="num_cpus", type=int)
     pf.set_defaults(fn=cmd_follow)
 
-    pi = sub.add_parser("ioc", help="IoC matching over pages")
+    pi = sub.add_parser("ioc", allow_abbrev=False, help="IoC matching over pages")
     pi.add_argument("--input", required=True)
     pi.add_argument("--bloom-file", dest="bloom_file", required=True)
     pi.add_argument("--bloom-zipped", dest="bloom_zipped", action="store_true")
@@ -362,7 +369,7 @@ def main(argv=None) -> int:
     pi.add_argument("--num-cpus", dest="num_cpus", type=int)
     pi.set_defaults(fn=cmd_ioc)
 
-    pb = sub.add_parser("bloom", help="bloom artifact management")
+    pb = sub.add_parser("bloom", allow_abbrev=False, help="bloom artifact management")
     pb.add_argument("action", choices=["create", "add", "show", "check"])
     pb.add_argument("file")
     pb.add_argument("values", nargs="*")
@@ -372,7 +379,7 @@ def main(argv=None) -> int:
     pb.add_argument("--zipped", action="store_true")
     pb.set_defaults(fn=cmd_bloom)
 
-    pg = sub.add_parser("gen", help="generate synthetic pages")
+    pg = sub.add_parser("gen", allow_abbrev=False, help="generate synthetic pages")
     pg.add_argument("--out", required=True)
     pg.add_argument("--rows", type=int, default=10000)
     pg.add_argument("--files", type=int, default=4)

@@ -334,6 +334,13 @@ def heavy_ngrams(
     # small remainder
     level1 = partials.map_batches(merge_blobs, batch_format="pyarrow", batch_size=8)
     rows = level1.take_all()
+    if not rows:
+        # empty input dataset (e.g. a glob that matched nothing)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        )
     acc = CountMin.from_bytes(rows[0]["payload"])
     for r in rows[1:]:
         acc.merge(CountMin.from_bytes(r["payload"]))

@@ -128,7 +128,11 @@ def hopping_window(events_ds, ts_col: str = "ts", key: str | None = "event_type"
         ks = np.tile(np.arange(n_hops, dtype=np.int64) * step_us, n)
         starts = np.repeat(base, n_hops) - ks
         rep_idx = np.repeat(np.arange(n, dtype=np.int64), n_hops)
-        rep = batch.take(pa.array(rep_idx))
+        # project to the needed columns BEFORE the n_hops-way fan-out —
+        # taking the full table would replicate every payload column
+        # n_hops times only to drop them in the select below
+        narrow = batch.select(([key] if key else []) + [value_col])
+        rep = narrow.take(pa.array(rep_idx))
         rep = rep.append_column(
             "window_start", pa.array(starts, type=pa.int64()).cast(pa.timestamp("us"))
         )
@@ -203,13 +207,24 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
     Partitioning assumption: one bucket fits a worker (choose n_buckets so
     rows/bucket is bounded; salt hot keys upstream if needed).
     """
-    from ..sketches.hashing import hash64_ints
+    from ..sketches.hashing import hash64, hash64_ints
+
+    def _bucket_of(col) -> np.ndarray:
+        # integer keys hash directly; string/binary keys go through the
+        # byte hasher (same family), so as-of joins on e.g. string user
+        # ids bucket instead of raising on astype(int64)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            h = hash64_ints(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            h = hash64(col)
+        return (h % np.uint64(n_buckets)).astype(np.int32)
 
     def tag(side, cols):
         def fn(batch: pa.Table) -> pa.Table:
             batch = batch.select(cols)
-            k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            b = (hash64_ints(k) % np.uint64(n_buckets)).astype(np.int32)
+            b = _bucket_of(batch.column(key))
             batch = batch.append_column("__bucket", pa.array(b, type=pa.int32()))
             return batch.append_column("__side", pa.array([side] * batch.num_rows))
 
