@@ -62,6 +62,21 @@ def _chain_pairs(ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ids_sorted[:-1], ids_sorted[1:]
 
 
+def _key_runs(*keys: np.ndarray) -> np.ndarray:
+    """Run boundaries of consecutive equal key tuples in presorted arrays:
+    returns ``starts`` with one extra terminal entry, so buckets are
+    ``zip(starts[:-1], starts[1:])``.  Shared by the minhash / simhash /
+    embedding bucket-verification paths so their run detection cannot
+    drift."""
+    n = len(keys[0])
+    if n == 0:
+        return np.zeros(1, dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for arr in keys:
+        change |= np.diff(arr) != 0
+    return np.concatenate(([0], np.flatnonzero(change) + 1, [n])).astype(np.int64)
+
+
 # ------------------------------------------------------------------ exact
 def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
     text = batch.column(col)
@@ -154,7 +169,7 @@ class MinHashSignatures:
 
 
 def minhash_candidate_pairs(
-    ds, n_shingle=3, num_perm=64, bands=16, concurrency=None,
+    ds, n_shingle=3, num_perm=64, bands=16,
     n_parts: int | None = None, max_bucket: int = 8192,
 ):
     """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets.
@@ -199,8 +214,7 @@ def minhash_candidate_pairs(
             return pa.table(
                 {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
             )
-        change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1
-        starts = np.concatenate(([0], change, [n]))
+        starts = _key_runs(band, bh)
         a_out, b_out = [], []
         n_over = over_rows = 0
         for s, e in zip(starts[:-1], starts[1:]):
@@ -621,8 +635,16 @@ class SimHashFingerprints:
         )
 
 
-def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
-    """Banded SimHash blocking + exact Hamming verification per bucket."""
+def simhash_near_dup_pairs(
+    ds, max_hamming: int = 3, n_parts: int | None = None, max_bucket: int = 8192,
+):
+    """Banded SimHash blocking + exact Hamming verification per bucket.
+
+    Same scale guards as the minhash path: ``n_parts`` scales with input
+    size (one map_groups partition must never hold a fixed fraction of ALL
+    band rows) and buckets over ``max_bucket`` — a 16-bit band shared by
+    boilerplate-heavy docs — fall back to Hamming-verified adjacent-id
+    chains with a logged count instead of O(k²) work."""
     fingerprinter = SimHashFingerprints()
 
     def fp(batch: pa.Table) -> pa.Table:
@@ -631,7 +653,8 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
     rows = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
     # coarse partitions, one Python call each; verify per bucket-run inside
-    n_parts = 64
+    if n_parts is None:
+        n_parts = _auto_parts(ds)
 
     def add_part(batch: pa.Table) -> pa.Table:
         bk = batch.column("band_key").to_numpy(zero_copy_only=False)
@@ -652,12 +675,25 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
         fps = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         n = len(ids)
         a_out, b_out, d_out = [], [], []
+        n_over = over_rows = 0
         if n:
-            change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bk) != 0)) + 1
-            starts = np.concatenate(([0], change, [n]))
+            starts = _key_runs(band, bk)
             for s, e in zip(starts[:-1], starts[1:]):
                 k = e - s
                 if k <= 1:
+                    continue
+                if k > max_bucket:
+                    # boilerplate band: Hamming-verified adjacent chain
+                    n_over += 1
+                    over_rows += k
+                    ca, cb = _chain_pairs(ids[s:e])
+                    da = hamming_distance(fps[s:e][:-1], fps[s:e][1:])
+                    keep = (da <= max_hamming) & (ca != cb)
+                    if keep.any():
+                        xa, xb = ca[keep], cb[keep]
+                        a_out.append(np.minimum(xa, xb))
+                        b_out.append(np.maximum(xa, xb))
+                        d_out.append(da[keep])
                     continue
                 iu, ju = np.triu_indices(k, k=1)
                 da = hamming_distance(fps[s:e][iu], fps[s:e][ju])
@@ -667,6 +703,11 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, concurrency=None):
                     a_out.append(np.minimum(xa, xb))
                     b_out.append(np.maximum(xa, xb))
                     d_out.append(da[keep])
+        if n_over:
+            logger.warning(
+                "simhash bands: %d bucket(s) over max_bucket=%d (%d rows total) "
+                "fell back to chain verification", n_over, max_bucket, over_rows,
+            )
         if not a_out:
             return pa.table(
                 {
@@ -711,11 +752,13 @@ def embedding_dup_pairs(
     connectivity-preserving adjacent chain with a logged count.
 
     ``verify_all`` forces a single bucket (exact all-pairs brute force) for
-    small inputs/oracles."""
+    small inputs/oracles — and exempts it from ``max_bucket``, since the
+    caller explicitly asked for the exact quadratic verification."""
     from .knn import _embedding_matrix, _normalize
 
     if verify_all:
         n_tables = 1
+        max_bucket = np.iinfo(np.int64).max
     if n_parts is None:
         n_parts = _auto_parts(ds)
 
@@ -782,8 +825,7 @@ def embedding_dup_pairs(
             vec_col = vec_col.combine_chunks()
         d = vec_col.type.list_size
         mat = np.asarray(vec_col.values).reshape(n, d)
-        change = np.flatnonzero((np.diff(tb) != 0) | (np.diff(bk) != 0)) + 1
-        starts = np.concatenate(([0], change, [n]))
+        starts = _key_runs(tb, bk)
         a_out, b_out, c_out = [], [], []
         n_over = over_rows = 0
         for s, e in zip(starts[:-1], starts[1:]):
@@ -797,13 +839,18 @@ def embedding_dup_pairs(
                 over_rows += k
                 ca, cb = sub_ids[:-1], sub_ids[1:]
                 cs = np.einsum("ij,ij->i", sub[:-1], sub[1:])
-                keep = cs >= threshold
-                a_out.append(ca[keep]); b_out.append(cb[keep]); c_out.append(cs[keep])
+                # a duplicated vec_id would chain-pair with itself at
+                # cosine 1.0 — drop degenerate pairs, order (min, max)
+                keep = (cs >= threshold) & (ca != cb)
+                xa, xb = ca[keep], cb[keep]
+                a_out.append(np.minimum(xa, xb))
+                b_out.append(np.maximum(xa, xb))
+                c_out.append(cs[keep])
                 continue
             sims = sub @ sub.T
             iu, ju = np.triu_indices(k, k=1)
             sv = sims[iu, ju]
-            keep = sv >= threshold
+            keep = (sv >= threshold) & (sub_ids[iu] != sub_ids[ju])
             if keep.any():
                 xa, xb = sub_ids[iu[keep]], sub_ids[ju[keep]]
                 a_out.append(np.minimum(xa, xb))

@@ -234,3 +234,63 @@ def test_connected_components_chain(ray_session):
     assert sorted((r["doc_id"], r["cluster_id"]) for r in out) == [
         (i, 0) for i in range(10)
     ]
+
+
+def test_embedding_verify_all_exempt_from_max_bucket(ray_session):
+    """verify_all promises EXACT all-pairs verification: it must not
+    silently degrade to the chain fallback past max_bucket."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 8))
+    # plant an exact duplicate pair far apart in id order
+    base[37] = base[2]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base]),
+        }
+    )
+    pairs = dd.embedding_dup_pairs(
+        rd.from_arrow(t), threshold=0.9999, verify_all=True, max_bucket=5
+    ).take_all()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(2, 37)}
+
+
+def test_embedding_duplicate_ids_no_self_pairs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(6)
+    v = rng.standard_normal(8)
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)), list(map(float, v)), list(map(float, -v))]
+            ),
+        }
+    )
+    pairs = dd.embedding_dup_pairs(
+        rd.from_arrow(t), threshold=0.99, verify_all=True
+    ).take_all()
+    assert all(r["vec_a"] != r["vec_b"] for r in pairs)
+
+
+def test_simhash_oversized_bucket_chain_fallback(ray_session):
+    """Boilerplate corpus: one band bucket holds every doc; the capped path
+    must stay O(k) yet still connect the identical docs."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(60), pa.int64()),
+            "text": pa.array(["the same boilerplate text again and again"] * 60),
+        }
+    )
+    pairs = dd.simhash_near_dup_pairs(
+        rd.from_arrow(t), max_hamming=3, max_bucket=10
+    ).take_all()
+    # chain connectivity: every doc reachable → at least 59 edges, all at
+    # hamming 0, no self pairs
+    assert len(pairs) >= 59
+    assert all(r["hamming"] == 0 and r["doc_a"] != r["doc_b"] for r in pairs)
