@@ -43,7 +43,16 @@ def make_grouped_partials_fn(spec: SketchSpec, key: str, fanout: int = 16):
     """Batch → one partial-sketch row per distinct key in the batch."""
 
     def partials(batch: pa.Table) -> pa.Table:
-        keys_np = batch.column(key).to_numpy(zero_copy_only=False).astype(object)
+        # null group keys are DROPPED (documented): stringifying them would
+        # merge a null group with rows whose key is the literal 'None'
+        keycol = batch.column(key)
+        if isinstance(keycol, pa.ChunkedArray):
+            keycol = keycol.combine_chunks()
+        if keycol.null_count:
+            valid = keycol.is_valid()
+            batch = batch.filter(valid)
+            keycol = keycol.filter(valid)
+        keys_np = keycol.to_numpy(zero_copy_only=False).astype(object)
         uniq, inverse = np.unique(keys_np.astype(str), return_inverse=True)
         col = batch.column(spec.column)
         if isinstance(col, pa.ChunkedArray):

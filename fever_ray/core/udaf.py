@@ -230,8 +230,12 @@ def build_sketches(
         # driver-side remainder to ≤ ~(partials/bundle²)·n_specs tiny rows.
         bundle = max(fanout, 8) * max(len(specs), 1)
         phase1 = partials.map_batches(merge, batch_format="pyarrow", batch_size=bundle)
+        # second distributed level so the driver-side remainder really is
+        # ≤ ~(partials/bundle²)·n_specs rows (one level would pull
+        # partials/bundle payload rows into take_all at large scale)
+        phase2 = phase1.map_batches(merge, batch_format="pyarrow", batch_size=bundle)
         remainder = pa.Table.from_pylist(
-            phase1.take_all(), schema=PARTIAL_SCHEMA
+            phase2.take_all(), schema=PARTIAL_SCHEMA
         )
         acc = merge_partial_tables([remainder], specs)
         return acc

@@ -145,6 +145,19 @@ def run_partitioned_build(
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
 
     done = done_partitions(out_dir)
+    # a checkpoint dir is bound to ONE spec set: resuming with different
+    # specs would either crash in the finalize merge (removed sketch) or
+    # silently return a sketch built only from post-change files (added
+    # sketch) — fail loudly instead
+    want_ids = sorted(s.name for s in specs)
+    for rec in done.values():
+        have = sorted(rec.get("sketch_ids", want_ids))
+        if have != want_ids:
+            raise ValueError(
+                f"checkpoint dir {out_dir!r} was built with sketch specs "
+                f"{have}, current specs are {want_ids}; use a fresh "
+                "checkpoint dir when the spec set changes"
+            )
     done_inputs = {rec["input_path"] for rec in done.values()}
     pending = [f for f in input_files if f not in done_inputs]
     completed = []

@@ -280,10 +280,17 @@ def make_page_ioc_fn(bloom_bytes: bytes, blacklist: tuple = (), alert_prefix: st
     process builds the matcher on first touch.  Prefer this over the actor
     pool when runs are short-lived (no pool spin-up) — semantics identical.
     """
+    import hashlib
+
     import ray
 
     blob_ref = ray.put(bloom_bytes)
-    cache_key = (blob_ref.hex(), tuple(blacklist), alert_prefix)
+    # key the per-process cache on CONTENT, not the ObjectRef: a fresh ref
+    # per invocation would add one deserialized filter per call to every
+    # worker process, never evicted
+    cache_key = (
+        hashlib.sha1(bloom_bytes).hexdigest(), tuple(blacklist), alert_prefix
+    )
 
     def match_pages(batch: pa.Table) -> pa.Table:
         m = _MATCHER_CACHE.get(cache_key)
