@@ -75,13 +75,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         domain_cap,
         hash_sample,
         quantile_length_filter,
+        stratified_sample,
         regex_scrub,
         token_repetition,
     )
     from fever_ray.ops.extract import extract_text, hostname_of
     from fever_ray.ops.ioc import PageIocMatcher
     from fever_ray.ops.knn import knn_bruteforce, knn_ivf, knn_lsh
-    from fever_ray.ops.multimodal import decode_images
+    from fever_ray.ops.multimodal import decode_images, resize_images
     from fever_ray.ops.textstats import (
         LangId,
         fingerprint,
@@ -195,6 +196,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_revenue_by_nation(sf):
+        import pyarrow.parquet as pq
+
+        cust = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        nat = pq.read_table(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"])
+        return rel.revenue_by_nation(
+            _t(sf, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+            _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            cust,
+            nat,
+        )
+
     # ---- text analysis over documents ------------------------------------
     def q_token_stats(sf):
         return _t(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -274,6 +287,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic Bernoulli(0.25) split keyed on (doc_id, seed=7);
         # oracle mirrors hash64_ints (splitmix64 stages) bit-exactly
         return hash_sample(_t(sf, "documents", ["doc_id", "source"]), 0.25, seed=7)
+
+    def q_stratified_sample(sf):
+        # per-language rebalance: clamp en, keep most de, default for rest —
+        # same splitmix64 membership hash as hash_sample, per-stratum
+        # threshold chosen by one dictionary-encode per batch
+        return stratified_sample(
+            _t(sf, "documents", ["doc_id", "lang", "source"]),
+            {"en": 0.10, "de": 0.80},
+            default=0.35,
+            seed=11,
+        )
 
     def q_domain_cap(sf):
         ds = domain_cap(_t(sf, "documents", ["doc_id", "source"]), cap=7)
@@ -713,6 +737,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_multimodal_resize(sf):
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+        dec = decode_images(
+            pages.map_batches(
+                lambda b: b.select(["doc_id", "html"]), batch_format="pyarrow"
+            ),
+            batch_size=64,
+        )
+        out = resize_images(dec, max_w=224, max_h=160)
+        return out.map_batches(
+            lambda b: b.select(
+                ["doc_id", "img_width", "img_height", "resize_w", "resize_h"]
+            ),
+            batch_format="pyarrow",
+        )
+
     return {
         "event_profiler": q_event_profiler,
         "flow_aggregator": q_flow_aggregator,
@@ -728,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "filter_project": q_filter_project,
         "bucketed_join": q_bucketed_join,
+        "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -736,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_recall_gate": q_knn_lsh_recall_gate,
         "knn_ivf_recall_gate": q_knn_ivf_recall_gate,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
         "token_repetition": q_token_repetition,
         "curation_filter": q_curation_filter,
@@ -765,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "tumbling_window": q_tumbling_window,
         "window_distinct": q_window_distinct,
         "hopping_window": q_hopping_window,
@@ -837,8 +880,20 @@ def _hash_sample_sql(fraction: float, seed: int) -> str:
     from fever_ray.ops.curate import sample_threshold
     from fever_ray.sketches.hashing import splitmix64
 
-    c = int(splitmix64(np.array([seed], dtype=np.uint64))[0]) if seed else 0
     thr = sample_threshold(fraction)
+    return _splitmix_doc_sql(seed, "doc_id, source", f"h < CAST({thr} AS UBIGINT)")
+
+
+def _splitmix_doc_sql(seed: int, cols: str, where_expr: str) -> str:
+    """Shared CTE chain: the five-stage splitmix64 finalizer over
+    ``doc_id ^ splitmix64(seed) ^ FNV_OFFSET`` on the documents table,
+    exposing the hash as ``h`` to ``where_expr``.  64-bit multiplies run in
+    two 32-bit HUGEINT halves mod 2^64 (DuckDB has no wrapping UBIGINT *)."""
+    import numpy as np
+
+    from fever_ray.sketches.hashing import splitmix64
+
+    c = int(splitmix64(np.array([seed], dtype=np.uint64))[0]) if seed else 0
     fnv_offset = 0xCBF29CE484222325
     m = "18446744073709551616"
 
@@ -850,15 +905,28 @@ def _hash_sample_sql(fraction: float, seed: int) -> str:
         )
 
     return (
-        f"WITH s0 AS (SELECT doc_id, source, xor(xor(CAST(doc_id AS UBIGINT), "
+        f"WITH s0 AS (SELECT {cols}, xor(xor(CAST(doc_id AS UBIGINT), "
         f"CAST({c} AS UBIGINT)), CAST({fnv_offset} AS UBIGINT)) AS x FROM documents), "
-        "s1 AS (SELECT doc_id, source, xor(x, x >> 30) AS y FROM s0), "
-        f"s2 AS (SELECT doc_id, source, {mulmod('y', '13787848793156543929')} AS x FROM s1), "
-        "s3 AS (SELECT doc_id, source, xor(x, x >> 27) AS y FROM s2), "
-        f"s4 AS (SELECT doc_id, source, {mulmod('y', '10723151780598845931')} AS x FROM s3), "
-        "s5 AS (SELECT doc_id, source, xor(x, x >> 31) AS h FROM s4) "
-        f"SELECT doc_id, source FROM s5 WHERE h < CAST({thr} AS UBIGINT)"
+        f"s1 AS (SELECT {cols}, xor(x, x >> 30) AS y FROM s0), "
+        f"s2 AS (SELECT {cols}, {mulmod('y', '13787848793156543929')} AS x FROM s1), "
+        f"s3 AS (SELECT {cols}, xor(x, x >> 27) AS y FROM s2), "
+        f"s4 AS (SELECT {cols}, {mulmod('y', '10723151780598845931')} AS x FROM s3), "
+        f"s5 AS (SELECT {cols}, xor(x, x >> 31) AS h FROM s4) "
+        f"SELECT {cols} FROM s5 WHERE {where_expr}"
     )
+
+
+def _stratified_sample_sql(fractions: dict, default: float, seed: int) -> str:
+    """Bit-exact mirror of ops.curate.stratified_sample: same splitmix64
+    membership hash, per-stratum threshold via CASE (null strata take the
+    default, matching the engine's fill_null-to-default code path)."""
+    from fever_ray.ops.curate import sample_threshold
+
+    case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN CAST({sample_threshold(f)} AS UBIGINT)"
+        for k, f in fractions.items()
+    ) + f" ELSE CAST({sample_threshold(default)} AS UBIGINT) END"
+    return _splitmix_doc_sql(seed, "doc_id, lang, source", f"h < ({case})")
 
 
 _TOKEN_REPETITION_CTE = (
@@ -1038,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'heartbeat' AS event_type FROM range(24)) GROUP BY event_type"
         ),
         "hash_sample": _hash_sample_sql(0.25, 7),
+        "stratified_sample": _stratified_sample_sql({"en": 0.10, "de": 0.80}, 0.35, 11),
         "domain_cap": (
             "SELECT doc_id, source FROM ("
             "SELECT doc_id, source, row_number() OVER "
@@ -1137,6 +1206,20 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join": (
             "SELECT o_orderkey, o_custkey, c_name FROM orders "
             "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "revenue_by_nation": (
+            # revenue in 10^-4 units (cents × integer discount percent) on
+            # BOTH sides so distributed partial-sum order cannot move an ulp
+            "SELECT n_name, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
+            "AS revenue, CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY n_name"
         ),
         "token_stats": (
             "SELECT doc_id, CASE WHEN strlen(text) = 0 THEN 0 "
@@ -1352,6 +1435,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 + ((strlen(text) + 46) % 1024) AS INT) AS img_width, "
             "CAST(16 + (((strlen(text) + 46) // 1024) % 1024) AS INT) AS img_height "
             "FROM documents"
+        ),
+        "multimodal_resize": (
+            # ResizeStub output geometry is exact integer arithmetic
+            # (fit-into-224x160, aspect preserved) over the decode stub's dims
+            "WITH m AS (SELECT doc_id, "
+            "CAST(16 + ((strlen(text) + 46) % 1024) AS BIGINT) AS w, "
+            "CAST(16 + (((strlen(text) + 46) // 1024) % 1024) AS BIGINT) AS h "
+            "FROM documents) "
+            "SELECT doc_id, CAST(w AS INT) AS img_width, CAST(h AS INT) AS img_height, "
+            "CAST(CASE WHEN w <= 224 AND h <= 160 THEN w "
+            "WHEN w * 160 >= h * 224 THEN 224 "
+            "ELSE greatest(1, (w * 160) // h) END AS INT) AS resize_w, "
+            "CAST(CASE WHEN w <= 224 AND h <= 160 THEN h "
+            "WHEN w * 160 >= h * 224 THEN greatest(1, (h * 224) // w) "
+            "ELSE 160 END AS INT) AS resize_h "
+            "FROM m"
         ),
         "tumbling_window": (
             "SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) "

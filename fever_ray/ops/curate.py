@@ -34,6 +34,7 @@ from ..sketches.hashing import hash64_ints, splitmix64
 
 __all__ = [
     "hash_sample",
+    "stratified_sample",
     "sample_threshold",
     "domain_cap",
     "token_repetition",
@@ -72,6 +73,51 @@ def hash_sample(ds, fraction: float, seed: int = 0, id_col: str = "doc_id"):
             ids = ids.combine_chunks()
         h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
         return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds,
+    fractions: dict,
+    default: float = 0.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    key_col: str = "lang",
+):
+    """Per-stratum deterministic Bernoulli sample: keep each row with the
+    fraction configured for its ``key_col`` value (``default`` for strata
+    not listed, including null keys) — the language/domain re-balancing
+    step every training-data mix applies (upsample rare languages, clamp
+    dominant ones).
+
+    Same determinism contract as ``hash_sample``: membership is a pure
+    function of (id, seed, stratum fraction) — independent of block layout,
+    cluster size and resume point.  One vectorized hash pass + one
+    dictionary-encode per batch; no shuffle, no driver state."""
+    thr_map = {k: np.uint64(sample_threshold(f)) for k, f in fractions.items()}
+    default_thr = np.uint64(sample_threshold(default))
+    seed = int(seed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        dic = enc.dictionary.to_pylist()
+        per_code = np.array(
+            [thr_map.get(v, default_thr) for v in dic] + [default_thr],
+            dtype=np.uint64,
+        )
+        idx = enc.indices
+        if idx.null_count:  # null stratum → default fraction
+            idx = idx.fill_null(len(dic))
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(h < per_code[codes]))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -125,3 +125,60 @@ class FrameSampleStub:
             "frame_offset", pa.array(frame_index * self.every, type=pa.int64())
         )
         return t
+
+
+class ResizeStub:
+    """Aspect-preserving fit-into-box resize stage.
+
+    STUB like ``DecodeImageStub``: the pixel resample itself needs an image
+    library this container lacks, but the part a pipeline depends on — the
+    output geometry — is the REAL integer arithmetic any resizer uses, so
+    downstream layout/batching decisions (and the oracle) are exact:
+
+    * already inside the box → unchanged
+    * width-bound (w·max_h ≥ h·max_w) → (max_w, max(1, h·max_w // w))
+    * height-bound otherwise → (max(1, w·max_h // h), max_h)
+
+    Pure vectorized np.where over the metadata columns — payloads are
+    untouched (a production build resamples them here)."""
+
+    def __init__(
+        self,
+        max_w: int = 224,
+        max_h: int = 224,
+        width_col: str = "img_width",
+        height_col: str = "img_height",
+    ):
+        if max_w <= 0 or max_h <= 0:
+            raise ValueError(f"target box must be positive, got {max_w}x{max_h}")
+        self.max_w = int(max_w)
+        self.max_h = int(max_h)
+        self.width_col = width_col
+        self.height_col = height_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column(self.width_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column(self.height_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        fits = (w <= self.max_w) & (h <= self.max_h)
+        width_bound = w * self.max_h >= h * self.max_w
+        out_w = np.where(
+            fits, w, np.where(width_bound, self.max_w, np.maximum(1, w * self.max_h // np.maximum(h, 1)))
+        )
+        out_h = np.where(
+            fits, h, np.where(width_bound, np.maximum(1, h * self.max_w // np.maximum(w, 1)), self.max_h)
+        )
+        batch = batch.append_column("resize_w", pa.array(out_w.astype(np.int32)))
+        return batch.append_column("resize_h", pa.array(out_h.astype(np.int32)))
+
+
+def resize_images(ds, max_w: int = 224, max_h: int = 224, concurrency=None):
+    """Actor-pool wrapper mirroring ``decode_images`` (metadata-only today,
+    so batches can be larger than the decode stage's)."""
+    return ds.map_batches(
+        ResizeStub,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency or (1, 4),
+        zero_copy_batch=True,
+    )

@@ -213,3 +213,173 @@ def partitioned_hash_join(left_ds, right_ds, left_key: str, right_key: str, n_bu
 
     both = left_tag.union(right_tag)
     return both.groupby("__bucket").map_groups(join_group, batch_format="pyarrow")
+
+
+def revenue_by_nation(
+    lineitem_ds,
+    orders_ds,
+    customer_table: pa.Table,
+    nation_table: pa.Table,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    broadcast_bytes: int = 256 << 20,
+    num_partitions: int = 16,
+):
+    """TPC-H Q5-shaped multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation →
+    revenue per nation for orders placed in [date_lo, date_hi).
+
+    Join plan, inner-to-outer by size:
+
+    1. customer ⋈ nation happens on the driver (pa.Table.join) — nation is
+       25 rows and customer arrives as a pre-read table; the product is a
+       custkey → n_name dimension.  Precondition (documented): this
+       dimension fits a worker heap.  When customer itself is corpus-scale,
+       feed it through ``partitioned_hash_join`` instead.
+    2. orders is date-filtered and projected INSIDE the read stage, then
+       each batch hash-joins against the broadcast dimension (one ray.put,
+       vectorized C++ join per batch — no shuffle of orders).
+    3. lineitem ⋈ annotated-orders is the only potentially big-big join.
+       Adaptive gate: if the annotated order table fits ``broadcast_bytes``
+       it is broadcast as a sorted (orderkey, nation-code) pair and each
+       lineitem batch does a searchsorted membership + np.add.at partial
+       aggregation — zero shuffle of lineitem, partials are 25-row tables.
+       Past the gate it falls back to ``Dataset.join`` (hash shuffle) with
+       the same per-batch partial aggregation after the join; either way
+       the final groupby moves ≤ 25 rows × #blocks.
+
+    Revenue runs in 10^-4 units (cents × integer discount percent) so
+    partial-sum order cannot move the last ulp — see ``pricing_summary``.
+    """
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    dim = (
+        customer_table.select(["c_custkey", "c_nationkey"])
+        .join(
+            nation_table.select(["n_nationkey", "n_name"]),
+            keys="c_nationkey",
+            right_keys="n_nationkey",
+            join_type="inner",
+        )
+        .select(["c_custkey", "n_name"])
+        .combine_chunks()
+    )
+    dim_ref = ray.put(dim)
+    lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
+
+    def annotate_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
+        )
+        batch = batch.filter(keep).select(["o_orderkey", "o_custkey"])
+        return batch.join(
+            ray.get(dim_ref),
+            keys="o_custkey",
+            right_keys="c_custkey",
+            join_type="inner",
+        ).select(["o_orderkey", "n_name"])
+
+    ann = orders_ds.map_batches(
+        annotate_orders, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    names = nation_table.column("n_name").to_pylist()
+    name_code = {n: i for i, n in enumerate(names)}
+
+    def rev4_of(batch: pa.Table) -> np.ndarray:
+        price_c = _cents(batch.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        disc_pct = _cents(batch.column("l_discount")).to_numpy(zero_copy_only=False)
+        return price_c * (100 - disc_pct)
+
+    def partial_to_table(sums: np.ndarray, counts: np.ndarray) -> pa.Table:
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "n_name": pa.array([names[i] for i in nz], pa.string()),
+                "rev4": pa.array(sums[nz], pa.int64()),
+                "n_items": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    if (ann.size_bytes() or 0) <= broadcast_bytes:
+        # broadcast path: sorted orderkeys + nation codes ride the object
+        # store once; lineitem never shuffles
+        at = pa.Table.from_pylist(ann.take_all())
+        if at.num_rows:
+            ok = at.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = np.array(
+                [name_code[n] for n in at.column("n_name").to_pylist()], dtype=np.int32
+            )
+        else:
+            ok = np.zeros(0, np.int64)
+            codes = np.zeros(0, np.int32)
+        order = np.argsort(ok, kind="stable")
+        pair_ref = ray.put((ok[order], codes[order]))
+
+        def partial_bcast(batch: pa.Table) -> pa.Table:
+            keys_s, codes_s = ray.get(pair_ref)
+            k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            rev4 = rev4_of(batch)
+            idx = np.searchsorted(keys_s, k)
+            idx_c = np.minimum(idx, max(len(keys_s) - 1, 0))
+            hit = (keys_s[idx_c] == k) if len(keys_s) else np.zeros(len(k), bool)
+            c = codes_s[idx_c[hit]]
+            sums = np.zeros(len(names), np.int64)
+            np.add.at(sums, c, rev4[hit])
+            counts = np.bincount(c, minlength=len(names)).astype(np.int64)
+            return partial_to_table(sums, counts)
+
+        partials = lineitem_ds.map_batches(
+            partial_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # scale path: ONE hash-shuffle join (the dimension join above never
+        # shuffles), annotated orders repartitioned first so the join input
+        # is not hundreds of near-empty blocks
+        def li_proj(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey"),
+                    "rev4": pa.array(rev4_of(batch), pa.int64()),
+                }
+            )
+
+        li = lineitem_ds.map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
+        joined = li.join(
+            ann.repartition(num_partitions),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def partial_joined(batch: pa.Table) -> pa.Table:
+            c = np.array(
+                [name_code[n] for n in batch.column("n_name").to_pylist()], dtype=np.int32
+            )
+            rev4 = batch.column("rev4").to_numpy(zero_copy_only=False)
+            sums = np.zeros(len(names), np.int64)
+            np.add.at(sums, c, rev4)
+            counts = np.bincount(c, minlength=len(names)).astype(np.int64)
+            return partial_to_table(sums, counts)
+
+        partials = joined.map_batches(partial_joined, batch_format="pyarrow")
+
+    out = partials.groupby("n_name").aggregate(
+        Sum("rev4", alias_name="rev4"), Sum("n_items", alias_name="n_items")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue": pc.divide(pc.cast(batch.column("rev4"), pa.float64()), 10000.0),
+                "n_items": batch.column("n_items"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("n_name")

@@ -248,3 +248,46 @@ def test_regex_scrub_rejects_bad_replacement():
 
     with pytest.raises(Exception):
         RegexScrub([(r"(\d+)", r"\9")])
+
+
+def test_stratified_sample_rates_and_invariance(docs_ds, sf_dir):
+    from fever_ray.ops.curate import sample_threshold, stratified_sample
+
+    fr = {"en": 0.10, "de": 0.80}
+    out = stratified_sample(docs_ds, fr, default=0.35, seed=11).to_pandas()
+    base = docs_ds.to_pandas()
+    for lang, f in [("en", 0.10), ("de", 0.80), ("fr", 0.35)]:
+        n_in = (base["lang"] == lang).sum()
+        n_out = (out["lang"] == lang).sum()
+        # Bernoulli(f) over n_in trials: 5-sigma band
+        sd = max((n_in * f * (1 - f)) ** 0.5, 1.0)
+        assert abs(n_out - n_in * f) <= 5 * sd, (lang, n_out, n_in)
+    # membership is a pure function of (doc_id, seed): repartitioning the
+    # input must select the identical id set
+    out2 = stratified_sample(
+        docs_ds.repartition(7), fr, default=0.35, seed=11
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_stratified_sample_null_and_unknown_strata(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.curate import stratified_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2000), pa.int64()),
+            "lang": pa.array(
+                [None if i % 3 == 0 else ("xx" if i % 3 == 1 else "en") for i in range(2000)]
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    # default=0 → null and unknown strata are dropped entirely
+    kept = stratified_sample(ds, {"en": 1.0}, default=0.0, seed=3).to_pandas()
+    assert set(kept["lang"]) == {"en"}
+    assert len(kept) == sum(1 for i in range(2000) if i % 3 == 2)
+    # default=1 → every row survives
+    all_rows = stratified_sample(ds, {"en": 1.0}, default=1.0, seed=3).to_pandas()
+    assert len(all_rows) == 2000

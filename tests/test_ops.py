@@ -3,6 +3,7 @@ CIDR matching, alertify, textstats, multimodal stubs."""
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -311,3 +312,77 @@ def test_ipv6_lanes_invalid_inputs():
 
     hi, lo, ok = ipv6_lanes(["2001:db8::1", "not-an-ip", "10.0.0.1", ""])
     assert list(ok) == [True, False, False, False]
+
+
+def test_resize_stub_geometry():
+    from fever_ray.ops.multimodal import ResizeStub
+
+    m = ResizeStub(max_w=224, max_h=160, width_col="w", height_col="h")
+    t = m(
+        pa.table(
+            {
+                "w": pa.array([100, 448, 100, 2240, 10, 10000], pa.int32()),
+                "h": pa.array([100, 320, 1600, 160, 10000, 10], pa.int32()),
+            }
+        )
+    )
+    got = list(zip(t.column("resize_w").to_pylist(), t.column("resize_h").to_pylist()))
+    assert got == [
+        (100, 100),   # fits → unchanged
+        (224, 160),   # exact 2x shrink, width-bound
+        (10, 160),    # tall: height-bound, 100*160//1600
+        (224, 16),    # wide: width-bound, 160*224//2240
+        (1, 160),     # extreme tall never hits 0
+        (224, 1),     # extreme wide never hits 0
+    ]
+    with pytest.raises(ValueError):
+        ResizeStub(max_w=0, max_h=10)
+
+
+def test_revenue_by_nation_paths_match(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from fever_ray.ops.relational import revenue_by_nation
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    def run(bb):
+        return revenue_by_nation(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            ),
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            ),
+            cust,
+            nat,
+            broadcast_bytes=bb,
+        ).to_pandas()
+
+    bcast = run(256 << 20)
+    joined = run(0)  # force the Dataset.join scale path
+    pd.testing.assert_frame_equal(
+        bcast.reset_index(drop=True), joined.reset_index(drop=True), check_exact=True
+    )
+    con = duckdb.connect()
+    for name in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM parquet_scan('{sf_dir}/{name}.parquet')"
+        )
+    oracle = con.execute(
+        "SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name ORDER BY n_name"
+    ).df()
+    pd.testing.assert_frame_equal(
+        bcast.reset_index(drop=True), oracle, check_exact=True, check_dtype=False
+    )
