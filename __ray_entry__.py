@@ -75,9 +75,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         domain_cap,
         hash_sample,
         quantile_length_filter,
+        split_assign,
         stratified_sample,
         regex_scrub,
         token_repetition,
+    )
+    from fever_ray.ops.trainprep import (
+        benchmark_ngram_set,
+        chunk_documents,
+        decontaminate,
     )
     from fever_ray.ops.extract import extract_text, hostname_of
     from fever_ray.ops.ioc import PageIocMatcher
@@ -297,6 +303,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"en": 0.10, "de": 0.80},
             default=0.35,
             seed=11,
+        )
+
+    def q_split_assign(sf):
+        return split_assign(
+            _t(sf, "documents", ["doc_id", "lang"]),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=13,
+        )
+
+    def q_decontaminate(sf):
+        # benchmark = every 97th doc (stands in for a held-out eval suite);
+        # drop corpus docs sharing any word 4-gram with it
+        docs = _t(sf, "documents", ["doc_id", "lang", "source", "text"])
+
+        def mod97(eq: bool):
+            def f(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                hit = ids % 97 == 0
+                return b.filter(pa.array(hit if eq else ~hit))
+
+            return f
+
+        bench = benchmark_ngram_set(
+            docs.map_batches(mod97(True), batch_format="pyarrow"), n=4
+        )
+        corpus = docs.map_batches(mod97(False), batch_format="pyarrow")
+        return decontaminate(corpus, bench, n=4).map_batches(
+            lambda b: b.select(["doc_id", "lang", "source"]),
+            batch_format="pyarrow",
+        )
+
+    def q_chunk_documents(sf):
+        return chunk_documents(
+            _t(sf, "documents", ["doc_id", "text"]), chunk=16, overlap=4
         )
 
     def q_domain_cap(sf):
@@ -778,6 +818,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall_gate": q_knn_ivf_recall_gate,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "split_assign": q_split_assign,
+        "decontaminate": q_decontaminate,
+        "chunk_documents": q_chunk_documents,
         "domain_cap": q_domain_cap,
         "token_repetition": q_token_repetition,
         "curation_filter": q_curation_filter,
@@ -884,10 +927,13 @@ def _hash_sample_sql(fraction: float, seed: int) -> str:
     return _splitmix_doc_sql(seed, "doc_id, source", f"h < CAST({thr} AS UBIGINT)")
 
 
-def _splitmix_doc_sql(seed: int, cols: str, where_expr: str) -> str:
+def _splitmix_doc_sql(
+    seed: int, cols: str, where_expr: str, select_expr: str | None = None
+) -> str:
     """Shared CTE chain: the five-stage splitmix64 finalizer over
     ``doc_id ^ splitmix64(seed) ^ FNV_OFFSET`` on the documents table,
-    exposing the hash as ``h`` to ``where_expr``.  64-bit multiplies run in
+    exposing the hash as ``h`` to ``where_expr`` (and to ``select_expr``,
+    which defaults to ``cols``).  64-bit multiplies run in
     two 32-bit HUGEINT halves mod 2^64 (DuckDB has no wrapping UBIGINT *)."""
     import numpy as np
 
@@ -912,7 +958,7 @@ def _splitmix_doc_sql(seed: int, cols: str, where_expr: str) -> str:
         f"s3 AS (SELECT {cols}, xor(x, x >> 27) AS y FROM s2), "
         f"s4 AS (SELECT {cols}, {mulmod('y', '10723151780598845931')} AS x FROM s3), "
         f"s5 AS (SELECT {cols}, xor(x, x >> 31) AS h FROM s4) "
-        f"SELECT {cols} FROM s5 WHERE {where_expr}"
+        f"SELECT {select_expr or cols} FROM s5 WHERE {where_expr}"
     )
 
 
@@ -927,6 +973,67 @@ def _stratified_sample_sql(fractions: dict, default: float, seed: int) -> str:
         for k, f in fractions.items()
     ) + f" ELSE CAST({sample_threshold(default)} AS UBIGINT) END"
     return _splitmix_doc_sql(seed, "doc_id, lang, source", f"h < ({case})")
+
+
+def _split_assign_sql(weights: dict, seed: int) -> str:
+    """Bit-exact mirror of ops.curate.split_assign: consecutive uint64
+    hash ranges in the weights' insertion order (same integer thresholds
+    via sample_threshold on the cumulative fractions)."""
+    from fever_ray.ops.curate import sample_threshold
+
+    total = float(sum(weights.values()))
+    names = list(weights)
+    acc, arms = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        arms.append(
+            f"WHEN h < CAST({sample_threshold(min(acc, 1.0))} AS UBIGINT) "
+            f"THEN '{name}'"
+        )
+    case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END AS split"
+    return _splitmix_doc_sql(
+        seed, "doc_id, lang", "TRUE", select_expr=f"doc_id, lang, {case}"
+    )
+
+
+def _decontaminate_sql(n: int, modulus: int) -> str:
+    """Exact SQL mirror of ops.trainprep.decontaminate over the documents
+    table: benchmark = rows with doc_id % modulus = 0, corpus = the rest;
+    drop any corpus doc sharing a word n-gram with the benchmark.  Both
+    sides build n-grams by 1-based inclusive list slicing — documents
+    shorter than n tokens emit none (empty range), matching the engine."""
+    gram = f"array_to_string(tk[i : i + {n - 1}], ' ')"
+    explode = f"unnest(range(1, len(tk) - {n} + 2)) AS i"
+    return (
+        f"WITH bench AS (SELECT DISTINCT {gram} AS g FROM "
+        f"(SELECT tk, {explode} FROM (SELECT string_split(text, ' ') AS tk "
+        f"FROM documents WHERE doc_id % {modulus} = 0))), "
+        f"corpus AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tk "
+        f"FROM documents WHERE doc_id % {modulus} <> 0), "
+        f"hits AS (SELECT DISTINCT doc_id FROM "
+        f"(SELECT doc_id, tk, {explode} FROM corpus) "
+        f"WHERE {gram} IN (SELECT g FROM bench)) "
+        "SELECT doc_id, lang, source FROM corpus "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM hits)"
+    )
+
+
+def _chunk_documents_sql(chunk: int, overlap: int) -> str:
+    """Exact SQL mirror of ops.trainprep.chunk_documents: sliding token
+    windows of size ``chunk``, stride ``chunk - overlap``; a doc of L
+    tokens yields 1 window if L <= chunk else (L-chunk+S-1)//S + 1."""
+    s = chunk - overlap
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk, "
+        "len(string_split(text, ' ')) AS L FROM documents), "
+        "e AS (SELECT doc_id, tk, L, unnest(range(0, "
+        f"CASE WHEN L <= {chunk} THEN 1 "
+        f"ELSE (L - {chunk} + {s} - 1) // {s} + 1 END)) AS i FROM t) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+        f"array_to_string(tk[i * {s} + 1 : least(i * {s} + {chunk}, L)], ' ') "
+        "AS chunk_text, "
+        f"least(CAST({chunk} AS BIGINT), L - i * {s}) AS n_tokens FROM e"
+    )
 
 
 _TOKEN_REPETITION_CTE = (
@@ -1107,6 +1214,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hash_sample": _hash_sample_sql(0.25, 7),
         "stratified_sample": _stratified_sample_sql({"en": 0.10, "de": 0.80}, 0.35, 11),
+        "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
+        "decontaminate": _decontaminate_sql(4, 97),
+        "chunk_documents": _chunk_documents_sql(16, 4),
         "domain_cap": (
             "SELECT doc_id, source FROM ("
             "SELECT doc_id, source, row_number() OVER "

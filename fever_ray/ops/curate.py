@@ -35,6 +35,7 @@ from ..sketches.hashing import hash64_ints, splitmix64
 __all__ = [
     "hash_sample",
     "stratified_sample",
+    "split_assign",
     "sample_threshold",
     "domain_cap",
     "token_repetition",
@@ -120,6 +121,52 @@ def stratified_sample(
         return batch.filter(pa.array(h < per_code[codes]))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_assign(
+    ds,
+    weights: dict,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+):
+    """Deterministic train/val/test assignment: append ``out_col`` naming the
+    split each row falls into, by partitioning the 64-bit id-hash space into
+    consecutive ranges proportional to ``weights`` (insertion order; values
+    need not sum to 1 — they are normalized).
+
+    The assignment is a pure function of (id, seed) — stable across reruns,
+    re-partitioning and cluster size, so a 100 TB corpus can be split once
+    and every downstream job (or a resumed one) sees the identical
+    partition.  One vectorized hash + one searchsorted per batch; no
+    shuffle."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    # consecutive [lo, hi) uint64 ranges; the last range is clamped to 2^64
+    # so rounding can never leave an unassigned tail
+    edges, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        edges.append(sample_threshold(min(acc, 1.0)))
+    bounds = np.array(edges, dtype=np.uint64)
+    labels = pa.array(names, pa.string())
+    seed = int(seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+        code = np.searchsorted(bounds, h, side="right").astype(np.int32)
+        return batch.append_column(
+            out_col, pc.take(labels, pa.array(code, pa.int32()))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _rank_within_key(key_codes: np.ndarray, order: np.ndarray) -> np.ndarray:

@@ -1,0 +1,259 @@
+"""Training-set preparation operators: benchmark decontamination and
+context-window chunking.
+
+Both operate on whitespace-token documents (the same token model as
+``ops.textstats`` / the MinHash shingles) and are pure map_batches kernels —
+no shuffle, no driver-side state beyond one broadcast benchmark set.
+
+Scale notes (10^12 docs):
+
+* ``decontaminate`` — the eval-benchmark n-gram blocklist every serious
+  pretraining mix applies (drop any document sharing an n-gram with a
+  held-out benchmark).  The benchmark side is SMALL by nature (eval suites
+  are MBs); its unique n-gram strings are broadcast once via ``ray.put``
+  and each corpus batch does one vectorized C++ set-membership probe
+  (``pyarrow.compute.is_in``) over its n-grams.  Exact string matching —
+  no hash-collision false positives — and the corpus side never shuffles.
+* ``chunk_documents`` — fixed-size sliding token windows (size ``chunk``,
+  overlap ``overlap``), the context-window prep step for embedding /
+  training jobs.  Output rows are (doc_id, chunk_id, chunk_text, n_tokens).
+  The kernel never re-joins tokens: chunk strings are gathered straight
+  out of the original text buffer by byte range (tokens are
+  single-space-separated, so token byte offsets are one cumsum), giving
+  O(output bytes) per batch with no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "benchmark_ngram_set",
+    "decontaminate",
+    "chunk_documents",
+]
+
+
+def _split_tokens(batch: pa.Table, text_col: str):
+    """Whitespace-split of ``text_col`` → (flat tokens StringArray,
+    per-doc token offsets int64[nrows+1])."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.cast(text, pa.string())
+    if text.null_count:  # null text behaves as empty (one '' token)
+        text = text.fill_null("")
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return text, toks.flatten(), offsets - offsets[0]
+
+
+def _doc_ngrams(batch: pa.Table, n: int, text_col: str):
+    """All word n-grams of a batch → (grams StringArray, row index of each
+    gram int64).  Documents with fewer than ``n`` tokens emit nothing (a
+    sub-n-gram document cannot be contaminated — mirrors the SQL oracle's
+    empty ``range``).  Same positional-join construction as
+    ``textstats._gram_counts``."""
+    _, flat, offsets = _split_tokens(batch, text_col)
+    doc_lens = np.diff(offsets)
+    total = len(flat)
+    if total < n:
+        return None, None
+    parts = [flat.slice(j, total - n + 1) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = pc.binary_join_element_wise(grams, p, " ")
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], doc_lens)
+    valid = (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[: total - n + 1]
+    if not valid.any():
+        return None, None
+    rows = np.repeat(np.arange(len(doc_lens), dtype=np.int64), doc_lens)[
+        : total - n + 1
+    ][valid]
+    return grams.filter(pa.array(valid)), rows
+
+
+def benchmark_ngram_set(ds, n: int = 8, text_col: str = "text") -> pa.Array:
+    """Unique word n-grams of a (small) benchmark dataset, as one Arrow
+    string array ready to broadcast.
+
+    Partial-unique per batch, union on the driver — the shuffle-free shape
+    for a side that is MBs (eval benchmarks), NOT for corpus-scale inputs."""
+    pieces = []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, _ = _doc_ngrams(batch, n, text_col)
+        if grams is None:
+            return pa.table({"g": pa.array([], pa.string())})
+        return pa.table({"g": pc.unique(grams)})
+
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            pieces.append(b.column("g").combine_chunks())
+    if not pieces:
+        return pa.array([], pa.string())
+    return pc.unique(pa.concat_arrays(pieces))
+
+
+def decontaminate(
+    ds,
+    benchmark_grams,
+    n: int = 8,
+    text_col: str = "text",
+    mode: str = "drop",
+):
+    """Remove (or flag) every document sharing at least one word ``n``-gram
+    with a benchmark set — the test-set-contamination scrub applied before
+    training.
+
+    ``benchmark_grams`` is the output of :func:`benchmark_ngram_set` (an
+    Arrow string array) or an ``ObjectRef`` to one.  ``mode='drop'`` filters
+    contaminated documents out; ``mode='flag'`` appends a boolean
+    ``contaminated`` column instead (for auditing / inverse selection).
+
+    Matching is EXACT string membership (``pc.is_in`` against the broadcast
+    set) — a hash pre-filter would risk collision false-drops, and the
+    benchmark side is small enough that the exact set broadcasts whole."""
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    import ray
+
+    ref = (
+        benchmark_grams
+        if isinstance(benchmark_grams, ray.ObjectRef)
+        else ray.put(benchmark_grams)
+    )
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(ref)
+        hit_rows = np.zeros(batch.num_rows, dtype=bool)
+        if len(value_set):
+            grams, rows = _doc_ngrams(batch, n, text_col)
+            if grams is not None:
+                hits = pc.is_in(grams, value_set=value_set)
+                hit_rows[np.unique(rows[hits.to_numpy(zero_copy_only=False)])] = True
+        if mode == "flag":
+            return batch.append_column("contaminated", pa.array(hit_rows))
+        return batch.filter(pa.array(~hit_rows))
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gather_byte_ranges(
+    values: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> pa.Array:
+    """Build a StringArray whose i-th element is ``values[starts[i] :
+    starts[i]+lengths[i]]`` — one vectorized gather (no per-row Python).
+
+    The gather index is the classic repeat/cumsum range-expansion: for each
+    output element, indices start[i], start[i]+1, … are generated by one
+    np.arange over the total output size plus per-element offsets."""
+    out_offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    if total == 0:
+        return pa.array([""] * len(starts), pa.string())
+    # delta[k] jumps from the end of range k-1 to the start of range k;
+    # np.add.at because zero-length elements stack boundaries on one index
+    # (the deltas telescope, so summing them lands on the right start)
+    idx = np.ones(total, dtype=np.int64)
+    idx[0] = starts[0]
+    nz = out_offsets[1:-1]  # boundaries between consecutive output elements
+    keep = nz < total
+    np.add.at(idx, nz[keep], (starts[1:] - starts[:-1] - lengths[:-1])[keep])
+    np.cumsum(idx, out=idx)
+    data = values[idx]
+    if out_offsets[-1] <= np.iinfo(np.int32).max:
+        return pa.StringArray.from_buffers(
+            len(starts),
+            pa.py_buffer(out_offsets.astype(np.int32).tobytes()),
+            pa.py_buffer(data.tobytes()),
+        )
+    return pa.LargeStringArray.from_buffers(
+        len(starts), pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(data.tobytes())
+    )
+
+
+def chunk_documents(
+    ds,
+    chunk: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Explode each document into fixed-size sliding token windows —
+    (doc_id, chunk_id, chunk_text, n_tokens) rows with window size
+    ``chunk`` and stride ``chunk - overlap``.
+
+    Window starts are 0, S, 2S, …; a document of L tokens yields
+    ``1`` window if L ≤ chunk else ``(L - chunk + S - 1) // S + 1`` (every
+    token is covered; the last window may be shorter than ``chunk``).
+    Deterministic, order-free, embarrassingly parallel — the one subtlety
+    is the string kernel: chunk text is gathered from the ORIGINAL text
+    buffer by byte range (token start bytes are one cumsum of token length
+    + 1 separator), never by re-joining token arrays."""
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"overlap must be in [0, chunk), got {overlap}")
+    stride = chunk - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text, flat, offsets = _split_tokens(batch, text_col)
+        doc_lens = np.diff(offsets)  # ≥1: '' splits to ['']
+        tok_bytes = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # byte offset of each token within its document: global cumsum of
+        # (token bytes + 1 separator), re-based per document
+        gcum = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(tok_bytes + 1, out=gcum[1:])
+        tok_start_in_doc = gcum[:-1] - np.repeat(gcum[offsets[:-1]], doc_lens)
+
+        n_chunks = np.where(
+            doc_lens <= chunk, 1, (doc_lens - chunk + stride - 1) // stride + 1
+        ).astype(np.int64)
+        row = np.repeat(np.arange(len(doc_lens), dtype=np.int64), n_chunks)
+        cstart = np.zeros(len(n_chunks) + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=cstart[1:])
+        chunk_id = np.arange(int(cstart[-1]), dtype=np.int64) - np.repeat(
+            cstart[:-1], n_chunks
+        )
+        tok_a = chunk_id * stride
+        tok_b = np.minimum(tok_a + chunk, doc_lens[row])
+
+        # byte range of [tok_a, tok_b) within each document, then rebased to
+        # the text array's value buffer
+        ga = offsets[:-1][row] + tok_a
+        gb = offsets[:-1][row] + tok_b - 1
+        byte_a = tok_start_in_doc[ga]
+        byte_b = tok_start_in_doc[gb] + tok_bytes[gb]
+        # StringArray exposes no .offsets property — read the raw int32
+        # offsets buffer (values are absolute into the data buffer, so the
+        # array's slice offset only shifts WHERE we read, not what we add)
+        text_off = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset : text.offset + len(text) + 1
+        ].astype(np.int64)
+        doc_base = text_off[:-1][row]
+        buf = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+        chunk_text = _gather_byte_ranges(buf, doc_base + byte_a, byte_b - byte_a)
+
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(row, pa.int64())),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "chunk_text": chunk_text,
+                "n_tokens": pa.array(tok_b - tok_a, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

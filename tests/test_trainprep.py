@@ -1,0 +1,207 @@
+"""Training-prep operator tests: benchmark decontamination (planted
+contamination + partition invariance), context-window chunking (exact
+reconstruction + window arithmetic + byte-gather edge cases), and
+deterministic split assignment (coverage, proportions, invariance)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fever_ray.ops.curate import split_assign
+from fever_ray.ops.trainprep import (
+    _gather_byte_ranges,
+    benchmark_ngram_set,
+    chunk_documents,
+    decontaminate,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_ds(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "quick brown fox jumps somewhere else entirely",
+                "completely unrelated words in this line",
+                "",
+                "one",
+                "the quick brown fox again",  # shares 'the quick brown fox'
+                "a b",
+                "x " * 50,  # trailing space → empty final token
+            ],
+        }
+    )
+    return rd.from_arrow(t)
+
+
+# ---------------------------------------------------------------- gather
+
+
+def test_gather_byte_ranges_edges():
+    buf = np.frombuffer(b"abcdefgh", dtype=np.uint8)
+    # zero-length elements interleaved (duplicate boundary indices) and
+    # out-of-order starts
+    out = _gather_byte_ranges(
+        buf,
+        np.array([4, 0, 0, 2, 7], dtype=np.int64),
+        np.array([2, 0, 0, 3, 1], dtype=np.int64),
+    )
+    assert out.to_pylist() == ["ef", "", "", "cde", "h"]
+    # all-empty
+    assert _gather_byte_ranges(
+        buf, np.array([3], dtype=np.int64), np.array([0], dtype=np.int64)
+    ).to_pylist() == [""]
+    # leading zero-length before a real range
+    out = _gather_byte_ranges(
+        buf,
+        np.array([0, 5], dtype=np.int64),
+        np.array([0, 3], dtype=np.int64),
+    )
+    assert out.to_pylist() == ["", "fgh"]
+
+
+# ---------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_planted(toy_ds):
+    import ray.data as rd
+
+    bench = benchmark_ngram_set(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([100], pa.int64()),
+                    "text": ["the quick brown fox ran far away"],
+                }
+            )
+        ),
+        n=4,
+    )
+    # docs 0 and 5 share the 4-gram 'the quick brown fox'; doc 1 shares only
+    # shorter overlaps ('quick brown fox jumps' is not in the benchmark)
+    kept = sorted(decontaminate(toy_ds, bench, n=4).to_pandas()["doc_id"])
+    assert kept == [1, 2, 3, 4, 6, 7]
+    flagged = decontaminate(toy_ds, bench, n=4, mode="flag").to_pandas()
+    assert sorted(flagged.loc[flagged["contaminated"], "doc_id"]) == [0, 5]
+    # partition invariance: same verdicts under any block layout
+    kept2 = sorted(
+        decontaminate(toy_ds.repartition(5), bench, n=4).to_pandas()["doc_id"]
+    )
+    assert kept == kept2
+
+
+def test_decontaminate_empty_benchmark(toy_ds):
+    bench = pa.array([], pa.string())
+    assert len(decontaminate(toy_ds, bench, n=4).to_pandas()) == 8
+
+
+def test_decontaminate_bad_mode(toy_ds):
+    with pytest.raises(ValueError):
+        decontaminate(toy_ds, pa.array([], pa.string()), mode="purge")
+
+
+# ------------------------------------------------------- chunk_documents
+
+
+def test_chunk_reconstruction(toy_ds):
+    """Non-overlapping chunks concatenate back to the exact original text."""
+    out = (
+        chunk_documents(toy_ds, chunk=3, overlap=0)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    orig = {r["doc_id"]: r["text"] for r in toy_ds.take_all()}
+    for doc_id, grp in out.groupby("doc_id"):
+        assert " ".join(grp["chunk_text"]) == orig[doc_id]
+        # chunk ids are dense from 0
+        assert list(grp["chunk_id"]) == list(range(len(grp)))
+        # all but the last chunk are full
+        assert all(n == 3 for n in grp["n_tokens"][:-1])
+
+
+def test_chunk_overlap_window_arithmetic(ray_session):
+    import ray.data as rd
+
+    text = " ".join(f"t{i}" for i in range(10))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
+    )
+    out = (
+        chunk_documents(ds, chunk=4, overlap=2)
+        .to_pandas()
+        .sort_values("chunk_id")
+    )
+    # L=10, S=2 → (10-4+1)//2+1 = 4 windows at starts 0,2,4,6
+    assert list(out["chunk_text"]) == [
+        "t0 t1 t2 t3",
+        "t2 t3 t4 t5",
+        "t4 t5 t6 t7",
+        "t6 t7 t8 t9",
+    ]
+    assert list(out["n_tokens"]) == [4, 4, 4, 4]
+
+
+def test_chunk_validation(toy_ds):
+    with pytest.raises(ValueError):
+        chunk_documents(toy_ds, chunk=0)
+    with pytest.raises(ValueError):
+        chunk_documents(toy_ds, chunk=4, overlap=4)
+
+
+def test_chunk_null_text(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b", None], pa.string()),
+            }
+        )
+    )
+    out = chunk_documents(ds, chunk=2).to_pandas().sort_values("doc_id")
+    assert list(out["chunk_text"]) == ["a b", ""]
+
+
+# ---------------------------------------------------------- split_assign
+
+
+def test_split_assign_coverage_and_invariance(ray_session):
+    import ray.data as rd
+
+    n = 20000
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(ds, w, seed=13).to_pandas()
+    counts = out["split"].value_counts()
+    assert set(counts.index) == set(w)
+    for name, frac in w.items():
+        sd = (n * frac * (1 - frac)) ** 0.5
+        assert abs(counts[name] - n * frac) <= 5 * sd, (name, counts[name])
+    # pure function of (id, seed): block layout cannot move a row
+    out2 = split_assign(ds.repartition(7), w, seed=13).to_pandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    # weights needn't sum to 1 — ratios are what matters
+    out3 = split_assign(ds, {"train": 8, "val": 1, "test": 1}, seed=13).to_pandas()
+    merged = out.merge(out3, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+
+
+def test_split_assign_validation(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        split_assign(ds, {})
+    with pytest.raises(ValueError):
+        split_assign(ds, {"a": -0.5, "b": 1.0})
+    with pytest.raises(ValueError):
+        split_assign(ds, {"a": 0.0})
+    # single split: everything lands there
+    out = split_assign(ds, {"all": 1.0}).to_pandas()
+    assert list(out["split"]) == ["all"]
