@@ -767,25 +767,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = grouped_estimates(with_host, "hostname", spec, batch_size=4096)
         return pa.table({"hostname": out.column("key"), "n_docs": out.column("rows")})
 
-    def q_multimodal_decode(sf):
+    def _decoded_pages(sf):
+        # shared decode-stage wiring for the two multimodal gates — one
+        # place to change the payload column / batch size
         pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
-        out = decode_images(pages.map_batches(
-            lambda b: b.select(["doc_id", "html"]), batch_format="pyarrow"
-        ), batch_size=64)
-        return out.map_batches(
-            lambda b: b.select(["doc_id", "img_width", "img_height"]),
-            batch_format="pyarrow",
-        )
-
-    def q_multimodal_resize(sf):
-        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
-        dec = decode_images(
+        return decode_images(
             pages.map_batches(
                 lambda b: b.select(["doc_id", "html"]), batch_format="pyarrow"
             ),
             batch_size=64,
         )
-        out = resize_images(dec, max_w=224, max_h=160)
+
+    def q_multimodal_decode(sf):
+        return _decoded_pages(sf).map_batches(
+            lambda b: b.select(["doc_id", "img_width", "img_height"]),
+            batch_format="pyarrow",
+        )
+
+    def q_multimodal_resize(sf):
+        out = resize_images(_decoded_pages(sf), max_w=224, max_h=160)
         return out.map_batches(
             lambda b: b.select(
                 ["doc_id", "img_width", "img_height", "resize_w", "resize_h"]
@@ -990,7 +990,10 @@ def _split_assign_sql(weights: dict, seed: int) -> str:
             f"WHEN h < CAST({sample_threshold(min(acc, 1.0))} AS UBIGINT) "
             f"THEN '{name}'"
         )
-    case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END AS split"
+    if arms:
+        case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END AS split"
+    else:  # single split: CASE with zero WHEN arms is a parse error
+        case = f"'{names[-1]}' AS split"
     return _splitmix_doc_sql(
         seed, "doc_id, lang", "TRUE", select_expr=f"doc_id, lang, {case}"
     )

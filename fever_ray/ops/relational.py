@@ -253,7 +253,7 @@ def revenue_by_nation(
     import numpy as np
     import ray
 
-    from ray.data.aggregate import Sum
+    names = nation_table.column("n_name").to_pylist()
 
     dim = (
         customer_table.select(["c_custkey", "c_nationkey"])
@@ -266,29 +266,41 @@ def revenue_by_nation(
         .select(["c_custkey", "n_name"])
         .combine_chunks()
     )
-    dim_ref = ray.put(dim)
+    # one-time prep on the driver: sorted custkeys + int32 nation codes, so
+    # each orders batch does a searchsorted probe instead of rebuilding an
+    # acero hash table over the whole dimension per batch
+    ck = dim.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    dim_codes = (
+        pc.index_in(dim.column("n_name"), pa.array(names, pa.string()))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int32)
+    )
+    corder = np.argsort(ck, kind="stable")
+    dim_ref = ray.put((ck[corder], dim_codes[corder]))
     lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
     hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
 
     def annotate_orders(batch: pa.Table) -> pa.Table:
+        keys_s, codes_s = ray.get(dim_ref)
         keep = pc.and_(
             pc.greater_equal(batch.column("o_orderdate"), lo),
             pc.less(batch.column("o_orderdate"), hi),
         )
-        batch = batch.filter(keep).select(["o_orderkey", "o_custkey"])
-        return batch.join(
-            ray.get(dim_ref),
-            keys="o_custkey",
-            right_keys="c_custkey",
-            join_type="inner",
-        ).select(["o_orderkey", "n_name"])
+        batch = batch.filter(keep)
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys_s, k)
+        idx_c = np.minimum(idx, max(len(keys_s) - 1, 0))
+        hit = (keys_s[idx_c] == k) if len(keys_s) else np.zeros(len(k), bool)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(pa.array(hit)),
+                "n_code": pa.array(codes_s[idx_c[hit]], pa.int32()),
+            }
+        )
 
     ann = orders_ds.map_batches(
         annotate_orders, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-
-    names = nation_table.column("n_name").to_pylist()
-    name_code = {n: i for i, n in enumerate(names)}
 
     def rev4_of(batch: pa.Table) -> np.ndarray:
         price_c = _cents(batch.column("l_extendedprice")).to_numpy(zero_copy_only=False)
@@ -307,12 +319,22 @@ def revenue_by_nation(
 
     if (ann.size_bytes() or 0) <= broadcast_bytes:
         # broadcast path: sorted orderkeys + nation codes ride the object
-        # store once; lineitem never shuffles
-        at = pa.Table.from_pylist(ann.take_all())
-        if at.num_rows:
-            ok = at.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
-            codes = np.array(
-                [name_code[n] for n in at.column("n_name").to_pylist()], dtype=np.int32
+        # store once; lineitem never shuffles.  Stay zero-copy Arrow end to
+        # end — no pylist round-trip of a table that can be 100s of MB.
+        tabs = [t for t in ray.get(ann.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            at = pa.concat_tables(tabs)
+            ok = (
+                at.column("o_orderkey")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            codes = (
+                at.column("n_code")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32)
             )
         else:
             ok = np.zeros(0, np.int64)
@@ -358,9 +380,7 @@ def revenue_by_nation(
         )
 
         def partial_joined(batch: pa.Table) -> pa.Table:
-            c = np.array(
-                [name_code[n] for n in batch.column("n_name").to_pylist()], dtype=np.int32
-            )
+            c = batch.column("n_code").to_numpy(zero_copy_only=False).astype(np.int32)
             rev4 = batch.column("rev4").to_numpy(zero_copy_only=False)
             sums = np.zeros(len(names), np.int64)
             np.add.at(sums, c, rev4)
@@ -369,9 +389,11 @@ def revenue_by_nation(
 
         partials = joined.map_batches(partial_joined, batch_format="pyarrow")
 
-    out = partials.groupby("n_name").aggregate(
-        Sum("rev4", alias_name="rev4"), Sum("n_items", alias_name="n_items")
-    )
+    # ≤25 bounded keys with associative sums → tree_groupby (block-bundled
+    # combine), never a sort shuffle (CLAUDE.md bounded-key rule)
+    from .aggregates import tree_groupby
+
+    out = tree_groupby(partials, ["n_name"], [("rev4", "sum"), ("n_items", "sum")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

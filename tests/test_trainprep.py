@@ -205,3 +205,20 @@ def test_split_assign_validation(ray_session):
     # single split: everything lands there
     out = split_assign(ds, {"all": 1.0}).to_pandas()
     assert list(out["split"]) == ["all"]
+
+
+def test_split_assign_sql_single_split():
+    """The oracle generator must emit parseable SQL for one split (a CASE
+    with zero WHEN arms is a DuckDB parse error)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    sql = entry._split_assign_sql({"all": 1.0}, seed=7)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, 'en' AS lang"
+    )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    assert [r[-1] for r in rows] == ["all"]
