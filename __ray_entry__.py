@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         benchmark_ngram_set,
         chunk_documents,
         decontaminate,
+        epoch_shuffle,
+        pack_sequences,
     )
     from fever_ray.ops.extract import extract_text, hostname_of
     from fever_ray.ops.ioc import PageIocMatcher
@@ -337,6 +339,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_chunk_documents(sf):
         return chunk_documents(
             _t(sf, "documents", ["doc_id", "text"]), chunk=16, overlap=4
+        )
+
+    def q_epoch_shuffle(sf):
+        return epoch_shuffle(
+            _t(sf, "documents", ["doc_id"]), seed=21, n_buckets=64
+        )
+
+    def q_pack_sequences(sf):
+        return pack_sequences(
+            _t(sf, "documents", ["doc_id", "text"]),
+            budget=256,
+            seed=17,
+            n_buckets=32,
         )
 
     def q_domain_cap(sf):
@@ -821,6 +836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
+        "epoch_shuffle": q_epoch_shuffle,
+        "pack_sequences": q_pack_sequences,
         "domain_cap": q_domain_cap,
         "token_repetition": q_token_repetition,
         "curation_filter": q_curation_filter,
@@ -1039,6 +1056,48 @@ def _chunk_documents_sql(chunk: int, overlap: int) -> str:
     )
 
 
+def _epoch_shuffle_sql(seed: int) -> str:
+    """Bit-exact mirror of ops.trainprep.epoch_shuffle: the global ordinal
+    is the rank under (splitmix64 id-hash, id) — the engine's
+    histogram-prefix construction concatenates hash-ordered buckets, which
+    IS this global order."""
+    inner = _splitmix_doc_sql(seed, "doc_id", "TRUE", select_expr="doc_id, h")
+    return (
+        f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 "
+        f"AS BIGINT) AS shuffle_pos FROM ({inner}) t"
+    )
+
+
+def _pack_sequences_sql(budget: int, seed: int, n_buckets: int) -> str:
+    """Bit-exact mirror of ops.trainprep.pack_sequences: bucket = top
+    log2(n_buckets) bits of the id-hash, exclusive token cumsum per bucket
+    in id order, pack p covers stream tokens [p*budget, (p+1)*budget)."""
+    shift = 64 - (int(n_buckets).bit_length() - 1)
+    inner = _splitmix_doc_sql(
+        seed,
+        "doc_id, text",
+        "TRUE",
+        select_expr=(
+            "doc_id, CAST(h >> " + str(shift) + " AS INTEGER) AS bucket, "
+            "CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS L"
+        ),
+    )
+    return (
+        f"WITH seq AS (SELECT doc_id, bucket, L, "
+        f"CAST(COALESCE(SUM(L) OVER (PARTITION BY bucket ORDER BY doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        f"AS S FROM ({inner}) t), "
+        f"seg AS (SELECT bucket, doc_id, L, S, "
+        f"UNNEST(generate_series(S // {budget}, (S + L - 1) // {budget})) "
+        f"AS p FROM seq) "
+        f"SELECT bucket, CAST(p AS BIGINT) AS pack_id, doc_id, "
+        f"CAST(GREATEST(S, p * {budget}) - S AS BIGINT) AS tok_start, "
+        f"CAST(LEAST(S + L, (p + 1) * {budget}) - S AS BIGINT) AS tok_end, "
+        f"CAST(LEAST(S + L, (p + 1) * {budget}) - GREATEST(S, p * {budget}) "
+        f"AS BIGINT) AS n_tokens FROM seg"
+    )
+
+
 _TOKEN_REPETITION_CTE = (
     # exact per-doc token multiset stats via explode + two groupbys; empty
     # text is defined as zero tokens (the engine's token_stats convention)
@@ -1220,6 +1279,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "epoch_shuffle": _epoch_shuffle_sql(21),
+        "pack_sequences": _pack_sequences_sql(256, 17, 32),
         "domain_cap": (
             "SELECT doc_id, source FROM ("
             "SELECT doc_id, source, row_number() OVER "

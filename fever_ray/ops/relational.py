@@ -361,7 +361,11 @@ def revenue_by_nation(
     else:
         # scale path: ONE hash-shuffle join (the dimension join above never
         # shuffles), annotated orders repartitioned first so the join input
-        # is not hundreds of near-empty blocks
+        # is not hundreds of near-empty blocks.  The small side is
+        # materialized so the join execution holds no upstream AllToAll —
+        # on CPU-tight clusters an extra exchange competing with the join's
+        # aggregator actors inside one streaming execution can stall
+        # (CLAUDE.md join pitfalls); ann is orderkey+code rows, cheap.
         def li_proj(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
@@ -372,7 +376,7 @@ def revenue_by_nation(
 
         li = lineitem_ds.map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
         joined = li.join(
-            ann.repartition(num_partitions),
+            ann.repartition(num_partitions).materialize(),
             join_type="inner",
             num_partitions=num_partitions,
             on=("l_orderkey",),

@@ -33,6 +33,8 @@ __all__ = [
     "benchmark_ngram_set",
     "decontaminate",
     "chunk_documents",
+    "epoch_shuffle",
+    "pack_sequences",
 ]
 
 
@@ -257,3 +259,199 @@ def chunk_documents(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+def _bucket_of(ids: pa.Array, seed: int, n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hash, bucket) for an int id column: bucket = top log2(n_buckets)
+    bits of the splitmix64 id-hash, so bucket order == hash order (bucket i
+    holds a contiguous keyspace slice below bucket i+1)."""
+    from ..sketches.hashing import hash64_ints
+
+    h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+    if n_buckets == 1:  # >> 64 is undefined; one bucket means bucket 0
+        return h, np.zeros(len(h), dtype=np.int32)
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+    return h, (h >> shift).astype(np.int32)
+
+
+def _check_pow2(n_buckets: int) -> None:
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+
+
+def epoch_shuffle(ds, seed: int = 0, n_buckets: int = 1024, id_col: str = "doc_id"):
+    """Deterministic seeded global shuffle order — THE training-epoch
+    primitive: every document gets an exact global ordinal ``shuffle_pos``
+    equal to its rank under ``(splitmix64(id, seed), id)``.  A different
+    ``seed`` is a fresh epoch permutation; the mapping is a pure function of
+    (id, seed) — independent of block layout, cluster size and resume point.
+
+    Output rows: (id_col, shuffle_pos int64).
+
+    Scale shape (10^12 docs): the corpus text NEVER moves — only a skinny
+    (id, hash, bucket) projection is shuffled.  Exact global ranks come from
+    the classic histogram-prefix construction:
+
+    1. one map_batches pass projects (id, h, bucket) where bucket = top
+       log2(n_buckets) hash bits (bucket order == hash order),
+    2. per-bucket counts tree-reduce to an ``n_buckets``-row table; the
+       driver turns it into exclusive prefix offsets (KBs, broadcast),
+    3. ``groupby(bucket).map_groups`` sorts each bucket by (h, id) and adds
+       ``offset[bucket] + arange`` — the only shuffle, and it carries 20
+       bytes/row.
+
+    Choose ``n_buckets`` so corpus/n_buckets skinny rows fit one task.
+    """
+    _check_pow2(n_buckets)
+    import ray
+
+    from .aggregates import tree_groupby
+
+    seed = int(seed)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h, bucket = _bucket_of(ids, seed, n_buckets)
+        return pa.table(
+            {
+                id_col: ids,
+                "h": pa.array(h, pa.uint64()),
+                "bucket": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    skinny = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        counts = np.bincount(b, minlength=n_buckets)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int32), pa.int32()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    counts_t = (
+        tree_groupby(
+            skinny.map_batches(count_partial, batch_format="pyarrow"),
+            ["bucket"],
+            [("n", "sum")],
+        )
+        .to_arrow_refs()
+    )
+    counts_t = pa.concat_tables([t for t in ray.get(counts_t)])
+    full = np.zeros(n_buckets, dtype=np.int64)
+    if counts_t.num_rows:
+        full[counts_t.column("bucket").to_numpy(zero_copy_only=False)] = (
+            counts_t.column("n").to_numpy(zero_copy_only=False)
+        )
+    offsets = np.zeros(n_buckets, dtype=np.int64)
+    np.cumsum(full[:-1], out=offsets[1:])
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), (id_col, "ascending")]
+        )
+        ids = pc.take(group.column(id_col), order)
+        b = int(group.column("bucket")[0].as_py())
+        pos = off[b] + np.arange(group.num_rows, dtype=np.int64)
+        return pa.table({id_col: ids, "shuffle_pos": pa.array(pos, pa.int64())})
+
+    return skinny.groupby("bucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds,
+    budget: int,
+    seed: int = 0,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """GPT-style sequence-packing PLAN: concatenate per-bucket token streams
+    (documents in id order within their hash bucket) and cut packs every
+    ``budget`` tokens — documents straddle pack boundaries, every token is
+    used, no padding waste.  Emits one row per (document × pack) segment:
+
+        (bucket int32, pack_id int64, id_col, tok_start, tok_end, n_tokens)
+
+    ``tok_start``/``tok_end`` are within-document token offsets of the
+    segment landing in ``pack_id`` (local to the bucket).  The plan is a
+    pure function of (ids, texts, seed) — stable across reruns and cluster
+    sizes — and closed-form from the per-bucket exclusive token cumsum, so
+    assembly (gathering actual text) can run later as a bucketed join
+    without recomputing anything.
+
+    Scale shape: only (id, token-count, bucket) rows shuffle — the text
+    never moves; per-bucket groups hold corpus/n_buckets skinny rows (scale
+    ``n_buckets`` with the corpus).  Token counts are one vectorized
+    ``count_substring`` per batch (whitespace token model shared with
+    ``chunk_documents`` — null text counts as one empty token).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    _check_pow2(n_buckets)
+    seed = int(seed)
+    budget = int(budget)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.string())
+        if text.null_count:
+            text = text.fill_null("")
+        ntok = pc.add(pc.count_substring(text, " "), 1)
+        _, bucket = _bucket_of(ids, seed, n_buckets)
+        return pa.table(
+            {
+                id_col: ids,
+                "L": pc.cast(ntok, pa.int64()),
+                "bucket": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    skinny = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pack_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        ids = pc.take(group.column(id_col), order)
+        L = pc.take(group.column("L"), order).to_numpy(zero_copy_only=False)
+        b = group.column("bucket")[0].as_py()
+        S = np.zeros(len(L), dtype=np.int64)
+        np.cumsum(L[:-1], out=S[1:])
+        p0 = S // budget
+        p1 = (S + L - 1) // budget
+        nseg = p1 - p0 + 1
+        row = np.repeat(np.arange(len(L), dtype=np.int64), nseg)
+        cstart = np.zeros(len(L) + 1, dtype=np.int64)
+        np.cumsum(nseg, out=cstart[1:])
+        p = (
+            np.arange(int(cstart[-1]), dtype=np.int64)
+            - np.repeat(cstart[:-1], nseg)
+            + p0[row]
+        )
+        seg_a = np.maximum(S[row], p * budget) - S[row]
+        seg_b = np.minimum(S[row] + L[row], (p + 1) * budget) - S[row]
+        return pa.table(
+            {
+                "bucket": pa.array(np.full(len(row), b, np.int32), pa.int32()),
+                "pack_id": pa.array(p, pa.int64()),
+                id_col: pc.take(ids, pa.array(row, pa.int64())),
+                "tok_start": pa.array(seg_a, pa.int64()),
+                "tok_end": pa.array(seg_b, pa.int64()),
+                "n_tokens": pa.array(seg_b - seg_a, pa.int64()),
+            }
+        )
+
+    return skinny.groupby("bucket").map_groups(pack_bucket, batch_format="pyarrow")

@@ -222,3 +222,127 @@ def test_split_assign_sql_single_split():
     rows = con.execute(sql).fetchall()
     con.close()
     assert [r[-1] for r in rows] == ["all"]
+
+
+# ---------------------------------------------------------- epoch_shuffle
+
+
+def test_epoch_shuffle_exact_global_ranks(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.trainprep import epoch_shuffle
+    from fever_ray.sketches.hashing import hash64_ints
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = epoch_shuffle(ds, seed=5, n_buckets=16).to_pandas()
+    assert len(out) == n
+    # exact permutation of 0..n-1
+    assert sorted(out["shuffle_pos"]) == list(range(n))
+    # matches the brute-force rank under (hash, id)
+    h = hash64_ints(ids, seed=5)
+    order = np.lexsort((ids, h))
+    want = np.empty(n, dtype=np.int64)
+    want[order] = np.arange(n)
+    got = out.set_index("doc_id")["shuffle_pos"]
+    assert (got.loc[ids].to_numpy() == want).all()
+    # pure function of (id, seed): block layout cannot move a rank
+    out2 = epoch_shuffle(ds.repartition(7), seed=5, n_buckets=16).to_pandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["shuffle_pos_a"] == merged["shuffle_pos_b"]).all()
+    # a different seed is a different permutation
+    out3 = epoch_shuffle(ds, seed=6, n_buckets=16).to_pandas()
+    merged = out.merge(out3, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["shuffle_pos_a"] != merged["shuffle_pos_b"]).any()
+
+
+def test_epoch_shuffle_validation(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.trainprep import epoch_shuffle
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError):
+        epoch_shuffle(ds, n_buckets=12)
+    out = epoch_shuffle(ds, n_buckets=1).to_pandas()
+    assert sorted(out["shuffle_pos"]) == [0, 1]
+
+
+# ---------------------------------------------------------- pack_sequences
+
+
+def _brute_pack(ids, texts, budget, seed, n_buckets):
+    from fever_ray.ops.trainprep import _bucket_of
+
+    _, buckets = _bucket_of(pa.array(ids, pa.int64()), seed, n_buckets)
+    rows = []
+    for b in sorted(set(buckets)):
+        sel = [i for i in np.argsort(ids, kind="stable") if buckets[i] == b]
+        pos = 0
+        for i in sel:
+            t = texts[i] if texts[i] is not None else ""
+            L = t.count(" ") + 1
+            start = 0
+            while start < L:
+                p = (pos + start) // budget
+                seg_end = min(L, (p + 1) * budget - pos)
+                rows.append((b, p, ids[i], start, seg_end, seg_end - start))
+                start = seg_end
+            pos += L
+    return rows
+
+
+def test_pack_sequences_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.trainprep import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    texts = [
+        None if i % 37 == 0 else " ".join(["w"] * int(rng.integers(1, 40)))
+        for i in range(n)
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    out = pack_sequences(ds, budget=16, seed=2, n_buckets=8).to_pandas()
+    got = sorted(
+        zip(out["bucket"], out["pack_id"], out["doc_id"], out["tok_start"],
+            out["tok_end"], out["n_tokens"])
+    )
+    want = sorted(_brute_pack(list(ids), texts, 16, 2, 8))
+    assert got == want
+    # every token of every doc is covered exactly once
+    per_doc = out.groupby("doc_id")["n_tokens"].sum()
+    for i in range(n):
+        L = (texts[i] or "").count(" ") + 1
+        assert per_doc[i] == L
+    # packs are full (== budget) except possibly the last pack per bucket
+    pack_tot = out.groupby(["bucket", "pack_id"])["n_tokens"].sum().reset_index()
+    last = pack_tot.groupby("bucket")["pack_id"].max()
+    for _, r in pack_tot.iterrows():
+        if r["pack_id"] != last[r["bucket"]]:
+            assert r["n_tokens"] == 16
+    # layout-invariant
+    out2 = pack_sequences(ds.repartition(5), budget=16, seed=2, n_buckets=8).to_pandas()
+    got2 = sorted(
+        zip(out2["bucket"], out2["pack_id"], out2["doc_id"], out2["tok_start"],
+            out2["tok_end"], out2["n_tokens"])
+    )
+    assert got2 == want
+
+
+def test_pack_sequences_validation(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.trainprep import pack_sequences
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array(["a b c"])}))
+    with pytest.raises(ValueError):
+        pack_sequences(ds, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(ds, budget=8, n_buckets=3)
