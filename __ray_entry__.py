@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         connected_components,
         embedding_dup_pairs,
         exact_dedup,
+        line_dedup,
         minhash_dedup_components,
         simhash_near_dup_pairs,
     )
@@ -74,7 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation_filter,
         domain_cap,
         hash_sample,
+        mixture_sample,
         quantile_length_filter,
+        repeat_corpus,
         split_assign,
         stratified_sample,
         regex_scrub,
@@ -352,6 +355,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             budget=256,
             seed=17,
             n_buckets=32,
+        )
+
+    def q_mixture_sample(sf):
+        # exact 3:1:2 source mix over src0/src1/src2: keep k_s = w_s * m
+        # rows per source (smallest id-hashes), m = min(n_s // w_s) —
+        # all-integer semantics mirrored by the oracle's ROW_NUMBER
+        return mixture_sample(
+            _t(sf, "documents", ["doc_id", "source"]),
+            {"src0": 3, "src1": 1, "src2": 2},
+            seed=19,
+        )
+
+    def q_repeat_corpus(sf):
+        # Dolma-style integer epoch mix: 3 epochs of zh, 2 of fr, es
+        # removed, everything else once; copy_id 0..k-1 per row
+        return repeat_corpus(
+            _t(sf, "documents", ["doc_id", "lang"]),
+            {"en": 1, "zh": 3, "fr": 2, "es": 0},
+            key_col="lang",
+            default=1,
+        )
+
+    def q_line_dedup(sf):
+        # CCNet-style duplicate-line scrub over synthetic 3-line docs
+        # (text \n lang \n source): lang lines are corpus-wide boilerplate
+        # (dropped), source lines sit near the threshold, text lines are
+        # unique — exercises counting, membership and reassembly
+        ds = _t(sf, "documents", ["doc_id", "text", "lang", "source"])
+
+        def mk(b: pa.Table) -> pa.Table:
+            cols = [
+                b.column(c).combine_chunks() if isinstance(b.column(c), pa.ChunkedArray) else b.column(c)
+                for c in ("text", "lang", "source")
+            ]
+            joined = pc.binary_join_element_wise(
+                *[pc.cast(c, pa.string()).fill_null("") for c in cols], "\n"
+            )
+            return pa.table({"doc_id": b.column("doc_id"), "text": joined})
+
+        return line_dedup(
+            ds.map_batches(mk, batch_format="pyarrow"), threshold=30
         )
 
     def q_domain_cap(sf):
@@ -838,6 +882,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "repeat_corpus": q_repeat_corpus,
+        "line_dedup": q_line_dedup,
         "domain_cap": q_domain_cap,
         "token_repetition": q_token_repetition,
         "curation_filter": q_curation_filter,
@@ -1053,6 +1100,69 @@ def _chunk_documents_sql(chunk: int, overlap: int) -> str:
         f"array_to_string(tk[i * {s} + 1 : least(i * {s} + {chunk}, L)], ' ') "
         "AS chunk_text, "
         f"least(CAST({chunk} AS BIGINT), L - i * {s}) AS n_tokens FROM e"
+    )
+
+
+def _mixture_sample_sql(weights: dict, seed: int) -> str:
+    """Bit-exact mirror of ops.curate.mixture_sample: per-source
+    k_s = w_s * min_s(n_s // w_s) rows with the smallest splitmix64
+    id-hashes.  The hash is a bijection, so ROW_NUMBER ordered by h is
+    deterministic; sources named in the weights but absent from the corpus
+    force m = 0 via the LEFT JOIN + COALESCE(n, 0)."""
+    vals = ", ".join(f"('{k}', {int(w)})" for k, w in weights.items())
+    in_list = ", ".join(f"'{k}'" for k in weights)
+    inner = _splitmix_doc_sql(
+        seed,
+        "doc_id, source",
+        f"source IN ({in_list})",
+        select_expr="doc_id, source, h",
+    )
+    return (
+        f"WITH sel AS ({inner}), "
+        f"w(source, wt) AS (VALUES {vals}), "
+        f"n AS (SELECT source, COUNT(*) AS n FROM sel GROUP BY source), "
+        f"m AS (SELECT MIN(COALESCE(n.n, 0) // w.wt) AS m "
+        f"FROM w LEFT JOIN n USING (source)), "
+        f"r AS (SELECT doc_id, source, ROW_NUMBER() OVER "
+        f"(PARTITION BY source ORDER BY h) AS rk FROM sel) "
+        f"SELECT r.doc_id, r.source FROM r JOIN w USING (source) "
+        f"CROSS JOIN m WHERE r.rk <= w.wt * m.m"
+    )
+
+
+def _repeat_corpus_sql(repeats: dict, default: int) -> str:
+    """Exact mirror of ops.curate.repeat_corpus: unnest(range(k)) per row,
+    k from a CASE over the key column (null / unlisted keys → default,
+    matching the engine's fixed-vocabulary index_in sentinel)."""
+    case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {int(v)}" for k, v in repeats.items())
+        + f" ELSE {int(default)} END"
+    )
+    return (
+        f"SELECT doc_id, lang, CAST(UNNEST(range(0, {case})) AS BIGINT) "
+        f"AS copy_id FROM documents"
+    )
+
+
+def _line_dedup_sql(threshold: int) -> str:
+    """Exact mirror of ops.dedup.line_dedup over synthetic 3-line docs
+    (text || \\n || lang || \\n || source): explode lines with ordinality,
+    count corpus-wide, keep lines with count <= threshold, re-aggregate in
+    original order, drop documents left empty (GROUP BY only sees docs
+    with surviving lines)."""
+    return (
+        f"WITH docs AS (SELECT doc_id, COALESCE(text, '') || chr(10) || "
+        f"COALESCE(lang, '') || chr(10) || COALESCE(source, '') AS text "
+        f"FROM documents), "
+        f"sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs), "
+        f"ex AS (SELECT doc_id, ls[i] AS ln, i AS ord FROM "
+        f"(SELECT doc_id, ls, UNNEST(range(1, len(ls) + 1)) AS i FROM sp)), "
+        f"c AS (SELECT ln, COUNT(*) AS n FROM ex GROUP BY ln), "
+        f"k AS (SELECT doc_id, ln, ord FROM ex JOIN c USING (ln) "
+        f"WHERE n <= {threshold}) "
+        f"SELECT doc_id, string_agg(ln, chr(10) ORDER BY ord) AS text, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_kept FROM k GROUP BY doc_id"
     )
 
 
@@ -1279,6 +1389,9 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),
+        "repeat_corpus": _repeat_corpus_sql({"en": 1, "zh": 3, "fr": 2, "es": 0}, 1),
+        "line_dedup": _line_dedup_sql(30),
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "pack_sequences": _pack_sequences_sql(256, 17, 32),
         "domain_cap": (

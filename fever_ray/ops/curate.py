@@ -43,6 +43,8 @@ __all__ = [
     "quantile_length_filter",
     "RegexScrub",
     "regex_scrub",
+    "mixture_sample",
+    "repeat_corpus",
 ]
 
 
@@ -444,3 +446,256 @@ def curation_filter(
         return batch
 
     return ds.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _key_codes(keys, names: list) -> tuple[np.ndarray, int]:
+    """Dictionary-encode a key column against a FIXED vocabulary ``names``:
+    returns (codes int64 with len(names) meaning 'not listed', sentinel).
+    One vectorized index_in per batch — no Python per row."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    idx = pc.index_in(keys, value_set=pa.array(names, pa.string()))
+    sentinel = len(names)
+    if idx.null_count:  # unlisted or null key → sentinel
+        idx = idx.fill_null(sentinel)
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64), sentinel
+
+
+def mixture_sample(
+    ds,
+    weights: dict,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    refine_bits: int = 12,
+    collect_cap: int = 2_000_000,
+    max_levels: int = 5,
+):
+    """Exact source re-weighting to a target mixture — downsample each
+    source so the output composition matches integer ratio ``weights``
+    (e.g. ``{"web": 7, "books": 2, "code": 1}`` → a 7:2:1 mix).
+
+    Semantics (all-integer, so the result is bit-exact and SQL-mirrorable):
+    with ``n_s`` rows per source and weight ``w_s``, the mix scale is
+    ``m = min_s(n_s // w_s)`` and EXACTLY ``k_s = w_s * m`` rows are kept
+    per source — the ``k_s`` rows with the smallest ``splitmix64(id, seed)``
+    hash.  The id-hash is a bijection, so ranks are unique and membership is
+    a pure function of (corpus ids, seed): stable across reruns,
+    re-partitioning and cluster size.  Sources not named in ``weights`` are
+    dropped; a named source missing from the corpus makes ``m = 0`` (an
+    impossible mix → empty result) rather than silently re-normalizing.
+
+    Scale shape (10^12 docs): the exact per-source ``k_s``-th smallest hash
+    is found by iterative histogram refinement over a skinny materialized
+    (key, hash) projection — the same prefix-histogram construction as
+    ``epoch_shuffle``, recursing ``refine_bits`` bits per level until the
+    boundary stripe holds ≤ ``collect_cap`` rows, then one driver-side
+    ``np.partition`` of that stripe.  Each level is one map_batches count
+    pass + a KB-sized tree_groupby; nothing corpus-sized ever reaches the
+    driver and the raw text never moves (the final filter re-hashes ids in
+    place).  At 10^12 rows, two levels of 12 bits bound the collected
+    stripe to ~60k rows per source.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    for k, w in weights.items():
+        if not isinstance(w, (int, np.integer)) or w <= 0:
+            raise ValueError(f"weights must be positive integers, got {k!r}: {w!r}")
+    import ray
+
+    from .aggregates import tree_groupby
+
+    names = list(weights)
+    seed = int(seed)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+        codes, sentinel = _key_codes(batch.column(key_col), names)
+        keep = codes != sentinel
+        return pa.table(
+            {
+                "code": pa.array(codes[keep], pa.int32()),
+                "h": pa.array(h[keep], pa.uint64()),
+            }
+        )
+
+    skinny = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch.select(["code"]), ["code"]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns(["code", "n"])
+
+    counts = pa.concat_tables(
+        ray.get(
+            tree_groupby(
+                skinny.map_batches(count_partial, batch_format="pyarrow"),
+                ["code"],
+                [("n", "sum")],
+            ).to_arrow_refs()
+        )
+    )
+    n_per = np.zeros(len(names), dtype=np.int64)
+    if counts.num_rows:
+        n_per[counts.column("code").to_numpy(zero_copy_only=False)] = (
+            counts.column("n").to_numpy(zero_copy_only=False)
+        )
+    w_arr = np.array([weights[k] for k in names], dtype=np.int64)
+    m = int((n_per // w_arr).min()) if len(names) else 0
+    k_per = w_arr * m
+
+    # Per-source exact k-th smallest hash by prefix-histogram refinement.
+    # State per source: hash-prefix of the active stripe, remaining 1-based
+    # rank within it, and the stripe's row count.
+    thr = np.zeros(len(names), dtype=np.uint64)  # keep h <= thr
+    keep_any = k_per > 0
+    full = k_per >= n_per  # keep-all sources need no refinement
+    thr[full] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    active = [i for i in range(len(names)) if keep_any[i] and not full[i]]
+    prefix = {i: 0 for i in active}  # high-bit prefix value at current level
+    rank = {i: int(k_per[i]) for i in active}
+    cnt = {i: int(n_per[i]) for i in active}
+    level = 0
+    n_buckets = 1 << refine_bits
+
+    while active and level < max_levels and sum(cnt[i] for i in active) > collect_cap:
+        shift = np.uint64(64 - (level + 1) * refine_bits)
+        pshift = np.uint64(64 - level * refine_bits)
+        pref_arr = np.zeros(len(names), dtype=np.uint64)
+        act_mask = np.zeros(len(names), dtype=bool)
+        for i in active:
+            pref_arr[i] = prefix[i]
+            act_mask[i] = True
+        amask_ref = ray.put((act_mask, pref_arr))
+
+        def hist_partial(batch: pa.Table, _s=shift, _ps=pshift) -> pa.Table:
+            am, pf = ray.get(amask_ref)
+            code = batch.column("code").to_numpy(zero_copy_only=False)
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            sel = am[code]
+            if _ps < 64:  # level > 0: row must sit in its source's stripe
+                sel &= (h >> _ps) == pf[code]
+            code, h = code[sel], h[sel]
+            b = ((h >> _s) & np.uint64(n_buckets - 1)).astype(np.int64)
+            key = code.astype(np.int64) * n_buckets + b
+            uk, uc = np.unique(key, return_counts=True)
+            return pa.table(
+                {"k": pa.array(uk, pa.int64()), "n": pa.array(uc, pa.int64())}
+            )
+
+        hist = pa.concat_tables(
+            ray.get(
+                tree_groupby(
+                    skinny.map_batches(hist_partial, batch_format="pyarrow"),
+                    ["k"],
+                    [("n", "sum")],
+                ).to_arrow_refs()
+            )
+        )
+        hk = hist.column("k").to_numpy(zero_copy_only=False)
+        hn = hist.column("n").to_numpy(zero_copy_only=False)
+        for i in list(active):
+            sel = (hk // n_buckets) == i
+            bk, bn = hk[sel] % n_buckets, hn[sel]
+            order = np.argsort(bk)
+            bk, bn = bk[order], bn[order]
+            cum = np.cumsum(bn)
+            j = int(np.searchsorted(cum, rank[i]))  # first bucket reaching rank
+            rank[i] -= int(cum[j - 1]) if j else 0
+            cnt[i] = int(bn[j])
+            prefix[i] = (prefix[i] << refine_bits) | int(bk[j])
+        level += 1
+
+    if active:  # collect the boundary stripes and partition exactly
+        shift = np.uint64(64 - level * refine_bits)
+        pref_arr = np.zeros(len(names), dtype=np.uint64)
+        act_mask = np.zeros(len(names), dtype=bool)
+        for i in active:
+            pref_arr[i] = prefix[i]
+            act_mask[i] = True
+        amask_ref = ray.put((act_mask, pref_arr))
+
+        def stripe(batch: pa.Table, _s=shift) -> pa.Table:
+            am, pf = ray.get(amask_ref)
+            code = batch.column("code").to_numpy(zero_copy_only=False)
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            sel = am[code]
+            if _s < 64:
+                sel &= (h >> _s) == pf[code]
+            return pa.table(
+                {
+                    "code": pa.array(code[sel], pa.int32()),
+                    "h": pa.array(h[sel], pa.uint64()),
+                }
+            )
+
+        st = pa.concat_tables(
+            ray.get(
+                skinny.map_batches(stripe, batch_format="pyarrow").to_arrow_refs()
+            )
+        )
+        sc = st.column("code").to_numpy(zero_copy_only=False)
+        sh = st.column("h").to_numpy(zero_copy_only=False)
+        for i in active:
+            hs = sh[sc == i]
+            thr[i] = np.partition(hs, rank[i] - 1)[rank[i] - 1]
+
+    thr_ref = ray.put((thr, keep_any))
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        t, ka = ray.get(thr_ref)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+        codes, sentinel = _key_codes(batch.column(key_col), names)
+        listed = codes != sentinel
+        codes[~listed] = 0  # dummy index; masked out below
+        keep = listed & ka[codes] & (h <= t[codes])
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(final_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repeat_corpus(
+    ds,
+    repeats: dict,
+    key_col: str = "lang",
+    default: int = 1,
+    out_col: str = "copy_id",
+):
+    """Integer per-source epoch upsampling: emit each row ``k`` times with a
+    ``copy_id`` column 0..k-1, where ``k = repeats.get(row[key_col],
+    default)`` — the Dolma/OLMo-style "N epochs of source X" mix primitive
+    (k = 0 removes a source entirely).
+
+    Pure map_batches explode (np.repeat + one arange), no shuffle, no
+    driver state; deterministic under any partitioning.  Downstream
+    training preps (``epoch_shuffle``/``pack_sequences``) can treat
+    (id, copy_id) as the effective document key."""
+    for k, v in repeats.items():
+        if not isinstance(v, (int, np.integer)) or v < 0:
+            raise ValueError(f"repeats must be non-negative integers, got {k!r}: {v!r}")
+    if not isinstance(default, (int, np.integer)) or default < 0:
+        raise ValueError(f"default must be a non-negative integer, got {default!r}")
+    names = list(repeats)
+    reps = np.array([repeats[k] for k in names] + [default], dtype=np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        codes, _ = _key_codes(batch.column(key_col), names)
+        k = reps[codes]
+        n = batch.num_rows
+        row = np.repeat(np.arange(n, dtype=np.int64), k)
+        cstart = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(k, out=cstart[1:])
+        copy = np.arange(int(cstart[-1]), dtype=np.int64) - np.repeat(cstart[:-1], k)
+        out = batch.take(pa.array(row, pa.int64()))
+        return out.append_column(out_col, pa.array(copy, pa.int64()))
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

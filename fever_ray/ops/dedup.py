@@ -879,3 +879,189 @@ def embedding_dup_pairs(
         .map_groups(verify_partition, batch_format="pyarrow")
     )
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# ------------------------------------------------------------- line dedup
+def _split_lines(batch: pa.Table, text_col: str, sep: str):
+    """Split ``text_col`` on ``sep`` → (ids-aligned ListArray of lines,
+    flat line StringArray, per-doc offsets int64[nrows+1])."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.cast(text, pa.string())
+    if text.null_count:  # null text behaves as empty (one '' line)
+        text = text.fill_null("")
+    lines = pc.split_pattern(text, sep)
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return lines, lines.flatten(), offsets - offsets[0]
+
+
+def line_dedup(
+    ds,
+    threshold: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    broadcast_bytes: int = 256 << 20,
+    num_partitions: int = 32,
+):
+    """CCNet/MassiveText-style duplicate-line removal: drop every line that
+    occurs more than ``threshold`` times across the WHOLE corpus (boiler-
+    plate — nav bars, cookie banners, license footers), re-join the
+    surviving lines per document, and drop documents left with no lines.
+
+    Output rows: (id_col, text_col rewritten, ``n_kept`` int64).  Matching
+    is EXACT line-string equality — no hash-collision false drops — and the
+    result is a pure function of the corpus, independent of partitioning.
+
+    Scale shape (10^12 docs): pass 1 shuffles (line, partial-count) pairs
+    pre-aggregated per batch — the classic combiner — keyed by the line
+    string itself, so only unique-lines-per-batch move.  The duplicate-line
+    set (count > threshold) is then applied in one of two ways:
+
+    * broadcast path (default): when the dup set fits ``broadcast_bytes``,
+      ``ray.put`` it once and scrub every batch with one vectorized
+      ``pc.is_in`` + offset-rebuild — the corpus text never shuffles.
+    * join fallback: explode (doc_id, ord, line) rows, co-partition with
+      the dup set by line hash, per-bucket anti-join, then reassemble per
+      document — two shuffles that DO move corpus text, the honest cost
+      when the boilerplate set itself is beyond a worker's heap.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _split_lines(batch, text_col, sep)
+        t = pa.TableGroupBy(pa.table({"ln": flat}), ["ln"]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns(["ln", "n"])
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ln")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    dup = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), threshold)).select(["ln"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    dup_bytes = dup.size_bytes() or 0
+    if dup_bytes <= broadcast_bytes:
+        dup_arr = pa.concat_tables(ray.get(dup.to_arrow_refs())).column("ln")
+        dup_ref = ray.put(dup_arr.combine_chunks())
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            dup_set = ray.get(dup_ref)
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            _, flat, offsets = _split_lines(batch, text_col, sep)
+            if len(dup_set):
+                keep = pc.invert(pc.is_in(flat, value_set=dup_set))
+                keep_np = keep.to_numpy(zero_copy_only=False)
+            else:
+                keep = pa.array(np.ones(len(flat), dtype=bool))
+                keep_np = np.ones(len(flat), dtype=bool)
+            ck = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(keep_np, out=ck[1:])
+            n_kept = ck[offsets[1:]] - ck[offsets[:-1]]
+            new_off = np.zeros(batch.num_rows + 1, dtype=np.int64)
+            np.cumsum(n_kept, out=new_off[1:])
+            la = pa.ListArray.from_arrays(
+                pa.array(new_off, pa.int32()).cast(pa.int32()), flat.filter(keep)
+            )
+            joined = pc.binary_join(la, sep)
+            out = pa.table(
+                {
+                    id_col: ids,
+                    text_col: joined,
+                    "n_kept": pa.array(n_kept, pa.int64()),
+                }
+            )
+            return out.filter(pa.array(n_kept > 0))
+
+        return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+    # -------- join fallback: dup set exceeds a worker's heap ----------
+    logger.info(
+        "line_dedup: dup set %.1f MB > broadcast cap %.1f MB — bucketed join path",
+        dup_bytes / 2**20, broadcast_bytes / 2**20,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        _, flat, offsets = _split_lines(batch, text_col, sep)
+        doc_lens = np.diff(offsets)
+        row = np.repeat(np.arange(batch.num_rows, dtype=np.int64), doc_lens)
+        ordn = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offsets[:-1], doc_lens
+        )
+        bucket = (hash64(flat) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(row, pa.int64())),
+                "ord": pa.array(ordn, pa.int64()),
+                "ln": flat,
+                "bucket": pa.array(bucket, pa.int32()),
+                "is_dup": pa.array(np.zeros(len(flat), dtype=bool)),
+            }
+        )
+
+    def mark_dup(batch: pa.Table) -> pa.Table:
+        ln = batch.column("ln")
+        if isinstance(ln, pa.ChunkedArray):
+            ln = ln.combine_chunks()
+        n = len(ln)
+        bucket = (hash64(ln) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "ord": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "ln": ln,
+                "bucket": pa.array(bucket, pa.int32()),
+                "is_dup": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    lines_ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    dup_tagged = dup.map_batches(mark_dup, batch_format="pyarrow")
+
+    def anti(group: pa.Table) -> pa.Table:
+        is_dup = group.column("is_dup")
+        dup_lines = group.filter(is_dup).column("ln")
+        keep_rows = group.filter(pc.invert(is_dup))
+        if len(dup_lines):
+            mask = pc.invert(
+                pc.is_in(keep_rows.column("ln"), value_set=dup_lines.combine_chunks())
+            )
+            keep_rows = keep_rows.filter(mask)
+        return keep_rows.select([id_col, "ord", "ln"])
+
+    kept = (
+        lines_ds.union(dup_tagged)
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pyarrow")
+    )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ord", "ascending")])
+        lines = pc.take(group.column("ln"), order).combine_chunks()
+        n = len(lines)
+        la = pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), lines)
+        return pa.table(
+            {
+                id_col: group.column(id_col).slice(0, 1),
+                text_col: pc.binary_join(la, sep),
+                "n_kept": pa.array([n], pa.int64()),
+            }
+        )
+
+    return kept.groupby(id_col).map_groups(reassemble, batch_format="pyarrow")

@@ -1,0 +1,195 @@
+"""mixture_sample / repeat_corpus / line_dedup — exactness, determinism,
+and both membership paths (broadcast and bucketed-join fallback)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fever_ray.ops.curate import mixture_sample, repeat_corpus
+from fever_ray.ops.dedup import line_dedup
+from fever_ray.sketches.hashing import hash64_ints
+
+
+def _mk_docs(ray, n=600, n_src=3, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    src = np.array([f"s{int(i)}" for i in rng.integers(0, n_src, n)])
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "source": pa.array(src),
+            "text": pa.array([f"doc {i} body" for i in ids]),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(7), t
+
+
+def _expected_mixture(t, weights, seed):
+    """Brute-force oracle: per-source k_s = w_s * min(n_s // w_s) smallest
+    hashes."""
+    ids = t.column("doc_id").to_numpy()
+    src = t.column("source").to_pylist()
+    h = hash64_ints(ids, seed=seed)
+    n = {s: src.count(s) for s in set(src)}
+    m = min(n.get(s, 0) // w for s, w in weights.items())
+    keep = set()
+    for s, w in weights.items():
+        k = w * m
+        hs = sorted((h[i], ids[i]) for i in range(len(ids)) if src[i] == s)
+        keep.update(int(i) for _, i in hs[:k])
+    return keep
+
+
+def test_mixture_sample_exact_counts(ray_session):
+    ds, t = _mk_docs(ray_session)
+    weights = {"s0": 3, "s1": 1, "s2": 2}
+    out = mixture_sample(ds, weights, seed=11).take_all()
+    got = {int(r["doc_id"]) for r in out}
+    assert got == _expected_mixture(t, weights, 11)
+    # composition is exactly w_s * m per source
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    m = min(per[s] // w for s, w in weights.items())
+    assert per == {s: w * m for s, w in weights.items()}
+
+
+def test_mixture_sample_refinement_levels(ray_session):
+    """Force the histogram refinement loop (tiny collect_cap) — result must
+    be identical to the direct path."""
+    ds, t = _mk_docs(ray_session, n=400)
+    weights = {"s0": 2, "s1": 1}
+    a = {
+        int(r["doc_id"])
+        for r in mixture_sample(ds, weights, seed=5).take_all()
+    }
+    b = {
+        int(r["doc_id"])
+        for r in mixture_sample(
+            ds, weights, seed=5, collect_cap=8, refine_bits=4, max_levels=10
+        ).take_all()
+    }
+    assert a == b == _expected_mixture(t, weights, 5)
+
+
+def test_mixture_sample_missing_source_empty(ray_session):
+    ds, _ = _mk_docs(ray_session, n=50)
+    out = mixture_sample(ds, {"s0": 1, "nope": 1}, seed=0).take_all()
+    assert out == []  # impossible mix → empty, not silently renormalized
+
+
+def test_mixture_sample_keep_all_source(ray_session):
+    """A weight so large one source is the binding constraint and another
+    keeps every row (k_s == n_s)."""
+    ds, t = _mk_docs(ray_session, n=300)
+    src = t.column("source").to_pylist()
+    counts = {s: src.count(s) for s in set(src)}
+    # make s0 keep-all: w_s0 = n_s0, w_s1 = 1 → m = min(1, n_s1) = 1
+    weights = {"s0": counts["s0"], "s1": 1}
+    out = mixture_sample(ds, weights, seed=3).take_all()
+    got = {int(r["doc_id"]) for r in out}
+    assert got == _expected_mixture(t, weights, 3)
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per["s0"] == counts["s0"]  # every s0 row kept
+    assert per["s1"] == 1
+
+
+def test_mixture_sample_rejects_bad_weights(ray_session):
+    ds, _ = _mk_docs(ray_session, n=10)
+    with pytest.raises(ValueError):
+        mixture_sample(ds, {})
+    with pytest.raises(ValueError):
+        mixture_sample(ds, {"s0": 0})
+    with pytest.raises(ValueError):
+        mixture_sample(ds, {"s0": 1.5})
+
+
+def test_repeat_corpus_counts_and_copy_ids(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en", "zh", "fr", None]),
+        }
+    )
+    ds = ray_session.data.from_arrow(t)
+    out = repeat_corpus(
+        ds, {"en": 1, "zh": 3, "fr": 0}, key_col="lang", default=2
+    ).take_all()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(int(r["doc_id"]), []).append(int(r["copy_id"]))
+    assert by_id == {1: [0], 2: [0, 1, 2], 4: [0, 1]}  # fr dropped; null→default
+
+
+def test_repeat_corpus_rejects_negative(ray_session):
+    ds = ray_session.data.from_arrow(pa.table({"lang": pa.array(["en"])}))
+    with pytest.raises(ValueError):
+        repeat_corpus(ds, {"en": -1})
+    with pytest.raises(ValueError):
+        repeat_corpus(ds, {"en": 1}, default=-2)
+
+
+def _line_fixture(ray):
+    texts = [
+        "unique one\nBOILER\nunique two",  # boiler dropped
+        "BOILER\nBOILER2",  # fully boilerplate → doc dropped
+        "solo line\nBOILER2",
+        "BOILER\nanother solo",
+        "",  # empty text: '' line is unique here → survives
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(3)
+
+
+EXPECTED_LINES = {
+    0: ("unique one\nunique two", 2),
+    2: ("solo line", 1),
+    3: ("another solo", 1),
+    4: ("", 1),
+}
+
+
+def test_line_dedup_broadcast_path(ray_session):
+    ds = _line_fixture(ray_session)
+    out = line_dedup(ds, threshold=1).take_all()
+    got = {int(r["doc_id"]): (r["text"], int(r["n_kept"])) for r in out}
+    assert got == EXPECTED_LINES
+
+
+def test_line_dedup_join_fallback_identical(ray_session):
+    ds = _line_fixture(ray_session)
+    out = line_dedup(ds, threshold=1, broadcast_bytes=0).take_all()
+    got = {int(r["doc_id"]): (r["text"], int(r["n_kept"])) for r in out}
+    assert got == EXPECTED_LINES
+
+
+def test_line_dedup_threshold_two_keeps_pairs(ray_session):
+    ds = _line_fixture(ray_session)
+    out = line_dedup(ds, threshold=2).take_all()
+    got = {int(r["doc_id"]): (r["text"], int(r["n_kept"])) for r in out}
+    # BOILER appears 3x (> 2, dropped); BOILER2 appears 2x (kept)
+    assert got[1] == ("BOILER2", 1)
+    assert got[2] == ("solo line\nBOILER2", 2)
+    assert got[0] == ("unique one\nunique two", 2)
+
+
+def test_line_dedup_word_separator(ray_session):
+    """sep=' ' degenerates to corpus-wide word dedup — exercises the same
+    kernel on a dense duplicate set."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c", "b c d"]),
+        }
+    )
+    ds = ray_session.data.from_arrow(t)
+    out = line_dedup(ds, threshold=1, sep=" ").take_all()
+    got = {int(r["doc_id"]): (r["text"], int(r["n_kept"])) for r in out}
+    assert got == {0: ("a", 1), 1: ("d", 1)}
