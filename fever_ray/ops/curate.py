@@ -501,6 +501,11 @@ def mixture_sample(
     for k, w in weights.items():
         if not isinstance(w, (int, np.integer)) or w <= 0:
             raise ValueError(f"weights must be positive integers, got {k!r}: {w!r}")
+    if not 1 <= refine_bits <= 32:
+        raise ValueError(f"refine_bits must be in [1, 32], got {refine_bits}")
+    # past 64 consumed bits the stripe cannot shrink further (duplicate ids
+    # share a hash) — clamp instead of shifting by a negative amount
+    max_levels = min(max_levels, 64 // refine_bits)
     import ray
 
     from .aggregates import tree_groupby

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sketches.hashing import hash64
+from ..sketches.hashing import hash64, hash64_ints
 from ..sketches.minhash import (
     band_hashes,
     minhash_signature,
@@ -905,7 +905,7 @@ def line_dedup(
     text_col: str = "text",
     sep: str = "\n",
     broadcast_bytes: int = 256 << 20,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """CCNet/MassiveText-style duplicate-line removal: drop every line that
     occurs more than ``threshold`` times across the WHOLE corpus (boiler-
@@ -915,6 +915,9 @@ def line_dedup(
     Output rows: (id_col, text_col rewritten, ``n_kept`` int64).  Matching
     is EXACT line-string equality — no hash-collision false drops — and the
     result is a pure function of the corpus, independent of partitioning.
+    ``id_col`` must uniquely identify rows (the standard corpus contract —
+    run ``exact_dedup`` first if it may not): the join-fallback path groups
+    by it, so colliding ids would merge documents there.
 
     Scale shape (10^12 docs): pass 1 shuffles (line, partial-count) pairs
     pre-aggregated per batch — the classic combiner — keyed by the line
@@ -974,7 +977,7 @@ def line_dedup(
             new_off = np.zeros(batch.num_rows + 1, dtype=np.int64)
             np.cumsum(n_kept, out=new_off[1:])
             la = pa.ListArray.from_arrays(
-                pa.array(new_off, pa.int32()).cast(pa.int32()), flat.filter(keep)
+                pa.array(new_off, pa.int32()), flat.filter(keep)
             )
             joined = pc.binary_join(la, sep)
             out = pa.table(
@@ -989,10 +992,27 @@ def line_dedup(
         return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
 
     # -------- join fallback: dup set exceeds a worker's heap ----------
+    n_parts = num_partitions or _auto_parts(ds, floor=32)
     logger.info(
-        "line_dedup: dup set %.1f MB > broadcast cap %.1f MB — bucketed join path",
-        dup_bytes / 2**20, broadcast_bytes / 2**20,
+        "line_dedup: dup set %.1f MB > broadcast cap %.1f MB — bucketed join "
+        "path over %d partitions",
+        dup_bytes / 2**20, broadcast_bytes / 2**20, n_parts,
     )
+    # the dup side carries no ids — its sentinel columns must match the
+    # corpus id type exactly or the union's schemas collide
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+
+    def _id_part(ids: pa.Array) -> np.ndarray:
+        """Reassembly partition of each id: hash-partition so every doc's
+        surviving lines land in exactly one coarse bucket."""
+        if pa.types.is_integer(ids.type):
+            h = hash64_ints(ids.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            h = hash64(ids)
+        return (h % np.uint64(n_parts)).astype(np.int32)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
@@ -1004,7 +1024,7 @@ def line_dedup(
         ordn = np.arange(len(flat), dtype=np.int64) - np.repeat(
             offsets[:-1], doc_lens
         )
-        bucket = (hash64(flat) % np.uint64(num_partitions)).astype(np.int32)
+        bucket = (hash64(flat) % np.uint64(n_parts)).astype(np.int32)
         return pa.table(
             {
                 id_col: pc.take(ids, pa.array(row, pa.int64())),
@@ -1020,10 +1040,10 @@ def line_dedup(
         if isinstance(ln, pa.ChunkedArray):
             ln = ln.combine_chunks()
         n = len(ln)
-        bucket = (hash64(ln) % np.uint64(num_partitions)).astype(np.int32)
+        bucket = (hash64(ln) % np.uint64(n_parts)).astype(np.int32)
         return pa.table(
             {
-                id_col: pa.array(np.full(n, -1, np.int64), pa.int64()),
+                id_col: pa.nulls(n, id_type),
                 "ord": pa.array(np.full(n, -1, np.int64), pa.int64()),
                 "ln": ln,
                 "bucket": pa.array(bucket, pa.int32()),
@@ -1043,7 +1063,12 @@ def line_dedup(
                 pc.is_in(keep_rows.column("ln"), value_set=dup_lines.combine_chunks())
             )
             keep_rows = keep_rows.filter(mask)
-        return keep_rows.select([id_col, "ord", "ln"])
+        ids = keep_rows.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return keep_rows.select([id_col, "ord", "ln"]).append_column(
+            "dpart", pa.array(_id_part(ids), pa.int32())
+        )
 
     kept = (
         lines_ds.union(dup_tagged)
@@ -1051,17 +1076,35 @@ def line_dedup(
         .map_groups(anti, batch_format="pyarrow")
     )
 
-    def reassemble(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("ord", "ascending")])
+    def reassemble_part(group: pa.Table) -> pa.Table:
+        """All documents of one coarse partition rebuilt in ONE vectorized
+        pass: sort by (id, ord), detect doc runs, one ListArray +
+        binary_join — never a per-document Python call."""
+        n = group.num_rows
+        order = pc.sort_indices(
+            group, sort_keys=[(id_col, "ascending"), ("ord", "ascending")]
+        )
+        ids = pc.take(group.column(id_col), order).combine_chunks()
         lines = pc.take(group.column("ln"), order).combine_chunks()
-        n = len(lines)
-        la = pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), lines)
+        if n > 1:
+            neq = pc.not_equal(ids.slice(1), ids.slice(0, n - 1))
+            new_doc = np.concatenate(
+                ([True], neq.to_numpy(zero_copy_only=False).astype(bool))
+            )
+        else:
+            new_doc = np.ones(n, dtype=bool)
+        starts = np.flatnonzero(new_doc)
+        offsets = np.concatenate((starts, [n]))
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), lines)
         return pa.table(
             {
-                id_col: group.column(id_col).slice(0, 1),
+                id_col: pc.take(ids, pa.array(starts, pa.int64())),
                 text_col: pc.binary_join(la, sep),
-                "n_kept": pa.array([n], pa.int64()),
+                "n_kept": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
             }
         )
 
-    return kept.groupby(id_col).map_groups(reassemble, batch_format="pyarrow")
+    return (
+        kept.groupby("dpart")
+        .map_groups(reassemble_part, batch_format="pyarrow")
+    )

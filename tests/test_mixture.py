@@ -193,3 +193,27 @@ def test_line_dedup_word_separator(ray_session):
     out = line_dedup(ds, threshold=1, sep=" ").take_all()
     got = {int(r["doc_id"]): (r["text"], int(r["n_kept"])) for r in out}
     assert got == {0: ("a", 1), 1: ("d", 1)}
+
+
+def test_line_dedup_string_ids_fallback(ray_session):
+    """The join fallback must handle non-int64 id columns (the dup-side
+    sentinel has to match the corpus id type)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "text": pa.array(["x\nBOILER", "BOILER\ny", "BOILER"]),
+        }
+    )
+    ds = ray_session.data.from_arrow(t)
+    for bb in (256 << 20, 0):  # broadcast and fallback must agree
+        out = line_dedup(ds, threshold=1, broadcast_bytes=bb).take_all()
+        got = {r["doc_id"]: (r["text"], int(r["n_kept"])) for r in out}
+        assert got == {"a": ("x", 1), "b": ("y", 1)}
+
+
+def test_mixture_sample_rejects_bad_refine_bits(ray_session):
+    ds, _ = _mk_docs(ray_session, n=10)
+    with pytest.raises(ValueError):
+        mixture_sample(ds, {"s0": 1}, refine_bits=0)
+    with pytest.raises(ValueError):
+        mixture_sample(ds, {"s0": 1}, refine_bits=40)
