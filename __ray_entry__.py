@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         decontaminate,
         epoch_shuffle,
         pack_sequences,
+        token_budget_select,
     )
     from fever_ray.ops.extract import extract_text, hostname_of
     from fever_ray.ops.ioc import PageIocMatcher
@@ -355,6 +356,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             budget=256,
             seed=17,
             n_buckets=32,
+        )
+
+    def q_token_budget_select(sf):
+        # "first 8k tokens of the corpus" in seeded shuffle order — docs
+        # kept atomically; only the boundary bucket is ever sorted
+        return token_budget_select(
+            _t(sf, "documents", ["doc_id", "text"]),
+            budget=8000,
+            seed=23,
+            n_buckets=64,
         )
 
     def q_mixture_sample(sf):
@@ -882,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
+        "token_budget_select": q_token_budget_select,
         "mixture_sample": q_mixture_sample,
         "repeat_corpus": q_repeat_corpus,
         "line_dedup": q_line_dedup,
@@ -1100,6 +1112,29 @@ def _chunk_documents_sql(chunk: int, overlap: int) -> str:
         f"array_to_string(tk[i * {s} + 1 : least(i * {s} + {chunk}, L)], ' ') "
         "AS chunk_text, "
         f"least(CAST({chunk} AS BIGINT), L - i * {s}) AS n_tokens FROM e"
+    )
+
+
+def _token_budget_select_sql(budget: int, seed: int) -> str:
+    """Bit-exact mirror of ops.trainprep.token_budget_select: exclusive
+    token cumsum over the global (splitmix hash, id) order; keep documents
+    whose whole token count still fits the budget.  The engine's
+    bucket-prefix construction concatenates hash-ordered buckets, which IS
+    this global window order."""
+    inner = _splitmix_doc_sql(
+        seed,
+        "doc_id, text",
+        "TRUE",
+        select_expr=(
+            "doc_id, h, CAST(len(string_split(COALESCE(text, ''), ' ')) "
+            "AS BIGINT) AS L"
+        ),
+    )
+    return (
+        f"WITH seq AS (SELECT doc_id, L, CAST(COALESCE(SUM(L) OVER "
+        f"(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"1 PRECEDING), 0) AS BIGINT) AS S FROM ({inner}) t) "
+        f"SELECT doc_id, L AS n_tokens FROM seq WHERE S + L <= {budget}"
     )
 
 
@@ -1389,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "token_budget_select": _token_budget_select_sql(8000, 23),
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),
         "repeat_corpus": _repeat_corpus_sql({"en": 1, "zh": 3, "fr": 2, "es": 0}, 1),
         "line_dedup": _line_dedup_sql(30),

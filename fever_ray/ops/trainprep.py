@@ -35,6 +35,7 @@ __all__ = [
     "chunk_documents",
     "epoch_shuffle",
     "pack_sequences",
+    "token_budget_select",
 ]
 
 
@@ -455,3 +456,136 @@ def pack_sequences(
         )
 
     return skinny.groupby("bucket").map_groups(pack_bucket, batch_format="pyarrow")
+
+
+def token_budget_select(
+    ds,
+    budget: int,
+    seed: int = 0,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Deterministic token-budget trim: walk documents in the seeded
+    epoch-shuffle order (rank under ``(splitmix64(id, seed), id)``) and keep
+    each document whose whole token count still fits the running ``budget``
+    — "give me exactly the first 10 B tokens of this corpus, reproducibly".
+    Documents are kept atomically (a doc that would straddle the boundary is
+    dropped, as are all later ones).  Output rows: (id_col, ``n_tokens``).
+
+    Scale shape (10^12 docs): the same histogram-prefix construction as
+    ``epoch_shuffle``, but with per-bucket TOKEN sums — and because bucket
+    order == hash order, the driver's exclusive prefix classifies every
+    bucket up front:
+
+    * fully-kept buckets (prefix + bucket total ≤ budget) stream straight
+      through a map_batches filter — no shuffle, no sort;
+    * the ONE boundary bucket (prefix < budget < prefix + total) is sorted
+      exactly by (h, id) in a single map_groups task — ~corpus/n_buckets
+      skinny rows, the only shuffle in the whole operator;
+    * fully-dropped buckets never move at all.
+
+    Token counts use the whitespace token model shared with
+    ``pack_sequences`` (null text = one empty-string token, L ≥ 1)."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    _check_pow2(n_buckets)
+    import ray
+
+    from .aggregates import tree_groupby
+
+    seed = int(seed)
+    budget = int(budget)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.string())
+        if text.null_count:
+            text = text.fill_null("")
+        ntok = pc.add(pc.count_substring(text, " "), 1)
+        h, bucket = _bucket_of(ids, seed, n_buckets)
+        return pa.table(
+            {
+                id_col: ids,
+                "h": pa.array(h, pa.uint64()),
+                "L": pc.cast(ntok, pa.int64()),
+                "bucket": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    skinny = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch.select(["bucket", "L"]), ["bucket"]).aggregate(
+            [("L", "sum")]
+        )
+        return t.rename_columns(["bucket", "tok"])
+
+    sums = pa.concat_tables(
+        ray.get(
+            tree_groupby(
+                skinny.map_batches(sum_partial, batch_format="pyarrow"),
+                ["bucket"],
+                [("tok", "sum")],
+            ).to_arrow_refs()
+        )
+    )
+    totals = np.zeros(n_buckets, dtype=np.int64)
+    if sums.num_rows:
+        totals[sums.column("bucket").to_numpy(zero_copy_only=False)] = (
+            sums.column("tok").to_numpy(zero_copy_only=False)
+        )
+    offsets = np.zeros(n_buckets, dtype=np.int64)
+    np.cumsum(totals[:-1], out=offsets[1:])
+
+    full_keep = offsets + totals <= budget  # every doc in these buckets fits
+    boundary = np.flatnonzero((offsets < budget) & ~full_keep & (totals > 0))
+    # offsets are monotone, so at most one bucket can straddle the budget
+    b_star = int(boundary[0]) if len(boundary) else -1
+    keep_ref = ray.put(full_keep)
+
+    def emit_full(batch: pa.Table) -> pa.Table:
+        fk = ray.get(keep_ref)
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(fk[b]))
+        return pa.table({id_col: t.column(id_col), "n_tokens": t.column("L")})
+
+    kept = skinny.map_batches(emit_full, batch_format="pyarrow")
+    if b_star < 0:
+        return kept
+
+    b_off = int(offsets[b_star])
+
+    def trim_boundary(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        g = batch.filter(pa.array(b == b_star))
+        order = pc.sort_indices(
+            g, sort_keys=[("h", "ascending"), (id_col, "ascending")]
+        )
+        ids = pc.take(g.column(id_col), order)
+        L = pc.take(g.column("L"), order).to_numpy(zero_copy_only=False)
+        S = b_off + np.cumsum(L) - L  # exclusive prefix within the stream
+        fit = S + L <= budget
+        return pa.table(
+            {id_col: ids.combine_chunks(), "n_tokens": pa.array(L, pa.int64())}
+        ).filter(pa.array(fit))
+
+    # one boundary bucket → repartition(1) narrows it into a single sort task
+    bdry = (
+        skinny.map_batches(
+            lambda t: t.filter(
+                pa.array(t.column("bucket").to_numpy(zero_copy_only=False) == b_star)
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(trim_boundary, batch_format="pyarrow", batch_size=None)
+    )
+    return kept.union(bdry)

@@ -217,3 +217,41 @@ def test_mixture_sample_rejects_bad_refine_bits(ray_session):
         mixture_sample(ds, {"s0": 1}, refine_bits=0)
     with pytest.raises(ValueError):
         mixture_sample(ds, {"s0": 1}, refine_bits=40)
+
+
+def test_token_budget_select_exact(ray_session):
+    """Kept set equals the brute-force prefix walk in (hash, id) order;
+    docs are atomic (a straddling doc is dropped)."""
+    from fever_ray.ops.trainprep import token_budget_select
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ds = ray_session.data.from_arrow(t).repartition(5)
+
+    L = np.array([x.count(" ") + 1 for x in texts], dtype=np.int64)
+    h = hash64_ints(ids, seed=9)
+    order = np.lexsort((ids, h))
+    for budget in (0, 137, 1000, int(L.sum()), int(L.sum()) + 5):
+        out = token_budget_select(ds, budget, seed=9, n_buckets=16).take_all()
+        got = {int(r["doc_id"]): int(r["n_tokens"]) for r in out}
+        expect, acc = {}, 0
+        for i in order:
+            if acc + L[i] <= budget:
+                expect[int(ids[i])] = int(L[i])
+                acc += L[i]
+            else:
+                break  # atomic docs: the straddler and everything after drop
+        assert got == expect, f"budget={budget}"
+
+
+def test_token_budget_select_rejects_negative(ray_session):
+    from fever_ray.ops.trainprep import token_budget_select
+
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1]), "text": pa.array(["x"])})
+    )
+    with pytest.raises(ValueError):
+        token_budget_select(ds, -1)
