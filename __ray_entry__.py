@@ -358,6 +358,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_buckets=32,
         )
 
+    def q_cross_dedup(sf):
+        # incremental-ingest shape: dedupe the corpus (doc_id % 7 != 0)
+        # against an already-ingested reference (doc_id % 7 == 0) by the
+        # exact_dedup content hash; only skinny hash rows ever move
+        from fever_ray.ops.dedup import cross_dedup
+
+        docs = _t(sf, "documents", ["doc_id", "text"])
+
+        def mod7(eq: bool):
+            def f(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                hit = ids % 7 == 0
+                return b.filter(pa.array(hit if eq else ~hit))
+
+            return f
+
+        return cross_dedup(
+            docs.map_batches(mod7(False), batch_format="pyarrow"),
+            docs.map_batches(mod7(True), batch_format="pyarrow"),
+        )
+
     def q_token_budget_select(sf):
         # "first 8k tokens of the corpus" in seeded shuffle order — docs
         # kept atomically; only the boundary bucket is ever sorted
@@ -893,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
+        "cross_dedup": q_cross_dedup,
         "token_budget_select": q_token_budget_select,
         "mixture_sample": q_mixture_sample,
         "repeat_corpus": q_repeat_corpus,
@@ -936,6 +958,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ---------------------------------------------------------------- oracle SQL
+def _content_hash_cte() -> str:
+    """CTE chain computing the engine's content hash (FNV-1a over text
+    bytes → splitmix64 finalizer → int64 reinterpret) for every documents
+    row, exposed as ``allh(doc_id, content_hash)`` — the same construction
+    _simhash_sql uses, factored for reuse (codepoint == utf-8 byte on this
+    ASCII corpus)."""
+    m = "18446744073709551616"
+
+    def mulmod(y: str, mult: str) -> str:
+        return (
+            f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
+            f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
+            f"% {m} AS UBIGINT)"
+        )
+
+    fnv_text = (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
+        "list_transform(range(1, strlen(text) + 1), i -> CAST(unicode(text[i]) AS UBIGINT))),"
+        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {m} AS UBIGINT))"
+    )
+    to_i64 = (
+        "CAST(CAST(x AS HUGEINT) - CASE WHEN x >= CAST(9223372036854775808 AS UBIGINT) "
+        f"THEN CAST({m} AS HUGEINT) ELSE 0 END AS BIGINT)"
+    )
+    return (
+        f"ch0 AS (SELECT doc_id, {fnv_text} AS h0 FROM documents), "
+        "ca1 AS (SELECT doc_id, xor(h0, h0 >> 30) AS y FROM ch0), "
+        f"cb1 AS (SELECT doc_id, {mulmod('y', '13787848793156543929')} AS x FROM ca1), "
+        "ca2 AS (SELECT doc_id, xor(x, x >> 27) AS y FROM cb1), "
+        f"cb2 AS (SELECT doc_id, {mulmod('y', '10723151780598845931')} AS x FROM ca2), "
+        "ca3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM cb2), "
+        f"allh AS (SELECT doc_id, {to_i64} AS content_hash FROM ca3)"
+    )
+
+
+def _cross_dedup_sql(modulus: int) -> str:
+    """Bit-exact mirror of ops.dedup.cross_dedup with reference = rows
+    where doc_id % modulus = 0 and corpus = the rest: corpus survivors are
+    docs whose content hash never appears on the reference side."""
+    return (
+        f"WITH {_content_hash_cte()} "
+        f"SELECT doc_id, content_hash FROM allh WHERE doc_id % {modulus} != 0 "
+        f"AND content_hash NOT IN "
+        f"(SELECT content_hash FROM allh WHERE doc_id % {modulus} = 0)"
+    )
+
+
 def _simhash_sql() -> str:
     """Bit-exact DuckDB mirror of ops.textstats.fingerprint: splitmix64∘FNV-1a
     content hash AND the 64-bit SimHash (per-bit majority vote over token
@@ -1424,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "cross_dedup": _cross_dedup_sql(7),
         "token_budget_select": _token_budget_select_sql(8000, 23),
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),
         "repeat_corpus": _repeat_corpus_sql({"en": 1, "zh": 3, "fr": 2, "es": 0}, 1),

@@ -263,6 +263,26 @@ def run_bench() -> dict:
         lambda: window_distinct(ev(["ts", "user_id"]), size_s=3600).materialize()
     )
 
+    # new-op scale proofs over the full page corpus: corpus-wide duplicate-
+    # line scrub (pages are one line each → measures the line-count shuffle
+    # + broadcast membership at 1M lines) and the deterministic token-budget
+    # trim (skinny histogram passes + one boundary-bucket sort)
+    from fever_ray.ops.dedup import line_dedup
+    from fever_ray.ops.trainprep import token_budget_select
+
+    # match='hash' is the web-scale configuration (8-byte keys shuffle, not
+    # line text) — the exact-string mode is gate-checked at sf0.01 instead
+    timings["line_dedup_pages"] = _timed(
+        lambda: line_dedup(
+            _pages_docs(), threshold=1, match="hash", broadcast_bytes=512 << 20
+        ).materialize()
+    )
+    timings["token_budget_pages"] = _timed(
+        lambda: token_budget_select(
+            _pages_docs(), budget=5_000_000, seed=1, n_buckets=256
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",

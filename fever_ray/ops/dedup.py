@@ -906,27 +906,34 @@ def line_dedup(
     sep: str = "\n",
     broadcast_bytes: int = 256 << 20,
     num_partitions: int | None = None,
+    match: str = "exact",
 ):
     """CCNet/MassiveText-style duplicate-line removal: drop every line that
     occurs more than ``threshold`` times across the WHOLE corpus (boiler-
     plate — nav bars, cookie banners, license footers), re-join the
     surviving lines per document, and drop documents left with no lines.
 
-    Output rows: (id_col, text_col rewritten, ``n_kept`` int64).  Matching
-    is EXACT line-string equality — no hash-collision false drops — and the
-    result is a pure function of the corpus, independent of partitioning.
+    Output rows: (id_col, text_col rewritten, ``n_kept`` int64).  With
+    ``match='exact'`` (default) matching is EXACT line-string equality — no
+    hash-collision false drops; ``match='hash'`` counts 64-bit line hashes
+    instead (what CCNet itself does): pass 1 shuffles 8-byte keys rather
+    than line text — the right trade at web scale, with a ~n²/2⁶⁴
+    collision false-drop risk documented here.  Either way the result is a
+    pure function of the corpus, independent of partitioning.
     ``id_col`` must uniquely identify rows (the standard corpus contract —
     run ``exact_dedup`` first if it may not): the join-fallback path groups
     by it, so colliding ids would merge documents there.
 
-    Scale shape (10^12 docs): pass 1 shuffles (line, partial-count) pairs
-    pre-aggregated per batch — the classic combiner — keyed by the line
-    string itself, so only unique-lines-per-batch move.  The duplicate-line
-    set (count > threshold) is then applied in one of two ways:
+    Scale shape (10^12 docs): pass 1 shuffles (line-key, partial-count)
+    pairs pre-aggregated per batch — the classic combiner — so only unique
+    keys-per-batch move (8 bytes each under ``match='hash'``).  The
+    duplicate-line set (count > threshold) is then applied in one of two
+    ways:
 
     * broadcast path (default): when the dup set fits ``broadcast_bytes``,
       ``ray.put`` it once and scrub every batch with one vectorized
-      ``pc.is_in`` + offset-rebuild — the corpus text never shuffles.
+      membership probe (``pc.is_in`` / sorted ``searchsorted``) + offset
+      rebuild — the corpus text never shuffles.
     * join fallback: explode (doc_id, ord, line) rows, co-partition with
       the dup set by line hash, per-bucket anti-join, then reassemble per
       document — two shuffles that DO move corpus text, the honest cost
@@ -934,30 +941,79 @@ def line_dedup(
     """
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
+    if match not in ("exact", "hash"):
+        raise ValueError(f"match must be 'exact' or 'hash', got {match!r}")
     import ray
-    from ray.data.aggregate import Sum
 
+    hashed = match == "hash"
+    key = "lh" if hashed else "ln"
+    n_parts = num_partitions or _auto_parts(ds, floor=32)
+
+    # Count pass: per-batch combiner → COARSE bucket map_groups (each key
+    # lands wholly in one bucket, so per-bucket sums are exact) with the
+    # duplicate filter fused in — the groupby().aggregate(Sum) shape is
+    # 5-10× slower at line-count cardinality (measured 27.7 s vs this on
+    # 5M partial rows), same lesson as the LSH band stage.
     def count_partial(batch: pa.Table) -> pa.Table:
         _, flat, _ = _split_lines(batch, text_col, sep)
+        if hashed:
+            # int64 view: Ray's sort shuffle round-trips int64 keys
+            # losslessly, while uint64 > 2^63-1 trips Arrow conversion
+            uk, uc = np.unique(hash64(flat).view(np.int64), return_counts=True)
+            bucket = (uk.view(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+            return pa.table(
+                {
+                    "lh": pa.array(uk, pa.int64()),
+                    "n": pa.array(uc, pa.int64()),
+                    "bucket": pa.array(bucket, pa.int32()),
+                }
+            )
         t = pa.TableGroupBy(pa.table({"ln": flat}), ["ln"]).aggregate(
             [([], "count_all")]
-        )
-        return t.rename_columns(["ln", "n"])
+        ).rename_columns(["ln", "n"])
+        ln = t.column("ln")
+        if isinstance(ln, pa.ChunkedArray):
+            ln = ln.combine_chunks()
+        bucket = (hash64(ln) % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
 
-    counts = (
+    def dup_bucket(group: pa.Table) -> pa.Table:
+        if hashed:
+            lh = group.column("lh").to_numpy(zero_copy_only=False)
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            uk, inv = np.unique(lh, return_inverse=True)
+            tot = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(tot, inv, n)
+            return pa.table({"lh": pa.array(uk[tot > threshold], pa.int64())})
+        t = pa.TableGroupBy(group.select(["ln", "n"]), ["ln"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["ln", "n"])
+        return t.filter(pc.greater(t.column("n"), threshold)).select(["ln"])
+
+    dup = (
         ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("ln")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(dup_bucket, batch_format="pyarrow")
+        .materialize()
     )
-    dup = counts.map_batches(
-        lambda b: b.filter(pc.greater(b.column("n"), threshold)).select(["ln"]),
-        batch_format="pyarrow",
-    ).materialize()
 
     dup_bytes = dup.size_bytes() or 0
     if dup_bytes <= broadcast_bytes:
-        dup_arr = pa.concat_tables(ray.get(dup.to_arrow_refs())).column("ln")
-        dup_ref = ray.put(dup_arr.combine_chunks())
+        # empty map_groups partitions surface as zero-column tables
+        tabs = [
+            t for t in ray.get(dup.to_arrow_refs()) if t.num_rows and t.num_columns
+        ]
+        if not tabs:
+            tabs = [
+                pa.table({key: pa.array([], pa.int64() if hashed else pa.string())})
+            ]
+        dup_arr = pa.concat_tables(tabs).column(key)
+        if hashed:  # sorted int64-view keys → searchsorted membership probes
+            dup_ref = ray.put(
+                np.sort(dup_arr.combine_chunks().to_numpy(zero_copy_only=False))
+            )
+        else:
+            dup_ref = ray.put(dup_arr.combine_chunks())
 
         def scrub(batch: pa.Table) -> pa.Table:
             dup_set = ray.get(dup_ref)
@@ -965,7 +1021,13 @@ def line_dedup(
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
             _, flat, offsets = _split_lines(batch, text_col, sep)
-            if len(dup_set):
+            if len(dup_set) and hashed:
+                lh = hash64(flat).view(np.int64)
+                pos = np.searchsorted(dup_set, lh)
+                pos[pos == len(dup_set)] = 0
+                keep_np = dup_set[pos] != lh
+                keep = pa.array(keep_np)
+            elif len(dup_set):
                 keep = pc.invert(pc.is_in(flat, value_set=dup_set))
                 keep_np = keep.to_numpy(zero_copy_only=False)
             else:
@@ -992,7 +1054,6 @@ def line_dedup(
         return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
 
     # -------- join fallback: dup set exceeds a worker's heap ----------
-    n_parts = num_partitions or _auto_parts(ds, floor=32)
     logger.info(
         "line_dedup: dup set %.1f MB > broadcast cap %.1f MB — bucketed join "
         "path over %d partitions",
@@ -1024,43 +1085,50 @@ def line_dedup(
         ordn = np.arange(len(flat), dtype=np.int64) - np.repeat(
             offsets[:-1], doc_lens
         )
-        bucket = (hash64(flat) % np.uint64(n_parts)).astype(np.int32)
-        return pa.table(
-            {
-                id_col: pc.take(ids, pa.array(row, pa.int64())),
-                "ord": pa.array(ordn, pa.int64()),
-                "ln": flat,
-                "bucket": pa.array(bucket, pa.int32()),
-                "is_dup": pa.array(np.zeros(len(flat), dtype=bool)),
-            }
-        )
+        lh = hash64(flat)
+        bucket = (lh % np.uint64(n_parts)).astype(np.int32)
+        cols = {
+            id_col: pc.take(ids, pa.array(row, pa.int64())),
+            "ord": pa.array(ordn, pa.int64()),
+            "ln": flat,
+            "bucket": pa.array(bucket, pa.int32()),
+            "is_dup": pa.array(np.zeros(len(flat), dtype=bool)),
+        }
+        if hashed:
+            cols["lh"] = pa.array(lh.view(np.int64), pa.int64())
+        return pa.table(cols)
 
     def mark_dup(batch: pa.Table) -> pa.Table:
-        ln = batch.column("ln")
-        if isinstance(ln, pa.ChunkedArray):
-            ln = ln.combine_chunks()
-        n = len(ln)
-        bucket = (hash64(ln) % np.uint64(n_parts)).astype(np.int32)
-        return pa.table(
-            {
-                id_col: pa.nulls(n, id_type),
-                "ord": pa.array(np.full(n, -1, np.int64), pa.int64()),
-                "ln": ln,
-                "bucket": pa.array(bucket, pa.int32()),
-                "is_dup": pa.array(np.ones(n, dtype=bool)),
-            }
-        )
+        kv = batch.column(key)
+        if isinstance(kv, pa.ChunkedArray):
+            kv = kv.combine_chunks()
+        n = len(kv)
+        if hashed:
+            lh = kv.to_numpy(zero_copy_only=False).view(np.uint64)
+        else:
+            lh = hash64(kv)
+        bucket = (lh % np.uint64(n_parts)).astype(np.int32)
+        cols = {
+            id_col: pa.nulls(n, id_type),
+            "ord": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "ln": pa.nulls(n, pa.string()) if hashed else kv,
+            "bucket": pa.array(bucket, pa.int32()),
+            "is_dup": pa.array(np.ones(n, dtype=bool)),
+        }
+        if hashed:
+            cols["lh"] = pa.array(lh.view(np.int64), pa.int64())
+        return pa.table(cols)
 
     lines_ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     dup_tagged = dup.map_batches(mark_dup, batch_format="pyarrow")
 
     def anti(group: pa.Table) -> pa.Table:
         is_dup = group.column("is_dup")
-        dup_lines = group.filter(is_dup).column("ln")
+        dup_keys = group.filter(is_dup).column(key)
         keep_rows = group.filter(pc.invert(is_dup))
-        if len(dup_lines):
+        if len(dup_keys):
             mask = pc.invert(
-                pc.is_in(keep_rows.column("ln"), value_set=dup_lines.combine_chunks())
+                pc.is_in(keep_rows.column(key), value_set=dup_keys.combine_chunks())
             )
             keep_rows = keep_rows.filter(mask)
         ids = keep_rows.column(id_col)
@@ -1107,4 +1175,137 @@ def line_dedup(
     return (
         kept.groupby("dpart")
         .map_groups(reassemble_part, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------ cross dedup
+def cross_dedup(
+    ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_bytes: int = 256 << 20,
+    num_partitions: int | None = None,
+):
+    """Incremental / cross-corpus exact dedup: drop every document of ``ds``
+    whose content already appears in ``ref_ds`` — the "dedupe this crawl
+    against everything we already have" step of an incremental ingestion
+    pipeline (and the doc-level complement of ``decontaminate``).
+
+    Output rows: (id_col, ``content_hash`` int64) of the SURVIVORS — text
+    never enters any shuffle; callers re-attach payloads by joining back on
+    the id.  Matching is by the same 64-bit content hash ``exact_dedup``
+    partitions on (FNV-1a + splitmix64 finalizer over the raw text bytes).
+
+    Scale shape (10^12 docs): both sides project to skinny hash rows first.
+
+    * broadcast path: when the reference hash set fits ``broadcast_bytes``
+      (8 bytes/doc — ~100 M reference docs per GB), it rides ``ray.put``
+      once, sorted, and every corpus batch probes it with one
+      ``searchsorted`` — no shuffle at all.
+    * join fallback: union-tag the two skinny (hash) streams, co-partition
+      by hash, per-bucket anti-join — the shuffle carries (id, hash) pairs
+      only, never text.
+    """
+    import ray
+
+    def corpus_hash(batch: pa.Table) -> pa.Table:
+        t = add_content_hash(batch, text_col)
+        return t.select([id_col, "content_hash"])
+
+    def ref_hash(batch: pa.Table) -> pa.Table:
+        t = add_content_hash(batch, text_col)
+        h = t.column("content_hash")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        return pa.table(
+            {"content_hash": pa.array(
+                np.unique(h.to_numpy(zero_copy_only=False)), pa.int64()
+            )}
+        )
+
+    skinny = ds.map_batches(corpus_hash, batch_format="pyarrow", zero_copy_batch=True)
+    ref_h = ref_ds.map_batches(
+        ref_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    ref_bytes = ref_h.size_bytes() or 0
+    if ref_bytes <= broadcast_bytes:
+        parts = [
+            t.column("content_hash").to_numpy(zero_copy_only=False)
+            for t in ray.get(ref_h.to_arrow_refs())
+            if t.num_rows
+        ]
+        ref_sorted = (
+            np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+        )
+        ref_ref = ray.put(ref_sorted)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            rs = ray.get(ref_ref)
+            if not len(rs):
+                return batch
+            h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(rs, h)
+            pos[pos == len(rs)] = 0
+            return batch.filter(pa.array(rs[pos] != h))
+
+        return skinny.map_batches(scrub, batch_format="pyarrow")
+
+    # -------- join fallback: reference hash set exceeds a worker's heap
+    n_parts = num_partitions or _auto_parts(ds, floor=32)
+    logger.info(
+        "cross_dedup: ref hashes %.1f MB > broadcast cap %.1f MB — bucketed "
+        "anti-join over %d partitions",
+        ref_bytes / 2**20, broadcast_bytes / 2**20, n_parts,
+    )
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+        bucket = (h.view(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "content_hash": batch.column("content_hash"),
+                "bucket": pa.array(bucket, pa.int32()),
+                "is_ref": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+            }
+        )
+
+    def tag_ref(batch: pa.Table) -> pa.Table:
+        h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+        bucket = (h.view(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.nulls(batch.num_rows, id_type),
+                "content_hash": batch.column("content_hash"),
+                "bucket": pa.array(bucket, pa.int32()),
+                "is_ref": pa.array(np.ones(batch.num_rows, dtype=bool)),
+            }
+        )
+
+    def anti(group: pa.Table) -> pa.Table:
+        is_ref = group.column("is_ref")
+        ref_keys = group.filter(is_ref).column("content_hash")
+        keep = group.filter(pc.invert(is_ref))
+        if len(ref_keys):
+            keep = keep.filter(
+                pc.invert(
+                    pc.is_in(
+                        keep.column("content_hash"),
+                        value_set=ref_keys.combine_chunks(),
+                    )
+                )
+            )
+        return keep.select([id_col, "content_hash"])
+
+    return (
+        skinny.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(ref_h.map_batches(tag_ref, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pyarrow")
     )

@@ -255,3 +255,54 @@ def test_token_budget_select_rejects_negative(ray_session):
     )
     with pytest.raises(ValueError):
         token_budget_select(ds, -1)
+
+
+def test_line_dedup_hash_mode_matches_exact(ray_session):
+    """match='hash' must agree with exact mode on a collision-free corpus,
+    on both membership paths."""
+    ds = _line_fixture(ray_session)
+    for bb in (256 << 20, 0):
+        out = line_dedup(ds, threshold=1, match="hash", broadcast_bytes=bb).take_all()
+        got = {int(r["doc_id"]): (r["text"], int(r["n_kept"])) for r in out}
+        assert got == EXPECTED_LINES, f"broadcast_bytes={bb}"
+    with pytest.raises(ValueError):
+        line_dedup(ds, match="fuzzy")
+
+
+def test_cross_dedup_both_paths(ray_session):
+    """Corpus docs whose text appears in the reference are dropped; both
+    membership paths agree; duplicate content WITHIN the corpus survives
+    (cross-dedup is not self-dedup)."""
+    from fever_ray.ops.dedup import cross_dedup
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["alpha", "beta", "alpha", "gamma"]),
+        }
+    )
+    ref = pa.table(
+        {
+            "doc_id": pa.array([100, 101], pa.int64()),
+            "text": pa.array(["beta", "delta"]),
+        }
+    )
+    cds = ray_session.data.from_arrow(corpus).repartition(2)
+    rds = ray_session.data.from_arrow(ref)
+    for bb in (256 << 20, 0):
+        out = cross_dedup(cds, rds, broadcast_bytes=bb).take_all()
+        ids = sorted(int(r["doc_id"]) for r in out)
+        assert ids == [1, 3, 4], f"broadcast_bytes={bb}"  # beta dropped
+
+
+def test_cross_dedup_empty_ref_keeps_all(ray_session):
+    from fever_ray.ops.dedup import cross_dedup
+
+    cds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["a", "b"])})
+    )
+    rds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out = cross_dedup(cds, rds).take_all()
+    assert sorted(int(r["doc_id"]) for r in out) == [1, 2]
