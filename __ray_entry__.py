@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         LangId,
         fingerprint,
         heavy_ngrams,
+        inverted_index,
         quality_score,
         token_stats,
         top_ngrams,
@@ -356,6 +357,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             budget=256,
             seed=17,
             n_buckets=32,
+        )
+
+    def q_inverted_index(sf):
+        # token → (df, first-16 postings) index slice; df always counts
+        # every document, truncation only bounds the postings string
+        return inverted_index(
+            _t(sf, "documents", ["doc_id", "text"]), max_postings=16
         )
 
     def q_cross_dedup(sf):
@@ -914,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
+        "inverted_index": q_inverted_index,
         "cross_dedup": q_cross_dedup,
         "token_budget_select": q_token_budget_select,
         "mixture_sample": q_mixture_sample,
@@ -990,6 +999,25 @@ def _content_hash_cte() -> str:
         f"cb2 AS (SELECT doc_id, {mulmod('y', '10723151780598845931')} AS x FROM ca2), "
         "ca3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM cb2), "
         f"allh AS (SELECT doc_id, {to_i64} AS content_hash FROM ca3)"
+    )
+
+
+def _inverted_index_sql(max_postings: int) -> str:
+    """Exact mirror of ops.textstats.inverted_index: distinct (token, doc)
+    pairs, df over ALL pairs, postings = first max_postings ids in
+    ascending order comma-joined."""
+    return (
+        f"WITH ex AS (SELECT DISTINCT doc_id, tk AS token FROM "
+        f"(SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tk "
+        f"FROM documents)), "
+        f"d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM ex "
+        f"GROUP BY token), "
+        f"r AS (SELECT token, doc_id, ROW_NUMBER() OVER (PARTITION BY token "
+        f"ORDER BY doc_id) AS rk FROM ex), "
+        f"p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' "
+        f"ORDER BY doc_id) AS postings FROM r WHERE rk <= {max_postings} "
+        f"GROUP BY token) "
+        f"SELECT token, df, postings FROM d JOIN p USING (token)"
     )
 
 
@@ -1493,6 +1521,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "inverted_index": _inverted_index_sql(16),
         "cross_dedup": _cross_dedup_sql(7),
         "token_budget_select": _token_budget_select_sql(8000, 23),
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),

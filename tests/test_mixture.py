@@ -306,3 +306,25 @@ def test_cross_dedup_empty_ref_keeps_all(ray_session):
     )
     out = cross_dedup(cds, rds).take_all()
     assert sorted(int(r["doc_id"]) for r in out) == [1, 2]
+
+
+def test_inverted_index_exact(ray_session):
+    from fever_ray.ops.textstats import inverted_index
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+            "text": pa.array(["b a b", "a c", "a a d"]),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(2)
+    out = inverted_index(ds, max_postings=2).take_all()
+    got = {r["token"]: (int(r["df"]), r["postings"]) for r in out}
+    assert got == {
+        "a": (3, "1,2"),  # df counts all 3 docs; postings truncated to 2
+        "b": (1, "3"),
+        "c": (1, "1"),
+        "d": (1, "2"),
+    }
+    with pytest.raises(ValueError):
+        inverted_index(ds, max_postings=0)
