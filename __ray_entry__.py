@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprint,
         heavy_ngrams,
         inverted_index,
+        keyword_search,
         quality_score,
         token_stats,
         top_ngrams,
@@ -357,6 +358,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             budget=256,
             seed=17,
             n_buckets=32,
+        )
+
+    def q_keyword_search(sf):
+        # exact top-15 docs by total query-term occurrences (integer
+        # scores, ties to the smaller id — bit-stable ranking)
+        return keyword_search(
+            _t(sf, "documents", ["doc_id", "text"]),
+            "table window vector",
+            k=15,
         )
 
     def q_inverted_index(sf):
@@ -922,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
+        "keyword_search": q_keyword_search,
         "inverted_index": q_inverted_index,
         "cross_dedup": q_cross_dedup,
         "token_budget_select": q_token_budget_select,
@@ -999,6 +1010,20 @@ def _content_hash_cte() -> str:
         f"cb2 AS (SELECT doc_id, {mulmod('y', '10723151780598845931')} AS x FROM ca2), "
         "ca3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM cb2), "
         f"allh AS (SELECT doc_id, {to_i64} AS content_hash FROM ca3)"
+    )
+
+
+def _keyword_search_sql(terms: list, k: int) -> str:
+    """Exact mirror of ops.textstats.keyword_search: per-doc count of
+    query-term token occurrences, top-k by (score DESC, doc_id) — the tie
+    order makes the LIMIT set deterministic on both engines."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return (
+        f"WITH s AS (SELECT doc_id, CAST(len(list_filter("
+        f"string_split(COALESCE(text, ''), ' '), t -> t IN ({in_list}))) "
+        f"AS BIGINT) AS score FROM documents) "
+        f"SELECT doc_id, score FROM s WHERE score > 0 "
+        f"ORDER BY score DESC, doc_id LIMIT {k}"
     )
 
 
@@ -1521,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),
         "inverted_index": _inverted_index_sql(16),
         "cross_dedup": _cross_dedup_sql(7),
         "token_budget_select": _token_budget_select_sql(8000, 23),

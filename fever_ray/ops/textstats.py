@@ -538,3 +538,63 @@ def inverted_index(
         .groupby("bucket")
         .map_groups(build_bucket, batch_format="pyarrow")
     )
+
+
+def keyword_search(ds, query, k: int = 10, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact keyword retrieval: top-``k`` documents by total occurrences of
+    the query terms (token-level exact match; ties broken by ascending id;
+    zero-score documents never rank).  Integer scores — no float ranking
+    drift, so results are bit-stable across engines and cluster sizes.
+
+    Shape (10^12 docs): the query term set is tiny by nature and broadcast
+    by closure; each batch does one vectorized ``pc.is_in`` over its flat
+    token array + one segment-sum, keeps its local top-k candidates
+    (``pc.select_k_unstable``), and the global answer is a k-row sort —
+    the same never-full-sort construction as ``top_k_orders``."""
+    if isinstance(query, str):
+        terms = [t for t in query.split(" ") if t != ""]
+    else:
+        terms = [t for t in query if t]
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    term_set = pa.array(sorted(set(terms)), pa.string())
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.string())
+        if text.null_count:
+            text = text.fill_null("")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        hit = pc.is_in(toks.flatten(), value_set=term_set).to_numpy(
+            zero_copy_only=False
+        )
+        ck = np.zeros(len(hit) + 1, dtype=np.int64)
+        np.cumsum(hit, out=ck[1:])
+        score = ck[offsets[1:]] - ck[offsets[:-1]]
+        t = pa.table(
+            {id_col: ids, "score": pa.array(score, pa.int64())}
+        ).filter(pa.array(score > 0))
+        if t.num_rows == 0:
+            return t
+        idx = pc.select_k_unstable(
+            t,
+            k=min(k, t.num_rows),
+            sort_keys=[("score", "descending"), (id_col, "ascending")],
+        )
+        return t.take(idx)
+
+    candidates = ds.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return candidates.sort(["score", id_col], descending=[True, False]).limit(k)

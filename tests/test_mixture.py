@@ -328,3 +328,27 @@ def test_inverted_index_exact(ray_session):
     }
     with pytest.raises(ValueError):
         inverted_index(ds, max_postings=0)
+
+
+def test_keyword_search_ranking(ray_session):
+    from fever_ray.ops.textstats import keyword_search
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["cat cat dog", "cat", "bird", "dog cat cat"]  # 4 ties 1
+            ),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(2)
+    out = keyword_search(ds, "cat dog", k=2).take_all()
+    # scores: doc1=3, doc4=3, doc2=1, doc3=0 → top-2 = [1, 4] (tie → id)
+    assert [(int(r["doc_id"]), int(r["score"])) for r in out] == [(1, 3), (4, 3)]
+    # zero-score docs never rank even when k is larger
+    out = keyword_search(ds, ["bird"], k=10).take_all()
+    assert [(int(r["doc_id"]), int(r["score"])) for r in out] == [(3, 1)]
+    with pytest.raises(ValueError):
+        keyword_search(ds, "")
+    with pytest.raises(ValueError):
+        keyword_search(ds, "cat", k=0)
