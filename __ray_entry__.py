@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fever_ray.ops.multimodal import decode_images, resize_images
     from fever_ray.ops.textstats import (
         LangId,
+        doc_top_terms,
         fingerprint,
         heavy_ngrams,
         inverted_index,
@@ -359,6 +360,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             seed=17,
             n_buckets=32,
         )
+
+    def q_doc_top_terms(sf):
+        # 3 most characteristic tokens per doc by (tf DESC, df ASC, token)
+        # — integer tf-idf analog, no float ranking
+        return doc_top_terms(_t(sf, "documents", ["doc_id", "text"]), k=3)
 
     def q_keyword_search(sf):
         # exact top-15 docs by total query-term occurrences (integer
@@ -932,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
+        "doc_top_terms": q_doc_top_terms,
         "keyword_search": q_keyword_search,
         "inverted_index": q_inverted_index,
         "cross_dedup": q_cross_dedup,
@@ -1010,6 +1017,23 @@ def _content_hash_cte() -> str:
         f"cb2 AS (SELECT doc_id, {mulmod('y', '10723151780598845931')} AS x FROM ca2), "
         "ca3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM cb2), "
         f"allh AS (SELECT doc_id, {to_i64} AS content_hash FROM ca3)"
+    )
+
+
+def _doc_top_terms_sql(k: int) -> str:
+    """Exact mirror of ops.textstats.doc_top_terms: per-doc token counts,
+    corpus df over distinct (doc, token), rank by (tf DESC, df ASC,
+    token)."""
+    return (
+        f"WITH ex AS (SELECT doc_id, tk AS token, CAST(COUNT(*) AS BIGINT) "
+        f"AS tf FROM (SELECT doc_id, unnest(string_split(COALESCE(text, ''), "
+        f"' ')) AS tk FROM documents) GROUP BY doc_id, tk), "
+        f"d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM ex "
+        f"GROUP BY token), "
+        f"r AS (SELECT doc_id, token, tf, df, CAST(ROW_NUMBER() OVER "
+        f"(PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) - 1 "
+        f"AS BIGINT) AS rk FROM ex JOIN d USING (token)) "
+        f"SELECT doc_id, token, tf, df, rk FROM r WHERE rk < {k}"
     )
 
 
@@ -1546,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "doc_top_terms": _doc_top_terms_sql(3),
         "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),
         "inverted_index": _inverted_index_sql(16),
         "cross_dedup": _cross_dedup_sql(7),

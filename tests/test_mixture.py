@@ -352,3 +352,34 @@ def test_keyword_search_ranking(ray_session):
         keyword_search(ds, "")
     with pytest.raises(ValueError):
         keyword_search(ds, "cat", k=0)
+
+
+def test_doc_top_terms_both_paths(ray_session):
+    from fever_ray.ops.textstats import doc_top_terms
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "x x common rare",  # tf(x)=2; common df=2; rare df=1
+                    "common common zz",
+                ]
+            ),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(2)
+    for bb in (256 << 20, 0):  # broadcast and join fallback must agree
+        out = doc_top_terms(ds, k=2, broadcast_bytes=bb).take_all()
+        got = {
+            (int(r["doc_id"]), int(r["rk"])): (r["token"], int(r["tf"]), int(r["df"]))
+            for r in out
+        }
+        assert got == {
+            (1, 0): ("x", 2, 1),  # highest tf wins
+            (1, 1): ("rare", 1, 1),  # tf tie → smaller df
+            (2, 0): ("common", 2, 2),
+            (2, 1): ("zz", 1, 1),
+        }, f"broadcast_bytes={bb}"
+    with pytest.raises(ValueError):
+        doc_top_terms(ds, k=0)
