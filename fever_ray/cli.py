@@ -8,7 +8,9 @@ Subcommands:
     run        flagship sketch build (optionally checkpointed/resumable)
     follow     daemon-style tail of a growing shard directory
     dedup      MinHash-LSH near-dedup (clusters + representative corpus)
-    curate     sample → keep/drop gauntlet → domain cap → parquet
+    curate     sample → exact language mix → duplicate-line scrub →
+               keep/drop gauntlet → domain cap → parquet
+    index      inverted-index build / exact keyword search
     ioc        bloom/IoC matching over a page table
     bloom      build / inspect a DCSO-format bloom filter artifact
     gen        generate a synthetic page corpus
@@ -38,6 +40,24 @@ def _maybe_yaml(path: str | None) -> dict:
         # YAML lib absent: accept JSON config files too
         with open(path) as fh:
             return json.load(fh)
+
+
+def _parse_weights(spec: str) -> dict:
+    """Parse 'en=3,de=1' into {'en': 3, 'de': 1} (integer weights)."""
+    out = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        key, _, val = part.partition("=")
+        if not key or not val:
+            raise SystemExit(f"bad --mix entry {part!r}: expected key=int")
+        try:
+            out[key] = int(val)
+        except ValueError:
+            raise SystemExit(f"bad --mix weight {val!r}: expected an integer")
+    if not out:
+        raise SystemExit("--mix must name at least one key=int pair")
+    return out
 
 
 def _init_ray(num_cpus: int | None):
@@ -178,12 +198,14 @@ def cmd_curate(args) -> int:
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from .ops.curate import curation_filter, domain_cap, hash_sample
+    from .ops.curate import curation_filter, domain_cap, hash_sample, mixture_sample
     from .ops.extract import hostname_of
 
     _init_ray(args.num_cpus)
-    ds = rd.read_parquet(args.input, columns=["url", "text"])
-    if args.sample and args.sample < 1.0:
+    mix = _parse_weights(args.mix) if args.mix else None
+    cols = ["url", "text"] + (["lang"] if mix else [])
+    ds = rd.read_parquet(args.input, columns=cols)
+    if (args.sample and args.sample < 1.0) or mix:
         # ids from url hashes: deterministic under re-sharding
         import numpy as np
         import pyarrow as pa
@@ -197,7 +219,21 @@ def cmd_curate(args) -> int:
             ),
             batch_format="pyarrow",
         )
-        ds = hash_sample(ds, args.sample, seed=args.seed)
+        if args.sample and args.sample < 1.0:
+            ds = hash_sample(ds, args.sample, seed=args.seed)
+        if mix:
+            # exact integer-ratio language mix over the (sampled) corpus
+            ds = mixture_sample(ds, mix, seed=args.seed, key_col="lang")
+    if args.line_dedup:
+        # corpus-wide duplicate-line scrub (hashed keys — the scale
+        # configuration); urls are the row ids, text is rewritten in place
+        from .ops.dedup import line_dedup
+
+        ds = line_dedup(
+            ds, threshold=args.line_dedup, id_col="url", match="hash"
+        ).map_batches(
+            lambda b: b.select(["url", "text"]), batch_format="pyarrow"
+        )
     ds = curation_filter(
         ds,
         min_tokens=args.min_tokens,
@@ -222,6 +258,49 @@ def cmd_curate(args) -> int:
     if args.out:
         kept.write_parquet(args.out)
         summary["out"] = args.out
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_index(args) -> int:
+    """Inverted-index build and/or keyword search over a page table: token
+    → (df, postings) written as partitioned parquet; --query prints the
+    top-k matching urls as one JSON line."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .ops.textstats import inverted_index, keyword_search
+    from .sketches.hashing import hash64
+
+    _init_ray(args.num_cpus)
+
+    def pages():
+        return rd.read_parquet(args.input, columns=["url", "text"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), type=pa.int64()
+                    ),
+                    "url": b.column("url"),
+                    "text": b.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    summary = {}
+    if args.out:
+        idx = inverted_index(pages(), max_postings=args.max_postings).materialize()
+        idx.write_parquet(args.out)
+        summary.update({"index_tokens": idx.count(), "out": args.out})
+    if args.query:
+        hits = keyword_search(pages(), args.query, k=args.k).take_all()
+        summary["hits"] = [
+            {"doc_id": int(r["doc_id"]), "score": int(r["score"])} for r in hits
+        ]
+    if not summary:
+        raise SystemExit("index: give --out (build) and/or --query (search)")
     print(json.dumps(summary))
     return 0
 
@@ -345,8 +424,21 @@ def main(argv=None) -> int:
     pc_.add_argument("--max-dup-ratio", dest="max_dup_ratio", type=float, default=0.8)
     pc_.add_argument("--max-top-frac", dest="max_top_frac", type=float, default=0.3)
     pc_.add_argument("--domain-cap", dest="domain_cap", type=int)
+    pc_.add_argument("--mix", help="exact integer language mix, e.g. 'en=3,de=1'")
+    pc_.add_argument("--line-dedup", dest="line_dedup", type=int,
+                     help="drop lines occurring more than N times corpus-wide")
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
+
+    px = sub.add_parser("index", allow_abbrev=False,
+                        help="inverted-index build / keyword search over pages")
+    px.add_argument("--input", required=True)
+    px.add_argument("--out", help="write the token -> (df, postings) index as parquet")
+    px.add_argument("--max-postings", dest="max_postings", type=int, default=1024)
+    px.add_argument("--query", help="search terms (space separated) instead of / in addition to building")
+    px.add_argument("--k", type=int, default=10)
+    px.add_argument("--num-cpus", dest="num_cpus", type=int)
+    px.set_defaults(fn=cmd_index)
 
     pf = sub.add_parser("follow", allow_abbrev=False, help="tail a growing shard dir (daemon analog)")
     pf.add_argument("--input", required=True, help="directory or glob of parquet shards")

@@ -383,3 +383,61 @@ def test_doc_top_terms_both_paths(ray_session):
         }, f"broadcast_bytes={bb}"
     with pytest.raises(ValueError):
         doc_top_terms(ds, k=0)
+
+
+def test_cli_curate_mix_and_line_dedup(ray_session, pages_dir, tmp_path, capsys):
+    import json
+
+    from fever_ray import cli as cli_mod
+
+    rc = cli_mod.main(
+        [
+            "curate",
+            "--input", pages_dir,
+            "--mix", "en=1",
+            "--line-dedup", "1",
+            "--min-tokens", "1",
+            "--out", str(tmp_path / "kept"),
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < out["pages_kept"] <= out["pages_total"]
+
+
+def test_cli_index_build_and_search(ray_session, pages_dir, tmp_path, capsys):
+    import json
+
+    import duckdb
+
+    from fever_ray import cli as cli_mod
+
+    idx_dir = tmp_path / "idx"
+    rc = cli_mod.main(
+        ["index", "--input", pages_dir, "--out", str(idx_dir), "--max-postings", "4"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index_tokens"] > 0
+    top = duckdb.connect().execute(
+        f"select token from '{idx_dir}/*.parquet' order by df desc limit 1"
+    ).fetchone()[0]
+    rc = cli_mod.main(["index", "--input", pages_dir, "--query", top, "--k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 3
+    assert out["hits"][0]["score"] >= out["hits"][-1]["score"]
+
+
+def test_cli_mix_parse_errors():
+    import pytest as _pytest
+
+    from fever_ray.cli import _parse_weights
+
+    assert _parse_weights("en=3,de=1") == {"en": 3, "de": 1}
+    with _pytest.raises(SystemExit):
+        _parse_weights("en")
+    with _pytest.raises(SystemExit):
+        _parse_weights("en=x")
+    with _pytest.raises(SystemExit):
+        _parse_weights("")
