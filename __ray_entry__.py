@@ -985,6 +985,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ---------------------------------------------------------------- oracle SQL
+_SQL_M = "18446744073709551616"  # 2^64: all wrapping multiplies reduce mod this
+
+
+def _sql_mulmod(y: str, mult: str) -> str:
+    """64-bit wrapping multiply in DuckDB: two 32-bit HUGEINT halves mod
+    2^64 (DuckDB has no wrapping UBIGINT *).  The ONE source of truth for
+    every splitmix/FNV oracle chain — keep the generated SQL byte-identical
+    across all of them."""
+    return (
+        f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
+        f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
+        f"% {_SQL_M} AS UBIGINT)"
+    )
+
+
+def _sql_fnv1a_over(expr: str) -> str:
+    """FNV-1a 64 over the utf-8 bytes of a string expression (codepoint ==
+    byte on this ASCII corpus), as a DuckDB list_reduce chain."""
+    return (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
+        f"list_transform(range(1, strlen({expr}) + 1), i -> "
+        f"CAST(unicode({expr}[i]) AS UBIGINT))),"
+        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {_SQL_M} AS UBIGINT))"
+    )
+
+
 def _content_hash_cte() -> str:
     """CTE chain computing the engine's content hash (FNV-1a over text
     bytes → splitmix64 finalizer → int64 reinterpret) for every documents
@@ -993,18 +1019,9 @@ def _content_hash_cte() -> str:
     ASCII corpus)."""
     m = "18446744073709551616"
 
-    def mulmod(y: str, mult: str) -> str:
-        return (
-            f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
-            f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
-            f"% {m} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
-    fnv_text = (
-        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
-        "list_transform(range(1, strlen(text) + 1), i -> CAST(unicode(text[i]) AS UBIGINT))),"
-        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {m} AS UBIGINT))"
-    )
+    fnv_text = _sql_fnv1a_over("text")
     to_i64 = (
         "CAST(CAST(x AS HUGEINT) - CASE WHEN x >= CAST(9223372036854775808 AS UBIGINT) "
         f"THEN CAST({m} AS HUGEINT) ELSE 0 END AS BIGINT)"
@@ -1091,23 +1108,10 @@ def _simhash_sql() -> str:
     ASCII corpus)."""
     m = "18446744073709551616"
 
-    def mulmod(y: str, mult: str) -> str:
-        return (
-            f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
-            f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
-            f"% {m} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
-    fnv_token = (
-        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
-        "list_transform(range(1, strlen(t) + 1), i -> CAST(unicode(t[i]) AS UBIGINT))),"
-        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {m} AS UBIGINT))"
-    )
-    fnv_text = (
-        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
-        "list_transform(range(1, strlen(text) + 1), i -> CAST(unicode(text[i]) AS UBIGINT))),"
-        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {m} AS UBIGINT))"
-    )
+    fnv_token = _sql_fnv1a_over("t")
+    fnv_text = _sql_fnv1a_over("text")
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> CAST((h >> {b}) & 1 AS BIGINT))) > n "
         f"THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS HUGEINT) ELSE 0 END)"
@@ -1165,12 +1169,7 @@ def _splitmix_doc_sql(
     fnv_offset = 0xCBF29CE484222325
     m = "18446744073709551616"
 
-    def mulmod(y: str, mult: str) -> str:
-        return (
-            f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
-            f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
-            f"% {m} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     return (
         f"WITH s0 AS (SELECT {cols}, xor(xor(CAST(doc_id AS UBIGINT), "
@@ -1423,12 +1422,7 @@ def _minhash_dedup_sql() -> str:
 
     m = "18446744073709551616"
 
-    def mulmod(y: str, mult: str) -> str:
-        return (
-            f"CAST(((CAST({y} % 4294967296 AS HUGEINT) * {mult}) + "
-            f"((CAST({y} >> 32 AS HUGEINT) * {mult}) % 4294967296) * 4294967296) "
-            f"% {m} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     def sm_steps(col: str) -> list[str]:
         return [
@@ -1439,11 +1433,7 @@ def _minhash_dedup_sql() -> str:
             f"list_transform({col}, x -> xor(x, x >> 31))",
         ]
 
-    fnv_token = (
-        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),"
-        "list_transform(range(1, strlen(t) + 1), i -> CAST(unicode(t[i]) AS UBIGINT))),"
-        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {m} AS UBIGINT))"
-    )
+    fnv_token = _sql_fnv1a_over("t")
     salts = np.random.default_rng(1).integers(0, 2**63, size=64, dtype=np.uint64)
     salts_list = "[" + ",".join(f"CAST({int(s)} AS UBIGINT)" for s in salts) + "]"
 

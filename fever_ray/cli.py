@@ -52,9 +52,12 @@ def _parse_weights(spec: str) -> dict:
         if not key or not val:
             raise SystemExit(f"bad --mix entry {part!r}: expected key=int")
         try:
-            out[key] = int(val)
+            w = int(val)
         except ValueError:
             raise SystemExit(f"bad --mix weight {val!r}: expected an integer")
+        if w <= 0:
+            raise SystemExit(f"bad --mix weight {val!r}: must be positive")
+        out[key] = w
     if not out:
         raise SystemExit("--mix must name at least one key=int pair")
     return out
@@ -265,7 +268,9 @@ def cmd_curate(args) -> int:
 def cmd_index(args) -> int:
     """Inverted-index build and/or keyword search over a page table: token
     → (df, postings) written as partitioned parquet; --query prints the
-    top-k matching urls as one JSON line."""
+    top-k matching urls as one JSON line.  Urls ARE the document ids
+    (deterministic ranking ties by url), so hits map straight back to
+    pages."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -274,30 +279,32 @@ def cmd_index(args) -> int:
     from .sketches.hashing import hash64
 
     _init_ray(args.num_cpus)
+    pages = rd.read_parquet(args.input, columns=["url", "text"])
+    if args.out and args.query:
+        pages = pages.materialize()  # one scan feeds both passes
 
-    def pages():
-        return rd.read_parquet(args.input, columns=["url", "text"]).map_batches(
+    summary = {}
+    if args.out:
+        # postings hold compact int64 url-hash ids (the corpus-wide doc
+        # key used by every other pipeline over pages)
+        hashed = pages.map_batches(
             lambda b: pa.table(
                 {
                     "doc_id": pa.array(
                         hash64(b.column("url")).view(np.int64), type=pa.int64()
                     ),
-                    "url": b.column("url"),
                     "text": b.column("text"),
                 }
             ),
             batch_format="pyarrow",
         )
-
-    summary = {}
-    if args.out:
-        idx = inverted_index(pages(), max_postings=args.max_postings).materialize()
+        idx = inverted_index(hashed, max_postings=args.max_postings).materialize()
         idx.write_parquet(args.out)
         summary.update({"index_tokens": idx.count(), "out": args.out})
     if args.query:
-        hits = keyword_search(pages(), args.query, k=args.k).take_all()
+        hits = keyword_search(pages, args.query, k=args.k, id_col="url").take_all()
         summary["hits"] = [
-            {"doc_id": int(r["doc_id"]), "score": int(r["score"])} for r in hits
+            {"url": r["url"], "score": int(r["score"])} for r in hits
         ]
     if not summary:
         raise SystemExit("index: give --out (build) and/or --query (search)")
@@ -426,7 +433,9 @@ def main(argv=None) -> int:
     pc_.add_argument("--domain-cap", dest="domain_cap", type=int)
     pc_.add_argument("--mix", help="exact integer language mix, e.g. 'en=3,de=1'")
     pc_.add_argument("--line-dedup", dest="line_dedup", type=int,
-                     help="drop lines occurring more than N times corpus-wide")
+                     help="drop lines occurring more than N times corpus-wide "
+                          "(input urls must be unique — re-crawl dumps with "
+                          "repeated urls need an exact dedup first)")
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
 

@@ -394,6 +394,24 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """Whitespace-split of ``text_col`` → (flat token StringArray, per-doc
+    offsets int64[nrows+1] rebased to 0).  Null text behaves as empty (one
+    '' token) — the shared tokenize prologue for the index/search/tf-idf
+    family (same token model as trainprep._split_tokens)."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.cast(text, pa.string())
+    if text.null_count:
+        text = text.fill_null("")
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return toks.flatten(), offsets - offsets[0]
+
+
 def inverted_index(
     ds,
     id_col: str = "doc_id",
@@ -429,18 +447,7 @@ def inverted_index(
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        text = batch.column(text_col)
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        text = pc.cast(text, pa.string())
-        if text.null_count:
-            text = text.fill_null("")
-        toks = pc.split_pattern(text, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offsets = offsets - offsets[0]
-        flat = toks.flatten()
+        flat, offsets = _flat_tokens(batch, text_col)
         row = np.repeat(
             np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets)
         )
@@ -565,18 +572,8 @@ def keyword_search(ds, query, k: int = 10, id_col: str = "doc_id", text_col: str
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        text = batch.column(text_col)
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        text = pc.cast(text, pa.string())
-        if text.null_count:
-            text = text.fill_null("")
-        toks = pc.split_pattern(text, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offsets = offsets - offsets[0]
-        hit = pc.is_in(toks.flatten(), value_set=term_set).to_numpy(
+        flat, offsets = _flat_tokens(batch, text_col)
+        hit = pc.is_in(flat, value_set=term_set).to_numpy(
             zero_copy_only=False
         )
         ck = np.zeros(len(hit) + 1, dtype=np.int64)
@@ -604,18 +601,7 @@ def _doc_token_tf(batch: pa.Table, id_col: str, text_col: str):
     """Per-batch (row index, token, tf) triples: one dictionary-encode of
     the flat token stream + one np.unique over packed (row, code) pairs —
     each distinct (doc, token) once with its in-doc count."""
-    text = batch.column(text_col)
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    text = pc.cast(text, pa.string())
-    if text.null_count:
-        text = text.fill_null("")
-    toks = pc.split_pattern(text, " ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets = offsets - offsets[0]
-    flat = toks.flatten()
+    flat, offsets = _flat_tokens(batch, text_col)
     if len(flat) == 0:
         return (
             np.zeros(0, np.int64),
@@ -752,9 +738,13 @@ def doc_top_terms(
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
             p_row, tokens, tf = _doc_token_tf(batch, id_col, text_col)
-            pos = pc.index_in(tokens, value_set=vtok).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)  # every batch token exists in the corpus vocab
+            pos_arr = pc.index_in(tokens, value_set=vtok)
+            if pos_arr.null_count:  # df pass and rank pass saw different data
+                raise ValueError(
+                    "doc_top_terms: token absent from the corpus df vocabulary "
+                    "— upstream dataset is not deterministic across executions"
+                )
+            pos = pos_arr.to_numpy(zero_copy_only=False).astype(np.int64)
             t = pa.table(
                 {
                     "_row": pa.array(p_row, pa.int64()),
@@ -831,9 +821,13 @@ def doc_top_terms(
         rows = group.filter(pc.invert(is_df))
         vtok = dft.column("token").combine_chunks()
         vdf = dft.column("df").to_numpy(zero_copy_only=False)
-        pos = pc.index_in(rows.column("token"), value_set=vtok).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
+        pos_arr = pc.index_in(rows.column("token"), value_set=vtok)
+        if pos_arr.null_count:  # df pass and tf pass saw different data
+            raise ValueError(
+                "doc_top_terms: token absent from its df bucket — upstream "
+                "dataset is not deterministic across executions"
+            )
+        pos = pos_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = rows.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
