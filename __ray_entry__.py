@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         domain_cap,
         hash_sample,
         mixture_sample,
+        normalize_urls,
         quantile_length_filter,
         repeat_corpus,
         split_assign,
@@ -359,6 +360,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             budget=256,
             seed=17,
             n_buckets=32,
+        )
+
+    def q_normalize_urls(sf):
+        # synthesize messy crawl URLs from documents (upper-case host,
+        # default port, tracking params, fragment) and canonicalize; the
+        # oracle builds the identical URLs and mirrors the normalization
+        # with the same RE2 engine
+        ds = _t(sf, "documents", ["doc_id", "lang", "source"])
+
+        def synth(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idn = ids.to_numpy(zero_copy_only=False)
+            idstr = pc.cast(ids, pa.string())
+            n = b.num_rows
+            src = pc.utf8_upper(pc.cast(b.column("source").combine_chunks()
+                                        if isinstance(b.column("source"), pa.ChunkedArray)
+                                        else b.column("source"), pa.string()))
+            lang = pc.cast(b.column("lang").combine_chunks()
+                           if isinstance(b.column("lang"), pa.ChunkedArray)
+                           else b.column("lang"), pa.string())
+            q = pc.if_else(
+                pa.array(idn % 3 == 0),
+                pc.binary_join_element_wise(
+                    pa.array(["?utm_source=x&fbclid=1&id="] * n), idstr, ""
+                ),
+                pc.binary_join_element_wise(pa.array(["?id="] * n), idstr, ""),
+            )
+            frag = pc.if_else(
+                pa.array(idn % 2 == 0), pa.array(["#f"] * n), pa.array([""] * n)
+            )
+            url = pc.binary_join_element_wise(
+                pa.array(["HTTPS://WWW."] * n), src,
+                pa.array([".Test:443/p/"] * n), lang, q, frag, ""
+            )
+            return pa.table({"doc_id": ids, "url": url})
+
+        return normalize_urls(
+            ds.map_batches(synth, batch_format="pyarrow")
+        ).map_batches(
+            lambda b: b.select(["doc_id", "url", "url_norm"]),
+            batch_format="pyarrow",
         )
 
     def q_doc_top_terms(sf):
@@ -938,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
+        "normalize_urls": q_normalize_urls,
         "doc_top_terms": q_doc_top_terms,
         "keyword_search": q_keyword_search,
         "inverted_index": q_inverted_index,
@@ -1034,6 +1079,42 @@ def _content_hash_cte() -> str:
         f"cb2 AS (SELECT doc_id, {mulmod('y', '10723151780598845931')} AS x FROM ca2), "
         "ca3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM cb2), "
         f"allh AS (SELECT doc_id, {to_i64} AS content_hash FROM ca3)"
+    )
+
+
+def _normalize_urls_sql() -> str:
+    """Exact mirror of ops.curate.normalize_urls over the same synthesized
+    messy URLs (DuckDB and Arrow share the RE2 regex engine, so the part
+    extraction is identical)."""
+    from fever_ray.ops.curate import _TRACKING_PREFIXES, _URL_RE_PARTS
+
+    re_ = _URL_RE_PARTS.replace("'", "''")
+    not_tracking = " AND ".join(
+        f"NOT starts_with(p, '{t}')" for t in _TRACKING_PREFIXES
+    )
+    return (
+        f"WITH u AS (SELECT doc_id, 'HTTPS://WWW.' || upper(source) || "
+        f"'.Test:443/p/' || lang || CASE WHEN doc_id % 3 = 0 THEN "
+        f"'?utm_source=x&fbclid=1&id=' || CAST(doc_id AS VARCHAR) ELSE "
+        f"'?id=' || CAST(doc_id AS VARCHAR) END || CASE WHEN doc_id % 2 = 0 "
+        f"THEN '#f' ELSE '' END AS url FROM documents), "
+        f"px AS (SELECT doc_id, url, "
+        f"lower(regexp_extract(url, '{re_}', 1)) AS scheme, "
+        f"lower(regexp_extract(url, '{re_}', 2)) AS host0, "
+        f"regexp_extract(url, '{re_}', 3) AS path0, "
+        f"regexp_extract(url, '{re_}', 4) AS query0 FROM u), "
+        f"h AS (SELECT doc_id, url, scheme, path0, query0, "
+        f"CASE WHEN scheme = 'http' AND host0 LIKE '%:80' "
+        f"THEN substr(host0, 1, len(host0) - 3) "
+        f"WHEN scheme = 'https' AND host0 LIKE '%:443' "
+        f"THEN substr(host0, 1, len(host0) - 4) ELSE host0 END AS host FROM px), "
+        f"q AS (SELECT doc_id, url, scheme, host, "
+        f"CASE WHEN path0 = '/' THEN '' ELSE path0 END AS path, "
+        f"array_to_string(list_filter(string_split(substr(query0, 2), '&'), "
+        f"p -> len(p) > 0 AND {not_tracking}), '&') AS qjoin FROM h) "
+        f"SELECT doc_id, url, scheme || '://' || host || path || "
+        f"CASE WHEN len(qjoin) > 0 THEN '?' || qjoin ELSE '' END AS url_norm "
+        f"FROM q"
     )
 
 
@@ -1560,6 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "normalize_urls": _normalize_urls_sql(),
         "doc_top_terms": _doc_top_terms_sql(3),
         "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),
         "inverted_index": _inverted_index_sql(16),

@@ -45,6 +45,7 @@ __all__ = [
     "regex_scrub",
     "mixture_sample",
     "repeat_corpus",
+    "normalize_urls",
 ]
 
 
@@ -704,3 +705,93 @@ def repeat_corpus(
         return out.append_column(out_col, pa.array(copy, pa.int64()))
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_URL_RE_PARTS = (
+    # scheme://host[:port]/path[?query][#fragment] — RE2-safe, no backrefs;
+    # named groups (Arrow's extract_regex requires them; RE2 numbers them
+    # 1..5 for the DuckDB mirror's regexp_extract)
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?P<query>\?[^#]*)?(?P<frag>#.*)?$"
+)
+
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid", "ref_src")
+
+
+def normalize_urls(ds, url_col: str = "url", out_col: str = "url_norm"):
+    """Canonical URL form for dedup/grouping: lowercase scheme+host, strip
+    the fragment, strip default ports (:80 http / :443 https), drop
+    known tracking query parameters (utm_*, fbclid, gclid, …), drop a
+    trailing '?' left by an emptied query, and collapse a trailing '/' on
+    an otherwise-empty path.  Appends ``out_col``; rows that do not parse
+    as absolute URLs pass through unchanged (normalization must never
+    lose a row).
+
+    Pure map_batches over Arrow string kernels (RE2 extract + vectorized
+    rebuilds) — no shuffle, no Python per row; the canonical key is what
+    exact_dedup / domain_cap / cross_dedup should group on when the corpus
+    carries crawl-style URLs."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        url = batch.column(url_col)
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        url = pc.cast(url, pa.string())
+        s = pc.fill_null(url, "")
+        ex = pc.extract_regex(s, _URL_RE_PARTS)
+        ok = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+        scheme = pc.utf8_lower(pc.coalesce(pc.struct_field(ex, 0), ""))
+        host = pc.utf8_lower(pc.coalesce(pc.struct_field(ex, 1), ""))
+        path = pc.coalesce(pc.struct_field(ex, 2), "")
+        query = pc.coalesce(pc.struct_field(ex, 3), "")
+        # default ports (regex strips run row-wise; the if_else gates them)
+        host = pc.if_else(
+            pc.and_(pc.equal(scheme, "http"), pc.ends_with(host, pattern=":80")),
+            pc.replace_substring_regex(host, pattern=":80$", replacement=""),
+            host,
+        )
+        host = pc.if_else(
+            pc.and_(pc.equal(scheme, "https"), pc.ends_with(host, pattern=":443")),
+            pc.replace_substring_regex(host, pattern=":443$", replacement=""),
+            host,
+        )
+        # query: drop tracking params (split on '&' after removing the
+        # leading '?', filter, re-join)
+        qbody = pc.replace_substring_regex(query, pattern=r"^\?", replacement="")
+        parts = pc.split_pattern(qbody, "&")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        keep = np.ones(len(flat), dtype=bool)
+        for pref in _TRACKING_PREFIXES:
+            keep &= ~pc.starts_with(flat, pattern=pref).to_numpy(
+                zero_copy_only=False
+            )
+        keep &= pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        ck = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(keep, out=ck[1:])
+        kept_n = ck[offs[1:]] - ck[offs[:-1]]
+        new_off = np.zeros(len(parts) + 1, dtype=np.int64)
+        np.cumsum(kept_n, out=new_off[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(pa.array(keep))
+        )
+        qjoin = pc.binary_join(la, "&")
+        new_query = pc.if_else(
+            pc.greater(pc.utf8_length(qjoin), 0),
+            pc.binary_join_element_wise(
+                pa.array(["?"] * len(parts)), qjoin, ""
+            ),
+            "",
+        )
+        # path: '' and '/' both canonicalize to '' (host root)
+        path = pc.if_else(pc.equal(path, "/"), "", path)
+        rebuilt = pc.binary_join_element_wise(
+            scheme, pa.array(["://"] * batch.num_rows), host, path, new_query, ""
+        )
+        out = pc.if_else(pa.array(ok), rebuilt, s)
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

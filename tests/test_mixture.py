@@ -441,3 +441,29 @@ def test_cli_mix_parse_errors():
         _parse_weights("en=x")
     with _pytest.raises(SystemExit):
         _parse_weights("")
+
+
+def test_normalize_urls_cases(ray_session):
+    from fever_ray.ops.curate import normalize_urls
+
+    urls = [
+        "HTTPS://WWW.Example.COM:443/path?utm_source=a&x=1&fbclid=zz#frag",
+        "http://Host.net:80/",
+        "http://host.net:8080/p?gclid=1",
+        "https://a.b/p/q?id=7",
+        "not a url at all",
+        "ftp://Files.example.org:21/pub",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(6, dtype=np.int64)), "url": pa.array(urls)}
+    )
+    out = normalize_urls(ray_session.data.from_arrow(t)).take_all()
+    got = {int(r["doc_id"]): r["url_norm"] for r in out}
+    assert got == {
+        0: "https://www.example.com/path?x=1",  # port+utm+fbclid+frag gone
+        1: "http://host.net",  # default port + lone slash gone
+        2: "http://host.net:8080/p",  # non-default port kept, query emptied
+        3: "https://a.b/p/q?id=7",  # already canonical
+        4: "not a url at all",  # unparseable → unchanged passthrough
+        5: "ftp://files.example.org:21/pub",  # non-http port untouched
+    }
