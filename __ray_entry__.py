@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hash_sample,
         mixture_sample,
         normalize_urls,
+        per_group_sample,
         quantile_length_filter,
         repeat_corpus,
         split_assign,
@@ -360,6 +361,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             budget=256,
             seed=17,
             n_buckets=32,
+        )
+
+    def q_per_group_sample(sf):
+        # exactly 12 docs per listed language (smallest id-hashes) — the
+        # deterministic balanced-subset primitive
+        return per_group_sample(
+            _t(sf, "documents", ["doc_id", "lang"]),
+            12,
+            ["en", "de", "fr"],
+            seed=29,
+            key_col="lang",
         )
 
     def q_normalize_urls(sf):
@@ -982,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
+        "per_group_sample": q_per_group_sample,
         "normalize_urls": q_normalize_urls,
         "doc_top_terms": q_doc_top_terms,
         "keyword_search": q_keyword_search,
@@ -1079,6 +1092,21 @@ def _content_hash_cte() -> str:
         f"cb2 AS (SELECT doc_id, {mulmod('y', '10723151780598845931')} AS x FROM ca2), "
         "ca3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM cb2), "
         f"allh AS (SELECT doc_id, {to_i64} AS content_hash FROM ca3)"
+    )
+
+
+def _per_group_sample_sql(k: int, groups: list, seed: int) -> str:
+    """Bit-exact mirror of ops.curate.per_group_sample: per-group
+    ROW_NUMBER over the splitmix hash order, rank <= k."""
+    in_list = ", ".join(f"'{g}'" for g in groups)
+    inner = _splitmix_doc_sql(
+        seed, "doc_id, lang", f"lang IN ({in_list})",
+        select_expr="doc_id, lang, h",
+    )
+    return (
+        f"WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+        f"(PARTITION BY lang ORDER BY h) AS rk FROM ({inner}) t) "
+        f"SELECT doc_id, lang FROM r WHERE rk <= {k}"
     )
 
 
@@ -1641,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
+        "per_group_sample": _per_group_sample_sql(12, ["en", "de", "fr"], 29),
         "normalize_urls": _normalize_urls_sql(),
         "doc_top_terms": _doc_top_terms_sql(3),
         "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),

@@ -46,6 +46,7 @@ __all__ = [
     "mixture_sample",
     "repeat_corpus",
     "normalize_urls",
+    "per_group_sample",
 ]
 
 
@@ -502,6 +503,36 @@ def mixture_sample(
     for k, w in weights.items():
         if not isinstance(w, (int, np.integer)) or w <= 0:
             raise ValueError(f"weights must be positive integers, got {k!r}: {w!r}")
+    names = list(weights)
+    w_arr = np.array([weights[k] for k in names], dtype=np.int64)
+
+    def k_of_n(n_per: np.ndarray) -> np.ndarray:
+        m = int((n_per // w_arr).min()) if len(names) else 0
+        return w_arr * m
+
+    return _exact_group_hash_select(
+        ds, names, k_of_n, seed, id_col, key_col,
+        refine_bits, collect_cap, max_levels,
+    )
+
+
+def _exact_group_hash_select(
+    ds,
+    names: list,
+    k_of_n,
+    seed: int,
+    id_col: str,
+    key_col: str,
+    refine_bits: int,
+    collect_cap: int,
+    max_levels: int,
+):
+    """Shared exact-selection core (mixture_sample / per_group_sample): for
+    each listed key ``s`` keep EXACTLY ``k_s = k_of_n(counts)[s]`` rows —
+    the ones with the smallest ``splitmix64(id, seed)`` hashes — via the
+    iterative prefix-histogram refinement documented on mixture_sample.
+    Unlisted / null keys are dropped; membership is a pure function of
+    (corpus ids, seed)."""
     if not 1 <= refine_bits <= 32:
         raise ValueError(f"refine_bits must be in [1, 32], got {refine_bits}")
     # past 64 consumed bits the stripe cannot shrink further (duplicate ids
@@ -511,7 +542,6 @@ def mixture_sample(
 
     from .aggregates import tree_groupby
 
-    names = list(weights)
     seed = int(seed)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -552,9 +582,7 @@ def mixture_sample(
         n_per[counts.column("code").to_numpy(zero_copy_only=False)] = (
             counts.column("n").to_numpy(zero_copy_only=False)
         )
-    w_arr = np.array([weights[k] for k in names], dtype=np.int64)
-    m = int((n_per // w_arr).min()) if len(names) else 0
-    k_per = w_arr * m
+    k_per = np.minimum(np.asarray(k_of_n(n_per), dtype=np.int64), n_per)
 
     # Per-source exact k-th smallest hash by prefix-histogram refinement.
     # State per source: hash-prefix of the active stripe, remaining 1-based
@@ -795,3 +823,40 @@ def normalize_urls(ds, url_col: str = "url", out_col: str = "url_norm"):
         return batch.append_column(out_col, out)
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def per_group_sample(
+    ds,
+    k: int,
+    groups: list,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    key_col: str = "lang",
+    refine_bits: int = 12,
+    collect_cap: int = 2_000_000,
+    max_levels: int = 5,
+):
+    """EXACTLY ``min(k, n_s)`` rows per listed group — the balanced-subset
+    primitive (per-language eval sets, per-domain audits): for each group
+    keep the ``k`` rows with the smallest ``splitmix64(id, seed)`` hashes.
+    Unlike the Bernoulli ``stratified_sample`` (expected counts), the
+    result size is deterministic; like it, membership is a pure function of
+    (ids, seed) — stable across reruns, re-partitioning and cluster size.
+
+    Groups not listed are dropped.  Same scale shape as
+    ``mixture_sample``: the per-group k-th-smallest hash comes from the
+    shared prefix-histogram refinement core — nothing corpus-sized reaches
+    the driver, and the raw text never moves."""
+    if not isinstance(k, (int, np.integer)) or k < 1:
+        raise ValueError(f"k must be a positive integer, got {k!r}")
+    if not groups:
+        raise ValueError("groups must name at least one key")
+    names = list(groups)
+
+    def k_of_n(n_per: np.ndarray) -> np.ndarray:
+        return np.full(len(names), int(k), dtype=np.int64)
+
+    return _exact_group_hash_select(
+        ds, names, k_of_n, seed, id_col, key_col,
+        refine_bits, collect_cap, max_levels,
+    )

@@ -467,3 +467,28 @@ def test_normalize_urls_cases(ray_session):
         4: "not a url at all",  # unparseable → unchanged passthrough
         5: "ftp://files.example.org:21/pub",  # non-http port untouched
     }
+
+
+def test_per_group_sample_exact(ray_session):
+    from fever_ray.ops.curate import per_group_sample
+
+    ds, t = _mk_docs(ray_session, n=400)
+    out = per_group_sample(ds, 10, ["s0", "s1"], seed=7, key_col="source").take_all()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], set()).add(int(r["doc_id"]))
+    assert set(per) == {"s0", "s1"} and all(len(v) == 10 for v in per.values())
+    # brute-force: smallest 10 hashes per listed group
+    ids = t.column("doc_id").to_numpy()
+    src = t.column("source").to_pylist()
+    h = hash64_ints(ids, seed=7)
+    for g in ("s0", "s1"):
+        hs = sorted((h[i], int(ids[i])) for i in range(len(ids)) if src[i] == g)
+        assert per[g] == {i for _, i in hs[:10]}
+    # k larger than the group → whole group, deterministic
+    out = per_group_sample(ds, 10**6, ["s2"], seed=7, key_col="source").take_all()
+    assert len(out) == src.count("s2")
+    with pytest.raises(ValueError):
+        per_group_sample(ds, 0, ["s0"])
+    with pytest.raises(ValueError):
+        per_group_sample(ds, 5, [])
