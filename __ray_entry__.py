@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         domain_cap,
         hash_sample,
         mixture_sample,
+        normalize_text,
         normalize_urls,
         per_group_sample,
         quantile_length_filter,
@@ -414,6 +415,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(synth, batch_format="pyarrow")
         ).map_batches(
             lambda b: b.select(["doc_id", "url", "url_norm"]),
+            batch_format="pyarrow",
+        )
+
+    def q_normalize_text(sf):
+        # synthesize unicode-messy text from documents (decomposed e+U+0301
+        # prefix, whitespace runs, odd rows get a tab-padded suffix) and
+        # canonicalize; the oracle builds the identical mess with chr()
+        # concatenation and mirrors NFC (both sides are utf8proc) plus the
+        # RE2 whitespace collapse and the explicit space-only trim
+        ds = _t(sf, "documents", ["doc_id", "text"])
+
+        def synth(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idn = ids.to_numpy(zero_copy_only=False)
+            n = b.num_rows
+            text = b.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            suffix = pc.if_else(
+                pa.array(idn % 2 == 1),
+                pa.array(["\t tail  "] * n),
+                pa.array([""] * n),
+            )
+            messy = pc.binary_join_element_wise(
+                pa.array(["e\u0301  head\t"] * n),  # decomposed; NFC -> \u00e9
+                pc.cast(text, pa.string()),
+                suffix,
+                "",
+            )
+            return pa.table({"doc_id": ids, "text": messy})
+
+        return normalize_text(
+            ds.map_batches(synth, batch_format="pyarrow")
+        ).map_batches(
+            lambda b: b.select(["doc_id", "text_norm"]),
             batch_format="pyarrow",
         )
 
@@ -996,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "per_group_sample": q_per_group_sample,
         "normalize_urls": q_normalize_urls,
+        "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
         "keyword_search": q_keyword_search,
         "inverted_index": q_inverted_index,
@@ -1671,6 +1710,16 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_sql(16, 4),
         "per_group_sample": _per_group_sample_sql(12, ["en", "de", "fr"], 29),
         "normalize_urls": _normalize_urls_sql(),
+        # same messy synthesis as the engine (decomposed e+U+0301 prefix,
+        # tab-padded odd-row suffix); nfc_normalize is utf8proc on both
+        # sides, the collapse is RE2 on both sides, and trim(x, ' ') is the
+        # space-only trim normalize_text applies
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(nfc_normalize("
+            "'e' || chr(769) || '  head' || chr(9) || text || "
+            "CASE WHEN doc_id % 2 = 1 THEN chr(9) || ' tail  ' ELSE '' END"
+            "), '\\s+', ' ', 'g'), ' ') AS text_norm FROM documents"
+        ),
         "doc_top_terms": _doc_top_terms_sql(3),
         "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),
         "inverted_index": _inverted_index_sql(16),

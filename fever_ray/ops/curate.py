@@ -860,3 +860,70 @@ def per_group_sample(
         ds, names, k_of_n, seed, id_col, key_col,
         refine_bits, collect_cap, max_levels,
     )
+
+
+# ----------------------------------------------------- text canonicalization
+def normalize_text(
+    ds,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFC",
+    collapse_whitespace: bool = True,
+):
+    """Unicode + whitespace canonicalization — the text-side companion of
+    ``normalize_urls`` and the step that should run BEFORE any exact/near
+    dedup so that byte-different but visually-identical documents ("e"+
+    U+0301 vs precomposed U+00E9, tab runs vs single spaces) hash to the
+    same content key.
+
+    * ``form``: Unicode normalization form (NFC default — canonicalizes
+      combining sequences without NFKC's lossy compatibility folds).
+      Arrow's own ``utf8_normalize`` is NOT used: in this pyarrow build it
+      decomposes under every form, including NFC/NFKC (observed: NFC of
+      U+00E9 returns e+U+0301), so composition goes through a two-tier
+      path instead — a vectorized ``string_is_ascii`` mask skips the
+      overwhelmingly-ASCII majority of web text untouched, and only the
+      non-ASCII minority is normalized with ``unicodedata.normalize``
+      (CPython's C implementation; its quickcheck returns already-NFC
+      strings without copying).  DuckDB's ``nfc_normalize`` (utf8proc)
+      agrees with unicodedata on canonical composition; both track the
+      Unicode canonical data, so the oracle mirror is exact for NFC.
+    * ``collapse_whitespace``: every ASCII-whitespace run (RE2 ``\\s+``)
+      becomes one space, then single leading/trailing spaces are trimmed
+      (``utf8_trim`` on " " exactly — NOT unicode trim — so the DuckDB
+      ``trim(x, ' ')`` mirror stays bit-identical on inputs whose edges
+      carry non-ASCII whitespace).
+
+    map_batches with no shuffle; the only per-row work is one C call per
+    NON-ASCII row (a cost proportional to the non-ASCII minority, not the
+    corpus).  Null texts stay null.  Appends ``out_col``; the input column
+    is untouched (the pinned-extractor invariant means we never rewrite
+    ``text`` in place — see ops/extract.py).
+    """
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        is_ascii = pc.string_is_ascii(s)
+        need = pc.and_kleene(pc.invert(is_ascii), pc.is_valid(s))
+        idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
+        out = s
+        if len(idx):
+            fixed = [
+                unicodedata.normalize(form, v)
+                for v in pc.take(s, pa.array(idx, pa.int64())).to_pylist()
+            ]
+            scattered = [None] * len(s)
+            for i, v in zip(idx, fixed):
+                scattered[i] = v
+            out = pc.if_else(
+                pc.fill_null(need, False), pa.array(scattered, type=s.type), s
+            )
+        if collapse_whitespace:
+            out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+            out = pc.utf8_trim(out, characters=" ")
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

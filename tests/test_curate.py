@@ -291,3 +291,56 @@ def test_stratified_sample_null_and_unknown_strata(ray_session):
     # default=1 → every row survives
     all_rows = stratified_sample(ds, {"en": 1.0}, default=1.0, seed=3).to_pandas()
     assert len(all_rows) == 2000
+
+
+def test_normalize_text_nfc_and_whitespace(ray_session):
+    import ray.data as rd
+    import unicodedata
+
+    from fever_ray.ops.curate import normalize_text
+
+    dec = "e" + chr(0x301) + "cole"          # decomposed
+    pre = chr(0xE9) + "cole"                 # precomposed NFC
+    nbsp = chr(0xA0)
+    vals = [
+        dec + "  du\t\tweb ",                # composes + collapses
+        pre + " du web",                     # already canonical: unchanged
+        "  plain   ascii\n\ntext\t",
+        "",
+        None,
+        nbsp + "x" + nbsp,                   # non-ASCII ws: NOT collapsed/trimmed
+    ]
+    t = pa.table({"text": pa.array(vals, pa.large_string())})
+    out = normalize_text(rd.from_arrow(t)).take_all()
+    got = [r["text_norm"] for r in out]
+    assert got[0] == pre + " du web"
+    assert got[0].encode().startswith(b"\xc3\xa9")   # composed bytes
+    assert got[1] == pre + " du web"
+    assert got[2] == "plain ascii text"
+    assert got[3] == ""
+    assert got[4] is None
+    assert got[5] == nbsp + "x" + nbsp
+    # canonical-equal inputs now hash identically (the dedup motivation)
+    assert got[0] == got[1] == unicodedata.normalize("NFC", got[0])
+
+
+def test_normalize_text_duckdb_mirror(ray_session):
+    """trim/collapse/NFC parity with the oracle expression on messy rows."""
+    import ray.data as rd
+
+    from fever_ray.ops.curate import normalize_text
+
+    vals = [
+        "e" + chr(0x301) + "  head\t mid  tail ",
+        " ascii  only ",
+        chr(0xE9) + chr(0xA0) + " edge" + chr(0xA0),
+    ]
+    t = pa.table({"text": pa.array(vals, pa.large_string())})
+    got = [r["text_norm"] for r in normalize_text(rd.from_arrow(t)).take_all()]
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        (want,) = con.execute(
+            "SELECT trim(regexp_replace(nfc_normalize(?), '\\s+', ' ', 'g'), ' ')",
+            [v],
+        ).fetchone()
+        assert g == want, (v.encode(), g.encode(), want.encode())
