@@ -497,6 +497,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mod7(True), batch_format="pyarrow"),
         )
 
+    def q_bloom_cross_dedup(sf):
+        # same incremental-ingest shape on a % 5 split, through the
+        # DCSO-bloom prefilter + exact-verify path; exactness is
+        # independent of the filter's p, so the oracle is the plain
+        # anti-join — any false positive the verify stage failed to clear
+        # (or false negative, impossible by construction) hash-mismatches
+        from fever_ray.ops.dedup import bloom_cross_dedup
+
+        docs = _t(sf, "documents", ["doc_id", "text"])
+
+        def mod5(eq: bool):
+            def f(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                hit = ids % 5 == 0
+                return b.filter(pa.array(hit if eq else ~hit))
+
+            return f
+
+        return bloom_cross_dedup(
+            docs.map_batches(mod5(False), batch_format="pyarrow"),
+            docs.map_batches(mod5(True), batch_format="pyarrow"),
+            p=1e-2,
+        )
+
     def q_token_budget_select(sf):
         # "first 8k tokens of the corpus" in seeded shuffle order — docs
         # kept atomically; only the boundary bucket is ever sorted
@@ -1039,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q_keyword_search,
         "inverted_index": q_inverted_index,
         "cross_dedup": q_cross_dedup,
+        "bloom_cross_dedup": q_bloom_cross_dedup,
         "token_budget_select": q_token_budget_select,
         "mixture_sample": q_mixture_sample,
         "repeat_corpus": q_repeat_corpus,
@@ -1724,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),
         "inverted_index": _inverted_index_sql(16),
         "cross_dedup": _cross_dedup_sql(7),
+        "bloom_cross_dedup": _cross_dedup_sql(5),
         "token_budget_select": _token_budget_select_sql(8000, 23),
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),
         "repeat_corpus": _repeat_corpus_sql({"en": 1, "zh": 3, "fr": 2, "es": 0}, 1),

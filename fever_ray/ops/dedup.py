@@ -1263,6 +1263,15 @@ def cross_dedup(
         id_type = ds.schema().base_schema.field(id_col).type
     except Exception:
         id_type = pa.int64()
+    return _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts)
+
+
+def _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts: int):
+    """Bucketed anti-join core shared by ``cross_dedup`` and
+    ``bloom_cross_dedup``: union-tag the skinny corpus (id, content_hash)
+    stream with the reference hash stream, co-partition by hash, drop
+    corpus rows whose hash appears on the reference side of the bucket.
+    The shuffle carries (id, hash) pairs only — never text."""
 
     def tag_corpus(batch: pa.Table) -> pa.Table:
         h = batch.column("content_hash").to_numpy(zero_copy_only=False)
@@ -1309,3 +1318,188 @@ def cross_dedup(
         .groupby("bucket")
         .map_groups(anti, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------ bloom-prefiltered cross dedup
+def bloom_cross_dedup(
+    ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    p: float = 1e-3,
+    bloom=None,
+    broadcast_bytes: int = 256 << 20,
+    num_partitions: int | None = None,
+):
+    """``cross_dedup`` with a DCSO-Bloom prefilter on the reference side —
+    same contract (EXACT survivors as (id_col, ``content_hash``) rows; the
+    corpus text never shuffles), different scale shape:
+
+    * the reference compresses to a Bloom filter over content hashes
+      (~1.44·log2(1/p) bits/key — 1.8 bytes at the p=1e-3 default, vs
+      8 bytes/key for ``cross_dedup``'s sorted raw hashes), stretching the
+      no-shuffle broadcast regime ~4.5× for the same ``broadcast_bytes``;
+    * a corpus row that MISSES the filter is a definite survivor (Bloom
+      filters have no false negatives) and exits through a pure
+      map_batches path; only true duplicates plus a p-fraction of false
+      positives enter the exact verification join, so the join input is
+      |dups| + p·|corpus| rows instead of |corpus|;
+    * ``bloom``: optionally a prebuilt ``BloomFilter`` from a previous
+      ingest (DCSO file format — build/save/load via sketches.bloom or the
+      CLI), letting an incremental crawl skip re-hashing the reference
+      corpus into a filter every run.  Keys are the (content_hash,
+      splitmix64(content_hash)) pair inserted with ``add_hashes`` — a
+      hash-pair filter, NOT FNV-of-text, so probe it with ``check_hashes``,
+      not ``check``.
+
+    Exactness does not depend on ``p``; p only trades filter size against
+    verification-join input.  Verification of the flagged minority uses a
+    reversed broadcast when the candidate hash set is small (scan the
+    reference once against the broadcast candidates — the reference being
+    too big for broadcast is the reason the bloom path exists), else the
+    shared ``_hash_anti_join``.
+
+    Scale posture (10^12 docs): the skinny probed projection (id, hash,
+    flag ≈ 17 B/doc) is materialized once so the survivor split does not
+    recompute the text hash pass; the object store spills it.  Falls back
+    to plain ``cross_dedup`` shape when the filter itself would not fit
+    ``broadcast_bytes``.
+    """
+    import ray
+
+    from ..sketches.bloom import BloomFilter
+    from ..sketches.hashing import splitmix64
+
+    def corpus_hash(batch: pa.Table) -> pa.Table:
+        return add_content_hash(batch, text_col).select([id_col, "content_hash"])
+
+    def ref_hash(batch: pa.Table) -> pa.Table:
+        t = add_content_hash(batch, text_col)
+        h = t.column("content_hash")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        return pa.table(
+            {"content_hash": pa.array(
+                np.unique(h.to_numpy(zero_copy_only=False)), pa.int64()
+            )}
+        )
+
+    skinny = ds.map_batches(corpus_hash, batch_format="pyarrow", zero_copy_batch=True)
+    ref_h = ref_ds.map_batches(
+        ref_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+
+    if bloom is None:
+        n_ref = int(ref_h.count())
+        bf = BloomFilter.initialize(max(n_ref, 1), p)
+        if bf.m // 8 > broadcast_bytes:
+            logger.info(
+                "bloom_cross_dedup: filter for n=%d at p=%g needs %.1f MB > "
+                "broadcast cap — plain bucketed anti-join instead",
+                n_ref, p, bf.m / 8 / 2**20,
+            )
+            n_parts = num_partitions or _auto_parts(ds, floor=32)
+            return _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts)
+        # stream reference blocks through the driver one at a time; each
+        # add is one vectorized add_hashes call (the blocks were already
+        # per-batch deduped by ref_hash)
+        for blk in ref_h.to_arrow_refs():
+            t = ray.get(blk)
+            if not t.num_rows:
+                continue
+            h = t.column("content_hash").to_numpy(zero_copy_only=False)
+            h = np.ascontiguousarray(h).view(np.uint64)
+            bf.add_hashes(h, splitmix64(h))
+        bloom = bf
+    blob_ref = ray.put(bloom.to_bytes())
+
+    class Probe:
+        """Actor-pool stage: deserialize the broadcast filter ONCE per
+        actor, probe each skinny batch with one vectorized check_hashes."""
+
+        def __init__(self):
+            self.bf = BloomFilter.from_bytes(ray.get(blob_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+            h = np.ascontiguousarray(h).view(np.uint64)
+            hit = self.bf.check_hashes(h, splitmix64(h))
+            return batch.append_column("maybe_dup", pa.array(hit))
+
+    probed = skinny.map_batches(
+        Probe, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
+
+    def keep_clear(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(b.column("maybe_dup"))).select(
+            [id_col, "content_hash"]
+        )
+
+    def keep_cand(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("maybe_dup")).select([id_col, "content_hash"])
+
+    clear = probed.map_batches(keep_clear, batch_format="pyarrow")
+    cand = probed.map_batches(keep_cand, batch_format="pyarrow").materialize()
+
+    cand_bytes = cand.size_bytes() or 0
+    if cand_bytes <= broadcast_bytes:
+        # reversed broadcast semi-join: the candidate hash set is the small
+        # side here — ship IT, scan the (large) reference once, and collect
+        # which candidate hashes really occur (bounded by |cand|)
+        parts = [
+            t.column("content_hash").to_numpy(zero_copy_only=False)
+            for t in ray.get(cand.to_arrow_refs())
+            if t.num_rows
+        ]
+        cand_sorted = (
+            np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+        )
+        cand_ref = ray.put(cand_sorted)
+
+        def matched(batch: pa.Table) -> pa.Table:
+            cs = ray.get(cand_ref)
+            h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+            if not len(cs) or not len(h):
+                return pa.table({"content_hash": pa.array([], pa.int64())})
+            pos = np.searchsorted(cs, h)
+            pos[pos == len(cs)] = 0
+            hits = h[cs[pos] == h]
+            return pa.table({"content_hash": pa.array(np.unique(hits), pa.int64())})
+
+        mparts = [
+            t.column("content_hash").to_numpy(zero_copy_only=False)
+            for t in ray.get(
+                ref_h.map_batches(matched, batch_format="pyarrow").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        dup_sorted = (
+            np.unique(np.concatenate(mparts)) if mparts else np.zeros(0, np.int64)
+        )
+        dup_ref = ray.put(dup_sorted)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            dh = ray.get(dup_ref)
+            if not len(dh) or not batch.num_rows:
+                return batch
+            h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(dh, h)
+            pos[pos == len(dh)] = 0
+            return batch.filter(pa.array(dh[pos] != h))
+
+        survivors = cand.map_batches(scrub, batch_format="pyarrow")
+    else:
+        n_parts = num_partitions or _auto_parts(ds, floor=32)
+        logger.info(
+            "bloom_cross_dedup: %.1f MB of candidates > broadcast cap — "
+            "bucketed anti-join over %d partitions",
+            cand_bytes / 2**20, n_parts,
+        )
+        survivors = _hash_anti_join(cand, ref_h, id_col, id_type, n_parts)
+
+    return clear.union(survivors)

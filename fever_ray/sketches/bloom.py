@@ -113,7 +113,16 @@ class BloomFilter:
         num = len(values)
         if num == 0:
             return np.zeros(0, dtype=bool)
-        idx = self._indices(values)
+        return self.check_hashes(*fnv_pair(values))
+
+    def check_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Membership for pre-computed (FNV-1, FNV-1a) hash pairs — the
+        probe mirror of ``add_hashes`` (bit-identical with ``check`` on the
+        corresponding byte strings; ``check`` routes through here)."""
+        num = len(h1)
+        if num == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices_from_hashes(h1, h2)
         words = (idx >> np.uint64(6)).astype(np.int64)
         bits = np.uint64(1) << (idx & np.uint64(63))
         return ((self.v[words] & bits) != 0).all(axis=1)

@@ -492,3 +492,91 @@ def test_per_group_sample_exact(ray_session):
         per_group_sample(ds, 0, ["s0"])
     with pytest.raises(ValueError):
         per_group_sample(ds, 5, [])
+
+
+def test_bloom_cross_dedup_matches_cross_dedup(ray_session):
+    """Bloom-prefiltered cross dedup is EXACT: it agrees with cross_dedup
+    on a 600-doc corpus with planted cross-duplicates, on every path
+    combination (broadcast verify, bucketed-anti-join verify, and the
+    too-big-filter fallback)."""
+    from fever_ray.ops.dedup import bloom_cross_dedup, cross_dedup
+
+    n = 600
+    texts = [f"document body {i % 350} padding" for i in range(n)]
+    corpus = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)}
+    )
+    # reference shares every third content and adds its own
+    ref_texts = [f"document body {i} padding" for i in range(0, 350, 3)] + [
+        "only in the reference"
+    ]
+    ref = pa.table(
+        {
+            "doc_id": pa.array(range(1000, 1000 + len(ref_texts)), pa.int64()),
+            "text": pa.array(ref_texts),
+        }
+    )
+    cds = ray_session.data.from_arrow(corpus).repartition(4)
+    rds = ray_session.data.from_arrow(ref).repartition(2)
+
+    want = sorted(int(r["doc_id"]) for r in cross_dedup(cds, rds).take_all())
+    assert 0 < len(want) < n  # the fixture really removes something
+
+    for kwargs in (
+        {},                                   # broadcast verify
+        {"broadcast_bytes": 2 << 10},         # filter fits nothing → fallback
+        {"p": 0.5},                           # high-FP filter: verify must save it
+    ):
+        out = bloom_cross_dedup(cds, rds, **kwargs).take_all()
+        got = sorted(int(r["doc_id"]) for r in out)
+        assert got == want, kwargs
+
+
+def test_bloom_cross_dedup_prebuilt_filter_roundtrip(ray_session, tmp_path):
+    """A filter built in one run and reloaded from its DCSO file drives the
+    next run to the same exact answer (the incremental-ingest path)."""
+    from fever_ray.ops.dedup import add_content_hash, bloom_cross_dedup
+    from fever_ray.sketches.bloom import BloomFilter
+    from fever_ray.sketches.hashing import splitmix64
+
+    ref = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array(["shared one", "shared two"]),
+        }
+    )
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["shared one", "fresh", "shared two"]),
+        }
+    )
+    h = (
+        add_content_hash(ref)
+        .column("content_hash")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64)
+    )
+    bf = BloomFilter.initialize(1000, 1e-4)
+    bf.add_hashes(h, splitmix64(h))
+    path = str(tmp_path / "ref.bloom")
+    bf.save(path)
+
+    cds = ray_session.data.from_arrow(corpus)
+    rds = ray_session.data.from_arrow(ref)
+    out = bloom_cross_dedup(cds, rds, bloom=BloomFilter.load(path)).take_all()
+    assert sorted(int(r["doc_id"]) for r in out) == [2]
+
+
+def test_bloom_check_hashes_bit_identity():
+    """check_hashes(fnv_pair(v)) ≡ check(v) — the probe fast path can never
+    drift from the string path."""
+    from fever_ray.sketches.bloom import BloomFilter
+    from fever_ray.sketches.hashing import fnv_pair
+
+    bf = BloomFilter.initialize(500, 1e-3)
+    ins = [f"key-{i}".encode() for i in range(100)]
+    bf.add(ins)
+    probe = ins + [f"other-{i}".encode() for i in range(100)]
+    np.testing.assert_array_equal(bf.check(probe), bf.check_hashes(*fnv_pair(probe)))
+    assert bf.check(ins).all()
