@@ -927,6 +927,186 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_sketch_error_gate(sf):
+        """Published-error-bound gate — the north-star contract ("matches
+        each sketch's published error bound") as a driver-checkable row
+        hash.  Engine side computes BOTH the sketch estimates (one
+        build_sketches pass) and the exact answers (distributed: two-level
+        distinct, tree-merged counts, prefix-histogram order statistic,
+        rank-of-estimate partial sums — nothing corpus-sized on the
+        driver).  A check's row (check_name, exact value — bit-stable,
+        SQL-mirrorable) is emitted ONLY if its estimate sits inside the
+        bound, so any violation hash-fails the gate:
+
+        * HLL p=14:   |est − d|/d ≤ 3·1.04/√2^14           (3σ of the RSE)
+        * theta 4096: |est − d|/d ≤ 3/√(k−2)
+        * CMS 2048×5: exact ≤ point est ≤ exact + (e/w)·N   (never undercounts)
+        * KLL k=200:  median rank error ≤ 1.1% of n         (module bound)
+        * t-digest δ=100: median rank error ≤ 2% of n       (conservative
+          empirical envelope; t-digest has no worst-case bound)
+        * Bloom p=1e-2: ZERO false negatives over every member probe, and
+          observed FP rate ≤ 3p over one distinct non-member probe per row
+        """
+        import ray
+
+        from fever_ray.ops.stats import exact_order_statistic, exact_rank_of
+
+        ds = _t(sf, "events", ["event_id", "user_id", "event_type", "value"])
+
+        def with_uid_str(b: pa.Table) -> pa.Table:
+            uid = b.column("user_id")
+            if isinstance(uid, pa.ChunkedArray):
+                uid = uid.combine_chunks()
+            return b.append_column("uid_str", pc.cast(uid, pa.string()))
+
+        ds2 = ds.map_batches(with_uid_str, batch_format="pyarrow")
+        specs = [
+            SketchSpec("hll_users", "hll", "user_id", {"p": 14}, value_kind="int"),
+            SketchSpec("theta_users", "theta", "user_id", {"k": 4096}, value_kind="int"),
+            SketchSpec("cms_types", "cms", "event_type", {"width": 2048, "depth": 5}),
+            SketchSpec("kll_value", "kll", "value", {"k": 200}, value_kind="float"),
+            SketchSpec("td_value", "tdigest", "value", {"delta": 100}, value_kind="float"),
+            SketchSpec("bloom_users", "bloom", "uid_str", {"n": 1_000_000, "p": 1e-2}),
+        ]
+        sk = build_sketches(ds2, specs, batch_size=8192)
+
+        # ---- exact ground truths, all distributed ----
+        from ray.data.aggregate import Count
+
+        exact_d = (
+            ds.map_batches(
+                lambda b: pa.TableGroupBy(b, ["user_id"])
+                .aggregate([([], "count_all")])
+                .select(["user_id"]),
+                batch_format="pyarrow",
+            )
+            .groupby("user_id")
+            .aggregate(Count(alias_name="_c"))
+            .count()
+        )
+        import fever_ray.ops.aggregates as agg_mod
+
+        def type_partial(b: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(b.select(["event_type"]), ["event_type"]).aggregate(
+                [([], "count_all")]
+            )
+            return t.rename_columns(["event_type", "n"])
+
+        tc = pa.concat_tables(
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(type_partial, batch_format="pyarrow"),
+                    ["event_type"],
+                    [("n", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        )
+        tt_names = tc.column("event_type").to_pylist()
+        tt_counts = tc.column("n").to_numpy(zero_copy_only=False)
+        order = sorted(range(len(tt_names)), key=lambda i: (-tt_counts[i], tt_names[i]))
+        top_type, top_count = tt_names[order[0]], int(tt_counts[order[0]])
+        n_events = int(tt_counts.sum())
+
+        exact_med = exact_order_statistic(ds, "value", 0.5)
+
+        # ---- the six bound checks ----
+        import math as _math
+
+        checks: list[tuple[str, float, bool]] = []
+        hll = float(sk["hll_users"].estimate())
+        checks.append(
+            (
+                "hll_distinct_users",
+                float(exact_d),
+                abs(hll - exact_d) <= 3 * 1.04 / _math.sqrt(2**14) * exact_d,
+            )
+        )
+        theta = float(sk["theta_users"].estimate())
+        checks.append(
+            (
+                "theta_distinct_users",
+                float(exact_d),
+                abs(theta - exact_d) <= 3 / _math.sqrt(4096 - 2) * exact_d,
+            )
+        )
+        cms_est = int(sk["cms_types"].query([top_type])[0])
+        checks.append(
+            (
+                "cms_top_event_type",
+                float(top_count),
+                top_count <= cms_est <= top_count + (_math.e / 2048) * n_events,
+            )
+        )
+        for name, sketch, eps in (
+            ("kll_value_median", sk["kll_value"], 0.011),
+            ("tdigest_value_median", sk["td_value"], 0.02),
+        ):
+            est = float(sketch.quantile(0.5))
+            lt, le, n_v = exact_rank_of(ds, "value", est)
+            # the estimate occupies ranks [lt+1, le]; pass if that interval
+            # comes within eps·n of the target rank n/2
+            dist = max(lt + 1 - 0.5 * n_v, 0.5 * n_v - le, 0.0)
+            checks.append((name, float(exact_med), dist <= eps * n_v))
+
+        # ---- bloom membership probes (second streaming pass) ----
+        blob = ray.put(sk["bloom_users"].to_bytes())
+
+        def probe_partial(b: pa.Table) -> pa.Table:
+            from fever_ray.sketches.bloom import BloomFilter
+
+            bf = BloomFilter.from_bytes(ray.get(blob))
+            uid = b.column("uid_str")
+            if isinstance(uid, pa.ChunkedArray):
+                uid = uid.combine_chunks()
+            eid = b.column("event_id")
+            if isinstance(eid, pa.ChunkedArray):
+                eid = eid.combine_chunks()
+            neg = pc.cast(
+                pc.add(pc.cast(eid, pa.int64()), 10**9), pa.string()
+            )
+            fn = int((~bf.check(uid)).sum())
+            fp = int(bf.check(neg).sum())
+            return pa.table(
+                {
+                    "g": pa.array([0], pa.int64()),
+                    "fn": pa.array([fn], pa.int64()),
+                    "fp": pa.array([fp], pa.int64()),
+                    "n": pa.array([b.num_rows], pa.int64()),
+                }
+            )
+
+        pt = pa.concat_tables(
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds2.map_batches(probe_partial, batch_format="pyarrow"),
+                    ["g"],
+                    [("fn", "sum"), ("fp", "sum"), ("n", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        )
+        fn_total = int(pt.column("fn").to_numpy().sum())
+        fp_total = int(pt.column("fp").to_numpy().sum())
+        n_probe = int(pt.column("n").to_numpy().sum())
+        checks.append(
+            (
+                "bloom_users_membership",
+                float(exact_d),
+                fn_total == 0 and fp_total <= 3 * 1e-2 * n_probe,
+            )
+        )
+
+        passed = [(c, v) for c, v, ok in checks if ok]
+        return pa.table(
+            {
+                "check_name": pa.array([c for c, _ in passed], pa.string()),
+                "exact_value": pa.array([v for _, v in passed], pa.float64()),
+            }
+        )
+
     def q_grouped_sketch_per_lang(sf):
         spec = SketchSpec("hll_texts", "hll", "text", {"p": 14})
         out = grouped_estimates(
@@ -1092,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hostname_counts": q_hostname_counts,
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
+        "sketch_error_gate": q_sketch_error_gate,
         "user_overlap_exact": q_user_overlap_exact,
         "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
@@ -2074,6 +2255,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'error') AS DOUBLE) AS n_error_users, "
             "CAST((SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'purchase' "
             " INTERSECT SELECT user_id FROM events WHERE event_type = 'error')) AS DOUBLE) AS n_both"
+        ),
+        # published-error-bound gate: the engine emits a check's row ONLY
+        # when the sketch estimate sits inside its published bound, so the
+        # oracle (which always emits all six exact rows) fails rows_match
+        # on any bound violation, and the exact values themselves are
+        # hash-checked.  Exact values: distinct users, top event-type
+        # count, and the "first rank ≥ 0.5·n" median order statistic —
+        # the same rank rule quantile_length_filter's oracle uses.
+        "sketch_error_gate": (
+            "WITH d AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v FROM events), "
+            "t AS (SELECT CAST(MAX(c) AS DOUBLE) AS v FROM "
+            "(SELECT COUNT(*) AS c FROM events GROUP BY event_type)), "
+            "m AS (SELECT CAST(value AS DOUBLE) AS v FROM "
+            "(SELECT value, row_number() OVER (ORDER BY value) AS rn, "
+            "count(*) OVER () AS n FROM events WHERE value IS NOT NULL) "
+            "WHERE rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)) "
+            "SELECT 'hll_distinct_users' AS check_name, v AS exact_value FROM d "
+            "UNION ALL SELECT 'theta_distinct_users', v FROM d "
+            "UNION ALL SELECT 'bloom_users_membership', v FROM d "
+            "UNION ALL SELECT 'cms_top_event_type', v FROM t "
+            "UNION ALL SELECT 'kll_value_median', v FROM m "
+            "UNION ALL SELECT 'tdigest_value_median', v FROM m"
         ),
         "multimodal_decode": (
             # the decode STUB's metadata is a pure function of payload bytes:

@@ -1,0 +1,199 @@
+"""Distributed EXACT scalar statistics — the ground truth the sketches are
+graded against.
+
+The north-star contract requires each sketch estimate to sit inside its
+published error bound (HLL ±1.04/√m, CMS ε–δ, KLL/t-digest rank error);
+grading that needs exact answers computed at the same scale WITHOUT
+driver-side materialization:
+
+* ``exact_order_statistic`` — the value at 1-based rank ``ceil(q·n)`` of a
+  numeric column, via iterative prefix-histogram refinement over an
+  order-preserving uint64 mapping of the values (the single-column sibling
+  of ``curate._exact_group_hash_select``): each round one tree-merged
+  2^refine_bits histogram narrows the candidate stripe ×2^refine_bits, so
+  a 10^12-row column needs ~4 histogram passes and one bounded collect.
+* ``exact_rank_of`` — (#rows < x, #rows ≤ x) as tree-merged partial sums:
+  turns "is this sketch's quantile within ε·n ranks of q·n" into two
+  integers.
+
+Both stream skinny single-column projections; nothing corpus-sized reaches
+the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+_SIGN = np.uint64(1) << np.uint64(63)
+
+
+def _to_ordered_u64(vals: np.ndarray) -> np.ndarray:
+    """Order-preserving bijection into uint64 (so histogram refinement can
+    bisect on bit prefixes).  float64 uses the IEEE-754 total-order trick
+    (flip all bits of negatives, flip the sign bit of non-negatives);
+    int64 uses offset-binary.  NaNs must be removed by the caller."""
+    if np.issubdtype(vals.dtype, np.floating):
+        b = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+        return np.where(b >> np.uint64(63) == 1, ~b, b | _SIGN)
+    b = np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64)
+    return b ^ _SIGN
+
+
+def _from_ordered_u64(u: np.uint64, floating: bool):
+    """Inverse of ``_to_ordered_u64`` for one scalar."""
+    u = np.uint64(u)
+    if floating:
+        b = ~u if (u & _SIGN) == 0 else u & ~_SIGN
+        return float(np.uint64(b).view(np.float64))
+    return int((u ^ _SIGN).view(np.int64))
+
+
+def exact_order_statistic(
+    ds,
+    col: str,
+    q: float,
+    refine_bits: int = 16,
+    collect_cap: int = 1 << 18,
+    max_levels: int = 4,
+):
+    """EXACT value at 1-based rank ``max(ceil(q·n), 1)`` of ``ds[col]``
+    (nulls and NaNs excluded) — the same "first rank ≥ q·n" rule
+    ``quantile_length_filter``'s oracle mirrors with a window function.
+
+    Distributed shape: one materialized skinny uint64 projection, then
+    ≤ ``max_levels`` tree-merged histogram passes (2^refine_bits buckets,
+    driver state = one cumsum per pass) narrow the stripe holding the
+    target rank; the final stripe (≤ ``collect_cap`` rows, or whatever the
+    level budget reached) is collected and partitioned exactly.  No sort,
+    no full-column driver pull."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    if not 1 <= refine_bits <= 32:
+        raise ValueError(f"refine_bits must be in [1, 32], got {refine_bits}")
+    max_levels = min(max_levels, 64 // refine_bits)
+    import ray
+
+    from .aggregates import tree_groupby
+
+    schema_field = ds.schema().base_schema.field(col)
+    floating = pa.types.is_floating(schema_field.type)
+
+    def project(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.drop_null().to_numpy(zero_copy_only=False)
+        if floating:
+            vals = vals[~np.isnan(vals)]
+        return pa.table({"u": pa.array(_to_ordered_u64(vals), pa.uint64())})
+
+    skinny = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n = skinny.count()
+    if n == 0:
+        raise ValueError(f"exact_order_statistic: no non-null values in {col!r}")
+    rank = max(int(math.ceil(q * n)), 1)
+
+    n_buckets = 1 << refine_bits
+    prefix, cnt, level = 0, n, 0
+    while cnt > collect_cap and level < max_levels:
+        shift = np.uint64(64 - (level + 1) * refine_bits)
+        pshift = np.uint64(64 - level * refine_bits)
+        pref = np.uint64(prefix)
+
+        def hist_partial(batch: pa.Table, _s=shift, _ps=pshift, _p=pref) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            if _ps < 64:  # level > 0: keep only the active stripe
+                u = u[(u >> _ps) == _p]
+            b = ((u >> _s) & np.uint64(n_buckets - 1)).astype(np.int64)
+            uk, uc = np.unique(b, return_counts=True)
+            return pa.table(
+                {"k": pa.array(uk, pa.int64()), "n": pa.array(uc, pa.int64())}
+            )
+
+        hist = pa.concat_tables(
+            t
+            for t in ray.get(
+                tree_groupby(
+                    skinny.map_batches(hist_partial, batch_format="pyarrow"),
+                    ["k"],
+                    [("n", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        )
+        hk = hist.column("k").to_numpy(zero_copy_only=False)
+        hn = hist.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(hk)
+        hk, hn = hk[order], hn[order]
+        cum = np.cumsum(hn)
+        j = int(np.searchsorted(cum, rank))  # first bucket reaching the rank
+        rank -= int(cum[j - 1]) if j else 0
+        cnt = int(hn[j])
+        prefix = (prefix << refine_bits) | int(hk[j])
+        level += 1
+
+    pshift = np.uint64(64 - level * refine_bits)
+    pref = np.uint64(prefix)
+
+    def stripe(batch: pa.Table, _ps=pshift, _p=pref) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        if _ps < 64:
+            u = u[(u >> _ps) == _p]
+        return pa.table({"u": pa.array(u, pa.uint64())})
+
+    parts = [
+        t.column("u").to_numpy(zero_copy_only=False)
+        for t in ray.get(
+            skinny.map_batches(stripe, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    vals = np.concatenate(parts)
+    target = np.partition(vals, rank - 1)[rank - 1]
+    return _from_ordered_u64(target, floating)
+
+
+def exact_rank_of(ds, col: str, x: float) -> tuple[int, int, int]:
+    """(#rows < x, #rows ≤ x, n) over non-null non-NaN values of ``ds[col]``
+    — one streaming pass of per-batch partial sums, tree-combined.  The
+    rank interval a value occupies: [lt+1, le]."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.drop_null().to_numpy(zero_copy_only=False)
+        if np.issubdtype(vals.dtype, np.floating):
+            vals = vals[~np.isnan(vals)]
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "lt": pa.array([int((vals < x).sum())], pa.int64()),
+                "le": pa.array([int((vals <= x).sum())], pa.int64()),
+                "n": pa.array([len(vals)], pa.int64()),
+            }
+        )
+
+    out = pa.concat_tables(
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+                ["g"],
+                [("lt", "sum"), ("le", "sum"), ("n", "sum")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    )
+    lt = int(out.column("lt").to_numpy().sum())
+    le = int(out.column("le").to_numpy().sum())
+    n = int(out.column("n").to_numpy().sum())
+    return lt, le, n
