@@ -927,6 +927,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_pagerank(sf):
+        # integer fixed-point PageRank (3 unrolled iterations, d=85/100)
+        # over a deterministic closed graph on the events users: node u
+        # emits one edge per event, dst = (u·7 + event_id) mod n_users —
+        # pure floor arithmetic both sides, so the oracle (same iterations
+        # as SQL CTEs) is bit-exact; top-20 by (pr DESC, node ASC)
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.ops.graph import pagerank
+
+        ds = _t(sf, "events", ["event_id", "user_id"])
+
+        def user_partial(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"user_id": pa.array(u, pa.int64()),
+                 "c": pa.array(np.ones(len(u), np.int64))}
+            )
+
+        ut = pa.concat_tables(
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(user_partial, batch_format="pyarrow"),
+                    ["user_id"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        )
+        users = ut.column("user_id").to_numpy(zero_copy_only=False)
+        n_users, mn = len(users), int(users.min())
+        nm = ray.put((n_users, mn))
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            nu, m0 = ray.get(nm)
+            u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            e = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"src": pa.array(u, pa.int64()),
+                 "dst": pa.array((u * 7 + e) % nu + m0, pa.int64())}
+            )
+
+        pr = pagerank(
+            ds.map_batches(mk_edges, batch_format="pyarrow"), iterations=3
+        )
+        nodes = pr.column("node").to_numpy(zero_copy_only=False)
+        r = pr.column("rank").to_numpy(zero_copy_only=False)
+        top = np.lexsort((nodes, -r))[:20]
+        return pa.table(
+            {"node": pa.array(nodes[top], pa.int64()),
+             "pr": pa.array(r[top], pa.int64())}
+        )
+
     def q_sketch_error_gate(sf):
         """Published-error-bound gate — the north-star contract ("matches
         each sketch's published error bound") as a driver-checkable row
@@ -1273,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
         "sketch_error_gate": q_sketch_error_gate,
+        "pagerank": q_pagerank,
         "user_overlap_exact": q_user_overlap_exact,
         "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
@@ -2256,6 +2312,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'purchase' "
             " INTERSECT SELECT user_id FROM events WHERE event_type = 'error')) AS DOUBLE) AS n_both"
         ),
+        # integer fixed-point PageRank: same 3 unrolled iterations as
+        # the engine, pure floor arithmetic (// is integer division) —
+        # bit-exact across engines, unlike float PageRank
+        "pagerank": 'WITH st AS (SELECT COUNT(DISTINCT user_id) AS n, MIN(user_id) AS mn FROM events), e AS (SELECT user_id AS src, (user_id * 7 + event_id) % (SELECT n FROM st) + (SELECT mn FROM st) AS dst FROM events), deg AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src), r0 AS (SELECT node, 1000000000000 // (SELECT n FROM st) AS r FROM deg), c1 AS (SELECT e.dst AS node, SUM(r0.r // deg.c) AS s FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r1 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c1.s, 0)) // 100 AS r FROM deg LEFT JOIN c1 ON deg.node = c1.node), c2 AS (SELECT e.dst AS node, SUM(r1.r // deg.c) AS s FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r2 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c2.s, 0)) // 100 AS r FROM deg LEFT JOIN c2 ON deg.node = c2.node), c3 AS (SELECT e.dst AS node, SUM(r2.r // deg.c) AS s FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r3 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c3.s, 0)) // 100 AS r FROM deg LEFT JOIN c3 ON deg.node = c3.node) SELECT node, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20',
         # published-error-bound gate: the engine emits a check's row ONLY
         # when the sketch estimate sits inside its published bound, so the
         # oracle (which always emits all six exact rows) fails rows_match

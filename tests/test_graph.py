@@ -1,0 +1,96 @@
+"""Integer fixed-point PageRank (ops.graph)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fever_ray.ops.graph import pagerank
+
+
+def _local_pagerank(src, dst, iterations, scale=10**12, num=85, den=100):
+    """Driver-side reference of the exact integer update rule."""
+    nodes = np.unique(src)
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    for s in src:
+        deg[idx[int(s)]] += 1
+    n = len(nodes)
+    base = scale // n
+    hold = ((den - num) * base) // den
+    r = np.full(n, base, dtype=np.int64)
+    for _ in range(iterations):
+        share = r // deg
+        s_in = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            s_in[idx[int(d)]] += share[idx[int(s)]]
+        r = hold + (num * s_in) // den
+    return nodes, r
+
+
+def _edges_ds(ray_session, src, dst, parts=4):
+    t = pa.table(
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    )
+    return ray_session.data.from_arrow(t).repartition(parts)
+
+
+def test_pagerank_matches_local_reference(ray_session):
+    rng = np.random.default_rng(11)
+    n = 60
+    src = np.repeat(np.arange(n), 5)
+    dst = (src * 7 + rng.integers(0, 10_000, size=len(src))) % n
+    got = pagerank(_edges_ds(ray_session, src, dst), iterations=3)
+    nodes, want = _local_pagerank(src, dst, 3)
+    np.testing.assert_array_equal(
+        got.column("node").to_numpy(zero_copy_only=False), nodes
+    )
+    np.testing.assert_array_equal(
+        got.column("rank").to_numpy(zero_copy_only=False), want
+    )
+
+
+def test_pagerank_partition_invariant(ray_session):
+    """Floor arithmetic + associative integer sums ⇒ identical ranks under
+    any partitioning of the edge stream."""
+    rng = np.random.default_rng(5)
+    src = np.repeat(np.arange(30), 4)
+    dst = (src + rng.integers(1, 29, size=len(src))) % 30
+    a = pagerank(_edges_ds(ray_session, src, dst, parts=1), iterations=4)
+    b = pagerank(_edges_ds(ray_session, src, dst, parts=7), iterations=4)
+    assert a.equals(b)
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(ray_session):
+    # every node points at node 0; node 0 points at itself
+    src = np.arange(20)
+    dst = np.zeros(20, dtype=np.int64)
+    out = pagerank(_edges_ds(ray_session, src, dst), iterations=3)
+    r = out.column("rank").to_numpy(zero_copy_only=False)
+    nodes = out.column("node").to_numpy(zero_copy_only=False)
+    assert nodes[np.argmax(r)] == 0
+    assert r[np.argmax(r)] > 10 * np.median(r)
+
+
+def test_pagerank_zero_iterations_uniform(ray_session):
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 0])
+    out = pagerank(_edges_ds(ray_session, src, dst), iterations=0)
+    r = out.column("rank").to_numpy(zero_copy_only=False)
+    assert (r == 10**12 // 4).all()
+
+
+def test_pagerank_open_graph_raises(ray_session):
+    # dst 99 never appears as a src → alignment must hard-fail, not skip
+    with pytest.raises(Exception):
+        pagerank(
+            _edges_ds(ray_session, np.array([0, 1]), np.array([1, 99])),
+            iterations=1,
+        )
+
+
+def test_pagerank_empty(ray_session):
+    out = pagerank(
+        _edges_ds(ray_session, np.array([], np.int64), np.array([], np.int64), 1),
+        iterations=2,
+    )
+    assert out.num_rows == 0
