@@ -927,6 +927,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_char_bigram_oov(sf):
+        # CCNet-style language-model-lite quality signal: per-doc character
+        # bigram positions unseen in a reference slice (doc_id % 10 == 0).
+        # Integer counts only — the float ratio is the caller's division
+        from fever_ray.ops.textstats import char_bigram_oov
+
+        docs = _t(sf, "documents", ["doc_id", "text"])
+
+        def mod10(eq: bool):
+            def f(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                hit = ids % 10 == 0
+                return b.filter(pa.array(hit if eq else ~hit))
+
+            return f
+
+        return char_bigram_oov(
+            docs.map_batches(mod10(False), batch_format="pyarrow"),
+            docs.map_batches(mod10(True), batch_format="pyarrow"),
+        )
+
     def q_pagerank(sf):
         # integer fixed-point PageRank (3 unrolled iterations, d=85/100)
         # over a deterministic closed graph on the events users: node u
@@ -1329,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_suite": q_sketch_suite,
         "sketch_error_gate": q_sketch_error_gate,
         "pagerank": q_pagerank,
+        "char_bigram_oov": q_char_bigram_oov,
         "user_overlap_exact": q_user_overlap_exact,
         "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
@@ -2312,6 +2334,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'purchase' "
             " INTERSECT SELECT user_id FROM events WHERE event_type = 'error')) AS DOUBLE) AS n_both"
         ),
+        # bigram OOV vs the doc_id%10==0 reference slice: DISTINCT
+        # bigrams of the slice are the model; per-doc position counts
+        # and OOV counts are pure integers (byte == char on this ASCII
+        # corpus, matching the engine's flat-buffer byte bigrams)
+        "char_bigram_oov": 'WITH bg AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS g FROM (SELECT doc_id, text, unnest(range(1, strlen(text))) AS i FROM documents)), model AS (SELECT DISTINCT g FROM bg WHERE doc_id % 10 = 0), sc AS (SELECT doc_id, COUNT(*) AS nb, SUM(CASE WHEN g IN (SELECT g FROM model) THEN 0 ELSE 1 END) AS no FROM bg WHERE doc_id % 10 != 0 GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams, CAST(COALESCE(sc.no, 0) AS BIGINT) AS n_oov FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.doc_id % 10 != 0',
         # integer fixed-point PageRank: same 3 unrolled iterations as
         # the engine, pure floor arithmetic (// is integer division) —
         # bit-exact across engines, unlike float PageRank

@@ -861,3 +861,92 @@ def doc_top_terms(
         return t
 
     return joined.groupby("dpart").map_groups(rank_part, batch_format="pyarrow")
+
+
+# ------------------------------------------------ bigram OOV quality score
+def _batch_bigram_codes(texts):
+    """(codes uint16 per in-doc bigram position, doc lens in bigrams) —
+    character bigrams as ``byte[i]·256 + byte[i+1]`` over the flat zero-copy
+    buffer, doc-boundary positions masked out.  Byte == character on the
+    ASCII corpora these quality scores target; callers needing full UTF-8
+    should normalize first (``curate.normalize_text``)."""
+    from ..sketches.hashing import _flat_bytes
+
+    buf, starts, lens = _flat_bytes(texts)
+    n_bi = np.maximum(lens - 1, 0)
+    if len(buf) < 2:
+        return np.zeros(0, np.int32), n_bi
+    codes = buf[:-1].astype(np.int32) * 256 + buf[1:]
+    # valid bigram start positions: every byte of a doc except its last
+    # (empty docs own no byte; the buffer's final byte falls off codes[])
+    keep = np.ones(len(buf) - 1, dtype=bool)
+    last = starts[lens > 0] + lens[lens > 0] - 1
+    keep[last[last < len(buf) - 1]] = False
+    return codes[keep], n_bi
+
+
+def char_bigram_oov(ds, ref_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Character-bigram out-of-vocabulary rate — the CCNet-style "does this
+    document look like the reference corpus" quality signal, in exact
+    integer form: per document, (total bigram positions, positions whose
+    bigram never occurs in the reference).  Gibberish / binary junk /
+    wrong-script text scores high n_oov; callers filter on
+    ``n_oov / n_bigrams``.
+
+    Counts stay integers (no float ratio) so the result value-hashes
+    bit-exactly against a SQL mirror.
+
+    Scale shape: the reference model is the DISTINCT bigram set — at most
+    65,536 codes regardless of corpus size — built with per-batch np.unique
+    partials tree-combined, broadcast as a 64 KB boolean table via
+    ``ray.put``; scoring is one vectorized pass (flat-buffer bigram codes,
+    ``np.add.reduceat`` per-doc segment sums).  Nothing shuffles."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        codes, _ = _batch_bigram_codes(batch.column(text_col))
+        uk = np.unique(codes)
+        return pa.table(
+            {"g": pa.array(uk, pa.int32()),
+             "c": pa.array(np.ones(len(uk), np.int64))}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ref_ds.map_batches(
+                    vocab_partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["g"],
+                [("c", "sum")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    lut = np.zeros(65536, dtype=bool)
+    if parts:
+        vocab = pa.concat_tables(parts).column("g").to_numpy(zero_copy_only=False)
+        lut[vocab] = True
+    lut_ref = ray.put(lut)
+
+    def score(batch: pa.Table) -> pa.Table:
+        known = ray.get(lut_ref)
+        codes, n_bi = _batch_bigram_codes(batch.column(text_col))
+        oov = (~known[codes]).astype(np.int64)
+        # per-doc segment sums as prefix-sum differences (empty segments
+        # come out 0 for free, unlike reduceat's repeat-previous quirk)
+        cs = np.concatenate(([0], np.cumsum(oov)))
+        ends = np.cumsum(n_bi)
+        n_oov = cs[ends] - cs[ends - n_bi]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -98,3 +98,34 @@ def test_heavy_ngrams_zipf_matches_bruteforce(ray_session):
         ).take_all()
     ]
     assert got == want and len(got) == 20
+
+
+def test_char_bigram_oov_kernel_and_pipeline(ray_session):
+    """Flat-buffer bigram extraction matches a per-string reference on
+    boundary-heavy layouts (empty docs, len-1 docs, doc joins); OOV counts
+    against a reference corpus are exact integers."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fever_ray.ops.textstats import _batch_bigram_codes, char_bigram_oov
+
+    texts = pa.array(["abc", "", "x", "abzz", "", "qq", None])
+    codes, nbi = _batch_bigram_codes(texts)
+    want = []
+    for t in texts.to_pylist():
+        t = t or ""
+        want += [ord(t[i]) * 256 + ord(t[i + 1]) for i in range(len(t) - 1)]
+    assert codes.tolist() == want
+    assert nbi.tolist() == [2, 0, 0, 3, 0, 1, 0]
+
+    ref = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["the cat sat on a mat"])})
+    )
+    cor = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                  "text": pa.array(["the cat", "zzqq!!", "", "a"])})
+    ).repartition(3)
+    out = {r["doc_id"]: (r["n_bigrams"], r["n_oov"])
+           for r in char_bigram_oov(cor, ref).take_all()}
+    assert out == {10: (6, 0), 11: (5, 5), 12: (0, 0), 13: (0, 0)}
