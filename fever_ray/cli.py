@@ -98,7 +98,10 @@ def cmd_dedup(args) -> int:
     """Full near-dedup over a page table: MinHash-LSH candidates →
     distributed exact-Jaccard verify → connected components; writes the
     (doc_id, cluster_id) map (and optionally the deduplicated corpus —
-    cluster representatives only) as parquet."""
+    cluster representatives only) as parquet.  With ``--cross-ref DIR`` it
+    instead runs the incremental-ingest shape: drop every input page whose
+    text content already exists in the reference table, through the
+    DCSO-bloom prefilter + exact-verify path (``bloom_cross_dedup``)."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -108,8 +111,10 @@ def cmd_dedup(args) -> int:
 
     _init_ray(args.num_cpus)
 
-    def pages():
-        return rd.read_parquet(args.input, columns=["url", "text"]).map_batches(
+    def pages(path=None):
+        return rd.read_parquet(
+            path or args.input, columns=["url", "text"]
+        ).map_batches(
             lambda b: pa.table(
                 {
                     "doc_id": pa.array(
@@ -121,6 +126,25 @@ def cmd_dedup(args) -> int:
             ),
             batch_format="pyarrow",
         )
+
+    if args.cross_ref:
+        from .ops.dedup import bloom_cross_dedup
+
+        survivors = bloom_cross_dedup(
+            pages(), pages(args.cross_ref), p=args.bloom_p
+        ).materialize()
+        n_in = pages().count()
+        n_kept = survivors.count()
+        os.makedirs(args.out, exist_ok=True)
+        sv_dir = os.path.join(args.out, "survivors")
+        survivors.write_parquet(sv_dir)
+        print(json.dumps({
+            "pages_in": n_in,
+            "pages_kept": n_kept,
+            "pages_dropped_as_known": n_in - n_kept,
+            "survivors_out": sv_dir,
+        }))
+        return 0
 
     clusters = minhash_dedup_components(
         pages(), threshold=args.threshold, num_partitions=args.partitions
@@ -208,6 +232,19 @@ def cmd_curate(args) -> int:
     mix = _parse_weights(args.mix) if args.mix else None
     cols = ["url", "text"] + (["lang"] if mix else [])
     ds = rd.read_parquet(args.input, columns=cols)
+    if args.normalize_text:
+        # canonicalize BEFORE any content-keyed step (line dedup, filters)
+        # so visually-identical byte variants share keys; the output corpus
+        # carries the normalized text (explicit opt-in)
+        from .ops.curate import normalize_text
+
+        ds = normalize_text(ds).map_batches(
+            lambda b: b.drop_columns(["text"]).rename_columns(
+                ["text" if c == "text_norm" else c
+                 for c in b.drop_columns(["text"]).column_names]
+            ),
+            batch_format="pyarrow",
+        )
     if (args.sample and args.sample < 1.0) or mix:
         # ids from url hashes: deterministic under re-sharding
         import numpy as np
@@ -419,6 +456,11 @@ def main(argv=None) -> int:
     pd_.add_argument("--partitions", type=int, default=16)
     pd_.add_argument("--write-deduped", dest="write_deduped", action="store_true",
                      help="also write the corpus keeping one doc per cluster")
+    pd_.add_argument("--cross-ref", dest="cross_ref",
+                     help="reference page dir: drop input pages whose text "
+                          "already exists there (bloom-prefiltered exact)")
+    pd_.add_argument("--bloom-p", dest="bloom_p", type=float, default=1e-3,
+                     help="cross-ref prefilter FP rate (exactness unaffected)")
     pd_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pd_.set_defaults(fn=cmd_dedup)
 
@@ -436,6 +478,9 @@ def main(argv=None) -> int:
                      help="drop lines occurring more than N times corpus-wide "
                           "(input urls must be unique — re-crawl dumps with "
                           "repeated urls need an exact dedup first)")
+    pc_.add_argument("--normalize-text", dest="normalize_text", action="store_true",
+                     help="NFC + whitespace canonicalization before any "
+                          "content-keyed step; output carries normalized text")
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
 
