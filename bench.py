@@ -283,6 +283,35 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # incremental-ingest cross dedup: the 1M-page corpus against its own
+    # first shard as the "already ingested" reference — measures the full
+    # bloom build + probe + exact-verify path at corpus scale
+    from fever_ray.ops.dedup import bloom_cross_dedup
+
+    def _first_shard_docs():
+        import glob as _glob
+
+        import pyarrow as pa
+
+        first = sorted(_glob.glob(os.path.join(PAGES_DIR, "*.parquet")))[0]
+        return rd.read_parquet(first, columns=["url", "text"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), type=pa.int64()
+                    ),
+                    "text": b.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    timings["bloom_cross_dedup_pages"] = _timed(
+        lambda: bloom_cross_dedup(
+            _pages_docs(), _first_shard_docs(), p=1e-3
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",

@@ -1320,6 +1320,11 @@ def _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts: int):
     )
 
 
+# per-process probe cache for the stateless-task bloom prefilter (see
+# ops/ioc.py:270 for the pattern rationale)
+_BLOOM_PROBE_CACHE: dict = {}
+
+
 # ------------------------------------------ bloom-prefiltered cross dedup
 def bloom_cross_dedup(
     ds,
@@ -1416,24 +1421,28 @@ def bloom_cross_dedup(
             h = np.ascontiguousarray(h).view(np.uint64)
             bf.add_hashes(h, splitmix64(h))
         bloom = bf
-    blob_ref = ray.put(bloom.to_bytes())
+    bloom_bytes = bloom.to_bytes()
+    blob_ref = ray.put(bloom_bytes)
+    # stateless tasks + per-process content-keyed cache (the ioc-matcher
+    # pattern, ops/ioc.py:270): each worker deserializes the filter on
+    # first touch and reuses it — actor pools pay ~2 s of spin-up that
+    # dwarfs the probe work on short runs, with identical semantics
+    import hashlib
 
-    class Probe:
-        """Actor-pool stage: deserialize the broadcast filter ONCE per
-        actor, probe each skinny batch with one vectorized check_hashes."""
+    cache_key = ("bloom_cross", hashlib.sha1(bloom_bytes).hexdigest())
 
-        def __init__(self):
-            self.bf = BloomFilter.from_bytes(ray.get(blob_ref))
+    def probe(batch: pa.Table) -> pa.Table:
+        bf_ = _BLOOM_PROBE_CACHE.get(cache_key)
+        if bf_ is None:
+            bf_ = BloomFilter.from_bytes(ray.get(blob_ref))
+            _BLOOM_PROBE_CACHE.clear()
+            _BLOOM_PROBE_CACHE[cache_key] = bf_
+        h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+        h = np.ascontiguousarray(h).view(np.uint64)
+        hit = bf_.check_hashes(h, splitmix64(h))
+        return batch.append_column("maybe_dup", pa.array(hit))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            h = batch.column("content_hash").to_numpy(zero_copy_only=False)
-            h = np.ascontiguousarray(h).view(np.uint64)
-            hit = self.bf.check_hashes(h, splitmix64(h))
-            return batch.append_column("maybe_dup", pa.array(hit))
-
-    probed = skinny.map_batches(
-        Probe, batch_format="pyarrow", concurrency=(1, 8)
-    ).materialize()
+    probed = skinny.map_batches(probe, batch_format="pyarrow").materialize()
 
     def keep_clear(b: pa.Table) -> pa.Table:
         return b.filter(pc.invert(b.column("maybe_dup"))).select(
