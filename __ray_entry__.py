@@ -927,6 +927,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_interval_join(sf):
+        # set-valued event-time range join: every error within the hour
+        # AFTER each purchase by the same user; integer-microsecond delta,
+        # inclusive bounds both sides
+        from fever_ray.ops.windows import interval_join
+
+        ev = _t(sf, "events", ["event_id", "ts", "user_id", "event_type"])
+
+        def typed(kind):
+            def f(b):
+                m = pc.equal(b.column("event_type"), kind)
+                return b.filter(m).select(["event_id", "ts", "user_id"])
+
+            return f
+
+        out = interval_join(
+            ev.map_batches(typed("purchase"), batch_format="pyarrow"),
+            ev.map_batches(typed("error"), batch_format="pyarrow"),
+            key="user_id",
+            lo=0,
+            hi=3_600_000_000,
+        )
+
+        def project(b: pa.Table) -> pa.Table:
+            lts = b.column("ts").combine_chunks() if isinstance(
+                b.column("ts"), pa.ChunkedArray) else b.column("ts")
+            rts = b.column("r_ts").combine_chunks() if isinstance(
+                b.column("r_ts"), pa.ChunkedArray) else b.column("r_ts")
+            delta = pc.subtract(
+                pc.cast(rts, pa.int64()), pc.cast(lts, pa.int64())
+            )
+            return pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "l_event": b.column("event_id"),
+                    "r_event": b.column("r_event_id"),
+                    "delta_us": delta,
+                }
+            )
+
+        return out.map_batches(project, batch_format="pyarrow")
+
     def q_char_bigram_oov(sf):
         # CCNet-style language-model-lite quality signal: per-doc character
         # bigram positions unseen in a reference slice (doc_id % 10 == 0).
@@ -1351,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_error_gate": q_sketch_error_gate,
         "pagerank": q_pagerank,
         "char_bigram_oov": q_char_bigram_oov,
+        "interval_join": q_interval_join,
         "user_overlap_exact": q_user_overlap_exact,
         "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
@@ -2334,6 +2377,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'purchase' "
             " INTERSECT SELECT user_id FROM events WHERE event_type = 'error')) AS DOUBLE) AS n_both"
         ),
+        # set-valued range join, inclusive bounds — BETWEEN mirrors the
+        # engine's searchsorted left/right pair exactly
+        "interval_join": "SELECT l.user_id, l.event_id AS l_event, r.event_id AS r_event, epoch_us(r.ts) - epoch_us(l.ts) AS delta_us FROM events l JOIN events r ON l.user_id = r.user_id AND l.event_type = 'purchase' AND r.event_type = 'error' AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR",
         # bigram OOV vs the doc_id%10==0 reference slice: DISTINCT
         # bigrams of the slice are the model; per-doc position counts
         # and OOV counts are pure integers (byte == char on this ASCII

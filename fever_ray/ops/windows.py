@@ -303,3 +303,177 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
 
     both = left_t.union(right_t)
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+# ------------------------------------------------------------ interval join
+def interval_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts_col: str = "ts",
+    lo: int = 0,
+    hi: int = 0,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    n_buckets: int = 16,
+):
+    """Event-time range join: for each left row, EVERY right row sharing
+    ``key`` with ``right.ts − left.ts ∈ [lo, hi]`` microseconds (inclusive
+    both ends) — the "context events within Δ of a trigger" shape the
+    reference's flow-context cache serves point-wise
+    (/root/reference/processing/context_collector.go), generalized to a
+    set-valued window.  Complements ``asof_join`` (nearest single match).
+
+    Output: left columns + right value columns prefixed ``r_`` (+ ``r_ts``)
+    — one row per qualifying (left, right) pair.
+
+    Implementation: hash-bucket both sides on ``key``, union with a side
+    tag, co-group per bucket; inside a bucket both sides sort by
+    (key-code, ts) once, then per key-run TWO vectorized ``searchsorted``
+    calls bound each left row's right-match span and one repeat/cumsum
+    range expansion materializes all pairs — no per-row Python, the only
+    Python loop is per DISTINCT KEY in the bucket (the coarse-partition +
+    vectorized-runs posture of the dedup family).  Partitioning
+    assumption: one bucket's rows fit a worker; size ``n_buckets`` so
+    rows/bucket is bounded and salt hot keys upstream if needed.
+    """
+    from ..sketches.hashing import hash64, hash64_ints
+
+    if lo > hi:
+        raise ValueError(f"interval_join: lo ({lo}) > hi ({hi})")
+
+    def _bucket_of(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            h = hash64_ints(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            h = hash64(col)
+        return (h % np.uint64(n_buckets)).astype(np.int32)
+
+    lschema = left_ds.schema().base_schema
+    rschema = right_ds.schema().base_schema
+    l_cols = left_cols or list(lschema.names)
+    if key not in l_cols:
+        l_cols = [key] + l_cols
+    if ts_col not in l_cols:
+        l_cols = l_cols + [ts_col]
+    r_cols = right_cols or list(rschema.names)
+    if key not in r_cols:
+        r_cols = [key] + r_cols
+    if ts_col not in r_cols:
+        r_cols = r_cols + [ts_col]
+    r_value_cols = [c for c in r_cols if c != key]
+
+    types = {f.name: f.type for f in lschema}
+    for f in rschema:
+        types.setdefault(f.name, f.type)
+    out_names = l_cols + [f"r_{c}" for c in r_value_cols]
+    out_types = {**{c: types[c] for c in l_cols},
+                 **{f"r_{c}": types[c] for c in r_value_cols}}
+    union_names = sorted(set(out_names))
+
+    def tag(side: str, cols: list[str], rename_r: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(cols)
+            if rename_r:
+                batch = batch.rename_columns(
+                    [c if c == key else f"r_{c}" for c in batch.column_names]
+                )
+            b = _bucket_of(batch.column(key))
+            for name in union_names:
+                if name not in batch.column_names:
+                    batch = batch.append_column(
+                        name, pa.nulls(batch.num_rows, out_types[name])
+                    )
+            batch = batch.select(union_names)
+            batch = batch.append_column("__bucket", pa.array(b, pa.int32()))
+            return batch.append_column(
+                "__side", pa.array([side] * batch.num_rows)
+            )
+
+        return fn
+
+    left_t = left_ds.map_batches(tag("l", l_cols, False), batch_format="pyarrow")
+    right_t = right_ds.map_batches(tag("r", r_cols, True), batch_format="pyarrow")
+
+    empty = pa.table(
+        {c: pa.nulls(0, out_types[c]) for c in out_names}
+    )
+
+    def _ts_i64(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        a = col.to_numpy(zero_copy_only=False)
+        return a.view(np.int64) if a.dtype.kind == "M" else a.astype(np.int64)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lt = g.filter(pc.equal(side, "l"))
+        rt = g.filter(pc.equal(side, "r"))
+        if not lt.num_rows or not rt.num_rows:
+            return empty
+        keys = pa.concat_arrays(
+            [
+                lt.column(key).combine_chunks().cast(pa.string())
+                if pa.types.is_string(lschema.field(key).type)
+                else lt.column(key).combine_chunks(),
+                rt.column(key).combine_chunks().cast(pa.string())
+                if pa.types.is_string(lschema.field(key).type)
+                else rt.column(key).combine_chunks(),
+            ]
+        )
+        codes = pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False)
+        nl = lt.num_rows
+        lc, rc = codes[:nl].astype(np.int64), codes[nl:].astype(np.int64)
+        lts = _ts_i64(lt.column(ts_col))
+        rts = _ts_i64(rt.column(f"r_{ts_col}"))  # right cols carry the r_ prefix
+        lorder = np.lexsort((lts, lc))
+        rorder = np.lexsort((rts, rc))
+        lc, lts = lc[lorder], lts[lorder]
+        rc, rts = rc[rorder], rts[rorder]
+
+        los = np.zeros(nl, dtype=np.int64)
+        his = np.zeros(nl, dtype=np.int64)
+        run_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(lc) != 0) + 1, [nl])
+        )
+        for a, b in zip(run_starts[:-1], run_starts[1:]):
+            cs = int(np.searchsorted(rc, lc[a]))
+            ce = int(np.searchsorted(rc, lc[a], side="right"))
+            blk = rts[cs:ce]
+            los[a:b] = cs + np.searchsorted(blk, lts[a:b] + lo, side="left")
+            his[a:b] = cs + np.searchsorted(blk, lts[a:b] + hi, side="right")
+        counts = his - los
+        tot = int(counts.sum())
+        if tot == 0:
+            return empty
+        li = np.repeat(np.arange(nl, dtype=np.int64), counts)
+        offs = np.zeros(nl + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        ri = np.ones(tot, dtype=np.int64)
+        # seed with row 0's span start even when its count is 0: the
+        # boundary deltas telescope through zero-count rows (np.add.at
+        # stacks multiple boundaries on one index), exactly as in
+        # trainprep._gather_byte_ranges
+        ri[0] = los[0]
+        nz = offs[1:-1]
+        keep = nz < tot
+        deltas = (los[1:] - (los[:-1] + counts[:-1]))
+        np.add.at(ri, nz[keep], deltas[keep])
+        np.cumsum(ri, out=ri)
+
+        l_take = pa.array(lorder[li], pa.int64())
+        r_take = pa.array(rorder[ri], pa.int64())
+        cols = {}
+        for c in l_cols:
+            cols[c] = pc.take(lt.column(c), l_take)
+        for c in r_value_cols:
+            cols[f"r_{c}"] = pc.take(rt.column(f"r_{c}"), r_take)
+        return pa.table(cols)
+
+    return (
+        left_t.union(right_t)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

@@ -62,3 +62,65 @@ def test_hopping_window_ignores_payload_columns(rd):
         for r in hopping_window(ds, size_s=3600, step_s=900).take_all()
     )
     assert canon(slim) == canon(wide) and len(canon(slim)) > 0
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    """Every (left, right) pair with same key and right.ts − left.ts in
+    [lo, hi] inclusive — checked pair-exactly against an all-pairs
+    reference, across partitionings, with negative lo and zero-count
+    left rows interleaved."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fever_ray.ops.windows import interval_join
+
+    rng = np.random.default_rng(42)
+    nl, nr = 300, 500
+    lk = rng.integers(0, 9, nl)
+    rk = rng.integers(0, 11, nr)  # some right keys never match
+    lt = rng.integers(0, 5_000, nl)
+    rt = rng.integers(0, 5_000, nr)
+    left = pa.table({"k": pa.array(lk, pa.int64()), "ts": pa.array(lt, pa.int64()),
+                     "lid": pa.array(np.arange(nl), pa.int64())})
+    right = pa.table({"k": pa.array(rk, pa.int64()), "ts": pa.array(rt, pa.int64()),
+                      "rid": pa.array(np.arange(nr), pa.int64())})
+    lo, hi = -40, 250
+    want = sorted(
+        (int(i), int(j))
+        for i in range(nl)
+        for j in range(nr)
+        if lk[i] == rk[j] and lo <= rt[j] - lt[i] <= hi
+    )
+    for lparts, rparts in ((1, 1), (5, 3)):
+        out = interval_join(
+            ray_session.data.from_arrow(left).repartition(lparts),
+            ray_session.data.from_arrow(right).repartition(rparts),
+            key="k", lo=lo, hi=hi, n_buckets=4,
+        ).take_all()
+        got = sorted((r["lid"], r["r_rid"]) for r in out)
+        assert got == want, (lparts, rparts, len(got), len(want))
+    assert len(want) > 100  # the fixture exercises real fan-out
+
+
+def test_interval_join_string_keys_and_empty(ray_session):
+    import pyarrow as pa
+
+    from fever_ray.ops.windows import interval_join
+
+    left = pa.table({"k": pa.array(["a", "b"]), "ts": pa.array([10, 20], pa.int64()),
+                     "lid": pa.array([1, 2], pa.int64())})
+    right = pa.table({"k": pa.array(["a", "a", "c"]),
+                      "ts": pa.array([12, 300, 11], pa.int64()),
+                      "rid": pa.array([7, 8, 9], pa.int64())})
+    out = interval_join(
+        ray_session.data.from_arrow(left),
+        ray_session.data.from_arrow(right),
+        key="k", lo=0, hi=5,
+    ).take_all()
+    assert [(r["lid"], r["r_rid"], r["r_ts"]) for r in out] == [(1, 7, 12)]
+    none = interval_join(
+        ray_session.data.from_arrow(left),
+        ray_session.data.from_arrow(right.slice(0, 0)),
+        key="k", lo=0, hi=5,
+    ).take_all()
+    assert none == []
