@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fever_ray.ops.curate import (
         curation_filter,
         domain_cap,
+        grouped_order_statistic,
         hash_sample,
         mixture_sample,
         normalize_text,
@@ -373,6 +374,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["en", "de", "fr"],
             seed=29,
             key_col="lang",
+        )
+
+    def q_group_percentiles(sf):
+        # exact per-priority p50/p90 order statistics of o_totalprice via
+        # the prefix-histogram walk — no sort shuffle, element-exact so the
+        # float values hash-match the oracle's ROW_NUMBER pick bit-for-bit
+        return grouped_order_statistic(
+            _t(sf, "orders", ["o_orderpriority", "o_totalprice"]),
+            "o_orderpriority",
+            "o_totalprice",
+            qs=[(1, 2), (9, 10)],
+            out_cols=["p50_price", "p90_price"],
         )
 
     def q_normalize_urls(sf):
@@ -1355,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "pack_sequences": q_pack_sequences,
         "per_group_sample": q_per_group_sample,
+        "group_percentiles": q_group_percentiles,
         "normalize_urls": q_normalize_urls,
         "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
@@ -2036,6 +2050,22 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
         "per_group_sample": _per_group_sample_sql(12, ["en", "de", "fr"], 29),
+        # type-1 discrete quantile = value at ROW_NUMBER rank ceil(q*n);
+        # ROW_NUMBER is unique so exactly one row matches each rank, and the
+        # VALUE at that rank is tie-invariant
+        "group_percentiles": (
+            "WITH r AS (SELECT o_orderpriority, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice) AS rk, "
+            "COUNT(*) OVER (PARTITION BY o_orderpriority) AS n "
+            "FROM orders WHERE o_totalprice IS NOT NULL) "
+            "SELECT o_orderpriority, "
+            "MAX(CASE WHEN rk = (n * 1 + 2 - 1) // 2 THEN o_totalprice END) "
+            "AS p50_price, "
+            "MAX(CASE WHEN rk = (n * 9 + 10 - 1) // 10 THEN o_totalprice END) "
+            "AS p90_price "
+            "FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
         "normalize_urls": _normalize_urls_sql(),
         # same messy synthesis as the engine (decomposed e+U+0301 prefix,
         # tab-padded odd-row suffix); nfc_normalize is utf8proc on both

@@ -47,6 +47,7 @@ __all__ = [
     "repeat_corpus",
     "normalize_urls",
     "per_group_sample",
+    "grouped_order_statistic",
 ]
 
 
@@ -516,6 +517,127 @@ def mixture_sample(
     )
 
 
+def _grouped_kth_smallest(
+    skinny,
+    k_per: "np.ndarray",
+    n_per: "np.ndarray",
+    refine_bits: int,
+    collect_cap: int,
+    max_levels: int,
+) -> "np.ndarray":
+    """EXACT ``k_per[i]``-th smallest ``h`` per code ``i`` over a
+    materialized skinny (``code`` int32, ``h`` uint64) dataset, by the
+    iterative prefix-histogram refinement documented on ``mixture_sample``.
+    Returns uint64 thresholds: groups with ``k >= n`` get the max uint64
+    (keep-all), groups with ``k <= 0`` get 0 and are the caller's problem
+    (mask with ``k_per > 0``).  Shared by the hash-selection samplers and
+    ``grouped_order_statistic`` — the histogram walk never sees WHAT the
+    uint64 means (id hash vs order-mapped value)."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    max_levels = min(max_levels, 64 // refine_bits)
+    n_names = len(n_per)
+    # Per-source exact k-th smallest hash by prefix-histogram refinement.
+    # State per source: hash-prefix of the active stripe, remaining 1-based
+    # rank within it, and the stripe's row count.
+    thr = np.zeros(n_names, dtype=np.uint64)  # keep h <= thr
+    keep_any = k_per > 0
+    full = k_per >= n_per  # keep-all sources need no refinement
+    thr[full] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    active = [i for i in range(n_names) if keep_any[i] and not full[i]]
+    prefix = {i: 0 for i in active}  # high-bit prefix value at current level
+    rank = {i: int(k_per[i]) for i in active}
+    cnt = {i: int(n_per[i]) for i in active}
+    level = 0
+    n_buckets = 1 << refine_bits
+
+    while active and level < max_levels and sum(cnt[i] for i in active) > collect_cap:
+        shift = np.uint64(64 - (level + 1) * refine_bits)
+        pshift = np.uint64(64 - level * refine_bits)
+        pref_arr = np.zeros(n_names, dtype=np.uint64)
+        act_mask = np.zeros(n_names, dtype=bool)
+        for i in active:
+            pref_arr[i] = prefix[i]
+            act_mask[i] = True
+        amask_ref = ray.put((act_mask, pref_arr))
+
+        def hist_partial(batch: pa.Table, _s=shift, _ps=pshift) -> pa.Table:
+            am, pf = ray.get(amask_ref)
+            code = batch.column("code").to_numpy(zero_copy_only=False)
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            sel = am[code]
+            if _ps < 64:  # level > 0: row must sit in its source's stripe
+                sel &= (h >> _ps) == pf[code]
+            code, h = code[sel], h[sel]
+            b = ((h >> _s) & np.uint64(n_buckets - 1)).astype(np.int64)
+            key = code.astype(np.int64) * n_buckets + b
+            uk, uc = np.unique(key, return_counts=True)
+            return pa.table(
+                {"k": pa.array(uk, pa.int64()), "n": pa.array(uc, pa.int64())}
+            )
+
+        hist = pa.concat_tables(
+            ray.get(
+                tree_groupby(
+                    skinny.map_batches(hist_partial, batch_format="pyarrow"),
+                    ["k"],
+                    [("n", "sum")],
+                ).to_arrow_refs()
+            )
+        )
+        hk = hist.column("k").to_numpy(zero_copy_only=False)
+        hn = hist.column("n").to_numpy(zero_copy_only=False)
+        for i in list(active):
+            sel = (hk // n_buckets) == i
+            bk, bn = hk[sel] % n_buckets, hn[sel]
+            order = np.argsort(bk)
+            bk, bn = bk[order], bn[order]
+            cum = np.cumsum(bn)
+            j = int(np.searchsorted(cum, rank[i]))  # first bucket reaching rank
+            rank[i] -= int(cum[j - 1]) if j else 0
+            cnt[i] = int(bn[j])
+            prefix[i] = (prefix[i] << refine_bits) | int(bk[j])
+        level += 1
+
+    if active:  # collect the boundary stripes and partition exactly
+        shift = np.uint64(64 - level * refine_bits)
+        pref_arr = np.zeros(n_names, dtype=np.uint64)
+        act_mask = np.zeros(n_names, dtype=bool)
+        for i in active:
+            pref_arr[i] = prefix[i]
+            act_mask[i] = True
+        amask_ref = ray.put((act_mask, pref_arr))
+
+        def stripe(batch: pa.Table, _s=shift) -> pa.Table:
+            am, pf = ray.get(amask_ref)
+            code = batch.column("code").to_numpy(zero_copy_only=False)
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            sel = am[code]
+            if _s < 64:
+                sel &= (h >> _s) == pf[code]
+            return pa.table(
+                {
+                    "code": pa.array(code[sel], pa.int32()),
+                    "h": pa.array(h[sel], pa.uint64()),
+                }
+            )
+
+        st = pa.concat_tables(
+            ray.get(
+                skinny.map_batches(stripe, batch_format="pyarrow").to_arrow_refs()
+            )
+        )
+        sc = st.column("code").to_numpy(zero_copy_only=False)
+        sh = st.column("h").to_numpy(zero_copy_only=False)
+        for i in active:
+            hs = sh[sc == i]
+            thr[i] = np.partition(hs, rank[i] - 1)[rank[i] - 1]
+
+    return thr
+
+
 def _exact_group_hash_select(
     ds,
     names: list,
@@ -584,102 +706,10 @@ def _exact_group_hash_select(
         )
     k_per = np.minimum(np.asarray(k_of_n(n_per), dtype=np.int64), n_per)
 
-    # Per-source exact k-th smallest hash by prefix-histogram refinement.
-    # State per source: hash-prefix of the active stripe, remaining 1-based
-    # rank within it, and the stripe's row count.
-    thr = np.zeros(len(names), dtype=np.uint64)  # keep h <= thr
+    thr = _grouped_kth_smallest(
+        skinny, k_per, n_per, refine_bits, collect_cap, max_levels
+    )
     keep_any = k_per > 0
-    full = k_per >= n_per  # keep-all sources need no refinement
-    thr[full] = np.uint64(0xFFFFFFFFFFFFFFFF)
-    active = [i for i in range(len(names)) if keep_any[i] and not full[i]]
-    prefix = {i: 0 for i in active}  # high-bit prefix value at current level
-    rank = {i: int(k_per[i]) for i in active}
-    cnt = {i: int(n_per[i]) for i in active}
-    level = 0
-    n_buckets = 1 << refine_bits
-
-    while active and level < max_levels and sum(cnt[i] for i in active) > collect_cap:
-        shift = np.uint64(64 - (level + 1) * refine_bits)
-        pshift = np.uint64(64 - level * refine_bits)
-        pref_arr = np.zeros(len(names), dtype=np.uint64)
-        act_mask = np.zeros(len(names), dtype=bool)
-        for i in active:
-            pref_arr[i] = prefix[i]
-            act_mask[i] = True
-        amask_ref = ray.put((act_mask, pref_arr))
-
-        def hist_partial(batch: pa.Table, _s=shift, _ps=pshift) -> pa.Table:
-            am, pf = ray.get(amask_ref)
-            code = batch.column("code").to_numpy(zero_copy_only=False)
-            h = batch.column("h").to_numpy(zero_copy_only=False)
-            sel = am[code]
-            if _ps < 64:  # level > 0: row must sit in its source's stripe
-                sel &= (h >> _ps) == pf[code]
-            code, h = code[sel], h[sel]
-            b = ((h >> _s) & np.uint64(n_buckets - 1)).astype(np.int64)
-            key = code.astype(np.int64) * n_buckets + b
-            uk, uc = np.unique(key, return_counts=True)
-            return pa.table(
-                {"k": pa.array(uk, pa.int64()), "n": pa.array(uc, pa.int64())}
-            )
-
-        hist = pa.concat_tables(
-            ray.get(
-                tree_groupby(
-                    skinny.map_batches(hist_partial, batch_format="pyarrow"),
-                    ["k"],
-                    [("n", "sum")],
-                ).to_arrow_refs()
-            )
-        )
-        hk = hist.column("k").to_numpy(zero_copy_only=False)
-        hn = hist.column("n").to_numpy(zero_copy_only=False)
-        for i in list(active):
-            sel = (hk // n_buckets) == i
-            bk, bn = hk[sel] % n_buckets, hn[sel]
-            order = np.argsort(bk)
-            bk, bn = bk[order], bn[order]
-            cum = np.cumsum(bn)
-            j = int(np.searchsorted(cum, rank[i]))  # first bucket reaching rank
-            rank[i] -= int(cum[j - 1]) if j else 0
-            cnt[i] = int(bn[j])
-            prefix[i] = (prefix[i] << refine_bits) | int(bk[j])
-        level += 1
-
-    if active:  # collect the boundary stripes and partition exactly
-        shift = np.uint64(64 - level * refine_bits)
-        pref_arr = np.zeros(len(names), dtype=np.uint64)
-        act_mask = np.zeros(len(names), dtype=bool)
-        for i in active:
-            pref_arr[i] = prefix[i]
-            act_mask[i] = True
-        amask_ref = ray.put((act_mask, pref_arr))
-
-        def stripe(batch: pa.Table, _s=shift) -> pa.Table:
-            am, pf = ray.get(amask_ref)
-            code = batch.column("code").to_numpy(zero_copy_only=False)
-            h = batch.column("h").to_numpy(zero_copy_only=False)
-            sel = am[code]
-            if _s < 64:
-                sel &= (h >> _s) == pf[code]
-            return pa.table(
-                {
-                    "code": pa.array(code[sel], pa.int32()),
-                    "h": pa.array(h[sel], pa.uint64()),
-                }
-            )
-
-        st = pa.concat_tables(
-            ray.get(
-                skinny.map_batches(stripe, batch_format="pyarrow").to_arrow_refs()
-            )
-        )
-        sc = st.column("code").to_numpy(zero_copy_only=False)
-        sh = st.column("h").to_numpy(zero_copy_only=False)
-        for i in active:
-            hs = sh[sc == i]
-            thr[i] = np.partition(hs, rank[i] - 1)[rank[i] - 1]
-
     thr_ref = ray.put((thr, keep_any))
 
     def final_filter(batch: pa.Table) -> pa.Table:
@@ -927,3 +957,198 @@ def normalize_text(
         return batch.append_column(out_col, out)
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------ exact grouped percentiles
+_ORD_SIGN = np.uint64(1) << np.uint64(63)
+
+
+def _ord_encode(v: np.ndarray) -> np.ndarray:
+    """Order-preserving uint64 code for int/uint/float values:
+    ``a < b  <=>  encode(a) < encode(b)`` (unsigned compare).  Integers
+    flip the sign bit; floats use the IEEE-754 total-order map (negative
+    values bit-complemented, non-negatives get the sign bit set), under
+    which -0.0 orders just below +0.0 and the inverse map reproduces the
+    exact input bits.  NaNs must be filtered by the caller."""
+    if v.dtype.kind == "u":
+        return v.astype(np.uint64)
+    if v.dtype.kind == "i":
+        return v.astype(np.int64).view(np.uint64) ^ _ORD_SIGN
+    if v.dtype.kind == "f":
+        u = v.astype(np.float64).view(np.uint64)
+        return np.where((u & _ORD_SIGN) != 0, ~u, u | _ORD_SIGN)
+    raise TypeError(f"unsupported value dtype {v.dtype} (need int/uint/float)")
+
+
+def _ord_decode(u: np.ndarray, kind: str) -> np.ndarray:
+    """Inverse of ``_ord_encode`` (kind ∈ {'u','i','f'})."""
+    u = np.ascontiguousarray(u, dtype=np.uint64)
+    if kind == "u":
+        return u
+    if kind == "i":
+        return (u ^ _ORD_SIGN).view(np.int64)
+    if kind == "f":
+        return np.where((u & _ORD_SIGN) != 0, u ^ _ORD_SIGN, ~u).view(np.float64)
+    raise TypeError(f"unsupported kind {kind!r}")
+
+
+def grouped_order_statistic(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: list = ((1, 2),),
+    out_cols: list | None = None,
+    refine_bits: int = 16,
+    collect_cap: int = 2_000_000,
+    max_levels: int = 4,
+) -> pa.Table:
+    """EXACT per-group discrete quantiles WITHOUT a sort shuffle.
+
+    For each distinct ``key_col`` value with ``n`` valid rows and each
+    rational quantile ``q = num/den`` in ``qs``, returns the
+    ``ceil(q*n)``-th smallest ``value_col`` element — the type-1 discrete
+    quantile, always an actual element of the group (never interpolated),
+    so the result is bit-identical to any exact engine's k-th order
+    statistic (SQL mirror: ``row_number() OVER (PARTITION BY key ORDER BY
+    val) = (n*num + den - 1) // den``).
+
+    How it scales: values map to order-preserving uint64 codes
+    (``_ord_encode``) — stored sign-bit-biased as int64 so Arrow's signed
+    min/max/shuffle agree with encode order — one skinny (code, h)
+    projection is materialized, and each quantile reuses the exact
+    samplers' iterative prefix-histogram refinement
+    (``_grouped_kth_smallest``): per level ONE vectorized histogram pass
+    over 16-byte rows, the driver holding only #groups × 2^refine_bits
+    counters.  A grouped exact median over 10^12 rows is ~``max_levels``
+    cheap passes — no global ``sort``, no per-group materialization.
+    Group cardinality must be bounded (one counter row per group on the
+    driver), the same contract as ``tree_groupby``.
+
+    Null keys/values (and float NaNs) are dropped; groups with no valid
+    rows are absent.  Output: one row per group, sorted by key, columns
+    ``[key_col] + out_cols`` (default names ``q{num}_{den}``), value
+    column in the input's exact dtype.
+
+    This generalizes the reference's streaming percentile reporting
+    (/root/reference/processing/event_profiler.go keeps per-tag latency
+    tallies) — exact, grouped, and distributed.
+    """
+    import ray
+
+    from .aggregates import tree_groupby
+
+    qs = [(int(n), int(d)) for n, d in qs]
+    for num, den in qs:
+        if not 0 < num <= den:
+            raise ValueError(f"quantile must satisfy 0 < num <= den, got {num}/{den}")
+    if out_cols is None:
+        out_cols = [f"q{num}_{den}" for num, den in qs]
+    if len(out_cols) != len(qs):
+        raise ValueError("out_cols must match qs length")
+
+    schema = ds.schema()
+    vtype = schema.types[schema.names.index(value_col)]
+    if not isinstance(vtype, pa.DataType):
+        # pandas-block datasets surface numpy / pandas-extension dtypes (or
+        # None for extension arrays) — probe one Arrow row for the real type
+        try:
+            vtype = pa.from_numpy_dtype(getattr(vtype, "numpy_dtype", vtype))
+        except (TypeError, ValueError):
+            probe = ds.limit(1).take_batch(1, batch_format="pyarrow")
+            vtype = probe.schema.field(value_col).type
+    if pa.types.is_floating(vtype):
+        kind = "f"
+    elif pa.types.is_unsigned_integer(vtype):
+        kind = "u"
+    elif pa.types.is_integer(vtype):
+        kind = "i"
+    else:
+        raise TypeError(f"value column {value_col!r} must be numeric, got {vtype}")
+
+    canon = {"f": pa.float64(), "i": pa.int64(), "u": pa.uint64()}[kind]
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        # canonical cast so the encode map always matches `kind`, whatever
+        # width (or pandas-extension detour) the batch arrived with
+        vals = pc.cast(batch.column(value_col), canon)
+        valid = pc.and_kleene(pc.is_valid(keys), pc.is_valid(vals))
+        if kind == "f":
+            valid = pc.and_kleene(
+                valid, pc.invert(pc.is_nan(pc.fill_null(vals, 0.0)))
+            )
+        valid = pc.fill_null(valid, False)
+        keys = pc.filter(keys, valid)
+        v = pc.filter(vals, valid)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        h = _ord_encode(v.to_numpy(zero_copy_only=False))
+        # sign-bit bias: signed(h ^ SIGN) preserves unsigned encode order,
+        # so the int64 column Ray can move still min/maxes correctly
+        hs = (h ^ _ORD_SIGN).view(np.int64)
+        return pa.table({"key": keys, "h": pa.array(hs, pa.int64())})
+
+    skinny1 = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch, ["key"]).aggregate(
+            [([], "count_all"), ("h", "max")]
+        )
+        return t.rename_columns(["key", "n", "mx"])
+
+    counts = pa.concat_tables(
+        ray.get(
+            tree_groupby(
+                skinny1.map_batches(count_partial, batch_format="pyarrow"),
+                ["key"],
+                [("n", "sum"), ("mx", "max")],
+            ).to_arrow_refs()
+        )
+    )
+    if not counts.num_rows:
+        ktype = schema.types[schema.names.index(key_col)]
+        empty = {key_col: pa.array([], ktype)}
+        for c in out_cols:
+            empty[c] = pa.array([], vtype)
+        return pa.table(empty)
+    counts = counts.sort_by("key")
+    names_arr = counts.column("key").combine_chunks()
+    n_per = counts.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    max_u = (
+        counts.column("mx").to_numpy(zero_copy_only=False).view(np.uint64)
+        ^ _ORD_SIGN
+    )
+
+    def to_codes(batch: pa.Table, _na=names_arr) -> pa.Table:
+        hs = batch.column("h").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "code": pc.index_in(batch.column("key"), value_set=_na).cast(
+                    pa.int32()
+                ),
+                "h": pa.array(hs.view(np.uint64) ^ _ORD_SIGN, pa.uint64()),
+            }
+        )
+
+    skinny = skinny1.map_batches(to_codes, batch_format="pyarrow").materialize()
+
+    out = {key_col: names_arr}
+    for (num, den), col in zip(qs, out_cols):
+        k_per = (n_per * num + den - 1) // den
+        k_per = np.minimum(np.maximum(k_per, 1), n_per)
+        need_walk = k_per < n_per
+        thr = _grouped_kth_smallest(
+            skinny,
+            np.where(need_walk, k_per, 0),  # k<=0 groups skipped by the walk
+            n_per,
+            refine_bits,
+            collect_cap,
+            max_levels,
+        )
+        thr = thr.copy()
+        thr[~need_walk] = max_u[~need_walk]  # k == n: the group max, exactly
+        vals = _ord_decode(thr, kind)
+        out[col] = pa.array(vals).cast(vtype)
+    return pa.table(out)

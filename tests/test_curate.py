@@ -344,3 +344,108 @@ def test_normalize_text_duckdb_mirror(ray_session):
             [v],
         ).fetchone()
         assert g == want, (v.encode(), g.encode(), want.encode())
+
+
+def test_grouped_order_statistic_exact(ray_session):
+    """Exact per-group type-1 quantiles vs a numpy sort truth — negatives,
+    heavy ties, nulls, NaNs, int and float columns, deep refinement forced
+    (tiny collect_cap) and the k==n (max) edge."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fever_ray.ops.curate import grouped_order_statistic
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = rng.choice(["a", "b", "c"], size=n)
+    ints = rng.integers(-(10**9), 10**9, size=n)
+    ints[rng.random(n) < 0.3] = -7  # heavy tie mass, negative
+    floats = np.round(rng.normal(0, 100, size=n), 2)
+    floats[rng.random(n) < 0.01] = np.nan
+    null_mask = rng.random(n) < 0.02
+    t = pa.table(
+        {
+            "k": pa.array(keys),
+            "vi": pa.array(
+                [None if m else int(v) for m, v in zip(null_mask, ints)],
+                pa.int64(),
+            ),
+            "vf": pa.array(floats, pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    qs = [(1, 2), (9, 10), (1, 1)]
+    cols = ["p50", "p90", "pmax"]
+
+    for col in ("vi", "vf"):
+        res = grouped_order_statistic(
+            ds, "k", col, qs=qs, out_cols=cols,
+            refine_bits=4, collect_cap=64, max_levels=16,
+        )
+        assert res.column("k").to_pylist() == ["a", "b", "c"]
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        for (num, den), cname in zip(qs, cols):
+            got = dict(zip(res.column("k").to_pylist(),
+                           res.column(cname).to_pylist()))
+            for g in "abc":
+                v = vals[keys == g]
+                v = v[~pd.isna(v)]
+                v = np.sort(v.astype(np.float64))
+                v = v[~np.isnan(v)]
+                kk = max(1, min((len(v) * num + den - 1) // den, len(v)))
+                assert float(got[g]) == float(v[kk - 1]), (col, num, den, g)
+
+
+def test_grouped_order_statistic_duckdb_mirror(ray_session, sf_dir):
+    """The ROW_NUMBER rank-pick SQL used by the oracle is bit-identical to
+    the walk's k-th smallest element on real table data."""
+    import ray.data as rd
+
+    from fever_ray.ops.curate import grouped_order_statistic
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    res = grouped_order_statistic(
+        ds, "o_orderpriority", "o_totalprice",
+        qs=[(1, 2), (9, 10)], out_cols=["p50", "p90"],
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM parquet_scan('{sf_dir}/orders.parquet')"
+    )
+    want = con.execute(
+        "WITH r AS (SELECT o_orderpriority, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) rk, "
+        "COUNT(*) OVER (PARTITION BY o_orderpriority) n FROM orders) "
+        "SELECT o_orderpriority, "
+        "MAX(CASE WHEN rk = (n + 1) // 2 THEN o_totalprice END), "
+        "MAX(CASE WHEN rk = (n * 9 + 9) // 10 THEN o_totalprice END) "
+        "FROM r GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    got = list(
+        zip(
+            res.column("o_orderpriority").to_pylist(),
+            res.column("p50").to_pylist(),
+            res.column("p90").to_pylist(),
+        )
+    )
+    assert [tuple(r) for r in want] == got
+
+
+def test_grouped_order_statistic_empty_and_validation(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.curate import grouped_order_statistic
+
+    t = pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    res = grouped_order_statistic(rd.from_arrow(t), "k", "v")
+    assert res.num_rows == 0 and res.column_names == ["k", "q1_2"]
+    with pytest.raises(ValueError):
+        grouped_order_statistic(rd.from_arrow(t), "k", "v", qs=[(0, 2)])
+    with pytest.raises(ValueError):
+        grouped_order_statistic(rd.from_arrow(t), "k", "v", qs=[(3, 2)])
+    s = pa.table({"k": ["x"], "v": ["not numeric"]})
+    with pytest.raises(TypeError):
+        grouped_order_statistic(rd.from_arrow(s), "k", "v")
