@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fever_ray.ops.cidr import cidr_match
     from fever_ray.ops.dedup import (
         connected_components,
+        dup_ngram_windows,
         embedding_dup_pairs,
         exact_dedup,
         line_dedup,
@@ -583,6 +584,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return line_dedup(
             ds.map_batches(mk, batch_format="pyarrow"), threshold=30
+        )
+
+    def q_dup_ngram_windows(sf):
+        # exact substring-window duplication profile (Lee et al. 2021 shape)
+        return dup_ngram_windows(
+            _t(sf, "documents", ["doc_id", "text"]), n=5
         )
 
     def q_domain_cap(sf):
@@ -1380,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "repeat_corpus": q_repeat_corpus,
         "line_dedup": q_line_dedup,
+        "dup_ngram_windows": q_dup_ngram_windows,
         "domain_cap": q_domain_cap,
         "token_repetition": q_token_repetition,
         "curation_filter": q_curation_filter,
@@ -2086,6 +2094,22 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),
         "repeat_corpus": _repeat_corpus_sql({"en": 1, "zh": 3, "fr": 2, "es": 0}, 1),
         "line_dedup": _line_dedup_sql(30),
+        # window join reproduces the engine's gram construction exactly:
+        # single-space split (empty tokens kept), n-token slices re-joined
+        # with ' ', docs under n tokens emit nothing
+        "dup_ngram_windows": (
+            "WITH toks AS (SELECT doc_id, string_split(COALESCE(text,''), ' ')"
+            " AS t FROM documents), "
+            "pos AS (SELECT doc_id, t, unnest(range(1, len(t)-5+2)) AS i "
+            "FROM toks), "
+            "wins AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g "
+            "FROM pos), "
+            "cnt AS (SELECT g, COUNT(*) AS c FROM wins GROUP BY g) "
+            "SELECT w.doc_id, COUNT(*) AS total_windows, "
+            "CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS dup_windows "
+            "FROM wins w JOIN cnt c USING (g) GROUP BY w.doc_id"
+        ),
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "pack_sequences": _pack_sequences_sql(256, 17, 32),
         "domain_cap": (

@@ -1512,3 +1512,165 @@ def bloom_cross_dedup(
         survivors = _hash_anti_join(cand, ref_h, id_col, id_type, n_parts)
 
     return clear.union(survivors)
+
+
+def dup_ngram_windows(
+    ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    match: str = "exact",
+):
+    """Per-document substring-duplication profile: for every document with
+    at least ``n`` whitespace tokens, count how many of its word ``n``-gram
+    windows occur MORE THAN ONCE across the whole corpus (including repeats
+    within one document) — the distributed n-gram-join analogue of
+    suffix-array exact-substring dedup (Lee et al. 2021, arXiv:2107.06499).
+
+    Output rows: (``id_col``, total_windows int64, dup_windows int64).
+    Downstream policy — drop when dup_windows/total_windows exceeds a
+    budget, or route to span trimming — composes with
+    ``curate.curation_filter``.
+
+    ``match='exact'`` keys on the literal window string (zero collision
+    risk; shuffles ~n x corpus bytes — the honest exact cost);
+    ``match='hash'`` keys on the 64-bit FNV of the window (8-byte shuffle
+    keys, the web-scale trade, ~pairs^2/2^64 collision odds).  Either way
+    the result is a pure function of the corpus, independent of
+    partitioning.
+
+    Scale shape (10^12 docs): pass 1 pre-aggregates (doc, window-key)
+    multiplicities per batch, then shuffles them into coarse window-hash
+    buckets — every occurrence of a window lands in exactly ONE bucket, so
+    global per-window counts AND per-doc duplicated-window partials are
+    both computed inside a single vectorized map_groups (no second join
+    back to the corpus).  Pass 2 sums the skinny (doc, bucket) partials in
+    doc-hash buckets.  No stage holds more than one bucket; nothing
+    materializes on the driver.
+
+    Reference anchor: generalizes fever's exact side-set dedup
+    (/root/reference/processing/dns_aggregator.go:145-168) from fixed keys
+    to sliding text windows.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if match not in ("exact", "hash"):
+        raise ValueError(f"match must be 'exact' or 'hash', got {match!r}")
+    from .trainprep import _doc_ngrams
+
+    hashed = match == "hash"
+    n_parts = num_partitions or _auto_parts(ds, floor=32)
+    id_type = ds.schema().base_schema.field(id_col).type
+    key_type = pa.int64() if hashed else pa.string()
+
+    def _empty_partial() -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "k": pa.array([], key_type),
+                "m": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, rows = _doc_ngrams(batch, n, text_col)
+        if grams is None:
+            return _empty_partial()
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.take(pa.array(rows, pa.int64()))
+        k = pa.array(hash64(grams).view(np.int64), pa.int64()) if hashed else grams
+        # per-batch combiner: one row per (doc, window) with multiplicity
+        t = (
+            pa.TableGroupBy(pa.table({id_col: ids, "k": k}), [id_col, "k"])
+            .aggregate([([], "count_all")])
+            .rename_columns([id_col, "k", "m"])
+        )
+        kc = t.column("k")
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if hashed:
+            bucket = (
+                kc.to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(n_parts)
+            ).astype(np.int32)
+        else:
+            bucket = (hash64(kc) % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def _empty_stats() -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "tw": pa.array([], pa.int64()),
+                "dw": pa.array([], pa.int64()),
+                "b2": pa.array([], pa.int32()),
+            }
+        )
+
+    def bucket_stats(group: pa.Table) -> pa.Table:
+        # empty map_groups partitions arrive as zero-column tables
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _empty_stats()
+        kc = group.column("k")
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if hashed:
+            codes = kc.to_numpy(zero_copy_only=False)
+            uk, inv = np.unique(codes, return_inverse=True)
+            nu = len(uk)
+        else:
+            enc = kc.dictionary_encode()
+            inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nu = len(enc.dictionary)
+        m = group.column("m").to_numpy(zero_copy_only=False)
+        tot = np.zeros(nu, dtype=np.int64)
+        np.add.at(tot, inv, m)
+        dup_m = np.where(tot[inv] > 1, m, 0)
+        ida = group.column(id_col)
+        if isinstance(ida, pa.ChunkedArray):
+            ida = ida.combine_chunks()
+        denc = ida.dictionary_encode()
+        dinv = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = denc.dictionary
+        tw = np.zeros(len(uid), dtype=np.int64)
+        dw = np.zeros(len(uid), dtype=np.int64)
+        np.add.at(tw, dinv, m)
+        np.add.at(dw, dinv, dup_m)
+        if pa.types.is_integer(uid.type):
+            hb = hash64_ints(uid.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            hb = hash64(uid)
+        return pa.table(
+            {
+                id_col: uid,
+                "tw": pa.array(tw, pa.int64()),
+                "dw": pa.array(dw, pa.int64()),
+                "b2": pa.array((hb % np.uint64(n_parts)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def doc_sum(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "total_windows": pa.array([], pa.int64()),
+                    "dup_windows": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            pa.TableGroupBy(group.select([id_col, "tw", "dw"]), [id_col])
+            .aggregate([("tw", "sum"), ("dw", "sum")])
+            .rename_columns([id_col, "total_windows", "dup_windows"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pyarrow")
+        .groupby("b2")
+        .map_groups(doc_sum, batch_format="pyarrow")
+    )

@@ -294,3 +294,63 @@ def test_simhash_oversized_bucket_chain_fallback(ray_session):
     # hamming 0, no self pairs
     assert len(pairs) >= 59
     assert all(r["hamming"] == 0 and r["doc_a"] != r["doc_b"] for r in pairs)
+
+
+def test_dup_ngram_windows_exact_and_hash(dup_docs):
+    ds, rows = dup_docs
+    got = (
+        dd.dup_ngram_windows(ds, n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pa.Table.from_pylist(rows))
+    want = con.execute(
+        """
+        WITH toks AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS t
+                      FROM documents),
+        pos AS (SELECT doc_id, t, unnest(range(1, len(t)-5+2)) AS i FROM toks),
+        wins AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g FROM pos),
+        cnt AS (SELECT g, COUNT(*) AS c FROM wins GROUP BY g)
+        SELECT w.doc_id, COUNT(*) AS total_windows,
+               CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_windows
+        FROM wins w JOIN cnt c USING (g) GROUP BY w.doc_id ORDER BY w.doc_id
+        """
+    ).fetchdf()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # exact copies (210..219 of 0..9): every window of both docs duplicated
+    by_id = got.set_index("doc_id")
+    for i in range(10):
+        assert by_id.loc[i, "dup_windows"] == by_id.loc[i, "total_windows"]
+        assert by_id.loc[210 + i, "dup_windows"] == by_id.loc[210 + i, "total_windows"]
+    # near dups (one word changed at position 5): the n=5 windows touching
+    # token 5 are unique, the rest duplicated -> strictly between 0 and all
+    assert 0 < by_id.loc[230, "dup_windows"] < by_id.loc[230, "total_windows"]
+    # hash mode is bit-identical on a corpus this size
+    got_h = (
+        dd.dup_ngram_windows(ds, n=5, match="hash")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_h, want, check_exact=True)
+
+
+def test_dup_ngram_windows_short_docs_omitted(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b c"},       # 3 tokens < n=4 -> no row
+            {"doc_id": 2, "text": "a b c d e"},   # 2 windows, none dup
+            {"doc_id": 3, "text": None},          # null text -> no row
+        ]
+    )
+    out = dd.dup_ngram_windows(ds, n=4).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [2]
+    assert out["total_windows"].tolist() == [2]
+    assert out["dup_windows"].tolist() == [0]
