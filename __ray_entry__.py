@@ -1283,6 +1283,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_t(sf, "events", ["user_id", "ts"]), gap_s=1800)
 
+    def q_running_totals(sf):
+        from fever_ray.ops.windows import running_totals
+
+        return running_totals(
+            _t(sf, "events", ["event_id", "ts", "user_id", "value"])
+        )
+
     def q_asof_join(sf):
         from fever_ray.ops.windows import asof_join
 
@@ -1426,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": q_window_distinct,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
+        "running_totals": q_running_totals,
         "asof_join": q_asof_join,
     }
 
@@ -2521,6 +2529,19 @@ def oracle_sql() -> dict[str, str]:
             "  FROM o) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, COUNT(*) AS n_events FROM s GROUP BY 1, 2"
+        ),
+        # integer-cents running sum (order-independent, same discipline as
+        # pricing_summary); gap_us -1 sentinel instead of a nullable int
+        # that pandas would float
+        "running_totals": (
+            "SELECT event_id, user_id, ts, "
+            "ROW_NUMBER() OVER w AS rn, "
+            "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100 "
+            "AS run_sum, "
+            "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
         "asof_join": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS r_ts_copy "

@@ -477,3 +477,106 @@ def interval_join(
         .groupby("__bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
+
+
+def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", id_col: str = "event_id",
+                   num_partitions: int | None = None):
+    """Per-key cumulative window analytics — the SQL
+    ``SUM(...) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)`` family as one vectorized pass:
+
+    * ``rn``       — 1-based row number within the key's event-time order
+    * ``run_sum``  — running sum of ``value_col`` (exact integer cents
+      internally, so the result is order-independent and bit-stable — the
+      same discipline as ``pricing_summary``)
+    * ``gap_us``   — microseconds since the key's previous event
+      (-1 sentinel on each key's first event; avoids a nullable-int column
+      that pandas would silently float)
+
+    The reference has no window functions; this is the event-time
+    generalization of its per-flow counters
+    (/root/reference/processing/flow_aggregator.go:129-170), which only
+    ever exposed the FINAL totals per flush — here every row carries its
+    prefix aggregate.
+
+    Scale shape: one shuffle of (key-hash % P) coarse buckets; inside a
+    bucket one np.lexsort + run-boundary cumsum handles every key at once
+    (no per-key map_groups).  Partitioning assumption: one BUCKET of rows
+    fits a worker — P scales with input blocks.  Output rows == input rows,
+    streamed back out; nothing materializes on the driver.
+    """
+    from ..sketches.hashing import hash64_ints
+    from .dedup import _auto_parts
+
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    key_type = events_ds.schema().base_schema.field(key).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kc = batch.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if pa.types.is_integer(kc.type):
+            hb = hash64_ints(kc.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            from ..sketches.hashing import hash64
+
+            hb = hash64(kc)
+        narrow = batch.select([id_col, key, ts_col, value_col])
+        return narrow.append_column(
+            "bucket", pa.array((hb % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key: pa.array([], key_type),
+                    ts_col: pa.array([], pa.timestamp("us")),
+                    "rn": pa.array([], pa.int64()),
+                    "run_sum": pa.array([], pa.float64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        # sort by (key, ts, id): dictionary codes give lexsort an integer
+        # key column even for string keys
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(g.column(value_col)).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, kcodes))
+        kO, tO, iO, cO = kcodes[order], ts[order], ids[order], cents[order]
+        n = len(order)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        np.not_equal(kO[1:], kO[:-1], out=starts[1:])
+        run_start = np.flatnonzero(starts)
+        run_len = np.diff(np.append(run_start, n))
+        cs = np.cumsum(cO)
+        prev = np.where(run_start > 0, cs[run_start - 1], 0)
+        run_sum_c = cs - np.repeat(prev, run_len)
+        rn = np.arange(n, dtype=np.int64) - np.repeat(run_start, run_len) + 1
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        np.subtract(tO[1:], tO[:-1], out=gap[1:])
+        gap[starts] = -1
+        return pa.table(
+            {
+                id_col: pa.array(iO),
+                key: kc.take(pa.array(order, pa.int64())),
+                ts_col: pa.array(tO, pa.int64()).cast(pa.timestamp("us")),
+                "rn": pa.array(rn, pa.int64()),
+                "run_sum": pa.array(run_sum_c.astype(np.float64) / 100.0, pa.float64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

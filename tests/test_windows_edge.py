@@ -124,3 +124,50 @@ def test_interval_join_string_keys_and_empty(ray_session):
         key="k", lo=0, hi=5,
     ).take_all()
     assert none == []
+
+
+def test_running_totals_string_keys_vs_duckdb(ray_session):
+    """String partition keys, duplicate timestamps (tie-broken by id),
+    single-event keys, and negative values — bit-exact vs the DuckDB
+    window-function oracle."""
+    import duckdb
+    import pandas as pd
+
+    from fever_ray.ops.windows import running_totals
+    from tests.strict_compare import canon
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                rng.integers(0, 500, n).astype("int64") * 1_000_000,
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(
+                ["u%03d" % u for u in rng.integers(0, 40, n)], pa.string()
+            ),
+            "value": pa.array(
+                np.round(rng.normal(0, 50, n), 2), pa.float64()
+            ),
+        }
+    )
+    got = running_totals(
+        ray_session.data.from_arrow(t), num_partitions=7
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("ev", t)
+    want = con.execute(
+        """
+        SELECT event_id, user_id, ts,
+          ROW_NUMBER() OVER w AS rn,
+          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100
+            AS run_sum,
+          COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
