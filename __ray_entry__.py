@@ -1283,6 +1283,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_t(sf, "events", ["user_id", "ts"]), gap_s=1800)
 
+    def q_group_top_k(sf):
+        return rel.group_top_k(
+            _t(sf, "documents", ["doc_id", "lang", "n_chars"]),
+            group_col="lang",
+            order_col="n_chars",
+            k=3,
+        )
+
     def q_running_totals(sf):
         from fever_ray.ops.windows import running_totals
 
@@ -1434,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "running_totals": q_running_totals,
+        "group_top_k": q_group_top_k,
         "asof_join": q_asof_join,
     }
 
@@ -2529,6 +2538,12 @@ def oracle_sql() -> dict[str, str]:
             "  FROM o) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, COUNT(*) AS n_events FROM s GROUP BY 1, 2"
+        ),
+        "group_top_k": (
+            "SELECT lang, doc_id, n_chars, rn FROM ("
+            "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
         ),
         # integer-cents running sum (order-independent, same discipline as
         # pricing_summary); gap_us -1 sentinel instead of a nullable int

@@ -409,3 +409,109 @@ def revenue_by_nation(
         )
 
     return out.map_batches(finish, batch_format="pyarrow").sort("n_name")
+
+
+def group_top_k(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int = 3,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    num_partitions: int | None = None,
+):
+    """Exact top-``k`` rows PER GROUP by (``order_col``, ``id_col``
+    tiebreak) without ever sorting the full dataset — the grouped
+    generalization of :func:`top_k_orders`.
+
+    Output rows: (group_col, id_col, order_col, ``rn`` int64 1-based rank).
+    ``order_col`` must be numeric; ties break ascending on ``id_col``, so
+    the result is a pure function of the data.
+
+    Scale shape (10^12 rows): each batch keeps at most k rows per group it
+    touches (vectorized lexsort + run-rank — no per-group loop), so the
+    shuffle moves <= k x groups-per-batch rows, not the corpus; the final
+    per-group combine runs the same kernel inside coarse group-hash
+    buckets.  Skew-immune: a group's candidate set is <= k x num_batches
+    regardless of its row count.
+
+    Reference anchor: fever's alertify keeps only the first-N matches per
+    indicator (/root/reference/cmds/alertify.go limit flag); this is that
+    contract as a distributed grouped operator.
+    """
+    import numpy as np
+
+    from ..sketches.hashing import hash64, hash64_ints
+    from .dedup import _auto_parts
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_parts = num_partitions or _auto_parts(ds, floor=32)
+    schema = ds.schema().base_schema
+    group_type = schema.field(group_col).type
+    id_type = schema.field(id_col).type
+    order_type = schema.field(order_col).type
+
+    def _empty(with_rn: bool) -> pa.Table:
+        cols = {
+            group_col: pa.array([], group_type),
+            id_col: pa.array([], id_type),
+            order_col: pa.array([], order_type),
+        }
+        if with_rn:
+            cols["rn"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def _topk(t: pa.Table, with_rn: bool) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _empty(with_rn)
+        gc = t.column(group_col)
+        if isinstance(gc, pa.ChunkedArray):
+            gc = gc.combine_chunks()
+        gcodes = gc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -o if descending else o, gcodes))
+        gs = gcodes[order]
+        starts = np.empty(len(gs), dtype=bool)
+        starts[0] = True
+        np.not_equal(gs[1:], gs[:-1], out=starts[1:])
+        run_start = np.flatnonzero(starts)
+        run_len = np.diff(np.append(run_start, len(gs)))
+        rank = np.arange(len(gs), dtype=np.int64) - np.repeat(run_start, run_len) + 1
+        keep = rank <= k
+        kept = order[keep]
+        cols = {
+            group_col: gc.take(pa.array(kept, pa.int64())),
+            id_col: pa.array(i[kept]),
+            order_col: pa.array(o[kept]),
+        }
+        if with_rn:
+            cols["rn"] = pa.array(rank[keep], pa.int64())
+        return pa.table(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _topk(batch.select([group_col, id_col, order_col]), with_rn=False)
+        gc = t.column(group_col)
+        if isinstance(gc, pa.ChunkedArray):
+            gc = gc.combine_chunks()
+        if t.num_rows == 0:
+            hb = np.zeros(0, dtype=np.uint64)
+        elif pa.types.is_integer(gc.type):
+            hb = hash64_ints(gc.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            hb = hash64(gc)
+        return t.append_column(
+            "bucket", pa.array((hb % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _empty(with_rn=True)
+        return _topk(group.select([group_col, id_col, order_col]), with_rn=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -390,3 +390,43 @@ def test_revenue_by_nation_paths_match(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         bcast.reset_index(drop=True), oracle, check_exact=True, check_dtype=False
     )
+
+
+def test_group_top_k_vs_duckdb(ray_session):
+    """Skewed groups + heavy ties + many partitions: exact per-group top-k
+    equals the ROW_NUMBER oracle."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from fever_ray.ops.relational import group_top_k
+    from tests.strict_compare import canon
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            # zipf-ish skew: one giant group, many tiny ones
+            "lang": pa.array(
+                ["g%d" % min(g, 30) for g in rng.zipf(1.3, n)], pa.string()
+            ),
+            # tiny value domain -> constant rank ties, broken by doc_id
+            "n_chars": pa.array(rng.integers(0, 5, n).astype("int64")),
+        }
+    )
+    got = group_top_k(
+        ray_session.data.from_arrow(t).repartition(9),
+        group_col="lang",
+        order_col="n_chars",
+        k=4,
+        num_partitions=5,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("d", t)
+    want = con.execute(
+        "SELECT lang, doc_id, n_chars, rn FROM (SELECT lang, doc_id, n_chars,"
+        " ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)"
+        " AS rn FROM d) WHERE rn <= 4"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
