@@ -312,6 +312,17 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # exact substring-window duplication profile at corpus scale (~52M
+    # 8-token windows): match='hash' is the web-scale configuration (8-byte
+    # window keys shuffle); exact-string mode is gate-checked at sf0.01
+    from fever_ray.ops.dedup import dup_ngram_windows
+
+    timings["dup_ngram_pages"] = _timed(
+        lambda: dup_ngram_windows(
+            _pages_docs(), n=8, match="hash", num_partitions=max(NUM_CPUS * 4, 64)
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
