@@ -1521,6 +1521,7 @@ def dup_ngram_windows(
     text_col: str = "text",
     num_partitions: int | None = None,
     match: str = "exact",
+    broadcast_bytes: int = 256 << 20,
 ):
     """Per-document substring-duplication profile: for every document with
     at least ``n`` whitespace tokens, count how many of its word ``n``-gram
@@ -1534,20 +1535,28 @@ def dup_ngram_windows(
     ``curate.curation_filter``.
 
     ``match='exact'`` keys on the literal window string (zero collision
-    risk; shuffles ~n x corpus bytes — the honest exact cost);
-    ``match='hash'`` keys on the 64-bit FNV of the window (8-byte shuffle
-    keys, the web-scale trade, ~pairs^2/2^64 collision odds).  Either way
-    the result is a pure function of the corpus, independent of
+    risk; the count shuffle moves ~n x corpus bytes — the honest exact
+    cost); ``match='hash'`` keys on the 64-bit FNV of the window (8-byte
+    shuffle keys, the web-scale trade, ~pairs^2/2^64 collision odds).
+    Either way the result is a pure function of the corpus, independent of
     partitioning.
 
-    Scale shape (10^12 docs): pass 1 pre-aggregates (doc, window-key)
-    multiplicities per batch, then shuffles them into coarse window-hash
-    buckets — every occurrence of a window lands in exactly ONE bucket, so
-    global per-window counts AND per-doc duplicated-window partials are
-    both computed inside a single vectorized map_groups (no second join
-    back to the corpus).  Pass 2 sums the skinny (doc, bucket) partials in
-    doc-hash buckets.  No stage holds more than one bucket; nothing
-    materializes on the driver.
+    Scale shape (10^12 docs) — the same two-regime design as
+    :func:`line_dedup`:
+
+    * count pass: each batch emits its DISTINCT window keys once (and its
+      within-batch duplicates twice), so duplicate detection in the coarse
+      key-hash buckets is a pure sorted-run scan — no count column, no
+      per-key arithmetic.  Only keys move, never (doc, key) pairs.
+    * broadcast regime (the normal case — duplicated boilerplate windows
+      are a small fraction of a real corpus): the dup-key set is ray.put
+      once; pass 2 recomputes each batch's windows and takes one vectorized
+      membership probe + per-doc segment sum.  A document is one row, so
+      the profile finishes INSIDE map_batches — zero further shuffle.
+    * join fallback (dup set beyond a worker's heap): shuffle per-batch
+      pre-aggregated (doc, key, multiplicity) rows into key-hash buckets
+      where global counts and per-doc dup partials are computed together,
+      then sum the skinny partials in doc-hash buckets.
 
     Reference anchor: generalizes fever's exact side-set dedup
     (/root/reference/processing/dns_aggregator.go:145-168) from fixed keys
@@ -1557,6 +1566,8 @@ def dup_ngram_windows(
         raise ValueError(f"n must be >= 1, got {n}")
     if match not in ("exact", "hash"):
         raise ValueError(f"match must be 'exact' or 'hash', got {match!r}")
+    import ray
+
     from .trainprep import _doc_ngrams
 
     hashed = match == "hash"
@@ -1564,26 +1575,173 @@ def dup_ngram_windows(
     id_type = ds.schema().base_schema.field(id_col).type
     key_type = pa.int64() if hashed else pa.string()
 
-    def _empty_partial() -> pa.Table:
-        return pa.table(
-            {
-                id_col: pa.array([], id_type),
-                "k": pa.array([], key_type),
-                "m": pa.array([], pa.int64()),
-                "bucket": pa.array([], pa.int32()),
-            }
+    # ---- pass 1: the duplicated-window key set -------------------------
+    def key_partial(batch: pa.Table) -> pa.Table:
+        grams, _rows = _doc_ngrams(batch, n, text_col)
+        if grams is None:
+            return pa.table(
+                {"k": pa.array([], key_type), "bucket": pa.array([], pa.int32())}
+            )
+        if hashed:
+            kh = hash64(grams)
+            uk, uc = np.unique(kh, return_counts=True)
+            # distinct keys once + within-batch dups once more: a run of
+            # >= 2 in the bucket then means "duplicated globally"
+            ks = np.concatenate([uk, uk[uc > 1]])
+            karr = pa.array(ks.view(np.int64), pa.int64())
+            hb = ks
+        else:
+            t = (
+                pa.TableGroupBy(pa.table({"g": grams}), ["g"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["g", "c"])
+            )
+            g = t.column("g")
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
+            mask = pc.greater(t.column("c"), 1)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            dup_local = g.filter(mask)
+            if isinstance(dup_local, pa.ChunkedArray):
+                dup_local = dup_local.combine_chunks()
+            karr = pa.concat_arrays([g, dup_local])
+            hb = hash64(karr)
+        bucket = (hb % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({"k": karr, "bucket": pa.array(bucket, pa.int32())})
+
+    def dup_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table({"k": pa.array([], key_type)})
+        kc = group.column("k")
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if hashed:
+            ks = np.sort(kc.to_numpy(zero_copy_only=False))
+            dup_mask = np.empty(len(ks), dtype=bool)
+            dup_mask[:-1] = ks[:-1] == ks[1:]
+            dup_mask[-1] = False
+            first_of_run = np.empty(len(ks), dtype=bool)
+            first_of_run[0] = True
+            first_of_run[1:] = ks[1:] != ks[:-1]
+            out = ks[dup_mask & first_of_run]
+            return pa.table({"k": pa.array(out, pa.int64())})
+        idx = pc.sort_indices(kc)
+        ks = kc.take(idx)
+        eq_next = pc.equal(ks.slice(0, len(ks) - 1), ks.slice(1)).to_numpy(
+            zero_copy_only=False
         )
+        neq_prev = np.empty(len(ks), dtype=bool)
+        neq_prev[0] = True
+        neq_prev[1:] = ~eq_next
+        dup_mask = np.zeros(len(ks), dtype=bool)
+        dup_mask[:-1] = eq_next
+        keep = dup_mask & neq_prev
+        return pa.table({"k": ks.filter(pa.array(keep))})
+
+    dup = (
+        ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(dup_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+
+    dup_bytes = dup.size_bytes() or 0
+    if dup_bytes <= broadcast_bytes:
+        tabs = [
+            t for t in ray.get(dup.to_arrow_refs()) if t.num_rows and t.num_columns
+        ]
+        dup_arr = (
+            pa.concat_tables(tabs).column("k").combine_chunks()
+            if tabs
+            else pa.array([], key_type)
+        )
+        if hashed:
+            dup_ref = ray.put(np.sort(dup_arr.to_numpy(zero_copy_only=False)))
+        else:
+            dup_ref = ray.put(dup_arr)
+
+        def profile(batch: pa.Table) -> pa.Table:
+            grams, rows = _doc_ngrams(batch, n, text_col)
+            if grams is None:
+                return pa.table(
+                    {
+                        id_col: pa.array([], id_type),
+                        "total_windows": pa.array([], pa.int64()),
+                        "dup_windows": pa.array([], pa.int64()),
+                    }
+                )
+            dup_keys = ray.get(dup_ref)
+            if hashed:
+                # int64 view on BOTH sides: searchsorted on mixed
+                # int64/uint64 would upcast to float64 and lose bits
+                kh = hash64(grams).view(np.int64)
+                if len(dup_keys):
+                    pos = np.searchsorted(dup_keys, kh)
+                    pos[pos == len(dup_keys)] = 0
+                    is_dup = dup_keys[pos] == kh
+                else:
+                    is_dup = np.zeros(len(kh), dtype=bool)
+            else:
+                is_dup = (
+                    pc.is_in(grams, value_set=dup_keys)
+                    .to_numpy(zero_copy_only=False)
+                    if len(dup_keys)
+                    else np.zeros(len(grams), dtype=bool)
+                )
+            present = np.unique(rows)
+            remap = np.searchsorted(present, rows)
+            tw = np.zeros(len(present), dtype=np.int64)
+            dw = np.zeros(len(present), dtype=np.int64)
+            np.add.at(tw, remap, 1)
+            np.add.at(dw, remap, is_dup.astype(np.int64))
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table(
+                {
+                    id_col: ids.take(pa.array(present, pa.int64())),
+                    "total_windows": pa.array(tw, pa.int64()),
+                    "dup_windows": pa.array(dw, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(profile, batch_format="pyarrow", zero_copy_batch=True)
+
+    logger.info(
+        "dup_ngram_windows: %.1f MB of duplicated windows > broadcast cap — "
+        "bucketed (doc, key) join over %d partitions",
+        dup_bytes / 2**20,
+        n_parts,
+    )
+    return _dup_ngram_join_path(
+        ds, n, id_col, text_col, n_parts, hashed, id_type, key_type
+    )
+
+
+def _dup_ngram_join_path(ds, n, id_col, text_col, n_parts, hashed, id_type, key_type):
+    """Join-regime fallback for :func:`dup_ngram_windows`: shuffle per-batch
+    pre-aggregated (doc, window-key, multiplicity) rows into key-hash
+    buckets (global counts + per-doc dup partials in one vectorized
+    map_groups), then sum the skinny partials in doc-hash buckets."""
+    from .trainprep import _doc_ngrams
 
     def partial(batch: pa.Table) -> pa.Table:
         grams, rows = _doc_ngrams(batch, n, text_col)
         if grams is None:
-            return _empty_partial()
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "k": pa.array([], key_type),
+                    "m": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         ids = ids.take(pa.array(rows, pa.int64()))
         k = pa.array(hash64(grams).view(np.int64), pa.int64()) if hashed else grams
-        # per-batch combiner: one row per (doc, window) with multiplicity
         t = (
             pa.TableGroupBy(pa.table({id_col: ids, "k": k}), [id_col, "k"])
             .aggregate([([], "count_all")])
@@ -1600,20 +1758,16 @@ def dup_ngram_windows(
             bucket = (hash64(kc) % np.uint64(n_parts)).astype(np.int32)
         return t.append_column("bucket", pa.array(bucket, pa.int32()))
 
-    def _empty_stats() -> pa.Table:
-        return pa.table(
-            {
-                id_col: pa.array([], id_type),
-                "tw": pa.array([], pa.int64()),
-                "dw": pa.array([], pa.int64()),
-                "b2": pa.array([], pa.int32()),
-            }
-        )
-
     def bucket_stats(group: pa.Table) -> pa.Table:
-        # empty map_groups partitions arrive as zero-column tables
         if group.num_rows == 0 or group.num_columns == 0:
-            return _empty_stats()
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "tw": pa.array([], pa.int64()),
+                    "dw": pa.array([], pa.int64()),
+                    "b2": pa.array([], pa.int32()),
+                }
+            )
         kc = group.column("k")
         if isinstance(kc, pa.ChunkedArray):
             kc = kc.combine_chunks()

@@ -338,6 +338,16 @@ def test_dup_ngram_windows_exact_and_hash(dup_docs):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_h, want, check_exact=True)
+    # join-regime fallback (dup set over the broadcast cap) agrees in both
+    # match modes
+    for mode in ("exact", "hash"):
+        got_j = (
+            dd.dup_ngram_windows(ds, n=5, match=mode, broadcast_bytes=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got_j, want, check_exact=True)
 
 
 def test_dup_ngram_windows_short_docs_omitted(ray_session):
