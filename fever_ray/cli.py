@@ -274,6 +274,44 @@ def cmd_curate(args) -> int:
         ).map_batches(
             lambda b: b.select(["url", "text"]), batch_format="pyarrow"
         )
+    if args.max_dupwin_ratio is not None:
+        # corpus-wide duplicated-window pressure: profile every page's
+        # n-gram windows (hashed keys — the scale configuration), then
+        # broadcast the (small) drop set and scrub with one is_in probe.
+        # Pages under n tokens have no windows and trivially pass (the
+        # min_tokens gate below owns shortness).
+        import pyarrow as pa
+        import ray
+
+        from .ops.dedup import dup_ngram_windows
+
+        r = float(args.max_dupwin_ratio)
+        prof = dup_ngram_windows(ds, n=args.dupwin_n, id_col="url", match="hash")
+
+        def bad_urls(b: "pa.Table") -> "pa.Table":
+            dw = b.column("dup_windows").to_numpy(zero_copy_only=False)
+            tw = b.column("total_windows").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(dw > r * tw)).select(["url"])
+
+        bad = prof.map_batches(bad_urls, batch_format="pyarrow").materialize()
+        tabs = [t for t in ray.get(bad.to_arrow_refs()) if t.num_rows and t.num_columns]
+        bad_arr = (
+            pa.concat_tables(tabs).column("url").combine_chunks()
+            if tabs
+            else pa.array([], pa.string())
+        )
+        bad_ref = ray.put(bad_arr)
+
+        def scrub_dupwin(b: "pa.Table") -> "pa.Table":
+            ba = ray.get(bad_ref)
+            if not len(ba) or not b.num_rows:
+                return b
+            keep = pc.invert(pc.is_in(b.column("url"), value_set=ba))
+            if isinstance(keep, pa.ChunkedArray):
+                keep = keep.combine_chunks()
+            return b.filter(keep)
+
+        ds = ds.map_batches(scrub_dupwin, batch_format="pyarrow")
     ds = curation_filter(
         ds,
         min_tokens=args.min_tokens,
@@ -481,6 +519,12 @@ def main(argv=None) -> int:
     pc_.add_argument("--normalize-text", dest="normalize_text", action="store_true",
                      help="NFC + whitespace canonicalization before any "
                           "content-keyed step; output carries normalized text")
+    pc_.add_argument("--max-dupwin-ratio", dest="max_dupwin_ratio", type=float,
+                     help="drop pages whose duplicated n-gram-window fraction "
+                          "exceeds this (exact-substring dedup pressure, "
+                          "Lee et al. 2021 shape)")
+    pc_.add_argument("--dupwin-n", dest="dupwin_n", type=int, default=8,
+                     help="window size in tokens for --max-dupwin-ratio")
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
 
