@@ -1283,6 +1283,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_t(sf, "events", ["user_id", "ts"]), gap_s=1800)
 
+    def q_funnel_counts(sf):
+        return agg.funnel_counts(
+            _t(sf, "events", ["user_id", "ts", "event_type"]),
+            steps=("view", "click", "purchase"),
+            within_s=86400,
+        )
+
     def q_group_top_k(sf):
         return rel.group_top_k(
             _t(sf, "documents", ["doc_id", "lang", "n_chars"]),
@@ -1443,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "running_totals": q_running_totals,
         "group_top_k": q_group_top_k,
+        "funnel_counts": q_funnel_counts,
         "asof_join": q_asof_join,
     }
 
@@ -2538,6 +2546,28 @@ def oracle_sql() -> dict[str, str]:
             "  FROM o) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, COUNT(*) AS n_events FROM s GROUP BY 1, 2"
+        ),
+        # greedy earliest-chain funnel with a 1-day conversion window;
+        # strictly-after ordering and integer-us window arithmetic mirror
+        # the engine exactly
+        "funnel_counts": (
+            "WITH s1 AS (SELECT user_id, MIN(ts) t1 FROM events "
+            "  WHERE event_type='view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) t2 FROM events e "
+            "  JOIN s1 USING (user_id) WHERE e.event_type='click' "
+            "  AND e.ts > s1.t1 "
+            "  AND epoch_us(e.ts) <= epoch_us(s1.t1) + CAST(86400 AS BIGINT)*1000000 "
+            "  GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) t3 FROM events e "
+            "  JOIN s2 USING (user_id) WHERE e.event_type='purchase' "
+            "  AND e.ts > s2.t2 "
+            "  AND epoch_us(e.ts) <= epoch_us(s2.t2) + CAST(86400 AS BIGINT)*1000000 "
+            "  GROUP BY e.user_id) "
+            "SELECT CAST(step AS BIGINT) AS step, event_type, n_users FROM ("
+            "  SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users "
+            "  FROM s1 "
+            "  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2 "
+            "  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)"
         ),
         "group_top_k": (
             "SELECT lang, doc_id, n_chars, rn FROM ("

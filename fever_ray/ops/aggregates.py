@@ -351,3 +351,129 @@ def flow_profiler(docs_ds, strategy: str = "tree"):
     return partials.groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
     )
+
+
+def funnel_counts(
+    events_ds,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Ordered conversion funnel: for each prefix of ``steps``, how many
+    keys (users) completed it IN ORDER — step k counts users with an
+    earliest-chain timestamp t_k = min ts of a step-k event STRICTLY after
+    t_{k-1}, and (with ``within_s``) no later than t_{k-1} + window —
+    the usual product-analytics conversion window.  The greedy earliest
+    chain is the standard funnel semantics; note that with a window it is
+    a deterministic, well-defined policy (not a search over all chains).
+
+    Output rows: (``step`` int64 1-based, ``event_type``, ``n_users``
+    int64), one per step.
+
+    The reference's UnicornAggregator counts single event types per flush
+    (/root/reference/processing/unicorn_aggregator.go); this is the
+    multi-step sequential generalization.
+
+    Scale shape (10^12 events): the input is pre-filtered to funnel step
+    types and projected to (key, ts, step-index); one key-hash-bucket
+    shuffle co-locates each user's rows, where ALL steps resolve in S
+    vectorized np.minimum.at passes (no per-user loop); each bucket emits S
+    partial counts and a bounded ``tree_groupby`` sums them — the final
+    result is |steps| rows, nothing user-sized leaves the buckets.
+    """
+    import numpy as np
+
+    from ..sketches.hashing import hash64, hash64_ints
+    from .dedup import _auto_parts
+
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps!r}")
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    step_list = list(steps)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        tc = batch.column(type_col)
+        if isinstance(tc, pa.ChunkedArray):
+            tc = tc.combine_chunks()
+        mask = pc.is_in(tc, value_set=pa.array(step_list, pa.string()))
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        t = batch.select([key, ts_col, type_col]).filter(mask)
+        tc = t.column(type_col)
+        if isinstance(tc, pa.ChunkedArray):
+            tc = tc.combine_chunks()
+        sidx = pc.index_in(tc, value_set=pa.array(step_list, pa.string()))
+        kc = t.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if pa.types.is_integer(kc.type):
+            hb = hash64_ints(kc.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            hb = hash64(kc)
+        return pa.table(
+            {
+                key: kc,
+                "ts_us": pc.cast(t.column(ts_col), pa.int64()),
+                "sidx": pc.cast(sidx, pa.int8()),
+                "bucket": pa.array((hb % np.uint64(n_parts)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    SENT = np.iinfo(np.int64).max
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {"step": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        ucodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        nu = int(ucodes.max()) + 1
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        sidx = g.column("sidx").to_numpy(zero_copy_only=False)
+        t_prev = np.full(nu, np.int64(-(2**62)), dtype=np.int64)  # -inf
+        counts = np.zeros(len(step_list), dtype=np.int64)
+        win = None if within_s is None else np.int64(within_s) * 1_000_000
+        for k in range(len(step_list)):
+            tk = np.full(nu, SENT, dtype=np.int64)
+            tp = t_prev[ucodes]
+            m = (sidx == k) & (ts > tp)
+            if win is not None and k > 0:
+                m &= ts <= tp + win
+            np.minimum.at(tk, ucodes[m], ts[m])
+            counts[k] = int((tk != SENT).sum())
+            t_prev = tk
+            if counts[k] == 0:
+                break  # later steps cannot complete
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, len(step_list) + 1, dtype=np.int64)),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    out = tree_groupby(partials, ["step"], [("n", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("step").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "step": b.column("step"),
+                type_col: pa.array([step_list[int(i) - 1] for i in s], pa.string()),
+                "n_users": b.column("n"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -430,3 +430,47 @@ def test_group_top_k_vs_duckdb(ray_session):
         " AS rn FROM d) WHERE rn <= 4"
     ).fetchdf()
     pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
+
+
+def test_funnel_counts_window_and_order(ray_session):
+    """Hand-built fixture: out-of-order steps don't count, conversion
+    window cuts late conversions, repeated steps use the earliest chain."""
+    import pyarrow as pa
+
+    from fever_ray.ops.aggregates import funnel_counts
+
+    US = 1_000_000
+
+    def ev(uid, t_s, typ):
+        return {"user_id": uid, "ts": t_s * US, "event_type": typ}
+
+    rows = [
+        # u1: clean in-order funnel inside the window
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+        # u2: click BEFORE view -> stops after view
+        ev(2, 10, "click"), ev(2, 20, "view"),
+        # u3: click too late (window 60 s)
+        ev(3, 0, "view"), ev(3, 100, "click"),
+        # u4: purchase exactly at the window edge (inclusive)
+        ev(4, 0, "view"), ev(4, 30, "click"), ev(4, 90, "purchase"),
+        # u5: equal timestamps do NOT chain (strictly-after)
+        ev(5, 0, "view"), ev(5, 0, "click"),
+        # u6: earliest chain wins — first click at 5 s, purchase within ITS
+        # window even though a later click exists
+        ev(6, 0, "view"), ev(6, 5, "click"), ev(6, 50, "click"),
+        ev(6, 64, "purchase"),
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(1, "ts", t.column("ts").cast(pa.timestamp("us")))
+    got = (
+        funnel_counts(
+            ray_session.data.from_arrow(t).repartition(3),
+            steps=("view", "click", "purchase"),
+            within_s=60,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("step")
+    )
+    assert got["n_users"].tolist() == [6, 3, 3]
+    assert got["event_type"].tolist() == ["view", "click", "purchase"]
