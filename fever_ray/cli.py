@@ -286,6 +286,10 @@ def cmd_curate(args) -> int:
         from .ops.dedup import dup_ngram_windows
 
         r = float(args.max_dupwin_ratio)
+        # the lazy upstream chain (read / normalize / line-dedup) would
+        # otherwise re-execute for the count pass, the profile pass AND the
+        # scrub below — pin it once
+        ds = ds.materialize()
         prof = dup_ngram_windows(ds, n=args.dupwin_n, id_col="url", match="hash")
 
         def bad_urls(b: "pa.Table") -> "pa.Table":

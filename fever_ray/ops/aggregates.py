@@ -386,7 +386,7 @@ def funnel_counts(
     """
     import numpy as np
 
-    from ..sketches.hashing import hash64, hash64_ints
+    from ..sketches.hashing import bucket_of
     from .dedup import _auto_parts
 
     if len(steps) < 1:
@@ -411,16 +411,12 @@ def funnel_counts(
         kc = t.column(key)
         if isinstance(kc, pa.ChunkedArray):
             kc = kc.combine_chunks()
-        if pa.types.is_integer(kc.type):
-            hb = hash64_ints(kc.to_numpy(zero_copy_only=False).astype(np.int64))
-        else:
-            hb = hash64(kc)
         return pa.table(
             {
                 key: kc,
                 "ts_us": pc.cast(t.column(ts_col), pa.int64()),
                 "sidx": pc.cast(sidx, pa.int8()),
-                "bucket": pa.array((hb % np.uint64(n_parts)).astype(np.int32), pa.int32()),
+                "bucket": pa.array(bucket_of(kc, n_parts), pa.int32()),
             }
         )
 
@@ -464,7 +460,19 @@ def funnel_counts(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
-    out = tree_groupby(partials, ["step"], [("n", "sum")])
+    # zero-count seed: a corpus with no step events still yields one row
+    # per step (the oracle's UNION ALL of COUNT(*) always does)
+    import ray.data as _rd
+
+    seed = _rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(np.arange(1, len(step_list) + 1, dtype=np.int64)),
+                "n": pa.array(np.zeros(len(step_list), dtype=np.int64)),
+            }
+        )
+    )
+    out = tree_groupby(partials.union(seed), ["step"], [("n", "sum")])
 
     def finish(b: pa.Table) -> pa.Table:
         s = b.column("step").to_numpy(zero_copy_only=False)

@@ -441,7 +441,7 @@ def group_top_k(
     """
     import numpy as np
 
-    from ..sketches.hashing import hash64, hash64_ints
+    from ..sketches.hashing import bucket_of
     from .dedup import _auto_parts
 
     if k < 1:
@@ -471,7 +471,14 @@ def group_top_k(
         gcodes = gc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
         o = t.column(order_col).to_numpy(zero_copy_only=False)
         i = t.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((i, -o if descending else o, gcodes))
+        if descending:
+            # bit-inverse for integers: exact monotone-descending remap with
+            # no INT64_MIN overflow and correct unsigned handling (plain -o
+            # wraps uint columns mod 2^64 and mis-ranks them)
+            okey = ~o if np.issubdtype(o.dtype, np.integer) else -o
+        else:
+            okey = o
+        order = np.lexsort((i, okey, gcodes))
         gs = gcodes[order]
         starts = np.empty(len(gs), dtype=bool)
         starts[0] = True
@@ -492,17 +499,8 @@ def group_top_k(
 
     def partial(batch: pa.Table) -> pa.Table:
         t = _topk(batch.select([group_col, id_col, order_col]), with_rn=False)
-        gc = t.column(group_col)
-        if isinstance(gc, pa.ChunkedArray):
-            gc = gc.combine_chunks()
-        if t.num_rows == 0:
-            hb = np.zeros(0, dtype=np.uint64)
-        elif pa.types.is_integer(gc.type):
-            hb = hash64_ints(gc.to_numpy(zero_copy_only=False).astype(np.int64))
-        else:
-            hb = hash64(gc)
         return t.append_column(
-            "bucket", pa.array((hb % np.uint64(n_parts)).astype(np.int32), pa.int32())
+            "bucket", pa.array(bucket_of(t.column(group_col), n_parts), pa.int32())
         )
 
     def final(group: pa.Table) -> pa.Table:

@@ -207,19 +207,10 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
     Partitioning assumption: one bucket fits a worker (choose n_buckets so
     rows/bucket is bounded; salt hot keys upstream if needed).
     """
-    from ..sketches.hashing import hash64, hash64_ints
+    from ..sketches.hashing import bucket_of
 
     def _bucket_of(col) -> np.ndarray:
-        # integer keys hash directly; string/binary keys go through the
-        # byte hasher (same family), so as-of joins on e.g. string user
-        # ids bucket instead of raising on astype(int64)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_integer(col.type):
-            h = hash64_ints(col.to_numpy(zero_copy_only=False).astype(np.int64))
-        else:
-            h = hash64(col)
-        return (h % np.uint64(n_buckets)).astype(np.int32)
+        return bucket_of(col, n_buckets)
 
     def tag(side, cols):
         def fn(batch: pa.Table) -> pa.Table:
@@ -337,19 +328,13 @@ def interval_join(
     assumption: one bucket's rows fit a worker; size ``n_buckets`` so
     rows/bucket is bounded and salt hot keys upstream if needed.
     """
-    from ..sketches.hashing import hash64, hash64_ints
+    from ..sketches.hashing import bucket_of
 
     if lo > hi:
         raise ValueError(f"interval_join: lo ({lo}) > hi ({hi})")
 
     def _bucket_of(col) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_integer(col.type):
-            h = hash64_ints(col.to_numpy(zero_copy_only=False).astype(np.int64))
-        else:
-            h = hash64(col)
-        return (h % np.uint64(n_buckets)).astype(np.int32)
+        return bucket_of(col, n_buckets)
 
     lschema = left_ds.schema().base_schema
     rschema = right_ds.schema().base_schema
@@ -506,33 +491,27 @@ def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
     fits a worker — P scales with input blocks.  Output rows == input rows,
     streamed back out; nothing materializes on the driver.
     """
-    from ..sketches.hashing import hash64_ints
+    from ..sketches.hashing import bucket_of
     from .dedup import _auto_parts
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    key_type = events_ds.schema().base_schema.field(key).type
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+    id_type = base_schema.field(id_col).type
 
     def tag(batch: pa.Table) -> pa.Table:
-        kc = batch.column(key)
-        if isinstance(kc, pa.ChunkedArray):
-            kc = kc.combine_chunks()
-        if pa.types.is_integer(kc.type):
-            hb = hash64_ints(kc.to_numpy(zero_copy_only=False).astype(np.int64))
-        else:
-            from ..sketches.hashing import hash64
-
-            hb = hash64(kc)
         narrow = batch.select([id_col, key, ts_col, value_col])
         return narrow.append_column(
-            "bucket", pa.array((hb % np.uint64(n_parts)).astype(np.int32), pa.int32())
+            "bucket", pa.array(bucket_of(batch.column(key), n_parts), pa.int32())
         )
 
     def per_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or g.num_columns == 0:
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], id_type),
                     key: pa.array([], key_type),
+                    # ts is always re-emitted as us-epoch timestamps below
                     ts_col: pa.array([], pa.timestamp("us")),
                     "rn": pa.array([], pa.int64()),
                     "run_sum": pa.array([], pa.float64()),

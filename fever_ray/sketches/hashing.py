@@ -146,3 +146,17 @@ def hash64_ints(values: np.ndarray, seed: int = 0) -> np.ndarray:
         if seed:
             x = x ^ splitmix64(np.full(len(x), np.uint64(seed & 0xFFFFFFFFFFFFFFFF)))
         return splitmix64(x ^ _FNV64_OFFSET)
+
+
+def bucket_of(arr, n_parts: int) -> np.ndarray:
+    """int32 shuffle-bucket ids for an Arrow column: FNV of the values mod
+    ``n_parts`` (integer columns hash via :func:`hash64_ints`, strings /
+    binary via :func:`hash64`).  The single definition of the
+    key-to-coarse-bucket rule every bucketed shuffle in ops/ shares."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        hb = hash64_ints(arr.to_numpy(zero_copy_only=False).astype(np.int64))
+    else:
+        hb = hash64(arr)
+    return (hb % np.uint64(n_parts)).astype(np.int32)

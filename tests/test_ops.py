@@ -474,3 +474,72 @@ def test_funnel_counts_window_and_order(ray_session):
     )
     assert got["n_users"].tolist() == [6, 3, 3]
     assert got["event_type"].tolist() == ["view", "click", "purchase"]
+
+
+def test_funnel_counts_no_matching_events(ray_session):
+    """A corpus slice with none of the step types still yields one
+    zero-count row per step (matches the oracle's UNION ALL of COUNT(*))."""
+    import pyarrow as pa
+
+    from fever_ray.ops.aggregates import funnel_counts
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([0, 1_000_000], pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(["error", "signup"], pa.string()),
+        }
+    )
+    got = (
+        funnel_counts(ray_session.data.from_arrow(t), steps=("view", "click"))
+        .to_pandas()
+        .sort_values("step")
+    )
+    assert got["step"].tolist() == [1, 2]
+    assert got["n_users"].tolist() == [0, 0]
+
+
+def test_group_top_k_unsigned_and_int64min(ray_session):
+    """Descending rank must be exact for uint64 order columns (plain -o
+    wraps mod 2^64) and for INT64_MIN (plain -o overflows)."""
+    import pyarrow as pa
+
+    from fever_ray.ops.relational import group_top_k
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "g": pa.array(["a"] * 4, pa.string()),
+            "v": pa.array(
+                np.array([0, 1, 2**63 + 5, 7], dtype=np.uint64), pa.uint64()
+            ),
+        }
+    )
+    got = (
+        group_top_k(
+            ray_session.data.from_arrow(t), group_col="g", order_col="v",
+            k=2, id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("rn")
+    )
+    assert got["doc_id"].tolist() == [2, 3]  # largest two values
+
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+            "g": pa.array(["a"] * 3, pa.string()),
+            "v": pa.array(
+                np.array([np.iinfo(np.int64).min, -1, 4], dtype=np.int64)
+            ),
+        }
+    )
+    got2 = (
+        group_top_k(
+            ray_session.data.from_arrow(t2), group_col="g", order_col="v",
+            k=3, id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("rn")
+    )
+    assert got2["doc_id"].tolist() == [2, 1, 0]
