@@ -1283,6 +1283,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_t(sf, "events", ["user_id", "ts"]), gap_s=1800)
 
+    def q_group_value_rank(sf):
+        from fever_ray.ops.stats import group_value_rank
+
+        return group_value_rank(
+            _t(sf, "documents", ["doc_id", "lang", "n_chars"]),
+            group_col="lang",
+            value_col="n_chars",
+        )
+
     def q_funnel_counts(sf):
         return agg.funnel_counts(
             _t(sf, "events", ["user_id", "ts", "event_type"]),
@@ -1451,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": q_running_totals,
         "group_top_k": q_group_top_k,
         "funnel_counts": q_funnel_counts,
+        "group_value_rank": q_group_value_rank,
         "asof_join": q_asof_join,
     }
 
@@ -2546,6 +2556,12 @@ def oracle_sql() -> dict[str, str]:
             "  FROM o) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, COUNT(*) AS n_events FROM s GROUP BY 1, 2"
+        ),
+        # histogram-rank: competition ranking (ties share a rank) — SQL RANK
+        "group_value_rank": (
+            "SELECT doc_id, lang, n_chars, "
+            "RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rank "
+            "FROM documents"
         ),
         # greedy earliest-chain funnel with a 1-day conversion window;
         # strictly-after ordering and integer-us window arithmetic mirror

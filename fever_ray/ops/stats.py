@@ -197,3 +197,106 @@ def exact_rank_of(ds, col: str, x: float) -> tuple[int, int, int]:
     le = int(out.column("le").to_numpy().sum())
     n = int(out.column("n").to_numpy().sum())
     return lt, le, n
+
+
+def group_value_rank(
+    ds,
+    group_col: str,
+    value_col: str,
+    descending: bool = False,
+    out_col: str = "rank",
+    broadcast_cap: int = 64 << 20,
+):
+    """Per-row competition rank (SQL ``RANK() OVER (PARTITION BY group
+    ORDER BY value)``) computed WITHOUT shuffling the corpus: one skinny
+    (group, value)-histogram pass tree-combines per-batch counts, the
+    prefix-summed histogram is broadcast once, and every batch resolves its
+    rows' ranks with a vectorized searchsorted probe.  Ties share a rank
+    (competition ranking) — exactly SQL RANK, which is what a histogram can
+    answer; ROW_NUMBER tie-breaking would need a real per-group sort.
+
+    Requires a bounded (group × distinct-value) domain — integer scores,
+    lengths, bucketed floats (the histogram must fit ``broadcast_cap``);
+    raises otherwise rather than silently degrading.  Scale shape
+    (10^12 rows): only histogram partials move; output rows stream out of
+    the same map_batches that read them.
+
+    The same construction as ``curate.grouped_order_statistic`` (exact
+    per-group percentiles) but inverted: that broadcasts rank targets and
+    returns k values; this broadcasts the whole value CDF and annotates
+    every row.  Nulls in ``value_col`` are rejected (rank is undefined).
+    """
+    import ray
+
+    from .aggregates import tree_groupby
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, value_col])
+        if t.column(value_col).null_count:
+            raise ValueError(
+                f"group_value_rank: {value_col} contains nulls — rank is undefined"
+            )
+        if t.column(group_col).null_count:
+            raise ValueError(
+                f"group_value_rank: {group_col} contains nulls — drop or fill "
+                "null groups first"
+            )
+        return (
+            pa.TableGroupBy(t, [group_col, value_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, value_col, "n"])
+        )
+
+    hist_ds = tree_groupby(
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, value_col],
+        [("n", "sum")],
+    ).materialize()
+    if (hist_ds.size_bytes() or 0) > broadcast_cap:
+        raise ValueError(
+            "group_value_rank: (group, value) histogram exceeds the broadcast "
+            f"cap ({hist_ds.size_bytes()} > {broadcast_cap} bytes) — the value "
+            "domain is not bounded enough for the histogram-rank construction; "
+            "bucket the values first or use a sort-based rank"
+        )
+    tabs = [
+        t for t in ray.get(hist_ds.to_arrow_refs()) if t.num_rows and t.num_columns
+    ]
+    lookup: dict = {}
+    if tabs:
+        hist = pa.concat_tables(tabs)
+        groups = hist.column(group_col).to_numpy(zero_copy_only=False)
+        vals = hist.column(value_col).to_numpy(zero_copy_only=False)
+        cnts = hist.column("n").to_numpy(zero_copy_only=False)
+        for g in np.unique(groups):
+            m = groups == g
+            gv, gc = vals[m], cnts[m]
+            order = np.argsort(gv, kind="mergesort")
+            gv, gc = gv[order], gc[order]
+            if descending:
+                # rank 1 = largest value: starts are suffix sums
+                starts = np.concatenate(
+                    ([np.int64(1)], 1 + np.cumsum(gc[::-1])[:-1])
+                )[::-1].copy()
+            else:
+                starts = np.concatenate(([np.int64(1)], 1 + np.cumsum(gc)[:-1]))
+            lookup[g if not isinstance(g, np.generic) else g.item()] = (gv, starts)
+    lookup_ref = ray.put(lookup)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        gcol = batch.column(group_col)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        g_np = gcol.to_numpy(zero_copy_only=False)
+        v_np = batch.column(value_col).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(g_np), dtype=np.int64)
+        enc = gcol.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        for ci, gval in enumerate(enc.dictionary.to_pylist()):
+            m = codes == ci
+            gv, starts = lk[gval]
+            rank[m] = starts[np.searchsorted(gv, v_np[m])]
+        return batch.append_column(out_col, pa.array(rank, pa.int64()))
+
+    return ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)

@@ -94,3 +94,50 @@ def test_sketch_error_gate_emits_all_checks(ray_session):
         "bloom_users_membership",
     }
     assert rows["hll_distinct_users"] == rows["theta_distinct_users"] > 0
+
+
+def test_group_value_rank_vs_duckdb(ray_session):
+    """Ties, descending mode, and string groups vs the RANK() oracle."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from fever_ray.ops.stats import group_value_rank
+    from tests.strict_compare import canon
+
+    rng = np.random.default_rng(7)
+    n = 8000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array([f"l{g}" for g in rng.integers(0, 6, n)]),
+            "n_chars": pa.array(rng.integers(0, 50, n).astype("int64")),
+        }
+    )
+    con = duckdb.connect()
+    con.register("d", t)
+    for desc in (False, True):
+        got = group_value_rank(
+            ray_session.data.from_arrow(t).repartition(5),
+            group_col="lang",
+            value_col="n_chars",
+            descending=desc,
+        ).to_pandas()
+        want = con.execute(
+            "SELECT doc_id, lang, n_chars, RANK() OVER (PARTITION BY lang "
+            f"ORDER BY n_chars {'DESC' if desc else ''}) AS rank FROM d"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
+
+
+def test_group_value_rank_rejects_nulls(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from fever_ray.ops.stats import group_value_rank
+
+    t = pa.table({"g": ["a", "b"], "v": pa.array([1, None], pa.int64())})
+    with _pytest.raises(Exception, match="null"):
+        group_value_rank(
+            ray_session.data.from_arrow(t), group_col="g", value_col="v"
+        ).materialize()
