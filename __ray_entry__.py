@@ -1283,6 +1283,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_t(sf, "events", ["user_id", "ts"]), gap_s=1800)
 
+    def q_rollup_aggregate(sf):
+        return rel.rollup_aggregate(
+            _t(sf, "documents", ["lang", "source", "n_chars"]),
+            keys=["lang", "source"],
+            value_col="n_chars",
+        )
+
     def q_group_value_rank(sf):
         from fever_ray.ops.stats import group_value_rank
 
@@ -1461,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_top_k": q_group_top_k,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
+        "rollup_aggregate": q_rollup_aggregate,
         "asof_join": q_asof_join,
     }
 
@@ -2556,6 +2564,11 @@ def oracle_sql() -> dict[str, str]:
             "  FROM o) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, COUNT(*) AS n_events FROM s GROUP BY 1, 2"
+        ),
+        "rollup_aggregate": (
+            "SELECT lang, source, COUNT(n_chars) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars "
+            "FROM documents GROUP BY ROLLUP(lang, source)"
         ),
         # histogram-rank: competition ranking (ties share a rank) — SQL RANK
         "group_value_rank": (

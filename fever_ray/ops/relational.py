@@ -513,3 +513,81 @@ def group_top_k(
         .groupby("bucket")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def rollup_aggregate(ds, keys: list[str], value_col: str):
+    """Multi-level subtotals — SQL ``GROUP BY ROLLUP(k1, k2, ...)``: one
+    row per finest group plus subtotal rows (coarser key prefixes padded
+    with typed nulls) up to the grand total.
+
+    Output: (*keys, ``n`` int64, ``sum_<value_col>`` int64).  ``value_col``
+    must be integral (exact order-independent sums; route money through
+    cents first, like ``pricing_summary``).
+
+    Scale shape: ONE corpus pass computes the finest-level partials
+    (per-batch combiner → bounded tree merge); every coarser level is then
+    derived by re-aggregating the finest result, which is
+    (distinct-key-combination)-sized, not corpus-sized.  The rollup itself
+    runs in a single map_batches over that small table.
+
+    Reference anchor: fever's aggregators each flush ONE fixed grouping
+    (e.g. flow_aggregator.go per (user, type)); this composes the whole
+    subtotal lattice from the same single pass.
+    """
+    if not keys:
+        raise ValueError("rollup_aggregate: keys must be non-empty")
+    sum_col = f"sum_{value_col}"
+    schema = ds.schema().base_schema
+    key_types = {k: schema.field(k).type for k in keys}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch.select(keys + [value_col]), keys).aggregate(
+            [(value_col, "count"), (value_col, "sum")]
+        )
+        return t.rename_columns(keys + ["n", "s"])
+
+    from .aggregates import tree_groupby
+
+    finest = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys,
+        [("n", "sum"), ("s", "sum")],
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        levels = [
+            pa.table(
+                {
+                    **{k: batch.column(k) for k in keys},
+                    "n": batch.column("n"),
+                    sum_col: batch.column("s"),
+                }
+            )
+        ]
+        for lvl in range(len(keys) - 1, -1, -1):
+            kept = keys[:lvl]
+            if kept:
+                g = pa.TableGroupBy(batch.select(kept + ["n", "s"]), kept).aggregate(
+                    [("n", "sum"), ("s", "sum")]
+                ).rename_columns(kept + ["n", "s"])
+            else:
+                n = pc.sum(batch.column("n")).as_py() or 0
+                s = pc.sum(batch.column("s")).as_py() or 0
+                g = pa.table(
+                    {"n": pa.array([n], pa.int64()), "s": pa.array([s], pa.int64())}
+                )
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    g.column(k)
+                    if k in kept
+                    else pa.nulls(g.num_rows, type=key_types[k])
+                )
+            cols["n"] = g.column("n")
+            cols[sum_col] = g.column("s")
+            levels.append(pa.table(cols))
+        return pa.concat_tables(levels)
+
+    return finest.repartition(1).map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    )

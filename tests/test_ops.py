@@ -543,3 +543,31 @@ def test_group_top_k_unsigned_and_int64min(ray_session):
         .sort_values("rn")
     )
     assert got2["doc_id"].tolist() == [2, 1, 0]
+
+
+def test_rollup_aggregate_levels(ray_session):
+    """Subtotal lattice vs DuckDB GROUP BY ROLLUP — including a NULL finest
+    group, which coexists with (and is distinct from) the subtotal rows."""
+    import pyarrow as pa
+
+    from fever_ray.ops.relational import rollup_aggregate
+    from tests.strict_compare import canon
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y", "y", "y"],
+            "b": ["p", "q", "p", "p", None],
+            "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    got = rollup_aggregate(
+        ray_session.data.from_arrow(t).repartition(3), keys=["a", "b"],
+        value_col="v",
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT a, b, COUNT(v) AS n, CAST(SUM(v) AS BIGINT) AS sum_v "
+        "FROM t GROUP BY ROLLUP(a, b)"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
