@@ -1283,6 +1283,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_t(sf, "events", ["user_id", "ts"]), gap_s=1800)
 
+    def q_group_mode(sf):
+        from fever_ray.ops.stats import group_mode
+
+        return group_mode(
+            _t(sf, "documents", ["lang", "n_chars"]),
+            group_col="lang",
+            value_col="n_chars",
+        )
+
     def q_rollup_aggregate(sf):
         return rel.rollup_aggregate(
             _t(sf, "documents", ["lang", "source", "n_chars"]),
@@ -1469,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
+        "group_mode": q_group_mode,
         "asof_join": q_asof_join,
     }
 
@@ -2564,6 +2574,14 @@ def oracle_sql() -> dict[str, str]:
             "  FROM o) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, COUNT(*) AS n_events FROM s GROUP BY 1, 2"
+        ),
+        # deterministic mode: highest count, then smallest value
+        "group_mode": (
+            "SELECT lang, mode, mode_count FROM ("
+            "SELECT lang, n_chars AS mode, COUNT(*) AS mode_count, "
+            "ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY COUNT(*) DESC, n_chars) AS rn "
+            "FROM documents GROUP BY lang, n_chars) WHERE rn = 1"
         ),
         "rollup_aggregate": (
             "SELECT lang, source, COUNT(n_chars) AS n, "

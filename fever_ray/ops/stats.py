@@ -26,6 +26,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SIGN = np.uint64(1) << np.uint64(63)
 
@@ -300,3 +301,70 @@ def group_value_rank(
         return batch.append_column(out_col, pa.array(rank, pa.int64()))
 
     return ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_mode(ds, group_col: str, value_col: str):
+    """Exact per-group MODE with a deterministic tie policy (highest count,
+    then smallest value): one skinny (group, value)-count tree pass, then
+    an argmax per group over the bounded histogram — the corpus never
+    shuffles and nothing corpus-sized reaches the driver.
+
+    Output rows: (``group_col``, ``mode`` = the winning value,
+    ``mode_count`` int64).  Same bounded-(group x distinct-value)-domain
+    assumption as :func:`group_value_rank`; nulls in either column are
+    rejected (a null mode is undefined).
+    """
+    from .aggregates import tree_groupby
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, value_col])
+        if t.column(value_col).null_count or t.column(group_col).null_count:
+            raise ValueError("group_mode: null group or value — filter first")
+        return (
+            pa.TableGroupBy(t, [group_col, value_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, value_col, "n"])
+        )
+
+    hist = tree_groupby(
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, value_col],
+        [("n", "sum")],
+    )
+
+    def argmax(batch: pa.Table) -> pa.Table:
+        # deterministic winner per group: sort (count desc, value asc) and
+        # take the first run element per group
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                (group_col, "ascending"),
+                ("n", "descending"),
+                (value_col, "ascending"),
+            ],
+        )
+        s = batch.take(idx)
+        gc = s.column(group_col)
+        if isinstance(gc, pa.ChunkedArray):
+            gc = gc.combine_chunks()
+        codes = gc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        first = np.empty(len(codes), dtype=bool)
+        if len(codes):
+            first[0] = True
+            first[1:] = codes[1:] != codes[:-1]
+        keep = pa.array(first)
+        return pa.table(
+            {
+                group_col: gc.filter(keep),
+                "mode": s.column(value_col).filter(keep)
+                if not isinstance(s.column(value_col), pa.ChunkedArray)
+                else s.column(value_col).combine_chunks().filter(keep),
+                "mode_count": s.column("n").filter(keep)
+                if not isinstance(s.column("n"), pa.ChunkedArray)
+                else s.column("n").combine_chunks().filter(keep),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        argmax, batch_format="pyarrow", batch_size=None
+    )

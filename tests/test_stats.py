@@ -141,3 +141,27 @@ def test_group_value_rank_rejects_nulls(ray_session):
         group_value_rank(
             ray_session.data.from_arrow(t), group_col="g", value_col="v"
         ).materialize()
+
+
+def test_group_mode_tie_policy(ray_session):
+    """Ties resolve to the smallest value; counts exact across partitions."""
+    import pyarrow as pa
+
+    from fever_ray.ops.stats import group_mode
+
+    t = pa.table(
+        {
+            "g": ["a"] * 6 + ["b"] * 3,
+            "v": pa.array([5, 5, 3, 3, 9, 1, 7, 7, 2], pa.int64()),
+        }
+    )
+    got = (
+        group_mode(ray_session.data.from_arrow(t).repartition(4), "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # group a: 5 and 3 both occur twice -> smallest value (3) wins
+    assert got["g"].tolist() == ["a", "b"]
+    assert got["mode"].tolist() == [3, 7]
+    assert got["mode_count"].tolist() == [2, 2]
