@@ -203,6 +203,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_left_outer_join(sf):
+        right = _t(sf, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+            lambda b: b.filter(pc.greater(b.column("c_acctbal"), 5000.0)).select(
+                ["c_custkey", "c_mktsegment"]
+            ),
+            batch_format="pyarrow",
+        )
+        joined = rel.partitioned_hash_join(
+            _t(sf, "orders", ["o_orderkey", "o_custkey"]),
+            right,
+            "o_custkey",
+            "c_custkey",
+            n_buckets=8,
+            join_type="left outer",
+        )
+        return joined.map_batches(
+            lambda b: b.select(["o_orderkey", "o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+
     def q_bucketed_join(sf):
         joined = rel.partitioned_hash_join(
             _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
@@ -1406,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "filter_project": q_filter_project,
         "bucketed_join": q_bucketed_join,
+        "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -2264,6 +2285,11 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join": (
             "SELECT o_orderkey, o_custkey, c_name FROM orders "
             "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "left_outer_join": (
+            "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+            "LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_acctbal > 5000) c ON o_custkey = c_custkey"
         ),
         "revenue_by_nation": (
             # revenue in 10^-4 units (cents × integer discount percent) on

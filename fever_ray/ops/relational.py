@@ -165,12 +165,18 @@ def filter_project(lineitem_ds, min_qty: float = 45.0):
     return lineitem_ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def partitioned_hash_join(left_ds, right_ds, left_key: str, right_key: str, n_buckets: int = 16):
+def partitioned_hash_join(left_ds, right_ds, left_key: str, right_key: str,
+                          n_buckets: int = 16, join_type: str = "inner"):
     """Both-sides-large join: explicit bucketed hash join — add
     bucket=hash(key)%B to both sides, co-group per bucket, join inside
     map_groups.  Documented partitioning assumption: bucket count B chosen so
     one bucket of the smaller side fits a worker's heap; hot keys can be
-    salted into sub-buckets (not needed for these fixtures)."""
+    salted into sub-buckets (not needed for these fixtures).
+
+    ``join_type`` passes through to the per-bucket Arrow join ("inner",
+    "left outer", ...): co-partitioning by key hash keeps every outer-join
+    variant correct — an unmatched left row's bucket provably holds no
+    match anywhere, so null-padding locally equals the global result."""
     import numpy as np
 
     from ..sketches.hashing import hash64_ints
@@ -209,7 +215,7 @@ def partitioned_hash_join(left_ds, right_ds, left_key: str, right_key: str, n_bu
     def join_group(group: pa.Table) -> pa.Table:
         lt = group.filter(pc.equal(group.column("__side"), "l")).select(l_names)
         rt = group.filter(pc.equal(group.column("__side"), "r")).select(r_names)
-        return lt.join(rt, keys=left_key, right_keys=right_key, join_type="inner")
+        return lt.join(rt, keys=left_key, right_keys=right_key, join_type=join_type)
 
     both = left_tag.union(right_tag)
     return both.groupby("__bucket").map_groups(join_group, batch_format="pyarrow")
