@@ -560,40 +560,61 @@ def rollup_aggregate(ds, keys: list[str], value_col: str):
         [("n", "sum"), ("s", "sum")],
     )
 
-    def expand(batch: pa.Table) -> pa.Table:
-        levels = [
-            pa.table(
+    # The lattice is key-combination-sized by assumption, so the rollup
+    # itself runs on the driver over the collected finest table — this also
+    # guarantees ROLLUP's empty-input contract (the grand-total row exists
+    # even when no input rows do, with COUNT 0 and a NULL sum).
+    import ray
+    import ray.data as rd
+
+    tabs = [
+        t
+        for t in ray.get(finest.materialize().to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if tabs:
+        batch = pa.concat_tables(tabs).combine_chunks()
+    else:
+        batch = pa.table(
+            {
+                **{k: pa.array([], key_types[k]) for k in keys},
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+    levels = [
+        pa.table(
+            {
+                **{k: batch.column(k) for k in keys},
+                "n": batch.column("n"),
+                sum_col: batch.column("s"),
+            }
+        )
+    ]
+    for lvl in range(len(keys) - 1, -1, -1):
+        kept = keys[:lvl]
+        if kept:
+            g = pa.TableGroupBy(batch.select(kept + ["n", "s"]), kept).aggregate(
+                [("n", "sum"), ("s", "sum")]
+            ).rename_columns(kept + ["n", "s"])
+        else:
+            # grand total: COUNT of nothing is 0, but SUM of nothing (or of
+            # all-null values) is NULL — exactly SQL's semantics; coercing
+            # the sum to 0 would diverge from the ROLLUP oracle
+            n = pc.sum(batch.column("n")).as_py()
+            sm = pc.sum(batch.column("s")).as_py()
+            g = pa.table(
                 {
-                    **{k: batch.column(k) for k in keys},
-                    "n": batch.column("n"),
-                    sum_col: batch.column("s"),
+                    "n": pa.array([0 if n is None else n], pa.int64()),
+                    "s": pa.array([sm], pa.int64()),
                 }
             )
-        ]
-        for lvl in range(len(keys) - 1, -1, -1):
-            kept = keys[:lvl]
-            if kept:
-                g = pa.TableGroupBy(batch.select(kept + ["n", "s"]), kept).aggregate(
-                    [("n", "sum"), ("s", "sum")]
-                ).rename_columns(kept + ["n", "s"])
-            else:
-                n = pc.sum(batch.column("n")).as_py() or 0
-                s = pc.sum(batch.column("s")).as_py() or 0
-                g = pa.table(
-                    {"n": pa.array([n], pa.int64()), "s": pa.array([s], pa.int64())}
-                )
-            cols = {}
-            for k in keys:
-                cols[k] = (
-                    g.column(k)
-                    if k in kept
-                    else pa.nulls(g.num_rows, type=key_types[k])
-                )
-            cols["n"] = g.column("n")
-            cols[sum_col] = g.column("s")
-            levels.append(pa.table(cols))
-        return pa.concat_tables(levels)
-
-    return finest.repartition(1).map_batches(
-        expand, batch_format="pyarrow", batch_size=None
-    )
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                g.column(k) if k in kept else pa.nulls(g.num_rows, type=key_types[k])
+            )
+        cols["n"] = g.column("n")
+        cols[sum_col] = g.column("s")
+        levels.append(pa.table(cols))
+    return rd.from_arrow(pa.concat_tables(levels))

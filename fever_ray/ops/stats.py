@@ -200,6 +200,54 @@ def exact_rank_of(ds, col: str, x: float) -> tuple[int, int, int]:
     return lt, le, n
 
 
+def _group_value_hist(ds, group_col: str, value_col: str, opname: str,
+                      partial_cap: int = 1 << 30):
+    """Shared (group, value)-count histogram pass for the histogram-family
+    grouped operators: per-batch combiner partials, materialized and
+    size-checked BEFORE the bounded tree combine (an unbounded value domain
+    then fails fast instead of OOMing the single repartition(1) task), then
+    a tree-merged exact count per (group, value).
+
+    Floating group columns are rejected up front: a NaN group is non-null
+    yet never equal to itself, so it can neither join nor key a broadcast
+    lookup.  Nulls in either column are rejected per batch."""
+    from .aggregates import tree_groupby
+
+    if pa.types.is_floating(ds.schema().base_schema.field(group_col).type):
+        raise ValueError(
+            f"{opname}: floating {group_col} unsupported as a group key "
+            "(NaN groups are never equal to themselves) — cast or bucket it"
+        )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, value_col])
+        if t.column(value_col).null_count:
+            raise ValueError(
+                f"{opname}: {value_col} contains nulls — filter or fill first"
+            )
+        if t.column(group_col).null_count:
+            raise ValueError(
+                f"{opname}: {group_col} contains nulls — filter or fill first"
+            )
+        return (
+            pa.TableGroupBy(t, [group_col, value_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, value_col, "n"])
+        )
+
+    partials = ds.map_batches(
+        hist_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    pb = partials.size_bytes() or 0
+    if pb > partial_cap:
+        raise ValueError(
+            f"{opname}: (group, value) partials total {pb} bytes "
+            f"(> {partial_cap}) — the value domain is not bounded enough for "
+            "the histogram construction; bucket the values first"
+        )
+    return tree_groupby(partials, [group_col, value_col], [("n", "sum")])
+
+
 def group_value_rank(
     ds,
     group_col: str,
@@ -229,29 +277,9 @@ def group_value_rank(
     """
     import ray
 
-    from .aggregates import tree_groupby
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([group_col, value_col])
-        if t.column(value_col).null_count:
-            raise ValueError(
-                f"group_value_rank: {value_col} contains nulls — rank is undefined"
-            )
-        if t.column(group_col).null_count:
-            raise ValueError(
-                f"group_value_rank: {group_col} contains nulls — drop or fill "
-                "null groups first"
-            )
-        return (
-            pa.TableGroupBy(t, [group_col, value_col])
-            .aggregate([([], "count_all")])
-            .rename_columns([group_col, value_col, "n"])
-        )
-
-    hist_ds = tree_groupby(
-        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
-        [group_col, value_col],
-        [("n", "sum")],
+    hist_ds = _group_value_hist(
+        ds, group_col, value_col, "group_value_rank",
+        partial_cap=broadcast_cap * 16,
     ).materialize()
     if (hist_ds.size_bytes() or 0) > broadcast_cap:
         raise ValueError(
@@ -314,23 +342,7 @@ def group_mode(ds, group_col: str, value_col: str):
     assumption as :func:`group_value_rank`; nulls in either column are
     rejected (a null mode is undefined).
     """
-    from .aggregates import tree_groupby
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([group_col, value_col])
-        if t.column(value_col).null_count or t.column(group_col).null_count:
-            raise ValueError("group_mode: null group or value — filter first")
-        return (
-            pa.TableGroupBy(t, [group_col, value_col])
-            .aggregate([([], "count_all")])
-            .rename_columns([group_col, value_col, "n"])
-        )
-
-    hist = tree_groupby(
-        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
-        [group_col, value_col],
-        [("n", "sum")],
-    )
+    hist = _group_value_hist(ds, group_col, value_col, "group_mode")
 
     def argmax(batch: pa.Table) -> pa.Table:
         # deterministic winner per group: sort (count desc, value asc) and

@@ -571,3 +571,34 @@ def test_rollup_aggregate_levels(ray_session):
         "FROM t GROUP BY ROLLUP(a, b)"
     ).fetchdf()
     pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
+
+
+def test_rollup_aggregate_degenerate_inputs(ray_session):
+    """SQL edge semantics: SUM of nothing / of all nulls is NULL while
+    COUNT is 0, and the grand-total row exists even on empty input."""
+    import duckdb as _duckdb
+    import pyarrow as pa
+
+    from fever_ray.ops.relational import rollup_aggregate
+    from tests.strict_compare import canon
+
+    cases = [
+        pa.table(  # all values null
+            {"a": ["x", "y"], "b": ["p", "q"], "v": pa.array([None, None], pa.int64())}
+        ),
+        pa.table(  # empty input
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+             "v": pa.array([], pa.int64())}
+        ),
+    ]
+    for t in cases:
+        got = rollup_aggregate(
+            ray_session.data.from_arrow(t), keys=["a", "b"], value_col="v"
+        ).to_pandas()
+        con = _duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT a, b, COUNT(v) AS n, CAST(SUM(v) AS BIGINT) AS sum_v "
+            "FROM t GROUP BY ROLLUP(a, b)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)

@@ -165,3 +165,11 @@ def test_group_mode_tie_policy(ray_session):
     assert got["g"].tolist() == ["a", "b"]
     assert got["mode"].tolist() == [3, 7]
     assert got["mode_count"].tolist() == [2, 2]
+
+
+def test_group_value_rank_rejects_float_groups(ray_session):
+    from fever_ray.ops.stats import group_value_rank
+
+    t = pa.table({"g": pa.array([1.0, float("nan")]), "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="floating"):
+        group_value_rank(ray_session.data.from_arrow(t), "g", "v")
