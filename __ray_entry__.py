@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fever_ray.ops.cidr import cidr_match
     from fever_ray.ops.dedup import (
         connected_components,
+        dup_ngram_trim,
         dup_ngram_windows,
         embedding_dup_pairs,
         exact_dedup,
@@ -611,6 +612,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dup_ngram_windows(
             _t(sf, "documents", ["doc_id", "text"]), n=5
         )
+
+    def q_dup_ngram_trim(sf):
+        # the span-removal ACTION of exact substring dedup
+        return dup_ngram_trim(_t(sf, "documents", ["doc_id", "text"]), n=5)
 
     def q_domain_cap(sf):
         ds = domain_cap(_t(sf, "documents", ["doc_id", "source"]), cap=7)
@@ -1456,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_corpus": q_repeat_corpus,
         "line_dedup": q_line_dedup,
         "dup_ngram_windows": q_dup_ngram_windows,
+        "dup_ngram_trim": q_dup_ngram_trim,
         "domain_cap": q_domain_cap,
         "token_repetition": q_token_repetition,
         "curation_filter": q_curation_filter,
@@ -2619,6 +2625,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars, "
             "RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rank "
             "FROM documents"
+        ),
+        # span removal: a token survives iff no corpus-duplicated 5-token
+        # window covers it; fully-covered docs become '' (COALESCE mirrors
+        # the engine's empty-string, never-dropped contract)
+        "dup_ngram_trim": (
+            "WITH toks AS (SELECT doc_id, string_split(COALESCE(text,''), ' ')"
+            " AS t FROM documents), "
+            "pos AS (SELECT doc_id, t, unnest(range(1, len(t)-5+2)) AS i "
+            "FROM toks), "
+            "wins AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g "
+            "FROM pos), "
+            "cnt AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) > 1), "
+            "dupw AS (SELECT doc_id, i FROM wins JOIN cnt USING (g)), "
+            "tok AS (SELECT doc_id, unnest(t) AS tokv, "
+            "unnest(range(1, len(t)+1)) AS p FROM toks), "
+            "keep AS (SELECT tok.doc_id, tokv, p FROM tok "
+            "WHERE NOT EXISTS (SELECT 1 FROM dupw d WHERE d.doc_id = "
+            "tok.doc_id AND d.i <= tok.p AND tok.p <= d.i + 4)) "
+            "SELECT t.doc_id, "
+            "COALESCE((SELECT string_agg(tokv, ' ' ORDER BY p) FROM keep k "
+            "WHERE k.doc_id = t.doc_id), '') AS text_trim, "
+            "len(t.t) - COALESCE((SELECT COUNT(*) FROM keep k "
+            "WHERE k.doc_id = t.doc_id), 0) AS n_removed "
+            "FROM toks t"
         ),
         # greedy earliest-chain funnel with a 1-day conversion window;
         # strictly-after ordering and integer-us window arithmetic mirror

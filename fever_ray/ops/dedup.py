@@ -1545,6 +1545,86 @@ def _window_hashes(batch: pa.Table, n: int, text_col: str):
     return acc[valid], rows
 
 
+def _dup_key_set(ds, n: int, text_col: str, n_parts: int, hashed: bool):
+    """Pass 1 shared by :func:`dup_ngram_windows` and
+    :func:`dup_ngram_trim`: the set of window keys occurring more than once
+    corpus-wide.  Each batch emits its DISTINCT keys once and its
+    within-batch duplicates once more, so per-bucket dup detection is a
+    pure sorted-run scan — no count column ever moves."""
+    from .trainprep import _doc_ngrams
+
+    key_type = pa.int64() if hashed else pa.string()
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        if hashed:
+            kh, _rows = _window_hashes(batch, n, text_col)
+        else:
+            grams, _rows = _doc_ngrams(batch, n, text_col)
+        if _rows is None:
+            return pa.table(
+                {"k": pa.array([], key_type), "bucket": pa.array([], pa.int32())}
+            )
+        if hashed:
+            uk, uc = np.unique(kh, return_counts=True)
+            ks = np.concatenate([uk, uk[uc > 1]])
+            karr = pa.array(ks.view(np.int64), pa.int64())
+            hb = ks
+        else:
+            t = (
+                pa.TableGroupBy(pa.table({"g": grams}), ["g"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["g", "c"])
+            )
+            g = t.column("g")
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
+            mask = pc.greater(t.column("c"), 1)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            dup_local = g.filter(mask)
+            if isinstance(dup_local, pa.ChunkedArray):
+                dup_local = dup_local.combine_chunks()
+            karr = pa.concat_arrays([g, dup_local])
+            hb = hash64(karr)
+        bucket = (hb % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({"k": karr, "bucket": pa.array(bucket, pa.int32())})
+
+    def dup_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table({"k": pa.array([], key_type)})
+        kc = group.column("k")
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if hashed:
+            ks = np.sort(kc.to_numpy(zero_copy_only=False))
+            dup_mask = np.empty(len(ks), dtype=bool)
+            dup_mask[:-1] = ks[:-1] == ks[1:]
+            dup_mask[-1] = False
+            first_of_run = np.empty(len(ks), dtype=bool)
+            first_of_run[0] = True
+            first_of_run[1:] = ks[1:] != ks[:-1]
+            out = ks[dup_mask & first_of_run]
+            return pa.table({"k": pa.array(out, pa.int64())})
+        idx = pc.sort_indices(kc)
+        ks = kc.take(idx)
+        eq_next = pc.equal(ks.slice(0, len(ks) - 1), ks.slice(1)).to_numpy(
+            zero_copy_only=False
+        )
+        neq_prev = np.empty(len(ks), dtype=bool)
+        neq_prev[0] = True
+        neq_prev[1:] = ~eq_next
+        dup_mask = np.zeros(len(ks), dtype=bool)
+        dup_mask[:-1] = eq_next
+        keep = dup_mask & neq_prev
+        return pa.table({"k": ks.filter(pa.array(keep))})
+
+    return (
+        ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(dup_bucket, batch_format="pyarrow")
+    )
+
+
 def dup_ngram_windows(
     ds,
     n: int = 8,
@@ -1606,79 +1686,7 @@ def dup_ngram_windows(
     id_type = ds.schema().base_schema.field(id_col).type
     key_type = pa.int64() if hashed else pa.string()
 
-    # ---- pass 1: the duplicated-window key set -------------------------
-    def key_partial(batch: pa.Table) -> pa.Table:
-        if hashed:
-            kh, _rows = _window_hashes(batch, n, text_col)
-        else:
-            grams, _rows = _doc_ngrams(batch, n, text_col)
-        if _rows is None:
-            return pa.table(
-                {"k": pa.array([], key_type), "bucket": pa.array([], pa.int32())}
-            )
-        if hashed:
-            uk, uc = np.unique(kh, return_counts=True)
-            # distinct keys once + within-batch dups once more: a run of
-            # >= 2 in the bucket then means "duplicated globally"
-            ks = np.concatenate([uk, uk[uc > 1]])
-            karr = pa.array(ks.view(np.int64), pa.int64())
-            hb = ks
-        else:
-            t = (
-                pa.TableGroupBy(pa.table({"g": grams}), ["g"])
-                .aggregate([([], "count_all")])
-                .rename_columns(["g", "c"])
-            )
-            g = t.column("g")
-            if isinstance(g, pa.ChunkedArray):
-                g = g.combine_chunks()
-            mask = pc.greater(t.column("c"), 1)
-            if isinstance(mask, pa.ChunkedArray):
-                mask = mask.combine_chunks()
-            dup_local = g.filter(mask)
-            if isinstance(dup_local, pa.ChunkedArray):
-                dup_local = dup_local.combine_chunks()
-            karr = pa.concat_arrays([g, dup_local])
-            hb = hash64(karr)
-        bucket = (hb % np.uint64(n_parts)).astype(np.int32)
-        return pa.table({"k": karr, "bucket": pa.array(bucket, pa.int32())})
-
-    def dup_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0 or group.num_columns == 0:
-            return pa.table({"k": pa.array([], key_type)})
-        kc = group.column("k")
-        if isinstance(kc, pa.ChunkedArray):
-            kc = kc.combine_chunks()
-        if hashed:
-            ks = np.sort(kc.to_numpy(zero_copy_only=False))
-            dup_mask = np.empty(len(ks), dtype=bool)
-            dup_mask[:-1] = ks[:-1] == ks[1:]
-            dup_mask[-1] = False
-            first_of_run = np.empty(len(ks), dtype=bool)
-            first_of_run[0] = True
-            first_of_run[1:] = ks[1:] != ks[:-1]
-            out = ks[dup_mask & first_of_run]
-            return pa.table({"k": pa.array(out, pa.int64())})
-        idx = pc.sort_indices(kc)
-        ks = kc.take(idx)
-        eq_next = pc.equal(ks.slice(0, len(ks) - 1), ks.slice(1)).to_numpy(
-            zero_copy_only=False
-        )
-        neq_prev = np.empty(len(ks), dtype=bool)
-        neq_prev[0] = True
-        neq_prev[1:] = ~eq_next
-        dup_mask = np.zeros(len(ks), dtype=bool)
-        dup_mask[:-1] = eq_next
-        keep = dup_mask & neq_prev
-        return pa.table({"k": ks.filter(pa.array(keep))})
-
-    dup = (
-        ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(dup_bucket, batch_format="pyarrow")
-        .materialize()
-    )
-
+    dup = _dup_key_set(ds, n, text_col, n_parts, hashed).materialize()
     dup_bytes = dup.size_bytes() or 0
     if dup_bytes <= broadcast_bytes:
         tabs = [
@@ -1867,3 +1875,131 @@ def _dup_ngram_join_path(ds, n, id_col, text_col, n_parts, hashed, id_type, key_
         .groupby("b2")
         .map_groups(doc_sum, batch_format="pyarrow")
     )
+
+
+def dup_ngram_trim(
+    ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    match: str = "exact",
+    broadcast_bytes: int = 256 << 20,
+):
+    """The ACTION half of exact substring dedup (Lee et al. 2021): remove
+    every token covered by any corpus-duplicated ``n``-gram window and
+    re-join the survivors — :func:`dup_ngram_windows` tells you how
+    duplicated a document is, this rewrites it.
+
+    Output rows: (``id_col``, ``text_trim``, ``n_removed`` int64), one per
+    input document (documents under ``n`` tokens pass through unchanged;
+    a fully-covered document becomes the empty string, not a dropped row).
+
+    Same key modes as the profile: ``'exact'`` probes literal window
+    strings (zero collision risk — a 2^-64 hash collision here would trim
+    REAL text), ``'hash'`` probes rolling token-hash keys (the web-scale
+    configuration).  The duplicated-window set must fit ``broadcast_bytes``
+    — on real corpora it is the boilerplate fraction, orders of magnitude
+    smaller than the corpus; beyond the cap this raises rather than
+    silently degrading (the join-regime rewrite would co-shuffle text and
+    is intentionally not hidden behind the same name).
+
+    Scale shape: the count pass is the profile's (window KEYS only move);
+    the rewrite is then embarrassingly parallel — one membership probe, a
+    difference-array coverage cumsum, and a vectorized ListArray rebuild +
+    binary_join per batch.  Corpus text never shuffles.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if match not in ("exact", "hash"):
+        raise ValueError(f"match must be 'exact' or 'hash', got {match!r}")
+    import ray
+
+    from .trainprep import _doc_ngrams, _split_tokens
+
+    hashed = match == "hash"
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    n_parts = num_partitions or _auto_parts(ds, floor=32)
+    dup = _dup_key_set(ds, n, text_col, n_parts, hashed).materialize()
+    dup_bytes = dup.size_bytes() or 0
+    if dup_bytes > broadcast_bytes:
+        raise ValueError(
+            f"dup_ngram_trim: duplicated-window set is {dup_bytes} bytes "
+            f"(> {broadcast_bytes}) — not boilerplate-sized; raise the cap "
+            "or pre-filter with dup_ngram_windows"
+        )
+    tabs = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows and t.num_columns]
+    key_type = pa.int64() if hashed else pa.string()
+    dup_arr = (
+        pa.concat_tables(tabs).column("k").combine_chunks()
+        if tabs
+        else pa.array([], key_type)
+    )
+    dup_ref = ray.put(
+        np.sort(dup_arr.to_numpy(zero_copy_only=False)) if hashed else dup_arr
+    )
+
+    def trim(batch: pa.Table) -> pa.Table:
+        _, flat, offsets = _split_tokens(batch, text_col)
+        total = len(flat)
+        doc_lens = np.diff(offsets)
+        ndocs = len(doc_lens)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        m = total - n + 1
+        covered = np.zeros(total, dtype=bool)
+        if m > 0:
+            pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+                offsets[:-1], doc_lens
+            )
+            valid = (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[:m]
+            starts = np.flatnonzero(valid)
+            if len(starts):
+                dup_keys = ray.get(dup_ref)
+                if hashed:
+                    th = hash64(flat)
+                    acc = np.zeros(m, dtype=np.uint64)
+                    for j in range(n):
+                        r = np.uint64(1 + (j * 7) % 63)
+                        h = th[j : m + j]
+                        acc ^= (h << r) | (h >> (np.uint64(64) - r))
+                    keys = acc[starts].view(np.int64)
+                    if len(dup_keys):
+                        p = np.searchsorted(dup_keys, keys)
+                        p[p == len(dup_keys)] = 0
+                        is_dup = dup_keys[p] == keys
+                    else:
+                        is_dup = np.zeros(len(keys), dtype=bool)
+                else:
+                    grams, _rows = _doc_ngrams(batch, n, text_col)
+                    is_dup = (
+                        pc.is_in(grams, value_set=dup_keys).to_numpy(
+                            zero_copy_only=False
+                        )
+                        if len(dup_keys)
+                        else np.zeros(len(grams), dtype=bool)
+                    )
+                dstarts = starts[is_dup]
+                if len(dstarts):
+                    diff = np.zeros(total + 1, dtype=np.int32)
+                    np.add.at(diff, dstarts, 1)
+                    np.add.at(diff, dstarts + n, -1)
+                    covered = np.cumsum(diff[:-1]) > 0
+        kept = ~covered
+        tok_doc = np.repeat(np.arange(ndocs, dtype=np.int64), doc_lens)
+        kept_counts = np.bincount(tok_doc[kept], minlength=ndocs)
+        new_offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        kept_flat = flat.filter(pa.array(kept))
+        lst = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), kept_flat)
+        joined = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                id_col: ids,
+                "text_trim": joined,
+                "n_removed": pa.array(doc_lens - kept_counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(trim, batch_format="pyarrow", zero_copy_batch=True)

@@ -364,3 +364,52 @@ def test_dup_ngram_windows_short_docs_omitted(ray_session):
     assert out["doc_id"].tolist() == [2]
     assert out["total_windows"].tolist() == [2]
     assert out["dup_windows"].tolist() == [0]
+
+
+def test_dup_ngram_trim_semantics(ray_session):
+    """Exact copies are fully trimmed to '', unique docs untouched,
+    sub-n docs pass through, internal repeats removed — both key modes."""
+    import pandas as pd
+    import ray.data as rd
+
+    docs = [
+        {"doc_id": 1, "text": "a b c d e f unique tail one"},
+        {"doc_id": 2, "text": "a b c d e f unique tail two"},  # shares a 6-window prefix
+        {"doc_id": 3, "text": "totally different words in this document here"},
+        {"doc_id": 4, "text": "tiny"},
+        {"doc_id": 5, "text": None},
+    ]
+    for mode in ("exact", "hash"):
+        got = (
+            dd.dup_ngram_trim(rd.from_items(docs), n=4, match=mode)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # docs 1/2 share the 8-token prefix 'a b c d e f unique tail';
+        # every 4-window inside it is duplicated, so all 8 tokens go and
+        # only the differing last token survives
+        assert got.loc[1, "text_trim"] == "one"
+        assert got.loc[2, "text_trim"] == "two"
+        assert got.loc[1, "n_removed"] == 8
+        assert got.loc[3, "n_removed"] == 0
+        assert got.loc[3, "text_trim"].startswith("totally different")
+        assert got.loc[4, "text_trim"] == "tiny" and got.loc[4, "n_removed"] == 0
+        # null text behaves as one empty token, untouched
+        assert got.loc[5, "text_trim"] == "" and got.loc[5, "n_removed"] == 0
+
+
+def test_dup_ngram_trim_fully_covered_doc(ray_session):
+    import ray.data as rd
+
+    docs = [
+        {"doc_id": 1, "text": "x y z w"},
+        {"doc_id": 2, "text": "x y z w"},
+    ]
+    got = (
+        dd.dup_ngram_trim(rd.from_items(docs), n=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got["text_trim"].tolist() == ["", ""]
+    assert got["n_removed"].tolist() == [4, 4]
