@@ -274,6 +274,21 @@ def cmd_curate(args) -> int:
         ).map_batches(
             lambda b: b.select(["url", "text"]), batch_format="pyarrow"
         )
+    if args.trim_dupwin:
+        # span-removal exact substring dedup (rewrites text in place);
+        # hashed keys are the scale configuration, urls are the row ids
+        from .ops.dedup import dup_ngram_trim
+
+        def _rewrap(b):
+            import pyarrow as _pa
+
+            return _pa.table(
+                {"url": b.column("url"), "text": b.column("text_trim")}
+            )
+
+        ds = dup_ngram_trim(
+            ds, n=args.trim_dupwin, id_col="url", match="hash"
+        ).map_batches(_rewrap, batch_format="pyarrow")
     if args.max_dupwin_ratio is not None:
         # corpus-wide duplicated-window pressure: profile every page's
         # n-gram windows (hashed keys — the scale configuration), then
@@ -529,6 +544,10 @@ def main(argv=None) -> int:
                           "Lee et al. 2021 shape)")
     pc_.add_argument("--dupwin-n", dest="dupwin_n", type=int, default=8,
                      help="window size in tokens for --max-dupwin-ratio")
+    pc_.add_argument("--trim-dupwin", dest="trim_dupwin", type=int,
+                     help="REMOVE every token covered by a corpus-duplicated "
+                          "N-token window (exact substring dedup action) "
+                          "instead of dropping whole pages")
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
 
