@@ -274,10 +274,14 @@ def cmd_curate(args) -> int:
         ).map_batches(
             lambda b: b.select(["url", "text"]), batch_format="pyarrow"
         )
-    if args.trim_dupwin:
+    if args.trim_dupwin is not None:
         # span-removal exact substring dedup (rewrites text in place);
-        # hashed keys are the scale configuration, urls are the row ids
+        # hashed keys are the scale configuration, urls are the row ids.
+        # Pin the lazy upstream chain first: the op consumes ds twice
+        # (count pass + rewrite) and would re-execute it otherwise
         from .ops.dedup import dup_ngram_trim
+
+        ds = ds.materialize()
 
         def _rewrap(b):
             import pyarrow as _pa

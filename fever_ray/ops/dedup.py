@@ -1514,35 +1514,46 @@ def bloom_cross_dedup(
     return clear.union(survivors)
 
 
+_POLY = np.uint64(0x100000001B3)  # FNV-1a prime: odd, high multiplicative order
+
+
 def _window_hashes(batch: pa.Table, n: int, text_col: str):
-    """64-bit window keys for ``dup_ngram_windows``'s hash mode WITHOUT
+    """64-bit window keys for the hash-mode dup-window family WITHOUT
     materializing the joined n-gram strings: hash each token once, then
-    combine each window's n token hashes with position-distinct rotations
-    (order-sensitive, ~2^-64 pairwise collision odds like the direct FNV of
-    the gram string — and ~1.7x cheaper, measured, since the ~n x corpus
-    bytes of gram strings are never built).  Returns (uint64 keys, row
-    index per key) with the same sub-n-token-document semantics as
-    ``trainprep._doc_ngrams``."""
-    from .trainprep import _split_tokens
+    combine each window's n token hashes as a polynomial in _POLY
+    (key = splitmix64(sum th[i+j] * P^(n-1-j) mod 2^64)) — order-sensitive
+    and position-injective (distinct multipliers per position, so equal
+    tokens at different offsets can never cancel the way a repeating
+    rotation schedule would), ~1.7x cheaper than hashing gram strings
+    (measured; the ~n x corpus bytes of grams are never built).
+
+    Returns (uint64 keys, row index per key, flat window-start positions),
+    with the same sub-n-token-document semantics as
+    ``trainprep._doc_ngrams`` — the valid mask is the shared
+    ``trainprep._window_valid``, so gram-path and hash-path index spaces
+    are one definition."""
+    from .trainprep import _split_tokens, _window_valid
 
     _, flat, offsets = _split_tokens(batch, text_col)
     total = len(flat)
     if total < n:
-        return None, None
+        return None, None, None
     doc_lens = np.diff(offsets)
     th = hash64(flat)
     m = total - n + 1
     acc = np.zeros(m, dtype=np.uint64)
-    for j in range(n):
-        r = np.uint64(1 + (j * 7) % 63)  # distinct nonzero rotations
-        h = th[j : m + j]
-        acc ^= (h << r) | (h >> (np.uint64(64) - r))
-    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], doc_lens)
-    valid = (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[:m]
+    mult = np.uint64(1)
+    for j in range(n - 1, -1, -1):
+        acc += th[j : m + j] * mult
+        mult = mult * _POLY
+    from ..sketches.hashing import splitmix64
+
+    keys = splitmix64(acc)
+    valid = _window_valid(offsets, n)
     if not valid.any():
-        return None, None
+        return None, None, None
     rows = np.repeat(np.arange(len(doc_lens), dtype=np.int64), doc_lens)[:m][valid]
-    return acc[valid], rows
+    return keys[valid], rows, np.flatnonzero(valid)
 
 
 def _dup_key_set(ds, n: int, text_col: str, n_parts: int, hashed: bool):
@@ -1557,7 +1568,7 @@ def _dup_key_set(ds, n: int, text_col: str, n_parts: int, hashed: bool):
 
     def key_partial(batch: pa.Table) -> pa.Table:
         if hashed:
-            kh, _rows = _window_hashes(batch, n, text_col)
+            kh, _rows, _starts = _window_hashes(batch, n, text_col)
         else:
             grams, _rows = _doc_ngrams(batch, n, text_col)
         if _rows is None:
@@ -1647,8 +1658,9 @@ def dup_ngram_windows(
 
     ``match='exact'`` keys on the literal window string (zero collision
     risk; the count shuffle moves ~n x corpus bytes — the honest exact
-    cost); ``match='hash'`` keys on the 64-bit FNV of the window (8-byte
-    shuffle keys, the web-scale trade, ~pairs^2/2^64 collision odds).
+    cost); ``match='hash'`` keys on a rolling polynomial of the window's per-token
+    64-bit hashes (see ``_window_hashes``; 8-byte shuffle keys, the
+    web-scale trade, ~pairs^2/2^64 collision odds).
     Either way the result is a pure function of the corpus, independent of
     partitioning.
 
@@ -1704,7 +1716,7 @@ def dup_ngram_windows(
 
         def profile(batch: pa.Table) -> pa.Table:
             if hashed:
-                kh_u, rows = _window_hashes(batch, n, text_col)
+                kh_u, rows, _starts = _window_hashes(batch, n, text_col)
             else:
                 grams, rows = _doc_ngrams(batch, n, text_col)
             if rows is None:
@@ -1772,7 +1784,7 @@ def _dup_ngram_join_path(ds, n, id_col, text_col, n_parts, hashed, id_type, key_
 
     def partial(batch: pa.Table) -> pa.Table:
         if hashed:
-            kh_u, rows = _window_hashes(batch, n, text_col)
+            kh_u, rows, _starts = _window_hashes(batch, n, text_col)
         else:
             grams, rows = _doc_ngrams(batch, n, text_col)
         if rows is None:
@@ -1951,21 +1963,18 @@ def dup_ngram_trim(
         m = total - n + 1
         covered = np.zeros(total, dtype=bool)
         if m > 0:
-            pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
-                offsets[:-1], doc_lens
-            )
-            valid = (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[:m]
-            starts = np.flatnonzero(valid)
-            if len(starts):
+            if hashed:
+                keys_u, _rows, starts = _window_hashes(batch, n, text_col)
+            else:
+                grams, _rows = _doc_ngrams(batch, n, text_col)
+                from .trainprep import _window_valid
+
+                v = _window_valid(offsets, n)
+                starts = np.flatnonzero(v) if v.any() else None
+            if starts is not None and len(starts):
                 dup_keys = ray.get(dup_ref)
                 if hashed:
-                    th = hash64(flat)
-                    acc = np.zeros(m, dtype=np.uint64)
-                    for j in range(n):
-                        r = np.uint64(1 + (j * 7) % 63)
-                        h = th[j : m + j]
-                        acc ^= (h << r) | (h >> (np.uint64(64) - r))
-                    keys = acc[starts].view(np.int64)
+                    keys = keys_u.view(np.int64)
                     if len(dup_keys):
                         p = np.searchsorted(dup_keys, keys)
                         p[p == len(dup_keys)] = 0
@@ -1973,7 +1982,6 @@ def dup_ngram_trim(
                     else:
                         is_dup = np.zeros(len(keys), dtype=bool)
                 else:
-                    grams, _rows = _doc_ngrams(batch, n, text_col)
                     is_dup = (
                         pc.is_in(grams, value_set=dup_keys).to_numpy(
                             zero_copy_only=False

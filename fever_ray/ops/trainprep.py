@@ -55,6 +55,18 @@ def _split_tokens(batch: pa.Table, text_col: str):
     return text, toks.flatten(), offsets - offsets[0]
 
 
+def _window_valid(offsets: np.ndarray, n: int):
+    """Boolean mask over flat window-start positions [0, total-n]: True iff
+    the n-token window starting there lies wholly inside one document —
+    THE single definition both the string-gram and rolling-hash window
+    paths (and the trim rewrite) share, so their index spaces can never
+    drift apart."""
+    doc_lens = np.diff(offsets)
+    total = int(offsets[-1])
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], doc_lens)
+    return (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[: total - n + 1]
+
+
 def _doc_ngrams(batch: pa.Table, n: int, text_col: str):
     """All word n-grams of a batch → (grams StringArray, row index of each
     gram int64).  Documents with fewer than ``n`` tokens emit nothing (a
@@ -70,8 +82,7 @@ def _doc_ngrams(batch: pa.Table, n: int, text_col: str):
     grams = parts[0]
     for p in parts[1:]:
         grams = pc.binary_join_element_wise(grams, p, " ")
-    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], doc_lens)
-    valid = (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[: total - n + 1]
+    valid = _window_valid(offsets, n)
     if not valid.any():
         return None, None
     rows = np.repeat(np.arange(len(doc_lens), dtype=np.int64), doc_lens)[

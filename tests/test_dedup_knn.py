@@ -413,3 +413,37 @@ def test_dup_ngram_trim_fully_covered_doc(ray_session):
     )
     assert got["text_trim"].tolist() == ["", ""]
     assert got["n_removed"].tolist() == [4, 4]
+
+
+def test_dup_ngram_hash_keys_no_structural_collisions(ray_session):
+    """Regression (review finding): a repeating rotation schedule made
+    windows like 'X a..h X' and 'Y a..h Y' collide for n >= 10.  The
+    polynomial keys must keep hash mode identical to exact mode on this
+    adversarial fixture."""
+    import pandas as pd
+    import ray.data as rd
+
+    mid = "a b c d e f g h"
+    docs = [
+        {"doc_id": 1, "text": f"one {mid} one tail1 filler1 x1"},
+        {"doc_id": 2, "text": f"two {mid} two tail2 filler2 x2"},
+        # a genuinely duplicated 10-window across docs 3 and 4
+        {"doc_id": 3, "text": "p q r s t u v w y z end3"},
+        {"doc_id": 4, "text": "p q r s t u v w y z end4"},
+    ]
+    for fn in (dd.dup_ngram_windows, dd.dup_ngram_trim):
+        exact = fn(rd.from_items(docs), n=10, match="exact").to_pandas()
+        hashed = fn(rd.from_items(docs), n=10, match="hash").to_pandas()
+        cols = sorted(exact.columns)
+        pd.testing.assert_frame_equal(
+            exact[cols].sort_values("doc_id").reset_index(drop=True),
+            hashed[cols].sort_values("doc_id").reset_index(drop=True),
+            check_exact=True,
+        )
+    prof = (
+        dd.dup_ngram_windows(rd.from_items(docs), n=10, match="hash")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert prof.loc[1, "dup_windows"] == 0  # the old scheme made this > 0
+    assert prof.loc[3, "dup_windows"] == 1
