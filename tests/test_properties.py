@@ -197,3 +197,45 @@ def test_batch_simhash_matches_scalar(texts_bytes):
         toks = text.split(" ")
         ref = simhash(hash64(toks))
         assert int(got[i]) == int(ref)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcdef") + ["tok1", "tok2", ""]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_window_hash_structure_matches_grams(docs, n):
+    """The rolling polynomial window keys must induce EXACTLY the equality
+    structure of the literal gram strings (token sequences with a tiny
+    vocabulary maximize repeats — the adversarial case where the old
+    period-9 rotation schedule collided distinct n>=10 windows)."""
+    import pyarrow as pa
+
+    from fever_ray.ops.dedup import _window_hashes
+    from fever_ray.ops.trainprep import _doc_ngrams
+
+    batch = pa.table({"text": pa.array([" ".join(t) for t in docs], pa.string())})
+    grams, rows_g = _doc_ngrams(batch, n, "text")
+    res = _window_hashes(batch, n, "text")
+    if grams is None:
+        assert res[0] is None
+        return
+    keys, rows_h, starts = res
+    assert rows_h.tolist() == rows_g.tolist()
+    assert len(keys) == len(grams) == len(starts)
+    # tokens cannot contain spaces, so gram string <-> token sequence is a
+    # bijection: key equality must equal gram equality in BOTH directions
+    by_gram = {}
+    for g, k in zip(grams.to_pylist(), keys.tolist()):
+        by_gram.setdefault(g, set()).add(k)
+    assert all(len(ks) == 1 for ks in by_gram.values())  # same gram, same key
+    all_keys = [next(iter(ks)) for ks in by_gram.values()]
+    assert len(set(all_keys)) == len(by_gram)  # distinct grams, distinct keys
