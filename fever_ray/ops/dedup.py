@@ -1514,10 +1514,22 @@ def bloom_cross_dedup(
     return clear.union(survivors)
 
 
-_POLY = np.uint64(0x100000001B3)  # FNV-1a prime: odd, high multiplicative order
+def _poly_mults(n: int) -> np.ndarray:
+    """[P^(n-1), ..., P^1, P^0] mod 2^64 for the window-key polynomial —
+    computed in Python ints (no numpy scalar-overflow warnings), P = the
+    FNV-1a 64-bit prime (odd, high multiplicative order, shared with the
+    byte hashers)."""
+    from ..sketches.hashing import _FNV64_PRIME
+
+    p = int(_FNV64_PRIME)
+    out, m = [], 1
+    for _ in range(n):
+        out.append(m)
+        m = (m * p) & 0xFFFFFFFFFFFFFFFF
+    return np.array(out[::-1], dtype=np.uint64)
 
 
-def _window_hashes(batch: pa.Table, n: int, text_col: str):
+def _window_hashes(batch: pa.Table, n: int, text_col: str, pre=None):
     """64-bit window keys for the hash-mode dup-window family WITHOUT
     materializing the joined n-gram strings: hash each token once, then
     combine each window's n token hashes as a polynomial in _POLY
@@ -1531,21 +1543,25 @@ def _window_hashes(batch: pa.Table, n: int, text_col: str):
     with the same sub-n-token-document semantics as
     ``trainprep._doc_ngrams`` — the valid mask is the shared
     ``trainprep._window_valid``, so gram-path and hash-path index spaces
-    are one definition."""
+    are one definition.  ``pre`` = an already-computed ``(flat tokens,
+    offsets)`` pair to skip re-tokenizing."""
     from .trainprep import _split_tokens, _window_valid
 
-    _, flat, offsets = _split_tokens(batch, text_col)
+    if pre is not None:
+        flat, offsets = pre
+    else:
+        _, flat, offsets = _split_tokens(batch, text_col)
     total = len(flat)
     if total < n:
         return None, None, None
     doc_lens = np.diff(offsets)
     th = hash64(flat)
     m = total - n + 1
+    mults = _poly_mults(n)
     acc = np.zeros(m, dtype=np.uint64)
-    mult = np.uint64(1)
-    for j in range(n - 1, -1, -1):
-        acc += th[j : m + j] * mult
-        mult = mult * _POLY
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc += th[j : m + j] * mults[j]
     from ..sketches.hashing import splitmix64
 
     keys = splitmix64(acc)
@@ -1676,6 +1692,7 @@ def dup_ngram_windows(
       once; pass 2 recomputes each batch's windows and takes one vectorized
       membership probe + per-doc segment sum.  A document is one row, so
       the profile finishes INSIDE map_batches — zero further shuffle.
+      (``ds`` is consumed twice: materialize expensive lazy chains first.)
     * join fallback (dup set beyond a worker's heap): shuffle per-batch
       pre-aggregated (doc, key, multiplicity) rows into key-hash buckets
       where global counts and per-doc dup partials are computed together,
@@ -1916,6 +1933,10 @@ def dup_ngram_trim(
     silently degrading (the join-regime rewrite would co-shuffle text and
     is intentionally not hidden behind the same name).
 
+    NOTE: consumes ``ds`` twice (count pass, then the rewrite) — pass a
+    materialized dataset or one whose lineage is cheap to re-execute (a
+    plain parquet read); the CLI pins its lazy curate chain first.
+
     Scale shape: the count pass is the profile's (window KEYS only move);
     the rewrite is then embarrassingly parallel — one membership probe, a
     difference-array coverage cumsum, and a vectorized ListArray rebuild +
@@ -1964,14 +1985,17 @@ def dup_ngram_trim(
         covered = np.zeros(total, dtype=bool)
         if m > 0:
             if hashed:
-                keys_u, _rows, starts = _window_hashes(batch, n, text_col)
+                keys_u, _rows, starts = _window_hashes(
+                    batch, n, text_col, pre=(flat, offsets)
+                )
+                if starts is None:
+                    starts = np.zeros(0, dtype=np.int64)
             else:
-                grams, _rows = _doc_ngrams(batch, n, text_col)
+                grams, _rows = _doc_ngrams(batch, n, text_col, pre=(flat, offsets))
                 from .trainprep import _window_valid
 
-                v = _window_valid(offsets, n)
-                starts = np.flatnonzero(v) if v.any() else None
-            if starts is not None and len(starts):
+                starts = np.flatnonzero(_window_valid(offsets, n))
+            if len(starts):
                 dup_keys = ray.get(dup_ref)
                 if hashed:
                     keys = keys_u.view(np.int64)

@@ -60,20 +60,28 @@ def _window_valid(offsets: np.ndarray, n: int):
     the n-token window starting there lies wholly inside one document —
     THE single definition both the string-gram and rolling-hash window
     paths (and the trim rewrite) share, so their index spaces can never
-    drift apart."""
+    drift apart.  Total-safe: fewer than n tokens overall yields the empty
+    mask (a negative slice bound would otherwise silently return a
+    wrong-length array)."""
     doc_lens = np.diff(offsets)
     total = int(offsets[-1])
+    if total < n:
+        return np.zeros(0, dtype=bool)
     pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], doc_lens)
     return (pos_in_doc <= np.repeat(doc_lens, doc_lens) - n)[: total - n + 1]
 
 
-def _doc_ngrams(batch: pa.Table, n: int, text_col: str):
+def _doc_ngrams(batch: pa.Table, n: int, text_col: str, pre=None):
     """All word n-grams of a batch → (grams StringArray, row index of each
     gram int64).  Documents with fewer than ``n`` tokens emit nothing (a
     sub-n-gram document cannot be contaminated — mirrors the SQL oracle's
     empty ``range``).  Same positional-join construction as
-    ``textstats._gram_counts``."""
-    _, flat, offsets = _split_tokens(batch, text_col)
+    ``textstats._gram_counts``.  ``pre`` = an already-computed
+    ``(flat tokens, offsets)`` pair to skip re-tokenizing."""
+    if pre is not None:
+        flat, offsets = pre
+    else:
+        _, flat, offsets = _split_tokens(batch, text_col)
     doc_lens = np.diff(offsets)
     total = len(flat)
     if total < n:
