@@ -18,6 +18,7 @@ sketches, and the stateful bloom matcher is an actor pool.
 from __future__ import annotations
 
 import glob
+import logging
 import json
 import os
 
@@ -53,16 +54,36 @@ def derive_page_columns(batch: pa.Table, extract: bool = False) -> pa.Table:
 
     ``extract=True`` runs the pinned html→text extractor (the production
     path at 100 TB, where ``text`` doesn't pre-exist) and derives text
-    stats from the extracted bytes."""
-    text = extract_text(batch.column("html")) if extract else batch.column("text")
-    batch = batch.append_column(
-        "html_len", pc.cast(pc.binary_length(batch.column("html")), "int64")
-    )
-    batch = batch.append_column("text_len", pc.cast(pc.utf8_length(text), "int64"))
-    batch = batch.append_column("hostname", hostname_of(batch.column("url")))
-    batch = batch.append_column(
-        "warc_ts_us", batch.column("warc_ts").cast(pa.int64())
-    )
+    stats from the extracted bytes.
+
+    Tolerates NARROWED page tables (e.g. the output of ``cli curate``,
+    which carries only url+text): each derived column appears only when
+    its source column exists; ``run_flagship`` filters the sketch specs to
+    what was derivable.  ``extract=True`` still requires html."""
+    cols = set(batch.column_names)
+    if extract and "html" not in cols:
+        raise ValueError(
+            "derive_page_columns: extract=True requires an 'html' column"
+        )
+    text = None
+    if extract:
+        text = extract_text(batch.column("html"))
+    elif "text" in cols:
+        text = batch.column("text")
+    if "html" in cols:
+        batch = batch.append_column(
+            "html_len", pc.cast(pc.binary_length(batch.column("html")), "int64")
+        )
+    if text is not None:
+        batch = batch.append_column(
+            "text_len", pc.cast(pc.utf8_length(text), "int64")
+        )
+    if "url" in cols and "hostname" not in cols:
+        batch = batch.append_column("hostname", hostname_of(batch.column("url")))
+    if "warc_ts" in cols:
+        batch = batch.append_column(
+            "warc_ts_us", batch.column("warc_ts").cast(pa.int64())
+        )
     return batch.drop_columns(
         [c for c in ("html", "text") if c in batch.column_names]
     )
@@ -101,7 +122,31 @@ def run_flagship(
     ``extract=True`` runs the pinned extractor on html (production path);
     ``override_num_blocks`` pins the read parallelism (≈2× CPU count avoids
     both tiny-block overhead and parallelism starvation)."""
-    specs = STANDARD_SPECS
+    # filter the sketch suite to what the INPUT can derive: narrowed page
+    # tables (e.g. cli curate output with only url+text) run the sketches
+    # their columns support instead of crashing on the full-schema read
+    src = set(pages_dataset(pages_path).schema().base_schema.names)
+    if extract and "html" not in src:
+        raise ValueError(
+            f"run_flagship(extract=True): input {pages_path!r} has no 'html' "
+            f"column (columns: {sorted(src)})"
+        )
+    avail = set(src)
+    if "html" in src:
+        avail.add("html_len")
+    if "text" in src or (extract and "html" in src):
+        avail.add("text_len")
+    if "url" in src:
+        avail.add("hostname")
+    if "warc_ts" in src:
+        avail.add("warc_ts_us")
+    specs = [sp for sp in STANDARD_SPECS if sp.column in avail]
+    dropped = [sp.name for sp in STANDARD_SPECS if sp.column not in avail]
+    if dropped:
+        logging.getLogger(__name__).info(
+            "run_flagship: input lacks source columns for %s — running the "
+            "%d remaining sketches", dropped, len(specs)
+        )
     derive = make_derive_fn(extract)
 
     if checkpoint_dir:
@@ -121,7 +166,11 @@ def run_flagship(
         # prune at the read: extract mode recomputes text from html, so the
         # stored text column never leaves storage (and vice versa html's
         # length is still needed, so html stays either way)
-        columns = ["url", "warc_ts", "html", "lang"] if extract else None
+        columns = (
+            [c for c in ("url", "warc_ts", "html", "lang") if c in src]
+            if extract
+            else None
+        )
         ds = pages_dataset(
             pages_path, columns=columns, override_num_blocks=override_num_blocks
         ).map_batches(

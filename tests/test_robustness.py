@@ -140,3 +140,30 @@ def test_cli_yaml_sets_nonfalsy_default_flags(tmp_path, monkeypatch):
     rc = cli_mod.main(["--config", str(cfg), "ioc", "--input", "x", "--bloom-file", "y"])
     assert rc == 0
     assert captured["limit"] == 7  # YAML beats the non-falsy argparse default
+
+
+def test_flagship_on_narrowed_page_table(ray_session, tmp_path):
+    """run_flagship over a curate-style narrowed table (url+text only) runs
+    the sketches its columns support instead of crashing on the full-schema
+    read; extract=True still demands html loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from fever_ray.pipelines.flagship import run_flagship
+
+    t = pa.table(
+        {
+            "url": [f"https://h{i % 5}.com/p{i}" for i in range(200)],
+            "text": [f"some text body number {i}" for i in range(200)],
+        }
+    )
+    d = tmp_path / "narrow"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+    res = run_flagship(str(d), batch_size=64)
+    names = set(res["summary"].column("sketch").to_pylist())
+    assert "hll_urls" in names and "kll_text_len" in names
+    assert "kll_warc_ts" not in names and "tdigest_html_len" not in names
+    with _pytest.raises(ValueError, match="html"):
+        run_flagship(str(d), batch_size=64, extract=True)
