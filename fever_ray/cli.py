@@ -184,16 +184,18 @@ def cmd_follow(args) -> int:
     """Daemon-style tail of a growing shard directory (fever's run loop,
     batch-native): poll → build unseen partitions (checkpointed) → print
     the refreshed suite; stops after --max-iterations or --max-idle-polls."""
-    from .pipelines.flagship import STANDARD_SPECS, make_derive_fn
+    from .pipelines.flagship import make_derive_fn, specs_for_input
     from .pipelines.follow import follow
 
     _init_ray(args.num_cpus)
     pattern = args.input if args.input.endswith(".parquet") else os.path.join(
         args.input, "*.parquet"
     )
+    # narrowed shard dirs (curate output) run the sketches they can derive
+    specs, _src = specs_for_input(args.input)
     for status in follow(
         pattern,
-        STANDARD_SPECS,
+        specs,
         args.checkpoint,
         poll_s=args.poll,
         max_iterations=args.max_iterations,

@@ -107,6 +107,38 @@ def pages_dataset(path: str, columns=None, override_num_blocks: int | None = Non
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
+def specs_for_input(pages_path: str, extract: bool = False):
+    """Filter the standard sketch suite to what the INPUT can derive:
+    narrowed page tables (e.g. cli curate output with only url+text) run
+    the sketches their columns support instead of crashing on the
+    full-schema read.  Returns (specs, source-column set); raises when
+    ``extract=True`` finds no html.  Shared by ``run_flagship`` and the
+    CLI ``follow`` loop."""
+    src = set(pages_dataset(pages_path).schema().base_schema.names)
+    if extract and "html" not in src:
+        raise ValueError(
+            f"extract=True requires an 'html' column in {pages_path!r} "
+            f"(columns: {sorted(src)})"
+        )
+    avail = set(src)
+    if "html" in src:
+        avail.add("html_len")
+    if "text" in src or (extract and "html" in src):
+        avail.add("text_len")
+    if "url" in src:
+        avail.add("hostname")
+    if "warc_ts" in src:
+        avail.add("warc_ts_us")
+    specs = [sp for sp in STANDARD_SPECS if sp.column in avail]
+    dropped = [sp.name for sp in STANDARD_SPECS if sp.column not in avail]
+    if dropped:
+        logging.getLogger(__name__).info(
+            "specs_for_input: %r lacks source columns for %s — running the "
+            "%d remaining sketches", pages_path, dropped, len(specs)
+        )
+    return specs, src
+
+
 def run_flagship(
     pages_path: str,
     out_dir: str | None = None,
@@ -122,31 +154,7 @@ def run_flagship(
     ``extract=True`` runs the pinned extractor on html (production path);
     ``override_num_blocks`` pins the read parallelism (≈2× CPU count avoids
     both tiny-block overhead and parallelism starvation)."""
-    # filter the sketch suite to what the INPUT can derive: narrowed page
-    # tables (e.g. cli curate output with only url+text) run the sketches
-    # their columns support instead of crashing on the full-schema read
-    src = set(pages_dataset(pages_path).schema().base_schema.names)
-    if extract and "html" not in src:
-        raise ValueError(
-            f"run_flagship(extract=True): input {pages_path!r} has no 'html' "
-            f"column (columns: {sorted(src)})"
-        )
-    avail = set(src)
-    if "html" in src:
-        avail.add("html_len")
-    if "text" in src or (extract and "html" in src):
-        avail.add("text_len")
-    if "url" in src:
-        avail.add("hostname")
-    if "warc_ts" in src:
-        avail.add("warc_ts_us")
-    specs = [sp for sp in STANDARD_SPECS if sp.column in avail]
-    dropped = [sp.name for sp in STANDARD_SPECS if sp.column not in avail]
-    if dropped:
-        logging.getLogger(__name__).info(
-            "run_flagship: input lacks source columns for %s — running the "
-            "%d remaining sketches", dropped, len(specs)
-        )
+    specs, src = specs_for_input(pages_path, extract=extract)
     derive = make_derive_fn(extract)
 
     if checkpoint_dir:
