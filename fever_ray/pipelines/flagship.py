@@ -112,9 +112,28 @@ def specs_for_input(pages_path: str, extract: bool = False):
     narrowed page tables (e.g. cli curate output with only url+text) run
     the sketches their columns support instead of crashing on the
     full-schema read.  Returns (specs, source-column set); raises when
-    ``extract=True`` finds no html.  Shared by ``run_flagship`` and the
-    CLI ``follow`` loop."""
-    src = set(pages_dataset(pages_path).schema().base_schema.names)
+    ``extract=True`` finds no html, or when NO sketch has a source column
+    (a wrong --input should fail loudly, not succeed doing nothing).
+    Shared by ``run_flagship`` and the CLI ``follow`` loop.
+
+    Accepts a directory, a single file, or a glob; schema comes from one
+    parquet footer (cheap).  When NOTHING matches yet (tailing an empty
+    landing directory), the full suite is assumed and ``src`` is None —
+    the pre-change behavior, so ``follow`` keeps polling instead of
+    crashing before the first shard lands."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    pat = (
+        os.path.join(pages_path, "*.parquet")
+        if os.path.isdir(pages_path)
+        else pages_path
+    )
+    files = sorted(_glob.glob(pat))
+    if not files:
+        return list(STANDARD_SPECS), None
+    src = set(pq.read_schema(files[0]).names)
     if extract and "html" not in src:
         raise ValueError(
             f"extract=True requires an 'html' column in {pages_path!r} "
@@ -130,6 +149,11 @@ def specs_for_input(pages_path: str, extract: bool = False):
     if "warc_ts" in src:
         avail.add("warc_ts_us")
     specs = [sp for sp in STANDARD_SPECS if sp.column in avail]
+    if not specs:
+        raise ValueError(
+            f"specs_for_input: {pages_path!r} has none of the page-table "
+            f"source columns (found: {sorted(src)}) — wrong input?"
+        )
     dropped = [sp.name for sp in STANDARD_SPECS if sp.column not in avail]
     if dropped:
         logging.getLogger(__name__).info(
@@ -155,6 +179,11 @@ def run_flagship(
     ``override_num_blocks`` pins the read parallelism (≈2× CPU count avoids
     both tiny-block overhead and parallelism starvation)."""
     specs, src = specs_for_input(pages_path, extract=extract)
+    if ioc_bloom is not None and src is not None and "url" not in src:
+        raise ValueError(
+            f"run_flagship: IoC matching needs a 'url' column, absent from "
+            f"{pages_path!r} (columns: {sorted(src)})"
+        )
     derive = make_derive_fn(extract)
 
     if checkpoint_dir:
@@ -174,11 +203,17 @@ def run_flagship(
         # prune at the read: extract mode recomputes text from html, so the
         # stored text column never leaves storage (and vice versa html's
         # length is still needed, so html stays either way)
-        columns = (
-            [c for c in ("url", "warc_ts", "html", "lang") if c in src]
-            if extract
-            else None
-        )
+        if extract:
+            # keep derive sources AND any pre-derived spec column the input
+            # already carries (e.g. a materialized hostname with no url)
+            spec_cols = {sp.column for sp in specs}
+            columns = [
+                c
+                for c in sorted(src)
+                if c in ("url", "warc_ts", "html", "lang") or c in spec_cols
+            ]
+        else:
+            columns = None
         ds = pages_dataset(
             pages_path, columns=columns, override_num_blocks=override_num_blocks
         ).map_batches(

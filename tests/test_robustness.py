@@ -167,3 +167,37 @@ def test_flagship_on_narrowed_page_table(ray_session, tmp_path):
     assert "kll_warc_ts" not in names and "tdigest_html_len" not in names
     with _pytest.raises(ValueError, match="html"):
         run_flagship(str(d), batch_size=64, extract=True)
+
+
+def test_specs_for_input_edge_shapes(ray_session, tmp_path):
+    """Empty landing dir -> full suite assumed (follow keeps polling);
+    glob inputs accepted; non-page tables rejected loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from fever_ray.pipelines.flagship import STANDARD_SPECS, specs_for_input
+
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    specs, src = specs_for_input(str(empty))
+    assert [s.name for s in specs] == [s.name for s in STANDARD_SPECS]
+    assert src is None
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"url": ["https://a.com/x"], "text": ["hi"]}),
+        d / "part-0.parquet",
+    )
+    specs_g, src_g = specs_for_input(str(d / "part-*.parquet"))
+    assert src_g == {"url", "text"}
+    assert any(s.name == "hll_urls" for s in specs_g)
+
+    wrong = tmp_path / "clusters"
+    wrong.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1], "cluster_id": [1]}), wrong / "c.parquet"
+    )
+    with _pytest.raises(ValueError, match="wrong input"):
+        specs_for_input(str(wrong))
