@@ -532,6 +532,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mod7(True), batch_format="pyarrow"),
         )
 
+    def q_linear_score(sf):
+        # quality-classifier stage shape: broadcast integer model, per-actor
+        # LUT, vectorized hashed-BoW featurization + segment sums; the
+        # deterministic stand-in model is SQL-mirrored bit-exactly
+        from fever_ray.ops.mlscore import linear_score
+
+        return linear_score(_t(sf, "documents", ["doc_id", "text"]))
+
+    def q_minhash_cross_dedup(sf):
+        # fuzzy incremental-ingest shape: same % 7 split as cross_dedup,
+        # but a corpus doc is dropped when a NEAR duplicate (shingle
+        # Jaccard >= 0.7 via LSH candidates) exists in the reference —
+        # catches boilerplate re-renders exact hashing misses
+        from fever_ray.ops.dedup import minhash_cross_dedup
+
+        docs = _t(sf, "documents", ["doc_id", "text"])
+
+        def mod7(eq: bool):
+            def f(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                hit = ids % 7 == 0
+                return b.filter(pa.array(hit if eq else ~hit))
+
+            return f
+
+        return minhash_cross_dedup(
+            docs.map_batches(mod7(False), batch_format="pyarrow"),
+            docs.map_batches(mod7(True), batch_format="pyarrow"),
+        )
+
     def q_bloom_cross_dedup(sf):
         # same incremental-ingest shape on a % 5 split, through the
         # DCSO-bloom prefilter + exact-verify path; exactness is
@@ -1455,6 +1485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q_keyword_search,
         "inverted_index": q_inverted_index,
         "cross_dedup": q_cross_dedup,
+        "minhash_cross_dedup": q_minhash_cross_dedup,
+        "linear_score": q_linear_score,
         "bloom_cross_dedup": q_bloom_cross_dedup,
         "token_budget_select": q_token_budget_select,
         "mixture_sample": q_mixture_sample,
@@ -1985,16 +2017,53 @@ _TOKEN_REPETITION_CTE = (
 )
 
 
-def _minhash_dedup_sql() -> str:
-    """Generated DuckDB mirror of the ENTIRE MinHash near-dedup pipeline —
+def _linear_score_sql() -> str:
+    """Bit-exact mirror of ops.mlscore.linear_score with the deterministic
+    stand-in model: per token, bucket = splitmix64(fnv1a(token)) mod 2^16,
+    weight = splitmix64(bucket XOR seed) mod 1001 - 500; per doc, score =
+    integer sum of weights (empty text = zero tokens = score 0)."""
+    from fever_ray.ops.mlscore import DEFAULT_WEIGHT_SEED
+
+    mulmod = _sql_mulmod
+    fnv_token = _sql_fnv1a_over("t")
+    m1, m2 = "13787848793156543929", "10723151780598845931"
+    seed = str(DEFAULT_WEIGHT_SEED)
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+        "FROM documents WHERE text <> ''), "
+        f"h0 AS (SELECT doc_id, {fnv_token} AS v FROM tok), "
+        "h1 AS (SELECT doc_id, xor(v, v >> 30) AS v FROM h0), "
+        f"h2 AS (SELECT doc_id, {mulmod('v', m1)} AS v FROM h1), "
+        "h3 AS (SELECT doc_id, xor(v, v >> 27) AS v FROM h2), "
+        f"h4 AS (SELECT doc_id, {mulmod('v', m2)} AS v FROM h3), "
+        "h5 AS (SELECT doc_id, xor(v, v >> 31) AS v FROM h4), "
+        f"b0 AS (SELECT doc_id, xor(v % 65536, CAST({seed} AS UBIGINT)) AS v FROM h5), "
+        "w1 AS (SELECT doc_id, xor(v, v >> 30) AS v FROM b0), "
+        f"w2 AS (SELECT doc_id, {mulmod('v', m1)} AS v FROM w1), "
+        "w3 AS (SELECT doc_id, xor(v, v >> 27) AS v FROM w2), "
+        f"w4 AS (SELECT doc_id, {mulmod('v', m2)} AS v FROM w3), "
+        "w5 AS (SELECT doc_id, xor(v, v >> 31) AS v FROM w4), "
+        "wv AS (SELECT doc_id, CAST(v % 1001 AS BIGINT) - 500 AS wt FROM w5), "
+        "s AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM wv GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(s.score, 0) AS score, "
+        "COALESCE(s.score, 0) >= 0 AS kept "
+        "FROM documents d LEFT JOIN s USING (doc_id)"
+    )
+
+
+def _minhash_verify_ctes(base_docs: str) -> list:
+    """CTE chain (name, body, materialized) mirroring the engine's MinHash
+    pipeline over an arbitrary (doc_id, text) source ``base_docs`` —
     tokenize → hash64 per token → position-mixed 3-token shingle folds →
     64 seeded MinHash permutations (salts hardcoded from the engine's
     rng(seed=1) stream) → 16-band LSH fold → candidate pairs → exact
-    shingle-set Jaccard ≥ 0.7 → connected components via a recursive-CTE
-    min-reachable closure.  Every splitmix64 runs as five elementwise
-    list_transform stages (an inline expansion would duplicate its argument
-    ~72× per application) and the per-permutation mins slice one flat
-    (salt × shingle) cross list, so the SQL stays linear in data size."""
+    shingle-set Jaccard ≥ 0.7 (the ``verify`` CTE).  Every splitmix64 runs
+    as five elementwise list_transform stages (an inline expansion would
+    duplicate its argument ~72× per application) and the per-permutation
+    mins slice one flat (salt × shingle) cross list, so the SQL stays
+    linear in data size.  Shared by ``_minhash_dedup_sql`` (recursive
+    component closure tail) and ``_minhash_cross_dedup_sql`` (cross-pair
+    anti-join tail)."""
     import numpy as np
 
     m = "18446744073709551616"
@@ -2033,7 +2102,7 @@ def _minhash_dedup_sql() -> str:
 
     # token hashes ROW-LEVEL: zipped UNNEST → one FNV list_reduce per token
     # row → five scalar splitmix stages (vectorized) → re-aggregate ordered
-    add("tok", "SELECT doc_id, string_split(text, ' ') AS toks FROM documents")
+    add("tok", f"SELECT doc_id, string_split(text, ' ') AS toks FROM ({base_docs})")
     add("trow", "SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS ti, UNNEST(toks) AS t FROM tok")
     add("th0", f"SELECT doc_id, ti, {fnv_token} AS v FROM trow")
     add("th1", "SELECT doc_id, ti, xor(v, v >> 30) AS v FROM th0")
@@ -2080,14 +2149,51 @@ def _minhash_dedup_sql() -> str:
                   "JOIN shset y ON y.doc_id = c.db "
                   "WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
                   "GREATEST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1) >= 0.7", mat=True)
-    add("sym", "SELECT da AS a, db AS b FROM verify UNION SELECT db AS a, da AS b FROM verify", mat=True)
+    return ctes
+
+
+def _minhash_ctes_sql(ctes: list) -> str:
+    return ", ".join(
+        f"{n} AS {'MATERIALIZED ' if mt else ''}({b})" for n, b, mt in ctes
+    )
+
+
+def _minhash_dedup_sql() -> str:
+    """Full within-corpus MinHash near-dedup: the shared verify chain plus
+    connected components via a recursive-CTE min-reachable closure."""
+    ctes = _minhash_verify_ctes("SELECT doc_id, text FROM documents")
+    ctes.append((
+        "sym",
+        "SELECT da AS a, db AS b FROM verify UNION SELECT db AS a, da AS b FROM verify",
+        True,
+    ))
     return (
         "WITH RECURSIVE "
-        + ", ".join(
-            f"{n} AS {'MATERIALIZED ' if mt else ''}({b})" for n, b, mt in ctes
-        )
+        + _minhash_ctes_sql(ctes)
         + ", reach AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
         "SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a"
+    )
+
+
+def _minhash_cross_dedup_sql() -> str:
+    """Mirror of ops.dedup.minhash_cross_dedup with reference = documents
+    whose doc_id % 7 == 0 (the cross_dedup split convention): reference ids
+    enter the shared verify chain encoded as -id - 1, and a corpus doc is
+    dropped iff a verified cross pair (da < 0 reference side, db >= 0
+    corpus side) names it.  The chain verifies within-side candidate pairs
+    too (the engine never generates them) — harmless for the final
+    cross-pair filter, identical survivor set."""
+    base = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0 "
+        "UNION ALL SELECT -doc_id - 1 AS doc_id, text FROM documents "
+        "WHERE doc_id % 7 = 0"
+    )
+    ctes = _minhash_verify_ctes(base)
+    return (
+        "WITH "
+        + _minhash_ctes_sql(ctes)
+        + " SELECT d.doc_id FROM documents d WHERE d.doc_id % 7 <> 0 "
+        "AND d.doc_id NOT IN (SELECT db FROM verify WHERE da < 0 AND db >= 0)"
     )
 
 
@@ -2169,6 +2275,8 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),
         "inverted_index": _inverted_index_sql(16),
         "cross_dedup": _cross_dedup_sql(7),
+        "minhash_cross_dedup": _minhash_cross_dedup_sql(),
+        "linear_score": _linear_score_sql(),
         "bloom_cross_dedup": _cross_dedup_sql(5),
         "token_budget_select": _token_budget_select_sql(8000, 23),
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),

@@ -171,6 +171,7 @@ class MinHashSignatures:
 def minhash_candidate_pairs(
     ds, n_shingle=3, num_perm=64, bands=16,
     n_parts: int | None = None, max_bucket: int = 8192,
+    cross_only: bool = False,
 ):
     """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets.
 
@@ -181,7 +182,16 @@ def minhash_candidate_pairs(
     bounds per-partition rows at scale.  Buckets larger than ``max_bucket``
     would emit O(k²) pairs (a near-constant bucket is usually boilerplate
     text); they fall back to a connectivity-preserving adjacent-id chain and
-    the count is logged — no silent truncation."""
+    the count is logged — no silent truncation.
+
+    ``cross_only`` is the two-corpus mode used by ``minhash_cross_dedup``:
+    doc ids encode corpus membership in their sign (reference ids negative,
+    corpus ids nonnegative) and only opposite-sign pairs are emitted —
+    ``doc_a`` is always the (negative) reference id, ``doc_b`` the corpus
+    id, so the ``doc_a < doc_b`` convention holds unchanged.  Oversized
+    buckets pair every corpus doc with the single smallest reference id
+    instead of the full cross product (bounded output, logged; below
+    ``max_bucket`` the candidate set matches the SQL mirror exactly)."""
     signer = MinHashSignatures(n_shingle=n_shingle, num_perm=num_perm, bands=bands)
 
     def sign(batch: pa.Table) -> pa.Table:
@@ -220,6 +230,21 @@ def minhash_candidate_pairs(
         for s, e in zip(starts[:-1], starts[1:]):
             k = e - s
             if k <= 1:
+                continue
+            if cross_only:
+                uids = np.unique(ids[s:e])
+                neg = uids[uids < 0]
+                pos = uids[uids >= 0]
+                if not len(neg) or not len(pos):
+                    continue
+                if k > max_bucket:
+                    # bounded fallback: every corpus doc keeps ONE reference
+                    # candidate (min id) so membership detection survives
+                    n_over += 1
+                    over_rows += k
+                    neg = neg[:1]
+                a_out.append(np.repeat(neg, len(pos)))
+                b_out.append(np.tile(pos, len(neg)))
                 continue
             if k > max_bucket:
                 n_over += 1
@@ -325,7 +350,7 @@ def _blob_offsets_data(col) -> tuple[np.ndarray, np.ndarray]:
 def verified_minhash_edges(
     ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16,
     num_partitions: int = 16, n_parts: int | None = None,
-    broadcast_bytes: int = 256 << 20,
+    broadcast_bytes: int = 256 << 20, cross_only: bool = False,
 ):
     """Candidate pairs → exact-Jaccard-verified edge Dataset (doc_a, doc_b,
     jaccard), fully distributed:
@@ -349,7 +374,8 @@ def verified_minhash_edges(
     # small, so a narrow coalesce to num_partitions blocks is cheap
     pairs = (
         minhash_candidate_pairs(
-            ds, n_shingle=n_shingle, num_perm=num_perm, bands=bands, n_parts=n_parts
+            ds, n_shingle=n_shingle, num_perm=num_perm, bands=bands,
+            n_parts=n_parts, cross_only=cross_only,
         )
         .repartition(num_partitions)
         .materialize()
@@ -1264,6 +1290,127 @@ def cross_dedup(
     except Exception:
         id_type = pa.int64()
     return _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts)
+
+
+def minhash_cross_dedup(
+    ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_shingle: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    num_partitions: int = 16,
+    n_parts: int | None = None,
+    broadcast_bytes: int = 256 << 20,
+):
+    """Fuzzy incremental dedup: drop every document of ``ds`` whose NEAR
+    duplicate (exact shingle-set Jaccard ≥ ``threshold``, LSH-candidated)
+    already exists in ``ref_ds`` — the MinHash generalization of
+    ``cross_dedup`` for the "dedupe this crawl against everything we already
+    have, catching boilerplate re-renders too" step.
+
+    Construction: reference ids are encoded into the negative half-plane
+    (``-id - 1``, injective for ``id >= 0``; both corpora must use
+    nonnegative ids) and the two corpora stream through the SAME distributed
+    signature → band-bucket → verify machinery as ``minhash_dedup`` with
+    ``cross_only=True``, so only opposite-corpus pairs are generated and
+    verified.  Within-corpus duplicates are deliberately left alone
+    (run ``minhash_dedup_components`` for those).
+
+    Output rows: (id_col,) of the SURVIVORS.  Scale shape: the shuffles
+    carry band rows and candidate shingle blobs only; matched-id removal is
+    a broadcast searchsorted probe when the matched set fits
+    ``broadcast_bytes`` and a bucketed anti-join otherwise.
+    """
+    import ray
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("minhash_cross_dedup requires nonnegative ids")
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+             "text": batch.column(text_col)}
+        )
+
+    def ref_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("minhash_cross_dedup requires nonnegative ids")
+        return pa.table(
+            {"doc_id": pa.array(-ids.astype(np.int64) - 1, pa.int64()),
+             "text": batch.column(text_col)}
+        )
+
+    union = ds.map_batches(
+        corpus_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(ref_ds.map_batches(ref_side, batch_format="pyarrow", zero_copy_batch=True))
+
+    edges = verified_minhash_edges(
+        union, threshold=threshold, n_shingle=n_shingle, num_perm=num_perm,
+        bands=bands, num_partitions=num_partitions, n_parts=n_parts,
+        broadcast_bytes=broadcast_bytes, cross_only=True,
+    )
+
+    # matched corpus ids = the nonnegative endpoint of every verified edge
+    def matched_ids(batch: pa.Table) -> pa.Table:
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({"matched": pa.array(np.unique(b[b >= 0]), pa.int64())})
+
+    matched = edges.map_batches(matched_ids, batch_format="pyarrow").materialize()
+
+    def corpus_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids.cast(pa.int64())})
+
+    skinny = ds.map_batches(corpus_ids, batch_format="pyarrow", zero_copy_batch=True)
+
+    matched_bytes = matched.size_bytes() or 0
+    if matched_bytes <= broadcast_bytes:
+        parts = [
+            t.column("matched").to_numpy(zero_copy_only=False)
+            for t in ray.get(matched.to_arrow_refs())
+            if t.num_rows
+        ]
+        m_sorted = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+        m_ref = ray.put(m_sorted)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            ms = ray.get(m_ref)
+            if not len(ms):
+                return batch
+            h = batch.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ms, h)
+            pos[pos == len(ms)] = 0
+            return batch.filter(pa.array(ms[pos] != h))
+
+        return skinny.map_batches(scrub, batch_format="pyarrow")
+
+    # anti-join fallback: reuse the shared bucketed core by carrying the id
+    # itself as the join key column ("content_hash" is just the key name the
+    # shared kernel partitions on)
+    logger.info(
+        "minhash_cross_dedup: matched ids %.1f MB > broadcast cap — bucketed "
+        "anti-join", matched_bytes / 2**20,
+    )
+    keyed = skinny.map_batches(
+        lambda b: b.append_column("content_hash", b.column(id_col).cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+    ref_h = matched.map_batches(
+        lambda b: pa.table({"content_hash": b.column("matched").cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    out = _hash_anti_join(
+        keyed, ref_h, id_col, pa.int64(), num_partitions or _auto_parts(ds, floor=32)
+    )
+    return out.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow"
+    )
 
 
 def _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts: int):

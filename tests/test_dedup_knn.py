@@ -65,6 +65,38 @@ def test_minhash_no_false_merges(dup_docs):
             assert sim >= 0.0  # structural sanity; edges were verified exactly
 
 
+def test_minhash_cross_dedup_drops_near_matches_of_reference(dup_docs):
+    # reference = originals 0..19; corpus = everything else.  Exact copies
+    # (210..219 of 0..9) AND one-word-changed near copies (230..239 of
+    # 10..19) of reference docs must be dropped; unrelated docs survive;
+    # within-corpus duplicates are deliberately NOT touched.
+    import ray.data as rd
+
+    _, rows = dup_docs
+    ref_rows = [r for r in rows if r["doc_id"] < 20]
+    corpus_rows = [r for r in rows if r["doc_id"] >= 20]
+    out = dd.minhash_cross_dedup(
+        rd.from_items(corpus_rows), rd.from_items(ref_rows), threshold=0.5
+    ).take_all()
+    kept = {r["doc_id"] for r in out}
+    for i in range(10):
+        assert 210 + i not in kept  # exact copy of a reference doc
+    near_dropped = sum(1 for i in range(10) if 230 + i not in kept)
+    assert near_dropped >= 8  # LSH recall < 1 by design, high here
+    survivors_expected = {r["doc_id"] for r in corpus_rows} - set(range(210, 240))
+    # no unrelated corpus doc may disappear
+    assert survivors_expected <= kept
+
+
+def test_minhash_cross_dedup_rejects_negative_ids(ray_session):
+    import ray.data as rd
+
+    bad = rd.from_items([{"doc_id": -3, "text": "a b c d e f"}])
+    good = rd.from_items([{"doc_id": 1, "text": "a b c d e f"}])
+    with pytest.raises(Exception):
+        dd.minhash_cross_dedup(bad, good).take_all()
+
+
 def test_simhash_near_dup_pairs(dup_docs):
     ds, rows = dup_docs
     pairs = dd.simhash_near_dup_pairs(ds, max_hamming=12).take_all()
