@@ -238,11 +238,14 @@ def minhash_candidate_pairs(
                 if not len(neg) or not len(pos):
                     continue
                 if k > max_bucket:
-                    # bounded fallback: every corpus doc keeps ONE reference
-                    # candidate (min id) so membership detection survives
+                    # bounded fallback: cap the reference side so the bucket
+                    # emits <= ~max_bucket pairs (smallest encoded ids,
+                    # deterministic).  Recall in oversized buckets can drop —
+                    # a corpus doc's true near-dup reference may be cut —
+                    # so the cap and count are logged, never silent.
                     n_over += 1
                     over_rows += k
-                    neg = neg[:1]
+                    neg = neg[: max(1, max_bucket // len(pos))]
                 a_out.append(np.repeat(neg, len(pos)))
                 b_out.append(np.tile(pos, len(neg)))
                 continue
@@ -1205,6 +1208,41 @@ def line_dedup(
 
 
 # ------------------------------------------------------------ cross dedup
+def _sorted_unique_column(mat_ds, col: str) -> np.ndarray:
+    """Collect a MATERIALIZED skinny dataset's integer column into one
+    sorted-unique driver array — the broadcast side of a probe anti-join."""
+    import ray
+
+    parts = [
+        t.column(col).to_numpy(zero_copy_only=False)
+        for t in ray.get(mat_ds.to_arrow_refs())
+        if t.num_rows
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+
+
+def _broadcast_anti_probe(skinny, key_col: str, values: np.ndarray):
+    """Drop every row of ``skinny`` whose ``key_col`` appears in the sorted
+    array ``values``: ray.put once, ONE searchsorted probe per batch, no
+    shuffle — the shared broadcast half of the cross-dedup family.  Both
+    sides must be signed ints (mixed int64/uint64 would upcast to float64
+    and lose 64-bit precision — see CLAUDE.md)."""
+    import ray
+
+    ref = ray.put(values)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        rs = ray.get(ref)
+        if not len(rs):
+            return batch
+        h = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rs, h)
+        pos[pos == len(rs)] = 0
+        return batch.filter(pa.array(rs[pos] != h))
+
+    return skinny.map_batches(scrub, batch_format="pyarrow")
+
+
 def cross_dedup(
     ds,
     ref_ds,
@@ -1233,7 +1271,6 @@ def cross_dedup(
       by hash, per-bucket anti-join — the shuffle carries (id, hash) pairs
       only, never text.
     """
-    import ray
 
     def corpus_hash(batch: pa.Table) -> pa.Table:
         t = add_content_hash(batch, text_col)
@@ -1257,26 +1294,9 @@ def cross_dedup(
 
     ref_bytes = ref_h.size_bytes() or 0
     if ref_bytes <= broadcast_bytes:
-        parts = [
-            t.column("content_hash").to_numpy(zero_copy_only=False)
-            for t in ray.get(ref_h.to_arrow_refs())
-            if t.num_rows
-        ]
-        ref_sorted = (
-            np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+        return _broadcast_anti_probe(
+            skinny, "content_hash", _sorted_unique_column(ref_h, "content_hash")
         )
-        ref_ref = ray.put(ref_sorted)
-
-        def scrub(batch: pa.Table) -> pa.Table:
-            rs = ray.get(ref_ref)
-            if not len(rs):
-                return batch
-            h = batch.column("content_hash").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(rs, h)
-            pos[pos == len(rs)] = 0
-            return batch.filter(pa.array(rs[pos] != h))
-
-        return skinny.map_batches(scrub, batch_format="pyarrow")
 
     # -------- join fallback: reference hash set exceeds a worker's heap
     n_parts = num_partitions or _auto_parts(ds, floor=32)
@@ -1324,7 +1344,6 @@ def minhash_cross_dedup(
     a broadcast searchsorted probe when the matched set fits
     ``broadcast_bytes`` and a bucketed anti-join otherwise.
     """
-    import ray
 
     def corpus_side(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -1361,41 +1380,32 @@ def minhash_cross_dedup(
 
     matched = edges.map_batches(matched_ids, batch_format="pyarrow").materialize()
 
-    def corpus_ids(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        return pa.table({id_col: ids.cast(pa.int64())})
+    # survivors keep the caller's id dtype (cross_dedup contract: callers
+    # re-attach payloads by joining back on the id) — sign-encoding above is
+    # internal only
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
 
-    skinny = ds.map_batches(corpus_ids, batch_format="pyarrow", zero_copy_batch=True)
+    skinny = ds.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
+    )
 
     matched_bytes = matched.size_bytes() or 0
     if matched_bytes <= broadcast_bytes:
-        parts = [
-            t.column("matched").to_numpy(zero_copy_only=False)
-            for t in ray.get(matched.to_arrow_refs())
-            if t.num_rows
-        ]
-        m_sorted = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
-        m_ref = ray.put(m_sorted)
-
-        def scrub(batch: pa.Table) -> pa.Table:
-            ms = ray.get(m_ref)
-            if not len(ms):
-                return batch
-            h = batch.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ms, h)
-            pos[pos == len(ms)] = 0
-            return batch.filter(pa.array(ms[pos] != h))
-
-        return skinny.map_batches(scrub, batch_format="pyarrow")
+        return _broadcast_anti_probe(
+            skinny, id_col, _sorted_unique_column(matched, "matched")
+        )
 
     # anti-join fallback: reuse the shared bucketed core by carrying the id
     # itself as the join key column ("content_hash" is just the key name the
-    # shared kernel partitions on)
+    # shared kernel partitions on); partition count scales with input size —
+    # this path only triggers when the matched set outgrows a worker's heap
+    n_anti = max(num_partitions, _auto_parts(ds, floor=32))
     logger.info(
         "minhash_cross_dedup: matched ids %.1f MB > broadcast cap — bucketed "
-        "anti-join", matched_bytes / 2**20,
+        "anti-join over %d partitions", matched_bytes / 2**20, n_anti,
     )
     keyed = skinny.map_batches(
         lambda b: b.append_column("content_hash", b.column(id_col).cast(pa.int64())),
@@ -1405,9 +1415,7 @@ def minhash_cross_dedup(
         lambda b: pa.table({"content_hash": b.column("matched").cast(pa.int64())}),
         batch_format="pyarrow",
     ).materialize()
-    out = _hash_anti_join(
-        keyed, ref_h, id_col, pa.int64(), num_partitions or _auto_parts(ds, floor=32)
-    )
+    out = _hash_anti_join(keyed, ref_h, id_col, id_type, n_anti)
     return out.map_batches(
         lambda b: b.select([id_col]), batch_format="pyarrow"
     )

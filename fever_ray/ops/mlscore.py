@@ -43,6 +43,17 @@ def make_standin_weights(dim: int = DEFAULT_DIM, seed: int = DEFAULT_WEIGHT_SEED
     return (w % np.uint64(1001)).astype(np.int64) - 500
 
 
+def _validate_weights(lut: np.ndarray, dim: int) -> None:
+    if lut.dtype != np.int64:
+        raise TypeError("LinearScorer weights must be int64 (exactness contract)")
+    if len(lut) != dim:
+        raise ValueError(f"weights length {len(lut)} != dim {dim}")
+    # bound magnitudes so the batch-wide prefix sum can never wrap int64
+    # (2^31 × a trillion tokens per batch still fits)
+    if len(lut) and int(np.abs(lut).max()) > (1 << 31):
+        raise ValueError("LinearScorer weights must satisfy |w| <= 2^31")
+
+
 class LinearScorer:
     """Actor stage: per-doc integer linear score over hashed token features.
 
@@ -68,17 +79,13 @@ class LinearScorer:
             lut = ray.get(weights)
         else:
             lut = np.asarray(weights)
-        if lut.dtype != np.int64:
-            raise TypeError("LinearScorer weights must be int64 (exactness contract)")
-        if len(lut) != dim:
-            raise ValueError(f"weights length {len(lut)} != dim {dim}")
+        _validate_weights(lut, dim)
         self.lut = lut
         self.dim = np.uint64(dim)
         self.id_col = id_col
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         text = batch.column(self.text_col)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
@@ -90,10 +97,12 @@ class LinearScorer:
         flat, offs = _flat_tokens(batch, self.text_col)
         buckets = (hash64(flat) % self.dim).astype(np.int64)
         wt = self.lut[buckets]
-        counts = np.diff(offs)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        score = np.zeros(n, dtype=np.int64)
-        np.add.at(score, doc_idx, wt)
+        # exact segment sums via prefix-sum differences (the char_bigram_oov
+        # pattern) — scatter-add (np.add.at) is element-at-a-time and 10-100x
+        # slower on this hot path; |w| <= 500 keeps the int64 cumsum far from
+        # overflow at any batch size
+        cs = np.concatenate(([0], np.cumsum(wt)))
+        score = cs[offs[1:]] - cs[offs[:-1]]
         score[~nonempty] = 0
         return pa.table(
             {
@@ -120,7 +129,12 @@ def linear_score(
     scores locally; output is a skinny (id, score, kept) stream."""
     import ray
 
-    ref = ray.put(np.asarray(weights)) if weights is not None else None
+    if weights is not None:
+        w = np.asarray(weights)
+        _validate_weights(w, dim)  # fail fast HERE, not inside each actor
+        ref = ray.put(w)
+    else:
+        ref = None
     return ds.map_batches(
         LinearScorer,
         fn_constructor_kwargs=dict(

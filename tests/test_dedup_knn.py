@@ -95,6 +95,33 @@ def test_minhash_cross_dedup_rejects_negative_ids(ray_session):
     good = rd.from_items([{"doc_id": 1, "text": "a b c d e f"}])
     with pytest.raises(Exception):
         dd.minhash_cross_dedup(bad, good).take_all()
+    # the reference-side validator is separate code — cover it too (a
+    # negative reference id would silently collide with a corpus id in the
+    # sign-encoded union)
+    with pytest.raises(Exception):
+        dd.minhash_cross_dedup(good, bad).take_all()
+
+
+def test_minhash_cross_dedup_preserves_id_dtype(ray_session):
+    # survivors must keep the caller's id dtype so the documented
+    # join-back-on-id re-attach works without casts
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([20, 21], pa.int32()),
+            "text": pa.array(["golf hotel india juliet kilo", "unrelated words here now ok"]),
+        }
+    )
+    ref = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int32()),
+            "text": pa.array(["golf hotel india juliet kilo"]),
+        }
+    )
+    out = dd.minhash_cross_dedup(rd.from_arrow(t), rd.from_arrow(ref), threshold=0.5)
+    assert out.schema().base_schema.field("doc_id").type == pa.int32()
+    assert [r["doc_id"] for r in out.take_all()] == [21]
 
 
 def test_simhash_near_dup_pairs(dup_docs):
