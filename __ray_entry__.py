@@ -532,6 +532,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mod7(True), batch_format="pyarrow"),
         )
 
+    def q_embedding_cluster(sf):
+        # SemDeDup step 1: deterministic hash-sampled centroids + one
+        # broadcast-matmul assignment pass (no iterative k-means — pure
+        # function of (ids, seed), resume-stable)
+        from fever_ray.ops.cluster import embedding_cluster
+
+        return embedding_cluster(
+            _t(sf, "embeddings", ["vec_id", "embedding"]), k=8, seed=1
+        )
+
+    def q_semdedup(sf):
+        # SemDeDup step 2: within-cluster cosine near-dup drop; policy =
+        # "a smaller-id >= 0.4-similar row in my cluster drops me"
+        from fever_ray.ops.cluster import semdedup
+
+        return semdedup(
+            _t(sf, "embeddings", ["vec_id", "embedding"]),
+            k=8, threshold=0.4, seed=1,
+        )
+
     def q_linear_score(sf):
         # quality-classifier stage shape: broadcast integer model, per-actor
         # LUT, vectorized hashed-BoW featurization + segment sums; the
@@ -1487,6 +1507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_dedup": q_cross_dedup,
         "minhash_cross_dedup": q_minhash_cross_dedup,
         "linear_score": q_linear_score,
+        "embedding_cluster": q_embedding_cluster,
+        "semdedup": q_semdedup,
         "bloom_cross_dedup": q_bloom_cross_dedup,
         "token_budget_select": q_token_budget_select,
         "mixture_sample": q_mixture_sample,
@@ -2017,6 +2039,55 @@ _TOKEN_REPETITION_CTE = (
 )
 
 
+def _embedding_cluster_ctes(k: int, seed: int) -> str:
+    """Shared CTE prefix mirroring ops.cluster.embedding_cluster: the
+    five-stage splitmix64 hash of vec_id (bit-exact, splitmix is a
+    bijection so the ORDER BY h LIMIT k centroid pick has no ties) and the
+    nearest-centroid assignment (cosine DESC, centroid id ASC — the
+    engine's argmax-over-id-ordered-centroids tie policy)."""
+    import numpy as np
+
+    from fever_ray.sketches.hashing import splitmix64
+
+    c = int(splitmix64(np.array([seed], dtype=np.uint64))[0]) if seed else 0
+    fnv_offset = 0xCBF29CE484222325
+    mulmod = _sql_mulmod
+    return (
+        "h0 AS (SELECT vec_id, embedding, xor(xor(CAST(vec_id AS UBIGINT), "
+        f"CAST({c} AS UBIGINT)), CAST({fnv_offset} AS UBIGINT)) AS x FROM embeddings), "
+        "h1 AS (SELECT vec_id, embedding, xor(x, x >> 30) AS y FROM h0), "
+        f"h2 AS (SELECT vec_id, embedding, {_sql_mulmod('y', '13787848793156543929')} AS x FROM h1), "
+        "h3 AS (SELECT vec_id, embedding, xor(x, x >> 27) AS y FROM h2), "
+        f"h4 AS (SELECT vec_id, embedding, {mulmod('y', '10723151780598845931')} AS x FROM h3), "
+        "h5 AS (SELECT vec_id, embedding, xor(x, x >> 31) AS h FROM h4), "
+        f"c AS (SELECT vec_id AS cid, embedding AS ce FROM h5 ORDER BY h LIMIT {k}), "
+        "a AS (SELECT vec_id, cluster_id FROM ("
+        "  SELECT e.vec_id, c.cid AS cluster_id, ROW_NUMBER() OVER ("
+        "    PARTITION BY e.vec_id "
+        "    ORDER BY list_cosine_similarity(c.ce, e.embedding) DESC, c.cid) AS rn "
+        "  FROM embeddings e CROSS JOIN c) WHERE rn = 1)"
+    )
+
+
+def _embedding_cluster_sql(k: int, seed: int) -> str:
+    return f"WITH {_embedding_cluster_ctes(k, seed)} SELECT vec_id, cluster_id FROM a"
+
+
+def _semdedup_sql(k: int, seed: int, threshold: float) -> str:
+    """Mirror of ops.cluster.semdedup: kept=False iff a smaller-id row of
+    the same cluster is >= threshold cosine-similar."""
+    return (
+        f"WITH {_embedding_cluster_ctes(k, seed)}, "
+        "drp AS (SELECT DISTINCT x.vec_id FROM a x "
+        "JOIN a y ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id "
+        "JOIN embeddings ex ON ex.vec_id = x.vec_id "
+        "JOIN embeddings ey ON ey.vec_id = y.vec_id "
+        f"WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= {threshold}) "
+        "SELECT a.vec_id, a.cluster_id, "
+        "a.vec_id NOT IN (SELECT vec_id FROM drp) AS kept FROM a"
+    )
+
+
 def _linear_score_sql() -> str:
     """Bit-exact mirror of ops.mlscore.linear_score with the deterministic
     stand-in model: per token, bucket = splitmix64(fnv1a(token)) mod 2^16,
@@ -2277,6 +2348,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_dedup": _cross_dedup_sql(7),
         "minhash_cross_dedup": _minhash_cross_dedup_sql(),
         "linear_score": _linear_score_sql(),
+        "embedding_cluster": _embedding_cluster_sql(8, 1),
+        "semdedup": _semdedup_sql(8, 1, 0.4),
         "bloom_cross_dedup": _cross_dedup_sql(5),
         "token_budget_select": _token_budget_select_sql(8000, 23),
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),

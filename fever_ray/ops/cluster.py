@@ -1,0 +1,159 @@
+"""Embedding-space clustering + semantic deduplication (SemDeDup,
+Abbas et al. 2023, arXiv:2303.09540): cluster the corpus in embedding
+space with a cheap coarse quantizer, then search for semantic duplicates
+ONLY within each cluster — the scale trick that turns an O(N²) all-pairs
+cosine search into per-cluster work.
+
+Ray-Data shape:
+
+* centroid selection is deterministic hash sampling (the k corpus rows
+  with the smallest ``hash64_ints(id, seed)`` — splitmix64 is a bijection,
+  so distinct ids never tie): one narrow pass emitting per-batch local
+  top-k candidates, a k×n_batches driver merge, one broadcast.  No
+  iterative k-means here — assignments stay a pure function of
+  (ids, seed), SQL-mirrorable and stable under re-partitioning/resume
+  (swap in ``knn.train_ivf_centroids`` when assignment quality matters
+  more than bit-reproducibility).
+* assignment is one stateless vectorized pass: normalized (n×d) @ (d×k)
+  matmul per batch against the broadcast centroid matrix, argmax with
+  smallest-centroid-id tie policy.
+* the dedup step shuffles (id, cluster, embedding) rows — embeddings,
+  never documents — grouped by cluster; within a cluster the pairwise
+  cosine matrix is computed in row blocks (memory O(block × cluster),
+  compute O(cluster²·d) — the SemDeDup contract: pick k large enough
+  that clusters stay small; oversized clusters are logged).
+
+Drop policy: a row is dropped iff some SMALLER-id row in the same
+cluster is ≥ ``threshold``-similar — deterministic, order-independent,
+exactly expressible in SQL (EXISTS smaller-id near neighbor), unlike
+greedy chain-representative policies.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+from ..sketches.hashing import hash64_ints
+from .knn import _embedding_matrix, _normalize
+
+logger = logging.getLogger(__name__)
+
+
+def _hash_topk_rows(ds, k: int, seed: int, id_col: str, emb_col: str):
+    """The k corpus rows with the smallest splitmix id hash → (ids sorted
+    ascending, centroid matrix in that order).  One narrow pass: each batch
+    emits ≤k local candidates (id + embedding), the driver merges k×n_batches
+    candidate rows."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash64_ints(ids, seed=seed)
+        kk = min(k, len(ids))
+        if kk == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], pa.list_(pa.float64())),
+                             "h": pa.array([], pa.int64())})
+        idx = np.argpartition(h, kk - 1)[:kk]
+        t = batch.select([id_col, emb_col]).take(pa.array(idx))
+        return t.append_column("h", pa.array(h[idx].view(np.int64), pa.int64()))
+
+    cand = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not cand:
+        raise ValueError("embedding_cluster: empty input")
+    ids = np.array([r[id_col] for r in cand], dtype=np.int64)
+    hs = np.array([r["h"] for r in cand], dtype=np.int64).view(np.uint64)
+    order = np.argsort(hs, kind="stable")[: min(k, len(ids))]
+    sel = sorted(order.tolist(), key=lambda i: ids[i])  # centroid order = id asc
+    cid = ids[sel]
+    cmat = np.vstack([np.asarray(cand[i][emb_col], dtype=np.float64) for i in sel])
+    return cid, cmat
+
+
+def embedding_cluster(
+    ds, k: int = 8, seed: int = 1, id_col: str = "vec_id", emb_col: str = "embedding",
+    keep_embedding: bool = False,
+):
+    """embeddings → (id_col, cluster_id) nearest-centroid assignment.
+
+    ``cluster_id`` is the centroid row's own id (interpretable, join-able).
+    Ties on cosine break toward the smallest centroid id (centroids are
+    ordered id-ascending and np.argmax takes the first maximum)."""
+    import ray
+
+    cid, cmat = _hash_topk_rows(ds, k, seed, id_col, emb_col)
+    c_ref = ray.put((cid, _normalize(cmat)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cids, cn = ray.get(c_ref)
+        ids = batch.column(id_col)
+        mat = _normalize(_embedding_matrix(batch, emb_col))
+        sims = mat @ cn.T  # (n, k)
+        best = np.argmax(sims, axis=1)
+        out = pa.table(
+            {id_col: ids, "cluster_id": pa.array(cids[best], pa.int64())}
+        )
+        if keep_embedding:
+            out = out.append_column(emb_col, batch.column(emb_col))
+        return out
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup(
+    ds, k: int = 8, threshold: float = 0.9, seed: int = 1,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    block: int = 4096, warn_cluster: int = 65536,
+):
+    """embeddings → (id_col, cluster_id, kept): semantic dedup within
+    embedding clusters.  kept=False iff a smaller-id row of the SAME
+    cluster has cosine ≥ ``threshold``.
+
+    The cluster groupby shuffles (id, cluster, embedding) rows only.
+    Within a cluster, similarity runs in ``block``-row slabs against the
+    id-sorted prefix, so peak memory is O(block × cluster) while the
+    matmuls stay vectorized."""
+    assigned = embedding_cluster(
+        ds, k=k, seed=seed, id_col=id_col, emb_col=emb_col, keep_embedding=True
+    )
+
+    def drop_near_dups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64()),
+                 "kept": pa.array([], pa.bool_())}
+            )
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        if n > warn_cluster:
+            logger.warning(
+                "semdedup: cluster %s holds %d rows (> %d) — pairwise work is "
+                "O(n²); raise k to shrink clusters",
+                g.column("cluster_id")[0].as_py(), n, warn_cluster,
+            )
+        mat = _normalize(_embedding_matrix(g, emb_col))
+        dropped = np.zeros(n, dtype=bool)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = mat[s:e] @ mat[:e].T  # rows s..e vs ALL ids <= their own
+            hit = sims >= threshold
+            # zero the diagonal-and-above inside the slab (only j < i counts)
+            hit[np.arange(e - s)[:, None] + s <= np.arange(e)[None, :]] = False
+            dropped[s:e] = hit.any(axis=1)
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "cluster_id": g.column("cluster_id"),
+                "kept": pa.array(~dropped),
+            }
+        )
+
+    return assigned.groupby("cluster_id").map_groups(
+        drop_near_dups, batch_format="pyarrow"
+    )

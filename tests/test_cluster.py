@@ -1,0 +1,106 @@
+"""SemDeDup family: deterministic centroid pick, nearest-centroid
+assignment, within-cluster near-dup drop (slab-blocked pairwise kernel)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fever_ray.ops.cluster import embedding_cluster, semdedup
+
+
+def _vec_table(mat: np.ndarray, ids=None) -> pa.Table:
+    ids = np.arange(len(mat), dtype=np.int64) if ids is None else np.asarray(ids)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([row.tolist() for row in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors():
+    rng = np.random.default_rng(3)
+    # 3 well-separated gaussian blobs in 16d, unit-normalized
+    centers = rng.normal(size=(3, 16)) * 10
+    # noise sigma=3: same-blob cosine ~ |c|^2/(|c|^2 + 9d) ~ 0.92, safely
+    # below the 0.995 dup threshold (incidental max ~0.993); planted 1e-3 perturbations stay ~1.0
+    mat = np.vstack([centers[i % 3] + rng.normal(size=16) * 3 for i in range(240)])
+    # planted near-dups: rows 240..249 are tiny perturbations of rows 0..9
+    dups = mat[:10] + rng.normal(size=(10, 16)) * 1e-3
+    mat = np.vstack([mat, dups])
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    return mat.astype(np.float32)
+
+
+def test_embedding_cluster_assignment(ray_session, clustered_vectors):
+    import ray.data as rd
+
+    out = embedding_cluster(rd.from_arrow(_vec_table(clustered_vectors)), k=6, seed=1)
+    rows = out.take_all()
+    assert len(rows) == 250
+    cids = {r["cluster_id"] for r in rows}
+    assert len(cids) <= 6
+    by_id = {r["vec_id"]: r["cluster_id"] for r in rows}
+    # a near-identical copy must land in its original's cluster
+    for i in range(10):
+        assert by_id[240 + i] == by_id[i]
+    # centroid rows assign to themselves (cosine 1 with their own centroid)
+    for c in cids:
+        assert by_id[c] == c
+
+
+def test_embedding_cluster_partition_invariant(ray_session, clustered_vectors):
+    import ray.data as rd
+
+    t = _vec_table(clustered_vectors)
+    a = {r["vec_id"]: r["cluster_id"]
+         for r in embedding_cluster(rd.from_arrow(t).repartition(1), k=5).take_all()}
+    b = {r["vec_id"]: r["cluster_id"]
+         for r in embedding_cluster(rd.from_arrow(t).repartition(13), k=5).take_all()}
+    assert a == b
+
+
+def test_semdedup_drops_planted_near_dups(ray_session, clustered_vectors):
+    import ray.data as rd
+
+    # block=16 forces multiple slabs per cluster — exercises the blocked
+    # prefix-matmul path, not just the single-slab case
+    out = semdedup(
+        rd.from_arrow(_vec_table(clustered_vectors)), k=6, threshold=0.995, block=16
+    ).take_all()
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    assert len(kept) == 250
+    for i in range(10):
+        assert kept[i] is True        # the smaller-id original survives
+        assert kept[240 + i] is False  # its near-copy is dropped
+    # nothing else is 0.995-similar in random blobs
+    assert sum(not v for v in kept.values()) == 10
+
+
+def test_semdedup_matches_bruteforce_policy(ray_session, clustered_vectors):
+    import ray.data as rd
+
+    t = _vec_table(clustered_vectors)
+    thr = 0.8
+    out = semdedup(rd.from_arrow(t), k=4, threshold=thr, block=32)
+    rows = out.take_all()
+    cl = {r["vec_id"]: r["cluster_id"] for r in rows}
+    mat = clustered_vectors.astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = mat @ mat.T
+    for r in rows:
+        i = r["vec_id"]
+        expect_drop = any(
+            sims[i, j] >= thr and cl[j] == cl[i] for j in range(i)
+        )
+        assert r["kept"] == (not expect_drop), f"vec {i}"
+
+
+def test_embedding_cluster_empty_input_raises(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_arrow(_vec_table(np.zeros((0, 8), dtype=np.float32)))
+    with pytest.raises(Exception):
+        embedding_cluster(empty, k=3)
