@@ -1784,32 +1784,43 @@ def _hash_sample_sql(fraction: float, seed: int) -> str:
     return _splitmix_doc_sql(seed, "doc_id, source", f"h < CAST({thr} AS UBIGINT)")
 
 
-def _splitmix_doc_sql(
-    seed: int, cols: str, where_expr: str, select_expr: str | None = None
+def _splitmix_ctes(
+    seed: int, cols: str, table: str = "documents", id_expr: str = "doc_id",
+    prefix: str = "s",
 ) -> str:
-    """Shared CTE chain: the five-stage splitmix64 finalizer over
-    ``doc_id ^ splitmix64(seed) ^ FNV_OFFSET`` on the documents table,
-    exposing the hash as ``h`` to ``where_expr`` (and to ``select_expr``,
-    which defaults to ``cols``).  64-bit multiplies run in
-    two 32-bit HUGEINT halves mod 2^64 (DuckDB has no wrapping UBIGINT *)."""
+    """CTE-prefix (no WITH) for the five-stage splitmix64 finalizer over
+    ``id_expr ^ splitmix64(seed) ^ FNV_OFFSET`` on ``table`` — bit-exact
+    mirror of ``hashing.hash64_ints``.  Exposes the hash as ``h`` in CTE
+    ``{prefix}5`` alongside ``cols``.  64-bit multiplies run in two 32-bit
+    HUGEINT halves mod 2^64 (DuckDB has no wrapping UBIGINT *).  The ONE
+    splitmix-over-ints chain every oracle shares."""
     import numpy as np
 
     from fever_ray.sketches.hashing import splitmix64
 
     c = int(splitmix64(np.array([seed], dtype=np.uint64))[0]) if seed else 0
     fnv_offset = 0xCBF29CE484222325
-    m = "18446744073709551616"
-
     mulmod = _sql_mulmod
-
+    p = prefix
     return (
-        f"WITH s0 AS (SELECT {cols}, xor(xor(CAST(doc_id AS UBIGINT), "
-        f"CAST({c} AS UBIGINT)), CAST({fnv_offset} AS UBIGINT)) AS x FROM documents), "
-        f"s1 AS (SELECT {cols}, xor(x, x >> 30) AS y FROM s0), "
-        f"s2 AS (SELECT {cols}, {mulmod('y', '13787848793156543929')} AS x FROM s1), "
-        f"s3 AS (SELECT {cols}, xor(x, x >> 27) AS y FROM s2), "
-        f"s4 AS (SELECT {cols}, {mulmod('y', '10723151780598845931')} AS x FROM s3), "
-        f"s5 AS (SELECT {cols}, xor(x, x >> 31) AS h FROM s4) "
+        f"{p}0 AS (SELECT {cols}, xor(xor(CAST({id_expr} AS UBIGINT), "
+        f"CAST({c} AS UBIGINT)), CAST({fnv_offset} AS UBIGINT)) AS x FROM {table}), "
+        f"{p}1 AS (SELECT {cols}, xor(x, x >> 30) AS y FROM {p}0), "
+        f"{p}2 AS (SELECT {cols}, {mulmod('y', '13787848793156543929')} AS x FROM {p}1), "
+        f"{p}3 AS (SELECT {cols}, xor(x, x >> 27) AS y FROM {p}2), "
+        f"{p}4 AS (SELECT {cols}, {mulmod('y', '10723151780598845931')} AS x FROM {p}3), "
+        f"{p}5 AS (SELECT {cols}, xor(x, x >> 31) AS h FROM {p}4)"
+    )
+
+
+def _splitmix_doc_sql(
+    seed: int, cols: str, where_expr: str, select_expr: str | None = None
+) -> str:
+    """Five-stage splitmix64 over doc_id on the documents table, exposing
+    the hash as ``h`` to ``where_expr`` (and ``select_expr``, defaulting to
+    ``cols``)."""
+    return (
+        f"WITH {_splitmix_ctes(seed, cols)} "
         f"SELECT {select_expr or cols} FROM s5 WHERE {where_expr}"
     )
 
@@ -2045,21 +2056,11 @@ def _embedding_cluster_ctes(k: int, seed: int) -> str:
     bijection so the ORDER BY h LIMIT k centroid pick has no ties) and the
     nearest-centroid assignment (cosine DESC, centroid id ASC — the
     engine's argmax-over-id-ordered-centroids tie policy)."""
-    import numpy as np
-
-    from fever_ray.sketches.hashing import splitmix64
-
-    c = int(splitmix64(np.array([seed], dtype=np.uint64))[0]) if seed else 0
-    fnv_offset = 0xCBF29CE484222325
-    mulmod = _sql_mulmod
+    chain = _splitmix_ctes(
+        seed, "vec_id, embedding", table="embeddings", id_expr="vec_id", prefix="h"
+    )
     return (
-        "h0 AS (SELECT vec_id, embedding, xor(xor(CAST(vec_id AS UBIGINT), "
-        f"CAST({c} AS UBIGINT)), CAST({fnv_offset} AS UBIGINT)) AS x FROM embeddings), "
-        "h1 AS (SELECT vec_id, embedding, xor(x, x >> 30) AS y FROM h0), "
-        f"h2 AS (SELECT vec_id, embedding, {_sql_mulmod('y', '13787848793156543929')} AS x FROM h1), "
-        "h3 AS (SELECT vec_id, embedding, xor(x, x >> 27) AS y FROM h2), "
-        f"h4 AS (SELECT vec_id, embedding, {mulmod('y', '10723151780598845931')} AS x FROM h3), "
-        "h5 AS (SELECT vec_id, embedding, xor(x, x >> 31) AS h FROM h4), "
+        f"{chain}, "
         f"c AS (SELECT vec_id AS cid, embedding AS ce FROM h5 ORDER BY h LIMIT {k}), "
         "a AS (SELECT vec_id, cluster_id FROM ("
         "  SELECT e.vec_id, c.cid AS cluster_id, ROW_NUMBER() OVER ("

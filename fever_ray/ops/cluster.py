@@ -44,23 +44,36 @@ logger = logging.getLogger(__name__)
 
 def _hash_topk_rows(ds, k: int, seed: int, id_col: str, emb_col: str):
     """The k corpus rows with the smallest splitmix id hash → (ids sorted
-    ascending, centroid matrix in that order).  One narrow pass: each batch
-    emits ≤k local candidates (id + embedding), the driver merges k×n_batches
-    candidate rows."""
+    ascending, centroid matrix in that order).  Two narrow passes: each
+    batch emits ≤k local candidates (id + embedding + hash), then a coarse
+    re-reduce bounds the driver merge to k rows per 64k-candidate batch —
+    without it the driver would collect k×n_blocks embeddings, linear in
+    corpus size."""
+
+    def _keep_k_smallest(t: pa.Table, h: np.ndarray) -> pa.Table:
+        kk = min(k, t.num_rows)
+        if kk == 0:
+            return t
+        idx = np.argpartition(h, kk - 1)[:kk]
+        return t.take(pa.array(idx))
 
     def local(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         h = hash64_ints(ids, seed=seed)
-        kk = min(k, len(ids))
-        if kk == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             emb_col: pa.array([], pa.list_(pa.float64())),
-                             "h": pa.array([], pa.int64())})
-        idx = np.argpartition(h, kk - 1)[:kk]
-        t = batch.select([id_col, emb_col]).take(pa.array(idx))
-        return t.append_column("h", pa.array(h[idx].view(np.int64), pa.int64()))
+        t = batch.select([id_col, emb_col]).append_column(
+            "h", pa.array(h.view(np.int64), pa.int64())
+        )
+        return _keep_k_smallest(t, h)
 
-    cand = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def rereduce(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        return _keep_k_smallest(batch, h)
+
+    cand = (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(rereduce, batch_format="pyarrow", batch_size=65536)
+        .take_all()
+    )
     if not cand:
         raise ValueError("embedding_cluster: empty input")
     ids = np.array([r[id_col] for r in cand], dtype=np.int64)
