@@ -552,6 +552,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=8, threshold=0.4, seed=1,
         )
 
+    def q_knn_graph(sf):
+        # cluster-bounded exact kNN self-join: each vector's top-4 cosine
+        # neighbors inside its embedding cluster (the tractable form of the
+        # all-pairs neighbor graph)
+        from fever_ray.ops.cluster import knn_graph
+
+        return knn_graph(
+            _t(sf, "embeddings", ["vec_id", "embedding"]),
+            n_neighbors=4, k_clusters=8, seed=1,
+        )
+
     def q_linear_score(sf):
         # quality-classifier stage shape: broadcast integer model, per-actor
         # LUT, vectorized hashed-BoW featurization + segment sums; the
@@ -1509,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_score": q_linear_score,
         "embedding_cluster": q_embedding_cluster,
         "semdedup": q_semdedup,
+        "knn_graph": q_knn_graph,
         "bloom_cross_dedup": q_bloom_cross_dedup,
         "token_budget_select": q_token_budget_select,
         "mixture_sample": q_mixture_sample,
@@ -2089,6 +2101,23 @@ def _semdedup_sql(k: int, seed: int, threshold: float) -> str:
     )
 
 
+def _knn_graph_sql(n_neighbors: int, k_clusters: int, seed: int) -> str:
+    """Mirror of ops.cluster.knn_graph: per row, the top-n cosine neighbors
+    within its cluster, ordered (cosine DESC, neighbor id ASC)."""
+    return (
+        f"WITH {_embedding_cluster_ctes(k_clusters, seed)}, "
+        "av AS (SELECT a.vec_id, a.cluster_id, e.embedding "
+        "FROM a JOIN embeddings e USING (vec_id)), "
+        "nb AS (SELECT x.vec_id, y.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY x.vec_id "
+        "ORDER BY list_cosine_similarity(x.embedding, y.embedding) DESC, "
+        "y.vec_id) AS nn_rank "
+        "FROM av x JOIN av y "
+        "ON x.cluster_id = y.cluster_id AND x.vec_id <> y.vec_id) "
+        f"SELECT vec_id, neighbor_id, nn_rank FROM nb WHERE nn_rank <= {n_neighbors}"
+    )
+
+
 def _linear_score_sql() -> str:
     """Bit-exact mirror of ops.mlscore.linear_score with the deterministic
     stand-in model: per token, bucket = splitmix64(fnv1a(token)) mod 2^16,
@@ -2351,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_score": _linear_score_sql(),
         "embedding_cluster": _embedding_cluster_sql(8, 1),
         "semdedup": _semdedup_sql(8, 1, 0.4),
+        "knn_graph": _knn_graph_sql(4, 8, 1),
         "bloom_cross_dedup": _cross_dedup_sql(5),
         "token_budget_select": _token_budget_select_sql(8000, 23),
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),

@@ -170,3 +170,63 @@ def semdedup(
     return assigned.groupby("cluster_id").map_groups(
         drop_near_dups, batch_format="pyarrow"
     )
+
+
+def knn_graph(
+    ds, n_neighbors: int = 5, k_clusters: int = 8, seed: int = 1,
+    id_col: str = "vec_id", emb_col: str = "embedding", block: int = 4096,
+):
+    """embeddings → (id_col, neighbor_id, nn_rank): each row's exact cosine
+    top-``n_neighbors`` WITHIN its embedding cluster — the cluster-bounded
+    kNN self-join (the all-pairs O(N²) graph is intractable at corpus
+    scale; clustering bounds each row's search to its cluster, the same
+    approximation SemDeDup/IVF make).  Rows whose cluster holds no other
+    member emit nothing.
+
+    Rank order: cosine descending, neighbor id ascending on exact ties —
+    deterministic and SQL-mirrorable.  The pairwise kernel is slab-blocked
+    like ``semdedup``."""
+    assigned = embedding_cluster(
+        ds, k=k_clusters, seed=seed, id_col=id_col, emb_col=emb_col,
+        keep_embedding=True,
+    )
+
+    def topk_in_cluster(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "nn_rank": pa.array([], pa.int64())}
+        )
+        if group.num_rows <= 1 or group.num_columns == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        g = group.take(order)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_embedding_matrix(g, emb_col))
+        n = len(ids)
+        kk = min(n_neighbors, n - 1)
+        out_src, out_nbr, out_rank = [], [], []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = mat[s:e] @ mat.T  # slab rows vs whole cluster
+            rows = np.arange(s, e)
+            sims[np.arange(e - s), rows] = -np.inf  # self is not a neighbor
+            # top-k by (cosine desc, id asc): ids are sorted ascending, so a
+            # stable argsort on -sims breaks exact ties toward smaller ids
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            out_src.append(np.repeat(ids[rows], kk))
+            out_nbr.append(ids[idx].reshape(-1))
+            out_rank.append(np.tile(np.arange(1, kk + 1, dtype=np.int64), e - s))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_src), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_nbr), pa.int64()),
+                "nn_rank": pa.array(np.concatenate(out_rank), pa.int64()),
+            }
+        )
+
+    return assigned.groupby("cluster_id").map_groups(
+        topk_in_cluster, batch_format="pyarrow"
+    )

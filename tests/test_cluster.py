@@ -98,6 +98,43 @@ def test_semdedup_matches_bruteforce_policy(ray_session, clustered_vectors):
         assert r["kept"] == (not expect_drop), f"vec {i}"
 
 
+def test_knn_graph_matches_bruteforce_within_cluster(ray_session, clustered_vectors):
+    import ray.data as rd
+    from fever_ray.ops.cluster import knn_graph
+
+    t = _vec_table(clustered_vectors)
+    out = knn_graph(rd.from_arrow(t), n_neighbors=3, k_clusters=4, block=32).take_all()
+    cl = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_cluster(rd.from_arrow(t), k=4).take_all()
+    }
+    mat = clustered_vectors.astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = mat @ mat.T
+    got = {}
+    for r in out:
+        got.setdefault(r["vec_id"], []).append((r["nn_rank"], r["neighbor_id"]))
+    for i in range(len(mat)):
+        peers = [j for j in range(len(mat)) if j != i and cl[j] == cl[i]]
+        want = sorted(peers, key=lambda j: (-sims[i, j], j))[:3]
+        nbrs = [n for _, n in sorted(got.get(i, []))]
+        assert nbrs == want, f"vec {i}"
+
+
+def test_knn_graph_exact_duplicate_tie_breaks_by_id(ray_session):
+    import ray.data as rd
+    from fever_ray.ops.cluster import knn_graph
+
+    # three IDENTICAL vectors: cosine ties must resolve toward smaller ids
+    v = np.array([0.6, 0.8], dtype=np.float32)
+    t = _vec_table(np.vstack([v, v, v]), ids=[5, 9, 2])
+    out = knn_graph(rd.from_arrow(t), n_neighbors=2, k_clusters=1).take_all()
+    nbrs = {r["vec_id"]: [] for r in out}
+    for r in sorted(out, key=lambda r: (r["vec_id"], r["nn_rank"])):
+        nbrs[r["vec_id"]].append(r["neighbor_id"])
+    assert nbrs == {2: [5, 9], 5: [2, 9], 9: [2, 5]}
+
+
 def test_embedding_cluster_empty_input_raises(ray_session):
     import ray.data as rd
 
