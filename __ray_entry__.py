@@ -2103,7 +2103,15 @@ def _semdedup_sql(k: int, seed: int, threshold: float) -> str:
 
 def _knn_graph_sql(n_neighbors: int, k_clusters: int, seed: int) -> str:
     """Mirror of ops.cluster.knn_graph: per row, the top-n cosine neighbors
-    within its cluster, ordered (cosine DESC, neighbor id ASC)."""
+    within its cluster, ordered (cosine DESC, neighbor id ASC).
+
+    Tie-fragility note: this oracle gates a float RANKING (numpy float64
+    normalized-dot vs DuckDB list_cosine_similarity).  Bit-equal duplicate
+    embeddings tie identically on both sides (id tie-break); DISTINCT
+    vectors whose cosines to a source differ by less than the cross-engine
+    rounding gap (~1e-7 on float32 lists) could rank oppositely.  The gate
+    corpora's adjacent-neighbor gaps are orders of magnitude wider
+    (verified at sf0.001/0.01/0.1) — same acceptance as knn_bruteforce."""
     return (
         f"WITH {_embedding_cluster_ctes(k_clusters, seed)}, "
         "av AS (SELECT a.vec_id, a.cluster_id, e.embedding "

@@ -115,6 +115,27 @@ def embedding_cluster(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _sorted_cluster_matrix(
+    group: pa.Table, id_col: str, emb_col: str, warn_cluster: int, op: str
+):
+    """Shared per-cluster preamble for the pairwise kernels: sort the group
+    id-ascending (both tie policies depend on it), warn once on oversized
+    clusters (pairwise work is O(n²) — raise k to shrink clusters), return
+    (sorted group, int64 ids, normalized float64 matrix)."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+    g = group.take(order)
+    if g.num_rows > warn_cluster:
+        logger.warning(
+            "%s: cluster %s holds %d rows (> %d) — pairwise work is O(n²); "
+            "raise k to shrink clusters",
+            op, g.column("cluster_id")[0].as_py(), g.num_rows, warn_cluster,
+        )
+    ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return g, ids, _normalize(_embedding_matrix(g, emb_col))
+
+
 def semdedup(
     ds, k: int = 8, threshold: float = 0.9, seed: int = 1,
     id_col: str = "vec_id", emb_col: str = "embedding",
@@ -139,18 +160,10 @@ def semdedup(
                  "cluster_id": pa.array([], pa.int64()),
                  "kept": pa.array([], pa.bool_())}
             )
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        g = group.take(order)
+        g, _, mat = _sorted_cluster_matrix(
+            group, id_col, emb_col, warn_cluster, "semdedup"
+        )
         n = g.num_rows
-        if n > warn_cluster:
-            logger.warning(
-                "semdedup: cluster %s holds %d rows (> %d) — pairwise work is "
-                "O(n²); raise k to shrink clusters",
-                g.column("cluster_id")[0].as_py(), n, warn_cluster,
-            )
-        mat = _normalize(_embedding_matrix(g, emb_col))
         dropped = np.zeros(n, dtype=bool)
         for s in range(0, n, block):
             e = min(s + block, n)
@@ -170,6 +183,35 @@ def semdedup(
     return assigned.groupby("cluster_id").map_groups(
         drop_near_dups, batch_format="pyarrow"
     )
+
+
+def _topk_tiebreak_rows(sims: np.ndarray, kk: int) -> np.ndarray:
+    """Per row of ``sims``: column indices of the ``kk`` largest values,
+    ordered (value desc, column asc) — EXACT tie semantics at argpartition
+    cost.  Fast path: argpartition to kk candidates + a kk-wide sort.  A
+    row needs the full stable-argsort fallback only when values EQUAL to
+    its kth-largest straddle the partition boundary (ties there mean the
+    kept candidate set is ambiguous — common only for exact-duplicate
+    vectors)."""
+    n, m = sims.shape
+    rows = np.arange(n)[:, None]
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    cand = sims[rows, part]
+    kth = cand.min(axis=1)
+    # boundary ambiguity: more values == kth exist in the row than were kept
+    eq_total = (sims == kth[:, None]).sum(axis=1)
+    eq_kept = (cand == kth[:, None]).sum(axis=1)
+    fix = np.nonzero(eq_total > eq_kept)[0]
+    # order candidates (value desc, column asc): sort columns first (they
+    # come out of argpartition unordered), then stable-sort by -value
+    col_order = np.argsort(part, axis=1, kind="stable")
+    part = part[rows, col_order]
+    cand = cand[rows, col_order]
+    val_order = np.argsort(-cand, axis=1, kind="stable")
+    out = part[rows, val_order]
+    for r in fix:  # rare: exact-duplicate pileup at the boundary
+        out[r] = np.argsort(-sims[r], kind="stable")[:kk]
+    return out
 
 
 def knn_graph(
@@ -199,12 +241,9 @@ def knn_graph(
         )
         if group.num_rows <= 1 or group.num_columns == 0:
             return empty
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        g = group.take(order)
-        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _normalize(_embedding_matrix(g, emb_col))
+        g, ids, mat = _sorted_cluster_matrix(
+            group, id_col, emb_col, 65536, "knn_graph"
+        )
         n = len(ids)
         kk = min(n_neighbors, n - 1)
         out_src, out_nbr, out_rank = [], [], []
@@ -213,9 +252,9 @@ def knn_graph(
             sims = mat[s:e] @ mat.T  # slab rows vs whole cluster
             rows = np.arange(s, e)
             sims[np.arange(e - s), rows] = -np.inf  # self is not a neighbor
-            # top-k by (cosine desc, id asc): ids are sorted ascending, so a
-            # stable argsort on -sims breaks exact ties toward smaller ids
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            # top-k by (cosine desc, id asc): ids are sorted ascending, so
+            # column order IS id order and the tie-break helper applies
+            idx = _topk_tiebreak_rows(sims, kk)
             out_src.append(np.repeat(ids[rows], kk))
             out_nbr.append(ids[idx].reshape(-1))
             out_rank.append(np.tile(np.arange(1, kk + 1, dtype=np.int64), e - s))

@@ -135,6 +135,36 @@ def test_knn_graph_exact_duplicate_tie_breaks_by_id(ray_session):
     assert nbrs == {2: [5, 9], 5: [2, 9], 9: [2, 5]}
 
 
+def test_topk_tiebreak_rows_matches_stable_argsort():
+    # quantized random values force heavy exact ties, including duplicate
+    # pileups straddling the argpartition boundary (the repair path)
+    from fever_ray.ops.cluster import _topk_tiebreak_rows
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        m = rng.integers(4, 40)
+        kk = int(rng.integers(1, m))
+        sims = rng.integers(0, 4, size=(8, m)).astype(np.float64)
+        got = _topk_tiebreak_rows(sims.copy(), kk)
+        want = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        assert np.array_equal(got, want), (trial, m, kk)
+
+
+def test_knn_graph_duplicate_pileup_beyond_k(ray_session):
+    # four IDENTICAL vectors, top-2: the candidate set at the boundary is
+    # ambiguous for argpartition — the repair path must pick smallest ids
+    import ray.data as rd
+    from fever_ray.ops.cluster import knn_graph
+
+    v = np.array([0.6, 0.8], dtype=np.float32)
+    t = _vec_table(np.vstack([v, v, v, v]), ids=[7, 3, 11, 5])
+    out = knn_graph(rd.from_arrow(t), n_neighbors=2, k_clusters=1).take_all()
+    nbrs = {}
+    for r in sorted(out, key=lambda r: (r["vec_id"], r["nn_rank"])):
+        nbrs.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    assert nbrs == {3: [5, 7], 5: [3, 7], 7: [3, 5], 11: [3, 5]}
+
+
 def test_embedding_cluster_empty_input_raises(ray_session):
     import ray.data as rd
 
