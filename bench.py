@@ -323,6 +323,39 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # broadcast linear-classifier scoring over the full corpus (model LUT
+    # per actor, one vectorized hashed-BoW pass per batch, no shuffle)
+    from fever_ray.ops.mlscore import linear_score
+
+    timings["linear_score_pages"] = _timed(
+        lambda: linear_score(_pages_docs()).materialize()
+    )
+
+    # fuzzy incremental dedup: corpus vs its first shard as the "already
+    # ingested" reference, through the full minhash band/verify machinery
+    # (ids made nonnegative by dropping the hash sign bit)
+    from fever_ray.ops.dedup import minhash_cross_dedup
+
+    def _nonneg(ds):
+        import pyarrow as pa
+
+        def f(b):
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            nn = (ids.view(np.uint64) >> np.uint64(1)).view(np.int64)
+            return b.set_column(
+                b.schema.get_field_index("doc_id"), "doc_id",
+                pa.array(nn, pa.int64()),
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    timings["minhash_cross_dedup_pages"] = _timed(
+        lambda: minhash_cross_dedup(
+            _nonneg(_pages_docs()), _nonneg(_first_shard_docs()),
+            n_parts=max(NUM_CPUS * 4, 64),
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
