@@ -128,11 +128,32 @@ def cmd_dedup(args) -> int:
         )
 
     if args.cross_ref:
-        from .ops.dedup import bloom_cross_dedup
+        from .ops.dedup import bloom_cross_dedup, minhash_cross_dedup
 
-        survivors = bloom_cross_dedup(
-            pages(), pages(args.cross_ref), p=args.bloom_p
-        ).materialize()
+        if args.fuzzy:
+            # near-match mode: a page is "known" when the reference holds a
+            # shingle-Jaccard >= threshold NEAR duplicate, not just an exact
+            # copy.  Ids must be nonnegative for the sign-encoded union —
+            # drop the url-hash sign bit (still injective per 63-bit hash).
+            def nonneg(ds):
+                def f(b):
+                    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                    nn = (ids.view(np.uint64) >> np.uint64(1)).view(np.int64)
+                    return b.set_column(
+                        b.schema.get_field_index("doc_id"), "doc_id",
+                        pa.array(nn, pa.int64()),
+                    )
+
+                return ds.map_batches(f, batch_format="pyarrow")
+
+            survivors = minhash_cross_dedup(
+                nonneg(pages()), nonneg(pages(args.cross_ref)),
+                threshold=args.threshold,
+            ).materialize()
+        else:
+            survivors = bloom_cross_dedup(
+                pages(), pages(args.cross_ref), p=args.bloom_p
+            ).materialize()
         n_in = pages().count()
         n_kept = survivors.count()
         os.makedirs(args.out, exist_ok=True)
@@ -519,6 +540,10 @@ def main(argv=None) -> int:
     pd_.add_argument("--partitions", type=int, default=16)
     pd_.add_argument("--write-deduped", dest="write_deduped", action="store_true",
                      help="also write the corpus keeping one doc per cluster")
+    pd_.add_argument("--fuzzy", action="store_true",
+                     help="with --cross-ref: drop NEAR duplicates of the "
+                          "reference (shingle Jaccard >= --threshold), not "
+                          "just exact content matches")
     pd_.add_argument("--cross-ref", dest="cross_ref",
                      help="reference page dir: drop input pages whose text "
                           "already exists there (bloom-prefiltered exact)")
