@@ -563,6 +563,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_neighbors=4, k_clusters=8, seed=1,
         )
 
+    def q_bpe_train(sf):
+        # BPE vocabulary training (Sennrich 2016) in the production shape:
+        # one corpus pass -> word histogram; merge rounds touch only the
+        # vocab-bounded symbol arrays.  Deterministic merge table (count
+        # DESC, lexicographic tie-break); gated rows-only (sequential merge
+        # semantics are not SQL-expressible) + reference-parity pytest
+        from fever_ray.ops.bpe import bpe_train
+
+        return bpe_train(_t(sf, "documents", ["doc_id", "text"]), num_merges=32)
+
+    def q_bpe_token_counts(sf):
+        # tokenize the corpus under the trained merges: broadcast merge
+        # list, R vectorized merge passes per batch, no shuffle
+        from fever_ray.ops.bpe import bpe_token_counts, bpe_train
+
+        merges = bpe_train(_t(sf, "documents", ["doc_id", "text"]), num_merges=32)
+        return bpe_token_counts(_t(sf, "documents", ["doc_id", "text"]), merges)
+
     def q_linear_score(sf):
         # quality-classifier stage shape: broadcast integer model, per-actor
         # LUT, vectorized hashed-BoW featurization + segment sums; the
@@ -1518,6 +1536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_dedup": q_cross_dedup,
         "minhash_cross_dedup": q_minhash_cross_dedup,
         "linear_score": q_linear_score,
+        "bpe_train": q_bpe_train,
+        "bpe_token_counts": q_bpe_token_counts,
         "embedding_cluster": q_embedding_cluster,
         "semdedup": q_semdedup,
         "knn_graph": q_knn_graph,
