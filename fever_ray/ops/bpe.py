@@ -269,9 +269,9 @@ class BpeTokenizer:
                 id_of[tok] = ti = next_id
                 next_id += 1
             flat, offsets = _apply_merge(flat, offsets, li, ri, ti)
-        # per-doc totals: prefix sums over per-word symbol counts
-        cs = np.concatenate(([0], np.cumsum(np.diff(offsets))))
-        doc_tokens = cs[word_offs[1:]] - cs[word_offs[:-1]]
+        # per-doc totals: offsets IS the prefix sum of per-word symbol
+        # counts (offsets[0] == 0 throughout), so doc sums are two gathers
+        doc_tokens = offsets[word_offs[1:]] - offsets[word_offs[:-1]]
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
