@@ -227,10 +227,13 @@ def minhash_candidate_pairs(
         starts = _key_runs(band, bh)
         a_out, b_out = [], []
         n_over = over_rows = 0
-        for s, e in zip(starts[:-1], starts[1:]):
+        # singleton buckets dominate a mostly-unique corpus — iterating
+        # Python over millions of them just to `continue` was the hot cost
+        # of this kernel; select the multi-member runs vectorized first
+        lens = np.diff(starts)
+        for mi in np.nonzero(lens >= 2)[0]:
+            s, e = starts[mi], starts[mi + 1]
             k = e - s
-            if k <= 1:
-                continue
             if cross_only:
                 uids = np.unique(ids[s:e])
                 neg = uids[uids < 0]
@@ -707,10 +710,12 @@ def simhash_near_dup_pairs(
         n_over = over_rows = 0
         if n:
             starts = _key_runs(band, bk)
-            for s, e in zip(starts[:-1], starts[1:]):
+            # skip the singleton-run majority vectorized (see the minhash
+            # pairs_in_partition note)
+            lens = np.diff(starts)
+            for mi in np.nonzero(lens >= 2)[0]:
+                s, e = starts[mi], starts[mi + 1]
                 k = e - s
-                if k <= 1:
-                    continue
                 if k > max_bucket:
                     # boilerplate band: Hamming-verified adjacent chain
                     n_over += 1
@@ -857,10 +862,10 @@ def embedding_dup_pairs(
         starts = _key_runs(tb, bk)
         a_out, b_out, c_out = [], [], []
         n_over = over_rows = 0
-        for s, e in zip(starts[:-1], starts[1:]):
+        lens = np.diff(starts)
+        for mi in np.nonzero(lens >= 2)[0]:
+            s, e = starts[mi], starts[mi + 1]
             k = e - s
-            if k <= 1:
-                continue
             sub = mat[s:e]
             sub_ids = ids[s:e]
             if k > max_bucket:
