@@ -356,6 +356,48 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # SemDeDup at corpus scale: 1M 64-dim unit vectors synthesized
+    # deterministically from the url hash (splitmix stream per doc), 256
+    # clusters, slab-blocked within-cluster near-dup drop
+    from fever_ray.ops.cluster import semdedup
+    from fever_ray.sketches.hashing import splitmix64
+
+    def _pages_embeddings():
+        import pyarrow as pa
+
+        def f(b):
+            ids = hash64(b.column("url"))
+            n = len(ids)
+            # 64 splitmix lanes per doc -> approx-gaussian via centered
+            # uint mapping; unit-normalized
+            lanes = np.empty((n, 64), dtype=np.float64)
+            x = ids.copy()
+            for j in range(64):
+                x = splitmix64(x ^ np.uint64(j + 1))
+                lanes[:, j] = (x.astype(np.float64) / 2**64) - 0.5
+            lanes /= np.maximum(np.linalg.norm(lanes, axis=1), 1e-12)[:, None]
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        (ids >> np.uint64(1)).view(np.int64), pa.int64()
+                    ),
+                    "embedding": pa.ListArray.from_arrays(
+                        pa.array(np.arange(0, (n + 1) * 64, 64, dtype=np.int32)),
+                        pa.array(lanes.reshape(-1).astype(np.float32)),
+                    ),
+                }
+            )
+
+        return rd.read_parquet(PAGES_DIR + "/", columns=["url"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    # k scales with corpus (the SemDeDup contract: per-cluster pairwise
+    # work is quadratic in cluster size — 1M vectors want ~1k clusters)
+    timings["semdedup_1m_vectors"] = _timed(
+        lambda: semdedup(_pages_embeddings(), k=1024, threshold=0.9).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
