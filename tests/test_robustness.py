@@ -201,3 +201,76 @@ def test_specs_for_input_edge_shapes(ray_session, tmp_path):
     )
     with _pytest.raises(ValueError, match="wrong input"):
         specs_for_input(str(wrong))
+
+
+def test_new_ops_on_degenerate_documents(ray_session):
+    """Fifth-session ops on null/empty/dup-heavy inputs: no crashes,
+    sane contracts (FIXTURES.md F5 posture)."""
+    import ray.data as rd
+
+    from fever_ray.ops.bpe import bpe_token_counts, bpe_train
+    from fever_ray.ops.dedup import minhash_cross_dedup
+    from fever_ray.ops.mlscore import linear_score
+
+    rows = [
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": None},
+        {"doc_id": 2, "text": "a"},
+        {"doc_id": 3, "text": "a a a a a a a a"},
+        {"doc_id": 4, "text": "   "},
+        {"doc_id": 5, "text": "same words here"},
+        {"doc_id": 6, "text": "same words here"},
+    ]
+    docs = rd.from_items(rows)
+
+    scores = {r["doc_id"]: r for r in linear_score(docs).take_all()}
+    assert len(scores) == 7
+    assert scores[0]["score"] == 0 and scores[1]["score"] == 0
+    assert scores[5]["score"] == scores[6]["score"]
+
+    merges = bpe_train(docs, num_merges=8)
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_token_counts(docs, merges).take_all()}
+    assert counts[0] == 0 and counts[1] == 0
+    assert counts[5] == counts[6] > 0
+
+    # cross-dedup where the reference is the dup text: 5 and 6 drop, the
+    # degenerate rows survive (nothing shingleable matches)
+    ref = rd.from_items([{"doc_id": 0, "text": "same words here"}])
+    kept = {r["doc_id"] for r in minhash_cross_dedup(
+        docs, ref, threshold=0.5, n_shingle=2).take_all()}
+    assert 5 not in kept and 6 not in kept
+    assert {0, 1, 2, 3, 4} <= kept
+
+
+def test_semdedup_family_on_degenerate_vectors(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.cluster import knn_graph, semdedup
+
+    # all-identical vectors: one cluster, everything but the smallest id
+    # dropped; knn_graph still emits each row's neighbors
+    t = pa.table(
+        {
+            "vec_id": pa.array([3, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0]] * 3, pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = {r["vec_id"]: r["kept"]
+           for r in semdedup(rd.from_arrow(t), k=2, threshold=0.99).take_all()}
+    assert out == {1: True, 2: False, 3: False}
+    g = knn_graph(rd.from_arrow(t), n_neighbors=2, k_clusters=2).take_all()
+    assert len(g) == 6  # 3 rows x 2 neighbors
+
+    # zero vectors: _normalize guards divide-by-zero; cosine 0 pairs keep
+    z = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0], [0.0, 0.0]], pa.list_(pa.float32())),
+        }
+    )
+    outz = {r["vec_id"]: r["kept"]
+            for r in semdedup(rd.from_arrow(z), k=1, threshold=0.5).take_all()}
+    assert outz[0] is True
