@@ -563,6 +563,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_neighbors=4, k_clusters=8, seed=1,
         )
 
+    def q_window_top_k(sf):
+        # trending/leaderboard composition: daily windows x per-key counts
+        # x per-window top-3, one shuffle of per-batch partial counts
+        from fever_ray.ops.windows import window_top_k
+
+        return window_top_k(
+            _t(sf, "events", ["ts", "user_id"]), size_s=86400, k=3
+        )
+
     def q_bpe_train(sf):
         # BPE vocabulary training (Sennrich 2016) in the production shape:
         # one corpus pass -> word histogram; merge rounds touch only the
@@ -1536,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_dedup": q_cross_dedup,
         "minhash_cross_dedup": q_minhash_cross_dedup,
         "linear_score": q_linear_score,
+        "window_top_k": q_window_top_k,
         "bpe_train": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_cluster": q_embedding_cluster,
@@ -2815,6 +2825,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN w * 160 >= h * 224 THEN greatest(1, (h * 224) // w) "
             "ELSE 160 END AS INT) AS resize_h "
             "FROM m"
+        ),
+        "window_top_k": (
+            "WITH wc AS (SELECT "
+            "make_timestamp(CAST(floor(epoch(ts)/86400)*86400*1000000 AS BIGINT)) "
+            "AS window_start, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT window_start, user_id, CAST(n AS BIGINT) AS n, "
+            "ROW_NUMBER() OVER (PARTITION BY window_start "
+            "ORDER BY n DESC, user_id) AS rn FROM wc) "
+            "SELECT window_start, user_id, n, CAST(rn AS BIGINT) AS rn "
+            "FROM r WHERE rn <= 3"
         ),
         "tumbling_window": (
             "SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) "

@@ -100,6 +100,102 @@ def window_distinct(events_ds, ts_col: str = "ts", size_s: int = 3600,
     )
 
 
+def window_top_k(events_ds, ts_col: str = "ts", key_col: str = "user_id",
+                 size_s: int = 86400, k: int = 3, num_partitions: int = 32):
+    """Per-tumbling-window top-``k`` keys by event count — the trending /
+    leaderboard composition (windows × grouped counts × per-group top-k).
+
+    Output rows: (window_start timestamp[us], key_col, n int64, rn int64
+    1-based rank); ties break toward the smaller key, so the result is a
+    pure function of the data.  ``key_col`` must be integer-typed.
+
+    Scale shape: per-batch (window, key) partial counts bound the ONE
+    shuffle by distinct pairs per batch (not events); buckets co-locate
+    whole windows (hash of window id), and the per-bucket kernel finishes
+    count summing AND top-k ranking in the same vectorized pass — nothing
+    window-count-sized ever reaches the driver."""
+    size_us = np.int64(size_s) * np.int64(1_000_000)
+
+    from ..sketches.hashing import hash64_ints
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"w": pa.array([], pa.int64()), "key": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()), "bucket": pa.array([], pa.int32())}
+            )
+        epoch = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        win = (epoch // size_us) * size_us
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((keys, win))
+        ws, ks = win[order], keys[order]
+        starts = np.concatenate(
+            ([0], np.nonzero((np.diff(ws) != 0) | (np.diff(ks) != 0))[0] + 1)
+        )
+        ends = np.append(starts[1:], len(ws))
+        return pa.table(
+            {
+                "w": pa.array(ws[starts], pa.int64()),
+                "key": pa.array(ks[starts], pa.int64()),
+                "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "bucket": pa.array(
+                    (hash64_ints(ws[starts]) % np.uint64(num_partitions)).astype(
+                        np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_start": pa.array([], pa.timestamp("us")),
+                key_col: pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rn": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or group.num_columns == 0:
+            return empty
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        # final sums per (window, key): sorted runs + prefix-sum diffs
+        order = np.lexsort((key, w))
+        ws, ks, ns = w[order], key[order], n[order]
+        starts = np.concatenate(
+            ([0], np.nonzero((np.diff(ws) != 0) | (np.diff(ks) != 0))[0] + 1)
+        )
+        cs = np.concatenate(([0], np.cumsum(ns)))
+        ends = np.append(starts[1:], len(ns))
+        tot = cs[ends] - cs[starts]
+        uw, uk = ws[starts], ks[starts]
+        # rank within window by (count DESC, key ASC): one lexsort + run-rank
+        order2 = np.lexsort((uk, -tot, uw))
+        w2, k2, t2 = uw[order2], uk[order2], tot[order2]
+        wstart = np.concatenate(([0], np.nonzero(np.diff(w2) != 0)[0] + 1))
+        run_id = np.cumsum(np.concatenate(([0], (np.diff(w2) != 0).astype(np.int64))))
+        rn = np.arange(len(w2), dtype=np.int64) - wstart[run_id] + 1
+        keep = rn <= k
+        return pa.table(
+            {
+                "window_start": pa.array(w2[keep], pa.int64()).cast(pa.timestamp("us")),
+                key_col: pa.array(k2[keep], pa.int64()),
+                "n": pa.array(t2[keep], pa.int64()),
+                "rn": pa.array(rn[keep], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(topk_bucket, batch_format="pyarrow")
+    )
+
+
 def _finish_sum_value(batch: pa.Table) -> pa.Table:
     """Replace the integer-cents partial column with the float sum_value."""
     cols = {n: batch.column(n) for n in batch.column_names if n != "val_c"}

@@ -171,3 +171,45 @@ def test_running_totals_string_keys_vs_duckdb(ray_session):
         """
     ).fetchdf()
     pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
+
+
+def test_window_top_k_matches_bruteforce_and_ties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fever_ray.ops.windows import window_top_k
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    ts = np.sort(rng.integers(0, 10 * 86_400_000_000, size=n))
+    users = rng.integers(0, 25, size=n)
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+        }
+    )
+    out = window_top_k(rd.from_arrow(t), size_s=86400, k=3).take_all()
+    # brute force
+    import collections
+
+    per_win = collections.defaultdict(collections.Counter)
+    for tsv, u in zip(ts, users):
+        per_win[(tsv // 86_400_000_000) * 86_400_000_000][int(u)] += 1
+    want = {}
+    for w, ctr in per_win.items():
+        ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want[w] = [(u, c, i + 1) for i, (u, c) in enumerate(ranked)]
+    got = collections.defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["window_start"], r["rn"])):
+        w = int(r["window_start"].timestamp() * 1_000_000)
+        got[w].append((r["user_id"], r["n"], r["rn"]))
+    assert dict(got) == want
+
+    # partition invariance
+    out2 = window_top_k(rd.from_arrow(t).repartition(13), size_s=86400, k=3).take_all()
+    key = lambda rows: sorted(
+        (r["window_start"], r["user_id"], r["n"], r["rn"]) for r in rows
+    )
+    assert key(out2) == key(out)
