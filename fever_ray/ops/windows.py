@@ -116,9 +116,17 @@ def window_top_k(events_ds, ts_col: str = "ts", key_col: str = "user_id",
     window-count-sized ever reaches the driver."""
     size_us = np.int64(size_s) * np.int64(1_000_000)
 
-    from ..sketches.hashing import hash64_ints
+    from ..sketches.hashing import bucket_of
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null ts or key rows are SKIPPED (the build_sketches null
+        # contract; the oracle corpora are null-free — a null key would
+        # otherwise decode as INT64_MIN and outrank real keys)
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(key_col))
+            )
+        )
         if batch.num_rows == 0:
             return pa.table(
                 {"w": pa.array([], pa.int64()), "key": pa.array([], pa.int64()),
@@ -140,12 +148,7 @@ def window_top_k(events_ds, ts_col: str = "ts", key_col: str = "user_id",
                 "w": pa.array(ws[starts], pa.int64()),
                 "key": pa.array(ks[starts], pa.int64()),
                 "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
-                "bucket": pa.array(
-                    (hash64_ints(ws[starts]) % np.uint64(num_partitions)).astype(
-                        np.int32
-                    ),
-                    pa.int32(),
-                ),
+                "bucket": pa.array(bucket_of(ws[starts], num_partitions), pa.int32()),
             }
         )
 

@@ -149,13 +149,18 @@ def hash64_ints(values: np.ndarray, seed: int = 0) -> np.ndarray:
 
 
 def bucket_of(arr, n_parts: int) -> np.ndarray:
-    """int32 shuffle-bucket ids for an Arrow column: FNV of the values mod
-    ``n_parts`` (integer columns hash via :func:`hash64_ints`, strings /
-    binary via :func:`hash64`).  The single definition of the
-    key-to-coarse-bucket rule every bucketed shuffle in ops/ shares."""
+    """int32 shuffle-bucket ids for an Arrow column or integer ndarray:
+    FNV of the values mod ``n_parts`` (integer columns hash via
+    :func:`hash64_ints`, strings / binary via :func:`hash64`).  The single
+    definition of the key-to-coarse-bucket rule every bucketed shuffle in
+    ops/ shares."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_integer(arr.type):
+    if isinstance(arr, np.ndarray):
+        if not np.issubdtype(arr.dtype, np.integer):
+            raise TypeError("bucket_of ndarray input must be integer-typed")
+        hb = hash64_ints(arr.astype(np.int64))
+    elif pa.types.is_integer(arr.type):
         hb = hash64_ints(arr.to_numpy(zero_copy_only=False).astype(np.int64))
     else:
         hb = hash64(arr)

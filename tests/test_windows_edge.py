@@ -201,9 +201,14 @@ def test_window_top_k_matches_bruteforce_and_ties(ray_session):
     for w, ctr in per_win.items():
         ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         want[w] = [(u, c, i + 1) for i, (u, c) in enumerate(ranked)]
+    # naive-datetime arithmetic (tz-independent; .timestamp() would apply
+    # the local zone and shift every key on a non-UTC machine)
+    import datetime as dtm
+
+    epoch0 = dtm.datetime(1970, 1, 1)
     got = collections.defaultdict(list)
     for r in sorted(out, key=lambda r: (r["window_start"], r["rn"])):
-        w = int(r["window_start"].timestamp() * 1_000_000)
+        w = (r["window_start"] - epoch0) // dtm.timedelta(microseconds=1)
         got[w].append((r["user_id"], r["n"], r["rn"]))
     assert dict(got) == want
 
@@ -213,3 +218,15 @@ def test_window_top_k_matches_bruteforce_and_ties(ray_session):
         (r["window_start"], r["user_id"], r["n"], r["rn"]) for r in rows
     )
     assert key(out2) == key(out)
+
+    # null ts / null key rows are skipped, never ranked
+    tn = pa.table(
+        {
+            "ts": pa.array([0, None, 86_400_000_000], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([7, 8, None], pa.int64()),
+        }
+    )
+    outn = window_top_k(rd.from_arrow(tn), size_s=86400, k=3).take_all()
+    assert [(r["user_id"], r["n"], r["rn"]) for r in outn] == [(7, 1, 1)]
