@@ -563,6 +563,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_neighbors=4, k_clusters=8, seed=1,
         )
 
+    def q_semantic_decontaminate(sf):
+        # semantic eval-leakage scrub: benchmark = every 11th vector;
+        # corpus rows >= 0.4-cosine-close to any benchmark row drop
+        from fever_ray.ops.cluster import semantic_decontaminate
+
+        emb = _t(sf, "embeddings", ["vec_id", "embedding"])
+
+        def mod11(eq: bool):
+            def f(b):
+                ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+                hit = ids % 11 == 0
+                return b.filter(pa.array(hit if eq else ~hit))
+
+            return f
+
+        return semantic_decontaminate(
+            emb.map_batches(mod11(False), batch_format="pyarrow"),
+            emb.map_batches(mod11(True), batch_format="pyarrow"),
+            threshold=0.4,
+        )
+
     def q_window_top_k(sf):
         # trending/leaderboard composition: daily windows x per-key counts
         # x per-window top-3, one shuffle of per-batch partial counts
@@ -1546,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_cross_dedup": q_minhash_cross_dedup,
         "linear_score": q_linear_score,
         "window_top_k": q_window_top_k,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "bpe_train": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_cluster": q_embedding_cluster,
@@ -2825,6 +2847,12 @@ def oracle_sql() -> dict[str, str]:
             "WHEN w * 160 >= h * 224 THEN greatest(1, (h * 224) // w) "
             "ELSE 160 END AS INT) AS resize_h "
             "FROM m"
+        ),
+        "semantic_decontaminate": (
+            "SELECT e.vec_id FROM embeddings e WHERE e.vec_id % 11 <> 0 "
+            "AND NOT EXISTS (SELECT 1 FROM embeddings b "
+            "WHERE b.vec_id % 11 = 0 AND "
+            "list_cosine_similarity(e.embedding, b.embedding) >= 0.4)"
         ),
         "window_top_k": (
             "WITH wc AS (SELECT "

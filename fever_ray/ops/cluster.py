@@ -214,6 +214,48 @@ def _topk_tiebreak_rows(sims: np.ndarray, kk: int) -> np.ndarray:
     return out
 
 
+def semantic_decontaminate(
+    ds, bench_ds, threshold: float = 0.95,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    broadcast_bytes: int = 256 << 20,
+):
+    """Drop every corpus row whose embedding is ≥ ``threshold``
+    cosine-similar to ANY benchmark row — the semantic complement of the
+    n-gram ``trainprep.decontaminate`` (catches paraphrased eval leakage
+    exact n-grams miss).
+
+    Scale shape: benchmarks are small (thousands of eval rows), so the
+    benchmark matrix broadcasts once via ray.put and every corpus batch
+    runs ONE (n×d)@(d×m) matmul + row-max — the corpus never shuffles.
+    Output rows: (id_col,) survivors.  Raises if the benchmark matrix
+    exceeds ``broadcast_bytes`` (a benchmark that big is a bug, not a
+    scale path)."""
+    import ray
+
+    bench_rows = bench_ds.take_all()
+    if not bench_rows:
+        return ds.map_batches(
+            lambda b: b.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
+        )
+    bmat = _normalize(
+        np.vstack([np.asarray(r[emb_col], dtype=np.float64) for r in bench_rows])
+    )
+    if bmat.nbytes > broadcast_bytes:
+        raise ValueError(
+            f"semantic_decontaminate: benchmark matrix {bmat.nbytes} B exceeds "
+            f"broadcast cap {broadcast_bytes} B"
+        )
+    b_ref = ray.put(bmat)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        bm = ray.get(b_ref)
+        mat = _normalize(_embedding_matrix(batch, emb_col))
+        hit = (mat @ bm.T).max(axis=1) >= threshold
+        return batch.select([id_col]).filter(pa.array(~hit))
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def knn_graph(
     ds, n_neighbors: int = 5, k_clusters: int = 8, seed: int = 1,
     id_col: str = "vec_id", emb_col: str = "embedding", block: int = 4096,

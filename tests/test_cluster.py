@@ -165,6 +165,48 @@ def test_knn_graph_duplicate_pileup_beyond_k(ray_session):
     assert nbrs == {3: [5, 7], 5: [3, 7], 7: [3, 5], 11: [3, 5]}
 
 
+def test_semantic_decontaminate(ray_session, clustered_vectors):
+    import ray.data as rd
+    from fever_ray.ops.cluster import semantic_decontaminate
+
+    t = _vec_table(clustered_vectors)
+    # benchmark = originals 0..9; their planted near-copies 240..249 must
+    # drop; everything else survives at a 0.995 threshold
+    bench_rows = [i for i in range(10)]
+    corpus = pa.table(
+        {
+            "vec_id": pa.array([i for i in range(10, 250)], pa.int64()),
+            "embedding": t.column("embedding").take(
+                pa.array([i for i in range(10, 250)])
+            ),
+        }
+    )
+    bench = pa.table(
+        {
+            "vec_id": pa.array(bench_rows, pa.int64()),
+            "embedding": t.column("embedding").take(pa.array(bench_rows)),
+        }
+    )
+    kept = {
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            rd.from_arrow(corpus), rd.from_arrow(bench), threshold=0.995
+        ).take_all()
+    }
+    for i in range(10):
+        assert 240 + i not in kept
+    assert set(range(10, 240)) <= kept
+
+    # empty benchmark: everything survives
+    kept2 = {
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            rd.from_arrow(corpus), rd.from_arrow(bench.slice(0, 0)), threshold=0.5
+        ).take_all()
+    }
+    assert kept2 == set(range(10, 250))
+
+
 def test_embedding_cluster_empty_input_raises(ray_session):
     import ray.data as rd
 
