@@ -398,6 +398,36 @@ def run_bench() -> dict:
         lambda: semdedup(_pages_embeddings(), k=1024, threshold=0.9).materialize()
     )
 
+    # daily host leaderboard over the crawl (windows x counts x top-k in
+    # one shuffle of per-batch partial counts)
+    from fever_ray.ops.extract import hostname_of
+    from fever_ray.ops.windows import window_top_k
+
+    def _page_events():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def f(b):
+            hosts = hostname_of(b.column("url"))
+            return pa.table(
+                {
+                    "ts": pc.cast(b.column("warc_ts"), pa.timestamp("us")),
+                    "host_id": pa.array(
+                        hash64(hosts).view(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return rd.read_parquet(
+            PAGES_DIR + "/", columns=["url", "warc_ts"]
+        ).map_batches(f, batch_format="pyarrow")
+
+    timings["window_top_hosts"] = _timed(
+        lambda: window_top_k(
+            _page_events(), key_col="host_id", size_s=86400, k=10
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
