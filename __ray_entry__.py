@@ -410,6 +410,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out_cols=["p50_price", "p90_price"],
         )
 
+    def q_quantile_bucket(sf):
+        # exact global NTILE(8) over (n_tokens, id-hash, id) — curriculum
+        # bucketing without a global sort: value-histogram prefix ranks,
+        # heavy values salted across 2^sub_bits cells, one skinny shuffle
+        from fever_ray.ops.curate import _token_counts
+        from fever_ray.ops.stats import quantile_bucket
+
+        counts = _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: _token_counts(b, "text", "doc_id"),
+            batch_format="pyarrow",
+        )
+        return quantile_bucket(counts, "n_tokens", k=8, seed=21)
+
     def q_normalize_urls(sf):
         # synthesize messy crawl URLs from documents (upper-case host,
         # default port, tracking params, fragment) and canonicalize; the
@@ -1558,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "per_group_sample": q_per_group_sample,
         "group_percentiles": q_group_percentiles,
+        "quantile_bucket": q_quantile_bucket,
         "normalize_urls": q_normalize_urls,
         "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
@@ -2064,6 +2078,23 @@ def _epoch_shuffle_sql(seed: int) -> str:
     )
 
 
+def _quantile_bucket_sql(k: int, seed: int) -> str:
+    """Bit-exact mirror of ops.stats.quantile_bucket: the engine's
+    cell-prefix ranks concatenate cells ordered by (value, hash-top, hash,
+    id) — which IS the plain (value, h, id) order, so the tile is NTILE
+    over that composite key."""
+    sm = _splitmix_ctes(seed, "doc_id, n_tokens", table="tl")
+    return (
+        "WITH tl AS (SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE "
+        "strlen(text) - strlen(replace(text, ' ', '')) + 1 END AS n_tokens "
+        "FROM documents), "
+        + sm
+        + f" SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"CAST(NTILE({k}) OVER (ORDER BY n_tokens, h, doc_id) AS BIGINT) "
+        "AS tile FROM s5"
+    )
+
+
 def _pack_sequences_sql(budget: int, seed: int, n_buckets: int) -> str:
     """Bit-exact mirror of ops.trainprep.pack_sequences: bucket = top
     log2(n_buckets) bits of the id-hash, exclusive token cumsum per bucket
@@ -2463,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM wins w JOIN cnt c USING (g) GROUP BY w.doc_id"
         ),
         "epoch_shuffle": _epoch_shuffle_sql(21),
+        "quantile_bucket": _quantile_bucket_sql(8, 21),
         "pack_sequences": _pack_sequences_sql(256, 17, 32),
         "domain_cap": (
             "SELECT doc_id, source FROM ("

@@ -380,3 +380,197 @@ def group_mode(ds, group_col: str, value_col: str):
     return hist.repartition(1).map_batches(
         argmax, batch_format="pyarrow", batch_size=None
     )
+
+
+def quantile_bucket(
+    ds,
+    value_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    sub_bits: int = 4,
+    n_parts: int = 64,
+    max_cells: int = 1 << 20,
+):
+    """Exact global NTILE(``k``) over ``(value, splitmix64(id, seed), id)``
+    WITHOUT a global sort — the curriculum / difficulty-bucketing primitive
+    ("put every document in its global quality decile") at corpus scale.
+
+    Output rows: (``id_col``, ``value_col``, ``tile`` int64 in 1..k), tile
+    sizes exactly NTILE's (the first ``n % k`` tiles hold ``n // k + 1``
+    rows).  The id-hash tie order makes equal values split across tiles
+    deterministically and partition-invariantly — SQL-mirrorable as
+    ``NTILE(k) OVER (ORDER BY value, h, id)``.
+
+    Scale shape (10^12 rows): the classic histogram-prefix rank
+    construction (``epoch_shuffle``'s), generalized to a value sort key:
+
+    1. one pass projects skinny (id, v, h) rows and their CELL — the pair
+       (ordered-uint64 of v, top ``sub_bits`` bits of h).  Cells are
+       lexicographically ordered exactly like the global sort order, and
+       the hash sub-key SALTS heavy values: a value owning half the corpus
+       spreads over 2^sub_bits cells instead of one sort partition;
+    2. per-cell counts tree-reduce (bounded by the group_value_rank-style
+       value-domain budget: distinct values × 2^sub_bits ≤ ``max_cells``);
+       the driver prefix-sums them into each cell's global start rank —
+       KBs–MBs, broadcast once;
+    3. the ONLY shuffle moves skinny (id, v, cell) rows into ``n_parts``
+       hash-of-cell partitions; each partition sorts locally by
+       (cell, h, id), run-detects cells, and emits
+       ``start[cell] + arange(run)`` ranks → tiles by pure NTILE integer
+       arithmetic.  The corpus text never moves.
+
+    Nulls (and float NaNs) in ``value_col`` are rejected — their NTILE
+    position is engine-defined, so a null row silently binned would be a
+    portability bug, not a feature.
+    """
+    if k < 1:
+        raise ValueError(f"quantile_bucket: k must be >= 1, got {k}")
+    if not 0 <= sub_bits <= 16:
+        raise ValueError(f"quantile_bucket: sub_bits must be in [0, 16]")
+    import ray
+
+    from ..sketches.hashing import hash64_ints, splitmix64
+    from .aggregates import tree_groupby
+
+    seed = int(seed)
+    vfield = ds.schema().base_schema.field(value_col)
+    floating = pa.types.is_floating(vfield.type)
+    sub_shift = np.uint64(64 - sub_bits) if sub_bits else None
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            raise ValueError(
+                f"quantile_bucket: {value_col} contains nulls — filter or "
+                "fill first"
+            )
+        vals = v.to_numpy(zero_copy_only=False)
+        if floating and np.isnan(vals).any():
+            raise ValueError(
+                f"quantile_bucket: {value_col} contains NaNs — filter first"
+            )
+        vu = _to_ordered_u64(vals)
+        h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+        sub = (
+            (h >> sub_shift).astype(np.int32)
+            if sub_bits
+            else np.zeros(len(h), dtype=np.int32)
+        )
+        # coarse shuffle partition: all rows of one (vu, sub) cell co-locate
+        with np.errstate(over="ignore"):
+            part = splitmix64(vu + np.uint64(0x9E3779B97F4A7C15) * sub.astype(np.uint64))
+        return pa.table(
+            {
+                id_col: ids,
+                value_col: v,
+                "vu": pa.array(vu, pa.uint64()),
+                "sub": pa.array(sub, pa.int32()),
+                "h": pa.array(h, pa.uint64()),
+                "part": pa.array((part % np.uint64(n_parts)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    skinny = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["vu", "sub"])
+        return (
+            pa.TableGroupBy(t, ["vu", "sub"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["vu", "sub", "n"])
+        )
+
+    cells_t = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                skinny.map_batches(cell_partial, batch_format="pyarrow"),
+                ["vu", "sub"],
+                [("n", "sum")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    starts_lookup: dict = {}
+    n_total = 0
+    if cells_t:
+        cells = pa.concat_tables(cells_t)
+        if cells.num_rows > max_cells:
+            raise ValueError(
+                f"quantile_bucket: {cells.num_rows} (value, salt) cells "
+                f"(> {max_cells}) — the value domain is not bounded enough "
+                "for the histogram-rank construction; bucket the values "
+                "first or lower sub_bits"
+            )
+        cv = cells.column("vu").to_numpy(zero_copy_only=False)
+        cs = cells.column("sub").to_numpy(zero_copy_only=False)
+        cn = cells.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cs, cv))  # global sort order of the cells
+        cv, cs, cn = cv[order], cs[order], cn[order]
+        starts = np.concatenate(([np.int64(0)], np.cumsum(cn)[:-1]))
+        n_total = int(cn.sum())
+        starts_lookup = {
+            (int(a), int(b)): int(s) for a, b, s in zip(cv, cs, starts)
+        }
+    lk_ref = ray.put((starts_lookup, n_total))
+
+    q, rem = divmod(n_total, k)
+    thresh = np.int64(rem * (q + 1))
+    qq = np.int64(max(q, 1))  # q == 0 ⇒ every rank is below thresh anyway
+
+    def rank_part(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    value_col: pa.array([], vfield.type),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        lk, _n = ray.get(lk_ref)
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("vu", "ascending"),
+                ("sub", "ascending"),
+                ("h", "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+        s = group.take(idx)
+        vu = s.column("vu").to_numpy(zero_copy_only=False)
+        sub = s.column("sub").to_numpy(zero_copy_only=False)
+        m = len(vu)
+        run_start = np.empty(m, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = (vu[1:] != vu[:-1]) | (sub[1:] != sub[:-1])
+        run_idx = np.flatnonzero(run_start)
+        run_lens = np.diff(np.append(run_idx, m))
+        base = np.array(
+            [lk[(int(vu[i]), int(sub[i]))] for i in run_idx], dtype=np.int64
+        )
+        rank = np.repeat(base, run_lens) + (
+            np.arange(m, dtype=np.int64) - np.repeat(run_idx, run_lens)
+        )
+        tile = np.where(
+            rank < thresh,
+            rank // np.int64(q + 1),
+            np.int64(rem) + (rank - thresh) // qq,
+        ) + 1
+        return pa.table(
+            {
+                id_col: s.column(id_col),
+                value_col: s.column(value_col),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return skinny.groupby("part").map_groups(rank_part, batch_format="pyarrow")

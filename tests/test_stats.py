@@ -173,3 +173,101 @@ def test_group_value_rank_rejects_float_groups(ray_session):
     t = pa.table({"g": pa.array([1.0, float("nan")]), "v": pa.array([1, 2], pa.int64())})
     with pytest.raises(ValueError, match="floating"):
         group_value_rank(ray_session.data.from_arrow(t), "g", "v")
+
+
+def _ntile_reference(vals, ids, seed, k):
+    """Local NTILE replica: rank under (value, splitmix id-hash, id)."""
+    from fever_ray.sketches.hashing import hash64_ints
+
+    h = hash64_ints(np.asarray(ids, dtype=np.int64), seed=seed)
+    order = np.lexsort((ids, h, vals))
+    n = len(vals)
+    q, rem = divmod(n, k)
+    tile = np.empty(n, dtype=np.int64)
+    r = np.arange(n)
+    thresh = rem * (q + 1)
+    tile[order] = np.where(
+        r < thresh, r // (q + 1), rem + (r - thresh) // max(q, 1)
+    ) + 1
+    return tile
+
+
+def test_quantile_bucket_exact_with_heavy_skew(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import quantile_bucket
+
+    rng = np.random.default_rng(3)
+    n = 9973
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    # one value owns ~60% of the corpus — the salted-cell path must still
+    # produce exact NTILE ranks
+    vals = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 40, n)).astype(
+        np.int64
+    )
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "v": vals})).repartition(7)
+    out = (
+        quantile_bucket(ds, "v", k=10, seed=5, sub_bits=3, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _ntile_reference(vals, ids, 5, 10)
+    order = np.argsort(ids)
+    np.testing.assert_array_equal(out["doc_id"].to_numpy(), ids[order])
+    np.testing.assert_array_equal(out["v"].to_numpy(), vals[order])
+    np.testing.assert_array_equal(out["tile"].to_numpy(), want[order])
+    # NTILE size contract: first n % k tiles hold one extra row
+    sizes = out.groupby("tile").size()
+    q, rem = divmod(n, 10)
+    assert (sizes.loc[1 : rem] == q + 1).all()
+    assert (sizes.loc[rem + 1 :] == q).all()
+
+
+def test_quantile_bucket_partition_invariance_and_edges(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import quantile_bucket
+
+    ids = np.arange(113, dtype=np.int64)
+    vals = (ids * 37 % 11).astype(np.float64) / 3.0
+    t = pa.table({"doc_id": ids, "score": vals})
+    outs = []
+    for parts in (1, 13):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            quantile_bucket(ds, "score", k=4, seed=9)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    # k > n: every row its own tile, tiles 1..n each of size 1
+    small = rd.from_arrow(pa.table({"doc_id": ids[:5], "score": vals[:5]}))
+    tiles = (
+        quantile_bucket(small, "score", k=64, seed=1)
+        .to_pandas()["tile"]
+        .sort_values()
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(tiles, np.arange(1, 6))
+
+
+def test_quantile_bucket_rejects_nulls_and_nans(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import quantile_bucket
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "v": pa.array([1.0, None])})
+    )
+    with pytest.raises(Exception, match="null"):
+        quantile_bucket(ds, "v", k=2).materialize()
+    ds2 = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "v": pa.array([1.0, float("nan")])})
+    )
+    with pytest.raises(Exception, match="NaN"):
+        quantile_bucket(ds2, "v", k=2).materialize()
+    with pytest.raises(ValueError, match="k must be"):
+        quantile_bucket(ds, "v", k=0)
