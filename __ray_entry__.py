@@ -423,6 +423,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quantile_bucket(counts, "n_tokens", k=8, seed=21)
 
+    def q_importance_resample(sf):
+        # DSIR-style score-proportional keep: weight = token count, docs
+        # with >= 64 tokens always survive, shorter ones thin out smoothly
+        from fever_ray.ops.curate import _token_counts, importance_resample
+
+        counts = _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: _token_counts(b, "text", "doc_id"),
+            batch_format="pyarrow",
+        )
+        return importance_resample(counts, "n_tokens", scale=64, seed=11)
+
     def q_normalize_urls(sf):
         # synthesize messy crawl URLs from documents (upper-case host,
         # default port, tracking params, fragment) and canonicalize; the
@@ -1572,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_group_sample": q_per_group_sample,
         "group_percentiles": q_group_percentiles,
         "quantile_bucket": q_quantile_bucket,
+        "importance_resample": q_importance_resample,
         "normalize_urls": q_normalize_urls,
         "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
@@ -2095,6 +2107,22 @@ def _quantile_bucket_sql(k: int, seed: int) -> str:
     )
 
 
+def _importance_resample_sql(scale: int, seed: int) -> str:
+    """Bit-exact mirror of ops.curate.importance_resample over token
+    counts: keep iff (h >> 32) * scale < clamp(n_tokens, 0, scale) * 2^32,
+    pure int64 arithmetic on both sides."""
+    sm = _splitmix_ctes(seed, "doc_id, n_tokens", table="tl")
+    return (
+        "WITH tl AS (SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE "
+        "strlen(text) - strlen(replace(text, ' ', '')) + 1 END AS n_tokens "
+        "FROM documents), "
+        + sm
+        + " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM s5 "
+        f"WHERE CAST(h >> 32 AS BIGINT) * {scale} < "
+        f"CAST(LEAST(GREATEST(n_tokens, 0), {scale}) AS BIGINT) * 4294967296"
+    )
+
+
 def _pack_sequences_sql(budget: int, seed: int, n_buckets: int) -> str:
     """Bit-exact mirror of ops.trainprep.pack_sequences: bucket = top
     log2(n_buckets) bits of the id-hash, exclusive token cumsum per bucket
@@ -2495,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "quantile_bucket": _quantile_bucket_sql(8, 21),
+        "importance_resample": _importance_resample_sql(64, 11),
         "pack_sequences": _pack_sequences_sql(256, 17, 32),
         "domain_cap": (
             "SELECT doc_id, source FROM ("

@@ -34,6 +34,7 @@ from ..sketches.hashing import hash64_ints, splitmix64
 
 __all__ = [
     "hash_sample",
+    "importance_resample",
     "stratified_sample",
     "split_assign",
     "sample_threshold",
@@ -1152,3 +1153,65 @@ def grouped_order_statistic(
         vals = _ord_decode(thr, kind)
         out[col] = pa.array(vals).cast(vtype)
     return pa.table(out)
+
+
+def importance_resample(
+    ds,
+    weight_col: str,
+    scale: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+):
+    """Score-proportional deterministic sampling — the data-selection step
+    (DSIR / classifier-gated corpus mixing) where each document is kept
+    with probability ``clamp(weight, 0, scale) / scale`` instead of a flat
+    rate: high-quality (or target-domain-similar) docs survive, low-scored
+    docs thin out smoothly rather than at a hard threshold.
+
+    Membership is a pure function of (id, seed, weight): keep iff
+    ``(hash64(id, seed) >> 32) * scale < clamp(weight) * 2^32`` — 32-bit
+    probability resolution in exact int64 arithmetic (no float rounding, so
+    the SQL mirror agrees bit-for-bit and membership is stable across
+    block layout, cluster size and resume point, the `hash_sample`
+    contract).  Weights must be an integer column (float weights are not
+    portable across engines); ``weight >= scale`` always keeps,
+    ``weight <= 0`` always drops.  One vectorized hash pass per batch; no
+    shuffle, no driver state."""
+    scale = int(scale)
+    if not 1 <= scale < (1 << 31):
+        raise ValueError(
+            f"importance_resample: scale must be in [1, 2^31), got {scale}"
+        )
+    seed = int(seed)
+    szero = np.int64(0)
+    sfull = np.int64(scale)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        w = batch.column(weight_col)
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        if not pa.types.is_integer(w.type):
+            raise ValueError(
+                f"importance_resample: {weight_col} must be an integer "
+                f"column, got {w.type} — float keep-probabilities are not "
+                "portable; quantize the score first"
+            )
+        if w.null_count:
+            raise ValueError(
+                f"importance_resample: {weight_col} contains nulls — a "
+                "null weight has no defined keep probability; fill first"
+            )
+        h32 = (
+            hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+            >> np.uint64(32)
+        ).astype(np.int64)
+        wv = np.clip(
+            w.to_numpy(zero_copy_only=False).astype(np.int64), szero, sfull
+        )
+        # both sides < 2^63: h32 <= 2^32-1, scale < 2^31, wv <= scale
+        return batch.filter(pa.array(h32 * sfull < (wv << np.int64(32))))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

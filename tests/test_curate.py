@@ -449,3 +449,61 @@ def test_grouped_order_statistic_empty_and_validation(ray_session):
     s = pa.table({"k": ["x"], "v": ["not numeric"]})
     with pytest.raises(TypeError):
         grouped_order_statistic(rd.from_arrow(s), "k", "v")
+
+
+def _local_importance_keep(ids, weights, scale, seed):
+    from fever_ray.sketches.hashing import hash64_ints
+
+    h32 = (hash64_ints(np.asarray(ids, np.int64), seed=seed) >> np.uint64(32)).astype(
+        np.int64
+    )
+    w = np.clip(np.asarray(weights, np.int64), 0, scale)
+    return h32 * np.int64(scale) < (w << np.int64(32))
+
+
+def test_importance_resample_exact_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.curate import importance_resample
+
+    rng = np.random.default_rng(8)
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(-5, 130, n)  # below 0, inside, and above scale=100
+    t = pa.table({"doc_id": ids, "w": w})
+    outs = []
+    for parts in (1, 11):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            importance_resample(ds, "w", scale=100, seed=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    keep = _local_importance_keep(ids, w, 100, 7)
+    np.testing.assert_array_equal(outs[0]["doc_id"].to_numpy(), ids[keep])
+    # clamp contract: weight >= scale always kept, weight <= 0 always dropped
+    got = set(outs[0]["doc_id"])
+    assert all(i in got for i in ids[w >= 100])
+    assert all(i not in got for i in ids[w <= 0])
+    # keep rate tracks E[p] = mean(clamp(w)/scale) within a few percent
+    expect = np.clip(w, 0, 100).sum() / (100 * n)
+    assert abs(len(got) / n - expect) < 0.03
+
+
+def test_importance_resample_rejects_bad_inputs(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.curate import importance_resample
+
+    t = pa.table({"doc_id": [1, 2], "w": pa.array([0.5, 1.0])})
+    with pytest.raises(Exception, match="integer"):
+        importance_resample(rd.from_arrow(t), "w", scale=10).materialize()
+    t2 = pa.table({"doc_id": [1, 2], "w": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        importance_resample(rd.from_arrow(t2), "w", scale=10).materialize()
+    with pytest.raises(ValueError, match="scale"):
+        importance_resample(rd.from_arrow(t2), "w", scale=0)
+    with pytest.raises(ValueError, match="scale"):
+        importance_resample(rd.from_arrow(t2), "w", scale=1 << 31)
