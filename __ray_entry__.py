@@ -423,6 +423,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quantile_bucket(counts, "n_tokens", k=8, seed=21)
 
+    def q_decayed_counts(sf):
+        # recency-weighted activity leaderboard: each event worth
+        # 2^(40 - age/3d) — exact power-of-2 decay, no float drift
+        from fever_ray.ops.windows import decayed_counts
+
+        ev = _t(sf, "events", ["ts", "user_id"])
+        return decayed_counts(
+            ev, ref_ts="2024-01-31T00:00:00", half_life_s=3 * 86400
+        )
+
     def q_importance_resample(sf):
         # DSIR-style score-proportional keep: weight = token count, docs
         # with >= 64 tokens always survive, shorter ones thin out smoothly
@@ -1584,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_percentiles": q_group_percentiles,
         "quantile_bucket": q_quantile_bucket,
         "importance_resample": q_importance_resample,
+        "decayed_counts": q_decayed_counts,
         "normalize_urls": q_normalize_urls,
         "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
@@ -2524,6 +2535,17 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "quantile_bucket": _quantile_bucket_sql(8, 21),
         "importance_resample": _importance_resample_sql(64, 11),
+        "decayed_counts": (
+            # exact power-of-2 exponential decay: weight halves every 3
+            # days, shift floors out past 63 half-lives, future events
+            # clamp to full weight — mirrors ops.windows.decayed_counts
+            "WITH w AS (SELECT user_id, ((CAST(1 AS BIGINT) << 40) >> "
+            "LEAST(GREATEST(epoch_us(TIMESTAMP '2024-01-31 00:00:00') - "
+            "epoch_us(ts), 0) // 259200000000, 63)) AS wt FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL) "
+            "SELECT user_id, CAST(SUM(wt) AS BIGINT) AS score FROM w "
+            "GROUP BY user_id"
+        ),
         "pack_sequences": _pack_sequences_sql(256, 17, 32),
         "domain_cap": (
             "SELECT doc_id, source FROM ("

@@ -658,3 +658,96 @@ def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def decayed_counts(
+    events_ds,
+    ref_ts: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    half_life_s: int = 86400,
+    k_bits: int = 40,
+    top_k: int | None = None,
+):
+    """Exponential recency-weighted activity score per key — the trending /
+    "what's hot now" aggregate: each event contributes
+    ``2^(k_bits - age_buckets)`` where ``age_buckets = floor(age /
+    half_life_s)``, so an event loses exactly half its weight every
+    half-life.  Pure power-of-2 integer weights make the score EXACT and
+    order-independent (float exponential decay drifts by summation order
+    and can never be bit-stable across engines).
+
+    Output rows: (``key_col``, ``score`` int64), descending (score, then
+    ascending key) and truncated to ``top_k`` when given.  Events at or
+    after ``ref_ts`` count at full weight (age clamps to 0); events older
+    than 63 half-lives contribute 0 (the shift floors out) — both edges
+    are deterministic, documented semantics, not accidents.  Null ts/key
+    rows are skipped (the sketch-build null contract).
+
+    Scale shape: weights are computed per batch in one vectorized pass and
+    pre-summed per key (pyarrow hash aggregation), so the exchange carries
+    (key, partial-score) rows through the bounded-key coalesce-tree
+    (`tree_groupby`) — no sort shuffle, nothing event-sized moves.  The
+    bounded-distinct-key assumption is tree_groupby's documented contract;
+    an unbounded key space needs `Dataset.groupby` or a CMS sketch
+    instead."""
+    if not 1 <= k_bits <= 62:
+        raise ValueError(f"decayed_counts: k_bits must be in [1, 62], got {k_bits}")
+    if half_life_s < 1:
+        raise ValueError(
+            f"decayed_counts: half_life_s must be >= 1, got {half_life_s}"
+        )
+    ref_us = np.datetime64(ref_ts, "us").astype(np.int64)
+    hl_us = np.int64(half_life_s) * np.int64(1_000_000)
+    full = np.int64(1) << np.int64(k_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(ts_col)),
+                pc.is_valid(batch.column(key_col)),
+            )
+        )
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        epoch = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        age = np.maximum(ref_us - epoch, np.int64(0))
+        b = np.minimum(age // hl_us, np.int64(63))
+        w = full >> b
+        t = pa.table(
+            {
+                key_col: pc.cast(batch.column(key_col), pa.int64()),
+                "score": pa.array(w, pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, [key_col])
+            .aggregate([("score", "sum")])
+            .rename_columns([key_col, "score"])
+        )
+
+    scores = tree_groupby(
+        events_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [key_col],
+        [("score", "sum")],
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("score", "descending"), (key_col, "ascending")],
+        )
+        out = batch.take(idx)
+        return out.slice(0, top_k) if top_k is not None else out
+
+    # tree_groupby already ends in a single small batch (bounded keys)
+    return scores.map_batches(rank, batch_format="pyarrow", batch_size=None)

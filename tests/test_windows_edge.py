@@ -230,3 +230,81 @@ def test_window_top_k_matches_bruteforce_and_ties(ray_session):
     )
     outn = window_top_k(rd.from_arrow(tn), size_s=86400, k=3).take_all()
     assert [(r["user_id"], r["n"], r["rn"]) for r in outn] == [(7, 1, 1)]
+
+
+def test_decayed_counts_exact_vs_local_reference(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import decayed_counts
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    ref = np.datetime64("2024-01-31T00:00:00", "us").astype(np.int64)
+    # ages spanning future events, in-range, and far past the 63-halflife
+    # floor-out (half_life=1h here so old events hit the shift clamp)
+    epochs = ref - rng.integers(-7200, 70 * 3600, n) * 1_000_000
+    keys = rng.integers(0, 23, n)
+    t = pa.table(
+        {
+            "ts": pa.array(epochs, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(keys, pa.int64()),
+        }
+    )
+    out = decayed_counts(
+        rd.from_arrow(t).repartition(9),
+        ref_ts="2024-01-31T00:00:00",
+        half_life_s=3600,
+        k_bits=40,
+    ).to_pandas()
+    # local replica
+    age = np.maximum(ref - epochs, 0)
+    b = np.minimum(age // (3600 * 1_000_000), 63)
+    w = (np.int64(1) << np.int64(40)) >> b
+    want = {}
+    for k_, w_ in zip(keys, w):
+        want[int(k_)] = want.get(int(k_), 0) + int(w_)
+    got = dict(zip(out["user_id"], out["score"]))
+    assert got == want
+    # output ordering contract: score DESC then key ASC
+    pairs = list(zip(out["score"].tolist(), out["user_id"].tolist()))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_decayed_counts_edges_topk_and_nulls(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import decayed_counts
+
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [
+                    np.datetime64("2024-01-31T00:00:00", "us").astype(np.int64),
+                    np.datetime64("2024-02-05T00:00:00", "us").astype(np.int64),
+                    None,
+                    np.datetime64("2024-01-30T00:00:00", "us").astype(np.int64),
+                ],
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 2, 3, None], pa.int64()),
+        }
+    )
+    out = decayed_counts(
+        rd.from_arrow(t), ref_ts="2024-01-31T00:00:00", half_life_s=86400
+    ).take_all()
+    # age-0 event and a FUTURE event both get full weight; null rows skip
+    assert [(r["user_id"], r["score"]) for r in out] == [
+        (1, 1 << 40),
+        (2, 1 << 40),
+    ]
+    outk = decayed_counts(
+        rd.from_arrow(t),
+        ref_ts="2024-01-31T00:00:00",
+        half_life_s=86400,
+        top_k=1,
+    ).take_all()
+    assert [(r["user_id"], r["score"]) for r in outk] == [(1, 1 << 40)]
+    with pytest.raises(ValueError, match="k_bits"):
+        decayed_counts(rd.from_arrow(t), ref_ts="2024-01-31", k_bits=63)
+    with pytest.raises(ValueError, match="half_life"):
+        decayed_counts(rd.from_arrow(t), ref_ts="2024-01-31", half_life_s=0)
