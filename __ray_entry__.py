@@ -423,6 +423,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quantile_bucket(counts, "n_tokens", k=8, seed=21)
 
+    def q_pivot_counts(sf):
+        # long -> wide activity profile: events per type per user
+        from fever_ray.ops.relational import pivot_counts
+
+        ev = _t(sf, "events", ["user_id", "event_type"])
+        return pivot_counts(ev, "user_id", "event_type")
+
     def q_decayed_counts(sf):
         # recency-weighted activity leaderboard: each event worth
         # 2^(40 - age/3d) — exact power-of-2 decay, no float drift
@@ -1595,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bucket": q_quantile_bucket,
         "importance_resample": q_importance_resample,
         "decayed_counts": q_decayed_counts,
+        "pivot_counts": q_pivot_counts,
         "normalize_urls": q_normalize_urls,
         "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
@@ -2535,6 +2543,18 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "quantile_bucket": _quantile_bucket_sql(8, 21),
         "importance_resample": _importance_resample_sql(64, 11),
+        "pivot_counts": (
+            # wide CASE-sum pivot; the five event types are the generator's
+            # fixed domain at every sf, so the column set is stable
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{t}"
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events WHERE user_id IS NOT NULL AND event_type IS "
+            "NOT NULL GROUP BY user_id"
+        ),
         "decayed_counts": (
             # exact power-of-2 exponential decay: weight halves every 3
             # days, shift floors out past 63 half-lives, future events

@@ -618,3 +618,87 @@ def rollup_aggregate(ds, keys: list[str], value_col: str):
         cols[sum_col] = g.column("s")
         levels.append(pa.table(cols))
     return rd.from_arrow(pa.concat_tables(levels))
+
+
+def pivot_counts(
+    ds,
+    key_col: str,
+    pivot_col: str,
+    max_pivot: int = 64,
+    prefix: str = "n_",
+):
+    """Long → wide count pivot: one row per ``key_col`` value, one int64
+    column ``{prefix}{v}`` per distinct ``pivot_col`` value ``v`` (sorted
+    name order), holding COUNT(*) of that (key, value) pair — the
+    per-entity activity-profile reshape (events per type per user,
+    documents per language per source).  Absent combinations are 0, not
+    null: the row is a complete profile vector.
+
+    Null pivot values are skipped (the sketch-build null contract — a null
+    category is not a category); null KEYS are skipped for the same
+    reason.  The pivot domain must be bounded: more than ``max_pivot``
+    distinct values raises loudly (a schema with thousands of generated
+    columns is an error, not a result — use the long groupby form then).
+
+    Scale shape: per-batch (key, pivot) partial counts bound the exchange
+    by distinct pairs per batch; the coalesce-tree (`tree_groupby`) sums
+    them without a sort shuffle, and the wide reshape runs once on the
+    final pair-count table (keys × values rows — bounded by the same
+    contract that made tree_groupby valid)."""
+    import numpy as np
+
+    from .aggregates import tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(key_col)),
+                pc.is_valid(batch.column(pivot_col)),
+            )
+        )
+        t = batch.select([key_col, pivot_col])
+        out = pa.TableGroupBy(t, [key_col, pivot_col]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns([key_col, pivot_col, "n"])
+
+    pairs = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, pivot_col],
+        [("n", "sum")],
+    )
+
+    def reshape(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64())})
+        pv = batch.column(pivot_col)
+        if isinstance(pv, pa.ChunkedArray):
+            pv = pv.combine_chunks()
+        names = sorted(str(v) for v in pc.unique(pv).to_pylist())
+        if len(names) > max_pivot:
+            raise ValueError(
+                f"pivot_counts: {len(names)} distinct {pivot_col} values "
+                f"(> max_pivot={max_pivot}) — refusing to generate that "
+                "many columns; use the long (key, value, n) form instead"
+            )
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kenc = keys.dictionary_encode()
+        krows = kenc.dictionary
+        kidx = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        name_of = {n: j for j, n in enumerate(names)}
+        pidx = np.array(
+            [name_of[str(v)] for v in pv.to_pylist()], dtype=np.int64
+        )
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        wide = np.zeros((len(krows), len(names)), dtype=np.int64)
+        wide[kidx, pidx] = n
+        cols = {key_col: krows}
+        for j, name in enumerate(names):
+            cols[f"{prefix}{name}"] = pa.array(wide[:, j], pa.int64())
+        out = pa.table(cols)
+        return out.take(pc.sort_indices(out, sort_keys=[(key_col, "ascending")]))
+
+    # tree_groupby ends in one small batch (bounded key × pivot domain)
+    return pairs.map_batches(reshape, batch_format="pyarrow", batch_size=None)

@@ -602,3 +602,51 @@ def test_rollup_aggregate_degenerate_inputs(ray_session):
             "FROM t GROUP BY ROLLUP(a, b)"
         ).fetchdf()
         pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
+
+
+def test_pivot_counts_exact_and_edges(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import pivot_counts
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2, None, 3], pa.int64()),
+            "cat": pa.array(["a", "b", "a", "a", None, "a", "c"]),
+        }
+    )
+    out = pivot_counts(rd.from_arrow(t).repartition(3), "k", "cat").to_pandas()
+    assert list(out.columns) == ["k", "n_a", "n_b", "n_c"]
+    rows = {r.k: (r.n_a, r.n_b, r.n_c) for r in out.itertuples()}
+    # null key and null pivot rows are skipped; absent combos are 0
+    assert rows == {1: (1, 1, 0), 2: (2, 0, 0), 3: (0, 0, 1)}
+    # rows come out key-sorted
+    assert list(out["k"]) == [1, 2, 3]
+    with pytest.raises(Exception, match="max_pivot"):
+        pivot_counts(
+            rd.from_arrow(t), "k", "cat", max_pivot=2
+        ).materialize()
+
+
+def test_pivot_counts_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import pivot_counts
+
+    rng = np.random.default_rng(12)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, 4000), pa.int64()),
+            "cat": pa.array(
+                np.array(["x", "y", "z", "w"])[rng.integers(0, 4, 4000)]
+            ),
+        }
+    )
+    outs = [
+        pivot_counts(rd.from_arrow(t).repartition(p), "k", "cat")
+        .to_pandas()
+        .reset_index(drop=True)
+        for p in (1, 17)
+    ]
+    assert outs[0].equals(outs[1])
+    assert int(outs[0][["n_w", "n_x", "n_y", "n_z"]].sum().sum()) == 4000
