@@ -423,6 +423,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quantile_bucket(counts, "n_tokens", k=8, seed=21)
 
+    def q_unigram_logloss(sf):
+        # CCNet-style LM-surprise quality score: unigram model from the
+        # English slice, every doc scored in exact integer bits
+        from fever_ray.ops.textstats import unigram_logloss
+
+        docs = _t(sf, "documents", ["doc_id", "text", "lang"])
+        ref = docs.filter(expr="lang == 'en'")
+        return unigram_logloss(docs, ref)
+
     def q_pivot_counts(sf):
         # long -> wide activity profile: events per type per user
         from fever_ray.ops.relational import pivot_counts
@@ -1603,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_resample": q_importance_resample,
         "decayed_counts": q_decayed_counts,
         "pivot_counts": q_pivot_counts,
+        "unigram_logloss": q_unigram_logloss,
         "normalize_urls": q_normalize_urls,
         "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
@@ -2543,6 +2553,24 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "quantile_bucket": _quantile_bucket_sql(8, 21),
         "importance_resample": _importance_resample_sql(64, 11),
+        "unigram_logloss": (
+            # integer-bits unigram surprise: ilog2(x) = strlen(bin(x))-1
+            # mirrors the engine's frexp exponent exactly; OOV tokens cost
+            # ilog2(N)+8, and '' from empty/multi-space text is a token on
+            # both sides (string_split == pc.split_pattern)
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS w FROM documents), "
+            "ref AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks "
+            "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = "
+            "'en') GROUP BY w), "
+            "nt AS (SELECT strlen(bin(CAST(SUM(c) AS BIGINT))) - 1 AS iln "
+            "FROM ref) "
+            "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CASE WHEN r.c IS NULL THEN nt.iln + 8 ELSE nt.iln - "
+            "(strlen(bin(r.c)) - 1) END) AS BIGINT) AS bits "
+            "FROM toks t LEFT JOIN ref r USING (w) CROSS JOIN nt "
+            "GROUP BY t.doc_id"
+        ),
         "pivot_counts": (
             # wide CASE-sum pivot; the five event types are the generator's
             # fixed domain at every sf, so the column set is stable

@@ -950,3 +950,129 @@ def char_bigram_oov(ds, ref_ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ilog2_exact(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for positive int64 via frexp — exact below 2^53
+    (float log2 rounds at power-of-2 boundaries; frexp's exponent cannot)."""
+    return (np.frexp(x.astype(np.float64))[1] - 1).astype(np.int64)
+
+
+# per-process deserialized-model cache: scoring runs as stateless tasks,
+# so without this every batch would re-deserialize the broadcast dict
+_UNIGRAM_MODEL_CACHE: dict = {}
+
+
+def unigram_logloss(
+    ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_penalty_bits: int = 8,
+    max_vocab: int = 1 << 22,
+):
+    """Unigram LM surprise in exact integer bits — the CCNet/KenLM
+    perplexity-filter shape ("does a language model trained on the
+    reference corpus find this document likely?") without floats: each
+    token costs ``ilog2(N) - ilog2(count(token))`` bits under the
+    reference unigram model (N = reference token total), unseen tokens
+    cost ``ilog2(N) + oov_penalty_bits``.  Per document the op emits
+    (``n_tokens``, ``bits``); callers filter on bits/n_tokens, the
+    integer analog of per-token log-loss.  Integer log2 keeps the score
+    partition-invariant and bit-mirrorable in SQL (``strlen(bin(c))-1``)
+    where float log-probs never hash-match across engines.
+
+    Tokenization is the corpus-wide standard split-on-space (empty text
+    scores as the single token '' — the `top_ngrams` n=1 corner, mirrored
+    by SQL ``string_split``).
+
+    Scale shape: the model is the reference VOCABULARY with counts —
+    per-batch dictionary-encode partials (the shuffle carries batch
+    vocab, not occurrences), coalesce-tree summed, driver-collected under
+    a loud ``max_vocab`` cap and broadcast ONCE via ``ray.put`` (a
+    per-process cache un-pickles it once per worker, not per batch).
+    Scoring is one vectorized pass per batch: dictionary-encode, one
+    model probe per DISTINCT batch token, prefix-sum segment sums per
+    doc.  The corpus never shuffles."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    if oov_penalty_bits < 0:
+        raise ValueError(
+            f"unigram_logloss: oov_penalty_bits must be >= 0, got "
+            f"{oov_penalty_bits}"
+        )
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        grams, counts = _gram_counts(batch, 1, text_col)
+        if grams is None:
+            return pa.table(
+                {"tok": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        return pa.table({"tok": grams, "c": pa.array(counts, pa.int64())})
+
+    parts = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ref_ds.map_batches(
+                    vocab_partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["tok"],
+                [("c", "sum")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    if not parts:
+        raise ValueError("unigram_logloss: reference corpus has no tokens")
+    vocab_t = pa.concat_tables(parts)
+    if vocab_t.num_rows > max_vocab:
+        raise ValueError(
+            f"unigram_logloss: reference vocabulary {vocab_t.num_rows} "
+            f"exceeds max_vocab={max_vocab} — raise the cap or min-count "
+            "prune the reference first"
+        )
+    counts = vocab_t.column("c").to_numpy(zero_copy_only=False)
+    n_total = int(counts.sum())
+    il_n = int(_ilog2_exact(np.array([n_total]))[0])
+    tok_bits = il_n - _ilog2_exact(counts)
+    model = dict(zip(vocab_t.column("tok").to_pylist(), tok_bits.tolist()))
+    oov_bits = il_n + int(oov_penalty_bits)
+    model_ref = ray.put((model, oov_bits))
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = model_ref.hex()
+        cached = _UNIGRAM_MODEL_CACHE.get(key)
+        if cached is None:
+            cached = ray.get(model_ref)
+            _UNIGRAM_MODEL_CACHE.clear()  # one live model per process
+            _UNIGRAM_MODEL_CACHE[key] = cached
+        lut, oov = cached
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.cast(text, pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        enc = flat.dictionary_encode()
+        dic = enc.dictionary.to_pylist()
+        per_code = np.fromiter(
+            (lut.get(t, oov) for t in dic), dtype=np.int64, count=len(dic)
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(per_code[codes])))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(np.diff(offs), pa.int64()),
+                "bits": pa.array(cs[offs[1:]] - cs[offs[:-1]], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -2,6 +2,7 @@
 deterministic tie-break, partition invariance, trigram support."""
 
 import duckdb
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -129,3 +130,57 @@ def test_char_bigram_oov_kernel_and_pipeline(ray_session):
     out = {r["doc_id"]: (r["n_bigrams"], r["n_oov"])
            for r in char_bigram_oov(cor, ref).take_all()}
     assert out == {10: (6, 0), 11: (5, 5), 12: (0, 0), 13: (0, 0)}
+
+
+def test_unigram_logloss_exact_vs_local_model(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import _ilog2_exact, unigram_logloss
+
+    ref_texts = ["the cat sat", "the dog sat on the mat", "cat and dog"]
+    cor_texts = ["the cat", "unseen words here", "", "the the the"]
+    ref = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": ref_texts})
+    ).repartition(2)
+    cor = rd.from_arrow(
+        pa.table({"doc_id": [10, 11, 12, 13], "text": cor_texts})
+    ).repartition(3)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bits"])
+        for r in unigram_logloss(cor, ref, oov_penalty_bits=8).take_all()
+    }
+    # local model
+    from collections import Counter
+
+    model = Counter(" ".join(ref_texts).split(" "))
+    n = sum(model.values())  # 12 tokens
+    iln = int(_ilog2_exact(np.array([n]))[0])
+
+    def bits(text):
+        toks = text.split(" ")
+        return sum(
+            iln + 8 if t not in model else iln - int(_ilog2_exact(np.array([model[t]]))[0])
+            for t in toks
+        ), len(toks)
+
+    for did, text in zip([10, 11, 12, 13], cor_texts):
+        b, nt = bits(text)
+        assert out[did] == (nt, b), (did, out[did], (nt, b))
+    # empty text is the single token '' (OOV here)
+    assert out[12] == (1, iln + 8)
+
+
+def test_unigram_logloss_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import unigram_logloss
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    cor = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError, match="no tokens"):
+        unigram_logloss(cor, empty)
+    with pytest.raises(ValueError, match="max_vocab"):
+        unigram_logloss(cor, cor, max_vocab=0)
+    with pytest.raises(ValueError, match="oov_penalty"):
+        unigram_logloss(cor, cor, oov_penalty_bits=-1)
