@@ -34,7 +34,12 @@ def _distinct(batch: pa.Table, keys: list[str]) -> pa.Table:
     return t.drop_columns(["count_all"])
 
 
-def tree_groupby(partials_ds, keys: list[str], aggs: list[tuple[str, str]]):
+def tree_groupby(
+    partials_ds,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    max_groups: int | None = None,
+):
     """Exact grouped aggregation WITHOUT a sort shuffle.
 
     sum/count/min/max are associative, so per-batch partial tables can be
@@ -46,6 +51,9 @@ def tree_groupby(partials_ds, keys: list[str], aggs: list[tuple[str, str]]):
     Valid when the distinct-key count is bounded (fits one task's memory) —
     the profile/report aggregations here have 10-10^5 keys.  For unbounded
     key spaces use ``Dataset.groupby`` (a real shuffle) or a sketch.
+    ``max_groups`` turns that assumption into a LOUD error at the first
+    combine level that exceeds it — inside the tree, before any oversized
+    table can reach the final single-task combine or the driver.
 
     ``aggs``: [(col, fn)] with fn ∈ {sum, min, max}; re-apply the SAME fn at
     every level (count must already be a partial count re-aggregated by sum).
@@ -53,6 +61,13 @@ def tree_groupby(partials_ds, keys: list[str], aggs: list[tuple[str, str]]):
 
     def combine(batch: pa.Table) -> pa.Table:
         t = pa.TableGroupBy(batch, keys).aggregate(aggs)
+        if max_groups is not None and t.num_rows > max_groups:
+            raise ValueError(
+                f"tree_groupby: {t.num_rows} distinct {keys} groups in one "
+                f"combine (> max_groups={max_groups}) — the key domain is "
+                "not bounded enough for the coalesce-tree; use a shuffle "
+                "groupby or a sketch"
+            )
         return t.rename_columns(keys + [c for c, _ in aggs])
 
     level1 = partials_ds.map_batches(

@@ -649,6 +649,8 @@ def pivot_counts(
 
     from .aggregates import tree_groupby
 
+    key_type = ds.schema().base_schema.field(key_col).type
+
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
             pc.and_(
@@ -670,7 +672,9 @@ def pivot_counts(
 
     def reshape(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.int64())})
+            # pivot columns are data-dependent, so an empty input can only
+            # yield the bare key column — but at least in the input's dtype
+            return pa.table({key_col: pa.array([], key_type)})
         pv = batch.column(pivot_col)
         if isinstance(pv, pa.ChunkedArray):
             pv = pv.combine_chunks()

@@ -427,7 +427,13 @@ def quantile_bucket(
     if k < 1:
         raise ValueError(f"quantile_bucket: k must be >= 1, got {k}")
     if not 0 <= sub_bits <= 16:
-        raise ValueError(f"quantile_bucket: sub_bits must be in [0, 16]")
+        raise ValueError(
+            f"quantile_bucket: sub_bits must be in [0, 16], got {sub_bits}"
+        )
+    if not 1 <= n_parts <= (1 << 20):
+        raise ValueError(
+            f"quantile_bucket: n_parts must be in [1, 2^20], got {n_parts}"
+        )
     import ray
 
     from ..sketches.hashing import hash64_ints, splitmix64
@@ -495,6 +501,10 @@ def quantile_bucket(
                 skinny.map_batches(cell_partial, batch_format="pyarrow"),
                 ["vu", "sub"],
                 [("n", "sum")],
+                # enforced INSIDE the tree: a high-cardinality value column
+                # errors at the first oversized combine, before any
+                # corpus-sized cell table can reach one task or the driver
+                max_groups=max_cells,
             ).to_arrow_refs()
         )
         if t.num_rows and t.num_columns

@@ -1048,7 +1048,11 @@ def unigram_logloss(
         cached = _UNIGRAM_MODEL_CACHE.get(key)
         if cached is None:
             cached = ray.get(model_ref)
-            _UNIGRAM_MODEL_CACHE.clear()  # one live model per process
+            # bounded FIFO, NOT clear(): two interleaved scoring pipelines
+            # sharing a worker must both stay cached or every batch pays
+            # the full model re-deserialization
+            while len(_UNIGRAM_MODEL_CACHE) >= 4:
+                _UNIGRAM_MODEL_CACHE.pop(next(iter(_UNIGRAM_MODEL_CACHE)))
             _UNIGRAM_MODEL_CACHE[key] = cached
         lut, oov = cached
         text = batch.column(text_col)

@@ -713,6 +713,7 @@ def decayed_counts(
                 {
                     key_col: pa.array([], pa.int64()),
                     "score": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
                 }
             )
         epoch = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
@@ -725,12 +726,13 @@ def decayed_counts(
             {
                 key_col: pc.cast(batch.column(key_col), pa.int64()),
                 "score": pa.array(w, pa.int64()),
+                "cnt": pa.array(np.ones(len(w), np.int64)),
             }
         )
         return (
             pa.TableGroupBy(t, [key_col])
-            .aggregate([("score", "sum")])
-            .rename_columns([key_col, "score"])
+            .aggregate([("score", "sum"), ("cnt", "sum")])
+            .rename_columns([key_col, "score", "cnt"])
         )
 
     scores = tree_groupby(
@@ -738,10 +740,25 @@ def decayed_counts(
             partial, batch_format="pyarrow", zero_copy_batch=True
         ),
         [key_col],
-        [("score", "sum")],
+        [("score", "sum"), ("cnt", "sum")],
     )
+    # any per-key score can reach cnt * 2^k_bits; weights are non-negative,
+    # so every partial sum is <= the final sum and this single conservative
+    # check excludes int64 wrap anywhere in the tree (the SQL mirror's
+    # HUGEINT sum errors on its BIGINT cast — wrapping silently here would
+    # diverge from it)
+    cnt_cap = ((1 << 63) - 1) // int(full)
 
     def rank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            max_cnt = pc.max(batch.column("cnt")).as_py()
+            if max_cnt is not None and max_cnt > cnt_cap:
+                raise ValueError(
+                    f"decayed_counts: a key has {max_cnt} events — "
+                    f"score could exceed int64 at k_bits={k_bits}; "
+                    "lower k_bits to widen the safe event budget"
+                )
+        batch = batch.drop_columns(["cnt"])
         idx = pc.sort_indices(
             batch,
             sort_keys=[("score", "descending"), (key_col, "ascending")],

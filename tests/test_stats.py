@@ -271,3 +271,18 @@ def test_quantile_bucket_rejects_nulls_and_nans(ray_session):
         quantile_bucket(ds2, "v", k=2).materialize()
     with pytest.raises(ValueError, match="k must be"):
         quantile_bucket(ds, "v", k=0)
+
+
+def test_quantile_bucket_cell_budget_trips_inside_tree(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import quantile_bucket
+
+    ids = np.arange(3000, dtype=np.int64)
+    t = pa.table({"doc_id": ids, "v": ids})  # every value distinct
+    with pytest.raises(Exception, match="max_groups|value domain"):
+        quantile_bucket(
+            rd.from_arrow(t), "v", k=4, max_cells=100, sub_bits=0
+        ).materialize()
+    with pytest.raises(ValueError, match="n_parts"):
+        quantile_bucket(rd.from_arrow(t), "v", k=4, n_parts=0)

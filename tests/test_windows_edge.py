@@ -308,3 +308,22 @@ def test_decayed_counts_edges_topk_and_nulls(ray_session):
         decayed_counts(rd.from_arrow(t), ref_ts="2024-01-31", k_bits=63)
     with pytest.raises(ValueError, match="half_life"):
         decayed_counts(rd.from_arrow(t), ref_ts="2024-01-31", half_life_s=0)
+
+
+def test_decayed_counts_overflow_guard(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import decayed_counts
+
+    # k_bits=62 -> cnt_cap = 1, so two events on one key must trip the
+    # conservative wrap guard (the SQL mirror errors on its BIGINT cast)
+    t = pa.table(
+        {
+            "ts": pa.array([0, 1], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([5, 5], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="int64"):
+        decayed_counts(
+            rd.from_arrow(t), ref_ts="1970-01-01T00:00:10", k_bits=62
+        ).materialize()
