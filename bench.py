@@ -428,6 +428,47 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # unigram LM-surprise scoring: model from the first shard, every page
+    # scored (vocab tree-sum + broadcast LUT + one segment-sum pass)
+    from fever_ray.ops.textstats import unigram_logloss
+
+    timings["unigram_logloss_pages"] = _timed(
+        lambda: unigram_logloss(
+            _pages_docs(), _first_shard_docs()
+        ).materialize()
+    )
+
+    # exact global NTILE over page token counts (histogram-prefix ranks,
+    # one skinny hash-of-cell shuffle — no global sort)
+    from fever_ray.ops.curate import _token_counts
+    from fever_ray.ops.stats import quantile_bucket
+
+    timings["quantile_bucket_pages"] = _timed(
+        lambda: quantile_bucket(
+            _pages_docs().map_batches(
+                lambda b: _token_counts(b, "text", "doc_id"),
+                batch_format="pyarrow",
+            ),
+            "n_tokens",
+            k=10,
+            seed=3,
+        ).materialize()
+    )
+
+    # recency-decayed host leaderboard (power-of-2 integer decay, partial
+    # sums through the coalesce-tree, no sort shuffle)
+    from fever_ray.ops.windows import decayed_counts
+
+    timings["decayed_hosts"] = _timed(
+        lambda: decayed_counts(
+            _page_events(),
+            ref_ts="2024-03-01T00:00:00",
+            key_col="host_id",
+            half_life_s=7 * 86400,
+            top_k=100,
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
