@@ -872,6 +872,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_minhash_dedup(sf):
         return minhash_dedup_components(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_containment_pairs(sf):
+        from fever_ray.ops.dedup import containment_pairs
+
+        return containment_pairs(_t(sf, "documents", ["doc_id", "text"]))
+
     def q_simhash_pairs(sf):
         return simhash_near_dup_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
@@ -1483,6 +1488,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_col="n_chars",
         )
 
+    def q_cube_aggregate(sf):
+        return rel.cube_aggregate(
+            _t(sf, "documents", ["lang", "source", "n_chars"]),
+            keys=["lang", "source"],
+            value_col="n_chars",
+        )
+
     def q_group_value_rank(sf):
         from fever_ray.ops.stats import group_value_rank
 
@@ -1645,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
+        "containment_pairs": q_containment_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1678,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
+        "cube_aggregate": q_cube_aggregate,
         "group_mode": q_group_mode,
         "asof_join": q_asof_join,
     }
@@ -2300,21 +2314,12 @@ def _linear_score_sql() -> str:
     )
 
 
-def _minhash_verify_ctes(base_docs: str) -> list:
-    """CTE chain (name, body, materialized) mirroring the engine's MinHash
-    pipeline over an arbitrary (doc_id, text) source ``base_docs`` —
-    tokenize → hash64 per token → position-mixed 3-token shingle folds →
-    64 seeded MinHash permutations (salts hardcoded from the engine's
-    rng(seed=1) stream) → 16-band LSH fold → candidate pairs → exact
-    shingle-set Jaccard ≥ 0.7 (the ``verify`` CTE).  Every splitmix64 runs
-    as five elementwise list_transform stages (an inline expansion would
-    duplicate its argument ~72× per application) and the per-permutation
-    mins slice one flat (salt × shingle) cross list, so the SQL stays
-    linear in data size.  Shared by ``_minhash_dedup_sql`` (recursive
-    component closure tail) and ``_minhash_cross_dedup_sql`` (cross-pair
-    anti-join tail)."""
-    import numpy as np
-
+def _shingle_ctes(base_docs: str) -> list:
+    """CTE chain (name, body, materialized) producing per-doc DISTINCT
+    position-mixed 3-token shingle hashes as CTE ``shu`` over an arbitrary
+    (doc_id, text) source — tokenize → FNV+splitmix per token → shingle
+    folds — bit-exact vs the engine's ``_shingle_hash_flat``.  The shared
+    prefix of the MinHash verify chain and the containment oracle."""
     m = "18446744073709551616"
 
     mulmod = _sql_mulmod
@@ -2329,8 +2334,6 @@ def _minhash_verify_ctes(base_docs: str) -> list:
         ]
 
     fnv_token = _sql_fnv1a_over("t")
-    salts = np.random.default_rng(1).integers(0, 2**63, size=64, dtype=np.uint64)
-    salts_list = "[" + ",".join(f"CAST({int(s)} AS UBIGINT)" for s in salts) + "]"
 
     ctes: list[tuple[str, str, bool]] = []
 
@@ -2368,6 +2371,49 @@ def _minhash_verify_ctes(base_docs: str) -> list:
                f"i -> xor(sh[i], CAST((CAST(hs[i+2] AS HUGEINT) * 5) % {m} AS UBIGINT))) AS sh FROM {prev}")
     prev = chain("sf2", "sh", "sfb")
     add("shu", f"SELECT doc_id, list_distinct(sh) AS sh FROM {prev} WHERE len(sh) > 0", mat=True)
+    return ctes
+
+
+def _minhash_verify_ctes(base_docs: str) -> list:
+    """CTE chain (name, body, materialized) mirroring the engine's MinHash
+    pipeline over an arbitrary (doc_id, text) source ``base_docs`` —
+    the shared `_shingle_ctes` prefix, then 64 seeded MinHash permutations
+    (salts hardcoded from the engine's rng(seed=1) stream) → 16-band LSH
+    fold → candidate pairs → exact shingle-set Jaccard ≥ 0.7 (the
+    ``verify`` CTE).  Every splitmix64 runs as five elementwise
+    list_transform stages (an inline expansion would duplicate its
+    argument ~72× per application) and the per-permutation mins slice one
+    flat (salt × shingle) cross list, so the SQL stays linear in data
+    size.  Shared by ``_minhash_dedup_sql`` (recursive component closure
+    tail) and ``_minhash_cross_dedup_sql`` (cross-pair anti-join tail)."""
+    import numpy as np
+
+    mulmod = _sql_mulmod
+
+    def sm_steps(col: str) -> list[str]:
+        return [
+            f"list_transform({col}, x -> xor(x, x >> 30))",
+            f"list_transform({col}, y -> {mulmod('y', '13787848793156543929')})",
+            f"list_transform({col}, x -> xor(x, x >> 27))",
+            f"list_transform({col}, y -> {mulmod('y', '10723151780598845931')})",
+            f"list_transform({col}, x -> xor(x, x >> 31))",
+        ]
+
+    salts = np.random.default_rng(1).integers(0, 2**63, size=64, dtype=np.uint64)
+    salts_list = "[" + ",".join(f"CAST({int(s)} AS UBIGINT)" for s in salts) + "]"
+
+    ctes: list[tuple[str, str, bool]] = _shingle_ctes(base_docs)
+
+    def add(name: str, body: str, mat: bool = False) -> None:
+        ctes.append((name, body, mat))
+
+    def chain(base: str, col: str, prefix: str) -> str:
+        prev = base
+        for i, expr in enumerate(sm_steps(col)):
+            nm = f"{prefix}{i}"
+            add(nm, f"SELECT * REPLACE ({expr} AS {col}) FROM {prev}")
+            prev = nm
+        return prev
     # signature stage RELATIONALLY: unnest (doc, shingle) rows × 64 salts,
     # run splitmix as scalar column stages (vectorized C++, ~64× faster
     # than per-row list lambdas), then group back to per-(doc, perm) minima
@@ -2404,6 +2450,46 @@ def _minhash_verify_ctes(base_docs: str) -> list:
 def _minhash_ctes_sql(ctes: list) -> str:
     return ", ".join(
         f"{n} AS {'MATERIALIZED ' if mt else ''}({b})" for n, b, mt in ctes
+    )
+
+
+def _containment_pairs_sql(
+    thr_num: int = 4, thr_den: int = 5, cap: int = 16
+) -> str:
+    """Mirror of ops.dedup.containment_pairs: the shared shingle-hash CTE
+    prefix, candidates = pairs sharing a rare shingle (posting size in
+    [2, cap]), kept iff thr_den·|∩| ≥ thr_num·min(|A|, |B|) — pure
+    integers, so the gate hashes bit-exactly."""
+    ctes = _shingle_ctes("SELECT doc_id, text FROM documents")
+    ctes.append(
+        ("post", "SELECT doc_id, UNNEST(sh) AS x FROM shu", True)
+    )
+    ctes.append(
+        (
+            "rare",
+            f"SELECT x FROM post GROUP BY x HAVING COUNT(*) BETWEEN 2 AND {cap}",
+            True,
+        )
+    )
+    ctes.append(
+        (
+            "cand",
+            "SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM post a "
+            "JOIN rare r ON a.x = r.x JOIN post b ON b.x = a.x "
+            "WHERE a.doc_id < b.doc_id",
+            True,
+        )
+    )
+    return (
+        "WITH "
+        + _minhash_ctes_sql(ctes)
+        + " SELECT c.da AS doc_a, c.db AS doc_b, "
+        "CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common, "
+        "CAST(LEAST(len(x.sh), len(y.sh)) AS BIGINT) AS n_small "
+        "FROM cand c JOIN shu x ON x.doc_id = c.da "
+        "JOIN shu y ON y.doc_id = c.db "
+        f"WHERE {thr_den} * len(list_intersect(x.sh, y.sh)) >= "
+        f"{thr_num} * LEAST(len(x.sh), len(y.sh))"
     )
 
 
@@ -2855,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": _simhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
+        "containment_pairs": _containment_pairs_sql(4, 5, 16),
         # SimHash near-dup pairs: all-pairs over the SQL-mirrored simhash —
         # pairs share ≥1 of the 4 16-bit bands AND hamming ≤ 3 (bit_count of
         # the two's-complement xor is bitwise-identical to the uint64 view)
@@ -3038,6 +3125,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, COUNT(n_chars) AS n, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars "
             "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "cube_aggregate": (
+            "SELECT lang, source, COUNT(n_chars) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars "
+            "FROM documents GROUP BY CUBE(lang, source)"
         ),
         # histogram-rank: competition ranking (ties share a rank) — SQL RANK
         "group_value_rank": (

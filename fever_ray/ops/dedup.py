@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sketches.hashing import hash64, hash64_ints
+from ..sketches.hashing import hash64, hash64_ints, splitmix64
 from ..sketches.minhash import (
     band_hashes,
     minhash_signature,
@@ -2195,3 +2195,268 @@ def dup_ngram_trim(
         )
 
     return ds.map_batches(trim, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _allpairs_by_runlen(ids_sorted: np.ndarray, starts: np.ndarray, cap: int):
+    """All (a < b) id pairs within each presorted run, skipping runs longer
+    than ``cap``: runs are grouped BY LENGTH so the expansion is one
+    matrix gather + one precomputed triu template per distinct length
+    (≤ cap iterations total) — no per-run Python."""
+    lens = np.diff(starts)
+    out_a: list = []
+    out_b: list = []
+    for L in np.unique(lens):
+        if L < 2 or L > cap:
+            continue
+        rs = starts[:-1][lens == L]
+        mat = ids_sorted[rs[:, None] + np.arange(int(L))[None, :]]
+        iu, ju = np.triu_indices(int(L), k=1)
+        out_a.append(mat[:, iu].ravel())
+        out_b.append(mat[:, ju].ravel())
+    if not out_a:
+        z = np.zeros(0, np.int64)
+        return z, z.copy()
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def containment_pairs(
+    ds,
+    thr_num: int = 4,
+    thr_den: int = 5,
+    n_shingle: int = 3,
+    rare_cap: int = 16,
+    num_partitions: int | None = None,
+    broadcast_bytes: int = 256 << 20,
+):
+    """One-sided near-dup detection: pairs whose shingle-set CONTAINMENT
+    ``|A ∩ B| / min(|A|, |B|)`` is ≥ ``thr_num / thr_den`` — the
+    doc-inside-doc case (an article reposted inside a boilerplate shell,
+    a quote-wrapped copy) where symmetric Jaccard stays low because the
+    wrapper inflates the union, so MinHash-LSH never candidates it.
+
+    Output rows: (doc_a, doc_b, n_common, n_small) — doc_a < doc_b, ALL
+    int64 (the threshold test is the integer cross-multiply
+    ``thr_den·|∩| ≥ thr_num·min``, so no float touches the result and the
+    SQL mirror agrees bit-for-bit).
+
+    Candidate generation: two docs are candidated iff they share a RARE
+    shingle (global posting size in [2, rare_cap]).  A contained doc
+    shares ALL its shingles with its container, so the pair is found
+    unless every one of its shingles is boilerplate-frequent (> rare_cap
+    docs) — the documented recall trade; frequent shingles are useless
+    candidate keys (quadratic pair blowup), the same cap-bounded-bucket
+    posture as the LSH paths.  Requires corpus-unique doc ids (the
+    `exact_dedup` contract).
+
+    Scale shape: the posting exchange is ONE hash-of-shingle shuffle of
+    skinny (shingle, doc) rows — the `dup_ngram_windows` movement budget;
+    per-partition pair expansion is vectorized run detection + a
+    by-run-length triu gather; a second skinny shuffle dedups pairs
+    (hash-of-pair partitions); verification reuses the candidate-only
+    blob machinery with the CSR broadcast fast path and the bucketed
+    join fallback above ``broadcast_bytes``.  The corpus text never
+    moves."""
+    import ray
+    import ray.data as rd
+
+    if not (0 < thr_num <= thr_den):
+        raise ValueError(
+            f"containment_pairs: need 0 < thr_num <= thr_den, got "
+            f"{thr_num}/{thr_den}"
+        )
+    if rare_cap < 2:
+        raise ValueError(
+            f"containment_pairs: rare_cap must be >= 2, got {rare_cap}"
+        )
+    n_parts = num_partitions or _auto_parts(ds)
+    pu = np.uint64(n_parts)
+    tnum = np.int64(thr_num)
+    tden = np.int64(thr_den)
+
+    def post(batch: pa.Table) -> pa.Table:
+        t = _shingle_blob_table(batch, n_shingle, None)
+        off, dat = _blob_offsets_data(t.column("sh"))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, np.diff(off))
+        return pa.table(
+            {
+                "sh": pa.array(dat.view(np.int64), pa.int64()),
+                "doc": pa.array(doc, pa.int64()),
+                # shingle hashes are already splitmix-mixed — their low
+                # bits partition uniformly
+                "part": pa.array((dat % pu).astype(np.int32), pa.int32()),
+            }
+        )
+
+    _P2 = np.uint64(0x9E3779B97F4A7C15)
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "p2": pa.array([], pa.int32()),
+            }
+        )
+        if not group.num_rows or not group.num_columns:
+            return empty
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc = sh[order], doc[order]
+        starts = _key_runs(sh)
+        a, b = _allpairs_by_runlen(doc, starts, rare_cap)
+        if not len(a):
+            return empty
+        # local pair dedup (the same pair can arise from many shared rare
+        # shingles in this partition)
+        o2 = np.lexsort((b, a))
+        a, b = a[o2], b[o2]
+        first = np.concatenate(
+            ([True], (np.diff(a) != 0) | (np.diff(b) != 0))
+        )
+        a, b = a[first], b[first]
+        with np.errstate(over="ignore"):
+            p2 = splitmix64(a.view(np.uint64) * _P2 + b.view(np.uint64))
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "p2": pa.array((p2 % pu).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        a = group.column("doc_a").to_numpy(zero_copy_only=False)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.concatenate(([True], (np.diff(a) != 0) | (np.diff(b) != 0)))
+        return pa.table(
+            {"doc_a": pa.array(a[first], pa.int64()),
+             "doc_b": pa.array(b[first], pa.int64())}
+        )
+
+    pairs = (
+        ds.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
+        .groupby("p2")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .repartition(max(n_parts // 8, 8))
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "n_small": pa.array([], pa.int64()),
+        }
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def batch_ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch.column("doc_a").to_numpy(zero_copy_only=False),
+                    batch.column("doc_b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"doc_id": pa.array(u, pa.int64())})
+
+    id_parts = pairs.map_batches(batch_ids, batch_format="pyarrow").take_all()
+    cand_ids = np.unique(
+        np.array([r["doc_id"] for r in id_parts], dtype=np.int64)
+    )
+    cand_ref = ray.put(cand_ids)
+
+    sh_ds = (
+        ds.map_batches(
+            lambda b: _shingle_blob_table(b, n_shingle, ray.get(cand_ref)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(max(n_parts // 8, 8))
+        .materialize()
+    )
+
+    def _containment_out(batch: pa.Table, inter, la, lb) -> pa.Table:
+        small = np.minimum(la, lb)
+        keep = tden * inter >= tnum * small
+        out = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        out = out.append_column("n_common", pa.array(inter[keep], pa.int64()))
+        return out.append_column("n_small", pa.array(small[keep], pa.int64()))
+
+    blob_bytes = sh_ds.size_bytes() or 0
+    if blob_bytes <= broadcast_bytes:
+        rows = sh_ds.take_all()
+        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        blobs = [np.frombuffer(rows[i]["sh"], np.uint64) for i in order]
+        ids_sorted = ids[order]
+        lens = np.array([len(x) for x in blobs], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        flat = np.concatenate(blobs) if blobs else np.zeros(0, np.uint64)
+        csr_ref = ray.put((ids_sorted, offs, flat))
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            ids_s, off, dat = ray.get(csr_ref)
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+            n = batch.num_rows
+            inter = np.zeros(n, np.int64)
+            la = np.zeros(n, np.int64)
+            lb = np.zeros(n, np.int64)
+            for i in range(n):
+                xa = dat[off[ia[i]] : off[ia[i] + 1]]
+                xb = dat[off[ib[i]] : off[ib[i] + 1]]
+                la[i], lb[i] = len(xa), len(xb)
+                inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
+            return _containment_out(batch, inter, la, lb)
+
+        return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    # scale fallback: two bucketed hash joins pull blobs onto each pair
+    # (materialize between them — two shuffle pools in one streaming
+    # execution deadlock small clusters; see verified_minhash_edges)
+    jp = max(n_parts // 8, 8)
+    j1 = pairs.join(
+        sh_ds, join_type="inner", num_partitions=jp,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["sh_a" if c == "sh" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = j1.join(
+        sh_ds, join_type="inner", num_partitions=jp,
+        on=("doc_b",), right_on=("doc_id",),
+    )
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        off_a, dat_a = _blob_offsets_data(batch.column("sh_a"))
+        off_b, dat_b = _blob_offsets_data(batch.column("sh"))
+        n = batch.num_rows
+        inter = np.zeros(n, np.int64)
+        la = np.zeros(n, np.int64)
+        lb = np.zeros(n, np.int64)
+        for i in range(n):
+            xa = dat_a[off_a[i] : off_a[i + 1]]
+            xb = dat_b[off_b[i] : off_b[i + 1]]
+            la[i], lb[i] = len(xa), len(xb)
+            inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
+        return _containment_out(batch, inter, la, lb)
+
+    return j2.map_batches(verify_join, batch_format="pyarrow")

@@ -542,7 +542,22 @@ def rollup_aggregate(ds, keys: list[str], value_col: str):
     """
     if not keys:
         raise ValueError("rollup_aggregate: keys must be non-empty")
-    sum_col = f"sum_{value_col}"
+    batch, key_types = _finest_key_partials(ds, keys, value_col)
+    levels = [
+        _subtotal_level(batch, keys, keys[:lvl], key_types, f"sum_{value_col}")
+        for lvl in range(len(keys), -1, -1)
+    ]
+    import ray.data as rd
+
+    return rd.from_arrow(pa.concat_tables(levels))
+
+
+def _finest_key_partials(ds, keys: list[str], value_col: str):
+    """Shared ROLLUP/CUBE core: the finest-level (keys, n, s) table from
+    ONE corpus pass (per-batch combiner → bounded tree merge), collected to
+    the driver — key-combination-sized by the callers' contract.  Returns
+    (batch, key_types); empty input yields an empty typed table so the
+    grand-total row can still be emitted."""
     schema = ds.schema().base_schema
     key_types = {k: schema.field(k).type for k in keys}
 
@@ -559,13 +574,7 @@ def rollup_aggregate(ds, keys: list[str], value_col: str):
         keys,
         [("n", "sum"), ("s", "sum")],
     )
-
-    # The lattice is key-combination-sized by assumption, so the rollup
-    # itself runs on the driver over the collected finest table — this also
-    # guarantees ROLLUP's empty-input contract (the grand-total row exists
-    # even when no input rows do, with COUNT 0 and a NULL sum).
     import ray
-    import ray.data as rd
 
     tabs = [
         t
@@ -582,41 +591,78 @@ def rollup_aggregate(ds, keys: list[str], value_col: str):
                 "s": pa.array([], pa.int64()),
             }
         )
-    levels = [
-        pa.table(
+    return batch, key_types
+
+
+def _subtotal_level(
+    batch: pa.Table,
+    keys: list[str],
+    kept: list[str],
+    key_types: dict,
+    sum_col: str,
+) -> pa.Table:
+    """One grouping-set row block: re-aggregate the finest table by
+    ``kept``, padding the dropped keys with typed nulls."""
+    if kept == keys:
+        g = batch
+    elif kept:
+        g = pa.TableGroupBy(batch.select(kept + ["n", "s"]), kept).aggregate(
+            [("n", "sum"), ("s", "sum")]
+        ).rename_columns(kept + ["n", "s"])
+    else:
+        # grand total: COUNT of nothing is 0, but SUM of nothing (or of
+        # all-null values) is NULL — exactly SQL's semantics; coercing
+        # the sum to 0 would diverge from the ROLLUP/CUBE oracle
+        n = pc.sum(batch.column("n")).as_py()
+        sm = pc.sum(batch.column("s")).as_py()
+        g = pa.table(
             {
-                **{k: batch.column(k) for k in keys},
-                "n": batch.column("n"),
-                sum_col: batch.column("s"),
+                "n": pa.array([0 if n is None else n], pa.int64()),
+                "s": pa.array([sm], pa.int64()),
             }
         )
-    ]
-    for lvl in range(len(keys) - 1, -1, -1):
-        kept = keys[:lvl]
-        if kept:
-            g = pa.TableGroupBy(batch.select(kept + ["n", "s"]), kept).aggregate(
-                [("n", "sum"), ("s", "sum")]
-            ).rename_columns(kept + ["n", "s"])
-        else:
-            # grand total: COUNT of nothing is 0, but SUM of nothing (or of
-            # all-null values) is NULL — exactly SQL's semantics; coercing
-            # the sum to 0 would diverge from the ROLLUP oracle
-            n = pc.sum(batch.column("n")).as_py()
-            sm = pc.sum(batch.column("s")).as_py()
-            g = pa.table(
-                {
-                    "n": pa.array([0 if n is None else n], pa.int64()),
-                    "s": pa.array([sm], pa.int64()),
-                }
-            )
-        cols = {}
-        for k in keys:
-            cols[k] = (
-                g.column(k) if k in kept else pa.nulls(g.num_rows, type=key_types[k])
-            )
-        cols["n"] = g.column("n")
-        cols[sum_col] = g.column("s")
-        levels.append(pa.table(cols))
+    cols = {}
+    for k in keys:
+        cols[k] = (
+            g.column(k) if k in kept else pa.nulls(g.num_rows, type=key_types[k])
+        )
+    cols["n"] = g.column("n")
+    cols[sum_col] = g.column("s")
+    return pa.table(cols)
+
+
+def cube_aggregate(ds, keys: list[str], value_col: str):
+    """Every grouping set — SQL ``GROUP BY CUBE(k1, ..., kd)``: one row
+    per finest group plus subtotals for ALL 2^d key subsets (dropped keys
+    padded with typed nulls) down to the grand total.
+
+    Output: (*keys, ``n`` int64, ``sum_<value_col>`` int64) — the same
+    contract as `rollup_aggregate` (integral values; money through cents
+    first), whose prefix lattice this generalizes to the full subset
+    lattice.
+
+    Scale shape: identical to ROLLUP — ONE corpus pass produces the
+    finest-level partials through the bounded coalesce-tree; all 2^d - 1
+    coarser levels re-aggregate that key-combination-sized table, never
+    the corpus.  ``d`` is capped (2^d blocks of output) loudly."""
+    if not keys:
+        raise ValueError("cube_aggregate: keys must be non-empty")
+    if len(keys) > 6:
+        raise ValueError(
+            f"cube_aggregate: {len(keys)} keys = {1 << len(keys)} grouping "
+            "sets — refusing past 6 keys; use explicit grouping sets"
+        )
+    batch, key_types = _finest_key_partials(ds, keys, value_col)
+    sum_col = f"sum_{value_col}"
+    levels = []
+    d = len(keys)
+    # masks from full set down to empty, bit i ↔ keys[i]; subset order is
+    # deterministic (descending mask) so output is partition-invariant
+    for mask in range((1 << d) - 1, -1, -1):
+        kept = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        levels.append(_subtotal_level(batch, keys, kept, key_types, sum_col))
+    import ray.data as rd
+
     return rd.from_arrow(pa.concat_tables(levels))
 
 

@@ -506,3 +506,89 @@ def test_dup_ngram_hash_keys_no_structural_collisions(ray_session):
     )
     assert prof.loc[1, "dup_windows"] == 0  # the old scheme made this > 0
     assert prof.loc[3, "dup_windows"] == 1
+
+
+def _brute_containment(texts, ids, thr_num, thr_den, n=3, cap=16):
+    """Local replica: rare-shingle candidates + integer containment."""
+    from collections import defaultdict
+
+    from fever_ray.sketches.minhash import shingle_hashes
+
+    sets = {i: set(shingle_hashes(t, n=n).tolist()) for i, t in zip(ids, texts)}
+    posting = defaultdict(set)
+    for i, s in sets.items():
+        for x in s:
+            posting[x].add(i)
+    cand = set()
+    for x, docs in posting.items():
+        if 2 <= len(docs) <= cap:
+            d = sorted(docs)
+            for ai in range(len(d)):
+                for bi in range(ai + 1, len(d)):
+                    cand.add((d[ai], d[bi]))
+    out = {}
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        small = min(len(sets[a]), len(sets[b]))
+        if thr_den * inter >= thr_num * small:
+            out[(a, b)] = (inter, small)
+    return out
+
+
+def test_containment_pairs_finds_doc_in_doc(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import containment_pairs
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+        ids.append(i)
+    # doc 100 is doc 3 wrapped in heavy boilerplate: Jaccard is low
+    # (|A|/|B| ~ 0.23) but containment is 1.0
+    wrapper = " ".join(rng.choice(vocab, size=100))
+    texts.append(wrapper + " " + texts[3] + " " + wrapper)
+    ids.append(100)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ).repartition(5)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_small"])
+        for r in containment_pairs(ds, 4, 5).take_all()
+    }
+    want = _brute_containment(texts, ids, 4, 5)
+    assert got == want
+    assert (3, 100) in got  # the planted wrap is found
+    inter, small = got[(3, 100)]
+    assert inter == small  # full containment
+
+
+def test_containment_pairs_partition_invariant_and_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import containment_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(60)]
+    # clone a few docs with light edits so near-pairs exist
+    texts += [texts[i] + " extra tail tokens here" for i in range(5)]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    outs = []
+    for parts in (1, 9):
+        ds = rd.from_arrow(t).repartition(parts)
+        rows = sorted(
+            (r["doc_a"], r["doc_b"], r["n_common"], r["n_small"])
+            for r in containment_pairs(ds, 4, 5, num_partitions=16).take_all()
+        )
+        outs.append(rows)
+    assert outs[0] == outs[1] and len(outs[0]) >= 5
+    want = _brute_containment(texts, ids, 4, 5)
+    assert {(a, b): (c, s) for a, b, c, s in outs[0]} == want
+    with pytest.raises(ValueError, match="thr_num"):
+        containment_pairs(rd.from_arrow(t), 5, 4)
+    with pytest.raises(ValueError, match="rare_cap"):
+        containment_pairs(rd.from_arrow(t), 1, 2, rare_cap=1)

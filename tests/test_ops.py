@@ -650,3 +650,46 @@ def test_pivot_counts_partition_invariant(ray_session):
     ]
     assert outs[0].equals(outs[1])
     assert int(outs[0][["n_w", "n_x", "n_y", "n_z"]].sum().sum()) == 4000
+
+
+def test_cube_aggregate_full_lattice(ray_session):
+    """All 2^d grouping sets vs DuckDB GROUP BY CUBE, including a NULL
+    finest group and the degenerate empty/all-null inputs."""
+    import pyarrow as pa
+
+    from fever_ray.ops.relational import cube_aggregate
+    from tests.strict_compare import canon
+
+    cases = [
+        pa.table(
+            {
+                "a": ["x", "x", "y", "y", "y", None],
+                "b": ["p", "q", "p", "p", None, "q"],
+                "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            }
+        ),
+        pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+             "v": pa.array([], pa.int64())}
+        ),
+    ]
+    for t in cases:
+        got = cube_aggregate(
+            ray_session.data.from_arrow(t).repartition(2), keys=["a", "b"],
+            value_col="v",
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT a, b, COUNT(v) AS n, CAST(SUM(v) AS BIGINT) AS sum_v "
+            "FROM t GROUP BY CUBE(a, b)"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(canon(got), canon(want), check_exact=True)
+    with pytest.raises(ValueError, match="keys"):
+        cube_aggregate(ray_session.data.from_arrow(cases[0]), [], "v")
+    with pytest.raises(ValueError, match="grouping"):
+        cube_aggregate(
+            ray_session.data.from_arrow(cases[0]),
+            ["a", "b", "a", "b", "a", "b", "a"],
+            "v",
+        )
