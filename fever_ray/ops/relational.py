@@ -558,8 +558,14 @@ def _finest_key_partials(ds, keys: list[str], value_col: str):
     the driver — key-combination-sized by the callers' contract.  Returns
     (batch, key_types); empty input yields an empty typed table so the
     grand-total row can still be emitted."""
-    schema = ds.schema().base_schema
-    key_types = {k: schema.field(k).type for k in keys}
+    schema = ds.schema()
+    if schema is not None:
+        base = schema.base_schema
+        key_types = {k: base.field(k).type for k in keys}
+    else:
+        # an empty dataset behind a repartition reports no schema at all;
+        # the grand-total row must still exist, so pad keys as typed nulls
+        key_types = {k: pa.null() for k in keys}
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.TableGroupBy(batch.select(keys + [value_col]), keys).aggregate(
