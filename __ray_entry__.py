@@ -433,11 +433,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return unigram_logloss(docs, ref)
 
     def q_pivot_counts(sf):
-        # long -> wide activity profile: events per type per user
+        # long -> wide activity profile: events per type per user;
+        # prefix="" so the column set is data-derived on BOTH sides (the
+        # oracle is a dynamic PIVOT) — no fixed event-type domain baked in
         from fever_ray.ops.relational import pivot_counts
 
         ev = _t(sf, "events", ["user_id", "event_type"])
-        return pivot_counts(ev, "user_id", "event_type")
+        return pivot_counts(ev, "user_id", "event_type", prefix="")
 
     def q_decayed_counts(sf):
         # recency-weighted activity leaderboard: each event worth
@@ -2314,6 +2316,20 @@ def _linear_score_sql() -> str:
     )
 
 
+def _sm_list_steps(col: str) -> list[str]:
+    """The five splitmix64 finalizer stages as elementwise list_transform
+    expressions — the ONE source of truth for every list-valued splitmix
+    mirror (`_shingle_ctes` and `_minhash_verify_ctes` both chain these)."""
+    mulmod = _sql_mulmod
+    return [
+        f"list_transform({col}, x -> xor(x, x >> 30))",
+        f"list_transform({col}, y -> {mulmod('y', '13787848793156543929')})",
+        f"list_transform({col}, x -> xor(x, x >> 27))",
+        f"list_transform({col}, y -> {mulmod('y', '10723151780598845931')})",
+        f"list_transform({col}, x -> xor(x, x >> 31))",
+    ]
+
+
 def _shingle_ctes(base_docs: str) -> list:
     """CTE chain (name, body, materialized) producing per-doc DISTINCT
     position-mixed 3-token shingle hashes as CTE ``shu`` over an arbitrary
@@ -2323,15 +2339,7 @@ def _shingle_ctes(base_docs: str) -> list:
     m = "18446744073709551616"
 
     mulmod = _sql_mulmod
-
-    def sm_steps(col: str) -> list[str]:
-        return [
-            f"list_transform({col}, x -> xor(x, x >> 30))",
-            f"list_transform({col}, y -> {mulmod('y', '13787848793156543929')})",
-            f"list_transform({col}, x -> xor(x, x >> 27))",
-            f"list_transform({col}, y -> {mulmod('y', '10723151780598845931')})",
-            f"list_transform({col}, x -> xor(x, x >> 31))",
-        ]
+    sm_steps = _sm_list_steps
 
     fnv_token = _sql_fnv1a_over("t")
 
@@ -2389,15 +2397,7 @@ def _minhash_verify_ctes(base_docs: str) -> list:
     import numpy as np
 
     mulmod = _sql_mulmod
-
-    def sm_steps(col: str) -> list[str]:
-        return [
-            f"list_transform({col}, x -> xor(x, x >> 30))",
-            f"list_transform({col}, y -> {mulmod('y', '13787848793156543929')})",
-            f"list_transform({col}, x -> xor(x, x >> 27))",
-            f"list_transform({col}, y -> {mulmod('y', '10723151780598845931')})",
-            f"list_transform({col}, x -> xor(x, x >> 31))",
-        ]
+    sm_steps = _sm_list_steps
 
     salts = np.random.default_rng(1).integers(0, 2**63, size=64, dtype=np.uint64)
     salts_list = "[" + ",".join(f"CAST({int(s)} AS UBIGINT)" for s in salts) + "]"
@@ -2658,16 +2658,11 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY t.doc_id"
         ),
         "pivot_counts": (
-            # wide CASE-sum pivot; the five event types are the generator's
-            # fixed domain at every sf, so the column set is stable
-            "SELECT user_id, "
-            + ", ".join(
-                f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
-                f"AS BIGINT) AS n_{t}"
-                for t in ("click", "error", "purchase", "signup", "view")
-            )
-            + " FROM events WHERE user_id IS NOT NULL AND event_type IS "
-            "NOT NULL GROUP BY user_id"
+            # dynamic PIVOT: the column set derives from the data on both
+            # sides, so a slice missing an event type still gate-matches
+            "PIVOT (SELECT user_id, event_type FROM events WHERE user_id "
+            "IS NOT NULL AND event_type IS NOT NULL) ON event_type "
+            "USING COUNT(*) GROUP BY user_id"
         ),
         "decayed_counts": (
             # exact power-of-2 exponential decay: weight halves every 3

@@ -1190,6 +1190,11 @@ def importance_resample(
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        if ids.null_count:
+            raise ValueError(
+                f"importance_resample: {id_col} contains nulls — a null id "
+                "has no hash (NaN→uint64 is platform-defined); filter first"
+            )
         w = batch.column(weight_col)
         if isinstance(w, pa.ChunkedArray):
             w = w.combine_chunks()

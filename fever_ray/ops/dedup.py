@@ -353,6 +353,100 @@ def _blob_offsets_data(col) -> tuple[np.ndarray, np.ndarray]:
     return off // 8, data
 
 
+def _verify_pairs_with_blobs(
+    pairs, sh_ds, out_fn, num_partitions: int, broadcast_bytes: int
+):
+    """Shared candidate-pair verification core: pull each pair's two
+    shingle blobs and hand (batch, |∩|, |A|, |B|) to ``out_fn``.
+
+    Small side → CSR broadcast fast path (one ray.put of the packed blobs,
+    verification in plain map_batches — each hash join costs a
+    shuffle-actor pool spin-up that dwarfs the work on sparse candidates);
+    above ``broadcast_bytes`` → two bucketed hash joins with a materialize
+    between them (two shuffle pools inside ONE streaming execution
+    deadlock small clusters).  Shared by `verified_minhash_edges`
+    (Jaccard) and `containment_pairs` (containment) so the deadlock /
+    block-stall / packing fixes live in exactly one place."""
+    import ray
+
+    from ..core.bcast import cached_get
+
+    blob_bytes = sh_ds.size_bytes() or 0
+    if blob_bytes <= broadcast_bytes:
+        rows = sh_ds.take_all()
+        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        blobs = [np.frombuffer(rows[i]["sh"], np.uint64) for i in order]
+        ids_sorted = ids[order]
+        lens = np.array([len(b) for b in blobs], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        flat = np.concatenate(blobs) if blobs else np.zeros(0, np.uint64)
+        csr_ref = ray.put((ids_sorted, offs, flat))
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            ids_s, off, dat = cached_get(csr_ref)
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+            n = batch.num_rows
+            inter = np.zeros(n, np.int64)
+            la = np.zeros(n, np.int64)
+            lb = np.zeros(n, np.int64)
+            for i in range(n):
+                xa = dat[off[ia[i]] : off[ia[i] + 1]]
+                xb = dat[off[ib[i]] : off[ib[i] + 1]]
+                la[i], lb[i] = len(xa), len(xb)
+                inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
+            return out_fn(batch, inter, la, lb)
+
+        return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    j1 = pairs.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["sh_a" if c == "sh" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = j1.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    )
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        off_a, dat_a = _blob_offsets_data(batch.column("sh_a"))
+        off_b, dat_b = _blob_offsets_data(batch.column("sh"))
+        n = batch.num_rows
+        inter = np.zeros(n, np.int64)
+        la = np.zeros(n, np.int64)
+        lb = np.zeros(n, np.int64)
+        for i in range(n):
+            xa = dat_a[off_a[i] : off_a[i + 1]]
+            xb = dat_b[off_b[i] : off_b[i + 1]]
+            la[i], lb[i] = len(xa), len(xb)
+            inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
+        return out_fn(batch, inter, la, lb)
+
+    return j2.map_batches(verify_join, batch_format="pyarrow")
+
+
+def _jaccard_out_fn(threshold: float):
+    """Jaccard metric tail for `_verify_pairs_with_blobs`: two empty sets
+    are identical (jaccard 1.0), exactly the per-pair loop it replaced."""
+
+    def out(batch: pa.Table, inter, la, lb) -> pa.Table:
+        union = np.maximum(la + lb - inter, 1)
+        jac = np.where((la == 0) & (lb == 0), 1.0, inter / union)
+        keep = jac >= threshold
+        sel = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        return sel.append_column("jaccard", pa.array(jac[keep], pa.float64()))
+
+    return out
+
+
 def verified_minhash_edges(
     ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16,
     num_partitions: int = 16, n_parts: int | None = None,
@@ -429,81 +523,10 @@ def verified_minhash_edges(
         .materialize()
     )
 
-    # Small-side broadcast fast path: when the candidate blob table fits a
-    # worker's heap (it holds CANDIDATE docs only, never the corpus), skip
-    # both distributed joins — ray.put one CSR-packed copy of the blobs and
-    # verify pairs in a plain map_batches.  Each hash join costs its own
-    # shuffle-actor pool spin-up, which dwarfs the work when candidates are
-    # sparse (the common case on a mostly-unique corpus); the join path
-    # below remains the scale fallback and computes the identical result.
-    blob_bytes = sh_ds.size_bytes() or 0
-    if blob_bytes <= broadcast_bytes:
-        rows = sh_ds.take_all()
-        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        blobs = [np.frombuffer(rows[i]["sh"], np.uint64) for i in order]
-        ids_sorted = ids[order]
-        lens = np.array([len(b) for b in blobs], dtype=np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-        flat = np.concatenate(blobs) if blobs else np.zeros(0, np.uint64)
-        csr_ref = ray.put((ids_sorted, offs, flat))
-
-        def verify_broadcast(batch: pa.Table) -> pa.Table:
-            ids_s, off, dat = ray.get(csr_ref)
-            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            ia = np.searchsorted(ids_s, a)
-            ib = np.searchsorted(ids_s, b)
-            n = batch.num_rows
-            jac = np.zeros(n, np.float64)
-            for i in range(n):
-                xa = dat[off[ia[i]] : off[ia[i] + 1]]
-                xb = dat[off[ib[i]] : off[ib[i] + 1]]
-                if len(xa) == 0 and len(xb) == 0:
-                    jac[i] = 1.0
-                    continue
-                inter = len(np.intersect1d(xa, xb, assume_unique=True))
-                jac[i] = inter / max(len(xa) + len(xb) - inter, 1)
-            keep = jac >= threshold
-            out = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
-            return out.append_column("jaccard", pa.array(jac[keep], pa.float64()))
-
-        return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
-
-    # materialize between the two joins: each join spawns its own pool of
-    # shuffle-aggregator actors, and two pools scheduled inside ONE streaming
-    # execution deadlock on small clusters; j1 is candidate-bounded (pairs ×
-    # one blob), so the barrier is cheap
-    j1 = pairs.join(
-        sh_ds, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(
-        lambda b: b.rename_columns(["sh_a" if c == "sh" else c for c in b.column_names]),
-        batch_format="pyarrow",
-    ).materialize()
-    j2 = j1.join(
-        sh_ds, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=("doc_id",),
+    return _verify_pairs_with_blobs(
+        pairs, sh_ds, _jaccard_out_fn(threshold), num_partitions,
+        broadcast_bytes,
     )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        off_a, dat_a = _blob_offsets_data(batch.column("sh_a"))
-        off_b, dat_b = _blob_offsets_data(batch.column("sh"))
-        n = batch.num_rows
-        jac = np.zeros(n, np.float64)
-        for i in range(n):
-            a = dat_a[off_a[i] : off_a[i + 1]]
-            b = dat_b[off_b[i] : off_b[i + 1]]
-            if len(a) == 0 and len(b) == 0:
-                jac[i] = 1.0
-                continue
-            inter = len(np.intersect1d(a, b, assume_unique=True))
-            jac[i] = inter / max(len(a) + len(b) - inter, 1)
-        keep = jac >= threshold
-        out = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
-        return out.append_column("jaccard", pa.array(jac[keep], pa.float64()))
-
-    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def connected_components(edges_ds, num_partitions: int = 16, max_rounds: int = 64):
@@ -2389,74 +2412,13 @@ def containment_pairs(
         .materialize()
     )
 
-    def _containment_out(batch: pa.Table, inter, la, lb) -> pa.Table:
+    def containment_out(batch: pa.Table, inter, la, lb) -> pa.Table:
         small = np.minimum(la, lb)
         keep = tden * inter >= tnum * small
         out = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
         out = out.append_column("n_common", pa.array(inter[keep], pa.int64()))
         return out.append_column("n_small", pa.array(small[keep], pa.int64()))
 
-    blob_bytes = sh_ds.size_bytes() or 0
-    if blob_bytes <= broadcast_bytes:
-        rows = sh_ds.take_all()
-        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        blobs = [np.frombuffer(rows[i]["sh"], np.uint64) for i in order]
-        ids_sorted = ids[order]
-        lens = np.array([len(x) for x in blobs], dtype=np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-        flat = np.concatenate(blobs) if blobs else np.zeros(0, np.uint64)
-        csr_ref = ray.put((ids_sorted, offs, flat))
-
-        def verify_broadcast(batch: pa.Table) -> pa.Table:
-            ids_s, off, dat = ray.get(csr_ref)
-            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            ia = np.searchsorted(ids_s, a)
-            ib = np.searchsorted(ids_s, b)
-            n = batch.num_rows
-            inter = np.zeros(n, np.int64)
-            la = np.zeros(n, np.int64)
-            lb = np.zeros(n, np.int64)
-            for i in range(n):
-                xa = dat[off[ia[i]] : off[ia[i] + 1]]
-                xb = dat[off[ib[i]] : off[ib[i] + 1]]
-                la[i], lb[i] = len(xa), len(xb)
-                inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
-            return _containment_out(batch, inter, la, lb)
-
-        return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
-
-    # scale fallback: two bucketed hash joins pull blobs onto each pair
-    # (materialize between them — two shuffle pools in one streaming
-    # execution deadlock small clusters; see verified_minhash_edges)
-    jp = max(n_parts // 8, 8)
-    j1 = pairs.join(
-        sh_ds, join_type="inner", num_partitions=jp,
-        on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(
-        lambda b: b.rename_columns(
-            ["sh_a" if c == "sh" else c for c in b.column_names]
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    j2 = j1.join(
-        sh_ds, join_type="inner", num_partitions=jp,
-        on=("doc_b",), right_on=("doc_id",),
+    return _verify_pairs_with_blobs(
+        pairs, sh_ds, containment_out, max(n_parts // 8, 8), broadcast_bytes
     )
-
-    def verify_join(batch: pa.Table) -> pa.Table:
-        off_a, dat_a = _blob_offsets_data(batch.column("sh_a"))
-        off_b, dat_b = _blob_offsets_data(batch.column("sh"))
-        n = batch.num_rows
-        inter = np.zeros(n, np.int64)
-        la = np.zeros(n, np.int64)
-        lb = np.zeros(n, np.int64)
-        for i in range(n):
-            xa = dat_a[off_a[i] : off_a[i + 1]]
-            xb = dat_b[off_b[i] : off_b[i + 1]]
-            la[i], lb[i] = len(xa), len(xb)
-            inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
-        return _containment_out(batch, inter, la, lb)
-
-    return j2.map_batches(verify_join, batch_format="pyarrow")

@@ -701,7 +701,14 @@ def pivot_counts(
 
     from .aggregates import tree_groupby
 
-    key_type = ds.schema().base_schema.field(key_col).type
+    pschema = ds.schema()
+    # schema-less (empty-behind-repartition) inputs can only yield the
+    # bare-key empty table; null type matches _finest_key_partials' choice
+    key_type = (
+        pschema.base_schema.field(key_col).type
+        if pschema is not None
+        else pa.null()
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(

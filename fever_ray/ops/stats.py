@@ -440,7 +440,15 @@ def quantile_bucket(
     from .aggregates import tree_groupby
 
     seed = int(seed)
-    vfield = ds.schema().base_schema.field(value_col)
+    schema = ds.schema()
+    if schema is None:
+        # an empty dataset behind a repartition reports no schema at all —
+        # there is nothing to rank and no value type to preserve
+        raise ValueError(
+            "quantile_bucket: input dataset has no schema (empty behind a "
+            "repartition?) — nothing to bucket"
+        )
+    vfield = schema.base_schema.field(value_col)
     floating = pa.types.is_floating(vfield.type)
     sub_shift = np.uint64(64 - sub_bits) if sub_bits else None
 
@@ -448,6 +456,11 @@ def quantile_bucket(
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        if ids.null_count:
+            raise ValueError(
+                f"quantile_bucket: {id_col} contains nulls — a null id has "
+                "no hash (NaN→uint64 is platform-defined); filter first"
+            )
         v = batch.column(value_col)
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
@@ -545,7 +558,11 @@ def quantile_bucket(
                     "tile": pa.array([], pa.int64()),
                 }
             )
-        lk, _n = ray.get(lk_ref)
+        from ..core.bcast import cached_get
+
+        # the starts dict is pickled state (never zero-copy): deserialize
+        # once per worker process, not once per map_groups call
+        lk, _n = cached_get(lk_ref)
         idx = pc.sort_indices(
             group,
             sort_keys=[

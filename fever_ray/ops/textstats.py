@@ -958,11 +958,6 @@ def _ilog2_exact(x: np.ndarray) -> np.ndarray:
     return (np.frexp(x.astype(np.float64))[1] - 1).astype(np.int64)
 
 
-# per-process deserialized-model cache: scoring runs as stateless tasks,
-# so without this every batch would re-deserialize the broadcast dict
-_UNIGRAM_MODEL_CACHE: dict = {}
-
-
 def unigram_logloss(
     ds,
     ref_ds,
@@ -1022,6 +1017,10 @@ def unigram_logloss(
                 ),
                 ["tok"],
                 [("c", "sum")],
+                # enforce the cap INSIDE the combine tree — an unbounded
+                # token domain errors before the full vocab can reach one
+                # task or the driver
+                max_groups=max_vocab,
             ).to_arrow_refs()
         )
         if t.num_rows and t.num_columns
@@ -1044,17 +1043,11 @@ def unigram_logloss(
     model_ref = ray.put((model, oov_bits))
 
     def score(batch: pa.Table) -> pa.Table:
-        key = model_ref.hex()
-        cached = _UNIGRAM_MODEL_CACHE.get(key)
-        if cached is None:
-            cached = ray.get(model_ref)
-            # bounded FIFO, NOT clear(): two interleaved scoring pipelines
-            # sharing a worker must both stay cached or every batch pays
-            # the full model re-deserialization
-            while len(_UNIGRAM_MODEL_CACHE) >= 4:
-                _UNIGRAM_MODEL_CACHE.pop(next(iter(_UNIGRAM_MODEL_CACHE)))
-            _UNIGRAM_MODEL_CACHE[key] = cached
-        lut, oov = cached
+        from ..core.bcast import cached_get
+
+        # the model dict is pickled state (never zero-copy): one unpickle
+        # per worker process, not per batch
+        lut, oov = cached_get(model_ref)
         text = batch.column(text_col)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()

@@ -180,7 +180,9 @@ def test_unigram_logloss_guards(ray_session):
     cor = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError, match="no tokens"):
         unigram_logloss(cor, empty)
-    with pytest.raises(ValueError, match="max_vocab"):
+    # the cap now trips INSIDE the combine tree (max_groups) before any
+    # driver collection; the driver-side max_vocab check remains a backstop
+    with pytest.raises(Exception, match="max_groups|max_vocab"):
         unigram_logloss(cor, cor, max_vocab=0)
     with pytest.raises(ValueError, match="oov_penalty"):
         unigram_logloss(cor, cor, oov_penalty_bits=-1)
