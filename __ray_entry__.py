@@ -451,6 +451,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, ref_ts="2024-01-31T00:00:00", half_life_s=3 * 86400
         )
 
+    def q_quantile_bucket_approx(sf):
+        # unbounded-domain companion of quantile_bucket: KLL split points
+        # (exact order statistics below saturation), zero-shuffle annotate
+        from fever_ray.ops.curate import _token_counts
+        from fever_ray.ops.stats import quantile_bucket_approx
+
+        counts = _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: _token_counts(b, "text", "doc_id"),
+            batch_format="pyarrow",
+        )
+        return quantile_bucket_approx(counts, "n_tokens", k=8, kll_k=2048)
+
     def q_importance_resample(sf):
         # DSIR-style score-proportional keep: weight = token count, docs
         # with >= 64 tokens always survive, shorter ones thin out smoothly
@@ -1623,6 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_group_sample": q_per_group_sample,
         "group_percentiles": q_group_percentiles,
         "quantile_bucket": q_quantile_bucket,
+        "quantile_bucket_approx": q_quantile_bucket_approx,
         "importance_resample": q_importance_resample,
         "decayed_counts": q_decayed_counts,
         "pivot_counts": q_pivot_counts,
@@ -2639,6 +2652,23 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "quantile_bucket": _quantile_bucket_sql(8, 21),
         "importance_resample": _importance_resample_sql(64, 11),
+        "quantile_bucket_approx": (
+            # below-saturation KLL splits ARE exact order statistics at the
+            # "first rank >= (i/k)*n" rule; bucket = 1 + #(splits < value),
+            # duplicate split ranks (n < k corners) count individually on
+            # both sides
+            "WITH tl AS (SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE "
+            "strlen(text) - strlen(replace(text, ' ', '')) + 1 END AS "
+            "n_tokens FROM documents), "
+            "r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) "
+            "AS rn, count(*) OVER () AS n FROM tl), "
+            "sp AS (SELECT r.n_tokens AS v FROM r JOIN (SELECT "
+            "UNNEST(range(1, 8)) AS i) u ON r.rn = LEAST(GREATEST(CAST("
+            "CEIL((u.i * 1.0 / 8) * r.n) AS BIGINT), 1), r.n)) "
+            "SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(1 + (SELECT COUNT(*) FROM sp WHERE sp.v < t.n_tokens) "
+            "AS BIGINT) AS bucket FROM tl t"
+        ),
         "unigram_logloss": (
             # integer-bits unigram surprise: ilog2(x) = strlen(bin(x))-1
             # mirrors the engine's frexp exponent exactly; OOV tokens cost

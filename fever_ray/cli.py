@@ -358,6 +358,56 @@ def cmd_curate(args) -> int:
             return b.filter(keep)
 
         ds = ds.map_batches(scrub_dupwin, batch_format="pyarrow")
+    if args.max_bits_per_token is not None:
+        # CCNet-style LM-perplexity gate in exact integer bits: drop pages
+        # whose unigram surprise exceeds B bits/token under the reference
+        # model (--lm-ref corpus, defaulting to the corpus itself — "does
+        # this page look like the rest of the crawl").  Integer compare
+        # bits > B·n_tokens, no float ratio.
+        import pyarrow as pa
+        import ray
+
+        from .ops.textstats import unigram_logloss
+
+        bmax = int(args.max_bits_per_token)
+        ds = ds.materialize()  # scoring + scrub both consume the chain
+        ref = (
+            rd.read_parquet(args.lm_ref, columns=["text"])
+            if args.lm_ref
+            else ds
+        )
+        scores = unigram_logloss(ds, ref, id_col="url")
+
+        def bad_urls_lm(b: "pa.Table") -> "pa.Table":
+            bits = b.column("bits").to_numpy(zero_copy_only=False)
+            nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(bits > bmax * nt)).select(["url"])
+
+        badlm = scores.map_batches(
+            bad_urls_lm, batch_format="pyarrow"
+        ).materialize()
+        tabs = [
+            t
+            for t in ray.get(badlm.to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+        badlm_arr = (
+            pa.concat_tables(tabs).column("url").combine_chunks()
+            if tabs
+            else pa.array([], pa.string())
+        )
+        badlm_ref = ray.put(badlm_arr)
+
+        def scrub_lm(b: "pa.Table") -> "pa.Table":
+            ba = ray.get(badlm_ref)
+            if not len(ba) or not b.num_rows:
+                return b
+            keep = pc.invert(pc.is_in(b.column("url"), value_set=ba))
+            if isinstance(keep, pa.ChunkedArray):
+                keep = keep.combine_chunks()
+            return b.filter(keep)
+
+        ds = ds.map_batches(scrub_lm, batch_format="pyarrow")
     ds = curation_filter(
         ds,
         min_tokens=args.min_tokens,
@@ -579,6 +629,13 @@ def main(argv=None) -> int:
                      help="REMOVE every token covered by a corpus-duplicated "
                           "N-token window (exact substring dedup action) "
                           "instead of dropping whole pages")
+    pc_.add_argument("--max-bits-per-token", dest="max_bits_per_token",
+                     type=int,
+                     help="drop pages whose unigram LM surprise exceeds B "
+                          "bits/token (integer compare, exact)")
+    pc_.add_argument("--lm-ref", dest="lm_ref",
+                     help="reference corpus (parquet dir) for the LM gate; "
+                          "defaults to the input corpus itself")
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
 

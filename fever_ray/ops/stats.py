@@ -601,3 +601,86 @@ def quantile_bucket(
         )
 
     return skinny.groupby("part").map_groups(rank_part, batch_format="pyarrow")
+
+
+def quantile_bucket_approx(
+    ds,
+    value_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    kll_k: int = 2048,
+):
+    """Approximate k-bucket quantile annotate for UNBOUNDED value domains —
+    the scale companion of `quantile_bucket`, which requires a bounded
+    (value × salt) cell budget.  Two passes, neither shuffles:
+
+    1. one mergeable-KLL pass learns the k−1 split points (KB partials,
+       coalesce-tree merge); below the sketch's saturation point the
+       splits are EXACT order statistics (value at the first rank
+       ≥ (i/k)·n — what the SQL oracle computes at gate scale), above it
+       they carry KLL's published rank-error bound, the right trade at
+       10^12 rows where a ±ε-rank boundary is indistinguishable in effect;
+    2. the split array rides the closure into a plain map_batches
+       annotate: bucket = 1 + #(splits < value) (ties land in the FIRST
+       bucket whose split equals the value — deterministic).
+
+    Unlike exact NTILE, bucket POPULATIONS are only approximately n/k
+    (equal values cannot be split across buckets, and split error adds at
+    saturation); what is guaranteed is that the assignment is a pure
+    function of (value, learned splits).  Values must be numeric and
+    below 2^53 in magnitude (split comparison happens in float64 — the
+    KLL's own value domain); nulls/NaNs are rejected loudly."""
+    if k < 1:
+        raise ValueError(f"quantile_bucket_approx: k must be >= 1, got {k}")
+    from ..core.udaf import SketchSpec, build_sketches
+
+    schema = ds.schema()
+    if schema is None:
+        raise ValueError(
+            "quantile_bucket_approx: input dataset has no schema (empty "
+            "behind a repartition?) — nothing to bucket"
+        )
+    vtype = schema.base_schema.field(value_col).type
+    floating = pa.types.is_floating(vtype)
+
+    spec = SketchSpec(
+        name="qb", kind="kll", column=value_col,
+        params={"k": kll_k}, value_kind="float",
+    )
+    sk = build_sketches(ds, [spec])["qb"]
+    if sk.n == 0:
+        splits = np.zeros(0, np.float64)
+    else:
+        splits = np.array(
+            [sk.quantile(i / k) for i in range(1, k)], dtype=np.float64
+        )
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            raise ValueError(
+                f"quantile_bucket_approx: {value_col} contains nulls — "
+                "filter or fill first"
+            )
+        vals = v.to_numpy(zero_copy_only=False)
+        if floating and np.isnan(vals).any():
+            raise ValueError(
+                f"quantile_bucket_approx: {value_col} contains NaNs — "
+                "filter first"
+            )
+        vf = vals.astype(np.float64)
+        bucket = np.searchsorted(splits, vf, side="left") + 1
+        return pa.table(
+            {
+                id_col: ids,
+                value_col: v,
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)

@@ -286,3 +286,62 @@ def test_quantile_bucket_cell_budget_trips_inside_tree(ray_session):
         ).materialize()
     with pytest.raises(ValueError, match="n_parts"):
         quantile_bucket(rd.from_arrow(t), "v", k=4, n_parts=0)
+
+
+def test_quantile_bucket_approx_below_saturation_is_exact(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import quantile_bucket_approx
+
+    rng = np.random.default_rng(11)
+    n = 900  # < kll_k: splits are exact order statistics
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 200, n)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": ids, "v": pa.array(vals, pa.int64())})
+    ).repartition(6)
+    k = 7
+    out = (
+        quantile_bucket_approx(ds, "v", k=k, kll_k=2048)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # local replica of the below-saturation rule
+    sv = np.sort(vals)
+    splits = np.array(
+        [sv[max(int(np.ceil((i / k) * n)), 1) - 1] for i in range(1, k)],
+        dtype=np.float64,
+    )
+    want = np.searchsorted(splits, vals.astype(np.float64), side="left") + 1
+    np.testing.assert_array_equal(out["bucket"].to_numpy(), want)
+    np.testing.assert_array_equal(out["v"].to_numpy(), vals)
+    assert out["bucket"].min() >= 1 and out["bucket"].max() <= k
+    # buckets are monotone in value
+    srt = out.sort_values(["v", "doc_id"])
+    assert (np.diff(srt["bucket"].to_numpy()) >= 0).all()
+
+
+def test_quantile_bucket_approx_partition_invariant_and_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import quantile_bucket_approx
+
+    ids = np.arange(300, dtype=np.int64)
+    vals = (ids * 13 % 37).astype(np.float64)
+    t = pa.table({"doc_id": ids, "v": vals})
+    outs = [
+        quantile_bucket_approx(rd.from_arrow(t).repartition(p), "v", k=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        for p in (1, 11)
+    ]
+    assert outs[0].equals(outs[1])
+    with pytest.raises(ValueError, match="k must be"):
+        quantile_bucket_approx(rd.from_arrow(t), "v", k=0)
+    tn = pa.table({"doc_id": [1], "v": pa.array([float("nan")])})
+    with pytest.raises(Exception, match="NaN"):
+        quantile_bucket_approx(
+            rd.from_arrow(tn), "v", k=2
+        ).materialize()
