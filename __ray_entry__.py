@@ -1502,6 +1502,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_col="n_chars",
         )
 
+    def q_melt(sf):
+        # wide -> long unpivot of the lineitem money columns (values pass
+        # through untouched — bit-exact by construction)
+        li = _t(
+            sf,
+            "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+             "l_discount", "l_tax"],
+        )
+        return rel.melt(
+            li,
+            id_cols=["l_orderkey", "l_linenumber"],
+            value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+
     def q_cube_aggregate(sf):
         return rel.cube_aggregate(
             _t(sf, "documents", ["lang", "source", "n_chars"]),
@@ -1707,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
         "cube_aggregate": q_cube_aggregate,
+        "melt": q_melt,
         "group_mode": q_group_mode,
         "asof_join": q_asof_join,
     }
@@ -3155,6 +3171,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, COUNT(n_chars) AS n, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "melt": (
+            "UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, "
+            "l_extendedprice, l_discount, l_tax FROM lineitem) "
+            "ON l_quantity, l_extendedprice, l_discount, l_tax "
+            "INTO NAME variable VALUE value"
         ),
         # histogram-rank: competition ranking (ties share a rank) — SQL RANK
         "group_value_rank": (

@@ -765,3 +765,49 @@ def pivot_counts(
 
     # tree_groupby ends in one small batch (bounded key × pivot domain)
     return pairs.map_batches(reshape, batch_format="pyarrow", batch_size=None)
+
+
+def melt(
+    ds,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    val_col: str = "value",
+):
+    """Wide → long reshape (SQL UNPIVOT, pandas melt): one output row per
+    (input row × value column), carrying ``id_cols``, the source column's
+    name in ``var_col``, and its value in ``val_col`` — the inverse of
+    `pivot_counts` and the standard prep for per-metric grouped analysis.
+
+    All ``value_cols`` must share one Arrow type (silent casts would
+    corrupt exact integer/decimal semantics — cast explicitly first).
+    Values pass through untouched, so downstream hashes/compares see the
+    original bits.
+
+    Scale shape: embarrassingly parallel — each batch emits its own long
+    block (one zero-copy column slice per value column, the variable
+    name as a dictionary broadcast); no shuffle, no driver state, output
+    is |value_cols| × input rows streamed."""
+    if not value_cols:
+        raise ValueError("melt: value_cols must be non-empty")
+    import numpy as np
+
+    def long_form(batch: pa.Table) -> pa.Table:
+        vtypes = {str(batch.schema.field(c).type) for c in value_cols}
+        if len(vtypes) > 1:
+            raise ValueError(
+                f"melt: value_cols mix types {sorted(vtypes)} — cast to a "
+                "common type first"
+            )
+        n = batch.num_rows
+        blocks = []
+        for c in value_cols:
+            cols = {k: batch.column(k) for k in id_cols}
+            cols[var_col] = pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, np.int32)), pa.array([c])
+            ).cast(pa.string())
+            cols[val_col] = batch.column(c)
+            blocks.append(pa.table(cols))
+        return pa.concat_tables(blocks)
+
+    return ds.map_batches(long_form, batch_format="pyarrow", zero_copy_batch=True)

@@ -693,3 +693,34 @@ def test_cube_aggregate_full_lattice(ray_session):
             ["a", "b", "a", "b", "a", "b", "a"],
             "v",
         )
+
+
+def test_melt_roundtrip_and_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import melt
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "a": pa.array([10, 20], pa.int64()),
+            "b": pa.array([30, 40], pa.int64()),
+        }
+    )
+    out = (
+        melt(rd.from_arrow(t).repartition(2), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["id", "variable", "value"]
+    assert out.values.tolist() == [
+        [1, "a", 10], [1, "b", 30], [2, "a", 20], [2, "b", 40]
+    ]
+    mixed = pa.table(
+        {"id": [1], "a": pa.array([1], pa.int64()), "b": pa.array([1.0])}
+    )
+    with pytest.raises(Exception, match="mix types"):
+        melt(rd.from_arrow(mixed), ["id"], ["a", "b"]).materialize()
+    with pytest.raises(ValueError, match="value_cols"):
+        melt(rd.from_arrow(t), ["id"], [])
