@@ -891,6 +891,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return containment_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_triangle_counts(sf):
+        # deterministic chain+skip graph over the event user ids: edges
+        # (u-1, u) when u%10 != 0 and (u-2, u) when u%10 >= 2, so each
+        # consecutive triple inside a run of 10 closes a triangle
+        from fever_ray.ops.graph import triangle_counts
+
+        def edges(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            a1 = u[u % 10 != 0]
+            a2 = u[u % 10 >= 2]
+            return pa.table(
+                {
+                    "src": pa.array(
+                        np.concatenate([a1 - 1, a2 - 2]), pa.int64()
+                    ),
+                    "dst": pa.array(np.concatenate([a1, a2]), pa.int64()),
+                }
+            )
+
+        ev = _t(sf, "events", ["user_id"]).map_batches(
+            edges, batch_format="pyarrow"
+        )
+        return triangle_counts(ev)
+
     def q_simhash_pairs(sf):
         return simhash_near_dup_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
@@ -1688,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
         "containment_pairs": q_containment_pairs,
+        "triangle_counts": q_triangle_counts,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "knn_bruteforce": q_knn_bruteforce,
@@ -2983,6 +3008,19 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _simhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
+        "triangle_counts": (
+            # canonical a<b edges; each triangle (x<y<z) found once via
+            # the two-wedge + closing-edge join, then credits all corners
+            "WITH un AS (SELECT DISTINCT user_id AS u FROM events), "
+            "e AS (SELECT u - 1 AS a, u AS b FROM un WHERE u % 10 <> 0 "
+            "UNION SELECT u - 2 AS a, u AS b FROM un WHERE u % 10 >= 2), "
+            "tri AS (SELECT t1.a AS x, t1.b AS y, t2.b AS z FROM e t1 "
+            "JOIN e t2 ON t2.a = t1.b JOIN e t3 ON t3.a = t1.a AND "
+            "t3.b = t2.b) "
+            "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ("
+            "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri) GROUP BY node"
+        ),
         # SimHash near-dup pairs: all-pairs over the SQL-mirrored simhash —
         # pairs share ≥1 of the 4 16-bit bands AND hamming ≤ 3 (bit_count of
         # the two's-complement xor is bitwise-identical to the uint64 view)

@@ -94,3 +94,96 @@ def test_pagerank_empty(ray_session):
         iterations=2,
     )
     assert out.num_rows == 0
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by brute force over canonical edges."""
+    from itertools import combinations
+
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            if c > b:  # count each triangle once (a < b < c ordering)
+                for v in (a, b, c):
+                    out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(9)
+    n_nodes = 60
+    m = 420
+    a = rng.integers(0, n_nodes, m)
+    b = rng.integers(0, n_nodes, m)
+    # duplicates, reversed duplicates and self-loops included on purpose
+    t = pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b[:50]]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a[:50]]), pa.int64()),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            {
+                r["node"]: r["n_triangles"]
+                for r in triangle_counts(ds, num_partitions=8).take_all()
+            }
+        )
+    want = _brute_triangles(zip(a.tolist() + b[:50].tolist(),
+                                b.tolist() + a[:50].tolist()))
+    assert outs[0] == want
+    assert outs[0] == outs[1]
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
+
+
+def test_triangle_counts_edges_and_guard(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.graph import triangle_counts
+
+    # one explicit triangle + a dangling edge + a self loop
+    t = pa.table(
+        {
+            "src": pa.array([1, 2, 1, 3, 4], pa.int64()),
+            "dst": pa.array([2, 3, 3, 4, 4], pa.int64()),
+        }
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(rd.from_arrow(t)).take_all()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+    # a 40-star around node 0 with all spokes interconnected would need
+    # out-degree 39 somewhere; cap 4 must trip loudly
+    hub = pa.table(
+        {
+            "src": pa.array(np.repeat(0, 40), pa.int64()),
+            "dst": pa.array(np.arange(1, 41), pa.int64()),
+        }
+    )
+    full = pa.concat_tables(
+        [
+            hub,
+            pa.table(
+                {
+                    "src": pa.array(np.repeat(np.arange(1, 41), 40), pa.int64()),
+                    "dst": pa.array(np.tile(np.arange(1, 41), 40), pa.int64()),
+                }
+            ),
+        ]
+    )
+    with pytest.raises(Exception, match="out-degree"):
+        triangle_counts(
+            rd.from_arrow(full), max_out_degree=4
+        ).materialize()
