@@ -441,6 +441,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _t(sf, "events", ["user_id", "event_type"])
         return pivot_counts(ev, "user_id", "event_type", prefix="")
 
+    def q_transition_counts(sf):
+        # per-user Markov step matrix: consecutive event-type pairs in
+        # (ts, event_id) order
+        from fever_ray.ops.windows import transition_counts
+
+        ev = _t(sf, "events", ["event_id", "user_id", "ts", "event_type"])
+        return transition_counts(ev)
+
     def q_decayed_counts(sf):
         # recency-weighted activity leaderboard: each event worth
         # 2^(40 - age/3d) — exact power-of-2 decay, no float drift
@@ -1677,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bucket_approx": q_quantile_bucket_approx,
         "importance_resample": q_importance_resample,
         "decayed_counts": q_decayed_counts,
+        "transition_counts": q_transition_counts,
         "pivot_counts": q_pivot_counts,
         "unigram_logloss": q_unigram_logloss,
         "normalize_urls": q_normalize_urls,
@@ -2734,6 +2743,15 @@ def oracle_sql() -> dict[str, str]:
             "PIVOT (SELECT user_id, event_type FROM events WHERE user_id "
             "IS NOT NULL AND event_type IS NOT NULL) ON event_type "
             "USING COUNT(*) GROUP BY user_id"
+        ),
+        "transition_counts": (
+            "WITH o AS (SELECT user_id, event_type, LEAD(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM "
+            "events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND "
+            "event_type IS NOT NULL) "
+            "SELECT event_type AS from_type, nxt AS to_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM o WHERE nxt IS NOT NULL "
+            "GROUP BY event_type, nxt"
         ),
         "decayed_counts": (
             # exact power-of-2 exponential decay: weight halves every 3

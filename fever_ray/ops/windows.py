@@ -768,3 +768,101 @@ def decayed_counts(
 
     # tree_groupby already ends in a single small batch (bounded keys)
     return scores.map_batches(rank, batch_format="pyarrow", batch_size=None)
+
+
+def transition_counts(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Markov transition matrix over per-key event sequences: for every
+    key, order events by (ts, id) and count each consecutive
+    (from_type → to_type) step — the user-journey / session-flow
+    analytics every event pipeline wants (SQL: LEAD() OVER (PARTITION BY
+    key ORDER BY ts, id) + groupby).
+
+    Output rows: (``from_type``, ``to_type``, ``n`` int64).  The (ts, id)
+    composite order makes simultaneous events deterministic; transitions
+    never cross keys.  Null key/ts/type rows are skipped (the sketch-build
+    null contract).
+
+    Scale shape: ONE key-hash coarse-bucket shuffle of skinny (key, ts,
+    id, type) rows (`running_totals`' budget); inside a bucket one lexsort
+    + boundary mask finds every key's consecutive pairs at once, and the
+    (from, to) pairs pre-aggregate per bucket before the bounded
+    (|types|²) coalesce-tree sum."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+    from .dedup import _auto_parts
+
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([id_col, key, ts_col, type_col])
+        narrow = narrow.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(narrow.column(key)),
+                    pc.is_valid(narrow.column(ts_col)),
+                ),
+                pc.is_valid(narrow.column(type_col)),
+            )
+        )
+        return narrow.append_column(
+            "bucket", pa.array(bucket_of(narrow.column(key), n_parts), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2 or g.num_columns == 0:
+            return empty
+        keys = g.column(key)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kenc = keys.dictionary_encode()
+        kc = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        ev = pc.cast(g.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        types = g.column(type_col)
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        tenc = types.dictionary_encode()
+        tdic = tenc.dictionary
+        tc = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ev, ts, kc))
+        kc, tc = kc[order], tc[order]
+        same_key = kc[1:] == kc[:-1]
+        if not same_key.any():
+            return empty
+        frm = tc[:-1][same_key]
+        to = tc[1:][same_key]
+        # pre-aggregate per bucket: the exchange carries |types|² rows max
+        pair = frm * np.int64(len(tdic)) + to
+        uk, uc = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "from_type": tdic.take(
+                    pa.array((uk // len(tdic)).astype(np.int64))
+                ).cast(pa.string()),
+                "to_type": tdic.take(
+                    pa.array((uk % len(tdic)).astype(np.int64))
+                ).cast(pa.string()),
+                "n": pa.array(uc, pa.int64()),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_groupby(partials, ["from_type", "to_type"], [("n", "sum")])

@@ -327,3 +327,65 @@ def test_decayed_counts_overflow_guard(ray_session):
         decayed_counts(
             rd.from_arrow(t), ref_ts="1970-01-01T00:00:10", k_bits=62
         ).materialize()
+
+
+def test_transition_counts_exact_vs_local(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import transition_counts
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(0, 10_000, n) * 1_000_000
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(types),
+        }
+    )
+    outs = []
+    for parts in (1, 8):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            {
+                (r["from_type"], r["to_type"]): r["n"]
+                for r in transition_counts(ds, num_partitions=8).take_all()
+            }
+        )
+    # local replica: sort by (user, ts, id), count adjacent same-user pairs
+    order = np.lexsort((eid, ts, users))
+    us, tys = users[order], types[order]
+    want = {}
+    for i in range(n - 1):
+        if us[i] == us[i + 1]:
+            k = (tys[i], tys[i + 1])
+            want[k] = want.get(k, 0) + 1
+    assert outs[0] == want
+    assert outs[0] == outs[1]
+    assert sum(want.values()) == n - len(np.unique(users))
+
+
+def test_transition_counts_nulls_and_single_events(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import transition_counts
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, None, 8, 9], pa.int64()),
+            "ts": pa.array([0, 1_000_000, 2_000_000, None, 4_000_000],
+                           pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(["x", "y", "x", "x", None]),
+        }
+    )
+    out = transition_counts(rd.from_arrow(t)).take_all()
+    # only user 7 has two valid events; null key/ts/type rows skip
+    assert [(r["from_type"], r["to_type"], r["n"]) for r in out] == [
+        ("x", "y", 1)
+    ]
