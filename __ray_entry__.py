@@ -1587,6 +1587,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "events", ["event_id", "ts", "user_id", "value"])
         )
 
+    def q_rolling_window_sum(sf):
+        from fever_ray.ops.windows import rolling_window_sum
+
+        return rolling_window_sum(
+            _t(sf, "events", ["event_id", "ts", "user_id", "value"]),
+            window_rows=5,
+        )
+
     def q_asof_join(sf):
         from fever_ray.ops.windows import asof_join
 
@@ -1751,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "running_totals": q_running_totals,
+        "rolling_window_sum": q_rolling_window_sum,
         "group_top_k": q_group_top_k,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
@@ -3304,6 +3313,14 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
             "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "rolling_window_sum": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)"
+            "/100 AS win_sum, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS win_n "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         ),
         "asof_join": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS r_ts_copy "

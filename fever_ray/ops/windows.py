@@ -866,3 +866,97 @@ def transition_counts(
         .map_groups(per_bucket, batch_format="pyarrow")
     )
     return tree_groupby(partials, ["from_type", "to_type"], [("n", "sum")])
+
+
+def rolling_window_sum(
+    events_ds,
+    window_rows: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Moving-window aggregate — SQL ``SUM(v) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS BETWEEN W-1 PRECEDING AND CURRENT ROW)`` plus the
+    matching COUNT: every row carries the sum/count of its key's last
+    ``window_rows`` events, the smoothing / burst-detection primitive
+    (`running_totals`' cumulative form bounded to a sliding tail).
+
+    Exact integer cents internally (prefix-sum DIFFERENCES, so the moving
+    sum is order-independent and bit-stable); one final division emits
+    float64.  Output rows == input rows.
+
+    Scale shape: identical to `running_totals` — ONE key-hash
+    coarse-bucket shuffle, one lexsort + prefix sum per bucket; the
+    window bound costs one extra vectorized subtraction (cs[i] −
+    cs[i−W]), not a second pass."""
+    if window_rows < 1:
+        raise ValueError(
+            f"rolling_window_sum: window_rows must be >= 1, got {window_rows}"
+        )
+    from ..sketches.hashing import bucket_of
+    from .dedup import _auto_parts
+
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+    id_type = base_schema.field(id_col).type
+    W = int(window_rows)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([id_col, key, ts_col, value_col])
+        return narrow.append_column(
+            "bucket", pa.array(bucket_of(batch.column(key), n_parts), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    key: pa.array([], key_type),
+                    ts_col: pa.array([], pa.timestamp("us")),
+                    "win_sum": pa.array([], pa.float64()),
+                    "win_n": pa.array([], pa.int64()),
+                }
+            )
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(g.column(value_col)).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, kcodes))
+        kO, tO, iO, cO = kcodes[order], ts[order], ids[order], cents[order]
+        n = len(order)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        np.not_equal(kO[1:], kO[:-1], out=starts[1:])
+        run_start = np.flatnonzero(starts)
+        run_len = np.diff(np.append(run_start, n))
+        rs_rep = np.repeat(run_start, run_len)
+        pos = np.arange(n, dtype=np.int64)
+        # window start index: the later of (run start, i - W + 1)
+        wstart = np.maximum(rs_rep, pos - np.int64(W - 1))
+        cs = np.concatenate(([np.int64(0)], np.cumsum(cO)))
+        win_sum_c = cs[pos + 1] - cs[wstart]
+        win_n = pos + 1 - wstart
+        return pa.table(
+            {
+                id_col: pa.array(iO),
+                key: kc.take(pa.array(order, pa.int64())),
+                ts_col: pa.array(tO, pa.int64()).cast(pa.timestamp("us")),
+                "win_sum": pa.array(
+                    win_sum_c.astype(np.float64) / 100.0, pa.float64()
+                ),
+                "win_n": pa.array(win_n, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -389,3 +389,49 @@ def test_transition_counts_nulls_and_single_events(ray_session):
     assert [(r["from_type"], r["to_type"], r["n"]) for r in out] == [
         ("x", "y", 1)
     ]
+
+
+def test_rolling_window_sum_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import rolling_window_sum
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    users = rng.integers(0, 25, n)
+    ts = rng.integers(0, 5_000, n) * 1_000_000
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    outs = []
+    for parts in (1, 9):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            {
+                r["event_id"]: (r["win_sum"], r["win_n"])
+                for r in rolling_window_sum(
+                    ds, window_rows=4, num_partitions=8
+                ).take_all()
+            }
+        )
+    assert outs[0] == outs[1] and len(outs[0]) == n
+    # brute force in integer cents
+    cents = np.round(vals * 100).astype(np.int64)
+    order = np.lexsort((eid, ts, users))
+    by_user: dict = {}
+    want = {}
+    for i in order:
+        hist = by_user.setdefault(users[i], [])
+        hist.append(cents[i])
+        w = hist[-4:]
+        want[int(eid[i])] = (sum(w) / 100.0, len(w))
+    assert outs[0] == want
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_window_sum(rd.from_arrow(t), window_rows=0)
