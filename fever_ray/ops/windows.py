@@ -563,6 +563,66 @@ def interval_join(
     )
 
 
+def _window_tag_fn(key, ts_col, id_col, value_col, n_parts, op: str):
+    """Shared projection+bucket stage of the per-key window ops
+    (`running_totals`, `rolling_window_sum`): narrow to the four columns,
+    validate loudly, append the key-hash bucket.
+
+    Guards (shared so the two bit-identity-critical kernels cannot
+    drift): ``ts_col`` must be timestamp[us] (the int64 cast downstream
+    re-emits us-epoch — any other unit would silently scale timestamps),
+    and key/ts/value/id must be null-free — SQL's window null semantics
+    (SUM skips NULL values but COUNT(*) doesn't; NULL keys form ONE
+    partition) are not what NaN-poisoned cumsums produce, so a null here
+    is a silent-divergence bug, not data."""
+    from ..sketches.hashing import bucket_of
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([id_col, key, ts_col, value_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"{op}: {ts_col} must be timestamp[us], got {tst} — cast "
+                "first (the kernel re-emits us-epoch)"
+            )
+        for c in (key, ts_col, value_col, id_col):
+            if narrow.column(c).null_count:
+                raise ValueError(
+                    f"{op}: {c} contains nulls — SQL window null semantics "
+                    "(SUM skips NULL, NULL keys form one partition) are "
+                    "not mirrored by the vectorized kernel; filter or "
+                    "fill first"
+                )
+        return narrow.append_column(
+            "bucket", pa.array(bucket_of(batch.column(key), n_parts), pa.int32())
+        )
+
+    return tag
+
+
+def _sorted_key_runs(g: pa.Table, key, ts_col, id_col, value_col):
+    """Shared per-bucket prelude: sort rows by (key, ts, id) — dictionary
+    codes give lexsort an integer key column even for string keys — and
+    detect key-run boundaries.  Returns (kc, order, tO, iO, cO,
+    run_start, run_len); cents cO come from the shared `_cents` map."""
+    ids = g.column(id_col).to_numpy(zero_copy_only=False)
+    kc = g.column(key)
+    if isinstance(kc, pa.ChunkedArray):
+        kc = kc.combine_chunks()
+    kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+    cents = _cents(g.column(value_col)).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ts, kcodes))
+    kO, tO, iO, cO = kcodes[order], ts[order], ids[order], cents[order]
+    n = len(order)
+    starts = np.empty(n, dtype=bool)
+    starts[0] = True
+    np.not_equal(kO[1:], kO[:-1], out=starts[1:])
+    run_start = np.flatnonzero(starts)
+    run_len = np.diff(np.append(run_start, n))
+    return kc, order, tO, iO, cO, run_start, run_len
+
+
 def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
                    value_col: str = "value", id_col: str = "event_id",
                    num_partitions: int | None = None):
@@ -590,19 +650,14 @@ def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
     fits a worker — P scales with input blocks.  Output rows == input rows,
     streamed back out; nothing materializes on the driver.
     """
-    from ..sketches.hashing import bucket_of
     from .dedup import _auto_parts
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
     base_schema = events_ds.schema().base_schema
     key_type = base_schema.field(key).type
     id_type = base_schema.field(id_col).type
-
-    def tag(batch: pa.Table) -> pa.Table:
-        narrow = batch.select([id_col, key, ts_col, value_col])
-        return narrow.append_column(
-            "bucket", pa.array(bucket_of(batch.column(key), n_parts), pa.int32())
-        )
+    tag = _window_tag_fn(key, ts_col, id_col, value_col, n_parts,
+                         "running_totals")
 
     def per_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or g.num_columns == 0:
@@ -617,27 +672,16 @@ def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
                     "gap_us": pa.array([], pa.int64()),
                 }
             )
-        ids = g.column(id_col).to_numpy(zero_copy_only=False)
-        kc = g.column(key)
-        if isinstance(kc, pa.ChunkedArray):
-            kc = kc.combine_chunks()
-        # sort by (key, ts, id): dictionary codes give lexsort an integer
-        # key column even for string keys
-        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
-        cents = _cents(g.column(value_col)).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts, kcodes))
-        kO, tO, iO, cO = kcodes[order], ts[order], ids[order], cents[order]
+        kc, order, tO, iO, cO, run_start, run_len = _sorted_key_runs(
+            g, key, ts_col, id_col, value_col
+        )
         n = len(order)
-        starts = np.empty(n, dtype=bool)
-        starts[0] = True
-        np.not_equal(kO[1:], kO[:-1], out=starts[1:])
-        run_start = np.flatnonzero(starts)
-        run_len = np.diff(np.append(run_start, n))
         cs = np.cumsum(cO)
         prev = np.where(run_start > 0, cs[run_start - 1], 0)
         run_sum_c = cs - np.repeat(prev, run_len)
         rn = np.arange(n, dtype=np.int64) - np.repeat(run_start, run_len) + 1
+        starts = np.zeros(n, dtype=bool)
+        starts[run_start] = True
         gap = np.empty(n, dtype=np.int64)
         gap[0] = -1
         np.subtract(tO[1:], tO[:-1], out=gap[1:])
@@ -895,7 +939,6 @@ def rolling_window_sum(
         raise ValueError(
             f"rolling_window_sum: window_rows must be >= 1, got {window_rows}"
         )
-    from ..sketches.hashing import bucket_of
     from .dedup import _auto_parts
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
@@ -903,12 +946,8 @@ def rolling_window_sum(
     key_type = base_schema.field(key).type
     id_type = base_schema.field(id_col).type
     W = int(window_rows)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        narrow = batch.select([id_col, key, ts_col, value_col])
-        return narrow.append_column(
-            "bucket", pa.array(bucket_of(batch.column(key), n_parts), pa.int32())
-        )
+    tag = _window_tag_fn(key, ts_col, id_col, value_col, n_parts,
+                         "rolling_window_sum")
 
     def per_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or g.num_columns == 0:
@@ -916,26 +955,16 @@ def rolling_window_sum(
                 {
                     id_col: pa.array([], id_type),
                     key: pa.array([], key_type),
+                    # ts re-emitted as us-epoch (the tag guard pinned [us])
                     ts_col: pa.array([], pa.timestamp("us")),
                     "win_sum": pa.array([], pa.float64()),
                     "win_n": pa.array([], pa.int64()),
                 }
             )
-        ids = g.column(id_col).to_numpy(zero_copy_only=False)
-        kc = g.column(key)
-        if isinstance(kc, pa.ChunkedArray):
-            kc = kc.combine_chunks()
-        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
-        cents = _cents(g.column(value_col)).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts, kcodes))
-        kO, tO, iO, cO = kcodes[order], ts[order], ids[order], cents[order]
+        kc, order, tO, iO, cO, run_start, run_len = _sorted_key_runs(
+            g, key, ts_col, id_col, value_col
+        )
         n = len(order)
-        starts = np.empty(n, dtype=bool)
-        starts[0] = True
-        np.not_equal(kO[1:], kO[:-1], out=starts[1:])
-        run_start = np.flatnonzero(starts)
-        run_len = np.diff(np.append(run_start, n))
         rs_rep = np.repeat(run_start, run_len)
         pos = np.arange(n, dtype=np.int64)
         # window start index: the later of (run start, i - W + 1)

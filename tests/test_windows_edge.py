@@ -435,3 +435,32 @@ def test_rolling_window_sum_vs_bruteforce(ray_session):
     assert outs[0] == want
     with pytest.raises(ValueError, match="window_rows"):
         rolling_window_sum(rd.from_arrow(t), window_rows=0)
+
+
+def test_window_ops_reject_nulls_and_wrong_ts_unit(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import rolling_window_sum, running_totals
+
+    tnull = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([1, None], pa.int64()),
+            "ts": pa.array([0, 1], pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0]),
+        }
+    )
+    for op in (running_totals, rolling_window_sum):
+        kwargs = {"window_rows": 3} if op is rolling_window_sum else {}
+        with pytest.raises(Exception, match="nulls"):
+            op(rd.from_arrow(tnull), **kwargs).materialize()
+    tms = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([0], pa.int64()).cast(pa.timestamp("ms")),
+            "value": pa.array([1.0]),
+        }
+    )
+    with pytest.raises(Exception, match="timestamp"):
+        running_totals(rd.from_arrow(tms)).materialize()
