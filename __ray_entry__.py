@@ -1587,6 +1587,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "events", ["event_id", "ts", "user_id", "value"])
         )
 
+    def q_token_budget_mix(sf):
+        # DoReMi-style token recipe: 3:1:2 across three sources by TOKENS,
+        # every other source dropped
+        from fever_ray.ops.trainprep import token_budget_mix
+
+        return token_budget_mix(
+            _t(sf, "documents", ["doc_id", "source", "text"]),
+            weights={"src0": 3, "src1": 1, "src3": 2},
+            budget=6000,
+            seed=29,
+        )
+
     def q_rolling_window_sum(sf):
         from fever_ray.ops.windows import rolling_window_sum
 
@@ -1760,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "running_totals": q_running_totals,
         "rolling_window_sum": q_rolling_window_sum,
+        "token_budget_mix": q_token_budget_mix,
         "group_top_k": q_group_top_k,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
@@ -2240,6 +2253,37 @@ def _importance_resample_sql(scale: int, seed: int) -> str:
     )
 
 
+def _token_budget_mix_sql(weights: dict, budget: int, seed: int) -> str:
+    """Mirror of ops.trainprep.token_budget_mix: per-source exclusive token
+    cumsum over the (splitmix hash, id) order, per-source integer budgets
+    w·B // Σw, unlisted sources budget 0 (dropped)."""
+    wsum = sum(weights.values())
+    case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN {(int(w) * int(budget)) // int(wsum)}"
+            for s, w in weights.items()
+        )
+        + " ELSE 0 END"
+    )
+    inner = _splitmix_doc_sql(
+        seed,
+        "doc_id, source, text",
+        "TRUE",
+        select_expr=(
+            "doc_id, source, h, CAST(len(string_split(COALESCE(text, ''), "
+            "' ')) AS BIGINT) AS L"
+        ),
+    )
+    return (
+        f"WITH seq AS (SELECT doc_id, source, L, CAST(COALESCE(SUM(L) OVER "
+        f"(PARTITION BY source ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS S FROM ({inner}) t) "
+        f"SELECT doc_id, source, L AS n_tokens FROM seq WHERE "
+        f"S + L <= {case}"
+    )
+
+
 def _pack_sequences_sql(budget: int, seed: int, n_buckets: int) -> str:
     """Bit-exact mirror of ops.trainprep.pack_sequences: bucket = top
     log2(n_buckets) bits of the id-hash, exclusive token cumsum per bucket
@@ -2689,6 +2733,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _knn_graph_sql(4, 8, 1),
         "bloom_cross_dedup": _cross_dedup_sql(5),
         "token_budget_select": _token_budget_select_sql(8000, 23),
+        "token_budget_mix": _token_budget_mix_sql(
+            {"src0": 3, "src1": 1, "src3": 2}, 6000, 29
+        ),
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),
         "repeat_corpus": _repeat_corpus_sql({"en": 1, "zh": 3, "fr": 2, "es": 0}, 1),
         "line_dedup": _line_dedup_sql(30),

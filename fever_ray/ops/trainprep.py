@@ -608,3 +608,191 @@ def token_budget_select(
         .map_batches(trim_boundary, batch_format="pyarrow", batch_size=None)
     )
     return kept.union(bdry)
+
+
+def token_budget_mix(
+    ds,
+    weights: dict,
+    budget: int,
+    seed: int = 0,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Token-weighted data recipe (the DoReMi/source-mixing shape): give
+    each source ``s`` a TOKEN budget ``b_s = weights[s]·budget // Σw`` and
+    keep, per source, the first documents of the seeded epoch-shuffle
+    order whose whole token counts still fit — "2 parts web, 1 part code,
+    by tokens not documents, reproducibly".  Sources absent from
+    ``weights`` are dropped entirely (an explicit recipe lists its
+    ingredients).  Output rows: (id_col, source_col, ``n_tokens``).
+
+    Scale shape: `token_budget_select`'s histogram-prefix construction,
+    widened one key — per-(source, bucket) token sums tree-reduce
+    (bounded by |sources| × n_buckets), the driver classifies every
+    bucket per source up front, fully-kept buckets stream through a
+    map_batches filter, and only each source's ONE boundary bucket is
+    sorted (a map_groups task per source).  One corpus pass + one skinny
+    boundary shuffle regardless of how many sources the recipe mixes."""
+    if budget < 0:
+        raise ValueError(f"token_budget_mix: budget must be >= 0, got {budget}")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(
+            "token_budget_mix: weights must be non-empty and non-negative"
+        )
+    _check_pow2(n_buckets)
+    import ray
+
+    from .aggregates import tree_groupby
+
+    seed = int(seed)
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("token_budget_mix: weights sum to zero")
+    budgets = {s: (int(w) * int(budget)) // int(wsum) for s, w in weights.items()}
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.string())
+        if text.null_count:
+            text = text.fill_null("")
+        ntok = pc.add(pc.count_substring(text, " "), 1)
+        h, bucket = _bucket_of(ids, seed, n_buckets)
+        return pa.table(
+            {
+                id_col: ids,
+                source_col: batch.column(source_col),
+                "h": pa.array(h, pa.uint64()),
+                "L": pc.cast(ntok, pa.int64()),
+                "bucket": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    skinny = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(
+            batch.select([source_col, "bucket", "L"]), [source_col, "bucket"]
+        ).aggregate([("L", "sum")])
+        return t.rename_columns([source_col, "bucket", "tok"])
+
+    sums_t = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                skinny.map_batches(sum_partial, batch_format="pyarrow"),
+                [source_col, "bucket"],
+                [("tok", "sum")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    # per-source bucket classification (the token_budget_select driver
+    # step, one source at a time over the bounded |sources|×n_buckets sums)
+    plan: dict = {}
+    if sums_t:
+        sums = pa.concat_tables(sums_t)
+        src_arr = sums.column(source_col).to_pylist()
+        bk = sums.column("bucket").to_numpy(zero_copy_only=False)
+        tk = sums.column("tok").to_numpy(zero_copy_only=False)
+        for s, b_s in budgets.items():
+            m = np.array([x == s for x in src_arr], dtype=bool)
+            totals = np.zeros(n_buckets, dtype=np.int64)
+            totals[bk[m]] = tk[m]
+            offsets = np.zeros(n_buckets, dtype=np.int64)
+            np.cumsum(totals[:-1], out=offsets[1:])
+            full_keep = offsets + totals <= b_s
+            bdry = np.flatnonzero((offsets < b_s) & ~full_keep & (totals > 0))
+            b_star = int(bdry[0]) if len(bdry) else -1
+            plan[s] = (full_keep, b_star, int(offsets[b_star]) if b_star >= 0 else 0, b_s)
+    plan_ref = ray.put(plan)
+
+    def emit_full(batch: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        for code, sval in enumerate(enc.dictionary.to_pylist()):
+            ent = pl.get(sval)
+            if ent is None:
+                continue  # source not in the recipe → dropped
+            sel = codes == code
+            mask[sel] = ent[0][b[sel]]
+        t = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                source_col: t.column(source_col),
+                "n_tokens": t.column("L"),
+            }
+        )
+
+    kept = skinny.map_batches(emit_full, batch_format="pyarrow")
+
+    def is_boundary(batch: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        for code, sval in enumerate(enc.dictionary.to_pylist()):
+            ent = pl.get(sval)
+            if ent is None or ent[1] < 0:
+                continue
+            sel = codes == code
+            mask[sel] = b[sel] == ent[1]
+        return batch.filter(pa.array(mask))
+
+    def trim_boundary(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                source_col: pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if not group.num_rows or not group.num_columns:
+            return empty
+        pl = ray.get(plan_ref)
+        sval = group.column(source_col)[0].as_py()
+        ent = pl.get(sval)
+        if ent is None:
+            return empty
+        _, _, b_off, b_s = ent
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(order)
+        L = g.column("L").to_numpy(zero_copy_only=False)
+        S = b_off + np.cumsum(L) - L
+        fit = S + L <= b_s
+        t = g.filter(pa.array(fit))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                source_col: t.column(source_col),
+                "n_tokens": t.column("L"),
+            }
+        )
+
+    bdry = (
+        skinny.map_batches(is_boundary, batch_format="pyarrow")
+        .groupby(source_col)
+        .map_groups(trim_boundary, batch_format="pyarrow")
+    )
+    return kept.union(bdry)

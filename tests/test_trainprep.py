@@ -346,3 +346,58 @@ def test_pack_sequences_validation(ray_session):
         pack_sequences(ds, budget=0)
     with pytest.raises(ValueError):
         pack_sequences(ds, budget=8, n_buckets=3)
+
+
+def test_token_budget_mix_recipe_properties(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.trainprep import token_budget_mix
+    from fever_ray.sketches.hashing import hash64_ints
+
+    rng = np.random.default_rng(31)
+    n = 1200
+    ids = np.arange(n, dtype=np.int64)
+    srcs = np.array(["web", "code", "books", "junk"])[rng.integers(0, 4, n)]
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 30, n)]
+    t = pa.table(
+        {"doc_id": ids, "source": pa.array(srcs.tolist()), "text": texts}
+    )
+    weights = {"web": 2, "code": 1, "books": 1}
+    budget = 4000
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            sorted(
+                (r["doc_id"], r["source"], r["n_tokens"])
+                for r in token_budget_mix(
+                    ds, weights, budget, seed=5, n_buckets=64
+                ).take_all()
+            )
+        )
+    assert outs[0] == outs[1]
+    rows = outs[0]
+    # unlisted sources never appear
+    assert all(s != "junk" for _, s, _ in rows)
+    ntok = {int(i): len(tx.split(" ")) for i, tx in zip(ids, texts)}
+    h = hash64_ints(ids, seed=5)
+    for s, w in weights.items():
+        b_s = w * budget // sum(weights.values())
+        kept = [i for i, ss, _ in rows if ss == s]
+        total = sum(ntok[i] for i in kept)
+        assert total <= b_s
+        # prefix property: kept docs are exactly the hash-order prefix of
+        # the source whose whole counts fit
+        src_ids = ids[srcs == s]
+        order = src_ids[np.lexsort((src_ids, h[srcs == s]))]
+        cum, want = 0, []
+        for i in order:
+            if cum + ntok[int(i)] > b_s:
+                break
+            cum += ntok[int(i)]
+            want.append(int(i))
+        assert sorted(kept) == sorted(want)
+    with pytest.raises(ValueError, match="weights"):
+        token_budget_mix(rd.from_arrow(t), {}, 100)
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_mix(rd.from_arrow(t), weights, -1)
