@@ -471,6 +471,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quantile_bucket_approx(counts, "n_tokens", k=8, kll_k=2048)
 
+    def q_winsorize(sf):
+        # p5/p95 outlier clipping of token counts; integer dtype preserved
+        from fever_ray.ops.curate import _token_counts
+        from fever_ray.ops.stats import winsorize
+
+        counts = _t(sf, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: _token_counts(b, "text", "doc_id"),
+            batch_format="pyarrow",
+        )
+        return winsorize(counts, "n_tokens", lo_q=0.05, hi_q=0.95)
+
+    def q_value_histogram(sf):
+        # fixed-bin audit histogram of document char lengths
+        from fever_ray.ops.stats import value_histogram
+
+        return value_histogram(
+            _t(sf, "documents", ["n_chars"]), "n_chars", lo=0, hi=640,
+            n_bins=16,
+        )
+
     def q_importance_resample(sf):
         # DSIR-style score-proportional keep: weight = token count, docs
         # with >= 64 tokens always survive, shorter ones thin out smoothly
@@ -1703,6 +1723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_percentiles": q_group_percentiles,
         "quantile_bucket": q_quantile_bucket,
         "quantile_bucket_approx": q_quantile_bucket_approx,
+        "winsorize": q_winsorize,
+        "value_histogram": q_value_histogram,
         "importance_resample": q_importance_resample,
         "decayed_counts": q_decayed_counts,
         "transition_counts": q_transition_counts,
@@ -2758,6 +2780,31 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "quantile_bucket": _quantile_bucket_sql(8, 21),
         "importance_resample": _importance_resample_sql(64, 11),
+        "winsorize": (
+            # below-saturation KLL thresholds are the exact order
+            # statistics at "first rank >= q*n"; integer clip both sides
+            "WITH tl AS (SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE "
+            "strlen(text) - strlen(replace(text, ' ', '')) + 1 END AS "
+            "n_tokens FROM documents), "
+            "r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) "
+            "AS rn, count(*) OVER () AS n FROM tl), "
+            "lo AS (SELECT n_tokens AS v FROM r WHERE rn = "
+            "LEAST(GREATEST(CAST(CEIL(0.05 * n) AS BIGINT), 1), n)), "
+            "hi AS (SELECT n_tokens AS v FROM r WHERE rn = "
+            "LEAST(GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1), n)) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(LEAST(GREATEST(n_tokens, (SELECT v FROM lo)), "
+            "(SELECT v FROM hi)) AS BIGINT) AS value_clipped FROM tl"
+        ),
+        "value_histogram": (
+            # same pure-int64 bin arithmetic: clip((v-lo)*nb // span) with
+            # edge bins absorbing out-of-range values; bin_lo = exact
+            # inclusive lower edge lo + ceil(bin*span/nb)
+            "WITH b AS (SELECT LEAST(GREATEST((n_chars - 0) * 16 // 640, "
+            "0), 15) AS bin FROM documents) "
+            "SELECT bin, CAST(0 + (bin * 640 + 15) // 16 AS BIGINT) AS "
+            "bin_lo, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin"
+        ),
         "quantile_bucket_approx": (
             # below-saturation KLL splits ARE exact order statistics at the
             # "first rank >= (i/k)*n" rule; bucket = 1 + #(splits < value),

@@ -684,3 +684,145 @@ def quantile_bucket_approx(
         )
 
     return ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winsorize(
+    ds,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    id_col: str = "doc_id",
+    kll_k: int = 2048,
+):
+    """Outlier clipping at learned quantiles — the robust-statistics prep
+    step (cap document lengths at p99 before mean/variance, tame crawl
+    spam before per-host aggregates): annotate every row with
+    ``value_clipped = min(max(v, p_lo), p_hi)`` where the two thresholds
+    come from one mergeable-KLL pass (`quantile_length_filter`'s budget:
+    KB partials, no shuffle; exact order statistics below saturation,
+    published rank-error bound above).  Clipping preserves the input
+    dtype — integer columns stay integers, so the result value-hashes.
+    Output rows: (id, value, value_clipped)."""
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError(
+            f"winsorize: need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}"
+        )
+    from ..core.udaf import SketchSpec, build_sketches
+
+    schema = ds.schema()
+    if schema is None:
+        raise ValueError(
+            "winsorize: input dataset has no schema (empty behind a "
+            "repartition?)"
+        )
+    vtype = schema.base_schema.field(value_col).type
+    floating = pa.types.is_floating(vtype)
+
+    spec = SketchSpec(
+        name="w", kind="kll", column=value_col,
+        params={"k": kll_k}, value_kind="float",
+    )
+    sk = build_sketches(ds, [spec])["w"]
+    if sk.n == 0:
+        raise ValueError(f"winsorize: no non-null values in {value_col!r}")
+    lo_v, hi_v = sk.quantile(lo_q), sk.quantile(hi_q)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            raise ValueError(
+                f"winsorize: {value_col} contains nulls — filter or fill "
+                "first"
+            )
+        vals = v.to_numpy(zero_copy_only=False)
+        if floating and np.isnan(vals).any():
+            raise ValueError(f"winsorize: {value_col} contains NaNs")
+        # thresholds are float64 copies of actual data values (KLL stores
+        # doubles), so casting back to the input dtype is exact
+        lo = np.asarray(lo_v, dtype=np.float64).astype(vals.dtype)
+        hi = np.asarray(hi_v, dtype=np.float64).astype(vals.dtype)
+        clipped = np.clip(vals, lo, hi)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                value_col: v,
+                "value_clipped": pa.array(clipped).cast(vtype),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def value_histogram(
+    ds,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+):
+    """Fixed-bin integer histogram — the corpus-audit distribution plot
+    (token-count / score / size distributions) as one streaming pass:
+    ``bin = clip((v − lo) · n_bins // (hi − lo), 0, n_bins−1)`` in pure
+    int64 arithmetic (under/overflow values land in the edge bins, so
+    every row is counted).  Output rows: (``bin`` int64, ``bin_lo``
+    int64 inclusive lower edge, ``n`` int64), only non-empty bins.
+
+    Scale shape: per-batch bincount partials → bounded coalesce-tree sum;
+    nothing shuffles, the driver never sees row data."""
+    if hi <= lo:
+        raise ValueError(f"value_histogram: need hi > lo, got [{lo}, {hi})")
+    if not 1 <= n_bins <= (1 << 20):
+        raise ValueError(
+            f"value_histogram: n_bins must be in [1, 2^20], got {n_bins}"
+        )
+    lo_i, hi_i, nb = np.int64(lo), np.int64(hi), np.int64(n_bins)
+    span = hi_i - lo_i
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            raise ValueError(
+                f"value_histogram: {value_col} contains nulls — filter first"
+            )
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((vals - lo_i) * nb // span, 0, nb - 1)
+        uk, uc = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(uk, pa.int64()), "n": pa.array(uc, pa.int64())}
+        )
+
+    from .aggregates import tree_groupby
+
+    hist = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bin"],
+        [("n", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or not batch.num_columns:
+            return pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "bin_lo": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        # exact inclusive lower edge: smallest in-range v with
+        # (v - lo)·nb // span == b, i.e. lo + ceil(b·span / nb)
+        edge = lo_i + (b * span + nb - np.int64(1)) // nb
+        out = pa.table(
+            {
+                "bin": batch.column("bin"),
+                "bin_lo": pa.array(edge, pa.int64()),
+                "n": batch.column("n"),
+            }
+        )
+        return out.take(pc.sort_indices(out, sort_keys=[("bin", "ascending")]))
+
+    return hist.map_batches(finish, batch_format="pyarrow", batch_size=None)

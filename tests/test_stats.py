@@ -345,3 +345,46 @@ def test_quantile_bucket_approx_partition_invariant_and_guards(ray_session):
         quantile_bucket_approx(
             rd.from_arrow(tn), "v", k=2
         ).materialize()
+
+
+def test_winsorize_and_value_histogram(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import value_histogram, winsorize
+
+    rng = np.random.default_rng(5)
+    n = 800
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 1000, n)
+    vals[:5] = 10_000  # outliers
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "v": pa.array(vals, pa.int64())}))
+    out = (
+        winsorize(ds, "v", lo_q=0.05, hi_q=0.95)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sv = np.sort(vals)
+    lo = sv[max(int(np.ceil(0.05 * n)), 1) - 1]
+    hi = sv[max(int(np.ceil(0.95 * n)), 1) - 1]
+    np.testing.assert_array_equal(
+        out["value_clipped"].to_numpy(), np.clip(vals, lo, hi)
+    )
+    assert out["value_clipped"].dtype == np.int64
+    assert out["value_clipped"].max() == hi  # outliers got capped
+    with pytest.raises(ValueError, match="lo_q"):
+        winsorize(ds, "v", lo_q=0.9, hi_q=0.1)
+
+    hist = value_histogram(ds, "v", lo=0, hi=1000, n_bins=10).to_pandas()
+    b = np.clip((vals - 0) * 10 // 1000, 0, 9)
+    want = dict(zip(*np.unique(b, return_counts=True)))
+    got = dict(zip(hist["bin"], hist["n"]))
+    assert got == {int(k): int(v) for k, v in want.items()}
+    assert int(hist["n"].sum()) == n  # out-of-range rows land in edge bins
+    # exact inclusive lower edges
+    np.testing.assert_array_equal(
+        hist["bin_lo"].to_numpy(),
+        (hist["bin"].to_numpy() * 1000 + 9) // 10,
+    )
+    with pytest.raises(ValueError, match="hi > lo"):
+        value_histogram(ds, "v", lo=5, hi=5, n_bins=4)
