@@ -469,7 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: _token_counts(b, "text", "doc_id"),
             batch_format="pyarrow",
         )
-        return quantile_bucket_approx(counts, "n_tokens", k=8, kll_k=2048)
+        return quantile_bucket_approx(counts, "n_tokens", k=8, kll_k=8192)
 
     def q_winsorize(sf):
         # p5/p95 outlier clipping of token counts; integer dtype preserved
@@ -480,7 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: _token_counts(b, "text", "doc_id"),
             batch_format="pyarrow",
         )
-        return winsorize(counts, "n_tokens", lo_q=0.05, hi_q=0.95)
+        return winsorize(counts, "n_tokens", lo_q=0.05, hi_q=0.95, kll_k=8192)
 
     def q_value_histogram(sf):
         # fixed-bin audit histogram of document char lengths
@@ -2800,8 +2800,10 @@ def oracle_sql() -> dict[str, str]:
             # same pure-int64 bin arithmetic: clip((v-lo)*nb // span) with
             # edge bins absorbing out-of-range values; bin_lo = exact
             # inclusive lower edge lo + ceil(bin*span/nb)
-            "WITH b AS (SELECT LEAST(GREATEST((n_chars - 0) * 16 // 640, "
-            "0), 15) AS bin FROM documents) "
+            # pre-clip before the multiply, mirroring the engine's int64
+            # overflow posture
+            "WITH b AS (SELECT (LEAST(GREATEST(n_chars, 0), 639) - 0) "
+            "* 16 // 640 AS bin FROM documents) "
             "SELECT bin, CAST(0 + (bin * 640 + 15) // 16 AS BIGINT) AS "
             "bin_lo, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin"
         ),

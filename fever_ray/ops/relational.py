@@ -773,6 +773,7 @@ def melt(
     value_cols: list[str],
     var_col: str = "variable",
     val_col: str = "value",
+    drop_null_values: bool = True,
 ):
     """Wide → long reshape (SQL UNPIVOT, pandas melt): one output row per
     (input row × value column), carrying ``id_cols``, the source column's
@@ -782,7 +783,9 @@ def melt(
     All ``value_cols`` must share one Arrow type (silent casts would
     corrupt exact integer/decimal semantics — cast explicitly first).
     Values pass through untouched, so downstream hashes/compares see the
-    original bits.
+    original bits.  ``drop_null_values=True`` (default) skips rows whose
+    value is NULL — SQL UNPIVOT's semantics, and what the oracle mirrors;
+    pass False for pandas-melt behavior (null rows kept).
 
     Scale shape: embarrassingly parallel — each batch emits its own long
     block (one zero-copy column slice per value column, the variable
@@ -799,14 +802,17 @@ def melt(
                 f"melt: value_cols mix types {sorted(vtypes)} — cast to a "
                 "common type first"
             )
-        n = batch.num_rows
         blocks = []
         for c in value_cols:
-            cols = {k: batch.column(k) for k in id_cols}
+            block = batch
+            if drop_null_values and batch.column(c).null_count:
+                block = batch.filter(pc.is_valid(batch.column(c)))
+            n = block.num_rows
+            cols = {k: block.column(k) for k in id_cols}
             cols[var_col] = pa.DictionaryArray.from_arrays(
                 pa.array(np.zeros(n, np.int32)), pa.array([c])
             ).cast(pa.string())
-            cols[val_col] = batch.column(c)
+            cols[val_col] = block.column(c)
             blocks.append(pa.table(cols))
         return pa.concat_tables(blocks)
 

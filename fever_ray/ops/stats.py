@@ -702,6 +702,9 @@ def winsorize(
     KB partials, no shuffle; exact order statistics below saturation,
     published rank-error bound above).  Clipping preserves the input
     dtype — integer columns stay integers, so the result value-hashes.
+    Values must be below 2^53 in magnitude (the KLL stores doubles, so a
+    larger int64 threshold would round to a value not in the data — the
+    same limit `quantile_bucket_approx` documents).
     Output rows: (id, value, value_clipped)."""
     if not 0.0 <= lo_q <= hi_q <= 1.0:
         raise ValueError(
@@ -777,6 +780,11 @@ def value_histogram(
         raise ValueError(
             f"value_histogram: n_bins must be in [1, 2^20], got {n_bins}"
         )
+    if (int(hi) - int(lo)) * int(n_bins) >= (1 << 62):
+        raise ValueError(
+            "value_histogram: span * n_bins would overflow int64 — narrow "
+            "the range or use fewer bins"
+        )
     lo_i, hi_i, nb = np.int64(lo), np.int64(hi), np.int64(n_bins)
     span = hi_i - lo_i
 
@@ -789,7 +797,11 @@ def value_histogram(
                 f"value_histogram: {value_col} contains nulls — filter first"
             )
         vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
-        b = np.clip((vals - lo_i) * nb // span, 0, nb - 1)
+        # pre-clip into [lo, hi-1] BEFORE the multiply: a huge outlier
+        # times nb would silently wrap int64 and land in the WRONG edge
+        # bin (the span*nb guard above bounds the post-clip product)
+        vals = np.clip(vals, lo_i, hi_i - np.int64(1))
+        b = (vals - lo_i) * nb // span
         uk, uc = np.unique(b, return_counts=True)
         return pa.table(
             {"bin": pa.array(uk, pa.int64()), "n": pa.array(uc, pa.int64())}

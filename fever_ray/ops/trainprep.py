@@ -637,9 +637,14 @@ def token_budget_mix(
     boundary shuffle regardless of how many sources the recipe mixes."""
     if budget < 0:
         raise ValueError(f"token_budget_mix: budget must be >= 0, got {budget}")
-    if not weights or any(w < 0 for w in weights.values()):
+    if not weights or any(
+        not isinstance(w, int) or isinstance(w, bool) or w < 0
+        for w in weights.values()
+    ):
         raise ValueError(
-            "token_budget_mix: weights must be non-empty and non-negative"
+            "token_budget_mix: weights must be non-empty non-negative "
+            "INTEGERS — float ratios silently truncate (1.5 -> 1, and a "
+            "sub-1 total divides by zero); scale them to integers first"
         )
     _check_pow2(n_buckets)
     import ray

@@ -580,10 +580,13 @@ def _window_tag_fn(key, ts_col, id_col, value_col, n_parts, op: str):
     def tag(batch: pa.Table) -> pa.Table:
         narrow = batch.select([id_col, key, ts_col, value_col])
         tst = narrow.schema.field(ts_col).type
-        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+        if not (
+            pa.types.is_timestamp(tst) and tst.unit == "us" and tst.tz is None
+        ):
             raise ValueError(
-                f"{op}: {ts_col} must be timestamp[us], got {tst} — cast "
-                "first (the kernel re-emits us-epoch)"
+                f"{op}: {ts_col} must be naive timestamp[us], got {tst} — "
+                "cast first (the kernel re-emits naive us-epoch, so a "
+                "tz-aware input would silently lose its zone)"
             )
         for c in (key, ts_col, value_col, id_col):
             if narrow.column(c).null_count:
@@ -605,6 +608,8 @@ def _sorted_key_runs(g: pa.Table, key, ts_col, id_col, value_col):
     codes give lexsort an integer key column even for string keys — and
     detect key-run boundaries.  Returns (kc, order, tO, iO, cO,
     run_start, run_len); cents cO come from the shared `_cents` map."""
+    from .dedup import _key_runs
+
     ids = g.column(id_col).to_numpy(zero_copy_only=False)
     kc = g.column(key)
     if isinstance(kc, pa.ChunkedArray):
@@ -614,12 +619,11 @@ def _sorted_key_runs(g: pa.Table, key, ts_col, id_col, value_col):
     cents = _cents(g.column(value_col)).to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, ts, kcodes))
     kO, tO, iO, cO = kcodes[order], ts[order], ids[order], cents[order]
-    n = len(order)
-    starts = np.empty(n, dtype=bool)
-    starts[0] = True
-    np.not_equal(kO[1:], kO[:-1], out=starts[1:])
-    run_start = np.flatnonzero(starts)
-    run_len = np.diff(np.append(run_start, n))
+    # run detection via the ONE shared helper (dedup._key_runs) so the
+    # bit-identity-critical kernels cannot drift
+    starts_term = _key_runs(kO)
+    run_start = starts_term[:-1]
+    run_len = np.diff(starts_term)
     return kc, order, tO, iO, cO, run_start, run_len
 
 
@@ -846,13 +850,23 @@ def transition_counts(
 
     def tag(batch: pa.Table) -> pa.Table:
         narrow = batch.select([id_col, key, ts_col, type_col])
+        if not pa.types.is_integer(narrow.schema.field(id_col).type):
+            raise ValueError(
+                f"transition_counts: {id_col} must be integer-typed — the "
+                "tie-break sort needs exact int64 ids"
+            )
+        # null id rows must go too: ONE null makes to_numpy produce
+        # float64, collapsing ids above 2^53 and corrupting the tie order
         narrow = narrow.filter(
             pc.and_(
                 pc.and_(
                     pc.is_valid(narrow.column(key)),
                     pc.is_valid(narrow.column(ts_col)),
                 ),
-                pc.is_valid(narrow.column(type_col)),
+                pc.and_(
+                    pc.is_valid(narrow.column(type_col)),
+                    pc.is_valid(narrow.column(id_col)),
+                ),
             )
         )
         return narrow.append_column(
@@ -884,7 +898,11 @@ def transition_counts(
         tc = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ev, ts, kc))
         kc, tc = kc[order], tc[order]
-        same_key = kc[1:] == kc[:-1]
+        # pairwise same-key mask derived from the shared run detector
+        from .dedup import _key_runs
+
+        same_key = np.ones(len(kc) - 1, dtype=bool)
+        same_key[_key_runs(kc)[1:-1] - 1] = False
         if not same_key.any():
             return empty
         frm = tc[:-1][same_key]

@@ -724,3 +724,30 @@ def test_melt_roundtrip_and_guards(ray_session):
         melt(rd.from_arrow(mixed), ["id"], ["a", "b"]).materialize()
     with pytest.raises(ValueError, match="value_cols"):
         melt(rd.from_arrow(t), ["id"], [])
+
+
+def test_melt_null_semantics(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import melt
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "a": pa.array([10, None], pa.int64()),
+            "b": pa.array([None, 40], pa.int64()),
+        }
+    )
+    # default drops null values (UNPIVOT semantics — what the oracle does)
+    out = (
+        melt(rd.from_arrow(t), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[1, "a", 10], [2, "b", 40]]
+    # pandas-melt mode keeps them
+    kept = melt(
+        rd.from_arrow(t), ["id"], ["a", "b"], drop_null_values=False
+    ).to_pandas()
+    assert len(kept) == 4 and kept["value"].isna().sum() == 2

@@ -388,3 +388,19 @@ def test_winsorize_and_value_histogram(ray_session):
     )
     with pytest.raises(ValueError, match="hi > lo"):
         value_histogram(ds, "v", lo=5, hi=5, n_bins=4)
+
+
+def test_value_histogram_huge_outlier_lands_in_edge_bin(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import value_histogram
+
+    t = pa.table(
+        {"doc_id": [1, 2, 3], "v": pa.array([5, 1 << 60, -(1 << 60)], pa.int64())}
+    )
+    out = value_histogram(rd.from_arrow(t), "v", lo=0, hi=10, n_bins=5).to_pandas()
+    got = dict(zip(out["bin"], out["n"]))
+    # pre-clip keeps the multiply in range: huge values hit the EDGE bins
+    assert got == {0: 1, 2: 1, 4: 1}
+    with pytest.raises(ValueError, match="overflow"):
+        value_histogram(rd.from_arrow(t), "v", lo=0, hi=1 << 61, n_bins=8)
