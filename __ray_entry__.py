@@ -471,6 +471,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quantile_bucket_approx(counts, "n_tokens", k=8, kll_k=8192)
 
+    def q_corpus_report(sf):
+        # one-pass dataset audit card, all integers
+        from fever_ray.ops.textstats import corpus_report
+
+        return corpus_report(_t(sf, "documents", ["text", "lang", "source"]))
+
     def q_winsorize(sf):
         # p5/p95 outlier clipping of token counts; integer dtype preserved
         from fever_ray.ops.curate import _token_counts
@@ -1724,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bucket": q_quantile_bucket,
         "quantile_bucket_approx": q_quantile_bucket_approx,
         "winsorize": q_winsorize,
+        "corpus_report": q_corpus_report,
         "value_histogram": q_value_histogram,
         "importance_resample": q_importance_resample,
         "decayed_counts": q_decayed_counts,
@@ -2780,6 +2787,27 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _epoch_shuffle_sql(21),
         "quantile_bucket": _quantile_bucket_sql(8, 21),
         "importance_resample": _importance_resample_sql(64, 11),
+        "corpus_report": (
+            # token model = len(string_split(...)) (empty text -> 1 token,
+            # the shared trainprep convention); length() = characters,
+            # mirroring utf8_length
+            "WITH tl AS (SELECT text, lang, source, "
+            "CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) "
+            "AS nt, CAST(length(COALESCE(text, '')) AS BIGINT) AS nch "
+            "FROM documents) "
+            "SELECT 'max_tokens' AS metric, CAST(MAX(nt) AS BIGINT) AS "
+            "value FROM tl "
+            "UNION ALL SELECT 'min_tokens', CAST(MIN(nt) AS BIGINT) FROM tl "
+            "UNION ALL SELECT 'n_chars', CAST(SUM(nch) AS BIGINT) FROM tl "
+            "UNION ALL SELECT 'n_distinct_langs', CAST(COUNT(DISTINCT "
+            "lang) AS BIGINT) FROM tl "
+            "UNION ALL SELECT 'n_distinct_sources', CAST(COUNT(DISTINCT "
+            "source) AS BIGINT) FROM tl "
+            "UNION ALL SELECT 'n_docs', CAST(COUNT(*) AS BIGINT) FROM tl "
+            "UNION ALL SELECT 'n_empty_docs', CAST(COUNT(*) FILTER "
+            "(WHERE nch = 0) AS BIGINT) FROM tl "
+            "UNION ALL SELECT 'n_tokens', CAST(SUM(nt) AS BIGINT) FROM tl"
+        ),
         "winsorize": (
             # below-saturation KLL thresholds are the exact order
             # statistics at "first rank >= q*n"; integer clip both sides

@@ -436,6 +436,35 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """One-pass corpus audit card over a page table: doc/token/char
+    totals, empty-doc count, token min/max, distinct langs and hosts —
+    printed as ONE JSON line."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .ops.extract import hostname_of
+    from .ops.textstats import corpus_report
+
+    _init_ray(args.num_cpus)
+    pages = rd.read_parquet(args.input, columns=["url", "text", "lang"])
+
+    def with_host(b: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "text": b.column("text"),
+                "lang": b.column("lang"),
+                "source": hostname_of(b.column("url")),
+            }
+        )
+
+    rows = corpus_report(
+        pages.map_batches(with_host, batch_format="pyarrow")
+    ).take_all()
+    print(json.dumps({r["metric"]: r["value"] for r in rows}))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Inverted-index build and/or keyword search over a page table: token
     → (df, postings) written as partitioned parquet; --query prints the
@@ -638,6 +667,12 @@ def main(argv=None) -> int:
                           "defaults to the input corpus itself")
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
+
+    pq_ = sub.add_parser("report", allow_abbrev=False,
+                         help="one-pass corpus audit card as one JSON line")
+    pq_.add_argument("--input", required=True)
+    pq_.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pq_.set_defaults(fn=cmd_report)
 
     px = sub.add_parser("index", allow_abbrev=False,
                         help="inverted-index build / keyword search over pages")

@@ -1073,3 +1073,119 @@ def unigram_logloss(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_report(
+    ds,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+):
+    """One-pass corpus audit card — the summary every dataset release
+    starts with, as (``metric``, ``value`` int64) rows:
+
+    ``n_docs, n_tokens, n_chars, n_empty_docs, min_tokens, max_tokens,
+    n_distinct_langs, n_distinct_sources``
+
+    (token model = the corpus-wide split-on-space standard; empty text
+    counts 1 token, the `top_ngrams` corner).  Pure integers, so the
+    whole card value-hashes against its SQL mirror.
+
+    Scale shape: ONE streaming pass emits per-batch partial rows —
+    scalar sums/mins/maxes plus one marker row per DISTINCT lang/source
+    seen in the batch (bounded domains, the `stratified_sample`
+    contract) — and the bounded coalesce-tree reduces them; the final
+    kernel folds markers into distinct counts.  Nothing corpus-sized
+    moves, no shuffle."""
+    from .aggregates import tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.string())
+        if text.null_count:
+            text = text.fill_null("")
+        ntok = pc.add(pc.count_substring(text, " "), 1)
+        nt = ntok.to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = (
+            pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        metrics = [
+            ("n_docs", len(nt), len(nt), len(nt)),
+            ("n_tokens", int(nt.sum()), 0, 0),
+            ("n_chars", int(nch.sum()), 0, 0),
+            ("n_empty_docs", int((nch == 0).sum()), 0, 0),
+        ]
+        if len(nt):
+            metrics.append(("min_tokens", 0, int(nt.min()), 0))
+            metrics.append(("max_tokens", 0, 0, int(nt.max())))
+        for col, pfx in ((lang_col, "__lang__"), (source_col, "__src__")):
+            vals = batch.column(col)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            for v in pc.unique(vals.drop_null()).to_pylist():
+                metrics.append((f"{pfx}{v}", 0, 0, 0))
+        m, s, mn, mx = zip(*metrics) if metrics else ((), (), (), ())
+        return pa.table(
+            {
+                "metric": pa.array(list(m), pa.string()),
+                "s": pa.array(list(s), pa.int64()),
+                "mn": pa.array(list(mn), pa.int64()),
+                "mx": pa.array(list(mx), pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    # zero-seed the scalar metrics: an empty corpus yields zero batches,
+    # so without this the final kernel never runs and the card vanishes
+    # instead of reporting zeros
+    seed = pa.table(
+        {
+            "metric": pa.array(
+                ["n_docs", "n_tokens", "n_chars", "n_empty_docs"], pa.string()
+            ),
+            "s": pa.array([0] * 4, pa.int64()),
+            "mn": pa.array([0] * 4, pa.int64()),
+            "mx": pa.array([0] * 4, pa.int64()),
+        }
+    )
+    combined = tree_groupby(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).union(rd.from_arrow(seed)),
+        ["metric"],
+        [("s", "sum"), ("mn", "min"), ("mx", "max")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out: dict[str, int] = {
+            "n_docs": 0, "n_tokens": 0, "n_chars": 0, "n_empty_docs": 0,
+            "n_distinct_langs": 0, "n_distinct_sources": 0,
+        }
+        if batch.num_rows and batch.num_columns:
+            ms = batch.column("metric").to_pylist()
+            ss = batch.column("s").to_numpy(zero_copy_only=False)
+            mns = batch.column("mn").to_numpy(zero_copy_only=False)
+            mxs = batch.column("mx").to_numpy(zero_copy_only=False)
+            for i, m in enumerate(ms):
+                if m.startswith("__lang__"):
+                    out["n_distinct_langs"] += 1
+                elif m.startswith("__src__"):
+                    out["n_distinct_sources"] += 1
+                elif m == "min_tokens":
+                    out["min_tokens"] = int(mns[i])
+                elif m == "max_tokens":
+                    out["max_tokens"] = int(mxs[i])
+                else:
+                    out[m] = int(ss[i])
+        names = sorted(out)
+        return pa.table(
+            {
+                "metric": pa.array(names, pa.string()),
+                "value": pa.array([out[n] for n in names], pa.int64()),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -186,3 +186,40 @@ def test_unigram_logloss_guards(ray_session):
         unigram_logloss(cor, cor, max_vocab=0)
     with pytest.raises(ValueError, match="oov_penalty"):
         unigram_logloss(cor, cor, oov_penalty_bits=-1)
+
+
+def test_corpus_report_exact_and_empty(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import corpus_report
+
+    t = pa.table(
+        {
+            "text": ["a b c", "", "d e", "a b c"],
+            "lang": ["en", "en", "de", None],
+            "source": ["s1", "s2", "s1", "s1"],
+        }
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in corpus_report(rd.from_arrow(t).repartition(3)).take_all()
+    }
+    # empty text = 1 token (the shared trainprep split model)
+    assert got == {
+        "n_docs": 4, "n_tokens": 3 + 1 + 2 + 3, "n_chars": 5 + 0 + 3 + 5,
+        "n_empty_docs": 1, "min_tokens": 1, "max_tokens": 3,
+        "n_distinct_langs": 2, "n_distinct_sources": 2,
+    }
+    empty = pa.table(
+        {
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+        }
+    )
+    gote = {
+        r["metric"]: r["value"]
+        for r in corpus_report(rd.from_arrow(empty)).take_all()
+    }
+    assert gote["n_docs"] == 0 and gote["n_distinct_langs"] == 0
+    assert "min_tokens" not in gote  # no rows -> no min/max metrics
