@@ -630,6 +630,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mod7(True), batch_format="pyarrow"),
         )
 
+    def q_corpus_intersect(sf):
+        # overlap audit (the semi-join flip of cross_dedup): corpus = ALL
+        # docs, reference = the mod-3 slice — matched docs are exactly
+        # that slice (the corpus has no exact-duplicate texts), a
+        # non-empty overlap at every scale
+        from fever_ray.ops.dedup import corpus_intersect
+
+        docs = _t(sf, "documents", ["doc_id", "text"])
+
+        def mod3(b):
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 3 == 0))
+
+        return corpus_intersect(
+            docs, docs.map_batches(mod3, batch_format="pyarrow")
+        )
+
     def q_embedding_cluster(sf):
         # SemDeDup step 1: deterministic hash-sampled centroids + one
         # broadcast-matmul assignment pass (no iterative k-means — pure
@@ -1743,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q_keyword_search,
         "inverted_index": q_inverted_index,
         "cross_dedup": q_cross_dedup,
+        "corpus_intersect": q_corpus_intersect,
         "minhash_cross_dedup": q_minhash_cross_dedup,
         "linear_score": q_linear_score,
         "window_top_k": q_window_top_k,
@@ -2755,6 +2773,16 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),
         "inverted_index": _inverted_index_sql(16),
         "cross_dedup": _cross_dedup_sql(7),
+        "corpus_intersect": (
+            # the IN flip of _cross_dedup_sql: whole corpus vs its mod-3
+            # slice as the reference
+            lambda: (
+                f"WITH {_content_hash_cte()} "
+                "SELECT doc_id, content_hash FROM allh WHERE "
+                "content_hash IN "
+                "(SELECT content_hash FROM allh WHERE doc_id % 3 = 0)"
+            )
+        )(),
         "minhash_cross_dedup": _minhash_cross_dedup_sql(),
         "linear_score": _linear_score_sql(),
         "embedding_cluster": _embedding_cluster_sql(8, 1),

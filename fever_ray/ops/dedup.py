@@ -1249,12 +1249,15 @@ def _sorted_unique_column(mat_ds, col: str) -> np.ndarray:
     return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
 
 
-def _broadcast_anti_probe(skinny, key_col: str, values: np.ndarray):
-    """Drop every row of ``skinny`` whose ``key_col`` appears in the sorted
-    array ``values``: ray.put once, ONE searchsorted probe per batch, no
-    shuffle — the shared broadcast half of the cross-dedup family.  Both
-    sides must be signed ints (mixed int64/uint64 would upcast to float64
-    and lose 64-bit precision — see CLAUDE.md)."""
+def _broadcast_anti_probe(
+    skinny, key_col: str, values: np.ndarray, keep_matches: bool = False
+):
+    """Drop (default) or KEEP (``keep_matches=True`` — the semi-join /
+    intersect direction) every row of ``skinny`` whose ``key_col`` appears
+    in the sorted array ``values``: ray.put once, ONE searchsorted probe
+    per batch, no shuffle — the shared broadcast half of the cross-dedup
+    family.  Both sides must be signed ints (mixed int64/uint64 would
+    upcast to float64 and lose 64-bit precision — see CLAUDE.md)."""
     import ray
 
     ref = ray.put(values)
@@ -1262,11 +1265,12 @@ def _broadcast_anti_probe(skinny, key_col: str, values: np.ndarray):
     def scrub(batch: pa.Table) -> pa.Table:
         rs = ray.get(ref)
         if not len(rs):
-            return batch
+            return batch.slice(0, 0) if keep_matches else batch
         h = batch.column(key_col).to_numpy(zero_copy_only=False)
         pos = np.searchsorted(rs, h)
         pos[pos == len(rs)] = 0
-        return batch.filter(pa.array(rs[pos] != h))
+        hit = rs[pos] == h
+        return batch.filter(pa.array(hit if keep_matches else ~hit))
 
     return skinny.map_batches(scrub, batch_format="pyarrow")
 
@@ -1300,6 +1304,41 @@ def cross_dedup(
       only, never text.
     """
 
+    return _cross_content_match(
+        ds, ref_ds, id_col, text_col, broadcast_bytes, num_partitions,
+        keep_matches=False,
+    )
+
+
+def corpus_intersect(
+    ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_bytes: int = 256 << 20,
+    num_partitions: int | None = None,
+):
+    """Exact corpus intersection — the semi-join flip of ``cross_dedup``:
+    keep every document of ``ds`` whose content ALSO appears in
+    ``ref_ds`` (overlap audits between crawls/releases, "how much of
+    this vendor dump do we already have", contamination measurement at
+    doc granularity).  Output rows: (id_col, ``content_hash``) of the
+    MATCHED docs; same movement budget as ``cross_dedup`` (skinny hash
+    rows; broadcast probe under ``broadcast_bytes``, bucketed semi-join
+    above it — text never shuffles)."""
+    return _cross_content_match(
+        ds, ref_ds, id_col, text_col, broadcast_bytes, num_partitions,
+        keep_matches=True,
+    )
+
+
+def _cross_content_match(
+    ds, ref_ds, id_col, text_col, broadcast_bytes, num_partitions,
+    keep_matches: bool,
+):
+    """Shared cross_dedup / corpus_intersect core (anti vs semi is one
+    flag through the probe/join helpers)."""
+
     def corpus_hash(batch: pa.Table) -> pa.Table:
         t = add_content_hash(batch, text_col)
         return t.select([id_col, "content_hash"])
@@ -1323,21 +1362,26 @@ def cross_dedup(
     ref_bytes = ref_h.size_bytes() or 0
     if ref_bytes <= broadcast_bytes:
         return _broadcast_anti_probe(
-            skinny, "content_hash", _sorted_unique_column(ref_h, "content_hash")
+            skinny, "content_hash",
+            _sorted_unique_column(ref_h, "content_hash"),
+            keep_matches=keep_matches,
         )
 
     # -------- join fallback: reference hash set exceeds a worker's heap
     n_parts = num_partitions or _auto_parts(ds, floor=32)
     logger.info(
-        "cross_dedup: ref hashes %.1f MB > broadcast cap %.1f MB — bucketed "
-        "anti-join over %d partitions",
-        ref_bytes / 2**20, broadcast_bytes / 2**20, n_parts,
+        "cross content match: ref hashes %.1f MB > broadcast cap %.1f MB — "
+        "bucketed %s-join over %d partitions",
+        ref_bytes / 2**20, broadcast_bytes / 2**20,
+        "semi" if keep_matches else "anti", n_parts,
     )
     try:
         id_type = ds.schema().base_schema.field(id_col).type
     except Exception:
         id_type = pa.int64()
-    return _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts)
+    return _hash_anti_join(
+        skinny, ref_h, id_col, id_type, n_parts, keep_matches=keep_matches
+    )
 
 
 def minhash_cross_dedup(
@@ -1449,11 +1493,14 @@ def minhash_cross_dedup(
     )
 
 
-def _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts: int):
+def _hash_anti_join(
+    skinny, ref_h, id_col, id_type, n_parts: int, keep_matches: bool = False
+):
     """Bucketed anti-join core shared by ``cross_dedup`` and
     ``bloom_cross_dedup``: union-tag the skinny corpus (id, content_hash)
     stream with the reference hash stream, co-partition by hash, drop
-    corpus rows whose hash appears on the reference side of the bucket.
+    corpus rows whose hash appears on the reference side of the bucket
+    (or KEEP exactly those with ``keep_matches=True`` — the semi-join).
     The shuffle carries (id, hash) pairs only — never text."""
 
     def tag_corpus(batch: pa.Table) -> pa.Table:
@@ -1485,14 +1532,13 @@ def _hash_anti_join(skinny, ref_h, id_col, id_type, n_parts: int):
         ref_keys = group.filter(is_ref).column("content_hash")
         keep = group.filter(pc.invert(is_ref))
         if len(ref_keys):
-            keep = keep.filter(
-                pc.invert(
-                    pc.is_in(
-                        keep.column("content_hash"),
-                        value_set=ref_keys.combine_chunks(),
-                    )
-                )
+            hit = pc.is_in(
+                keep.column("content_hash"),
+                value_set=ref_keys.combine_chunks(),
             )
+            keep = keep.filter(hit if keep_matches else pc.invert(hit))
+        elif keep_matches:
+            keep = keep.slice(0, 0)
         return keep.select([id_col, "content_hash"])
 
     return (

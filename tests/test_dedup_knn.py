@@ -592,3 +592,46 @@ def test_containment_pairs_partition_invariant_and_guards(ray_session):
         containment_pairs(rd.from_arrow(t), 5, 4)
     with pytest.raises(ValueError, match="rare_cap"):
         containment_pairs(rd.from_arrow(t), 1, 2, rare_cap=1)
+
+
+def test_corpus_intersect_semi_vs_anti_partition(ray_session):
+    """corpus_intersect + cross_dedup partition the corpus exactly, on
+    both the broadcast path and the bucketed join fallback."""
+    import ray.data as rd
+
+    import fever_ray.ops.dedup as dd
+
+    texts = [f"doc number {i} body" for i in range(60)]
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": texts})
+    ).repartition(4)
+    # reference shares the even docs' content (different ids — content match)
+    ref = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1000, 1030), pa.int64()),
+                "text": [texts[i] for i in range(0, 60, 2)],
+            }
+        )
+    )
+    for bb in (256 << 20, 0):  # broadcast path, then forced join fallback
+        hit = sorted(
+            r["doc_id"]
+            for r in dd.corpus_intersect(
+                corpus, ref, broadcast_bytes=bb
+            ).take_all()
+        )
+        miss = sorted(
+            r["doc_id"]
+            for r in dd.cross_dedup(corpus, ref, broadcast_bytes=bb).take_all()
+        )
+        assert hit == list(range(0, 60, 2))
+        assert miss == list(range(1, 60, 2))
+        assert sorted(hit + miss) == list(range(60))
+    # empty reference: intersect keeps nothing, dedup keeps everything
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    assert dd.corpus_intersect(corpus, empty).count() == 0
+    assert dd.cross_dedup(corpus, empty).count() == 60
