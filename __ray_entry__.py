@@ -1642,6 +1642,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             seed=29,
         )
 
+    def q_group_string_agg(sf):
+        # event-sequence materialization: per-user type path in exact
+        # (ts, event_id) order
+        return rel.group_string_agg(
+            _t(sf, "events", ["user_id", "event_type", "ts", "event_id"]),
+            key_col="user_id",
+            value_col="event_type",
+            order_cols=["ts", "event_id"],
+        )
+
     def q_rolling_window_sum(sf):
         from fever_ray.ops.windows import rolling_window_sum
 
@@ -1819,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "running_totals": q_running_totals,
         "rolling_window_sum": q_rolling_window_sum,
+        "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
         "group_top_k": q_group_top_k,
         "funnel_counts": q_funnel_counts,
@@ -3465,6 +3476,11 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
             "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "group_string_agg": (
+            "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, "
+            "event_id) AS agg, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
         ),
         "rolling_window_sum": (
             "SELECT event_id, user_id, ts, "

@@ -817,3 +817,98 @@ def melt(
         return pa.concat_tables(blocks)
 
     return ds.map_batches(long_form, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_string_agg(
+    ds,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+    sep: str = ",",
+):
+    """Ordered per-key concatenation — SQL ``string_agg(value, sep ORDER
+    BY ...)`` / Spark ``collect_list`` + join: one row per key with its
+    values joined in ``order_cols`` order (plus ``n`` int64, the element
+    count) — the session-path / event-sequence materialization step.
+
+    The order columns make the result a pure function of the data;
+    callers must include a tiebreaker (e.g. an id) if the leading order
+    column can repeat.  Null values become empty strings inside the
+    concatenation (SQL string_agg SKIPS nulls — pass pre-filtered input
+    for that semantic; the engine keeps row parity with n).
+
+    Scale shape: ONE key-hash coarse-bucket shuffle of the projected
+    rows; per bucket one lexsort + run detection + a single vectorized
+    ListArray/binary_join build handles every key at once (the
+    `line_dedup` reassembly kernel).  Partitioning assumption: one
+    bucket fits a worker — a single key's values always co-locate, so a
+    pathological key bounded only by corpus size needs a different
+    aggregate (sketch or sample)."""
+    import numpy as np
+
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby  # noqa: F401  (doc cross-ref)
+    from .dedup import _auto_parts, _key_runs
+
+    n_parts = _auto_parts(ds, floor=32)
+    schema = ds.schema()
+    key_type = (
+        schema.base_schema.field(key_col).type
+        if schema is not None
+        else pa.null()
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key_col, value_col, *order_cols])
+        narrow = narrow.filter(pc.is_valid(narrow.column(key_col)))
+        return narrow.append_column(
+            "bucket",
+            pa.array(bucket_of(narrow.column(key_col), n_parts), pa.int32()),
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], key_type),
+                    "agg": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        kc = g.column(key_col)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        sort_arrays = [kcodes]
+        for oc in reversed(order_cols):
+            col = g.column(oc)
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.int64())
+            sort_arrays.insert(0, col.to_numpy(zero_copy_only=False))
+        order = np.lexsort(tuple(sort_arrays))
+        vals = pc.cast(g.column(value_col), pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.take(pa.array(order, pa.int64()))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if vals.null_count:
+            vals = vals.fill_null("")
+        kO = kcodes[order]
+        starts = _key_runs(kO)
+        la = pa.ListArray.from_arrays(
+            pa.array(starts.astype(np.int32)), vals
+        )
+        return pa.table(
+            {
+                key_col: kc.take(pa.array(order[starts[:-1]], pa.int64())),
+                "agg": pc.binary_join(la, sep),
+                "n": pa.array(np.diff(starts), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

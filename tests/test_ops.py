@@ -751,3 +751,32 @@ def test_melt_null_semantics(ray_session):
         rd.from_arrow(t), ["id"], ["a", "b"], drop_null_values=False
     ).to_pandas()
     assert len(kept) == 4 and kept["value"].isna().sum() == 2
+
+
+def test_group_string_agg_order_and_nulls(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import group_string_agg
+
+    t = pa.table(
+        {
+            "k": pa.array([2, 1, 1, 2, None, 1], pa.int64()),
+            "v": pa.array(["c", "a", None, "d", "x", "b"]),
+            "o1": pa.array([5, 1, 2, 4, 0, 3], pa.int64()),
+            "o2": pa.array([0, 0, 0, 0, 0, 0], pa.int64()),
+        }
+    )
+    outs = []
+    for parts in (1, 4):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            sorted(
+                (r["k"], r["agg"], r["n"])
+                for r in group_string_agg(
+                    ds, "k", "v", order_cols=["o1", "o2"]
+                ).take_all()
+            )
+        )
+    # null keys skip; null values become '' (row parity kept via n)
+    assert outs[0] == [(1, "a,,b", 3), (2, "d,c", 2)]
+    assert outs[0] == outs[1]
