@@ -2834,9 +2834,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) "
             "AS nt, CAST(length(COALESCE(text, '')) AS BIGINT) AS nch "
             "FROM documents) "
+            # HAVING drops the min/max rows entirely on an empty corpus,
+            # matching the engine (which emits no min/max metrics then)
             "SELECT 'max_tokens' AS metric, CAST(MAX(nt) AS BIGINT) AS "
-            "value FROM tl "
+            "value FROM tl HAVING COUNT(*) > 0 "
             "UNION ALL SELECT 'min_tokens', CAST(MIN(nt) AS BIGINT) FROM tl "
+            "HAVING COUNT(*) > 0 "
             "UNION ALL SELECT 'n_chars', CAST(SUM(nch) AS BIGINT) FROM tl "
             "UNION ALL SELECT 'n_distinct_langs', CAST(COUNT(DISTINCT "
             "lang) AS BIGINT) FROM tl "

@@ -847,7 +847,6 @@ def group_string_agg(
     import numpy as np
 
     from ..sketches.hashing import bucket_of
-    from .aggregates import tree_groupby  # noqa: F401  (doc cross-ref)
     from .dedup import _auto_parts, _key_runs
 
     n_parts = _auto_parts(ds, floor=32)
@@ -879,9 +878,19 @@ def group_string_agg(
         if isinstance(kc, pa.ChunkedArray):
             kc = kc.combine_chunks()
         kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        # np.lexsort sorts by the LAST key first: key column last (most
+        # significant), then order_cols[0], ..., order_cols[-1] — so
+        # iterate order_cols FORWARD while inserting at the front
         sort_arrays = [kcodes]
-        for oc in reversed(order_cols):
+        for oc in order_cols:
             col = g.column(oc)
+            if col.null_count:
+                raise ValueError(
+                    f"group_string_agg: order column {oc} contains nulls — "
+                    "one null turns the sort key into float64/object "
+                    "(collapsing 64-bit order or crashing lexsort); filter "
+                    "or fill first"
+                )
             if pa.types.is_timestamp(col.type):
                 col = pc.cast(col, pa.int64())
             sort_arrays.insert(0, col.to_numpy(zero_copy_only=False))

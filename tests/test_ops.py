@@ -758,12 +758,14 @@ def test_group_string_agg_order_and_nulls(ray_session):
 
     from fever_ray.ops.relational import group_string_agg
 
+    # o2 deliberately DISAGREES with o1 so a wrong order-column
+    # significance (o2-primary) cannot coincidentally pass
     t = pa.table(
         {
             "k": pa.array([2, 1, 1, 2, None, 1], pa.int64()),
             "v": pa.array(["c", "a", None, "d", "x", "b"]),
             "o1": pa.array([5, 1, 2, 4, 0, 3], pa.int64()),
-            "o2": pa.array([0, 0, 0, 0, 0, 0], pa.int64()),
+            "o2": pa.array([0, 9, 8, 7, 0, 6], pa.int64()),
         }
     )
     outs = []
@@ -780,3 +782,27 @@ def test_group_string_agg_order_and_nulls(ray_session):
     # null keys skip; null values become '' (row parity kept via n)
     assert outs[0] == [(1, "a,,b", 3), (2, "d,c", 2)]
     assert outs[0] == outs[1]
+    # ties on o1 break by o2 (o1 primary, o2 secondary)
+    tt = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "v": pa.array(["A", "B", "C"]),
+            "o1": pa.array([1, 1, 0], pa.int64()),
+            "o2": pa.array([2, 1, 5], pa.int64()),
+        }
+    )
+    out = group_string_agg(
+        rd.from_arrow(tt), "k", "v", order_cols=["o1", "o2"]
+    ).take_all()
+    assert [(r["k"], r["agg"]) for r in out] == [(1, "C,B,A")]
+    tn = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "v": pa.array(["x"]),
+            "o1": pa.array([None], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="nulls"):
+        group_string_agg(
+            rd.from_arrow(tn), "k", "v", order_cols=["o1"]
+        ).materialize()
