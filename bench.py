@@ -469,6 +469,47 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # asymmetric containment dedup (rare-shingle candidates + integer
+    # cross-multiply verify) — the doc-inside-doc axis at corpus scale
+    from fever_ray.ops.dedup import containment_pairs
+
+    timings["containment_pages"] = _timed(
+        lambda: containment_pairs(
+            _pages_docs(), num_partitions=max(NUM_CPUS * 4, 64)
+        ).materialize()
+    )
+
+    # per-host event-sequence transition matrix over the crawl timeline
+    from fever_ray.ops.windows import transition_counts
+
+    def _page_seq_events():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def f(b):
+            hosts = hostname_of(b.column("url"))
+            ids = hash64(b.column("url")).view(np.int64)
+            return pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "user_id": pa.array(
+                        hash64(hosts).view(np.int64), pa.int64()
+                    ),
+                    "ts": pc.cast(b.column("warc_ts"), pa.timestamp("us")),
+                    "event_type": b.column("lang"),
+                }
+            )
+
+        return rd.read_parquet(
+            PAGES_DIR + "/", columns=["url", "warc_ts", "lang"]
+        ).map_batches(f, batch_format="pyarrow")
+
+    timings["transition_counts_pages"] = _timed(
+        lambda: transition_counts(
+            _page_seq_events(), num_partitions=max(NUM_CPUS * 2, 32)
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
