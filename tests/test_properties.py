@@ -239,3 +239,86 @@ def test_window_hash_structure_matches_grams(docs, n):
     assert all(len(ks) == 1 for ks in by_gram.values())  # same gram, same key
     all_keys = [next(iter(ks)) for ks in by_gram.values()]
     assert len(set(all_keys)) == len(by_gram)  # distinct grams, distinct keys
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_ordered_u64_preserves_float_order(vals):
+    """The order-preserving uint64 map (quantile_bucket / order-statistic
+    backbone) must rank arbitrary floats exactly like the floats."""
+    from fever_ray.ops.stats import _to_ordered_u64
+
+    a = np.array(vals, dtype=np.float64)
+    u = _to_ordered_u64(a)
+    ai = np.argsort(a, kind="stable")
+    ui = np.argsort(u, kind="stable")
+    # same multiset ordering: sorted values agree positionally
+    np.testing.assert_array_equal(a[ai], a[ui])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=30))
+def test_allpairs_by_runlen_matches_itertools(lens):
+    """Vectorized by-run-length triu expansion (containment / triangle
+    pair generation) equals the brute-force per-run combinations, for any
+    run-length multiset and cap."""
+    from itertools import combinations
+
+    from fever_ray.ops.dedup import _allpairs_by_runlen
+
+    ids = []
+    runs = []
+    nxt = 0
+    for L in lens:
+        run = list(range(nxt, nxt + L))
+        nxt += L + 3  # gaps so ids are distinct across runs
+        runs.append(run)
+        ids.extend(run)
+    starts = np.concatenate(
+        ([0], np.cumsum([len(r) for r in runs]))
+    ).astype(np.int64)
+    ids_arr = np.array(ids, dtype=np.int64)
+    for cap in (2, 3, 16):
+        a, b = _allpairs_by_runlen(ids_arr, starts, cap)
+        got = sorted(zip(a.tolist(), b.tolist()))
+        want = sorted(
+            p
+            for r in runs
+            if 2 <= len(r) <= cap
+            for p in combinations(r, 2)
+        )
+        assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=80),
+)
+def test_ntile_arithmetic_matches_reference(k, vals):
+    """The closed-form tile formula quantile_bucket applies to global
+    ranks equals a direct NTILE partition for any n, k."""
+    n = len(vals)
+    rank = np.arange(n, dtype=np.int64)
+    q, rem = divmod(n, k)
+    thresh = np.int64(rem * (q + 1))
+    qq = np.int64(max(q, 1))
+    tile = np.where(
+        rank < thresh, rank // np.int64(q + 1),
+        np.int64(rem) + (rank - thresh) // qq,
+    ) + 1
+    # direct construction: first rem tiles get q+1 ranks, rest get q
+    want = np.repeat(
+        np.arange(1, k + 1),
+        [q + 1 if i < rem else q for i in range(k)],
+    )
+    np.testing.assert_array_equal(tile, want[:n])
+    if n:
+        sizes = np.bincount(tile, minlength=k + 1)[1:]
+        assert sizes.max() - sizes[sizes > 0].min() <= 1
