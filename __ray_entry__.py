@@ -488,6 +488,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return winsorize(counts, "n_tokens", lo_q=0.05, hi_q=0.95, kll_k=8192)
 
+    def q_zscore_outliers(sf):
+        # distribution-tail audit at 1.5σ over char lengths; the float
+        # z-score predicate runs as an exact integer isqrt comparison so
+        # the boundary cannot drift vs the oracle's HUGEINT cross-multiply
+        from fever_ray.ops.stats import zscore_outliers
+
+        return zscore_outliers(
+            _t(sf, "documents", ["doc_id", "n_chars"]), "n_chars",
+            k_num=3, k_den=2,
+        )
+
     def q_value_histogram(sf):
         # fixed-bin audit histogram of document char lengths
         from fever_ray.ops.stats import value_histogram
@@ -1759,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q_winsorize,
         "corpus_report": q_corpus_report,
         "value_histogram": q_value_histogram,
+        "zscore_outliers": q_zscore_outliers,
         "importance_resample": q_importance_resample,
         "decayed_counts": q_decayed_counts,
         "transition_counts": q_transition_counts,
@@ -2865,6 +2877,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
             "CAST(LEAST(GREATEST(n_tokens, (SELECT v FROM lo)), "
             "(SELECT v FROM hi)) AS BIGINT) AS value_clipped FROM tl"
+        ),
+        "zscore_outliers": (
+            # exact-integer z-score tail: engine's |N·x−S| > isqrt(⌊k²(N·SS
+            # −S²)/k_den²⌋) is the same inequality as this HUGEINT
+            # cross-multiply (4·d² > 9·(N·SS−S²) for k = 3/2), so no float
+            # ever touches the predicate on either side
+            "WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(n_chars) AS HUGEINT) AS s, "
+            "SUM(CAST(n_chars AS HUGEINT) * n_chars) AS ss FROM documents) "
+            "SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars "
+            "FROM documents d, m "
+            "WHERE 4 * (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s) "
+            "> 9 * (m.n * m.ss - m.s * m.s)"
         ),
         "value_histogram": (
             # same pure-int64 bin arithmetic: clip((v-lo)*nb // span) with

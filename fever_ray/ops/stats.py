@@ -838,3 +838,121 @@ def value_histogram(
         return out.take(pc.sort_indices(out, sort_keys=[("bin", "ascending")]))
 
     return hist.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def zscore_outliers(
+    ds,
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+    id_col: str = "doc_id",
+):
+    """Rows whose integer value sits more than ``k_num/k_den`` population
+    standard deviations from the mean — the classic distribution-tail
+    audit (freak document lengths, runaway event counts) computed so the
+    float predicate is GATE-STABLE: ``|x − μ| > k·σ`` is evaluated as the
+    exact integer comparison ``|N·x − S| > isqrt(⌊k²·(N·SS − S²)/k_den²⌋)``
+    (S = Σx, SS = Σx², all exact), so no engine-vs-oracle partial-sum
+    order or sqrt rounding can flip a boundary row.  The SQL mirror is
+    the HUGEINT cross-multiply of the same inequality.
+
+    Scale shape: pass 1 is per-batch (n, Σx, Σx²) scalar partials — Σx²
+    carried as two int64 lanes (hi/lo 32 bits) so the tree-sum cannot
+    wrap — tree-combined to one row; pass 2 streams a vectorized int64
+    filter with the three scalars closed over.  Nothing shuffles; the
+    driver sees only scalar partials.
+
+    Output rows: (id_col int64, value_col int64).  Values must satisfy
+    |v| < 2^20 (keeps every intermediate exactly representable; raise
+    the lanes if a wider domain is ever needed)."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    if k_den <= 0 or k_num <= 0:
+        raise ValueError(
+            f"zscore_outliers: need k_num, k_den > 0, got {k_num}/{k_den}"
+        )
+    _CAP = np.int64(1) << np.int64(20)
+    _MASK = np.int64((1 << 32) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            raise ValueError(
+                f"zscore_outliers: {value_col} contains nulls — filter first"
+            )
+        vals = v.to_numpy(zero_copy_only=False)
+        if not np.issubdtype(vals.dtype, np.integer):
+            raise ValueError(
+                f"zscore_outliers: {value_col} must be an integer column "
+                f"(got {vals.dtype}); exact tail detection needs integer "
+                "moment sums"
+            )
+        vals = vals.astype(np.int64, copy=False)
+        if len(vals) and np.abs(vals).max() >= _CAP:
+            raise ValueError(
+                f"zscore_outliers: |{value_col}| must be < 2^20 so Σx² "
+                "stays exactly representable in the two-lane carry"
+            )
+        ss = int(np.sum(vals * vals, dtype=np.int64))
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([len(vals)], pa.int64()),
+                "s": pa.array([int(vals.sum(dtype=np.int64))], pa.int64()),
+                "ss_hi": pa.array([ss >> 32], pa.int64()),
+                "ss_lo": pa.array([ss & int(_MASK)], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["g"],
+                [("n", "sum"), ("s", "sum"), ("ss_hi", "sum"), ("ss_lo", "sum")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    )
+    n = int(parts.column("n").to_numpy().sum())
+    if n == 0:
+        raise ValueError(f"zscore_outliers: no rows in {value_col!r}")
+    s = int(parts.column("s").to_numpy().sum())
+    ss = (int(parts.column("ss_hi").to_numpy().sum()) << 32) + int(
+        parts.column("ss_lo").to_numpy().sum()
+    )
+    # d² > ⌊k_num²·(N·SS − S²) / k_den²⌋  ⇔  |d| > isqrt(that) , all exact
+    var_scaled = k_num * k_num * (n * ss - s * s)
+    if var_scaled < 0:
+        raise AssertionError("zscore_outliers: negative scaled variance")
+    bound = math.isqrt(var_scaled // (k_den * k_den))
+    if n * (1 << 20) >= (1 << 62):
+        raise ValueError(
+            "zscore_outliers: N·max|x| would overflow the int64 filter — "
+            "shard the input"
+        )
+    n_i, s_i, b_i = np.int64(n), np.int64(s), np.int64(bound)
+
+    def tail(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        d = n_i * vals - s_i
+        keep = np.abs(d) > b_i
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(mask),
+                value_col: pa.array(vals[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tail, batch_format="pyarrow", zero_copy_batch=True)

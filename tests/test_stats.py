@@ -404,3 +404,71 @@ def test_value_histogram_huge_outlier_lands_in_edge_bin(ray_session):
     assert got == {0: 1, 2: 1, 4: 1}
     with pytest.raises(ValueError, match="overflow"):
         value_histogram(rd.from_arrow(t), "v", lo=0, hi=1 << 61, n_bins=8)
+
+
+def test_zscore_outliers_exact_vs_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import zscore_outliers
+
+    rng = np.random.default_rng(3)
+    # heavy-tailed ints with deliberate boundary clustering: many values
+    # sit exactly at / next to the k·σ frontier once N·x−S is integer
+    v = np.concatenate(
+        [
+            rng.integers(0, 200, size=5000),
+            rng.integers(900, 1000, size=37),  # the tail
+        ]
+    ).astype(np.int64)
+    ids = np.arange(len(v), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "x": v})).repartition(7)
+    got = (
+        zscore_outliers(ds, "x", k_num=3, k_den=2, id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # exact rational reference: 4·(N·x−S)² > 9·(N·SS−S²) in python ints
+    N, S, SS = len(v), int(v.sum()), int((v.astype(object) ** 2).sum())
+    keep = np.array(
+        [4 * (N * int(x) - S) ** 2 > 9 * (N * SS - S * S) for x in v]
+    )
+    assert got["doc_id"].tolist() == ids[keep].tolist()
+    assert got["x"].tolist() == v[keep].tolist()
+    assert keep.sum() > 0  # the fixture actually exercises the tail
+    # partition invariance: same rows from a different block split
+    got2 = (
+        zscore_outliers(
+            rd.from_arrow(pa.table({"doc_id": ids, "x": v})).repartition(3),
+            "x",
+            k_num=3,
+            k_den=2,
+            id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got2["doc_id"].tolist() == got["doc_id"].tolist()
+
+
+def test_zscore_outliers_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import zscore_outliers
+
+    fl = rd.from_arrow(pa.table({"doc_id": [1], "x": pa.array([1.5])}))
+    with pytest.raises(Exception, match="integer column"):
+        zscore_outliers(fl, "x").take_all()
+    nul = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "x": pa.array([1, None], pa.int64())})
+    )
+    with pytest.raises(Exception, match="nulls"):
+        zscore_outliers(nul, "x").take_all()
+    big = rd.from_arrow(
+        pa.table({"doc_id": [1], "x": pa.array([1 << 21], pa.int64())})
+    )
+    with pytest.raises(Exception, match="2\\^20"):
+        zscore_outliers(big, "x").take_all()
+    with pytest.raises(ValueError, match="k_num"):
+        zscore_outliers(fl, "x", k_num=0)
