@@ -953,6 +953,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return containment_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_ngram_novelty(sf):
+        # per-doc count of corpus-unique shingles — the diversity dual of
+        # the dedup family, same shingle hashes as minhash/containment
+        from fever_ray.ops.textstats import ngram_novelty
+
+        return ngram_novelty(_t(sf, "documents", ["doc_id", "text"]))
+
     def q_triangle_counts(sf):
         # deterministic chain+skip graph over the event user ids: edges
         # (u-1, u) when u%10 != 0 and (u-2, u) when u%10 >= 2, so each
@@ -1810,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
         "containment_pairs": q_containment_pairs,
+        "ngram_novelty": q_ngram_novelty,
         "triangle_counts": q_triangle_counts,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -2639,6 +2647,32 @@ def _minhash_ctes_sql(ctes: list) -> str:
     )
 
 
+def _ngram_novelty_sql() -> str:
+    """Mirror of ops.textstats.ngram_novelty: the shared shingle-hash CTE
+    prefix, posting sizes per shingle, per-doc counts of posting-size-1
+    shingles — pure integers over the identical 64-bit shingle hashes, so
+    the gate hashes bit-exactly (collisions included)."""
+    ctes = _shingle_ctes("SELECT doc_id, text FROM documents")
+    ctes.append(("ex", "SELECT doc_id, UNNEST(sh) AS h FROM shu", True))
+    ctes.append(("fr", "SELECT h, COUNT(*) AS c FROM ex GROUP BY h", True))
+    ctes.append(
+        (
+            "nv",
+            "SELECT e.doc_id, SUM(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS "
+            "novel, COUNT(*) AS total FROM ex e JOIN fr f ON e.h = f.h "
+            "GROUP BY e.doc_id",
+            True,
+        )
+    )
+    return (
+        "WITH "
+        + _minhash_ctes_sql(ctes)
+        + " SELECT d.doc_id, CAST(COALESCE(nv.novel, 0) AS BIGINT) AS "
+        "novel_shingles, CAST(COALESCE(nv.total, 0) AS BIGINT) AS "
+        "total_shingles FROM documents d LEFT JOIN nv ON d.doc_id = nv.doc_id"
+    )
+
+
 def _containment_pairs_sql(
     thr_num: int = 4, thr_den: int = 5, cap: int = 16
 ) -> str:
@@ -3226,6 +3260,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _simhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
+        "ngram_novelty": _ngram_novelty_sql(),
         "triangle_counts": (
             # canonical a<b edges; each triangle (x<y<z) found once via
             # the two-wedge + closing-edge join, then credits all corners

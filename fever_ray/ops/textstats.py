@@ -1189,3 +1189,145 @@ def corpus_report(
         )
 
     return combined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def ngram_novelty(ds, n_shingle: int = 3, num_partitions: int | None = None):
+    """Per-document n-gram novelty — how much of a doc is text the rest of
+    the corpus has never seen (the diversity/curation dual of the dedup
+    family: near-dups score ~0, fresh content scores ~total).  For each
+    doc: ``novel_shingles`` = its distinct n-token shingles whose corpus
+    posting size is exactly 1, ``total_shingles`` = its distinct shingle
+    count.  Shingle hashes are the same position-mixed token-hash folds
+    the MinHash/containment paths use, so the SQL mirror (the factored
+    ``_shingle_ctes`` prefix) agrees bit-for-bit, hash collisions
+    included.
+
+    Scale shape: ONE hash-of-shingle shuffle of skinny (sh, doc) rows —
+    identical movement budget to `containment_pairs`' posting exchange;
+    per-partition posting sizes come from vectorized run detection, and a
+    second skinny shuffle of (doc, novel, seen) partials re-keys by doc.
+    Zero-shingle docs (< n tokens) ride along as weight-0 sentinel rows,
+    so every input doc_id appears in the output.  The corpus text never
+    moves.  Requires corpus-unique ``doc_id`` (the `exact_dedup`
+    contract); input columns (doc_id, text).
+
+    Output rows: (doc_id, novel_shingles, total_shingles), all int64."""
+    from .dedup import (
+        _auto_parts,
+        _blob_offsets_data,
+        _key_runs,
+        _shingle_blob_table,
+    )
+
+    n_parts = num_partitions or _auto_parts(ds)
+    pu = np.uint64(n_parts)
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def post(batch: pa.Table) -> pa.Table:
+        t = _shingle_blob_table(batch, n_shingle, None)
+        off, dat = _blob_offsets_data(t.column("sh"))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = np.diff(off)
+        doc = np.repeat(ids, counts)
+        part = (dat % pu).astype(np.int32)
+        zero = counts == 0
+        if zero.any():
+            # weight-0 sentinels keep shingle-less docs in the output;
+            # partition by mixed doc id so they spread like real rows
+            zdoc = ids[zero].astype(np.int64)
+            with np.errstate(over="ignore"):
+                zpart = ((zdoc.astype(np.uint64) * _MIX) % pu).astype(np.int32)
+            doc = np.concatenate([doc, zdoc])
+            dat = np.concatenate([dat, np.zeros(len(zdoc), np.uint64)])
+            part = np.concatenate([part, zpart])
+            w = np.concatenate(
+                [np.ones(int(counts.sum()), np.int8), np.zeros(len(zdoc), np.int8)]
+            )
+        else:
+            w = np.ones(len(doc), np.int8)
+        return pa.table(
+            {
+                "sh": pa.array(dat.view(np.int64), pa.int64()),
+                "doc": pa.array(doc, pa.int64()),
+                "w": pa.array(w, pa.int8()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def _doc_partial_table(doc: np.ndarray, novel: np.ndarray, seen: np.ndarray):
+        return pa.table(
+            {
+                "doc": pa.array(doc, pa.int64()),
+                "novel": pa.array(novel, pa.int64()),
+                "seen": pa.array(seen, pa.int64()),
+                "dp": pa.array(
+                    (doc.astype(np.uint64) % pu).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def bucket(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return _doc_partial_table(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+            )
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        real = w == 1
+        rsh, rdoc = sh[real], doc[real]
+        order = np.argsort(rsh, kind="stable")
+        rsh, rdoc = rsh[order], rdoc[order]
+        starts = _key_runs(rsh)
+        runlen = np.diff(starts)
+        # per-row posting size; a (doc, sh) row is globally unique, so the
+        # run length IS the corpus posting size for that shingle
+        freq = np.repeat(runlen, runlen)
+        udoc, inv = np.unique(
+            np.concatenate([rdoc, doc[~real]]), return_inverse=True
+        )
+        novel = np.bincount(
+            inv[: len(rdoc)], weights=(freq == 1), minlength=len(udoc)
+        ).astype(np.int64)
+        seen = np.bincount(inv[: len(rdoc)], minlength=len(udoc)).astype(np.int64)
+        return _doc_partial_table(udoc, novel, seen)
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "novel_shingles": pa.array([], pa.int64()),
+                "total_shingles": pa.array([], pa.int64()),
+            }
+        )
+        if not group.num_rows or not group.num_columns:
+            return empty
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        novel = group.column("novel").to_numpy(zero_copy_only=False)
+        seen = group.column("seen").to_numpy(zero_copy_only=False)
+        udoc, inv = np.unique(doc, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "novel_shingles": pa.array(
+                    np.bincount(inv, weights=novel, minlength=len(udoc)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "total_shingles": pa.array(
+                    np.bincount(inv, weights=seen, minlength=len(udoc)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(bucket, batch_format="pyarrow")
+        .groupby("dp")
+        .map_groups(combine, batch_format="pyarrow")
+    )

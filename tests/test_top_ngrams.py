@@ -223,3 +223,49 @@ def test_corpus_report_exact_and_empty(ray_session):
     }
     assert gote["n_docs"] == 0 and gote["n_distinct_langs"] == 0
     assert "min_tokens" not in gote  # no rows -> no min/max metrics
+
+
+def test_ngram_novelty_planted_corpus(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import ngram_novelty
+    from fever_ray.sketches.minhash import _shingle_hash_flat, _tokenize_batch
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",   # 0: duplicated below
+        "alpha beta gamma delta epsilon zeta",   # 1: exact dup of 0
+        "one two three four five six seven",     # 2: fully unique
+        "alpha beta gamma NINE ten eleven",      # 3: shares a prefix shingle with 0/1
+        "tiny doc",                              # 4: < 3 tokens → no shingles
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    ).repartition(3)
+    got = {
+        r["doc_id"]: (r["novel_shingles"], r["total_shingles"])
+        for r in ngram_novelty(ds, n_shingle=3).take_all()
+    }
+    # reference over the SAME position-mixed shingle-fold hashes the
+    # dedup family uses (zero shingles for docs shorter than n tokens)
+    tok_h, offs = _tokenize_batch(texts)
+    sh, sh_off = _shingle_hash_flat(tok_h, offs, 3)
+    sets = [
+        set(sh[s:e].tolist()) for s, e in zip(sh_off[:-1], sh_off[1:])
+    ]
+    from collections import Counter
+
+    freq = Counter(h for s in sets for h in s)
+    want = {
+        i: (sum(1 for h in s if freq[h] == 1), len(s))
+        for i, s in enumerate(sets)
+    }
+    assert got == want
+    assert got[0] == (0, 4) and got[1] == (0, 4)   # dups: nothing novel
+    assert got[2] == (5, 5)                        # unique doc: all novel
+    assert got[4] == (0, 0)                        # shingle-less sentinel
+    # partition invariance
+    got2 = {
+        r["doc_id"]: (r["novel_shingles"], r["total_shingles"])
+        for r in ngram_novelty(ds.repartition(1), n_shingle=3).take_all()
+    }
+    assert got2 == got
