@@ -953,6 +953,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return containment_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_cooccurrence_counts(sf):
+        # doc-level co-occurrence over the exact top-16 vocabulary; pure
+        # integer (pair, both, a, b) counts so PMI-style scores derive
+        # outside the engine
+        from fever_ray.ops.textstats import cooccurrence_counts
+
+        return cooccurrence_counts(_t(sf, "documents", ["text"]), v=16)
+
     def q_ngram_novelty(sf):
         # per-doc count of corpus-unique shingles — the diversity dual of
         # the dedup family, same shingle hashes as minhash/containment
@@ -1818,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "containment_pairs": q_containment_pairs,
         "ngram_novelty": q_ngram_novelty,
+        "cooccurrence_counts": q_cooccurrence_counts,
         "triangle_counts": q_triangle_counts,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -3261,6 +3270,27 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
         "ngram_novelty": _ngram_novelty_sql(),
+        "cooccurrence_counts": (
+            # same vocabulary rule as the engine (occurrence count desc,
+            # token asc, exact), document-level distinct presence, pairs
+            # lexicographic; '' from empty text is a token on both sides
+            "WITH tok AS MATERIALIZED (SELECT doc_id, "
+            "unnest(string_split(COALESCE(text, ''), ' ')) AS t "
+            "FROM documents), "
+            "cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t), "
+            "v AS MATERIALIZED (SELECT t FROM cnt ORDER BY c DESC, t ASC "
+            "LIMIT 16), "
+            "p AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM tok "
+            "WHERE t IN (SELECT t FROM v)), "
+            "pairs AS (SELECT a.t AS tok_a, b.t AS tok_b, COUNT(*) AS "
+            "n_both FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.t < b.t "
+            "GROUP BY a.t, b.t), "
+            "m AS (SELECT t, COUNT(*) AS n FROM p GROUP BY t) "
+            "SELECT pr.tok_a, pr.tok_b, CAST(pr.n_both AS BIGINT) AS "
+            "n_both, CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS "
+            "n_b FROM pairs pr JOIN m ma ON ma.t = pr.tok_a "
+            "JOIN m mb ON mb.t = pr.tok_b"
+        ),
         "triangle_counts": (
             # canonical a<b edges; each triangle (x<y<z) found once via
             # the two-wedge + closing-edge join, then credits all corners

@@ -1331,3 +1331,129 @@ def ngram_novelty(ds, n_shingle: int = 3, num_partitions: int | None = None):
         .groupby("dp")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def cooccurrence_counts(ds, v: int = 16, text_col: str = "text"):
+    """Document-level token co-occurrence over the corpus's exact top-``v``
+    vocabulary — the association-mining audit (what appears together?)
+    behind PMI/NPMI tables, emitted as pure integers so the caller can
+    form any association score without the engine ever touching a float:
+    for every vocabulary pair that co-occurs at least once,
+    (tok_a, tok_b, n_both, n_a, n_b) with tok_a < tok_b lexicographically,
+    n_both = #docs containing both, n_a / n_b = #docs containing each.
+
+    Scale shape: vocabulary selection reuses `top_ngrams`' exact
+    pre-combined count pass (ties break count-desc-then-token-asc, so the
+    vocabulary is deterministic under any partitioning); the counting
+    pass then ships NO pair rows at all — each batch contributes one
+    v×v boolean-presence outer product M'M (counts < 2^53, exact in the
+    float64 matmul), flattened to ≤ v(v+1)/2 skinny partial rows and
+    tree-summed.  The only corpus-sized movement is the vocabulary
+    groupby that `top_ngrams` already pays."""
+    from .aggregates import tree_groupby
+
+    if not 2 <= v <= 256:
+        raise ValueError(
+            f"cooccurrence_counts: v must be in [2, 256] (v² partial rows "
+            f"per batch), got {v}"
+        )
+    vocab = [
+        r["ngram"] for r in top_ngrams(ds, n=1, k=v, text_col=text_col).take_all()
+    ]
+    nv = len(vocab)
+    vocab_arr = pa.array(vocab, pa.string())
+
+    def presence_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int32()),
+                "j": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.fill_null(pc.cast(text, pa.string()), ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        doc_lens = np.diff(offsets)
+        codes = (
+            pc.fill_null(pc.index_in(flat, value_set=vocab_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc_idx = np.repeat(np.arange(len(doc_lens), dtype=np.int64), doc_lens)
+        hit = codes >= 0
+        m = np.zeros((len(doc_lens), nv), dtype=np.float64)
+        m[doc_idx[hit], codes[hit]] = 1.0
+        c = (m.T @ m).astype(np.int64)
+        iu, ju = np.triu_indices(nv)
+        n = c[iu, ju]
+        keep = n > 0
+        return pa.table(
+            {
+                "i": pa.array(iu[keep].astype(np.int32), pa.int32()),
+                "j": pa.array(ju[keep].astype(np.int32), pa.int32()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    summed = tree_groupby(
+        ds.map_batches(
+            presence_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["i", "j"],
+        [("n", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tok_a": pa.array([], pa.string()),
+                "tok_b": pa.array([], pa.string()),
+                "n_both": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows or not batch.num_columns:
+            return empty
+        i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch.column("j").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        marg = np.zeros(nv, dtype=np.int64)
+        diag = i == j
+        marg[i[diag]] = n[diag]
+        off = ~diag
+        if not off.any():
+            return empty
+        ia, jb, nb = i[off], j[off], n[off]
+        ta = pa.array([vocab[x] for x in ia], pa.string())
+        tb = pa.array([vocab[x] for x in jb], pa.string())
+        # vocabulary order is count-ranked; the output contract (and the
+        # SQL mirror) wants lexicographic pair order
+        lo = pc.min_element_wise(ta, tb)
+        hi = pc.max_element_wise(ta, tb)
+        swap = pc.greater(ta, tb).to_numpy(zero_copy_only=False)
+        na = np.where(swap, marg[jb], marg[ia])
+        nbm = np.where(swap, marg[ia], marg[jb])
+        return pa.table(
+            {
+                "tok_a": lo,
+                "tok_b": hi,
+                "n_both": pa.array(nb, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nbm, pa.int64()),
+            }
+        )
+
+    # the summed table is ≤ v(v+1)/2 rows — one partition finishes it
+    return summed.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

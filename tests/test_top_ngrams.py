@@ -269,3 +269,46 @@ def test_ngram_novelty_planted_corpus(ray_session):
         for r in ngram_novelty(ds.repartition(1), n_shingle=3).take_all()
     }
     assert got2 == got
+
+
+def test_cooccurrence_counts_vs_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import cooccurrence_counts
+
+    texts = [
+        "cat dog cat fish",      # cat counts twice for vocab, once for docs
+        "dog fish bird",
+        "cat bird bird bird",
+        "wolf owl",              # outside top-4 vocab
+        "dog cat",
+    ]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(3)
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["n_both"], r["n_a"], r["n_b"])
+        for r in cooccurrence_counts(ds, v=4).take_all()
+    }
+    # brute force: vocab = top-4 tokens by occurrence (desc, token asc)
+    from collections import Counter
+
+    occ = Counter(t for x in texts for t in x.split(" "))
+    vocab = [t for t, _ in sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:4]]
+    docsets = [set(x.split(" ")) & set(vocab) for x in texts]
+    want = {}
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        nb = sum(1 for s in docsets if a in s and b in s)
+        if nb:
+            na = sum(1 for s in docsets if a in s)
+            n_b = sum(1 for s in docsets if b in s)
+            want[(a, b)] = (nb, na, n_b)
+    assert got == want and len(got) > 0
+    # partition invariance
+    got2 = {
+        (r["tok_a"], r["tok_b"]): (r["n_both"], r["n_a"], r["n_b"])
+        for r in cooccurrence_counts(ds.repartition(1), v=4).take_all()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError, match="v must be"):
+        cooccurrence_counts(ds, v=1)
