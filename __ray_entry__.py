@@ -953,6 +953,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return containment_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_token_edit_dups(sf):
+        # SymSpell deletion-neighborhood candidates + exact vectorized
+        # Levenshtein verify; oracle is the semantic nested-loop
+        # levenshtein() join over the same vocabulary
+        from fever_ray.ops.editsim import token_edit_dups
+
+        return token_edit_dups(_t(sf, "documents", ["text"]), max_dist=2)
+
     def q_cooccurrence_counts(sf):
         # doc-level co-occurrence over the exact top-16 vocabulary; pure
         # integer (pair, both, a, b) counts so PMI-style scores derive
@@ -1827,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment_pairs,
         "ngram_novelty": q_ngram_novelty,
         "cooccurrence_counts": q_cooccurrence_counts,
+        "token_edit_dups": q_token_edit_dups,
         "triangle_counts": q_triangle_counts,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -3270,6 +3279,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
         "ngram_novelty": _ngram_novelty_sql(),
+        "token_edit_dups": (
+            # semantic mirror: every distinct ASCII vocabulary token pair
+            # within Levenshtein distance 2 (len(t) = strlen(t) is the
+            # ASCII gate — byte DP == char distance only there); the
+            # engine's deletion-neighborhood candidates are exhaustive for
+            # distance <= 2 below the hub-key cap, so the sets agree
+            "WITH tok AS MATERIALIZED (SELECT "
+            "unnest(string_split(COALESCE(text, ''), ' ')) AS t "
+            "FROM documents), "
+            "v AS MATERIALIZED (SELECT t, COUNT(*) AS c FROM tok "
+            "WHERE len(t) BETWEEN 1 AND 24 AND len(t) = strlen(t) "
+            "GROUP BY t) "
+            "SELECT a.t AS tok_a, b.t AS tok_b, "
+            "CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist, "
+            "CAST(a.c AS BIGINT) AS freq_a, CAST(b.c AS BIGINT) AS freq_b "
+            "FROM v a JOIN v b ON a.t < b.t "
+            "AND abs(len(a.t) - len(b.t)) <= 2 "
+            "AND levenshtein(a.t, b.t) <= 2"
+        ),
         "cooccurrence_counts": (
             # same vocabulary rule as the engine (occurrence count desc,
             # token asc, exact), document-level distinct presence, pairs
