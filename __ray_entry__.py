@@ -499,6 +499,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k_num=3, k_den=2,
         )
 
+    def q_mad_outliers(sf):
+        # robust 1.5-MAD tail over char lengths: median and MAD are exact
+        # histogram-refined order statistics, predicate is an integer
+        # cross-multiply — the robust sibling of zscore_outliers
+        from fever_ray.ops.stats import mad_outliers
+
+        return mad_outliers(
+            _t(sf, "documents", ["doc_id", "n_chars"]), "n_chars",
+            k_num=3, k_den=2,
+        )
+
     def q_value_histogram(sf):
         # fixed-bin audit histogram of document char lengths
         from fever_ray.ops.stats import value_histogram
@@ -1794,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": q_corpus_report,
         "value_histogram": q_value_histogram,
         "zscore_outliers": q_zscore_outliers,
+        "mad_outliers": q_mad_outliers,
         "importance_resample": q_importance_resample,
         "decayed_counts": q_decayed_counts,
         "transition_counts": q_transition_counts,
@@ -2929,6 +2941,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
             "CAST(LEAST(GREATEST(n_tokens, (SELECT v FROM lo)), "
             "(SELECT v FROM hi)) AS BIGINT) AS value_clipped FROM tl"
+        ),
+        "mad_outliers": (
+            # exact median/MAD at the engine's "first rank >= ceil(n/2)"
+            # rule; pure-integer cross-multiply tail predicate
+            "WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY "
+            "n_chars) AS rn, count(*) OVER () AS n FROM documents), "
+            "med AS (SELECT n_chars AS m FROM r WHERE rn = "
+            "GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)), "
+            "r2 AS (SELECT abs(n_chars - (SELECT m FROM med)) AS dev "
+            "FROM documents), "
+            "r3 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn, "
+            "count(*) OVER () AS n FROM r2), "
+            "mad AS (SELECT dev AS m FROM r3 WHERE rn = "
+            "GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)) "
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM documents WHERE 2 * abs(n_chars - (SELECT m FROM med)) "
+            "> 3 * (SELECT m FROM mad)"
         ),
         "zscore_outliers": (
             # exact-integer z-score tail: engine's |N·x−S| > isqrt(⌊k²(N·SS

@@ -758,6 +758,76 @@ def winsorize(
     return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mad_outliers(
+    ds,
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+    id_col: str = "doc_id",
+):
+    """Robust distribution-tail audit: rows whose integer value deviates
+    from the MEDIAN by more than ``k_num/k_den`` times the median absolute
+    deviation — the outlier rule that survives the outliers themselves
+    (one 10^9-char document shifts a mean/σ z-score but not the MAD).
+    Median and MAD are the exact "first rank ≥ ⌈n/2⌉" order statistics
+    (two `exact_order_statistic` histogram-refinement passes, no sort),
+    and the tail predicate is the pure-integer cross-multiply
+    ``k_den·|x − med| > k_num·MAD`` — bit-stable against the SQL window
+    mirror at any partition order.
+
+    Output rows: (id_col int64, value_col int64)."""
+    if k_den <= 0 or k_num <= 0:
+        raise ValueError(
+            f"mad_outliers: need k_num, k_den > 0, got {k_num}/{k_den}"
+        )
+    schema = ds.schema()
+    if schema is None:
+        raise ValueError("mad_outliers: input dataset has no schema")
+    if not pa.types.is_integer(schema.base_schema.field(value_col).type):
+        raise ValueError(
+            f"mad_outliers: {value_col} must be an integer column for the "
+            "exact cross-multiply predicate"
+        )
+    med = int(exact_order_statistic(ds, value_col, 0.5))
+
+    def deviation(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            raise ValueError(
+                f"mad_outliers: {value_col} contains nulls — filter first"
+            )
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return pa.table({"dev": pa.array(np.abs(vals - med), pa.int64())})
+
+    mad = int(
+        exact_order_statistic(
+            ds.map_batches(deviation, batch_format="pyarrow", zero_copy_batch=True),
+            "dev",
+            0.5,
+        )
+    )
+    kn, kd = np.int64(k_num), np.int64(k_den)
+    med_i, mad_i = np.int64(med), np.int64(mad)
+
+    def tail(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        keep = kd * np.abs(vals - med_i) > kn * mad_i
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(mask),
+                value_col: pa.array(vals[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tail, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def value_histogram(
     ds,
     value_col: str,

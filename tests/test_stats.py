@@ -472,3 +472,52 @@ def test_zscore_outliers_guards(ray_session):
         zscore_outliers(big, "x").take_all()
     with pytest.raises(ValueError, match="k_num"):
         zscore_outliers(fl, "x", k_num=0)
+
+
+def test_mad_outliers_exact_vs_reference(ray_session):
+    import math as _math
+
+    import ray.data as rd
+
+    from fever_ray.ops.stats import mad_outliers
+
+    rng = np.random.default_rng(9)
+    # a huge outlier cluster that would wreck a mean/sigma rule but not MAD
+    v = np.concatenate(
+        [rng.integers(100, 120, size=4000), np.full(50, 100000, np.int64)]
+    ).astype(np.int64)
+    ids = np.arange(len(v), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "x": v})).repartition(5)
+    got = sorted(
+        r["doc_id"]
+        for r in mad_outliers(ds, "x", k_num=3, k_den=1).take_all()
+    )
+    sv = np.sort(v)
+    med = int(sv[max(_math.ceil(0.5 * len(v)), 1) - 1])
+    dev = np.sort(np.abs(v - med))
+    mad = int(dev[max(_math.ceil(0.5 * len(v)), 1) - 1])
+    want = sorted(ids[np.abs(v - med) > 3 * mad].tolist())
+    assert got == want
+    assert set(got) >= set(range(4000, 4050))  # the planted cluster is caught
+    # partition invariance
+    got2 = sorted(
+        r["doc_id"]
+        for r in mad_outliers(
+            rd.from_arrow(pa.table({"doc_id": ids, "x": v})).repartition(2),
+            "x", k_num=3, k_den=1,
+        ).take_all()
+    )
+    assert got2 == got
+
+
+def test_mad_outliers_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import mad_outliers
+
+    fl = rd.from_arrow(pa.table({"doc_id": [1], "x": pa.array([1.5])}))
+    with pytest.raises(ValueError, match="integer column"):
+        mad_outliers(fl, "x")
+    ok = rd.from_arrow(pa.table({"doc_id": [1], "x": pa.array([3], pa.int64())}))
+    with pytest.raises(ValueError, match="k_num"):
+        mad_outliers(ok, "x", k_num=0)
