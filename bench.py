@@ -510,6 +510,35 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # per-doc corpus-unique shingle counts (the diversity dual of dedup —
+    # same posting-exchange movement budget as containment_pages)
+    from fever_ray.ops.textstats import ngram_novelty
+
+    timings["ngram_novelty_pages"] = _timed(
+        lambda: ngram_novelty(
+            _pages_docs(), num_partitions=max(NUM_CPUS * 4, 64)
+        ).materialize()
+    )
+
+    # vocabulary spelling-variant pairs (SymSpell deletion neighborhoods;
+    # cost is the corpus token-count pass + vocab-scale key explode)
+    from fever_ray.ops.editsim import token_edit_dups
+
+    timings["token_edit_dups_pages"] = _timed(
+        lambda: token_edit_dups(
+            _pages_docs(), max_dist=2, min_count=2,
+            num_partitions=max(NUM_CPUS * 2, 32),
+        ).materialize()
+    )
+
+    # top-32 token association counts (outer-product partials — no pair
+    # rows ship, cost ~ one streaming matmul pass)
+    from fever_ray.ops.textstats import cooccurrence_counts
+
+    timings["cooccurrence_pages"] = _timed(
+        lambda: cooccurrence_counts(_pages_docs(), v=32).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
