@@ -972,6 +972,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return token_edit_dups(_t(sf, "documents", ["text"]), max_dist=2)
 
+    def q_token_variant_clusters(sf):
+        # canonical spelling map: components over the variant graph with
+        # hash-valued min labels (editsim × graph composition)
+        from fever_ray.ops.editsim import token_variant_clusters
+
+        return token_variant_clusters(_t(sf, "documents", ["text"]), max_dist=2)
+
     def q_cooccurrence_counts(sf):
         # doc-level co-occurrence over the exact top-16 vocabulary; pure
         # integer (pair, both, a, b) counts so PMI-style scores derive
@@ -1848,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": q_ngram_novelty,
         "cooccurrence_counts": q_cooccurrence_counts,
         "token_edit_dups": q_token_edit_dups,
+        "token_variant_clusters": q_token_variant_clusters,
         "triangle_counts": q_triangle_counts,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -2677,6 +2685,47 @@ def _minhash_ctes_sql(ctes: list) -> str:
     )
 
 
+def _token_variant_clusters_sql() -> str:
+    """Mirror of ops.editsim.token_variant_clusters: the levenshtein pair
+    set over the ASCII/length-gated vocabulary, token hashes via the
+    engine's FNV→splitmix chain reinterpreted signed, recursive min-
+    reachable closure — the exact semantic of distributed min-label
+    propagation with a hash-valued label."""
+    m = "18446744073709551616"
+    mulmod = _sql_mulmod
+    fnv_t = _sql_fnv1a_over("t")
+    to_i64 = (
+        "CAST(CAST(x AS HUGEINT) - CASE WHEN x >= "
+        "CAST(9223372036854775808 AS UBIGINT) "
+        f"THEN CAST({m} AS HUGEINT) ELSE 0 END AS BIGINT)"
+    )
+    return (
+        "WITH RECURSIVE "
+        "tok AS MATERIALIZED (SELECT unnest(string_split(COALESCE(text, "
+        "''), ' ')) AS t FROM documents), "
+        "v AS MATERIALIZED (SELECT t FROM tok WHERE len(t) BETWEEN 1 AND "
+        "24 AND len(t) = strlen(t) GROUP BY t), "
+        f"vh0 AS (SELECT t, {fnv_t} AS h0 FROM v), "
+        "vh1 AS (SELECT t, xor(h0, h0 >> 30) AS y FROM vh0), "
+        f"vh2 AS (SELECT t, {mulmod('y', '13787848793156543929')} AS x FROM vh1), "
+        "vh3 AS (SELECT t, xor(x, x >> 27) AS y FROM vh2), "
+        f"vh4 AS (SELECT t, {mulmod('y', '10723151780598845931')} AS x FROM vh3), "
+        "vh5 AS (SELECT t, xor(x, x >> 31) AS x FROM vh4), "
+        f"vh AS MATERIALIZED (SELECT t, {to_i64} AS h FROM vh5), "
+        "e AS MATERIALIZED (SELECT a.t AS ta, a.h AS ha, b.t AS tb, "
+        "b.h AS hb FROM vh a JOIN vh b ON a.t < b.t "
+        "AND abs(len(a.t) - len(b.t)) <= 2 AND levenshtein(a.t, b.t) <= 2), "
+        "sym AS MATERIALIZED (SELECT ha AS a, hb AS b FROM e "
+        "UNION SELECT hb AS a, ha AS b FROM e), "
+        "reach AS (SELECT a, b FROM sym "
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "nodes AS (SELECT t, h FROM (SELECT ta AS t, ha AS h FROM e "
+        "UNION SELECT tb AS t, hb AS h FROM e)) "
+        "SELECT n.t AS tok, LEAST(n.h, MIN(r.b)) AS cluster_id "
+        "FROM nodes n JOIN reach r ON r.a = n.h GROUP BY n.t, n.h"
+    )
+
+
 def _ngram_novelty_sql() -> str:
     """Mirror of ops.textstats.ngram_novelty: the shared shingle-hash CTE
     prefix, posting sizes per shingle, per-doc counts of posting-size-1
@@ -3327,6 +3376,7 @@ def oracle_sql() -> dict[str, str]:
             "AND abs(len(a.t) - len(b.t)) <= 2 "
             "AND levenshtein(a.t, b.t) <= 2"
         ),
+        "token_variant_clusters": _token_variant_clusters_sql(),
         "cooccurrence_counts": (
             # same vocabulary rule as the engine (occurrence count desc,
             # token asc, exact), document-level distinct presence, pairs

@@ -382,3 +382,152 @@ def token_edit_dups(
         .groupby("p2")
         .map_groups(dedup_verify, batch_format="pyarrow")
     )
+
+
+def token_variant_clusters(
+    ds,
+    max_dist: int = 2,
+    min_count: int = 1,
+    min_len: int = 1,
+    max_len: int = 24,
+    bucket_cap: int = 256,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Canonical spelling map: connected components over the
+    `token_edit_dups` variant graph — "recieve", "receive" and "receeve"
+    all land in one cluster so a curation pass can rewrite variants to a
+    single canonical form.  Cluster id = the component's minimum token
+    hash (the same splitmix-finalized FNV the SQL mirror computes, signed
+    int64 order on BOTH sides), so the label is deterministic without
+    shipping strings through the component rounds.
+
+    Output rows: (tok, cluster_id int64) for every token that appears in
+    at least one variant pair; tokens with no variant stay out of the map
+    (a rewrite pass treats absence as identity).
+
+    Scale shape: pairs are vocabulary-scale (see `token_edit_dups`);
+    components run min-label propagation with pointer jumping over skinny
+    hash edges; the string↔hash map rides the pair rows themselves, so
+    the join back is one bucketed union-tag groupby — the corpus is read
+    once, by the vocabulary pass."""
+    import ray.data as rd
+
+    from .dedup import _auto_parts, _key_runs, connected_components
+
+    n_parts = num_partitions or _auto_parts(ds)
+    pairs = token_edit_dups(
+        ds,
+        max_dist=max_dist,
+        min_count=min_count,
+        min_len=min_len,
+        max_len=max_len,
+        bucket_cap=bucket_cap,
+        text_col=text_col,
+        num_partitions=num_partitions,
+    ).materialize()
+    empty = pa.table(
+        {"tok": pa.array([], pa.string()), "cluster_id": pa.array([], pa.int64())}
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ta = batch.column("tok_a")
+        tb = batch.column("tok_b")
+        return pa.table(
+            {
+                "doc_a": pa.array(hash64(ta).view(np.int64), pa.int64()),
+                "doc_b": pa.array(hash64(tb).view(np.int64), pa.int64()),
+            }
+        )
+
+    # materialize: the component rounds end in a hash join, and a pending
+    # join fused into the union+groupby below can deadlock a small cluster
+    # (the CLAUDE.md two-joins-one-execution rule).  The variant graph is
+    # vocabulary-scale, so the component shuffle wants FEW partitions —
+    # a join with hundreds of near-empty blocks stalls small clusters
+    comp = connected_components(
+        pairs.map_batches(edges, batch_format="pyarrow"),
+        num_partitions=max(8, min(n_parts // 8, 32)),
+    ).materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        ta = batch.column("tok_a")
+        tb = batch.column("tok_b")
+        if isinstance(ta, pa.ChunkedArray):
+            ta = ta.combine_chunks()
+        if isinstance(tb, pa.ChunkedArray):
+            tb = tb.combine_chunks()
+        toks = pa.concat_arrays([ta, tb])
+        h = hash64(toks).view(np.int64)
+        # local dedup (each endpoint appears once per incident pair)
+        o = np.argsort(h, kind="stable")
+        firsts = o[_key_runs(h[o])[:-1]]
+        sel = pa.array(firsts, pa.int64())
+        hu = h[firsts]
+        return pa.table(
+            {
+                "h": pa.array(hu, pa.int64()),
+                "tok": toks.take(sel),
+                "cluster": pa.array(np.zeros(len(hu), np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(hu), np.int8), pa.int8()),
+                "bp": pa.array(
+                    (hu.view(np.uint64) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "h": batch.column("doc_id"),
+                "tok": pa.array([""] * len(h), pa.string()),
+                "cluster": batch.column("cluster_id"),
+                "kind": pa.array(np.ones(len(h), np.int8), pa.int8()),
+                "bp": pa.array(
+                    (h.view(np.uint64) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return empty
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        cl = group.column("cluster").to_numpy(zero_copy_only=False)
+        is_node = kind == 0
+        nh = h[is_node]
+        ch, cc = h[~is_node], cl[~is_node]
+        o = np.argsort(ch, kind="stable")
+        ch, cc = ch[o], cc[o]
+        pos = np.searchsorted(ch, nh)
+        if len(ch) == 0 or not np.array_equal(ch[np.minimum(pos, len(ch) - 1)], nh):
+            raise AssertionError(
+                "token_variant_clusters: a pair endpoint is missing from "
+                "the component labels — connected_components contract broken"
+            )
+        # duplicate node rows across buckets can't happen (bp is a pure
+        # function of h and nodes were deduped per batch) — but the same
+        # node CAN arrive from different pair batches; dedup here
+        no = np.argsort(nh, kind="stable")
+        keep = no[_key_runs(nh[no])[:-1]]
+        toks = group.column("tok")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        node_idx = np.flatnonzero(is_node)
+        return pa.table(
+            {
+                "tok": toks.take(pa.array(node_idx[keep], pa.int64())),
+                "cluster_id": pa.array(cc[pos[keep]], pa.int64()),
+            }
+        )
+
+    union = pairs.map_batches(node_rows, batch_format="pyarrow").union(
+        comp.map_batches(comp_rows, batch_format="pyarrow")
+    )
+    return union.groupby("bp").map_groups(attach, batch_format="pyarrow")

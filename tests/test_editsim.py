@@ -151,3 +151,63 @@ def test_token_edit_dups_guards(ray_session):
         token_edit_dups(ds, max_dist=3)
     with pytest.raises(ValueError, match="min_len"):
         token_edit_dups(ds, min_len=0)
+
+
+def test_token_variant_clusters_vs_local_components(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.editsim import token_edit_dups, token_variant_clusters
+    from fever_ray.sketches.hashing import hash64
+
+    texts = [
+        "receive recieve receeve believe beleive",
+        "window widow meadow xylophone",
+    ]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(2)
+    got = {
+        r["tok"]: r["cluster_id"]
+        for r in token_variant_clusters(ds, max_dist=2).take_all()
+    }
+    # local reference: union-find over the engine's own pair set, min
+    # signed-int64 token hash as the label
+    pairs = [
+        (r["tok_a"], r["tok_b"]) for r in token_edit_dups(ds, max_dist=2).take_all()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp: dict = {}
+    for t in parent:
+        comp.setdefault(find(t), []).append(t)
+    want = {}
+    for members in comp.values():
+        label = min(int(hash64(pa.array([t])).view(np.int64)[0]) for t in members)
+        for t in members:
+            want[t] = label
+    assert got == want
+    # the typo family really is one cluster; the unrelated token is absent
+    assert len({got["receive"], got["recieve"], got["receeve"]}) == 1
+    assert "xylophone" not in got
+    # partition invariance
+    got2 = {
+        r["tok"]: r["cluster_id"]
+        for r in token_variant_clusters(ds.repartition(1), max_dist=2).take_all()
+    }
+    assert got2 == got
+
+
+def test_token_variant_clusters_empty_pairs(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.editsim import token_variant_clusters
+
+    ds = rd.from_arrow(pa.table({"text": ["completely distinct alphabetical zoo"]}))
+    out = token_variant_clusters(ds, max_dist=1).take_all()
+    assert out == []
