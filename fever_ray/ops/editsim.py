@@ -372,7 +372,14 @@ def token_edit_dups(
         )
 
     return (
-        ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        # whole-block batches: the token-count partial is a vocabulary
+        # compressor (same reasoning as top_ngrams)
+        ds.map_batches(
+            tok_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
         .groupby("part")
         .map_groups(vocab_bucket, batch_format="pyarrow")
         .groupby("kpart")

@@ -190,7 +190,16 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
         return pa.table({"ngram": grams, "n": pa.array(counts, pa.int64())})
 
     summed = (
-        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        # batch_size=None (whole block): the partial IS a vocabulary
+        # compressor, and 1024-row default batches emit ~block_rows/1024
+        # near-uncompressed vocabularies into the groupby (measured 5-40x
+        # more shuffle rows AND per-batch overhead at 1M pages)
+        ds.map_batches(
+            partial_counts,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
         .groupby("ngram")
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -1390,9 +1399,20 @@ def cooccurrence_counts(ds, v: int = 16, text_col: str = "text"):
         )
         doc_idx = np.repeat(np.arange(len(doc_lens), dtype=np.int64), doc_lens)
         hit = codes >= 0
-        m = np.zeros((len(doc_lens), nv), dtype=np.float64)
-        m[doc_idx[hit], codes[hit]] = 1.0
-        c = (m.T @ m).astype(np.int64)
+        # row slabs bound the presence matrix at 64k×v (whole-block batches
+        # with a wide vocabulary would otherwise allocate rows×v at once);
+        # C accumulates across slabs, still ONE partial per block
+        c = np.zeros((nv, nv), dtype=np.float64)
+        d_hit, c_hit = doc_idx[hit], codes[hit]
+        slab = 1 << 16
+        for d0 in range(0, len(doc_lens), slab):
+            d1 = min(d0 + slab, len(doc_lens))
+            # d_hit is non-decreasing (tokens arrive in doc order)
+            lo, hi = np.searchsorted(d_hit, (d0, d1))
+            m = np.zeros((d1 - d0, nv), dtype=np.float64)
+            m[d_hit[lo:hi] - d0, c_hit[lo:hi]] = 1.0
+            c += m.T @ m
+        c = c.astype(np.int64)
         iu, ju = np.triu_indices(nv)
         n = c[iu, ju]
         keep = n > 0
@@ -1406,7 +1426,10 @@ def cooccurrence_counts(ds, v: int = 16, text_col: str = "text"):
 
     summed = tree_groupby(
         ds.map_batches(
-            presence_partial, batch_format="pyarrow", zero_copy_batch=True
+            presence_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
         ),
         ["i", "j"],
         [("n", "sum")],
