@@ -510,6 +510,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k_num=3, k_den=2,
         )
 
+    def q_group_moments(sf):
+        # per-source exact covariance components over (char length, token
+        # count) — all-integer second moments, bit-stable at any partial
+        # order; the correlation audit for feature drift
+        from fever_ray.ops.stats import group_moments
+
+        def add_tok(b):
+            y = pc.add(
+                pc.count_substring(pc.cast(b.column("text"), pa.string()), " "),
+                1,
+            )
+            return b.append_column("n_tokens", pc.cast(y, pa.int64()))
+
+        docs = _t(sf, "documents", ["source", "text", "n_chars"]).map_batches(
+            add_tok, batch_format="pyarrow"
+        )
+        return group_moments(docs, "source", "n_chars", "n_tokens")
+
+    def q_group_entropy(sf):
+        # per-source language-mix diversity in exact integer bits
+        # (n·ilog2(n) − Σ c·ilog2(c)); 0 ⇔ the source collapsed to one lang
+        from fever_ray.ops.stats import group_entropy_bits
+
+        return group_entropy_bits(
+            _t(sf, "documents", ["source", "lang"]), "source", "lang"
+        )
+
     def q_value_histogram(sf):
         # fixed-bin audit histogram of document char lengths
         from fever_ray.ops.stats import value_histogram
@@ -1811,6 +1838,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q_winsorize,
         "corpus_report": q_corpus_report,
         "value_histogram": q_value_histogram,
+        "group_moments": q_group_moments,
+        "group_entropy": q_group_entropy,
         "zscore_outliers": q_zscore_outliers,
         "mad_outliers": q_mad_outliers,
         "importance_resample": q_importance_resample,
@@ -3020,6 +3049,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d, m "
             "WHERE 4 * (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s) "
             "> 9 * (m.n * m.ss - m.s * m.s)"
+        ),
+        "group_moments": (
+            # exact integer second moments per source; y = token count under
+            # the len(string_split) convention ('' counts one token) so the
+            # engine's spaces+1 kernel is the same function
+            "WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x, "
+            "CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS y "
+            "FROM documents) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y, "
+            "CAST(SUM(x * x) AS BIGINT) AS sum_xx, "
+            "CAST(SUM(y * y) AS BIGINT) AS sum_yy, "
+            "CAST(SUM(x * y) AS BIGINT) AS sum_xy "
+            "FROM d GROUP BY source"
+        ),
+        "group_entropy": (
+            # integer-bits entropy: ilog2(x) = strlen(bin(x))-1, the same
+            # staircase as the engine's frexp kernel — no float log anywhere
+            "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM documents GROUP BY source, lang), "
+            "g AS (SELECT source, SUM(c) AS n, "
+            "SUM(c * (strlen(bin(c)) - 1)) AS sc FROM c GROUP BY source) "
+            "SELECT source, CAST(n AS BIGINT) AS n, "
+            "CAST(n * (strlen(bin(n)) - 1) - sc AS BIGINT) AS h_bits_scaled "
+            "FROM g"
         ),
         "value_histogram": (
             # same pure-int64 bin arithmetic: clip((v-lo)*nb // span) with

@@ -1026,3 +1026,205 @@ def zscore_outliers(
         )
 
     return ds.map_batches(tail, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_moments(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_groups: int = 100_000,
+):
+    """Per-group EXACT second-moment components over two integer feature
+    columns — (n, Σx, Σy, Σx², Σy², Σxy) — the covariance / correlation
+    audit a curation run uses to spot feature drift (are long documents
+    also token-dense? did the quality score decouple from length in one
+    source?).  Everything is integer arithmetic so the result is bit-stable
+    under any partial-sum order; the caller derives cov/corr floats from
+    the exact components if it wants them.
+
+    Scale shape: one per-batch Arrow hash-aggregation compresses each block
+    to ≤groups rows of partial sums (products ≤2^40 per element, per-block
+    sums ≤2^62 for blocks under 4M rows), carried through the coalesce-tree
+    as hi/lo 32-bit lanes so re-summing across any number of blocks cannot
+    wrap, then reassembled with Python ints on the bounded final table.
+    Raises loudly if a total leaves int64 (the BIGINT output domain) or the
+    key count exceeds ``max_groups``.
+
+    Values must satisfy 0 ≤ v < 2^20 (same exactness budget as
+    ``zscore_outliers``)."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    _CAP = np.int64(1) << np.int64(20)
+    _MASK = np.int64((1 << 32) - 1)
+    sums = ("sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows > (1 << 22):
+            raise ValueError(
+                "group_moments: block > 4M rows would overflow the "
+                "per-block product sums — lower target_max_block_size"
+            )
+        cols = {}
+        for name in (x_col, y_col):
+            v = batch.column(name)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if v.null_count:
+                raise ValueError(
+                    f"group_moments: {name} contains nulls — filter first"
+                )
+            a = v.to_numpy(zero_copy_only=False)
+            if not np.issubdtype(a.dtype, np.integer):
+                raise ValueError(
+                    f"group_moments: {name} must be integer (got {a.dtype})"
+                )
+            a = a.astype(np.int64, copy=False)
+            if len(a) and (a.min() < 0 or a.max() >= _CAP):
+                raise ValueError(
+                    f"group_moments: need 0 <= {name} < 2^20 so products "
+                    "stay exactly representable"
+                )
+            cols[name] = a
+        x, y = cols[x_col], cols[y_col]
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sum_x": pa.array(x),
+                "sum_y": pa.array(y),
+                "sum_xx": pa.array(x * x),
+                "sum_yy": pa.array(y * y),
+                "sum_xy": pa.array(x * y),
+            }
+        )
+        g = pa.TableGroupBy(t, group_col).aggregate(
+            [("n", "sum")] + [(s, "sum") for s in sums]
+        )
+        g = g.rename_columns([group_col, "n"] + list(sums))
+        # split each sum into hi/lo 32-bit lanes: the tree re-sums lanes
+        # independently, so block count can never wrap the carried totals
+        out = {group_col: g.column(group_col), "n": g.column("n")}
+        for s in sums:
+            v = g.column(s).to_numpy(zero_copy_only=False)
+            out[s + "_hi"] = pa.array(v >> np.int64(32), pa.int64())
+            out[s + "_lo"] = pa.array(v & _MASK, pa.int64())
+        return pa.table(out)
+
+    aggs = [("n", "sum")]
+    for s in sums:
+        aggs += [(s + "_hi", "sum"), (s + "_lo", "sum")]
+    parts = pa.concat_tables(
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                ),
+                [group_col],
+                aggs,
+                max_groups=max_groups,
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    )
+    out = {group_col: parts.column(group_col), "n": parts.column("n")}
+    for s in sums:
+        hi = parts.column(s + "_hi").to_numpy(zero_copy_only=False)
+        lo = parts.column(s + "_lo").to_numpy(zero_copy_only=False)
+        vals = [(int(h) << 32) + int(l) for h, l in zip(hi, lo)]
+        if any(v >= (1 << 63) for v in vals):
+            raise ValueError(
+                f"group_moments: {s} total leaves int64 — rescale the "
+                "feature or shard the corpus"
+            )
+        out[s] = pa.array(vals, pa.int64())
+    return pa.table(out)
+
+
+def group_entropy_bits(
+    ds,
+    group_col: str,
+    value_col: str,
+    max_groups: int = 1_000_000,
+):
+    """Per-group label diversity as EXACT integer bits: for each group with
+    member counts c_v over the distinct values of ``value_col``, emits
+
+        h_bits_scaled = n·ilog2(n) − Σ_v c_v·ilog2(c_v)      (ilog2 = ⌊log2⌋)
+
+    — n times the staircase lower bound of the Shannon entropy of the
+    group's value distribution (0 ⇔ single-valued; grows with spread).  The
+    integer-bits form is the same gate-stable trick as ``unigram_logloss``:
+    no float log ever runs, so engine and SQL (`strlen(bin(c))-1`) agree
+    bit-for-bit at any scale.  Use it to audit source/label mix collapse —
+    a shard whose lang entropy drops to 0 is a crawler bug.
+
+    Scale shape: per-batch (group, value) Arrow count partials (each block
+    compresses to its group×value vocabulary), tree-combined sums, then a
+    vectorized per-group finish on the bounded final table.  The
+    group×value key domain must be bounded (``max_groups`` makes the
+    violation loud inside the tree)."""
+    import ray
+
+    from .textstats import _ilog2_exact
+    from .aggregates import tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for name in (group_col, value_col):
+            if batch.column(name).null_count:
+                raise ValueError(
+                    f"group_entropy_bits: {name} contains nulls — filter "
+                    "or fill first (SQL GROUP BY null parity is a trap)"
+                )
+        t = batch.select([group_col, value_col])
+        g = pa.TableGroupBy(t, [group_col, value_col]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([group_col, value_col, "c"])
+
+    parts = pa.concat_tables(
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                ),
+                [group_col, value_col],
+                [("c", "sum")],
+                max_groups=max_groups,
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    )
+    c = parts.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(c) and c.max() >= (1 << 53):
+        raise ValueError(
+            "group_entropy_bits: a count exceeds 2^53 — frexp ilog2 is no "
+            "longer exact; shard the group"
+        )
+    terms = c * _ilog2_exact(c)
+    gt = pa.table(
+        {
+            group_col: parts.column(group_col),
+            "n": pa.array(c),
+            "sc": pa.array(terms),
+        }
+    )
+    fin = pa.TableGroupBy(gt, group_col).aggregate(
+        [("n", "sum"), ("sc", "sum")]
+    ).rename_columns([group_col, "n", "sc"])
+    n = fin.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = fin.column("sc").to_numpy(zero_copy_only=False).astype(np.int64)
+    h = n * _ilog2_exact(n) - sc
+    return pa.table(
+        {
+            group_col: fin.column(group_col),
+            "n": pa.array(n),
+            "h_bits_scaled": pa.array(h),
+        }
+    )

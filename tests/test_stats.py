@@ -521,3 +521,88 @@ def test_mad_outliers_guards(ray_session):
     ok = rd.from_arrow(pa.table({"doc_id": [1], "x": pa.array([3], pa.int64())}))
     with pytest.raises(ValueError, match="k_num"):
         mad_outliers(ok, "x", k_num=0)
+
+
+def test_group_moments_exact_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import group_moments
+
+    rng = np.random.default_rng(11)
+    g = rng.choice(["a", "b", "c"], size=5000)
+    x = rng.integers(0, 1000, size=5000)
+    y = rng.integers(0, 1000, size=5000)
+    ds = rd.from_arrow(
+        pa.table({"g": g, "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())})
+    ).repartition(7)
+    out = group_moments(ds, "g", "x", "y").to_pandas().set_index("g").sort_index()
+    for key in "abc":
+        m = g == key
+        assert out.loc[key, "n"] == int(m.sum())
+        assert out.loc[key, "sum_x"] == int(x[m].sum())
+        assert out.loc[key, "sum_xx"] == int((x[m].astype(object) ** 2).sum())
+        assert out.loc[key, "sum_xy"] == int((x[m].astype(object) * y[m]).sum())
+        assert out.loc[key, "sum_yy"] == int((y[m].astype(object) ** 2).sum())
+
+
+def test_group_moments_lane_carry_and_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import group_moments
+
+    # values near the 2^20 cap across many blocks: per-block products sum
+    # past 2^32, so the hi/lo lanes must actually carry
+    n = 4096
+    v = np.full(n, (1 << 20) - 1, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"g": ["k"] * n, "x": pa.array(v), "y": pa.array(v)})
+    ).repartition(16)
+    out = group_moments(ds, "g", "x", "y").to_pandas()
+    want = n * ((1 << 20) - 1) ** 2
+    assert int(out["sum_xx"][0]) == want == int(out["sum_xy"][0])
+
+    bad = rd.from_arrow(
+        pa.table({"g": ["k"], "x": pa.array([1 << 20], pa.int64()),
+                  "y": pa.array([0], pa.int64())})
+    )
+    with pytest.raises(Exception, match="2\\^20"):
+        group_moments(bad, "g", "x", "y")
+    neg = rd.from_arrow(
+        pa.table({"g": ["k"], "x": pa.array([-1], pa.int64()),
+                  "y": pa.array([0], pa.int64())})
+    )
+    with pytest.raises(Exception, match="2\\^20"):
+        group_moments(neg, "g", "x", "y")
+    nul = rd.from_arrow(
+        pa.table({"g": ["k"], "x": pa.array([None], pa.int64()),
+                  "y": pa.array([0], pa.int64())})
+    )
+    with pytest.raises(Exception, match="null"):
+        group_moments(nul, "g", "x", "y")
+
+
+def test_group_entropy_bits_staircase(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import group_entropy_bits
+
+    # single-valued group -> 0 bits; uniform 4-way over 8 rows ->
+    # 8*3 - 4*(2*1) = 16 exactly (all counts are powers of two)
+    t = pa.table(
+        {
+            "g": ["mono"] * 6 + ["quad"] * 8,
+            "v": ["x"] * 6 + ["a", "a", "b", "b", "c", "c", "d", "d"],
+        }
+    )
+    out = (
+        group_entropy_bits(rd.from_arrow(t).repartition(5), "g", "v")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert int(out.loc["mono", "h_bits_scaled"]) == 0
+    assert int(out.loc["mono", "n"]) == 6
+    assert int(out.loc["quad", "h_bits_scaled"]) == 16
+
+    nul = rd.from_arrow(pa.table({"g": ["k"], "v": pa.array([None], pa.string())}))
+    with pytest.raises(Exception, match="null"):
+        group_entropy_bits(nul, "g", "v")
