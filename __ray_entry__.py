@@ -537,6 +537,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["source", "lang"]), "source", "lang"
         )
 
+    def q_distribution_drift(sf):
+        # week-over-week crawl-shape audit: split the corpus on doc_id
+        # parity, histogram char lengths on both sides, flag bins whose
+        # share moved > 1% via the exact cross-multiplied inequality
+        from fever_ray.ops.stats import distribution_drift
+
+        def add_side(b):
+            side = pc.cast(
+                pc.bit_wise_and(b.column("doc_id"), pa.scalar(1, pa.int64())),
+                pa.int64(),
+            )
+            return b.append_column("side", side)
+
+        docs = _t(sf, "documents", ["doc_id", "n_chars"]).map_batches(
+            add_side, batch_format="pyarrow"
+        )
+        return distribution_drift(
+            docs, "n_chars", "side", lo=0, hi=640, n_bins=16,
+            t_num=1, t_den=100,
+        )
+
     def q_value_histogram(sf):
         # fixed-bin audit histogram of document char lengths
         from fever_ray.ops.stats import value_histogram
@@ -1838,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q_winsorize,
         "corpus_report": q_corpus_report,
         "value_histogram": q_value_histogram,
+        "distribution_drift": q_distribution_drift,
         "group_moments": q_group_moments,
         "group_entropy": q_group_entropy,
         "zscore_outliers": q_zscore_outliers,
@@ -3049,6 +3071,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d, m "
             "WHERE 4 * (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s) "
             "> 9 * (m.n * m.ss - m.s * m.s)"
+        ),
+        "distribution_drift": (
+            # same int64 bin rule as value_histogram on both parity halves;
+            # drift ⇔ t_den·|n_a·N_b − n_b·N_a| > t_num·N_a·N_b (HUGEINT
+            # cross-multiply = the engine's Python-bigint inequality)
+            "WITH s AS (SELECT doc_id % 2 AS side, "
+            "(LEAST(GREATEST(n_chars, 0), 639) - 0) * 16 // 640 AS bin "
+            "FROM documents), "
+            "c AS (SELECT bin, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) "
+            "AS n_a, SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b "
+            "FROM s GROUP BY bin), "
+            "t AS (SELECT SUM(n_a) AS na, SUM(n_b) AS nb FROM c) "
+            "SELECT CAST(c.bin AS BIGINT) AS bin, "
+            "CAST(0 + (c.bin * 640 + 15) // 16 AS BIGINT) AS bin_lo, "
+            "CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b, "
+            "CAST(CASE WHEN 100 * ABS(CAST(c.n_a AS HUGEINT) * t.nb - "
+            "CAST(c.n_b AS HUGEINT) * t.na) > "
+            "CAST(t.na AS HUGEINT) * t.nb THEN 1 ELSE 0 END AS BIGINT) "
+            "AS drift FROM c, t"
         ),
         "group_moments": (
             # exact integer second moments per source; y = token count under

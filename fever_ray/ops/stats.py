@@ -1228,3 +1228,126 @@ def group_entropy_bits(
             "h_bits_scaled": pa.array(h),
         }
     )
+
+
+def distribution_drift(
+    ds,
+    value_col: str,
+    side_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    t_num: int = 1,
+    t_den: int = 50,
+):
+    """Two-subcorpus histogram comparison — the data-drift audit that
+    answers "did this week's crawl change shape vs last week's?" without a
+    single float: both sides are binned with ``value_histogram``'s exact
+    int64 rule, and a bin is flagged as drifted when the absolute share
+    difference exceeds ``t_num/t_den``, evaluated as the cross-multiplied
+    integer inequality
+
+        t_den · |n_a·N_b − n_b·N_a| > t_num · N_a · N_b
+
+    (Python bigints on the bounded final table — the products pass int64
+    long before the inputs do).  ``side_col`` must be 0 (subcorpus a) or
+    1 (subcorpus b); rows: (bin, bin_lo, n_a, n_b, drift∈{0,1}), only bins
+    non-empty on at least one side.
+
+    Scale shape: per-batch two-lane bincount partials → coalesce-tree sum
+    over ≤n_bins keys → driver finish on the tiny table.  Nothing
+    shuffles."""
+    if hi <= lo:
+        raise ValueError(f"distribution_drift: need hi > lo, got [{lo}, {hi})")
+    if not 1 <= n_bins <= (1 << 20):
+        raise ValueError(
+            f"distribution_drift: n_bins must be in [1, 2^20], got {n_bins}"
+        )
+    if (int(hi) - int(lo)) * int(n_bins) >= (1 << 62):
+        raise ValueError(
+            "distribution_drift: span * n_bins would overflow int64"
+        )
+    if t_num <= 0 or t_den <= 0:
+        raise ValueError(
+            f"distribution_drift: need t_num, t_den > 0, got {t_num}/{t_den}"
+        )
+    lo_i, hi_i, nb = np.int64(lo), np.int64(hi), np.int64(n_bins)
+    span = hi_i - lo_i
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for name in (value_col, side_col):
+            if batch.column(name).null_count:
+                raise ValueError(
+                    f"distribution_drift: {name} contains nulls — filter first"
+                )
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        side = (
+            batch.column(side_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(side) and (side.min() < 0 or side.max() > 1):
+            raise ValueError(
+                f"distribution_drift: {side_col} must be 0 or 1"
+            )
+        # same pre-clip-before-multiply posture as value_histogram
+        vals = np.clip(vals, lo_i, hi_i - np.int64(1))
+        b = (vals - lo_i) * nb // span
+        uk, inv = np.unique(b, return_inverse=True)
+        n_a = np.bincount(inv[side == 0], minlength=len(uk)).astype(np.int64)
+        n_b = np.bincount(inv[side == 1], minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(uk, pa.int64()),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+            }
+        )
+
+    import ray
+
+    from .aggregates import tree_groupby
+
+    parts = pa.concat_tables(
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["bin"],
+                [("n_a", "sum"), ("n_b", "sum")],
+                max_groups=n_bins,
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    )
+    bins = parts.column("bin").to_numpy(zero_copy_only=False)
+    a = parts.column("n_a").to_numpy(zero_copy_only=False)
+    b = parts.column("n_b").to_numpy(zero_copy_only=False)
+    na, nb_tot = int(a.sum()), int(b.sum())
+    if na == 0 or nb_tot == 0:
+        raise ValueError(
+            f"distribution_drift: one side is empty (N_a={na}, N_b={nb_tot}) "
+            "— shares are undefined; check the split column"
+        )
+    drift = [
+        1
+        if t_den * abs(int(ai) * nb_tot - int(bi) * na) > t_num * na * nb_tot
+        else 0
+        for ai, bi in zip(a, b)
+    ]
+    edge = lo_i + (bins * span + nb - np.int64(1)) // nb
+    order = np.argsort(bins, kind="stable")
+    return pa.table(
+        {
+            "bin": pa.array(bins[order], pa.int64()),
+            "bin_lo": pa.array(edge[order], pa.int64()),
+            "n_a": pa.array(a[order], pa.int64()),
+            "n_b": pa.array(b[order], pa.int64()),
+            "drift": pa.array(np.asarray(drift, np.int64)[order]),
+        }
+    )

@@ -606,3 +606,53 @@ def test_group_entropy_bits_staircase(ray_session):
     nul = rd.from_arrow(pa.table({"g": ["k"], "v": pa.array([None], pa.string())}))
     with pytest.raises(Exception, match="null"):
         group_entropy_bits(nul, "g", "v")
+
+
+def test_distribution_drift_planted_shift(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import distribution_drift
+
+    # side a: values centered low; side b: identical except bin 3 mass
+    # moved to bin 0 — exactly bins 0 and 3 must flag at a 5% threshold
+    a_vals = [5] * 40 + [15] * 30 + [25] * 20 + [35] * 10
+    b_vals = [5] * 50 + [15] * 30 + [25] * 20
+    t = pa.table(
+        {
+            "v": pa.array(a_vals + b_vals, pa.int64()),
+            "side": pa.array([0] * len(a_vals) + [1] * len(b_vals), pa.int64()),
+        }
+    )
+    out = (
+        distribution_drift(
+            rd.from_arrow(t).repartition(6), "v", "side",
+            lo=0, hi=40, n_bins=4, t_num=1, t_den=20,
+        )
+        .to_pandas()
+        .set_index("bin")
+    )
+    assert list(out.index) == [0, 1, 2, 3]
+    # shares: a = 40/30/20/10%, b = 50/30/20/0% -> |diff| = 10,0,0,10
+    assert out["drift"].tolist() == [1, 0, 0, 1]
+    assert out["n_a"].tolist() == [40, 30, 20, 10]
+    assert out["n_b"].tolist() == [50, 30, 20, 0]
+    assert out["bin_lo"].tolist() == [0, 10, 20, 30]
+
+
+def test_distribution_drift_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import distribution_drift
+
+    one_side = rd.from_arrow(
+        pa.table({"v": pa.array([1, 2], pa.int64()),
+                  "side": pa.array([0, 0], pa.int64())})
+    )
+    with pytest.raises(Exception, match="one side is empty"):
+        distribution_drift(one_side, "v", "side", lo=0, hi=4, n_bins=2)
+    bad_side = rd.from_arrow(
+        pa.table({"v": pa.array([1, 2], pa.int64()),
+                  "side": pa.array([0, 2], pa.int64())})
+    )
+    with pytest.raises(Exception, match="must be 0 or 1"):
+        distribution_drift(bad_side, "v", "side", lo=0, hi=4, n_bins=2)
