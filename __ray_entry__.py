@@ -537,6 +537,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["source", "lang"]), "source", "lang"
         )
 
+    def q_vocab_coverage(sf):
+        # tokenizer-budget audit: the minimal (count desc, token asc)
+        # vocabulary prefix whose exact mass reaches half of all token
+        # occurrences; the cut is integer cross-multiplied on both sides
+        from fever_ray.ops.textstats import vocab_coverage
+
+        return vocab_coverage(
+            _t(sf, "documents", ["text"]), p_num=1, p_den=2
+        )
+
     def q_distribution_drift(sf):
         # week-over-week crawl-shape audit: split the corpus on doc_id
         # parity, histogram char lengths on both sides, flag bins whose
@@ -1860,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": q_corpus_report,
         "value_histogram": q_value_histogram,
         "distribution_drift": q_distribution_drift,
+        "vocab_coverage": q_vocab_coverage,
         "group_moments": q_group_moments,
         "group_entropy": q_group_entropy,
         "zscore_outliers": q_zscore_outliers,
@@ -3071,6 +3082,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d, m "
             "WHERE 4 * (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s) "
             "> 9 * (m.n * m.ss - m.s * m.s)"
+        ),
+        "vocab_coverage": (
+            # keep a token iff the exact mass strictly BEFORE it (count
+            # desc, token asc) has p_den·prefix < p_num·total — the same
+            # bigint inequality the engine's class-cut math evaluates
+            "WITH tok AS (SELECT UNNEST(string_split(COALESCE(text, ''), "
+            "' ')) AS token FROM documents), "
+            "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok "
+            "WHERE token <> '' GROUP BY token), "
+            "r AS (SELECT token, n, SUM(n) OVER (ORDER BY n DESC, token "
+            "ROWS UNBOUNDED PRECEDING) AS cum, SUM(n) OVER () AS total "
+            "FROM c) "
+            "SELECT token, n FROM r WHERE 2 * (cum - n) < 1 * total"
         ),
         "distribution_drift": (
             # same int64 bin rule as value_histogram on both parity halves;

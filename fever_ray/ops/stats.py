@@ -1116,7 +1116,7 @@ def group_moments(
     aggs = [("n", "sum")]
     for s in sums:
         aggs += [(s + "_hi", "sum"), (s + "_lo", "sum")]
-    parts = pa.concat_tables(
+    tabs = [
         t
         for t in ray.get(
             tree_groupby(
@@ -1130,7 +1130,13 @@ def group_moments(
             ).to_arrow_refs()
         )
         if t.num_rows and t.num_columns
-    )
+    ]
+    if not tabs:  # empty corpus: no groups, stable schema
+        return pa.table(
+            {group_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            | {s: pa.array([], pa.int64()) for s in sums}
+        )
+    parts = pa.concat_tables(tabs)
     out = {group_col: parts.column(group_col), "n": parts.column("n")}
     for s in sums:
         hi = parts.column(s + "_hi").to_numpy(zero_copy_only=False)
@@ -1186,7 +1192,7 @@ def group_entropy_bits(
         )
         return g.rename_columns([group_col, value_col, "c"])
 
-    parts = pa.concat_tables(
+    tabs = [
         t
         for t in ray.get(
             tree_groupby(
@@ -1200,7 +1206,16 @@ def group_entropy_bits(
             ).to_arrow_refs()
         )
         if t.num_rows and t.num_columns
-    )
+    ]
+    if not tabs:  # empty corpus: no groups, stable schema
+        return pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "h_bits_scaled": pa.array([], pa.int64()),
+            }
+        )
+    parts = pa.concat_tables(tabs)
     c = parts.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
     if len(c) and c.max() >= (1 << 53):
         raise ValueError(
@@ -1311,7 +1326,7 @@ def distribution_drift(
 
     from .aggregates import tree_groupby
 
-    parts = pa.concat_tables(
+    tabs = [
         t
         for t in ray.get(
             tree_groupby(
@@ -1324,7 +1339,12 @@ def distribution_drift(
             ).to_arrow_refs()
         )
         if t.num_rows and t.num_columns
-    )
+    ]
+    if not tabs:
+        raise ValueError(
+            "distribution_drift: empty input — shares are undefined"
+        )
+    parts = pa.concat_tables(tabs)
     bins = parts.column("bin").to_numpy(zero_copy_only=False)
     a = parts.column("n_a").to_numpy(zero_copy_only=False)
     b = parts.column("n_b").to_numpy(zero_copy_only=False)

@@ -1480,3 +1480,132 @@ def cooccurrence_counts(ds, v: int = 16, text_col: str = "text"):
     return summed.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def vocab_coverage(ds, p_num: int = 1, p_den: int = 2, text_col: str = "text"):
+    """The minimal vocabulary prefix covering ≥ ``p_num/p_den`` of all token
+    occurrences — tokens ranked by (count desc, token asc); a token is kept
+    iff the exact mass BEFORE it satisfies ``p_den·prefix < p_num·total``
+    (the integer form of prefix < p·total, so the boundary can never drift
+    vs the SQL window mirror).  This is the tokenizer-budget question —
+    "how small a vocab still covers half the corpus?" — answered exactly.
+
+    Scale shape: per-block vocabulary-compressed count partials (shared
+    ``_gram_counts`` kernel, n=1) → one keyed shuffle for exact global
+    counts → a tree-combined counts-of-counts table (distinct count VALUES,
+    thousands at web scale — Zipf keeps it tiny relative to the vocab) →
+    Python-bigint cut math on the driver → two vectorized filters over the
+    counts dataset (the full classes, plus one sort+limit over the single
+    boundary class).  The corpus-sized token stream never leaves the
+    shuffle; the driver holds only (count, class-size) pairs.
+
+    Output rows: (token string, n int64) — exactly the selected prefix."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .aggregates import tree_groupby
+
+    if p_num <= 0 or p_den <= 0 or p_num > p_den:
+        raise ValueError(
+            f"vocab_coverage: need 0 < p_num/p_den <= 1, got {p_num}/{p_den}"
+        )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        grams, counts = _gram_counts(batch, 1, text_col)
+        if grams is None:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        t = pa.table({"token": grams, "n": pa.array(counts, pa.int64())})
+        # '' (from empty text) is not a vocabulary token on either side
+        return t.filter(pc.not_equal(t.column("token"), ""))
+
+    counts = (
+        ds.map_batches(
+            partial_counts,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    counts = counts.materialize()  # reused three times below
+
+    def class_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        uc, ut = np.unique(n, return_counts=True)
+        return pa.table(
+            {"c": pa.array(uc, pa.int64()), "t": pa.array(ut, pa.int64())}
+        )
+
+    tabs = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                counts.map_batches(class_partial, batch_format="pyarrow"),
+                ["c"],
+                [("t", "sum")],
+                max_groups=1 << 22,
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    if not tabs:  # zero-token corpus: zero partials reach the tree
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    classes = pa.concat_tables(tabs)
+    cs = classes.column("c").to_numpy(zero_copy_only=False)
+    ts = classes.column("t").to_numpy(zero_copy_only=False)
+    order = np.argsort(-cs, kind="stable")
+    cs, ts = cs[order], ts[order]
+    total = sum(int(c) * int(t) for c, t in zip(cs, ts))
+    if total == 0:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    target = p_num * total  # compare against p_den * prefix, all bigint
+    before = 0
+    full_min_c = None  # smallest count value whose class is fully kept
+    boundary = None  # (count value, #tokens kept from it)
+    for c, t in zip(cs, ts):
+        c_i, t_i = int(c), int(t)
+        room = target - p_den * before
+        if room <= 0:
+            break
+        m = min(t_i, -((-room) // (p_den * c_i)))  # ceildiv, clamped
+        if m == t_i:
+            full_min_c = c_i
+        else:
+            boundary = (c_i, m)
+            break
+        before += c_i * t_i
+    parts = []
+    if full_min_c is not None:
+        fm = full_min_c
+        parts.append(
+            counts.map_batches(
+                lambda b, _fm=fm: b.filter(pc.greater_equal(b.column("n"), _fm)),
+                batch_format="pyarrow",
+            )
+        )
+    if boundary is not None and boundary[1] > 0:
+        c_b, m = boundary
+        parts.append(
+            counts.map_batches(
+                lambda b, _c=c_b: b.filter(pc.equal(b.column("n"), _c)),
+                batch_format="pyarrow",
+            )
+            .sort("token")
+            .limit(m)
+        )
+    if not parts:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    out = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+    return out.map_batches(
+        lambda b: b.select(["token", "n"]), batch_format="pyarrow"
+    )

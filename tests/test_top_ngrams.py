@@ -312,3 +312,30 @@ def test_cooccurrence_counts_vs_bruteforce(ray_session):
     assert got2 == got
     with pytest.raises(ValueError, match="v must be"):
         cooccurrence_counts(ds, v=1)
+
+
+def test_vocab_coverage_boundary_ties_break_lexicographically(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import vocab_coverage
+
+    # counts: aa=4, plus {bb,cc,dd,ee}=2 each -> total 12.  p=1/2 -> target
+    # mass 6: keep aa (prefix 0) then the lexicographically first equal-count
+    # token bb (prefix 4); cc has prefix 6, 2*6 !< 12 -> cut exactly there
+    docs = ["aa aa aa aa", "bb bb cc cc", "dd dd ee ee"]
+    ds = rd.from_arrow(pa.table({"text": docs})).repartition(3)
+    out = vocab_coverage(ds, p_num=1, p_den=2).to_pandas()
+    got = sorted(zip(out["token"], out["n"]))
+    assert got == [("aa", 4), ("bb", 2)]
+
+    # p = 1 keeps the whole vocabulary
+    full = vocab_coverage(rd.from_arrow(pa.table({"text": docs})), 1, 1).to_pandas()
+    assert sorted(full["token"]) == ["aa", "bb", "cc", "dd", "ee"]
+
+    # empty / ''-only corpus -> empty selection, stable schema
+    empty = vocab_coverage(rd.from_arrow(pa.table({"text": ["", ""]})), 1, 2)
+    edf = empty.to_pandas() if hasattr(empty, "to_pandas") else empty
+    assert len(edf) == 0 and list(sorted(edf.columns)) == ["n", "token"]
+
+    with pytest.raises(Exception, match="p_num/p_den"):
+        vocab_coverage(ds, 3, 2)
