@@ -224,6 +224,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_full_outer_join(sf):
+        # both-sides-dangling outer join: big orders vs funded customers —
+        # key-hash co-partitioning makes per-bucket null padding globally
+        # correct; Arrow coalesces the key, mirrored by SQL COALESCE
+        left = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("o_totalprice"), 350000.0)
+            ).select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow",
+        )
+        right = _t(sf, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+            lambda b: b.filter(pc.greater(b.column("c_acctbal"), 1000.0)).select(
+                ["c_custkey", "c_mktsegment"]
+            ),
+            batch_format="pyarrow",
+        )
+        joined = rel.partitioned_hash_join(
+            left, right, "o_custkey", "c_custkey",
+            n_buckets=8, join_type="full outer",
+        )
+        return joined.map_batches(
+            lambda b: b.select(["o_orderkey", "o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+
     def q_bucketed_join(sf):
         joined = rel.partitioned_hash_join(
             _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
@@ -1846,6 +1871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "filter_project": q_filter_project,
         "bucketed_join": q_bucketed_join,
+        "full_outer_join": q_full_outer_join,
         "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
@@ -3309,6 +3335,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity, "
             "l_extendedprice * (1.0 - l_discount) AS revenue "
             "FROM lineitem WHERE l_quantity >= 49.0"
+        ),
+        "full_outer_join": (
+            # Arrow's full-outer coalesces the join key into the left name;
+            # COALESCE mirrors that so unmatched-right rows carry their key
+            "SELECT o_orderkey, COALESCE(o.o_custkey, c.c_custkey) AS "
+            "o_custkey, c_mktsegment FROM "
+            "(SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_totalprice > 350000) o FULL JOIN "
+            "(SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_acctbal > 1000) c ON o.o_custkey = c.c_custkey"
         ),
         "bucketed_join": (
             "SELECT o_orderkey, o_custkey, c_name FROM orders "

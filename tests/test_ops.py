@@ -806,3 +806,40 @@ def test_group_string_agg_order_and_nulls(ray_session):
         group_string_agg(
             rd.from_arrow(tn), "k", "v", order_cols=["o1"]
         ).materialize()
+
+
+def test_partitioned_hash_join_full_outer_both_sides_dangle(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import partitioned_hash_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "lid": pa.array([1, 2, 3], pa.int64()),
+                "k": pa.array([10, 11, 99], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([11, 12], pa.int64()),
+                "seg": pa.array(["A", "B"]),
+            }
+        )
+    ).repartition(2)
+    out = (
+        partitioned_hash_join(left, right, "k", "rk", n_buckets=4,
+                              join_type="full outer")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # matched (11), left-dangling (10, 99 -> seg null), right-dangling
+    # (12 -> lid null, key coalesced into k)
+    assert len(out) == 4
+    by_k = {int(r["k"]): r for _, r in out.iterrows()}
+    assert by_k[11]["seg"] == "A" and int(by_k[11]["lid"]) == 2
+    assert pd.isna(by_k[10]["seg"]) and pd.isna(by_k[99]["seg"])
+    assert pd.isna(by_k[12]["lid"]) and by_k[12]["seg"] == "B"
