@@ -1101,6 +1101,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return triangle_counts(ev)
 
+    def q_edge_support(sf):
+        # k-truss primitive on the same chain+skip graph: per-edge common
+        # neighbor counts; zero-support edges drop on both sides (the SQL
+        # inner join and the engine's matched-triangles-only credit agree)
+        from fever_ray.ops.graph import edge_support
+
+        def edges(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            a1 = u[u % 10 != 0]
+            a2 = u[u % 10 >= 2]
+            return pa.table(
+                {
+                    "src": pa.array(
+                        np.concatenate([a1 - 1, a2 - 2]), pa.int64()
+                    ),
+                    "dst": pa.array(np.concatenate([a1, a2]), pa.int64()),
+                }
+            )
+
+        ev = _t(sf, "events", ["user_id"]).map_batches(
+            edges, batch_format="pyarrow"
+        )
+        return edge_support(ev)
+
     def q_simhash_pairs(sf):
         return simhash_near_dup_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
@@ -1945,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_edit_dups": q_token_edit_dups,
         "token_variant_clusters": q_token_variant_clusters,
         "triangle_counts": q_triangle_counts,
+        "edge_support": q_edge_support,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3565,6 +3590,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ("
             "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
             "UNION ALL SELECT z FROM tri) GROUP BY node"
+        ),
+        "edge_support": (
+            # per-edge common-neighbor counts over the same chain+skip
+            # graph; both adjacency directions unioned, inner joins drop
+            # zero-support edges exactly like the engine's matched credit
+            "WITH un AS (SELECT DISTINCT user_id AS u FROM events), "
+            "e AS (SELECT u - 1 AS a, u AS b FROM un WHERE u % 10 <> 0 "
+            "UNION SELECT u - 2 AS a, u AS b FROM un WHERE u % 10 >= 2), "
+            "n AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b "
+            "FROM e) "
+            "SELECT e.a AS lo, e.b AS hi, CAST(COUNT(*) AS BIGINT) AS "
+            "support FROM e JOIN n n1 ON n1.a = e.a "
+            "JOIN n n2 ON n2.a = e.b AND n2.b = n1.b "
+            "GROUP BY e.a, e.b"
         ),
         # SimHash near-dup pairs: all-pairs over the SQL-mirrored simhash —
         # pairs share ≥1 of the 4 16-bit bands AND hamming ≤ 3 (bit_count of

@@ -163,32 +163,23 @@ def pagerank(
     )
 
 
-def triangle_counts(
+def _wedge_matches(
     edges_ds,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    num_partitions: int = 32,
-    max_out_degree: int = 1 << 16,
+    src_col: str,
+    dst_col: str,
+    num_partitions: int,
+    max_out_degree: int,
+    credit,
+    credit_empty: pa.Table,
+    opname: str,
 ):
-    """Per-node triangle counts over an undirected simple graph — the
-    clustering / community-density primitive (how socially embedded is
-    this host / author / near-dup cluster).  Output rows: (``node``,
-    ``n_triangles`` int64) for every node in ≥ 1 triangle; each triangle
-    credits all three corners once.
-
-    Algorithm: the classic degree-ordered wedge join.  Edges canonicalize
-    (lo, hi), self-loops drop, duplicates dedup in a skinny hash-of-pair
-    shuffle; every edge then orients from its lower-(degree, id)-rank
-    endpoint, which bounds out-degree by O(√m) on any graph; wedges (two
-    out-neighbors of one source, rank-ordered) match against the directed
-    edge set in hash-of-(x, y) buckets via Arrow's C++ hash join.
-
-    Scale shape: degrees ride the bounded-node broadcast contract this
-    module shares with `pagerank` (one rank per node, ray.put once);
-    wedge expansion is the by-run-length triu gather (no per-run Python);
-    the ONLY corpus-scale exchanges move skinny (node, node) pairs.
-    ``max_out_degree`` turns a hub that defeats the √m bound into a loud
-    error instead of a silent wedge explosion."""
+    """Shared degree-ordered wedge-join pipeline of ``triangle_counts`` /
+    ``edge_support``: canonicalize+dedup edges, orient by (degree, id)
+    rank, expand wedges per source partition, hash-join wedges against the
+    directed edge set per (x, y) partition, then hand each partition's
+    matched-triangle table ``hit`` (columns x, y, center) to ``credit`` to
+    turn into partial rows.  Returns the credited Dataset, or None for an
+    edgeless graph."""
     import ray
 
     from ..ops.aggregates import tree_groupby
@@ -268,13 +259,8 @@ def triangle_counts(
         )
         if t.num_rows and t.num_columns
     ]
-    empty = pa.table(
-        {"node": pa.array([], pa.int64()), "n_triangles": pa.array([], pa.int64())}
-    )
     if not deg_parts:
-        import ray.data as rd
-
-        return rd.from_arrow(empty)
+        return None
     degt = pa.concat_tables(deg_parts)
     nodes = degt.column("node").to_numpy(zero_copy_only=False)
     deg = degt.column("c").to_numpy(zero_copy_only=False)
@@ -331,7 +317,7 @@ def triangle_counts(
         lens = np.diff(starts)
         if lens.max(initial=0) > max_out_degree:
             raise ValueError(
-                f"triangle_counts: a node has out-degree {int(lens.max())} "
+                f"{opname}: a node has out-degree {int(lens.max())} "
                 f"after degree orientation (> max_out_degree="
                 f"{max_out_degree}) — wedge expansion would explode; raise "
                 "the cap only with the memory to match"
@@ -400,19 +386,57 @@ def triangle_counts(
     )
 
     def match_partition(group: pa.Table) -> pa.Table:
-        out_empty = pa.table(
-            {"node": pa.array([], pa.int64()), "t": pa.array([], pa.int64())}
-        )
         if not group.num_rows or not group.num_columns:
-            return out_empty
+            return credit_empty
         kind = group.column("kind").to_numpy(zero_copy_only=False)
         w = group.filter(pa.array(kind == 0)).select(["x", "y", "center"])
         e = group.filter(pa.array(kind == 1)).select(["x", "y"])
         if not w.num_rows or not e.num_rows:
-            return out_empty
+            return credit_empty
         hit = w.join(e, keys=["x", "y"], join_type="inner")
         if not hit.num_rows:
-            return out_empty
+            return credit_empty
+        return credit(hit)
+
+    return tagged.groupby("mp").map_groups(
+        match_partition, batch_format="pyarrow"
+    )
+
+
+def triangle_counts(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 32,
+    max_out_degree: int = 1 << 16,
+):
+    """Per-node triangle counts over an undirected simple graph — the
+    clustering / community-density primitive (how socially embedded is
+    this host / author / near-dup cluster).  Output rows: (``node``,
+    ``n_triangles`` int64) for every node in ≥ 1 triangle; each triangle
+    credits all three corners once.
+
+    Algorithm: the classic degree-ordered wedge join (``_wedge_matches``).
+    Edges canonicalize (lo, hi), self-loops drop, duplicates dedup in a
+    skinny hash-of-pair shuffle; every edge then orients from its
+    lower-(degree, id)-rank endpoint, which bounds out-degree by O(√m) on
+    any graph; wedges (two out-neighbors of one source, rank-ordered)
+    match against the directed edge set in hash-of-(x, y) buckets via
+    Arrow's C++ hash join.
+
+    Scale shape: degrees ride the bounded-node broadcast contract this
+    module shares with `pagerank` (one rank per node, ray.put once);
+    wedge expansion is the by-run-length triu gather (no per-run Python);
+    the ONLY corpus-scale exchanges move skinny (node, node) pairs.
+    ``max_out_degree`` turns a hub that defeats the √m bound into a loud
+    error instead of a silent wedge explosion."""
+    from ..ops.aggregates import tree_groupby
+
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "n_triangles": pa.array([], pa.int64())}
+    )
+
+    def credit(hit: pa.Table) -> pa.Table:
         tri_nodes = np.concatenate(
             [
                 hit.column("x").to_numpy(zero_copy_only=False),
@@ -425,11 +449,18 @@ def triangle_counts(
             {"node": pa.array(uk, pa.int64()), "t": pa.array(uc, pa.int64())}
         )
 
-    counts = tree_groupby(
-        tagged.groupby("mp").map_groups(match_partition, batch_format="pyarrow"),
-        ["node"],
-        [("t", "sum")],
+    credit_empty = pa.table(
+        {"node": pa.array([], pa.int64()), "t": pa.array([], pa.int64())}
     )
+    matches = _wedge_matches(
+        edges_ds, src_col, dst_col, num_partitions, max_out_degree,
+        credit, credit_empty, "triangle_counts",
+    )
+    if matches is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    counts = tree_groupby(matches, ["node"], [("t", "sum")])
 
     def finish(batch: pa.Table) -> pa.Table:
         if not batch.num_rows or not batch.num_columns:
@@ -440,3 +471,107 @@ def triangle_counts(
         )
 
     return counts.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def edge_support(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 32,
+    max_out_degree: int = 1 << 16,
+):
+    """Per-edge triangle support — for every undirected edge (lo, hi), the
+    number of common neighbors of its endpoints.  This is the k-truss /
+    link-strength primitive: an edge with zero support connects otherwise
+    unrelated communities (drop it to split clusters), high support means
+    the relation is triangulated by independent witnesses.  Output rows:
+    (``lo``, ``hi``, ``support`` int64) for edges in ≥ 1 triangle (the
+    SQL mirror's inner join drops zero-support edges the same way).
+
+    Shares ``_wedge_matches``; each matched triangle credits its THREE
+    constituent edges (canonical min/max ids).  The per-edge key space is
+    corpus-sized, so the final combine is a hash-of-pair bucketed
+    ``map_groups`` with a vectorized run-length sum — not the bounded-key
+    coalesce-tree ``triangle_counts`` uses for its node keys."""
+    from ..sketches.hashing import splitmix64
+
+    P = int(num_partitions)
+    _C = np.uint64(0x9E3779B97F4A7C15)
+    empty = pa.table(
+        {
+            "lo": pa.array([], pa.int64()),
+            "hi": pa.array([], pa.int64()),
+            "support": pa.array([], pa.int64()),
+        }
+    )
+
+    def _pair_runs(lo, hi, t):
+        o = np.lexsort((hi, lo))
+        lo, hi, t = lo[o], hi[o], t[o]
+        first = np.concatenate(
+            ([True], (np.diff(lo) != 0) | (np.diff(hi) != 0))
+        )
+        idx = np.flatnonzero(first)
+        sums = np.add.reduceat(t, idx)
+        return lo[idx], hi[idx], sums
+
+    def credit(hit: pa.Table) -> pa.Table:
+        x = hit.column("x").to_numpy(zero_copy_only=False)
+        y = hit.column("y").to_numpy(zero_copy_only=False)
+        c = hit.column("center").to_numpy(zero_copy_only=False)
+        lo = np.concatenate(
+            [np.minimum(x, y), np.minimum(c, x), np.minimum(c, y)]
+        )
+        hi = np.concatenate(
+            [np.maximum(x, y), np.maximum(c, x), np.maximum(c, y)]
+        )
+        lo, hi, sums = _pair_runs(lo, hi, np.ones(len(lo), np.int64))
+        with np.errstate(over="ignore"):
+            bp = splitmix64(lo.view(np.uint64) * _C + hi.view(np.uint64))
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "t": pa.array(sums, pa.int64()),
+                "bp": pa.array(
+                    (bp % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    credit_empty = pa.table(
+        {
+            "lo": pa.array([], pa.int64()),
+            "hi": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "bp": pa.array([], pa.int32()),
+        }
+    )
+    matches = _wedge_matches(
+        edges_ds, src_col, dst_col, num_partitions, max_out_degree,
+        credit, credit_empty, "edge_support",
+    )
+    if matches is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    def combine_bucket(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return empty
+        lo, hi, sums = _pair_runs(
+            group.column("lo").to_numpy(zero_copy_only=False),
+            group.column("hi").to_numpy(zero_copy_only=False),
+            group.column("t").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "support": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return matches.groupby("bp").map_groups(
+        combine_bucket, batch_format="pyarrow"
+    )

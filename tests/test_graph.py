@@ -187,3 +187,39 @@ def test_triangle_counts_edges_and_guard(ray_session):
         triangle_counts(
             rd.from_arrow(full), max_out_degree=4
         ).materialize()
+
+
+def test_edge_support_clique_and_bridge(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.graph import edge_support
+
+    # 4-clique {0,1,2,3}: every clique edge has support 2; bridge 3-9
+    # closes no triangle -> absent from the output entirely
+    src = [0, 0, 0, 1, 1, 2, 3]
+    dst = [1, 2, 3, 2, 3, 3, 9]
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ).repartition(3)
+    out = edge_support(ds).to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+    got = {(int(r["lo"]), int(r["hi"])): int(r["support"]) for _, r in out.iterrows()}
+    want = {(a, b): 2 for a, b in [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]}
+    assert got == want
+
+    # duplicate + reversed edges dedup before counting; self-loops drop
+    noisy = rd.from_arrow(
+        pa.table({"src": pa.array(src + [1, 3, 5], pa.int64()),
+                  "dst": pa.array(dst + [0, 3, 5], pa.int64())})
+    )
+    out2 = edge_support(noisy).to_pandas()
+    got2 = {(int(r["lo"]), int(r["hi"])): int(r["support"]) for _, r in out2.iterrows()}
+    assert got2 == want
+
+    empty = edge_support(
+        rd.from_arrow(pa.table({"src": pa.array([7], pa.int64()),
+                                "dst": pa.array([7], pa.int64())}))
+    )
+    assert empty.count() == 0
+    # Ray's to_pandas drops columns on zero-row datasets; schema() keeps them
+    assert sorted(empty.schema().names) == ["hi", "lo", "support"]
