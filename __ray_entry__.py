@@ -224,6 +224,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_latest_record(sf):
+        # CDC compaction: the newest event row per user (ts desc, event_id
+        # desc tie-break) — columns pass through untouched, so the gate
+        # hashes raw values on both sides
+        from fever_ray.ops.relational import latest_record
+
+        ev = _t(sf, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+        return latest_record(ev, "user_id", "ts", "event_id")
+
     def q_full_outer_join(sf):
         # both-sides-dangling outer join: big orders vs funded customers —
         # key-hash co-partitioning makes per-bucket null padding globally
@@ -1896,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": q_filter_project,
         "bucketed_join": q_bucketed_join,
         "full_outer_join": q_full_outer_join,
+        "latest_record": q_latest_record,
         "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
@@ -3360,6 +3370,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity, "
             "l_extendedprice * (1.0 - l_discount) AS revenue "
             "FROM lineitem WHERE l_quantity >= 49.0"
+        ),
+        "latest_record": (
+            # one survivor per user: ts DESC with event_id DESC tie-break —
+            # deterministic under any partitioning on both engines
+            "SELECT event_id, ts, user_id, event_type, value FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1"
         ),
         "full_outer_join": (
             # Arrow's full-outer coalesces the join key into the left name;

@@ -921,3 +921,64 @@ def group_string_agg(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def latest_record(
+    ds,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    num_partitions: int = 32,
+):
+    """CDC-style compaction: for every key keep the single newest row —
+    ORDER BY ts DESC with a deterministic ``tiebreak_col`` DESC so equal
+    timestamps cannot make the survivor partition-dependent.  All non-key
+    columns ride along untouched (no arithmetic → value-hash safe).
+
+    Scale shape: one skinny hash-of-key shuffle into ``num_partitions``
+    coarse buckets, then a vectorized lexsort + first-of-run pick per
+    bucket (the house pattern for high-cardinality grouped argmax — a
+    per-key ``map_groups`` or a sort shuffle would both be 5-10x slower at
+    web scale).  Keys and timestamps must be non-null (loud error)."""
+    import numpy as np
+
+    from ..sketches.hashing import hash64_ints
+
+    P = int(num_partitions)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for name in (key_col, ts_col, tiebreak_col):
+            if batch.column(name).null_count:
+                raise ValueError(
+                    f"latest_record: {name} contains nulls — filter first "
+                    "(null order is engine-specific and gate-fragile)"
+                )
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(k.dtype, np.integer):
+            raise ValueError(
+                f"latest_record: {key_col} must be an integer key column"
+            )
+        b = (hash64_ints(k.astype(np.int64)) % np.uint64(P)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def pick_bucket(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return pa.table({})
+        group = group.drop_columns(["__bucket"])
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        tb = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.view(np.int64)
+        # lexsort is last-key-primary: key asc, then ts desc, then tie desc
+        order = np.lexsort((-tb.astype(np.int64), -ts, k))
+        firsts = order[
+            np.concatenate(([True], np.diff(k[order]) != 0))
+        ]
+        return group.take(pa.array(np.sort(firsts)))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(pick_bucket, batch_format="pyarrow")
+    )

@@ -843,3 +843,45 @@ def test_partitioned_hash_join_full_outer_both_sides_dangle(ray_session):
     assert by_k[11]["seg"] == "A" and int(by_k[11]["lid"]) == 2
     assert pd.isna(by_k[10]["seg"]) and pd.isna(by_k[99]["seg"])
     assert pd.isna(by_k[12]["lid"]) and by_k[12]["seg"] == "B"
+
+
+def test_latest_record_tiebreaks_deterministically(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import latest_record
+
+    ts = pa.array(
+        np.array([100, 200, 200, 50, 50, 50], dtype="datetime64[us]").astype(
+            "datetime64[us]"
+        ),
+        pa.timestamp("us"),
+    )
+    t = pa.table(
+        {
+            "eid": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": ts,
+            "uid": pa.array([7, 7, 7, 8, 8, 8], pa.int64()),
+            "tag": pa.array(list("abcdef")),
+        }
+    )
+    out = (
+        latest_record(rd.from_arrow(t).repartition(4), "uid", "ts", "eid")
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    # uid 7: ts tie at 200 -> higher eid (3) wins; uid 8: all tie -> eid 6
+    assert out["eid"].tolist() == [3, 6]
+    assert out["tag"].tolist() == ["c", "f"]
+
+    nul = rd.from_arrow(
+        pa.table(
+            {
+                "eid": pa.array([1], pa.int64()),
+                "ts": pa.array([None], pa.timestamp("us")),
+                "uid": pa.array([7], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="null"):
+        latest_record(nul, "uid", "ts", "eid").materialize()
