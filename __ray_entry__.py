@@ -1134,6 +1134,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return edge_support(ev)
 
+    def q_k_core(sf):
+        # 3-core of a three-family deterministic graph (chain, skip-2,
+        # skip-3 inside each run of 10 user ids): simultaneous peeling
+        # converges in 2 rounds at every scale; the oracle unrolls 4
+        # rounds — post-fixpoint rounds are provable no-ops
+        from fever_ray.ops.graph import k_core
+
+        def edges(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            a1 = u[u % 10 != 0]
+            a2 = u[u % 10 >= 2]
+            a3 = u[u % 10 >= 5]
+            return pa.table(
+                {
+                    "src": pa.array(
+                        np.concatenate([a1 - 1, a2 - 2, a3 - 3]), pa.int64()
+                    ),
+                    "dst": pa.array(
+                        np.concatenate([a1, a2, a3]), pa.int64()
+                    ),
+                }
+            )
+
+        ev = _t(sf, "events", ["user_id"]).map_batches(
+            edges, batch_format="pyarrow"
+        )
+        return k_core(ev, k=3)
+
     def q_simhash_pairs(sf):
         return simhash_near_dup_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
@@ -1980,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_variant_clusters": q_token_variant_clusters,
         "triangle_counts": q_triangle_counts,
         "edge_support": q_edge_support,
+        "k_core": q_k_core,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "knn_bruteforce": q_knn_bruteforce,
@@ -2954,6 +2983,42 @@ def _minhash_cross_dedup_sql() -> str:
     )
 
 
+def _k_core_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled simultaneous k-core peeling over the three-family graph
+    (chain, skip-2, skip-3 per run of 10 user ids).  The engine iterates to
+    fixpoint; the fixture graph's peeling depth is 2 at every scale, so 4
+    unrolled rounds are provably idempotent past convergence — an extra
+    round over a fixpoint edge set reproduces it exactly."""
+    # AS MATERIALIZED: each round references the previous edge set three
+    # times — inlined CTEs would re-expand the chain ~3^rounds times
+    ctes = [
+        "un AS MATERIALIZED (SELECT DISTINCT user_id AS u FROM events)",
+        "e0 AS MATERIALIZED (SELECT u - 1 AS a, u AS b FROM un WHERE u % 10 <> 0 "
+        "UNION SELECT u - 2 AS a, u AS b FROM un WHERE u % 10 >= 2 "
+        "UNION SELECT u - 3 AS a, u AS b FROM un WHERE u % 10 >= 5)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT x AS node, COUNT(*) AS deg FROM "
+            f"(SELECT a AS x FROM e{r} UNION ALL SELECT b FROM e{r}) "
+            f"GROUP BY x)"
+        )
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM e{r} WHERE "
+            f"a IN (SELECT node FROM k{r}) AND "
+            f"b IN (SELECT node FROM k{r}))"
+        )
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM "
+        f"(SELECT a AS x FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) "
+        f"GROUP BY x"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     url_expr = "'https://' || source || '.example.com/doc/' || doc_id || '.html'"
     return {
@@ -3609,6 +3674,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
             "UNION ALL SELECT z FROM tri) GROUP BY node"
         ),
+        "k_core": _k_core_sql(k=3, rounds=4),
         "edge_support": (
             # per-edge common-neighbor counts over the same chain+skip
             # graph; both adjacency directions unioned, inner joins drop

@@ -163,30 +163,13 @@ def pagerank(
     )
 
 
-def _wedge_matches(
-    edges_ds,
-    src_col: str,
-    dst_col: str,
-    num_partitions: int,
-    max_out_degree: int,
-    credit,
-    credit_empty: pa.Table,
-    opname: str,
-):
-    """Shared degree-ordered wedge-join pipeline of ``triangle_counts`` /
-    ``edge_support``: canonicalize+dedup edges, orient by (degree, id)
-    rank, expand wedges per source partition, hash-join wedges against the
-    directed edge set per (x, y) partition, then hand each partition's
-    matched-triangle table ``hit`` (columns x, y, center) to ``credit`` to
-    turn into partial rows.  Returns the credited Dataset, or None for an
-    edgeless graph."""
-    import ray
-
-    from ..ops.aggregates import tree_groupby
-    from ..ops.dedup import _key_runs
+def _canonical_edges(edges_ds, src_col: str, dst_col: str, P: int):
+    """Canonical distinct undirected edge set as a materialized Dataset of
+    (lo, hi) int64 rows: self-loops drop, (a, b)/(b, a)/duplicates collapse
+    in a skinny hash-of-pair shuffle.  Shared by the wedge-join family and
+    ``k_core``."""
     from ..sketches.hashing import splitmix64
 
-    P = int(num_partitions)
     pu = np.uint64(P)
     _C = np.uint64(0x9E3779B97F4A7C15)
 
@@ -199,7 +182,7 @@ def _wedge_matches(
             d = d.combine_chunks()
         sv = s.to_numpy(zero_copy_only=False).astype(np.int64)
         dv = d.to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = sv != dv  # self-loops close no triangle
+        keep = sv != dv  # self-loops add no structure
         sv, dv = sv[keep], dv[keep]
         lo = np.minimum(sv, dv)
         hi = np.maximum(sv, dv)
@@ -228,12 +211,42 @@ def _wedge_matches(
              "hi": pa.array(hi[first], pa.int64())}
         )
 
-    edges = (
+    return (
         edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("ep")
         .map_groups(dedup_edges, batch_format="pyarrow")
         .materialize()
     )
+
+
+def _wedge_matches(
+    edges_ds,
+    src_col: str,
+    dst_col: str,
+    num_partitions: int,
+    max_out_degree: int,
+    credit,
+    credit_empty: pa.Table,
+    opname: str,
+):
+    """Shared degree-ordered wedge-join pipeline of ``triangle_counts`` /
+    ``edge_support``: canonicalize+dedup edges, orient by (degree, id)
+    rank, expand wedges per source partition, hash-join wedges against the
+    directed edge set per (x, y) partition, then hand each partition's
+    matched-triangle table ``hit`` (columns x, y, center) to ``credit`` to
+    turn into partial rows.  Returns the credited Dataset, or None for an
+    edgeless graph."""
+    import ray
+
+    from ..ops.aggregates import tree_groupby
+    from ..ops.dedup import _key_runs
+    from ..sketches.hashing import splitmix64
+
+    P = int(num_partitions)
+    pu = np.uint64(P)
+    _C = np.uint64(0x9E3779B97F4A7C15)
+
+    edges = _canonical_edges(edges_ds, src_col, dst_col, P)
 
     # undirected degrees → (degree, id) rank per node, broadcast once
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -574,4 +587,102 @@ def edge_support(
 
     return matches.groupby("bp").map_groups(
         combine_bucket, batch_format="pyarrow"
+    )
+
+
+def k_core(
+    edges_ds,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 32,
+    max_rounds: int = 64,
+):
+    """The k-core of an undirected simple graph: iteratively peel EVERY
+    node of degree < k (simultaneous removal per round) until fixpoint —
+    the standard graph-cleaning primitive (drop weakly-attached hosts /
+    near-dup satellites before community work).  Output rows: (``node``,
+    ``deg`` int64) for surviving nodes with their degree inside the core
+    subgraph.
+
+    Scale shape: shares this module's bounded-node contract (pagerank,
+    triangle_counts) — per-round degrees are tree-combined (node, count)
+    partials, the surviving-node set broadcasts once per round via
+    ``ray.put``, and edge filtering is a vectorized ``np.isin`` streaming
+    pass.  Rounds are data-dependent but bounded by the peeling depth
+    (``max_rounds`` makes a pathological graph loud, not hung); each round
+    is ONE pass over the remaining edges with no shuffle."""
+    import ray
+    import ray.data as rd
+
+    from ..ops.aggregates import tree_groupby
+
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+    )
+
+    edges = _canonical_edges(edges_ds, src_col, dst_col, int(num_partitions))
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch.column("lo").to_numpy(zero_copy_only=False),
+                batch.column("hi").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uk, uc = np.unique(both, return_counts=True)
+        return pa.table(
+            {"node": pa.array(uk, pa.int64()), "c": pa.array(uc, pa.int64())}
+        )
+
+    def degrees(eds):
+        parts = [
+            t
+            for t in ray.get(
+                tree_groupby(
+                    eds.map_batches(deg_partial, batch_format="pyarrow"),
+                    ["node"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        if not parts:
+            return None, None
+        t = pa.concat_tables(parts)
+        return (
+            t.column("node").to_numpy(zero_copy_only=False),
+            t.column("c").to_numpy(zero_copy_only=False),
+        )
+
+    for _ in range(max_rounds):
+        nodes, deg = degrees(edges)
+        if nodes is None:
+            return rd.from_arrow(empty)
+        weak = nodes[deg < k]
+        if len(weak) == 0:
+            out = pa.table(
+                {"node": pa.array(nodes, pa.int64()),
+                 "deg": pa.array(deg, pa.int64())}
+            )
+            return rd.from_arrow(
+                out.take(pc.sort_indices(out, sort_keys=[("node", "ascending")]))
+            )
+        weak_ref = ray.put(np.sort(weak))
+
+        def drop_weak(batch: pa.Table, _ref=weak_ref) -> pa.Table:
+            w = ray.get(_ref)
+            lo = batch.column("lo").to_numpy(zero_copy_only=False)
+            hi = batch.column("hi").to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(lo, w) | np.isin(hi, w))
+            return batch.filter(pa.array(keep))
+
+        edges = edges.map_batches(
+            drop_weak, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    raise ValueError(
+        f"k_core: no fixpoint after {max_rounds} rounds — raise max_rounds "
+        "for a graph with this peeling depth"
     )

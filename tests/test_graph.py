@@ -223,3 +223,32 @@ def test_edge_support_clique_and_bridge(ray_session):
     assert empty.count() == 0
     # Ray's to_pandas drops columns on zero-row datasets; schema() keeps them
     assert sorted(empty.schema().names) == ["hi", "lo", "support"]
+
+
+def test_k_core_peels_pendant_chain(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.graph import k_core
+
+    # 4-clique {0,1,2,3} + pendant chain 3-10-11-12: the chain peels
+    # inward over multiple rounds; the 3-core is exactly the clique
+    src = [0, 0, 0, 1, 1, 2, 3, 10, 11]
+    dst = [1, 2, 3, 2, 3, 3, 10, 11, 12]
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ).repartition(3)
+    out = k_core(ds, k=3).to_pandas().sort_values("node").reset_index(drop=True)
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["deg"].tolist() == [3, 3, 3, 3]
+
+    # k above the max core -> everything peels, schema survives
+    gone = k_core(rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ), k=4)
+    assert gone.count() == 0
+    assert sorted(gone.schema().names) == ["deg", "node"]
+
+    with pytest.raises(Exception, match="k must be"):
+        k_core(ds, k=0)
