@@ -224,6 +224,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_contamination_report(sf):
+        # eval-integrity audit: per benchmark doc (every 97th), how many of
+        # its distinct word 4-grams occur anywhere in the training corpus
+        # (all other docs) — exact integer counts on both sides
+        from fever_ray.ops.trainprep import contamination_report
+
+        docs = _t(sf, "documents", ["doc_id", "text"])
+
+        def mod97(eq: bool):
+            def f(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                hit = ids % 97 == 0
+                return b.filter(pa.array(hit if eq else ~hit))
+
+            return f
+
+        bench = docs.map_batches(mod97(True), batch_format="pyarrow")
+        corpus = docs.map_batches(mod97(False), batch_format="pyarrow")
+        return contamination_report(corpus, bench, n=4)
+
     def q_latest_record(sf):
         # CDC compaction: the newest event row per user (ts desc, event_id
         # desc tie-break) — columns pass through untouched, so the gate
@@ -1934,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": q_bucketed_join,
         "full_outer_join": q_full_outer_join,
         "latest_record": q_latest_record,
+        "contamination_report": q_contamination_report,
         "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
@@ -2369,6 +2390,27 @@ def _decontaminate_sql(n: int, modulus: int) -> str:
         f"WHERE {gram} IN (SELECT g FROM bench)) "
         "SELECT doc_id, lang, source FROM corpus "
         "WHERE doc_id NOT IN (SELECT doc_id FROM hits)"
+    )
+
+
+def _contamination_report_sql(n: int, modulus: int) -> str:
+    """Exact SQL mirror of ops.trainprep.contamination_report: benchmark =
+    doc_id % modulus = 0, corpus = the rest; per benchmark doc the count of
+    its DISTINCT word n-grams and how many occur anywhere in the corpus.
+    Same 1-based list-slice n-gram construction as _decontaminate_sql."""
+    gram = f"array_to_string(tk[i : i + {n - 1}], ' ')"
+    explode = f"unnest(range(1, len(tk) - {n} + 2)) AS i"
+    return (
+        f"WITH bg AS MATERIALIZED (SELECT DISTINCT doc_id, {gram} AS g FROM "
+        f"(SELECT doc_id, tk, {explode} FROM "
+        f"(SELECT doc_id, string_split(text, ' ') AS tk FROM documents "
+        f"WHERE doc_id % {modulus} = 0))), "
+        f"cg AS MATERIALIZED (SELECT DISTINCT {gram} AS g FROM "
+        f"(SELECT tk, {explode} FROM (SELECT string_split(text, ' ') AS tk "
+        f"FROM documents WHERE doc_id % {modulus} <> 0))) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(SUM(CASE WHEN g IN (SELECT g FROM cg) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_hit FROM bg GROUP BY doc_id"
     )
 
 
@@ -3064,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql({"en": 0.10, "de": 0.80}, 0.35, 11),
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
+        "contamination_report": _contamination_report_sql(4, 97),
         "chunk_documents": _chunk_documents_sql(16, 4),
         "per_group_sample": _per_group_sample_sql(12, ["en", "de", "fr"], 29),
         # type-1 discrete quantile = value at ROW_NUMBER rank ceil(q*n);

@@ -801,3 +801,133 @@ def token_budget_mix(
         .map_groups(trim_boundary, batch_format="pyarrow")
     )
     return kept.union(bdry)
+
+
+def contamination_report(
+    corpus_ds,
+    bench_ds,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bench_grams: int = 1 << 24,
+):
+    """Per-benchmark-document contamination audit: for every benchmark doc,
+    how many of its DISTINCT word n-grams appear anywhere in the training
+    corpus — the report a decontamination decision is made from (drop the
+    benchmark? scrub the corpus? ship as-is because overlap is two boilerplate
+    grams?).  Output rows: (``id_col``, ``n_grams``, ``n_hit`` int64), one
+    per benchmark doc with ≥ 1 n-gram; the fraction n_hit/n_grams is the
+    caller's to derive — no float leaves the op.
+
+    Scale shape: the benchmark side is eval-suite-sized (MBs) and collects
+    to the driver ONCE as (doc, gram-id) pairs over a deduplicated gram
+    vocabulary; the vocabulary broadcasts via ``ray.put``; the CORPUS
+    streams one pass — per batch, ``pc.index_in`` marks which benchmark
+    grams occur, and only hit gram-ids (≤ |vocab| rows) enter the
+    tree-combine.  The corpus-sized gram stream never shuffles and never
+    reaches the driver.  ``max_bench_grams`` keeps an oversized "benchmark"
+    loud instead of silently broadcasting gigabytes."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    # 1. benchmark (doc, distinct-gram) pairs, collected — the small side
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        grams, rows = _doc_ngrams(batch, n, text_col)
+        if grams is None:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "g": pa.array([], pa.string())}
+            )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        dic = grams.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        pair = np.stack([ids[rows], codes])
+        uniq = np.unique(pair, axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(uniq[0], pa.int64()),
+                "g": dic.dictionary.take(pa.array(uniq[1])),
+            }
+        )
+
+    pieces = [
+        b
+        for b in bench_ds.map_batches(
+            bench_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_hit": pa.array([], pa.int64()),
+        }
+    )
+    if not pieces:
+        return empty
+    pairs = pa.concat_tables(pieces)
+    # batches may repeat (doc, gram) if a doc spans chunks — dedup globally
+    dic = pairs.column("g").combine_chunks().dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = pairs.column(id_col).to_numpy(zero_copy_only=False)
+    pair = np.unique(np.stack([ids, codes]), axis=1)
+    doc_of, code_of = pair[0], pair[1]
+    vocab = dic.dictionary
+    if len(vocab) > max_bench_grams:
+        raise ValueError(
+            f"contamination_report: benchmark has {len(vocab)} distinct "
+            f"n-grams (> max_bench_grams={max_bench_grams}) — that is not "
+            "an eval-suite-sized side; decontaminate in the other direction"
+        )
+    vocab_ref = ray.put(vocab)
+
+    # 2. corpus pass: which benchmark gram-ids occur anywhere?
+    def hits_partial(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vocab_ref)
+        grams, _ = _doc_ngrams(batch, n, text_col)
+        if grams is None:
+            return pa.table({"gi": pa.array([], pa.int64())})
+        pos = pc.index_in(grams, value_set=vs).drop_null()
+        hit = np.unique(pos.to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                "gi": pa.array(hit, pa.int64()),
+                "one": pa.array(np.ones(len(hit), np.int64)),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                corpus_ds.map_batches(
+                    hits_partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["gi"],
+                [("one", "max")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    hit_codes = (
+        np.sort(
+            pa.concat_tables(parts).column("gi").to_numpy(zero_copy_only=False)
+        )
+        if parts
+        else np.array([], np.int64)
+    )
+
+    # 3. per-benchmark-doc totals — bounded driver work on the small side
+    is_hit = np.isin(code_of, hit_codes)
+    ud, inv = np.unique(doc_of, return_inverse=True)
+    n_grams = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+    n_hit = np.bincount(inv[is_hit], minlength=len(ud)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(ud, pa.int64()),
+            "n_grams": pa.array(n_grams),
+            "n_hit": pa.array(n_hit),
+        }
+    )

@@ -401,3 +401,46 @@ def test_token_budget_mix_recipe_properties(ray_session):
         token_budget_mix(rd.from_arrow(t), {}, 100)
     with pytest.raises(ValueError, match="budget"):
         token_budget_mix(rd.from_arrow(t), weights, -1)
+
+
+def test_contamination_report_planted_overlap(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.trainprep import contamination_report
+
+    # bench doc 1: 5 tokens -> 4 distinct 2-grams, "b c" and "c d" planted
+    # in the corpus -> 2 hits.  bench doc 2: no overlap.  bench doc 3:
+    # 1 token -> no grams -> absent from the report.
+    bench = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["a b c d e", "x y z", "q"],
+            }
+        )
+    ).repartition(2)
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], pa.int64()),
+                "text": ["u b c d w b c", "nothing shared here at all"],
+            }
+        )
+    ).repartition(2)
+    out = (
+        contamination_report(corpus, bench, n=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "n_grams"] == 4 and out.loc[1, "n_hit"] == 2
+    assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_hit"] == 0
+
+    # duplicate grams inside one bench doc count once
+    rep = rd.from_arrow(
+        pa.table({"doc_id": pa.array([5], pa.int64()), "text": ["b c b c b c"]})
+    )
+    out2 = contamination_report(corpus, rep, n=2).to_pandas()
+    # distinct grams of "b c b c b c": "b c", "c b" -> both hit ("c b"? no)
+    assert int(out2["n_grams"][0]) == 2 and int(out2["n_hit"][0]) == 1
