@@ -224,6 +224,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_props_field_stats(sf):
+        # typed integer-field pull from the JSON props payload + grouped
+        # stats per event type — vectorized RE2 extraction, no row loops
+        from fever_ray.ops.aggregates import props_field_stats
+
+        return props_field_stats(
+            _t(sf, "events", ["event_type", "props"]), field="k"
+        )
+
     def q_contamination_report(sf):
         # eval-integrity audit: per benchmark doc (every 97th), how many of
         # its distinct word 4-grams occur anywhere in the training corpus
@@ -1955,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": q_full_outer_join,
         "latest_record": q_latest_record,
         "contamination_report": q_contamination_report,
+        "props_field_stats": q_props_field_stats,
         "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
@@ -3107,6 +3117,15 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "contamination_report": _contamination_report_sql(4, 97),
+        "props_field_stats": (
+            # integer field pull from the JSON payload; engine extracts via
+            # RE2, oracle via json_extract_string — same typed value
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS "
+            "min_k, CAST(MAX(k) AS BIGINT) AS max_k FROM "
+            "(SELECT event_type, CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) AS k FROM events) GROUP BY event_type"
+        ),
         "chunk_documents": _chunk_documents_sql(16, 4),
         "per_group_sample": _per_group_sample_sql(12, ["en", "de", "fr"], 29),
         # type-1 discrete quantile = value at ROW_NUMBER rank ceil(q*n);

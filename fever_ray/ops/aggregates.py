@@ -500,3 +500,84 @@ def funnel_counts(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def json_int_field(batch: pa.Table, col: str, field: str, out: str) -> pa.Table:
+    """Typed integer-field extraction from a flat-JSON string column — the
+    vectorized hot-path sibling of the io_/jsonl full parser for the
+    common case of pulling ONE scalar out of an event ``props`` payload
+    (fever parses full EVE JSON at ingest; per-field pulls inside a
+    pipeline should not re-parse whole objects row by row).
+
+    Pattern-based (RE2 via ``pc.extract_regex``): matches ``"field": int``
+    anywhere in the string; a row with no match or a non-integer value is
+    a LOUD error — silently nulling malformed telemetry is how bad data
+    walks into a training mix."""
+    import numpy as np
+
+    v = batch.column(col)
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    if v.null_count:
+        raise ValueError(f"json_int_field: {col} contains nulls")
+    pat = f'"{field}"\\s*:\\s*(?P<v>-?[0-9]+)'
+    m = pc.extract_regex(pc.cast(v, pa.string()), pat)
+    # validity lives on the STRUCT; the child field shows '' for misses
+    n_bad = int(pc.sum(pc.cast(pc.is_null(m), pa.int64())).as_py() or 0)
+    if n_bad:
+        raise ValueError(
+            f"json_int_field: {n_bad} rows of {col} have no "
+            f'integer "{field}" field — malformed payloads must be filtered '
+            "explicitly, not silently dropped"
+        )
+    return batch.append_column(out, pc.cast(m.field("v"), pa.int64()))
+
+
+def props_field_stats(events_ds, field: str = "k", group_col: str = "event_type"):
+    """Grouped integer stats (n, sum, min, max) of a JSON props field —
+    the 'what is this payload field doing per event type' audit, one
+    streaming pass: vectorized field extraction + per-batch Arrow hash
+    aggregation, tree-combined over the bounded event-type key space."""
+    import numpy as np
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = json_int_field(batch, "props", field, "k")
+        t = pa.table(
+            {
+                group_col: b.column(group_col),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "sum_k": b.column("k"),
+                "min_k": b.column("k"),
+                "max_k": b.column("k"),
+            }
+        )
+        g = pa.TableGroupBy(t, group_col).aggregate(
+            [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")]
+        )
+        return g.rename_columns([group_col, "n", "sum_k", "min_k", "max_k"])
+
+    out = tree_groupby(
+        events_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [group_col],
+        [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or not batch.num_columns:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_k": pa.array([], pa.int64()),
+                    "min_k": pa.array([], pa.int64()),
+                    "max_k": pa.array([], pa.int64()),
+                }
+            )
+        return batch.take(
+            pc.sort_indices(batch, sort_keys=[(group_col, "ascending")])
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -885,3 +885,33 @@ def test_latest_record_tiebreaks_deterministically(ray_session):
     )
     with pytest.raises(Exception, match="null"):
         latest_record(nul, "uid", "ts", "eid").materialize()
+
+
+def test_json_int_field_and_props_stats(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.aggregates import json_int_field, props_field_stats
+
+    t = pa.table(
+        {
+            "props": ['{"k": 69}', '{"k":-3, "z": 1}', '{"a": 1, "k": 0}'],
+            "event_type": ["a", "a", "b"],
+        }
+    )
+    out = json_int_field(t, "props", "k", "k")
+    assert out.column("k").to_pylist() == [69, -3, 0]
+
+    with pytest.raises(Exception, match="no\\s+integer"):
+        json_int_field(
+            pa.table({"props": ['{"k": "str"}'], "event_type": ["a"]}),
+            "props", "k", "k",
+        )
+
+    stats = (
+        props_field_stats(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert stats.loc["a", "n"] == 2 and stats.loc["a", "sum_k"] == 66
+    assert stats.loc["a", "min_k"] == -3 and stats.loc["a", "max_k"] == 69
+    assert stats.loc["b", "n"] == 1 and stats.loc["b", "sum_k"] == 0
