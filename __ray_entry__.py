@@ -224,6 +224,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_user_retention(sf):
+        # day-over-day cohort stickiness: distinct users active per day
+        # window and how many return the very next day — exact counts
+        from fever_ray.ops.windows import user_retention
+
+        return user_retention(
+            _t(sf, "events", ["ts", "user_id"]), size_s=86400
+        )
+
     def q_props_field_stats(sf):
         # typed integer-field pull from the JSON props payload + grouped
         # stats per event type — vectorized RE2 extraction, no row loops
@@ -1965,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_record": q_latest_record,
         "contamination_report": q_contamination_report,
         "props_field_stats": q_props_field_stats,
+        "user_retention": q_user_retention,
         "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
@@ -3117,6 +3127,16 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "contamination_report": _contamination_report_sql(4, 97),
+        "user_retention": (
+            # distinct (user, day) pairs; retained = same user present in
+            # the next day window (LEFT JOIN on w+1, count matches)
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS w FROM events) "
+            "SELECT p.w, CAST(COUNT(*) AS BIGINT) AS n_active, "
+            "CAST(SUM(CASE WHEN q.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_retained FROM p LEFT JOIN p q "
+            "ON q.user_id = p.user_id AND q.w = p.w + 1 GROUP BY p.w"
+        ),
         "props_field_stats": (
             # integer field pull from the JSON payload; engine extracts via
             # RE2, oracle via json_extract_string — same typed value

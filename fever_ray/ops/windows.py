@@ -1007,3 +1007,118 @@ def rolling_window_sum(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def user_retention(
+    events_ds,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    size_s: int = 86400,
+    num_partitions: int = 32,
+):
+    """Consecutive-window retention: per tumbling window w, how many
+    distinct keys were active, and how many of those are ALSO active in
+    window w+1 — the cohort stickiness curve (users, hosts, crawl
+    domains).  Output rows: (``w`` int64 window index = ⌊epoch/size_s⌋,
+    ``n_active``, ``n_retained`` int64), exact.
+
+    Scale shape: one hash-of-key shuffle co-locates each key's (key,
+    window) pairs; per bucket a vectorized dedup + sorted-run scan finds
+    adjacent-window presence (no per-user Python); per-window partial
+    counts tree-combine over the bounded window domain.  The raw event
+    stream is reduced to distinct (key, window) pairs inside the first
+    map_batches — duplicates never shuffle."""
+    import ray
+
+    from ..sketches.hashing import hash64_ints
+    from .aggregates import tree_groupby
+
+    if size_s <= 0:
+        raise ValueError(f"user_retention: size_s must be > 0, got {size_s}")
+    P = int(num_partitions)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        for name in (ts_col, key_col):
+            if batch.column(name).null_count:
+                raise ValueError(
+                    f"user_retention: {name} contains nulls — filter first"
+                )
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tv = ts.to_numpy(zero_copy_only=False)
+        if not np.issubdtype(tv.dtype, np.datetime64):
+            raise ValueError(f"user_retention: {ts_col} must be a timestamp")
+        w = tv.astype("datetime64[us]").view(np.int64) // (
+            np.int64(size_s) * np.int64(1_000_000)
+        )
+        k = (
+            batch.column(key_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pair = np.unique(np.stack([k, w]), axis=1)
+        bucket = (
+            hash64_ints(pair[0]) % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "k": pa.array(pair[0], pa.int64()),
+                "w": pa.array(pair[1], pa.int64()),
+                "b": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "w": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "r": pa.array([], pa.int64()),
+            }
+        )
+        if not group.num_rows or not group.num_columns:
+            return out_empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        o = np.lexsort((w, k))
+        k, w = k[o], w[o]
+        keep = np.concatenate(([True], (np.diff(k) != 0) | (np.diff(w) != 0)))
+        k, w = k[keep], w[keep]
+        # same key AND next window exactly one ahead == retained out of w[i]
+        ret = np.zeros(len(k), dtype=bool)
+        if len(k) > 1:
+            ret[:-1] = (k[1:] == k[:-1]) & (w[1:] == w[:-1] + 1)
+        uw, inv = np.unique(w, return_inverse=True)
+        n_active = np.bincount(inv, minlength=len(uw)).astype(np.int64)
+        n_ret = np.bincount(inv[ret], minlength=len(uw)).astype(np.int64)
+        return pa.table(
+            {
+                "w": pa.array(uw, pa.int64()),
+                "a": pa.array(n_active),
+                "r": pa.array(n_ret),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+    )
+    out = tree_groupby(partials, ["w"], [("a", "sum"), ("r", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or not batch.num_columns:
+            return pa.table(
+                {
+                    "w": pa.array([], pa.int64()),
+                    "n_active": pa.array([], pa.int64()),
+                    "n_retained": pa.array([], pa.int64()),
+                }
+            )
+        out_t = batch.rename_columns(["w", "n_active", "n_retained"])
+        return out_t.take(
+            pc.sort_indices(out_t, sort_keys=[("w", "ascending")])
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

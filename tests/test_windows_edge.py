@@ -464,3 +464,41 @@ def test_window_ops_reject_nulls_and_wrong_ts_unit(ray_session):
     )
     with pytest.raises(Exception, match="timestamp"):
         running_totals(rd.from_arrow(tms)).materialize()
+
+
+def test_user_retention_adjacent_windows_only(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import user_retention
+
+    # windows (size 10s): u1 in w0,w1,w3 (retained w0->w1 only);
+    # u2 in w0 only; u3 in w1,w2.  Duplicate events must not double count.
+    us = 1_000_000
+    ts = pa.array(
+        np.array(
+            [5, 5, 15, 35, 7, 12, 25, 18],
+            dtype=np.int64,
+        ) * us,
+        pa.timestamp("us"),
+    )
+    uid = pa.array([1, 1, 1, 1, 2, 3, 3, 3], pa.int64())
+    ds = rd.from_arrow(pa.table({"ts": ts, "user_id": uid})).repartition(3)
+    out = (
+        user_retention(ds, size_s=10)
+        .to_pandas()
+        .set_index("w")
+        .sort_index()
+    )
+    # w0: active {1,2}, retained {1}; w1: active {1,3}, retained {3};
+    # w2: active {3}, retained {} ; w3: active {1}
+    assert out.loc[0, "n_active"] == 2 and out.loc[0, "n_retained"] == 1
+    assert out.loc[1, "n_active"] == 2 and out.loc[1, "n_retained"] == 1
+    assert out.loc[2, "n_active"] == 1 and out.loc[2, "n_retained"] == 0
+    assert out.loc[3, "n_active"] == 1 and out.loc[3, "n_retained"] == 0
+
+    nul = rd.from_arrow(
+        pa.table({"ts": pa.array([None], pa.timestamp("us")),
+                  "user_id": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(Exception, match="null"):
+        user_retention(nul).materialize()
