@@ -224,6 +224,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_bigram_logloss(sf):
+        # KenLM-shaped bigram surprise with unigram backoff, exact bits;
+        # reference = docs with doc_id % 3 != 0, score everything (unseen
+        # bigrams in the held-out third exercise the backoff path)
+        from fever_ray.ops.textstats import bigram_logloss
+
+        docs = _t(sf, "documents", ["doc_id", "text"])
+        ref = docs.map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    b.column("doc_id").to_numpy(zero_copy_only=False) % 3 != 0
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        return bigram_logloss(docs, ref)
+
     def q_user_retention(sf):
         # day-over-day cohort stickiness: distinct users active per day
         # window and how many return the very next day — exact counts
@@ -1975,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_report": q_contamination_report,
         "props_field_stats": q_props_field_stats,
         "user_retention": q_user_retention,
+        "bigram_logloss": q_bigram_logloss,
         "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
@@ -2410,6 +2428,42 @@ def _decontaminate_sql(n: int, modulus: int) -> str:
         f"WHERE {gram} IN (SELECT g FROM bench)) "
         "SELECT doc_id, lang, source FROM corpus "
         "WHERE doc_id NOT IN (SELECT doc_id FROM hits)"
+    )
+
+
+def _bigram_logloss_sql(oov: int, backoff: int, modulus: int) -> str:
+    """Exact SQL mirror of ops.textstats.bigram_logloss with reference =
+    documents where doc_id % modulus <> 0, scoring ALL documents.  ilog2 =
+    strlen(bin(x))-1; bigram i spans tk[i:i+1] (inclusive 1-based slice)."""
+    il = "strlen(bin({x})) - 1"
+    return (
+        "WITH tl AS MATERIALIZED (SELECT doc_id, "
+        "string_split(COALESCE(text, ''), ' ') AS tk FROM documents), "
+        f"refd AS (SELECT tk FROM tl WHERE doc_id % {modulus} <> 0), "
+        "uni AS MATERIALIZED (SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM (SELECT unnest(tk) AS t FROM refd) GROUP BY t), "
+        "tot AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni), "
+        "big AS MATERIALIZED (SELECT array_to_string(tk[i : i + 1], ' ') AS g, "
+        "tk[i] AS p, CAST(COUNT(*) AS BIGINT) AS c FROM "
+        "(SELECT tk, unnest(range(1, len(tk))) AS i FROM refd) GROUP BY 1, 2), "
+        "ctx AS MATERIALIZED (SELECT p, CAST(SUM(c) AS BIGINT) AS c FROM big "
+        "GROUP BY p), "
+        "pos AS (SELECT doc_id, tk[j] AS cur, CASE WHEN j > 1 THEN "
+        "array_to_string(tk[j - 1 : j], ' ') END AS g2, j FROM "
+        "(SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j FROM tl)), "
+        "cost AS (SELECT p.doc_id, CASE WHEN b.c IS NOT NULL THEN "
+        f"({il.format(x='cx.c')}) - ({il.format(x='b.c')}) ELSE "
+        f"(CASE WHEN u.c IS NOT NULL THEN "
+        f"(SELECT {il.format(x='n')} FROM tot) - ({il.format(x='u.c')}) "
+        f"ELSE (SELECT {il.format(x='n')} FROM tot) + {oov} END) + "
+        f"(CASE WHEN p.j > 1 THEN {backoff} ELSE 0 END) END AS c "
+        "FROM pos p LEFT JOIN uni u ON u.tok = p.cur "
+        "LEFT JOIN big b ON b.g = p.g2 "
+        "LEFT JOIN ctx cx ON cx.p = b.p) "
+        "SELECT c.doc_id, CAST(t.L AS BIGINT) AS n_tokens, "
+        "CAST(SUM(c.c) AS BIGINT) AS bits FROM cost c JOIN "
+        "(SELECT doc_id, len(tk) AS L FROM tl) t ON t.doc_id = c.doc_id "
+        "GROUP BY 1, 2"
     )
 
 
@@ -3127,6 +3181,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
         "decontaminate": _decontaminate_sql(4, 97),
         "contamination_report": _contamination_report_sql(4, 97),
+        "bigram_logloss": _bigram_logloss_sql(oov=8, backoff=4, modulus=3),
         "user_retention": (
             # distinct (user, day) pairs; retained = same user present in
             # the next day window (LEFT JOIN on w+1, count matches)

@@ -1609,3 +1609,170 @@ def vocab_coverage(ds, p_num: int = 1, p_den: int = 2, text_col: str = "text"):
     return out.map_batches(
         lambda b: b.select(["token", "n"]), batch_format="pyarrow"
     )
+
+
+def bigram_logloss(
+    ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_penalty_bits: int = 8,
+    backoff_penalty_bits: int = 4,
+    max_vocab: int = 1 << 22,
+):
+    """Bigram LM surprise with unigram backoff, in exact integer bits —
+    the KenLM-shaped upgrade of :func:`unigram_logloss`: token t after
+    context p costs
+
+        seen bigram (p, t):   ilog2(ctx(p)) − ilog2(count(p, t))
+        unseen bigram:        unigram_cost(t) + backoff_penalty_bits
+        document-first token: unigram_cost(t)
+
+    where ``ctx(p) = Σ_t count(p, t)`` (occurrences of p as a bigram
+    context in the reference) and ``unigram_cost`` is exactly the
+    unigram op's ``ilog2(N) − ilog2(count)`` / OOV rule.  Per document:
+    (``n_tokens``, ``bits``).  Integer ilog2 keeps the score partition-
+    invariant and SQL-mirrorable; a float KenLM score can never be
+    value-hash gated across engines.
+
+    Scale shape: two reference vocabulary passes (unigram + bigram counts,
+    batch-vocabulary partials through the coalesce-tree under loud
+    ``max_vocab`` caps); ctx counts derive from the bigram vocabulary on
+    the driver (vocab-sized); the three LUTs broadcast once via
+    ``ray.put`` + per-process cache.  Scoring is one streaming pass —
+    dictionary-encoded probes per DISTINCT batch gram, cumsum segment
+    sums per doc; the corpus never shuffles."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    if oov_penalty_bits < 0 or backoff_penalty_bits < 0:
+        raise ValueError(
+            "bigram_logloss: penalty bits must be >= 0, got "
+            f"oov={oov_penalty_bits} backoff={backoff_penalty_bits}"
+        )
+
+    def vocab_partial(n):
+        def f(batch: pa.Table) -> pa.Table:
+            grams, counts = _gram_counts(batch, n, text_col)
+            if grams is None:
+                return pa.table(
+                    {"tok": pa.array([], pa.string()),
+                     "c": pa.array([], pa.int64())}
+                )
+            return pa.table({"tok": grams, "c": pa.array(counts, pa.int64())})
+
+        return f
+
+    def collect_vocab(n):
+        parts = [
+            t
+            for t in ray.get(
+                tree_groupby(
+                    ref_ds.map_batches(
+                        vocab_partial(n), batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    ),
+                    ["tok"],
+                    [("c", "sum")],
+                    max_groups=max_vocab,
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        return pa.concat_tables(parts) if parts else None
+
+    uni_t = collect_vocab(1)
+    if uni_t is None:
+        raise ValueError("bigram_logloss: reference corpus has no tokens")
+    big_t = collect_vocab(2)
+
+    uni_c = uni_t.column("c").to_numpy(zero_copy_only=False)
+    n_total = int(uni_c.sum())
+    il_n = int(_ilog2_exact(np.array([n_total]))[0])
+    uni_lut = dict(
+        zip(uni_t.column("tok").to_pylist(), (il_n - _ilog2_exact(uni_c)).tolist())
+    )
+    oov_bits = il_n + int(oov_penalty_bits)
+
+    if big_t is not None and big_t.num_rows:
+        grams = big_t.column("tok")
+        big_c = big_t.column("c").to_numpy(zero_copy_only=False)
+        # ctx(p) = Σ count(p, ·): group the (vocab-sized) bigram table by
+        # its first token — driver-side, bounded by max_vocab
+        first = pc.list_element(pc.split_pattern(grams, " "), 0)
+        ctx_t = pa.TableGroupBy(
+            pa.table({"p": first, "c": big_t.column("c")}), "p"
+        ).aggregate([("c", "sum")])
+        ctx_keys = ctx_t.column("p").to_pylist()
+        ctx_il = _ilog2_exact(
+            ctx_t.column("c_sum").to_numpy(zero_copy_only=False)
+        )
+        ctx_lut = dict(zip(ctx_keys, ctx_il.tolist()))
+        big_il = _ilog2_exact(big_c)
+        big_lut = {
+            g: int(ctx_lut[g[: g.index(" ")]]) - int(b)
+            for g, b in zip(grams.to_pylist(), big_il.tolist())
+        }
+    else:
+        big_lut = {}
+    model_ref = ray.put((uni_lut, big_lut, oov_bits, int(backoff_penalty_bits)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..core.bcast import cached_get
+
+        uni, big, oov, backoff = cached_get(model_ref)
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.cast(text, pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        total = len(flat)
+        # unigram cost per position (the universal fallback)
+        enc = flat.dictionary_encode()
+        dic = enc.dictionary.to_pylist()
+        per_code = np.fromiter(
+            (uni.get(t, oov) for t in dic), dtype=np.int64, count=len(dic)
+        )
+        cost = per_code[
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        doc_lens = np.diff(offs)
+        if total > 1:
+            # bigram overlay for non-first positions
+            prev = flat.slice(0, total - 1)
+            cur = flat.slice(1, total - 1)
+            grams2 = pc.binary_join_element_wise(prev, cur, " ")
+            pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+                offs[:-1], doc_lens
+            )
+            non_first = pos_in_doc[1:] > 0  # mask over positions 1..total-1
+            genc = grams2.dictionary_encode()
+            gdic = genc.dictionary.to_pylist()
+            gb = np.fromiter(
+                (big.get(g, np.iinfo(np.int64).min) for g in gdic),
+                dtype=np.int64,
+                count=len(gdic),
+            )
+            gcost = gb[
+                genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ]
+            seen = gcost != np.iinfo(np.int64).min
+            use_big = non_first & seen
+            tail = cost[1:]
+            tail = np.where(use_big, gcost, tail + np.where(non_first, backoff, 0))
+            cost = np.concatenate((cost[:1], tail))
+        cs = np.concatenate(([0], np.cumsum(cost)))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(doc_lens, pa.int64()),
+                "bits": pa.array(cs[offs[1:]] - cs[offs[:-1]], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -339,3 +339,38 @@ def test_vocab_coverage_boundary_ties_break_lexicographically(ray_session):
 
     with pytest.raises(Exception, match="p_num/p_den"):
         vocab_coverage(ds, 3, 2)
+
+
+def test_bigram_logloss_hand_computed(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import bigram_logloss
+
+    # ref: uni a=3,b=2,c=1 (N=6, ilog2=2) -> cost a=1,b=1,c=2, oov=10;
+    # bigrams "a b":2,"b a":1,"a c":1; ctx a=3,b=1 ->
+    # cost("a b")=1-1=0, cost("b a")=0-0=0, cost("a c")=1-0=1
+    ref = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["a b a b", "a c"]})
+    ).repartition(2)
+    score = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                "text": ["a b x c", "a", "a c a b"],
+            }
+        )
+    ).repartition(2)
+    out = (
+        bigram_logloss(score, ref, oov_penalty_bits=8, backoff_penalty_bits=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 10: a(1) + "a b"(0) + b-x unseen: oov(10)+backoff(4) + x-c unseen:
+    # c(2)+backoff(4) = 21
+    assert out.loc[10, "n_tokens"] == 4 and out.loc[10, "bits"] == 21
+    # doc 11: first token only -> uni(a) = 1
+    assert out.loc[11, "n_tokens"] == 1 and out.loc[11, "bits"] == 1
+    # doc 12: a(1) + "a c"(1) + "c a" unseen: a(1)+4 + "a b"(0) = 7
+    assert out.loc[12, "n_tokens"] == 4 and out.loc[12, "bits"] == 7
