@@ -224,6 +224,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_first_records(sf):
+        # per-user history head: the 3 earliest events (ts asc, event_id
+        # asc tie-break) — first-touch attribution / context truncation
+        from fever_ray.ops.relational import first_records
+
+        ev = _t(sf, "events", ["event_id", "ts", "user_id", "event_type"])
+        return first_records(ev, "user_id", "ts", "event_id", n=3)
+
+    def q_dup_cluster_sizes(sf):
+        # dedup-sizing audit: histogram of byte-identical text cluster
+        # sizes (all 1s at small SFs; real 2-clusters appear at sf0.1)
+        from fever_ray.ops.dedup import dup_cluster_sizes
+
+        return dup_cluster_sizes(_t(sf, "documents", ["text"]))
+
+    def q_pii_report(sf):
+        # pattern census over the events JSON payload (the only fixture
+        # column with digits): docs-hit + total occurrences per pattern
+        from fever_ray.ops.textstats import pii_report
+
+        return pii_report(
+            _t(sf, "events", ["props"]),
+            patterns={
+                "digit_run": "[0-9]+",
+                "two_digits": "[0-9]{2}",
+                "field_k": '"k": [0-9]+',
+            },
+            text_col="props",
+        )
+
     def q_bigram_logloss(sf):
         # KenLM-shaped bigram surprise with unigram backoff, exact bits;
         # reference = docs with doc_id % 3 != 0, score everything (unseen
@@ -1993,6 +2023,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": q_props_field_stats,
         "user_retention": q_user_retention,
         "bigram_logloss": q_bigram_logloss,
+        "pii_report": q_pii_report,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "first_records": q_first_records,
         "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
@@ -3182,6 +3215,29 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(4, 97),
         "contamination_report": _contamination_report_sql(4, 97),
         "bigram_logloss": _bigram_logloss_sql(oov=8, backoff=4, modulus=3),
+        "first_records": (
+            "SELECT event_id, ts, user_id, event_type FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events) WHERE rn <= 3"
+        ),
+        "dup_cluster_sizes": (
+            "WITH c AS (SELECT text, COUNT(*) AS sz FROM documents "
+            "GROUP BY text) SELECT CAST(sz AS BIGINT) AS cluster_size, "
+            "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM c GROUP BY sz"
+        ),
+        "pii_report": (
+            # both engines are RE2 (Arrow count_substring_regex / DuckDB
+            # regexp_extract_all), both count non-overlapping matches
+            "SELECT pattern, CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_docs, CAST(SUM(c) AS BIGINT) AS n_hits FROM ("
+            "SELECT 'digit_run' AS pattern, "
+            "len(regexp_extract_all(props, '[0-9]+')) AS c FROM events "
+            "UNION ALL SELECT 'two_digits', "
+            "len(regexp_extract_all(props, '[0-9]{2}')) FROM events "
+            "UNION ALL SELECT 'field_k', "
+            "len(regexp_extract_all(props, '\"k\": [0-9]+')) FROM events"
+            ") GROUP BY pattern"
+        ),
         "user_retention": (
             # distinct (user, day) pairs; retained = same user present in
             # the next day window (LEFT JOIN on w+1, count matches)

@@ -438,6 +438,16 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # bigram LM with unigram backoff: two vocab passes + one scoring pass;
+    # the per-batch cost over unigram is one extra dictionary-encode probe
+    from fever_ray.ops.textstats import bigram_logloss
+
+    timings["bigram_logloss_pages"] = _timed(
+        lambda: bigram_logloss(
+            _pages_docs(), _first_shard_docs()
+        ).materialize()
+    )
+
     # exact global NTILE over page token counts (histogram-prefix ranks,
     # one skinny hash-of-cell shuffle — no global sort)
     from fever_ray.ops.curate import _token_counts

@@ -2468,3 +2468,79 @@ def containment_pairs(
     return _verify_pairs_with_blobs(
         pairs, sh_ds, containment_out, max(n_parts // 8, 8), broadcast_bytes
     )
+
+
+def dup_cluster_sizes(ds, text_col: str = "text", num_partitions: int = 32):
+    """Exact-duplicate cluster-size histogram — the audit a dedup run is
+    sized from ("how much of the corpus is 2x copies vs one 10k-copy
+    boilerplate blob?").  Output rows: (``cluster_size``, ``n_clusters``
+    int64), cluster = byte-identical ``text_col``.
+
+    Scale shape: ONE hash-of-content shuffle co-locates identical texts
+    (the same movement budget as ``exact_dedup`` — text rows ship once);
+    per bucket an Arrow hash-aggregation counts each distinct text, and
+    only (size, count) pairs leave the bucket; the bounded
+    counts-of-counts domain tree-combines.  No driver row data."""
+    import numpy as np
+    import ray
+
+    from ..sketches.hashing import hash64
+    from .aggregates import tree_groupby
+
+    P = int(num_partitions)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            raise ValueError(
+                f"dup_cluster_sizes: {text_col} contains nulls — filter first"
+            )
+        h = hash64(t)
+        return pa.table(
+            {
+                text_col: t,
+                "__bucket": pa.array(
+                    (h % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def sizes_in_bucket(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return pa.table(
+                {"sz": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = pa.TableGroupBy(group.select([text_col]), text_col).aggregate(
+            [([], "count_all")]
+        )
+        sz = g.column("count_all").to_numpy(zero_copy_only=False)
+        uk, uc = np.unique(sz, return_counts=True)
+        return pa.table(
+            {"sz": pa.array(uk.astype(np.int64), pa.int64()),
+             "n": pa.array(uc.astype(np.int64), pa.int64())}
+        )
+
+    out = tree_groupby(
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(sizes_in_bucket, batch_format="pyarrow"),
+        ["sz"],
+        [("n", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or not batch.num_columns:
+            return pa.table(
+                {
+                    "cluster_size": pa.array([], pa.int64()),
+                    "n_clusters": pa.array([], pa.int64()),
+                }
+            )
+        t = batch.rename_columns(["cluster_size", "n_clusters"])
+        return t.take(
+            pa.compute.sort_indices(t, sort_keys=[("cluster_size", "ascending")])
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

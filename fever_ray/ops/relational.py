@@ -982,3 +982,65 @@ def latest_record(
         .groupby("__bucket")
         .map_groups(pick_bucket, batch_format="pyarrow")
     )
+
+
+def first_records(
+    ds,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    n: int = 3,
+    num_partitions: int = 32,
+):
+    """Per-key history head: the ``n`` EARLIEST rows of every key (ts asc,
+    ``tiebreak_col`` asc) — the per-user context-truncation / first-touch
+    attribution primitive, deterministic under any partitioning.  Same
+    coarse-bucket + vectorized lexsort shape as :func:`latest_record`;
+    the run scan keeps positions 0..n-1 of each key run instead of
+    position 0 of the reversed order."""
+    import numpy as np
+
+    from ..sketches.hashing import hash64_ints
+
+    if n < 1:
+        raise ValueError(f"first_records: n must be >= 1, got {n}")
+    P = int(num_partitions)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for name in (key_col, ts_col, tiebreak_col):
+            if batch.column(name).null_count:
+                raise ValueError(
+                    f"first_records: {name} contains nulls — filter first"
+                )
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(k.dtype, np.integer):
+            raise ValueError(
+                f"first_records: {key_col} must be an integer key column"
+            )
+        b = (hash64_ints(k.astype(np.int64)) % np.uint64(P)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def pick_bucket(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return pa.table({})
+        group = group.drop_columns(["__bucket"])
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        tb = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.view(np.int64)
+        order = np.lexsort((tb.astype(np.int64), ts, k))
+        ks = k[order]
+        starts = np.concatenate(([True], np.diff(ks) != 0))
+        # position within each key run; keep pos < n
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        pos = np.arange(len(ks), dtype=np.int64) - run_start[run_id]
+        keep = order[pos < n]
+        return group.take(pa.array(np.sort(keep)))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(pick_bucket, batch_format="pyarrow")
+    )

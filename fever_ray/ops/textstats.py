@@ -1776,3 +1776,73 @@ def bigram_logloss(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_report(ds, patterns: dict[str, str] | None = None, text_col: str = "text"):
+    """Compliance-audit pattern census: for each named RE2 pattern (emails,
+    IPv4 literals, long digit runs by default), how many documents contain
+    it and how many total occurrences exist — the report a PII-scrub run
+    (``regex_scrub``) is sized from.  Output rows: (``pattern`` string,
+    ``n_docs``, ``n_hits`` int64).  Counting only — the scrub itself stays
+    in ``regex_scrub``.
+
+    Scale shape: per batch one ``pc.count_substring_regex`` pass per
+    pattern (compiled RE2 inside Arrow, no Python per row), scalar
+    partials per pattern, bounded coalesce-tree; nothing shuffles.
+    Patterns must be RE2-and-SQL-portable (no lookaround)."""
+    import ray
+
+    from .aggregates import tree_groupby
+
+    if patterns is None:
+        patterns = {
+            "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+            "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+            "digits16": "[0-9]{16}",
+        }
+    if not patterns:
+        raise ValueError("pii_report: need at least one pattern")
+    items = sorted(patterns.items())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.string())
+        names, docs, hits = [], [], []
+        for name, pat in items:
+            c = pc.count_substring_regex(text, pat)
+            cv = c.to_numpy(zero_copy_only=False)
+            cv = np.nan_to_num(cv).astype(np.int64)
+            names.append(name)
+            docs.append(int((cv > 0).sum()))
+            hits.append(int(cv.sum()))
+        return pa.table(
+            {
+                "pattern": pa.array(names, pa.string()),
+                "n_docs": pa.array(docs, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    out = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["pattern"],
+        [("n_docs", "sum"), ("n_hits", "sum")],
+        max_groups=len(items),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or not batch.num_columns:
+            return pa.table(
+                {
+                    "pattern": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        return batch.take(
+            pc.sort_indices(batch, sort_keys=[("pattern", "ascending")])
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

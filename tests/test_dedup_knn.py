@@ -635,3 +635,21 @@ def test_corpus_intersect_semi_vs_anti_partition(ray_session):
     )
     assert dd.corpus_intersect(corpus, empty).count() == 0
     assert dd.cross_dedup(corpus, empty).count() == 60
+
+
+def test_dup_cluster_sizes_histogram(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import dup_cluster_sizes
+
+    texts = ["a"] * 5 + ["b"] * 5 + ["c"] * 2 + ["d", "e", "f"]
+    out = (
+        dup_cluster_sizes(
+            rd.from_arrow(pa.table({"text": texts})).repartition(4)
+        )
+        .to_pandas()
+        .set_index("cluster_size")
+    )
+    assert out.loc[5, "n_clusters"] == 2
+    assert out.loc[2, "n_clusters"] == 1
+    assert out.loc[1, "n_clusters"] == 3

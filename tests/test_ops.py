@@ -915,3 +915,32 @@ def test_json_int_field_and_props_stats(ray_session):
     assert stats.loc["a", "n"] == 2 and stats.loc["a", "sum_k"] == 66
     assert stats.loc["a", "min_k"] == -3 and stats.loc["a", "max_k"] == 69
     assert stats.loc["b", "n"] == 1 and stats.loc["b", "sum_k"] == 0
+
+
+def test_first_records_keeps_n_earliest(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import first_records
+
+    us = 1_000_000
+    ts = pa.array(np.array([3, 1, 2, 2, 9, 9], dtype=np.int64) * us,
+                  pa.timestamp("us"))
+    t = pa.table(
+        {
+            "eid": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": ts,
+            "uid": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+        }
+    )
+    out = (
+        first_records(rd.from_arrow(t).repartition(3), "uid", "ts", "eid", n=2)
+        .to_pandas()
+        .sort_values(["uid", "eid"])
+        .reset_index(drop=True)
+    )
+    # uid 7 earliest two: ts1(eid2), ts2 tie -> eid3 (not 4, not ts3's eid1)
+    # uid 8: both rows tie at ts9 -> eid5 then eid6, n=2 keeps both
+    assert out["eid"].tolist() == [2, 3, 5, 6]
+
+    with pytest.raises(Exception, match="n must be"):
+        first_records(rd.from_arrow(t), "uid", "ts", "eid", n=0)

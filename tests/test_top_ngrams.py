@@ -374,3 +374,27 @@ def test_bigram_logloss_hand_computed(ray_session):
     assert out.loc[11, "n_tokens"] == 1 and out.loc[11, "bits"] == 1
     # doc 12: a(1) + "a c"(1) + "c a" unseen: a(1)+4 + "a b"(0) = 7
     assert out.loc[12, "n_tokens"] == 4 and out.loc[12, "bits"] == 7
+
+
+def test_pii_report_counts_docs_and_hits(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import pii_report
+
+    docs = [
+        "reach me at bob@x.org or sue@y.io thanks",
+        "server 10.0.0.1 and 192.168.0.7 up",
+        "plain text with nothing to find",
+        "card 1234567890123456 leaked to bob@x.org",
+    ]
+    out = (
+        pii_report(rd.from_arrow(pa.table({"text": docs})).repartition(2))
+        .to_pandas()
+        .set_index("pattern")
+    )
+    assert out.loc["email", "n_docs"] == 2 and out.loc["email", "n_hits"] == 3
+    assert out.loc["ipv4", "n_docs"] == 1 and out.loc["ipv4", "n_hits"] == 2
+    assert out.loc["digits16", "n_docs"] == 1 and out.loc["digits16", "n_hits"] == 1
+
+    with pytest.raises(Exception, match="at least one"):
+        pii_report(rd.from_arrow(pa.table({"text": docs})), patterns={})
