@@ -224,6 +224,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_interarrival_histogram(sf):
+        # cadence audit: per-user inter-event gaps in seconds, 4h bins
+        # over [0, 4 days) with edge bins absorbing the tails
+        from fever_ray.ops.windows import interarrival_histogram
+
+        return interarrival_histogram(
+            _t(sf, "events", ["event_id", "ts", "user_id"]),
+            lo=0, hi=345600, n_bins=24,
+        )
+
     def q_first_records(sf):
         # per-user history head: the 3 earliest events (ts asc, event_id
         # asc tie-break) — first-touch attribution / context truncation
@@ -2026,6 +2036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_report": q_pii_report,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "first_records": q_first_records,
+        "interarrival_histogram": q_interarrival_histogram,
         "left_outer_join": q_left_outer_join,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
@@ -3215,6 +3226,18 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(4, 97),
         "contamination_report": _contamination_report_sql(4, 97),
         "bigram_logloss": _bigram_logloss_sql(oov=8, backoff=4, modulus=3),
+        "interarrival_histogram": (
+            # LEAD gap in whole seconds, then value_histogram's exact bin
+            # rule (pre-clip, edge bins absorb out-of-range gaps)
+            "WITH d AS (SELECT (epoch_us(LEAD(ts) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id)) - epoch_us(ts)) // 1000000 "
+            "AS ds FROM events), "
+            "b AS (SELECT (LEAST(GREATEST(ds, 0), 345599) - 0) * 24 "
+            "// 345600 AS bin FROM d WHERE ds IS NOT NULL) "
+            "SELECT CAST(bin AS BIGINT) AS bin, "
+            "CAST(0 + (bin * 345600 + 23) // 24 AS BIGINT) AS bin_lo, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin"
+        ),
         "first_records": (
             "SELECT event_id, ts, user_id, event_type FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "

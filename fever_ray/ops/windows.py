@@ -1122,3 +1122,124 @@ def user_retention(
         )
 
     return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def interarrival_histogram(
+    events_ds,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+    lo: int = 0,
+    hi: int = 345600,
+    n_bins: int = 24,
+    num_partitions: int = 32,
+):
+    """Distribution of per-key inter-event gaps (seconds) — the cadence /
+    liveness audit (is this crawler polling hourly or dumping once a
+    week?).  Each key's events sort by (ts, tiebreak); consecutive deltas
+    bin with ``value_histogram``'s exact int64 rule (out-of-range gaps
+    land in the edge bins, every gap counted).  Output rows: (``bin``,
+    ``bin_lo`` int64 seconds, ``n`` int64).
+
+    Scale shape: ONE hash-of-key shuffle of skinny (key, ts, tiebreak)
+    rows; per bucket one lexsort + run-boundary diff produces every key's
+    deltas at once; per-bucket bincount partials tree-combine over ≤n_bins
+    keys.  Keys/timestamps must be non-null (loud)."""
+    import ray
+
+    from ..sketches.hashing import hash64_ints
+    from .aggregates import tree_groupby
+
+    if hi <= lo or not 1 <= n_bins <= (1 << 20):
+        raise ValueError(
+            f"interarrival_histogram: need hi > lo and 1 <= n_bins <= 2^20, "
+            f"got [{lo}, {hi}) x {n_bins}"
+        )
+    P = int(num_partitions)
+    lo_i, hi_i, nb = np.int64(lo), np.int64(hi), np.int64(n_bins)
+    span = hi_i - lo_i
+
+    def project(batch: pa.Table) -> pa.Table:
+        for name in (ts_col, key_col, tiebreak_col):
+            if batch.column(name).null_count:
+                raise ValueError(
+                    f"interarrival_histogram: {name} contains nulls"
+                )
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tv = ts.to_numpy(zero_copy_only=False)
+        if not np.issubdtype(tv.dtype, np.datetime64):
+            raise ValueError(
+                f"interarrival_histogram: {ts_col} must be a timestamp"
+            )
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "t": pa.array(tv.astype("datetime64[us]").view(np.int64)),
+                "tb": pa.array(
+                    batch.column(tiebreak_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "b": pa.array(
+                    (hash64_ints(k) % np.uint64(P)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def bucket_hist(group: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if not group.num_rows or not group.num_columns:
+            return out_empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        tb = group.column("tb").to_numpy(zero_copy_only=False)
+        o = np.lexsort((tb, t, k))
+        k, t = k[o], t[o]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return out_empty
+        delta_s = (t[1:][same] - t[:-1][same]) // np.int64(1_000_000)
+        v = np.clip(delta_s, lo_i, hi_i - np.int64(1))
+        b = (v - lo_i) * nb // span
+        uk, uc = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(uk, pa.int64()),
+             "n": pa.array(uc.astype(np.int64), pa.int64())}
+        )
+
+    out = tree_groupby(
+        events_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(bucket_hist, batch_format="pyarrow"),
+        ["bin"],
+        [("n", "sum")],
+        max_groups=n_bins,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or not batch.num_columns:
+            return pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "bin_lo": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        edge = lo_i + (b * span + nb - np.int64(1)) // nb
+        t = pa.table(
+            {
+                "bin": batch.column("bin"),
+                "bin_lo": pa.array(edge, pa.int64()),
+                "n": batch.column("n"),
+            }
+        )
+        return t.take(pc.sort_indices(t, sort_keys=[("bin", "ascending")]))
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

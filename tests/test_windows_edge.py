@@ -502,3 +502,33 @@ def test_user_retention_adjacent_windows_only(ray_session):
     )
     with pytest.raises(Exception, match="null"):
         user_retention(nul).materialize()
+
+
+def test_interarrival_histogram_within_key_only(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import interarrival_histogram
+
+    us = 1_000_000
+    # user 7: gaps 5s, 10s; user 8: single event (no gap); cross-user
+    # adjacency (8's event between 7's) must contribute nothing
+    ts = pa.array(np.array([0, 5, 15, 7], dtype=np.int64) * us,
+                  pa.timestamp("us"))
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+        }
+    )
+    out = (
+        interarrival_histogram(
+            rd.from_arrow(t).repartition(3), lo=0, hi=16, n_bins=4
+        )
+        .to_pandas()
+        .set_index("bin")
+    )
+    # bins of 4s: gap 5 -> bin 1, gap 10 -> bin 2
+    assert out.loc[1, "n"] == 1 and out.loc[2, "n"] == 1
+    assert out["n"].sum() == 2
+    assert out.loc[1, "bin_lo"] == 4 and out.loc[2, "bin_lo"] == 8
