@@ -1257,6 +1257,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_core(ev, k=3)
 
+    def q_bfs_layers(sf):
+        # multi-source BFS over the chain+skip graph (edges (u-1, u) when
+        # u%10 != 0, (u-2, u) when u%10 >= 2): components are runs of 10
+        # user ids, seeds are the u%100 == 0 users, 3 frontier rounds, so
+        # within a seeded run the skip edges reach nodes 1..6 at dists
+        # 1,1,2,2,3,3 and nodes 7..9 stay beyond the horizon
+        from fever_ray.ops.graph import bfs_layers
+
+        def edges(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            a1 = u[u % 10 != 0]
+            a2 = u[u % 10 >= 2]
+            return pa.table(
+                {
+                    "src": pa.array(
+                        np.concatenate([a1 - 1, a2 - 2]), pa.int64()
+                    ),
+                    "dst": pa.array(np.concatenate([a1, a2]), pa.int64()),
+                }
+            )
+
+        def seeds(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            return pa.table({"node": pa.array(u[u % 100 == 0], pa.int64())})
+
+        ev = _t(sf, "events", ["user_id"])
+        return bfs_layers(
+            ev.map_batches(edges, batch_format="pyarrow"),
+            ev.map_batches(seeds, batch_format="pyarrow"),
+            rounds=3,
+        )
+
     def q_simhash_pairs(sf):
         return simhash_near_dup_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
@@ -2112,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q_triangle_counts,
         "edge_support": q_edge_support,
         "k_core": q_k_core,
+        "bfs_layers": q_bfs_layers,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3891,6 +3924,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT z FROM tri) GROUP BY node"
         ),
         "k_core": _k_core_sql(k=3, rounds=4),
+        "bfs_layers": (
+            # min-hop BFS from the u%100==0 seeds, capped at 3 rounds; the
+            # recursive UNION dedups (node, dist) pairs so the cyclic skip
+            # edges terminate, MIN(dist) per node mirrors the engine's
+            # first-frontier-wins rule
+            "WITH RECURSIVE un AS MATERIALIZED "
+            "(SELECT DISTINCT user_id AS u FROM events), "
+            "e AS MATERIALIZED ("
+            "SELECT u - 1 AS a, u AS b FROM un WHERE u % 10 <> 0 "
+            "UNION SELECT u - 2, u FROM un WHERE u % 10 >= 2 "
+            "UNION SELECT u, u - 1 FROM un WHERE u % 10 <> 0 "
+            "UNION SELECT u, u - 2 FROM un WHERE u % 10 >= 2), "
+            "bfs(node, dist) AS ("
+            "SELECT u AS node, 0 AS dist FROM un WHERE u % 100 = 0 "
+            "UNION SELECT e.b, bfs.dist + 1 FROM bfs "
+            "JOIN e ON e.a = bfs.node WHERE bfs.dist < 3) "
+            "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist "
+            "FROM bfs GROUP BY node"
+        ),
         "edge_support": (
             # per-edge common-neighbor counts over the same chain+skip
             # graph; both adjacency directions unioned, inner joins drop

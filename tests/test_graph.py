@@ -252,3 +252,87 @@ def test_k_core_peels_pendant_chain(ray_session):
 
     with pytest.raises(Exception, match="k must be"):
         k_core(ds, k=0)
+
+
+def _seeds_ds(ray_session, nodes, parts=2):
+    t = pa.table({"node": pa.array(nodes, pa.int64())})
+    return ray_session.data.from_arrow(t).repartition(parts)
+
+
+def test_bfs_layers_path_and_cycle(ray_session):
+    from fever_ray.ops.graph import bfs_layers
+
+    # path 0-1-2-3-4 plus a 3-cycle 10-11-12 reachable from 4 via (4,10),
+    # and an unreachable island 20-21
+    src = [0, 1, 2, 3, 4, 10, 11, 12, 20]
+    dst = [1, 2, 3, 4, 10, 11, 12, 10, 21]
+    out = (
+        bfs_layers(
+            _edges_ds(ray_session, src, dst),
+            _seeds_ds(ray_session, [0]),
+            rounds=10,
+        )
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 10: 5, 11: 6, 12: 6}
+
+
+def test_bfs_layers_undirected_and_multi_seed_min_dist(ray_session):
+    from fever_ray.ops.graph import bfs_layers
+
+    # edges stored one direction only; BFS must walk both ways.
+    # two seeds — every node takes the MINIMUM distance.
+    src = [5, 4, 3, 2, 1]
+    dst = [4, 3, 2, 1, 0]
+    out = (
+        bfs_layers(
+            _edges_ds(ray_session, src, dst),
+            _seeds_ds(ray_session, [0, 5, 5]),
+            rounds=10,
+        )
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    assert out == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+def test_bfs_layers_rounds_cap_and_isolated_seed(ray_session):
+    from fever_ray.ops.graph import bfs_layers
+
+    src = [0, 1, 2, 3]
+    dst = [1, 2, 3, 4]
+    out = (
+        bfs_layers(
+            _edges_ds(ray_session, src, dst),
+            _seeds_ds(ray_session, [0, 99]),  # 99 touches no edge
+            rounds=2,
+        )
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    # dist > rounds rows are absent; isolated seed still reports dist 0
+    assert out == {0: 0, 99: 0, 1: 1, 2: 2}
+
+
+def test_bfs_layers_zero_rounds_and_empty(ray_session):
+    from fever_ray.ops.graph import bfs_layers
+
+    out = (
+        bfs_layers(
+            _edges_ds(ray_session, [0], [1]),
+            _seeds_ds(ray_session, [7]),
+            rounds=0,
+        )
+        .to_pandas()
+    )
+    assert out["node"].tolist() == [7] and out["dist"].tolist() == [0]
+    empty = bfs_layers(
+        _edges_ds(ray_session, [0], [1]),
+        _seeds_ds(ray_session, np.array([], np.int64)),
+        rounds=3,
+    ).to_pandas()
+    assert len(empty) == 0
