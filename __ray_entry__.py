@@ -1983,6 +1983,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window_rows=5,
         )
 
+    def q_time_range_sum(sf):
+        from fever_ray.ops.windows import time_range_sum
+
+        return time_range_sum(
+            _t(sf, "events", ["event_id", "ts", "user_id", "value"]),
+            window_s=600,
+        )
+
     def q_asof_join(sf):
         from fever_ray.ops.windows import asof_join
 
@@ -2175,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "running_totals": q_running_totals,
         "rolling_window_sum": q_rolling_window_sum,
+        "time_range_sum": q_time_range_sum,
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
         "group_top_k": q_group_top_k,
@@ -4235,6 +4244,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) OVER w AS BIGINT) AS win_n "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
             "event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "time_range_sum": (
+            # RANGE window: ORDER BY ts alone (peers share the sum), the
+            # tiebreak-independence the engine mirrors by construction
+            "SELECT event_id, user_id, ts, "
+            "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)"
+            "/100 AS win_sum, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS win_n "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW)"
         ),
         "asof_join": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS r_ts_copy "

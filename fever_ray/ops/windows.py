@@ -1009,6 +1009,100 @@ def rolling_window_sum(
     )
 
 
+def time_range_sum(
+    events_ds,
+    window_s: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Event-TIME moving-window aggregate — SQL ``SUM(v) OVER (PARTITION
+    BY key ORDER BY ts RANGE BETWEEN INTERVAL W SECONDS PRECEDING AND
+    CURRENT ROW)`` plus the matching COUNT: every row carries the
+    sum/count of its key's events in the trailing ``window_s`` seconds —
+    the rate-limit / burst-detection primitive (`rolling_window_sum`
+    bounds by ROW count; real abuse windows are bounded by TIME).
+
+    RANGE semantics, not ROWS: the window is every row of the key whose
+    ts lies in ``[ts_i − W, ts_i]`` INCLUSIVE of ts-peers of the current
+    row (SQL peer-group rule), so duplicate timestamps get identical
+    sums on both engines and the result is tiebreak-independent by
+    construction.  Exact integer cents inside, one final division.
+
+    Scale shape: identical to `rolling_window_sum` — ONE key-hash
+    coarse-bucket shuffle, one lexsort per bucket; the time bound costs
+    two vectorized searchsorteds over a run-strided composite (run_id ×
+    stride + ts) that keeps every key's run disjoint, so NO per-key loop.
+    Output rows == input rows, streamed back out."""
+    if window_s < 0:
+        raise ValueError(
+            f"time_range_sum: window_s must be >= 0, got {window_s}"
+        )
+    from .dedup import _auto_parts
+
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+    id_type = base_schema.field(id_col).type
+    W = int(window_s) * 1_000_000  # ts is pinned timestamp[us] by the tag
+    tag = _window_tag_fn(key, ts_col, id_col, value_col, n_parts,
+                         "time_range_sum")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    key: pa.array([], key_type),
+                    ts_col: pa.array([], pa.timestamp("us")),
+                    "win_sum": pa.array([], pa.float64()),
+                    "win_n": pa.array([], pa.int64()),
+                }
+            )
+        kc, order, tO, iO, cO, run_start, run_len = _sorted_key_runs(
+            g, key, ts_col, id_col, value_col
+        )
+        n = len(order)
+        n_runs = len(run_start)
+        tmin = tO.min()
+        rel = tO - tmin
+        # disjoint per-run lanes: stride > rel_max + W keeps a query point
+        # (rel_i − W) inside its own run's lane even when it dips below 0
+        stride = int(rel.max()) + W + 2
+        if (n_runs + 1) * stride >= 2**63:
+            raise ValueError(
+                "time_range_sum: bucket ts-span x key-run count overflows "
+                "the int64 composite — raise num_partitions"
+            )
+        run_ids = np.repeat(
+            np.arange(n_runs, dtype=np.int64), run_len
+        )
+        comp = run_ids * np.int64(stride) + rel
+        lo = np.searchsorted(comp, comp - np.int64(W), side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        cs = np.concatenate(([np.int64(0)], np.cumsum(cO)))
+        win_sum_c = cs[hi] - cs[lo]
+        return pa.table(
+            {
+                id_col: pa.array(iO),
+                key: kc.take(pa.array(order, pa.int64())),
+                ts_col: pa.array(tO, pa.int64()).cast(pa.timestamp("us")),
+                "win_sum": pa.array(
+                    win_sum_c.astype(np.float64) / 100.0, pa.float64()
+                ),
+                "win_n": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def user_retention(
     events_ds,
     ts_col: str = "ts",

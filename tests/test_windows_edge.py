@@ -532,3 +532,72 @@ def test_interarrival_histogram_within_key_only(ray_session):
     assert out.loc[1, "n"] == 1 and out.loc[2, "n"] == 1
     assert out["n"].sum() == 2
     assert out.loc[1, "bin_lo"] == 4 and out.loc[2, "bin_lo"] == 8
+
+
+def test_time_range_sum_vs_bruteforce_with_ts_peers(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import time_range_sum
+
+    rng = np.random.default_rng(33)
+    n = 2000
+    users = rng.integers(0, 25, n)
+    # coarse second grid so duplicate timestamps (SQL peer groups) are common
+    ts = rng.integers(0, 300, n) * 1_000_000
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    W_S = 30
+    outs = []
+    for parts in (1, 9):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            {
+                r["event_id"]: (r["win_sum"], r["win_n"])
+                for r in time_range_sum(
+                    ds, window_s=W_S, num_partitions=8
+                ).take_all()
+            }
+        )
+    assert outs[0] == outs[1] and len(outs[0]) == n
+    # brute force: ALL rows of the key with ts in [ts_i - W, ts_i],
+    # inclusive of ts-peers regardless of event_id order
+    cents = np.round(vals * 100).astype(np.int64)
+    want = {}
+    for i in range(n):
+        m = (users == users[i]) & (ts >= ts[i] - W_S * 1_000_000) & (ts <= ts[i])
+        want[int(eid[i])] = (int(cents[m].sum()) / 100.0, int(m.sum()))
+    assert outs[0] == want
+    with pytest.raises(ValueError, match="window_s"):
+        time_range_sum(rd.from_arrow(t), window_s=-1)
+
+
+def test_time_range_sum_zero_window_is_peer_group(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import time_range_sum
+
+    # W=0: each row still sums its full ts-peer group (SQL RANGE rule),
+    # never just itself
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "ts": pa.array([5, 5, 9, 5], pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+        }
+    )
+    out = {
+        r["event_id"]: (r["win_sum"], r["win_n"])
+        for r in time_range_sum(
+            rd.from_arrow(t), window_s=0, num_partitions=4
+        ).take_all()
+    }
+    assert out == {1: (3.0, 2), 2: (3.0, 2), 3: (4.0, 1), 4: (8.0, 1)}
