@@ -1991,6 +1991,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window_s=600,
         )
 
+    def q_locf_fill(sf):
+        # the events table has no null values at any sf, so the gap being
+        # filled is synthesized deterministically (event_id % 7 < 3 → NULL)
+        # identically on both sides
+        from fever_ray.ops.windows import locf_fill
+
+        def nullify(b: pa.Table) -> pa.Table:
+            eid = b.column("event_id").to_numpy(zero_copy_only=False)
+            masked = pc.if_else(
+                pa.array(eid % 7 < 3),
+                pa.nulls(b.num_rows, pa.float64()),
+                pc.cast(b.column("value"), pa.float64()),
+            )
+            return b.set_column(
+                b.schema.get_field_index("value"), "value", masked
+            )
+
+        ds = _t(sf, "events", ["event_id", "ts", "user_id", "value"]).map_batches(
+            nullify, batch_format="pyarrow"
+        )
+        return locf_fill(ds)
+
     def q_asof_join(sf):
         from fever_ray.ops.windows import asof_join
 
@@ -2184,6 +2206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": q_running_totals,
         "rolling_window_sum": q_rolling_window_sum,
         "time_range_sum": q_time_range_sum,
+        "locf_fill": q_locf_fill,
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
         "group_top_k": q_group_top_k,
@@ -4254,6 +4277,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) OVER w AS BIGINT) AS win_n "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW)"
+        ),
+        "locf_fill": (
+            # filled values are bit-copies of input floats, so the float
+            # column is hash-safe; leading nulls coalesce to the sentinel
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN event_id % 7 < 3 THEN NULL ELSE value END AS v "
+            "FROM events) "
+            "SELECT event_id, user_id, ts, "
+            "COALESCE(LAST_VALUE(v IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) "
+            "AS value, "
+            "CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled "
+            "FROM e"
         ),
         "asof_join": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS r_ts_copy "

@@ -1103,6 +1103,119 @@ def time_range_sum(
     )
 
 
+def locf_fill(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    sentinel: float = -1.0,
+    num_partitions: int | None = None,
+):
+    """Last-observation-carried-forward gap fill — SQL ``LAST_VALUE(v
+    IGNORE NULLS) OVER (PARTITION BY key ORDER BY ts, id)``: every null
+    value becomes its key's most recent non-null observation; a key's
+    LEADING nulls (nothing observed yet) become ``sentinel`` so the
+    output column is null-free and hash-stable.  The sensor/telemetry
+    repair primitive the reference's flow cache implies but never
+    exposes (stale flow context reuse, flow_context cache TTL).
+
+    Filled values are bit-COPIES of input values (no arithmetic), so
+    float payloads stay exact.  Output rows == input rows, plus
+    ``filled`` (1 when this row's value was carried or sentineled).
+
+    Scale shape: `running_totals`' budget — ONE key-hash coarse-bucket
+    shuffle, per bucket one lexsort + a single np.maximum.accumulate of
+    last-valid indices; run resets are free (a previous run's index is
+    provably < this run's start, so it masks to sentinel)."""
+    from ..sketches.hashing import bucket_of
+    from .dedup import _auto_parts
+
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+    id_type = base_schema.field(id_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([id_col, key, ts_col, value_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (
+            pa.types.is_timestamp(tst) and tst.unit == "us" and tst.tz is None
+        ):
+            raise ValueError(
+                f"locf_fill: {ts_col} must be naive timestamp[us], got {tst}"
+            )
+        for c in (key, ts_col, id_col):
+            if narrow.column(c).null_count:
+                raise ValueError(
+                    f"locf_fill: {c} contains nulls — only {value_col} may "
+                    "be null (the gap being filled); filter key/ts/id "
+                    "nulls first"
+                )
+        return narrow.append_column(
+            "bucket", pa.array(bucket_of(batch.column(key), n_parts), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    key: pa.array([], key_type),
+                    ts_col: pa.array([], pa.timestamp("us")),
+                    value_col: pa.array([], pa.float64()),
+                    "filled": pa.array([], pa.int64()),
+                }
+            )
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        vcol = g.column(value_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        valid = ~np.asarray(vcol.is_null())
+        vals = vcol.cast(pa.float64()).fill_null(0.0).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ids, ts, kcodes))
+        kO = kcodes[order]
+        from .dedup import _key_runs
+
+        starts_term = _key_runs(kO)
+        run_start = starts_term[:-1]
+        run_len = np.diff(starts_term)
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        validO = valid[order]
+        last_valid = np.maximum.accumulate(np.where(validO, pos, -1))
+        rs_rep = np.repeat(run_start, run_len)
+        in_run = last_valid >= rs_rep
+        src = np.where(in_run, last_valid, 0)
+        out_vals = np.where(in_run, vals[order][src], np.float64(sentinel))
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                key: kc.take(pa.array(order, pa.int64())),
+                ts_col: pa.array(ts[order], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                value_col: pa.array(out_vals, pa.float64()),
+                "filled": pa.array((~validO).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def user_retention(
     events_ds,
     ts_col: str = "ts",

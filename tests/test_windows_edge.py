@@ -601,3 +601,81 @@ def test_time_range_sum_zero_window_is_peer_group(ray_session):
         ).take_all()
     }
     assert out == {1: (3.0, 2), 2: (3.0, 2), 3: (4.0, 1), 4: (8.0, 1)}
+
+
+def test_locf_fill_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import locf_fill
+
+    rng = np.random.default_rng(44)
+    n = 1500
+    users = rng.integers(0, 20, n)
+    ts = rng.integers(0, 4000, n) * 1_000_000
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    null_mask = rng.random(n) < 0.4
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(
+                np.where(null_mask, np.nan, vals), pa.float64()
+            ).to_pylist(),
+        }
+    )
+    # rebuild with REAL nulls (NaN != NULL)
+    t = t.set_column(
+        3, "value",
+        pa.array([None if m else v for m, v in zip(null_mask, vals)],
+                 pa.float64()),
+    )
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(
+            {
+                r["event_id"]: (r["value"], r["filled"])
+                for r in locf_fill(ds, num_partitions=8).take_all()
+            }
+        )
+    assert outs[0] == outs[1] and len(outs[0]) == n
+    order = np.lexsort((eid, ts, users))
+    last: dict = {}
+    want = {}
+    for i in order:
+        u = users[i]
+        if not null_mask[i]:
+            last[u] = vals[i]
+            want[int(eid[i])] = (vals[i], 0)
+        else:
+            want[int(eid[i])] = (last.get(u, -1.0), 1)
+    assert outs[0] == want
+
+
+def test_locf_fill_leading_nulls_and_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import locf_fill
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "ts": pa.array([0, 1, 2, 0], pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([None, 3.5, None, None], pa.float64()),
+        }
+    )
+    out = {
+        r["event_id"]: (r["value"], r["filled"])
+        for r in locf_fill(
+            rd.from_arrow(t), sentinel=-9.0, num_partitions=4
+        ).take_all()
+    }
+    assert out == {1: (-9.0, 1), 2: (3.5, 0), 3: (3.5, 1), 4: (-9.0, 1)}
+    bad = t.set_column(
+        1, "user_id", pa.array([7, None, 7, 8], pa.int64())
+    )
+    with pytest.raises(Exception, match="nulls"):
+        locf_fill(rd.from_arrow(bad)).materialize()
