@@ -1289,6 +1289,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rounds=3,
         )
 
+    def q_sorted_neighbor_pairs(sf):
+        from fever_ray.ops.dedup import sorted_neighbor_pairs
+
+        return sorted_neighbor_pairs(
+            _t(sf, "documents", ["doc_id", "text"]), window=4
+        )
+
     def q_simhash_pairs(sf):
         return simhash_near_dup_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
@@ -2167,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
         "containment_pairs": q_containment_pairs,
+        "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
         "ngram_novelty": q_ngram_novelty,
         "cooccurrence_counts": q_cooccurrence_counts,
         "token_edit_dups": q_token_edit_dups,
@@ -3169,6 +3177,52 @@ def _containment_pairs_sql(
     )
 
 
+def _sorted_neighbor_sql(
+    w: int = 4, prefix: int = 16, t_num: int = 1, t_den: int = 2
+) -> str:
+    """Mirror of ops.dedup.sorted_neighbor_pairs: rank every doc by the
+    normalized text prefix (ROW_NUMBER — binary byte collation on both
+    engines for this ASCII corpus), join rank-window candidates, verify by
+    exact shingle-set Jaccard with the integer cross-multiply — the shared
+    `_shingle_ctes` prefix, pure integers, bit-exact."""
+    ctes = _shingle_ctes("SELECT doc_id, text FROM documents")
+    ctes.append(
+        (
+            "keyd",
+            "SELECT doc_id, substr(lower(replace(COALESCE(text, ''), "
+            f"' ', '')), 1, {prefix}) AS k FROM documents",
+            True,
+        )
+    )
+    ctes.append(
+        (
+            "rk",
+            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r "
+            "FROM keyd",
+            True,
+        )
+    )
+    ctes.append(
+        (
+            "cand",
+            "SELECT a.doc_id AS da, b.doc_id AS db FROM rk a JOIN rk b "
+            f"ON b.r > a.r AND b.r <= a.r + {w - 1}",
+            True,
+        )
+    )
+    inter = "len(list_intersect(x.sh, y.sh))"
+    uni = f"(len(x.sh) + len(y.sh) - {inter})"
+    return (
+        "WITH "
+        + _minhash_ctes_sql(ctes)
+        + " SELECT c.da AS doc_a, c.db AS doc_b, "
+        f"CAST({inter} AS BIGINT) AS inter, CAST({uni} AS BIGINT) AS uni "
+        "FROM cand c JOIN shu x ON x.doc_id = c.da "
+        "JOIN shu y ON y.doc_id = c.db "
+        f"WHERE {t_den} * {inter} >= {t_num} * {uni}"
+    )
+
+
 def _minhash_dedup_sql() -> str:
     """Full within-corpus MinHash near-dedup: the shared verify chain plus
     connected components via a recursive-CTE min-reachable closure."""
@@ -3900,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _simhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
+        "sorted_neighbor_pairs": _sorted_neighbor_sql(4, 16, 1, 2),
         "ngram_novelty": _ngram_novelty_sql(),
         "token_edit_dups": (
             # semantic mirror: every distinct ASCII vocabulary token pair

@@ -653,3 +653,91 @@ def test_dup_cluster_sizes_histogram(ray_session):
     assert out.loc[5, "n_clusters"] == 2
     assert out.loc[2, "n_clusters"] == 1
     assert out.loc[1, "n_clusters"] == 3
+
+
+def _snm_bruteforce(ids, texts, window, n_shingle, t_num, t_den):
+    """Reference sorted-neighborhood pairs: python sort + set Jaccard over
+    the engine's own shingle hashes (hash parity is test_hashing's job)."""
+    import pyarrow as pa
+
+    from fever_ray.sketches.minhash import _shingle_hash_flat, _tokenize_batch
+
+    keys = ["".join((t or "").lower().split())[:16] for t in texts]
+    order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))
+    tok_h, offs = _tokenize_batch(pa.array(texts, pa.string()))
+    sh, sh_off = _shingle_hash_flat(tok_h, offs, n_shingle)
+    sets = [set(sh[s:e].tolist()) for s, e in zip(sh_off[:-1], sh_off[1:])]
+    want = set()
+    for p in range(len(order)):
+        for d in range(1, window):
+            if p + d >= len(order):
+                break
+            a, b = order[p], order[p + d]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if inter * t_den >= uni * t_num:
+                want.add((ids[a], ids[b], inter, uni))
+    return want
+
+
+def test_sorted_neighbor_pairs_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import sorted_neighbor_pairs
+
+    rng = np.random.default_rng(77)
+    vocab = [f"tok{i}" for i in range(40)]
+    ids, texts = [], []
+    k = 0
+    # 12 prefix families; near-dup siblings share a long prefix so they
+    # sort adjacent, plus lone docs between them
+    for fam in range(12):
+        base = [vocab[rng.integers(0, 40)] for _ in range(30)]
+        for sib in range(int(rng.integers(1, 4))):
+            t = list(base)
+            for _ in range(sib * 3):
+                t[int(rng.integers(10, 30))] = vocab[int(rng.integers(0, 40))]
+            ids.append(k)
+            texts.append(" ".join(t))
+            k += 1
+    ids.append(k)
+    texts.append("")  # empty doc: key '' sorts first, no shingles → no pair
+    k += 1
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    want = _snm_bruteforce(ids, texts, 4, 3, 1, 2)
+    outs = []
+    for parts, blk, nb in ((1, 8, 2), (7, 1 << 15, 16)):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {
+            (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+            for r in sorted_neighbor_pairs(
+                ds, window=4, block_rows=blk, n_buckets=nb, num_partitions=4
+            ).take_all()
+        }
+        outs.append(got)
+    # tiny block_rows forces cross-block boundary pairs; both layouts and
+    # both bucket counts must agree with brute force exactly
+    assert outs[0] == want and outs[1] == want and len(want) > 0
+
+
+def test_sorted_neighbor_pairs_guards_and_empty(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import sorted_neighbor_pairs
+
+    t = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b c d"])}
+    )
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighbor_pairs(rd.from_arrow(t), window=1)
+    with pytest.raises(ValueError, match="block_rows"):
+        sorted_neighbor_pairs(rd.from_arrow(t), window=8, block_rows=4)
+    empty = rd.from_arrow(t.slice(0, 0))
+    assert sorted_neighbor_pairs(empty).count() == 0
+    # a single doc has no in-window partner
+    assert sorted_neighbor_pairs(rd.from_arrow(t)).count() == 0
