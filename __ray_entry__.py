@@ -1296,6 +1296,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["doc_id", "text"]), window=4
         )
 
+    def q_embedding_quantize(sf):
+        from fever_ray.ops.knn import quantize_embeddings, unpack_quantized
+
+        return unpack_quantized(
+            quantize_embeddings(_t(sf, "embeddings", ["vec_id", "embedding"]))
+        )
+
     def q_simhash_pairs(sf):
         return simhash_near_dup_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
@@ -2185,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_layers": q_bfs_layers,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "embedding_quantize": q_embedding_quantize,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -3848,6 +3856,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "embedding_quantize": (
+            # same IEEE-double expression tree as the engine
+            # (v*127.0)/maxabs + 0.5 then floor — bit-exact, no tolerance
+            "WITH m AS (SELECT vec_id, list_max(list_transform(embedding, "
+            "v -> abs(CAST(v AS DOUBLE)))) AS s FROM embeddings) "
+            "SELECT e.vec_id, "
+            "CAST(UNNEST(range(1, len(e.embedding) + 1)) AS BIGINT) AS dim, "
+            "UNNEST(list_transform(e.embedding, v -> CASE WHEN m.s = 0 "
+            "THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR(CAST(v AS DOUBLE) "
+            "* 127.0 / m.s + 0.5) AS BIGINT) END)) AS q "
+            "FROM embeddings e JOIN m ON m.vec_id = e.vec_id"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

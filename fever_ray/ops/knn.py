@@ -265,3 +265,88 @@ def knn_lsh(
         .map_groups(global_topk, batch_format="pyarrow")
         .sort(["query_id", "cosine"], descending=[False, True])
     )
+
+
+def quantize_embeddings(ds, id_col: str = "vec_id", col: str = "embedding",
+                        levels: int = 127):
+    """Symmetric per-vector int8 quantization — the storage/ANN substrate
+    (int8 dot products run 4× denser than float32; SQ8 in FAISS terms):
+    ``q_d = floor(v_d · levels / max|v| + 0.5)`` (round-half-up, exact
+    IEEE double arithmetic with a fixed expression tree, so any engine
+    evaluating the same tree reproduces it bit-for-bit), ``scale`` =
+    max|v| as a bit-COPY of one input component.  An all-zero vector
+    quantizes to all zeros with scale 0.
+
+    Output rows: (``id_col``, ``scale`` float64, ``q`` large_binary —
+    the int8 codes packed; ``unpack_quantized`` explodes them).  Pure
+    zero-shuffle map_batches over the `_embedding_matrix` zero-copy
+    reshape; at 10^12 vectors this is the stage that shrinks the corpus
+    4×, so it must never materialize anything."""
+    if not (1 <= levels <= 127):
+        raise ValueError(f"quantize_embeddings: levels must be 1..127, got {levels}")
+
+    def quant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch.column(id_col), pa.int64())
+        m = _embedding_matrix(batch, col)
+        scale = np.abs(m).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(m * float(levels) / safe[:, None] + 0.5).astype(np.int8)
+        n, d = q.shape
+        flat = q.tobytes()
+        offs = np.arange(0, (n + 1) * d, d, dtype=np.int64)
+        blob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat)],
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "scale": pa.array(scale, pa.float64()),
+                "q": blob,
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unpack_quantized(qds, id_col: str = "vec_id"):
+    """Explode `quantize_embeddings` blobs into (id, dim 1-based, q int64)
+    rows — the audit/gate view of the packed codes (and the join shape for
+    SQL engines that can't read int8 blobs).  Zero-shuffle."""
+    def unpack(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        qcol = batch.column("q")
+        if isinstance(qcol, pa.ChunkedArray):
+            qcol = qcol.combine_chunks()
+        if len(qcol) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        off = np.frombuffer(qcol.buffers()[1], np.int64)[
+            qcol.offset : qcol.offset + len(qcol) + 1
+        ]
+        data = np.frombuffer(qcol.buffers()[2], np.int8)
+        lens = off[1:] - off[:-1]
+        rep_ids = np.repeat(ids, lens)
+        # dim: 1-based position within each blob
+        pos = np.arange(int(lens.sum()), dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        dims = pos - np.repeat(starts, lens) + 1
+        # blob i spans [off[i], off[i+1]) — adjacent by construction, so
+        # the concatenation of all blobs is one contiguous slice
+        vals = data[off[0] : off[-1]]
+        return pa.table(
+            {
+                id_col: pa.array(rep_ids, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "q": pa.array(vals.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return qds.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)

@@ -741,3 +741,47 @@ def test_sorted_neighbor_pairs_guards_and_empty(ray_session):
     assert sorted_neighbor_pairs(empty).count() == 0
     # a single doc has no in-window partner
     assert sorted_neighbor_pairs(rd.from_arrow(t)).count() == 0
+
+
+def test_quantize_embeddings_roundtrip_and_zero_vec(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.knn import quantize_embeddings, unpack_quantized
+
+    rng = np.random.default_rng(5)
+    n, d = 200, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    m[7] = 0.0  # all-zero vector
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [row for row in m.tolist()], pa.list_(pa.float32())
+            ),
+        }
+    )
+    qds = quantize_embeddings(rd.from_arrow(t).repartition(5))
+    rows = unpack_quantized(qds).take_all()
+    got = {}
+    for r in rows:
+        got[(r["vec_id"], r["dim"])] = r["q"]
+    m64 = m.astype(np.float64)
+    scale = np.abs(m64).max(axis=1)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    want_q = np.floor(m64 * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+    assert len(got) == n * d
+    for i in range(n):
+        for j in range(d):
+            assert got[(i, j + 1)] == want_q[i, j]
+    # scale is a bit-copy of max|v|; zero vector quantizes to zeros
+    scales = {r["vec_id"]: r["scale"] for r in qds.take_all()}
+    assert scales[7] == 0.0 and all(got[(7, j + 1)] == 0 for j in range(d))
+    assert max(abs(v) for (i, _), v in got.items() if i != 7) == 127
+    # reconstruction error bounded by half a quantization step
+    for i in range(n):
+        if scale[i] == 0:
+            continue
+        rec = want_q[i] * scale[i] / 127.0
+        assert np.all(np.abs(rec - m64[i]) <= scale[i] / 254.0 + 1e-12)
+    with pytest.raises(ValueError, match="levels"):
+        quantize_embeddings(rd.from_arrow(t), levels=128)
