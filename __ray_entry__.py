@@ -1333,6 +1333,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["query_id", "vec_id"]), batch_format="pyarrow"
         )
 
+    def q_knn_quantized(sf):
+        from fever_ray.ops.knn import knn_quantized, quantize_embeddings
+
+        qds = quantize_embeddings(_t(sf, "embeddings", ["vec_id", "embedding"]))
+        return knn_quantized(qds, _queries_mat(sf), k=5)
+
     def q_knn_lsh(sf):
         return knn_lsh(_t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf), k=5)
 
@@ -2193,6 +2199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "embedding_quantize": q_embedding_quantize,
+        "knn_quantized": q_knn_quantized,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -3868,6 +3875,26 @@ def oracle_sql() -> dict[str, str]:
             "THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR(CAST(v AS DOUBLE) "
             "* 127.0 / m.s + 0.5) AS BIGINT) END)) AS q "
             "FROM embeddings e JOIN m ON m.vec_id = e.vec_id"
+        ),
+        "knn_quantized": (
+            # integer code dot products: |dot| <= d·127² << 2^53, so the
+            # double-valued list_dot_product is exact and the rank total
+            # (score desc, id asc) is tie-safe on both engines
+            "WITH m AS (SELECT vec_id, list_max(list_transform(embedding, "
+            "v -> abs(CAST(v AS DOUBLE)))) AS s FROM embeddings), "
+            "ql AS MATERIALIZED (SELECT e.vec_id, CASE WHEN m.s = 0 THEN "
+            "list_transform(e.embedding, v -> 0.0) ELSE "
+            "list_transform(e.embedding, v -> FLOOR(CAST(v AS DOUBLE) "
+            "* 127.0 / m.s + 0.5)) END AS qv "
+            "FROM embeddings e JOIN m ON m.vec_id = e.vec_id), "
+            "q AS (SELECT vec_id AS query_id, qv AS qq FROM ql "
+            "ORDER BY vec_id LIMIT 3) "
+            "SELECT query_id, vec_id, CAST(score AS BIGINT) AS score FROM ("
+            "SELECT q.query_id, e.vec_id, "
+            "list_dot_product(q.qq, e.qv) AS score, "
+            "ROW_NUMBER() OVER (PARTITION BY q.query_id "
+            "ORDER BY list_dot_product(q.qq, e.qv) DESC, e.vec_id) AS rn "
+            "FROM q CROSS JOIN ql e) WHERE rn <= 5"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

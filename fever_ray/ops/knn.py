@@ -350,3 +350,92 @@ def unpack_quantized(qds, id_col: str = "vec_id"):
         )
 
     return qds.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_quantized(qds, queries: np.ndarray, k: int = 10,
+                  id_col: str = "vec_id", levels: int = 127):
+    """Integer top-k over `quantize_embeddings` codes — the SQ8 ANN path:
+    queries quantize with the SAME rule, score = Σ q_query·q_vec (pure
+    int64, exact, so ranking is bit-stable and ties break deterministically
+    by ascending id — no float boundary anywhere).  Raw code dot products
+    rank by cosine only up to per-vector scale spread; that approximation
+    IS the documented operator (FAISS SQ8 with symmetric max-abs scaling
+    makes the same trade), and recall vs the float brute force is what the
+    tests pin.
+
+    Output rows: (query_id = query row index, id_col, score int64),
+    per-query (score desc, id asc) order.
+
+    Scale shape: queries broadcast once; per batch the packed int8 blobs
+    reshape zero-copy to (n, d) and ONE integer matmul + lexsort top-k
+    leaves n_q·k rows per batch; the global merge groups k·n_blocks skinny
+    rows."""
+    import ray
+
+    qf = np.asarray(queries, dtype=np.float64)
+    scale = np.abs(qf).max(axis=1)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    qcodes = np.floor(qf * float(levels) / safe[:, None] + 0.5).astype(np.int64)
+    q_ref = ray.put(qcodes)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from ..core.bcast import cached_get
+
+        qm = cached_get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        qcol = batch.column("q")
+        if isinstance(qcol, pa.ChunkedArray):
+            qcol = qcol.combine_chunks()
+        n = len(qcol)
+        if n == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        off = np.frombuffer(qcol.buffers()[1], np.int64)[
+            qcol.offset : qcol.offset + n + 1
+        ]
+        d = int(off[1] - off[0])
+        codes = (
+            np.frombuffer(qcol.buffers()[2], np.int8)[off[0] : off[-1]]
+            .reshape(n, d)
+            .astype(np.int64)
+        )
+        sims = qm @ codes.T  # (n_q, n) int64
+        kk = min(k, n)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            # total order (score desc, id asc): exact-tie safe at the
+            # boundary, unlike a bare argpartition on scores
+            o = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_id.append(ids[o])
+            out_s.append(sims[qi, o])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    candidates = qds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), (id_col, "ascending")]
+        )
+        return group.take(order[:k])
+
+    return (
+        candidates.groupby("query_id")
+        .map_groups(global_topk, batch_format="pyarrow")
+        .sort(["query_id", "score", id_col], descending=[False, True, False])
+    )

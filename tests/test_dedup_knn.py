@@ -785,3 +785,50 @@ def test_quantize_embeddings_roundtrip_and_zero_vec(ray_session):
         assert np.all(np.abs(rec - m64[i]) <= scale[i] / 254.0 + 1e-12)
     with pytest.raises(ValueError, match="levels"):
         quantize_embeddings(rd.from_arrow(t), levels=128)
+
+
+def test_knn_quantized_vs_numpy_reference_with_ties(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.knn import knn_quantized, quantize_embeddings
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    # plant exact duplicates → tied integer scores at the top-k boundary
+    m[50] = m[10]
+    m[51] = m[10]
+    m[52] = m[10]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    queries = m[:3].astype(np.float64)
+    qds = quantize_embeddings(rd.from_arrow(t).repartition(6))
+    got = [
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in knn_quantized(qds, queries, k=5).take_all()
+    ]
+    # numpy reference: same quantization rule, int dot, (score desc, id asc)
+    m64 = m.astype(np.float64)
+    s = np.abs(m64).max(axis=1)
+    codes = np.floor(m64 * 127.0 / np.where(s == 0, 1, s)[:, None] + 0.5).astype(
+        np.int64
+    )
+    qs = np.abs(queries).max(axis=1)
+    qc = np.floor(
+        queries * 127.0 / np.where(qs == 0, 1, qs)[:, None] + 0.5
+    ).astype(np.int64)
+    want = []
+    for qi in range(3):
+        dots = qc[qi] @ codes.T
+        o = np.lexsort((np.arange(n), -dots))[:5]
+        want.extend((qi, int(i), int(dots[i])) for i in o)
+    assert got == want
+    # the planted duplicates of vec 10 must appear, id-ordered, for query 10's
+    # own code (query 0 is m[0]; check query of m[10]-like content via ties):
+    dup_rows = [r for r in got if r[1] in (10, 50, 51, 52)]
+    ids_in_order = [r[1] for r in dup_rows]
+    assert ids_in_order == sorted(ids_in_order)
