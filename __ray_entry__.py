@@ -124,6 +124,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_unicorn_flow_report(sf):
         return agg.unicorn_flow_report(_t(sf, "events", ["user_id", "event_type", "value"]))
 
+    def q_pareto_front(sf):
+        # frontier of purchase users maximizing (n_flows, total_value) —
+        # composes the unicorn per-user report with the skyline op; floats
+        # entering the dominance compare are the same exact-cents values
+        # the unicorn gate already hashes bit-exactly
+        from fever_ray.ops.stats import pareto_front
+
+        rep = agg.unicorn_flow_report(
+            _t(sf, "events", ["user_id", "event_type", "value"])
+        )
+        return pareto_front(rep, "n_flows", "total_value")
+
     def q_dns_aggregator(sf):
         return agg.dns_aggregator(_t(sf, "events", ["event_type", "user_id"]))
 
@@ -2230,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window_sum": q_rolling_window_sum,
         "time_range_sum": q_time_range_sum,
         "locf_fill": q_locf_fill,
+        "pareto_front": q_pareto_front,
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
         "group_top_k": q_group_top_k,
@@ -3331,6 +3344,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, COUNT(*) AS n_flows, "
             "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value "
             "FROM events WHERE event_type = 'purchase' AND value > 0 GROUP BY user_id"
+        ),
+        "pareto_front": (
+            "WITH agg AS MATERIALIZED (SELECT user_id, COUNT(*) AS n_flows, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)/100 "
+            "AS total_value FROM events "
+            "WHERE event_type = 'purchase' AND value > 0 GROUP BY user_id) "
+            "SELECT user_id, n_flows, total_value FROM agg a "
+            "WHERE NOT EXISTS (SELECT 1 FROM agg b "
+            "WHERE b.n_flows >= a.n_flows "
+            "AND b.total_value >= a.total_value "
+            "AND (b.n_flows > a.n_flows OR b.total_value > a.total_value))"
         ),
         "dns_aggregator": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users "

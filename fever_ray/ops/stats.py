@@ -1371,3 +1371,73 @@ def distribution_drift(
             "drift": pa.array(np.asarray(drift, np.int64)[order]),
         }
     )
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D MAX-skyline: row i survives iff no row has
+    (x ≥ xi AND y ≥ yi) with a strict improvement somewhere.  Equal (x, y)
+    duplicates all survive (neither strictly dominates).  One lexsort +
+    per-x-group max + exclusive suffix max — O(n log n), dtype-pure (no
+    float sentinel, so int64 metrics never round)."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((y, x))  # x asc, y asc within ties
+    xs, ys = x[order], y[order]
+    new = np.empty(n, bool)
+    new[0] = True
+    np.not_equal(xs[1:], xs[:-1], out=new[1:])
+    gidx = np.cumsum(new) - 1
+    ngroups = int(gidx[-1]) + 1
+    last_idx = np.flatnonzero(np.concatenate((new[1:], [True])))
+    maxy = ys[last_idx]  # per x-group max, ascending-x group order
+    keep_group = np.empty(ngroups, bool)
+    keep_group[-1] = True
+    if ngroups > 1:
+        sfx = np.maximum.accumulate(maxy[::-1])[::-1]  # inclusive suffix max
+        np.greater(maxy[:-1], sfx[1:], out=keep_group[:-1])
+    keep_sorted = keep_group[gidx] & (ys == maxy[gidx])
+    mask = np.empty(n, bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def pareto_front(ds, x_col: str, y_col: str, max_front: int = 1_000_000):
+    """Pareto frontier (SQL NOT-EXISTS skyline) over two MAXIMIZED metrics
+    — the multi-objective data-selection primitive (quality vs length,
+    coverage vs cost): keep every row no other row dominates.  All input
+    columns ride through on surviving rows.
+
+    Scale shape: local skyline per block (the global frontier is a subset
+    of the union of local frontiers — dominance is transitive, so any
+    globally dominated row is dominated by a row that survives its own
+    block), then ONE final skyline over the coalesced candidates.  The
+    candidate set is frontier-sized, not corpus-sized; a loud
+    ``max_front`` guard refuses degenerate diagonal inputs instead of
+    silently funnelling the corpus through one task."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        for c in (x_col, y_col):
+            if batch.column(c).null_count:
+                raise ValueError(
+                    f"pareto_front: {c} contains nulls — dominance is "
+                    "undefined; filter or fill first"
+                )
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_skyline_mask(x, y)))
+
+    cand = ds.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n = cand.count()
+    if n == 0:
+        return cand
+    if n > max_front:
+        raise ValueError(
+            f"pareto_front: {n} local-frontier candidates exceed max_front "
+            f"{max_front} — near-diagonal metrics; bucket one axis first"
+        )
+    return cand.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None
+    )

@@ -656,3 +656,56 @@ def test_distribution_drift_guards(ray_session):
     )
     with pytest.raises(Exception, match="must be 0 or 1"):
         distribution_drift(bad_side, "v", "side", lo=0, hi=4, n_bins=2)
+
+
+def test_pareto_front_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import pareto_front
+
+    rng = np.random.default_rng(13)
+    n = 800
+    x = rng.integers(0, 60, n)
+    y = rng.integers(0, 60, n)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    want = set()
+    for i in range(n):
+        dominated = np.any(
+            (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        )
+        if not dominated:
+            want.add(int(ids[i]))
+    for parts in (1, 9):
+        out = pareto_front(
+            rd.from_arrow(t).repartition(parts), "x", "y"
+        ).take_all()
+        assert {r["id"] for r in out} == want and len(out) == len(want)
+    # duplicates of a frontier point all survive; strictly-worse same-x drops
+    t2 = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "x": pa.array([5, 5, 5, 9], pa.int64()),
+            "y": pa.array([9, 9, 2, 1], pa.int64()),
+        }
+    )
+    out2 = {r["id"] for r in pareto_front(rd.from_arrow(t2), "x", "y").take_all()}
+    assert out2 == {1, 2, 4}
+    with pytest.raises(ValueError, match="max_front"):
+        pareto_front(rd.from_arrow(t), "x", "y", max_front=2).take_all()
+    tnull = pa.table(
+        {
+            "id": pa.array([1], pa.int64()),
+            "x": pa.array([None], pa.int64()),
+            "y": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="nulls"):
+        pareto_front(rd.from_arrow(tnull), "x", "y").take_all()
+    assert pareto_front(rd.from_arrow(t.slice(0, 0)), "x", "y").count() == 0
