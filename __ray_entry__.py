@@ -1301,6 +1301,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rounds=3,
         )
 
+    def q_snapshot_diff(sf):
+        # two deterministic snapshot derivations of the documents table:
+        # old = ids % 5 != 0; new = ids % 7 != 0 with ' v2' appended to the
+        # text of ids % 3 == 0 (plants all three statuses at every sf)
+        from fever_ray.ops.dedup import snapshot_diff
+
+        def old_side(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 5 != 0))
+
+        def new_side(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(ids % 7 != 0))
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            txt = b.column("text")
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            appended = pc.binary_join_element_wise(
+                txt, pa.array(["v2"] * len(b), pa.string()), " "
+            )
+            mod = pc.if_else(pa.array(ids % 3 == 0), appended, txt)
+            return b.set_column(b.schema.get_field_index("text"), "text", mod)
+
+        docs = lambda: _t(sf, "documents", ["doc_id", "text"])  # noqa: E731
+        return snapshot_diff(
+            docs().map_batches(old_side, batch_format="pyarrow"),
+            docs().map_batches(new_side, batch_format="pyarrow"),
+        )
+
     def q_sorted_neighbor_pairs(sf):
         from fever_ray.ops.dedup import sorted_neighbor_pairs
 
@@ -2200,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "containment_pairs": q_containment_pairs,
         "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
+        "snapshot_diff": q_snapshot_diff,
         "ngram_novelty": q_ngram_novelty,
         "cooccurrence_counts": q_cooccurrence_counts,
         "token_edit_dups": q_token_edit_dups,
@@ -2283,12 +2313,15 @@ def _sql_fnv1a_over(expr: str) -> str:
     )
 
 
-def _content_hash_cte() -> str:
+def _content_hash_cte(
+    base: str = "documents", out: str = "allh", p: str = "c"
+) -> str:
     """CTE chain computing the engine's content hash (FNV-1a over text
-    bytes → splitmix64 finalizer → int64 reinterpret) for every documents
-    row, exposed as ``allh(doc_id, content_hash)`` — the same construction
-    _simhash_sql uses, factored for reuse (codepoint == utf-8 byte on this
-    ASCII corpus)."""
+    bytes → splitmix64 finalizer → int64 reinterpret) for every row of
+    ``base`` (any (doc_id, text) source), exposed as ``out``(doc_id,
+    content_hash) — the same construction _simhash_sql uses, factored for
+    reuse (codepoint == utf-8 byte on this ASCII corpus).  ``p`` prefixes
+    the intermediate CTE names so two chains can coexist in one query."""
     m = "18446744073709551616"
 
     mulmod = _sql_mulmod
@@ -2299,13 +2332,13 @@ def _content_hash_cte() -> str:
         f"THEN CAST({m} AS HUGEINT) ELSE 0 END AS BIGINT)"
     )
     return (
-        f"ch0 AS (SELECT doc_id, {fnv_text} AS h0 FROM documents), "
-        "ca1 AS (SELECT doc_id, xor(h0, h0 >> 30) AS y FROM ch0), "
-        f"cb1 AS (SELECT doc_id, {mulmod('y', '13787848793156543929')} AS x FROM ca1), "
-        "ca2 AS (SELECT doc_id, xor(x, x >> 27) AS y FROM cb1), "
-        f"cb2 AS (SELECT doc_id, {mulmod('y', '10723151780598845931')} AS x FROM ca2), "
-        "ca3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM cb2), "
-        f"allh AS (SELECT doc_id, {to_i64} AS content_hash FROM ca3)"
+        f"{p}h0 AS (SELECT doc_id, {fnv_text} AS h0 FROM {base}), "
+        f"{p}a1 AS (SELECT doc_id, xor(h0, h0 >> 30) AS y FROM {p}h0), "
+        f"{p}b1 AS (SELECT doc_id, {mulmod('y', '13787848793156543929')} AS x FROM {p}a1), "
+        f"{p}a2 AS (SELECT doc_id, xor(x, x >> 27) AS y FROM {p}b1), "
+        f"{p}b2 AS (SELECT doc_id, {mulmod('y', '10723151780598845931')} AS x FROM {p}a2), "
+        f"{p}a3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM {p}b2), "
+        f"{out} AS (SELECT doc_id, {to_i64} AS content_hash FROM {p}a3)"
     )
 
 
@@ -4026,6 +4059,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
         "sorted_neighbor_pairs": _sorted_neighbor_sql(4, 16, 1, 2),
+        "snapshot_diff": (
+            # changed = the engine's content hash differs — both sides run
+            # the same mirrored FNV→splitmix chain, so semantics (including
+            # any 64-bit collision) are identical, not just value-equal
+            "WITH o AS MATERIALIZED (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 5 <> 0), "
+            "nsrc AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+            "THEN text || ' v2' ELSE text END AS text FROM documents "
+            "WHERE doc_id % 7 <> 0), "
+            + _content_hash_cte("o", "oh", "co")
+            + ", "
+            + _content_hash_cte("nsrc", "nh", "cn")
+            + " SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id, "
+            "CASE WHEN oh.doc_id IS NULL THEN 'added' "
+            "WHEN nh.doc_id IS NULL THEN 'removed' ELSE 'changed' END "
+            "AS status FROM oh FULL JOIN nh ON oh.doc_id = nh.doc_id "
+            "WHERE oh.doc_id IS NULL OR nh.doc_id IS NULL "
+            "OR oh.content_hash <> nh.content_hash"
+        ),
         "ngram_novelty": _ngram_novelty_sql(),
         "token_edit_dups": (
             # semantic mirror: every distinct ASCII vocabulary token pair

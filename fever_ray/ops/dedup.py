@@ -2859,3 +2859,115 @@ def sorted_neighbor_pairs(
     return _verify_pairs_with_blobs(
         pairs, sh_ds, out_fn, num_partitions, broadcast_bytes
     )
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Snapshot delta audit — the CDC complement of `latest_record`: given
+    two corpus versions, emit one row per differing id with ``status`` in
+    {'added', 'removed', 'changed'} (changed = content hash differs;
+    identical rows emit nothing).  The incremental-recrawl primitive: what
+    must re-embed / re-dedup after this crawl?
+
+    Scale shape: each side reduces to skinny (id, content_hash) rows
+    inside its first map_batches — text never shuffles; ONE id-hash
+    co-partitioning of both sides together, per bucket a vectorized
+    searchsorted alignment.  Duplicate ids within a side are rejected
+    loudly (a snapshot id is a key; silently picking one would make the
+    diff layout-dependent)."""
+    from ..sketches.hashing import bucket_of
+
+    n_parts = num_partitions or _auto_parts(old_ds, floor=32)
+
+    def skinny(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.column(id_col).null_count:
+                raise ValueError(f"snapshot_diff: {id_col} contains nulls")
+            h = add_content_hash(batch, text_col)
+            ids = pc.cast(h.column(id_col), pa.int64())
+            t = pa.table(
+                {
+                    id_col: ids,
+                    "h": h.column("content_hash"),
+                    "side": pa.array(
+                        np.full(len(ids), side, np.int8), pa.int8()
+                    ),
+                }
+            )
+            return t.append_column(
+                "bucket", pa.array(bucket_of(ids, n_parts), pa.int32())
+            )
+
+        return f
+
+    both = old_ds.map_batches(
+        skinny(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        new_ds.map_batches(skinny(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "status": pa.array([], pa.string()),
+            }
+        )
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        om, nm = side == 0, side == 1
+        oi, oh = ids[om], h[om]
+        ni, nh = ids[nm], h[nm]
+        oo, no = np.argsort(oi, kind="stable"), np.argsort(ni, kind="stable")
+        oi, oh, ni, nh = oi[oo], oh[oo], ni[no], nh[no]
+        for a, nm_ in ((oi, "old"), (ni, "new")):
+            if len(a) > 1 and (a[1:] == a[:-1]).any():
+                d = int(a[np.flatnonzero(a[1:] == a[:-1])[0]])
+                raise ValueError(
+                    f"snapshot_diff: duplicate {id_col} {d} in the {nm_} "
+                    "snapshot — snapshot ids must be unique"
+                )
+        if len(oi):
+            pos = np.minimum(np.searchsorted(oi, ni), len(oi) - 1)
+            in_old = oi[pos] == ni
+            hash_diff = oh[pos] != nh
+        else:
+            in_old = np.zeros(len(ni), bool)
+            hash_diff = in_old
+        added = ni[~in_old]
+        changed = ni[in_old & hash_diff]
+        if len(ni):
+            posn = np.minimum(np.searchsorted(ni, oi), len(ni) - 1)
+            in_new = ni[posn] == oi
+        else:
+            in_new = np.zeros(len(oi), bool)
+        removed = oi[~in_new]
+        out_ids = np.concatenate([added, removed, changed])
+        status = np.concatenate(
+            [
+                np.full(len(added), "added", object),
+                np.full(len(removed), "removed", object),
+                np.full(len(changed), "changed", object),
+            ]
+        )
+        if len(out_ids) == 0:
+            return empty
+        o = np.argsort(out_ids, kind="stable")
+        return pa.table(
+            {
+                id_col: pa.array(out_ids[o], pa.int64()),
+                "status": pa.array(status[o], pa.string()),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(
+        diff_bucket, batch_format="pyarrow"
+    )

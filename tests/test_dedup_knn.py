@@ -832,3 +832,53 @@ def test_knn_quantized_vs_numpy_reference_with_ties(ray_session):
     dup_rows = [r for r in got if r[1] in (10, 50, 51, 52)]
     ids_in_order = [r[1] for r in dup_rows]
     assert ids_in_order == sorted(ids_in_order)
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import snapshot_diff
+
+    old = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a a", "b b", "c c", "d d"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 9], pa.int64()),
+            "text": pa.array(["b b", "c CHANGED", "d d", "new doc"]),
+        }
+    )
+    for parts in (1, 5):
+        out = {
+            (r["doc_id"], r["status"])
+            for r in snapshot_diff(
+                rd.from_arrow(old).repartition(parts),
+                rd.from_arrow(new).repartition(parts),
+                num_partitions=4,
+            ).take_all()
+        }
+        assert out == {(1, "removed"), (3, "changed"), (9, "added")}
+    # one empty side: everything is added / removed
+    e = rd.from_arrow(old.slice(0, 0))
+    assert {
+        (r["doc_id"], r["status"])
+        for r in snapshot_diff(e, rd.from_arrow(new), num_partitions=4).take_all()
+    } == {(2, "added"), (3, "added"), (4, "added"), (9, "added")}
+    assert {
+        (r["doc_id"], r["status"])
+        for r in snapshot_diff(rd.from_arrow(old), e, num_partitions=4).take_all()
+    } == {(i, "removed") for i in (1, 2, 3, 4)}
+    # duplicate id within a snapshot is a loud error
+    dup = pa.table(
+        {
+            "doc_id": pa.array([7, 7], pa.int64()),
+            "text": pa.array(["x", "y"]),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        snapshot_diff(
+            rd.from_arrow(dup), rd.from_arrow(new), num_partitions=2
+        ).take_all()
