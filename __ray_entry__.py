@@ -1301,6 +1301,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rounds=3,
         )
 
+    def q_corpus_checksum(sf):
+        from fever_ray.ops.textstats import corpus_checksum
+
+        return corpus_checksum(_t(sf, "documents", ["text"]))
+
     def q_snapshot_diff(sf):
         # two deterministic snapshot derivations of the documents table:
         # old = ids % 5 != 0; new = ids % 7 != 0 with ' v2' appended to the
@@ -2230,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment_pairs,
         "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
         "snapshot_diff": q_snapshot_diff,
+        "corpus_checksum": q_corpus_checksum,
         "ngram_novelty": q_ngram_novelty,
         "cooccurrence_counts": q_cooccurrence_counts,
         "token_edit_dups": q_token_edit_dups,
@@ -4059,6 +4065,22 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
         "sorted_neighbor_pairs": _sorted_neighbor_sql(4, 16, 1, 2),
+        "corpus_checksum": (
+            # Σ uint64(content_hash) mod 2^64, reinterpreted int64 — the
+            # same mirrored hash chain, summed in HUGEINT
+            "WITH " + _content_hash_cte() + ", u AS (SELECT "
+            "CAST(content_hash AS HUGEINT) + CASE WHEN content_hash < 0 "
+            "THEN CAST('18446744073709551616' AS HUGEINT) ELSE "
+            "CAST(0 AS HUGEINT) END AS uh FROM allh) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST("
+            "CASE WHEN (COALESCE(SUM(uh), 0) % "
+            "CAST('18446744073709551616' AS HUGEINT)) >= "
+            "CAST('9223372036854775808' AS HUGEINT) THEN "
+            "(COALESCE(SUM(uh), 0) % CAST('18446744073709551616' AS HUGEINT)) "
+            "- CAST('18446744073709551616' AS HUGEINT) ELSE "
+            "(COALESCE(SUM(uh), 0) % CAST('18446744073709551616' AS HUGEINT)) "
+            "END AS BIGINT) AS checksum FROM u"
+        ),
         "snapshot_diff": (
             # changed = the engine's content hash differs — both sides run
             # the same mirrored FNV→splitmix chain, so semantics (including

@@ -1846,3 +1846,83 @@ def pii_report(ds, patterns: dict[str, str] | None = None, text_col: str = "text
         )
 
     return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def corpus_checksum(ds, text_col: str = "text"):
+    """Order-independent corpus content checksum — the replication /
+    resumable-write validator (two corpora match iff same multiset of
+    content hashes): one row (``n_rows``, ``checksum``) where checksum =
+    Σ uint64(content_hash) mod 2^64 reinterpreted int64.  Addition mod
+    2^64 is commutative-associative, so ANY block layout, shard order or
+    resume path yields the same value — the property a checksum of a
+    distributed write must have.
+
+    Scale shape: one streaming pass; each batch contributes a single
+    partial row with the hash sum split into four 16-bit lanes (a lane
+    total stays < 2^16·n_rows, so the int64 coalesce-tree cannot wrap
+    below ~2^47 rows — guarded loudly), zero-seeded so an empty corpus
+    reports (0, 0) instead of vanishing."""
+    import ray.data as rd
+
+    from ..sketches.hashing import hash64
+    from .aggregates import tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h = hash64(pc.cast(text, pa.string()).fill_null(""))
+        lanes = [
+            int(((h >> np.uint64(16 * k)) & np.uint64(0xFFFF)).sum(dtype=np.uint64))
+            for k in range(4)
+        ]
+        return pa.table(
+            {
+                "k": pa.array(["chk"], pa.string()),
+                "n": pa.array([len(h)], pa.int64()),
+                "l0": pa.array([lanes[0]], pa.int64()),
+                "l1": pa.array([lanes[1]], pa.int64()),
+                "l2": pa.array([lanes[2]], pa.int64()),
+                "l3": pa.array([lanes[3]], pa.int64()),
+            }
+        )
+
+    seed = pa.table(
+        {
+            "k": pa.array(["chk"], pa.string()),
+            "n": pa.array([0], pa.int64()),
+            "l0": pa.array([0], pa.int64()),
+            "l1": pa.array([0], pa.int64()),
+            "l2": pa.array([0], pa.int64()),
+            "l3": pa.array([0], pa.int64()),
+        }
+    )
+    combined = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(seed)),
+        ["k"],
+        [("n", "sum"), ("l0", "sum"), ("l1", "sum"), ("l2", "sum"),
+         ("l3", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = int(batch.column("n")[0].as_py())
+        if n >= 1 << 47:
+            raise ValueError(
+                "corpus_checksum: row count approaches the 16-bit-lane "
+                "overflow bound — widen the lane split"
+            )
+        total = 0
+        for k in range(4):
+            total += int(batch.column(f"l{k}")[0].as_py()) << (16 * k)
+        total %= 1 << 64
+        if total >= 1 << 63:
+            total -= 1 << 64
+        return pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "checksum": pa.array([total], pa.int64()),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -398,3 +398,28 @@ def test_pii_report_counts_docs_and_hits(ray_session):
 
     with pytest.raises(Exception, match="at least one"):
         pii_report(rd.from_arrow(pa.table({"text": docs})), patterns={})
+
+
+def test_corpus_checksum_order_independent_and_exact(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import corpus_checksum
+    from fever_ray.sketches.hashing import hash64
+
+    texts = [f"doc number {i} body {'x' * (i % 17)}" for i in range(500)]
+    t = pa.table({"text": pa.array(texts)})
+    want = int(hash64(pa.array(texts)).sum(dtype=np.uint64))
+    if want >= 1 << 63:
+        want -= 1 << 64
+    outs = []
+    for parts in (1, 11):
+        row = corpus_checksum(rd.from_arrow(t).repartition(parts)).take_all()
+        assert len(row) == 1
+        outs.append((row[0]["n_rows"], row[0]["checksum"]))
+    assert outs[0] == outs[1] == (500, want)
+    # empty corpus reports zeros; a one-char change moves the checksum
+    empty = corpus_checksum(rd.from_arrow(t.slice(0, 0))).take_all()
+    assert (empty[0]["n_rows"], empty[0]["checksum"]) == (0, 0)
+    t2 = pa.table({"text": pa.array(texts[:-1] + [texts[-1] + "!"])})
+    row2 = corpus_checksum(rd.from_arrow(t2)).take_all()
+    assert row2[0]["checksum"] != want
