@@ -1385,6 +1385,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qds = quantize_embeddings(_t(sf, "embeddings", ["vec_id", "embedding"]))
         return knn_quantized(qds, _queries_mat(sf), k=5)
 
+    def q_embedding_project(sf):
+        from fever_ray.ops.knn import project_quantized, quantize_embeddings
+
+        return project_quantized(
+            quantize_embeddings(_t(sf, "embeddings", ["vec_id", "embedding"])),
+            out_dim=8,
+        )
+
     def q_knn_lsh(sf):
         return knn_lsh(_t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf), k=5)
 
@@ -2248,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "embedding_quantize": q_embedding_quantize,
         "knn_quantized": q_knn_quantized,
+        "embedding_project": q_embedding_project,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -3938,6 +3947,33 @@ def oracle_sql() -> dict[str, str]:
             "THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR(CAST(v AS DOUBLE) "
             "* 127.0 / m.s + 0.5) AS BIGINT) END)) AS q "
             "FROM embeddings e JOIN m ON m.vec_id = e.vec_id"
+        ),
+        "embedding_project": (
+            # sign(d, j) = top bit of splitmix64((d-1)·K + (j-1)) — the
+            # shared _splitmix_ctes chain over a generated (dim, j) table;
+            # per-term |sg·q| <= 127, so the double SUM is exact
+            "WITH m AS (SELECT vec_id, list_max(list_transform(embedding, "
+            "v -> abs(CAST(v AS DOUBLE)))) AS s FROM embeddings), "
+            "ql AS MATERIALIZED (SELECT e.vec_id, CASE WHEN m.s = 0 THEN "
+            "list_transform(e.embedding, v -> 0.0) ELSE "
+            "list_transform(e.embedding, v -> FLOOR(CAST(v AS DOUBLE) "
+            "* 127.0 / m.s + 0.5)) END AS qv "
+            "FROM embeddings e JOIN m ON m.vec_id = e.vec_id), "
+            "dims AS (SELECT UNNEST(range(1, (SELECT len(embedding) FROM "
+            "embeddings LIMIT 1) + 1)) AS di), "
+            "js AS (SELECT UNNEST(range(1, 9)) AS ji), "
+            "pairs AS (SELECT d.di AS di, j.ji AS ji, "
+            "(d.di - 1) * 8 + (j.ji - 1) AS u FROM dims d CROSS JOIN js j), "
+            + _splitmix_ctes(0, "di, ji", table="pairs", id_expr="u",
+                             prefix="sp")
+            + ", signs AS (SELECT di, ji, CASE WHEN h >= "
+            "CAST('9223372036854775808' AS UBIGINT) THEN 1 ELSE -1 END "
+            "AS sg FROM sp5), "
+            "qe AS (SELECT vec_id, UNNEST(range(1, len(qv) + 1)) AS di, "
+            "UNNEST(qv) AS q FROM ql) "
+            "SELECT qe.vec_id, CAST(s.ji AS BIGINT) AS j, "
+            "CAST(SUM(s.sg * qe.q) AS BIGINT) AS r "
+            "FROM qe JOIN signs s ON s.di = qe.di GROUP BY qe.vec_id, s.ji"
         ),
         "knn_quantized": (
             # integer code dot products: |dot| <= d·127² << 2^53, so the

@@ -439,3 +439,62 @@ def knn_quantized(qds, queries: np.ndarray, k: int = 10,
         .map_groups(global_topk, batch_format="pyarrow")
         .sort(["query_id", "score", id_col], descending=[False, True, False])
     )
+
+
+def project_quantized(qds, out_dim: int = 16, id_col: str = "vec_id"):
+    """Signed random projection (integer Johnson-Lindenstrauss / SimHash
+    generalization) over `quantize_embeddings` codes: output component
+    r_j = Σ_d sign(d, j)·q_d where sign(d, j) = +1 iff the top bit of
+    splitmix64((d−1)·K + (j−1)) is set, else −1 — the projection matrix is
+    a pure FUNCTION of (dim, j), never stored or shipped, and every value
+    is exact int64 (|r| ≤ d·127), so the reduction is reproducible
+    bit-for-bit on any engine with the same hash.
+
+    Output rows: (``id_col``, ``j`` 1-based output dim, ``r`` int64) —
+    the K-dim sketch that LSH/clustering stages consume at 4-16× less
+    width.  Zero-shuffle: one integer matmul per batch against the
+    (d × K) sign matrix rebuilt per batch (d·K hashes — trivial)."""
+    from ..sketches.hashing import hash64_ints
+
+    if out_dim < 1:
+        raise ValueError(f"project_quantized: out_dim must be >= 1, got {out_dim}")
+    K = int(out_dim)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        qcol = batch.column("q")
+        if isinstance(qcol, pa.ChunkedArray):
+            qcol = qcol.combine_chunks()
+        n = len(qcol)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                }
+            )
+        off = np.frombuffer(qcol.buffers()[1], np.int64)[
+            qcol.offset : qcol.offset + n + 1
+        ]
+        d = int(off[1] - off[0])
+        codes = (
+            np.frombuffer(qcol.buffers()[2], np.int8)[off[0] : off[-1]]
+            .reshape(n, d)
+            .astype(np.int64)
+        )
+        h = hash64_ints(np.arange(d * K, dtype=np.int64))
+        signs = np.where(
+            (h >> np.uint64(63)).astype(bool), np.int64(1), np.int64(-1)
+        ).reshape(d, K)
+        r = codes @ signs  # (n, K) int64
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, K), pa.int64()),
+                "j": pa.array(np.tile(np.arange(1, K + 1, dtype=np.int64), n),
+                              pa.int64()),
+                "r": pa.array(r.reshape(-1), pa.int64()),
+            }
+        )
+
+    return qds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)

@@ -882,3 +882,43 @@ def test_snapshot_diff_statuses(ray_session):
         snapshot_diff(
             rd.from_arrow(dup), rd.from_arrow(new), num_partitions=2
         ).take_all()
+
+
+def test_project_quantized_matches_reference_and_preserves_cosine(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.knn import project_quantized, quantize_embeddings
+    from fever_ray.sketches.hashing import hash64_ints
+
+    rng = np.random.default_rng(17)
+    n, d, K = 400, 32, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    qds = quantize_embeddings(rd.from_arrow(t).repartition(5))
+    rows = project_quantized(qds, out_dim=K).take_all()
+    got = {(r["vec_id"], r["j"]): r["r"] for r in rows}
+    assert len(got) == n * K
+    m64 = m.astype(np.float64)
+    s = np.abs(m64).max(axis=1)
+    codes = np.floor(m64 * 127.0 / s[:, None] + 0.5).astype(np.int64)
+    h = hash64_ints(np.arange(d * K, dtype=np.int64))
+    signs = np.where((h >> np.uint64(63)).astype(bool), 1, -1).reshape(d, K)
+    want = codes @ signs
+    for i in range(n):
+        for j in range(K):
+            assert got[(i, j + 1)] == want[i, j]
+    # JL sanity: projected cosine correlates with true cosine on average
+    proj = want.astype(np.float64)
+    pn = proj / np.maximum(np.linalg.norm(proj, axis=1), 1e-12)[:, None]
+    mn = m64 / np.linalg.norm(m64, axis=1)[:, None]
+    pairs = rng.integers(0, n, size=(200, 2))
+    true_c = np.einsum("ij,ij->i", mn[pairs[:, 0]], mn[pairs[:, 1]])
+    proj_c = np.einsum("ij,ij->i", pn[pairs[:, 0]], pn[pairs[:, 1]])
+    assert np.corrcoef(true_c, proj_c)[0, 1] > 0.5
+    with pytest.raises(ValueError, match="out_dim"):
+        project_quantized(qds, out_dim=0)
