@@ -549,6 +549,28 @@ def run_bench() -> dict:
         lambda: cooccurrence_counts(_pages_docs(), v=32).materialize()
     )
 
+    # sorted-neighborhood blocking over the full page corpus: skinny
+    # prefix-key range-rank (sample splits) + windowed shingle verify —
+    # the SNM complement of the minhash candidates above
+    from fever_ray.ops.dedup import sorted_neighbor_pairs
+
+    timings["snm_pairs_pages"] = _timed(
+        lambda: sorted_neighbor_pairs(
+            _pages_docs(), window=4,
+            num_partitions=min(NUM_CPUS, 32),
+        ).materialize()
+    )
+
+    # SQ8 quantize + signed JL projection of the 1M synthetic vectors
+    # (zero-shuffle: two integer-kernel passes over the embedding stream)
+    from fever_ray.ops.knn import project_quantized, quantize_embeddings
+
+    timings["quantize_project_1m_vectors"] = _timed(
+        lambda: project_quantized(
+            quantize_embeddings(_pages_embeddings()), out_dim=16
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
