@@ -10,6 +10,7 @@ sort/limit) a reference user needs, each in its scale-correct Ray Data form:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1043,4 +1044,95 @@ def first_records(
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(pick_bucket, batch_format="pyarrow")
+    )
+
+
+def group_share(
+    ds,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    max_groups: int = 1 << 16,
+):
+    """Per-row share of the group total — SQL ``v / SUM(v) OVER (PARTITION
+    BY g)`` — the mixture-reporting annotate (what fraction of its
+    source's value does this row carry?).  Share = one double division of
+    two exact integer-cent values, so any engine dividing the same pair
+    lands on the same bits; rows in a zero-total group share 0.0 (not
+    NaN), documented semantics.
+
+    Scale shape: the corpus never shuffles — per-batch (group, cents)
+    partials tree-combine over the BOUNDED group domain (loud max_groups
+    guard), the tiny totals table broadcasts once, and every batch
+    annotates with one vectorized code lookup.  Output rows == input
+    rows, streamed out of the same map_batches that read them."""
+    import ray
+
+    from ..core.bcast import cached_get
+    from ..ops.aggregates import _cents, tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if g.null_count or batch.column(value_col).null_count:
+            raise ValueError(
+                f"group_share: {group_col}/{value_col} must be null-free"
+            )
+        c = _cents(batch.column(value_col)).to_numpy(zero_copy_only=False)
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # np.add.at keeps the partial sums in exact int64 (bincount's
+        # float64 weights would cap exactness at 2^53)
+        sums = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(sums, codes, c)
+        return pa.table(
+            {group_col: enc.dictionary, "c": pa.array(sums, pa.int64())}
+        )
+
+    tabs = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                [group_col],
+                [("c", "sum")],
+                max_groups=max_groups,
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    totals: dict = {}
+    for t in tabs:
+        for k, v in zip(t.column(group_col).to_pylist(),
+                        t.column("c").to_pylist()):
+            totals[k] = totals.get(k, 0) + int(v)
+    tot_ref = ray.put(totals)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        lk = cached_get(tot_ref)
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        c = _cents(batch.column(value_col)).to_numpy(zero_copy_only=False)
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tot = np.array(
+            [lk[k] for k in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        den = tot[codes]
+        share = np.where(
+            den == 0, 0.0, c.astype(np.float64) / np.where(den == 0, 1, den)
+        )
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                group_col: g,
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        annotate, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -1926,3 +1926,138 @@ def corpus_checksum(ds, text_col: str = "text"):
         )
 
     return combined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def vocab_drift(
+    ds,
+    v: int = 50,
+    t_num: int = 1,
+    t_den: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-``v`` vocabulary frequency shift between the two doc_id-parity
+    halves of a corpus — the token-level dual of `distribution_drift`
+    (crawl-snapshot vocabulary audits: which high-frequency words moved?).
+    Output rows: (token, ``n_a``, ``n_b``, ``drifted``) for the global
+    top-``v`` tokens under the deterministic (total count desc, token asc)
+    rule; drifted ⇔ ``t_den·|n_a·N_b − n_b·N_a| > t_num·N_a·N_b`` where
+    N_a/N_b are the WHOLE-side token totals — the exact relative-rate
+    inequality in Python bigints (products of two corpus-sized counts
+    overflow int64), never a float ratio.
+
+    Scale shape: per-batch side-split `_gram_counts` partials → one keyed
+    shuffle for exact per-token (n_a, n_b) → local top-v per block + one
+    final top-v over the v·n_blocks union (selection under a total order
+    commutes with union); side totals tree-combine as scalars.  The token
+    stream never leaves the shuffle; the driver holds v rows."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if v < 1 or t_num < 0 or t_den < 1:
+        raise ValueError("vocab_drift: bad v / threshold params")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out = []
+        for side, mask in ((0, ids % 2 == 0), (1, ids % 2 == 1)):
+            sub = batch.filter(pa.array(mask))
+            grams, counts = _gram_counts(sub, 1, text_col)
+            if grams is None:
+                continue
+            t = pa.table(
+                {
+                    "token": grams,
+                    "n_a": pa.array(counts if side == 0 else counts * 0,
+                                    pa.int64()),
+                    "n_b": pa.array(counts if side == 1 else counts * 0,
+                                    pa.int64()),
+                }
+            )
+            out.append(t.filter(pc.not_equal(t.column("token"), "")))
+        if not out:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    counts = (
+        ds.map_batches(
+            partial_counts,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("token")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .materialize()
+    )
+
+    def local_topv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                    "tot": pa.array([], pa.int64()),
+                }
+            )
+        if "tot" in batch.schema.names:  # second (final) application
+            t = batch
+        else:
+            t = batch.append_column(
+                "tot", pc.add(batch.column("n_a"), batch.column("n_b"))
+            )
+        order = pc.sort_indices(
+            t, sort_keys=[("tot", "descending"), ("token", "ascending")]
+        )
+        return t.take(order[:v])
+
+    # side totals over the WHOLE vocabulary (not just top-v)
+    tot_parts = counts.map_batches(
+        lambda b: pa.table(
+            {
+                "na": pa.array(
+                    [int(b.column("n_a").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "nb": pa.array(
+                    [int(b.column("n_b").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    na = sum(r["na"] for r in tot_parts)
+    nb = sum(r["nb"] for r in tot_parts)
+
+    top = (
+        counts.map_batches(local_topv, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_topv, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    tokens = [r["token"] for r in top]
+    nas = [int(r["n_a"]) for r in top]
+    nbs = [int(r["n_b"]) for r in top]
+    drift = [
+        int(t_den * abs(a * nb - b * na) > t_num * na * nb)
+        for a, b in zip(nas, nbs)
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(tokens, pa.string()),
+                "n_a": pa.array(nas, pa.int64()),
+                "n_b": pa.array(nbs, pa.int64()),
+                "drifted": pa.array(drift, pa.int64()),
+            }
+        )
+    )

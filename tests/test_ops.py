@@ -944,3 +944,34 @@ def test_first_records_keeps_n_earliest(ray_session):
 
     with pytest.raises(Exception, match="n must be"):
         first_records(rd.from_arrow(t), "uid", "ts", "eid", n=0)
+
+
+def test_group_share_exact_and_zero_total(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import group_share
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "z", "z"]),
+            "value": pa.array([1.25, 2.50, 1.25, 0.0, 0.0], pa.float64()),
+        }
+    )
+    for parts in (1, 4):
+        out = {
+            r["event_id"]: (r["event_type"], r["share"])
+            for r in group_share(
+                rd.from_arrow(t).repartition(parts)
+            ).take_all()
+        }
+        assert out == {
+            1: ("a", 125 / 500),
+            2: ("a", 250 / 500),
+            3: ("a", 125 / 500),
+            4: ("z", 0.0),  # zero-total group shares 0, not NaN
+            5: ("z", 0.0),
+        }
+    tnull = t.set_column(1, "event_type", pa.array(["a", None, "a", "z", "z"]))
+    with pytest.raises(Exception, match="null"):
+        group_share(rd.from_arrow(tnull)).take_all()

@@ -423,3 +423,51 @@ def test_corpus_checksum_order_independent_and_exact(ray_session):
     t2 = pa.table({"text": pa.array(texts[:-1] + [texts[-1] + "!"])})
     row2 = corpus_checksum(rd.from_arrow(t2)).take_all()
     assert row2[0]["checksum"] != want
+
+
+def test_vocab_drift_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from fever_ray.ops.textstats import vocab_drift
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    ids, texts = [], []
+    for i in range(300):
+        # even docs skew toward the low vocab ids, odd toward the high —
+        # plants real drift in the head tokens
+        lo, hi = (0, 18) if i % 2 == 0 else (12, 30)
+        texts.append(" ".join(vocab[rng.integers(lo, hi)] for _ in range(25)))
+        ids.append(i)
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for i, txt in zip(ids, texts):
+        (ca if i % 2 == 0 else cb).update(txt.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    # token rates are ~1/18, so drift needs a threshold below that:
+    # 2% rate difference separates the exclusive tokens from the overlap
+    allt = sorted(
+        set(ca) | set(cb), key=lambda w: (-(ca[w] + cb[w]), w)
+    )[:18]
+    want = {
+        w: (
+            ca[w],
+            cb[w],
+            int(50 * abs(ca[w] * nb - cb[w] * na) > 1 * na * nb),
+        )
+        for w in allt
+    }
+    for parts in (1, 7):
+        out = {
+            r["token"]: (r["n_a"], r["n_b"], r["drifted"])
+            for r in vocab_drift(
+                rd.from_arrow(t).repartition(parts), v=18, t_num=1, t_den=50
+            ).take_all()
+        }
+        assert out == want
+    assert any(d for _, _, d in want.values())  # drift actually planted
+    assert not all(d for _, _, d in want.values())
