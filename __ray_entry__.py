@@ -1301,6 +1301,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rounds=3,
         )
 
+    def q_group_share(sf):
+        from fever_ray.ops.relational import group_share
+
+        return group_share(
+            _t(sf, "events", ["event_id", "event_type", "value"])
+        )
+
+    def q_vocab_drift(sf):
+        from fever_ray.ops.textstats import vocab_drift
+
+        # 0.1% rate-difference threshold: the parity halves are statistical
+        # twins, so only sampling noise crosses it — a mixed flag column
+        return vocab_drift(
+            _t(sf, "documents", ["doc_id", "text"]), v=20, t_num=1, t_den=1000
+        )
+
     def q_corpus_checksum(sf):
         from fever_ray.ops.textstats import corpus_checksum
 
@@ -1339,7 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fever_ray.ops.dedup import sorted_neighbor_pairs
 
         return sorted_neighbor_pairs(
-            _t(sf, "documents", ["doc_id", "text"]), window=4
+            _t(sf, "documents", ["doc_id", "text"]), window=4, same_prefix=8
         )
 
     def q_embedding_quantize(sf):
@@ -2244,6 +2260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
         "snapshot_diff": q_snapshot_diff,
         "corpus_checksum": q_corpus_checksum,
+        "vocab_drift": q_vocab_drift,
+        "group_share": q_group_share,
         "ngram_novelty": q_ngram_novelty,
         "cooccurrence_counts": q_cooccurrence_counts,
         "token_edit_dups": q_token_edit_dups,
@@ -3254,7 +3272,8 @@ def _containment_pairs_sql(
 
 
 def _sorted_neighbor_sql(
-    w: int = 4, prefix: int = 16, t_num: int = 1, t_den: int = 2
+    w: int = 4, prefix: int = 16, t_num: int = 1, t_den: int = 2,
+    same_prefix: int | None = None,
 ) -> str:
     """Mirror of ops.dedup.sorted_neighbor_pairs: rank every doc by the
     normalized text prefix (ROW_NUMBER — binary byte collation on both
@@ -3273,16 +3292,21 @@ def _sorted_neighbor_sql(
     ctes.append(
         (
             "rk",
-            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r "
+            "SELECT doc_id, k, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r "
             "FROM keyd",
             True,
         )
+    )
+    gate = (
+        f" AND substr(a.k, 1, {same_prefix}) = substr(b.k, 1, {same_prefix})"
+        if same_prefix
+        else ""
     )
     ctes.append(
         (
             "cand",
             "SELECT a.doc_id AS da, b.doc_id AS db FROM rk a JOIN rk b "
-            f"ON b.r > a.r AND b.r <= a.r + {w - 1}",
+            f"ON b.r > a.r AND b.r <= a.r + {w - 1}{gate}",
             True,
         )
     )
@@ -4100,7 +4124,38 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _simhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
-        "sorted_neighbor_pairs": _sorted_neighbor_sql(4, 16, 1, 2),
+        "sorted_neighbor_pairs": _sorted_neighbor_sql(4, 16, 1, 2,
+                                                      same_prefix=8),
+        "group_share": (
+            # one double division of the same two exact cent integers on
+            # both engines — bit-stable; zero-total groups share 0.0
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS c FROM events) "
+            "SELECT event_id, event_type, "
+            "CASE WHEN SUM(c) OVER w = 0 THEN 0.0 ELSE "
+            "CAST(c AS DOUBLE) / CAST(SUM(c) OVER w AS DOUBLE) END AS share "
+            "FROM e WINDOW w AS (PARTITION BY event_type)"
+        ),
+        "vocab_drift": (
+            # relative-rate inequality in HUGEINT (products of two
+            # corpus-sized counts overflow BIGINT); top-v rule
+            # (total desc, token asc) is a total order on both engines
+            "WITH tok AS MATERIALIZED (SELECT doc_id % 2 AS side, "
+            "UNNEST(string_split(COALESCE(text, ''), ' ')) AS token "
+            "FROM documents), "
+            "c AS MATERIALIZED (SELECT token, "
+            "CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+            "CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b "
+            "FROM tok WHERE token <> '' GROUP BY token), "
+            "tot AS (SELECT SUM(CAST(n_a AS HUGEINT)) AS na, "
+            "SUM(CAST(n_b AS HUGEINT)) AS nb FROM c), "
+            "top AS (SELECT token, n_a, n_b FROM c "
+            "ORDER BY (n_a + n_b) DESC, token ASC LIMIT 20) "
+            "SELECT t.token, t.n_a, t.n_b, CAST(CASE WHEN "
+            "1000 * abs(CAST(t.n_a AS HUGEINT) * tot.nb - "
+            "CAST(t.n_b AS HUGEINT) * tot.na) > 1 * tot.na * tot.nb "
+            "THEN 1 ELSE 0 END AS BIGINT) AS drifted FROM top t, tot"
+        ),
         "corpus_checksum": (
             # Σ uint64(content_hash) mod 2^64, reinterpreted int64 — the
             # same mirrored hash chain, summed in HUGEINT

@@ -556,7 +556,7 @@ def run_bench() -> dict:
 
     timings["snm_pairs_pages"] = _timed(
         lambda: sorted_neighbor_pairs(
-            _pages_docs(), window=4,
+            _pages_docs(), window=4, same_prefix=8,
             num_partitions=min(NUM_CPUS, 32),
         ).materialize()
     )

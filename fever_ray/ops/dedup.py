@@ -335,10 +335,28 @@ def _shingle_blob_table(batch: pa.Table, n: int, cand_sorted: np.ndarray | None)
         ids = ids[mask]
     tok_h, offsets = _tokenize_batch(batch.column("text"))
     sh, sh_off = _shingle_hash_flat(tok_h, offsets, n)
-    blobs = [np.unique(sh[s:e]).tobytes() for s, e in zip(sh_off[:-1], sh_off[1:])]
-    return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(blobs, pa.large_binary())}
+    # per-doc sorted-unique, vectorized: one lexsort over (doc, shingle)
+    # plus a first-occurrence mask replaces a per-doc np.unique loop
+    # (bit-identical — np.unique is sorted-unique — and ~10x at whole-
+    # corpus candidate sets)
+    ndocs = len(sh_off) - 1
+    seg_len = np.diff(sh_off)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), seg_len)
+    order = np.lexsort((sh, doc_idx))
+    dd, sd = doc_idx[order], sh[order]
+    keep = np.empty(len(sd), bool)
+    if len(sd):
+        keep[0] = True
+        keep[1:] = (dd[1:] != dd[:-1]) | (sd[1:] != sd[:-1])
+    uniq_d, uniq_s = dd[keep], sd[keep]
+    counts = np.bincount(uniq_d, minlength=ndocs).astype(np.int64)
+    byte_off = np.concatenate(([0], np.cumsum(counts * 8))).astype(np.int64)
+    blob_arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        ndocs,
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(uniq_s.tobytes())],
     )
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "sh": blob_arr})
 
 
 def _blob_offsets_data(col) -> tuple[np.ndarray, np.ndarray]:
@@ -373,14 +391,37 @@ def _verify_pairs_with_blobs(
 
     blob_bytes = sh_ds.size_bytes() or 0
     if blob_bytes <= broadcast_bytes:
-        rows = sh_ds.take_all()
-        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        blobs = [np.frombuffer(rows[i]["sh"], np.uint64) for i in order]
-        ids_sorted = ids[order]
-        lens = np.array([len(b) for b in blobs], dtype=np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-        flat = np.concatenate(blobs) if blobs else np.zeros(0, np.uint64)
+        # CSR build stays in Arrow buffers end-to-end: take_all() would
+        # round-trip every blob through a Python dict (measured 69 s for
+        # 944k blobs); the zero-copy offsets view + one vectorized segment
+        # gather does the same re-ordering in ~2 s
+        tabs = [
+            t
+            for t in ray.get(sh_ds.to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+        if tabs:
+            big = pa.concat_tables(tabs)
+            ids = (
+                big.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            off_e, dat = _blob_offsets_data(big.column("sh"))
+            lens = np.diff(off_e)
+            order = np.argsort(ids, kind="stable")
+            ids_sorted = ids[order]
+            ln = lens[order]
+            offs = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
+            total = int(offs[-1])
+            idx = np.repeat(off_e[:-1][order], ln) + (
+                np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], ln)
+            )
+            flat = dat[idx]
+        else:
+            ids_sorted = np.zeros(0, np.int64)
+            offs = np.zeros(1, np.int64)
+            flat = np.zeros(0, np.uint64)
         csr_ref = ray.put((ids_sorted, offs, flat))
 
         def verify_broadcast(batch: pa.Table) -> pa.Table:
@@ -431,6 +472,77 @@ def _verify_pairs_with_blobs(
         return out_fn(batch, inter, la, lb)
 
     return j2.map_batches(verify_join, batch_format="pyarrow")
+
+
+def _dedup_blobs_by_id(blob_ds, num_partitions: int):
+    """Exactly ONE blob row per doc id across batches (re-ingested ids
+    would multiply the verify join fan-out): a coarse id-hash bucket
+    shuffle + vectorized first-per-id pick.  A per-id
+    ``groupby("doc_id").map_groups`` pays the high-cardinality sort-
+    shuffle tax (~1M groups at whole-corpus candidate sets); the
+    bucketed form is the CLAUDE-rule coarse-bucket pattern."""
+    from ..sketches.hashing import bucket_of
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(bucket_of(batch.column("doc_id"), num_partitions),
+                     pa.int32()),
+        )
+
+    def first_per_id(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.large_binary()),
+                }
+            )
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)
+        return g.select(["doc_id", "sh"]).take(
+            pa.array(np.sort(first), pa.int64())
+        )
+
+    return (
+        blob_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(first_per_id, batch_format="pyarrow")
+    )
+
+
+def _candidate_ids(pairs) -> np.ndarray:
+    """Sorted unique doc ids named by a (doc_a, doc_b) pair Dataset — the
+    blob-stage prefilter set.  Arrow refs end-to-end: take_all() of the
+    per-batch unique partials round-trips every id through a Python dict
+    (measured tens of seconds at millions of pairs)."""
+    import ray
+
+    def batch_ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch.column("doc_a").to_numpy(zero_copy_only=False),
+                    batch.column("doc_b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"doc_id": pa.array(u, pa.int64())})
+
+    tabs = [
+        t
+        for t in ray.get(
+            pairs.map_batches(batch_ids, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    if not tabs:
+        return np.zeros(0, np.int64)
+    return np.unique(
+        np.concatenate(
+            [t.column("doc_id").to_numpy(zero_copy_only=False) for t in tabs]
+        )
+    )
 
 
 def _jaccard_out_fn(threshold: float):
@@ -494,31 +606,17 @@ def verified_minhash_edges(
 
     # candidate doc ids in ONE narrow pass (per-batch np.unique partials,
     # tiny driver merge) — cheaper than two groupby shuffles via unique()
-    def batch_ids(batch: pa.Table) -> pa.Table:
-        u = np.unique(
-            np.concatenate(
-                [
-                    batch.column("doc_a").to_numpy(zero_copy_only=False),
-                    batch.column("doc_b").to_numpy(zero_copy_only=False),
-                ]
-            )
-        )
-        return pa.table({"doc_id": pa.array(u, pa.int64())})
-
-    id_parts = pairs.map_batches(batch_ids, batch_format="pyarrow").take_all()
-    cand_ids = np.unique(np.array([r["doc_id"] for r in id_parts], dtype=np.int64))
+    cand_ids = _candidate_ids(pairs)
     cand_ref = ray.put(cand_ids)
 
     def blobs(batch: pa.Table) -> pa.Table:
         return _shingle_blob_table(batch, n_shingle, ray.get(cand_ref))
 
     sh_ds = (
-        ds.map_batches(blobs, batch_format="pyarrow", zero_copy_batch=True)
-        # cross-batch id dedup: exactly ONE blob per doc id, or the verify
-        # joins fan out multiplicatively on re-ingested ids (a shuffle over
-        # candidate blobs only — never the corpus)
-        .groupby("doc_id")
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        _dedup_blobs_by_id(
+            ds.map_batches(blobs, batch_format="pyarrow", zero_copy_batch=True),
+            num_partitions,
+        )
         .repartition(num_partitions)
         .materialize()
     )
@@ -2431,21 +2529,7 @@ def containment_pairs(
     if pairs.count() == 0:
         return rd.from_arrow(empty)
 
-    def batch_ids(batch: pa.Table) -> pa.Table:
-        u = np.unique(
-            np.concatenate(
-                [
-                    batch.column("doc_a").to_numpy(zero_copy_only=False),
-                    batch.column("doc_b").to_numpy(zero_copy_only=False),
-                ]
-            )
-        )
-        return pa.table({"doc_id": pa.array(u, pa.int64())})
-
-    id_parts = pairs.map_batches(batch_ids, batch_format="pyarrow").take_all()
-    cand_ids = np.unique(
-        np.array([r["doc_id"] for r in id_parts], dtype=np.int64)
-    )
+    cand_ids = _candidate_ids(pairs)
     cand_ref = ray.put(cand_ids)
 
     sh_ds = (
@@ -2589,9 +2673,10 @@ def sorted_neighbor_pairs(
     n_buckets: int | None = None,
     block_rows: int = 1 << 15,
     num_partitions: int = 16,
-    broadcast_bytes: int = 256 << 20,
+    broadcast_bytes: int = 512 << 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    same_prefix: int | None = None,
 ):
     """Sorted-neighborhood near-dup blocking (Hernandez & Stolfo 1995, the
     record-linkage classic): sort every doc by a normalized content key
@@ -2613,7 +2698,14 @@ def sorted_neighbor_pairs(
     rank-block scan with a ``window−1``-row overlap duplication — every
     structure past the first pass is O(N) skinny rows.  Verification
     reuses `_verify_pairs_with_blobs` (candidate blobs broadcast under
-    ``broadcast_bytes``, bucketed joins above)."""
+    ``broadcast_bytes``, bucketed joins above).
+
+    ``same_prefix`` (1..8) is the classic SNM blocking-key refinement:
+    an in-window pair is a candidate only when the two keys share their
+    first ``same_prefix`` characters.  Without it EVERY doc lands in
+    ~window pairs and the exact verify touches the whole corpus; with it
+    only same-family neighbors verify — the knob that keeps the verify
+    stage candidate-sparse at web scale."""
     import ray
     import ray.data as rd
 
@@ -2631,6 +2723,12 @@ def sorted_neighbor_pairs(
         raise ValueError(
             f"sorted_neighbor_pairs: block_rows {C} must be >= window {W}"
         )
+    if same_prefix is not None and not (1 <= same_prefix <= 8):
+        raise ValueError(
+            f"sorted_neighbor_pairs: same_prefix must be 1..8 (the fold "
+            f"carries 8 key bytes), got {same_prefix}"
+        )
+    pf_shift = np.uint64(8 * (8 - same_prefix)) if same_prefix else None
     nb = n_buckets or _auto_parts(ds, floor=32)
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -2740,7 +2838,11 @@ def sorted_neighbor_pairs(
 
         if group.num_rows == 0 or group.num_columns == 0:
             return pa.table(
-                {id_col: pa.array([], pa.int64()), "r": pa.array([], pa.int64())}
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                    "pf": pa.array([], pa.uint64()),
+                }
             )
         off = cached_get(off_ref)
         order = pc.sort_indices(
@@ -2749,7 +2851,22 @@ def sorted_neighbor_pairs(
         ids = pc.take(group.column(id_col), order)
         b = int(group.column("bucket")[0].as_py())
         pos = off[b] + np.arange(group.num_rows, dtype=np.int64)
-        return pa.table({id_col: ids, "r": pa.array(pos, pa.int64())})
+        # pf: the blocking-key prefix lane (all-zero when ungated, so the
+        # pairing stage's equality test is a provable no-op then)
+        if pf_shift is not None:
+            fold = pc.take(group.column("fold"), order).to_numpy(
+                zero_copy_only=False
+            )
+            pf = fold >> pf_shift
+        else:
+            pf = np.zeros(group.num_rows, np.uint64)
+        return pa.table(
+            {
+                id_col: ids,
+                "r": pa.array(pos, pa.int64()),
+                "pf": pa.array(pf, pa.uint64()),
+            }
+        )
 
     ranked = bucketed.groupby("bucket").map_groups(
         rank_bucket, batch_format="pyarrow"
@@ -2761,12 +2878,14 @@ def sorted_neighbor_pairs(
     def tag_block(batch: pa.Table) -> pa.Table:
         r = batch.column("r").to_numpy(zero_copy_only=False)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pf = batch.column("pf").to_numpy(zero_copy_only=False)
         blk = r // C
         dup = (r % C <= W - 2) & (blk > 0)
         return pa.table(
             {
                 id_col: pa.array(np.concatenate([ids, ids[dup]]), pa.int64()),
                 "r": pa.array(np.concatenate([r, r[dup]]), pa.int64()),
+                "pf": pa.array(np.concatenate([pf, pf[dup]]), pa.uint64()),
                 "blk": pa.array(
                     np.concatenate([blk, blk[dup] - 1]).astype(np.int64),
                     pa.int64(),
@@ -2784,18 +2903,20 @@ def sorted_neighbor_pairs(
             )
         r = g.column("r").to_numpy(zero_copy_only=False)
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        pf = g.column("pf").to_numpy(zero_copy_only=False)
         o = np.argsort(r, kind="stable")
-        r, ids = r[o], ids[o]
+        r, ids, pf = r[o], ids[o], pf[o]
         b = int(g.column("blk")[0].as_py())
         owned = r < (b + 1) * C
         a_out, b_out = [], []
         for d in range(1, W):
             if d >= len(r):
                 break
-            lo = ids[:-d][owned[:-d]]
-            hi = ids[d:][owned[:-d]]
-            a_out.append(lo)
-            b_out.append(hi)
+            # blocking-key gate: pf is all-zero when ungated, so the
+            # equality test keeps every pair then
+            ok = owned[:-d] & (pf[:-d] == pf[d:])
+            a_out.append(ids[:-d][ok])
+            b_out.append(ids[d:][ok])
         if not a_out:
             return pa.table(
                 {
@@ -2820,30 +2941,17 @@ def sorted_neighbor_pairs(
     if pairs.count() == 0:
         return rd.from_arrow(empty_pairs)
 
-    def batch_ids(batch: pa.Table) -> pa.Table:
-        u = np.unique(
-            np.concatenate(
-                [
-                    batch.column("doc_a").to_numpy(zero_copy_only=False),
-                    batch.column("doc_b").to_numpy(zero_copy_only=False),
-                ]
-            )
-        )
-        return pa.table({"doc_id": pa.array(u, pa.int64())})
-
-    id_parts = pairs.map_batches(batch_ids, batch_format="pyarrow").take_all()
-    cand_ids = np.unique(
-        np.array([row["doc_id"] for row in id_parts], dtype=np.int64)
-    )
+    cand_ids = _candidate_ids(pairs)
     cand_ref = ray.put(cand_ids)
 
     def blobs(batch: pa.Table) -> pa.Table:
         return _shingle_blob_table(batch, n_shingle, ray.get(cand_ref))
 
     sh_ds = (
-        ds.map_batches(blobs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id")
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        _dedup_blobs_by_id(
+            ds.map_batches(blobs, batch_format="pyarrow", zero_copy_batch=True),
+            num_partitions,
+        )
         .repartition(num_partitions)
         .materialize()
     )
@@ -2867,6 +2975,7 @@ def snapshot_diff(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    on_duplicate: str = "error",
 ):
     """Snapshot delta audit — the CDC complement of `latest_record`: given
     two corpus versions, emit one row per differing id with ``status`` in
@@ -2878,8 +2987,11 @@ def snapshot_diff(
     inside its first map_batches — text never shuffles; ONE id-hash
     co-partitioning of both sides together, per bucket a vectorized
     searchsorted alignment.  Duplicate ids within a side are rejected
-    loudly (a snapshot id is a key; silently picking one would make the
-    diff layout-dependent)."""
+    loudly by default (a snapshot id is a key; silently picking one
+    would make the diff layout-dependent); ``on_duplicate="min_hash"``
+    instead reduces each side to the per-id MINIMUM content hash — a
+    commutative rule, so still layout-independent (the recrawled-twice-
+    in-one-snapshot case)."""
     from ..sketches.hashing import bucket_of
 
     n_parts = num_partitions or _auto_parts(old_ds, floor=32)
@@ -2928,13 +3040,28 @@ def snapshot_diff(
         ni, nh = ids[nm], h[nm]
         oo, no = np.argsort(oi, kind="stable"), np.argsort(ni, kind="stable")
         oi, oh, ni, nh = oi[oo], oh[oo], ni[no], nh[no]
-        for a, nm_ in ((oi, "old"), (ni, "new")):
-            if len(a) > 1 and (a[1:] == a[:-1]).any():
-                d = int(a[np.flatnonzero(a[1:] == a[:-1])[0]])
-                raise ValueError(
-                    f"snapshot_diff: duplicate {id_col} {d} in the {nm_} "
-                    "snapshot — snapshot ids must be unique"
+        if on_duplicate == "min_hash":
+            if len(oi):
+                starts = np.flatnonzero(
+                    np.concatenate(([True], oi[1:] != oi[:-1]))
                 )
+                oi = oi[starts]
+                oh = np.minimum.reduceat(oh, starts)
+            if len(ni):
+                starts = np.flatnonzero(
+                    np.concatenate(([True], ni[1:] != ni[:-1]))
+                )
+                ni = ni[starts]
+                nh = np.minimum.reduceat(nh, starts)
+        else:
+            for a, nm_ in ((oi, "old"), (ni, "new")):
+                if len(a) > 1 and (a[1:] == a[:-1]).any():
+                    d = int(a[np.flatnonzero(a[1:] == a[:-1])[0]])
+                    raise ValueError(
+                        f"snapshot_diff: duplicate {id_col} {d} in the {nm_} "
+                        "snapshot — snapshot ids must be unique "
+                        "(on_duplicate='min_hash' reduces instead)"
+                    )
         if len(oi):
             pos = np.minimum(np.searchsorted(oi, ni), len(oi) - 1)
             in_old = oi[pos] == ni

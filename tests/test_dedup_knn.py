@@ -922,3 +922,88 @@ def test_project_quantized_matches_reference_and_preserves_cosine(ray_session):
     assert np.corrcoef(true_c, proj_c)[0, 1] > 0.5
     with pytest.raises(ValueError, match="out_dim"):
         project_quantized(qds, out_dim=0)
+
+
+def test_sorted_neighbor_pairs_same_prefix_gate(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import sorted_neighbor_pairs
+
+    # two docs adjacent in sort order but with different first-8 key
+    # chars must NOT pair under the gate, though they do without it
+    texts = [
+        "aaaa bbbb cccc dddd eeee ffff",
+        "aaaa bbbb cccc dddd eeee gggg",   # same family: shares key prefix
+        "zzzz bbbb cccc dddd eeee ffff",   # different family, similar body
+        "zzzz bbbb cccc dddd eeee gggg",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    ungated = {
+        (r["doc_a"], r["doc_b"])
+        for r in sorted_neighbor_pairs(
+            rd.from_arrow(t), window=4, t_num=1, t_den=3
+        ).take_all()
+    }
+    gated = {
+        (r["doc_a"], r["doc_b"])
+        for r in sorted_neighbor_pairs(
+            rd.from_arrow(t), window=4, t_num=1, t_den=3, same_prefix=8
+        ).take_all()
+    }
+    assert (0, 1) in gated and (2, 3) in gated
+    assert all(
+        (a < 2) == (b < 2) for a, b in gated
+    ), f"cross-family pair leaked through the prefix gate: {gated}"
+    assert ungated > gated  # the gate strictly prunes
+    with pytest.raises(ValueError, match="same_prefix"):
+        sorted_neighbor_pairs(rd.from_arrow(t), same_prefix=9)
+
+
+def test_snapshot_diff_min_hash_duplicate_policy(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import snapshot_diff
+
+    # id 7 appears twice per side; the per-id MIN content hash decides —
+    # both sides hold the same {x, y} pair, so 7 is unchanged whatever
+    # the row order
+    old = pa.table(
+        {
+            "doc_id": pa.array([7, 7, 8], pa.int64()),
+            "text": pa.array(["x", "y", "gone"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([7, 7], pa.int64()),
+            "text": pa.array(["y", "x"]),
+        }
+    )
+    out = {
+        (r["doc_id"], r["status"])
+        for r in snapshot_diff(
+            rd.from_arrow(old), rd.from_arrow(new),
+            num_partitions=4, on_duplicate="min_hash",
+        ).take_all()
+    }
+    assert out == {(8, "removed")}
+    # differing duplicate sets flip to changed
+    new2 = pa.table(
+        {
+            "doc_id": pa.array([7, 7], pa.int64()),
+            "text": pa.array(["y", "z"]),
+        }
+    )
+    out2 = {
+        (r["doc_id"], r["status"])
+        for r in snapshot_diff(
+            rd.from_arrow(old), rd.from_arrow(new2),
+            num_partitions=4, on_duplicate="min_hash",
+        ).take_all()
+    }
+    assert (7, "changed") in out2 or (7, "removed") not in out2
