@@ -465,6 +465,56 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Snapshot delta between two page tables keyed by url: counts of
+    added / removed / changed (content hash) pages as ONE JSON line;
+    --out writes the full (doc_id, status) table as parquet.  The
+    incremental-recrawl audit — what must re-process after this crawl."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .ops.dedup import snapshot_diff
+    from .sketches.hashing import hash64
+
+    _init_ray(args.num_cpus)
+
+    def keyed(path: str):
+        def f(b: "pa.Table") -> "pa.Table":
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), pa.int64()
+                    ),
+                    "text": b.column("text"),
+                }
+            )
+
+        return rd.read_parquet(path, columns=["url", "text"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    # gen corpora plant duplicate urls (near-dup pages), so the CLI diff
+    # uses the commutative per-url min-hash reduction
+    out = snapshot_diff(
+        keyed(args.against), keyed(args.input), on_duplicate="min_hash"
+    )
+    if args.out:
+        out = out.materialize()
+        out.write_parquet(args.out)
+    counts = {"added": 0, "removed": 0, "changed": 0}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        for s, n in zip(*np.unique(
+            b.column("status").to_numpy(zero_copy_only=False), return_counts=True
+        )):
+            counts[str(s)] += int(n)
+    counts["out"] = args.out or None
+    print(json.dumps(counts))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Inverted-index build and/or keyword search over a page table: token
     → (df, postings) written as partitioned parquet; --query prints the
@@ -673,6 +723,14 @@ def main(argv=None) -> int:
     pq_.add_argument("--input", required=True)
     pq_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pq_.set_defaults(fn=cmd_report)
+
+    pdf = sub.add_parser("diff", allow_abbrev=False,
+                         help="url-keyed snapshot delta between two page dirs")
+    pdf.add_argument("--input", required=True, help="the NEW snapshot")
+    pdf.add_argument("--against", required=True, help="the OLD snapshot")
+    pdf.add_argument("--out", default=None)
+    pdf.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pdf.set_defaults(fn=cmd_diff)
 
     px = sub.add_parser("index", allow_abbrev=False,
                         help="inverted-index build / keyword search over pages")
