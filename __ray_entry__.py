@@ -669,6 +669,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_moments(docs, "source", "n_chars", "n_tokens")
 
+    def q_group_regression(sf):
+        # per-source OLS token-count-vs-chars fit from the exact moments
+        from fever_ray.ops.stats import group_regression
+
+        def add_tok(b):
+            y = pc.add(
+                pc.count_substring(pc.cast(b.column("text"), pa.string()), " "),
+                1,
+            )
+            return b.append_column("n_tokens", pc.cast(y, pa.int64()))
+
+        docs = _t(sf, "documents", ["source", "text", "n_chars"]).map_batches(
+            add_tok, batch_format="pyarrow"
+        )
+        return group_regression(docs, "source", "n_chars", "n_tokens")
+
     def q_group_entropy(sf):
         # per-source language-mix diversity in exact integer bits
         # (n·ilog2(n) − Σ c·ilog2(c)); 0 ⇔ the source collapsed to one lang
@@ -2215,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distribution_drift": q_distribution_drift,
         "vocab_coverage": q_vocab_coverage,
         "group_moments": q_group_moments,
+        "group_regression": q_group_regression,
         "group_entropy": q_group_entropy,
         "zscore_outliers": q_zscore_outliers,
         "mad_outliers": q_mad_outliers,
@@ -3700,6 +3717,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(y * y) AS BIGINT) AS sum_yy, "
             "CAST(SUM(x * y) AS BIGINT) AS sum_xy "
             "FROM d GROUP BY source"
+        ),
+        "group_regression": (
+            # exact HUGEINT normal equations, then the engine's fixed
+            # double expression tree (num/den, (sy - slope·sx)/n)
+            "WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x, "
+            "CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS y "
+            "FROM documents), "
+            "m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, "
+            "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+            "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM d GROUP BY source), "
+            "s AS (SELECT source, n, sx, sy, n * sxx - sx * sx AS den, "
+            "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE) END AS slope FROM m) "
+            "SELECT source, n, slope, CASE WHEN den = 0 THEN "
+            "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) ELSE "
+            "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / "
+            "CAST(n AS DOUBLE) END AS intercept FROM s"
         ),
         "group_entropy": (
             # integer-bits entropy: ilog2(x) = strlen(bin(x))-1, the same

@@ -1441,3 +1441,68 @@ def pareto_front(ds, x_col: str, y_col: str, max_front: int = 1_000_000):
     return cand.repartition(1).map_batches(
         local, batch_format="pyarrow", batch_size=None
     )
+
+
+def group_regression(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_groups: int = 100_000,
+):
+    """Per-group ordinary-least-squares fit y = slope·x + intercept with
+    EXACT normal equations — the scaling-law / feature-drift fit (does
+    token count still grow linearly with byte length in every source?):
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) where numerator and
+    denominator are exact Python bigints from `group_moments`' lane-safe
+    sums, so the only floats are ONE correctly-rounded int→double cast
+    per operand and a fixed expression tree — any engine evaluating the
+    same tree lands on the same bits.  Degenerate groups (constant x,
+    denominator 0) report slope 0.0 and intercept = mean y.
+
+    Output rows: (group, n, slope float64, intercept float64).
+
+    Scale shape: inherits `group_moments`' (one per-batch hash
+    aggregation, hi/lo-lane coalesce-tree, bounded-group guard); the fit
+    itself runs once over the ≤max_groups final table."""
+    moments = group_moments(
+        ds, group_col, x_col, y_col, max_groups=max_groups
+    )  # a bounded pa.Table (≤ max_groups rows)
+
+    def fit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "slope": pa.array([], pa.float64()),
+                    "intercept": pa.array([], pa.float64()),
+                }
+            )
+        n = batch.column("n").to_pylist()
+        sx = batch.column("sum_x").to_pylist()
+        sy = batch.column("sum_y").to_pylist()
+        sxx = batch.column("sum_xx").to_pylist()
+        sxy = batch.column("sum_xy").to_pylist()
+        slopes, intercepts = [], []
+        for ni, sxi, syi, sxxi, sxyi in zip(n, sx, sy, sxx, sxy):
+            num = ni * sxyi - sxi * syi      # exact bigints
+            den = ni * sxxi - sxi * sxi
+            if den == 0:
+                sl = 0.0
+                ic = float(syi) / float(ni)
+            else:
+                sl = float(num) / float(den)
+                ic = (float(syi) - sl * float(sxi)) / float(ni)
+            slopes.append(sl)
+            intercepts.append(ic)
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n": batch.column("n"),
+                "slope": pa.array(slopes, pa.float64()),
+                "intercept": pa.array(intercepts, pa.float64()),
+            }
+        )
+
+    return fit(moments)

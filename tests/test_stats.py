@@ -709,3 +709,54 @@ def test_pareto_front_vs_bruteforce(ray_session):
     with pytest.raises(Exception, match="nulls"):
         pareto_front(rd.from_arrow(tnull), "x", "y").take_all()
     assert pareto_front(rd.from_arrow(t.slice(0, 0)), "x", "y").count() == 0
+
+
+def test_group_regression_exact_fit_and_degenerate(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import group_regression
+
+    rng = np.random.default_rng(31)
+    gs, xs, ys = [], [], []
+    for g, slope, icpt in (("a", 3, 7), ("b", -2, 2100)):
+        for _ in range(200):
+            x = int(rng.integers(0, 1000))
+            noise = int(rng.integers(-5, 6))
+            gs.append(g)
+            xs.append(x)
+            ys.append(max(slope * x + icpt + noise, 0))
+    # degenerate group: constant x
+    for yv in (10, 20, 33):
+        gs.append("const")
+        xs.append(42)
+        ys.append(yv)
+    t = pa.table(
+        {
+            "g": pa.array(gs),
+            "x": pa.array(xs, pa.int64()),
+            "y": pa.array(ys, pa.int64()),
+        }
+    )
+    def want_for(g):
+        ix = [i for i, gg in enumerate(gs) if gg == g]
+        n = len(ix)
+        sx = sum(xs[i] for i in ix); sy = sum(ys[i] for i in ix)
+        sxx = sum(xs[i] ** 2 for i in ix)
+        sxy = sum(xs[i] * ys[i] for i in ix)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            return (n, 0.0, float(sy) / float(n))
+        sl = float(num) / float(den)
+        return (n, sl, (float(sy) - sl * float(sx)) / float(n))
+
+    for parts in (1, 6):
+        out = {
+            r["g"]: (r["n"], r["slope"], r["intercept"])
+            for r in group_regression(
+                rd.from_arrow(t).repartition(parts), "g", "x", "y"
+            ).to_pylist()
+        }
+        assert out == {g: want_for(g) for g in ("a", "b", "const")}
+    # fitted slopes recover the planted lines to within the noise
+    assert abs(out["a"][1] - 3) < 0.1 and abs(out["b"][1] + 2) < 0.1
+    assert out["const"] == (3, 0.0, 21.0)
