@@ -651,39 +651,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k_num=3, k_den=2,
         )
 
+    def _docs_tok(sf):
+        # shared (source, n_chars, n_tokens) builder for the moments/OLS
+        # gates: ONE token rule (spaces+1 == len(string_split)) so the two
+        # oracles cannot drift independently
+        def add_tok(b):
+            y = pc.add(
+                pc.count_substring(pc.cast(b.column("text"), pa.string()), " "),
+                1,
+            )
+            return b.append_column("n_tokens", pc.cast(y, pa.int64()))
+
+        return _t(sf, "documents", ["source", "text", "n_chars"]).map_batches(
+            add_tok, batch_format="pyarrow"
+        )
+
     def q_group_moments(sf):
         # per-source exact covariance components over (char length, token
         # count) — all-integer second moments, bit-stable at any partial
         # order; the correlation audit for feature drift
         from fever_ray.ops.stats import group_moments
 
-        def add_tok(b):
-            y = pc.add(
-                pc.count_substring(pc.cast(b.column("text"), pa.string()), " "),
-                1,
-            )
-            return b.append_column("n_tokens", pc.cast(y, pa.int64()))
-
-        docs = _t(sf, "documents", ["source", "text", "n_chars"]).map_batches(
-            add_tok, batch_format="pyarrow"
-        )
-        return group_moments(docs, "source", "n_chars", "n_tokens")
+        return group_moments(_docs_tok(sf), "source", "n_chars", "n_tokens")
 
     def q_group_regression(sf):
         # per-source OLS token-count-vs-chars fit from the exact moments
         from fever_ray.ops.stats import group_regression
 
-        def add_tok(b):
-            y = pc.add(
-                pc.count_substring(pc.cast(b.column("text"), pa.string()), " "),
-                1,
-            )
-            return b.append_column("n_tokens", pc.cast(y, pa.int64()))
-
-        docs = _t(sf, "documents", ["source", "text", "n_chars"]).map_batches(
-            add_tok, batch_format="pyarrow"
-        )
-        return group_regression(docs, "source", "n_chars", "n_tokens")
+        return group_regression(_docs_tok(sf), "source", "n_chars", "n_tokens")
 
     def q_group_entropy(sf):
         # per-source language-mix diversity in exact integer bits
@@ -2376,7 +2371,10 @@ def _content_hash_cte(
 
     mulmod = _sql_mulmod
 
-    fnv_text = _sql_fnv1a_over("text")
+    # COALESCE: the engine's hash64 treats NULL text as "" (verified:
+    # hash64([None]) == hash64([""])), so the mirror must too — without it
+    # strlen(NULL) nulls the whole hash and SUM/compare silently drop rows
+    fnv_text = _sql_fnv1a_over("COALESCE(text, '')")
     to_i64 = (
         "CAST(CAST(x AS HUGEINT) - CASE WHEN x >= CAST(9223372036854775808 AS UBIGINT) "
         f"THEN CAST({m} AS HUGEINT) ELSE 0 END AS BIGINT)"
@@ -2517,7 +2515,10 @@ def _simhash_sql() -> str:
     mulmod = _sql_mulmod
 
     fnv_token = _sql_fnv1a_over("t")
-    fnv_text = _sql_fnv1a_over("text")
+    # COALESCE: the engine's hash64 treats NULL text as "" (verified:
+    # hash64([None]) == hash64([""])), so the mirror must too — without it
+    # strlen(NULL) nulls the whole hash and SUM/compare silently drop rows
+    fnv_text = _sql_fnv1a_over("COALESCE(text, '')")
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> CAST((h >> {b}) & 1 AS BIGINT))) > n "
         f"THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS HUGEINT) ELSE 0 END)"

@@ -267,6 +267,33 @@ def knn_lsh(
     )
 
 
+
+def _blob_codes(qcol) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (element byte-offsets, int8 data) view of a packed-code
+    large_binary column (`quantize_embeddings` output)."""
+    if isinstance(qcol, pa.ChunkedArray):
+        qcol = qcol.combine_chunks()
+    n = len(qcol)
+    if n == 0:
+        return np.zeros(1, np.int64), np.zeros(0, np.int8)
+    off = np.frombuffer(qcol.buffers()[1], np.int64)[
+        qcol.offset : qcol.offset + n + 1
+    ]
+    return off, np.frombuffer(qcol.buffers()[2], np.int8)
+
+
+def _codes_matrix(qcol) -> np.ndarray:
+    """(n, d) int64 matrix of uniform-width packed codes — blobs are
+    adjacent by construction, so one contiguous slice reshapes (the int8
+    sibling of `_embedding_matrix`)."""
+    off, data = _blob_codes(qcol)
+    n = len(off) - 1
+    if n == 0:
+        return np.zeros((0, 0), np.int64)
+    d = int(off[1] - off[0])
+    return data[off[0] : off[-1]].reshape(n, d).astype(np.int64)
+
+
 def quantize_embeddings(ds, id_col: str = "vec_id", col: str = "embedding",
                         levels: int = 127):
     """Symmetric per-vector int8 quantization — the storage/ANN substrate
@@ -328,10 +355,7 @@ def unpack_quantized(qds, id_col: str = "vec_id"):
                     "q": pa.array([], pa.int64()),
                 }
             )
-        off = np.frombuffer(qcol.buffers()[1], np.int64)[
-            qcol.offset : qcol.offset + len(qcol) + 1
-        ]
-        data = np.frombuffer(qcol.buffers()[2], np.int8)
+        off, data = _blob_codes(qcol)
         lens = off[1:] - off[:-1]
         rep_ids = np.repeat(ids, lens)
         # dim: 1-based position within each blob
@@ -395,15 +419,7 @@ def knn_quantized(qds, queries: np.ndarray, k: int = 10,
                     "score": pa.array([], pa.int64()),
                 }
             )
-        off = np.frombuffer(qcol.buffers()[1], np.int64)[
-            qcol.offset : qcol.offset + n + 1
-        ]
-        d = int(off[1] - off[0])
-        codes = (
-            np.frombuffer(qcol.buffers()[2], np.int8)[off[0] : off[-1]]
-            .reshape(n, d)
-            .astype(np.int64)
-        )
+        codes = _codes_matrix(qcol)
         sims = qm @ codes.T  # (n_q, n) int64
         kk = min(k, n)
         out_q, out_id, out_s = [], [], []
@@ -474,15 +490,8 @@ def project_quantized(qds, out_dim: int = 16, id_col: str = "vec_id"):
                     "r": pa.array([], pa.int64()),
                 }
             )
-        off = np.frombuffer(qcol.buffers()[1], np.int64)[
-            qcol.offset : qcol.offset + n + 1
-        ]
-        d = int(off[1] - off[0])
-        codes = (
-            np.frombuffer(qcol.buffers()[2], np.int8)[off[0] : off[-1]]
-            .reshape(n, d)
-            .astype(np.int64)
-        )
+        codes = _codes_matrix(qcol)
+        d = codes.shape[1]
         h = hash64_ints(np.arange(d * K, dtype=np.int64))
         signs = np.where(
             (h >> np.uint64(63)).astype(bool), np.int64(1), np.int64(-1)

@@ -1953,10 +1953,12 @@ def vocab_drift(
     stream never leaves the shuffle; the driver holds v rows."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..sketches.hashing import bucket_of
 
     if v < 1 or t_num < 0 or t_den < 1:
         raise ValueError("vocab_drift: bad v / threshold params")
+    n_parts = 64
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -1986,6 +1988,30 @@ def vocab_drift(
             )
         return pa.concat_tables(out)
 
+    # exact global counts via the coarse-bucket pattern (a plain
+    # groupby(token) pays the high-cardinality sort-shuffle tax on a
+    # corpus-sized vocabulary — the CLAUDE-rule measured 5x)
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(bucket_of(batch.column("token"), n_parts), pa.int32()),
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            pa.TableGroupBy(g.select(["token", "n_a", "n_b"]), ["token"])
+            .aggregate([("n_a", "sum"), ("n_b", "sum")])
+            .rename_columns(["token", "n_a", "n_b"])
+        )
+
     counts = (
         ds.map_batches(
             partial_counts,
@@ -1993,8 +2019,9 @@ def vocab_drift(
             zero_copy_batch=True,
             batch_size=None,
         )
-        .groupby("token")
-        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
         .materialize()
     )
 

@@ -603,11 +603,14 @@ def _window_tag_fn(key, ts_col, id_col, value_col, n_parts, op: str):
     return tag
 
 
-def _sorted_key_runs(g: pa.Table, key, ts_col, id_col, value_col):
-    """Shared per-bucket prelude: sort rows by (key, ts, id) — dictionary
-    codes give lexsort an integer key column even for string keys — and
-    detect key-run boundaries.  Returns (kc, order, tO, iO, cO,
-    run_start, run_len); cents cO come from the shared `_cents` map."""
+def _key_sort_runs(g: pa.Table, key, ts_col, id_col):
+    """The ONE (key, ts, id) tie-order rule of every per-key window
+    kernel: sort — dictionary codes give lexsort an integer key column
+    even for string keys — and detect key-run boundaries via the shared
+    `dedup._key_runs`.  Returns (kc, ids, ts, order, run_start,
+    run_len); factored so the bit-identity-critical kernels
+    (`running_totals`, `rolling_window_sum`, `time_range_sum`,
+    `locf_fill`) cannot drift."""
     from .dedup import _key_runs
 
     ids = g.column(id_col).to_numpy(zero_copy_only=False)
@@ -616,15 +619,20 @@ def _sorted_key_runs(g: pa.Table, key, ts_col, id_col, value_col):
         kc = kc.combine_chunks()
     kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
     ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
-    cents = _cents(g.column(value_col)).to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, ts, kcodes))
-    kO, tO, iO, cO = kcodes[order], ts[order], ids[order], cents[order]
-    # run detection via the ONE shared helper (dedup._key_runs) so the
-    # bit-identity-critical kernels cannot drift
-    starts_term = _key_runs(kO)
-    run_start = starts_term[:-1]
-    run_len = np.diff(starts_term)
-    return kc, order, tO, iO, cO, run_start, run_len
+    starts_term = _key_runs(kcodes[order])
+    return kc, ids, ts, order, starts_term[:-1], np.diff(starts_term)
+
+
+def _sorted_key_runs(g: pa.Table, key, ts_col, id_col, value_col):
+    """`_key_sort_runs` plus exact cents from the shared `_cents` map,
+    everything gathered into sorted order.  Returns (kc, order, tO, iO,
+    cO, run_start, run_len)."""
+    kc, ids, ts, order, run_start, run_len = _key_sort_runs(
+        g, key, ts_col, id_col
+    )
+    cents = _cents(g.column(value_col)).to_numpy(zero_copy_only=False)
+    return kc, order, ts[order], ids[order], cents[order], run_start, run_len
 
 
 def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
@@ -1167,13 +1175,8 @@ def locf_fill(
                     "filled": pa.array([], pa.int64()),
                 }
             )
-        ids = g.column(id_col).to_numpy(zero_copy_only=False)
-        kc = g.column(key)
-        if isinstance(kc, pa.ChunkedArray):
-            kc = kc.combine_chunks()
-        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(
-            zero_copy_only=False
+        kc, ids, ts, order, run_start, run_len = _key_sort_runs(
+            g, key, ts_col, id_col
         )
         vcol = g.column(value_col)
         if isinstance(vcol, pa.ChunkedArray):
@@ -1182,13 +1185,6 @@ def locf_fill(
         vals = vcol.cast(pa.float64()).fill_null(0.0).to_numpy(
             zero_copy_only=False
         )
-        order = np.lexsort((ids, ts, kcodes))
-        kO = kcodes[order]
-        from .dedup import _key_runs
-
-        starts_term = _key_runs(kO)
-        run_start = starts_term[:-1]
-        run_len = np.diff(starts_term)
         n = len(order)
         pos = np.arange(n, dtype=np.int64)
         validO = valid[order]
