@@ -2092,6 +2092,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window_s=600,
         )
 
+    def q_theil_sen_trend(sf):
+        from fever_ray.ops.windows import theil_sen_trend
+
+        return theil_sen_trend(
+            _t(sf, "events", ["event_id", "user_id", "ts", "value"])
+        )
+
     def q_locf_fill(sf):
         # the events table has no null values at any sf, so the gap being
         # filled is synthesized deterministically (event_id % 7 < 3 → NULL)
@@ -2317,6 +2324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window_sum": q_rolling_window_sum,
         "time_range_sum": q_time_range_sum,
         "locf_fill": q_locf_fill,
+        "theil_sen_trend": q_theil_sen_trend,
         "pareto_front": q_pareto_front,
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
@@ -4605,6 +4613,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) OVER w AS BIGINT) AS win_n "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW)"
+        ),
+        "theil_sen_trend": (
+            # lower median of exact-cent / exact-microsecond slope doubles;
+            # the rank pick is tie-safe because equal ranks hold equal bits
+            "WITH e AS (SELECT user_id AS k, ts, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS c FROM events), "
+            "p AS (SELECT a.k, CAST(b.c - a.c AS DOUBLE) / "
+            "CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE) AS slope "
+            "FROM e a JOIN e b ON a.k = b.k AND a.ts < b.ts), "
+            "r AS (SELECT k, slope, ROW_NUMBER() OVER (PARTITION BY k "
+            "ORDER BY slope) AS rk, COUNT(*) OVER (PARTITION BY k) AS np "
+            "FROM p) "
+            "SELECT k AS user_id, CAST(np AS BIGINT) AS n_pairs, slope "
+            "FROM r WHERE rk = (np + 1) // 2"
         ),
         "locf_fill": (
             # filled values are bit-copies of input floats, so the float

@@ -1446,3 +1446,111 @@ def interarrival_histogram(
         return t.take(pc.sort_indices(t, sort_keys=[("bin", "ascending")]))
 
     return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def theil_sen_trend(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    max_events_per_key: int = 1024,
+    num_partitions: int | None = None,
+):
+    """Per-key Theil-Sen robust trend — the (lower) MEDIAN of all pairwise
+    slopes ``(v_j − v_i)/(t_j − t_i)`` over the key's events: the
+    outlier-proof "is this metric drifting?" estimator (one wild spike
+    moves an OLS slope arbitrarily; it moves the median of slopes not at
+    all).  Same-timestamp pairs are excluded (slope undefined); keys with
+    no valid pair emit nothing.  Output rows: (key, ``n_pairs`` int64,
+    ``slope`` float64) where slope = exact-cent / exact-microsecond
+    deltas through ONE double division each — bit-stable, and the median
+    pick is an order statistic over identical doubles on any engine.
+
+    Scale shape: `running_totals`' budget (one key-hash bucket shuffle,
+    one lexsort per bucket) plus a d-loop over in-run pair distances —
+    vectorized across ALL keys at once per distance, so per-bucket cost
+    is O(Σ m_k²) with NO per-key Python.  Quadratic-in-key-size is the
+    estimator's nature; ``max_events_per_key`` turns a heavy key into a
+    loud error instead of a silent task blow-up."""
+    from .dedup import _auto_parts
+
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+    tag = _window_tag_fn(key, ts_col, id_col, value_col, n_parts,
+                         "theil_sen_trend")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "slope": pa.array([], pa.float64()),
+                }
+            )
+        kc, order, tO, iO, cO, run_start, run_len = _sorted_key_runs(
+            g, key, ts_col, id_col, value_col
+        )
+        maxlen = int(run_len.max())
+        if maxlen > max_events_per_key:
+            raise ValueError(
+                f"theil_sen_trend: a key has {maxlen} events — the "
+                f"all-pairs slope set is quadratic; raise "
+                f"max_events_per_key ({max_events_per_key}) deliberately "
+                "or pre-aggregate"
+            )
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        rs_rep = np.repeat(run_start, run_len)
+        len_rep = np.repeat(run_len, run_len)
+        pos_in = pos - rs_rep
+        run_id = np.repeat(np.arange(len(run_start), dtype=np.int64), run_len)
+        sl_parts, rid_parts = [], []
+        for d in range(1, maxlen):
+            valid = pos_in + d < len_rep
+            if not valid.any():
+                break
+            i = pos[valid]
+            j = i + d
+            dt = tO[j] - tO[i]
+            nz = dt != 0
+            i, j, dt = i[nz], j[nz], dt[nz]
+            if len(i) == 0:
+                continue
+            sl_parts.append(
+                (cO[j] - cO[i]).astype(np.float64) / dt.astype(np.float64)
+            )
+            rid_parts.append(run_id[i])
+        if not sl_parts:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "slope": pa.array([], pa.float64()),
+                }
+            )
+        slopes = np.concatenate(sl_parts)
+        rids = np.concatenate(rid_parts)
+        o = np.lexsort((slopes, rids))
+        rids_s, slopes_s = rids[o], slopes[o]
+        uniq, starts = np.unique(rids_s, return_index=True)
+        cnts = np.diff(np.concatenate((starts, [len(rids_s)])))
+        pick = starts + (cnts + 1) // 2 - 1
+        keys_out = kc.take(
+            pa.array(order[run_start[uniq]], pa.int64())
+        )
+        return pa.table(
+            {
+                key: keys_out,
+                "n_pairs": pa.array(cnts, pa.int64()),
+                "slope": pa.array(slopes_s[pick], pa.float64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

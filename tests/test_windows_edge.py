@@ -679,3 +679,61 @@ def test_locf_fill_leading_nulls_and_guards(ray_session):
     )
     with pytest.raises(Exception, match="nulls"):
         locf_fill(rd.from_arrow(bad)).materialize()
+
+
+def test_theil_sen_trend_vs_bruteforce_and_robustness(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import theil_sen_trend
+
+    rng = np.random.default_rng(55)
+    rows = []
+    eid = 0
+    # user 1: clean slope 2 cents/us over ts grid; one wild outlier spike
+    for t in range(10):
+        v = 2 * t + (5000 if t == 5 else 0)
+        rows.append((1, t, v / 100.0))
+    # user 2: duplicate timestamps only -> no valid pair, emits nothing
+    rows.append((2, 7, 1.0))
+    rows.append((2, 7, 2.0))
+    # user 3: two points
+    rows.append((3, 0, 0.0))
+    rows.append((3, 4, 2.0))
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+    def brute(uid):
+        ev = [(r[1], round(r[2] * 100)) for r in rows if r[0] == uid]
+        ev.sort()
+        sl = [
+            (cb - ca) / (tb - ta)
+            for i, (ta, ca) in enumerate(ev)
+            for tb, cb in ev[i + 1 :]
+            if tb != ta
+        ]
+        sl.sort()
+        return (len(sl), sl[(len(sl) + 1) // 2 - 1]) if sl else None
+
+    for parts in (1, 5):
+        out = {
+            r["user_id"]: (r["n_pairs"], r["slope"])
+            for r in theil_sen_trend(
+                rd.from_arrow(t).repartition(parts), num_partitions=4
+            ).take_all()
+        }
+        assert out == {u: brute(u) for u in (1, 3)}
+    # robustness: the median slope shrugs off the planted spike
+    assert abs(out[1][1] - 2.0) < 1e-9
+    assert out[3] == (1, 50.0)  # 200 cents over 4 us
+    with pytest.raises(Exception, match="max_events_per_key"):
+        theil_sen_trend(
+            rd.from_arrow(t), max_events_per_key=4, num_partitions=2
+        ).take_all()
