@@ -2092,6 +2092,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window_s=600,
         )
 
+    def q_ks_distance(sf):
+        # exact two-sample KS between the event_id-parity halves' value
+        # distributions — statistical twins, so d_num is pure sampling
+        # noise (a real shift would be ~n² sized)
+        from fever_ray.ops.stats import ks_distance
+
+        def tag_side(b: pa.Table) -> pa.Table:
+            eid = b.column("event_id").to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "side", pa.array((eid % 2).astype(np.int64), pa.int64())
+            )
+
+        ev = _t(sf, "events", ["event_id", "value"]).map_batches(
+            tag_side, batch_format="pyarrow"
+        )
+        return ks_distance(ev, "side", "value")
+
     def q_theil_sen_trend(sf):
         from fever_ray.ops.windows import theil_sen_trend
 
@@ -2325,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_range_sum": q_time_range_sum,
         "locf_fill": q_locf_fill,
         "theil_sen_trend": q_theil_sen_trend,
+        "ks_distance": q_ks_distance,
         "pareto_front": q_pareto_front,
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
@@ -4613,6 +4631,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) OVER w AS BIGINT) AS win_n "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW)"
+        ),
+        "ks_distance": (
+            # D·n_a·n_b = max_v |cum_a·n_b − cum_b·n_a| in HUGEINT;
+            # argmax ties break to the smallest value on both engines
+            "WITH e AS (SELECT event_id % 2 AS side, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS c FROM events), "
+            "h AS (SELECT c, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na, "
+            "SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb "
+            "FROM e GROUP BY c), "
+            "t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM h), "
+            "cum AS (SELECT c, SUM(na) OVER w AS ca, SUM(nb) OVER w AS cb "
+            "FROM h WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)), "
+            "g AS (SELECT c, abs(ca * t.tb - cb * t.ta) AS gap FROM cum, t) "
+            "SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b, "
+            "CAST((SELECT MAX(gap) FROM g) AS BIGINT) AS d_num, "
+            "CAST((SELECT MIN(c) FROM g WHERE gap = "
+            "(SELECT MAX(gap) FROM g)) AS BIGINT) AS at_cents FROM t"
         ),
         "theil_sen_trend": (
             # lower median of exact-cent / exact-microsecond slope doubles;

@@ -1506,3 +1506,149 @@ def group_regression(
         )
 
     return fit(moments)
+
+
+def ks_distance(
+    ds,
+    side_col: str,
+    value_col: str,
+    max_values: int = 1 << 22,
+):
+    """EXACT two-sample Kolmogorov-Smirnov distance between the value
+    distributions of side 0 and side 1 — the nonparametric "did the
+    distribution move?" test (no bins to choose, unlike a histogram
+    drift): D = max_v |F_a(v) − F_b(v)| computed as the INTEGER
+    ``d_num = max_v |c_a(v)·n_b − c_b(v)·n_a|`` over cumulative counts,
+    so D = d_num / (n_a·n_b) exactly and the argmax value ``at_cents``
+    (smallest value attaining it) is deterministic.  Values are exact
+    integer cents via the shared `_cents` map.
+
+    Output: one row (n_a, n_b, d_num, at_cents) — all int64.  Either
+    side empty → d_num = −1 sentinel (KS undefined), n counts still
+    reported.
+
+    Scale shape: per-batch (cents, side) count partials tree-combine over
+    the bounded distinct-value domain (loud ``max_values`` guard — the
+    `group_value_rank` contract); the final kernel is one sort + two
+    cumsums over distinct values.  The corpus never shuffles."""
+    import ray
+    import ray.data as rd
+
+    from .aggregates import _cents, tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(side_col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if s.null_count or batch.column(value_col).null_count:
+            raise ValueError(
+                f"ks_distance: {side_col}/{value_col} must be null-free"
+            )
+        side = s.to_numpy(zero_copy_only=False).astype(np.int64)
+        if ((side != 0) & (side != 1)).any():
+            raise ValueError("ks_distance: side_col must be 0/1")
+        c = _cents(batch.column(value_col)).to_numpy(zero_copy_only=False)
+        out = []
+        for sv in (0, 1):
+            vals = c[side == sv]
+            if len(vals) == 0:
+                continue
+            u, n = np.unique(vals, return_counts=True)
+            out.append(
+                pa.table(
+                    {
+                        "v": pa.array(u, pa.int64()),
+                        "n_a": pa.array(
+                            n if sv == 0 else np.zeros(len(u), np.int64),
+                            pa.int64(),
+                        ),
+                        "n_b": pa.array(
+                            n if sv == 1 else np.zeros(len(u), np.int64),
+                            pa.int64(),
+                        ),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    tabs = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["v"],
+                [("n_a", "sum"), ("n_b", "sum")],
+                max_groups=max_values,
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    # the final kernel needs EVERY distinct value in one cumsum — the
+    # value table is bounded by max_values, so one driver-side concat
+    combined = (
+        pa.concat_tables(tabs)
+        if tabs
+        else pa.table(
+            {
+                "v": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "n_a": pa.array([0], pa.int64()),
+                    "n_b": pa.array([0], pa.int64()),
+                    "d_num": pa.array([-1], pa.int64()),
+                    "at_cents": pa.array([0], pa.int64()),
+                }
+            )
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        ca = batch.column("n_a").to_numpy(zero_copy_only=False)
+        cb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        o = np.argsort(v, kind="stable")
+        v, ca, cb = v[o], ca[o], cb[o]
+        na, nb = int(ca.sum()), int(cb.sum())
+        if na == 0 or nb == 0:
+            return pa.table(
+                {
+                    "n_a": pa.array([na], pa.int64()),
+                    "n_b": pa.array([nb], pa.int64()),
+                    "d_num": pa.array([-1], pa.int64()),
+                    "at_cents": pa.array([0], pa.int64()),
+                }
+            )
+        # |cum_a·n_b − cum_b·n_a| stays under n·max(n) — guard the int64
+        # product domain loudly
+        if max(na, nb) > (1 << 31):
+            raise ValueError(
+                "ks_distance: side sizes overflow the int64 cross-multiply "
+                "— widen to bigint lanes"
+            )
+        gap = np.abs(np.cumsum(ca) * nb - np.cumsum(cb) * na)
+        d = int(gap.max())
+        at = int(v[int(np.argmax(gap))])  # argmax = first/smallest value
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "d_num": pa.array([d], pa.int64()),
+                "at_cents": pa.array([at], pa.int64()),
+            }
+        )
+
+    return rd.from_arrow(finish(combined))

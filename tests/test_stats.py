@@ -760,3 +760,60 @@ def test_group_regression_exact_fit_and_degenerate(ray_session):
     # fitted slopes recover the planted lines to within the noise
     assert abs(out["a"][1] - 3) < 0.1 and abs(out["b"][1] + 2) < 0.1
     assert out["const"] == (3, 0.0, 21.0)
+
+
+def test_ks_distance_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import ks_distance
+
+    rng = np.random.default_rng(61)
+    # side 0 ~ uniform cents [0, 1000); side 1 shifted by +150 cents
+    a = rng.integers(0, 1000, 400)
+    b = rng.integers(150, 1150, 300)
+    side = np.concatenate([np.zeros(400, np.int64), np.ones(300, np.int64)])
+    vals = np.concatenate([a, b]) / 100.0
+    t = pa.table(
+        {
+            "side": pa.array(side, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    allv = np.unique(np.concatenate([a, b]))
+    gaps = np.array(
+        [abs((a <= v).sum() * 300 - (b <= v).sum() * 400) for v in allv]
+    )
+    want_d = int(gaps.max())
+    want_at = int(allv[int(np.argmax(gaps))])
+    for parts in (1, 6):
+        row = ks_distance(
+            rd.from_arrow(t).repartition(parts), "side", "value"
+        ).take_all()[0]
+        assert (row["n_a"], row["n_b"], row["d_num"], row["at_cents"]) == (
+            400, 300, want_d, want_at,
+        )
+    # identical sides -> D = 0; empty side -> sentinel
+    t2 = pa.table(
+        {
+            "side": pa.array([0, 1, 0, 1], pa.int64()),
+            "value": pa.array([1.0, 1.0, 2.0, 2.0], pa.float64()),
+        }
+    )
+    r2 = ks_distance(rd.from_arrow(t2), "side", "value").take_all()[0]
+    assert r2["d_num"] == 0
+    t3 = t2.filter(pa.array([True, False, True, False]))
+    r3 = ks_distance(rd.from_arrow(t3), "side", "value").take_all()[0]
+    assert (r3["n_b"], r3["d_num"]) == (0, -1)
+    with pytest.raises(Exception, match="side_col"):
+        ks_distance(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "side": pa.array([2], pa.int64()),
+                        "value": pa.array([1.0]),
+                    }
+                )
+            ),
+            "side",
+            "value",
+        ).take_all()
