@@ -656,10 +656,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gates: ONE token rule (spaces+1 == len(string_split)) so the two
         # oracles cannot drift independently
         def add_tok(b):
-            y = pc.add(
-                pc.count_substring(pc.cast(b.column("text"), pa.string()), " "),
-                1,
-            )
+            # fill_null first: the oracles COALESCE to '' (1 token), and
+            # count_substring(NULL)+1 would null n_tokens and trip the
+            # moments null guard instead
+            txt = pc.fill_null(pc.cast(b.column("text"), pa.string()), "")
+            y = pc.add(pc.count_substring(txt, " "), 1)
             return b.append_column("n_tokens", pc.cast(y, pa.int64()))
 
         return _t(sf, "documents", ["source", "text", "n_chars"]).map_batches(
@@ -2555,7 +2556,10 @@ def _simhash_sql() -> str:
         f"THEN CAST({m} AS HUGEINT) ELSE 0 END AS BIGINT)"
     )
     return (
-        f"WITH ch0 AS (SELECT doc_id, string_split(text, ' ') AS toks, {fnv_text} AS h0 FROM documents), "
+        # COALESCE on the split too: the engine fill_nulls to '' before
+        # tokenizing, so a NULL-text row simhashes over [''] — a raw
+        # string_split(NULL) would zero every bit vote instead
+        f"WITH ch0 AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks, {fnv_text} AS h0 FROM documents), "
         "ca1 AS (SELECT doc_id, toks, xor(h0, h0 >> 30) AS y FROM ch0), "
         f"cb1 AS (SELECT doc_id, toks, {mulmod('y', '13787848793156543929')} AS x FROM ca1), "
         "ca2 AS (SELECT doc_id, toks, xor(x, x >> 27) AS y FROM cb1), "
@@ -4644,10 +4648,15 @@ def oracle_sql() -> dict[str, str]:
             "cum AS (SELECT c, SUM(na) OVER w AS ca, SUM(nb) OVER w AS cb "
             "FROM h WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)), "
             "g AS (SELECT c, abs(ca * t.tb - cb * t.ta) AS gap FROM cum, t) "
-            "SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b, "
-            "CAST((SELECT MAX(gap) FROM g) AS BIGINT) AS d_num, "
-            "CAST((SELECT MIN(c) FROM g WHERE gap = "
-            "(SELECT MAX(gap) FROM g)) AS BIGINT) AS at_cents FROM t"
+            # empty-side parity: the kernel's documented sentinel is
+            # (d_num -1, at_cents 0) whenever either side is empty
+            "SELECT CAST(COALESCE(t.ta, 0) AS BIGINT) AS n_a, "
+            "CAST(COALESCE(t.tb, 0) AS BIGINT) AS n_b, "
+            "CAST(CASE WHEN COALESCE(t.ta, 0) = 0 OR COALESCE(t.tb, 0) = 0 "
+            "THEN -1 ELSE (SELECT MAX(gap) FROM g) END AS BIGINT) AS d_num, "
+            "CAST(CASE WHEN COALESCE(t.ta, 0) = 0 OR COALESCE(t.tb, 0) = 0 "
+            "THEN 0 ELSE (SELECT MIN(c) FROM g WHERE gap = "
+            "(SELECT MAX(gap) FROM g)) END AS BIGINT) AS at_cents FROM t"
         ),
         "theil_sen_trend": (
             # lower median of exact-cent / exact-microsecond slope doubles;

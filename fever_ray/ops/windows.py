@@ -1507,12 +1507,19 @@ def theil_sen_trend(
         len_rep = np.repeat(run_len, run_len)
         pos_in = pos - rs_rep
         run_id = np.repeat(np.arange(len(run_start), dtype=np.int64), run_len)
+        # rows sorted by remaining in-run partners: distance d pairs exist
+        # only for rows with rem > d, so each d-iteration touches exactly
+        # the still-active suffix — total mask work equals the pair count
+        # (a full-bucket mask per d would be O(n·maxlen) under key skew)
+        rem = len_rep - pos_in
+        by_rem = np.argsort(rem, kind="stable")
+        rem_sorted = rem[by_rem]
         sl_parts, rid_parts = [], []
         for d in range(1, maxlen):
-            valid = pos_in + d < len_rep
-            if not valid.any():
+            start = int(np.searchsorted(rem_sorted, d + 1, side="left"))
+            if start == n:
                 break
-            i = pos[valid]
+            i = by_rem[start:]
             j = i + d
             dt = tO[j] - tO[i]
             nz = dt != 0
