@@ -4647,16 +4647,21 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM h), "
             "cum AS (SELECT c, SUM(na) OVER w AS ca, SUM(nb) OVER w AS cb "
             "FROM h WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)), "
-            "g AS (SELECT c, abs(ca * t.tb - cb * t.ta) AS gap FROM cum, t) "
+            "g AS (SELECT c, abs(ca * t.tb - cb * t.ta) AS gap FROM cum, t), "
+            "emd AS (SELECT SUM(gap * (nxt - c)) AS e FROM (SELECT c, gap, "
+            "LEAD(c) OVER (ORDER BY c) AS nxt FROM g) WHERE nxt IS NOT NULL) "
             # empty-side parity: the kernel's documented sentinel is
-            # (d_num -1, at_cents 0) whenever either side is empty
+            # (d_num -1, at_cents 0, emd_num -1.0) whenever a side is empty
             "SELECT CAST(COALESCE(t.ta, 0) AS BIGINT) AS n_a, "
             "CAST(COALESCE(t.tb, 0) AS BIGINT) AS n_b, "
             "CAST(CASE WHEN COALESCE(t.ta, 0) = 0 OR COALESCE(t.tb, 0) = 0 "
             "THEN -1 ELSE (SELECT MAX(gap) FROM g) END AS BIGINT) AS d_num, "
             "CAST(CASE WHEN COALESCE(t.ta, 0) = 0 OR COALESCE(t.tb, 0) = 0 "
             "THEN 0 ELSE (SELECT MIN(c) FROM g WHERE gap = "
-            "(SELECT MAX(gap) FROM g)) END AS BIGINT) AS at_cents FROM t"
+            "(SELECT MAX(gap) FROM g)) END AS BIGINT) AS at_cents, "
+            "CAST(CASE WHEN COALESCE(t.ta, 0) = 0 OR COALESCE(t.tb, 0) = 0 "
+            "THEN -1.0 ELSE (SELECT COALESCE(e, 0) FROM emd) END AS DOUBLE) "
+            "AS emd_num FROM t"
         ),
         "theil_sen_trend": (
             # lower median of exact-cent / exact-microsecond slope doubles;

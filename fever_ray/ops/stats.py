@@ -1523,9 +1523,15 @@ def ks_distance(
     (smallest value attaining it) is deterministic.  Values are exact
     integer cents via the shared `_cents` map.
 
-    Output: one row (n_a, n_b, d_num, at_cents) — all int64.  Either
-    side empty → d_num = −1 sentinel (KS undefined), n counts still
-    reported.
+    Output: one row (n_a, n_b, d_num, at_cents, emd_num) — the first
+    four int64, plus the exact 1-D earth-mover (Wasserstein-1) distance
+    as ``emd_num = Σ_k gap(v_k)·(v_{k+1} − v_k)`` so EMD = emd_num /
+    (n_a·n_b) cents: the mass-transport complement of the sup-norm D
+    (a small level shift everywhere moves EMD but barely moves D).
+    ``emd_num`` is computed in Python bigints and emitted as the
+    correctly-rounded float64 of that integer — both engines round the
+    SAME integer, so it still hashes bit-exactly.  Either side empty →
+    d_num = −1 sentinel (distances undefined), n counts still reported.
 
     Scale shape: per-batch (cents, side) count partials tree-combine over
     the bounded distinct-value domain (loud ``max_values`` guard — the
@@ -1615,6 +1621,7 @@ def ks_distance(
                     "n_b": pa.array([0], pa.int64()),
                     "d_num": pa.array([-1], pa.int64()),
                     "at_cents": pa.array([0], pa.int64()),
+                    "emd_num": pa.array([-1.0], pa.float64()),
                 }
             )
         v = batch.column("v").to_numpy(zero_copy_only=False)
@@ -1630,6 +1637,7 @@ def ks_distance(
                     "n_b": pa.array([nb], pa.int64()),
                     "d_num": pa.array([-1], pa.int64()),
                     "at_cents": pa.array([0], pa.int64()),
+                    "emd_num": pa.array([-1.0], pa.float64()),
                 }
             )
         # |cum_a·n_b − cum_b·n_a| stays under n·max(n) — guard the int64
@@ -1642,12 +1650,21 @@ def ks_distance(
         gap = np.abs(np.cumsum(ca) * nb - np.cumsum(cb) * na)
         d = int(gap.max())
         at = int(v[int(np.argmax(gap))])  # argmax = first/smallest value
+        # exact Wasserstein-1 numerator in Python bigints (gap·Δv terms
+        # can pass 2^63), emitted as the rounded double of ONE integer
+        emd = float(
+            sum(
+                int(g) * int(dv)
+                for g, dv in zip(gap[:-1].tolist(), np.diff(v).tolist())
+            )
+        )
         return pa.table(
             {
                 "n_a": pa.array([na], pa.int64()),
                 "n_b": pa.array([nb], pa.int64()),
                 "d_num": pa.array([d], pa.int64()),
                 "at_cents": pa.array([at], pa.int64()),
+                "emd_num": pa.array([emd], pa.float64()),
             }
         )
 

@@ -785,13 +785,19 @@ def test_ks_distance_vs_bruteforce(ray_session):
     )
     want_d = int(gaps.max())
     want_at = int(allv[int(np.argmax(gaps))])
+    want_emd = float(
+        sum(int(g) * int(dv) for g, dv in zip(gaps[:-1], np.diff(allv)))
+    )
     for parts in (1, 6):
         row = ks_distance(
             rd.from_arrow(t).repartition(parts), "side", "value"
         ).take_all()[0]
-        assert (row["n_a"], row["n_b"], row["d_num"], row["at_cents"]) == (
-            400, 300, want_d, want_at,
-        )
+        assert (
+            row["n_a"], row["n_b"], row["d_num"], row["at_cents"],
+            row["emd_num"],
+        ) == (400, 300, want_d, want_at, want_emd)
+    # the planted +150-cent shift is visible in EMD ~ shift·n_a·n_b
+    assert abs(want_emd / (400 * 300) - 150) < 20
     # identical sides -> D = 0; empty side -> sentinel
     t2 = pa.table(
         {
@@ -800,10 +806,10 @@ def test_ks_distance_vs_bruteforce(ray_session):
         }
     )
     r2 = ks_distance(rd.from_arrow(t2), "side", "value").take_all()[0]
-    assert r2["d_num"] == 0
+    assert r2["d_num"] == 0 and r2["emd_num"] == 0.0
     t3 = t2.filter(pa.array([True, False, True, False]))
     r3 = ks_distance(rd.from_arrow(t3), "side", "value").take_all()[0]
-    assert (r3["n_b"], r3["d_num"]) == (0, -1)
+    assert (r3["n_b"], r3["d_num"], r3["emd_num"]) == (0, -1, -1.0)
     with pytest.raises(Exception, match="side_col"):
         ks_distance(
             rd.from_arrow(
