@@ -1170,6 +1170,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_minhash_dedup(sf):
         return minhash_dedup_components(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_keeper_election(sf):
+        # close the dedup pipeline: elect one canonical doc per minhash
+        # cluster under (source priority, doc_id); priority = numeric
+        # source suffix mod 5 (ties planted by construction)
+        import pyarrow.parquet as pq
+
+        from fever_ray.ops.dedup import keeper_election
+
+        srcs = pc.unique(
+            pq.read_table(
+                f"{sf}/documents.parquet", columns=["source"]
+            ).column("source")
+        ).to_pylist()
+        pr = {s: int(s[3:]) % 5 for s in srcs}
+        clusters = minhash_dedup_components(
+            _t(sf, "documents", ["doc_id", "text"])
+        )
+        return keeper_election(
+            clusters, _t(sf, "documents", ["doc_id", "source"]), pr
+        )
+
     def q_containment_pairs(sf):
         from fever_ray.ops.dedup import containment_pairs
 
@@ -2296,6 +2317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment_pairs,
         "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
         "snapshot_diff": q_snapshot_diff,
+        "keeper_election": q_keeper_election,
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
         "group_share": q_group_share,
@@ -4238,6 +4260,19 @@ def oracle_sql() -> dict[str, str]:
             "- CAST('18446744073709551616' AS HUGEINT) ELSE "
             "(COALESCE(SUM(uh), 0) % CAST('18446744073709551616' AS HUGEINT)) "
             "END AS BIGINT) AS checksum FROM u"
+        ),
+        "keeper_election": (
+            # the full minhash-dedup recursive chain nested as a CTE, then
+            # the (prio asc, id asc) ROW_NUMBER election
+            "WITH clusters AS (" + _minhash_dedup_sql() + "), "
+            "m AS (SELECT c.cluster_id, c.doc_id, "
+            "CAST(substr(d.source, 4) AS BIGINT) % 5 AS prio "
+            "FROM clusters c JOIN documents d ON d.doc_id = c.doc_id), "
+            "r AS (SELECT cluster_id, doc_id, ROW_NUMBER() OVER ("
+            "PARTITION BY cluster_id ORDER BY prio, doc_id) AS rk, "
+            "COUNT(*) OVER (PARTITION BY cluster_id) AS nm FROM m) "
+            "SELECT cluster_id, doc_id AS keeper_id, "
+            "CAST(nm AS BIGINT) AS n_members FROM r WHERE rk = 1"
         ),
         "snapshot_diff": (
             # changed = the engine's content hash differs — both sides run

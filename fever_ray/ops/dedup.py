@@ -3098,3 +3098,145 @@ def snapshot_diff(
     return both.groupby("bucket").map_groups(
         diff_bucket, batch_format="pyarrow"
     )
+
+
+def keeper_election(
+    clusters_ds,
+    meta_ds,
+    priority: dict,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    attr_col: str = "source",
+    num_partitions: int = 16,
+    broadcast_bytes: int = 64 << 20,
+):
+    """Canonical-document election — the step that CLOSES a near-dedup
+    pipeline: given (doc, cluster) membership rows and a source-priority
+    map, keep exactly one doc per cluster under the deterministic
+    (priority asc, doc_id asc) rule and report the rest as drops.
+    Output rows: (``cluster_col``, ``keeper_id``, ``n_members``).
+
+    Unknown ``attr_col`` values are a loud error (a silent default
+    priority would elect nondeterministically as the map evolves).
+
+    Scale shape: clusters are SPARSE by construction (only near-dup docs
+    appear), so the (id → cluster) map broadcasts once as two sorted
+    arrays under ``broadcast_bytes`` — a loud error above it, because
+    falling back silently to a corpus shuffle would hide the real
+    problem (a dedup that matched everything); the corpus meta table
+    streams once through a searchsorted probe, and the skinny (cluster,
+    prio, id) member rows take ONE coarse cluster-hash bucket shuffle +
+    per-bucket lexsort first-of-run election."""
+    import ray
+
+    from ..core.bcast import cached_get
+    from ..sketches.hashing import bucket_of
+
+    mat = clusters_ds.materialize()
+    if (mat.size_bytes() or 0) > broadcast_bytes:
+        raise ValueError(
+            "keeper_election: cluster map exceeds broadcast_bytes — the "
+            "dedup matched a non-sparse fraction of the corpus; raise the "
+            "cap deliberately or investigate the threshold"
+        )
+    tabs = [
+        t
+        for t in ray.get(mat.to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if not tabs:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    cluster_col: pa.array([], pa.int64()),
+                    "keeper_id": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        )
+    big = pa.concat_tables(tabs)
+    ids = big.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    cl = big.column(cluster_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(ids, kind="stable")
+    map_ref = ray.put((ids[o], cl[o]))
+    prio_ref = ray.put(dict(priority))
+
+    def members(batch: pa.Table) -> pa.Table:
+        ids_s, cl_s = cached_get(map_ref)
+        pr = cached_get(prio_ref)
+        d = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.searchsorted(ids_s, d)
+        pos_c = np.minimum(pos, len(ids_s) - 1)
+        hit = ids_s[pos_c] == d
+        if not hit.any():
+            return pa.table(
+                {
+                    cluster_col: pa.array([], pa.int64()),
+                    "prio": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        sub = batch.filter(pa.array(hit))
+        attr = sub.column(attr_col)
+        if isinstance(attr, pa.ChunkedArray):
+            attr = attr.combine_chunks()
+        enc = attr.dictionary_encode()
+        try:
+            dict_prio = np.array(
+                [pr[v] for v in enc.dictionary.to_pylist()], dtype=np.int64
+            )
+        except KeyError as e:
+            raise ValueError(
+                f"keeper_election: {attr_col} value {e.args[0]!r} has no "
+                "priority — extend the map; a silent default would elect "
+                "nondeterministically"
+            ) from None
+        prio = dict_prio[enc.indices.to_numpy(zero_copy_only=False)]
+        clusters = cl_s[pos_c[hit]]
+        return pa.table(
+            {
+                cluster_col: pa.array(clusters, pa.int64()),
+                "prio": pa.array(prio, pa.int64()),
+                id_col: pa.array(d[hit], pa.int64()),
+                "bucket": pa.array(
+                    bucket_of(clusters, num_partitions), pa.int32()
+                ),
+            }
+        )
+
+    def elect(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    cluster_col: pa.array([], pa.int64()),
+                    "keeper_id": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        c = g.column(cluster_col).to_numpy(zero_copy_only=False)
+        p = g.column("prio").to_numpy(zero_copy_only=False)
+        d = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, p, c))
+        cO, dO = c[order], d[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], cO[1:] != cO[:-1]))
+        )
+        n_members = np.diff(np.concatenate((starts, [len(cO)])))
+        return pa.table(
+            {
+                cluster_col: pa.array(cO[starts], pa.int64()),
+                "keeper_id": pa.array(dO[starts], pa.int64()),
+                "n_members": pa.array(n_members, pa.int64()),
+            }
+        )
+
+    return (
+        meta_ds.map_batches(members, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(elect, batch_format="pyarrow")
+    )

@@ -1007,3 +1007,45 @@ def test_snapshot_diff_min_hash_duplicate_policy(ray_session):
         ).take_all()
     }
     assert (7, "changed") in out2 or (7, "removed") not in out2
+
+
+def test_keeper_election_priority_and_ties(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import keeper_election
+
+    clusters = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 10, 11], pa.int64()),
+            "cluster_id": pa.array([1, 1, 1, 10, 10], pa.int64()),
+        }
+    )
+    meta = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 10, 11], pa.int64()),
+            "source": pa.array(["low", "high", "high", "high", "low", "low"]),
+        }
+    )
+    pr = {"high": 0, "low": 5}
+    for parts in (1, 4):
+        out = {
+            r["cluster_id"]: (r["keeper_id"], r["n_members"])
+            for r in keeper_election(
+                rd.from_arrow(clusters).repartition(parts),
+                rd.from_arrow(meta).repartition(parts),
+                pr,
+                num_partitions=4,
+            ).take_all()
+        }
+        # cluster 1: docs 2 and 3 share top priority -> lowest id wins;
+        # cluster 10: both low -> lowest id; doc 4 is not a member
+        assert out == {1: (2, 3), 10: (10, 2)}
+    with pytest.raises(Exception, match="priority"):
+        keeper_election(
+            rd.from_arrow(clusters), rd.from_arrow(meta), {"high": 0},
+            num_partitions=2,
+        ).take_all()
+    empty = keeper_election(
+        rd.from_arrow(clusters.slice(0, 0)), rd.from_arrow(meta), pr
+    )
+    assert empty.count() == 0
