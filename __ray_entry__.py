@@ -2114,6 +2114,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window_s=600,
         )
 
+    def q_basket_lift(sf):
+        from fever_ray.ops.aggregates import basket_lift
+
+        return basket_lift(
+            _t(sf, "events", ["user_id", "ts", "event_type"])
+        )
+
     def q_ks_distance(sf):
         # exact two-sample KS between the event_id-parity halves' value
         # distributions — statistical twins, so d_num is pure sampling
@@ -2366,6 +2373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_fill": q_locf_fill,
         "theil_sen_trend": q_theil_sen_trend,
         "ks_distance": q_ks_distance,
+        "basket_lift": q_basket_lift,
         "pareto_front": q_pareto_front,
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
@@ -4670,6 +4678,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) OVER w AS BIGINT) AS win_n "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW)"
+        ),
+        "basket_lift": (
+            # baskets = distinct (user, day); lift flag = pure-integer
+            # cross-multiply t_den·n_ab·N > t_num·n_a·n_b (11/10)
+            "WITH b AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day, event_type AS it "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "nb AS (SELECT COUNT(*) AS n FROM "
+            "(SELECT DISTINCT user_id, day FROM b)), "
+            "ia AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM b GROUP BY it), "
+            "p AS (SELECT x.it AS a, y.it AS b2, "
+            "CAST(COUNT(*) AS BIGINT) AS nab FROM b x JOIN b y "
+            "ON x.user_id = y.user_id AND x.day = y.day AND x.it < y.it "
+            "GROUP BY 1, 2) "
+            "SELECT p.a AS item_a, p.b2 AS item_b, i1.n AS n_a, "
+            "i2.n AS n_b, p.nab AS n_ab, CAST(nb.n AS BIGINT) AS n_baskets, "
+            "CAST(CASE WHEN 10 * p.nab * nb.n > 11 * i1.n * i2.n "
+            "THEN 1 ELSE 0 END AS BIGINT) AS lifted "
+            "FROM p JOIN ia i1 ON i1.it = p.a "
+            "JOIN ia i2 ON i2.it = p.b2, nb"
         ),
         "ks_distance": (
             # D·n_a·n_b = max_v |cum_a·n_b − cum_b·n_a| in HUGEINT;

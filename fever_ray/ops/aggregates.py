@@ -12,6 +12,7 @@ re-expressed as a real distributed combine.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -581,3 +582,252 @@ def props_field_stats(events_ds, field: str = "k", group_col: str = "event_type"
         )
 
     return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def basket_lift(
+    events_ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    basket_s: int = 86400,
+    t_num: int = 11,
+    t_den: int = 10,
+    max_items: int = 64,
+    num_partitions: int = 32,
+):
+    """Market-basket association over (key, time-bucket) baskets — the
+    classic co-occurrence/lift mining (Agrawal 1993) on event streams:
+    a basket is every event of ``key_col`` within one ``basket_s``
+    window; for each unordered item pair (a < b) report basket counts
+    and whether lift = n_ab·N / (n_a·n_b) exceeds ``t_num/t_den`` — the
+    pure-integer cross-multiply ``t_den·n_ab·N > t_num·n_a·n_b``, so the
+    flag is bit-stable.  Output rows: (item_a, item_b, n_a, n_b, n_ab,
+    n_baskets, lifted) — pairs with n_ab = 0 emit nothing.
+
+    Scale shape: the item domain is BOUNDED (loud ``max_items`` guard) so
+    items become bits: distinct (basket, item) rows reduce per batch,
+    one basket-hash bucket shuffle co-locates each basket, per bucket a
+    sort + np.bitwise_or.reduceat folds baskets into uint64 masks and
+    every pair count is one vectorized popcount pass; only ≤ |items|²
+    partial rows tree-combine.  Null key/ts/item rows are skipped."""
+    import ray
+    import ray.data as rd
+
+    from ..sketches.hashing import bucket_of, hash64_ints
+
+    if t_num < 0 or t_den < 1:
+        raise ValueError("basket_lift: bad lift threshold")
+    if basket_s <= 0:
+        raise ValueError("basket_lift: basket_s must be > 0")
+
+    # pass 0: the global item dictionary (bounded domain — the
+    # stratified_sample contract), sorted for a deterministic bit order
+    def item_partial(batch: pa.Table) -> pa.Table:
+        it = batch.column(item_col)
+        if isinstance(it, pa.ChunkedArray):
+            it = it.combine_chunks()
+        u = pc.unique(it.drop_null())
+        return pa.table({"it": u, "one": pa.array([1] * len(u), pa.int64())})
+
+    tabs = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                events_ds.map_batches(
+                    item_partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["it"],
+                [("one", "sum")],
+                max_groups=max_items * 4,
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    empty = pa.table(
+        {
+            "item_a": pa.array([], pa.string()),
+            "item_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "n_ab": pa.array([], pa.int64()),
+            "n_baskets": pa.array([], pa.int64()),
+            "lifted": pa.array([], pa.int64()),
+        }
+    )
+    if not tabs:
+        return rd.from_arrow(empty)
+    items = sorted(
+        pa.concat_tables(tabs).column("it").to_pylist()
+    )
+    if len(items) > max_items:
+        raise ValueError(
+            f"basket_lift: {len(items)} distinct items exceed max_items "
+            f"{max_items} — the bitmask kernel holds 64; bucket the items"
+        )
+    item_idx = {v: i for i, v in enumerate(items)}
+    idx_ref = ray.put(item_idx)
+    K = len(items)
+
+    def basket_rows(batch: pa.Table) -> pa.Table:
+        from ..core.bcast import cached_get
+
+        lk = cached_get(idx_ref)
+        narrow = batch.select([key_col, ts_col, item_col])
+        mask = pa.array(
+            ~(
+                np.asarray(narrow.column(key_col).is_null())
+                | np.asarray(narrow.column(ts_col).is_null())
+                | np.asarray(narrow.column(item_col).is_null())
+            )
+        )
+        narrow = narrow.filter(mask)
+        if narrow.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "bit": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        key = pc.cast(narrow.column(key_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ts = pc.cast(
+            pc.cast(narrow.column(ts_col), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        day = ts // np.int64(basket_s * 1_000_000)
+        it = narrow.column(item_col)
+        if isinstance(it, pa.ChunkedArray):
+            it = it.combine_chunks()
+        enc = it.dictionary_encode()
+        bits_dict = np.array(
+            [lk[v] for v in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        bit = bits_dict[enc.indices.to_numpy(zero_copy_only=False)]
+        # basket identity stays the EXACT (key, day) pair — a hashed
+        # basket id could merge two baskets (2^-64, but the oracle would
+        # diverge); the hash is only the co-location bucket
+        order = np.lexsort((bit, day, key))
+        k2, d2, b2 = key[order], day[order], bit[order]
+        keep = np.empty(len(k2), bool)
+        if len(k2):
+            keep[0] = True
+            keep[1:] = (
+                (k2[1:] != k2[:-1]) | (d2[1:] != d2[:-1]) | (b2[1:] != b2[:-1])
+            )
+        k2, d2, b2 = k2[keep], d2[keep], b2[keep]
+        bh = hash64_ints(k2.astype(np.uint64) ^ hash64_ints(d2))
+        return pa.table(
+            {
+                "k": pa.array(k2, pa.int64()),
+                "day": pa.array(d2, pa.int64()),
+                "bit": pa.array(b2, pa.int64()),
+                "bucket": pa.array(
+                    (bh % np.uint64(num_partitions)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def pair_partial(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "pid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        dd = g.column("day").to_numpy(zero_copy_only=False)
+        bit = g.column("bit").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bit, dd, kk))
+        kk, dd, bits = kk[order], dd[order], bit[order]
+        keep = np.empty(len(kk), bool)
+        keep[0] = True
+        keep[1:] = (
+            (kk[1:] != kk[:-1]) | (dd[1:] != dd[:-1]) | (bits[1:] != bits[:-1])
+        )
+        kk, dd, bits = kk[keep], dd[keep], bits[keep]
+        starts = np.flatnonzero(
+            np.concatenate(
+                ([True], (kk[1:] != kk[:-1]) | (dd[1:] != dd[:-1]))
+            )
+        )
+        masks = np.bitwise_or.reduceat(
+            np.uint64(1) << bits.astype(np.uint64), starts
+        )
+        out_pid = [np.array([K * K], np.int64)]  # pid K*K = basket count
+        out_n = [np.array([len(masks)], np.int64)]
+        for i in range(K):
+            has_i = (masks >> np.uint64(i)) & np.uint64(1)
+            ni = int(has_i.sum())
+            if ni:
+                out_pid.append(np.array([K * K + 1 + i], np.int64))
+                out_n.append(np.array([ni], np.int64))
+            for j in range(i + 1, K):
+                nij = int((has_i & (masks >> np.uint64(j))).sum())
+                if nij:
+                    out_pid.append(np.array([i * K + j], np.int64))
+                    out_n.append(np.array([nij], np.int64))
+        return pa.table(
+            {
+                "pid": pa.array(np.concatenate(out_pid), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    combined = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                events_ds.map_batches(
+                    basket_rows, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("bucket")
+                .map_groups(pair_partial, batch_format="pyarrow"),
+                ["pid"],
+                [("n", "sum")],
+                max_groups=(max_items + 2) * (max_items + 2),
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    if not combined:
+        return rd.from_arrow(empty)
+    agg = pa.concat_tables(combined)
+    pid = agg.column("pid").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    lut = dict(zip(pid.tolist(), n.tolist()))
+    N = lut.get(K * K, 0)
+    rows = {"item_a": [], "item_b": [], "n_a": [], "n_b": [], "n_ab": [],
+            "n_baskets": [], "lifted": []}
+    for i in range(K):
+        for j in range(i + 1, K):
+            nab = lut.get(i * K + j, 0)
+            if not nab:
+                continue
+            na = lut.get(K * K + 1 + i, 0)
+            nbv = lut.get(K * K + 1 + j, 0)
+            rows["item_a"].append(items[i])
+            rows["item_b"].append(items[j])
+            rows["n_a"].append(na)
+            rows["n_b"].append(nbv)
+            rows["n_ab"].append(nab)
+            rows["n_baskets"].append(N)
+            rows["lifted"].append(
+                int(t_den * nab * N > t_num * na * nbv)
+            )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "item_a": pa.array(rows["item_a"], pa.string()),
+                "item_b": pa.array(rows["item_b"], pa.string()),
+                "n_a": pa.array(rows["n_a"], pa.int64()),
+                "n_b": pa.array(rows["n_b"], pa.int64()),
+                "n_ab": pa.array(rows["n_ab"], pa.int64()),
+                "n_baskets": pa.array(rows["n_baskets"], pa.int64()),
+                "lifted": pa.array(rows["lifted"], pa.int64()),
+            }
+        )
+    )

@@ -975,3 +975,65 @@ def test_group_share_exact_and_zero_total(ray_session):
     tnull = t.set_column(1, "event_type", pa.array(["a", None, "a", "z", "z"]))
     with pytest.raises(Exception, match="null"):
         group_share(rd.from_arrow(tnull)).take_all()
+
+
+def test_basket_lift_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from itertools import combinations
+
+    from fever_ray.ops.aggregates import basket_lift
+
+    rng = np.random.default_rng(71)
+    items = ["view", "cart", "buy", "refund"]
+    rows = []
+    for u in range(30):
+        for day in range(5):
+            # cart and buy co-occur strongly; refund is rare/independent
+            basket = {"view"}
+            if rng.random() < 0.5:
+                basket |= {"cart"}
+                if rng.random() < 0.8:
+                    basket |= {"buy"}
+            if rng.random() < 0.1:
+                basket |= {"refund"}
+            for it in basket:
+                # duplicate events inside a basket must not double count
+                for _ in range(int(rng.integers(1, 3))):
+                    rows.append(
+                        (u, day * 86400_000_000 + int(rng.integers(0, 86400_000_000)), it)
+                    )
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    baskets: dict = {}
+    for u, ts, it in rows:
+        baskets.setdefault((u, ts // 86400_000_000), set()).add(it)
+    N = len(baskets)
+    cnt = {it: sum(1 for b in baskets.values() if it in b) for it in items}
+    want = {}
+    for a, b in combinations(sorted(items), 2):
+        nab = sum(1 for s in baskets.values() if a in s and b in s)
+        if nab:
+            want[(a, b)] = (
+                cnt[a], cnt[b], nab, N,
+                int(10 * nab * N > 11 * cnt[a] * cnt[b]),
+            )
+    for parts in (1, 7):
+        out = {
+            (r["item_a"], r["item_b"]): (
+                r["n_a"], r["n_b"], r["n_ab"], r["n_baskets"], r["lifted"]
+            )
+            for r in basket_lift(
+                rd.from_arrow(t).repartition(parts), num_partitions=8
+            ).take_all()
+        }
+        assert out == want
+    # the planted association is flagged, the independent one is not
+    assert want[("buy", "cart")][4] == 1
+    assert want[("refund", "view")][4] == 0
