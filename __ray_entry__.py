@@ -1341,6 +1341,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "events", ["event_id", "event_type", "value"])
         )
 
+    def q_vocab_growth(sf):
+        from fever_ray.ops.textstats import vocab_growth
+
+        return vocab_growth(
+            _t(sf, "documents", ["doc_id", "text"]), n_checkpoints=10
+        )
+
     def q_vocab_drift(sf):
         from fever_ray.ops.textstats import vocab_drift
 
@@ -2327,6 +2334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keeper_election": q_keeper_election,
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
+        "vocab_growth": q_vocab_growth,
         "group_share": q_group_share,
         "ngram_novelty": q_ngram_novelty,
         "cooccurrence_counts": q_cooccurrence_counts,
@@ -4232,6 +4240,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN SUM(c) OVER w = 0 THEN 0.0 ELSE "
             "CAST(c AS DOUBLE) / CAST(SUM(c) OVER w AS DOUBLE) END AS share "
             "FROM e WINDOW w AS (PARTITION BY event_type)"
+        ),
+        "vocab_growth": (
+            # integer-spaced thresholds lo + k·span // (n−1) — the engine
+            # computes the identical integers, no float linspace anywhere
+            "WITH r AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi "
+            "FROM documents), "
+            "ck AS (SELECT DISTINCT r.lo + (k.x * (r.hi - r.lo)) // 9 AS c "
+            "FROM r, (SELECT UNNEST(range(0, 10)) AS x) k), "
+            "tok AS (SELECT doc_id, "
+            "UNNEST(string_split(COALESCE(text, ''), ' ')) AS t "
+            "FROM documents), "
+            "fo AS MATERIALIZED (SELECT t, MIN(doc_id) AS mid FROM tok "
+            "WHERE t <> '' GROUP BY t) "
+            "SELECT ck.c AS upto_id, "
+            "CAST((SELECT COUNT(*) FROM documents d WHERE d.doc_id <= ck.c) "
+            "AS BIGINT) AS n_docs, "
+            "CAST((SELECT COUNT(*) FROM fo WHERE fo.mid <= ck.c) AS BIGINT) "
+            "AS n_distinct FROM ck"
         ),
         "vocab_drift": (
             # relative-rate inequality in HUGEINT (products of two

@@ -2088,3 +2088,228 @@ def vocab_drift(
             }
         )
     )
+
+
+def vocab_growth(
+    ds,
+    n_checkpoints: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+):
+    """Vocabulary growth curve (Heaps' law audit): after ingesting the
+    first k documents in ``id_col`` order, how many distinct tokens has
+    the corpus seen?  Reported at ``n_checkpoints`` evenly spaced doc-id
+    thresholds (the max id always included) — the "is new data still
+    adding new vocabulary?" collection-stopping signal.  Output rows:
+    (``upto_id``, ``n_docs``, ``n_distinct`` — all int64, exact).
+
+    Scale shape: per-batch vocabulary-compressed (token, min id) partials
+    → ONE coarse token-hash bucket shuffle, per bucket a vectorized
+    first-occurrence min per token; each bucket then reduces to ≤
+    ``n_checkpoints`` counts via searchsorted against the broadcast
+    thresholds, and the tiny per-bucket count vectors tree-sum.  Doc
+    counts per threshold ride the same pass from per-batch id partials.
+    The token stream never leaves its shuffle; the driver holds
+    checkpoint vectors."""
+    import ray
+    import ray.data as rd
+
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+
+    if n_checkpoints < 1:
+        raise ValueError("vocab_growth: n_checkpoints must be >= 1")
+
+    # pass 0: id range + doc counts (skinny scalar partials)
+    def id_partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(ids) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.string()),
+                 "mn": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": pa.array(["ids"], pa.string()),
+                "mn": pa.array([int(ids.min())], pa.int64()),
+                "mx": pa.array([int(ids.max())], pa.int64()),
+            }
+        )
+
+    tabs = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    id_partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["k"],
+                [("mn", "min"), ("mx", "max")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    if not tabs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "upto_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                }
+            )
+        )
+    head = pa.concat_tables(tabs)
+    lo = int(pc.min(head.column("mn")).as_py())
+    hi = int(pc.max(head.column("mx")).as_py())
+    # evenly spaced inclusive thresholds in PURE integer arithmetic
+    # (lo + k·span // (n−1)) — float linspace would need bit-matched
+    # rounding in any SQL mirror; k = n−1 lands exactly on hi
+    if n_checkpoints == 1:
+        ck = np.array([hi], np.int64)
+    else:
+        span = hi - lo
+        ck = np.unique(
+            lo
+            + (np.arange(n_checkpoints, dtype=np.int64) * span)
+            // (n_checkpoints - 1)
+        )
+    ck_ref = ray.put(ck)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        toks = pc.split_pattern(
+            pc.fill_null(pc.cast(batch.column(text_col), pa.string()), ""),
+            " ",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc_rep = np.repeat(ids, counts)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # per-batch compress: min doc id per distinct token
+        order = np.lexsort((doc_rep, codes))
+        cO, dO = codes[order], doc_rep[order]
+        first = np.concatenate(([True], cO[1:] != cO[:-1]))
+        t = pa.table(
+            {
+                "token": enc.dictionary.take(
+                    pa.array(cO[first], pa.int64())
+                ),
+                "mid": pa.array(dO[first], pa.int64()),
+            }
+        )
+        t = t.filter(pc.not_equal(t.column("token"), ""))
+        return t.append_column(
+            "bucket",
+            pa.array(bucket_of(t.column("token"), num_partitions), pa.int32()),
+        )
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        from ..core.bcast import cached_get
+
+        cks = cached_get(ck_ref)
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "ci": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        tok = g.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        codes = tok.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        mid = g.column("mid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((mid, codes))
+        cO, mO = codes[order], mid[order]
+        first = np.concatenate(([True], cO[1:] != cO[:-1]))
+        firsts = mO[first]  # global first-occurrence id per token
+        # distinct tokens with first id <= threshold, per checkpoint
+        counts = np.searchsorted(np.sort(firsts), cks, side="right")
+        return pa.table(
+            {
+                "ci": pa.array(
+                    np.arange(len(cks), dtype=np.int64), pa.int64()
+                ),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vt = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    tok_partial, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("bucket")
+                .map_groups(bucket_counts, batch_format="pyarrow"),
+                ["ci"],
+                [("n", "sum")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    vocab_n = np.zeros(len(ck), np.int64)
+    if vt:
+        vtab = pa.concat_tables(vt)
+        vocab_n[vtab.column("ci").to_numpy(zero_copy_only=False)] = (
+            vtab.column("n").to_numpy(zero_copy_only=False)
+        )
+
+    # doc counts per threshold: one more skinny pass of per-batch
+    # id-histogram partials against the same thresholds
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        from ..core.bcast import cached_get
+
+        cks = cached_get(ck_ref)
+        ids = np.sort(
+            pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        counts = np.searchsorted(ids, cks, side="right")
+        return pa.table(
+            {
+                "ci": pa.array(np.arange(len(cks), dtype=np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dt = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    doc_partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["ci"],
+                [("n", "sum")],
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    docs_n = np.zeros(len(ck), np.int64)
+    if dt:
+        dtab = pa.concat_tables(dt)
+        docs_n[dtab.column("ci").to_numpy(zero_copy_only=False)] = (
+            dtab.column("n").to_numpy(zero_copy_only=False)
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "upto_id": pa.array(ck, pa.int64()),
+                "n_docs": pa.array(docs_n, pa.int64()),
+                "n_distinct": pa.array(vocab_n, pa.int64()),
+            }
+        )
+    )

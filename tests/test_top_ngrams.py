@@ -471,3 +471,41 @@ def test_vocab_drift_vs_bruteforce(ray_session):
         assert out == want
     assert any(d for _, _, d in want.values())  # drift actually planted
     assert not all(d for _, _, d in want.values())
+
+
+def test_vocab_growth_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import vocab_growth
+
+    rng = np.random.default_rng(81)
+    vocab = [f"t{i}" for i in range(60)]
+    ids = np.arange(10, 210, dtype=np.int64)  # non-zero-based ids
+    texts = [
+        " ".join(vocab[rng.integers(0, min(5 + i, 60))] for _ in range(12))
+        for i in range(200)
+    ]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ck = np.unique(10 + (np.arange(7, dtype=np.int64) * (209 - 10)) // 6)
+    want = []
+    for c in ck:
+        seen = set()
+        nd = 0
+        for i, txt in zip(ids, texts):
+            if i <= c:
+                nd += 1
+                seen.update(txt.split())
+        want.append((int(c), nd, len(seen)))
+    for parts in (1, 6):
+        out = [
+            (r["upto_id"], r["n_docs"], r["n_distinct"])
+            for r in vocab_growth(
+                rd.from_arrow(t).repartition(parts), n_checkpoints=7
+            ).take_all()
+        ]
+        assert sorted(out) == want
+    # growth curve is monotone and ends at the full vocabulary
+    nds = [w[2] for w in want]
+    assert nds == sorted(nds) and nds[-1] == len(
+        {w for txt in texts for w in txt.split()}
+    )
