@@ -2226,6 +2226,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_frame_sample(sf):
+        # video frame-sampling PLAN (flat_map fan-out through the actor
+        # stage): payload = the text bytes, frame count = clip(len/256, 1, 4)
+        from fever_ray.ops.multimodal import FrameSampleStub
+
+        def to_payload(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "html": pc.cast(
+                        pc.fill_null(pc.cast(b.column("text"), pa.string()), ""),
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        return (
+            _t(sf, "documents", ["doc_id", "text"])
+            .map_batches(to_payload, batch_format="pyarrow")
+            .map_batches(
+                FrameSampleStub,
+                fn_constructor_kwargs={
+                    "payload_col": "html",
+                    "every_n_bytes": 256,
+                    "max_frames": 4,
+                },
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+        )
+
     def q_multimodal_resize(sf):
         out = resize_images(_decoded_pages(sf), max_w=224, max_h=160)
         return out.map_batches(
@@ -2370,6 +2401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "tumbling_window": q_tumbling_window,
         "window_distinct": q_window_distinct,
@@ -4513,6 +4545,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'cms_top_event_type', v FROM t "
             "UNION ALL SELECT 'kll_value_median', v FROM m "
             "UNION ALL SELECT 'tdigest_value_median', v FROM m"
+        ),
+        "frame_sample": (
+            # the stub's real integer plan: nf = clip(len/256, 1, 4),
+            # frame k at offset k·256 — zipped UNNESTs mirror the fan-out
+            "WITH d AS (SELECT doc_id, GREATEST(LEAST("
+            "strlen(COALESCE(text, '')) // 256, 4), 1) AS nf "
+            "FROM documents) "
+            "SELECT doc_id, UNNEST(range(0, nf)) AS frame_index, "
+            "UNNEST(list_transform(range(0, nf), x -> x * 256)) "
+            "AS frame_offset FROM d"
         ),
         "multimodal_decode": (
             # the decode STUB's metadata is a pure function of payload bytes:
