@@ -322,3 +322,98 @@ def test_ntile_arithmetic_matches_reference(k, vals):
     if n:
         sizes = np.bincount(tile, minlength=k + 1)[1:]
         assert sizes.max() - sizes[sizes > 0].min() <= 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_skyline_mask_equals_bruteforce(points):
+    from fever_ray.ops.stats import _skyline_mask
+
+    x = np.array([p[0] for p in points], dtype=np.int64)
+    y = np.array([p[1] for p in points], dtype=np.int64)
+    mask = _skyline_mask(x, y)
+    for i in range(len(points)):
+        dominated = any(
+            (x[j] >= x[i]) and (y[j] >= y[i]) and (x[j] > x[i] or y[j] > y[i])
+            for j in range(len(points))
+        )
+        assert mask[i] == (not dominated)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_prefix_fold_is_order_preserving(strings):
+    import pyarrow as pa
+
+    from fever_ray.ops.dedup import _prefix_fold
+
+    arr = pa.array(strings, pa.string())
+    folds = _prefix_fold(arr)
+    enc = [s.encode() for s in strings]
+    for i in range(len(strings)):
+        for j in range(len(strings)):
+            # fold strictly orders whenever the first 8 bytes differ, and
+            # never inverts the byte-lexicographic order
+            if folds[i] < folds[j]:
+                assert enc[i] < enc[j]
+            if enc[i][:8] != enc[j][:8]:
+                assert (folds[i] < folds[j]) == (enc[i][:8] < enc[j][:8])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 1 << 40), min_size=0, max_size=12),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_shingle_blob_table_matches_per_doc_unique(doc_shingles):
+    """The vectorized lexsort+mask blob build is bit-identical to the
+    per-doc np.unique loop it replaced (on arbitrary shingle multisets)."""
+    import pyarrow as pa
+
+    from fever_ray.ops.dedup import _blob_offsets_data
+
+    # rebuild the kernel's tail directly from synthetic (sh, sh_off)
+    sh = np.array(
+        [v for doc in doc_shingles for v in doc], dtype=np.uint64
+    )
+    sh_off = np.cumsum([0] + [len(d) for d in doc_shingles]).astype(np.int64)
+    ndocs = len(doc_shingles)
+    seg_len = np.diff(sh_off)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), seg_len)
+    order = np.lexsort((sh, doc_idx))
+    dd, sd = doc_idx[order], sh[order]
+    keep = np.empty(len(sd), bool)
+    if len(sd):
+        keep[0] = True
+        keep[1:] = (dd[1:] != dd[:-1]) | (sd[1:] != sd[:-1])
+    uniq_d, uniq_s = dd[keep], sd[keep]
+    counts = np.bincount(uniq_d, minlength=ndocs).astype(np.int64)
+    byte_off = np.concatenate(([0], np.cumsum(counts * 8))).astype(np.int64)
+    blob_arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), ndocs,
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(uniq_s.tobytes())],
+    )
+    off, dat = _blob_offsets_data(blob_arr)
+    for i, doc in enumerate(doc_shingles):
+        got = dat[off[i] : off[i + 1]]
+        want = np.unique(np.array(doc, dtype=np.uint64))
+        assert np.array_equal(got, want)
