@@ -428,6 +428,45 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # robust Theil-Sen trend over 1M crawl events on a 100k-key entity id
+    # (~10 events/key → ~45M exact pairwise slopes corpus-wide); the
+    # Zipf HOST key would be all-pairs-infeasible by design — the op's
+    # loud max_events_per_key guard exists exactly for that shape
+    from fever_ray.ops.windows import theil_sen_trend
+
+    def _valued_events():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def f(b):
+            h = hash64(b.column("url"))
+            return pa.table(
+                {
+                    "event_id": pa.array(h.view(np.int64), pa.int64()),
+                    "ts": pc.cast(b.column("warc_ts"), pa.timestamp("us")),
+                    "entity_id": pa.array(
+                        (h % np.uint64(100_000)).astype(np.int64), pa.int64()
+                    ),
+                    "value": pa.array(
+                        ((h >> np.uint64(8)) % np.uint64(10000)).astype(
+                            np.float64
+                        )
+                        / 100.0,
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        return rd.read_parquet(
+            PAGES_DIR + "/", columns=["url", "warc_ts"]
+        ).map_batches(f, batch_format="pyarrow")
+
+    timings["theil_sen_1m_events"] = _timed(
+        lambda: theil_sen_trend(
+            _valued_events(), key="entity_id", max_events_per_key=4096,
+        ).materialize()
+    )
+
     # unigram LM-surprise scoring: model from the first shard, every page
     # scored (vocab tree-sum + broadcast LUT + one segment-sum pass)
     from fever_ray.ops.textstats import unigram_logloss
