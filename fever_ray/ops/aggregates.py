@@ -619,11 +619,26 @@ def basket_lift(
         raise ValueError("basket_lift: bad lift threshold")
     if basket_s <= 0:
         raise ValueError("basket_lift: basket_s must be > 0")
+    if not (1 <= max_items <= 64):
+        raise ValueError(
+            f"basket_lift: max_items must be 1..64 (one uint64 mask bit "
+            f"per item — a 65th item would silently shift to zero), got "
+            f"{max_items}"
+        )
 
     # pass 0: the global item dictionary (bounded domain — the
     # stratified_sample contract), sorted for a deterministic bit order
     def item_partial(batch: pa.Table) -> pa.Table:
-        it = batch.column(item_col)
+        # dictionary from BASKET-ELIGIBLE rows only (null key/ts rows can
+        # never form a basket — counting their items could trip the
+        # max_items guard on a domain the kernel never sees)
+        mask = pa.array(
+            ~(
+                np.asarray(batch.column(key_col).is_null())
+                | np.asarray(batch.column(ts_col).is_null())
+            )
+        )
+        it = batch.column(item_col).filter(mask)
         if isinstance(it, pa.ChunkedArray):
             it = it.combine_chunks()
         u = pc.unique(it.drop_null())

@@ -3160,7 +3160,19 @@ def keeper_election(
     ids = big.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     cl = big.column(cluster_col).to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.argsort(ids, kind="stable")
-    map_ref = ray.put((ids[o], cl[o]))
+    ids_s, cl_s = ids[o], cl[o]
+    # the broadcast probe returns ONE cluster per doc, so membership must
+    # be a function doc -> cluster (connected components guarantee it);
+    # overlapping clusters (e.g. raw LSH bands) would silently lose their
+    # second membership — reject instead
+    dup = np.flatnonzero(ids_s[1:] == ids_s[:-1])
+    if len(dup):
+        raise ValueError(
+            f"keeper_election: doc {int(ids_s[dup[0]])} appears in more "
+            "than one cluster — membership must be disjoint (run connected "
+            "components first)"
+        )
+    map_ref = ray.put((ids_s, cl_s))
     prio_ref = ray.put(dict(priority))
 
     def members(batch: pa.Table) -> pa.Table:

@@ -2140,11 +2140,12 @@ def vocab_growth(
             }
         )
 
+    ids_only = ds.select_columns([id_col])
     tabs = [
         t
         for t in ray.get(
             tree_groupby(
-                ds.map_batches(
+                ids_only.map_batches(
                     id_partial, batch_format="pyarrow", zero_copy_batch=True
                 ),
                 ["k"],
@@ -2181,6 +2182,14 @@ def vocab_growth(
     ck_ref = ray.put(ck)
 
     def tok_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "mid": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
         ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
             zero_copy_only=False
         )
@@ -2289,7 +2298,7 @@ def vocab_growth(
         t
         for t in ray.get(
             tree_groupby(
-                ds.map_batches(
+                ids_only.map_batches(
                     doc_partial, batch_format="pyarrow", zero_copy_batch=True
                 ),
                 ["ci"],
