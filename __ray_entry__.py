@@ -1170,6 +1170,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_minhash_dedup(sf):
         return minhash_dedup_components(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_source_dup_report(sf):
+        from fever_ray.ops.dedup import source_dup_report
+
+        return source_dup_report(
+            _t(sf, "documents", ["doc_id", "source", "text"])
+        )
+
     def q_keeper_election(sf):
         # close the dedup pipeline: elect one canonical doc per minhash
         # cluster under (source priority, doc_id); priority = numeric
@@ -2363,6 +2370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
         "snapshot_diff": q_snapshot_diff,
         "keeper_election": q_keeper_election,
+        "source_dup_report": q_source_dup_report,
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
         "vocab_growth": q_vocab_growth,
@@ -4326,6 +4334,18 @@ def oracle_sql() -> dict[str, str]:
             "- CAST('18446744073709551616' AS HUGEINT) ELSE "
             "(COALESCE(SUM(uh), 0) % CAST('18446744073709551616' AS HUGEINT)) "
             "END AS BIGINT) AS checksum FROM u"
+        ),
+        "source_dup_report": (
+            # within-source duplication factor keyed on the engine's
+            # content hash (same mirrored chain — identical semantics
+            # including any 64-bit collision)
+            "WITH " + _content_hash_cte() + ", m AS ("
+            "SELECT d.source, a.content_hash AS h FROM documents d "
+            "JOIN allh a ON a.doc_id = d.doc_id) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct, "
+            "CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs "
+            "FROM m GROUP BY source"
         ),
         "keeper_election": (
             # the full minhash-dedup recursive chain nested as a CTE, then

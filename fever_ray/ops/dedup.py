@@ -3252,3 +3252,100 @@ def keeper_election(
         .groupby("bucket")
         .map_groups(elect, batch_format="pyarrow")
     )
+
+
+def source_dup_report(
+    ds,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    max_groups: int = 1 << 16,
+):
+    """Per-source duplication audit — the release-card complement of
+    `dup_cluster_sizes`: for every ``group_col`` value report
+    (``n_docs``, ``n_distinct`` contents, ``n_dup_docs`` = docs beyond
+    their content's first copy **within the source**) — which ingest
+    feed is re-sending content?  Exact integers keyed on the engine's
+    content hash.
+
+    Scale shape: per-batch (group, hash) distinct partials → ONE coarse
+    hash-keyed bucket shuffle (text never moves), per bucket vectorized
+    run counting collapses to ≤ groups-per-bucket rows, then the bounded
+    group domain tree-combines (loud max_groups)."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if g.null_count:
+            raise ValueError(f"source_dup_report: {group_col} contains nulls")
+        h = add_content_hash(batch, text_col).column("content_hash")
+        t = pa.table({group_col: g, "h": h})
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t.column("h"), num_partitions), pa.int32())
+        )
+
+    def per_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                }
+            )
+        g = b.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, codes))
+        cO, hO = codes[order], h[order]
+        first = np.concatenate(
+            ([True], (cO[1:] != cO[:-1]) | (hO[1:] != hO[:-1]))
+        )
+        n_docs = np.bincount(cO, minlength=len(enc.dictionary))
+        n_dist = np.bincount(cO[first], minlength=len(enc.dictionary))
+        return pa.table(
+            {
+                group_col: enc.dictionary,
+                "n_docs": pa.array(n_docs.astype(np.int64), pa.int64()),
+                "n_distinct": pa.array(n_dist.astype(np.int64), pa.int64()),
+            }
+        )
+
+    combined = tree_groupby(
+        ds.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        [group_col],
+        [("n_docs", "sum"), ("n_distinct", "sum")],
+        max_groups=max_groups,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "n_dup_docs": pa.array([], pa.int64()),
+                }
+            )
+        nd = b.column("n_docs").to_numpy(zero_copy_only=False)
+        ns = b.column("n_distinct").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: b.column(group_col),
+                "n_docs": b.column("n_docs"),
+                "n_distinct": b.column("n_distinct"),
+                "n_dup_docs": pa.array(nd - ns, pa.int64()),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -1049,3 +1049,35 @@ def test_keeper_election_priority_and_ties(ray_session):
         rd.from_arrow(clusters.slice(0, 0)), rd.from_arrow(meta), pr
     )
     assert empty.count() == 0
+
+
+def test_source_dup_report_counts(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import source_dup_report
+
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "y"),        # a: 3 docs, 2 distinct
+        ("b", "x"), ("b", "z"),                    # cross-source same text
+        ("c", "w"), ("c", "w"), ("c", "w"),        # c: 3 docs, 1 distinct
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "source": pa.array([r[0] for r in rows]),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    for parts in (1, 5):
+        out = {
+            r["source"]: (r["n_docs"], r["n_distinct"], r["n_dup_docs"])
+            for r in source_dup_report(
+                rd.from_arrow(t).repartition(parts), num_partitions=4
+            ).take_all()
+        }
+        # dup counting is WITHIN source: b's 'x' copy of a's text is not a dup
+        assert out == {
+            "a": (3, 2, 1),
+            "b": (2, 2, 0),
+            "c": (3, 1, 2),
+        }
