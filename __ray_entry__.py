@@ -2181,6 +2181,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return locf_fill(ds)
 
+    def q_conversion_lag_histogram(sf):
+        # composition gate: as-of join (purchase ← latest prior signup) →
+        # exact integer lag hours → bounded-bin counts via the tree; the
+        # attribution-latency curve every funnel report wants
+        from fever_ray.ops.aggregates import tree_groupby
+        from fever_ray.ops.windows import asof_join
+
+        left = _t(sf, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+            lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+                ["event_id", "user_id", "ts"]
+            ),
+            batch_format="pyarrow",
+        )
+        right = _t(sf, "events", ["user_id", "ts", "event_type"]).map_batches(
+            lambda b: (lambda f: f.append_column("ts_copy", f.column("ts")))(
+                b.filter(pc.equal(b.column("event_type"), "signup")).select(
+                    ["user_id", "ts"]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        joined = asof_join(left, right, key="user_id")
+
+        def bins(b: pa.Table) -> pa.Table:
+            r = b.column("r_ts_copy")
+            if isinstance(r, pa.ChunkedArray):
+                r = r.combine_chunks()
+            matched = ~np.asarray(r.is_null())
+            if not matched.any():
+                return pa.table(
+                    {"lag_h": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())}
+                )
+            sub = b.filter(pa.array(matched))
+            lts = pc.cast(sub.column("ts"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            rts = pc.cast(sub.column("r_ts_copy"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            lag_h = np.minimum((lts - rts) // 3_600_000_000, 48)
+            u, n = np.unique(lag_h, return_counts=True)
+            return pa.table(
+                {
+                    "lag_h": pa.array(u, pa.int64()),
+                    "n": pa.array(n.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return tree_groupby(
+            joined.map_batches(bins, batch_format="pyarrow"),
+            ["lag_h"],
+            [("n", "sum")],
+        )
+
     def q_asof_join(sf):
         from fever_ray.ops.windows import asof_join
 
@@ -2422,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trend": q_theil_sen_trend,
         "ks_distance": q_ks_distance,
         "basket_lift": q_basket_lift,
+        "conversion_lag_histogram": q_conversion_lag_histogram,
         "pareto_front": q_pareto_front,
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
@@ -4843,6 +4899,19 @@ def oracle_sql() -> dict[str, str]:
             "AS value, "
             "CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled "
             "FROM e"
+        ),
+        "conversion_lag_histogram": (
+            # lag is nonneg by the asof condition, so // floor == trunc
+            "WITH j AS (SELECT l.ts AS lts, r.ts AS rts FROM "
+            "(SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') l "
+            "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'signup') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts) "
+            "SELECT CAST(LEAST((epoch_us(lts) - epoch_us(rts)) "
+            "// 3600000000, 48) AS BIGINT) AS lag_h, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM j WHERE rts IS NOT NULL GROUP BY 1"
         ),
         "asof_join": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS r_ts_copy "
