@@ -2112,6 +2112,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order_cols=["ts", "event_id"],
         )
 
+    def q_behavior_archetypes(sf):
+        # composition gate: distinct (user, type) → ordered type-portfolio
+        # string per user (group_string_agg) → bounded archetype census
+        # through the coalesce-tree — the behavioral-segment report
+        from fever_ray.ops.aggregates import tree_groupby
+        from fever_ray.sketches.hashing import bucket_of
+
+        ev = _t(sf, "events", ["user_id", "event_type"])
+
+        def skinny(b: pa.Table) -> pa.Table:
+            u = pc.cast(b.column("user_id"), pa.int64())
+            t = pa.table(
+                {"user_id": u, "event_type": b.column("event_type")}
+            )
+            t = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate(
+                [([], "count_all")]
+            ).drop_columns(["count_all"])
+            return t.append_column(
+                "bucket",
+                pa.array(bucket_of(t.column("user_id"), 32), pa.int32()),
+            )
+
+        def dedup_bucket(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or g.num_columns == 0:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "event_type": pa.array([], pa.string()),
+                        "ord": pa.array([], pa.string()),
+                    }
+                )
+            t = pa.TableGroupBy(
+                g.select(["user_id", "event_type"]),
+                ["user_id", "event_type"],
+            ).aggregate([([], "count_all")]).drop_columns(["count_all"])
+            # gsa selects key+value+order columns distinctly — give the
+            # order key its own alias
+            return t.append_column("ord", t.column("event_type"))
+
+        distinct = (
+            ev.map_batches(skinny, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dedup_bucket, batch_format="pyarrow")
+        )
+        seqs = rel.group_string_agg(
+            distinct,
+            key_col="user_id",
+            value_col="event_type",
+            order_cols=["ord"],
+        )
+
+        def census(b: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(b.select(["agg"]), ["agg"]).aggregate(
+                [([], "count_all")]
+            )
+            return t.rename_columns(["archetype", "n_users"])
+
+        return tree_groupby(
+            seqs.map_batches(census, batch_format="pyarrow"),
+            ["archetype"],
+            [("n_users", "sum")],
+            max_groups=1 << 12,
+        )
+
     def q_rolling_window_sum(sf):
         from fever_ray.ops.windows import rolling_window_sum
 
@@ -2478,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_distance": q_ks_distance,
         "basket_lift": q_basket_lift,
         "conversion_lag_histogram": q_conversion_lag_histogram,
+        "behavior_archetypes": q_behavior_archetypes,
         "pareto_front": q_pareto_front,
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
@@ -4799,6 +4864,14 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
             "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "behavior_archetypes": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "s AS (SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY event_type) AS a FROM d GROUP BY user_id) "
+            "SELECT a AS archetype, CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM s GROUP BY a"
         ),
         "group_string_agg": (
             "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, "
