@@ -675,6 +675,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return group_moments(_docs_tok(sf), "source", "n_chars", "n_tokens")
 
+    def q_weighted_median(sf):
+        # token-weighted median char length: "the median TOKEN lives in a
+        # doc of what length" — skew-honest where the doc median is not
+        from fever_ray.ops.stats import weighted_median
+
+        return weighted_median(_docs_tok(sf), "n_chars", "n_tokens")
+
     def q_group_regression(sf):
         # per-source OLS token-count-vs-chars fit from the exact moments
         from fever_ray.ops.stats import group_regression
@@ -2444,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,
         "group_moments": q_group_moments,
         "group_regression": q_group_regression,
+        "weighted_median": q_weighted_median,
         "group_entropy": q_group_entropy,
         "zscore_outliers": q_zscore_outliers,
         "mad_outliers": q_mad_outliers,
@@ -3947,6 +3955,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(y * y) AS BIGINT) AS sum_yy, "
             "CAST(SUM(x * y) AS BIGINT) AS sum_xy "
             "FROM d GROUP BY source"
+        ),
+        "weighted_median": (
+            # lower weighted median: smallest v with 2·cum(v) >= W, pure
+            # integers on both engines
+            "WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v, "
+            "CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS w "
+            "FROM documents), "
+            "h AS (SELECT v, SUM(w) AS w FROM d GROUP BY v), "
+            "c AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED "
+            "PRECEDING) AS cum, SUM(w) OVER () AS tw FROM h) "
+            "SELECT CAST(MIN(CASE WHEN 2 * cum >= tw THEN v END) AS BIGINT) "
+            "AS median_value, CAST(MAX(tw) AS BIGINT) AS total_weight FROM c"
         ),
         "group_regression": (
             # exact HUGEINT normal equations, then the engine's fixed

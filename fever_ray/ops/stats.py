@@ -1669,3 +1669,94 @@ def ks_distance(
         )
 
     return rd.from_arrow(finish(combined))
+
+
+def weighted_median(
+    ds,
+    value_col: str,
+    weight_col: str,
+    max_values: int = 1 << 22,
+):
+    """EXACT lower weighted median — the smallest value v with
+    ``2·cumweight(v) ≥ W`` (pure integers, so the boundary can never
+    drift): the token-weighted corpus statistic ("the median TOKEN sits
+    in a doc of what length?") that an unweighted median badly misstates
+    under length skew.  Output: one row (``median_value``,
+    ``total_weight`` int64); zero total weight → sentinel (−1, 0).
+
+    Scale shape: per-batch (value, Σweight) histogram partials
+    tree-combine over the bounded distinct-value domain (loud
+    ``max_values``), one sort + cumsum finishes on the driver-side
+    bounded table — the corpus never shuffles."""
+    import ray
+    import ray.data as rd
+
+    from .aggregates import tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in (value_col, weight_col):
+            if batch.column(c).null_count:
+                raise ValueError(f"weighted_median: {c} contains nulls")
+        v = pc.cast(batch.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        w = pc.cast(batch.column(weight_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if (w < 0).any():
+            raise ValueError("weighted_median: negative weights")
+        u, inv = np.unique(v, return_inverse=True)
+        ws = np.zeros(len(u), np.int64)
+        np.add.at(ws, inv, w)
+        return pa.table(
+            {"v": pa.array(u, pa.int64()), "w": pa.array(ws, pa.int64())}
+        )
+
+    tabs = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["v"],
+                [("w", "sum")],
+                max_groups=max_values,
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    if not tabs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "median_value": pa.array([-1], pa.int64()),
+                    "total_weight": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    big = pa.concat_tables(tabs)
+    v = big.column("v").to_numpy(zero_copy_only=False)
+    w = big.column("w").to_numpy(zero_copy_only=False)
+    o = np.argsort(v, kind="stable")
+    v, w = v[o], w[o]
+    W = int(w.sum())
+    if W == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "median_value": pa.array([-1], pa.int64()),
+                    "total_weight": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    cum = np.cumsum(w)
+    idx = int(np.searchsorted(2 * cum, W, side="left"))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "median_value": pa.array([int(v[idx])], pa.int64()),
+                "total_weight": pa.array([W], pa.int64()),
+            }
+        )
+    )

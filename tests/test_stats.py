@@ -823,3 +823,49 @@ def test_ks_distance_vs_bruteforce(ray_session):
             "side",
             "value",
         ).take_all()
+
+
+def test_weighted_median_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import weighted_median
+
+    rng = np.random.default_rng(91)
+    v = rng.integers(0, 500, 800)
+    w = rng.integers(0, 20, 800)
+    t = pa.table(
+        {"v": pa.array(v, pa.int64()), "w": pa.array(w, pa.int64())}
+    )
+    order = np.argsort(v, kind="stable")
+    W = int(w.sum())
+    cum = 0
+    want = None
+    seen = {}
+    for vi in sorted(set(v.tolist())):
+        seen[vi] = int(w[v == vi].sum())
+    for vi in sorted(seen):
+        cum += seen[vi]
+        if 2 * cum >= W:
+            want = vi
+            break
+    for parts in (1, 6):
+        row = weighted_median(
+            rd.from_arrow(t).repartition(parts), "v", "w"
+        ).take_all()[0]
+        assert (row["median_value"], row["total_weight"]) == (want, W)
+    # all-zero weights -> sentinel
+    t0 = pa.table(
+        {"v": pa.array([1, 2], pa.int64()), "w": pa.array([0, 0], pa.int64())}
+    )
+    r0 = weighted_median(rd.from_arrow(t0), "v", "w").take_all()[0]
+    assert (r0["median_value"], r0["total_weight"]) == (-1, 0)
+    with pytest.raises(Exception, match="negative"):
+        weighted_median(
+            rd.from_arrow(
+                pa.table(
+                    {"v": pa.array([1], pa.int64()),
+                     "w": pa.array([-1], pa.int64())}
+                )
+            ),
+            "v", "w",
+        ).take_all()
