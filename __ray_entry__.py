@@ -1210,6 +1210,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return containment_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_allpairs_similarity(sf):
+        # EXACT set-similarity self-join (AllPairs prefix filter): zero
+        # false negatives, the recall-complete complement of MinHash LSH
+        from fever_ray.ops.dedup import allpairs_similarity_join
+
+        return allpairs_similarity_join(
+            _t(sf, "documents", ["doc_id", "text"]), t_num=1, t_den=2
+        )
+
     def q_token_edit_dups(sf):
         # SymSpell deletion-neighborhood candidates + exact vectorized
         # Levenshtein verify; oracle is the semantic nested-loop
@@ -2495,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "containment_pairs": q_containment_pairs,
         "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
+        "allpairs_similarity": q_allpairs_similarity,
         "snapshot_diff": q_snapshot_diff,
         "keeper_election": q_keeper_election,
         "source_dup_report": q_source_dup_report,
@@ -3578,6 +3588,36 @@ def _sorted_neighbor_sql(
     )
 
 
+def _allpairs_similarity_sql(t_num: int = 1, t_den: int = 2) -> str:
+    """Mirror of ops.dedup.allpairs_similarity_join: the shared shingle-hash
+    CTE prefix, intersection counts via a token equi-join (only pairs
+    sharing ≥1 shingle can pass any t_num ≥ 1 threshold), kept iff
+    t_den·|∩| ≥ t_num·|∪| — pure integers, bit-exact.  The
+    engine's df-ordered prefix filter is a zero-false-negative candidate
+    pruner (Bayardo et al. 2007), so the outputs are set-equal."""
+    ctes = _shingle_ctes("SELECT doc_id, text FROM documents")
+    ctes.append(("srow", "SELECT doc_id, UNNEST(sh) AS s FROM shu", True))
+    ctes.append(
+        (
+            "cand",
+            "SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter "
+            "FROM srow a JOIN srow b ON a.s = b.s AND b.doc_id > a.doc_id "
+            "GROUP BY a.doc_id, b.doc_id",
+            True,
+        )
+    )
+    uni = "(len(x.sh) + len(y.sh) - c.inter)"
+    return (
+        "WITH "
+        + _minhash_ctes_sql(ctes)
+        + " SELECT c.da AS doc_a, c.db AS doc_b, "
+        f"CAST(c.inter AS BIGINT) AS inter, CAST({uni} AS BIGINT) AS uni "
+        "FROM cand c JOIN shu x ON x.doc_id = c.da "
+        "JOIN shu y ON y.doc_id = c.db "
+        f"WHERE {t_den} * c.inter >= {t_num} * {uni}"
+    )
+
+
 def _minhash_dedup_sql() -> str:
     """Full within-corpus MinHash near-dedup: the shared verify chain plus
     connected components via a recursive-CTE min-reachable closure."""
@@ -4412,6 +4452,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
         "sorted_neighbor_pairs": _sorted_neighbor_sql(4, 16, 1, 2,
                                                       same_prefix=8),
+        "allpairs_similarity": _allpairs_similarity_sql(1, 2),
         "group_share": (
             # one double division of the same two exact cent integers on
             # both engines — bit-stable; zero-total groups share 0.0

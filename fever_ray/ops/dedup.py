@@ -3349,3 +3349,275 @@ def source_dup_report(
         )
 
     return combined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------- exact all-pairs simjoin
+def _explode_blob_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, sh-blob) rows → skinny (tok, doc_id, set_len) rows, one per
+    distinct shingle per doc, zero-copy from the packed blob buffers."""
+    off, dat = _blob_offsets_data(batch.column("sh"))
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(off)
+    return pa.table(
+        {
+            "tok": pa.array(dat.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            "set_len": pa.array(np.repeat(lens.astype(np.int64), lens), pa.int64()),
+        }
+    )
+
+
+def allpairs_similarity_join(
+    ds,
+    t_num: int = 1,
+    t_den: int = 2,
+    n_shingle: int = 3,
+    num_partitions: int | None = None,
+    max_bucket: int = 1 << 16,
+    broadcast_bytes: int = 512 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """EXACT set-similarity self-join with prefix filtering (AllPairs,
+    Bayardo, Ma & Srikant, WWW 2007; prefix filter per Chaudhuri et al.
+    2006 / PPJoin, Xiao et al. 2008): every pair of docs whose shingle-set
+    Jaccard satisfies ``t_den·|∩| ≥ t_num·|∪|`` (both sets non-empty),
+    with ZERO false negatives — the exact complement of the MinHash-LSH
+    path, which trades recall for speed.  Output rows: (doc_a, doc_b,
+    inter, uni), doc_a < doc_b, pure integers (bit-stable on any engine).
+
+    Prefix filter: under ANY global total order on tokens, J(A,B) ≥ t
+    implies |A∩B| ≥ ⌈t·|x|⌉ for BOTH sets (if the smaller set S < t·L the
+    ratio is already < t), so A and B must share a token within each
+    one's first ``|x| − ⌈t·|x|⌉ + 1`` tokens — candidates are exactly the
+    pairs co-occurring under some prefix token.  The order used is
+    (document-frequency asc, token asc) — the canonical AllPairs order:
+    prefixes hold each doc's RAREST tokens, so prefix-token buckets stay
+    tiny on natural corpora.
+
+    Scale shape (10^12 docs): the corpus tokenizes ONCE into per-doc
+    sorted-unique shingle blobs (`_shingle_blob_table` — the same hashes
+    the MinHash oracle mirrors); everything after is skinny ≤24-byte rows:
+    (1) one tok-hash bucket shuffle computes every token's exact global df
+    locally (bucketing by token makes each token's rows complete within
+    one bucket — no df join), (2) one doc-hash bucket shuffle sorts each
+    doc's tokens by (df, tok) and keeps the prefix, (3) one tok-hash
+    bucket shuffle emits co-occurrence pairs per prefix-token run, (4) a
+    pair-hash bucket dedup, (5) exact verification via the shared
+    `_verify_pairs_with_blobs` core (blob broadcast under
+    ``broadcast_bytes``, bucketed joins above).  Text never shuffles.
+    A prefix-token bucket larger than ``max_bucket`` raises loudly
+    (exactness forbids the chain-pair fallback the LSH path uses): such a
+    bucket means > max_bucket docs share a rarest-token — run exact_dedup
+    first or raise the cap."""
+    import ray
+    import ray.data as rd
+
+    from ..sketches.hashing import bucket_of
+
+    if not (1 <= t_num <= t_den):
+        raise ValueError(
+            f"allpairs_similarity_join: need 1 <= t_num <= t_den, got "
+            f"{t_num}/{t_den}"
+        )
+    n_parts = num_partitions or _auto_parts(ds, floor=32)
+
+    def blobs(batch: pa.Table) -> pa.Table:
+        return _shingle_blob_table(batch, n_shingle, None)
+
+    sh_ds = (
+        _dedup_blobs_by_id(
+            ds.map_batches(blobs, batch_format="pyarrow", zero_copy_batch=True),
+            n_parts,
+        )
+        .repartition(max(4, n_parts // 4))
+        .materialize()
+    )
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "uni": pa.array([], pa.int64()),
+        }
+    )
+
+    tok_rows = sh_ds.map_batches(_explode_blob_rows, batch_format="pyarrow")
+
+    def tag_tok(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(
+                bucket_of(
+                    batch.column("tok").to_numpy(zero_copy_only=False), n_parts
+                ),
+                pa.int32(),
+            ),
+        )
+
+    def df_annotate(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "set_len": pa.array([], pa.int64()),
+                }
+            )
+        tok = g.column("tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(tok, kind="stable")
+        starts = _key_runs(tok[order])
+        lens = np.diff(starts)
+        df_sorted = np.repeat(lens, lens)
+        df = np.empty(len(tok), np.int64)
+        df[order] = df_sorted
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "tok": g.column("tok"),
+                "df": pa.array(df, pa.int64()),
+                "set_len": g.column("set_len"),
+            }
+        )
+
+    df_rows = (
+        tok_rows.map_batches(tag_tok, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(df_annotate, batch_format="pyarrow")
+    )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(
+                bucket_of(
+                    batch.column("doc_id").to_numpy(zero_copy_only=False),
+                    n_parts,
+                ),
+                pa.int32(),
+            ),
+        )
+
+    def prefix_rows(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = g.column("tok").to_numpy(zero_copy_only=False)
+        df = g.column("df").to_numpy(zero_copy_only=False)
+        L = g.column("set_len").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, df, doc))
+        d_s, t_s, L_s = doc[order], tok[order], L[order]
+        starts = _key_runs(d_s)
+        lens = np.diff(starts)
+        rank = np.arange(len(d_s), dtype=np.int64) - np.repeat(starts[:-1], lens)
+        # prefix length |d| − ⌈t·|d|⌉ + 1, pure integers
+        p = L_s - (t_num * L_s + t_den - 1) // t_den + 1
+        keep = rank < p
+        return pa.table(
+            {
+                "tok": pa.array(t_s[keep], pa.int64()),
+                "doc_id": pa.array(d_s[keep], pa.int64()),
+            }
+        )
+
+    prefixes = (
+        df_rows.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(prefix_rows, batch_format="pyarrow")
+    )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        tok = g.column("tok").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, tok))
+        t_s, d_s = tok[order], doc[order]
+        starts = _key_runs(t_s)
+        lens = np.diff(starts)
+        a_out, b_out = [], []
+        for mi in np.nonzero(lens >= 2)[0]:
+            s, e = starts[mi], starts[mi + 1]
+            k = e - s
+            if k > max_bucket:
+                raise ValueError(
+                    f"allpairs_similarity_join: {k} docs share a prefix "
+                    f"token (> max_bucket={max_bucket}); exact output would "
+                    f"be O(k²) pairs — exact_dedup the corpus first or "
+                    f"raise max_bucket"
+                )
+            uids = d_s[s:e]  # unique within a run: blobs are id-deduped
+            iu, ju = np.triu_indices(k, k=1)
+            a_out.append(uids[iu])
+            b_out.append(uids[ju])
+        if not a_out:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+            }
+        )
+
+    cand = (
+        prefixes.map_batches(tag_tok, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = splitmix64(a * np.uint64(0x9E3779B97F4A7C15) + b)
+        return batch.append_column(
+            "part", pa.array((key % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
+
+    def uniq_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        a = g.column("doc_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        keep = np.empty(len(a_s), bool)
+        keep[0] = True
+        keep[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        return pa.table(
+            {
+                "doc_a": pa.array(a_s[keep], pa.int64()),
+                "doc_b": pa.array(b_s[keep], pa.int64()),
+            }
+        )
+
+    pairs = (
+        cand.map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(uniq_pairs, batch_format="pyarrow")
+        .repartition(max(4, n_parts // 4))
+        .materialize()
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def out(batch: pa.Table, inter, la, lb) -> pa.Table:
+        uni = la + lb - inter
+        keep = (t_den * inter) >= (t_num * uni)
+        sel = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        return sel.append_column(
+            "inter", pa.array(inter[keep], pa.int64())
+        ).append_column("uni", pa.array(uni[keep], pa.int64()))
+
+    return _verify_pairs_with_blobs(
+        pairs, sh_ds, out, max(4, n_parts // 4), broadcast_bytes
+    )

@@ -1081,3 +1081,81 @@ def test_source_dup_report_counts(ray_session):
             "b": (2, 2, 0),
             "c": (3, 1, 2),
         }
+
+
+# ---------------------------------------------------- allpairs (exact simjoin)
+def _brute_jaccard_pairs(rows, t_num, t_den, n=3):
+    from fever_ray.sketches.minhash import shingle_hashes
+
+    sets = {
+        r["doc_id"]: set(shingle_hashes(r["text"] or "", n=n).tolist())
+        for r in rows
+    }
+    out = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if t_den * inter >= t_num * uni:
+                out.append((a, b, inter, uni))
+    return sorted(out)
+
+
+def _allpairs_sorted(ds, **kw):
+    out = dd.allpairs_similarity_join(ds, **kw).take_all()
+    return sorted((r["doc_a"], r["doc_b"], r["inter"], r["uni"]) for r in out)
+
+
+def test_allpairs_matches_brute_force(dup_docs):
+    ds, rows = dup_docs
+    for t_num, t_den in ((1, 2), (7, 10), (1, 1)):
+        got = _allpairs_sorted(ds, t_num=t_num, t_den=t_den)
+        assert got == _brute_jaccard_pairs(rows, t_num, t_den), (t_num, t_den)
+
+
+def test_allpairs_partition_invariance(dup_docs, ray_session):
+    import ray.data as rd
+
+    _, rows = dup_docs
+    base = rd.from_items(rows)
+    a = _allpairs_sorted(base.repartition(3), t_num=1, t_den=2,
+                         num_partitions=8)
+    b = _allpairs_sorted(base.repartition(17), t_num=1, t_den=2,
+                         num_partitions=33)
+    assert a == b and len(a) > 0
+
+
+def test_allpairs_empty_and_short_docs(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": ""},            # no shingles
+        {"doc_id": 2, "text": "one two"},     # < n tokens: no shingles
+        {"doc_id": 3, "text": "a b c d e"},
+        {"doc_id": 4, "text": "a b c d e"},   # exact dup of 3
+        {"doc_id": 5, "text": None},
+    ]
+    got = _allpairs_sorted(rd.from_items(rows), t_num=1, t_den=1)
+    assert got == [(3, 4, 3, 3)]
+
+
+def test_allpairs_guards(dup_docs, ray_session):
+    import ray.data as rd
+
+    ds, _ = dup_docs
+    with pytest.raises(ValueError, match="t_num"):
+        dd.allpairs_similarity_join(ds, t_num=0, t_den=2)
+    with pytest.raises(ValueError, match="t_num"):
+        dd.allpairs_similarity_join(ds, t_num=3, t_den=2)
+    # > max_bucket docs sharing one prefix token raises loudly (exactness
+    # forbids the LSH chain fallback)
+    same = [{"doc_id": i, "text": "x y z"} for i in range(40)]
+    with pytest.raises(Exception, match="max_bucket"):
+        dd.allpairs_similarity_join(
+            rd.from_items(same), t_num=1, t_den=2, max_bucket=8
+        ).materialize()
