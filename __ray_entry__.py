@@ -2099,6 +2099,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_rank_fusion(sf):
+        # quantized reciprocal-rank fusion of two integer rankings over
+        # events: per-type top-50 by amount cents and by recency — fused
+        # top-10 per type, pure int64 scores
+        from fever_ray.ops.knn import rank_fusion
+
+        ev = _t(sf, "events", ["event_id", "event_type", "ts", "value"])
+
+        def derive(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                    "c": rel._cents(b.column("value")),
+                    "tsu": pc.cast(b.column("ts"), pa.int64()),
+                }
+            )
+
+        base = ev.map_batches(derive, batch_format="pyarrow").materialize()
+        by_value = rel.group_top_k(
+            base, "event_type", "c", k=50, id_col="event_id"
+        )
+        by_recency = rel.group_top_k(
+            base, "event_type", "tsu", k=50, id_col="event_id"
+        )
+        return rank_fusion(
+            [by_value, by_recency], k=10,
+            query_col="event_type", doc_col="event_id", rank_col="rn",
+        )
+
     def q_running_totals(sf):
         from fever_ray.ops.windows import running_totals
 
@@ -2565,6 +2595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_string_agg": q_group_string_agg,
         "token_budget_mix": q_token_budget_mix,
         "group_top_k": q_group_top_k,
+        "rank_fusion": q_rank_fusion,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -4912,6 +4943,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
             "FROM documents) WHERE rn <= 3"
+        ),
+        # quantized RRF (Cormack et al. 2009): score = Σ 10^9 // (60 + r)
+        # over two per-type top-50 rankings (amount cents, recency) — pure
+        # int64 scores, fused top-10 per type, doc-asc tiebreak both sides
+        "rank_fusion": (
+            "WITH e AS (SELECT event_id, event_type, ts, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS c FROM events), "
+            "ra AS (SELECT event_type, event_id, ROW_NUMBER() OVER "
+            "(PARTITION BY event_type ORDER BY c DESC, event_id) AS r FROM e), "
+            "rb AS (SELECT event_type, event_id, ROW_NUMBER() OVER "
+            "(PARTITION BY event_type ORDER BY ts DESC, event_id) AS r FROM e), "
+            "u AS (SELECT event_type, event_id, 1000000000 // (60 + r) AS s "
+            "FROM ra WHERE r <= 50 "
+            "UNION ALL SELECT event_type, event_id, 1000000000 // (60 + r) "
+            "FROM rb WHERE r <= 50), "
+            "f AS (SELECT event_type, event_id, SUM(s) AS s FROM u "
+            "GROUP BY event_type, event_id) "
+            "SELECT event_type, event_id, score, rn FROM ("
+            "SELECT event_type, event_id, CAST(s AS BIGINT) AS score, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY s DESC, event_id) AS rn FROM f) WHERE rn <= 10"
         ),
         # integer-cents running sum (order-independent, same discipline as
         # pricing_summary); gap_us -1 sentinel instead of a nullable int

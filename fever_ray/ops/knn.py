@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -507,3 +508,100 @@ def project_quantized(qds, out_dim: int = 16, id_col: str = "vec_id"):
         )
 
     return qds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- rank fusion
+def rank_fusion(
+    rankings,
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = 10**9,
+    num_partitions: int = 32,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+):
+    """Quantized reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+    SIGIR 2009) over R ranked candidate lists: fused score(q, d) =
+    Σ_r ``scale // (rrf_k + rank_r(q, d))`` (missing docs contribute 0),
+    output = exact top-``k`` per query under (score desc, doc asc).
+
+    The floor-division quantization makes every score a pure int64 — no
+    float fraction sums whose order could drift across engines — while
+    preserving RRF's ordering for any realistic depth (adjacent 1/(60+r)
+    gaps at r ≤ 10^4 are ≥ 10^-8·scale/10 apart at scale=10^9).
+
+    Scale shape (10^12 docs): each ranking is already a top-N per query
+    (n_queries × N skinny rows — the output of `knn_quantized` /
+    `group_top_k`-style stages, never the corpus); fusion is one
+    (query, doc)-hash bucket shuffle with a vectorized per-bucket sum
+    (lexsort + reduceat), then the skew-immune `group_top_k` kernel picks
+    per-query winners.  Rank 0/negative rows are rejected loudly —
+    a 0 rank would divide scale by rrf_k and silently dominate."""
+    import ray.data as rd
+
+    from ..sketches.hashing import splitmix64
+    from .relational import group_top_k
+
+    if not rankings:
+        raise ValueError("rank_fusion: need at least one ranking")
+    if k < 1 or rrf_k < 0 or scale < 1:
+        raise ValueError("rank_fusion: bad k/rrf_k/scale")
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = batch.column(rank_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(r) and r.min() < 1:
+            raise ValueError("rank_fusion: ranks must be >= 1")
+        s = scale // (rrf_k + r)
+        return pa.table(
+            {
+                query_col: batch.column(query_col),
+                doc_col: pc.cast(batch.column(doc_col), pa.int64()),
+                "score": pa.array(s, pa.int64()),
+            }
+        )
+
+    parts = rankings[0].map_batches(contrib, batch_format="pyarrow")
+    for more in rankings[1:]:
+        parts = parts.union(more.map_batches(contrib, batch_format="pyarrow"))
+
+    from ..sketches.hashing import hash64, hash64_ints
+
+    def tag(batch: pa.Table) -> pa.Table:
+        q = batch.column(query_col)
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        hq = (
+            hash64_ints(q.to_numpy(zero_copy_only=False).astype(np.int64))
+            if pa.types.is_integer(q.type)
+            else hash64(q)
+        )
+        d = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = splitmix64(hq + d * np.uint64(0x9E3779B97F4A7C15))
+        return batch.append_column(
+            "part",
+            pa.array((key % np.uint64(num_partitions)).astype(np.int32), pa.int32()),
+        )
+
+    def bucket_sum(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    query_col: pa.array([], pa.string()),
+                    doc_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.TableGroupBy(g.select([query_col, doc_col, "score"]),
+                            [query_col, doc_col]).aggregate([("score", "sum")])
+        return t.rename_columns([query_col, doc_col, "score"])
+
+    fused = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+    )
+    return group_top_k(
+        fused, query_col, "score", k=k, id_col=doc_col, descending=True,
+        num_partitions=num_partitions,
+    )

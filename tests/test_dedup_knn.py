@@ -1159,3 +1159,47 @@ def test_allpairs_guards(dup_docs, ray_session):
         dd.allpairs_similarity_join(
             rd.from_items(same), t_num=1, t_den=2, max_bucket=8
         ).materialize()
+
+
+# ------------------------------------------------------------- rank fusion
+def test_rank_fusion_hand_computed(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.knn import rank_fusion
+
+    # two rankings for one query; doc 7 is #1 in both, doc 3 only in A,
+    # doc 9 only in B, docs 1/2 split
+    ra = [
+        {"query_id": "q", "doc_id": 7, "rank": 1},
+        {"query_id": "q", "doc_id": 1, "rank": 2},
+        {"query_id": "q", "doc_id": 3, "rank": 3},
+    ]
+    rb = [
+        {"query_id": "q", "doc_id": 7, "rank": 1},
+        {"query_id": "q", "doc_id": 2, "rank": 2},
+        {"query_id": "q", "doc_id": 9, "rank": 3},
+    ]
+    out = rank_fusion(
+        [rd.from_items(ra), rd.from_items(rb)], k=5, rrf_k=60, scale=10**9
+    ).take_all()
+    s1 = 10**9 // 61
+    s2 = 10**9 // 62
+    s3 = 10**9 // 63
+    expect = {7: 2 * s1, 1: s2, 2: s2, 3: s3, 9: s3}
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert got == expect
+    # doc-asc tiebreak between equal-score docs 1/2 and 3/9
+    order = [r["doc_id"] for r in sorted(out, key=lambda r: r["rn"])]
+    assert order == [7, 1, 2, 3, 9]
+
+
+def test_rank_fusion_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.knn import rank_fusion
+
+    with pytest.raises(ValueError, match="at least one"):
+        rank_fusion([])
+    bad = rd.from_items([{"query_id": "q", "doc_id": 1, "rank": 0}])
+    with pytest.raises(Exception, match="ranks must be"):
+        rank_fusion([bad]).take_all()
