@@ -2099,6 +2099,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_band_join(sf):
+        # numeric band self-join: part retail prices within 2 cents —
+        # the distance-predicate theta-join, exact integer cents
+        from fever_ray.ops.relational import band_join
+
+        p = _t(sf, "part", ["p_partkey", "p_retailprice"])
+
+        def left(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id_a": pc.cast(b.column("p_partkey"), pa.int64()),
+                    "val_a": rel._cents(b.column("p_retailprice")),
+                }
+            )
+
+        def right(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id_b": pc.cast(b.column("p_partkey"), pa.int64()),
+                    "val_b": rel._cents(b.column("p_retailprice")),
+                }
+            )
+
+        return band_join(
+            p.map_batches(left, batch_format="pyarrow"),
+            p.map_batches(right, batch_format="pyarrow"),
+            delta=2,
+            emit="lt",
+        )
+
     def q_rank_fusion(sf):
         # quantized reciprocal-rank fusion of two integer rankings over
         # events: per-type top-50 by amount cents and by recency — fused
@@ -2596,6 +2626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_mix": q_token_budget_mix,
         "group_top_k": q_group_top_k,
         "rank_fusion": q_rank_fusion,
+        "band_join": q_band_join,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -4943,6 +4974,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
             "FROM documents) WHERE rn <= 3"
+        ),
+        # numeric band self-join on exact integer cents; bucket width
+        # delta+1 in the engine affects load only, never output
+        "band_join": (
+            "WITH p AS (SELECT p_partkey AS k, "
+            "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
+            "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
+            "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 2"
         ),
         # quantized RRF (Cormack et al. 2009): score = Σ 10^9 // (60 + r)
         # over two per-type top-50 rankings (amount cents, recency) — pure

@@ -1136,3 +1136,176 @@ def group_share(
     return ds.map_batches(
         annotate, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def band_join(
+    left_ds,
+    right_ds,
+    delta: int,
+    left_id: str = "id_a",
+    left_val: str = "val_a",
+    right_id: str = "id_b",
+    right_val: str = "val_b",
+    num_partitions: int | None = None,
+    emit: str = "all",
+):
+    """Numeric band join: every (left, right) pair with
+    ``|left_val − right_val| ≤ delta`` — the distance-predicate theta-join
+    (price-match audits, sensor alignment, near-equal feature linkage)
+    that an equi-join engine cannot express.  Values must be integers
+    (cents / micros discipline) so the predicate is bit-stable.
+
+    ``emit="lt"`` keeps only pairs with left id < right id — the self-join
+    mode (skips mirror duplicates and self-pairs when both sides are the
+    same table).
+
+    Output: (left_id, right_id, left_val, right_val), pure int64.
+
+    Scale shape (10^12 rows): band bucketing — bucket(v) = v // (delta+1)
+    (floor division, negatives included); a match implies bucket distance
+    ≤ 1, so LEFT rows replicate into {b−1, b, b+1} (3× a skinny (id, val)
+    projection, never payload columns) while RIGHT rows land once in their
+    own bucket; ONE bucket-hash co-partition brings each candidate pair
+    together exactly once (the right row's bucket is unique), and the
+    per-bucket kernel is two vectorized searchsorteds over the sorted
+    right values + one repeat/arange expansion — no Python pair loop.
+    Bucket width delta+1 keeps per-bucket row counts ∝ value density ×
+    delta; heavily repeated values in one band are the caller's output
+    size, not a partitioning failure."""
+    import numpy as np
+
+    from ..sketches.hashing import hash64_ints
+    from .dedup import _auto_parts  # circular-safe: ops package peers
+
+    if delta < 0:
+        raise ValueError(f"band_join: delta must be >= 0, got {delta}")
+    if emit not in ("all", "lt"):
+        raise ValueError(f"band_join: emit must be 'all' or 'lt', got {emit!r}")
+    n_parts = num_partitions or max(
+        _auto_parts(left_ds, floor=32), _auto_parts(right_ds, floor=32)
+    )
+    width = np.int64(delta + 1)
+
+    def project(id_col, val_col, replicate: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+            if not np.issubdtype(vals.dtype, np.integer):
+                raise TypeError(
+                    f"band_join: {val_col} must be integer-typed, got "
+                    f"{vals.dtype} (use the cents/micros discipline)"
+                )
+            vals = vals.astype(np.int64)
+            b = np.floor_divide(vals, width)
+            if replicate:
+                ids = np.concatenate([ids, ids, ids])
+                vals = np.concatenate([vals, vals, vals])
+                b = np.concatenate([b - 1, b, b + 1])
+            part = (hash64_ints(b) % np.uint64(n_parts)).astype(np.int32)
+            return pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "val": pa.array(vals, pa.int64()),
+                    "band": pa.array(b, pa.int64()),
+                    "side": pa.array(
+                        np.zeros(len(ids), np.int8) if replicate
+                        else np.ones(len(ids), np.int8),
+                        pa.int8(),
+                    ),
+                    "part": pa.array(part, pa.int32()),
+                }
+            )
+
+        return fn
+
+    both = left_ds.map_batches(
+        project(left_id, left_val, True), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(
+        right_ds.map_batches(
+            project(right_id, right_val, False), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    empty = pa.table(
+        {
+            left_id: pa.array([], pa.int64()),
+            right_id: pa.array([], pa.int64()),
+            left_val: pa.array([], pa.int64()),
+            right_val: pa.array([], pa.int64()),
+        }
+    )
+
+    def match(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        vals = g.column("val").to_numpy(zero_copy_only=False)
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        rm = ~lm
+        if not lm.any() or not rm.any():
+            return empty
+        # both sides sorted by (band, val); matching runs per shared band —
+        # rv is sorted only WITHIN a band run, so probes are per-run
+        # searchsorteds (vectorized across the run's left rows; the run
+        # loop is the codebase's standard bucket-run pattern)
+        r_ord = np.lexsort((vals[rm], band[rm]))
+        rb, rv, rid = band[rm][r_ord], vals[rm][r_ord], ids[rm][r_ord]
+        l_ord = np.lexsort((vals[lm], band[lm]))
+        lb, lv, lid = band[lm][l_ord], vals[lm][l_ord], ids[lm][l_ord]
+        # run starts on each side; align shared bands via searchsorted
+        r_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(rb) != 0) + 1, [len(rb)])
+        )
+        l_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(lb) != 0) + 1, [len(lb)])
+        )
+        r_bands = rb[r_starts[:-1]]
+        l_bands = lb[l_starts[:-1]]
+        common, li, ri = np.intersect1d(l_bands, r_bands, return_indices=True)
+        out_l_parts, out_lv_parts, out_r_parts, out_rv_parts = [], [], [], []
+        for ci in range(len(common)):
+            ls, le = l_starts[li[ci]], l_starts[li[ci] + 1]
+            rs, re = r_starts[ri[ci]], r_starts[ri[ci] + 1]
+            run_rv = rv[rs:re]
+            lo = rs + np.searchsorted(run_rv, lv[ls:le] - delta, side="left")
+            hi = rs + np.searchsorted(run_rv, lv[ls:le] + delta, side="right")
+            cnt = hi - lo
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            lo_k, cnt_k = lo[keep], cnt[keep]
+            total = int(cnt_k.sum())
+            take = np.repeat(lo_k, cnt_k) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(cnt_k[:-1]))), cnt_k)
+            )
+            out_l_parts.append(np.repeat(lid[ls:le][keep], cnt_k))
+            out_lv_parts.append(np.repeat(lv[ls:le][keep], cnt_k))
+            out_r_parts.append(rid[take])
+            out_rv_parts.append(rv[take])
+        if not out_l_parts:
+            return empty
+        out_l = np.concatenate(out_l_parts)
+        out_lv = np.concatenate(out_lv_parts)
+        out_r = np.concatenate(out_r_parts)
+        out_rv = np.concatenate(out_rv_parts)
+        if emit == "lt":
+            m = out_l < out_r
+            out_l, out_r, out_lv, out_rv = out_l[m], out_r[m], out_lv[m], out_rv[m]
+        return pa.table(
+            {
+                left_id: pa.array(out_l, pa.int64()),
+                right_id: pa.array(out_r, pa.int64()),
+                left_val: pa.array(out_lv, pa.int64()),
+                right_val: pa.array(out_rv, pa.int64()),
+            }
+        )
+
+    return (
+        both.groupby("part")
+        .map_groups(match, batch_format="pyarrow")
+    )

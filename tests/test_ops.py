@@ -1037,3 +1037,64 @@ def test_basket_lift_vs_bruteforce(ray_session):
     # the planted association is flagged, the independent one is not
     assert want[("buy", "cart")][4] == 1
     assert want[("refund", "view")][4] == 0
+
+
+# ------------------------------------------------------------------ band join
+def test_band_join_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import band_join
+
+    rng = np.random.default_rng(11)
+    lv = rng.integers(-50, 50, size=300)
+    rv = rng.integers(-50, 50, size=200)
+    left = rd.from_items(
+        [{"id_a": i, "val_a": int(v)} for i, v in enumerate(lv)]
+    ).repartition(5)
+    right = rd.from_items(
+        [{"id_b": 1000 + i, "val_b": int(v)} for i, v in enumerate(rv)]
+    ).repartition(3)
+    for delta in (0, 3, 7):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["val_a"], r["val_b"])
+            for r in band_join(left, right, delta=delta,
+                               num_partitions=9).take_all()
+        )
+        want = sorted(
+            (i, 1000 + j, int(a), int(b))
+            for i, a in enumerate(lv)
+            for j, b in enumerate(rv)
+            if abs(int(a) - int(b)) <= delta
+        )
+        assert got == want, delta
+        assert len(got) > 0
+
+
+def test_band_join_lt_self_join(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import band_join
+
+    vals = [10, 11, 13, 13, 100]
+    a = rd.from_items([{"id_a": i, "val_a": v} for i, v in enumerate(vals)])
+    b = rd.from_items([{"id_b": i, "val_b": v} for i, v in enumerate(vals)])
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in band_join(a, b, delta=2, emit="lt").take_all()
+    )
+    assert got == [(0, 1), (1, 2), (1, 3), (2, 3)]
+
+
+def test_band_join_guards(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import band_join
+
+    ds = rd.from_items([{"id_a": 1, "val_a": 1.5}])
+    ds2 = rd.from_items([{"id_b": 1, "val_b": 1}])
+    with pytest.raises(ValueError, match="delta"):
+        band_join(ds, ds2, delta=-1)
+    with pytest.raises(ValueError, match="emit"):
+        band_join(ds, ds2, delta=1, emit="gt")
+    with pytest.raises(Exception, match="integer-typed"):
+        band_join(ds, ds2, delta=1).take_all()
