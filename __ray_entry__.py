@@ -2302,6 +2302,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "events", ["event_id", "user_id", "ts", "value"])
         )
 
+    def q_spearman_corr(sf):
+        # per-user exact Spearman of (event time, value cents): integer
+        # doubled-average-rank moments, no float in the output
+        from fever_ray.ops.windows import spearman_corr
+
+        return spearman_corr(
+            _t(sf, "events", ["event_id", "user_id", "ts", "value"])
+        )
+
     def q_locf_fill(sf):
         # the events table has no null values at any sf, so the gap being
         # filled is synthesized deterministically (event_id % 7 < 3 → NULL)
@@ -2620,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_range_sum": q_time_range_sum,
         "locf_fill": q_locf_fill,
         "theil_sen_trend": q_theil_sen_trend,
+        "spearman_corr": q_spearman_corr,
         "ks_distance": q_ks_distance,
         "basket_lift": q_basket_lift,
         "conversion_lag_histogram": q_conversion_lag_histogram,
@@ -5099,6 +5109,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN COALESCE(t.ta, 0) = 0 OR COALESCE(t.tb, 0) = 0 "
             "THEN -1.0 ELSE (SELECT COALESCE(e, 0) FROM emd) END AS DOUBLE) "
             "AS emd_num FROM t"
+        ),
+        "spearman_corr": (
+            # doubled average ranks (2·RANK() + tie count − 1 is the
+            # integer double of the average rank) keep every moment int64
+            "WITH e AS (SELECT user_id AS k, epoch_us(ts) AS x, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS y FROM events), "
+            "r AS (SELECT k, "
+            "2*RANK() OVER (PARTITION BY k ORDER BY x) "
+            "+ COUNT(*) OVER (PARTITION BY k, x) - 1 AS ax, "
+            "2*RANK() OVER (PARTITION BY k ORDER BY y) "
+            "+ COUNT(*) OVER (PARTITION BY k, y) - 1 AS ay FROM e) "
+            "SELECT k AS user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*)*SUM(ax*ay) - SUM(ax)*SUM(ay) AS BIGINT) AS num, "
+            "CAST(COUNT(*)*SUM(ax*ax) - SUM(ax)*SUM(ax) AS BIGINT) AS den_x, "
+            "CAST(COUNT(*)*SUM(ay*ay) - SUM(ay)*SUM(ay) AS BIGINT) AS den_y "
+            "FROM r GROUP BY k"
         ),
         "theil_sen_trend": (
             # lower median of exact-cent / exact-microsecond slope doubles;

@@ -1561,3 +1561,124 @@ def theil_sen_trend(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def _doubled_avg_ranks(v: np.ndarray, run_start: np.ndarray,
+                       run_len: np.ndarray) -> np.ndarray:
+    """Doubled average ranks of ``v`` WITHIN each key run (runs contiguous,
+    lengths ``run_len``): rank ties by their average position, doubled so
+    the result stays integer — a tie block occupying 1-based in-run
+    positions s+1..s+c has average rank s + (c+1)/2, i.e. doubled rank
+    2s + c + 1 (the SQL mirror is ``2*RANK() + COUNT(*) OVER (key, v)
+    − 1``).  Vectorized across ALL runs at once: one lexsort, one
+    boundary diff, one repeat — no per-key Python.  Returns int64 ranks
+    aligned to the INPUT row order."""
+    n = len(v)
+    rid = np.repeat(np.arange(len(run_start), dtype=np.int64), run_len)
+    o = np.lexsort((v, rid))
+    vs, rids = v[o], rid[o]
+    pos_in = np.arange(n, dtype=np.int64) - np.repeat(run_start, run_len)
+    new_block = np.empty(n, dtype=bool)
+    new_block[0] = True
+    np.not_equal(vs[1:], vs[:-1], out=new_block[1:])
+    new_block[1:] |= rids[1:] != rids[:-1]
+    starts = np.flatnonzero(new_block)
+    cnts = np.diff(np.concatenate((starts, [n])))
+    doubled = 2 * pos_in[starts] + cnts + 1
+    out = np.empty(n, dtype=np.int64)
+    out[o] = np.repeat(doubled, cnts)
+    return out
+
+
+def spearman_corr(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    max_events_per_key: int = 8192,
+    num_partitions: int | None = None,
+):
+    """Per-key EXACT Spearman rank correlation between event time and
+    value — the nonparametric "does this key's metric drift
+    monotonically?" audit (Pearson on ranks: immune to outliers and any
+    monotone rescaling, the standard drift test when the value scale is
+    arbitrary).  Ties get average ranks; to stay bit-stable the kernel
+    works in DOUBLED ranks (2·avg is always integer) and emits the three
+    integer moments of the correlation instead of the float quotient:
+
+        rho = num / sqrt(den_x · den_y)
+        num   = n·Σ(ax·ay) − Σax·Σay      (ax, ay doubled ranks)
+        den_x = n·Σax² − (Σax)²,  den_y likewise
+
+    All three are exact int64 (guarded: den ≤ 4n⁴ needs n ≤ ~38k;
+    ``max_events_per_key`` raises loudly well before).  den = 0 (constant
+    column, e.g. a single-event key) leaves rho undefined — callers see
+    it explicitly instead of a NaN-poisoned float.  Output rows:
+    (key, n int64, num, den_x, den_y int64).
+
+    Scale shape: `running_totals`' budget — one key-hash bucket shuffle
+    of a skinny 4-column projection, then ONE lexsort per rank column per
+    bucket, vectorized across all keys (`_doubled_avg_ranks`); per-run
+    sums via np.add.reduceat.  Nothing materializes on the driver."""
+    from .dedup import _auto_parts
+
+    if max_events_per_key > 38_000:
+        raise ValueError(
+            "spearman_corr: max_events_per_key > 38000 overflows the exact "
+            "int64 moments (den grows as 4n^4)"
+        )
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+    tag = _window_tag_fn(key, ts_col, id_col, value_col, n_parts,
+                         "spearman_corr")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "n": pa.array([], pa.int64()),
+                    "num": pa.array([], pa.int64()),
+                    "den_x": pa.array([], pa.int64()),
+                    "den_y": pa.array([], pa.int64()),
+                }
+            )
+        kc, order, tO, iO, cO, run_start, run_len = _sorted_key_runs(
+            g, key, ts_col, id_col, value_col
+        )
+        maxlen = int(run_len.max())
+        if maxlen > max_events_per_key:
+            raise ValueError(
+                f"spearman_corr: a key has {maxlen} events — raise "
+                f"max_events_per_key ({max_events_per_key}) deliberately "
+                "(int64-exact up to ~38k) or pre-aggregate"
+            )
+        ax = _doubled_avg_ranks(tO, run_start, run_len)
+        ay = _doubled_avg_ranks(cO, run_start, run_len)
+        n_k = run_len.astype(np.int64)
+        sx = np.add.reduceat(ax, run_start)
+        sy = np.add.reduceat(ay, run_start)
+        sxx = np.add.reduceat(ax * ax, run_start)
+        syy = np.add.reduceat(ay * ay, run_start)
+        sxy = np.add.reduceat(ax * ay, run_start)
+        num = n_k * sxy - sx * sy
+        den_x = n_k * sxx - sx * sx
+        den_y = n_k * syy - sy * sy
+        keys_out = kc.take(pa.array(order[run_start], pa.int64()))
+        return pa.table(
+            {
+                key: keys_out,
+                "n": pa.array(n_k, pa.int64()),
+                "num": pa.array(num, pa.int64()),
+                "den_x": pa.array(den_x, pa.int64()),
+                "den_y": pa.array(den_y, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

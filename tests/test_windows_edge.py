@@ -737,3 +737,79 @@ def test_theil_sen_trend_vs_bruteforce_and_robustness(ray_session):
         theil_sen_trend(
             rd.from_arrow(t), max_events_per_key=4, num_partitions=2
         ).take_all()
+
+
+def test_spearman_corr_exact_and_vs_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fever_ray.ops.windows import spearman_corr
+
+    rng = np.random.default_rng(77)
+    n_users, per = 12, 40
+    uid = np.repeat(np.arange(1, n_users + 1, dtype=np.int64), per)
+    # coarse grids force plenty of ties in BOTH rank columns
+    ts = rng.integers(0, 15, size=len(uid)).astype(np.int64)
+    val = rng.integers(0, 9, size=len(uid)).astype(np.int64) / 100.0
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(uid), dtype=np.int64)),
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    for parts in (1, 7):
+        rows = {
+            r["user_id"]: r
+            for r in spearman_corr(
+                rd.from_arrow(t).repartition(parts), num_partitions=4
+            ).take_all()
+        }
+        assert set(rows) == set(range(1, n_users + 1))
+        df = pd.DataFrame({"u": uid, "x": ts, "y": val})
+        for u, g in df.groupby("u"):
+            r = rows[u]
+            assert r["n"] == len(g)
+            # moments -> rho must equal Pearson over tie-average ranks
+            # (the Spearman definition; scipy is absent in-container)
+            rho = r["num"] / np.sqrt(float(r["den_x"]) * float(r["den_y"]))
+            rx = g["x"].rank(method="average").to_numpy()
+            ry = g["y"].rank(method="average").to_numpy()
+            want = np.corrcoef(rx, ry)[0, 1]
+            assert abs(rho - want) < 1e-12, (u, rho, want)
+
+    # hand case with ties: x=(1,1,2,3), y=(5,5,5,7) doubled ranks
+    # ax=(3,3,6,8), ay=(4,4,4,8): n=4, num/den by hand
+    t2 = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "user_id": pa.array([9, 9, 9, 9], pa.int64()),
+            "ts": pa.array([1, 1, 2, 3], pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([0.05, 0.05, 0.05, 0.07], pa.float64()),
+        }
+    )
+    (r,) = spearman_corr(rd.from_arrow(t2), num_partitions=2).take_all()
+    ax, ay = np.array([3, 3, 6, 8]), np.array([4, 4, 4, 8])
+    assert r["num"] == 4 * (ax * ay).sum() - ax.sum() * ay.sum()
+    assert r["den_x"] == 4 * (ax * ax).sum() - ax.sum() ** 2
+    assert r["den_y"] == 4 * (ay * ay).sum() - ay.sum() ** 2
+
+    # single-event key: all moments 0 (rho undefined, explicit not NaN)
+    t3 = pa.table(
+        {
+            "event_id": pa.array([0], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([5], pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([1.0], pa.float64()),
+        }
+    )
+    (r3,) = spearman_corr(rd.from_arrow(t3), num_partitions=2).take_all()
+    assert (r3["n"], r3["num"], r3["den_x"], r3["den_y"]) == (1, 0, 0, 0)
+
+    with pytest.raises(Exception, match="max_events_per_key"):
+        spearman_corr(
+            rd.from_arrow(t), max_events_per_key=4, num_partitions=2
+        ).take_all()
+    with pytest.raises(ValueError, match="38000"):
+        spearman_corr(rd.from_arrow(t), max_events_per_key=50_000)
