@@ -1472,6 +1472,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out_dim=8,
         )
 
+    def q_mutual_nn(sf):
+        # reciprocal top-1 cosine pairs; integer ids only cross the gate
+        from fever_ray.ops.knn import mutual_nn_pairs
+
+        return mutual_nn_pairs(_t(sf, "embeddings", ["vec_id", "embedding"]))
+
     def q_knn_lsh(sf):
         return knn_lsh(_t(sf, "embeddings", ["vec_id", "embedding"]), _queries_mat(sf), k=5)
 
@@ -2598,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_quantized": q_knn_quantized,
         "embedding_project": q_embedding_project,
         "knn_bruteforce": q_knn_bruteforce,
+        "mutual_nn": q_mutual_nn,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "page_ioc_match": q_page_ioc_match,
@@ -4419,6 +4426,18 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_id "
             "ORDER BY list_dot_product(q.qq, e.qv) DESC, e.vec_id) AS rn "
             "FROM q CROSS JOIN ql e) WHERE rn <= 5"
+        ),
+        "mutual_nn": (
+            # directed top-1 by (cosine desc, id asc), kept iff reciprocal;
+            # ids-only output keeps the float ranking out of the hash
+            "WITH n AS (SELECT a.vec_id AS src, b.vec_id AS nbr, "
+            "ROW_NUMBER() OVER (PARTITION BY a.vec_id "
+            "ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, "
+            "b.vec_id) AS rn "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+            "t AS (SELECT src, nbr FROM n WHERE rn = 1) "
+            "SELECT a.src AS id_a, a.nbr AS id_b FROM t a "
+            "JOIN t b ON a.nbr = b.src AND b.nbr = a.src WHERE a.src < a.nbr"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

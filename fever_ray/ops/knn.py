@@ -605,3 +605,108 @@ def rank_fusion(
         fused, query_col, "score", k=k, id_col=doc_col, descending=True,
         num_partitions=num_partitions,
     )
+
+
+def mutual_nn_pairs(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
+    num_partitions: int = 64,
+):
+    """Reciprocal nearest-neighbor pairs: (a, b) such that b is a's single
+    closest cosine neighbor AND a is b's — the mutual-top-1 criterion of
+    bitext mining (Artetxe & Schwenk 2019 margin-scoring precursor) and a
+    high-precision near-dup signal (mutuality kills the hubness false
+    positives a one-directional top-1 keeps).  Ties break by smaller
+    neighbor id, so the directed top-1 is deterministic; output rows
+    (id_a, id_b) with id_a < id_b, pure int64, each mutual pair once.
+
+    Scale shape: the normalized corpus matrix is broadcast ONCE via
+    ray.put (id-sorted so np.argmax's first-max rule IS the id
+    tie-break); every batch computes one (batch × corpus) matmul and
+    emits a single directed edge per row — no per-row Python.  The
+    broadcast regime is gated loudly at ``max_broadcast_rows``; beyond
+    it, run the same mutual filter over `cluster.knn_graph`'s
+    cluster-bounded top-1 edges instead (IVF approximation).  The mutual
+    filter is ONE skinny (lo, hi)-hash bucket shuffle; a canonical pair
+    appears at most twice, and exactly-twice == mutual (vectorized
+    run-length check per bucket)."""
+    import ray
+
+    from ..sketches.hashing import hash64_ints
+
+    blocks = [
+        t for t in ray.get(ds.select_columns([id_col, emb_col]).to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if not blocks:
+        raise ValueError("mutual_nn_pairs: empty input")
+    ids = np.concatenate(
+        [b.column(id_col).to_numpy(zero_copy_only=False) for b in blocks]
+    ).astype(np.int64)
+    if len(ids) > max_broadcast_rows:
+        raise ValueError(
+            f"mutual_nn_pairs: {len(ids)} rows exceeds the broadcast regime "
+            f"({max_broadcast_rows}); use cluster.knn_graph top-1 edges + "
+            "the same mutual filter (IVF-bounded approximation)"
+        )
+    mat = np.vstack([_normalize(_embedding_matrix(b, emb_col)) for b in blocks])
+    order = np.argsort(ids, kind="stable")
+    ids_sorted, mat_sorted = ids[order], mat[order]
+    if len(ids_sorted) > 1 and (np.diff(ids_sorted) == 0).any():
+        raise ValueError(f"mutual_nn_pairs: duplicate {id_col} values")
+    bcast = ray.put((ids_sorted, mat_sorted))
+
+    def top1(batch: pa.Table) -> pa.Table:
+        bids, bmat = ray.get(bcast)
+        rid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rmat = _normalize(_embedding_matrix(batch, emb_col))
+        sims = rmat @ bmat.T
+        # self-exclusion: every row id exists in the broadcast by construction
+        self_col = np.searchsorted(bids, rid)
+        sims[np.arange(len(rid)), self_col] = -np.inf
+        nbr = bids[np.argmax(sims, axis=1)]  # first max == smallest id on ties
+        lo = np.minimum(rid, nbr)
+        hi = np.maximum(rid, nbr)
+        part = (hash64_ints(lo * np.int64(31) + hi) % np.uint64(num_partitions)
+                ).astype(np.int32)
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def mutual(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        lo = g.column("lo").to_numpy(zero_copy_only=False)
+        hi = g.column("hi").to_numpy(zero_copy_only=False)
+        o = np.lexsort((hi, lo))
+        lo, hi = lo[o], hi[o]
+        same = np.empty(len(lo), dtype=bool)
+        same[0] = False
+        same[1:] = (lo[1:] == lo[:-1]) & (hi[1:] == hi[:-1])
+        keep = same  # second of the pair marks mutuality (multiplicity 2 max)
+        return pa.table(
+            {
+                "id_a": pa.array(lo[keep], pa.int64()),
+                "id_b": pa.array(hi[keep], pa.int64()),
+            }
+        )
+
+    if len(ids) == 1:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    return (
+        ds.map_batches(top1, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(mutual, batch_format="pyarrow")
+    )

@@ -1203,3 +1203,63 @@ def test_rank_fusion_guards(ray_session):
     bad = rd.from_items([{"query_id": "q", "doc_id": 1, "rank": 0}])
     with pytest.raises(Exception, match="ranks must be"):
         rank_fusion([bad]).take_all()
+
+
+def test_mutual_nn_pairs_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.knn import mutual_nn_pairs
+
+    rng = np.random.default_rng(31)
+    n, d = 120, 16
+    mat = rng.normal(size=(n, d))
+    # plant two tight mutual pairs far from the cloud
+    mat[7] = 10.0 + rng.normal(scale=0.01, size=d)
+    mat[93] = mat[7] + rng.normal(scale=0.001, size=d)
+    mat[20] = -10.0 + rng.normal(scale=0.01, size=d)
+    mat[55] = mat[20] + rng.normal(scale=0.001, size=d)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in mat],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+    # reference must see the same float32-quantized values the arrow
+    # column stores, else near-ties could argmax differently
+    m32 = mat.astype(np.float32).astype(np.float64)
+    norm = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -np.inf)
+    top1 = sims.argmax(axis=1)  # first max == smallest id
+    want = sorted(
+        (min(i, int(top1[i])), max(i, int(top1[i])))
+        for i in range(n)
+        if int(top1[int(top1[i])]) == i and i < int(top1[i])
+    )
+    for parts in (1, 6):
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in mutual_nn_pairs(
+                rd.from_arrow(t).repartition(parts), num_partitions=4
+            ).take_all()
+        )
+        assert got == want
+    assert (7, 93) in got and (20, 55) in got
+
+    with pytest.raises(ValueError, match="broadcast regime"):
+        mutual_nn_pairs(rd.from_arrow(t), max_broadcast_rows=10)
+    dup = pa.table(
+        {
+            "vec_id": pa.array([1, 1], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        mutual_nn_pairs(rd.from_arrow(dup))
