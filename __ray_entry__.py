@@ -2105,6 +2105,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_zorder_layout(sf):
+        # Morton-interleave (l_partkey, l_suppkey) into z-cells and audit
+        # each cell's row count + bounding box — the OPTIMIZE ZORDER shape
+        from fever_ray.ops.relational import zorder_layout
+
+        return zorder_layout(
+            _t(sf, "lineitem", ["l_partkey", "l_suppkey"]),
+            "l_partkey",
+            "l_suppkey",
+            bits=16,
+            cell_shift=20,
+        )
+
     def q_band_join(sf):
         # numeric band self-join: part retail prices within 10 cents —
         # the distance-predicate theta-join, exact integer cents (delta
@@ -2647,6 +2660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_top_k": q_group_top_k,
         "rank_fusion": q_rank_fusion,
         "band_join": q_band_join,
+        "zorder_layout": q_zorder_layout,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5014,6 +5028,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        # same mask-doubling Morton spread as the kernel, staged through
+        # CTEs (x,y < 2^16 by the engine's loud bound check)
+        "zorder_layout": (
+            "WITH z0 AS (SELECT CAST(l_partkey AS BIGINT) AS x, "
+            "CAST(l_suppkey AS BIGINT) AS y FROM lineitem), "
+            "z1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS sx, "
+            "(y | (y << 8)) & 16711935 AS sy FROM z0), "
+            "z2 AS (SELECT x, y, (sx | (sx << 4)) & 252645135 AS sx, "
+            "(sy | (sy << 4)) & 252645135 AS sy FROM z1), "
+            "z3 AS (SELECT x, y, (sx | (sx << 2)) & 858993459 AS sx, "
+            "(sy | (sy << 2)) & 858993459 AS sy FROM z2), "
+            "z4 AS (SELECT x, y, (sx | (sx << 1)) & 1431655765 AS sx, "
+            "(sy | (sy << 1)) & 1431655765 AS sy FROM z3), "
+            "zz AS (SELECT x, y, (sx | (sy << 1)) >> 20 AS cell FROM z4) "
+            "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MIN(x) AS min_x, MAX(x) AS max_x, "
+            "MIN(y) AS min_y, MAX(y) AS max_y FROM zz GROUP BY cell"
         ),
         # quantized RRF (Cormack et al. 2009): score = Σ 10^9 // (60 + r)
         # over two per-type top-50 rankings (amount cents, recency) — pure

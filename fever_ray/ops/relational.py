@@ -1309,3 +1309,91 @@ def band_join(
         both.groupby("part")
         .map_groups(match, batch_format="pyarrow")
     )
+
+
+def _morton_spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each uint64 so bit i lands at position 2i
+    (the classic mask-doubling interleave — public-domain bit-twiddling
+    folklore, e.g. Morton 1966 / graphics gems)."""
+    v = v & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def zorder_layout(
+    ds,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    cell_shift: int = 8,
+    max_cells: int = 1_000_000,
+):
+    """Z-order (Morton) clustering audit — the data-layout operator behind
+    multi-dimensional file clustering (Delta/Iceberg OPTIMIZE ZORDER):
+    interleave the bits of two bounded non-negative integer columns into
+    one locality-preserving key, assign each row to the fixed-width
+    z-cell ``cell = z >> cell_shift`` (a cell is the file/block a writer
+    would emit), and report each cell's row count and bounding box —
+    small per-cell (min,max) ranges on BOTH dimensions are exactly what
+    makes later two-column range scans prune files.
+
+    Output rows: (cell, n, min_x, max_x, min_y, max_y), pure int64.
+
+    Scale shape: embarrassingly parallel — the Morton key is a per-row
+    bit-twiddle (`_morton_spread16`, vectorized uint64), per-batch
+    partials group by cell locally, and the bounded-cell tree combine
+    (`tree_groupby`, loud ``max_cells`` guard) merges (sum, min, max)
+    partials without any sort shuffle.  Values outside [0, 2^bits) raise
+    loudly — silent masking would corrupt the interleave order."""
+    from .aggregates import tree_groupby
+
+    if not (1 <= bits <= 16):
+        raise ValueError(f"zorder_layout: bits must be in [1, 16], got {bits}")
+    if not (0 <= cell_shift < 2 * bits):
+        raise ValueError(
+            f"zorder_layout: cell_shift must be in [0, {2 * bits}), got "
+            f"{cell_shift}"
+        )
+    limit = np.int64(1) << np.int64(bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        for name, v in ((x_col, x), (y_col, y)):
+            if len(v) and (v.min() < 0 or v.max() >= limit):
+                raise ValueError(
+                    f"zorder_layout: {name} outside [0, 2^{bits}) — widen "
+                    "bits or rescale; masking would corrupt z-order"
+                )
+        z = _morton_spread16(x.astype(np.uint64)) | (
+            _morton_spread16(y.astype(np.uint64)) << np.uint64(1)
+        )
+        cell = (z >> np.uint64(cell_shift)).astype(np.int64)
+        t = pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "n": pa.array(np.ones(len(cell), np.int64)),
+                "min_x": pa.array(x, pa.int64()),
+                "max_x": pa.array(x, pa.int64()),
+                "min_y": pa.array(y, pa.int64()),
+                "max_y": pa.array(y, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["cell"]).aggregate(
+            [("n", "sum"), ("min_x", "min"), ("max_x", "max"),
+             ("min_y", "min"), ("max_y", "max")]
+        )
+        return g.rename_columns(["cell", "n", "min_x", "max_x", "min_y", "max_y"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return tree_groupby(
+        partials,
+        ["cell"],
+        [("n", "sum"), ("min_x", "min"), ("max_x", "max"),
+         ("min_y", "min"), ("max_y", "max")],
+        max_groups=max_cells,
+    )

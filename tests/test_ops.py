@@ -1098,3 +1098,52 @@ def test_band_join_guards(ray_session):
         band_join(ds, ds2, delta=1, emit="gt")
     with pytest.raises(Exception, match="integer-typed"):
         band_join(ds, ds2, delta=1).take_all()
+
+
+def test_zorder_layout_morton_and_cells(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.relational import _morton_spread16, zorder_layout
+
+    # spread vs the naive per-bit reference
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 1 << 16, size=200, dtype=np.uint64)
+    naive = np.zeros_like(v)
+    for i in range(16):
+        naive |= ((v >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+    assert (_morton_spread16(v) == naive).all()
+
+    x = rng.integers(0, 256, size=5000, dtype=np.int64)
+    y = rng.integers(0, 256, size=5000, dtype=np.int64)
+    t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+    out = {
+        r["cell"]: r
+        for r in zorder_layout(
+            rd.from_arrow(t).repartition(4), "x", "y", bits=8, cell_shift=8
+        ).take_all()
+    }
+    # brute-force reference
+    zz = np.zeros(len(x), dtype=np.int64)
+    for i in range(8):
+        zz |= (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
+    cells = zz >> 8
+    assert sum(r["n"] for r in out.values()) == len(x)
+    for c in np.unique(cells):
+        m = cells == c
+        r = out[int(c)]
+        assert (r["n"], r["min_x"], r["max_x"], r["min_y"], r["max_y"]) == (
+            int(m.sum()), int(x[m].min()), int(x[m].max()),
+            int(y[m].min()), int(y[m].max()),
+        )
+    # z-cell locality: a cell = z >> 8 spans a 16x16 tile at bits=8
+    for r in out.values():
+        assert r["max_x"] - r["min_x"] <= 15
+        assert r["max_y"] - r["min_y"] <= 15
+
+    with pytest.raises(ValueError, match="bits"):
+        zorder_layout(rd.from_arrow(t), "x", "y", bits=17)
+    with pytest.raises(ValueError, match="cell_shift"):
+        zorder_layout(rd.from_arrow(t), "x", "y", bits=8, cell_shift=16)
+    bad = pa.table({"x": pa.array([-1], pa.int64()), "y": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="outside"):
+        zorder_layout(rd.from_arrow(bad), "x", "y", bits=8).materialize()
