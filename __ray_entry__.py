@@ -2105,6 +2105,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_priority_sample(sf):
+        # DLT priority sampling over orders weighted by price cents
+        from fever_ray.ops.curate import priority_sample
+
+        ds = _t(sf, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+                    "w": rel._cents(b.column("o_totalprice")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return priority_sample(
+            ds, k=100, weight_col="w", id_col="o_orderkey", seed=7
+        )
+
     def q_zorder_layout(sf):
         # Morton-interleave (l_partkey, l_suppkey) into z-cells and audit
         # each cell's row count + bounding box — the OPTIMIZE ZORDER shape
@@ -2661,6 +2678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_fusion": q_rank_fusion,
         "band_join": q_band_join,
         "zorder_layout": q_zorder_layout,
+        "priority_sample": q_priority_sample,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5028,6 +5046,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        # DLT priority sampling: q = (w << 32) // (1 + (h & 0xFFFFFFFF))
+        # over the shared splitmix64 chain; top-k by (q desc, id asc)
+        "priority_sample": (
+            "WITH "
+            + _splitmix_ctes(
+                7, "o_orderkey, o_totalprice", table="orders",
+                id_expr="o_orderkey",
+            )
+            + ", w AS (SELECT o_orderkey, "
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS weight, "
+            "CAST((CAST(ROUND(o_totalprice * 100) AS HUGEINT) * 4294967296) "
+            "// (1 + CAST(h % 4294967296 AS HUGEINT)) AS BIGINT) AS priority "
+            "FROM s5) "
+            "SELECT o_orderkey, weight, priority FROM w "
+            "ORDER BY priority DESC, o_orderkey LIMIT 100"
         ),
         # same mask-doubling Morton spread as the kernel, staged through
         # CTEs (x,y < 2^16 by the engine's loud bound check)

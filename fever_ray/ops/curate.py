@@ -1220,3 +1220,72 @@ def importance_resample(
         return batch.filter(pa.array(h32 * sfull < (wv << np.int64(32))))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def priority_sample(
+    ds,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+):
+    """Weight-proportional k-sample via PRIORITY SAMPLING (Duffield, Lund
+    & Thorup, JACM 2007) in deterministic integer form: each row gets
+    priority ``q = (w << 32) // (1 + (hash64_ints(id, seed) & 0xFFFFFFFF))``
+    — the integer analog of q = w/u with u uniform in (0,1] derived from
+    the id hash — and the global top-k by (q desc, id asc) is the sample.
+    Heavier rows win proportionally more often, membership depends only
+    on (id, seed) — never on block layout — so a resumed or re-sharded
+    run selects the identical sample, and DLT's estimator (weight w if
+    w > τ else τ, τ = the (k+1)-th priority) applies downstream.
+
+    Weights must be positive int64 (cents discipline) below 2^31 — the
+    shifted product must stay in int64; both bounds raise loudly.
+
+    Output rows: (id_col, weight, priority), pure int64.
+
+    Scale shape: one vectorized hash + divide per batch, per-batch local
+    top-k (`select_k_unstable`), then a tiny global sort+limit over ≤
+    k × #blocks candidate rows.  No shuffle of the corpus."""
+    from ..sketches.hashing import hash64_ints
+
+    if k <= 0:
+        raise ValueError(f"priority_sample: k must be positive, got {k}")
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(w.dtype, np.integer):
+            raise TypeError(
+                f"priority_sample: {weight_col} must be integer-typed "
+                "(cents discipline)"
+            )
+        w = w.astype(np.int64)
+        if len(w) and (w.min() <= 0 or w.max() >= (1 << 31)):
+            raise ValueError(
+                f"priority_sample: weights must be in [1, 2^31) — got "
+                f"[{w.min()}, {w.max()}]"
+            )
+        u = (hash64_ints(ids, seed=seed) & np.uint64(0xFFFFFFFF)).astype(
+            np.int64
+        ) + np.int64(1)
+        q = (w << np.int64(32)) // u
+        t = pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "weight": pa.array(w, pa.int64()),
+                "priority": pa.array(q, pa.int64()),
+            }
+        )
+        idx = pc.select_k_unstable(
+            t,
+            k=min(k, t.num_rows),
+            sort_keys=[("priority", "descending"), (id_col, "ascending")],
+        )
+        return t.take(idx)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["priority", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -507,3 +507,56 @@ def test_importance_resample_rejects_bad_inputs(ray_session):
         importance_resample(rd.from_arrow(t2), "w", scale=0)
     with pytest.raises(ValueError, match="scale"):
         importance_resample(rd.from_arrow(t2), "w", scale=1 << 31)
+
+
+def test_priority_sample_determinism_and_weighting(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.curate import priority_sample
+    from fever_ray.sketches.hashing import hash64_ints
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    # two weight classes: 10x heavier rows in the top half
+    w = np.where(ids < n // 2, 10, 100).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+
+    k = 400
+    outs = []
+    for parts in (1, 8):
+        rows = priority_sample(
+            rd.from_arrow(t).repartition(parts), k=k, weight_col="w", seed=3
+        ).take_all()
+        outs.append(sorted((r["doc_id"], r["weight"], r["priority"]) for r in rows))
+    assert outs[0] == outs[1] and len(outs[0]) == k  # layout-invariant
+
+    # brute-force reference: q = (w << 32) // (1 + low32(hash))
+    u = (hash64_ints(ids, seed=3) & np.uint64(0xFFFFFFFF)).astype(np.int64) + 1
+    q = (w << np.int64(32)) // u
+    order = np.lexsort((ids, -q))[:k]
+    want = sorted(
+        (int(ids[i]), int(w[i]), int(q[i])) for i in order
+    )
+    assert outs[0] == want
+
+    # weight-proportional: heavy rows (~91% of mass) dominate the sample
+    heavy = sum(1 for _, wt, _ in outs[0] if wt == 100)
+    assert heavy > 0.75 * k
+
+    # DLT inclusion-probability estimator: q = (w << 32) // u IS w/u'
+    # in weight units (u' = u/2^32); with tau = the (k+1)-th priority,
+    # sum(max(w, tau)) over the k kept rows is unbiased for total weight
+    tau = float(np.sort(q)[::-1][k])
+    est = sum(max(float(wt), tau) for _, wt, _ in outs[0])
+    assert abs(est - w.sum()) / w.sum() < 0.15
+
+    with pytest.raises(ValueError, match="k must be"):
+        priority_sample(rd.from_arrow(t), k=0, weight_col="w")
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "w": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="weights must be"):
+        priority_sample(rd.from_arrow(bad), k=1, weight_col="w").take_all()
+    badf = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "w": pa.array([1.0], pa.float64())})
+    with pytest.raises(Exception, match="integer-typed"):
+        priority_sample(rd.from_arrow(badf), k=1, weight_col="w").take_all()
