@@ -2105,6 +2105,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_audience_growth(sf):
+        # exact first-seen growth curve over events
+        from fever_ray.ops.windows import audience_growth
+
+        return audience_growth(_t(sf, "events", ["user_id", "ts"]))
+
+    def q_gini_concentration(sf):
+        # corpus-concentration audit: Gini of per-source doc counts
+        from fever_ray.ops.stats import gini_concentration
+
+        return gini_concentration(_t(sf, "documents", ["source"]))
+
     def q_priority_sample(sf):
         # DLT priority sampling over orders weighted by price cents
         from fever_ray.ops.curate import priority_sample
@@ -2679,6 +2691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_join": q_band_join,
         "zorder_layout": q_zorder_layout,
         "priority_sample": q_priority_sample,
+        "audience_growth": q_audience_growth,
+        "gini_concentration": q_gini_concentration,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5046,6 +5060,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        "audience_growth": (
+            "WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS fts "
+            "FROM events GROUP BY user_id), "
+            "d AS (SELECT fts // 86400000000 AS day_idx FROM f), "
+            "g AS (SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS new_users "
+            "FROM d GROUP BY day_idx) "
+            "SELECT day_idx, new_users, "
+            "CAST(SUM(new_users) OVER (ORDER BY day_idx) AS BIGINT) "
+            "AS cum_users FROM g"
+        ),
+        # ROW_NUMBER tie order within equal counts is value-invariant in
+        # the Gini numerator (equal c across the tie block)
+        "gini_concentration": (
+            "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM documents GROUP BY source), "
+            "r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, source) AS i, "
+            "COUNT(*) OVER () AS n, SUM(c) OVER () AS tot FROM c) "
+            "SELECT CAST(MAX(n) AS BIGINT) AS n_groups, "
+            "CAST(MAX(tot) AS BIGINT) AS total, "
+            "CAST(SUM((2*i - n - 1) * c) AS BIGINT) AS gini_num, "
+            "CAST(MAX(n) * MAX(tot) AS BIGINT) AS gini_den FROM r"
         ),
         # DLT priority sampling: q = (w << 32) // (1 + (h & 0xFFFFFFFF))
         # over the shared splitmix64 chain; top-k by (q desc, id asc)

@@ -1760,3 +1760,70 @@ def weighted_median(
             }
         )
     )
+
+
+def gini_concentration(
+    ds,
+    group_col: str = "source",
+    max_groups: int = 1_000_000,
+):
+    """EXACT Gini coefficient of the row-count distribution over
+    ``group_col`` — the corpus-concentration audit (is the crawl 90%
+    one domain?).  With per-group counts c_1 ≤ … ≤ c_n,
+
+        G = Σ_i (2i − n − 1)·c_i  /  (n · Σ_i c_i)  =  gini_num / gini_den
+
+    both emitted as exact integers (G = 0 all-equal, → 1−1/n fully
+    concentrated); equal counts make the numerator contribution
+    order-invariant, so ties cost nothing.  Output: ONE row
+    (n_groups, total, gini_num, gini_den), all int64.
+
+    Scale shape: per-batch per-group count partials through the
+    bounded-key `tree_groupby` (loud ``max_groups`` guard); the closing
+    kernel is one sort over ≤ max_groups count rows.  int64 overflow is
+    checked in Python bigints before the cast."""
+    from .aggregates import tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch.select([group_col]), [group_col]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns([group_col, "c"])
+
+    counts = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        [("c", "sum")],
+        max_groups=max_groups,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "n_groups": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "gini_num": pa.array([], pa.int64()),
+                    "gini_den": pa.array([], pa.int64()),
+                }
+            )
+        c = np.sort(batch.column("c").to_numpy(zero_copy_only=False))
+        n = len(c)
+        i = np.arange(1, n + 1, dtype=object)  # bigint lane: no silent wrap
+        num = int(np.sum((2 * i - n - 1) * c.astype(object)))
+        den = int(n) * int(c.sum())
+        if not (-(1 << 63) <= num < (1 << 63)) or den >= (1 << 63):
+            raise ValueError(
+                "gini_concentration: moments exceed int64 — reduce "
+                "max_groups or pre-scale counts"
+            )
+        return pa.table(
+            {
+                "n_groups": pa.array([n], pa.int64()),
+                "total": pa.array([int(c.sum())], pa.int64()),
+                "gini_num": pa.array([num], pa.int64()),
+                "gini_den": pa.array([den], pa.int64()),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow", batch_size=None)

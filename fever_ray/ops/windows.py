@@ -1682,3 +1682,108 @@ def spearman_corr(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def audience_growth(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+    max_days: int = 100_000,
+):
+    """First-seen audience growth curve: per calendar day, how many keys
+    appear for the FIRST time and the cumulative distinct-key total — the
+    "are we still acquiring?" audit (exact running distinct count via
+    first-touch attribution, no HLL needed because each key contributes
+    exactly once, on its first day).
+
+    Output rows: (day_idx, new_users, cum_users), all int64; ``day_idx``
+    = first-event microseconds // 86_400_000_000 (epoch days).
+
+    Scale shape: per-batch per-key min-ts partials (C++ hash agg) shrink
+    the shuffle to distinct-keys-per-batch rows; ONE key-hash bucket
+    shuffle finishes the per-key min; per-bucket day counts are partials
+    into the bounded-day `tree_groupby`; the cumulative sum runs once
+    over the ≤``max_days`` final table.  The corpus never shuffles."""
+    from ..sketches.hashing import hash64_ints
+    from .aggregates import tree_groupby
+
+    US_PER_DAY = np.int64(86_400_000_000)
+    P = int(num_partitions)
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        if batch.column(key).null_count or batch.column(ts_col).null_count:
+            raise ValueError(
+                f"audience_growth: {key}/{ts_col} must be null-free"
+            )
+        tst = batch.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"audience_growth: {ts_col} must be timestamp[us], got {tst}"
+            )
+        t = pa.table(
+            {
+                key: batch.column(key),
+                "fts": pc.cast(batch.column(ts_col), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, [key]).aggregate([("fts", "min")])
+        g = g.rename_columns([key, "fts"])
+        kv = g.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (hash64_ints(kv) % np.uint64(P)).astype(np.int32)
+        return g.append_column("bucket", pa.array(b, pa.int32()))
+
+    def bucket_days(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "day_idx": pa.array([], pa.int64()),
+                    "new_users": pa.array([], pa.int64()),
+                }
+            )
+        m = pa.TableGroupBy(g.select([key, "fts"]), [key]).aggregate(
+            [("fts", "min")]
+        )
+        fts = m.column("fts_min").to_numpy(zero_copy_only=False)
+        day = np.floor_divide(fts, US_PER_DAY)
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day_idx": pa.array(uniq, pa.int64()),
+                "new_users": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    days = tree_groupby(
+        events_ds.map_batches(
+            local_min, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(bucket_days, batch_format="pyarrow"),
+        ["day_idx"],
+        [("new_users", "sum")],
+        max_groups=max_days,
+    )
+
+    def cumulate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "day_idx": pa.array([], pa.int64()),
+                    "new_users": pa.array([], pa.int64()),
+                    "cum_users": pa.array([], pa.int64()),
+                }
+            )
+        day = batch.column("day_idx").to_numpy(zero_copy_only=False)
+        nu = batch.column("new_users").to_numpy(zero_copy_only=False)
+        o = np.argsort(day, kind="stable")
+        return pa.table(
+            {
+                "day_idx": pa.array(day[o], pa.int64()),
+                "new_users": pa.array(nu[o], pa.int64()),
+                "cum_users": pa.array(np.cumsum(nu[o]), pa.int64()),
+            }
+        )
+
+    # tree_groupby's final combine is a single batch; cumulate keeps it so
+    return days.map_batches(cumulate, batch_format="pyarrow", batch_size=None)

@@ -869,3 +869,42 @@ def test_weighted_median_vs_bruteforce(ray_session):
             ),
             "v", "w",
         ).take_all()
+
+
+def test_gini_concentration_exact(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import gini_concentration
+
+    # all-equal counts -> gini 0
+    t = pa.table({"source": pa.array(["a"] * 5 + ["b"] * 5 + ["c"] * 5)})
+    (r,) = gini_concentration(rd.from_arrow(t)).take_all()
+    assert (r["n_groups"], r["total"], r["gini_num"]) == (3, 15, 0)
+
+    # fully concentrated: one group holds everything but singletons
+    t2 = pa.table({"source": pa.array(["big"] * 97 + ["s1", "s2", "s3"])})
+    (r2,) = gini_concentration(rd.from_arrow(t2)).take_all()
+    # brute force: sorted counts [1,1,1,97]
+    c = np.array([1, 1, 1, 97])
+    n = 4
+    want = int(np.sum((2 * np.arange(1, 5) - n - 1) * c))
+    assert r2["gini_num"] == want and r2["gini_den"] == n * 100
+    assert 0.7 < r2["gini_num"] / r2["gini_den"] < 1.0
+
+    # random counts vs brute force, partition invariance
+    rng = np.random.default_rng(8)
+    srcs = [f"s{i}" for i in rng.integers(0, 40, size=4000)]
+    t3 = pa.table({"source": pa.array(srcs)})
+    vals, cnts = np.unique(np.array(srcs), return_counts=True)
+    cs = np.sort(cnts)
+    nn = len(cs)
+    want_num = int(np.sum((2 * np.arange(1, nn + 1) - nn - 1) * cs))
+    for parts in (1, 7):
+        (r3,) = gini_concentration(
+            rd.from_arrow(t3).repartition(parts)
+        ).take_all()
+        assert (r3["n_groups"], r3["total"], r3["gini_num"], r3["gini_den"]) \
+            == (nn, 4000, want_num, nn * 4000)
+
+    with pytest.raises(Exception, match="max_groups|groups"):
+        gini_concentration(rd.from_arrow(t3), max_groups=5).take_all()

@@ -813,3 +813,59 @@ def test_spearman_corr_exact_and_vs_pandas(ray_session):
         ).take_all()
     with pytest.raises(ValueError, match="38000"):
         spearman_corr(rd.from_arrow(t), max_events_per_key=50_000)
+
+
+def test_audience_growth_first_touch_curve(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import audience_growth
+
+    US = 86_400_000_000
+    rng = np.random.default_rng(11)
+    n_users = 300
+    rows_u, rows_t = [], []
+    first_day = {}
+    for u in range(n_users):
+        fd = int(rng.integers(0, 10))
+        first_day[u] = fd
+        # first event on day fd, plus later noise events (never earlier)
+        rows_u.append(u)
+        rows_t.append(fd * US + int(rng.integers(0, US)))
+        for _ in range(int(rng.integers(0, 4))):
+            rows_u.append(u)
+            rows_t.append((fd + int(rng.integers(0, 5))) * US
+                          + int(rng.integers(0, US)))
+    # clamp the planted first event to the day start so noise can't precede
+    t = pa.table(
+        {
+            "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+            "ts": pa.array(np.array(rows_t, dtype=np.int64)).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    from collections import Counter
+
+    per_day = Counter(first_day.values())
+    want, cum = [], 0
+    for d in sorted(per_day):
+        cum += per_day[d]
+        want.append((d, per_day[d], cum))
+    for parts in (1, 6):
+        got = [
+            (r["day_idx"], r["new_users"], r["cum_users"])
+            for r in audience_growth(
+                rd.from_arrow(t).repartition(parts), num_partitions=4
+            ).take_all()
+        ]
+        assert got == want
+    assert got[-1][2] == n_users
+
+    bad = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="timestamp"):
+        audience_growth(rd.from_arrow(bad)).take_all()
