@@ -467,6 +467,16 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # exact Spearman moments over the same 1M-event / 100k-key shape:
+    # two rank lexsorts per bucket instead of the all-pairs slope set
+    from fever_ray.ops.windows import spearman_corr
+
+    timings["spearman_1m_events"] = _timed(
+        lambda: spearman_corr(
+            _valued_events(), key="entity_id", max_events_per_key=8192,
+        ).materialize()
+    )
+
     # unigram LM-surprise scoring: model from the first shard, every page
     # scored (vocab tree-sum + broadcast LUT + one segment-sum pass)
     from fever_ray.ops.textstats import unigram_logloss

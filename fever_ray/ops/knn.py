@@ -611,7 +611,7 @@ def mutual_nn_pairs(
     ds,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    max_broadcast_rows: int = 2_000_000,
+    max_broadcast_rows: int = 200_000,
     num_partitions: int = 64,
 ):
     """Reciprocal nearest-neighbor pairs: (a, b) such that b is a's single
@@ -625,8 +625,9 @@ def mutual_nn_pairs(
     Scale shape: the normalized corpus matrix is broadcast ONCE via
     ray.put (id-sorted so np.argmax's first-max rule IS the id
     tie-break); every batch computes one (batch × corpus) matmul and
-    emits a single directed edge per row — no per-row Python.  The
-    broadcast regime is gated loudly at ``max_broadcast_rows``; beyond
+    emits a single directed edge per row — no per-row Python.  Total
+    compute is the exact O(N²·d) of the problem statement, so the loud
+    ``max_broadcast_rows`` gate bounds COMPUTE as much as memory; beyond
     it, run the same mutual filter over `cluster.knn_graph`'s
     cluster-bounded top-1 edges instead (IVF approximation).  The mutual
     filter is ONE skinny (lo, hi)-hash bucket shuffle; a canonical pair
