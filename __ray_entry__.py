@@ -1184,6 +1184,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["doc_id", "source", "text"])
         )
 
+    def q_source_overlap(sf):
+        # cross-source shared-content matrix (diagonal = per-source
+        # distinct counts, so Jaccard falls out downstream)
+        from fever_ray.ops.dedup import source_overlap
+
+        return source_overlap(_t(sf, "documents", ["source", "text"]))
+
     def q_keeper_election(sf):
         # close the dedup pipeline: elect one canonical doc per minhash
         # cluster under (source priority, doc_id); priority = numeric
@@ -2105,6 +2112,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_burst_max(sf):
+        # worst one-hour event burst per user (rate-limiter audit)
+        from fever_ray.ops.windows import burst_max
+
+        return burst_max(_t(sf, "events", ["user_id", "ts"]))
+
     def q_audience_growth(sf):
         # exact first-seen growth curve over events
         from fever_ray.ops.windows import audience_growth
@@ -2628,6 +2641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "keeper_election": q_keeper_election,
         "source_dup_report": q_source_dup_report,
+        "source_overlap": q_source_overlap,
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
         "vocab_growth": q_vocab_growth,
@@ -2693,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": q_priority_sample,
         "audience_growth": q_audience_growth,
         "gini_concentration": q_gini_concentration,
+        "burst_max": q_burst_max,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -4669,6 +4684,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs "
             "FROM m GROUP BY source"
         ),
+        "source_overlap": (
+            # unordered pair matrix over distinct (content hash, source);
+            # the diagonal is each source's distinct-content count
+            "WITH " + _content_hash_cte() + ", m AS ("
+            "SELECT DISTINCT a.content_hash AS h, d.source FROM documents d "
+            "JOIN allh a ON a.doc_id = d.doc_id) "
+            "SELECT x.source AS src_a, y.source AS src_b, "
+            "CAST(COUNT(*) AS BIGINT) AS shared FROM m x "
+            "JOIN m y ON x.h = y.h AND x.source <= y.source GROUP BY 1, 2"
+        ),
         "keeper_election": (
             # the full minhash-dedup recursive chain nested as a CTE, then
             # the (prio asc, id asc) ROW_NUMBER election
@@ -5060,6 +5085,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        # RANGE frame over integer microseconds: [t, t + W - 1] inclusive
+        # == the engine's half-open [t, t + W); equal-ts peers are in the
+        # frame on both sides
+        "burst_max": (
+            "WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events), "
+            "b AS (SELECT k, COUNT(*) OVER (PARTITION BY k ORDER BY t "
+            "RANGE BETWEEN CURRENT ROW AND 3599999999 FOLLOWING) AS c FROM e) "
+            "SELECT k AS user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(MAX(c) AS BIGINT) AS max_burst FROM b GROUP BY k"
         ),
         "audience_growth": (
             "WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS fts "

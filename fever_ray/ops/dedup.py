@@ -3621,3 +3621,100 @@ def allpairs_similarity_join(
     return _verify_pairs_with_blobs(
         pairs, sh_ds, out, max(4, n_parts // 4), broadcast_bytes
     )
+
+
+def source_overlap(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    max_pairs: int = 1 << 20,
+):
+    """Cross-source shared-content matrix — which crawls/feeds duplicate
+    which?  For every unordered source pair (a ≤ b): the number of
+    DISTINCT contents present in both (keyed on the engine content hash);
+    the diagonal (a == b) carries each source's distinct-content count,
+    so per-pair Jaccard = shared / (diag_a + diag_b − shared) falls out
+    and the output is non-empty even on corpora with no cross-source
+    duplication.  Output rows: (src_a, src_b, shared int64).
+
+    Scale shape: per-batch (hash, group) distinct partials (text never
+    leaves the batch), ONE content-hash bucket shuffle co-locates each
+    hash, per bucket a vectorized run walk over (hash, lexicographic
+    group code) emits i ≤ j pair partials (run length ≤ #sources), and
+    the bounded pair domain tree-combines (loud ``max_pairs``)."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if g.null_count:
+            raise ValueError(f"source_overlap: {group_col} contains nulls")
+        h = add_content_hash(batch, text_col).column("content_hash")
+        t = pa.table({group_col: g, "h": h})
+        t = pa.TableGroupBy(t, [group_col, "h"]).aggregate([([], "count_all")])
+        t = t.drop_columns(["count_all"])
+        return t.append_column(
+            "bucket",
+            pa.array(bucket_of(t.column("h"), num_partitions), pa.int32()),
+        )
+
+    def per_bucket(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "shared": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0 or b.num_columns == 0:
+            return empty
+        t = pa.TableGroupBy(
+            b.select([group_col, "h"]), [group_col, "h"]
+        ).aggregate([([], "count_all")])
+        g = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        # lexicographic integer codes: np.unique returns sorted uniques
+        u, codes = np.unique(g.astype(str), return_inverse=True)
+        o = np.lexsort((codes, h))
+        hs, cs = h[o], codes[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(hs) != 0) + 1, [len(hs)])
+        )
+        run_len = np.diff(starts)
+        maxlen = int(run_len.max()) if len(run_len) else 0
+        pos = np.arange(len(hs), dtype=np.int64)
+        rs_rep = np.repeat(starts[:-1], run_len)
+        rem = np.repeat(run_len, run_len) - (pos - rs_rep)
+        by_rem = np.argsort(rem, kind="stable")
+        rem_sorted = rem[by_rem]
+        a_parts, b_parts = [], []
+        for d in range(0, maxlen):  # d = 0 emits the diagonal
+            start = int(np.searchsorted(rem_sorted, d + 1, side="left"))
+            if start == len(hs):
+                break
+            i = by_rem[start:]
+            a_parts.append(cs[i])
+            b_parts.append(cs[i + d])
+        ca = np.concatenate(a_parts)
+        cb = np.concatenate(b_parts)
+        key = ca.astype(np.int64) * np.int64(len(u)) + cb
+        uniq_k, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "src_a": pa.array(u[(uniq_k // len(u))], pa.string()),
+                "src_b": pa.array(u[(uniq_k % len(u))], pa.string()),
+                "shared": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_groupby(
+        partials, ["src_a", "src_b"], [("shared", "sum")], max_groups=max_pairs
+    )

@@ -1787,3 +1787,99 @@ def audience_growth(
 
     # tree_groupby's final combine is a single batch; cumulate keeps it so
     return days.map_batches(cumulate, batch_format="pyarrow", batch_size=None)
+
+
+def burst_max(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_us: int = 3_600_000_000,
+    num_partitions: int | None = None,
+):
+    """Peak burst rate per key: the maximum number of the key's events
+    inside ANY half-open window ``[t, t + window_us)`` anchored at one of
+    its events — the rate-limiter / scraping-detector audit (a mean rate
+    hides bursts; the max-anchored window is the exact worst case, since
+    the optimum window can always be slid left onto an event).
+
+    Output rows: (key, n_events int64, max_burst int64).
+
+    Scale shape: `running_totals`' budget — ONE key-hash bucket shuffle
+    of the (key, ts) projection; per bucket one lexsort, then BOTH window
+    endpoints come from two vectorized searchsorteds over a per-run
+    base-offset transform (each run's timestamps shifted onto a disjoint
+    integer interval, so one global binary search serves every key at
+    once — no per-key loop); per-run max via maximum.reduceat."""
+    from ..sketches.hashing import bucket_of
+    from .dedup import _auto_parts, _key_runs
+
+    if window_us <= 0:
+        raise ValueError(f"burst_max: window_us must be positive, got {window_us}")
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+    W = np.int64(window_us)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key, ts_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"burst_max: {ts_col} must be timestamp[us], got {tst}"
+            )
+        for c in (key, ts_col):
+            if narrow.column(c).null_count:
+                raise ValueError(f"burst_max: {c} contains nulls — filter first")
+        return narrow.append_column(
+            "bucket", pa.array(bucket_of(narrow.column(key), n_parts), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "n_events": pa.array([], pa.int64()),
+                    "max_burst": pa.array([], pa.int64()),
+                }
+            )
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, kcodes))
+        tsO = ts[order]
+        starts_term = _key_runs(kcodes[order])
+        run_start, run_len = starts_term[:-1], np.diff(starts_term)
+        # disjoint per-run intervals: one global searchsorted serves all keys
+        rs_rep = np.repeat(run_start, run_len)
+        rel = tsO - tsO[rs_rep]
+        span = np.int64(rel.max()) if len(rel) else np.int64(0)
+        stride = span + W + np.int64(2)
+        run_id = np.repeat(np.arange(len(run_start), dtype=np.int64), run_len)
+        if int(stride) * len(run_start) >= (1 << 62):
+            raise ValueError(
+                "burst_max: per-run offset transform exceeds int64 — raise "
+                "num_partitions (too many keys x too wide a time span in "
+                "one bucket)"
+            )
+        tt = rel + run_id * stride
+        lo = np.searchsorted(tt, tt, side="left")
+        hi = np.searchsorted(tt, tt + W, side="left")
+        burst = hi - lo
+        per_run_max = np.maximum.reduceat(burst, run_start)
+        keys_out = kc.take(pa.array(order[run_start], pa.int64()))
+        return pa.table(
+            {
+                key: keys_out,
+                "n_events": pa.array(run_len.astype(np.int64), pa.int64()),
+                "max_burst": pa.array(per_run_max.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

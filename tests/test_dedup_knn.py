@@ -1263,3 +1263,37 @@ def test_mutual_nn_pairs_vs_brute_force(ray_session):
     )
     with pytest.raises(ValueError, match="duplicate"):
         mutual_nn_pairs(rd.from_arrow(dup))
+
+
+def test_source_overlap_matrix(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import source_overlap
+
+    rows = []
+    # srcA: t1 t2 t3; srcB: t1 t2 t4 (t2 twice); srcC: t5 only
+    for s, texts in (
+        ("srcA", ["t1", "t2", "t3"]),
+        ("srcB", ["t1", "t2", "t2", "t4"]),
+        ("srcC", ["t5"]),
+    ):
+        rows += [{"source": s, "text": tx} for tx in texts]
+    ds = rd.from_items(rows)
+    for parts in (1, 4):
+        got = {
+            (r["src_a"], r["src_b"]): r["shared"]
+            for r in source_overlap(
+                ds.repartition(parts), num_partitions=3
+            ).take_all()
+        }
+        assert got == {
+            ("srcA", "srcA"): 3,
+            ("srcB", "srcB"): 3,
+            ("srcC", "srcC"): 1,
+            ("srcA", "srcB"): 2,
+        }
+    bad = pa.table(
+        {"source": pa.array([None], pa.string()), "text": pa.array(["x"])}
+    )
+    with pytest.raises(Exception, match="nulls"):
+        source_overlap(rd.from_arrow(bad)).take_all()

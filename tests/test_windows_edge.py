@@ -869,3 +869,56 @@ def test_audience_growth_first_touch_curve(ray_session):
     )
     with pytest.raises(Exception, match="timestamp"):
         audience_growth(rd.from_arrow(bad)).take_all()
+
+
+def test_burst_max_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import burst_max
+
+    rng = np.random.default_rng(13)
+    W = 100  # us window for the fixture
+    uid = np.repeat(np.arange(20, dtype=np.int64), 50)
+    ts = rng.integers(0, 2000, size=len(uid)).astype(np.int64)
+    # plant a dense burst for user 3 and duplicate timestamps for user 5
+    ts[uid == 3] = np.concatenate(
+        (np.arange(40, dtype=np.int64) + 500, rng.integers(0, 2000, 10))
+    )
+    ts[uid == 5][:10] = 777  # no-op on a copy; set via mask assignment
+    m5 = np.flatnonzero(uid == 5)[:10]
+    ts[m5] = 777
+    t = pa.table(
+        {
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+        }
+    )
+
+    def brute(u):
+        tv = np.sort(ts[uid == u])
+        return max(
+            int(np.searchsorted(tv, a + W, "left")
+                - np.searchsorted(tv, a, "left"))
+            for a in tv
+        )
+
+    for parts in (1, 6):
+        got = {
+            r["user_id"]: (r["n_events"], r["max_burst"])
+            for r in burst_max(
+                rd.from_arrow(t).repartition(parts),
+                window_us=W,
+                num_partitions=4,
+            ).take_all()
+        }
+        assert got == {u: (50, brute(u)) for u in range(20)}
+    assert got[3][1] >= 40  # planted burst found
+    assert got[5][1] >= 10  # duplicate timestamps all counted
+
+    with pytest.raises(ValueError, match="positive"):
+        burst_max(rd.from_arrow(t), window_us=0)
+    bad = pa.table(
+        {"user_id": pa.array([1], pa.int64()), "ts": pa.array([1], pa.int64())}
+    )
+    with pytest.raises(Exception, match="timestamp"):
+        burst_max(rd.from_arrow(bad)).take_all()
