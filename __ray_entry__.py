@@ -2112,6 +2112,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_cohort_retention(sf):
+        # first-seen cohort x days-since-first activity triangle
+        from fever_ray.ops.windows import cohort_retention
+
+        return cohort_retention(_t(sf, "events", ["user_id", "ts"]))
+
     def q_burst_max(sf):
         # worst one-hour event burst per user (rate-limiter audit)
         from fever_ray.ops.windows import burst_max
@@ -2708,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_growth": q_audience_growth,
         "gini_concentration": q_gini_concentration,
         "burst_max": q_burst_max,
+        "cohort_retention": q_cohort_retention,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5085,6 +5092,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        "cohort_retention": (
+            "WITH a AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day "
+            "FROM events), "
+            "d AS (SELECT DISTINCT user_id, day FROM a), "
+            "f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id) "
+            "SELECT f.cohort AS cohort_day, d.day - f.cohort AS age_days, "
+            "CAST(COUNT(*) AS BIGINT) AS active_users "
+            "FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1, 2"
         ),
         # RANGE frame over integer microseconds: [t, t + W - 1] inclusive
         # == the engine's half-open [t, t + W); equal-ts peers are in the

@@ -1883,3 +1883,107 @@ def burst_max(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def cohort_retention(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+    max_cells: int = 1 << 20,
+):
+    """Cohort retention triangle: for every (cohort_day, age_days) cell,
+    how many keys whose FIRST event fell on ``cohort_day`` were active
+    (≥1 event) exactly ``age_days`` days later — the standard product /
+    crawl-freshness stickiness matrix (each cohort row read across is its
+    survival curve; age 0 is the cohort size).  Activity is distinct
+    (key, day), so event volume never inflates retention.
+
+    Output rows: (cohort_day, age_days, active_users), all int64;
+    days are epoch days (microseconds // 86_400_000_000).
+
+    Scale shape: ONE key-hash bucket shuffle of the (key, epoch-day)
+    projection — a key's whole history lands in one bucket, so its
+    cohort day and distinct activity days resolve in the same vectorized
+    run walk (lexsort + `_key_runs`, no per-key Python); per-bucket
+    (cohort, age) counts tree-combine over the bounded day×day cell
+    domain (loud ``max_cells``)."""
+    from ..sketches.hashing import bucket_of
+    from .dedup import _key_runs
+    from .aggregates import tree_groupby
+
+    US_PER_DAY = np.int64(86_400_000_000)
+    P = int(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key, ts_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"cohort_retention: {ts_col} must be timestamp[us], got {tst}"
+            )
+        for c in (key, ts_col):
+            if narrow.column(c).null_count:
+                raise ValueError(f"cohort_retention: {c} contains nulls")
+        day = np.floor_divide(
+            pc.cast(narrow.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            US_PER_DAY,
+        )
+        t = pa.table({key: narrow.column(key), "day": pa.array(day, pa.int64())})
+        # within-batch distinct shrinks the shuffle to (key, day) pairs
+        t = pa.TableGroupBy(t, [key, "day"]).aggregate([([], "count_all")])
+        t = t.drop_columns(["count_all"])
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t.column(key), P), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.int64()),
+                    "age_days": pa.array([], pa.int64()),
+                    "active_users": pa.array([], pa.int64()),
+                }
+            )
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, kcodes))
+        ks, ds_ = kcodes[o], day[o]
+        pair_starts = _key_runs(ks, ds_)[:-1]  # distinct (key, day)
+        kp, dp = ks[pair_starts], ds_[pair_starts]
+        user_starts_term = _key_runs(kp)
+        user_starts, user_len = user_starts_term[:-1], np.diff(user_starts_term)
+        cohort = np.repeat(dp[user_starts], user_len)
+        age = dp - cohort
+        if len(dp) and (dp.min() < 0 or int(age.max()) >= (1 << 20)):
+            raise ValueError(
+                "cohort_retention: pre-1970 timestamps or a >2900-year "
+                "span break the packed (cohort, age) cell key"
+            )
+        cell = cohort * np.int64(1 << 20) + age  # age < 2^20 days (~2900 yr)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(uniq >> np.int64(20), pa.int64()),
+                "age_days": pa.array(uniq & np.int64((1 << 20) - 1), pa.int64()),
+                "active_users": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_groupby(
+        partials,
+        ["cohort_day", "age_days"],
+        [("active_users", "sum")],
+        max_groups=max_cells,
+    )

@@ -922,3 +922,58 @@ def test_burst_max_vs_bruteforce(ray_session):
     )
     with pytest.raises(Exception, match="timestamp"):
         burst_max(rd.from_arrow(bad)).take_all()
+
+
+def test_cohort_retention_triangle(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import cohort_retention
+
+    US = 86_400_000_000
+    rng = np.random.default_rng(23)
+    rows_u, rows_t = [], []
+    truth = {}
+    for u in range(150):
+        fd = int(rng.integers(0, 6))
+        active = {fd} | {
+            fd + int(a) for a in rng.integers(0, 12, size=rng.integers(0, 6))
+        }
+        truth[u] = (fd, active)
+        for d in active:
+            # several events per active day must not inflate the count
+            for _ in range(int(rng.integers(1, 3))):
+                rows_u.append(u)
+                rows_t.append(d * US + int(rng.integers(0, US)))
+    t = pa.table(
+        {
+            "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+            "ts": pa.array(np.array(rows_t, dtype=np.int64)).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    from collections import Counter
+
+    want = Counter()
+    for fd, active in truth.values():
+        for d in active:
+            want[(fd, d - fd)] += 1
+    for parts in (1, 5):
+        got = {
+            (r["cohort_day"], r["age_days"]): r["active_users"]
+            for r in cohort_retention(
+                rd.from_arrow(t).repartition(parts), num_partitions=4
+            ).take_all()
+        }
+        assert got == dict(want)
+    # age-0 cells sum to the number of users
+    assert sum(v for (c, a), v in got.items() if a == 0) == len(truth)
+
+    bad = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([-US], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    with pytest.raises(Exception, match="pre-1970"):
+        cohort_retention(rd.from_arrow(bad)).take_all()
