@@ -2130,6 +2130,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audience_growth(_t(sf, "events", ["user_id", "ts"]))
 
+    def q_quantile_match(sf):
+        # quantile-normalize per-type event values onto the global
+        # distribution (exact integer rank/position arithmetic)
+        from fever_ray.ops.stats import quantile_match
+
+        return quantile_match(
+            _t(sf, "events", ["event_id", "event_type", "value"]),
+            "event_type",
+            "value",
+            "event_id",
+        )
+
     def q_gini_concentration(sf):
         # corpus-concentration audit: Gini of per-source doc counts
         from fever_ray.ops.stats import gini_concentration
@@ -2715,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_concentration": q_gini_concentration,
         "burst_max": q_burst_max,
         "cohort_retention": q_cohort_retention,
+        "quantile_match": q_quantile_match,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5092,6 +5105,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        # ROW_NUMBER tie order inside o is value-invariant: the sorted
+        # multiset pins the VALUE at every position
+        "quantile_match": (
+            "WITH e AS (SELECT event_id, event_type AS g, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS c FROM events), "
+            "r AS (SELECT event_id, g, c, "
+            "RANK() OVER (PARTITION BY g ORDER BY c) AS rk, "
+            "COUNT(*) OVER (PARTITION BY g) AS ng, "
+            "COUNT(*) OVER () AS n FROM e), "
+            "o AS (SELECT c AS gv, ROW_NUMBER() OVER (ORDER BY c) AS pos "
+            "FROM e), "
+            "t AS (SELECT event_id, g, c, ((rk - 1) * n) // ng + 1 AS tp "
+            "FROM r) "
+            "SELECT t.event_id, t.g AS event_type, t.c AS value_cents, "
+            "o.gv AS norm_cents FROM t JOIN o ON o.pos = t.tp"
         ),
         "cohort_retention": (
             "WITH a AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day "

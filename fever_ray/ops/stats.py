@@ -1827,3 +1827,107 @@ def gini_concentration(
         )
 
     return counts.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def quantile_match(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    broadcast_cap: int = 64 << 20,
+):
+    """Quantile normalization (distribution matching): each row's value is
+    replaced by the GLOBAL distribution's value at the row's within-group
+    quantile position — the cross-source feature-alignment transform
+    (microarray quantile normalization / domain-shift correction): after
+    it, every group has (up to tie granularity) the same marginal
+    distribution.  Integer-exact construction:
+
+        rank = competition RANK of v within its group (ties share)
+        target_pos = ((rank − 1) · N) // n_g + 1        (1-based, ≤ N)
+        norm = the target_pos-th smallest value GLOBALLY
+
+    Output rows: (id_col, group_col, value_cents, norm_cents), value as
+    exact integer cents via the shared `_cents` map.
+
+    Scale shape: `group_value_rank`'s budget — ONE skinny (group, cents)
+    histogram tree-combine (loud ``broadcast_cap``), broadcast once; the
+    global CDF is the group-sum of the same histogram; every batch then
+    annotates itself with two vectorized searchsorted probes and streams
+    out.  The corpus never shuffles."""
+    import ray
+
+    from .aggregates import _cents
+
+    cents_name = "__qm_cents"
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                cents_name: _cents(batch.column(value_col)),
+            }
+        )
+
+    cds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    hist_ds = _group_value_hist(
+        cds, group_col, cents_name, "quantile_match",
+        partial_cap=broadcast_cap * 16,
+    ).materialize()
+    if (hist_ds.size_bytes() or 0) > broadcast_cap:
+        raise ValueError(
+            "quantile_match: (group, value) histogram exceeds the broadcast "
+            f"cap ({hist_ds.size_bytes()} > {broadcast_cap} bytes) — bucket "
+            "the values first"
+        )
+    tabs = [
+        t for t in ray.get(hist_ds.to_arrow_refs()) if t.num_rows and t.num_columns
+    ]
+    if not tabs:
+        raise ValueError("quantile_match: empty input")
+    hist = pa.concat_tables(tabs)
+    groups = np.asarray(hist.column(group_col).to_pylist(), dtype=object)
+    vals = hist.column(cents_name).to_numpy(zero_copy_only=False)
+    cnts = hist.column("n").to_numpy(zero_copy_only=False)
+    # global CDF over sorted distinct values
+    gv_order = np.argsort(vals, kind="mergesort")
+    gvs = vals[gv_order]
+    gu, gstarts = np.unique(gvs, return_index=True)
+    gcnt = np.add.reduceat(cnts[gv_order], gstarts)
+    gcum = np.cumsum(gcnt)
+    N = int(gcum[-1])
+    # per-group sorted values + rank starts (competition rank)
+    per_group: dict = {}
+    for g in np.unique(groups.astype(str)):
+        m = groups.astype(str) == g
+        v, c = vals[m], cnts[m]
+        o = np.argsort(v, kind="mergesort")
+        v, c = v[o], c[o]
+        starts = np.concatenate(([np.int64(1)], 1 + np.cumsum(c)[:-1]))
+        per_group[g] = (v, starts, int(c.sum()))
+    bcast = ray.put((per_group, gu, gcum, N))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        pg, g_vals, g_cum, n_total = ray.get(bcast)
+        gcol = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+        c = batch.column(cents_name).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(c), dtype=np.int64)
+        ng = np.empty(len(c), dtype=np.int64)
+        for g in np.unique(gcol.astype(str)):
+            m = gcol.astype(str) == g
+            v, starts, tot = pg[g]
+            rank[m] = starts[np.searchsorted(v, c[m])]
+            ng[m] = tot
+        tp = (rank - 1) * np.int64(n_total) // ng + np.int64(1)
+        norm = g_vals[np.searchsorted(g_cum, tp, side="left")]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                "value_cents": pa.array(c, pa.int64()),
+                "norm_cents": pa.array(norm, pa.int64()),
+            }
+        )
+
+    return cds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)

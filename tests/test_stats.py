@@ -908,3 +908,48 @@ def test_gini_concentration_exact(ray_session):
 
     with pytest.raises(Exception, match="max_groups|groups"):
         gini_concentration(rd.from_arrow(t3), max_groups=5).take_all()
+
+
+def test_quantile_match_distribution_alignment(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import quantile_match
+
+    rng = np.random.default_rng(17)
+    # group A: small values; group B: shifted+scaled — after matching,
+    # both land on the pooled distribution
+    na, nb = 400, 600
+    va = np.round(rng.normal(10, 2, na), 2)
+    vb = np.round(rng.normal(50, 8, nb), 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(na + nb, dtype=np.int64)),
+            "event_type": pa.array(["A"] * na + ["B"] * nb),
+            "value": pa.array(np.concatenate((va, vb)), pa.float64()),
+        }
+    )
+    for parts in (1, 5):
+        out = quantile_match(
+            rd.from_arrow(t).repartition(parts),
+            "event_type", "value", "event_id",
+        ).take_all()
+        assert len(out) == na + nb
+        got = {r["event_id"]: r for r in out}
+        # brute force
+        allc = np.round(np.concatenate((va, vb)) * 100).astype(np.int64)
+        gsorted = np.sort(allc)
+        for gname, idxs in (("A", range(na)), ("B", range(na, na + nb))):
+            gc = allc[list(idxs)]
+            gs = np.sort(gc)
+            ng = len(gc)
+            for i in idxs:
+                rk = int(np.searchsorted(gs, allc[i], "left")) + 1
+                tp = (rk - 1) * (na + nb) // ng + 1
+                assert got[i]["norm_cents"] == int(gsorted[tp - 1]), i
+                assert got[i]["value_cents"] == int(allc[i])
+    # alignment property: each group's normalized median sits near the
+    # pooled median even though raw medians differ by 40
+    med = np.median(gsorted)
+    for gname, idxs in (("A", range(na)), ("B", range(na, na + nb))):
+        gm = np.median([got[i]["norm_cents"] for i in idxs])
+        assert abs(gm - med) < 300  # within 3.0 units of the pooled median
