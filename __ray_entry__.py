@@ -2130,6 +2130,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audience_growth(_t(sf, "events", ["user_id", "ts"]))
 
+    def q_time_to_nth(sf):
+        # time from first to 5th event per user (activation latency)
+        from fever_ray.ops.windows import time_to_nth_event
+
+        return time_to_nth_event(
+            _t(sf, "events", ["event_id", "user_id", "ts"]), n=5
+        )
+
     def q_quantile_match(sf):
         # quantile-normalize per-type event values onto the global
         # distribution (exact integer rank/position arithmetic)
@@ -2728,6 +2736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_max": q_burst_max,
         "cohort_retention": q_cohort_retention,
         "quantile_match": q_quantile_match,
+        "time_to_nth": q_time_to_nth,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5105,6 +5114,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        "time_to_nth": (
+            "WITH r AS (SELECT user_id, epoch_us(ts) AS t, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS rn FROM events) "
+            "SELECT a.user_id, CAST(b.t - a.t AS BIGINT) AS latency_us "
+            "FROM r a JOIN r b ON a.user_id = b.user_id "
+            "AND a.rn = 1 AND b.rn = 5"
         ),
         # ROW_NUMBER tie order inside o is value-invariant: the sorted
         # multiset pins the VALUE at every position

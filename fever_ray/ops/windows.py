@@ -1987,3 +1987,82 @@ def cohort_retention(
         [("active_users", "sum")],
         max_groups=max_cells,
     )
+
+
+def time_to_nth_event(
+    events_ds,
+    n: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Activation latency: microseconds from each key's FIRST event to its
+    n-th (event-time order, ties by id) — the time-to-activation /
+    time-to-Nth-purchase funnel metric.  Keys with fewer than ``n``
+    events emit nothing (not-yet-activated is absence, not a sentinel).
+    Output rows: (key, latency_us int64) — exact integer timestamp
+    deltas, n = 1 gives all-zero latencies by definition.
+
+    Scale shape: `running_totals`' budget — one key-hash bucket shuffle
+    of the skinny projection, one lexsort per bucket, positions 0 and
+    n−1 of each run picked vectorized."""
+    from .dedup import _auto_parts
+
+    if n < 1:
+        raise ValueError(f"time_to_nth_event: n must be >= 1, got {n}")
+    from ..sketches.hashing import bucket_of
+
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([id_col, key, ts_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"time_to_nth_event: {ts_col} must be timestamp[us], got {tst}"
+            )
+        for c in (id_col, key, ts_col):
+            if narrow.column(c).null_count:
+                raise ValueError(f"time_to_nth_event: {c} contains nulls")
+        return narrow.append_column(
+            "bucket",
+            pa.array(bucket_of(narrow.column(key), n_parts), pa.int32()),
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "latency_us": pa.array([], pa.int64()),
+                }
+            )
+        kc, ids, ts, order, run_start, run_len = _key_sort_runs(
+            g, key, ts_col, id_col
+        )
+        keep = run_len >= n
+        if not keep.any():
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "latency_us": pa.array([], pa.int64()),
+                }
+            )
+        first = run_start[keep]
+        nth = first + (n - 1)
+        tsO = ts[order]
+        return pa.table(
+            {
+                key: kc.take(pa.array(order[first], pa.int64())),
+                "latency_us": pa.array(tsO[nth] - tsO[first], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

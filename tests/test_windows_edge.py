@@ -977,3 +977,35 @@ def test_cohort_retention_triangle(ray_session):
     )
     with pytest.raises(Exception, match="pre-1970"):
         cohort_retention(rd.from_arrow(bad)).take_all()
+
+
+def test_time_to_nth_event(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import time_to_nth_event
+
+    # user 1: 6 events; user 2: exactly 3; user 3: 2 (below n) ; ties on
+    # ts broken by event_id
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(11, dtype=np.int64)),
+            "user_id": pa.array([1] * 6 + [2] * 3 + [3] * 2, pa.int64()),
+            "ts": pa.array(
+                [50, 10, 10, 30, 90, 70, 5, 5, 8, 100, 200], pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    for parts in (1, 4):
+        got = {
+            r["user_id"]: r["latency_us"]
+            for r in time_to_nth_event(
+                rd.from_arrow(t).repartition(parts), n=3, num_partitions=3
+            ).take_all()
+        }
+        # user 1 sorted ts: 10,10,30,... -> 30-10 = 20
+        # user 2 sorted ts: 5,5,8 -> 8-5 = 3 ; user 3 absent
+        assert got == {1: 20, 2: 3}
+    all1 = time_to_nth_event(rd.from_arrow(t), n=1).take_all()
+    assert {r["user_id"]: r["latency_us"] for r in all1} == {1: 0, 2: 0, 3: 0}
+    with pytest.raises(ValueError, match="n must be"):
+        time_to_nth_event(rd.from_arrow(t), n=0)
