@@ -2130,6 +2130,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audience_growth(_t(sf, "events", ["user_id", "ts"]))
 
+    def q_top_share(sf):
+        # Lorenz point: value mass held by the top 1% of events
+        from fever_ray.ops.stats import top_share
+
+        return top_share(_t(sf, "events", ["value"]), "value",
+                         top_ppm=10_000)
+
     def q_time_to_nth(sf):
         # time from first to 5th event per user (activation latency)
         from fever_ray.ops.windows import time_to_nth_event
@@ -2737,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "quantile_match": q_quantile_match,
         "time_to_nth": q_time_to_nth,
+        "top_share": q_top_share,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5114,6 +5122,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        # boundary ties inside rn <= n_top hold equal values, so the
+        # filtered sum is tie-order-invariant
+        "top_share": (
+            "WITH e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c "
+            "FROM events), "
+            "r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC) AS rn, "
+            "COUNT(*) OVER () AS n, SUM(c) OVER () AS tot FROM e) "
+            "SELECT CAST(MAX(n) AS BIGINT) AS n_rows, "
+            "CAST((MAX(n) * 10000 + 999999) // 1000000 AS BIGINT) AS n_top, "
+            "CAST(SUM(c) FILTER (WHERE rn <= (n * 10000 + 999999) // 1000000) "
+            "AS BIGINT) AS top_mass, "
+            "CAST(MAX(tot) AS BIGINT) AS total_mass FROM r"
         ),
         "time_to_nth": (
             "WITH r AS (SELECT user_id, epoch_us(ts) AS t, "

@@ -1931,3 +1931,86 @@ def quantile_match(
         )
 
     return cds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_share(
+    ds,
+    value_col: str,
+    top_ppm: int = 10_000,
+    max_distinct: int = 1 << 22,
+):
+    """Lorenz concentration point: what share of the total value mass do
+    the top ``top_ppm`` parts-per-million of rows hold (top 1% =
+    10_000 ppm)?  The "does 1% of the crawl carry half the tokens?"
+    audit — the pointwise complement of `gini_concentration` (that
+    integrates inequality over bounded groups; this reads one point of
+    the Lorenz curve over UNBOUNDED row counts).  n_top rounds up:
+    ``n_top = (N·ppm + 999_999) // 1_000_000`` — at least one row
+    whenever N > 0.  The boundary tie block contributes pro-rata by
+    count, which is value-exact because tied rows hold equal values.
+
+    Output: ONE row (n_rows, n_top, top_mass, total_mass), all int64,
+    values as exact integer cents via the shared `_cents` map.
+
+    Scale shape: per-batch (cents → count) histogram partials
+    tree-combine over the bounded distinct-value domain (loud
+    ``max_distinct``); the closing kernel is one sort + cumsum over
+    distinct values.  The corpus never shuffles."""
+    from .aggregates import _cents, tree_groupby
+
+    if not (0 < top_ppm <= 1_000_000):
+        raise ValueError(
+            f"top_share: top_ppm must be in (0, 1e6], got {top_ppm}"
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.column(value_col).null_count:
+            raise ValueError(f"top_share: {value_col} contains nulls")
+        c = _cents(batch.column(value_col))
+        t = pa.table({"c": c})
+        g = pa.TableGroupBy(t, ["c"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c", "n"])
+
+    hist = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["c"],
+        [("n", "sum")],
+        max_groups=max_distinct,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_top": pa.array([], pa.int64()),
+                    "top_mass": pa.array([], pa.int64()),
+                    "total_mass": pa.array([], pa.int64()),
+                }
+            )
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        o = np.argsort(-c, kind="stable")
+        cs, ns = c[o].astype(object), n[o].astype(object)
+        N = int(n.sum())
+        n_top = (N * top_ppm + 999_999) // 1_000_000
+        cum = np.cumsum(ns)
+        k = int(np.searchsorted(cum, n_top, side="left"))
+        full_mass = int(np.sum(cs[:k] * ns[:k]))
+        before = int(cum[k - 1]) if k else 0
+        partial_mass = (n_top - before) * int(cs[k]) if n_top > before else 0
+        top_mass = full_mass + partial_mass
+        total = int(np.sum(cs * ns))
+        for v, name in ((top_mass, "top_mass"), (total, "total_mass")):
+            if not (-(1 << 63) <= v < (1 << 63)):
+                raise ValueError(f"top_share: {name} exceeds int64")
+        return pa.table(
+            {
+                "n_rows": pa.array([N], pa.int64()),
+                "n_top": pa.array([int(n_top)], pa.int64()),
+                "top_mass": pa.array([top_mass], pa.int64()),
+                "total_mass": pa.array([total], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(finish, batch_format="pyarrow", batch_size=None)

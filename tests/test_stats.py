@@ -953,3 +953,49 @@ def test_quantile_match_distribution_alignment(ray_session):
     for gname, idxs in (("A", range(na)), ("B", range(na, na + nb))):
         gm = np.median([got[i]["norm_cents"] for i in idxs])
         assert abs(gm - med) < 300  # within 3.0 units of the pooled median
+
+
+def test_top_share_lorenz_point(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import top_share
+
+    # 100 rows: one whale of 99.00, ninety-nine of 0.01 → top 1% = 1 row
+    vals = np.concatenate(([99.0], np.full(99, 0.01)))
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+    (r,) = top_share(rd.from_arrow(t), "value", top_ppm=10_000).take_all()
+    assert (r["n_rows"], r["n_top"], r["top_mass"], r["total_mass"]) == (
+        100, 1, 9900, 9900 + 99,
+    )
+
+    # boundary tie block: ppm picks 2 of 4 equal values → pro-rata exact
+    t2 = pa.table({"value": pa.array([5.0, 5.0, 5.0, 5.0], pa.float64())})
+    (r2,) = top_share(rd.from_arrow(t2), "value", top_ppm=500_000).take_all()
+    assert (r2["n_top"], r2["top_mass"], r2["total_mass"]) == (2, 1000, 2000)
+
+    # negatives sort below; top mass takes the largest values first
+    t3 = pa.table({"value": pa.array([-1.0, 2.0, 3.0], pa.float64())})
+    (r3,) = top_share(rd.from_arrow(t3), "value", top_ppm=670_000).take_all()
+    # ceil(3 * 0.67) = 3 -> all rows, including the negative one
+    assert (r3["n_top"], r3["top_mass"]) == (3, 400)
+    (r3b,) = top_share(rd.from_arrow(t3), "value", top_ppm=500_000).take_all()
+    assert (r3b["n_top"], r3b["top_mass"]) == (2, 500)
+
+    # partition invariance on random data vs brute force
+    rng = np.random.default_rng(4)
+    v = np.round(rng.exponential(20, 5000), 2)
+    t4 = pa.table({"value": pa.array(v, pa.float64())})
+    c = np.round(v * 100).astype(np.int64)
+    cs = np.sort(c)[::-1]
+    n_top = (5000 * 10_000 + 999_999) // 1_000_000
+    want = int(cs[:n_top].sum())
+    for parts in (1, 8):
+        (r4,) = top_share(
+            rd.from_arrow(t4).repartition(parts), "value", top_ppm=10_000
+        ).take_all()
+        assert (r4["n_top"], r4["top_mass"], r4["total_mass"]) == (
+            n_top, want, int(c.sum()),
+        )
+
+    with pytest.raises(ValueError, match="top_ppm"):
+        top_share(rd.from_arrow(t4), "value", top_ppm=0)
