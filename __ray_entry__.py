@@ -1184,6 +1184,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["doc_id", "source", "text"])
         )
 
+    def q_template_census(sf):
+        # digit-blind payload template census over event props
+        from fever_ray.ops.dedup import template_census
+
+        return template_census(_t(sf, "events", ["props"]), "props")
+
     def q_source_overlap(sf):
         # cross-source shared-content matrix (diagonal = per-source
         # distinct counts, so Jaccard falls out downstream)
@@ -2675,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keeper_election": q_keeper_election,
         "source_dup_report": q_source_dup_report,
         "source_overlap": q_source_overlap,
+        "template_census": q_template_census,
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
         "vocab_growth": q_vocab_growth,
@@ -4720,6 +4727,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct, "
             "CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs "
             "FROM m GROUP BY source"
+        ),
+        # two mirrored hash chains (raw / digit-masked) so the distinct
+        # counts share the engine's semantics including any collision;
+        # RE2 on both sides makes the masking bit-faithful
+        "template_census": (
+            "WITH "
+            + _content_hash_cte(
+                base="(SELECT event_id AS doc_id, props AS text "
+                "FROM events) eb",
+                out="rawh",
+                p="r",
+            )
+            + ", "
+            + _content_hash_cte(
+                base="(SELECT event_id AS doc_id, "
+                "regexp_replace(props, '[0-9]+', '#', 'g') AS text "
+                "FROM events) mb",
+                out="maskh",
+                p="m",
+            )
+            + " SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) "
+            "AS n_rows, "
+            "(SELECT CAST(COUNT(DISTINCT content_hash) AS BIGINT) "
+            "FROM rawh) AS distinct_raw, "
+            "(SELECT CAST(COUNT(DISTINCT content_hash) AS BIGINT) "
+            "FROM maskh) AS distinct_masked, "
+            "CAST((SELECT COUNT(DISTINCT content_hash) FROM rawh) - "
+            "(SELECT COUNT(DISTINCT content_hash) FROM maskh) AS BIGINT) "
+            "AS template_collapse"
         ),
         "source_overlap": (
             # unordered pair matrix over distinct (content hash, source);

@@ -3718,3 +3718,117 @@ def source_overlap(
     return tree_groupby(
         partials, ["src_a", "src_b"], [("shared", "sum")], max_groups=max_pairs
     )
+
+
+def template_census(
+    ds,
+    text_col: str = "text",
+    pattern: str = "[0-9]+",
+    replacement: str = "#",
+    num_partitions: int = 32,
+):
+    """Number-blind template census: how many distinct payloads remain
+    after masking every digit run — the boilerplate detector for content
+    that differs only in counters/ids/timestamps (pagination shells,
+    structured event payloads).  A large ``distinct_raw −
+    distinct_masked`` gap means the corpus is template spam, which raw
+    exact-dedup cannot see.
+
+    Output: ONE row (n_rows, distinct_raw, distinct_masked,
+    template_collapse = distinct_raw − distinct_masked), all int64.
+    Masking runs RE2 (`pc.replace_substring_regex`) — the same regex
+    engine DuckDB's ``regexp_replace`` uses, so a SQL mirror is
+    bit-faithful.
+
+    Scale shape: per-batch both hashes + within-batch distinct, ONE
+    hash-bucket shuffle of skinny (kind, hash) pairs (text never moves),
+    per-bucket distinct counts per kind, 3-row tree combine.  Row counts
+    ride the same tree as a summed partial."""
+    from ..sketches.hashing import bucket_of, hash64
+    from .aggregates import tree_groupby
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        masked = pc.replace_substring_regex(
+            text, pattern=pattern, replacement=replacement
+        )
+        hr = np.unique(hash64(text).astype(np.int64))
+        hm = np.unique(hash64(masked).astype(np.int64))
+        kind = np.concatenate(
+            (
+                np.zeros(len(hr), np.int8),
+                np.ones(len(hm), np.int8),
+                np.full(1, 2, np.int8),
+            )
+        )
+        h = np.concatenate((hr, hm, np.zeros(1, np.int64)))
+        cnt = np.concatenate(
+            (np.zeros(len(hr) + len(hm), np.int64),
+             np.full(1, batch.num_rows, np.int64))
+        )
+        t = pa.table(
+            {
+                "kind": pa.array(kind, pa.int8()),
+                "h": pa.array(h, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t.column("h"), num_partitions), pa.int32())
+        )
+
+    def per_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table(
+                {"kind": pa.array([], pa.int8()), "n": pa.array([], pa.int64())}
+            )
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+        out_k, out_n = [], []
+        for kv in (0, 1):
+            m = kind == kv
+            if m.any():
+                out_k.append(kv)
+                out_n.append(len(np.unique(h[m])))
+        m2 = kind == 2
+        if m2.any():
+            out_k.append(2)
+            out_n.append(int(cnt[m2].sum()))
+        return pa.table(
+            {
+                "kind": pa.array(np.array(out_k, np.int8), pa.int8()),
+                "n": pa.array(np.array(out_n, np.int64), pa.int64()),
+            }
+        )
+
+    totals = tree_groupby(
+        ds.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["kind"],
+        [("n", "sum")],
+        max_groups=8,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = ("n_rows", "distinct_raw", "distinct_masked",
+                "template_collapse")
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        d = {int(k): int(v) for k, v in zip(kind, n)}
+        raw, masked, rows = d.get(0, 0), d.get(1, 0), d.get(2, 0)
+        return pa.table(
+            {
+                "n_rows": pa.array([rows], pa.int64()),
+                "distinct_raw": pa.array([raw], pa.int64()),
+                "distinct_masked": pa.array([masked], pa.int64()),
+                "template_collapse": pa.array([raw - masked], pa.int64()),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow", batch_size=None)

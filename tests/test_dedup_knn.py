@@ -1297,3 +1297,25 @@ def test_source_overlap_matrix(ray_session):
     )
     with pytest.raises(Exception, match="nulls"):
         source_overlap(rd.from_arrow(bad)).take_all()
+
+
+def test_template_census_digit_masking(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import template_census
+
+    rows = (
+        [{"text": f"page {i} of 100"} for i in range(50)]     # 1 template
+        + [{"text": f"item={i}&qty={i % 3}"} for i in range(30)]  # 1 template
+        + [{"text": "no digits here"}] * 5                    # 1 raw = 1 tpl
+        + [{"text": "unique zebra"}]
+    )
+    ds = rd.from_items(rows)
+    for parts in (1, 4):
+        (r,) = template_census(
+            ds.repartition(parts), num_partitions=3
+        ).take_all()
+        assert (
+            r["n_rows"], r["distinct_raw"], r["distinct_masked"],
+            r["template_collapse"],
+        ) == (86, 82, 4, 78)
