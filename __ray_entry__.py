@@ -2136,6 +2136,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audience_growth(_t(sf, "events", ["user_id", "ts"]))
 
+    def q_mann_whitney(sf):
+        # purchase vs click value distributions: exact doubled U
+        from fever_ray.ops.stats import mann_whitney
+
+        def tag_side(b: pa.Table) -> pa.Table:
+            et = b.column("event_type")
+            keep = pc.is_in(et, value_set=pa.array(["purchase", "click"]))
+            out = b.filter(keep)
+            side = pc.if_else(
+                pc.equal(out.column("event_type"), "purchase"),
+                pa.scalar(0, pa.int64()),
+                pa.scalar(1, pa.int64()),
+            )
+            return pa.table({"side": side, "value": out.column("value")})
+
+        ev = _t(sf, "events", ["event_type", "value"]).map_batches(
+            tag_side, batch_format="pyarrow"
+        )
+        return mann_whitney(ev, "side", "value")
+
+    def q_rolling_active_users(sf):
+        # exact 7-day rolling active-user curve (WAU)
+        from fever_ray.ops.windows import rolling_active_users
+
+        return rolling_active_users(
+            _t(sf, "events", ["user_id", "ts"]), window_days=7
+        )
+
     def q_top_share(sf):
         # Lorenz point: value mass held by the top 1% of events
         from fever_ray.ops.stats import top_share
@@ -2752,6 +2780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_match": q_quantile_match,
         "time_to_nth": q_time_to_nth,
         "top_share": q_top_share,
+        "mann_whitney": q_mann_whitney,
+        "rolling_active_users": q_rolling_active_users,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5158,6 +5188,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
             "SELECT a.k AS id_a, b.k AS id_b, a.c AS val_a, b.c AS val_b "
             "FROM p a JOIN p b ON a.k < b.k AND abs(a.c - b.c) <= 10"
+        ),
+        # doubled pooled ranks keep every moment integer; the identity
+        # 2*U_A = 2*R_A - n_a(n_a+1) holds with average tie ranks
+        "mann_whitney": (
+            "WITH e AS (SELECT CASE WHEN event_type = 'purchase' THEN 0 "
+            "ELSE 1 END AS side, CAST(ROUND(value * 100) AS BIGINT) AS c "
+            "FROM events WHERE event_type IN ('purchase', 'click')), "
+            "r AS (SELECT side, 2*RANK() OVER (ORDER BY c) "
+            "+ COUNT(*) OVER (PARTITION BY c) - 1 AS dr FROM e), "
+            "s AS (SELECT SUM(dr) FILTER (WHERE side = 0) AS r2a, "
+            "COUNT(*) FILTER (WHERE side = 0) AS na, "
+            "COUNT(*) FILTER (WHERE side = 1) AS nb FROM r) "
+            "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+            "CAST(r2a - na*(na+1) AS BIGINT) AS u2_a FROM s"
+        ),
+        "rolling_active_users": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "w AS (SELECT DISTINCT user_id, day + g AS day_idx "
+            "FROM d, generate_series(0, 6) AS s(g)) "
+            "SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS active_users "
+            "FROM w GROUP BY day_idx"
         ),
         # boundary ties inside rn <= n_top hold equal values, so the
         # filtered sum is tie-order-invariant

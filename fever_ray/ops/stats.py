@@ -2014,3 +2014,88 @@ def top_share(
         )
 
     return hist.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def mann_whitney(
+    ds,
+    side_col: str,
+    value_col: str,
+    max_values: int = 1 << 22,
+):
+    """EXACT two-sample Mann-Whitney U — the nonparametric "is one group's
+    distribution shifted?" location test (the rank companion of
+    `ks_distance`'s shape test): with sides A = 0 and B = 1,
+
+        u2_a = 2·#{(a, b): a > b} + #{(a, b): a = b}   (doubled U_A)
+
+    so U_A = u2_a / 2 exactly and the rank-biserial effect size is
+    r = u2_a / (n_a·n_b) − 1.  All outputs integer: (n_a, n_b, u2_a);
+    u2_b falls out as 2·n_a·n_b − u2_a.  Values are exact integer cents
+    via the shared `_cents` map; either side empty → u2_a = −1 sentinel.
+
+    Scale shape: identical to `ks_distance` — per-batch (cents, side)
+    count partials tree-combine over the bounded distinct-value domain
+    (loud ``max_values``); the closing kernel is one sort + a cumulative
+    count per side over distinct values.  The corpus never shuffles."""
+    from .aggregates import _cents, tree_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(side_col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if s.null_count or batch.column(value_col).null_count:
+            raise ValueError(
+                f"mann_whitney: {side_col}/{value_col} must be null-free"
+            )
+        side = s.to_numpy(zero_copy_only=False).astype(np.int64)
+        if ((side != 0) & (side != 1)).any():
+            raise ValueError("mann_whitney: side_col must be 0/1")
+        c = _cents(batch.column(value_col)).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "c": pa.array(c, pa.int64()),
+                "side": pa.array(side, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["c", "side"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c", "side", "n"])
+
+    hist = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["c", "side"],
+        [("n", "sum")],
+        max_groups=max_values,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = ("n_a", "n_b", "u2_a")
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        vals = np.unique(c)
+        ca = np.zeros(len(vals), dtype=np.int64)
+        cb = np.zeros(len(vals), dtype=np.int64)
+        pos = np.searchsorted(vals, c)
+        np.add.at(ca, pos[side == 0], n[side == 0])
+        np.add.at(cb, pos[side == 1], n[side == 1])
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        if n_a == 0 or n_b == 0:
+            u2 = -1
+        else:
+            cum_b_less = np.concatenate(([0], np.cumsum(cb)[:-1]))
+            gt = int(np.sum(ca.astype(object) * cum_b_less.astype(object)))
+            eq = int(np.sum(ca.astype(object) * cb.astype(object)))
+            u2 = 2 * gt + eq
+            if u2 >= (1 << 63):
+                raise ValueError("mann_whitney: u2_a exceeds int64")
+        return pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "u2_a": pa.array([u2], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -2066,3 +2066,101 @@ def time_to_nth_event(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def rolling_active_users(
+    events_ds,
+    window_days: int = 7,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+    max_days: int = 100_000,
+):
+    """Exact rolling N-day active-user curve (WAU/MAU family): for every
+    window-end day d, how many distinct keys had ≥1 event in
+    ``[d − window_days + 1, d]`` — the stickiness denominator (DAU/WAU)
+    computed EXACTLY, no HLL.  A window-end day appears iff some key was
+    active in its window, i.e. days range to last_active + window − 1.
+
+    Output rows: (day_idx, active_users), int64 epoch days.
+
+    Scale shape: within-batch distinct (key, day) pairs, ONE key-hash
+    bucket shuffle; per bucket each key's distinct days expand to ≤
+    window_days window-ends, de-duplicated per key vectorized (expansion
+    is on DISTINCT days, so worst case window_days × distinct pairs of
+    skinny ints); per-bucket (day, count) partials tree-combine over the
+    bounded day domain."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+    from .dedup import _key_runs
+
+    if window_days < 1:
+        raise ValueError(
+            f"rolling_active_users: window_days must be >= 1, got {window_days}"
+        )
+    US_PER_DAY = np.int64(86_400_000_000)
+    P = int(num_partitions)
+    W = int(window_days)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key, ts_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"rolling_active_users: {ts_col} must be timestamp[us], got {tst}"
+            )
+        for c in (key, ts_col):
+            if narrow.column(c).null_count:
+                raise ValueError(f"rolling_active_users: {c} contains nulls")
+        day = np.floor_divide(
+            pc.cast(narrow.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            US_PER_DAY,
+        )
+        t = pa.table({key: narrow.column(key), "day": pa.array(day, pa.int64())})
+        t = pa.TableGroupBy(t, [key, "day"]).aggregate([([], "count_all")])
+        t = t.drop_columns(["count_all"])
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t.column(key), P), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "day_idx": pa.array([], pa.int64()),
+                    "active_users": pa.array([], pa.int64()),
+                }
+            )
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, kcodes))
+        ks, ds_ = kcodes[o], day[o]
+        starts = _key_runs(ks, ds_)[:-1]  # distinct (key, day)
+        kp, dp = ks[starts].astype(np.int64), ds_[starts]
+        # expand each active day to its W window-ends, dedupe per key
+        ke = np.repeat(kp, W)
+        we = np.repeat(dp, W) + np.tile(np.arange(W, dtype=np.int64), len(dp))
+        o2 = np.lexsort((we, ke))
+        ke, we = ke[o2], we[o2]
+        s2 = _key_runs(ke, we)[:-1]  # distinct (key, window_end)
+        uniq, cnt = np.unique(we[s2], return_counts=True)
+        return pa.table(
+            {
+                "day_idx": pa.array(uniq, pa.int64()),
+                "active_users": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_groupby(
+        partials, ["day_idx"], [("active_users", "sum")], max_groups=max_days
+    )

@@ -999,3 +999,41 @@ def test_top_share_lorenz_point(ray_session):
 
     with pytest.raises(ValueError, match="top_ppm"):
         top_share(rd.from_arrow(t4), "value", top_ppm=0)
+
+
+def test_mann_whitney_exact_u(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import mann_whitney
+
+    rng = np.random.default_rng(9)
+    na, nb = 300, 450
+    va = np.round(rng.normal(20, 5, na), 2)
+    vb = np.round(rng.normal(22, 5, nb), 2)
+    t = pa.table(
+        {
+            "side": pa.array([0] * na + [1] * nb, pa.int64()),
+            "value": pa.array(np.concatenate((va, vb)), pa.float64()),
+        }
+    )
+    ca = np.round(va * 100).astype(np.int64)
+    cb = np.round(vb * 100).astype(np.int64)
+    gt = sum(int((a > cb).sum()) for a in ca)
+    eq = sum(int((a == cb).sum()) for a in ca)
+    want = 2 * gt + eq
+    for parts in (1, 6):
+        (r,) = mann_whitney(
+            rd.from_arrow(t).repartition(parts), "side", "value"
+        ).take_all()
+        assert (r["n_a"], r["n_b"], r["u2_a"]) == (na, nb, want)
+    # complement identity and rank-biserial bounds
+    assert 0 <= want <= 2 * na * nb
+    # one side empty -> sentinel
+    t2 = pa.table({"side": pa.array([0, 0], pa.int64()),
+                   "value": pa.array([1.0, 2.0], pa.float64())})
+    (r2,) = mann_whitney(rd.from_arrow(t2), "side", "value").take_all()
+    assert r2["u2_a"] == -1
+    bad = pa.table({"side": pa.array([2], pa.int64()),
+                    "value": pa.array([1.0], pa.float64())})
+    with pytest.raises(Exception, match="0/1"):
+        mann_whitney(rd.from_arrow(bad), "side", "value").take_all()

@@ -1009,3 +1009,59 @@ def test_time_to_nth_event(ray_session):
     assert {r["user_id"]: r["latency_us"] for r in all1} == {1: 0, 2: 0, 3: 0}
     with pytest.raises(ValueError, match="n must be"):
         time_to_nth_event(rd.from_arrow(t), n=0)
+
+
+def test_rolling_active_users_wau(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import rolling_active_users
+
+    US = 86_400_000_000
+    rng = np.random.default_rng(29)
+    rows_u, rows_t = [], []
+    active = {}
+    for u in range(80):
+        days = set(rng.integers(0, 15, size=rng.integers(1, 6)).tolist())
+        active[u] = days
+        for d in days:
+            for _ in range(int(rng.integers(1, 3))):  # multi-event days
+                rows_u.append(u)
+                rows_t.append(d * US + int(rng.integers(0, US)))
+    t = pa.table(
+        {
+            "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+            "ts": pa.array(np.array(rows_t, dtype=np.int64)).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    W = 7
+    from collections import Counter
+
+    want = Counter()
+    for u, days in active.items():
+        wends = {d + g for d in days for g in range(W)}
+        for wd in wends:
+            want[wd] += 1
+    for parts in (1, 5):
+        got = {
+            r["day_idx"]: r["active_users"]
+            for r in rolling_active_users(
+                rd.from_arrow(t).repartition(parts),
+                window_days=W,
+                num_partitions=4,
+            ).take_all()
+        }
+        assert got == dict(want)
+    # window of 1 day == daily active users
+    got1 = {
+        r["day_idx"]: r["active_users"]
+        for r in rolling_active_users(rd.from_arrow(t), window_days=1).take_all()
+    }
+    dau = Counter()
+    for u, days in active.items():
+        for d in days:
+            dau[d] += 1
+    assert got1 == dict(dau)
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_active_users(rd.from_arrow(t), window_days=0)
