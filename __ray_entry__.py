@@ -1184,6 +1184,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["doc_id", "source", "text"])
         )
 
+    def q_content_churn(sf):
+        # per-day distinct vs first-seen payloads (recrawl freshness)
+        from fever_ray.ops.dedup import content_churn
+
+        return content_churn(
+            _t(sf, "events", ["props", "ts"]), text_col="props"
+        )
+
+    def q_session_length_histogram(sf):
+        # composition gate: sessionize -> exact length histogram
+        from fever_ray.ops.aggregates import tree_groupby
+        from fever_ray.ops.windows import sessionize
+
+        s = sessionize(_t(sf, "events", ["user_id", "ts"]))
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(b.select(["n_events"]), ["n_events"]).aggregate(
+                [([], "count_all")]
+            )
+            return t.rename_columns(["n_events", "n_sessions"])
+
+        return tree_groupby(
+            s.map_batches(partial, batch_format="pyarrow"),
+            ["n_events"],
+            [("n_sessions", "sum")],
+        )
+
     def q_template_census(sf):
         # digit-blind payload template census over event props
         from fever_ray.ops.dedup import template_census
@@ -2710,6 +2737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_report": q_source_dup_report,
         "source_overlap": q_source_overlap,
         "template_census": q_template_census,
+        "content_churn": q_content_churn,
+        "session_length_histogram": q_session_length_histogram,
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
         "vocab_growth": q_vocab_growth,
@@ -4757,6 +4786,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct, "
             "CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs "
             "FROM m GROUP BY source"
+        ),
+        "content_churn": (
+            "WITH "
+            + _content_hash_cte(
+                base="(SELECT event_id AS doc_id, props AS text "
+                "FROM events) cb",
+                out="ph",
+                p="c",
+            )
+            + ", m AS (SELECT r.content_hash AS h, "
+            "epoch_us(e.ts) // 86400000000 AS day "
+            "FROM events e JOIN ph r ON r.doc_id = e.event_id), "
+            "d AS (SELECT DISTINCT h, day FROM m), "
+            "f AS (SELECT h, MIN(day) AS fday FROM d GROUP BY h) "
+            "SELECT d.day AS day_idx, "
+            "CAST(COUNT(*) AS BIGINT) AS distinct_payloads, "
+            "CAST(COUNT(*) FILTER (WHERE d.day = f.fday) AS BIGINT) "
+            "AS new_payloads "
+            "FROM d JOIN f ON d.h = f.h GROUP BY d.day"
+        ),
+        "session_length_histogram": (
+            # the sessionize oracle chain, reduced to its length histogram
+            "WITH o AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, sid) "
+            "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions "
+            "FROM g GROUP BY n_events"
         ),
         # two mirrored hash chains (raw / digit-masked) so the distinct
         # counts share the engine's semantics including any collision;

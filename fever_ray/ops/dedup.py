@@ -3832,3 +3832,91 @@ def template_census(
         )
 
     return totals.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def content_churn(
+    ds,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_partitions: int = 32,
+    max_days: int = 100_000,
+):
+    """Content churn per crawl day: for every epoch day, how many DISTINCT
+    payloads appeared, and how many of those were globally FIRST seen that
+    day — the recrawl-freshness audit (new_payloads / distinct_payloads ≈
+    novelty rate; a collapsing rate says the crawler is refetching).
+    Keyed on the engine content hash; output rows
+    (day_idx, distinct_payloads, new_payloads), all int64.
+
+    Scale shape: per-batch distinct (hash, day) partials (payload text
+    never shuffles), ONE hash-bucket shuffle co-locates each hash's
+    full history, per bucket one lexsort resolves both the per-day
+    distinct count and each hash's first day, bounded-day tree combine."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        tst = batch.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"content_churn: {ts_col} must be timestamp[us], got {tst}"
+            )
+        if batch.column(ts_col).null_count:
+            raise ValueError(f"content_churn: {ts_col} contains nulls")
+        h = add_content_hash(batch, text_col).column("content_hash")
+        day = np.floor_divide(
+            pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            US_PER_DAY,
+        )
+        t = pa.table({"h": h, "day": pa.array(day, pa.int64())})
+        t = pa.TableGroupBy(t, ["h", "day"]).aggregate([([], "count_all")])
+        t = t.drop_columns(["count_all"])
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t.column("h"), num_partitions), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "day_idx": pa.array([], pa.int64()),
+                    "distinct_payloads": pa.array([], pa.int64()),
+                    "new_payloads": pa.array([], pa.int64()),
+                }
+            )
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, h))
+        hs, ds_ = h[o], day[o]
+        starts = _key_runs(hs, ds_)[:-1]  # distinct (hash, day)
+        hp, dp = hs[starts], ds_[starts]
+        h_starts = _key_runs(hp)[:-1]  # first (hash, day) per hash
+        all_days, all_cnt = np.unique(dp, return_counts=True)
+        new_days, new_cnt = np.unique(dp[h_starts], return_counts=True)
+        newc = np.zeros(len(all_days), dtype=np.int64)
+        newc[np.searchsorted(all_days, new_days)] = new_cnt
+        return pa.table(
+            {
+                "day_idx": pa.array(all_days, pa.int64()),
+                "distinct_payloads": pa.array(
+                    all_cnt.astype(np.int64), pa.int64()
+                ),
+                "new_payloads": pa.array(newc, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_groupby(
+        partials,
+        ["day_idx"],
+        [("distinct_payloads", "sum"), ("new_payloads", "sum")],
+        max_groups=max_days,
+    )

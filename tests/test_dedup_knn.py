@@ -1319,3 +1319,35 @@ def test_template_census_digit_masking(ray_session):
             r["n_rows"], r["distinct_raw"], r["distinct_masked"],
             r["template_collapse"],
         ) == (86, 82, 4, 78)
+
+
+def test_content_churn_first_seen_per_day(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import content_churn
+
+    US = 86_400_000_000
+    rows = []
+    # payload A: days 0, 1, 2 ; payload B: days 1, 1 (dup events) ;
+    # payload C: day 2 only
+    for txt, day in (("A", 0), ("A", 1), ("A", 2),
+                     ("B", 1), ("B", 1), ("C", 2)):
+        rows.append({"text": txt,
+                     "ts": (day * US + len(rows))})
+    t = pa.table(
+        {
+            "text": pa.array([r["text"] for r in rows]),
+            "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    for parts in (1, 3):
+        got = {
+            r["day_idx"]: (r["distinct_payloads"], r["new_payloads"])
+            for r in content_churn(
+                rd.from_arrow(t).repartition(parts), num_partitions=3
+            ).take_all()
+        }
+        # day0: {A} new {A}; day1: {A,B} new {B}; day2: {A,C} new {C}
+        assert got == {0: (1, 1), 1: (2, 1), 2: (2, 1)}
