@@ -1184,6 +1184,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["doc_id", "source", "text"])
         )
 
+    def q_dedup_savings(sf):
+        # dedup ROI: bytes kept vs saved by exact dedup (one summary row)
+        from fever_ray.ops.dedup import dedup_savings
+
+        return dedup_savings(_t(sf, "documents", ["doc_id", "text"]))
+
+    def q_activity_profile(sf):
+        # day-of-week x hour event census (epoch arithmetic both sides)
+        from fever_ray.ops.aggregates import tree_groupby
+
+        def partial(b: pa.Table) -> pa.Table:
+            us = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            day = us // 86_400_000_000
+            t = pa.table(
+                {
+                    "dow": pa.array((day + 4) % 7, pa.int64()),
+                    "hour": pa.array(
+                        (us % 86_400_000_000) // 3_600_000_000, pa.int64()
+                    ),
+                }
+            )
+            g = pa.TableGroupBy(t, ["dow", "hour"]).aggregate(
+                [([], "count_all")]
+            )
+            return g.rename_columns(["dow", "hour", "n"])
+
+        return tree_groupby(
+            _t(sf, "events", ["ts"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["dow", "hour"],
+            [("n", "sum")],
+        )
+
     def q_content_churn(sf):
         # per-day distinct vs first-seen payloads (recrawl freshness)
         from fever_ray.ops.dedup import content_churn
@@ -2739,6 +2775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_census": q_template_census,
         "content_churn": q_content_churn,
         "session_length_histogram": q_session_length_histogram,
+        "dedup_savings": q_dedup_savings,
+        "activity_profile": q_activity_profile,
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
         "vocab_growth": q_vocab_growth,
@@ -4786,6 +4824,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct, "
             "CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs "
             "FROM m GROUP BY source"
+        ),
+        # copies of equal content have equal byte length, so the keeper
+        # length is MIN(strlen) per hash on both sides
+        "dedup_savings": (
+            "WITH "
+            + _content_hash_cte()
+            + ", m AS (SELECT a.content_hash AS h, "
+            "strlen(COALESCE(d.text, '')) AS ln FROM documents d "
+            "JOIN allh a ON a.doc_id = d.doc_id), "
+            "g AS (SELECT h, CAST(SUM(ln) AS BIGINT) AS s, "
+            "CAST(MIN(ln) AS BIGINT) AS o, COUNT(*) AS n FROM m GROUP BY h) "
+            "SELECT CAST(SUM(n) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+            "CAST(SUM(s) AS BIGINT) AS bytes_total, "
+            "CAST(SUM(o) AS BIGINT) AS bytes_after, "
+            "CAST(SUM(s) - SUM(o) AS BIGINT) AS bytes_saved FROM g"
+        ),
+        "activity_profile": (
+            "SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, "
+            "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
         ),
         "content_churn": (
             "WITH "

@@ -3920,3 +3920,90 @@ def content_churn(
         [("distinct_payloads", "sum"), ("new_payloads", "sum")],
         max_groups=max_days,
     )
+
+
+def dedup_savings(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
+    num_partitions: int = 32,
+):
+    """Dedup ROI report: ONE row (n_docs, n_distinct, bytes_total,
+    bytes_after, bytes_saved) — what does exact dedup actually buy in
+    storage/compute before you run it?  ``bytes_after`` keeps one copy
+    per distinct content; copies of the same content have equal length,
+    so the keeper's length is exact no matter which copy survives.
+    Lengths come from ``len_col`` if given (pre-computed char counts),
+    else ``binary_length(text_col)``.
+
+    Scale shape: per-batch per-hash (count, length-sum, one-length)
+    partials, ONE hash-bucket shuffle of skinny int rows, per-bucket
+    per-hash finalize, then a 5-integer tree sum.  Text never moves."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        h = add_content_hash(batch, text_col).column("content_hash")
+        if len_col is not None:
+            ln = pc.cast(batch.column(len_col), pa.int64())
+        else:
+            ln = pc.cast(pc.binary_length(batch.column(text_col)), pa.int64())
+        t = pa.table({"h": h, "ln": ln})
+        g = pa.TableGroupBy(t, ["h"]).aggregate(
+            [("ln", "sum"), ("ln", "min"), ([], "count_all")]
+        )
+        g = g.rename_columns(["h", "ln_sum", "ln_one", "n"])
+        return g.append_column(
+            "bucket", pa.array(bucket_of(g.column("h"), num_partitions), pa.int32())
+        )
+
+    def per_bucket(b: pa.Table) -> pa.Table:
+        cols = ("n_docs", "n_distinct", "bytes_total", "bytes_after")
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = pa.TableGroupBy(b.select(["h", "ln_sum", "ln_one", "n"]), ["h"]).aggregate(
+            [("ln_sum", "sum"), ("ln_one", "min"), ("n", "sum")]
+        )
+        ln_sum = g.column("ln_sum_sum").to_numpy(zero_copy_only=False)
+        ln_one = g.column("ln_one_min").to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": pa.array([int(n.sum())], pa.int64()),
+                "n_distinct": pa.array([g.num_rows], pa.int64()),
+                "bytes_total": pa.array([int(ln_sum.sum())], pa.int64()),
+                "bytes_after": pa.array([int(ln_one.sum())], pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = ("n_docs", "n_distinct", "bytes_total", "bytes_after",
+                "bytes_saved")
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        vals = {
+            c: int(batch.column(c).to_numpy(zero_copy_only=False).sum())
+            for c in ("n_docs", "n_distinct", "bytes_total", "bytes_after")
+        }
+        return pa.table(
+            {
+                "n_docs": pa.array([vals["n_docs"]], pa.int64()),
+                "n_distinct": pa.array([vals["n_distinct"]], pa.int64()),
+                "bytes_total": pa.array([vals["bytes_total"]], pa.int64()),
+                "bytes_after": pa.array([vals["bytes_after"]], pa.int64()),
+                "bytes_saved": pa.array(
+                    [vals["bytes_total"] - vals["bytes_after"]], pa.int64()
+                ),
+            }
+        )
+
+    return totals.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -1351,3 +1351,23 @@ def test_content_churn_first_seen_per_day(ray_session):
         }
         # day0: {A} new {A}; day1: {A,B} new {B}; day2: {A,C} new {C}
         assert got == {0: (1, 1), 1: (2, 1), 2: (2, 1)}
+
+
+def test_dedup_savings_summary(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import dedup_savings
+
+    rows = (
+        [{"doc_id": i, "text": "aaaa"} for i in range(3)]      # 4B x3 -> keep 1
+        + [{"doc_id": 10 + i, "text": "bb"} for i in range(2)]  # 2B x2 -> keep 1
+        + [{"doc_id": 20, "text": "unique-one"}]                # 10B  x1
+    )
+    for parts in (1, 3):
+        (r,) = dedup_savings(
+            rd.from_items(rows).repartition(parts), num_partitions=3
+        ).take_all()
+        assert (
+            r["n_docs"], r["n_distinct"], r["bytes_total"],
+            r["bytes_after"], r["bytes_saved"],
+        ) == (6, 3, 12 + 4 + 10, 4 + 2 + 10, 10)
