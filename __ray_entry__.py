@@ -1184,6 +1184,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["doc_id", "source", "text"])
         )
 
+    def q_group_ks_drift(sf):
+        # which source's length distribution drifted vs the rest?
+        from fever_ray.ops.stats import group_ks_drift
+
+        return group_ks_drift(
+            _t(sf, "documents", ["source", "n_chars"]), "source", "n_chars"
+        )
+
     def q_dedup_savings(sf):
         # dedup ROI: bytes kept vs saved by exact dedup (one summary row)
         from fever_ray.ops.dedup import dedup_savings
@@ -2777,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_histogram": q_session_length_histogram,
         "dedup_savings": q_dedup_savings,
         "activity_profile": q_activity_profile,
+        "group_ks_drift": q_group_ks_drift,
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
         "vocab_growth": q_vocab_growth,
@@ -4824,6 +4833,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct, "
             "CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs "
             "FROM m GROUP BY source"
+        ),
+        # group-vs-rest KS on the dense (group x distinct-value) grid;
+        # HUGEINT products, first-max tie broken by MIN(c)
+        "group_ks_drift": (
+            "WITH e AS (SELECT source AS g, n_chars AS c FROM documents), "
+            "v AS (SELECT DISTINCT c FROM e), "
+            "gg AS (SELECT DISTINCT g FROM e), "
+            "grid AS (SELECT gg.g, v.c FROM gg CROSS JOIN v), "
+            "cnt AS (SELECT g, c, COUNT(*) AS n FROM e GROUP BY g, c), "
+            "j AS (SELECT grid.g, grid.c, COALESCE(cnt.n, 0) AS n "
+            "FROM grid LEFT JOIN cnt ON grid.g = cnt.g AND grid.c = cnt.c), "
+            "cum AS (SELECT g, c, SUM(n) OVER (PARTITION BY g ORDER BY c) "
+            "AS cg FROM j), "
+            "gl AS (SELECT c, SUM(n) AS nn FROM j GROUP BY c), "
+            "gcum AS (SELECT c, SUM(nn) OVER (ORDER BY c) AS cc FROM gl), "
+            "tot AS (SELECT g, SUM(n) AS ng FROM j GROUP BY g), "
+            "tt AS (SELECT SUM(n) AS nt FROM j), "
+            "d AS (SELECT cum.g, cum.c, "
+            "ABS(CAST(cum.cg AS HUGEINT) * (tt.nt - tot.ng) "
+            "- (gcum.cc - cum.cg) * CAST(tot.ng AS HUGEINT)) AS dv "
+            "FROM cum JOIN gcum ON cum.c = gcum.c "
+            "JOIN tot ON cum.g = tot.g CROSS JOIN tt), "
+            "m AS (SELECT g, MAX(dv) AS dmax FROM d GROUP BY g) "
+            "SELECT m.g AS source, CAST(tot.ng AS BIGINT) AS n_g, "
+            "CAST(CASE WHEN tt.nt = tot.ng THEN -1 ELSE m.dmax END "
+            "AS BIGINT) AS d_num, "
+            "CAST(CASE WHEN tt.nt = tot.ng THEN (SELECT MIN(c) FROM v) "
+            "ELSE (SELECT MIN(c) FROM d WHERE d.g = m.g AND d.dv = m.dmax) "
+            "END AS BIGINT) AS at_value "
+            "FROM m JOIN tot ON m.g = tot.g CROSS JOIN tt"
         ),
         # copies of equal content have equal byte length, so the keeper
         # length is MIN(strlen) per hash on both sides

@@ -2099,3 +2099,93 @@ def mann_whitney(
         )
 
     return hist.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def group_ks_drift(
+    ds,
+    group_col: str,
+    value_col: str,
+    broadcast_cap: int = 64 << 20,
+):
+    """Per-group drift leaderboard: for EVERY group, the exact two-sample
+    Kolmogorov-Smirnov distance between the group's value distribution
+    and the REST of the corpus — "which source drifted?" asked once per
+    source instead of once per hand-picked pair (`ks_distance` is the
+    two-sided primitive; this sweeps it across a bounded group domain).
+    Integer form per group g with n_g rows, complement size m = N − n_g:
+
+        d_num(g) = max_v |c_g(v)·m − (C(v) − c_g(v))·n_g|
+
+    so D_g = d_num / (n_g·m) exactly; ``at_value`` is the smallest value
+    attaining the max (deterministic).  Groups equal to the whole corpus
+    (m = 0) report d_num = −1 sentinel.  Output rows:
+    (group, n_g, d_num, at_value), int64.
+
+    Scale shape: ONE bounded (group, value) histogram tree-combine (the
+    `_group_value_hist` contract, loud ``broadcast_cap``); the closing
+    kernel is a per-group scatter + two cumsums over the distinct-value
+    union — Python-bigint lanes, int64-checked on emit.  The corpus
+    never shuffles."""
+    hist_ds = _group_value_hist(
+        ds, group_col, value_col, "group_ks_drift",
+        partial_cap=broadcast_cap * 16,
+    ).materialize()
+    if (hist_ds.size_bytes() or 0) > broadcast_cap:
+        raise ValueError(
+            "group_ks_drift: (group, value) histogram exceeds the cap "
+            f"({hist_ds.size_bytes()} > {broadcast_cap} bytes) — bucket first"
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {
+            group_col: pa.string(), "n_g": pa.int64(),
+            "d_num": pa.int64(), "at_value": pa.int64(),
+        }
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({k: pa.array([], t) for k, t in cols.items()})
+        groups = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cnts = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.unique(vals)
+        pos = np.searchsorted(V, vals)
+        total = np.zeros(len(V), dtype=object)
+        gnames = np.unique(groups.astype(str))
+        gvecs = {}
+        for g in gnames:
+            m = groups.astype(str) == g
+            vec = np.zeros(len(V), dtype=object)
+            np.add.at(vec, pos[m], cnts[m])
+            gvecs[g] = np.cumsum(vec)
+            total += vec
+        C = np.cumsum(total)
+        N = int(C[-1])
+        out_g, out_n, out_d, out_at = [], [], [], []
+        for g in gnames:
+            cg = gvecs[g]
+            n_g = int(cg[-1])
+            mrest = N - n_g
+            if mrest == 0 or n_g == 0:
+                out_g.append(g); out_n.append(n_g)
+                out_d.append(-1); out_at.append(int(V[0]))
+                continue
+            d_vec = np.abs(cg * mrest - (C - cg) * n_g)
+            k = int(np.argmax(d_vec))  # first max = smallest value
+            d = int(d_vec[k])
+            if d >= (1 << 63):
+                raise ValueError("group_ks_drift: d_num exceeds int64")
+            out_g.append(g); out_n.append(n_g)
+            out_d.append(d); out_at.append(int(V[k]))
+        return pa.table(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "n_g": pa.array(out_n, pa.int64()),
+                "d_num": pa.array(out_d, pa.int64()),
+                "at_value": pa.array(out_at, pa.int64()),
+            }
+        )
+
+    return hist_ds.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

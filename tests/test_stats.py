@@ -1037,3 +1037,48 @@ def test_mann_whitney_exact_u(ray_session):
                     "value": pa.array([1.0], pa.float64())})
     with pytest.raises(Exception, match="0/1"):
         mann_whitney(rd.from_arrow(bad), "side", "value").take_all()
+
+
+def test_group_ks_drift_leaderboard(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import group_ks_drift
+
+    rng = np.random.default_rng(19)
+    # three sources: two share a distribution, one is shifted
+    va = rng.integers(0, 50, 400)
+    vb = rng.integers(0, 50, 500)
+    vc = rng.integers(30, 80, 300)  # the drifted one
+    g = ["a"] * 400 + ["b"] * 500 + ["c"] * 300
+    v = np.concatenate((va, vb, vc)).astype(np.int64)
+    t = pa.table({"source": pa.array(g), "n_chars": pa.array(v)})
+
+    def brute(gname):
+        m = np.array([x == gname for x in g])
+        V = np.unique(v)
+        cg = np.array([(v[m] <= x).sum() for x in V], dtype=np.int64)
+        cr = np.array([(v[~m] <= x).sum() for x in V], dtype=np.int64)
+        ng, mr = int(m.sum()), int((~m).sum())
+        dv = np.abs(cg * mr - cr * ng)
+        k = int(np.argmax(dv))
+        return ng, int(dv[k]), int(V[k])
+
+    for parts in (1, 5):
+        got = {
+            r["source"]: (r["n_g"], r["d_num"], r["at_value"])
+            for r in group_ks_drift(
+                rd.from_arrow(t).repartition(parts), "source", "n_chars"
+            ).take_all()
+        }
+        assert got == {gn: brute(gn) for gn in ("a", "b", "c")}
+    # the planted drifted source has the largest normalized D
+    dnorm = {
+        gn: got[gn][1] / (got[gn][0] * (1200 - got[gn][0])) for gn in got
+    }
+    assert max(dnorm, key=dnorm.get) == "c"
+
+    # single-group corpus -> sentinel
+    t2 = pa.table({"source": pa.array(["x", "x"]),
+                   "n_chars": pa.array([1, 2], pa.int64())})
+    (r2,) = group_ks_drift(rd.from_arrow(t2), "source", "n_chars").take_all()
+    assert r2["d_num"] == -1
