@@ -2189,6 +2189,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_max_streak(sf):
+        # longest consecutive-active-day streak per user
+        from fever_ray.ops.windows import max_streak
+
+        return max_streak(_t(sf, "events", ["user_id", "ts"]))
+
     def q_cohort_retention(sf):
         # first-seen cohort x days-since-first activity triangle
         from fever_ray.ops.windows import cohort_retention
@@ -2853,6 +2859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_concentration": q_gini_concentration,
         "burst_max": q_burst_max,
         "cohort_retention": q_cohort_retention,
+        "max_streak": q_max_streak,
         "quantile_match": q_quantile_match,
         "time_to_nth": q_time_to_nth,
         "top_share": q_top_share,
@@ -5407,6 +5414,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM r) "
             "SELECT t.event_id, t.g AS event_type, t.c AS value_cents, "
             "o.gv AS norm_cents FROM t JOIN o ON o.pos = t.tp"
+        ),
+        # gaps-and-islands: day - ROW_NUMBER is constant within a streak
+        "max_streak": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "i AS (SELECT user_id, day, day - ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS isl FROM d), "
+            "s AS (SELECT user_id, isl, COUNT(*) AS len FROM i "
+            "GROUP BY user_id, isl) "
+            "SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days, "
+            "CAST(MAX(len) AS BIGINT) AS best_streak FROM s GROUP BY user_id"
         ),
         "cohort_retention": (
             "WITH a AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day "

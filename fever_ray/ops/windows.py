@@ -2164,3 +2164,102 @@ def rolling_active_users(
     return tree_groupby(
         partials, ["day_idx"], [("active_users", "sum")], max_groups=max_days
     )
+
+
+def max_streak(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+):
+    """Longest consecutive-active-day streak per key (plus the active-day
+    count) — the habit/stickiness metric, the gaps-and-islands problem
+    done distributed: a streak is a maximal run of distinct epoch days
+    with day-to-day gap exactly 1.
+
+    Output rows: (key, active_days, best_streak), int64.
+
+    Scale shape: within-batch distinct (key, day), ONE key-hash bucket
+    shuffle; per bucket one lexsort, then streak boundaries are
+    ``diff(day) != 1 OR new key`` — maximal-run lengths via two
+    flatnonzero diffs, per-key max via maximum.reduceat; no per-key
+    Python."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+    from .dedup import _key_runs
+
+    US_PER_DAY = np.int64(86_400_000_000)
+    P = int(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key, ts_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"max_streak: {ts_col} must be timestamp[us], got {tst}"
+            )
+        for c in (key, ts_col):
+            if narrow.column(c).null_count:
+                raise ValueError(f"max_streak: {c} contains nulls")
+        day = np.floor_divide(
+            pc.cast(narrow.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            US_PER_DAY,
+        )
+        t = pa.table({key: narrow.column(key), "day": pa.array(day, pa.int64())})
+        t = pa.TableGroupBy(t, [key, "day"]).aggregate([([], "count_all")])
+        t = t.drop_columns(["count_all"])
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t.column(key), P), pa.int32())
+        )
+
+    base_schema = events_ds.schema().base_schema
+    key_type = base_schema.field(key).type
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "active_days": pa.array([], pa.int64()),
+                    "best_streak": pa.array([], pa.int64()),
+                }
+            )
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, kcodes))
+        ks, ds_ = kcodes[o], day[o]
+        starts = _key_runs(ks, ds_)[:-1]  # distinct (key, day), sorted
+        kp, dp = ks[starts], ds_[starts]
+        # streak boundary: key change OR day gap != 1
+        n = len(kp)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (kp[1:] != kp[:-1]) | (np.diff(dp) != 1)
+        s_starts = np.flatnonzero(brk)
+        s_len = np.diff(np.concatenate((s_starts, [n])))
+        # per-key max over its streaks: streaks are contiguous per key
+        key_starts_term = _key_runs(kp)
+        key_starts, key_days = key_starts_term[:-1], np.diff(key_starts_term)
+        # map each streak to its key run: streak starts are a superset of
+        # key starts, so searchsorted aligns them
+        first_streak_of_key = np.searchsorted(s_starts, key_starts)
+        best = np.maximum.reduceat(s_len, first_streak_of_key)
+        keys_out = kc.take(pa.array(o[starts[key_starts]], pa.int64()))
+        return pa.table(
+            {
+                key: keys_out,
+                "active_days": pa.array(key_days.astype(np.int64), pa.int64()),
+                "best_streak": pa.array(best.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

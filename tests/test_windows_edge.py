@@ -1065,3 +1065,45 @@ def test_rolling_active_users_wau(ray_session):
     assert got1 == dict(dau)
     with pytest.raises(ValueError, match="window_days"):
         rolling_active_users(rd.from_arrow(t), window_days=0)
+
+
+def test_max_streak_gaps_and_islands(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import max_streak
+
+    US = 86_400_000_000
+    rng = np.random.default_rng(37)
+    rows_u, rows_t = [], []
+    truth = {}
+    for u in range(100):
+        days = sorted(set(rng.integers(0, 30, size=rng.integers(1, 12)).tolist()))
+        truth[u] = days
+        for d in days:
+            for _ in range(int(rng.integers(1, 3))):
+                rows_u.append(u)
+                rows_t.append(d * US + int(rng.integers(0, US)))
+    t = pa.table(
+        {
+            "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+            "ts": pa.array(np.array(rows_t, dtype=np.int64)).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+
+    def brute(days):
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b - a == 1 else 1
+            best = max(best, cur)
+        return len(days), best
+
+    for parts in (1, 5):
+        got = {
+            r["user_id"]: (r["active_days"], r["best_streak"])
+            for r in max_streak(
+                rd.from_arrow(t).repartition(parts), num_partitions=4
+            ).take_all()
+        }
+        assert got == {u: brute(d) for u, d in truth.items()}
