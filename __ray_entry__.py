@@ -1228,6 +1228,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("n", "sum")],
         )
 
+    def q_day_overlap(sf):
+        # day-over-day payload overlap (crawl stability curve)
+        from fever_ray.ops.dedup import day_overlap
+
+        return day_overlap(_t(sf, "events", ["props", "ts"]), text_col="props")
+
     def q_content_churn(sf):
         # per-day distinct vs first-seen payloads (recrawl freshness)
         from fever_ray.ops.dedup import content_churn
@@ -2788,6 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "template_census": q_template_census,
         "content_churn": q_content_churn,
+        "day_overlap": q_day_overlap,
         "session_length_histogram": q_session_length_histogram,
         "dedup_savings": q_dedup_savings,
         "activity_profile": q_activity_profile,
@@ -4891,6 +4898,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, "
             "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+        ),
+        "day_overlap": (
+            "WITH "
+            + _content_hash_cte(
+                base="(SELECT event_id AS doc_id, props AS text "
+                "FROM events) ob",
+                out="oh",
+                p="o",
+            )
+            + ", m AS (SELECT r.content_hash AS h, "
+            "epoch_us(e.ts) // 86400000000 AS day "
+            "FROM events e JOIN oh r ON r.doc_id = e.event_id), "
+            "d AS (SELECT DISTINCT h, day FROM m), "
+            "s AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS distinct_today "
+            "FROM d GROUP BY day), "
+            "ov AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS sh FROM d a "
+            "JOIN d b ON a.h = b.h AND b.day = a.day + 1 GROUP BY a.day) "
+            "SELECT s.day AS day_idx, s.distinct_today, "
+            "CAST(COALESCE(ov.sh, 0) AS BIGINT) AS shared_with_next "
+            "FROM s LEFT JOIN ov ON s.day = ov.day"
         ),
         "content_churn": (
             "WITH "

@@ -4007,3 +4007,93 @@ def dedup_savings(
     return totals.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def day_overlap(
+    ds,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_partitions: int = 32,
+    max_days: int = 100_000,
+):
+    """Day-over-day content overlap curve: for every epoch day d, the
+    number of DISTINCT payloads active on d and the number also active
+    on d+1 — the crawl-stability audit (shared/distinct ≈ how much of
+    today's content will still be there tomorrow; a cliff marks a source
+    swap or a crawler fault).  Keyed on the engine content hash.
+
+    Output rows: (day_idx, distinct_today, shared_with_next), int64;
+    one row per active day, zero-overlap days included.
+
+    Scale shape: `content_churn`'s budget — per-batch distinct
+    (hash, day) partials, ONE hash-bucket shuffle co-locates each hash's
+    day set, per bucket one lexsort finds adjacent-day co-presence as
+    ``same hash AND gap == 1`` runs, bounded-day tree combine."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        tst = batch.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"day_overlap: {ts_col} must be timestamp[us], got {tst}"
+            )
+        if batch.column(ts_col).null_count:
+            raise ValueError(f"day_overlap: {ts_col} contains nulls")
+        h = add_content_hash(batch, text_col).column("content_hash")
+        day = np.floor_divide(
+            pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            US_PER_DAY,
+        )
+        t = pa.table({"h": h, "day": pa.array(day, pa.int64())})
+        t = pa.TableGroupBy(t, ["h", "day"]).aggregate([([], "count_all")])
+        t = t.drop_columns(["count_all"])
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t.column("h"), num_partitions), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "day_idx": pa.array([], pa.int64()),
+                    "distinct_today": pa.array([], pa.int64()),
+                    "shared_with_next": pa.array([], pa.int64()),
+                }
+            )
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, h))
+        hs, ds_ = h[o], day[o]
+        starts = _key_runs(hs, ds_)[:-1]  # distinct (hash, day)
+        hp, dp = hs[starts], ds_[starts]
+        all_days, all_cnt = np.unique(dp, return_counts=True)
+        # adjacent co-presence: consecutive distinct rows of the SAME hash
+        # exactly one day apart
+        both = (hp[1:] == hp[:-1]) & (np.diff(dp) == 1)
+        sh_days, sh_cnt = np.unique(dp[:-1][both], return_counts=True)
+        shared = np.zeros(len(all_days), dtype=np.int64)
+        shared[np.searchsorted(all_days, sh_days)] = sh_cnt
+        return pa.table(
+            {
+                "day_idx": pa.array(all_days, pa.int64()),
+                "distinct_today": pa.array(all_cnt.astype(np.int64), pa.int64()),
+                "shared_with_next": pa.array(shared, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_groupby(
+        partials,
+        ["day_idx"],
+        [("distinct_today", "sum"), ("shared_with_next", "sum")],
+        max_groups=max_days,
+    )

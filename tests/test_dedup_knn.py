@@ -1371,3 +1371,35 @@ def test_dedup_savings_summary(ray_session):
             r["n_docs"], r["n_distinct"], r["bytes_total"],
             r["bytes_after"], r["bytes_saved"],
         ) == (6, 3, 12 + 4 + 10, 4 + 2 + 10, 10)
+
+
+def test_day_overlap_stability_curve(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import day_overlap
+
+    US = 86_400_000_000
+    # A on days 0,1,2 ; B on 0,2 (gap!) ; C on 1,2 ; D on 2 only
+    plan = {"A": [0, 1, 2], "B": [0, 2], "C": [1, 2], "D": [2]}
+    rows = []
+    for txt, days in plan.items():
+        for d in days:
+            rows.append({"text": txt, "ts": d * US + len(rows)})
+    t = pa.table(
+        {
+            "text": pa.array([r["text"] for r in rows]),
+            "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    for parts in (1, 3):
+        got = {
+            r["day_idx"]: (r["distinct_today"], r["shared_with_next"])
+            for r in day_overlap(
+                rd.from_arrow(t).repartition(parts), num_partitions=3
+            ).take_all()
+        }
+        # day0 {A,B} -> next shares {A}; day1 {A,C} -> next shares {A,C};
+        # day2 {A,B,C,D} -> no day3
+        assert got == {0: (2, 1), 1: (2, 2), 2: (4, 0)}
