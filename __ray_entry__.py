@@ -2195,6 +2195,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_lead_lag(sf):
+        # does signup volume lead purchase volume? exact daily dot
+        from fever_ray.ops.windows import lead_lag_counts
+
+        return lead_lag_counts(
+            _t(sf, "events", ["event_type", "ts"]),
+            "signup",
+            "purchase",
+            max_lag=7,
+        )
+
+    def q_growth_accounting(sf):
+        # per-day event split: new-user vs returning-user traffic
+        from fever_ray.ops.windows import growth_accounting
+
+        return growth_accounting(_t(sf, "events", ["user_id", "ts"]))
+
     def q_max_streak(sf):
         # longest consecutive-active-day streak per user
         from fever_ray.ops.windows import max_streak
@@ -2867,6 +2884,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_max": q_burst_max,
         "cohort_retention": q_cohort_retention,
         "max_streak": q_max_streak,
+        "lead_lag": q_lead_lag,
+        "growth_accounting": q_growth_accounting,
         "quantile_match": q_quantile_match,
         "time_to_nth": q_time_to_nth,
         "top_share": q_top_share,
@@ -5441,6 +5460,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM r) "
             "SELECT t.event_id, t.g AS event_type, t.c AS value_cents, "
             "o.gv AS norm_cents FROM t JOIN o ON o.pos = t.tp"
+        ),
+        # SUM skips the NULLs a missing shifted day leaves, so the dense
+        # lag grid zero-fills itself
+        "lead_lag": (
+            "WITH a AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "b AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1), "
+            "l AS (SELECT g AS lag FROM generate_series(-7, 7) s(g)) "
+            "SELECT l.lag, CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS dot "
+            "FROM l CROSS JOIN a LEFT JOIN b ON b.day = a.day + l.lag "
+            "GROUP BY l.lag"
+        ),
+        "growth_accounting": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day "
+            "FROM events), "
+            "f AS (SELECT user_id, MIN(day) AS fday FROM e GROUP BY user_id) "
+            "SELECT e.day AS day_idx, "
+            "CAST(COUNT(*) FILTER (WHERE e.day = f.fday) AS BIGINT) "
+            "AS new_user_events, "
+            "CAST(COUNT(*) FILTER (WHERE e.day > f.fday) AS BIGINT) "
+            "AS returning_user_events "
+            "FROM e JOIN f ON e.user_id = f.user_id GROUP BY e.day"
         ),
         # gaps-and-islands: day - ROW_NUMBER is constant within a streak
         "max_streak": (

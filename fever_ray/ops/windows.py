@@ -2263,3 +2263,223 @@ def max_streak(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def lead_lag_counts(
+    events_ds,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_days: int = 100_000,
+):
+    """Lead-lag volume analysis: for every lag k in [−max_lag, max_lag],
+    the exact integer dot product Σ_d n_a(d)·n_b(d+k) of the two event
+    types' daily-count series — does A's volume LEAD B's (argmax at
+    k > 0) or trail it?  The integer core of cross-correlation, emitted
+    raw so any normalization stays caller-side and bit-stable.
+
+    Output rows: (lag, dot), int64, one row per lag (0 when the shifted
+    series never overlap).
+
+    Scale shape: per-batch (day, type) count partials tree-combine over
+    the bounded day domain; the closing kernel is a 2×days table and a
+    (2·max_lag+1)-step vectorized shift-multiply.  The corpus never
+    shuffles."""
+    from .aggregates import tree_groupby
+
+    US_PER_DAY = np.int64(86_400_000_000)
+    if max_lag < 0:
+        raise ValueError(f"lead_lag_counts: max_lag must be >= 0, got {max_lag}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tst = batch.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"lead_lag_counts: {ts_col} must be timestamp[us], got {tst}"
+            )
+        et = batch.column(type_col)
+        keep = pc.is_in(et, value_set=pa.array([type_a, type_b]))
+        b2 = batch.filter(keep)
+        if b2.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        day = np.floor_divide(
+            pc.cast(b2.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            US_PER_DAY,
+        )
+        side = pc.if_else(
+            pc.equal(b2.column(type_col), type_a),
+            pa.scalar(0, pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "side": side,
+                "n": pa.array(np.ones(len(day), np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["day", "side"]).aggregate([("n", "sum")])
+        return g.rename_columns(["day", "side", "n"])
+
+    hist = tree_groupby(
+        events_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["day", "side"],
+        [("n", "sum")],
+        max_groups=max_days * 2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {"lag": pa.array([], pa.int64()), "dot": pa.array([], pa.int64())}
+            )
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        lo, hi = int(day.min()), int(day.max())
+        width = hi - lo + 1
+        a = np.zeros(width, dtype=np.int64)
+        b = np.zeros(width, dtype=np.int64)
+        a[day[side == 0] - lo] = n[side == 0]
+        b[day[side == 1] - lo] = n[side == 1]
+        lags = np.arange(-max_lag, max_lag + 1, dtype=np.int64)
+        dots = []
+        for k in lags:
+            if k >= 0:
+                dots.append(int(np.dot(a[: width - k or None], b[k:])))
+            else:
+                dots.append(int(np.dot(a[-k:], b[: width + k])))
+        return pa.table(
+            {
+                "lag": pa.array(lags, pa.int64()),
+                "dot": pa.array(np.array(dots, np.int64), pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def growth_accounting(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+    max_days: int = 100_000,
+):
+    """Growth accounting split: per epoch day, how many events came from
+    NEW keys (first-ever activity that day) vs RETURNING keys — the
+    "is traffic growth acquisition or retention?" audit, event-weighted
+    (the user-weighted variants are `audience_growth` and
+    `cohort_retention`).
+
+    Output rows: (day_idx, new_user_events, returning_user_events), int64.
+
+    Scale shape: ONE key-hash bucket shuffle of (key, day) rows (a key's
+    whole history co-locates, so its first day resolves in-bucket), per
+    bucket one lexsort + run walk splits counts, bounded-day tree
+    combine."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+
+    US_PER_DAY = np.int64(86_400_000_000)
+    P = int(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key, ts_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"growth_accounting: {ts_col} must be timestamp[us], got {tst}"
+            )
+        for c in (key, ts_col):
+            if narrow.column(c).null_count:
+                raise ValueError(f"growth_accounting: {c} contains nulls")
+        day = np.floor_divide(
+            pc.cast(narrow.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            US_PER_DAY,
+        )
+        t = pa.table({key: narrow.column(key), "day": pa.array(day, pa.int64())})
+        # pre-aggregate (key, day) event counts inside the batch
+        g = pa.TableGroupBy(t, [key, "day"]).aggregate([([], "count_all")])
+        g = g.rename_columns([key, "day", "n"])
+        return g.append_column(
+            "bucket", pa.array(bucket_of(g.column(key), P), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    "day_idx": pa.array([], pa.int64()),
+                    "new_user_events": pa.array([], pa.int64()),
+                    "returning_user_events": pa.array([], pa.int64()),
+                }
+            )
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, kcodes))
+        ks, ds_, ns = kcodes[o], day[o], n[o]
+        # per-(key, day) totals first (batches may repeat pairs)
+        from .dedup import _key_runs
+
+        pstarts_term = _key_runs(ks, ds_)
+        pstarts = pstarts_term[:-1]
+        psums = np.add.reduceat(ns, pstarts)
+        kp, dp = ks[pstarts], ds_[pstarts]
+        kstarts = _key_runs(kp)[:-1]
+        first_day = np.zeros(len(kp), dtype=np.int64)
+        first_day[:] = np.repeat(dp[kstarts], np.diff(_key_runs(kp)))
+        is_new = dp == first_day
+        out = {}
+        for flag, name in ((True, "new"), (False, "ret")):
+            m = is_new == flag
+            u2, inv = np.unique(dp[m], return_inverse=True)
+            sums = np.zeros(len(u2), dtype=np.int64)
+            np.add.at(sums, inv, psums[m])
+            out[name] = (u2, sums)
+        all_days = np.unique(dp)
+        newv = np.zeros(len(all_days), dtype=np.int64)
+        retv = np.zeros(len(all_days), dtype=np.int64)
+        nu, nsum = out["new"]
+        ru, rsum = out["ret"]
+        newv[np.searchsorted(all_days, nu)] = nsum
+        retv[np.searchsorted(all_days, ru)] = rsum
+        return pa.table(
+            {
+                "day_idx": pa.array(all_days, pa.int64()),
+                "new_user_events": pa.array(newv, pa.int64()),
+                "returning_user_events": pa.array(retv, pa.int64()),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_groupby(
+        partials,
+        ["day_idx"],
+        [("new_user_events", "sum"), ("returning_user_events", "sum")],
+        max_groups=max_days,
+    )

@@ -1107,3 +1107,82 @@ def test_max_streak_gaps_and_islands(ray_session):
             ).take_all()
         }
         assert got == {u: brute(d) for u, d in truth.items()}
+
+
+def test_lead_lag_counts_planted_lead(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import lead_lag_counts
+
+    US = 86_400_000_000
+    rng = np.random.default_rng(41)
+    rows_t, rows_ty = [], []
+    # signups on day d drive purchases on day d+2 (planted lead of +2)
+    base = rng.integers(1, 20, size=12)
+    for d, n in enumerate(base):
+        for _ in range(int(n)):
+            rows_t.append(d * US + int(rng.integers(0, US)))
+            rows_ty.append("signup")
+        for _ in range(int(n) * 3):
+            rows_t.append((d + 2) * US + int(rng.integers(0, US)))
+            rows_ty.append("purchase")
+    t = pa.table(
+        {
+            "event_type": pa.array(rows_ty),
+            "ts": pa.array(np.array(rows_t, dtype=np.int64)).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    for parts in (1, 4):
+        got = {
+            r["lag"]: r["dot"]
+            for r in lead_lag_counts(
+                rd.from_arrow(t).repartition(parts), "signup", "purchase",
+                max_lag=4,
+            ).take_all()
+        }
+        assert set(got) == set(range(-4, 5))
+        # brute force
+        a = np.zeros(30, np.int64)
+        b = np.zeros(30, np.int64)
+        for d, n in enumerate(base):
+            a[d] += n
+            b[d + 2] += 3 * n
+        for k in range(-4, 5):
+            if k >= 0:
+                want = int(np.dot(a[: 30 - k], b[k:]))
+            else:
+                want = int(np.dot(a[-k:], b[: 30 + k]))
+            assert got[k] == want, k
+    assert max(got, key=got.get) == 2  # the planted lead
+
+    with pytest.raises(ValueError, match="max_lag"):
+        lead_lag_counts(rd.from_arrow(t), "signup", "purchase", max_lag=-1)
+
+
+def test_growth_accounting_split(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import growth_accounting
+
+    US = 86_400_000_000
+    # u1: first day 0 (2 events), returns day 2 (1 event)
+    # u2: first day 2 (3 events)  ; u3: first day 0 (1 event)
+    plan = [(1, 0), (1, 0), (1, 2), (2, 2), (2, 2), (2, 2), (3, 0)]
+    t = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in plan], pa.int64()),
+            "ts": pa.array(
+                [d * US + i for i, (_, d) in enumerate(plan)], pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    for parts in (1, 3):
+        got = {
+            r["day_idx"]: (r["new_user_events"], r["returning_user_events"])
+            for r in growth_accounting(
+                rd.from_arrow(t).repartition(parts), num_partitions=3
+            ).take_all()
+        }
+        assert got == {0: (3, 0), 2: (3, 1)}
