@@ -2195,6 +2195,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=3,
         )
 
+    def q_lifecycle_accounting(sf):
+        # weekly four-state audience ledger (new/retained/resurrected/
+        # churned-into)
+        from fever_ray.ops.windows import lifecycle_accounting
+
+        return lifecycle_accounting(
+            _t(sf, "events", ["user_id", "ts"]), period_days=7
+        )
+
+    def q_bounce_rate(sf):
+        # composition gate: sessionize -> per-start-day sessions vs
+        # single-event bounces
+        from fever_ray.ops.aggregates import tree_groupby
+        from fever_ray.ops.windows import sessionize
+
+        s = sessionize(_t(sf, "events", ["user_id", "ts"]))
+
+        def partial(b: pa.Table) -> pa.Table:
+            day = np.floor_divide(
+                pc.cast(b.column("session_start"), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                np.int64(86_400_000_000),
+            )
+            ne = b.column("n_events").to_numpy(zero_copy_only=False)
+            t = pa.table(
+                {
+                    "day_idx": pa.array(day, pa.int64()),
+                    "sessions": pa.array(np.ones(len(day), np.int64)),
+                    "bounces": pa.array((ne == 1).astype(np.int64), pa.int64()),
+                }
+            )
+            g = pa.TableGroupBy(t, ["day_idx"]).aggregate(
+                [("sessions", "sum"), ("bounces", "sum")]
+            )
+            return g.rename_columns(["day_idx", "sessions", "bounces"])
+
+        return tree_groupby(
+            s.map_batches(partial, batch_format="pyarrow"),
+            ["day_idx"],
+            [("sessions", "sum"), ("bounces", "sum")],
+        )
+
     def q_lead_lag(sf):
         # does signup volume lead purchase volume? exact daily dot
         from fever_ray.ops.windows import lead_lag_counts
@@ -2886,6 +2929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_streak": q_max_streak,
         "lead_lag": q_lead_lag,
         "growth_accounting": q_growth_accounting,
+        "lifecycle_accounting": q_lifecycle_accounting,
+        "bounce_rate": q_bounce_rate,
         "quantile_match": q_quantile_match,
         "time_to_nth": q_time_to_nth,
         "top_share": q_top_share,
@@ -5460,6 +5505,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM r) "
             "SELECT t.event_id, t.g AS event_type, t.c AS value_cents, "
             "o.gv AS norm_cents FROM t JOIN o ON o.pos = t.tp"
+        ),
+        # churn lands at p+1 whenever the key's next activity misses p+1
+        # (or never comes) — mirrors the engine's gap/run-end rule
+        "lifecycle_accounting": (
+            "WITH e AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS p FROM events), "
+            "w AS (SELECT user_id, p, "
+            "LAG(p) OVER (PARTITION BY user_id ORDER BY p) AS prev, "
+            "LEAD(p) OVER (PARTITION BY user_id ORDER BY p) AS nxt FROM e), "
+            "st AS (SELECT p AS period, 0 AS s FROM w WHERE prev IS NULL "
+            "UNION ALL SELECT p, 1 FROM w WHERE prev = p - 1 "
+            "UNION ALL SELECT p, 2 FROM w "
+            "WHERE prev IS NOT NULL AND prev < p - 1 "
+            "UNION ALL SELECT p + 1, 3 FROM w "
+            "WHERE nxt IS NULL OR nxt > p + 1) "
+            "SELECT period, "
+            "CAST(COUNT(*) FILTER (WHERE s = 0) AS BIGINT) AS new_users, "
+            "CAST(COUNT(*) FILTER (WHERE s = 1) AS BIGINT) AS retained, "
+            "CAST(COUNT(*) FILTER (WHERE s = 2) AS BIGINT) AS resurrected, "
+            "CAST(COUNT(*) FILTER (WHERE s = 3) AS BIGINT) AS churned "
+            "FROM st GROUP BY period"
+        ),
+        "bounce_rate": (
+            # the sessionize oracle chain, reduced to per-start-day
+            # session and bounce counts
+            "WITH o AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "g AS (SELECT epoch_us(MIN(ts)) // 86400000000 AS day_idx, "
+            "COUNT(*) AS ne FROM s GROUP BY user_id, sid) "
+            "SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS sessions, "
+            "CAST(COUNT(*) FILTER (WHERE ne = 1) AS BIGINT) AS bounces "
+            "FROM g GROUP BY day_idx"
         ),
         # SUM skips the NULLs a missing shifted day leaves, so the dense
         # lag grid zero-fills itself

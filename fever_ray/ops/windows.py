@@ -2483,3 +2483,126 @@ def growth_accounting(
         [("new_user_events", "sum"), ("returning_user_events", "sum")],
         max_groups=max_days,
     )
+
+
+def lifecycle_accounting(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    num_partitions: int = 64,
+    max_periods: int = 100_000,
+):
+    """Lifecycle growth accounting (the four-state audience ledger): per
+    activity period p, how many keys are NEW (first-ever activity),
+    RETAINED (also active in p−1), RESURRECTED (active before, but not
+    in p−1), and how many CHURNED INTO p (active in p−1, not in p) —
+    new + retained + resurrected = active(p), and the ledger telescopes:
+    active(p) − active(p−1) = new + resurrected − churned.
+
+    Output rows: (period, new_users, retained, resurrected, churned),
+    int64; ``period`` = epoch-day // period_days.
+
+    Scale shape: ONE key-hash bucket shuffle of within-batch-distinct
+    (key, period) pairs; a key's whole period list co-locates, so all
+    four states classify from one sorted run walk (gap == 1 → retained,
+    gap > 1 → resurrected + a churn at prev+1, run start → new, run end
+    → a churn at last+1); bounded-period tree combine."""
+    from ..sketches.hashing import bucket_of
+    from .aggregates import tree_groupby
+    from .dedup import _key_runs
+
+    if period_days < 1:
+        raise ValueError(
+            f"lifecycle_accounting: period_days must be >= 1, got {period_days}"
+        )
+    US_PER_P = np.int64(86_400_000_000) * np.int64(period_days)
+    P = int(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key, ts_col])
+        tst = narrow.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"lifecycle_accounting: {ts_col} must be timestamp[us], got {tst}"
+            )
+        for c in (key, ts_col):
+            if narrow.column(c).null_count:
+                raise ValueError(f"lifecycle_accounting: {c} contains nulls")
+        per = np.floor_divide(
+            pc.cast(narrow.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            US_PER_P,
+        )
+        t = pa.table({key: narrow.column(key), "p": pa.array(per, pa.int64())})
+        t = pa.TableGroupBy(t, [key, "p"]).aggregate([([], "count_all")])
+        t = t.drop_columns(["count_all"])
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t.column(key), P), pa.int32())
+        )
+
+    cols = ("new_users", "retained", "resurrected", "churned")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {"period": pa.array([], pa.int64())}
+                | {c: pa.array([], pa.int64()) for c in cols}
+            )
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        per = g.column("p").to_numpy(zero_copy_only=False)
+        o = np.lexsort((per, kcodes))
+        ks, ps = kcodes[o], per[o]
+        starts = _key_runs(ks, ps)[:-1]
+        kp, pp = ks[starts], ps[starts]
+        n = len(kp)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = kp[1:] != kp[:-1]
+        gap1 = np.zeros(n, dtype=bool)
+        gapn = np.zeros(n, dtype=bool)
+        if n > 1:
+            same = kp[1:] == kp[:-1]
+            d = np.diff(pp)
+            gap1[1:] = same & (d == 1)
+            gapn[1:] = same & (d > 1)
+        # churn lands at prev+1 for every gap>1 step AND at last+1 of
+        # every key (the key may return later — that's the resurrection)
+        last = np.empty(n, dtype=bool)
+        last[:-1] = kp[1:] != kp[:-1]
+        last[-1] = True
+        churn_p = np.concatenate((pp[np.flatnonzero(gapn) - 1] + 1,
+                                  pp[last] + 1))
+        tallies = {}
+        for name, mask_p in (
+            ("new_users", pp[first]),
+            ("retained", pp[gap1]),
+            ("resurrected", pp[gapn]),
+            ("churned", churn_p),
+        ):
+            u, c = np.unique(mask_p, return_counts=True)
+            tallies[name] = (u, c)
+        all_p = np.unique(np.concatenate([u for u, _ in tallies.values()]))
+        out = {"period": pa.array(all_p, pa.int64())}
+        for name in cols:
+            v = np.zeros(len(all_p), dtype=np.int64)
+            u, c = tallies[name]
+            v[np.searchsorted(all_p, u)] = c
+            out[name] = pa.array(v, pa.int64())
+        return pa.table(out)
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_groupby(
+        partials,
+        ["period"],
+        [(c, "sum") for c in cols],
+        max_groups=max_periods,
+    )

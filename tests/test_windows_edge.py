@@ -1186,3 +1186,48 @@ def test_growth_accounting_split(ray_session):
             ).take_all()
         }
         assert got == {0: (3, 0), 2: (3, 1)}
+
+
+def test_lifecycle_accounting_ledger(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.windows import lifecycle_accounting
+
+    US_W = 86_400_000_000 * 7
+    # u1 weeks {0,1,3}: new@0, ret@1, churn@2, res@3, churn@4
+    # u2 weeks {1}:      new@1, churn@2
+    # u3 weeks {0,1,2}:  new@0, ret@1, ret@2, churn@3
+    plan = {1: [0, 1, 3], 2: [1], 3: [0, 1, 2]}
+    rows_u, rows_t = [], []
+    for u, weeks in plan.items():
+        for w in weeks:
+            rows_u.append(u)
+            rows_t.append(w * US_W + u * 1000)
+    t = pa.table(
+        {
+            "user_id": pa.array(np.array(rows_u, np.int64)),
+            "ts": pa.array(np.array(rows_t, np.int64)).cast(pa.timestamp("us")),
+        }
+    )
+    want = {
+        0: (2, 0, 0, 0),
+        1: (1, 2, 0, 0),
+        2: (0, 1, 0, 2),  # u3 retained; u1+u2 churned into 2
+        3: (0, 0, 1, 1),  # u1 resurrected (prev=1 < 2); u3 churned into 3
+        4: (0, 0, 0, 1),
+    }
+    for parts in (1, 3):
+        got = {
+            r["period"]: (
+                r["new_users"], r["retained"], r["resurrected"], r["churned"]
+            )
+            for r in lifecycle_accounting(
+                rd.from_arrow(t).repartition(parts), num_partitions=3
+            ).take_all()
+        }
+        assert got == want
+    # ledger identity: active(p) - active(p-1) == new + res - churn(p)
+    active = {0: 2, 1: 3, 2: 1, 3: 1, 4: 0}
+    for p in range(1, 5):
+        n, r, s, c = want[p]
+        assert active[p] - active[p - 1] == n + s - c
