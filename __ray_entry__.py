@@ -1454,6 +1454,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "events", ["event_id", "event_type", "value"])
         )
 
+    def q_zipf_audit(sf):
+        # exact log2-bucket OLS moments of the rank-frequency curve
+        from fever_ray.ops.textstats import zipf_audit
+
+        return zipf_audit(_t(sf, "documents", ["text"]))
+
     def q_vocab_growth(sf):
         from fever_ray.ops.textstats import vocab_growth
 
@@ -2862,6 +2868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum": q_corpus_checksum,
         "vocab_drift": q_vocab_drift,
         "vocab_growth": q_vocab_growth,
+        "zipf_audit": q_zipf_audit,
         "group_share": q_group_share,
         "ngram_novelty": q_ngram_novelty,
         "cooccurrence_counts": q_cooccurrence_counts,
@@ -4845,6 +4852,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN SUM(c) OVER w = 0 THEN 0.0 ELSE "
             "CAST(c AS DOUBLE) / CAST(SUM(c) OVER w AS DOUBLE) END AS share "
             "FROM e WINDOW w AS (PARTITION BY event_type)"
+        ),
+        # ROW_NUMBER tie order is moment-invariant: positions 1..V are
+        # fixed whatever order equal counts take; ilog2 = strlen(bin)-1
+        "zipf_audit": (
+            "WITH tok AS (SELECT UNNEST(string_split(COALESCE(text, ''), "
+            "' ')) AS t FROM documents), "
+            "cnt AS (SELECT t, COUNT(*) AS n FROM tok WHERE t <> '' "
+            "GROUP BY t), "
+            "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC) AS rk "
+            "FROM cnt), "
+            "m AS (SELECT strlen(bin(rk)) - 1 AS x, strlen(bin(n)) - 1 AS y "
+            "FROM r) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "(SELECT CAST(SUM(n) AS BIGINT) FROM cnt) AS total_occurrences, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x*x) AS BIGINT) AS sxx, "
+            "CAST(SUM(y*y) AS BIGINT) AS syy, "
+            "CAST(SUM(x*y) AS BIGINT) AS sxy FROM m"
         ),
         "vocab_growth": (
             # integer-spaced thresholds lo + k·span // (n−1) — the engine

@@ -2322,3 +2322,107 @@ def vocab_growth(
             }
         )
     )
+
+
+def _ilog2_rangesum(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Σ_{r=a..b} floor(log2 r) and Σ floor(log2 r)² over
+    inclusive 1-based rank ranges: decompose by bit-length bands
+    [2^k, 2^{k+1}−1] — exact integers, O(64) passes."""
+    s1 = np.zeros(len(a), dtype=np.int64)
+    s2 = np.zeros(len(a), dtype=np.int64)
+    for k in range(63):
+        lo = 1 << k
+        hi = (1 << (k + 1)) - 1
+        n = np.maximum(
+            0, np.minimum(b, hi) - np.maximum(a, lo) + 1
+        ).astype(np.int64)
+        s1 += n * k
+        s2 += n * k * k
+    return s1, s2
+
+
+def zipf_audit(ds, text_col: str = "text"):
+    """Zipf rank-frequency audit: the EXACT integer OLS moments of
+    (x, y) = (⌊log2 rank⌋, ⌊log2 count⌋) over the corpus vocabulary —
+    natural text follows count ∝ rank^(−s) with s ≈ 1, so the fitted
+    slope (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) ≈ −s; template spam and
+    synthetic filler bend it.  The log2-bucket multiset is tie-order
+    invariant (positions 1..V are fixed whatever order equal counts
+    take), so the moments hash bit-exactly.
+
+    Output: ONE row (n_tokens, total_occurrences, sx, sy, sxx, syy,
+    sxy), all int64.
+
+    Scale shape: `vocab_coverage`'s budget — per-block compressed token
+    count partials (`_gram_counts`), one keyed shuffle for exact global
+    counts, a tree-combined counts-of-counts table (tiny under Zipf),
+    then closed-form bit-length band sums per count class
+    (`_ilog2_rangesum`) — the vocabulary itself never reaches the
+    driver, only (count, class-size) pairs."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .aggregates import tree_groupby
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        grams, counts = _gram_counts(batch, 1, text_col)
+        if grams is None:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        t = pa.table({"token": grams, "n": pa.array(counts, pa.int64())})
+        return t.filter(pc.not_equal(t.column("token"), ""))
+
+    counts = (
+        ds.map_batches(
+            partial_counts, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def class_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        uc, ut = np.unique(n, return_counts=True)
+        return pa.table(
+            {"c": pa.array(uc, pa.int64()), "t": pa.array(ut, pa.int64())}
+        )
+
+    classes_ds = tree_groupby(
+        counts.map_batches(class_partial, batch_format="pyarrow"),
+        ["c"],
+        [("t", "sum")],
+        max_groups=1 << 22,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = ("n_tokens", "total_occurrences", "sx", "sy", "sxx", "syy",
+                "sxy")
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        cs = batch.column("c").to_numpy(zero_copy_only=False)
+        ts = batch.column("t").to_numpy(zero_copy_only=False)
+        o = np.argsort(-cs, kind="stable")
+        cs, ts = cs[o], ts[o]
+        ends = np.cumsum(ts)
+        starts = ends - ts + 1  # 1-based inclusive rank ranges per class
+        # exact ilog2 via frexp (counts and ranks are far below 2^53)
+        y = (np.frexp(cs.astype(np.float64))[1] - 1).astype(np.int64)
+        s1, s2 = _ilog2_rangesum(starts, ends)
+        V = int(ends[-1])
+        vals = {
+            "n_tokens": V,
+            "total_occurrences": int(np.sum(cs * ts)),
+            "sx": int(s1.sum()),
+            "sy": int(np.sum(y * ts)),
+            "sxx": int(s2.sum()),
+            "syy": int(np.sum(y * y * ts)),
+            "sxy": int(np.sum(y * s1)),
+        }
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in vals.items()})
+
+    return classes_ds.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

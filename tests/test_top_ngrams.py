@@ -509,3 +509,49 @@ def test_vocab_growth_vs_bruteforce(ray_session):
     assert nds == sorted(nds) and nds[-1] == len(
         {w for txt in texts for w in txt.split()}
     )
+
+
+def test_zipf_audit_moments_and_slope(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.textstats import _ilog2_rangesum, zipf_audit
+
+    # range-sum helper vs brute force
+    rng = np.random.default_rng(3)
+    a = rng.integers(1, 1000, 50).astype(np.int64)
+    b = a + rng.integers(0, 500, 50)
+    s1, s2 = _ilog2_rangesum(a, b)
+    for i in range(50):
+        xs = np.arange(a[i], b[i] + 1)
+        il = np.frexp(xs.astype(np.float64))[1] - 1
+        assert s1[i] == il.sum() and s2[i] == (il * il).sum()
+
+    # synthetic Zipf corpus: token k appears ~C/k times -> slope ~ -1
+    docs = []
+    C = 2048
+    toks = []
+    for k in range(1, 257):
+        toks += [f"w{k}"] * (C // k)
+    rng.shuffle(toks)
+    for i in range(0, len(toks), 50):
+        docs.append({"text": " ".join(toks[i : i + 50])})
+    for parts in (1, 4):
+        (r,) = zipf_audit(
+            rd.from_items(docs).repartition(parts)
+        ).take_all()
+        n, sx, sy, sxx, sxy = (
+            r["n_tokens"], r["sx"], r["sy"], r["sxx"], r["sxy"]
+        )
+        assert n == 256
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert -1.3 < slope < -0.7, slope
+        # brute-force moment check
+        counts = np.array([C // k for k in range(1, 257)])
+        order = np.argsort(-counts, kind="stable")
+        cs = counts[order]
+        rk = np.arange(1, 257)
+        x = np.frexp(rk.astype(np.float64))[1] - 1
+        y = np.frexp(cs.astype(np.float64))[1] - 1
+        assert (sx, sy, sxx, sxy) == (
+            int(x.sum()), int(y.sum()), int((x * x).sum()), int((x * y).sum())
+        )
