@@ -465,6 +465,63 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Distribution-shape audit over a page table, printed as ONE JSON
+    line: per-host concentration (exact Gini + top-1% Lorenz mass over
+    host doc counts via byte lengths), digit-blind template collapse,
+    and the Zipf rank-frequency slope — the "is this corpus natural
+    text or template spam?" card."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .ops.dedup import template_census
+    from .ops.extract import hostname_of
+    from .ops.stats import gini_concentration, top_share
+    from .ops.textstats import zipf_audit
+
+    _init_ray(args.num_cpus)
+
+    def hosted(b: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "source": hostname_of(b.column("url")),
+                "text": b.column("text"),
+                # byte length in 2-dp form so top_share's cents map is exact
+                "value": pa.compute.cast(
+                    pa.compute.binary_length(b.column("text")), pa.float64()
+                ),
+            }
+        )
+
+    pages = rd.read_parquet(args.input, columns=["url", "text"]).map_batches(
+        hosted, batch_format="pyarrow"
+    ).materialize()
+
+    (g,) = gini_concentration(pages, "source").take_all()
+    (ts_,) = top_share(pages, "value", top_ppm=10_000).take_all()
+    (tc,) = template_census(pages, "text").take_all()
+    (z,) = zipf_audit(pages, "text").take_all()
+    den = g["gini_den"] or 1
+    zden = z["n_tokens"] * z["sxx"] - z["sx"] * z["sx"]
+    out = {
+        "docs": g["total"],
+        "hosts": g["n_groups"],
+        "host_gini": round(g["gini_num"] / den, 6),
+        "top1pct_byte_share": round(ts_["top_mass"] / max(ts_["total_mass"], 1), 6),
+        "template_collapse": tc["template_collapse"],
+        "distinct_raw": tc["distinct_raw"],
+        "distinct_masked": tc["distinct_masked"],
+        "zipf_slope": round(
+            (z["n_tokens"] * z["sxy"] - z["sx"] * z["sy"]) / zden, 4
+        ) if zden else None,
+        "vocab": z["n_tokens"],
+        "tokens": z["total_occurrences"],
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Snapshot delta between two page tables keyed by url: counts of
     added / removed / changed (content hash) pages as ONE JSON line;
@@ -723,6 +780,13 @@ def main(argv=None) -> int:
     pq_.add_argument("--input", required=True)
     pq_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pq_.set_defaults(fn=cmd_report)
+
+    pa_ = sub.add_parser("audit", allow_abbrev=False,
+                         help="distribution-shape audit card (gini / "
+                         "Lorenz / template collapse / Zipf slope)")
+    pa_.add_argument("--input", required=True)
+    pa_.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pa_.set_defaults(fn=cmd_audit)
 
     pdf = sub.add_parser("diff", allow_abbrev=False,
                          help="url-keyed snapshot delta between two page dirs")

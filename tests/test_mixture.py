@@ -429,6 +429,24 @@ def test_cli_index_build_and_search(ray_session, pages_dir, tmp_path, capsys):
     assert out["hits"][0]["score"] >= out["hits"][-1]["score"]
 
 
+def test_cli_audit_card(ray_session, pages_dir, capsys):
+    import json
+
+    from fever_ray import cli as cli_mod
+
+    rc = cli_mod.main(["audit", "--input", pages_dir])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 2000
+    assert out["hosts"] > 1
+    assert 0.0 <= out["host_gini"] < 1.0
+    assert 0.0 < out["top1pct_byte_share"] <= 1.0
+    assert out["distinct_masked"] <= out["distinct_raw"] <= out["docs"]
+    # natural-ish synthetic text: Zipf slope should be negative
+    assert out["zipf_slope"] < 0
+    assert out["vocab"] > 0 and out["tokens"] > out["vocab"]
+
+
 def test_cli_mix_parse_errors():
     import pytest as _pytest
 
