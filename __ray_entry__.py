@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_top_terms,
         fingerprint,
         heavy_ngrams,
+        bm25_search,
         inverted_index,
         keyword_search,
         quality_score,
@@ -832,6 +833,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 3 most characteristic tokens per doc by (tf DESC, df ASC, token)
         # — integer tf-idf analog, no float ranking
         return doc_top_terms(_t(sf, "documents", ["doc_id", "text"]), k=3)
+
+    def q_bm25_search(sf):
+        # top-15 docs by integer-quantized BM25 (k1=6/5, b=3/4, ilog2
+        # idf, 1024x fixed-point) — bit-stable ranked retrieval.  'dup'
+        # is the one rare token in the documents vocabulary (idf 4);
+        # the common terms quantize to idf 0, so the gate exercises the
+        # tf-saturation + length-normalization arithmetic
+        return bm25_search(
+            _t(sf, "documents", ["doc_id", "text"]),
+            "dup line vector",
+            k=15,
+        )
 
     def q_keyword_search(sf):
         # exact top-15 docs by total query-term occurrences (integer
@@ -2821,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_urls": q_normalize_urls,
         "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
+        "bm25_search": q_bm25_search,
         "keyword_search": q_keyword_search,
         "inverted_index": q_inverted_index,
         "cross_dedup": q_cross_dedup,
@@ -3090,6 +3104,42 @@ def _keyword_search_sql(terms: list, k: int) -> str:
         f"string_split(COALESCE(text, ''), ' '), t -> t IN ({in_list}))) "
         f"AS BIGINT) AS score FROM documents) "
         f"SELECT doc_id, score FROM s WHERE score > 0 "
+        f"ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def _bm25_search_sql(terms: list, k: int) -> str:
+    """Exact mirror of ops.textstats.bm25_search: the same all-integer
+    BM25 quantization (idf = ilog2((2N+1)//(2df+1)) via strlen(bin(x))-1,
+    per-term fixed-point fraction (45056*A*tf) // (20*A*tf + 6*A + 18*dl),
+    A = GREATEST(total_tokens // N, 1)), top-k by (score DESC, doc_id)."""
+    terms = sorted(set(terms))
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(
+        f"(strlen(bin((2*n+1) // (2*df{i}+1))) - 1) * "
+        f"((45056*a*tf{i}) // (20*a*tf{i} + 6*a + 18*dl))"
+        for i in range(len(terms))
+    )
+    return (
+        "WITH ts AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') "
+        "AS toks FROM documents), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(len(toks)) AS BIGINT) AS t FROM ts), "
+        f"dfs AS (SELECT {df_cols} FROM ts), "
+        "par AS (SELECT n, GREATEST(t // n, 1) AS a, dfs.* FROM st, dfs), "
+        f"tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} "
+        "FROM ts), "
+        f"sc AS (SELECT doc_id, CAST({score} AS BIGINT) AS score "
+        "FROM tf, par) "
+        f"SELECT doc_id, score FROM sc WHERE score > 0 "
         f"ORDER BY score DESC, doc_id LIMIT {k}"
     )
 
@@ -4213,6 +4263,7 @@ def oracle_sql() -> dict[str, str]:
             "), '\\s+', ' ', 'g'), ' ') AS text_norm FROM documents"
         ),
         "doc_top_terms": _doc_top_terms_sql(3),
+        "bm25_search": _bm25_search_sql(["dup", "line", "vector"], 15),
         "keyword_search": _keyword_search_sql(["table", "window", "vector"], 15),
         "inverted_index": _inverted_index_sql(16),
         "cross_dedup": _cross_dedup_sql(7),

@@ -606,6 +606,120 @@ def keyword_search(ds, query, k: int = 10, id_col: str = "doc_id", text_col: str
     return candidates.sort(["score", id_col], descending=[True, False]).limit(k)
 
 
+def bm25_search(
+    ds, query, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Relevance-ranked keyword retrieval: top-``k`` documents by an
+    integer-quantized BM25 score — ``keyword_search``'s raw occurrence
+    count upgraded with the two corrections every ranked-retrieval stack
+    needs (rare terms count more, long documents count less), while
+    keeping the scores pure int64 so the ranking is bit-stable across
+    engines and cluster sizes (the float-RANKING fragility rule).
+
+    Exact integer quantization of classic BM25 (k1 = 1.2, b = 0.75 as
+    rationals 6/5 and 3/4; token model = the corpus-wide split-on-space
+    standard, null text = one '' token):
+
+        A       = total_tokens // n_docs              (integer avgdl)
+        idf(t)  = ilog2((2*N + 1) // (2*df_t + 1))    (floor log2; 0 for
+                                                       ubiquitous terms)
+        s(d, t) = idf(t) * (45056*A*tf) // (20*A*tf + 6*A + 18*dl)
+        score(d) = Σ_t s(d, t)
+
+    where the per-term fraction is tf*(k1+1) / (tf + k1*(1-b+b*dl/A))
+    multiplied through by 20*A (clearing both rationals) and scaled by
+    1024 before the floor division (45056 = 44*1024).  Every operation is
+    int64 (``//`` = floor on the all-positive operands), so the DuckDB
+    mirror reproduces it bit-for-bit via ``strlen(bin(x))-1`` for ilog2.
+
+    Shape (10^12 docs): pass 1 streams ONE partial row per batch (n_docs,
+    n_tokens, per-term df — the query has a handful of terms by nature)
+    through the bounded coalesce-tree; the driver folds the single stats
+    row into ~m integers.  Pass 2 is `keyword_search`'s construction:
+    vectorized per-term ``pc.equal`` + segment sums per batch, local
+    ``select_k_unstable``, global k-row sort.  Nothing corpus-sized ever
+    moves.  Fever parity: ranked retrieval over the matched-indicator
+    corpus generalizes the bloom ioc-matcher's boolean hit model
+    (/root/reference/processing/bloom_handler.go match emission) to
+    scored hits."""
+    from .aggregates import tree_groupby
+
+    if isinstance(query, str):
+        terms = [t for t in query.split(" ") if t != ""]
+    else:
+        terms = [t for t in query if t]
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted(set(terms))
+    term_arrs = [pa.array([t], pa.string()) for t in terms]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _flat_tokens(batch, text_col)
+        cols = {
+            "g": pa.array([0], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "toks": pa.array([len(flat)], pa.int64()),
+        }
+        for i, ta in enumerate(term_arrs):
+            hit = pc.is_in(flat, value_set=ta).to_numpy(zero_copy_only=False)
+            ck = np.zeros(len(hit) + 1, dtype=np.int64)
+            np.cumsum(hit, out=ck[1:])
+            per_doc = ck[offsets[1:]] - ck[offsets[:-1]]
+            cols[f"df{i}"] = pa.array([int((per_doc > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    stat_cols = ["n", "toks"] + [f"df{i}" for i in range(len(terms))]
+    (st,) = tree_groupby(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        ["g"],
+        [(c, "sum") for c in stat_cols],
+    ).take_all()
+    n_docs, total_tokens = st["n"], st["toks"]
+    if n_docs == 0:
+        raise ValueError("bm25_search: empty corpus")
+    avgdl = max(total_tokens // n_docs, 1)
+    idf = [
+        int((2 * n_docs + 1) // (2 * st[f"df{i}"] + 1)).bit_length() - 1
+        for i in range(len(terms))
+    ]
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, offsets = _flat_tokens(batch, text_col)
+        dl = offsets[1:] - offsets[:-1]
+        score = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, ta in enumerate(term_arrs):
+            if idf[i] == 0:
+                continue
+            hit = pc.is_in(flat, value_set=ta).to_numpy(zero_copy_only=False)
+            ck = np.zeros(len(hit) + 1, dtype=np.int64)
+            np.cumsum(hit, out=ck[1:])
+            tf = ck[offsets[1:]] - ck[offsets[:-1]]
+            score += idf[i] * (
+                (45056 * avgdl * tf) // (20 * avgdl * tf + 6 * avgdl + 18 * dl)
+            )
+        t = pa.table(
+            {id_col: ids, "score": pa.array(score, pa.int64())}
+        ).filter(pa.array(score > 0))
+        if t.num_rows == 0:
+            return t
+        idx = pc.select_k_unstable(
+            t,
+            k=min(k, t.num_rows),
+            sort_keys=[("score", "descending"), (id_col, "ascending")],
+        )
+        return t.take(idx)
+
+    candidates = ds.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return candidates.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
 def _doc_token_tf(batch: pa.Table, id_col: str, text_col: str):
     """Per-batch (row index, token, tf) triples: one dictionary-encode of
     the flat token stream + one np.unique over packed (row, code) pairs —

@@ -354,6 +354,59 @@ def test_keyword_search_ranking(ray_session):
         keyword_search(ds, "cat", k=0)
 
 
+def _bm25_expected(texts, terms, k):
+    """Pure-Python mirror of the integer BM25 quantization (test oracle)."""
+    toks = [t.split(" ") for t in texts]
+    n, total = len(toks), sum(len(tk) for tk in toks)
+    a = max(total // n, 1)
+    out = []
+    for i, tk in enumerate(toks):
+        dl, score = len(tk), 0
+        for t in sorted(set(terms)):
+            df = sum(1 for d in toks if t in d)
+            idf = ((2 * n + 1) // (2 * df + 1)).bit_length() - 1
+            tf = tk.count(t)
+            score += idf * ((45056 * a * tf) // (20 * a * tf + 6 * a + 18 * dl))
+        if score > 0:
+            out.append((score, i + 1))
+    out.sort(key=lambda p: (-p[0], p[1]))
+    return [(doc, s) for s, doc in out[:k]]
+
+
+def test_bm25_search_ranking(ray_session):
+    from fever_ray.ops.textstats import bm25_search
+
+    texts = [
+        "dog fox",                      # short, one query term
+        "cat " * 19 + "cat",            # long cat-spam (20 cats, dl 20)
+        "bird",                         # rare term, shortest doc
+        "dog cat mouse mouse mouse",    # medium
+        "mouse " * 7 + "mouse",         # no query terms at all
+    ] + ["cat filler filler"] * 4 + ["filler filler"] * 4
+    # 13 docs, 56 tokens, avgdl 4; df: cat 6 (idf 1), dog 2 (idf 2),
+    # bird 1 (idf 3) — three distinct idf levels from the integer log
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(3)
+    out = bm25_search(ds, "cat dog bird", k=8).take_all()
+    got = [(int(r["doc_id"]), int(r["score"])) for r in out]
+    assert got == _bm25_expected(texts, ["cat", "dog", "bird"], 8)
+    # rare-term boost: the bird doc must beat the cat-spam doc even
+    # though the spam doc has 20 query-term occurrences to its 1
+    ranks = {d: i for i, (d, _) in enumerate(got)}
+    assert ranks[3] < ranks[2]
+    # zero-score docs never rank
+    assert 5 not in ranks
+    with pytest.raises(ValueError):
+        bm25_search(ds, "")
+    with pytest.raises(ValueError):
+        bm25_search(ds, "cat", k=0)
+
+
 def test_doc_top_terms_both_paths(ray_session):
     from fever_ray.ops.textstats import doc_top_terms
 
