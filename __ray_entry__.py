@@ -1934,6 +1934,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "pr": pa.array(r[top], pa.int64())}
         )
 
+    def q_hits(sf):
+        # integer fixed-point HITS hubs/authorities (2 unrolled
+        # iterations, divisor-downscale normalization at scale 10^9)
+        # over the same deterministic events graph as q_pagerank;
+        # top-20 by (auth DESC, node ASC)
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.ops.graph import hits
+
+        ds = _t(sf, "events", ["event_id", "user_id"])
+
+        def user_partial(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"user_id": pa.array(u, pa.int64()),
+                 "c": pa.array(np.ones(len(u), np.int64))}
+            )
+
+        ut = pa.concat_tables(
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(user_partial, batch_format="pyarrow"),
+                    ["user_id"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        )
+        users = ut.column("user_id").to_numpy(zero_copy_only=False)
+        n_users, mn = len(users), int(users.min())
+        nm = ray.put((n_users, mn))
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            nu, m0 = ray.get(nm)
+            u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            e = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"src": pa.array(u, pa.int64()),
+                 "dst": pa.array((u * 7 + e) % nu + m0, pa.int64())}
+            )
+
+        ht = hits(
+            ds.map_batches(mk_edges, batch_format="pyarrow"), iterations=2
+        )
+        nodes = ht.column("node").to_numpy(zero_copy_only=False)
+        a = ht.column("auth").to_numpy(zero_copy_only=False)
+        h = ht.column("hub").to_numpy(zero_copy_only=False)
+        top = np.lexsort((nodes, -a))[:20]
+        return pa.table(
+            {"node": pa.array(nodes[top], pa.int64()),
+             "auth": pa.array(a[top], pa.int64()),
+             "hub": pa.array(h[top], pa.int64())}
+        )
+
     def q_sketch_error_gate(sf):
         """Published-error-bound gate — the north-star contract ("matches
         each sketch's published error bound") as a driver-checkable row
@@ -2911,6 +2967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
         "sketch_error_gate": q_sketch_error_gate,
+        "hits": q_hits,
         "pagerank": q_pagerank,
         "char_bigram_oov": q_char_bigram_oov,
         "interval_join": q_interval_join,
@@ -3141,6 +3198,52 @@ def _bm25_search_sql(terms: list, k: int) -> str:
         "FROM tf, par) "
         f"SELECT doc_id, score FROM sc WHERE score > 0 "
         f"ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def _hits_sql(iterations: int, scale: int, k: int) -> str:
+    """Exact mirror of ops.graph.hits over q_hits's deterministic events
+    graph: the same unrolled power iterations with the divisor-downscale
+    normalization v // (max(v) // scale + 1) — all floor arithmetic, so
+    HUGEINT sums cast back to the engine's int64 bit-for-bit."""
+    ctes = [
+        "st AS (SELECT COUNT(DISTINCT user_id) AS n, MIN(user_id) AS mn "
+        "FROM events)",
+        "e AS (SELECT user_id AS src, (user_id * 7 + event_id) % "
+        "(SELECT n FROM st) + (SELECT mn FROM st) AS dst FROM events)",
+        "nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        # iteration 1's authority pass reads the constant h0 = scale
+        f"a1r AS (SELECT dst AS node, SUM(CAST({scale} AS BIGINT)) AS s "
+        "FROM e GROUP BY dst)",
+        f"a1 AS (SELECT nd.node, COALESCE(a1r.s, 0) // "
+        f"((SELECT MAX(s) FROM a1r) // {scale} + 1) AS a "
+        "FROM nd LEFT JOIN a1r USING (node))",
+        "h1r AS (SELECT e.src AS node, SUM(a1.a) AS s FROM e "
+        "JOIN a1 ON e.dst = a1.node GROUP BY e.src)",
+        f"h1 AS (SELECT nd.node, COALESCE(h1r.s, 0) // "
+        f"((SELECT MAX(s) FROM h1r) // {scale} + 1) AS h "
+        "FROM nd LEFT JOIN h1r USING (node))",
+    ]
+    for i in range(2, iterations + 1):
+        p = i - 1
+        ctes += [
+            f"a{i}r AS (SELECT e.dst AS node, SUM(h{p}.h) AS s FROM e "
+            f"JOIN h{p} ON e.src = h{p}.node GROUP BY e.dst)",
+            f"a{i} AS (SELECT nd.node, COALESCE(a{i}r.s, 0) // "
+            f"((SELECT MAX(s) FROM a{i}r) // {scale} + 1) AS a "
+            f"FROM nd LEFT JOIN a{i}r USING (node))",
+            f"h{i}r AS (SELECT e.src AS node, SUM(a{i}.a) AS s FROM e "
+            f"JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src)",
+            f"h{i} AS (SELECT nd.node, COALESCE(h{i}r.s, 0) // "
+            f"((SELECT MAX(s) FROM h{i}r) // {scale} + 1) AS h "
+            f"FROM nd LEFT JOIN h{i}r USING (node))",
+        ]
+    f = iterations
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node, CAST(a AS BIGINT) AS auth, CAST(h AS BIGINT) AS hub "
+        f"FROM a{f} JOIN h{f} USING (node) "
+        f"ORDER BY auth DESC, node LIMIT {k}"
     )
 
 
@@ -5327,6 +5430,7 @@ def oracle_sql() -> dict[str, str]:
         # integer fixed-point PageRank: same 3 unrolled iterations as
         # the engine, pure floor arithmetic (// is integer division) —
         # bit-exact across engines, unlike float PageRank
+        "hits": _hits_sql(2, 10**9, 20),
         "pagerank": 'WITH st AS (SELECT COUNT(DISTINCT user_id) AS n, MIN(user_id) AS mn FROM events), e AS (SELECT user_id AS src, (user_id * 7 + event_id) % (SELECT n FROM st) + (SELECT mn FROM st) AS dst FROM events), deg AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src), r0 AS (SELECT node, 1000000000000 // (SELECT n FROM st) AS r FROM deg), c1 AS (SELECT e.dst AS node, SUM(r0.r // deg.c) AS s FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r1 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c1.s, 0)) // 100 AS r FROM deg LEFT JOIN c1 ON deg.node = c1.node), c2 AS (SELECT e.dst AS node, SUM(r1.r // deg.c) AS s FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r2 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c2.s, 0)) // 100 AS r FROM deg LEFT JOIN c2 ON deg.node = c2.node), c3 AS (SELECT e.dst AS node, SUM(r2.r // deg.c) AS s FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r3 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c3.s, 0)) // 100 AS r FROM deg LEFT JOIN c3 ON deg.node = c3.node) SELECT node, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20',
         # published-error-bound gate: the engine emits a check's row ONLY
         # when the sketch estimate sits inside its published bound, so the

@@ -336,3 +336,69 @@ def test_bfs_layers_zero_rounds_and_empty(ray_session):
         rounds=3,
     ).to_pandas()
     assert len(empty) == 0
+
+
+def _local_hits(src, dst, iterations, scale=10**9):
+    """Driver-side reference of the exact integer HITS update rule."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.full(n, scale, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iterations):
+        ar = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            ar[idx[int(d)]] += h[idx[int(s)]]
+        a = ar // (int(ar.max()) // scale + 1)
+        hr = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            hr[idx[int(s)]] += a[idx[int(d)]]
+        h = hr // (int(hr.max()) // scale + 1)
+    return nodes, a, h
+
+
+def test_hits_matches_local_reference(ray_session):
+    from fever_ray.ops.graph import hits
+
+    rng = np.random.default_rng(17)
+    src = np.repeat(np.arange(40), 4)
+    dst = (src * 3 + rng.integers(0, 1000, size=len(src))) % 55  # open graph
+    got = hits(_edges_ds(ray_session, src, dst), iterations=2)
+    nodes, a, h = _local_hits(src, dst, 2)
+    np.testing.assert_array_equal(
+        got.column("node").to_numpy(zero_copy_only=False), nodes
+    )
+    np.testing.assert_array_equal(
+        got.column("auth").to_numpy(zero_copy_only=False), a
+    )
+    np.testing.assert_array_equal(
+        got.column("hub").to_numpy(zero_copy_only=False), h
+    )
+
+
+def test_hits_partition_invariant(ray_session):
+    from fever_ray.ops.graph import hits
+
+    rng = np.random.default_rng(23)
+    src = np.repeat(np.arange(25), 3)
+    dst = (src + rng.integers(1, 24, size=len(src))) % 25
+    a = hits(_edges_ds(ray_session, src, dst, parts=1), iterations=3)
+    b = hits(_edges_ds(ray_session, src, dst, parts=9), iterations=3)
+    assert a.equals(b)
+
+
+def test_hits_star_hub_and_authority(ray_session):
+    from fever_ray.ops.graph import hits
+
+    # node 0 points at everyone (pure hub); everyone points at node 1
+    # (pure authority, beyond 0's fan-out)
+    src = np.concatenate([np.zeros(10, np.int64), np.arange(2, 12)])
+    dst = np.concatenate([np.arange(1, 11), np.ones(10, np.int64)])
+    out = hits(_edges_ds(ray_session, src, dst), iterations=2)
+    nodes = out.column("node").to_numpy(zero_copy_only=False)
+    a = out.column("auth").to_numpy(zero_copy_only=False)
+    h = out.column("hub").to_numpy(zero_copy_only=False)
+    assert nodes[a.argmax()] == 1   # the in-degree magnet is the top authority
+    assert nodes[h.argmax()] == 0   # the fan-out node is the top hub
+    with pytest.raises(ValueError):
+        hits(_edges_ds(ray_session, src, dst), iterations=0)
