@@ -1934,6 +1934,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "pr": pa.array(r[top], pa.int64())}
         )
 
+    def q_personalized_pagerank(sf):
+        # random-walk-with-restart relevance from the 3 smallest user
+        # nodes (deterministic seed set) over the q_pagerank events
+        # graph: restart mass lands only on seeds, 3 unrolled integer
+        # iterations; rows with rank 0 drop, top-20 by (ppr DESC, node)
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.ops.graph import pagerank
+
+        ds = _t(sf, "events", ["event_id", "user_id"])
+
+        def user_partial(b: pa.Table) -> pa.Table:
+            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"user_id": pa.array(u, pa.int64()),
+                 "c": pa.array(np.ones(len(u), np.int64))}
+            )
+
+        ut = pa.concat_tables(
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(user_partial, batch_format="pyarrow"),
+                    ["user_id"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        )
+        users = np.sort(ut.column("user_id").to_numpy(zero_copy_only=False))
+        n_users, mn = len(users), int(users.min())
+        seeds = [int(v) for v in users[:3]]
+        nm = ray.put((n_users, mn))
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            nu, m0 = ray.get(nm)
+            u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            e = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"src": pa.array(u, pa.int64()),
+                 "dst": pa.array((u * 7 + e) % nu + m0, pa.int64())}
+            )
+
+        pr = pagerank(
+            ds.map_batches(mk_edges, batch_format="pyarrow"),
+            iterations=3,
+            seeds=seeds,
+        )
+        nodes = pr.column("node").to_numpy(zero_copy_only=False)
+        r = pr.column("rank").to_numpy(zero_copy_only=False)
+        keep = r > 0
+        nodes, r = nodes[keep], r[keep]
+        top = np.lexsort((nodes, -r))[:20]
+        return pa.table(
+            {"node": pa.array(nodes[top], pa.int64()),
+             "ppr": pa.array(r[top], pa.int64())}
+        )
+
     def q_hits(sf):
         # integer fixed-point HITS hubs/authorities (2 unrolled
         # iterations, divisor-downscale normalization at scale 10^9)
@@ -2968,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_suite": q_sketch_suite,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
+        "personalized_pagerank": q_personalized_pagerank,
         "pagerank": q_pagerank,
         "char_bigram_oov": q_char_bigram_oov,
         "interval_join": q_interval_join,
@@ -3198,6 +3258,40 @@ def _bm25_search_sql(terms: list, k: int) -> str:
         "FROM tf, par) "
         f"SELECT doc_id, score FROM sc WHERE score > 0 "
         f"ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def _ppr_sql(iterations: int, scale: int, n_seeds: int, k: int) -> str:
+    """Exact mirror of q_personalized_pagerank: the q_pagerank CTE chain
+    with the restart mass confined to the n_seeds smallest src nodes
+    (seed base = scale // |seeds|, hold = 0 off-seed)."""
+    seed_base = f"({scale} // (SELECT kk FROM ns))"
+    ctes = [
+        "st AS (SELECT COUNT(DISTINCT user_id) AS n, MIN(user_id) AS mn "
+        "FROM events)",
+        "e AS (SELECT user_id AS src, (user_id * 7 + event_id) % "
+        "(SELECT n FROM st) + (SELECT mn FROM st) AS dst FROM events)",
+        "deg AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src)",
+        f"sd AS (SELECT node FROM deg ORDER BY node LIMIT {n_seeds})",
+        "ns AS (SELECT COUNT(*) AS kk FROM sd)",
+        f"r0 AS (SELECT deg.node, CASE WHEN deg.node IN "
+        f"(SELECT node FROM sd) THEN {seed_base} ELSE 0 END AS r FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes += [
+            f"c{i} AS (SELECT e.dst AS node, SUM(r{p}.r // deg.c) AS s "
+            f"FROM e JOIN r{p} ON e.src = r{p}.node "
+            f"JOIN deg ON e.src = deg.node GROUP BY e.dst)",
+            f"r{i} AS (SELECT deg.node, CASE WHEN deg.node IN "
+            f"(SELECT node FROM sd) THEN (15 * {seed_base}) // 100 "
+            f"ELSE 0 END + (85 * COALESCE(c{i}.s, 0)) // 100 AS r "
+            f"FROM deg LEFT JOIN c{i} ON deg.node = c{i}.node)",
+        ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node, CAST(r AS BIGINT) AS ppr FROM r{iterations} "
+        f"WHERE r > 0 ORDER BY r DESC, node LIMIT {k}"
     )
 
 
@@ -5431,6 +5525,7 @@ def oracle_sql() -> dict[str, str]:
         # the engine, pure floor arithmetic (// is integer division) —
         # bit-exact across engines, unlike float PageRank
         "hits": _hits_sql(2, 10**9, 20),
+        "personalized_pagerank": _ppr_sql(3, 10**12, 3, 20),
         "pagerank": 'WITH st AS (SELECT COUNT(DISTINCT user_id) AS n, MIN(user_id) AS mn FROM events), e AS (SELECT user_id AS src, (user_id * 7 + event_id) % (SELECT n FROM st) + (SELECT mn FROM st) AS dst FROM events), deg AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src), r0 AS (SELECT node, 1000000000000 // (SELECT n FROM st) AS r FROM deg), c1 AS (SELECT e.dst AS node, SUM(r0.r // deg.c) AS s FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r1 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c1.s, 0)) // 100 AS r FROM deg LEFT JOIN c1 ON deg.node = c1.node), c2 AS (SELECT e.dst AS node, SUM(r1.r // deg.c) AS s FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r2 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c2.s, 0)) // 100 AS r FROM deg LEFT JOIN c2 ON deg.node = c2.node), c3 AS (SELECT e.dst AS node, SUM(r2.r // deg.c) AS s FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.node GROUP BY e.dst), r3 AS (SELECT deg.node, (15 * (1000000000000 // (SELECT n FROM st))) // 100 + (85 * COALESCE(c3.s, 0)) // 100 AS r FROM deg LEFT JOIN c3 ON deg.node = c3.node) SELECT node, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20',
         # published-error-bound gate: the engine emits a check's row ONLY
         # when the sketch estimate sits inside its published bound, so the

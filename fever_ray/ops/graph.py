@@ -31,6 +31,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    seeds=None,
 ):
     """Integer fixed-point PageRank over a CLOSED edge set (every dst also
     appears as a src — the caller's edge construction guarantees it, e.g.
@@ -42,6 +43,13 @@ def pagerank(
         base   = scale // n
         share  = r[j] // outdeg[j]
         r'[i]  = ((den-num)·base) // den + (num · Σ_{j→i} share[j]) // den
+
+    ``seeds`` switches on PERSONALIZED PageRank (random walk with
+    restart): the initial mass and the per-round restart mass land only
+    on the seed nodes (base = scale // len(seeds) on seeds, 0 elsewhere)
+    — the standard seed-relative relevance ranking ("what is near these
+    nodes?").  Seeds must be existing src nodes; the arithmetic stays
+    all-integer so the seeded variant value-hashes too.
 
     Scale shape (10^9+ edges): the edge list streams once per iteration —
     per-batch contribution sums grouped by dst (np.add.at over the unique
@@ -111,8 +119,21 @@ def pagerank(
         )
 
     base = scale // n
-    hold = ((damping_den - damping_num) * base) // damping_den
-    r = np.full(n, base, dtype=np.int64)
+    if seeds is None:
+        hold = ((damping_den - damping_num) * base) // damping_den
+        r = np.full(n, base, dtype=np.int64)
+    else:
+        sd = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        if len(sd) == 0:
+            raise ValueError("pagerank: seeds must be non-empty when given")
+        pos = np.searchsorted(nodes, sd)
+        if (pos >= n).any() or (nodes[np.minimum(pos, n - 1)] != sd).any():
+            raise ValueError("pagerank: seed not in the src node set")
+        seed_mass = scale // len(sd)
+        mask = np.zeros(n, dtype=np.int64)
+        mask[pos] = 1
+        hold = mask * (((damping_den - damping_num) * seed_mass) // damping_den)
+        r = mask * seed_mass
 
     for _ in range(iterations):
         share = r // deg

@@ -402,3 +402,59 @@ def test_hits_star_hub_and_authority(ray_session):
     assert nodes[h.argmax()] == 0   # the fan-out node is the top hub
     with pytest.raises(ValueError):
         hits(_edges_ds(ray_session, src, dst), iterations=0)
+
+
+def _local_ppr(src, dst, seeds, iterations, scale=10**12, num=85, den=100):
+    nodes = np.unique(src)
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    for s in src:
+        deg[idx[int(s)]] += 1
+    n = len(nodes)
+    base = scale // len(seeds)
+    mask = np.zeros(n, dtype=np.int64)
+    for s in seeds:
+        mask[idx[int(s)]] = 1
+    hold = mask * (((den - num) * base) // den)
+    r = mask * base
+    for _ in range(iterations):
+        share = r // deg
+        s_in = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            s_in[idx[int(d)]] += share[idx[int(s)]]
+        r = hold + (num * s_in) // den
+    return nodes, r
+
+
+def test_personalized_pagerank_matches_local_reference(ray_session):
+    rng = np.random.default_rng(31)
+    n = 50
+    src = np.repeat(np.arange(n), 4)
+    dst = (src * 7 + rng.integers(0, 10_000, size=len(src))) % n
+    seeds = [0, 3, 11]
+    got = pagerank(_edges_ds(ray_session, src, dst), iterations=3, seeds=seeds)
+    nodes, want = _local_ppr(src, dst, seeds, 3)
+    np.testing.assert_array_equal(
+        got.column("node").to_numpy(zero_copy_only=False), nodes
+    )
+    np.testing.assert_array_equal(
+        got.column("rank").to_numpy(zero_copy_only=False), want
+    )
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(ray_session):
+    # two disconnected 5-cycles; seeding in the first leaves the second
+    # with exactly zero mass
+    c1 = np.arange(5)
+    c2 = np.arange(5, 10)
+    src = np.concatenate([c1, c2])
+    dst = np.concatenate([(c1 + 1) % 5, (c2 - 5 + 1) % 5 + 5])
+    out = pagerank(_edges_ds(ray_session, src, dst), iterations=4, seeds=[0])
+    nodes = out.column("node").to_numpy(zero_copy_only=False)
+    r = out.column("rank").to_numpy(zero_copy_only=False)
+    assert r[nodes < 5].sum() > 0
+    assert (r[nodes >= 5] == 0).all()
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds(ray_session, src, dst), seeds=[99])
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds(ray_session, src, dst), seeds=[])
