@@ -2229,6 +2229,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_fd_error_gate(sf):
+        """Frequent-Directions published-bound gate (Liberty KDD'13 /
+        Ghashami et al. SICOMP'16): one UDAF pass builds the mergeable
+        l=16 matrix sketch over the embeddings; a second pass tree-sums
+        the EXACT Gram matrix (d x d float64 partials, KB-sized) plus the
+        exact integer sum of squared SQ8 codes (the bit-stable payload the
+        oracle mirrors).  A check row is emitted ONLY if its guarantee
+        holds: AtA - BtB is PSD, its spectral norm is <= 2*||A||_F^2 / l,
+        and trace never inflates — so the driver's row/hash gate IS the
+        error-bound assertion."""
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+        from fever_ray.ops.knn import _embedding_matrix
+
+        ds = _t(sf, "embeddings", ["vec_id", "embedding"])
+        (first,) = ds.limit(1).take_all()
+        d = len(first["embedding"])
+        sk = build_sketches(
+            ds,
+            [SketchSpec("fd", "fd", "embedding", {"l": 16, "d": d},
+                        value_kind="vec")],
+        )["fd"]
+
+        def part(b: pa.Table) -> pa.Table:
+            m = _embedding_matrix(b, "embedding")
+            g = m.T @ m
+            scale = np.abs(m).max(axis=1)
+            safe = np.where(scale == 0.0, 1.0, scale)
+            q = np.floor(m * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "g": pa.array([g.tobytes()], pa.large_binary()),
+                    "qss": pa.array([int((q * q).sum())], pa.int64()),
+                }
+            )
+
+        def combine(b: pa.Table) -> pa.Table:
+            gs = b.column("g").to_pylist()
+            if not gs:
+                return b
+            tot = np.zeros((d, d), dtype=np.float64)
+            for blob in gs:
+                tot += np.frombuffer(blob, dtype=np.float64).reshape(d, d)
+            return pa.table(
+                {
+                    "g": pa.array([tot.tobytes()], pa.large_binary()),
+                    "qss": pa.array(
+                        [int(b.column("qss").to_numpy().sum())], pa.int64()
+                    ),
+                }
+            )
+
+        (row,) = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow", batch_size=65536)
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        gram = np.frombuffer(row["g"], dtype=np.float64).reshape(d, d)
+        qss = float(row["qss"])
+
+        diff = gram - sk.cov()
+        ev = np.linalg.eigvalsh(diff)
+        tol = 1e-9 * max(sk.fnorm_sq, 1.0)
+        checks = [
+            ("fd_psd", float(ev.min()) >= -tol),
+            ("fd_spectral_bound", float(ev.max()) <= sk.error_bound() + tol),
+            ("fd_trace", float(np.trace(sk.cov())) <= float(np.trace(gram)) + tol),
+        ]
+        passed = sorted(c for c, ok in checks if ok)
+        return pa.table(
+            {
+                "check_name": pa.array(passed, pa.string()),
+                "exact_value": pa.array([qss] * len(passed), pa.float64()),
+            }
+        )
+
     def q_grouped_sketch_per_lang(sf):
         spec = SketchSpec("hll_texts", "hll", "text", {"p": 14})
         out = grouped_estimates(
@@ -3025,6 +3102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hostname_counts": q_hostname_counts,
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
+        "fd_error_gate": q_fd_error_gate,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
@@ -5534,6 +5612,21 @@ def oracle_sql() -> dict[str, str]:
         # hash-checked.  Exact values: distinct users, top event-type
         # count, and the "first rank ≥ 0.5·n" median order statistic —
         # the same rank rule quantile_length_filter's oracle uses.
+        "fd_error_gate": (
+            # the integer payload is the exact sum of squared SQ8 codes
+            # (same IEEE-double quantization tree as embedding_quantize);
+            # the three rows exist only if the engine-side FD bounds held
+            "WITH m AS (SELECT vec_id, list_max(list_transform(embedding, "
+            "v -> abs(CAST(v AS DOUBLE)))) AS s FROM embeddings), "
+            "q AS (SELECT UNNEST(list_transform(e.embedding, v -> "
+            "CASE WHEN m.s = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / m.s + 0.5) AS BIGINT) "
+            "END)) AS qv FROM embeddings e JOIN m ON m.vec_id = e.vec_id), "
+            "t AS (SELECT CAST(SUM(qv * qv) AS DOUBLE) AS v FROM q) "
+            "SELECT c AS check_name, v AS exact_value FROM t, "
+            "(VALUES ('fd_psd'), ('fd_spectral_bound'), ('fd_trace')) "
+            "AS checks(c) ORDER BY check_name"
+        ),
         "sketch_error_gate": (
             "WITH d AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v FROM events), "
             "t AS (SELECT CAST(MAX(c) AS DOUBLE) AS v FROM "

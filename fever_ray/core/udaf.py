@@ -33,6 +33,7 @@ import pyarrow as pa
 from ..sketches import SKETCH_TYPES, sketch_from_bytes
 from ..sketches.bloom import BloomFilter
 from ..sketches.cms import CountMin
+from ..sketches.fd import FrequentDirections
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLL
 from ..sketches.tdigest import TDigest
@@ -53,7 +54,8 @@ class SketchSpec:
     """One sketch over one input column.
 
     value_kind: 'string' (hash bytes), 'int' (hash the int64 directly),
-    'float' (numeric quantile sketches).  ``params`` go to the sketch
+    'float' (numeric quantile sketches), 'vec' (list<float> embedding
+    column as a 2D float64 matrix — the FD matrix sketch).  ``params`` go to the sketch
     constructor (``create``/``initialize``).
     """
 
@@ -79,6 +81,24 @@ def _column_values(batch: pa.Table, spec: SketchSpec):
     col = batch.column(spec.column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if spec.value_kind == "vec":
+        col = col.drop_null()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return np.zeros((0, 0), dtype=np.float64)
+        if isinstance(col, pa.FixedSizeListArray):
+            d = col.type.list_size
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+        else:
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if not (widths == widths[0]).all():
+                raise ValueError(f"{spec.column}: ragged embedding lengths")
+            d = int(widths[0])
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n, d)
     if spec.value_kind == "float":
         return col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
     if spec.value_kind == "int":
@@ -98,6 +118,8 @@ def _update(sketch, spec: SketchSpec, values) -> None:
         sketch.update(values)
     elif spec.kind == "bloom":
         sketch.add(values)
+    elif spec.kind == "fd":
+        sketch.update(values)
     elif spec.kind == "theta":
         if spec.value_kind == "int":
             sketch.update_ints(values)

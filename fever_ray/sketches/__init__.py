@@ -17,6 +17,7 @@ mutex in one process.
 
 from .bloom import BloomFilter, BloomKTooHighError, build_filter
 from .cms import CountMin
+from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
@@ -30,6 +31,7 @@ SKETCH_TYPES = {
     "kll": KLL,
     "bloom": BloomFilter,
     "theta": ThetaSketch,
+    "fd": FrequentDirections,
 }
 
 
@@ -43,6 +45,7 @@ __all__ = [
     "BloomKTooHighError",
     "build_filter",
     "CountMin",
+    "FrequentDirections",
     "HyperLogLog",
     "KLL",
     "TDigest",

@@ -293,3 +293,80 @@ def test_theta_merge_keyless_drops_key_tracking():
     keyed.merge(keyless)
     assert keyed.keys is None
     assert keyed.estimate() == pytest.approx(5.0)
+
+
+def _fd_spectral_err(A, sk):
+    return float(np.linalg.eigvalsh(A.T @ A - sk.cov()).max())
+
+
+def test_fd_error_bound_and_psd():
+    from fever_ray.sketches.fd import FrequentDirections
+
+    rng = np.random.default_rng(7)
+    # planted low-rank + noise: the regime FD is for
+    A = rng.normal(size=(2000, 48)) @ np.diag(
+        np.concatenate([np.full(4, 8.0), np.full(44, 0.3)])
+    )
+    sk = FrequentDirections.create(l=12, d=48)
+    for i in range(0, len(A), 256):
+        sk.update(A[i : i + 256])
+    assert sk.n <= 24
+    ev = np.linalg.eigvalsh(A.T @ A - sk.cov())
+    assert ev.min() >= -1e-6 * sk.fnorm_sq        # AtA - BtB is PSD
+    assert ev.max() <= sk.error_bound() + 1e-9    # published 2||A||_F^2 / l
+    assert np.trace(sk.cov()) <= np.trace(A.T @ A) * (1 + 1e-12)
+
+
+def test_fd_merge_preserves_bound_and_mass():
+    from fever_ray.sketches.fd import FrequentDirections
+
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(1500, 32))
+    whole = FrequentDirections.create(l=10, d=32)
+    whole.update(A)
+    # any split/merge order keeps the SAME published bound over total mass
+    for splits, seed in [(3, 0), (7, 1), (11, 2)]:
+        parts = np.array_split(A, splits)
+        order = np.random.default_rng(seed).permutation(splits)
+        acc = FrequentDirections.create(l=10, d=32)
+        for j in order:
+            p = FrequentDirections.create(l=10, d=32)
+            p.update(parts[j])
+            acc.merge(p)
+        assert acc.fnorm_sq == pytest.approx(whole.fnorm_sq)
+        assert _fd_spectral_err(A, acc) <= acc.error_bound()
+
+
+def test_fd_low_rank_is_near_exact():
+    from fever_ray.sketches.fd import FrequentDirections
+
+    rng = np.random.default_rng(3)
+    # rank-3 stream with sketch size 8: shrink never destroys signal mass
+    A = rng.normal(size=(400, 3)) @ rng.normal(size=(3, 20))
+    sk = FrequentDirections.create(l=8, d=20)
+    sk.update(A)
+    exact = A.T @ A
+    assert np.abs(exact - sk.cov()).max() <= 1e-6 * np.abs(exact).max()
+
+
+def test_fd_serialization_roundtrip_and_validation():
+    from fever_ray.sketches.fd import FrequentDirections
+
+    rng = np.random.default_rng(5)
+    sk = FrequentDirections.create(l=6, d=9)
+    sk.update(rng.normal(size=(100, 9)))
+    back = FrequentDirections.from_bytes(sk.to_bytes())
+    assert (back.l, back.d, back.n, back.fnorm_sq) == (
+        sk.l, sk.d, sk.n, sk.fnorm_sq
+    )
+    np.testing.assert_array_equal(back.buf[: back.n], sk.buf[: sk.n])
+    pd_ = sk.principal_directions(2)
+    assert pd_.shape == (2, 9)
+    with pytest.raises(ValueError):
+        FrequentDirections.create(l=1, d=4)
+    with pytest.raises(ValueError):
+        sk.update(rng.normal(size=(5, 4)))       # wrong width
+    with pytest.raises(ValueError):
+        sk.merge(FrequentDirections.create(l=6, d=4))
+    with pytest.raises(ValueError):
+        FrequentDirections.from_bytes(b"nope" + b"\0" * 40)

@@ -134,3 +134,35 @@ def test_finalize_summaries(pages_sketches):
     for spec in specs:
         out = finalize(sketches[spec.name], spec)
         assert isinstance(out, dict) and out
+
+
+def test_fd_via_build_sketches_meets_bound(ray_session):
+    """kind='fd' + value_kind='vec': the distributed UDAF path (partials,
+    salted two-phase merge) must satisfy the published FD guarantee over
+    a list<float> embedding column, with nulls dropped."""
+    import pyarrow as pa
+
+    from fever_ray.core.udaf import SketchSpec, build_sketches
+
+    rng = np.random.default_rng(29)
+    A = rng.normal(size=(900, 24)) @ np.diag(
+        np.concatenate([np.full(3, 6.0), np.full(21, 0.4)])
+    )
+    vecs = [row.tolist() for row in A] + [None] * 7
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(5)
+    sk = build_sketches(
+        ds,
+        [SketchSpec("fd", "fd", "embedding", {"l": 8, "d": 24},
+                    value_kind="vec")],
+    )["fd"]
+    A32 = A.astype(np.float32).astype(np.float64)  # storage roundtrip
+    assert sk.fnorm_sq == pytest.approx(float((A32 * A32).sum()), rel=1e-9)
+    ev = np.linalg.eigvalsh(A32.T @ A32 - sk.cov())
+    assert ev.min() >= -1e-6 * sk.fnorm_sq
+    assert ev.max() <= sk.error_bound()
