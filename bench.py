@@ -620,6 +620,18 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # Frequent-Directions covariance sketch of the same 1M vectors in one
+    # UDAF pass (KB partials, salted two-phase merge — no data shuffle)
+    from fever_ray.core.udaf import SketchSpec, build_sketches as _bs
+
+    timings["fd_sketch_1m_vectors"] = _timed(
+        lambda: _bs(
+            _pages_embeddings(),
+            [SketchSpec("fd", "fd", "embedding", {"l": 64, "d": 64},
+                        value_kind="vec")],
+        )
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",
