@@ -2229,6 +2229,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_ams_f2_gate(sf):
+        """AMS/CountSketch published-bound gate (Alon-Matias-Szegedy
+        STOC'96, Charikar et al. ICALP'02): one UDAF pass builds the
+        r=7 x b=1024 signed-counter sketch over events.user_id; the exact
+        F2 = sum of squared per-user counts comes from the bounded-key
+        tree (users are a bounded domain).  The single row is emitted
+        ONLY if |estimate - F2| <= sqrt(8/b) * F2 — so the driver's gate
+        IS the published-bound assertion, and the hash payload is the
+        exact integer F2 the oracle mirrors."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+
+        ds = _t(sf, "events", ["user_id"])
+        sk = build_sketches(
+            ds,
+            [SketchSpec("ams", "ams", "user_id", {"r": 7, "b": 1024},
+                        value_kind="int")],
+        )["ams"]
+
+        def cnt_partial(b: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                b.column("user_id").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table(
+                {"user_id": pa.array(u, pa.int64()),
+                 "c": pa.array(c.astype(np.int64))}
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(cnt_partial, batch_format="pyarrow"),
+                    ["user_id"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        c = pa.concat_tables(parts).column("c").to_numpy(zero_copy_only=False)
+        f2 = int((c.astype(object) ** 2).sum())  # bigint-safe, then checked
+        if f2 >= 2**53:
+            raise ValueError("ams_f2_gate: exact F2 exceeds float53 payload")
+        est = sk.estimate_f2()
+        ok = abs(est - f2) <= sk.rel_error_bound() * f2
+        names = ["ams_f2"] if ok else []
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "exact_value": pa.array([float(f2)] * len(names), pa.float64()),
+            }
+        )
+
     def q_fd_error_gate(sf):
         """Frequent-Directions published-bound gate (Liberty KDD'13 /
         Ghashami et al. SICOMP'16): one UDAF pass builds the mergeable
@@ -3102,6 +3158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hostname_counts": q_hostname_counts,
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
+        "ams_f2_gate": q_ams_f2_gate,
         "fd_error_gate": q_fd_error_gate,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
@@ -5612,6 +5669,13 @@ def oracle_sql() -> dict[str, str]:
         # hash-checked.  Exact values: distinct users, top event-type
         # count, and the "first rank ≥ 0.5·n" median order statistic —
         # the same rank rule quantile_length_filter's oracle uses.
+        "ams_f2_gate": (
+            # exact self-join size of the user_id column; the row exists
+            # only if the engine-side AMS estimate met sqrt(8/b)*F2
+            "SELECT 'ams_f2' AS check_name, CAST(CAST(SUM(c * c) AS BIGINT) "
+            "AS DOUBLE) AS exact_value FROM "
+            "(SELECT COUNT(*) AS c FROM events GROUP BY user_id)"
+        ),
         "fd_error_gate": (
             # the integer payload is the exact sum of squared SQ8 codes
             # (same IEEE-double quantization tree as embedding_quantize);

@@ -33,6 +33,7 @@ import pyarrow as pa
 from ..sketches import SKETCH_TYPES, sketch_from_bytes
 from ..sketches.bloom import BloomFilter
 from ..sketches.cms import CountMin
+from ..sketches.ams import AMSSketch
 from ..sketches.fd import FrequentDirections
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLL
@@ -120,6 +121,11 @@ def _update(sketch, spec: SketchSpec, values) -> None:
         sketch.add(values)
     elif spec.kind == "fd":
         sketch.update(values)
+    elif spec.kind == "ams":
+        if spec.value_kind == "int":
+            sketch.update_ints(values)
+        else:
+            sketch.update(values)
     elif spec.kind == "theta":
         if spec.value_kind == "int":
             sketch.update_ints(values)

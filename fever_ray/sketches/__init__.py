@@ -17,6 +17,7 @@ mutex in one process.
 
 from .bloom import BloomFilter, BloomKTooHighError, build_filter
 from .cms import CountMin
+from .ams import AMSSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
@@ -32,6 +33,7 @@ SKETCH_TYPES = {
     "bloom": BloomFilter,
     "theta": ThetaSketch,
     "fd": FrequentDirections,
+    "ams": AMSSketch,
 }
 
 
@@ -44,6 +46,7 @@ __all__ = [
     "BloomFilter",
     "BloomKTooHighError",
     "build_filter",
+    "AMSSketch",
     "CountMin",
     "FrequentDirections",
     "HyperLogLog",

@@ -370,3 +370,60 @@ def test_fd_serialization_roundtrip_and_validation():
         sk.merge(FrequentDirections.create(l=6, d=4))
     with pytest.raises(ValueError):
         FrequentDirections.from_bytes(b"nope" + b"\0" * 40)
+
+
+def test_ams_f2_within_published_bound():
+    from fever_ray.sketches.ams import AMSSketch
+
+    rng = np.random.default_rng(13)
+    keys = (rng.zipf(1.3, size=100_000) % 3000).astype(np.int64)
+    sk = AMSSketch.create(r=7, b=1024, seed=0)
+    sk.update_ints(keys)
+    c = np.bincount(keys).astype(np.float64)
+    f2 = float((c * c).sum())
+    assert abs(sk.estimate_f2() - f2) <= sk.rel_error_bound() * f2
+    assert sk.n == len(keys)
+
+
+def test_ams_merge_is_bit_identical_and_weighted():
+    from fever_ray.sketches.ams import AMSSketch
+
+    rng = np.random.default_rng(19)
+    keys = rng.integers(0, 500, size=20_000)
+    whole = AMSSketch.create(r=5, b=256, seed=3)
+    whole.update_ints(keys)
+    for splits in (2, 7):
+        acc = AMSSketch.create(r=5, b=256, seed=3)
+        for part in np.array_split(keys, splits):
+            p = AMSSketch.create(r=5, b=256, seed=3)
+            p.update_ints(part)
+            acc.merge(p)
+        np.testing.assert_array_equal(acc.counters, whole.counters)
+    # weight w == w repeats, exactly
+    wsk = AMSSketch.create(r=5, b=256, seed=3)
+    wsk.update_ints(np.array([7, 9]), weights=np.array([3, 2]))
+    rsk = AMSSketch.create(r=5, b=256, seed=3)
+    rsk.update_ints(np.array([7, 7, 7, 9, 9]))
+    np.testing.assert_array_equal(wsk.counters, rsk.counters)
+    # string path works too
+    ssk = AMSSketch.create(r=5, b=256, seed=3)
+    ssk.update(["a", "b", "a"])
+    assert ssk.n == 3
+
+
+def test_ams_roundtrip_and_validation():
+    from fever_ray.sketches.ams import AMSSketch
+
+    sk = AMSSketch.create(r=3, b=64, seed=1)
+    sk.update_ints(np.arange(1000) % 37)
+    back = AMSSketch.from_bytes(sk.to_bytes())
+    assert (back.r, back.b, back.seed, back.n) == (sk.r, sk.b, sk.seed, sk.n)
+    np.testing.assert_array_equal(back.counters, sk.counters)
+    with pytest.raises(ValueError):
+        AMSSketch.create(r=0, b=64)
+    with pytest.raises(ValueError):
+        AMSSketch.create(r=3, b=100)        # not a power of two
+    with pytest.raises(ValueError):
+        sk.merge(AMSSketch.create(r=3, b=128, seed=1))
+    with pytest.raises(ValueError):
+        AMSSketch.from_bytes(b"nope" + b"\0" * 40)
