@@ -2229,6 +2229,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_mg_heavy_tokens(sf):
+        """Misra-Gries deterministic heavy-hitter gate (Misra-Gries '82;
+        mergeable per Agarwal et al. PODS'12): the token stream explodes
+        once, one UDAF pass builds the k=32 MG summary (distributed,
+        salted two-phase merge), a second pass tree-counts the bounded
+        vocabulary exactly.  Rows = every token with true count >
+        n//(k+1) — the set MG GUARANTEES to retain — emitted ONLY if
+        each one is present in the summary with residual <= exact <=
+        residual + n//(k+1).  Determinism means no failure probability:
+        a miss is a bug, not bad luck."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+        from fever_ray.ops.textstats import _flat_tokens
+
+        ds = _t(sf, "documents", ["text"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            flat, _ = _flat_tokens(b, "text")
+            return pa.table({"tok": flat})
+
+        toks = ds.map_batches(explode, batch_format="pyarrow")
+        sk = build_sketches(
+            toks, [SketchSpec("mg", "mg", "tok", {"k": 32})]
+        )["mg"]
+
+        def cnt_partial(b: pa.Table) -> pa.Table:
+            arr = b.column("tok")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            uk, uc = np.unique(
+                arr.to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {"token": pa.array(uk.tolist(), pa.string()),
+                 "c": pa.array(uc.astype(np.int64))}
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    toks.map_batches(cnt_partial, batch_format="pyarrow"),
+                    ["token"],
+                    [("c", "sum")],
+                    max_groups=1_000_000,
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        ct = pa.concat_tables(parts)
+        tok = ct.column("token").to_numpy(zero_copy_only=False)
+        c = ct.column("c").to_numpy(zero_copy_only=False)
+        bound = sk.error_bound()
+        heavy = c > bound
+        cand = sk.candidates()
+        ok = all(
+            t in cand and cand[t] <= f <= cand[t] + bound
+            for t, f in zip(tok[heavy].tolist(), c[heavy].tolist())
+        )
+        if not ok:
+            heavy = np.zeros(len(tok), dtype=bool)
+        order = np.argsort(tok[heavy])
+        return pa.table(
+            {
+                "token": pa.array(tok[heavy][order], pa.string()),
+                "cnt": pa.array(c[heavy][order], pa.int64()),
+            }
+        )
+
     def q_ams_f2_gate(sf):
         """AMS/CountSketch published-bound gate (Alon-Matias-Szegedy
         STOC'96, Charikar et al. ICALP'02): one UDAF pass builds the
@@ -3159,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
         "ams_f2_gate": q_ams_f2_gate,
+        "mg_heavy_tokens": q_mg_heavy_tokens,
         "fd_error_gate": q_fd_error_gate,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
@@ -5669,6 +5741,17 @@ def oracle_sql() -> dict[str, str]:
         # hash-checked.  Exact values: distinct users, top event-type
         # count, and the "first rank ≥ 0.5·n" median order statistic —
         # the same rank rule quantile_length_filter's oracle uses.
+        "mg_heavy_tokens": (
+            # every token with count > n//(k+1) — the set the MG summary
+            # deterministically retains; rows exist only if the engine-side
+            # residual/undercount checks all held
+            "WITH tk AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) "
+            "AS token FROM documents), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk "
+            "GROUP BY token HAVING COUNT(*) > (SELECT n FROM n) // 33 "
+            "ORDER BY token"
+        ),
         "ams_f2_gate": (
             # exact self-join size of the user_id column; the row exists
             # only if the engine-side AMS estimate met sqrt(8/b)*F2

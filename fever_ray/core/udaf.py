@@ -37,6 +37,7 @@ from ..sketches.ams import AMSSketch
 from ..sketches.fd import FrequentDirections
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLL
+from ..sketches.mg import MisraGries
 from ..sketches.tdigest import TDigest
 from ..sketches.theta import ThetaSketch
 
@@ -120,6 +121,8 @@ def _update(sketch, spec: SketchSpec, values) -> None:
     elif spec.kind == "bloom":
         sketch.add(values)
     elif spec.kind == "fd":
+        sketch.update(values)
+    elif spec.kind == "mg":
         sketch.update(values)
     elif spec.kind == "ams":
         if spec.value_kind == "int":

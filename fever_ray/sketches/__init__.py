@@ -21,6 +21,7 @@ from .ams import AMSSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
+from .mg import MisraGries
 from .tdigest import TDigest
 from .theta import ThetaSketch
 from . import hashing, minhash
@@ -34,6 +35,7 @@ SKETCH_TYPES = {
     "theta": ThetaSketch,
     "fd": FrequentDirections,
     "ams": AMSSketch,
+    "mg": MisraGries,
 }
 
 
@@ -51,6 +53,7 @@ __all__ = [
     "FrequentDirections",
     "HyperLogLog",
     "KLL",
+    "MisraGries",
     "TDigest",
     "ThetaSketch",
     "SKETCH_TYPES",

@@ -427,3 +427,63 @@ def test_ams_roundtrip_and_validation():
         sk.merge(AMSSketch.create(r=3, b=128, seed=1))
     with pytest.raises(ValueError):
         AMSSketch.from_bytes(b"nope" + b"\0" * 40)
+
+
+def test_mg_deterministic_guarantee_under_shrink_and_merge():
+    """Heavy skew + k far below the key domain: every key with
+    f > n/(k+1) must survive with residual in [f - n/(k+1), f], under
+    any partitioning/merge order (PODS'12 mergeability)."""
+    from fever_ray.sketches.mg import MisraGries
+
+    rng = np.random.default_rng(41)
+    # 2000-key domain, heavy head
+    keys = np.array([f"k{int(v) % 2000}" for v in rng.zipf(1.2, 80_000)])
+    exact = {}
+    for key in keys.tolist():
+        exact[key] = exact.get(key, 0) + 1
+    for splits, seed in [(1, 0), (9, 1), (40, 2)]:
+        acc = MisraGries.create(k=24)
+        parts = np.array_split(keys, splits)
+        for j in np.random.default_rng(seed).permutation(splits):
+            p = MisraGries.create(k=24)
+            p.update(parts[j])
+            acc.merge(p)
+        assert acc.n == len(keys)
+        assert len(acc.counts) <= 24
+        bound = acc.error_bound()
+        cand = acc.candidates()
+        for key, f in exact.items():
+            if f > bound:
+                assert key in cand
+                assert cand[key] <= f <= cand[key] + bound
+            if key in cand:
+                assert cand[key] <= f          # never overcounts
+
+
+def test_mg_weighted_equals_repeats_and_topk_order():
+    from fever_ray.sketches.mg import MisraGries
+
+    a = MisraGries.create(k=8)
+    a.update(["x", "y"], weights=[5, 2])
+    b = MisraGries.create(k=8)
+    b.update(["x"] * 5 + ["y"] * 2)
+    assert a.counts == b.counts and a.n == b.n
+    assert a.top_k(2) == [("x", 5), ("y", 2)]
+    with pytest.raises(ValueError):
+        a.update(["z"], weights=[0])
+    with pytest.raises(ValueError):
+        a.merge(MisraGries.create(k=9))
+    with pytest.raises(ValueError):
+        MisraGries.create(k=0)
+
+
+def test_mg_serialization_roundtrip():
+    from fever_ray.sketches.mg import MisraGries
+
+    sk = MisraGries.create(k=4)
+    sk.update(["a", "b", "a", "c", "d", "e", "a", "b"] * 10)
+    back = MisraGries.from_bytes(sk.to_bytes())
+    assert back.counts == sk.counts
+    assert (back.k, back.n, back.decremented) == (sk.k, sk.n, sk.decremented)
+    with pytest.raises(ValueError):
+        MisraGries.from_bytes(b"nope" + b"\0" * 40)
