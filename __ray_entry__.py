@@ -1879,70 +1879,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mod10(True), batch_format="pyarrow"),
         )
 
-    def q_pagerank(sf):
-        # integer fixed-point PageRank (3 unrolled iterations, d=85/100)
-        # over a deterministic closed graph on the events users: node u
-        # emits one edge per event, dst = (u·7 + event_id) mod n_users —
-        # pure floor arithmetic both sides, so the oracle (same iterations
-        # as SQL CTEs) is bit-exact; top-20 by (pr DESC, node ASC)
+    def _events_user_graph(sf):
+        """The deterministic closed graph shared by q_pagerank / q_hits /
+        q_personalized_pagerank (and mirrored in their three oracle SQL
+        strings — ONE definition here keeps the Python sides in sync):
+        node u emits one edge per event, dst = (u*7 + event_id) mod
+        n_users + min_user.  Returns (edges_ds, sorted users array)."""
         import ray
 
         import fever_ray.ops.aggregates as agg_mod
-        from fever_ray.ops.graph import pagerank
-
-        ds = _t(sf, "events", ["event_id", "user_id"])
-
-        def user_partial(b: pa.Table) -> pa.Table:
-            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
-            return pa.table(
-                {"user_id": pa.array(u, pa.int64()),
-                 "c": pa.array(np.ones(len(u), np.int64))}
-            )
-
-        ut = pa.concat_tables(
-            t
-            for t in ray.get(
-                agg_mod.tree_groupby(
-                    ds.map_batches(user_partial, batch_format="pyarrow"),
-                    ["user_id"],
-                    [("c", "sum")],
-                ).to_arrow_refs()
-            )
-            if t.num_rows and t.num_columns
-        )
-        users = ut.column("user_id").to_numpy(zero_copy_only=False)
-        n_users, mn = len(users), int(users.min())
-        nm = ray.put((n_users, mn))
-
-        def mk_edges(b: pa.Table) -> pa.Table:
-            nu, m0 = ray.get(nm)
-            u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            e = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {"src": pa.array(u, pa.int64()),
-                 "dst": pa.array((u * 7 + e) % nu + m0, pa.int64())}
-            )
-
-        pr = pagerank(
-            ds.map_batches(mk_edges, batch_format="pyarrow"), iterations=3
-        )
-        nodes = pr.column("node").to_numpy(zero_copy_only=False)
-        r = pr.column("rank").to_numpy(zero_copy_only=False)
-        top = np.lexsort((nodes, -r))[:20]
-        return pa.table(
-            {"node": pa.array(nodes[top], pa.int64()),
-             "pr": pa.array(r[top], pa.int64())}
-        )
-
-    def q_personalized_pagerank(sf):
-        # random-walk-with-restart relevance from the 3 smallest user
-        # nodes (deterministic seed set) over the q_pagerank events
-        # graph: restart mass lands only on seeds, 3 unrolled integer
-        # iterations; rows with rank 0 drop, top-20 by (ppr DESC, node)
-        import ray
-
-        import fever_ray.ops.aggregates as agg_mod
-        from fever_ray.ops.graph import pagerank
 
         ds = _t(sf, "events", ["event_id", "user_id"])
 
@@ -1966,7 +1911,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         users = np.sort(ut.column("user_id").to_numpy(zero_copy_only=False))
         n_users, mn = len(users), int(users.min())
-        seeds = [int(v) for v in users[:3]]
         nm = ray.put((n_users, mn))
 
         def mk_edges(b: pa.Table) -> pa.Table:
@@ -1978,11 +1922,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "dst": pa.array((u * 7 + e) % nu + m0, pa.int64())}
             )
 
-        pr = pagerank(
-            ds.map_batches(mk_edges, batch_format="pyarrow"),
-            iterations=3,
-            seeds=seeds,
+        return ds.map_batches(mk_edges, batch_format="pyarrow"), users
+
+    def q_pagerank(sf):
+        # integer fixed-point PageRank (3 unrolled iterations, d=85/100)
+        # over the deterministic _events_user_graph; pure floor arithmetic
+        # both sides, so the oracle (same iterations as SQL CTEs) is
+        # bit-exact; top-20 by (pr DESC, node ASC)
+        from fever_ray.ops.graph import pagerank
+
+        edges, _users = _events_user_graph(sf)
+        pr = pagerank(edges, iterations=3)
+        nodes = pr.column("node").to_numpy(zero_copy_only=False)
+        r = pr.column("rank").to_numpy(zero_copy_only=False)
+        top = np.lexsort((nodes, -r))[:20]
+        return pa.table(
+            {"node": pa.array(nodes[top], pa.int64()),
+             "pr": pa.array(r[top], pa.int64())}
         )
+
+    def q_personalized_pagerank(sf):
+        # random-walk-with-restart relevance from the 3 smallest user
+        # nodes (deterministic seed set) over the _events_user_graph:
+        # restart mass lands only on seeds, 3 unrolled integer
+        # iterations; rows with rank 0 drop, top-20 by (ppr DESC, node)
+        from fever_ray.ops.graph import pagerank
+
+        edges, users = _events_user_graph(sf)
+        pr = pagerank(edges, iterations=3, seeds=[int(v) for v in users[:3]])
         nodes = pr.column("node").to_numpy(zero_copy_only=False)
         r = pr.column("rank").to_numpy(zero_copy_only=False)
         keep = r > 0
@@ -1996,49 +1963,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_hits(sf):
         # integer fixed-point HITS hubs/authorities (2 unrolled
         # iterations, divisor-downscale normalization at scale 10^9)
-        # over the same deterministic events graph as q_pagerank;
-        # top-20 by (auth DESC, node ASC)
-        import ray
-
-        import fever_ray.ops.aggregates as agg_mod
+        # over the _events_user_graph; top-20 by (auth DESC, node ASC)
         from fever_ray.ops.graph import hits
 
-        ds = _t(sf, "events", ["event_id", "user_id"])
-
-        def user_partial(b: pa.Table) -> pa.Table:
-            u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
-            return pa.table(
-                {"user_id": pa.array(u, pa.int64()),
-                 "c": pa.array(np.ones(len(u), np.int64))}
-            )
-
-        ut = pa.concat_tables(
-            t
-            for t in ray.get(
-                agg_mod.tree_groupby(
-                    ds.map_batches(user_partial, batch_format="pyarrow"),
-                    ["user_id"],
-                    [("c", "sum")],
-                ).to_arrow_refs()
-            )
-            if t.num_rows and t.num_columns
-        )
-        users = ut.column("user_id").to_numpy(zero_copy_only=False)
-        n_users, mn = len(users), int(users.min())
-        nm = ray.put((n_users, mn))
-
-        def mk_edges(b: pa.Table) -> pa.Table:
-            nu, m0 = ray.get(nm)
-            u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            e = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {"src": pa.array(u, pa.int64()),
-                 "dst": pa.array((u * 7 + e) % nu + m0, pa.int64())}
-            )
-
-        ht = hits(
-            ds.map_batches(mk_edges, batch_format="pyarrow"), iterations=2
-        )
+        edges, _users = _events_user_graph(sf)
+        ht = hits(edges, iterations=2)
         nodes = ht.column("node").to_numpy(zero_copy_only=False)
         a = ht.column("auth").to_numpy(zero_copy_only=False)
         h = ht.column("hub").to_numpy(zero_copy_only=False)

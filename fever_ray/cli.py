@@ -471,7 +471,6 @@ def cmd_audit(args) -> int:
     host doc counts via byte lengths), digit-blind template collapse,
     and the Zipf rank-frequency slope — the "is this corpus natural
     text or template spam?" card."""
-    import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
@@ -483,13 +482,18 @@ def cmd_audit(args) -> int:
     _init_ray(args.num_cpus)
 
     def hosted(b: "pa.Table") -> "pa.Table":
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if text.null_count:
+            text = text.fill_null("")  # null text == '' (COALESCE parity)
         return pa.table(
             {
                 "source": hostname_of(b.column("url")),
-                "text": b.column("text"),
+                "text": text,
                 # byte length in 2-dp form so top_share's cents map is exact
                 "value": pa.compute.cast(
-                    pa.compute.binary_length(b.column("text")), pa.float64()
+                    pa.compute.binary_length(text), pa.float64()
                 ),
             }
         )
@@ -536,11 +540,19 @@ def cmd_embaudit(args) -> int:
 
     _init_ray(args.num_cpus)
     ds = rd.read_parquet(args.input, columns=[args.column])
-    (first,) = ds.limit(1).take_all()
-    if first.get(args.column) is None:
-        print(json.dumps({"error": f"no non-null {args.column!r} rows"}))
+    # infer d from the first non-null embedding in a bounded probe (an
+    # empty corpus or an all-null probe gets a clean JSON error, not a
+    # traceback; a null FIRST row must not reject a valid corpus)
+    probe = ds.limit(1024).take_all()
+    d = next(
+        (len(r[args.column]) for r in probe if r.get(args.column) is not None),
+        None,
+    )
+    if d is None:
+        print(json.dumps(
+            {"error": f"no non-null {args.column!r} rows in the first "
+                      f"{len(probe)} rows"}))
         return 1
-    d = len(first[args.column])
     sk = build_sketches(
         ds,
         [SketchSpec("fd", "fd", args.column, {"l": args.l, "d": d},

@@ -315,4 +315,22 @@ def finalize(sketch, spec: SketchSpec, quantiles=(0.01, 0.25, 0.5, 0.75, 0.99)) 
         return {"N": sketch.N, "fill_ratio": sketch.fill_ratio}
     if spec.kind == "theta":
         return {"estimate": sketch.estimate(), "rse": sketch.relative_error}
+    if spec.kind == "fd":
+        return {
+            "fnorm_sq": sketch.fnorm_sq,
+            "spectral_err_bound": sketch.error_bound(),
+            "rows_kept": sketch.n,
+        }
+    if spec.kind == "ams":
+        return {
+            "f2_estimate": sketch.estimate_f2(),
+            "rel_error_bound": sketch.rel_error_bound(),
+            "n": sketch.n,
+        }
+    if spec.kind == "mg":
+        return {
+            "top_k": sketch.top_k(10),
+            "undercount_bound": sketch.error_bound(),
+            "n": sketch.n,
+        }
     raise ValueError(spec.kind)

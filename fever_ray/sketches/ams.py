@@ -66,7 +66,9 @@ class AMSSketch:
             if weights is not None:
                 sign = sign * weights
             np.add.at(self.counters[lane], bucket, sign)
-        self.n += len(h)
+        # n is the STREAM MASS: weighted updates count their weight sum, so
+        # weighted and repeat ingestion of the same stream agree on n too
+        self.n += int(weights.sum()) if weights is not None else len(h)
 
     def update(self, values, weights=None) -> None:
         """Ingest string/bytes keys (optionally int64 weights per key)."""

@@ -71,6 +71,8 @@ class FrequentDirections:
 
     def _ingest(self, mat: np.ndarray) -> None:
         mat = np.asarray(mat, dtype=np.float64)
+        if mat.ndim == 2 and len(mat) == 0:
+            return  # empty/all-null batch — any width, including (0, 0)
         if mat.ndim != 2 or mat.shape[1] != self.d:
             raise ValueError(
                 f"FrequentDirections: expected (*, {self.d}) rows, got {mat.shape}"

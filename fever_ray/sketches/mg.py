@@ -91,7 +91,14 @@ class MisraGries:
             uc = np.bincount(inv, weights=w.astype(np.float64),
                              minlength=len(uk)).astype(np.int64)
         for key, c in zip(uk.tolist(), uc.tolist()):
-            ks = key if isinstance(key, str) else str(key)
+            if isinstance(key, str):
+                ks = key
+            elif isinstance(key, bytes):
+                # decode, don't repr: the same host ingested via a binary
+                # column and a string column must land in ONE counter
+                ks = key.decode("utf-8", "surrogateescape")
+            else:
+                ks = str(key)
             self.counts[ks] = self.counts.get(ks, 0) + c
         self.n += int(uc.sum())
         self._shrink()
@@ -126,26 +133,30 @@ class MisraGries:
     # -- serialization -----------------------------------------------------------
 
     def to_bytes(self) -> bytes:
+        # length-prefixed key encoding: keys may legitimately contain any
+        # byte (NUL included — whitespace-split crawl tokens) and the empty
+        # string is a real key, so a separator-joined blob would corrupt
         items = sorted(self.counts.items())
-        keys_blob = "\x00".join(k for k, _ in items).encode(
-            "utf-8", "surrogateescape"
-        )
+        enc = [k.encode("utf-8", "surrogateescape") for k, _ in items]
+        lens = np.array([len(e) for e in enc], dtype=np.int64)
+        keys_blob = b"".join(enc)
         vals = np.array([c for _, c in items], dtype=np.int64)
         head = struct.pack(
             "<iqqqq", self.k, self.n, self.decremented, len(items), len(keys_blob)
         )
-        return _MAGIC + head + keys_blob + vals.tobytes()
+        return _MAGIC + head + lens.tobytes() + keys_blob + vals.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "MisraGries":
         if blob[:4] != _MAGIC:
             raise ValueError("not a MisraGries blob")
         k, n, dec, m, kb = struct.unpack("<iqqqq", blob[4:40])
-        keys = (
-            blob[40: 40 + kb].decode("utf-8", "surrogateescape").split("\x00")
-            if kb
-            else []
-        )
-        vals = np.frombuffer(blob[40 + kb: 40 + kb + m * 8], dtype=np.int64)
+        lens = np.frombuffer(blob[40: 40 + m * 8], dtype=np.int64)
+        off = 40 + m * 8
+        keys = []
+        for ln in lens.tolist():
+            keys.append(blob[off: off + ln].decode("utf-8", "surrogateescape"))
+            off += ln
+        vals = np.frombuffer(blob[off: off + m * 8], dtype=np.int64)
         counts = {key: int(c) for key, c in zip(keys, vals)}
         return cls(k, counts, n, dec)

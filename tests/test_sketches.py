@@ -487,3 +487,65 @@ def test_mg_serialization_roundtrip():
     assert (back.k, back.n, back.decremented) == (sk.k, sk.n, sk.decremented)
     with pytest.raises(ValueError):
         MisraGries.from_bytes(b"nope" + b"\0" * 40)
+
+
+def test_mg_serialization_hostile_keys():
+    """Keys containing NUL bytes and the empty-string key (null text
+    tokenizes to '') must survive the partial roundtrip exactly — a
+    separator-joined encoding silently corrupted both."""
+    from fever_ray.sketches.mg import MisraGries
+
+    sk = MisraGries.create(k=8)
+    sk.update(["a\x00b", "c", "", "", "a\x00b"])
+    back = MisraGries.from_bytes(sk.to_bytes())
+    assert back.counts == {"a\x00b": 2, "c": 1, "": 2}
+    # bytes and str ingestion of the same logical key share one counter
+    sk2 = MisraGries.create(k=8)
+    sk2.update([b"host.example"])
+    sk2.update(["host.example"])
+    assert sk2.counts == {"host.example": 2}
+
+
+def test_ams_weighted_n_is_stream_mass():
+    from fever_ray.sketches.ams import AMSSketch
+
+    a = AMSSketch.create(r=3, b=64, seed=0)
+    a.update_ints(np.array([7, 9]), weights=np.array([3, 2]))
+    b = AMSSketch.create(r=3, b=64, seed=0)
+    b.update_ints(np.array([7, 7, 7, 9, 9]))
+    assert a.n == b.n == 5
+    np.testing.assert_array_equal(a.counters, b.counters)
+
+
+def test_fd_empty_and_allnull_batches_are_noops():
+    from fever_ray.sketches.fd import FrequentDirections
+
+    sk = FrequentDirections.create(l=4, d=8)
+    sk.update(np.zeros((0, 8)))
+    sk.update(np.zeros((0, 0)))  # the shape _column_values fabricates
+    assert sk.n == 0 and sk.fnorm_sq == 0.0
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(10, 8))
+    sk.update(m)
+    assert 0 < sk.n <= 8  # buffer-fill count, post-shrink
+    assert sk.fnorm_sq == pytest.approx(float((m * m).sum()))
+
+
+def test_udaf_finalize_covers_new_kinds():
+    from fever_ray.core.udaf import SketchSpec, finalize
+    from fever_ray.sketches.ams import AMSSketch
+    from fever_ray.sketches.fd import FrequentDirections
+    from fever_ray.sketches.mg import MisraGries
+
+    fd = FrequentDirections.create(l=4, d=8)
+    fd.update(np.ones((5, 8)))
+    out = finalize(fd, SketchSpec("x", "fd", "c"))
+    assert out["fnorm_sq"] == 40.0 and out["spectral_err_bound"] == 20.0
+    ams = AMSSketch.create(r=3, b=64)
+    ams.update_ints(np.array([1, 1, 2]))
+    out = finalize(ams, SketchSpec("x", "ams", "c"))
+    assert out["n"] == 3 and out["f2_estimate"] >= 0
+    mg = MisraGries.create(k=4)
+    mg.update(["a", "a", "b"])
+    out = finalize(mg, SketchSpec("x", "mg", "c"))
+    assert out["top_k"][0] == ("a", 2) and out["n"] == 3
