@@ -2158,6 +2158,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_table_profile(sf):
+        # DESCRIBE card over the documents table: per-column rows/nulls/
+        # exact distinct/native min-max (stringified) — rows sorted by
+        # column name to pin the hash order
+        from fever_ray.ops.stats import table_profile
+
+        cols = ["doc_id", "lang", "n_chars", "source"]
+        t = table_profile(_t(sf, "documents", cols), cols)
+        return t.take(
+            pc.sort_indices(t, sort_keys=[("column", "ascending")])
+        )
+
     def q_mg_heavy_tokens(sf):
         """Misra-Gries deterministic heavy-hitter gate (Misra-Gries '82;
         mergeable per Agarwal et al. PODS'12): the token stream explodes
@@ -3160,6 +3172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_suite": q_sketch_suite,
         "ams_f2_gate": q_ams_f2_gate,
         "mg_heavy_tokens": q_mg_heavy_tokens,
+        "table_profile": q_table_profile,
         "fd_error_gate": q_fd_error_gate,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
@@ -5670,6 +5683,7 @@ def oracle_sql() -> dict[str, str]:
         # hash-checked.  Exact values: distinct users, top event-type
         # count, and the "first rank ≥ 0.5·n" median order statistic —
         # the same rank rule quantile_length_filter's oracle uses.
+        "table_profile": 'SELECT * FROM (SELECT \'doc_id\' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct, CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v FROM documents UNION ALL SELECT \'lang\' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct, CAST(MIN(lang) AS VARCHAR) AS min_v, CAST(MAX(lang) AS VARCHAR) AS max_v FROM documents UNION ALL SELECT \'n_chars\' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_distinct, CAST(MIN(n_chars) AS VARCHAR) AS min_v, CAST(MAX(n_chars) AS VARCHAR) AS max_v FROM documents UNION ALL SELECT \'source\' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct, CAST(MIN(source) AS VARCHAR) AS min_v, CAST(MAX(source) AS VARCHAR) AS max_v FROM documents) ORDER BY "column"',
         "mg_heavy_tokens": (
             # every token with count > n//(k+1) — the set the MG summary
             # deterministically retains; rows exist only if the engine-side

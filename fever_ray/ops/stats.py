@@ -2189,3 +2189,90 @@ def group_ks_drift(
     return hist_ds.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def table_profile(ds, columns: list, distinct_cap: int = 1 << 20):
+    """DESCRIBE card: one row per column — ``(column, n_rows, n_null,
+    n_distinct, min_v, max_v)`` with min/max rendered as strings (the
+    native-type extremum stringified, matching SQL ``CAST(MIN(c) AS
+    VARCHAR)``).  The first profiling query every new table gets.
+
+    EXACT distinct per column, valid while each column's distinct count
+    fits one combine task (``distinct_cap`` raises loudly past it) — the
+    gate/profile regime.  At 10^12 rows with unbounded columns, the HLL
+    card (`sketch_suite`) is the scale path; this operator is its exact
+    counterpart for bounded domains.
+
+    Shape: one streaming pass PER COLUMN over only that column's batches
+    (callers pass a pruned dataset): per-batch partials carry each batch's
+    distinct values once with (count, nullcount, marker) — the
+    `corpus_report` bounded-marker posture — then one bounded coalesce
+    tree finishes distincts, nulls and native min/max together.  Nothing
+    row-shaped shuffles."""
+    from .aggregates import tree_groupby
+
+    if not columns:
+        raise ValueError("table_profile: need at least one column")
+
+    rows = []
+    for col in columns:
+
+        def partial(batch: pa.Table, _c=col) -> pa.Table:
+            arr = batch.column(_c)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = len(arr)
+            nn = arr.null_count
+            vals = arr.drop_null()
+            # distinct markers: each batch contributes its unique values
+            uniq = pc.unique(vals)
+            k = len(uniq)
+            if k:
+                return pa.table(
+                    {
+                        "v": uniq,
+                        "rows_": pa.array([n] + [0] * (k - 1), pa.int64()),
+                        "nulls_": pa.array([nn] + [0] * (k - 1), pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "v": pa.array([None], arr.type),
+                    "rows_": pa.array([n], pa.int64()),
+                    "nulls_": pa.array([nn], pa.int64()),
+                }
+            )
+
+        parts = tree_groupby(
+            ds.select_columns([col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["v"],
+            [("rows_", "sum"), ("nulls_", "sum")],
+            max_groups=distinct_cap,
+        ).take_all()
+        vs = [r["v"] for r in parts if r["v"] is not None]
+        n_rows = sum(r["rows_"] for r in parts)
+        n_null = sum(r["nulls_"] for r in parts)
+        # native-type extrema, stringified last — matches SQL
+        # CAST(MIN(c) AS VARCHAR) for the int/string columns this targets
+        rows.append(
+            {
+                "column": col,
+                "n_rows": n_rows,
+                "n_null": n_null,
+                "n_distinct": len(vs),
+                "min_v": str(min(vs)) if vs else None,
+                "max_v": str(max(vs)) if vs else None,
+            }
+        )
+    return pa.table(
+        {
+            "column": pa.array([r["column"] for r in rows], pa.string()),
+            "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+            "n_null": pa.array([r["n_null"] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+            "min_v": pa.array([r["min_v"] for r in rows], pa.string()),
+            "max_v": pa.array([r["max_v"] for r in rows], pa.string()),
+        }
+    )

@@ -1082,3 +1082,32 @@ def test_group_ks_drift_leaderboard(ray_session):
                    "n_chars": pa.array([1, 2], pa.int64())})
     (r2,) = group_ks_drift(rd.from_arrow(t2), "source", "n_chars").take_all()
     assert r2["d_num"] == -1
+
+
+def test_table_profile_card(ray_session):
+    import pyarrow as pa
+
+    from fever_ray.ops.stats import table_profile
+
+    t = pa.table(
+        {
+            "id": pa.array([3, 1, 2, None, 10], pa.int64()),
+            "tag": pa.array(["b", None, "a", "a", None]),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(3)
+    out = {
+        r["column"]: r
+        for r in table_profile(ds, ["id", "tag"]).to_pylist()
+    }
+    assert out["id"]["n_rows"] == 5 and out["id"]["n_null"] == 1
+    assert out["id"]["n_distinct"] == 4
+    # native-type extrema: int 10 > 3 even though '10' < '3' as strings
+    assert (out["id"]["min_v"], out["id"]["max_v"]) == ("1", "10")
+    assert out["tag"]["n_null"] == 2 and out["tag"]["n_distinct"] == 2
+    assert (out["tag"]["min_v"], out["tag"]["max_v"]) == ("a", "b")
+    with pytest.raises(ValueError):
+        table_profile(ds, [])
+    with pytest.raises(Exception, match="max_groups|groups"):
+        # distinct cap must fail loudly, not OOM the combine
+        table_profile(ds, ["id"], distinct_cap=2)
