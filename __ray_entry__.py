@@ -2586,6 +2586,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "events", ["user_id", "ts"]), window_days=7
         )
 
+    def q_rolling_hll_gate(sf):
+        """Sliding-window HLL published-bound gate: the per-day-HLL WAU
+        curve (`rolling_distinct_hll` — the only affordable rolling
+        distinct at 10^12 events) must sit within 3·1.04/sqrt(m)·exact+2
+        of the EXACT curve on every window, and cover the identical
+        window-end day domain.  If every window passes, the exact table
+        is emitted — so the driver's value-hash doubles as the per-window
+        error-bound assertion (oracle = the rolling_active_users SQL)."""
+        from fever_ray.ops.windows import (
+            rolling_active_users,
+            rolling_distinct_hll,
+        )
+
+        ev = _t(sf, "events", ["user_id", "ts"])
+        exact = rolling_active_users(ev, window_days=7)
+        ed = {
+            int(r["day_idx"]): int(r["active_users"])
+            for r in exact.take_all()
+        }
+        est_t = rolling_distinct_hll(ev, window_days=7, p=14)
+        est = dict(
+            zip(
+                est_t.column("day_idx").to_pylist(),
+                est_t.column("est").to_pylist(),
+            )
+        )
+        rse = 1.04 / np.sqrt(2**14)
+        ok = set(ed) == set(est) and all(
+            abs(est[d] - x) <= 3 * rse * x + 2 for d, x in ed.items()
+        )
+        days = sorted(ed) if ok else []
+        return pa.table(
+            {
+                "day_idx": pa.array(days, pa.int64()),
+                "active_users": pa.array([ed[d] for d in days], pa.int64()),
+            }
+        )
+
     def q_top_share(sf):
         # Lorenz point: value mass held by the top 1% of events
         from fever_ray.ops.stats import top_share
@@ -3223,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_share": q_top_share,
         "mann_whitney": q_mann_whitney,
         "rolling_active_users": q_rolling_active_users,
+        "rolling_hll_gate": q_rolling_hll_gate,
         "funnel_counts": q_funnel_counts,
         "group_value_rank": q_group_value_rank,
         "rollup_aggregate": q_rollup_aggregate,
@@ -5918,6 +5957,16 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) FILTER (WHERE side = 1) AS nb FROM r) "
             "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
             "CAST(r2a - na*(na+1) AS BIGINT) AS u2_a FROM s"
+        ),
+        # rolling_hll_gate reuses this exact SQL: the engine emits the
+        # exact curve only if every HLL window met its published bound
+        "rolling_hll_gate": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "w AS (SELECT DISTINCT user_id, day + g AS day_idx "
+            "FROM d, generate_series(0, 6) AS s(g)) "
+            "SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS active_users "
+            "FROM w GROUP BY day_idx"
         ),
         "rolling_active_users": (
             "WITH d AS (SELECT DISTINCT user_id, "

@@ -2606,3 +2606,104 @@ def lifecycle_accounting(
         [(c, "sum") for c in cols],
         max_groups=max_periods,
     )
+
+
+def rolling_distinct_hll(
+    events_ds,
+    window_days: int = 7,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    p: int = 14,
+    max_days: int = 100_000,
+):
+    """Sliding W-day distinct-key ESTIMATE from per-day mergeable HLLs —
+    the sketch counterpart of ``rolling_active_users``.  Exact rolling
+    distinct needs each key's day set co-located (one corpus-keyed
+    shuffle); the HLL version needs only per-(batch, day) 16 KB partials
+    merged per day, then each of the W·days window merges is a register
+    max on the driver — at 10^12 events this is the only affordable
+    WAU/MAU curve, within the published ±1.04/√m bound per window.
+
+    Output rows: (day_idx int64, est float64) — one per window-end day,
+    same day domain as ``rolling_active_users`` (every d with activity in
+    [d−W+1, d], i.e. up to last_active + W − 1).
+
+    Scale shape: one streaming pass (grouped per-day HLL partials, salted
+    two-phase merge, bounded-day guard), per-day sketches to the driver
+    (days ≤ max_days · 16 KB), W-day merges driver-side."""
+    from ..core.grouped import grouped_build
+    from ..core.udaf import SketchSpec
+    from ..sketches import sketch_from_bytes
+
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        if batch.column(key).null_count or batch.column(ts_col).null_count:
+            raise ValueError(
+                f"rolling_distinct_hll: {key}/{ts_col} must be null-free"
+            )
+        tst = batch.schema.field(ts_col).type
+        if not (pa.types.is_timestamp(tst) and tst.unit == "us"):
+            raise ValueError(
+                f"rolling_distinct_hll: {ts_col} must be timestamp[us], got {tst}"
+            )
+        day = (
+            pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // US_PER_DAY
+        )
+        return pa.table(
+            {
+                "day": pa.array(day.astype(np.int64), pa.int64()),
+                key: batch.column(key),
+            }
+        )
+
+    spec = SketchSpec("h", "hll", key, {"p": p}, value_kind="int")
+    merged = grouped_build(
+        events_ds.map_batches(derive, batch_format="pyarrow"), "day", spec
+    ).take_all()
+    if len(merged) > max_days:
+        raise ValueError(
+            f"rolling_distinct_hll: {len(merged)} distinct days > "
+            f"max_days={max_days}"
+        )
+    by_day = {
+        int(r["key"]): sketch_from_bytes("hll", r["payload"]) for r in merged
+    }
+    if not by_day:
+        return pa.table(
+            {
+                "day_idx": pa.array([], pa.int64()),
+                "est": pa.array([], pa.float64()),
+            }
+        )
+    days = np.array(sorted(by_day), dtype=np.int64)
+    ends = np.unique(
+        (days[:, None] + np.arange(window_days, dtype=np.int64)).ravel()
+    )
+    out_d, out_e = [], []
+    for d in ends.tolist():
+        acc = None
+        for dd in range(d - window_days + 1, d + 1):
+            sk = by_day.get(dd)
+            if sk is None:
+                continue
+            if acc is None:
+                from ..sketches.hll import HyperLogLog
+
+                acc = HyperLogLog.from_bytes(sk.to_bytes())  # copy
+            else:
+                acc.merge(sk)
+        if acc is not None:
+            out_d.append(d)
+            out_e.append(acc.estimate())
+    return pa.table(
+        {
+            "day_idx": pa.array(out_d, pa.int64()),
+            "est": pa.array(out_e, pa.float64()),
+        }
+    )

@@ -1231,3 +1231,47 @@ def test_lifecycle_accounting_ledger(ray_session):
     for p in range(1, 5):
         n, r, s, c = want[p]
         assert active[p] - active[p - 1] == n + s - c
+
+
+def test_rolling_distinct_hll_matches_exact_domain_and_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from fever_ray.ops.windows import (
+        rolling_active_users,
+        rolling_distinct_hll,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    day = rng.integers(0, 20, size=n)  # 20 active days
+    us = day * 86_400_000_000 + rng.integers(0, 86_400_000_000, size=n)
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 900, size=n), pa.int64()),
+            "ts": pa.array(us, pa.timestamp("us")),
+        }
+    )
+    ds = ray_session.data.from_arrow(t).repartition(5)
+    exact = {
+        int(r["day_idx"]): int(r["active_users"])
+        for r in rolling_active_users(ds, window_days=7).take_all()
+    }
+    est_t = rolling_distinct_hll(ds, window_days=7, p=12)
+    est = dict(
+        zip(
+            est_t.column("day_idx").to_pylist(),
+            est_t.column("est").to_pylist(),
+        )
+    )
+    assert set(exact) == set(est)  # identical window-end day domain
+    rse = 1.04 / np.sqrt(2**12)
+    for d, x in exact.items():
+        assert abs(est[d] - x) <= 4 * rse * x + 2, (d, est[d], x)
+    # window_days=1 degenerates to per-day distinct
+    one = rolling_distinct_hll(ds, window_days=1, p=12)
+    assert len(one) == 20
+    with pytest.raises(ValueError):
+        rolling_distinct_hll(ds, window_days=0)
+    with pytest.raises(Exception, match="max_days"):
+        rolling_distinct_hll(ds, window_days=7, max_days=3)
