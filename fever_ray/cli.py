@@ -465,6 +465,36 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-column DESCRIBE card over any parquet table, printed as one
+    JSON line per column: rows, nulls, exact distinct, native min/max.
+    Columns default to every column in the schema."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from .ops.stats import table_profile
+
+    _init_ray(args.num_cpus)
+    cols = args.columns.split(",") if args.columns else None
+    if cols is None:
+        import glob as _glob
+        import os as _os
+
+        probe = args.input
+        if _os.path.isdir(probe):
+            hits = sorted(_glob.glob(_os.path.join(probe, "**", "*.parquet"),
+                                     recursive=True))
+            if not hits:
+                print(json.dumps({"error": f"no parquet under {probe}"}))
+                return 1
+            probe = hits[0]
+        cols = _pq.read_schema(probe).names
+    ds = rd.read_parquet(args.input, columns=cols)
+    for row in table_profile(ds, cols, distinct_cap=args.distinct_cap).to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_audit(args) -> int:
     """Distribution-shape audit over a page table, printed as ONE JSON
     line: per-host concentration (exact Gini + top-1% Lorenz mass over
@@ -841,6 +871,17 @@ def main(argv=None) -> int:
     pa_.add_argument("--input", required=True)
     pa_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pa_.set_defaults(fn=cmd_audit)
+
+    pp_ = sub.add_parser("profile", allow_abbrev=False,
+                         help="per-column DESCRIBE card (rows / nulls / "
+                         "exact distinct / min-max)")
+    pp_.add_argument("--input", required=True)
+    pp_.add_argument("--columns", default=None,
+                     help="comma-separated; default = all columns")
+    pp_.add_argument("--distinct-cap", dest="distinct_cap", type=int,
+                     default=1 << 20)
+    pp_.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pp_.set_defaults(fn=cmd_profile)
 
     pe_ = sub.add_parser("embaudit", allow_abbrev=False,
                          help="embedding-column audit card (FD covariance "

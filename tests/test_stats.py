@@ -1111,3 +1111,30 @@ def test_table_profile_card(ray_session):
     with pytest.raises(Exception, match="max_groups|groups"):
         # distinct cap must fail loudly, not OOM the combine
         table_profile(ds, ["id"], distinct_cap=2)
+
+
+def test_cli_profile_card(ray_session, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fever_ray import cli as cli_mod
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 2, None], pa.int64()),
+            "s": pa.array(["x", "y", "y", "y"]),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    rc = cli_mod.main(["profile", "--input", str(tmp_path / "t.parquet")])
+    assert rc == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    by = {r["column"]: r for r in lines}
+    assert by["id"]["n_null"] == 1 and by["id"]["n_distinct"] == 2
+    assert by["s"]["n_distinct"] == 2 and by["s"]["max_v"] == "y"
