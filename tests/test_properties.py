@@ -417,3 +417,88 @@ def test_shingle_blob_table_matches_per_doc_unique(doc_shingles):
         got = dat[off[i] : off[i + 1]]
         want = np.unique(np.array(doc, dtype=np.uint64))
         assert np.array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    keys=st.lists(st.integers(0, 40), min_size=1, max_size=400),
+    k=st.integers(2, 12),
+    n_splits=st.integers(1, 7),
+)
+def test_mg_guarantee_any_stream_any_split(keys, k, n_splits):
+    """Misra-Gries invariants hold for EVERY stream and partitioning:
+    residual never overcounts, undercount <= n//(k+1), every key above
+    the bound retained, total counters <= k."""
+    from fever_ray.sketches.mg import MisraGries
+
+    arr = np.array([f"k{v}" for v in keys])
+    acc = MisraGries.create(k=k)
+    for part in np.array_split(arr, min(n_splits, len(arr))):
+        if len(part) == 0:
+            continue
+        p = MisraGries.create(k=k)
+        p.update(part)
+        acc.merge(p)
+    assert acc.n == len(keys)
+    assert len(acc.counts) <= k
+    exact = {}
+    for key in arr.tolist():
+        exact[key] = exact.get(key, 0) + 1
+    bound = acc.error_bound()
+    for key, f in exact.items():
+        got = acc.counts.get(key, 0)
+        assert got <= f
+        assert f - got <= bound
+        if f > bound:
+            assert key in acc.counts
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    keys=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=300),
+    n_splits=st.integers(1, 6),
+    seed=st.integers(0, 3),
+)
+def test_ams_split_merge_bit_identical(keys, n_splits, seed):
+    from fever_ray.sketches.ams import AMSSketch
+
+    arr = np.array(keys, dtype=np.int64)
+    whole = AMSSketch.create(r=3, b=64, seed=seed)
+    whole.update_ints(arr)
+    acc = AMSSketch.create(r=3, b=64, seed=seed)
+    for part in np.array_split(arr, min(n_splits, len(arr))):
+        if len(part) == 0:
+            continue
+        p = AMSSketch.create(r=3, b=64, seed=seed)
+        p.update_ints(part)
+        acc.merge(p)
+    np.testing.assert_array_equal(acc.counters, whole.counters)
+    assert acc.n == whole.n == len(arr)
+    back = AMSSketch.from_bytes(acc.to_bytes())
+    np.testing.assert_array_equal(back.counters, whole.counters)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    d=st.integers(1, 12),
+    l=st.integers(2, 8),
+    seed=st.integers(0, 10),
+    n_splits=st.integers(1, 5),
+)
+def test_fd_bound_any_matrix_any_split(n, d, l, seed, n_splits):
+    """FD published guarantee for every random matrix and split: PSD
+    difference, spectral error <= 2||A||_F^2/l, exact Frobenius mass."""
+    from fever_ray.sketches.fd import FrequentDirections
+
+    A = np.random.default_rng(seed).normal(size=(n, d))
+    acc = FrequentDirections.create(l=l, d=d)
+    for part in np.array_split(A, min(n_splits, n)):
+        p = FrequentDirections.create(l=l, d=d)
+        p.update(part)
+        acc.merge(p)
+    assert abs(acc.fnorm_sq - float((A * A).sum())) <= 1e-9 * max(acc.fnorm_sq, 1.0)
+    ev = np.linalg.eigvalsh(A.T @ A - acc.cov())
+    tol = 1e-9 * max(acc.fnorm_sq, 1.0)
+    assert ev.min() >= -tol
+    assert ev.max() <= acc.error_bound() + tol
