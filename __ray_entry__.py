@@ -2374,6 +2374,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_req_tail_gate(sf):
+        """REQ tail-quantile published-bound gate ("Relative Error
+        Streaming Quantiles", Cormode/Karnin/Liberty/Thaler/Vesely, PODS
+        2021): the token stream explodes once into per-token byte lengths;
+        one UDAF pass builds the mergeable k=32 HRA REQ sketch
+        (sketches/req.py); a second pass tree-counts the bounded length
+        histogram EXACTLY (lengths are a tiny integer domain — the
+        histogram is KB-sized).  For each tail q the estimate's exact rank
+        interval must come within the module envelope (4/k of the TAIL
+        mass, not of n) of the target rank — a (check_name, exact order
+        statistic) row is emitted ONLY if the bound holds, so any
+        violation hash-fails the driver gate.  At q=0.999 this envelope is
+        ~100x tighter than the additive KLL k=200 guarantee — the reason
+        the sketch family needs a relative-error member."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+        from fever_ray.ops.textstats import _flat_tokens
+
+        ds = _t(sf, "documents", ["text"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            flat, _ = _flat_tokens(b, "text")
+            return pa.table({"l": pc.cast(pc.binary_length(flat), pa.int64())})
+
+        lens = ds.map_batches(explode, batch_format="pyarrow")
+        sk = build_sketches(
+            lens, [SketchSpec("req", "req", "l", {"k": 32}, value_kind="float")]
+        )["req"]
+
+        def hist_partial(b: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                b.column("l").to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {"l": pa.array(u, pa.int64()), "c": pa.array(c.astype(np.int64))}
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    lens.map_batches(hist_partial, batch_format="pyarrow"),
+                    ["l"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        ht = pa.concat_tables(parts)
+        lv = ht.column("l").to_numpy(zero_copy_only=False)
+        cv = ht.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(lv)
+        lv, cv = lv[order], cv[order]
+        cum = np.cumsum(cv)
+        n = int(cum[-1])
+
+        names, vals = [], []
+        for tag, q in (("req_p90", 0.90), ("req_p99", 0.99), ("req_p999", 0.999)):
+            target = max(int(np.ceil(q * n)), 1)
+            exact = int(lv[int(np.searchsorted(cum, target, side="left"))])
+            est = sk.quantile(q)
+            il = int(np.searchsorted(lv, est, side="left"))
+            ir = int(np.searchsorted(lv, est, side="right"))
+            lt = int(cum[il - 1]) if il > 0 else 0  # items strictly < est
+            le = int(cum[ir - 1]) if ir > 0 else 0  # items <= est
+            # est occupies ranks [lt+1, le]; distance of that interval from
+            # the target, then the HRA relative-of-tail envelope
+            dist = max(lt + 1 - q * n, q * n - le, 0.0)
+            if dist <= (4.0 / 32) * (1.0 - q) * n:
+                names.append(tag)
+                vals.append(float(exact))
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "exact_value": pa.array(vals, pa.float64()),
+            }
+        )
+
     def q_grouped_sketch_per_lang(sf):
         spec = SketchSpec("hll_texts", "hll", "text", {"p": 14})
         out = grouped_estimates(
@@ -3212,6 +3292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mg_heavy_tokens": q_mg_heavy_tokens,
         "table_profile": q_table_profile,
         "fd_error_gate": q_fd_error_gate,
+        "req_tail_gate": q_req_tail_gate,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
@@ -5755,6 +5836,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c AS check_name, v AS exact_value FROM t, "
             "(VALUES ('fd_psd'), ('fd_spectral_bound'), ('fd_trace')) "
             "AS checks(c) ORDER BY check_name"
+        ),
+        "req_tail_gate": (
+            # exact tail order statistics of per-token byte lengths; the
+            # rows exist only if the engine-side REQ rank intervals met the
+            # relative-of-tail envelope (PODS 2021 HRA posture)
+            "WITH tok AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) "
+            "AS t FROM documents), "
+            "r AS (SELECT strlen(t) AS l, row_number() OVER (ORDER BY strlen(t)) "
+            "AS rn, count(*) OVER () AS n FROM tok) "
+            "SELECT 'req_p90' AS check_name, CAST(l AS DOUBLE) AS exact_value "
+            "FROM r WHERE rn = GREATEST(CAST(CEIL(0.90 * n) AS BIGINT), 1) "
+            "UNION ALL SELECT 'req_p99', CAST(l AS DOUBLE) FROM r "
+            "WHERE rn = GREATEST(CAST(CEIL(0.99 * n) AS BIGINT), 1) "
+            "UNION ALL SELECT 'req_p999', CAST(l AS DOUBLE) FROM r "
+            "WHERE rn = GREATEST(CAST(CEIL(0.999 * n) AS BIGINT), 1) "
+            "ORDER BY check_name"
         ),
         "sketch_error_gate": (
             "WITH d AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v FROM events), "

@@ -22,6 +22,7 @@ from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
 from .mg import MisraGries
+from .req import REQ
 from .tdigest import TDigest
 from .theta import ThetaSketch
 from . import hashing, minhash
@@ -36,6 +37,7 @@ SKETCH_TYPES = {
     "fd": FrequentDirections,
     "ams": AMSSketch,
     "mg": MisraGries,
+    "req": REQ,
 }
 
 
@@ -54,6 +56,7 @@ __all__ = [
     "HyperLogLog",
     "KLL",
     "MisraGries",
+    "REQ",
     "TDigest",
     "ThetaSketch",
     "SKETCH_TYPES",
