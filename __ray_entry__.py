@@ -1741,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             SketchSpec("cms_types", "cms", "event_type", {"width": 2048, "depth": 5}, track=True),
             SketchSpec("kll_value", "kll", "value", {"k": 200}, value_kind="float"),
             SketchSpec("td_value", "tdigest", "value", {"delta": 100}, value_kind="float"),
+            SketchSpec("req_value", "req", "value", {"k": 32}, value_kind="float"),
         ]
         sk = build_sketches(
             _t(sf, "events", ["user_id", "event_type", "value"]), specs, batch_size=8192
@@ -1750,6 +1751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows.append({"sketch": "cms_types_total", "estimate": float(sk["cms_types"].total)})
         rows.append({"sketch": "kll_value_p50", "estimate": float(sk["kll_value"].quantile(0.5))})
         rows.append({"sketch": "td_value_p50", "estimate": float(sk["td_value"].quantile(0.5))})
+        rows.append({"sketch": "req_value_p99", "estimate": float(sk["req_value"].quantile(0.99))})
         return pa.Table.from_pylist(rows)
 
     def q_user_overlap_exact(sf):
@@ -2451,6 +2453,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "check_name": pa.array(names, pa.string()),
                 "exact_value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    def q_grouped_tail_per_lang(sf):
+        """Grouped REQ tail gate: the per-token byte-length stream keyed by
+        lang runs through the salted two-phase grouped-sketch path
+        (core/grouped.py — one partial per (batch, lang), groupby merge),
+        proving the relative-error member composes with the skew-aware
+        grouped machinery.  Exact per-(lang, length) histogram from a
+        bounded-key tree; each lang's p99/p999 row is emitted ONLY if the
+        grouped sketch's estimate rank-interval meets the 4/k-of-tail
+        envelope, so the driver hash gate is the per-group bound
+        assertion."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.grouped import grouped_build
+        from fever_ray.core.udaf import SketchSpec
+        from fever_ray.ops.textstats import _flat_tokens
+        from fever_ray.sketches import sketch_from_bytes
+
+        ds = _t(sf, "documents", ["lang", "text"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            flat, offs = _flat_tokens(b, "text")
+            lang = b.column("lang")
+            if isinstance(lang, pa.ChunkedArray):
+                lang = lang.combine_chunks()
+            reps = np.diff(offs)
+            lang_rep = np.repeat(
+                lang.to_numpy(zero_copy_only=False).astype(object), reps
+            )
+            return pa.table(
+                {
+                    "lang": pa.array(lang_rep, pa.string()),
+                    "l": pc.cast(pc.binary_length(flat), pa.int64()),
+                }
+            )
+
+        lens = ds.map_batches(explode, batch_format="pyarrow")
+        spec = SketchSpec("req_l", "req", "l", {"k": 32}, value_kind="float")
+        merged = {
+            r["key"]: sketch_from_bytes("req", r["payload"])
+            for r in grouped_build(lens, "lang", spec).take_all()
+        }
+
+        def hist_partial(b: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(b, ["lang", "l"]).aggregate([([], "count_all")])
+            return t.rename_columns(["lang", "l", "c"])
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    lens.map_batches(hist_partial, batch_format="pyarrow"),
+                    ["lang", "l"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        ht = pa.concat_tables(parts)
+        hl = ht.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        lv = ht.column("l").to_numpy(zero_copy_only=False)
+        cv = ht.column("c").to_numpy(zero_copy_only=False)
+
+        out_lang, out_tail, out_val = [], [], []
+        for lang in sorted(set(hl.tolist())):
+            m = hl == lang
+            order = np.argsort(lv[m])
+            ll, cc = lv[m][order], cv[m][order]
+            cum = np.cumsum(cc)
+            n = int(cum[-1])
+            sk = merged.get(lang)
+            if sk is None:
+                continue
+            for tag, q in (("p99", 0.99), ("p999", 0.999)):
+                target = max(int(np.ceil(q * n)), 1)
+                exact = int(ll[int(np.searchsorted(cum, target, side="left"))])
+                est = sk.quantile(q)
+                il = int(np.searchsorted(ll, est, side="left"))
+                ir = int(np.searchsorted(ll, est, side="right"))
+                lt = int(cum[il - 1]) if il > 0 else 0
+                le = int(cum[ir - 1]) if ir > 0 else 0
+                dist = max(lt + 1 - q * n, q * n - le, 0.0)
+                if dist <= (4.0 / 32) * (1.0 - q) * n:
+                    out_lang.append(lang)
+                    out_tail.append(tag)
+                    out_val.append(float(exact))
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "tail": pa.array(out_tail, pa.string()),
+                "exact_value": pa.array(out_val, pa.float64()),
             }
         )
 
@@ -3302,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_exact": q_user_overlap_exact,
         "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
+        "grouped_tail_per_lang": q_grouped_tail_per_lang,
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
@@ -5755,6 +5852,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_distinct_users": (
             "SELECT COUNT(DISTINCT user_id) AS n_distinct_users FROM events"
+        ),
+        "grouped_tail_per_lang": (
+            # exact per-lang tail order statistics of token byte lengths;
+            # rows exist only if every grouped REQ estimate met the
+            # relative-of-tail envelope (the per-group bound-as-gate)
+            "WITH tok AS (SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) "
+            "AS t FROM documents), "
+            "r AS (SELECT lang, strlen(t) AS l, "
+            "row_number() OVER (PARTITION BY lang ORDER BY strlen(t)) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM tok) "
+            "SELECT lang, 'p99' AS tail, CAST(l AS DOUBLE) AS exact_value "
+            "FROM r WHERE rn = GREATEST(CAST(CEIL(0.99 * n) AS BIGINT), 1) "
+            "UNION ALL SELECT lang, 'p999', CAST(l AS DOUBLE) FROM r "
+            "WHERE rn = GREATEST(CAST(CEIL(0.999 * n) AS BIGINT), 1) "
+            "ORDER BY lang, tail"
         ),
         "grouped_sketch_per_lang": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"

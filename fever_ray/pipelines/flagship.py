@@ -38,6 +38,9 @@ STANDARD_SPECS = [
     SketchSpec("cms_langs", "cms", "lang", {"width": 2048, "depth": 5}, track=True),
     SketchSpec("tdigest_html_len", "tdigest", "html_len", {"delta": 100}, value_kind="float"),
     SketchSpec("kll_text_len", "kll", "text_len", {"k": 200}, value_kind="float"),
+    # REQ: multiplicative tail-rank error (PODS 2021) — the p99.9+ member
+    # KLL's additive bound can't serve at corpus scale
+    SketchSpec("req_text_len", "req", "text_len", {"k": 32}, value_kind="float"),
     SketchSpec("kll_warc_ts", "kll", "warc_ts_us", {"k": 200}, value_kind="float"),
     # bloom partial = m/8 bytes PER BATCH partial; size n to the expected
     # DISTINCT key count (hostname pool), not the row count — at 10^12 docs
