@@ -2456,6 +2456,146 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_sketch_cube(sf):
+        """Sketch cube/rollup: ONE streaming pass builds per-(event_type,
+        day) HLL partials (grouped_build — salted two-phase merge); every
+        coarser rollup (per type, per day, grand total of distinct users) is
+        then derived by MERGING those same finest-grain payloads, never
+        re-reading the input — sketches as mergeable materialized views
+        (the lattice trick OLAP cubes need at 10^12 rows, where exact
+        COUNT(DISTINCT) per cell is a full shuffle per granularity).
+        Exact cube for the gate: distinct (user, type, day) triples
+        bucket-shuffled by USER hash, so each user lands wholly in one
+        bucket and per-bucket distinct counts sum exactly across buckets —
+        one shuffle serves all three granularities, no driver-side corpus
+        state.  A rollup row is emitted (with the EXACT count) only if the
+        merged-sketch estimate meets 3x the published HLL RSE
+        (1.04/sqrt(2^14)) with a +2 absolute floor for tiny groups, so the
+        driver hash gate doubles as the merge-correctness bound check."""
+        from fever_ray.core.grouped import grouped_build
+        from fever_ray.core.udaf import SketchSpec
+        from fever_ray.sketches import sketch_from_bytes
+        from fever_ray.sketches.hashing import hash64_ints
+
+        ds = _t(sf, "events", ["ts", "event_type", "user_id"])
+        day_us = np.int64(86_400_000_000)
+
+        def derive(b: pa.Table) -> pa.Table:
+            ts = b.column("ts")
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+            day = us // day_us
+            et = (
+                b.column("event_type")
+                .to_numpy(zero_copy_only=False)
+                .astype(str)
+            )
+            cell = np.char.add(np.char.add(et, "|"), day.astype(str))
+            return pa.table(
+                {
+                    "cell": pa.array(cell, pa.string()),
+                    "user": b.column("user_id"),
+                }
+            )
+
+        derived = ds.map_batches(derive, batch_format="pyarrow")
+        spec = SketchSpec("hll_u", "hll", "user", {"p": 14}, value_kind="int")
+        cell_payloads = [
+            (r["key"], r["payload"])
+            for r in grouped_build(derived, "cell", spec).take_all()
+        ]
+
+        # rollups = merges of the finest-grain payloads only
+        def merged_over(group_of):
+            acc: dict = {}
+            for key, payload in cell_payloads:
+                g = group_of(key)
+                sk = sketch_from_bytes("hll", payload)
+                if g in acc:
+                    acc[g].merge(sk)
+                else:
+                    acc[g] = sk
+            return acc
+
+        est = {
+            "type": merged_over(lambda k: k.split("|", 1)[0]),
+            "day": merged_over(lambda k: k.split("|", 1)[1]),
+            "all": merged_over(lambda k: "all"),
+        }
+
+        # exact cube: one user-hash bucket shuffle, per-bucket distinct
+        # counts are globally exact because a user never spans buckets
+        n_b = 64
+
+        def triple_partial(b: pa.Table) -> pa.Table:
+            t = derive(b)
+            u = t.column("user").to_numpy(zero_copy_only=False)
+            c = t.column("cell").to_numpy(zero_copy_only=False).astype(object)
+            key = np.char.add(c.astype(str), np.char.add("@", u.astype(str)))
+            _, idx = np.unique(key, return_index=True)
+            bucket = (
+                hash64_ints(u[idx].astype(np.int64)) % np.uint64(n_b)
+            ).astype(np.int32)
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket),
+                    "cell": pa.array(c[idx].astype(str), pa.string()),
+                    "user": pa.array(u[idx], pa.int64()),
+                }
+            )
+
+        def bucket_counts(g: pa.Table) -> pa.Table:
+            cells = g.column("cell").to_numpy(zero_copy_only=False).astype(str)
+            users = g.column("user").to_numpy(zero_copy_only=False)
+            split = np.char.partition(cells, "|")
+            lv, kv, cv = [], [], []
+            for level, keys in (("type", split[:, 0]), ("day", split[:, 2])):
+                pair = np.char.add(keys, np.char.add("@", users.astype(str)))
+                _, idx = np.unique(pair, return_index=True)
+                uk, cnt = np.unique(keys[idx], return_counts=True)
+                lv.extend([level] * len(uk))
+                kv.extend(uk.tolist())
+                cv.extend(cnt.tolist())
+            lv.append("all")
+            kv.append("all")
+            cv.append(len(np.unique(users)))
+            return pa.table(
+                {
+                    "level": pa.array(lv, pa.string()),
+                    "key": pa.array(kv, pa.string()),
+                    "c": pa.array(cv, pa.int64()),
+                }
+            )
+
+        partials = (
+            ds.map_batches(triple_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_counts, batch_format="pyarrow")
+            .take_all()
+        )
+        exact: dict = {}
+        for r in partials:
+            exact[(r["level"], r["key"])] = exact.get((r["level"], r["key"]), 0) + int(r["c"])
+
+        rse = 1.04 / 128.0  # 1.04 / sqrt(2^14)
+        out_level, out_key, out_n = [], [], []
+        for (level, key), n in sorted(exact.items()):
+            sk = est[level].get(key)
+            if sk is None:
+                continue
+            if abs(sk.estimate() - n) <= 3.0 * rse * n + 2.0:
+                out_level.append(level)
+                out_key.append(key)
+                out_n.append(n)
+        return pa.table(
+            {
+                "level": pa.array(out_level, pa.string()),
+                "key": pa.array(out_key, pa.string()),
+                "n_users": pa.array(out_n, pa.int64()),
+            }
+        )
+
     def q_grouped_tail_per_lang(sf):
         """Grouped REQ tail gate: the per-token byte-length stream keyed by
         lang runs through the salted two-phase grouped-sketch path
@@ -3399,6 +3539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "grouped_tail_per_lang": q_grouped_tail_per_lang,
+        "sketch_cube": q_sketch_cube,
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
@@ -5870,6 +6011,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_sketch_per_lang": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "sketch_cube": (
+            # exact distinct-user cube at three granularities; engine rows
+            # exist only if the merged-HLL rollup estimate met 3x RSE + 2
+            "WITH e AS (SELECT event_type AS t, "
+            "CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS d, user_id "
+            "FROM events) "
+            "SELECT 'type' AS level, t AS key, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM e GROUP BY t "
+            "UNION ALL SELECT 'day', d, COUNT(DISTINCT user_id) "
+            "FROM e GROUP BY d "
+            "UNION ALL SELECT 'all', 'all', COUNT(DISTINCT user_id) FROM e "
+            "ORDER BY level, key"
         ),
         "grouped_sketch_per_host": (
             "SELECT source || '.example.com' AS hostname, COUNT(*) AS n_docs "

@@ -68,3 +68,40 @@ def test_grouped_rows_accounting(ray_session, pages_dir):
     rows = {r["key"]: r["rows"] for r in merged.take_all()}
     exact = dict(_exact(pages_dir, "SELECT lang, COUNT(*) FROM pages GROUP BY lang"))
     assert rows == exact
+
+
+def test_cube_rollup_merge_equals_direct(ray_session, pages_dir):
+    """Merging finest-grain (lang, host) HLL payloads up the lattice gives
+    BYTE-identical register state to a direct one-pass per-lang build — the
+    materialized-view property q_sketch_cube relies on (HLL merge = register
+    max, associative and order-free)."""
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def derive(b: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(b.column("url"), r"^https?://([^/]+)/.*$", r"\1")
+        cell = pc.binary_join_element_wise(b.column("lang"), pc.cast(host, "string"), "|")
+        return pa.table({"cell": cell, "lang": b.column("lang"), "url": b.column("url")})
+
+    ds = rd.read_parquet(pages_dir + "/", columns=["lang", "url"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    fine_spec = SketchSpec("hll_cell", "hll", "url", {"p": 10})
+    per_lang: dict = {}
+    for r in grouped_build(ds, "cell", fine_spec, batch_size=256).take_all():
+        lang = r["key"].split("|", 1)[0]
+        sk = sketch_from_bytes("hll", r["payload"])
+        if lang in per_lang:
+            per_lang[lang].merge(sk)
+        else:
+            per_lang[lang] = sk
+
+    direct_spec = SketchSpec("hll_lang", "hll", "url", {"p": 10})
+    direct = {
+        r["key"]: sketch_from_bytes("hll", r["payload"])
+        for r in grouped_build(ds, "lang", direct_spec, batch_size=256).take_all()
+    }
+    assert set(per_lang) == set(direct)
+    for lang in direct:
+        assert per_lang[lang].to_bytes() == direct[lang].to_bytes(), lang
