@@ -94,6 +94,68 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge sketch checkpoints from N INDEPENDENT runs into one summary
+    card without re-reading any corpus — the cross-job face of the
+    mergeable-UDAF contract (two crawls sketched on different days/clusters
+    union into one estimate set).  Driver-side sequential merge over the
+    per-partition blobs, the same posture as run_partitioned_build's
+    finalize: each partition checkpoint is KBs of sketch payloads, so even
+    10^5 partitions stream through in MBs.  No Ray session needed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .io_.checkpoint import done_partitions
+    from .pipelines.flagship import STANDARD_SPECS, summary_rows
+    from .sketches import sketch_from_bytes
+
+    kinds = {s.name: s.kind for s in STANDARD_SPECS}
+    acc: dict = {}
+    rows_total, n_parts, skipped = 0, 0, set()
+    dirs = [d for d in args.checkpoints.split(",") if d]
+    for ck in dirs:
+        done = done_partitions(ck)
+        if not done:
+            raise ValueError(f"no completed partitions under {ck}")
+        for rec in sorted(done.values(), key=lambda r: r["partition"]):
+            n_parts += 1
+            rows_total += int(rec.get("rows", 0))
+            for row in pq.read_table(rec["payload_path"]).to_pylist():
+                sid = row["sketch_id"]
+                kind = kinds.get(sid)
+                if kind is None:
+                    skipped.add(sid)
+                    continue
+                sk = sketch_from_bytes(kind, row["payload"])
+                if sid in acc:
+                    acc[sid].merge(sk)
+                else:
+                    acc[sid] = sk
+    for sid in sorted(skipped):
+        print(f"warning: unknown sketch_id {sid} skipped", file=sys.stderr)
+    names, kindl, ests, details = summary_rows(
+        acc, [s for s in STANDARD_SPECS if s.name in acc]
+    )
+    summary = pa.table(
+        {
+            "sketch": pa.array(names, pa.string()),
+            "kind": pa.array(kindl, pa.string()),
+            "estimate": pa.array(ests, pa.float64()),
+            "detail": pa.array(details, pa.string()),
+        }
+    )
+    print(
+        json.dumps(
+            {"runs": len(dirs), "partitions": n_parts, "rows": rows_total}
+        )
+    )
+    print(summary.to_pandas().to_string(index=False))
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(summary, os.path.join(args.out, "summary.parquet"))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Full near-dedup over a page table: MinHash-LSH candidates →
     distributed exact-Jaccard verify → connected components; writes the
@@ -802,6 +864,15 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", dest="batch_size", type=int, default=16384)
     pr.add_argument("--num-cpus", dest="num_cpus", type=int)
     pr.set_defaults(fn=cmd_run)
+
+    pmg = sub.add_parser(
+        "merge", allow_abbrev=False,
+        help="merge sketch checkpoints from independent runs (no corpus re-read)",
+    )
+    pmg.add_argument("--checkpoints", required=True,
+                     help="comma-separated checkpoint dirs from prior runs")
+    pmg.add_argument("--out", help="write merged summary.parquet here")
+    pmg.set_defaults(fn=cmd_merge)
 
     pd_ = sub.add_parser("dedup", allow_abbrev=False, help="MinHash-LSH near-dedup over pages")
     pd_.add_argument("--input", required=True)

@@ -166,6 +166,29 @@ def specs_for_input(pages_path: str, extract: bool = False):
     return specs, src
 
 
+def summary_rows(sketches: dict, specs) -> tuple[list, list, list, list]:
+    """Finalize a {name: sketch} dict into the summary-card column lists
+    (shared by run_flagship and the cross-job ``cli merge`` surface)."""
+    names, kinds, ests, details = [], [], [], []
+    for spec in specs:
+        sk = sketches.get(spec.name)
+        if sk is None:
+            continue
+        d = finalize(sk, spec)
+        names.append(spec.name)
+        kinds.append(spec.kind)
+        if spec.kind in ("hll", "theta"):
+            ests.append(float(d["estimate"]))
+        elif spec.kind == "cms":
+            ests.append(float(d["total"]))
+        elif spec.kind == "bloom":
+            ests.append(float(d["N"]))
+        else:
+            ests.append(float(d["quantiles"]["0.5"]))
+        details.append(json.dumps(d, sort_keys=True, default=str))
+    return names, kinds, ests, details
+
+
 def run_flagship(
     pages_path: str,
     out_dir: str | None = None,
@@ -229,23 +252,7 @@ def run_flagship(
         lineage = []
 
     # sketch summary table
-    names, kinds, ests, details = [], [], [], []
-    for spec in specs:
-        sk = sketches.get(spec.name)
-        if sk is None:
-            continue
-        d = finalize(sk, spec)
-        names.append(spec.name)
-        kinds.append(spec.kind)
-        if spec.kind in ("hll", "theta"):
-            ests.append(float(d["estimate"]))
-        elif spec.kind == "cms":
-            ests.append(float(d["total"]))
-        elif spec.kind == "bloom":
-            ests.append(float(d["N"]))
-        else:
-            ests.append(float(d["quantiles"]["0.5"]))
-        details.append(json.dumps(d, sort_keys=True, default=str))
+    names, kinds, ests, details = summary_rows(sketches, specs)
 
     matches_table = None
     matches_path = None

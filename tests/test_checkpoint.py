@@ -106,3 +106,41 @@ def test_lineage_rows_counts_inputs_not_nonnull(ray_session, tmp_path):
     r = run_partitioned_build([src], SPECS, str(tmp_path / "ck"), batch_size=256)
     assert len(r["lineage"]) == 1
     assert r["lineage"][0]["rows"] == 6  # not max(3, 3)
+
+
+def test_cross_job_checkpoint_merge(ray_session, pages_dir, tmp_path, capsys):
+    """Two INDEPENDENT partitioned runs over disjoint file sets, merged via
+    the cli `merge` path, give register-identical sketches to one run over
+    the union — the cross-job mergeability contract (two crawls sketched on
+    different days union without re-reading either corpus)."""
+    from fever_ray import cli
+
+    files = sorted(glob.glob(pages_dir + "/*.parquet"))
+    cka, ckb, cku = (str(tmp_path / d) for d in ("cka", "ckb", "cku"))
+    ra = run_partitioned_build(files[:2], SPECS, cka, batch_size=256)
+    rb = run_partitioned_build(files[2:], SPECS, ckb, batch_size=256)
+    ru = run_partitioned_build(files, SPECS, cku, batch_size=256)
+
+    merged_hll = ra["sketches"]["hll_urls"]
+    merged_hll.merge(rb["sketches"]["hll_urls"])
+    assert np.array_equal(merged_hll.registers, ru["sketches"]["hll_urls"].registers)
+    merged_cms = ra["sketches"]["cms_langs"]
+    merged_cms.merge(rb["sketches"]["cms_langs"])
+    assert np.array_equal(merged_cms.table, ru["sketches"]["cms_langs"].table)
+
+    # CLI surface: hll_urls in the card equals the union-run estimate
+    # (STANDARD_SPECS differ from SPECS — unknown ids warn, hll_urls and
+    # cms_langs are shared names so they finalize)
+    out = str(tmp_path / "msum")
+    rc = cli.main(["merge", "--checkpoints", f"{cka},{ckb}", "--out", out])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    line = json.loads(captured.splitlines()[0])
+    assert line["runs"] == 2 and line["partitions"] == 4
+    import pyarrow.parquet as pq
+
+    card = pq.read_table(os.path.join(out, "summary.parquet"))
+    got = dict(
+        zip(card.column("sketch").to_pylist(), card.column("estimate").to_pylist())
+    )
+    assert abs(got["hll_urls"] - ru["sketches"]["hll_urls"].estimate()) < 1e-9
