@@ -2596,6 +2596,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_cms_join_size(sf):
+        """Join-size estimation WITHOUT executing the join (Cormode &
+        Muthukrishnan 2005 §4.2): sketch each side of an equi-join key
+        stream into a same-shaped Count-Min, estimate |A ⋈ B| as the
+        min-over-rows table inner product — the cardinality-planning
+        primitive a distributed optimizer wants at 10^12 rows, where the
+        exact answer costs a full shuffle and the sketch costs two
+        streaming passes + a KB-sized dot product.  Sides = the events
+        stream split by event_id parity, joined on user_id.  Gate: the
+        estimate must respect BOTH published guarantees — never below the
+        true join size, and ≤ ε·N_a·N_b above it — before the exact join
+        size (computed by one bounded-key tree aggregation, integer math)
+        is emitted; the driver hash gate is the bound assertion."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+
+        ds = _t(sf, "events", ["event_id", "user_id"])
+        spec = SketchSpec(
+            "cms_u", "cms", "user_id", {"width": 2048, "depth": 5}, value_kind="int"
+        )
+
+        def side(par: int):
+            def f(b: pa.Table) -> pa.Table:
+                return b.filter(pc.equal(pc.bit_wise_and(b.column("event_id"), 1), par))
+
+            return ds.map_batches(f, batch_format="pyarrow")
+
+        cms_a = build_sketches(side(0), [spec], batch_size=8192)["cms_u"]
+        cms_b = build_sketches(side(1), [spec], batch_size=8192)["cms_u"]
+        est = cms_a.inner_product(cms_b)
+
+        def partial(b: pa.Table) -> pa.Table:
+            u = b.column("user_id").to_numpy(zero_copy_only=False)
+            par = b.column("event_id").to_numpy(zero_copy_only=False) % 2
+            uniq, inv = np.unique(u, return_inverse=True)
+            a = np.bincount(inv[par == 0], minlength=len(uniq))
+            bb = np.bincount(inv[par == 1], minlength=len(uniq))
+            return pa.table(
+                {
+                    "user": pa.array(uniq, pa.int64()),
+                    "a": pa.array(a, pa.int64()),
+                    "b": pa.array(bb, pa.int64()),
+                }
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(partial, batch_format="pyarrow"),
+                    ["user"],
+                    [("a", "sum"), ("b", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        t = pa.concat_tables(parts)
+        av = t.column("a").to_numpy(zero_copy_only=False).astype(object)
+        bv = t.column("b").to_numpy(zero_copy_only=False).astype(object)
+        exact = int(np.dot(av, bv))
+        n_a, n_b = int(sum(av)), int(sum(bv))
+
+        ok = exact <= est <= exact + cms_a.epsilon * n_a * n_b
+        return pa.table(
+            {"join_size": pa.array([exact] if ok else [], pa.int64())}
+        )
+
     def q_grouped_tail_per_lang(sf):
         """Grouped REQ tail gate: the per-token byte-length stream keyed by
         lang runs through the salted two-phase grouped-sketch path
@@ -3540,6 +3609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "grouped_tail_per_lang": q_grouped_tail_per_lang,
         "sketch_cube": q_sketch_cube,
+        "cms_join_size": q_cms_join_size,
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
@@ -6011,6 +6081,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_sketch_per_lang": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "cms_join_size": (
+            # exact equi-join size of the two parity halves on user_id;
+            # engine row exists only if the CMS inner-product estimate sat
+            # inside [exact, exact + eps*Na*Nb] (published C&M bound)
+            "WITH a AS (SELECT user_id, COUNT(*) AS c FROM events "
+            "WHERE event_id % 2 = 0 GROUP BY user_id), "
+            "b AS (SELECT user_id, COUNT(*) AS c FROM events "
+            "WHERE event_id % 2 = 1 GROUP BY user_id) "
+            "SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS join_size "
+            "FROM a JOIN b USING (user_id)"
         ),
         "sketch_cube": (
             # exact distinct-user cube at three granularities; engine rows

@@ -170,6 +170,28 @@ class CountMin:
             self.candidates[k] = None
         return self
 
+    def inner_product(self, other: "CountMin") -> int:
+        """Join-size / inner-product estimate a·b = Σ_key f_a(key)·f_b(key)
+        (Cormode & Muthukrishnan 2005 §4.2): min over rows of the row-wise
+        dot product of the two tables.  Requires identical dimensions (the
+        seeded hash family is a pure function of width/depth/row, so two
+        same-shaped sketches built anywhere share it).  Guarantees:
+        NEVER undercounts (every row's dot product = true a·b plus
+        nonnegative cross-collision mass), and overcounts by ≤ ε·N_a·N_b
+        with probability ≥ 1−δ (ε = e/width, δ = e^−depth).  uint64 tables
+        are dotted in Python ints — no float rounding, no overflow."""
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("cannot inner-product CMS with different dimensions")
+        best = None
+        for d in range(self.depth):
+            v = int(
+                np.dot(
+                    self.table[d].astype(object), other.table[d].astype(object)
+                )
+            )
+            best = v if best is None else min(best, v)
+        return int(best or 0)
+
     def top_k(self, k: int) -> list[tuple[str, int]]:
         """Top-k candidates by estimated count (requires tracked updates)."""
         keys = list(self.candidates)

@@ -679,3 +679,35 @@ def test_req_compactor_growth_is_sublinear():
     big.update(rng.normal(0, 1, 1000000))
     assert len(big.to_bytes()) < 12 * len(small.to_bytes())
     assert len(big.to_bytes()) < 64 * 1024
+
+
+def test_cms_inner_product_join_size_bounds():
+    """Inner-product estimate (C&M 2005 §4.2): never undercounts the true
+    join size, overcount ≤ ε·Na·Nb, dimension mismatch rejected, and the
+    estimate is invariant to how each side's stream was split (merge first
+    or update straight through)."""
+    rng = np.random.default_rng(7)
+    a_keys = rng.integers(0, 500, size=4000)
+    b_keys = rng.integers(0, 500, size=6000)
+    ca, cb = np.bincount(a_keys, minlength=500), np.bincount(b_keys, minlength=500)
+    true = int(np.dot(ca.astype(object), cb.astype(object)))
+
+    A = CountMin.create(width=2048, depth=5)
+    A.update(a_keys.astype(np.int64))
+    B1 = CountMin.create(width=2048, depth=5)
+    B2 = CountMin.create(width=2048, depth=5)
+    B1.update(b_keys[:2500].astype(np.int64))
+    B2.update(b_keys[2500:].astype(np.int64))
+    B = CountMin.create(width=2048, depth=5)
+    B.update(b_keys.astype(np.int64))
+
+    est = A.inner_product(B)
+    assert est >= true
+    assert est - true <= A.epsilon * len(a_keys) * len(b_keys)
+    assert B1.merge(B2).table.tolist() == B.table.tolist()
+    assert A.inner_product(B1) == est
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        A.inner_product(CountMin.create(width=1024, depth=5))

@@ -54,7 +54,9 @@ DataContext.get_current().enable_progress_bars = False
 from fever_ray.pipelines.flagship import run_flagship
 res = run_flagship({pages!r}, batch_size=256)
 out = {{r["sketch"]: r["estimate"] for r in res["summary"].to_pylist()
-       if not r["sketch"].startswith(("tdigest", "kll"))}}
+       if not r["sketch"].startswith(("tdigest", "kll", "req"))}}
+req = [r["estimate"] for r in res["summary"].to_pylist() if r["sketch"] == "req_text_len"]
+print("REQ::" + json.dumps(req))
 print("RESULT::" + json.dumps(out, sort_keys=True))
 ray.shutdown()
 """
@@ -64,7 +66,7 @@ ray.shutdown()
 def test_same_results_across_parallelism_levels(pages_dir):
     """Order-invariant sketches must be identical at num_cpus=2 and 4 in
     fresh Ray sessions (the distribution-invariance fixture)."""
-    results = []
+    results, reqs = [], []
     for ncpu in (2, 4):
         out = subprocess.run(
             [sys.executable, "-c", SUBPROC.format(ncpu=ncpu, pages=pages_dir)],
@@ -76,7 +78,13 @@ def test_same_results_across_parallelism_levels(pages_dir):
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT::")]
         assert line, out.stderr[-2000:]
         results.append(json.loads(line[0][8:]))
+        rline = [l for l in out.stdout.splitlines() if l.startswith("REQ::")]
+        reqs.append(json.loads(rline[0][5:])[0])
+    # bit-identical merges (hll/cms/bloom/theta/fd/ams/mg) must be EQUAL;
+    # compaction sketches (kll/tdigest/req) are order-SENSITIVE within
+    # their published bound — req's median must agree to a few ranks
     assert results[0] == results[1]
+    assert abs(reqs[0] - reqs[1]) <= 0.05 * max(abs(reqs[0]), abs(reqs[1]), 1.0)
 
 
 def test_jsonl_null_heavy_ingest_parity(ray_session, tmp_path):
