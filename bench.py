@@ -111,6 +111,48 @@ def run_bench() -> dict:
             "docs_per_sec": int(PAGES_ROWS / headline),
         }
 
+    # sketch cube: one pass of per-(lang, day) HLL partials over 1M pages,
+    # every coarser rollup (per lang / per day / global distinct urls)
+    # derived by merging the finest-grain payloads — the OLAP-lattice trick
+    # at the data scale where exact COUNT(DISTINCT) per granularity would
+    # each cost a full shuffle
+    def _sketch_cube():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from fever_ray.core.grouped import grouped_build
+        from fever_ray.core.udaf import SketchSpec
+        from fever_ray.sketches import sketch_from_bytes
+
+        def derive(b):
+            day = (
+                pc.cast(pc.cast(b.column("warc_ts"), pa.timestamp("us")), pa.int64())
+                .to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )
+            lang = b.column("lang").to_numpy(zero_copy_only=False).astype(str)
+            cell = np.char.add(np.char.add(lang, "|"), day.astype(str))
+            return pa.table(
+                {"cell": pa.array(cell, pa.string()), "url": b.column("url")}
+            )
+
+        ds = rd.read_parquet(
+            PAGES_DIR + "/", columns=["lang", "warc_ts", "url"]
+        ).map_batches(derive, batch_format="pyarrow")
+        spec = SketchSpec("hll_urls", "hll", "url", {"p": 12})
+        cells = grouped_build(ds, "cell", spec).take_all()
+        rollup: dict = {}
+        for r in cells:
+            for g in (r["key"].split("|", 1)[0], "day:" + r["key"].split("|", 1)[1], "all"):
+                sk = sketch_from_bytes("hll", r["payload"])
+                if g in rollup:
+                    rollup[g].merge(sk)
+                else:
+                    rollup[g] = sk
+        return {g: rollup[g].estimate() for g in rollup}
+
+    timings["sketch_cube_1m_pages"] = _timed(_sketch_cube)
+
     # IoC matcher over pages (stateless tasks + per-process filter cache)
     from fever_ray.ops.ioc import make_page_ioc_fn
 
