@@ -527,6 +527,64 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_cube(args) -> int:
+    """Distinct-url sketch cube over a page table: ONE streaming pass of
+    per-(lang, crawl-day) HLL partials; per-lang, per-day and global
+    rollups derived by merging those payloads (never re-reading the
+    corpus).  One JSON line per rollup row.  The CLI face of the
+    q_sketch_cube lattice."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .core.grouped import grouped_build
+    from .core.udaf import SketchSpec
+    from .sketches import sketch_from_bytes
+
+    _init_ray(args.num_cpus)
+
+    def derive(b: "pa.Table") -> "pa.Table":
+        day = (
+            pc.cast(pc.cast(b.column("warc_ts"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        lang = b.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        cell = np.char.add(np.char.add(lang, "|"), day.astype(str))
+        return pa.table(
+            {"cell": pa.array(cell, pa.string()), "url": b.column("url")}
+        )
+
+    ds = rd.read_parquet(
+        args.input, columns=["lang", "warc_ts", "url"]
+    ).map_batches(derive, batch_format="pyarrow")
+    spec = SketchSpec("hll_urls", "hll", "url", {"p": args.p})
+    cells = grouped_build(ds, "cell", spec).take_all()
+    rollup: dict = {}
+    for r in cells:
+        lang, day = r["key"].split("|", 1)
+        for level, key in (("lang", lang), ("day", day), ("all", "all")):
+            sk = sketch_from_bytes("hll", r["payload"])
+            if (level, key) in rollup:
+                rollup[(level, key)].merge(sk)
+            else:
+                rollup[(level, key)] = sk
+    rse = 1.04 / float(np.sqrt(1 << args.p))
+    for (level, key) in sorted(rollup):
+        print(
+            json.dumps(
+                {
+                    "level": level,
+                    "key": key,
+                    "distinct_urls": round(rollup[(level, key)].estimate(), 1),
+                    "rse": rse,
+                }
+            )
+        )
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Per-column DESCRIBE card over any parquet table, printed as one
     JSON line per column: rows, nulls, exact distinct, native min/max.
@@ -942,6 +1000,15 @@ def main(argv=None) -> int:
     pa_.add_argument("--input", required=True)
     pa_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pa_.set_defaults(fn=cmd_audit)
+
+    pcu = sub.add_parser(
+        "cube", allow_abbrev=False,
+        help="distinct-url HLL lattice: per-(lang, day) partials → all rollups",
+    )
+    pcu.add_argument("--input", required=True)
+    pcu.add_argument("--p", type=int, default=12, help="HLL precision (2^p registers)")
+    pcu.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pcu.set_defaults(fn=cmd_cube)
 
     pp_ = sub.add_parser("profile", allow_abbrev=False,
                          help="per-column DESCRIBE card (rows / nulls / "
