@@ -1742,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             SketchSpec("kll_value", "kll", "value", {"k": 200}, value_kind="float"),
             SketchSpec("td_value", "tdigest", "value", {"delta": 100}, value_kind="float"),
             SketchSpec("req_value", "req", "value", {"k": 32}, value_kind="float"),
+            SketchSpec("dd_value", "dd", "value", {"alpha": 0.01}, value_kind="float"),
         ]
         sk = build_sketches(
             _t(sf, "events", ["user_id", "event_type", "value"]), specs, batch_size=8192
@@ -1752,6 +1753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows.append({"sketch": "kll_value_p50", "estimate": float(sk["kll_value"].quantile(0.5))})
         rows.append({"sketch": "td_value_p50", "estimate": float(sk["td_value"].quantile(0.5))})
         rows.append({"sketch": "req_value_p99", "estimate": float(sk["req_value"].quantile(0.99))})
+        rows.append({"sketch": "dd_value_p50", "estimate": float(sk["dd_value"].quantile(0.5))})
         return pa.Table.from_pylist(rows)
 
     def q_user_overlap_exact(sf):
@@ -2449,6 +2451,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             if dist <= (4.0 / 32) * (1.0 - q) * n:
                 names.append(tag)
                 vals.append(float(exact))
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "exact_value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    def q_dd_quantile_gate(sf):
+        """DDSketch value-relative-error gate (Masson/Rim/Lee, VLDB 2019):
+        one UDAF pass builds the alpha=0.01 sketch over per-document text
+        byte lengths; a second pass tree-counts the bounded length histogram
+        EXACTLY.  The exact order statistic uses the DataDog 0-based rank
+        convention floor(q*(n-1)) — mirrored in the oracle SQL — and a
+        (check_name, exact_value) row is emitted ONLY if
+        |est - exact| <= alpha * exact, so any violation of the published
+        VALUE-relative bound hash-fails the driver gate.  Complements
+        req_tail_gate (rank-relative) and the KLL/t-digest members
+        (rank-additive); DDSketch is the one whose merge is bit-identical
+        integer bucket addition (tests assert merge-order byte equality)."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+
+        ds = _t(sf, "documents", ["text"])
+
+        def lens(b: pa.Table) -> pa.Table:
+            col = pc.fill_null(b.column("text"), "")
+            return pa.table({"l": pc.cast(pc.binary_length(col), pa.int64())})
+
+        lds = ds.map_batches(lens, batch_format="pyarrow")
+        sk = build_sketches(
+            lds, [SketchSpec("dd", "dd", "l", {"alpha": 0.01}, value_kind="float")]
+        )["dd"]
+
+        def hist_partial(b: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                b.column("l").to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {"l": pa.array(u, pa.int64()), "c": pa.array(c.astype(np.int64))}
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    lds.map_batches(hist_partial, batch_format="pyarrow"),
+                    ["l"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        ht = pa.concat_tables(parts)
+        lv = ht.column("l").to_numpy(zero_copy_only=False)
+        cv = ht.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(lv)
+        lv, cv = lv[order], cv[order]
+        cum = np.cumsum(cv)
+        n = int(cum[-1])
+
+        names, vals = [], []
+        for tag, q in (("dd_p50", 0.50), ("dd_p90", 0.90), ("dd_p99", 0.99)):
+            target0 = int(np.floor(q * (n - 1)))  # 0-based rank, DataDog conv
+            exact = float(lv[int(np.searchsorted(cum, target0, side="right"))])
+            est = sk.quantile(q)
+            ok = (exact == 0.0 and est == 0.0) or abs(est - exact) <= 0.01 * exact
+            if ok:
+                names.append(tag)
+                vals.append(exact)
         return pa.table(
             {
                 "check_name": pa.array(names, pa.string()),
@@ -3598,6 +3671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "fd_error_gate": q_fd_error_gate,
         "req_tail_gate": q_req_tail_gate,
+        "dd_quantile_gate": q_dd_quantile_gate,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
@@ -6199,6 +6273,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rn = GREATEST(CAST(CEIL(0.99 * n) AS BIGINT), 1) "
             "UNION ALL SELECT 'req_p999', CAST(l AS DOUBLE) FROM r "
             "WHERE rn = GREATEST(CAST(CEIL(0.999 * n) AS BIGINT), 1) "
+            "ORDER BY check_name"
+        ),
+        "dd_quantile_gate": (
+            # exact order statistics of text byte lengths at the DataDog
+            # 0-based rank floor(q*(n-1)); rows exist only if the engine-side
+            # DDSketch met the alpha=0.01 value-relative bound (VLDB 2019)
+            "WITH r AS (SELECT strlen(COALESCE(text, '')) AS l, "
+            "row_number() OVER (ORDER BY strlen(COALESCE(text, ''))) AS rn, "
+            "count(*) OVER () AS n FROM documents) "
+            "SELECT 'dd_p50' AS check_name, CAST(l AS DOUBLE) AS exact_value "
+            "FROM r WHERE rn = CAST(FLOOR(0.50 * (n - 1)) AS BIGINT) + 1 "
+            "UNION ALL SELECT 'dd_p90', CAST(l AS DOUBLE) FROM r "
+            "WHERE rn = CAST(FLOOR(0.90 * (n - 1)) AS BIGINT) + 1 "
+            "UNION ALL SELECT 'dd_p99', CAST(l AS DOUBLE) FROM r "
+            "WHERE rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1 "
             "ORDER BY check_name"
         ),
         "sketch_error_gate": (

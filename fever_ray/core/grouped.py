@@ -142,7 +142,7 @@ def grouped_estimates(
             rec["estimate"] = sk.estimate()
         elif spec.kind == "cms":
             rec["total"] = sk.total
-        elif spec.kind in ("tdigest", "kll", "req"):
+        elif spec.kind in ("tdigest", "kll", "req", "dd"):
             for q in quantiles:
                 rec[f"q{int(q * 100):02d}"] = float(sk.quantile(q))
         rows_out.append(rec)

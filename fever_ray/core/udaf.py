@@ -116,7 +116,7 @@ def _update(sketch, spec: SketchSpec, values) -> None:
             sketch.update(values)
     elif spec.kind == "cms":
         sketch.update(values, track=spec.track)
-    elif spec.kind in ("tdigest", "kll", "req"):
+    elif spec.kind in ("tdigest", "kll", "req", "dd"):
         sketch.update(values)
     elif spec.kind == "bloom":
         sketch.add(values)
@@ -309,7 +309,7 @@ def finalize(sketch, spec: SketchSpec, quantiles=(0.01, 0.25, 0.5, 0.75, 0.99)) 
     if spec.kind == "cms":
         top = sketch.top_k(10) if sketch.candidates else []
         return {"total": sketch.total, "top_k": top, "epsilon": sketch.epsilon}
-    if spec.kind in ("tdigest", "kll", "req"):
+    if spec.kind in ("tdigest", "kll", "req", "dd"):
         return {"quantiles": {str(q): float(sketch.quantile(q)) for q in quantiles}}
     if spec.kind == "bloom":
         return {"N": sketch.N, "fill_ratio": sketch.fill_ratio}

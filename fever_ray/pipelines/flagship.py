@@ -41,6 +41,8 @@ STANDARD_SPECS = [
     # REQ: multiplicative tail-rank error (PODS 2021) — the p99.9+ member
     # KLL's additive bound can't serve at corpus scale
     SketchSpec("req_text_len", "req", "text_len", {"k": 32}, value_kind="float"),
+    # DDSketch: value-relative error with bit-identical merges (VLDB 2019)
+    SketchSpec("dd_text_len", "dd", "text_len", {"alpha": 0.01}, value_kind="float"),
     SketchSpec("kll_warc_ts", "kll", "warc_ts_us", {"k": 200}, value_kind="float"),
     # bloom partial = m/8 bytes PER BATCH partial; size n to the expected
     # DISTINCT key count (hostname pool), not the row count — at 10^12 docs

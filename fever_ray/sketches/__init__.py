@@ -18,6 +18,7 @@ mutex in one process.
 from .bloom import BloomFilter, BloomKTooHighError, build_filter
 from .cms import CountMin
 from .ams import AMSSketch
+from .dd import DDSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
@@ -38,6 +39,7 @@ SKETCH_TYPES = {
     "ams": AMSSketch,
     "mg": MisraGries,
     "req": REQ,
+    "dd": DDSketch,
 }
 
 
@@ -52,6 +54,7 @@ __all__ = [
     "build_filter",
     "AMSSketch",
     "CountMin",
+    "DDSketch",
     "FrequentDirections",
     "HyperLogLog",
     "KLL",

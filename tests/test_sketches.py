@@ -681,6 +681,120 @@ def test_req_compactor_growth_is_sublinear():
     assert len(big.to_bytes()) < 64 * 1024
 
 
+# ---------------------------------------------------------------- DDSketch
+@pytest.mark.parametrize("dist", ["lognormal", "uniform_wide"])
+def test_dd_value_relative_error_bound(dist):
+    """VLDB 2019 guarantee: |est - exact order statistic| <= alpha * exact,
+    for every quantile (value-relative, not rank-relative)."""
+    from fever_ray.sketches.dd import DDSketch
+
+    rng = np.random.default_rng(43)
+    if dist == "lognormal":
+        data = rng.lognormal(4.0, 2.5, 200000)
+    else:
+        data = rng.uniform(1e-3, 1e9, 200000)
+    sk = DDSketch.create(alpha=0.01)
+    for chunk in np.array_split(data, 23):
+        sk.update(chunk)
+    srt = np.sort(data)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        est = sk.quantile(q)
+        exact = srt[int(q * (len(data) - 1))]
+        assert abs(est - exact) <= 0.01 * abs(exact) * (1 + 1e-9), q
+
+
+def test_dd_merge_bit_identical_any_order():
+    """The property no other quantile sketch in the registry has: merge is
+    integer bucket addition, so EVERY merge order yields the same bytes AND
+    equals the single-pass build — true merge-order invariance."""
+    from fever_ray.sketches.dd import DDSketch
+
+    rng = np.random.default_rng(47)
+    data = np.concatenate(
+        [rng.lognormal(3, 2, 90000), np.zeros(700), -rng.lognormal(1, 1, 4000)]
+    )
+    rng.shuffle(data)
+    single = DDSketch.create(alpha=0.02)
+    single.update(data)
+    parts = []
+    for ch in np.array_split(data, 9):
+        p = DDSketch.create(alpha=0.02)
+        p.update(ch)
+        parts.append(p.to_bytes())
+
+    def merged(order):
+        acc = DDSketch.create(alpha=0.02)
+        for i in order:
+            acc.merge(DDSketch.from_bytes(parts[i]))
+        return acc.to_bytes()
+
+    fwd = merged(list(range(9)))
+    assert fwd == merged([8, 2, 5, 0, 7, 3, 1, 6, 4])
+    assert fwd == single.to_bytes()
+
+
+def test_dd_zero_negative_and_nan_handling():
+    from fever_ray.sketches.dd import DDSketch
+
+    sk = DDSketch.create(alpha=0.01)
+    sk.update([-100.0, -1.0, 0.0, 0.0, np.nan, 1.0, 100.0])
+    assert sk.n == 6 and sk.zero_count == 2
+    assert sk.quantile(0.0) == pytest.approx(-100.0, rel=0.01)
+    # ranks 2 and 3 of 6 are the zeros
+    assert sk.quantile(0.45) == 0.0
+    assert sk.quantile(1.0) == pytest.approx(100.0, rel=0.01)
+    med = sk.quantile(0.5)
+    assert med == 0.0 or med == pytest.approx(1.0, rel=0.01)
+
+
+def test_dd_collapse_bounds_store_and_keeps_upper_quantiles():
+    from fever_ray.sketches.dd import DDSketch
+
+    rng = np.random.default_rng(53)
+    data = rng.lognormal(0.0, 2.0, 150000)  # ~450 natural buckets at alpha=.02
+    sk = DDSketch.create(alpha=0.02, max_bins=256)
+    for ch in np.array_split(data, 11):
+        sk.update(ch)
+    assert sk.collapsed and sk.num_bins <= 256
+    assert sk.n == len(data)
+    srt = np.sort(data)
+    # quantiles ABOVE the collapse boundary keep the full guarantee; the
+    # boundary here lands near q~0.25, so the median and tail survive
+    for q in (0.5, 0.9, 0.99):
+        exact = srt[int(q * (len(data) - 1))]
+        assert abs(sk.quantile(q) - exact) <= 0.02 * exact * (1 + 1e-9)
+
+
+def test_dd_roundtrip_and_alpha_mismatch():
+    from fever_ray.sketches.dd import DDSketch
+
+    sk = DDSketch.create(alpha=0.01)
+    sk.update(np.arange(1, 5000, dtype=np.float64))
+    back = DDSketch.from_bytes(sk.to_bytes())
+    assert back.to_bytes() == sk.to_bytes()
+    assert back.quantile(0.5) == sk.quantile(0.5)
+    with pytest.raises(ValueError):
+        back.merge(DDSketch.create(alpha=0.05))
+    with pytest.raises(ValueError):
+        DDSketch.from_bytes(b"XXXX" + sk.to_bytes()[4:])
+    with pytest.raises(ValueError):
+        DDSketch.create(alpha=1.5)
+    assert np.isnan(DDSketch.create().quantile(0.5))
+
+
+def test_dd_store_size_is_log_of_dynamic_range():
+    """Store size tracks log(max/min)/log(gamma), independent of n — the
+    KB-scale-partials property (VLDB 2019 §2.2)."""
+    from fever_ray.sketches.dd import DDSketch
+
+    rng = np.random.default_rng(59)
+    small, big = DDSketch.create(alpha=0.01), DDSketch.create(alpha=0.01)
+    small.update(rng.lognormal(3, 1, 10000))
+    big.update(rng.lognormal(3, 1, 1000000))
+    assert len(big.to_bytes()) < 2 * len(small.to_bytes())
+    assert len(big.to_bytes()) < 32 * 1024
+
+
 def test_cms_inner_product_join_size_bounds():
     """Inner-product estimate (C&M 2005 §4.2): never undercounts the true
     join size, overcount ≤ ε·Na·Nb, dimension mismatch rejected, and the
