@@ -2529,6 +2529,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_theta_overlap_gate(sf):
+        """Theta-sketch set-algebra published-bound gate (KMV bottom-k,
+        Bar-Yossef et al. RANDOM 2002 / Beyer et al. SIGMOD 2007): one
+        streaming pass sketches the purchase-user and error-user id sets
+        (per-batch bottom-k partials, KB-sized, merged driver-side —
+        bit-identical under any order); |A|, |B|, |A∪B| and |A∩B| are
+        estimated from the two sketches alone via the common-theta trick.
+        Exact ground truth comes from ONE user-hash bucket shuffle (a user
+        never spans buckets, so per-bucket distinct/overlap counts sum
+        exactly — no driver-side corpus state).  A (check_name, exact)
+        row is emitted ONLY if the estimate meets 3x the published KMV RSE
+        1/sqrt(k-1) (+2 floor); intersection error is measured against the
+        UNION size, the correct yardstick for common-theta intersections.
+        Converts theta_set_algebra's pytest-only bounds into a driver
+        hash-gated check — the last registry member without one."""
+        from fever_ray.sketches.hashing import hash64_ints
+        from fever_ray.sketches.theta import ThetaSketch
+
+        K = 4096
+        ds = _t(sf, "events", ["event_type", "user_id"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            rows = []
+            for et in ("purchase", "error"):
+                sub = batch.filter(pc.equal(batch.column("event_type"), et))
+                sk = ThetaSketch.create(k=K)
+                sk.update_ints(sub.column("user_id").to_numpy(zero_copy_only=False))
+                rows.append({"set_name": et, "payload": sk.to_bytes()})
+            return pa.Table.from_pylist(rows)
+
+        acc: dict = {}
+        for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            sk = ThetaSketch.from_bytes(r["payload"])
+            if r["set_name"] in acc:
+                acc[r["set_name"]].merge(sk)
+            else:
+                acc[r["set_name"]] = sk
+        a, b = acc["purchase"], acc["error"]
+        est = {
+            "theta_purchasers": a.estimate(),
+            "theta_errors": b.estimate(),
+            "theta_union": a.union_estimate(b),
+            "theta_inter": a.intersection_estimate(b),
+        }
+
+        # exact overlap cube: bucket by user hash, per-bucket sets are
+        # disjoint across buckets so the four counts sum exactly
+        n_b = 64
+
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(
+                batch.column("event_type"), value_set=pa.array(["purchase", "error"])
+            )
+            t = batch.filter(m)
+            u = t.column("user_id").to_numpy(zero_copy_only=False)
+            et = t.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+            key = np.char.add(et, np.char.add("@", u.astype(str)))
+            _, idx = np.unique(key, return_index=True)
+            bucket = (
+                hash64_ints(u[idx].astype(np.int64)) % np.uint64(n_b)
+            ).astype(np.int32)
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket),
+                    "et": pa.array(et[idx], pa.string()),
+                    "user": pa.array(u[idx], pa.int64()),
+                }
+            )
+
+        def bucket_counts(g: pa.Table) -> pa.Table:
+            et = g.column("et").to_numpy(zero_copy_only=False).astype(str)
+            u = g.column("user").to_numpy(zero_copy_only=False)
+            buyers = np.unique(u[et == "purchase"])
+            errers = np.unique(u[et == "error"])
+            return pa.table(
+                {
+                    "n_a": pa.array([len(buyers)], pa.int64()),
+                    "n_b": pa.array([len(errers)], pa.int64()),
+                    "n_inter": pa.array(
+                        [len(np.intersect1d(buyers, errers, assume_unique=True))],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        totals = {"n_a": 0, "n_b": 0, "n_inter": 0}
+        for r in (
+            ds.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_counts, batch_format="pyarrow")
+            .take_all()
+        ):
+            for f in totals:
+                totals[f] += int(r[f])
+        exact = {
+            "theta_purchasers": totals["n_a"],
+            "theta_errors": totals["n_b"],
+            "theta_inter": totals["n_inter"],
+            "theta_union": totals["n_a"] + totals["n_b"] - totals["n_inter"],
+        }
+
+        rse = 1.0 / np.sqrt(K - 1)
+        names, vals = [], []
+        for name in sorted(exact):
+            yard = exact["theta_union"] if name == "theta_inter" else exact[name]
+            if abs(est[name] - exact[name]) <= 3.0 * rse * yard + 2.0:
+                names.append(name)
+                vals.append(exact[name])
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "exact_value": pa.array(vals, pa.int64()),
+            }
+        )
+
     def q_sketch_cube(sf):
         """Sketch cube/rollup: ONE streaming pass builds per-(event_type,
         day) HLL partials (grouped_build — salted two-phase merge); every
@@ -3672,6 +3787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_error_gate": q_fd_error_gate,
         "req_tail_gate": q_req_tail_gate,
         "dd_quantile_gate": q_dd_quantile_gate,
+        "theta_overlap_gate": q_theta_overlap_gate,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
@@ -6288,6 +6404,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rn = CAST(FLOOR(0.90 * (n - 1)) AS BIGINT) + 1 "
             "UNION ALL SELECT 'dd_p99', CAST(l AS DOUBLE) FROM r "
             "WHERE rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1 "
+            "ORDER BY check_name"
+        ),
+        "theta_overlap_gate": (
+            # exact distinct/overlap counts of the purchase/error user sets;
+            # rows exist only if the engine-side theta estimates met 3x the
+            # published KMV RSE (intersection judged against the union size)
+            "SELECT 'theta_errors' AS check_name, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_value "
+            "FROM events WHERE event_type = 'error' "
+            "UNION ALL SELECT 'theta_inter', CAST(COUNT(*) AS BIGINT) FROM "
+            "(SELECT user_id FROM events WHERE event_type = 'purchase' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'error') "
+            "UNION ALL SELECT 'theta_purchasers', "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "FROM events WHERE event_type = 'purchase' "
+            "UNION ALL SELECT 'theta_union', "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "FROM events WHERE event_type IN ('purchase', 'error') "
             "ORDER BY check_name"
         ),
         "sketch_error_gate": (

@@ -80,7 +80,7 @@ def test_same_results_across_parallelism_levels(pages_dir):
         results.append(json.loads(line[0][8:]))
         rline = [l for l in out.stdout.splitlines() if l.startswith("REQ::")]
         reqs.append(json.loads(rline[0][5:])[0])
-    # bit-identical merges (hll/cms/bloom/theta/fd/ams/mg) must be EQUAL;
+    # bit-identical merges (hll/cms/bloom/theta/fd/ams/mg/dd) must be EQUAL;
     # compaction sketches (kll/tdigest/req) are order-SENSITIVE within
     # their published bound — req's median must agree to a few ranks
     assert results[0] == results[1]
