@@ -2947,6 +2947,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_grouped_dd_per_lang(sf):
+        """Grouped DDSketch gate: per-lang document text byte lengths run
+        through the salted two-phase grouped-sketch path (core/grouped.py),
+        proving the value-relative member composes with the skew-aware
+        grouped machinery — and since DD merges are integer bucket adds,
+        the per-key merged sketch is bit-identical regardless of how the
+        two-phase shuffle split the partials.  Exact per-(lang, length)
+        histogram from one bounded-key tree; each lang's p50/p90 row is
+        emitted ONLY if |est - exact| <= alpha * exact (exact order
+        statistic at the DataDog 0-based rank floor(q*(n-1)), mirrored in
+        the oracle's PARTITION BY window)."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.grouped import grouped_build
+        from fever_ray.core.udaf import SketchSpec
+        from fever_ray.sketches import sketch_from_bytes
+
+        ds = _t(sf, "documents", ["lang", "text"])
+
+        def lens(b: pa.Table) -> pa.Table:
+            col = pc.fill_null(b.column("text"), "")
+            return pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "l": pc.cast(pc.binary_length(col), pa.int64()),
+                }
+            )
+
+        lds = ds.map_batches(lens, batch_format="pyarrow")
+        spec = SketchSpec("dd_l", "dd", "l", {"alpha": 0.01}, value_kind="float")
+        merged = {
+            r["key"]: sketch_from_bytes("dd", r["payload"])
+            for r in grouped_build(lds, "lang", spec).take_all()
+        }
+
+        def hist_partial(b: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(b, ["lang", "l"]).aggregate([([], "count_all")])
+            return t.rename_columns(["lang", "l", "c"])
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    lds.map_batches(hist_partial, batch_format="pyarrow"),
+                    ["lang", "l"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        ht = pa.concat_tables(parts)
+        hl = ht.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        lv = ht.column("l").to_numpy(zero_copy_only=False)
+        cv = ht.column("c").to_numpy(zero_copy_only=False)
+
+        out_lang, out_tag, out_val = [], [], []
+        for lang in sorted(set(hl.tolist())):
+            m = hl == lang
+            order = np.argsort(lv[m])
+            ll, cc = lv[m][order], cv[m][order]
+            cum = np.cumsum(cc)
+            n = int(cum[-1])
+            sk = merged.get(lang)
+            if sk is None:
+                continue
+            for tag, q in (("p50", 0.50), ("p90", 0.90)):
+                target0 = int(np.floor(q * (n - 1)))
+                exact = float(ll[int(np.searchsorted(cum, target0, side="right"))])
+                est = sk.quantile(q)
+                ok = (exact == 0.0 and est == 0.0) or abs(est - exact) <= 0.01 * exact
+                if ok:
+                    out_lang.append(lang)
+                    out_tag.append(tag)
+                    out_val.append(exact)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "qtag": pa.array(out_tag, pa.string()),
+                "exact_value": pa.array(out_val, pa.float64()),
+            }
+        )
+
     def q_grouped_sketch_per_lang(sf):
         spec = SketchSpec("hll_texts", "hll", "text", {"p": 14})
         out = grouped_estimates(
@@ -3798,6 +3881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_set_algebra": q_theta_set_algebra,
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "grouped_tail_per_lang": q_grouped_tail_per_lang,
+        "grouped_dd_per_lang": q_grouped_dd_per_lang,
         "sketch_cube": q_sketch_cube,
         "cms_join_size": q_cms_join_size,
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
@@ -6268,6 +6352,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT lang, 'p999', CAST(l AS DOUBLE) FROM r "
             "WHERE rn = GREATEST(CAST(CEIL(0.999 * n) AS BIGINT), 1) "
             "ORDER BY lang, tail"
+        ),
+        "grouped_dd_per_lang": (
+            # exact per-lang order statistics of document text byte lengths
+            # at the DataDog 0-based rank floor(q*(n-1)); rows exist only if
+            # every grouped DDSketch met the alpha=0.01 value-relative bound
+            "WITH r AS (SELECT lang, strlen(COALESCE(text, '')) AS l, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY strlen(COALESCE(text, ''))) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT lang, 'p50' AS qtag, CAST(l AS DOUBLE) AS exact_value "
+            "FROM r WHERE rn = CAST(FLOOR(0.50 * (n - 1)) AS BIGINT) + 1 "
+            "UNION ALL SELECT lang, 'p90', CAST(l AS DOUBLE) FROM r "
+            "WHERE rn = CAST(FLOOR(0.90 * (n - 1)) AS BIGINT) + 1 "
+            "ORDER BY lang, qtag"
         ),
         "grouped_sketch_per_lang": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"

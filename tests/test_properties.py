@@ -502,3 +502,50 @@ def test_fd_bound_any_matrix_any_split(n, d, l, seed, n_splits):
     tol = 1e-9 * max(acc.fnorm_sq, 1.0)
     assert ev.min() >= -tol
     assert ev.max() <= acc.error_bound() + tol
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e12,
+                max_value=1e12,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=0,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dd_merge_equals_single_pass_any_split(parts):
+    """DDSketch invariants under ARBITRARY streams and splits: merged bytes
+    == single-pass bytes (integer bucket addition is split-invariant), n and
+    zero_count preserved, and every quantile answer obeys the alpha
+    value-relative bound against the exact order statistic."""
+    from fever_ray.sketches.dd import DDSketch
+
+    single = DDSketch.create(alpha=0.02)
+    merged = DDSketch.create(alpha=0.02)
+    for part in parts:
+        arr = np.array(part, dtype=np.float64)
+        single.update(arr)
+        p = DDSketch.create(alpha=0.02)
+        p.update(arr)
+        merged.merge(DDSketch.from_bytes(p.to_bytes()))
+    assert merged.to_bytes() == single.to_bytes()
+    data = np.concatenate([np.array(p, dtype=np.float64) for p in parts])
+    assert single.n == len(data)
+    if len(data) == 0:
+        return
+    srt = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = single.quantile(q)
+        exact = srt[int(q * (len(data) - 1))]
+        if exact == 0.0:
+            assert est == 0.0
+        else:
+            assert abs(est - exact) <= 0.02 * abs(exact) * (1 + 1e-9), (q, est, exact)
