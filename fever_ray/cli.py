@@ -585,6 +585,59 @@ def cmd_cube(args) -> int:
     return 0
 
 
+def cmd_quantiles(args) -> int:
+    """One-pass corpus quantile card: all four quantile members of the
+    registry (KLL: additive rank error; t-digest: rank error, tight at the
+    ends; REQ: multiplicative tail-rank error; DDSketch: value-relative
+    error) built over the SAME column in a single streaming UDAF pass,
+    printed one JSON line per quantile.  ``family_spread`` is
+    (max−min)/mid-mean across the four estimates — four independent error
+    models agreeing is a cheap corpus-scale sanity signal that needs no
+    exact second pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .core.udaf import SketchSpec, build_sketches
+
+    _init_ray(args.num_cpus)
+    col = args.column
+
+    def derive(b: "pa.Table") -> "pa.Table":
+        if col == "text_len":
+            v = pc.binary_length(pc.fill_null(b.column("text"), ""))
+        else:
+            v = b.column(col)
+        return pa.table({"v": pc.cast(v, pa.float64())})
+
+    src_cols = ["text"] if col == "text_len" else [col]
+    ds = rd.read_parquet(args.input, columns=src_cols).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    specs = [
+        SketchSpec("kll", "kll", "v", {"k": 200}, value_kind="float"),
+        SketchSpec("tdigest", "tdigest", "v", {"delta": 100}, value_kind="float"),
+        SketchSpec("req", "req", "v", {"k": 32}, value_kind="float"),
+        SketchSpec("dd", "dd", "v", {"alpha": 0.01}, value_kind="float"),
+    ]
+    sk = build_sketches(ds, specs)
+    for q in (0.5, 0.9, 0.99, 0.999):
+        ests = {n: float(sk[n].quantile(q)) for n in ("kll", "tdigest", "req", "dd")}
+        vals = sorted(ests.values())
+        mid = (vals[1] + vals[2]) / 2.0
+        spread = (vals[-1] - vals[0]) / max(abs(mid), 1e-12)
+        print(
+            json.dumps(
+                {
+                    "q": q,
+                    **{k: round(v, 3) for k, v in ests.items()},
+                    "family_spread": round(spread, 4),
+                }
+            )
+        )
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Per-column DESCRIBE card over any parquet table, printed as one
     JSON line per column: rows, nulls, exact distinct, native min/max.
@@ -1009,6 +1062,15 @@ def main(argv=None) -> int:
     pcu.add_argument("--p", type=int, default=12, help="HLL precision (2^p registers)")
     pcu.add_argument("--num-cpus", dest="num_cpus", type=int)
     pcu.set_defaults(fn=cmd_cube)
+
+    pqt = sub.add_parser("quantiles", allow_abbrev=False,
+                         help="one-pass quantile card from all four "
+                         "quantile sketches + cross-family spread")
+    pqt.add_argument("--input", required=True)
+    pqt.add_argument("--column", default="text_len",
+                     help="numeric column, or text_len (derived from text)")
+    pqt.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pqt.set_defaults(fn=cmd_quantiles)
 
     pp_ = sub.add_parser("profile", allow_abbrev=False,
                          help="per-column DESCRIBE card (rows / nulls / "

@@ -682,3 +682,26 @@ def test_cli_embaudit_card(ray_session, tmp_path, capsys):
     assert out["effective_rank"] < 3.0
     assert out["top_eigs"][1] > 100 * max(out["top_eigs"][2], 1e-9)
     assert out["fnorm_sq"] > 0
+
+
+def test_cli_quantiles_card(ray_session, pages_dir, capsys):
+    """All four quantile sketches over the same column in one pass; the
+    median estimates must tightly agree (cross-family spread), and every
+    line must carry all four members."""
+    import json
+
+    from fever_ray import cli as cli_mod
+
+    rc = cli_mod.main(["quantiles", "--input", pages_dir])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["q"] for l in lines] == [0.5, 0.9, 0.99, 0.999]
+    for l in lines:
+        for member in ("kll", "tdigest", "req", "dd"):
+            assert l[member] > 0
+    # at the median all four error models are tight: spread under 2%
+    assert lines[0]["family_spread"] < 0.02
+    # estimates are ordered sanely across quantiles per member
+    for member in ("kll", "tdigest", "req", "dd"):
+        vals = [l[member] for l in lines]
+        assert vals == sorted(vals)
