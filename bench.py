@@ -117,6 +117,7 @@ def run_bench() -> dict:
     # at the data scale where exact COUNT(DISTINCT) per granularity would
     # each cost a full shuffle
     def _sketch_cube():
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
