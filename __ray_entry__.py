@@ -2529,6 +2529,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_dd_weighted_gate(sf):
+        """Weighted-quantile gate: DDSketch.update_weighted ingests each
+        document's text byte length with weight = its token count (the
+        space-count+1 convention already oracle-matched by token_stats), so
+        the sketch answers "the length distribution as seen by TOKENS" —
+        the weighting a token-budgeted pipeline actually samples by.
+        Weighted ingest is bit-identical to repeating each value w times
+        (tests assert) and costs O(distinct buckets), not O(total weight).
+        Exact weighted order statistics from one bounded-key tree (cum
+        weight > q*(W-1), the sketch's own rank convention, mirrored in
+        the oracle's window SQL); a row is emitted ONLY if
+        |est - exact| <= alpha * exact."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.sketches.dd import DDSketch
+
+        ds = _t(sf, "documents", ["text"])
+
+        def lens_w(b: pa.Table) -> pa.Table:
+            txt = pc.fill_null(b.column("text"), "")
+            l = pc.cast(pc.binary_length(txt), pa.int64())
+            stripped = pc.replace_substring(txt, " ", "")
+            nsp = pc.subtract(l, pc.cast(pc.binary_length(stripped), pa.int64()))
+            w = pc.if_else(pc.equal(l, 0), pa.scalar(0, pa.int64()), pc.add(nsp, 1))
+            return pa.table({"l": l, "w": w})
+
+        lw = ds.map_batches(lens_w, batch_format="pyarrow")
+
+        def partial(b: pa.Table) -> pa.Table:
+            sk = DDSketch.create(alpha=0.01)
+            sk.update_weighted(
+                b.column("l").to_numpy(zero_copy_only=False),
+                b.column("w").to_numpy(zero_copy_only=False),
+            )
+            return pa.Table.from_pylist([{"payload": sk.to_bytes()}])
+
+        acc = DDSketch.create(alpha=0.01)
+        for r in lw.map_batches(partial, batch_format="pyarrow").take_all():
+            acc.merge(DDSketch.from_bytes(r["payload"]))
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(lw, ["l"], [("w", "sum")]).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        ht = pa.concat_tables(parts)
+        lv = ht.column("l").to_numpy(zero_copy_only=False)
+        wv = ht.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(lv)
+        lv, wv = lv[order], wv[order]
+        cum = np.cumsum(wv)
+        W = int(cum[-1])
+
+        names, vals = [], []
+        for tag, q in (("p50", 0.50), ("p90", 0.90)):
+            rank = q * (W - 1)
+            exact = float(lv[int(np.searchsorted(cum, rank, side="right"))])
+            est = acc.quantile(q)
+            if (exact == 0.0 and est == 0.0) or abs(est - exact) <= 0.01 * exact:
+                names.append(tag)
+                vals.append(exact)
+        return pa.table(
+            {
+                "qtag": pa.array(names, pa.string()),
+                "exact_value": pa.array(vals, pa.float64()),
+            }
+        )
+
     def q_theta_overlap_gate(sf):
         """Theta-sketch set-algebra published-bound gate (KMV bottom-k,
         Bar-Yossef et al. RANDOM 2002 / Beyer et al. SIGMOD 2007): one
@@ -3871,6 +3942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "req_tail_gate": q_req_tail_gate,
         "dd_quantile_gate": q_dd_quantile_gate,
         "theta_overlap_gate": q_theta_overlap_gate,
+        "dd_weighted_gate": q_dd_weighted_gate,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
@@ -6503,6 +6575,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'dd_p99', CAST(l AS DOUBLE) FROM r "
             "WHERE rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1 "
             "ORDER BY check_name"
+        ),
+        "dd_weighted_gate": (
+            # exact token-weighted order statistics of text byte lengths:
+            # smallest length whose cumulative token weight exceeds q*(W-1)
+            # (the DDSketch rank convention); rows exist only if the
+            # engine-side weighted sketch met the alpha=0.01 bound
+            "WITH d AS (SELECT strlen(COALESCE(text, '')) AS l, "
+            "CASE WHEN strlen(COALESCE(text, '')) = 0 THEN 0 "
+            "ELSE strlen(COALESCE(text, '')) - "
+            "strlen(replace(COALESCE(text, ''), ' ', '')) + 1 END AS w "
+            "FROM documents), "
+            "h AS (SELECT l, SUM(w) AS w FROM d GROUP BY l), "
+            "r AS (SELECT l, SUM(w) OVER (ORDER BY l) AS cw, "
+            "SUM(w) OVER () AS W FROM h) "
+            "SELECT 'p50' AS qtag, CAST(MIN(l) AS DOUBLE) AS exact_value "
+            "FROM r WHERE cw > 0.50 * (W - 1) "
+            "UNION ALL SELECT 'p90', CAST(MIN(l) AS DOUBLE) FROM r "
+            "WHERE cw > 0.90 * (W - 1) "
+            "ORDER BY qtag"
         ),
         "theta_overlap_gate": (
             # exact distinct/overlap counts of the purchase/error user sets;

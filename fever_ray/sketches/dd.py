@@ -103,6 +103,40 @@ class DDSketch:
             _store_add(self.neg, k, c.astype(np.int64))
         self._maybe_collapse()
 
+    def update_weighted(self, values, weights) -> None:
+        """Weighted ingest: integer weight w counts as w occurrences of the
+        value — bit-identical to ``update(np.repeat(values, weights))``
+        (tests assert), but O(distinct buckets) instead of O(total weight).
+        The weighted-quantile primitive (e.g. token-weighted length
+        distributions) at corpus scale."""
+        vals = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.int64)
+        if len(w) != len(vals):
+            raise ValueError("values/weights length mismatch")
+        if (w < 0).any():
+            raise ValueError("weights must be non-negative")
+        mask = ~np.isnan(vals) & (w > 0)
+        vals, w = vals[mask], w[mask]
+        if len(vals) == 0:
+            return
+        self.n += int(w.sum())
+        self.zero_count += int(w[vals == 0.0].sum())
+
+        def _acc(store, v, vw):
+            idx = self._index(v)
+            uk, inv = np.unique(idx, return_inverse=True)
+            uc = np.zeros(len(uk), np.int64)
+            np.add.at(uc, inv, vw)
+            _store_add(store, uk, uc)
+
+        p = vals > 0.0
+        if p.any():
+            _acc(self.pos, vals[p], w[p])
+        m = vals < 0.0
+        if m.any():
+            _acc(self.neg, -vals[m], w[m])
+        self._maybe_collapse()
+
     def _maybe_collapse(self) -> None:
         # collapse the LOWEST positive buckets (nearest zero) into one so the
         # UPPER quantiles keep their guarantee — paper's collapsing variant

@@ -782,6 +782,30 @@ def test_dd_roundtrip_and_alpha_mismatch():
     assert np.isnan(DDSketch.create().quantile(0.5))
 
 
+def test_dd_weighted_equals_repeats_bit_identical():
+    """update_weighted(v, w) must produce the same BYTES as updating each
+    value w times — including zero/negative values, zero weights (no-ops)
+    and NaNs (dropped with their weights)."""
+    from fever_ray.sketches.dd import DDSketch
+
+    rng = np.random.default_rng(61)
+    vals = np.concatenate(
+        [rng.lognormal(3, 2, 500), [0.0, -4.5, np.nan], rng.uniform(-10, 10, 50)]
+    )
+    w = rng.integers(0, 9, size=len(vals)).astype(np.int64)
+    a = DDSketch.create(alpha=0.01)
+    a.update_weighted(vals, w)
+    b = DDSketch.create(alpha=0.01)
+    keep = ~np.isnan(vals)
+    b.update(np.repeat(vals[keep], w[keep]))
+    assert a.to_bytes() == b.to_bytes()
+    assert a.n == int(w[keep].sum())
+    with pytest.raises(ValueError):
+        a.update_weighted([1.0, 2.0], [1])
+    with pytest.raises(ValueError):
+        a.update_weighted([1.0], [-1])
+
+
 def test_dd_store_size_is_log_of_dynamic_range():
     """Store size tracks log(max/min)/log(gamma), independent of n — the
     KB-scale-partials property (VLDB 2019 §2.2)."""
