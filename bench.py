@@ -154,6 +154,34 @@ def run_bench() -> dict:
 
     timings["sketch_cube_1m_pages"] = _timed(_sketch_cube)
 
+    # quantile card: all four quantile sketches (kll/tdigest/req/dd) over
+    # text byte length in ONE streaming UDAF pass — the cli `quantiles` face
+    def _quantile_card():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+
+        def derive(b):
+            v = pc.binary_length(pc.fill_null(b.column("text"), ""))
+            return pa.table({"v": pc.cast(v, pa.float64())})
+
+        ds = rd.read_parquet(PAGES_DIR + "/", columns=["text"]).map_batches(
+            derive, batch_format="pyarrow"
+        )
+        sk = build_sketches(
+            ds,
+            [
+                SketchSpec("kll", "kll", "v", {"k": 200}, value_kind="float"),
+                SketchSpec("tdigest", "tdigest", "v", {"delta": 100}, value_kind="float"),
+                SketchSpec("req", "req", "v", {"k": 32}, value_kind="float"),
+                SketchSpec("dd", "dd", "v", {"alpha": 0.01}, value_kind="float"),
+            ],
+        )
+        return {n: sk[n].quantile(0.999) for n in sk}
+
+    timings["quantile_card_1m_pages"] = _timed(_quantile_card)
+
     # IoC matcher over pages (stateless tasks + per-process filter cache)
     from fever_ray.ops.ioc import make_page_ioc_fn
 
