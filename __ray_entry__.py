@@ -2600,6 +2600,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_distinct_sample(sf):
+        """Deterministic mergeable distinct-uniform sample (bottom-k / KMV
+        sampling, Beyer et al. SIGMOD 2007): the 64 smallest seeded-hash
+        values over the DISTINCT user_id domain, with the original keys
+        retained — a uniform sample of the key DOMAIN, not the row stream,
+        so a user appearing 1000x has the same inclusion probability as one
+        appearing once (the property Bernoulli row sampling lacks).  Merge
+        = bottom-k union of KB-sized partials, deterministic under any
+        split; the oracle mirrors hash64_ints through the shared splitmix
+        CTE chain and takes ORDER BY h LIMIT k — bit-exact.  Generalizes
+        the reference's per-handler exact side-sets
+        (/root/reference/processing/dns_aggregator.go:145-168) into a
+        bounded mergeable sample."""
+        from fever_ray.sketches.theta import ThetaSketch
+
+        K = 64
+        ds = _t(sf, "events", ["user_id"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            sk = ThetaSketch.create(k=K, keep_keys=True)
+            sk.update_ints(b.column("user_id").to_numpy(zero_copy_only=False))
+            return pa.Table.from_pylist([{"payload": sk.to_bytes()}])
+
+        acc = ThetaSketch.create(k=K, keep_keys=True)
+        for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            acc.merge(ThetaSketch.from_bytes(r["payload"]))
+        keys = sorted(int(k) for k in acc.sample_keys())
+        return pa.table({"user_id": pa.array(keys, pa.int64())})
+
     def q_theta_overlap_gate(sf):
         """Theta-sketch set-algebra published-bound gate (KMV bottom-k,
         Bar-Yossef et al. RANDOM 2002 / Beyer et al. SIGMOD 2007): one
@@ -3943,6 +3972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_quantile_gate": q_dd_quantile_gate,
         "theta_overlap_gate": q_theta_overlap_gate,
         "dd_weighted_gate": q_dd_weighted_gate,
+        "distinct_sample": q_distinct_sample,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
@@ -6575,6 +6605,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'dd_p99', CAST(l AS DOUBLE) FROM r "
             "WHERE rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1 "
             "ORDER BY check_name"
+        ),
+        "distinct_sample": (
+            # the 64 smallest hash64_ints values over DISTINCT user_ids,
+            # via the shared splitmix CTE chain (bit-exact hash mirror)
+            "WITH "
+            + _splitmix_ctes(0, "user_id", table="events", id_expr="user_id")
+            + ", d AS (SELECT DISTINCT user_id, h FROM s5) "
+            "SELECT user_id FROM d ORDER BY h LIMIT 64"
         ),
         "dd_weighted_gate": (
             # exact token-weighted order statistics of text byte lengths:
