@@ -2629,6 +2629,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         keys = sorted(int(k) for k in acc.sample_keys())
         return pa.table({"user_id": pa.array(keys, pa.int64())})
 
+    def q_per_key_distinct_sample(sf):
+        """Grouped bottom-k sampling: 8 deterministic sample doc_ids PER
+        LANG via theta keep_keys sketches riding the salted two-phase
+        grouped path — per-key uniform domain samples at
+        O(keys * k * fanout) state however hot a key is, the bounded
+        replacement for 'collect N examples per group' driver loops.
+        Oracle: the shared splitmix chain + ROW_NUMBER PARTITION BY lang
+        ORDER BY h — bit-exact because the sample is a pure function of
+        the seeded hash, not of arrival order."""
+        from fever_ray.core.grouped import grouped_build
+        from fever_ray.core.udaf import SketchSpec
+        from fever_ray.sketches.theta import ThetaSketch
+
+        K = 8
+        ds = _t(sf, "documents", ["lang", "doc_id"])
+        spec = SketchSpec(
+            "sample", "theta", "doc_id", {"k": K, "keep_keys": True}, value_kind="int"
+        )
+        langs, ids = [], []
+        for r in grouped_build(ds, "lang", spec).take_all():
+            sk = ThetaSketch.from_bytes(r["payload"])
+            for kk in sk.sample_keys():
+                langs.append(r["key"])
+                ids.append(int(kk))
+        order = sorted(range(len(ids)), key=lambda i: (langs[i], ids[i]))
+        return pa.table(
+            {
+                "lang": pa.array([langs[i] for i in order], pa.string()),
+                "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+            }
+        )
+
     def q_theta_overlap_gate(sf):
         """Theta-sketch set-algebra published-bound gate (KMV bottom-k,
         Bar-Yossef et al. RANDOM 2002 / Beyer et al. SIGMOD 2007): one
@@ -3973,6 +4005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_overlap_gate": q_theta_overlap_gate,
         "dd_weighted_gate": q_dd_weighted_gate,
         "distinct_sample": q_distinct_sample,
+        "per_key_distinct_sample": q_per_key_distinct_sample,
         "sketch_error_gate": q_sketch_error_gate,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
@@ -6613,6 +6646,14 @@ def oracle_sql() -> dict[str, str]:
             + _splitmix_ctes(0, "user_id", table="events", id_expr="user_id")
             + ", d AS (SELECT DISTINCT user_id, h FROM s5) "
             "SELECT user_id FROM d ORDER BY h LIMIT 64"
+        ),
+        "per_key_distinct_sample": (
+            # 8 smallest hash64_ints doc_ids per lang (splitmix CTE mirror)
+            "WITH "
+            + _splitmix_ctes(0, "lang, doc_id", table="documents", id_expr="doc_id")
+            + ", r AS (SELECT lang, doc_id, row_number() OVER "
+            "(PARTITION BY lang ORDER BY h) AS rn FROM s5) "
+            "SELECT lang, doc_id FROM r WHERE rn <= 8 ORDER BY lang, doc_id"
         ),
         "dd_weighted_gate": (
             # exact token-weighted order statistics of text byte lengths:
