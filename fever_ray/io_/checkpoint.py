@@ -255,3 +255,176 @@ def run_partitioned_build(
         "skipped": sorted(done_inputs),
         "lineage": sorted(done.values(), key=lambda r: r["partition"]),
     }
+
+
+GROUP_INPUT_ROWS_KEY = "__input_rows"
+
+
+def run_partitioned_grouped_build(
+    input_files: list[str],
+    key: str,
+    spec: SketchSpec,
+    out_dir: str,
+    fanout: int = 16,
+    batch_size: int | None = 16384,
+) -> dict:
+    """Resumable GROUPED build: per-partition checkpoints of per-key sketch
+    rows (the grouped analog of ``run_partitioned_build``).
+
+    Each pending input file streams through the salted grouped-partials
+    path; its merged (key, payload) rows land in ONE atomic parquet plus a
+    manifest written last, so resume skips finished files exactly like the
+    global path.  Finalize merges the per-partition rows per key — the
+    checkpoint blobs are O(keys_in_partition * sketch_size), so this is a
+    driver loop over KB-sized tables; at unbounded key cardinality, point
+    the same partials parquet at a Dataset ``groupby(key)`` merge instead
+    (the files are ordinary parquet — nothing here is driver-only).
+
+    Returns {"groups": {key: sketch}, "completed", "skipped", "lineage"}.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..core.grouped import make_grouped_merge_fn, make_grouped_partials_fn
+
+    os.makedirs(os.path.join(out_dir, "partials"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+
+    bind = [f"{spec.name}@{key}"]
+    done = done_partitions(out_dir)
+    for rec in done.values():
+        have = rec.get("sketch_ids", bind)
+        if have != bind:
+            raise ValueError(
+                f"grouped checkpoint dir {out_dir!r} was built with {have}, "
+                f"current binding is {bind}; use a fresh checkpoint dir"
+            )
+    done_inputs = {rec["input_path"] for rec in done.values()}
+    pending = [f for f in input_files if f not in done_inputs]
+    completed = []
+
+    if pending:
+        ds = rd.read_parquet(pending, include_paths=True)
+        gpartials = make_grouped_partials_fn(spec, key, fanout=fanout)
+
+        def partials_with_partition(batch: pa.Table) -> pa.Table:
+            outs = []
+            for part in pc.unique(batch.column("path")).to_pylist():
+                sub = batch.filter(pc.equal(batch.column("path"), part))
+                n_input = sub.num_rows
+                out = gpartials(sub.drop_columns(["path"]))
+                count_row = pa.table(
+                    {
+                        "key": pa.array([GROUP_INPUT_ROWS_KEY], type=pa.string()),
+                        "salt": pa.array([0], type=pa.int32()),
+                        "payload": pa.array([b""], type=pa.large_binary()),
+                        "rows": pa.array([n_input], type=pa.int64()),
+                    }
+                )
+                out = pa.concat_tables([out, count_row])
+                outs.append(
+                    out.append_column(
+                        PARTITION_COL,
+                        pa.array([part] * out.num_rows, type=pa.string()),
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        merge = make_grouped_merge_fn(spec)
+
+        def merge_keep_partition(group: pa.Table) -> pa.Table:
+            part = group.column(PARTITION_COL)[0].as_py()
+            if group.column("key")[0].as_py() == GROUP_INPUT_ROWS_KEY:
+                total = int(pa.compute.sum(group.column("rows")).as_py() or 0)
+                merged = pa.table(
+                    {
+                        "key": pa.array([GROUP_INPUT_ROWS_KEY], type=pa.string()),
+                        "salt": pa.array([0], type=pa.int32()),
+                        "payload": pa.array([b""], type=pa.large_binary()),
+                        "rows": pa.array([total], type=pa.int64()),
+                    }
+                )
+            else:
+                merged = merge(group.drop_columns([PARTITION_COL]))
+            return merged.append_column(
+                PARTITION_COL, pa.array([part] * merged.num_rows, type=pa.string())
+            )
+
+        def sink(group: pa.Table) -> pa.Table:
+            t0 = time.perf_counter()
+            part = group.column(PARTITION_COL)[0].as_py()
+            pkey = partition_key(part)
+            is_count = pc.equal(group.column("key"), GROUP_INPUT_ROWS_KEY)
+            count_rows = group.filter(is_count)
+            group_rows = group.filter(pc.invert(is_count))
+            payload = group_rows.drop_columns([PARTITION_COL])
+            payload_path = os.path.join(out_dir, "partials", f"{pkey}.parquet")
+            _atomic_write(payload_path, lambda p: pq.write_table(payload, p))
+            digest = hashlib.sha1(
+                b"".join(sorted(group_rows.column("payload").to_pylist()))
+            ).hexdigest()
+            rows = (
+                int(pa.compute.sum(count_rows.column("rows")).as_py() or 0)
+                if count_rows.num_rows
+                else 0
+            )
+            manifest = {
+                "partition": pkey,
+                "input_path": part,
+                "rows": rows,
+                "sketch_ids": bind,
+                "n_keys": payload.num_rows,
+                "payload_digest": digest,
+                "payload_path": payload_path,
+                "metrics": {
+                    "rows": rows,
+                    "payload_bytes": sum(
+                        len(b) for b in group_rows.column("payload").to_pylist()
+                    ),
+                    "write_wall_s": round(time.perf_counter() - t0, 6),
+                },
+            }
+            _atomic_write(
+                os.path.join(out_dir, "manifest", f"{pkey}.json"),
+                lambda p: open(p, "w").write(json.dumps(manifest, sort_keys=True)),
+            )
+            return pa.table(
+                {
+                    "partition": pa.array([pkey]),
+                    "input_path": pa.array([part]),
+                    "rows": pa.array([rows], type=pa.int64()),
+                }
+            )
+
+        completed = (
+            ds.map_batches(
+                partials_with_partition,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                zero_copy_batch=True,
+            )
+            .groupby([PARTITION_COL, "key", "salt"])
+            .map_groups(merge_keep_partition, batch_format="pyarrow")
+            .groupby([PARTITION_COL, "key"])
+            .map_groups(merge_keep_partition, batch_format="pyarrow")
+            .groupby(PARTITION_COL)
+            .map_groups(sink, batch_format="pyarrow")
+            .take_all()
+        )
+
+    done = done_partitions(out_dir)
+    groups: dict[str, object] = {}
+    for rec in sorted(done.values(), key=lambda r: r["partition"]):
+        t = pq.read_table(rec["payload_path"])
+        for row in t.to_pylist():
+            sk = sketch_from_bytes(spec.kind, row["payload"])
+            if row["key"] in groups:
+                groups[row["key"]].merge(sk)
+            else:
+                groups[row["key"]] = sk
+    return {
+        "groups": groups,
+        "completed": completed,
+        "skipped": sorted(done_inputs),
+        "lineage": sorted(done.values(), key=lambda r: r["partition"]),
+    }

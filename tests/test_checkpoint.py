@@ -144,3 +144,59 @@ def test_cross_job_checkpoint_merge(ray_session, pages_dir, tmp_path, capsys):
         zip(card.column("sketch").to_pylist(), card.column("estimate").to_pylist())
     )
     assert abs(got["hll_urls"] - ru["sketches"]["hll_urls"].estimate()) < 1e-9
+
+
+# ---------------------------------------------------- grouped checkpoints
+def test_grouped_checkpoint_resume_and_parity(ray_session, pages_dir, tmp_path):
+    """Grouped builds resume exactly like global ones: interrupted run +
+    resume yields per-key sketches register-identical to an uninterrupted
+    run AND to the non-checkpointed grouped_build path."""
+    import glob as _glob
+
+    from fever_ray.core.grouped import grouped_build
+    from fever_ray.io_.checkpoint import run_partitioned_grouped_build
+    from fever_ray.sketches import sketch_from_bytes
+
+    files = sorted(_glob.glob(pages_dir + "/*.parquet"))
+    spec = SketchSpec("hll_urls", "hll", "url", {"p": 12})
+
+    ck = str(tmp_path / "gck")
+    run_partitioned_grouped_build(files[:2], "lang", spec, ck, batch_size=256)
+    assert len(done_partitions(ck)) == 2
+    r2 = run_partitioned_grouped_build(files, "lang", spec, ck, batch_size=256)
+    assert {c["input_path"] for c in r2["completed"]} == set(files[2:])
+    assert len(done_partitions(ck)) == 4
+
+    ck2 = str(tmp_path / "gck2")
+    r3 = run_partitioned_grouped_build(files, "lang", spec, ck2, batch_size=256)
+    assert set(r2["groups"]) == set(r3["groups"]) and len(r2["groups"]) >= 2
+
+    import ray.data as rd
+
+    direct = {
+        row["key"]: sketch_from_bytes("hll", row["payload"])
+        for row in grouped_build(
+            rd.read_parquet(files), "lang", spec, batch_size=256
+        ).take_all()
+    }
+    assert set(direct) == set(r2["groups"])
+    for k in direct:
+        assert np.array_equal(direct[k].registers, r2["groups"][k].registers), k
+        assert np.array_equal(direct[k].registers, r3["groups"][k].registers), k
+
+    # lineage: per-partition records with key counts and metrics
+    for rec in r2["lineage"]:
+        assert rec["sketch_ids"] == ["hll_urls@lang"]
+        assert rec["n_keys"] >= 1 and rec["rows"] > 0
+        assert os.path.exists(rec["payload_path"])
+        assert rec["metrics"]["payload_bytes"] > 0
+
+    # rerun = no-op
+    r4 = run_partitioned_grouped_build(files, "lang", spec, ck, batch_size=256)
+    assert r4["completed"] == []
+
+    # binding guard: different key or spec name must fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_partitioned_grouped_build(files, "url", spec, ck, batch_size=256)
