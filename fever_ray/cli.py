@@ -109,6 +109,43 @@ def cmd_merge(args) -> int:
     from .pipelines.flagship import STANDARD_SPECS, summary_rows
     from .sketches import sketch_from_bytes
 
+    if getattr(args, "grouped", None):
+        # grouped-checkpoint mode: payload rows are (key, payload) from
+        # run_partitioned_grouped_build; merge per key across all runs
+        from .core.udaf import SketchSpec, finalize
+
+        kind = args.grouped
+        spec = SketchSpec("merged", kind, "")
+        groups: dict = {}
+        rows_total, n_parts = 0, 0
+        dirs = [d for d in args.checkpoints.split(",") if d]
+        for ck in dirs:
+            done = done_partitions(ck)
+            if not done:
+                raise ValueError(f"no completed partitions under {ck}")
+            for rec in sorted(done.values(), key=lambda r: r["partition"]):
+                n_parts += 1
+                rows_total += int(rec.get("rows", 0))
+                for row in pq.read_table(rec["payload_path"]).to_pylist():
+                    sk = sketch_from_bytes(kind, row["payload"])
+                    if row["key"] in groups:
+                        groups[row["key"]].merge(sk)
+                    else:
+                        groups[row["key"]] = sk
+        print(
+            json.dumps(
+                {
+                    "runs": len(dirs),
+                    "partitions": n_parts,
+                    "rows": rows_total,
+                    "keys": len(groups),
+                }
+            )
+        )
+        for k in sorted(groups):
+            print(json.dumps({"key": k, **finalize(groups[k], spec)}))
+        return 0
+
     kinds = {s.name: s.kind for s in STANDARD_SPECS}
     acc: dict = {}
     rows_total, n_parts, skipped = 0, 0, set()
@@ -983,6 +1020,9 @@ def main(argv=None) -> int:
     pmg.add_argument("--checkpoints", required=True,
                      help="comma-separated checkpoint dirs from prior runs")
     pmg.add_argument("--out", help="write merged summary.parquet here")
+    pmg.add_argument("--grouped", default=None,
+                     help="checkpoints are GROUPED (per-key) builds of this "
+                     "sketch kind (e.g. hll); prints one JSON line per key")
     pmg.set_defaults(fn=cmd_merge)
 
     pd_ = sub.add_parser("dedup", allow_abbrev=False, help="MinHash-LSH near-dedup over pages")

@@ -200,3 +200,28 @@ def test_grouped_checkpoint_resume_and_parity(ray_session, pages_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         run_partitioned_grouped_build(files, "url", spec, ck, batch_size=256)
+
+
+def test_cli_grouped_merge_equals_union_run(ray_session, pages_dir, tmp_path, capsys):
+    """Cross-job GROUPED merge: two runs over disjoint file halves merged
+    via `cli merge --grouped hll` must print per-key estimates identical to
+    one union run over all files (register merges are bit-identical)."""
+    import glob as _glob
+
+    from fever_ray import cli as cli_mod
+    from fever_ray.io_.checkpoint import run_partitioned_grouped_build
+
+    files = sorted(_glob.glob(pages_dir + "/*.parquet"))
+    spec = SketchSpec("hll_urls", "hll", "url", {"p": 12})
+    cka, ckb, cku = (str(tmp_path / d) for d in ("gja", "gjb", "gju"))
+    run_partitioned_grouped_build(files[:2], "lang", spec, cka, batch_size=256)
+    run_partitioned_grouped_build(files[2:], "lang", spec, ckb, batch_size=256)
+    union = run_partitioned_grouped_build(files, "lang", spec, cku, batch_size=256)
+
+    rc = cli_mod.main(["merge", "--checkpoints", f"{cka},{ckb}", "--grouped", "hll"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    head, rows = lines[0], lines[1:]
+    assert head["runs"] == 2 and head["keys"] == len(union["groups"])
+    for r in rows:
+        assert r["estimate"] == union["groups"][r["key"]].estimate(), r["key"]
