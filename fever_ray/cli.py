@@ -80,6 +80,37 @@ def cmd_run(args) -> int:
     from .sketches.bloom import BloomFilter
 
     _init_ray(args.num_cpus)
+    if getattr(args, "group_by", None):
+        # grouped resumable build: per-key distinct-url HLLs, checkpointed
+        # per input file (run_partitioned_grouped_build); rerun = resume
+        import glob as _glob
+
+        from .core.udaf import SketchSpec, finalize
+        from .io_.checkpoint import run_partitioned_grouped_build
+
+        if not args.checkpoint:
+            print("--group-by requires --checkpoint", file=sys.stderr)
+            return 2
+        files = sorted(
+            _glob.glob(os.path.join(args.input, "**", "*.parquet"), recursive=True)
+        ) or [args.input]
+        spec = SketchSpec("hll_urls", "hll", "url", {"p": 14})
+        res = run_partitioned_grouped_build(
+            files, args.group_by, spec, args.checkpoint, batch_size=args.batch_size
+        )
+        print(
+            json.dumps(
+                {
+                    "group_by": args.group_by,
+                    "keys": len(res["groups"]),
+                    "completed": len(res["completed"]),
+                    "skipped": len(res["skipped"]),
+                }
+            )
+        )
+        for k in sorted(res["groups"]):
+            print(json.dumps({"key": k, **finalize(res["groups"][k], spec)}))
+        return 0
     bloom = None
     if args.bloom_file:
         bloom = BloomFilter.load_with_fallback(args.bloom_file, compressed=args.bloom_zipped)
@@ -1011,6 +1042,9 @@ def main(argv=None) -> int:
     pr.add_argument("--bloom-zipped", dest="bloom_zipped", action="store_true")
     pr.add_argument("--batch-size", dest="batch_size", type=int, default=16384)
     pr.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pr.add_argument("--group-by", dest="group_by", default=None,
+                    help="grouped resumable build: per-key distinct-url "
+                    "HLL card keyed by this column (requires --checkpoint)")
     pr.set_defaults(fn=cmd_run)
 
     pmg = sub.add_parser(
