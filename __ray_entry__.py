@@ -2731,6 +2731,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         def bucket_counts(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or g.num_columns == 0:
+                # empty map_groups partitions arrive as ZERO-COLUMN tables
+                return pa.table(
+                    {
+                        "n_a": pa.array([], pa.int64()),
+                        "n_b": pa.array([], pa.int64()),
+                        "n_inter": pa.array([], pa.int64()),
+                    }
+                )
             et = g.column("et").to_numpy(zero_copy_only=False).astype(str)
             u = g.column("user").to_numpy(zero_copy_only=False)
             buyers = np.unique(u[et == "purchase"])
@@ -2866,6 +2875,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         def bucket_counts(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or g.num_columns == 0:
+                # empty map_groups partitions arrive as ZERO-COLUMN tables
+                return pa.table(
+                    {
+                        "level": pa.array([], pa.string()),
+                        "key": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
             cells = g.column("cell").to_numpy(zero_copy_only=False).astype(str)
             users = g.column("user").to_numpy(zero_copy_only=False)
             split = np.char.partition(cells, "|")

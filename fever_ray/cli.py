@@ -174,7 +174,9 @@ def cmd_merge(args) -> int:
             )
         )
         for k in sorted(groups):
-            print(json.dumps({"key": k, **finalize(groups[k], spec)}))
+            # default=float: quantile/top-k finalize payloads can carry
+            # numpy scalars, which json refuses to serialize natively
+            print(json.dumps({"key": k, **finalize(groups[k], spec)}, default=float))
         return 0
 
     kinds = {s.name: s.kind for s in STANDARD_SPECS}

@@ -225,3 +225,41 @@ def test_cli_grouped_merge_equals_union_run(ray_session, pages_dir, tmp_path, ca
     assert head["runs"] == 2 and head["keys"] == len(union["groups"])
     for r in rows:
         assert r["estimate"] == union["groups"][r["key"]].estimate(), r["key"]
+
+
+def test_cli_grouped_merge_quantile_kind_json(ray_session, tmp_path, capsys):
+    """`cli merge --grouped tdigest` must print valid JSON: quantile
+    finalize payloads carry numpy float scalars, which json.dumps rejects
+    without a default= hook (regression test for the default=float fix)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from fever_ray import cli as cli_mod
+    from fever_ray.io_.checkpoint import run_partitioned_grouped_build
+
+    rng = np.random.default_rng(7)
+    files = []
+    for i in range(2):
+        t = pa.table(
+            {
+                "lang": pa.array(["en", "de"] * 100),
+                "v": pa.array(rng.normal(100.0, 15.0, 200)),
+            }
+        )
+        f = str(tmp_path / f"vals{i}.parquet")
+        _pq.write_table(t, f)
+        files.append(f)
+
+    spec = SketchSpec("td_v", "tdigest", "v", {"delta": 100}, value_kind="float")
+    ck = str(tmp_path / "gq")
+    run_partitioned_grouped_build(files, "lang", spec, ck, batch_size=128)
+
+    rc = cli_mod.main(["merge", "--checkpoints", ck, "--grouped", "tdigest"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    head, rows = lines[0], lines[1:]
+    assert head["keys"] == 2 and {r["key"] for r in rows} == {"en", "de"}
+    for r in rows:
+        q = r["quantiles"]
+        assert q["0.01"] <= q["0.5"] <= q["0.99"]
