@@ -3003,6 +3003,161 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"join_size": pa.array([exact] if ok else [], pa.int64())}
         )
 
+    def q_dyadic_range_gate(sf):
+        """Range-count estimation from ONE streaming pass (Cormode &
+        Muthukrishnan 2005 §4.3): a dyadic Count-Min over event amounts in
+        integer cents answers arbitrary [lo, hi] selectivity questions from
+        a KB-scale mergeable summary — the optimizer/histogram primitive at
+        10^12 rows, where an exact answer per predicate costs a full scan.
+        Exact ground truth per probe range comes from one vectorized
+        searchsorted partial per batch + a streaming sum (bounded 5-range
+        domain; nothing row-shaped shuffles).  Gate: every range estimate
+        must respect BOTH published guarantees — never below the exact
+        count and ≤ 2·bits·ε·n above it — before the exact rows are
+        emitted; the driver hash gate is the bound assertion."""
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+        from fever_ray.ops.aggregates import _cents
+
+        ranges = [
+            (0, 0, 999),
+            (1, 1000, 4999),
+            (2, 5000, 9999),
+            (3, 10000, 19999),
+            (4, 20000, 65535),
+        ]
+        edges = np.array(
+            [r[1] for r in ranges] + [ranges[-1][2] + 1], dtype=np.int64
+        )
+
+        ds = _t(sf, "events", ["value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            return pa.table({"c": _cents(b.column("value"))})
+
+        cds = ds.map_batches(to_cents, batch_format="pyarrow")
+        spec = SketchSpec(
+            "dcms_c",
+            "dcms",
+            "c",
+            {"bits": 16, "width": 1024, "depth": 4},
+            value_kind="int",
+        )
+        sk = build_sketches(cds, [spec], batch_size=8192)["dcms_c"]
+
+        def range_partial(b: pa.Table) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            # ranges are contiguous here, so one searchsorted histogram
+            # serves all five (edges = the range lower bounds + final hi+1)
+            counts = np.bincount(
+                np.searchsorted(edges, c, side="right") - 1,
+                minlength=len(ranges) + 1,
+            )[: len(ranges)]
+            return pa.table(
+                {f"r{i}": pa.array([int(counts[i])], pa.int64()) for i in range(len(ranges))}
+            )
+
+        sums = cds.map_batches(range_partial, batch_format="pyarrow").sum(
+            [f"r{i}" for i in range(len(ranges))]
+        )
+        exact = [int(sums[f"sum(r{i})"]) for i in range(len(ranges))]
+
+        envelope = 2 * 16 * (np.e / 1024) * sk.total
+        ok = all(
+            exact[i] <= sk.range_count(lo, hi) <= exact[i] + envelope
+            for i, lo, hi in ranges
+        )
+        idx = list(range(len(ranges))) if ok else []
+        return pa.table(
+            {
+                "range_id": pa.array([ranges[i][0] for i in idx], pa.int64()),
+                "lo": pa.array([ranges[i][1] for i in idx], pa.int64()),
+                "hi": pa.array([ranges[i][2] for i in idx], pa.int64()),
+                "exact_count": pa.array([exact[i] for i in idx], pa.int64()),
+            }
+        )
+
+    def q_cbf_retraction_gate(sf):
+        """Membership with RETRACTION from two streaming passes (counting
+        Bloom filter, Fan et al. ToN 2000 §4.3): sketch the full user
+        stream and the to-retract (error-event) stream into same-shaped
+        counting blooms, subtract — the batch-native generalization of the
+        reference's live-mutable indicator set (mgmt BloomAdd), where
+        retraction otherwise forces a rebuild over the whole additions
+        corpus.  The subtracted filter must show (a) ZERO false negatives —
+        every user with a surviving (non-error) event still tests positive
+        (a counting-bloom guarantee, not a probability), (b) false
+        positives among fully-retracted users within 3x the fill_ratio^k
+        expectation, and (c) zero negative-counter debt.  Only then are the
+        exact audience counts (one bounded-key tree aggregation) emitted —
+        the driver hash gate is the guarantee assertion."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+
+        ds = _t(sf, "events", ["user_id", "event_type"])
+        spec = SketchSpec(
+            "cbf_u", "cbf", "user_id", {"n": 100_000, "p": 1e-4}, value_kind="int"
+        )
+
+        def err_only(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), "error"))
+
+        cb_all = build_sketches(ds, [spec], batch_size=8192)["cbf_u"]
+        cb_err = build_sketches(
+            ds.map_batches(err_only, batch_format="pyarrow"), [spec], batch_size=8192
+        )["cbf_u"]
+        cb_all.subtract(cb_err)
+
+        def user_flags(b: pa.Table) -> pa.Table:
+            u = b.column("user_id").to_numpy(zero_copy_only=False)
+            ok = (
+                pc.not_equal(b.column("event_type"), "error")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            uniq, inv = np.unique(u, return_inverse=True)
+            f = np.zeros(len(uniq), dtype=np.int64)
+            np.maximum.at(f, inv, ok)
+            return pa.table(
+                {
+                    "user": pa.array(uniq, pa.int64()),
+                    "f": pa.array(f, pa.int64()),
+                }
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(user_flags, batch_format="pyarrow"),
+                    ["user"],
+                    [("f", "max")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        t = pa.concat_tables(parts)
+        users = t.column("user").to_numpy(zero_copy_only=False)
+        active = t.column("f").to_numpy(zero_copy_only=False).astype(bool)
+
+        hits = cb_all.contains(users)
+        no_false_neg = bool(hits[active].all()) if active.any() else True
+        fp = int(hits[~active].sum())
+        expected_fp = (~active).sum() * cb_all.fill_ratio**cb_all.k
+        ok = no_false_neg and fp <= 3 * expected_fp + 2 and cb_all.debt == 0
+
+        n_users, n_active = len(users), int(active.sum())
+        return pa.table(
+            {
+                "n_users": pa.array([n_users] if ok else [], pa.int64()),
+                "n_active": pa.array([n_active] if ok else [], pa.int64()),
+                "n_retired": pa.array(
+                    [n_users - n_active] if ok else [], pa.int64()
+                ),
+            }
+        )
+
     def q_grouped_tail_per_lang(sf):
         """Grouped REQ tail gate: the per-token byte-length stream keyed by
         lang runs through the salted two-phase grouped-sketch path
@@ -4037,6 +4192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_dd_per_lang": q_grouped_dd_per_lang,
         "sketch_cube": q_sketch_cube,
         "cms_join_size": q_cms_join_size,
+        "dyadic_range_gate": q_dyadic_range_gate,
+        "cbf_retraction_gate": q_cbf_retraction_gate,
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
@@ -6533,6 +6690,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_id % 2 = 1 GROUP BY user_id) "
             "SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS join_size "
             "FROM a JOIN b USING (user_id)"
+        ),
+        "dyadic_range_gate": (
+            # exact counts of event amount-cents inside five probe ranges;
+            # engine rows exist only if every dyadic-CMS range estimate sat
+            # inside [exact, exact + 2*bits*eps*n] (C&M 2005 §4.3 bound)
+            "WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c "
+            "FROM events) "
+            "SELECT CAST(r.range_id AS BIGINT) AS range_id, "
+            "CAST(r.lo AS BIGINT) AS lo, CAST(r.hi AS BIGINT) AS hi, "
+            "CAST(COUNT(c.c) AS BIGINT) AS exact_count "
+            "FROM (VALUES (0, 0, 999), (1, 1000, 4999), (2, 5000, 9999), "
+            "(3, 10000, 19999), (4, 20000, 65535)) r(range_id, lo, hi) "
+            "LEFT JOIN c ON c.c BETWEEN r.lo AND r.hi "
+            "GROUP BY r.range_id, r.lo, r.hi ORDER BY range_id"
+        ),
+        "cbf_retraction_gate": (
+            # exact audience split after retracting error traffic; engine
+            # row exists only if the subtracted counting bloom showed zero
+            # false negatives, bounded false positives, and zero debt
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(COUNT(DISTINCT CASE WHEN event_type <> 'error' "
+            "THEN user_id END) AS BIGINT) AS n_active, "
+            "CAST(COUNT(DISTINCT user_id) - COUNT(DISTINCT CASE WHEN "
+            "event_type <> 'error' THEN user_id END) AS BIGINT) AS n_retired "
+            "FROM events"
         ),
         "sketch_cube": (
             # exact distinct-user cube at three granularities; engine rows

@@ -134,6 +134,10 @@ def _update(sketch, spec: SketchSpec, values) -> None:
             sketch.update_ints(values)
         else:
             sketch.update(values)
+    elif spec.kind == "dcms":
+        sketch.update(values)
+    elif spec.kind == "cbf":
+        sketch.add(values)
     else:
         raise ValueError(spec.kind)
 
@@ -326,6 +330,17 @@ def finalize(sketch, spec: SketchSpec, quantiles=(0.01, 0.25, 0.5, 0.75, 0.99)) 
             "f2_estimate": sketch.estimate_f2(),
             "rel_error_bound": sketch.rel_error_bound(),
             "n": sketch.n,
+        }
+    if spec.kind == "cbf":
+        return {
+            "n_add": sketch.n_add,
+            "n_remove": sketch.n_remove,
+            "fill_ratio": sketch.fill_ratio,
+        }
+    if spec.kind == "dcms":
+        return {
+            "total": sketch.total,
+            "quantiles": {str(q): int(sketch.quantile(q)) for q in quantiles},
         }
     if spec.kind == "mg":
         return {

@@ -16,7 +16,9 @@ mutex in one process.
 """
 
 from .bloom import BloomFilter, BloomKTooHighError, build_filter
+from .cbf import CountingBloom
 from .cms import CountMin
+from .dcms import DyadicCountMin
 from .ams import AMSSketch
 from .dd import DDSketch
 from .fd import FrequentDirections
@@ -40,6 +42,8 @@ SKETCH_TYPES = {
     "mg": MisraGries,
     "req": REQ,
     "dd": DDSketch,
+    "dcms": DyadicCountMin,
+    "cbf": CountingBloom,
 }
 
 
@@ -53,8 +57,10 @@ __all__ = [
     "BloomKTooHighError",
     "build_filter",
     "AMSSketch",
+    "CountingBloom",
     "CountMin",
     "DDSketch",
+    "DyadicCountMin",
     "FrequentDirections",
     "HyperLogLog",
     "KLL",

@@ -849,3 +849,206 @@ def test_cms_inner_product_join_size_bounds():
 
     with _pytest.raises(ValueError):
         A.inner_product(CountMin.create(width=1024, depth=5))
+
+
+# ---------------------------------------------------------------- dyadic CMS
+def test_dcms_decompose_tiles_exactly():
+    """Every canonical dyadic cover tiles [lo, hi] with no gap, no overlap,
+    and at most 2*bits nodes."""
+    from fever_ray.sketches.dcms import dyadic_decompose
+
+    rng = np.random.default_rng(11)
+    bits = 10
+    for _ in range(200):
+        lo, hi = sorted(int(x) for x in rng.integers(0, 1 << bits, 2))
+        nodes = dyadic_decompose(lo, hi, bits)
+        assert len(nodes) <= 2 * bits
+        covered = np.zeros(1 << bits, dtype=bool)
+        for level, prefix in nodes:
+            a, b = prefix << level, ((prefix + 1) << level) - 1
+            assert not covered[a : b + 1].any(), "overlap"
+            covered[a : b + 1] = True
+        assert covered[lo : hi + 1].all() and covered.sum() == hi - lo + 1
+    assert dyadic_decompose(5, 4, bits) == []
+    assert dyadic_decompose(0, (1 << bits) - 1, bits) == [(bits, 0)]
+
+
+def test_dcms_range_never_undercounts_within_bound():
+    """C&M §4.3: range estimate >= exact always; overcount <= 2*bits*eps*n
+    (holds deterministically here with a comfortable margin on Zipf data)."""
+    from fever_ray.sketches.dcms import DyadicCountMin
+
+    rng = np.random.default_rng(5)
+    bits = 14
+    data = np.minimum(
+        (rng.zipf(1.3, 60000) - 1) + rng.integers(0, 512, 60000), (1 << bits) - 1
+    ).astype(np.int64)
+    sk = DyadicCountMin.create(bits=bits, width=512, depth=4)
+    for chunk in np.array_split(data, 7):
+        sk.update(chunk)
+    assert sk.total == len(data)
+    bound = 2 * bits * sk._level_view(0).epsilon * len(data)
+    for _ in range(60):
+        lo, hi = sorted(int(x) for x in rng.integers(0, 1 << bits, 2))
+        exact = int(((data >= lo) & (data <= hi)).sum())
+        est = sk.range_count(lo, hi)
+        assert est >= exact, (lo, hi)
+        assert est - exact <= bound, (lo, hi)
+    # full-universe range is exact (served by the tracked total)
+    assert sk.range_count(0, (1 << bits) - 1) == len(data)
+
+
+def test_dcms_quantile_additive_rank_error():
+    """quantile(q) binary-searches the prefix rank: the returned value's
+    exact rank must sit within the accumulated overcount envelope."""
+    from fever_ray.sketches.dcms import DyadicCountMin
+
+    rng = np.random.default_rng(9)
+    bits = 14
+    data = rng.integers(0, 1 << bits, 80000).astype(np.int64)
+    sk = DyadicCountMin.create(bits=bits, width=1024, depth=4)
+    sk.update(data)
+    srt = np.sort(data)
+    envelope = 2 * bits * sk._level_view(0).epsilon * len(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        x = sk.quantile(q)
+        exact_rank = int((data <= x).sum())
+        target = int(np.ceil(q * len(data)))
+        # rank(x) >= target and rank never undercounts -> exact rank can sit
+        # below target only by the overcount; above by one value's mass
+        assert exact_rank >= target - envelope
+        lower_exact = int((data <= x - 1).sum()) if x else 0
+        assert lower_exact < target
+
+
+def test_dcms_merge_bit_identical_any_order_and_weighted():
+    """Merge = per-level integer table add: any merge order equals the
+    single-pass build byte-for-byte; weighted update == repeats."""
+    from fever_ray.sketches.dcms import DyadicCountMin
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 1 << 12, 30000).astype(np.int64)
+    single = DyadicCountMin.create(bits=12, width=256, depth=4)
+    single.update(data)
+    parts = []
+    for ch in np.array_split(data, 8):
+        p = DyadicCountMin.create(bits=12, width=256, depth=4)
+        p.update(ch)
+        parts.append(p.to_bytes())
+
+    def merged(order):
+        acc = DyadicCountMin.create(bits=12, width=256, depth=4)
+        for i in order:
+            acc.merge(DyadicCountMin.from_bytes(parts[i]))
+        return acc.to_bytes()
+
+    fwd = merged(list(range(8)))
+    assert fwd == merged([7, 1, 4, 0, 6, 2, 5, 3]) == single.to_bytes()
+
+    uniq, counts = np.unique(data, return_counts=True)
+    w = DyadicCountMin.create(bits=12, width=256, depth=4)
+    w.update(uniq, counts=counts)
+    assert w.to_bytes() == single.to_bytes()
+
+
+def test_dcms_roundtrip_and_guards():
+    from fever_ray.sketches.dcms import DyadicCountMin
+    from fever_ray.sketches import sketch_from_bytes
+
+    sk = DyadicCountMin.create(bits=8, width=64, depth=3)
+    sk.update(np.array([1, 5, 200, 255], dtype=np.int64))
+    rt = sketch_from_bytes("dcms", sk.to_bytes())
+    assert rt.to_bytes() == sk.to_bytes()
+    assert rt.range_count(0, 255) == 4
+
+    with pytest.raises(ValueError):
+        sk.update(np.array([-1], dtype=np.int64))
+    with pytest.raises(ValueError):
+        sk.update(np.array([256], dtype=np.int64))
+    with pytest.raises(ValueError):
+        sk.merge(DyadicCountMin.create(bits=9, width=64, depth=3))
+    with pytest.raises(ValueError):
+        DyadicCountMin.create(bits=0)
+
+
+# ---------------------------------------------------------------- counting bloom
+def test_cbf_no_false_negatives_and_fp_rate():
+    """Summary Cache §4.3: after valid add/remove traffic, every remaining
+    key tests positive (no false negatives); removed-support keys test
+    positive only at ~fill_ratio^k."""
+    from fever_ray.sketches.cbf import CountingBloom
+
+    keep = np.array([f"keep-{i}" for i in range(20000)], dtype=object)
+    drop = np.array([f"drop-{i}" for i in range(20000)], dtype=object)
+    cb = CountingBloom.create(n=25000, p=1e-3)
+    cb.add(keep)
+    cb.add(drop)
+    cb.remove(drop)
+    assert cb.contains(keep).all()
+    assert cb.debt == 0
+    fp = int(cb.contains(drop).sum())
+    expected = len(drop) * cb.fill_ratio**cb.k
+    assert fp <= 3 * expected + 10, (fp, expected)
+
+
+def test_cbf_subtract_equals_elementwise_removes():
+    """Retraction as sketch algebra: subtracting a filter built over the
+    retraction stream is byte-identical to removing those keys one by one."""
+    from fever_ray.sketches.cbf import CountingBloom
+
+    rng = np.random.default_rng(17)
+    allk = np.array([f"k{i}" for i in range(5000)], dtype=object)
+    retr = allk[rng.random(5000) < 0.3]
+    a = CountingBloom.create(n=5000, p=1e-3)
+    a.add(allk)
+    r = CountingBloom.create(n=5000, p=1e-3)
+    r.add(retr)
+    b = CountingBloom.from_bytes(a.to_bytes())
+    a.remove(retr)
+    b.subtract(r)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_cbf_merge_commutes_with_removals_any_order():
+    """Signed counters: partials where removals precede the matching
+    insertions (negative transients) still merge to the same bytes as the
+    sequential build — add/remove fully commute across partials."""
+    from fever_ray.sketches.cbf import CountingBloom
+
+    keys = np.array([f"x{i}" for i in range(4000)], dtype=object)
+    gone = keys[:1500]
+
+    seq = CountingBloom.create(n=4000, p=1e-3)
+    seq.add(keys)
+    seq.remove(gone)
+
+    p1 = CountingBloom.create(n=4000, p=1e-3)
+    p1.remove(gone)  # removals land in a DIFFERENT partial than the adds
+    assert p1.debt > 0  # transient negative mass is expected on a partial
+    p2 = CountingBloom.create(n=4000, p=1e-3)
+    p2.add(keys)
+    assert p1.merge(p2).to_bytes() == seq.to_bytes()
+    assert p1.debt == 0
+
+
+def test_cbf_weighted_int_keys_roundtrip_and_guards():
+    from fever_ray.sketches import sketch_from_bytes
+    from fever_ray.sketches.cbf import CountingBloom
+
+    ids = np.arange(1000, dtype=np.int64)
+    cb = CountingBloom.create(n=2000, p=1e-3)
+    cb.add(ids, counts=np.full(1000, 3, dtype=np.int64))
+    cb.remove(ids[:500], counts=np.full(500, 3, dtype=np.int64))
+    assert not cb.contains(ids[:500]).any() or cb.contains(ids[:500]).sum() < 20
+    assert cb.contains(ids[500:]).all()
+
+    rt = sketch_from_bytes("cbf", cb.to_bytes())
+    assert rt.to_bytes() == cb.to_bytes()
+    assert (rt.contains(ids) == cb.contains(ids)).all()
+
+    with pytest.raises(ValueError):
+        cb.merge(CountingBloom.create(n=999, p=1e-3))
+    with pytest.raises(ValueError):
+        cb.add(ids, counts=np.array([-1] * 1000))
+    with pytest.raises(ValueError):
+        CountingBloom.create(n=0)

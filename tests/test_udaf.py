@@ -166,3 +166,33 @@ def test_fd_via_build_sketches_meets_bound(ray_session):
     ev = np.linalg.eigvalsh(A32.T @ A32 - sk.cov())
     assert ev.min() >= -1e-6 * sk.fnorm_sq
     assert ev.max() <= sk.error_bound()
+
+
+def test_dcms_via_build_sketches_range_bound(ray_session):
+    """kind='dcms' + value_kind='int': the distributed UDAF path (partials,
+    salted two-phase merge) must keep the never-undercount + 2*bits*eps*n
+    range guarantee, and equal the serial build bit-exactly (integer adds)."""
+    import pyarrow as pa
+
+    from fever_ray.core.udaf import SketchSpec, build_sketches
+    from fever_ray.sketches.dcms import DyadicCountMin
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 1 << 12, 40000).astype(np.int64)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    ds = ray_session.data.from_arrow(t).repartition(6)
+    spec = SketchSpec(
+        "dcms_v", "dcms", "v", {"bits": 12, "width": 512, "depth": 4},
+        value_kind="int",
+    )
+    sk = build_sketches(ds, [spec])["dcms_v"]
+
+    serial = DyadicCountMin.create(bits=12, width=512, depth=4)
+    serial.update(vals)
+    assert sk.to_bytes() == serial.to_bytes()
+
+    bound = 2 * 12 * (np.e / 512) * len(vals)
+    for lo, hi in ((0, 100), (512, 1023), (100, 3900)):
+        exact = int(((vals >= lo) & (vals <= hi)).sum())
+        est = sk.range_count(lo, hi)
+        assert exact <= est <= exact + bound
