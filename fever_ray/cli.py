@@ -1010,6 +1010,64 @@ def cmd_bloom(args) -> int:
     return 0
 
 
+def cmd_cbloom(args) -> int:
+    """Counting-bloom indicator set: membership with RETRACTION.  Where
+    `bloom` manages the DCSO-format artifact (add-only; retraction forces a
+    rebuild over the full IoC corpus, as in the reference's mgmt server),
+    `cbloom` holds signed counters so `remove` retracts indicators in place
+    — no rebuild, no re-read.  Not byte-compatible with DCSO files."""
+    import numpy as np
+
+    from .sketches.cbf import CountingBloom
+
+    def _vals() -> np.ndarray:
+        values = list(args.values)
+        if args.iocs:
+            with open(args.iocs) as fh:
+                values += [line.strip() for line in fh if line.strip()]
+        return np.array(values, dtype=object)
+
+    if args.action == "create":
+        cb = CountingBloom.create(n=args.capacity, p=args.p)
+        vals = _vals()
+        if len(vals):
+            cb.add(vals)
+        with open(args.file, "wb") as fh:
+            fh.write(cb.to_bytes())
+        print(f"wrote {args.file}: m={cb.m} k={cb.k} n_add={cb.n_add}")
+        return 0
+    with open(args.file, "rb") as fh:
+        cb = CountingBloom.from_bytes(fh.read())
+    if args.action in ("add", "remove"):
+        vals = _vals()
+        getattr(cb, args.action)(vals)
+        with open(args.file, "wb") as fh:
+            fh.write(cb.to_bytes())
+        verb = "added" if args.action == "add" else "removed"
+        print(
+            f"{verb} {len(vals)} values: n_add={cb.n_add} "
+            f"n_remove={cb.n_remove} fill={cb.fill_ratio:.6g} debt={cb.debt}"
+        )
+    elif args.action == "show":
+        print(
+            json.dumps(
+                {
+                    "m": cb.m,
+                    "k": cb.k,
+                    "n_add": cb.n_add,
+                    "n_remove": cb.n_remove,
+                    "fill_ratio": cb.fill_ratio,
+                    "debt": cb.debt,
+                }
+            )
+        )
+    elif args.action == "check":
+        hits = cb.contains(np.array(list(args.values), dtype=object))
+        for v, h in zip(args.values, hits):
+            print(f"{v}\t{bool(h)}")
+    return 0
+
+
 def cmd_gen(args) -> int:
     from .gen.pages import write_pages
 
@@ -1217,6 +1275,19 @@ def main(argv=None) -> int:
     pb.add_argument("--p", type=float, default=1e-6)
     pb.add_argument("--zipped", action="store_true")
     pb.set_defaults(fn=cmd_bloom)
+
+    pcb = sub.add_parser(
+        "cbloom",
+        allow_abbrev=False,
+        help="counting-bloom indicator set (membership with retraction)",
+    )
+    pcb.add_argument("action", choices=["create", "add", "remove", "check", "show"])
+    pcb.add_argument("file")
+    pcb.add_argument("values", nargs="*")
+    pcb.add_argument("--iocs", help="one indicator per line")
+    pcb.add_argument("--capacity", type=int, default=100_000)
+    pcb.add_argument("--p", type=float, default=1e-4)
+    pcb.set_defaults(fn=cmd_cbloom)
 
     pg = sub.add_parser("gen", allow_abbrev=False, help="generate synthetic pages")
     pg.add_argument("--out", required=True)

@@ -94,3 +94,38 @@ def test_add_then_save_on_golden_fixture(tmp_path):
     assert bf.check(_planted()).all()
     assert bf.check_one("new-ioc.example.org")
     assert bf.data == b"fever_ray golden fixture v1"
+
+
+def test_cli_cbloom_retraction_lifecycle(tmp_path, capsys):
+    """cbloom create → add → remove → check: retraction without rebuild —
+    removed indicators stop matching, surviving ones keep matching (no
+    false negatives), and the artifact round-trips through the file."""
+    import json as _json
+
+    from fever_ray import cli as cli_mod
+
+    iocs = tmp_path / "iocs.txt"
+    iocs.write_text("evil-a.net\nevil-b.org\nevil-c.com\n")
+    f = str(tmp_path / "ind.cbf")
+    assert cli_mod.main(["cbloom", "create", f, "--iocs", str(iocs),
+                         "--capacity", "1000"]) == 0
+    assert cli_mod.main(["cbloom", "add", f, "late-ioc.example"]) == 0
+    assert cli_mod.main(["cbloom", "remove", f, "evil-b.org"]) == 0
+    capsys.readouterr()
+
+    assert cli_mod.main(["cbloom", "check", f, "evil-a.net", "evil-b.org",
+                         "evil-c.com", "late-ioc.example", "benign.net"]) == 0
+    got = dict(
+        line.split("\t") for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert got == {
+        "evil-a.net": "True",
+        "evil-b.org": "False",
+        "evil-c.com": "True",
+        "late-ioc.example": "True",
+        "benign.net": "False",
+    }
+
+    assert cli_mod.main(["cbloom", "show", f]) == 0
+    card = _json.loads(capsys.readouterr().out)
+    assert card["n_add"] == 4 and card["n_remove"] == 1 and card["debt"] == 0
