@@ -549,3 +549,70 @@ def test_dd_merge_equals_single_pass_any_split(parts):
             assert est == 0.0
         else:
             assert abs(est - exact) <= 0.02 * abs(exact) * (1 + 1e-9), (q, est, exact)
+
+
+# ------------------------------------------------------------- dyadic CMS
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=1023), min_size=1, max_size=400),
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=1, max_value=5),
+)
+def test_dcms_never_undercounts_under_arbitrary_splits(vals, a, b, n_splits):
+    """For ANY value stream, ANY split into partials, and ANY probe range:
+    merged estimate >= exact count, and the merge is split-invariant
+    byte-for-byte (integer table adds)."""
+    from fever_ray.sketches.dcms import DyadicCountMin
+
+    lo, hi = min(a, b), max(a, b)
+    arr = np.array(vals, dtype=np.int64)
+    single = DyadicCountMin.create(bits=10, width=64, depth=3)
+    single.update(arr)
+    merged = DyadicCountMin.create(bits=10, width=64, depth=3)
+    for chunk in np.array_split(arr, min(n_splits, len(arr))):
+        p = DyadicCountMin.create(bits=10, width=64, depth=3)
+        p.update(chunk)
+        merged.merge(p)
+    assert merged.to_bytes() == single.to_bytes()
+    exact = int(((arr >= lo) & (arr <= hi)).sum())
+    assert merged.range_count(lo, hi) >= exact
+    assert merged.total == len(arr)
+
+
+# ---------------------------------------------------------- counting bloom
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=1, max_size=32), min_size=1, max_size=120),
+    st.data(),
+)
+def test_cbf_no_false_negatives_under_arbitrary_remove_subsets(keys, data):
+    """For ANY insert stream and ANY multiset-valid removal subset applied
+    in ANY partial: zero false negatives on the surviving support and zero
+    debt after the full merge."""
+    from fever_ray.sketches.cbf import CountingBloom
+
+    arr = np.array(keys, dtype=object)
+    n_rm = data.draw(st.integers(min_value=0, max_value=len(arr)))
+    rm = arr[:n_rm]  # removal of a true prefix multiset is always valid
+
+    seq = CountingBloom.create(n=max(len(arr), 8), p=1e-3)
+    seq.add(arr)
+    seq.remove(rm)
+
+    # removals in their own partial, merged in FIRST (remove-before-add)
+    p_rm = CountingBloom.create(n=max(len(arr), 8), p=1e-3)
+    p_rm.remove(rm)
+    p_add = CountingBloom.create(n=max(len(arr), 8), p=1e-3)
+    p_add.add(arr)
+    merged = p_rm.merge(p_add)
+    assert merged.to_bytes() == seq.to_bytes()
+    assert merged.debt == 0
+
+    from collections import Counter
+
+    survivors = Counter(keys)
+    survivors.subtract(Counter(keys[:n_rm]))
+    alive = np.array([k for k, c in survivors.items() if c > 0], dtype=object)
+    if len(alive):
+        assert merged.contains(alive).all()
