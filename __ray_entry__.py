@@ -1743,9 +1743,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             SketchSpec("td_value", "tdigest", "value", {"delta": 100}, value_kind="float"),
             SketchSpec("req_value", "req", "value", {"k": 32}, value_kind="float"),
             SketchSpec("dd_value", "dd", "value", {"alpha": 0.01}, value_kind="float"),
+            # 17th-session kinds: range-count CMS over exact integer cents
+            # (value is 2-dp, < 2^16 cents at every sf) + retractable bloom
+            SketchSpec(
+                "dcms_cents",
+                "dcms",
+                "value_cents",
+                {"bits": 16, "width": 1024, "depth": 4},
+                value_kind="int",
+            ),
+            SketchSpec("cbf_users", "cbf", "user_id", {"n": 100_000, "p": 1e-4}, value_kind="int"),
         ]
+
+        def derive(b: pa.Table) -> pa.Table:
+            from fever_ray.ops.aggregates import _cents
+
+            return b.append_column("value_cents", _cents(b.column("value")))
+
         sk = build_sketches(
-            _t(sf, "events", ["user_id", "event_type", "value"]), specs, batch_size=8192
+            _t(sf, "events", ["user_id", "event_type", "value"]).map_batches(
+                derive, batch_format="pyarrow"
+            ),
+            specs,
+            batch_size=8192,
         )
         rows = []
         rows.append({"sketch": "hll_users", "estimate": float(sk["hll_users"].estimate())})
@@ -1754,6 +1774,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows.append({"sketch": "td_value_p50", "estimate": float(sk["td_value"].quantile(0.5))})
         rows.append({"sketch": "req_value_p99", "estimate": float(sk["req_value"].quantile(0.99))})
         rows.append({"sketch": "dd_value_p50", "estimate": float(sk["dd_value"].quantile(0.5))})
+        rows.append(
+            {
+                "sketch": "dcms_value_p50_cents",
+                "estimate": float(sk["dcms_cents"].quantile(0.5)),
+            }
+        )
+        rows.append(
+            {"sketch": "cbf_users_n_add", "estimate": float(sk["cbf_users"].n_add)}
+        )
         return pa.Table.from_pylist(rows)
 
     def q_user_overlap_exact(sf):
