@@ -3281,6 +3281,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_grouped_range_per_lang(sf):
+        """Grouped dyadic-CMS gate: per-lang document byte lengths run
+        through the salted two-phase grouped-sketch path (core/grouped.py),
+        proving the range-count member composes with the skew-aware grouped
+        machinery — and since dcms merges are per-level integer table adds,
+        each key's merged sketch is bit-identical regardless of how the
+        shuffle split the partials.  Exact per-(lang, length) histogram
+        from one bounded-key tree; each (lang, range) row is emitted ONLY
+        if the group's estimate sat in [exact, exact + 2·bits·ε·n_g] (the
+        C&M §4.3 envelope), so the driver hash gate is the per-group bound
+        assertion."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.grouped import grouped_build
+        from fever_ray.core.udaf import SketchSpec
+        from fever_ray.sketches import sketch_from_bytes
+
+        ranges = [(0, 0, 127), (1, 128, 255), (2, 256, 1023)]
+        bits, width, depth = 10, 256, 4
+
+        ds = _t(sf, "documents", ["lang", "text"])
+
+        def lens(b: pa.Table) -> pa.Table:
+            col = pc.fill_null(b.column("text"), "")
+            return pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "l": pc.cast(pc.binary_length(col), pa.int64()),
+                }
+            )
+
+        lds = ds.map_batches(lens, batch_format="pyarrow")
+        spec = SketchSpec(
+            "dcms_l",
+            "dcms",
+            "l",
+            {"bits": bits, "width": width, "depth": depth},
+            value_kind="int",
+        )
+        merged = {
+            r["key"]: sketch_from_bytes("dcms", r["payload"])
+            for r in grouped_build(lds, "lang", spec).take_all()
+        }
+
+        def hist_partial(b: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(b, ["lang", "l"]).aggregate([([], "count_all")])
+            return t.rename_columns(["lang", "l", "c"])
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    lds.map_batches(hist_partial, batch_format="pyarrow"),
+                    ["lang", "l"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        ht = pa.concat_tables(parts)
+        hl = ht.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        lv = ht.column("l").to_numpy(zero_copy_only=False)
+        cv = ht.column("c").to_numpy(zero_copy_only=False)
+
+        out_lang, out_rid, out_n = [], [], []
+        for lang in sorted(set(hl.tolist())):
+            m = hl == lang
+            ll, cc = lv[m], cv[m]
+            n_g = int(cc.sum())
+            sk = merged.get(lang)
+            if sk is None:
+                continue
+            envelope = 2 * bits * (np.e / width) * n_g
+            for rid, lo, hi in ranges:
+                exact = int(cc[(ll >= lo) & (ll <= hi)].sum())
+                est = sk.range_count(lo, hi)
+                if exact <= est <= exact + envelope:
+                    out_lang.append(lang)
+                    out_rid.append(rid)
+                    out_n.append(exact)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "range_id": pa.array(out_rid, pa.int64()),
+                "n_docs": pa.array(out_n, pa.int64()),
+            }
+        )
+
     def q_grouped_dd_per_lang(sf):
         """Grouped DDSketch gate: per-lang document text byte lengths run
         through the salted two-phase grouped-sketch path (core/grouped.py),
@@ -4219,6 +4308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch_per_lang": q_grouped_sketch_per_lang,
         "grouped_tail_per_lang": q_grouped_tail_per_lang,
         "grouped_dd_per_lang": q_grouped_dd_per_lang,
+        "grouped_range_per_lang": q_grouped_range_per_lang,
         "sketch_cube": q_sketch_cube,
         "cms_join_size": q_cms_join_size,
         "dyadic_range_gate": q_dyadic_range_gate,
@@ -6691,6 +6781,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT lang, 'p999', CAST(l AS DOUBLE) FROM r "
             "WHERE rn = GREATEST(CAST(CEIL(0.999 * n) AS BIGINT), 1) "
             "ORDER BY lang, tail"
+        ),
+        "grouped_range_per_lang": (
+            # exact per-lang counts of document byte lengths in three probe
+            # ranges; engine rows exist only if every group's dyadic-CMS
+            # estimate sat in [exact, exact + 2*bits*eps*n_g] (C&M §4.3)
+            "WITH l AS (SELECT lang, strlen(COALESCE(text, '')) AS len "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT lang FROM documents), "
+            "r(range_id, lo, hi) AS (VALUES (0, 0, 127), (1, 128, 255), "
+            "(2, 256, 1023)) "
+            "SELECT g.lang AS lang, CAST(r.range_id AS BIGINT) AS range_id, "
+            "CAST(COUNT(l.len) AS BIGINT) AS n_docs "
+            "FROM g CROSS JOIN r "
+            "LEFT JOIN l ON l.lang = g.lang AND l.len BETWEEN r.lo AND r.hi "
+            "GROUP BY g.lang, r.range_id ORDER BY lang, range_id"
         ),
         "grouped_dd_per_lang": (
             # exact per-lang order statistics of document text byte lengths
