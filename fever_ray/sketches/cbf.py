@@ -67,7 +67,15 @@ class CountingBloom:
 
     # ----------------------------------------------------------------- lanes
     def _lanes(self, values) -> np.ndarray:
-        """(k, n) counter indices; one independent seeded hash per lane."""
+        """(k, n) counter indices; one independent seeded hash per lane.
+
+        Dtype dispatch must be CONSISTENT between add/remove and contains
+        (the round-1 CMS conservative-update lesson): int inputs — ndarray
+        OR plain Python list — always take the int hash family, everything
+        else the byte-string family."""
+        if isinstance(values, list):
+            arr = np.asarray(values)
+            values = arr if np.issubdtype(arr.dtype, np.integer) else values
         hasher = hash64
         if isinstance(values, np.ndarray) and np.issubdtype(values.dtype, np.integer):
             hasher = hash64_ints

@@ -56,7 +56,15 @@ class CountMin:
         return math.exp(-self.depth)
 
     def _cols(self, values) -> np.ndarray:
-        """(depth, n) column indices; one independent hash family per row."""
+        """(depth, n) column indices; one independent hash family per row.
+
+        Plain Python lists of ints coerce to the int hash family so update
+        and query can never dispatch differently for the same keys (list
+        inputs previously crashed in the byte hasher, so this changes no
+        behavior that ever worked)."""
+        if isinstance(values, list):
+            arr = np.asarray(values)
+            values = arr if np.issubdtype(arr.dtype, np.integer) else values
         hasher = hash64
         if isinstance(values, np.ndarray) and np.issubdtype(values.dtype, np.integer):
             hasher = hash64_ints
