@@ -133,3 +133,63 @@ def resumable_transform_write(
         )
 
     return {"completed": completed, "skipped": sorted(done_inputs)}
+
+
+def plan_range_splitters(ds, col: str, n_parts: int, k: int = 400) -> list[float]:
+    """ONE streaming KLL pass over ``col`` → n_parts-1 balanced splitter
+    values.  Rank error ε ≈ O(1/k) means each resulting range holds
+    n/n_parts ± ε·n rows — the sketch-planned answer to "repartition 100 TB
+    by value without sorting it first".  Duplicate splitters (heavy single
+    values) collapse, so the realized layout may have fewer, wider parts."""
+    from ..core.udaf import SketchSpec, build_sketches
+
+    spec = SketchSpec("kll_split", "kll", col, {"k": k}, value_kind="float")
+    sk = build_sketches(ds, [spec])["kll_split"]
+    raw = [sk.quantile(i / n_parts) for i in range(1, n_parts)]
+    out: list[float] = []
+    for v in raw:
+        if not out or v > out[-1]:
+            out.append(float(v))
+    return out
+
+
+def range_partitioned_write(
+    ds,
+    col: str,
+    out_dir: str,
+    n_parts: int = 16,
+    splitters: list[float] | None = None,
+):
+    """Balanced value-RANGE partition layout: <out_dir>/range_id=<i>/...
+
+    Completes the sink triad — `rotated_write` partitions by time,
+    `resumable_transform_write` by input shard, this by VALUE RANGE — the
+    layout a distributed merge-join or range-pruned scan consumes.  The
+    split plan costs one KLL sketch pass (no sort, no shuffle of the
+    payload beyond the partitioned write itself); splitters land in
+    ``_splitters.json`` so readers can prune ranges by predicate and a
+    rerun can reuse the exact plan.  Range i holds the half-open interval
+    [splitters[i-1], splitters[i]) — searchsorted side="right", so a value
+    equal to a splitter lands in the HIGHER range.  Returns
+    {"splitters", "manifest"}.
+    """
+    import numpy as np
+
+    if splitters is None:
+        splitters = plan_range_splitters(ds, col, n_parts)
+    edges = np.asarray(splitters, dtype=np.float64)
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        rid = np.searchsorted(edges, v, side="right").astype(np.int64)
+        return batch.append_column("range_id", pa.array(rid, pa.int64()))
+
+    ds.map_batches(add_range, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["range_id"]
+    )
+    manifest = {"column": col, "splitters": [float(s) for s in edges]}
+    _atomic_write(
+        os.path.join(out_dir, "_splitters.json"),
+        lambda p: open(p, "w").write(json.dumps(manifest, sort_keys=True)),
+    )
+    return {"splitters": manifest["splitters"], "manifest": manifest}
