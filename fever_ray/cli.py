@@ -738,6 +738,55 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Rewrite a parquet corpus into a balanced value-RANGE partitioned
+    layout (one dir per range, plan in _splitters.json): one KLL sketch
+    pass plans the splitters, no sort.  `text_len` / `html_len` derive on
+    the fly for page tables that lack them."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from .io_.sinks import range_partitioned_write
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input)
+    schema_names = ds.schema().names
+    col = args.column
+    if col not in schema_names and col in ("text_len", "html_len"):
+        from .pipelines.flagship import derive_page_columns
+
+        ds = ds.map_batches(derive_page_columns, batch_format="pyarrow")
+    res = range_partitioned_write(ds, col, args.out, n_parts=args.parts)
+    import glob as _glob
+    import os as _os
+
+    part_dirs = sorted(
+        d
+        for d in _os.listdir(args.out)
+        if _os.path.isdir(_os.path.join(args.out, d)) and d.startswith("range_id=")
+    )
+    counts = {
+        d: sum(
+            _pq.read_metadata(f).num_rows
+            for f in _glob.glob(_os.path.join(args.out, d, "*.parquet"))
+        )
+        for d in part_dirs
+    }
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "column": col,
+                "parts": len(part_dirs),
+                "splitters": res["splitters"],
+                "rows_min": min(counts.values()) if counts else 0,
+                "rows_max": max(counts.values()) if counts else 0,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_audit(args) -> int:
     """Distribution-shape audit over a page table, printed as ONE JSON
     line: per-host concentration (exact Gini + top-1% Lorenz mass over
@@ -1180,6 +1229,18 @@ def main(argv=None) -> int:
     pq_.add_argument("--input", required=True)
     pq_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pq_.set_defaults(fn=cmd_report)
+
+    ply = sub.add_parser(
+        "layout",
+        allow_abbrev=False,
+        help="rewrite into a balanced value-range partitioned layout",
+    )
+    ply.add_argument("--input", required=True)
+    ply.add_argument("--column", required=True)
+    ply.add_argument("--out", required=True)
+    ply.add_argument("--parts", type=int, default=16)
+    ply.add_argument("--num-cpus", type=int, default=8)
+    ply.set_defaults(fn=cmd_layout)
 
     pa_ = sub.add_parser("audit", allow_abbrev=False,
                          help="distribution-shape audit card (gini / "
