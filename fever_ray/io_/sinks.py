@@ -193,3 +193,24 @@ def range_partitioned_write(
         lambda p: open(p, "w").write(json.dumps(manifest, sort_keys=True)),
     )
     return {"splitters": manifest["splitters"], "manifest": manifest}
+
+
+def prune_range_dirs(out_dir: str, lo: float | None = None, hi: float | None = None) -> list[str]:
+    """Reader-side predicate pruning over a `range_partitioned_write`
+    layout: which range dirs can contain values in the inclusive [lo, hi]?
+    Uses only `_splitters.json` — no parquet footer is opened.  None bounds
+    are unbounded.  Returns existing dir paths, range order."""
+    import numpy as np
+
+    with open(os.path.join(out_dir, "_splitters.json")) as fh:
+        edges = np.asarray(json.load(fh)["splitters"], dtype=np.float64)
+    # range i covers [edges[i-1], edges[i]) — mirror the writer's
+    # searchsorted(side="right") assignment exactly
+    first = 0 if lo is None else int(np.searchsorted(edges, lo, side="right"))
+    last = len(edges) if hi is None else int(np.searchsorted(edges, hi, side="right"))
+    out = []
+    for rid in range(first, last + 1):
+        p = os.path.join(out_dir, f"range_id={rid}")
+        if os.path.isdir(p):
+            out.append(p)
+    return out

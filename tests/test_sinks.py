@@ -106,3 +106,19 @@ def test_range_partitioned_write_balance_and_pruning(ray_session, tmp_path):
     # the plan itself is one sketch pass and deterministic
     again = plan_range_splitters(ds, "v", n_parts)
     assert again == res["splitters"]
+
+    # reader-side pruning from _splitters.json alone: complete (every dir
+    # holding a match is returned) and tight (only interval-overlapping
+    # dirs), mirroring the writer's boundary convention exactly
+    from fever_ray.io_.sinks import prune_range_dirs
+
+    lo, hi = float(np.quantile(vals, 0.3)), float(np.quantile(vals, 0.6))
+    pruned = {os.path.basename(d) for d in prune_range_dirs(out, lo, hi)}
+    expect = set()
+    for rid, _ in sizes.items():
+        d_lo = edges[rid - 1] if rid > 0 else -np.inf
+        d_hi = edges[rid] if rid < len(edges) else np.inf
+        if d_lo <= hi and lo < d_hi:
+            expect.add(f"range_id={rid}")
+    assert pruned == expect
+    assert len(prune_range_dirs(out)) == n_parts  # unbounded = everything
