@@ -489,6 +489,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             seed=13,
         )
 
+    def q_leakage_safe_split(sf):
+        from fever_ray.ops.curate import leakage_safe_split
+
+        ds = leakage_safe_split(
+            _t(sf, "documents", ["doc_id", "lang", "text"]),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=13,
+        )
+        return ds.select_columns(["doc_id", "lang", "split"])
+
     def q_decontaminate(sf):
         # benchmark = every 97th doc (stands in for a held-out eval suite);
         # drop corpus docs sharing any word 4-gram with it
@@ -4184,6 +4194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "split_assign": q_split_assign,
+        "leakage_safe_split": q_leakage_safe_split,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -4766,10 +4777,11 @@ def _stratified_sample_sql(fractions: dict, default: float, seed: int) -> str:
     return _splitmix_doc_sql(seed, "doc_id, lang, source", f"h < ({case})")
 
 
-def _split_assign_sql(weights: dict, seed: int) -> str:
-    """Bit-exact mirror of ops.curate.split_assign: consecutive uint64
-    hash ranges in the weights' insertion order (same integer thresholds
-    via sample_threshold on the cumulative fractions)."""
+def _split_case_sql(weights: dict) -> str:
+    """CASE expression mapping the splitmix hash ``h`` to a split name via
+    the SAME consecutive-uint64-range thresholds _split_bounds computes
+    (insertion order, cumulative sample_threshold) — shared by the
+    split_assign and leakage_safe_split oracles."""
     from fever_ray.ops.curate import sample_threshold
 
     total = float(sum(weights.values()))
@@ -4782,11 +4794,37 @@ def _split_assign_sql(weights: dict, seed: int) -> str:
             f"THEN '{name}'"
         )
     if arms:
-        case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END AS split"
-    else:  # single split: CASE with zero WHEN arms is a parse error
-        case = f"'{names[-1]}' AS split"
+        return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END AS split"
+    # single split: CASE with zero WHEN arms is a parse error
+    return f"'{names[-1]}' AS split"
+
+
+def _split_assign_sql(weights: dict, seed: int) -> str:
+    """Bit-exact mirror of ops.curate.split_assign: consecutive uint64
+    hash ranges in the weights' insertion order (same integer thresholds
+    via sample_threshold on the cumulative fractions)."""
     return _splitmix_doc_sql(
-        seed, "doc_id, lang", "TRUE", select_expr=f"doc_id, lang, {case}"
+        seed, "doc_id, lang", "TRUE",
+        select_expr=f"doc_id, lang, {_split_case_sql(weights)}",
+    )
+
+
+def _leakage_safe_split_sql(weights: dict, seed: int) -> str:
+    """Bit-exact mirror of ops.curate.leakage_safe_split: the engine's
+    content hash (FNV-1a over text bytes → splitmix64, _content_hash_cte)
+    re-mixed through the seeded hash64_ints splitmix chain, then the SAME
+    consecutive uint64 range thresholds split_assign uses."""
+    m = "18446744073709551616"
+    back = (
+        "CAST(CAST(content_hash AS HUGEINT) + CASE WHEN content_hash < 0 "
+        f"THEN CAST({m} AS HUGEINT) ELSE 0 END AS UBIGINT)"
+    )
+    return (
+        f"WITH {_content_hash_cte()}, "
+        f"lj AS (SELECT d.doc_id, d.lang, {back} AS chu "
+        "FROM documents d JOIN allh ON d.doc_id = allh.doc_id), "
+        f"{_splitmix_ctes(seed, 'doc_id, lang', table='lj', id_expr='chu', prefix='ls')} "
+        f"SELECT doc_id, lang, {_split_case_sql(weights)} FROM ls5"
     )
 
 
@@ -5653,6 +5691,9 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _hash_sample_sql(0.25, 7),
         "stratified_sample": _stratified_sample_sql({"en": 0.10, "de": 0.80}, 0.35, 11),
         "split_assign": _split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}, 13),
+        "leakage_safe_split": _leakage_safe_split_sql(
+            {"train": 0.8, "val": 0.1, "test": 0.1}, 13
+        ),
         "decontaminate": _decontaminate_sql(4, 97),
         "contamination_report": _contamination_report_sql(4, 97),
         "bigram_logloss": _bigram_logloss_sql(oov=8, backoff=4, modulus=3),

@@ -37,6 +37,7 @@ __all__ = [
     "importance_resample",
     "stratified_sample",
     "split_assign",
+    "leakage_safe_split",
     "sample_threshold",
     "domain_cap",
     "token_repetition",
@@ -129,6 +130,25 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _split_bounds(weights: dict) -> tuple[np.ndarray, pa.Array]:
+    """Consecutive [lo, hi) uint64 hash-range edges proportional to
+    ``weights`` (insertion order; normalized).  The last range is clamped to
+    2^64 so rounding can never leave an unassigned tail.  Shared by
+    :func:`split_assign` and :func:`leakage_safe_split` so both partition
+    the hash space identically."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    edges, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        edges.append(sample_threshold(min(acc, 1.0)))
+    return np.array(edges, dtype=np.uint64), pa.array(names, pa.string())
+
+
 def split_assign(
     ds,
     weights: dict,
@@ -146,20 +166,7 @@ def split_assign(
     and every downstream job (or a resumed one) sees the identical
     partition.  One vectorized hash + one searchsorted per batch; no
     shuffle."""
-    if not weights:
-        raise ValueError("weights must name at least one split")
-    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
-        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
-    total = float(sum(weights.values()))
-    names = list(weights)
-    # consecutive [lo, hi) uint64 ranges; the last range is clamped to 2^64
-    # so rounding can never leave an unassigned tail
-    edges, acc = [], 0.0
-    for name in names[:-1]:
-        acc += weights[name] / total
-        edges.append(sample_threshold(min(acc, 1.0)))
-    bounds = np.array(edges, dtype=np.uint64)
-    labels = pa.array(names, pa.string())
+    bounds, labels = _split_bounds(weights)
     seed = int(seed)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -167,6 +174,49 @@ def split_assign(
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         h = hash64_ints(ids.to_numpy(zero_copy_only=False), seed=seed)
+        code = np.searchsorted(bounds, h, side="right").astype(np.int32)
+        return batch.append_column(
+            out_col, pc.take(labels, pa.array(code, pa.int32()))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def leakage_safe_split(
+    ds,
+    weights: dict,
+    seed: int = 0,
+    text_col: str = "text",
+    out_col: str = "split",
+):
+    """Train/val/test assignment keyed on CONTENT, not id: the split is a
+    pure function of (content hash, seed), so byte-identical documents land
+    in the same split no matter which shard, snapshot, or crawl copy they
+    arrived in — the split-level guarantee exact dedup gives within a split
+    (Dodge et al. 2021 documented benchmark rows leaking across C4 splits
+    precisely because assignment was row-keyed).
+
+    Versus :func:`split_assign` (id-keyed): that one is right when ids are
+    already dedup-canonical; this one is right BEFORE dedup, or when the
+    same content recurs under many ids across crawls.  Same consecutive
+    uint64 hash ranges (shared :func:`_split_bounds`), so the two operators
+    produce identically-calibrated split fractions.
+
+    Scale shape: one vectorized content hash (FNV-1a → splitmix64, the
+    engine-wide ``hash64``) + one seeded ``hash64_ints`` mix + one
+    searchsorted per batch; embarrassingly parallel, no shuffle, resumable
+    under any re-partitioning."""
+    from ..sketches.hashing import hash64
+
+    bounds, labels = _split_bounds(weights)
+    seed = int(seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ch = hash64(pc.cast(text, pa.string()).fill_null(""))
+        h = hash64_ints(ch, seed=seed)
         code = np.searchsorted(bounds, h, side="right").astype(np.int32)
         return batch.append_column(
             out_col, pc.take(labels, pa.array(code, pa.int32()))

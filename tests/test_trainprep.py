@@ -224,6 +224,55 @@ def test_split_assign_sql_single_split():
     assert [r[-1] for r in rows] == ["all"]
 
 
+# ---------------------------------------------------- leakage_safe_split
+
+
+def test_leakage_safe_split_duplicates_coassign(ray_session):
+    """Byte-identical texts MUST land in the same split regardless of id,
+    shard, or block layout — the invariant that makes the split leakage-safe
+    before dedup; and the fractions stay calibrated like split_assign's."""
+    import ray.data as rd
+
+    from fever_ray.ops.curate import leakage_safe_split
+
+    n = 12000
+    # each distinct text appears under 3 unrelated ids, interleaved
+    texts = [f"doc body {i % (n // 3)} words here" for i in range(n)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(ds, w, seed=13).to_pandas()
+    per_text = out.groupby("text")["split"].nunique()
+    assert (per_text == 1).all(), "duplicate content straddled splits"
+    # calibration over the n//3 DISTINCT contents (the unit being assigned)
+    distinct = out.drop_duplicates("text")["split"].value_counts()
+    m = n // 3
+    for name, frac in w.items():
+        sd = (m * frac * (1 - frac)) ** 0.5
+        assert abs(distinct.get(name, 0) - m * frac) <= 5 * sd, name
+    # partition invariance: a pure function of (content, seed)
+    out2 = leakage_safe_split(ds.repartition(7), w, seed=13).to_pandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    # null text hashes like "" (the engine-wide hash64 null rule)
+    ds_null = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([None, ""], pa.string()),
+            }
+        )
+    )
+    outn = leakage_safe_split(ds_null, w, seed=13).to_pandas()
+    assert outn["split"].nunique() == 1
+
+
 # ---------------------------------------------------------- epoch_shuffle
 
 
