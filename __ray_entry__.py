@@ -499,6 +499,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["doc_id", "lang", "split"])
 
+    def q_data_quality(sf):
+        # declarative constraint card: completeness + accepted set + range
+        # over events, cross-column consistency over documents, key
+        # uniqueness, and lineitem→orders referential integrity — six
+        # checks, three execution shapes (row-local pass / distinct-pair
+        # shuffle / two-sided bucket anti-join)
+        from fever_ray.ops.checks import (
+            data_quality_card,
+            foreign_key_check,
+            rowlocal_checks,
+            unique_check,
+        )
+
+        ev = _t(sf, "events", ["event_id", "user_id", "event_type", "value"])
+        docs = _t(sf, "documents", ["text", "n_chars"])
+        li = _t(sf, "lineitem", ["l_orderkey"])
+        od = _t(sf, "orders", ["o_orderkey"])
+        return data_quality_card(
+            [
+                rowlocal_checks(
+                    ev,
+                    [
+                        {
+                            "name": "events.completeness.user_id",
+                            "kind": "not_null",
+                            "col": "user_id",
+                        },
+                        {
+                            "name": "events.accepted.event_type",
+                            "kind": "in_set",
+                            "col": "event_type",
+                            "values": ["click", "view", "purchase", "signup"],
+                        },
+                        {
+                            "name": "events.range.value",
+                            "kind": "between",
+                            "col": "value",
+                            "lo": 0.0,
+                            "hi": 300.0,
+                        },
+                    ],
+                ),
+                rowlocal_checks(
+                    docs,
+                    [
+                        {
+                            "name": "documents.consistency.n_chars",
+                            "kind": "len_eq",
+                            "col": "n_chars",
+                            "text_col": "text",
+                        }
+                    ],
+                ),
+                unique_check(ev, "event_id", name="events.unique.event_id"),
+                foreign_key_check(
+                    li, "l_orderkey", od, "o_orderkey",
+                    name="lineitem.fk.orderkey",
+                ),
+            ]
+        )
+
     def q_decontaminate(sf):
         # benchmark = every 97th doc (stands in for a held-out eval suite);
         # drop corpus docs sharing any word 4-gram with it
@@ -4195,6 +4256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "split_assign": q_split_assign,
         "leakage_safe_split": q_leakage_safe_split,
+        "data_quality": q_data_quality,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -4806,6 +4868,56 @@ def _split_assign_sql(weights: dict, seed: int) -> str:
     return _splitmix_doc_sql(
         seed, "doc_id, lang", "TRUE",
         select_expr=f"doc_id, lang, {_split_case_sql(weights)}",
+    )
+
+
+def _data_quality_sql() -> str:
+    """Bit-exact mirror of the q_data_quality constraint card: one UNION ALL
+    arm per check, violations/n_rows in BIGINT, passed = violations <= 0.
+    Null semantics match the engine's documented per-kind contract
+    (ops/checks.py _rowlocal_violations): between ignores nulls, in_set and
+    len_eq count them as violations, uniqueness counts nulls as ONE distinct
+    value (pc.count_distinct mode='all' vs SQL COUNT(DISTINCT) skipping
+    them — hence the null-presence correction term)."""
+
+    def arm(name: str, viol: str, n: str) -> str:
+        return (
+            f"SELECT '{name}' AS check_name, CAST({viol} AS BIGINT) AS violations, "
+            f"CAST({n} AS BIGINT) AS n_rows, "
+            f"CAST(CASE WHEN {viol} <= 0 THEN 1 ELSE 0 END AS BIGINT) AS passed"
+        )
+
+    accepted = "'click', 'view', 'purchase', 'signup'"
+    ev = (
+        "ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS v_null, "
+        f"CAST(COALESCE(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN ({accepted}) "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_set, "
+        "CAST(COALESCE(SUM(CASE WHEN value < 0.0 OR value > 300.0 THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS v_rng, "
+        "CAST(COUNT(*) - COUNT(DISTINCT event_id) - "
+        "CASE WHEN COUNT(*) > COUNT(event_id) THEN 1 ELSE 0 END AS BIGINT) AS v_dup "
+        "FROM events)"
+    )
+    dc = (
+        "dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(CASE WHEN n_chars IS NULL OR text IS NULL OR "
+        "n_chars <> length(text) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v FROM documents)"
+    )
+    fk = (
+        "fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL OR l_orderkey NOT IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS v FROM lineitem)"
+    )
+    return (
+        f"WITH {ev}, {dc}, {fk} "
+        + arm("events.completeness.user_id", "v_null", "n") + " FROM ev UNION ALL "
+        + arm("events.accepted.event_type", "v_set", "n") + " FROM ev UNION ALL "
+        + arm("events.range.value", "v_rng", "n") + " FROM ev UNION ALL "
+        + arm("events.unique.event_id", "v_dup", "n") + " FROM ev UNION ALL "
+        + arm("documents.consistency.n_chars", "v", "n") + " FROM dc UNION ALL "
+        + arm("lineitem.fk.orderkey", "v", "n") + " FROM fk"
     )
 
 
@@ -5694,6 +5806,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _leakage_safe_split_sql(
             {"train": 0.8, "val": 0.1, "test": 0.1}, 13
         ),
+        "data_quality": _data_quality_sql(),
         "decontaminate": _decontaminate_sql(4, 97),
         "contamination_report": _contamination_report_sql(4, 97),
         "bigram_logloss": _bigram_logloss_sql(oov=8, backoff=4, modulus=3),

@@ -597,6 +597,55 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Declarative data-quality constraint card over a page table —
+    completeness (url/text), url uniqueness, accepted langs, and
+    warc_ts range — one JSON line per check plus a summary line; exit 1
+    if any check fails (the CI-gate shape: validate the drop BEFORE a
+    training job consumes it)."""
+    import ray.data as rd
+
+    from .ops.checks import data_quality_card, rowlocal_checks, unique_check
+
+    _init_ray(args.num_cpus)
+    pages = rd.read_parquet(args.input, columns=["url", "text", "lang", "warc_ts"])
+    langs = [s for s in (args.langs or "en,de,fr,es,it").split(",") if s]
+    specs = [
+        {"name": "pages.completeness.url", "kind": "not_null", "col": "url"},
+        {"name": "pages.completeness.text", "kind": "not_null", "col": "text"},
+        {
+            "name": "pages.accepted.lang",
+            "kind": "in_set",
+            "col": "lang",
+            "values": langs,
+        },
+    ]
+    card = data_quality_card(
+        [
+            rowlocal_checks(pages, specs),
+            unique_check(
+                pages, "url", name="pages.unique.url",
+                max_violations=int(args.max_dup_urls),
+            ),
+        ]
+    ).to_pandas()
+    ok = True
+    for r in card.sort_values("check_name").itertuples():
+        print(
+            json.dumps(
+                {
+                    "check": r.check_name,
+                    "violations": int(r.violations),
+                    "n_rows": int(r.n_rows),
+                    "passed": bool(r.passed),
+                }
+            )
+        )
+        ok = ok and bool(r.passed)
+    print(json.dumps({"checks": len(card), "all_passed": ok}))
+    return 0 if ok else 1
+
+
 def cmd_cube(args) -> int:
     """Distinct-url sketch cube over a page table: ONE streaming pass of
     per-(lang, crawl-day) HLL partials; per-lang, per-day and global
@@ -1229,6 +1278,14 @@ def main(argv=None) -> int:
     pq_.add_argument("--input", required=True)
     pq_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pq_.set_defaults(fn=cmd_report)
+
+    pck = sub.add_parser("check", allow_abbrev=False,
+                         help="data-quality constraint card; exit 1 on failure")
+    pck.add_argument("--input", required=True)
+    pck.add_argument("--langs", help="comma-separated accepted langs")
+    pck.add_argument("--max-dup-urls", dest="max_dup_urls", type=int, default=0)
+    pck.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pck.set_defaults(fn=cmd_check)
 
     ply = sub.add_parser(
         "layout",

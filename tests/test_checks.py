@@ -1,0 +1,149 @@
+"""Data-quality constraint-card tests: planted violations of every check
+kind, null semantics per the documented contract, and partition invariance
+(the card is exact under any block layout)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fever_ray.ops.checks import (
+    data_quality_card,
+    foreign_key_check,
+    rowlocal_checks,
+    unique_check,
+)
+
+
+def _card(ds_card) -> dict:
+    df = ds_card.to_pandas()
+    return {
+        r.check_name: (int(r.violations), int(r.n_rows), int(r.passed))
+        for r in df.itertuples()
+    }
+
+
+def test_rowlocal_planted_violations(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "uid": pa.array([1, None, 3, None, 5], pa.int64()),
+            "kind": pa.array(["a", "b", "zz", None, "a"], pa.string()),
+            "val": pa.array([0.0, -1.0, 5.0, 300.0, 300.01], pa.float64()),
+            "n_chars": pa.array([2, 3, None, 1, 0], pa.int64()),
+            "text": pa.array(["ab", "abc", "x", None, ""], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    card = _card(
+        rowlocal_checks(
+            ds,
+            [
+                {"name": "c.null", "kind": "not_null", "col": "uid"},
+                {
+                    "name": "c.set",
+                    "kind": "in_set",
+                    "col": "kind",
+                    "values": ["a", "b"],
+                },
+                {
+                    "name": "c.rng",
+                    "kind": "between",
+                    "col": "val",
+                    "lo": 0.0,
+                    "hi": 300.0,
+                    "max_violations": 2,
+                },
+                {
+                    "name": "c.len",
+                    "kind": "len_eq",
+                    "col": "n_chars",
+                    "text_col": "text",
+                },
+            ],
+        )
+    )
+    assert card["c.null"] == (2, 5, 0)
+    # 'zz' out of set + null kind → 2 violations
+    assert card["c.set"] == (2, 5, 0)
+    # -1.0 and 300.01 violate; 300.0 is inclusive; 2 <= max_violations → pass
+    assert card["c.rng"] == (2, 5, 1)
+    # rows: (2,'ab') ok, (3,'abc') ok, (None,'x') viol, (1,None) viol,
+    # (0,'') ok → 2
+    assert card["c.len"] == (2, 5, 0)
+
+
+def test_unique_and_fk_exact_counts(ray_session):
+    import ray.data as rd
+
+    ids = pa.table(
+        {"k": pa.array([1, 2, 2, 3, 3, 3, None, None], pa.int64())}
+    )
+    ds = rd.from_arrow(ids).repartition(4)
+    # distinct (mode=all): {1,2,3,null} = 4 → violations = 8 - 4 = 4
+    card = _card(unique_check(ds, "k", name="u"))
+    assert card["u"] == (4, 8, 0)
+
+    left = rd.from_arrow(
+        pa.table({"fk": pa.array([1, 1, 2, 9, 9, 9, None], pa.int64())})
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table({"pk": pa.array([1, 2, 3], pa.int64())})
+    ).repartition(2)
+    # rows 9,9,9 (absent) + None (references nothing) → 4 violations of 7
+    card = _card(foreign_key_check(left, "fk", right, "pk", name="f"))
+    assert card["f"] == (4, 7, 0)
+    # empty right side: every left row violates
+    empty_right = rd.from_arrow(pa.table({"pk": pa.array([], pa.int64())}))
+    card = _card(
+        foreign_key_check(left, "fk", empty_right, "pk", name="f0")
+    )
+    assert card["f0"] == (7, 7, 0)
+
+
+def test_card_partition_invariance(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 2000, n), pa.int64()),
+            "v": pa.array(rng.normal(10, 5, n), pa.float64()),
+        }
+    )
+    specs = [{"name": "rng", "kind": "between", "col": "v", "lo": 0.0, "hi": 20.0}]
+    cards = []
+    for parts in (2, 17):
+        ds = rd.from_arrow(t).repartition(parts)
+        cards.append(
+            _card(
+                data_quality_card(
+                    [rowlocal_checks(ds, specs), unique_check(ds, "k", name="u")]
+                )
+            )
+        )
+    assert cards[0] == cards[1]
+    # brute-force cross-check
+    v = t.column("v").to_numpy()
+    k = t.column("k").to_numpy()
+    assert cards[0]["rng"][0] == int(((v < 0.0) | (v > 20.0)).sum())
+    assert cards[0]["u"][0] == n - len(np.unique(k))
+
+
+def test_rowlocal_validation(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        rowlocal_checks(ds, [])
+    with pytest.raises(ValueError):
+        rowlocal_checks(
+            ds,
+            [
+                {"name": "x", "kind": "not_null", "col": "a"},
+                {"name": "x", "kind": "not_null", "col": "a"},
+            ],
+        )
+    with pytest.raises(ValueError):
+        data_quality_card([])
