@@ -560,6 +560,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ]
         )
 
+    def q_change_point(sf):
+        # exact integer CUSUM-analogue breakpoint per event_type over
+        # hourly counts: argmax |m·P_i − i·T|, ties to the smallest bucket
+        from fever_ray.ops.stats import change_point
+
+        return change_point(_t(sf, "events", ["event_type", "ts"]))
+
     def q_decontaminate(sf):
         # benchmark = every 97th doc (stands in for a held-out eval suite);
         # drop corpus docs sharing any word 4-gram with it
@@ -4257,6 +4264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "leakage_safe_split": q_leakage_safe_split,
         "data_quality": q_data_quality,
+        "change_point": q_change_point,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -5807,6 +5815,23 @@ def oracle_sql() -> dict[str, str]:
             {"train": 0.8, "val": 0.1, "test": 0.1}, 13
         ),
         "data_quality": _data_quality_sql(),
+        "change_point": (
+            # same integer deviation D_i = |m·P_i − i·T| over hour-bucketed
+            # per-type counts; ROW_NUMBER picks the first max (smallest
+            # bucket), mirroring the engine's first-argmax rule
+            "WITH c AS (SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), "
+            "s AS (SELECT event_type, b, CAST(SUM(cnt) OVER w AS BIGINT) AS pfx, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS i, "
+            "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m, "
+            "CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot "
+            "FROM c WINDOW w AS (PARTITION BY event_type ORDER BY b)), "
+            "d AS (SELECT event_type, b, CAST(abs(m * pfx - i * tot) AS BIGINT) AS dev, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY abs(m * pfx - i * tot) DESC, b ASC) AS rk FROM s) "
+            "SELECT event_type, b AS cp_bucket, dev FROM d WHERE rk = 1"
+        ),
         "decontaminate": _decontaminate_sql(4, 97),
         "contamination_report": _contamination_report_sql(4, 97),
         "bigram_logloss": _bigram_logloss_sql(oov=8, backoff=4, modulus=3),

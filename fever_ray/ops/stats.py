@@ -2276,3 +2276,122 @@ def table_profile(ds, columns: list, distinct_cap: int = 1 << 20):
             "max_v": pa.array([r["max_v"] for r in rows], pa.string()),
         }
     )
+
+
+def change_point(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_us: int = 3_600_000_000,
+    max_groups: int = 1 << 22,
+):
+    """Exact single change-point per key over a bucketed event-count
+    series — the drift/breakpoint audit (CUSUM's offline analogue; Page
+    1954, Pettitt 1979's count form): for each key, bucket its events into
+    ``bucket_us`` bins, and over the ORDERED observed buckets b_1..b_m with
+    counts c_i, prefix sums P_i and total T, report the bucket maximizing
+    the exact integer deviation
+
+        D_i = |m·P_i − i·T|
+
+    (the cumulative count's largest departure from the uniform-rate line —
+    fractions cleared by scaling with m·T, so the comparison is pure
+    int64).  Ties break to the SMALLEST bucket.  Output rows: (key,
+    cp_bucket int64, dev int64) — cp_bucket is the bin index (epoch
+    microseconds // bucket_us).
+
+    Null keys/timestamps are excluded (a null contributes to no series).
+
+    Scale shape: per-batch (key, bucket) partial counts bound the exchange
+    by distinct pairs per batch; the tree-summed table is bounded by
+    #keys × #buckets (time-span-bounded, NOT corpus-bounded — guarded via
+    ``max_groups``), so the final lexsort + segmented prefix-scan kernel
+    runs on a small table.  The int64 products m·P and i·T are guarded
+    loudly (they wrap only past ~2^62 row-buckets)."""
+    from .aggregates import tree_groupby
+
+    if bucket_us <= 0:
+        raise ValueError(f"change_point: bucket_us must be positive, got {bucket_us}")
+    B = np.int64(bucket_us)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key_col, ts_col]).drop_null()
+        ts = pc.cast(narrow.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                key_col: narrow.column(key_col),
+                "b": pa.array(ts // B, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, [key_col, "b"]).aggregate([([], "count_all")])
+        return g.select([key_col, "b", "count_all"]).rename_columns(
+            [key_col, "b", "cnt"]
+        )
+
+    summed = tree_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, "b"],
+        [("cnt", "sum")],
+        max_groups=max_groups,
+    )
+
+    key_type = ds.schema().base_schema.field(key_col).type
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], key_type),
+                "cp_bucket": pa.array([], pa.int64()),
+                "dev": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return empty
+        kc = batch.column(key_col)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        dic = kc.dictionary_encode()
+        kcodes = dic.indices.to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, kcodes))
+        kO, bO, cO = kcodes[order], b[order], cnt[order]
+        n = len(kO)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        np.not_equal(kO[1:], kO[:-1], out=new_run[1:])
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        # per-run prefix sums: global cumsum minus the run's base
+        csum = np.cumsum(cO)
+        base = np.concatenate(([0], csum[starts[1:] - 1]))
+        pfx = csum - base[run_id]
+        tot = np.add.reduceat(cO, starts)
+        ends = np.concatenate((starts[1:], [n]))
+        m = (ends - starts).astype(np.int64)
+        i = np.arange(n, dtype=np.int64) - starts[run_id] + 1
+        if len(m) and float(m.max()) * float(tot.max()) >= 2.0**62:
+            raise ValueError(
+                "change_point: m*T exceeds the exact int64 domain — "
+                "coarsen bucket_us or shard by key range"
+            )
+        dev = np.abs(m[run_id] * pfx - i * tot[run_id])
+        segmax = np.maximum.reduceat(dev, starts)
+        is_max = dev == segmax[run_id]
+        # first max per run = smallest bucket (rows are bucket-ascending)
+        _, first = np.unique(run_id[is_max], return_index=True)
+        pick = np.flatnonzero(is_max)[first]
+        keys_out = pc.take(dic.dictionary, pa.array(kO[pick], pa.int32()))
+        return pa.table(
+            {
+                key_col: pc.cast(keys_out, key_type),
+                "cp_bucket": pa.array(bO[pick], pa.int64()),
+                "dev": pa.array(dev[pick], pa.int64()),
+            }
+        )
+
+    return summed.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

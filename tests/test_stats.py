@@ -1138,3 +1138,84 @@ def test_cli_profile_card(ray_session, tmp_path, capsys):
     by = {r["column"]: r for r in lines}
     assert by["id"]["n_null"] == 1 and by["id"]["n_distinct"] == 2
     assert by["s"]["n_distinct"] == 2 and by["s"]["max_v"] == "y"
+
+
+# ------------------------------------------------------------- change_point
+
+
+def test_change_point_planted_shift(ray_session):
+    """A rate shift from 1/hour to 20/hour at hour 50 must put the exact
+    max-deviation bucket at (or immediately before) the shift, invariant
+    under block layout; ties break to the smallest bucket."""
+    import ray.data as rd
+
+    from fever_ray.ops.stats import change_point
+
+    hours = list(range(50)) + [h for h in range(50, 60) for _ in range(20)]
+    ts = pa.array(
+        [h * 3_600_000_000 + 7 for h in hours], pa.timestamp("us")
+    )
+    t = pa.table(
+        {
+            "event_type": pa.array(["a"] * len(hours), pa.string()),
+            "ts": ts,
+        }
+    )
+    out = change_point(rd.from_arrow(t).repartition(5)).to_pandas()
+    assert len(out) == 1
+    # brute force the same statistic
+    b = np.array(hours)
+    buckets, cnt = np.unique(b, return_counts=True)
+    pfx = np.cumsum(cnt)
+    m, tot = len(buckets), int(cnt.sum())
+    dev = np.abs(m * pfx - np.arange(1, m + 1) * tot)
+    best = int(buckets[int(np.argmax(dev))])
+    assert int(out.cp_bucket[0]) == best == 49
+    assert int(out.dev[0]) == int(dev.max())
+    # partition invariance
+    out2 = change_point(rd.from_arrow(t).repartition(13)).to_pandas()
+    assert out.equals(out2)
+
+
+def test_change_point_ties_and_nulls(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import change_point
+
+    # two keys; key 'u' is perfectly uniform → every D_i except the last is
+    # equal (D_m = 0 only when... compute brute force); null rows ignored
+    t = pa.table(
+        {
+            "event_type": pa.array(["u", "u", "u", None, "v"], pa.string()),
+            "ts": pa.array(
+                [0, 3_600_000_000, 7_200_000_000, 0, None],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = (
+        change_point(rd.from_arrow(t))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    # 'v' has only a null ts -> no series at all; 'u': m=3, T=3,
+    # D = |3*1-1*3|, |3*2-2*3|, |3*3-3*3| = 0,0,0 -> tie -> smallest bucket
+    assert list(out.index) == ["u"]
+    assert int(out.loc["u", "cp_bucket"]) == 0 and int(out.loc["u", "dev"]) == 0
+
+
+def test_change_point_validation(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.stats import change_point
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["a"], pa.string()),
+                "ts": pa.array([0], pa.timestamp("us")),
+            }
+        )
+    )
+    with pytest.raises(ValueError):
+        change_point(ds, bucket_us=0)
