@@ -560,6 +560,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ]
         )
 
+    def q_gopher_rules(sf):
+        # Gopher rule battery; stopword list drawn from the corpus
+        # vocabulary (the published English list is absent from the
+        # synthetic word-soup, which would vacuously fail every doc)
+        from fever_ray.ops.curate import gopher_rules
+
+        return gopher_rules(
+            _t(sf, "documents", ["doc_id", "lang", "text"]),
+            min_words=20,
+            max_words=80,
+            mwl_lo=4,
+            mwl_hi=10,
+            stopwords=_GOPHER_STOPS,
+            min_stop_hits=3,
+        )
+
     def q_change_point(sf):
         # exact integer CUSUM-analogue breakpoint per event_type over
         # hourly counts: argmax |m·P_i − i·T|, ties to the smallest bucket
@@ -4265,6 +4281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": q_leakage_safe_split,
         "data_quality": q_data_quality,
         "change_point": q_change_point,
+        "gopher_rules": q_gopher_rules,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -4876,6 +4893,54 @@ def _split_assign_sql(weights: dict, seed: int) -> str:
     return _splitmix_doc_sql(
         seed, "doc_id, lang", "TRUE",
         select_expr=f"doc_id, lang, {_split_case_sql(weights)}",
+    )
+
+
+_GOPHER_STOPS = ("a", "value", "sort", "scan", "key", "fast")
+
+
+def _gopher_rules_sql(
+    min_words: int,
+    max_words: int,
+    mwl_lo: int,
+    mwl_hi: int,
+    stopwords: tuple,
+    min_stop_hits: int,
+) -> str:
+    """Bit-exact mirror of ops.curate.gopher_rules over documents: every
+    ratio test is the same integer cross-multiply; '...'-occurrence count
+    via all-replace strlen delta /3 (left-to-right non-overlapping — the
+    same greedy scan pc.count_substring does); line split on chr(10)."""
+    hits = " + ".join(
+        f"(CASE WHEN list_contains(tk, '{s}') THEN 1 ELSE 0 END)"
+        for s in stopwords
+    )
+    bits = (
+        f"(CASE WHEN n_words < {min_words} OR n_words > {max_words} THEN 1 ELSE 0 END) + "
+        f"2 * (CASE WHEN wchars < {mwl_lo} * n_words OR wchars > {mwl_hi} * n_words THEN 1 ELSE 0 END) + "
+        "4 * (CASE WHEN 10 * syms > n_words THEN 1 ELSE 0 END) + "
+        "8 * (CASE WHEN 10 * bl > 9 * n_lines THEN 1 ELSE 0 END) + "
+        "16 * (CASE WHEN 10 * el > 3 * n_lines THEN 1 ELSE 0 END) + "
+        "32 * (CASE WHEN 5 * alpha_w < 4 * n_words THEN 1 ELSE 0 END) + "
+        f"64 * (CASE WHEN hits < {min_stop_hits} THEN 1 ELSE 0 END)"
+    )
+    return (
+        "WITH tl AS (SELECT doc_id, lang, COALESCE(text, '') AS text, "
+        "string_split(COALESCE(text, ''), ' ') AS tk, "
+        "string_split(COALESCE(text, ''), chr(10)) AS ln FROM documents), "
+        "m AS (SELECT doc_id, lang, "
+        "CAST(len(tk) AS BIGINT) AS n_words, "
+        "CAST(list_sum(list_transform(tk, t -> strlen(t))) AS BIGINT) AS wchars, "
+        "CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha_w, "
+        f"CAST({hits} AS BIGINT) AS hits, "
+        "CAST(len(ln) AS BIGINT) AS n_lines, "
+        "CAST(len(list_filter(ln, l -> starts_with(l, '-') OR starts_with(l, '•'))) AS BIGINT) AS bl, "
+        "CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS BIGINT) AS el, "
+        "CAST(strlen(text) - strlen(replace(text, '#', '')) + "
+        "(strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT) AS syms "
+        "FROM tl) "
+        f"SELECT doc_id, lang, n_words, CAST({bits} AS BIGINT) AS rule_mask, "
+        f"CAST(CASE WHEN {bits} = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept FROM m"
     )
 
 
@@ -5815,6 +5880,7 @@ def oracle_sql() -> dict[str, str]:
             {"train": 0.8, "val": 0.1, "test": 0.1}, 13
         ),
         "data_quality": _data_quality_sql(),
+        "gopher_rules": _gopher_rules_sql(20, 80, 4, 10, _GOPHER_STOPS, 3),
         "change_point": (
             # same integer deviation D_i = |m·P_i − i·T| over hour-bucketed
             # per-type counts; ROW_NUMBER picks the first max (smallest

@@ -42,6 +42,7 @@ __all__ = [
     "domain_cap",
     "token_repetition",
     "curation_filter",
+    "gopher_rules",
     "quantile_length_filter",
     "RegexScrub",
     "regex_scrub",
@@ -1339,3 +1340,121 @@ def priority_sample(
         .sort(["priority", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def gopher_rules(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mwl_lo: int = 3,
+    mwl_hi: int = 10,
+    sym_num: int = 1,
+    sym_den: int = 10,
+    bullet_num: int = 9,
+    bullet_den: int = 10,
+    ell_num: int = 3,
+    ell_den: int = 10,
+    alpha_num: int = 4,
+    alpha_den: int = 5,
+    stopwords: tuple = ("the", "be", "to", "of", "and", "that", "have", "with"),
+    min_stop_hits: int = 2,
+    keep_cols: tuple = ("lang",),
+):
+    """Gopher document-quality rules (Rae et al. 2021, Table A1) as ONE
+    vectorized pass — the published rule battery web-scale curation
+    pipelines run before training:
+
+    bit 0  word count outside [min_words, max_words]
+    bit 1  mean word length outside [mwl_lo, mwl_hi]
+    bit 2  symbol-to-word ratio ('#' + '...' occurrences) > sym_num/sym_den
+    bit 3  bullet-line ratio ('-'/'•'-led lines) > bullet_num/bullet_den
+    bit 4  ellipsis-ended-line ratio > ell_num/ell_den
+    bit 5  alpha-word ratio (words containing a letter) < alpha_num/alpha_den
+    bit 6  fewer than ``min_stop_hits`` DISTINCT ``stopwords`` present
+
+    Output rows: (id, *keep_cols, n_words, rule_mask, kept) — ``rule_mask``
+    is the int64 OR of violated bits, ``kept`` = 1 iff mask == 0.  Every
+    ratio test is an integer cross-multiply, so the SQL mirror agrees
+    bit-for-bit (no float ever touches a decision).
+
+    Scale shape: embarrassingly parallel — one split + flat-buffer
+    reduceat cascade per batch (tokens and lines never leave the task),
+    no shuffle; the per-doc decision columns stream out so downstream
+    stages can filter, audit, or invert without recomputation (same
+    posture as ``curation_filter``)."""
+    from .textstats import _flat_tokens
+
+    stopwords = tuple(stopwords)
+
+    def decide(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_cols = [id_col, *keep_cols]
+        if n == 0:
+            base = {c: batch.column(c) for c in out_cols}
+            base["n_words"] = pa.array([], pa.int64())
+            base["rule_mask"] = pa.array([], pa.int64())
+            base["kept"] = pa.array([], pa.int64())
+            return pa.table(base)
+        flat, off = _flat_tokens(batch, text_col)
+        starts = off[:-1]
+        n_words = np.diff(off).astype(np.int64)
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        word_chars = np.add.reduceat(tok_lens, starts).astype(np.int64)
+        alpha = (
+            pc.match_substring_regex(flat, "[a-zA-Z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        alpha_words = np.add.reduceat(alpha, starts).astype(np.int64)
+        hits = np.zeros(n, dtype=np.int64)
+        for s in stopwords:
+            eq = pc.equal(flat, s).to_numpy(zero_copy_only=False).astype(np.int64)
+            hits += np.add.reduceat(eq, starts) > 0
+        # line structure (same fill-null-as-empty text the tokenizer saw)
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(pc.cast(text, pa.string()), "")
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        loff = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        loff = loff - loff[0]
+        lflat = lines.flatten()
+        n_lines = np.diff(loff).astype(np.int64)
+        lstarts = loff[:-1]
+        bullet = pc.or_(
+            pc.starts_with(lflat, "-"), pc.starts_with(lflat, "•")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bullet_lines = np.add.reduceat(bullet, lstarts).astype(np.int64)
+        ell = (
+            pc.ends_with(lflat, "...")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ell_lines = np.add.reduceat(ell, lstarts).astype(np.int64)
+        n_sym = (
+            pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+            + pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+
+        mask = np.zeros(n, dtype=np.int64)
+        mask |= ((n_words < min_words) | (n_words > max_words)) * 1
+        mask |= (
+            (word_chars < mwl_lo * n_words) | (word_chars > mwl_hi * n_words)
+        ) * 2
+        mask |= (sym_den * n_sym > sym_num * n_words) * 4
+        mask |= (bullet_den * bullet_lines > bullet_num * n_lines) * 8
+        mask |= (ell_den * ell_lines > ell_num * n_lines) * 16
+        mask |= (alpha_den * alpha_words < alpha_num * n_words) * 32
+        mask |= (hits < min_stop_hits) * 64
+
+        base = {c: batch.column(c) for c in out_cols}
+        base["n_words"] = pa.array(n_words, pa.int64())
+        base["rule_mask"] = pa.array(mask, pa.int64())
+        base["kept"] = pa.array((mask == 0).astype(np.int64), pa.int64())
+        return pa.table(base)
+
+    return ds.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)

@@ -560,3 +560,74 @@ def test_priority_sample_determinism_and_weighting(ray_session):
                      "w": pa.array([1.0], pa.float64())})
     with pytest.raises(Exception, match="integer-typed"):
         priority_sample(rd.from_arrow(badf), k=1, weight_col="w").take_all()
+
+
+# -------------------------------------------------------------- gopher_rules
+
+
+def test_gopher_rules_each_bit(ray_session):
+    """One crafted doc per rule: exactly that bit set (plus whatever the
+    doc structurally also violates), kept only when mask == 0."""
+    import ray.data as rd
+
+    from fever_ray.ops.curate import gopher_rules
+
+    stop = ("the", "of")
+    good = "the quick brown foxes of doom " * 10  # 60 words, alpha, stops
+    docs = {
+        0: good.strip(),                                # clean → kept
+        1: "the of " + "word " * 3,                     # 5+... words → bit0
+        2: "the of " + "a " * 58,                       # mean len < 3 → bit1
+        3: ("the of " + "ok " * 48).strip() + " " + "#" * 1 + " " + "... ... ... ... ... ...",
+        4: "- " + good.strip().replace(" ", "\n- "),    # all bullet lines → bit3
+        5: good.strip().replace(" ", "...\n") + "...",  # all lines end ... → bit4
+        6: "the of " + "123 456 " * 25,                 # digits → bit5
+        7: "quick brown foxes jump high " * 10,         # no stopwords → bit6
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+        }
+    )
+    out = (
+        gopher_rules(
+            rd.from_arrow(t),
+            min_words=50,
+            max_words=100,
+            mwl_lo=3,
+            mwl_hi=10,
+            stopwords=stop,
+            min_stop_hits=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert int(out.loc[0, "rule_mask"]) == 0 and int(out.loc[0, "kept"]) == 1
+    assert int(out.loc[1, "rule_mask"]) & 1
+    assert int(out.loc[2, "rule_mask"]) & 2
+    assert int(out.loc[3, "rule_mask"]) & 4
+    assert int(out.loc[4, "rule_mask"]) & 8
+    assert int(out.loc[5, "rule_mask"]) & 16
+    assert int(out.loc[6, "rule_mask"]) & 32
+    assert int(out.loc[7, "rule_mask"]) == 64
+    assert (out.loc[out.rule_mask != 0, "kept"] == 0).all()
+
+
+def test_gopher_rules_null_and_empty(ray_session):
+    import ray.data as rd
+
+    from fever_ray.ops.curate import gopher_rules
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "text": pa.array([None, ""], pa.string()),
+        }
+    )
+    out = gopher_rules(rd.from_arrow(t)).to_pandas()
+    # null behaves exactly as '' (one empty token): same mask for both
+    assert out.rule_mask.nunique() == 1
+    assert (out.kept == 0).all() and (out.n_words == 1).all()
