@@ -886,6 +886,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_url_canonical_dedup(sf):
+        # crawl-style duplicate URLs (same page behind varying tracking
+        # junk / fragments / default port) → normalize → keep-min-id per
+        # canonical URL; the synth is mirrored byte-for-byte in SQL and
+        # both sides normalize through one definition
+        from fever_ray.ops.dedup import keyed_dedup
+
+        ds = _t(sf, "documents", ["doc_id", "source"])
+
+        def synth(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idn = ids.to_numpy(zero_copy_only=False)
+            n = b.num_rows
+            src = pc.utf8_upper(
+                pc.cast(
+                    b.column("source").combine_chunks()
+                    if isinstance(b.column("source"), pa.ChunkedArray)
+                    else b.column("source"),
+                    pa.string(),
+                )
+            )
+            pathn = pc.cast(pa.array(idn % 50), pa.string())
+            junk4 = np.array(["?utm_source=x", "?fbclid=1", "#frag", ""])
+            junk = pa.array(junk4[idn % 4], pa.string())
+            url = pc.binary_join_element_wise(
+                pa.array(["HTTPS://WWW."] * n), src,
+                pa.array([".Test:443/p/"] * n), pathn, junk, ""
+            )
+            return pa.table({"doc_id": ids, "url": url})
+
+        normed = normalize_urls(ds.map_batches(synth, batch_format="pyarrow"))
+        return keyed_dedup(normed, "url_norm", id_col="doc_id")
+
     def q_normalize_text(sf):
         # synthesize unicode-messy text from documents (decomposed e+U+0301
         # prefix, whitespace runs, odd rows get a tab-padded suffix) and
@@ -4307,6 +4342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": q_pivot_counts,
         "unigram_logloss": q_unigram_logloss,
         "normalize_urls": q_normalize_urls,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "normalize_text": q_normalize_text,
         "doc_top_terms": q_doc_top_terms,
         "bm25_search": q_bm25_search,
@@ -4536,10 +4572,12 @@ def _per_group_sample_sql(k: int, groups: list, seed: int) -> str:
     )
 
 
-def _normalize_urls_sql() -> str:
-    """Exact mirror of ops.curate.normalize_urls over the same synthesized
-    messy URLs (DuckDB and Arrow share the RE2 regex engine, so the part
-    extraction is identical)."""
+def _url_norm_chain_sql(u_cte: str) -> str:
+    """The normalize_urls mirror CTE chain over any ``u``(doc_id, url)
+    CTE — exposes the final select producing (doc_id, url, url_norm).
+    DuckDB and Arrow share the RE2 regex engine, so the part extraction is
+    identical.  Factored so both the normalize_urls gate and the
+    canonical-dedup gate normalize through ONE SQL definition."""
     from fever_ray.ops.curate import _TRACKING_PREFIXES, _URL_RE_PARTS
 
     re_ = _URL_RE_PARTS.replace("'", "''")
@@ -4547,11 +4585,7 @@ def _normalize_urls_sql() -> str:
         f"NOT starts_with(p, '{t}')" for t in _TRACKING_PREFIXES
     )
     return (
-        f"WITH u AS (SELECT doc_id, 'HTTPS://WWW.' || upper(source) || "
-        f"'.Test:443/p/' || lang || CASE WHEN doc_id % 3 = 0 THEN "
-        f"'?utm_source=x&fbclid=1&id=' || CAST(doc_id AS VARCHAR) ELSE "
-        f"'?id=' || CAST(doc_id AS VARCHAR) END || CASE WHEN doc_id % 2 = 0 "
-        f"THEN '#f' ELSE '' END AS url FROM documents), "
+        f"WITH u AS ({u_cte}), "
         f"px AS (SELECT doc_id, url, "
         f"lower(regexp_extract(url, '{re_}', 1)) AS scheme, "
         f"lower(regexp_extract(url, '{re_}', 2)) AS host0, "
@@ -4569,6 +4603,38 @@ def _normalize_urls_sql() -> str:
         f"SELECT doc_id, url, scheme || '://' || host || path || "
         f"CASE WHEN len(qjoin) > 0 THEN '?' || qjoin ELSE '' END AS url_norm "
         f"FROM q"
+    )
+
+
+def _normalize_urls_sql() -> str:
+    """Exact mirror of ops.curate.normalize_urls over the same synthesized
+    messy URLs."""
+    return _url_norm_chain_sql(
+        "SELECT doc_id, 'HTTPS://WWW.' || upper(source) || "
+        "'.Test:443/p/' || lang || CASE WHEN doc_id % 3 = 0 THEN "
+        "'?utm_source=x&fbclid=1&id=' || CAST(doc_id AS VARCHAR) ELSE "
+        "'?id=' || CAST(doc_id AS VARCHAR) END || CASE WHEN doc_id % 2 = 0 "
+        "THEN '#f' ELSE '' END AS url FROM documents"
+    )
+
+
+_URL_DEDUP_SYNTH_SQL = (
+    "SELECT doc_id, 'HTTPS://WWW.' || upper(source) || '.Test:443/p/' || "
+    "CAST(doc_id % 50 AS VARCHAR) || CASE doc_id % 4 WHEN 0 THEN "
+    "'?utm_source=x' WHEN 1 THEN '?fbclid=1' WHEN 2 THEN '#frag' "
+    "ELSE '' END AS url FROM documents"
+)
+
+
+def _url_canonical_dedup_sql() -> str:
+    """Mirror of q_url_canonical_dedup: the same synthesized crawl dupes
+    (identical page behind varying tracking junk / fragments / default
+    port), normalized through the ONE shared chain, then keep-min-id per
+    canonical URL with the copy count."""
+    return (
+        f"WITH n AS ({_url_norm_chain_sql(_URL_DEDUP_SYNTH_SQL)}) "
+        "SELECT url_norm, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_copies FROM n GROUP BY url_norm"
     )
 
 
@@ -5974,6 +6040,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "normalize_urls": _normalize_urls_sql(),
+        "url_canonical_dedup": _url_canonical_dedup_sql(),
         # same messy synthesis as the engine (decomposed e+U+0301 prefix,
         # tab-padded odd-row suffix); nfc_normalize is utf8proc on both
         # sides, the collapse is RE2 on both sides, and trim(x, ' ') is the

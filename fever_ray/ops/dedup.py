@@ -4097,3 +4097,34 @@ def day_overlap(
         [("distinct_today", "sum"), ("shared_with_next", "sum")],
         max_groups=max_days,
     )
+
+
+def keyed_dedup(ds, key_col: str, id_col: str = "doc_id"):
+    """Keep the min-id row per distinct KEY VALUE — the canonical-key
+    dedup (e.g. canonical-URL dedup after ``curate.normalize_urls``:
+    crawl copies of one page behind tracking junk collapse to the first
+    id).  Returns (key, keep_id, n_copies).
+
+    Scale shape: per-batch pyarrow hash-aggregation compresses each block
+    to per-distinct-key (min id, count) partials before ONE keyed shuffle
+    — the exchange carries distinct keys per batch, never rows.  For
+    corpus-sized key domains where the key string is long, hash the key
+    first (``exact_dedup``'s posture) and carry the hash."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(batch.select([key_col, id_col]), key_col).aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
+        return t.select(
+            [key_col, f"{id_col}_min", f"{id_col}_count"]
+        ).rename_columns([key_col, "keep_id", "n_copies"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(
+            Min("keep_id", alias_name="keep_id"),
+            Sum("n_copies", alias_name="n_copies"),
+        )
+    )
