@@ -576,6 +576,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_stop_hits=3,
         )
 
+    def q_rule_violation_samples(sf):
+        # audit card for the gopher battery: the 5 smallest doc_ids
+        # violating each fired rule bit (same params as q_gopher_rules)
+        from fever_ray.ops.curate import rule_violation_samples
+
+        return rule_violation_samples(
+            _t(sf, "documents", ["doc_id", "text"]),
+            k=5,
+            min_words=20,
+            max_words=80,
+            mwl_lo=4,
+            mwl_hi=10,
+            stopwords=_GOPHER_STOPS,
+            min_stop_hits=3,
+        )
+
     def q_change_point(sf):
         # exact integer CUSUM-analogue breakpoint per event_type over
         # hourly counts: argmax |m·P_i − i·T|, ties to the smallest bucket
@@ -4317,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_quality": q_data_quality,
         "change_point": q_change_point,
         "gopher_rules": q_gopher_rules,
+        "rule_violation_samples": q_rule_violation_samples,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -5947,6 +5964,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "data_quality": _data_quality_sql(),
         "gopher_rules": _gopher_rules_sql(20, 80, 4, 10, _GOPHER_STOPS, 3),
+        "rule_violation_samples": (
+            # nested-CTE reuse of the ONE gopher mirror: explode fired bits
+            # via a 0..6 join, rank ids ascending per bit, keep rn <= 5
+            f"WITH g AS ({_gopher_rules_sql(20, 80, 4, 10, _GOPHER_STOPS, 3)}), "
+            "e AS (SELECT b.bit AS rule_bit, g.doc_id FROM g JOIN (VALUES "
+            "(0),(1),(2),(3),(4),(5),(6)) AS b(bit) ON "
+            "((g.rule_mask >> b.bit) & 1) = 1), "
+            "r AS (SELECT rule_bit, doc_id, ROW_NUMBER() OVER "
+            "(PARTITION BY rule_bit ORDER BY doc_id) AS rn FROM e) "
+            "SELECT CAST(rule_bit AS BIGINT) AS rule_bit, doc_id, "
+            "CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5"
+        ),
         "change_point": (
             # same integer deviation D_i = |m·P_i − i·T| over hour-bucketed
             # per-type counts; ROW_NUMBER picks the first max (smallest

@@ -1458,3 +1458,70 @@ def gopher_rules(
         return pa.table(base)
 
     return ds.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rule_violation_samples(
+    ds,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 7,
+    **gopher_kwargs,
+):
+    """Audit samples for the :func:`gopher_rules` battery: for every rule
+    bit that fired anywhere in the corpus, the ``k`` SMALLEST document ids
+    violating that rule — the deterministic "show me examples of what rule
+    N drops" card a curation reviewer asks for before shipping a filter
+    config.
+
+    Output rows: (``rule_bit`` int64 0..6, ``id_col``, ``rn`` int64 1-based
+    rank within the bit).  Bits that never fire emit no rows.
+
+    Scale shape (10^12 docs): the mask pass is the gopher_rules one-pass
+    kernel (no shuffle); the explode emits only VIOLATING (bit, id) pairs,
+    then :func:`~fever_ray.ops.relational.group_top_k` prunes each batch to
+    <= k ids per bit before its bounded shuffle — the exchange carries at
+    most 7k rows per batch regardless of corpus size, and a rule that fires
+    on every document costs the same as one that fires on none.
+    """
+    from .relational import group_top_k
+
+    scored = gopher_rules(ds, id_col=id_col, text_col=text_col,
+                          keep_cols=(), **gopher_kwargs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False)
+        mask = t.column("rule_mask").to_numpy(zero_copy_only=False)
+        bits_out, ids_out = [], []
+        for b in range(n_bits):
+            idx = np.flatnonzero((mask >> b) & 1)
+            if len(idx):
+                bits_out.append(np.full(len(idx), b, dtype=np.int64))
+                ids_out.append(idn[idx])
+        if not bits_out:
+            return pa.table({
+                "rule_bit": pa.array([], pa.int64()),
+                id_col: pa.array([], ids.type),
+                "ord_id": pa.array([], pa.int64()),
+            })
+        allb = np.concatenate(bits_out)
+        alli = np.concatenate(ids_out)
+        return pa.table({
+            "rule_bit": pa.array(allb, pa.int64()),
+            id_col: pa.array(alli),
+            "ord_id": pa.array(alli.astype(np.int64), pa.int64()),
+        })
+
+    exploded = scored.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranked = group_top_k(
+        exploded, "rule_bit", "ord_id", k=k, id_col=id_col, descending=False
+    )
+    return ranked.map_batches(
+        lambda t: t.select(["rule_bit", id_col, "rn"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

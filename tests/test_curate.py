@@ -631,3 +631,56 @@ def test_gopher_rules_null_and_empty(ray_session):
     # null behaves exactly as '' (one empty token): same mask for both
     assert out.rule_mask.nunique() == 1
     assert (out.kept == 0).all() and (out.n_words == 1).all()
+
+
+def test_rule_violation_samples_topk_per_bit(ray_session):
+    """k-smallest ids per fired bit: a bit with more violators than k
+    truncates at k (ascending ids, rn 1..k), a bit with fewer emits them
+    all, a never-fired bit emits nothing — across multiple blocks so the
+    partial-prune + final combine path is exercised."""
+    import ray.data as rd
+
+    from fever_ray.ops.curate import rule_violation_samples
+
+    stop = ("the", "of")
+    good = ("the quick brown foxes of doom " * 10).strip()  # clean
+    short = "the of word"                                   # bit0 only
+    nostop = "quick brown foxes jump high " * 10            # bit6 only
+    rows = []
+    # ids 0..7: short docs (bit0 violators, 8 > k)
+    for i in range(8):
+        rows.append((i, short))
+    # ids 100..101: stopword-free docs (bit6, 2 < k)
+    rows.append((100, nostop.strip()))
+    rows.append((101, nostop.strip()))
+    # ids 200..203: clean
+    for i in range(200, 204):
+        rows.append((i, good))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        rule_violation_samples(
+            rd.from_arrow(t).repartition(4),
+            k=3,
+            min_words=50,
+            max_words=100,
+            mwl_lo=3,
+            mwl_hi=10,
+            stopwords=stop,
+            min_stop_hits=2,
+        )
+        .to_pandas()
+        .sort_values(["rule_bit", "rn"])
+        .reset_index(drop=True)
+    )
+    b0 = out[out.rule_bit == 0]
+    assert list(b0.doc_id) == [0, 1, 2] and list(b0.rn) == [1, 2, 3]
+    b6 = out[out.rule_bit == 6]
+    assert list(b6.doc_id) == [100, 101] and list(b6.rn) == [1, 2]
+    # the short docs also fire the stopword bit? no — they contain both
+    # stops; bits 1-5 never fire on this fixture
+    assert set(out.rule_bit) <= {0, 6}
