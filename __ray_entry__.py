@@ -592,6 +592,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_stop_hits=3,
         )
 
+    def q_host_boilerplate(sf):
+        # per-host frequent-line scrub over synthesized crawl pages: a
+        # GLOBAL-FOOTER line on every page (always boilerplate), a
+        # per-host BANNER line on even doc_ids only (~half the host's
+        # pages — straddles the strict > 1/2 threshold host by host), and
+        # the doc's own text (survives)
+        from fever_ray.ops.dedup import host_boilerplate
+
+        ds = _t(sf, "documents", ["doc_id", "text", "source"])
+
+        def synth(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idn = ids.to_numpy(zero_copy_only=False)
+            src = b.column("source")
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            src = pc.fill_null(pc.cast(src, pa.string()), "")
+            text = b.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            text = pc.fill_null(pc.cast(text, pa.string()), "")
+            banner_full = pc.binary_join_element_wise(
+                pa.array(["BANNER-"] * n), src, pa.array(["\n"] * n), ""
+            )
+            banner = pc.if_else(pa.array(idn % 2 == 0), banner_full, "")
+            text2 = pc.binary_join_element_wise(
+                pa.array(["GLOBAL-FOOTER\n"] * n), banner, text, ""
+            )
+            return pa.table({"doc_id": ids, "source": src, "text": text2})
+
+        return host_boilerplate(
+            ds.map_batches(synth, batch_format="pyarrow"),
+            min_docs=3, frac_num=1, frac_den=2,
+        )
+
     def q_change_point(sf):
         # exact integer CUSUM-analogue breakpoint per event_type over
         # hourly counts: argmax |m·P_i − i·T|, ties to the smallest bucket
@@ -4334,6 +4372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_point": q_change_point,
         "gopher_rules": q_gopher_rules,
         "rule_violation_samples": q_rule_violation_samples,
+        "host_boilerplate": q_host_boilerplate,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -6108,6 +6147,33 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),
         "repeat_corpus": _repeat_corpus_sql({"en": 1, "zh": 3, "fr": 2, "es": 0}, 1),
         "line_dedup": _line_dedup_sql(30),
+        "host_boilerplate": (
+            # same synthesized pages (global footer + even-id host banner
+            # + own text); a line is host-boilerplate iff it hits >= 3
+            # distinct docs AND strictly more than half the host's docs
+            "WITH docs AS (SELECT doc_id, COALESCE(source, '') AS src, "
+            "'GLOBAL-FOOTER' || chr(10) || CASE WHEN doc_id % 2 = 0 THEN "
+            "'BANNER-' || COALESCE(source, '') || chr(10) ELSE '' END || "
+            "COALESCE(text, '') AS text FROM documents), "
+            "sp AS (SELECT doc_id, src, string_split(text, chr(10)) AS ls "
+            "FROM docs), "
+            "ex AS (SELECT doc_id, src, ls[i] AS ln, i AS ord FROM "
+            "(SELECT doc_id, src, ls, UNNEST(range(1, len(ls) + 1)) AS i "
+            "FROM sp)), "
+            "lc AS (SELECT src, ln, COUNT(DISTINCT doc_id) AS nd FROM ex "
+            "GROUP BY src, ln), "
+            "hc AS (SELECT src, COUNT(*) AS hd FROM docs GROUP BY src), "
+            "bp AS (SELECT src, ln FROM lc JOIN hc USING (src) "
+            "WHERE nd >= 3 AND 2 * nd > hd), "
+            "k AS (SELECT e.doc_id, e.ln, e.ord FROM ex e WHERE NOT EXISTS "
+            "(SELECT 1 FROM bp WHERE bp.src = e.src AND bp.ln = e.ln)), "
+            "tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ex "
+            "GROUP BY doc_id) "
+            "SELECT k.doc_id, string_agg(k.ln, chr(10) ORDER BY k.ord) AS "
+            "text, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+            "CAST(ANY_VALUE(tot.n_lines) - COUNT(*) AS BIGINT) AS n_dropped "
+            "FROM k JOIN tot ON k.doc_id = tot.doc_id GROUP BY k.doc_id"
+        ),
         # window join reproduces the engine's gram construction exactly:
         # single-space split (empty tokens kept), n-token slices re-joined
         # with ' ', docs under n tokens emit nothing

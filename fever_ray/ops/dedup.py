@@ -4128,3 +4128,236 @@ def keyed_dedup(ds, key_col: str, id_col: str = "doc_id"):
             Sum("n_copies", alias_name="n_copies"),
         )
     )
+
+
+def host_boilerplate(
+    ds,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 3,
+    frac_num: int = 1,
+    frac_den: int = 2,
+    broadcast_bytes: int = 256 << 20,
+    num_partitions: int | None = None,
+):
+    """HOST-scoped frequent-line removal (the RefinedWeb/CCNet per-domain
+    boilerplate scrub): a line is boilerplate for a host iff it appears in
+    at least ``min_docs`` DISTINCT documents of that host AND in strictly
+    more than ``frac_num/frac_den`` of the host's documents; every such
+    line is stripped from that host's documents only.  The same cookie
+    banner on two unrelated hosts is judged independently — the per-domain
+    generalization of the corpus-global :func:`line_dedup`.
+
+    Output rows: (id_col, text_col rewritten, ``n_kept`` int64,
+    ``n_dropped`` int64); documents left with no lines are dropped.  Both
+    threshold tests are integer cross-multiplies (no float touches a
+    decision) and matching is exact line-string equality, so the result is
+    a pure function of the corpus, independent of partitioning.
+
+    Scale shape (10^12 docs): pass 1 ships per-batch-combined partials
+    only — distinct (host, line) pairs with their distinct-doc counts
+    (within-doc duplicate lines collapse before anything moves) plus one
+    (host, n_docs) row per host per batch.  Stage-1 buckets by line-key
+    hash (skew-free) and fuses the ``min_docs`` prune, so stage 2 —
+    bucketed by host hash to marry candidates with their host totals —
+    carries only already-frequent candidates plus tiny host rows.  The
+    final boilerplate set broadcasts once (``ray.put``) and the scrub pass
+    is one vectorized membership probe + offset rebuild per batch; corpus
+    text never shuffles.  A boilerplate set beyond ``broadcast_bytes``
+    raises loudly — the bucketed-join fallback shape is the one
+    :func:`line_dedup` already implements.
+    """
+    import ray
+
+    from ..sketches.hashing import hash64
+
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if frac_num < 0 or frac_den < 1:
+        raise ValueError(f"bad frac {frac_num}/{frac_den}")
+    n_parts = num_partitions or _auto_parts(ds, floor=32)
+    n2 = max(32, n_parts // 4)
+
+    def _key(ln: pa.Array, src: pa.Array) -> pa.Array:
+        # line||sep||host is injective: lines cannot contain the sep they
+        # were split on, so the first sep always delimits the line part
+        return pc.binary_join_element_wise(ln, src, sep)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({
+            "src": pa.array([], pa.string()),
+            "ln": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "is_count": pa.array([], pa.int8()),
+            "bucket": pa.array([], pa.int32()),
+        })
+        if n == 0:
+            return empty
+        _, flat, offsets = _split_lines(batch, text_col, sep)
+        doc_lens = np.diff(offsets)
+        row = np.repeat(np.arange(n, dtype=np.int64), doc_lens)
+        src = batch.column(host_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src = pc.fill_null(pc.cast(src, pa.string()), "")
+        sd = src.dictionary_encode()
+        scode = sd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ld = flat.dictionary_encode()
+        codes = ld.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = max(1, len(ld.dictionary))
+        # per-doc distinct lines, then distinct-doc counts per (host, line)
+        up = np.unique(row * K + codes)
+        ucode = up % K
+        skey = scode[up // K] * K + ucode
+        uk, cnt = np.unique(skey, return_counts=True)
+        ln_arr = ld.dictionary.take(pa.array(uk % K, pa.int64()))
+        src_arr = sd.dictionary.take(pa.array(uk // K, pa.int64()))
+        lb = (hash64(_key(ln_arr, src_arr)) % np.uint64(n_parts)).astype(np.int32)
+        lines_t = pa.table({
+            "src": src_arr,
+            "ln": ln_arr,
+            "n": pa.array(cnt, pa.int64()),
+            "is_count": pa.array(np.zeros(len(uk), np.int8), pa.int8()),
+            "bucket": pa.array(lb, pa.int32()),
+        })
+        hs, hc = np.unique(scode, return_counts=True)
+        hsrc = sd.dictionary.take(pa.array(hs, pa.int64()))
+        hb = (hash64(hsrc) % np.uint64(n_parts)).astype(np.int32)
+        hosts_t = pa.table({
+            "src": hsrc,
+            "ln": pa.array([""] * len(hs), pa.string()),
+            "n": pa.array(hc, pa.int64()),
+            "is_count": pa.array(np.ones(len(hs), np.int8), pa.int8()),
+            "bucket": pa.array(hb, pa.int32()),
+        })
+        return pa.concat_tables([lines_t, hosts_t])
+
+    def _empty_cand() -> pa.Table:
+        return pa.table({
+            "src": pa.array([], pa.string()),
+            "ln": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "is_count": pa.array([], pa.int8()),
+        })
+
+    def combine1(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _empty_cand()
+        t = pa.TableGroupBy(
+            group.select(["src", "ln", "is_count", "n"]), ["src", "ln", "is_count"]
+        ).aggregate([("n", "sum")]).rename_columns(["src", "ln", "is_count", "n"])
+        isc = t.column("is_count")
+        nn = t.column("n")
+        # fuse the min_docs prune for line rows; host rows pass through
+        keep = pc.or_(
+            pc.equal(isc, pa.scalar(1, pa.int8())),
+            pc.greater_equal(nn, min_docs),
+        )
+        t = t.filter(keep)
+        out = t.select(["src", "ln", "n", "is_count"])
+        b2 = (hash64(
+            out.column("src").combine_chunks()
+            if isinstance(out.column("src"), pa.ChunkedArray)
+            else out.column("src")
+        ) % np.uint64(n2)).astype(np.int32)
+        return out.append_column("bucket", pa.array(b2, pa.int32()))
+
+    def combine2(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "src": pa.array([], pa.string()),
+            "ln": pa.array([], pa.string()),
+        })
+        if group.num_rows == 0 or group.num_columns == 0:
+            return empty
+        isc = group.column("is_count").to_numpy(zero_copy_only=False)
+        hosts = group.filter(pa.array(isc == 1))
+        cands = group.filter(pa.array(isc == 0))
+        if cands.num_rows == 0:
+            return empty
+        hsrc = hosts.column("src")
+        if isinstance(hsrc, pa.ChunkedArray):
+            hsrc = hsrc.combine_chunks()
+        hd = hosts.column("n").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(cands.column("src"), value_set=hsrc)
+        idxn = idx.to_numpy(zero_copy_only=False)
+        nd = cands.column("n").to_numpy(zero_copy_only=False)
+        # every candidate's host row is in this bucket by construction
+        keep = frac_den * nd > frac_num * hd[idxn]
+        out = cands.filter(pa.array(keep))
+        return out.select(["src", "ln"])
+
+    bp = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(combine1, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine2, batch_format="pyarrow")
+        .materialize()
+    )
+    bp_bytes = bp.size_bytes() or 0
+    if bp_bytes > broadcast_bytes:
+        raise RuntimeError(
+            f"host_boilerplate: boilerplate set {bp_bytes / 2**20:.1f} MB "
+            f"exceeds the broadcast cap {broadcast_bytes / 2**20:.1f} MB; "
+            "raise broadcast_bytes or add a bucketed-join scrub (the shape "
+            "line_dedup's join fallback implements)"
+        )
+    tabs = [
+        t for t in ray.get(bp.to_arrow_refs()) if t.num_rows and t.num_columns
+    ]
+    if tabs:
+        bpt = pa.concat_tables(tabs)
+        keys = _key(
+            bpt.column("ln").combine_chunks()
+            if isinstance(bpt.column("ln"), pa.ChunkedArray)
+            else bpt.column("ln"),
+            bpt.column("src").combine_chunks()
+            if isinstance(bpt.column("src"), pa.ChunkedArray)
+            else bpt.column("src"),
+        )
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+    else:
+        keys = pa.array([], pa.string())
+    bp_ref = ray.put(keys)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        bp_set = ray.get(bp_ref)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        src = batch.column(host_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src = pc.fill_null(pc.cast(src, pa.string()), "")
+        _, flat, offsets = _split_lines(batch, text_col, sep)
+        doc_lens = np.diff(offsets)
+        if len(bp_set):
+            row = np.repeat(np.arange(batch.num_rows, dtype=np.int64), doc_lens)
+            srep = src.take(pa.array(row, pa.int64()))
+            keyed = _key(flat, srep)
+            keep = pc.invert(pc.is_in(keyed, value_set=bp_set))
+            keep_np = keep.to_numpy(zero_copy_only=False)
+        else:
+            keep = pa.array(np.ones(len(flat), dtype=bool))
+            keep_np = np.ones(len(flat), dtype=bool)
+        ck = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(keep_np, out=ck[1:])
+        n_kept = ck[offsets[1:]] - ck[offsets[:-1]]
+        new_off = np.zeros(batch.num_rows + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=new_off[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(keep)
+        )
+        out = pa.table({
+            id_col: ids,
+            text_col: pc.binary_join(la, sep),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_dropped": pa.array(doc_lens - n_kept, pa.int64()),
+        })
+        return out.filter(pa.array(n_kept > 0))
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)

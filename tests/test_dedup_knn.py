@@ -1403,3 +1403,85 @@ def test_day_overlap_stability_curve(ray_session):
         # day0 {A,B} -> next shares {A}; day1 {A,C} -> next shares {A,C};
         # day2 {A,B,C,D} -> no day3
         assert got == {0: (2, 1), 1: (2, 2), 2: (4, 0)}
+
+
+# ------------------------------------------------------------ host_boilerplate
+def test_host_boilerplate_thresholds_and_host_scope(ray_session):
+    """min_docs and strict-majority boundaries, host independence (the
+    same line is boilerplate on one host and content on another), docs
+    scrubbed to empty disappear, within-doc duplicate lines count one doc
+    toward nd but every copy is stripped — across 4 blocks."""
+    import ray.data as rd
+
+    rows = []
+    # host A: 4 docs; 'AD' on 3/4 docs (>= 3 distinct, 2*3 > 4) → dropped;
+    # 'HALF' on exactly 2/4 (2*2 > 4 false) → kept; uniq lines survive
+    rows.append((0, "a.com", "AD\nHALF\nu0"))
+    rows.append((1, "a.com", "AD\nHALF\nu1"))
+    rows.append((2, "a.com", "AD\nAD\nu2"))      # duplicate AD in one doc
+    rows.append((3, "a.com", "u3"))
+    # host B: 2 docs; 'AD' on both (2/2 majority) but nd=2 < min_docs=3 → kept
+    rows.append((10, "b.net", "AD\nu10"))
+    rows.append((11, "b.net", "AD\nu11"))
+    # host C: 3 docs all exactly 'AD' → boilerplate, all scrubbed empty
+    rows.append((20, "c.org", "AD"))
+    rows.append((21, "c.org", "AD"))
+    rows.append((22, "c.org", "AD"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        dd.host_boilerplate(rd.from_arrow(t).repartition(4), min_docs=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # host C vanished entirely
+    assert not any(i in out.index for i in (20, 21, 22))
+    # host A: AD stripped everywhere (both copies in doc 2), HALF kept
+    assert out.loc[0, "text"] == "HALF\nu0" and out.loc[0, "n_dropped"] == 1
+    assert out.loc[1, "text"] == "HALF\nu1"
+    assert out.loc[2, "text"] == "u2" and out.loc[2, "n_dropped"] == 2
+    assert out.loc[3, "text"] == "u3" and out.loc[3, "n_dropped"] == 0
+    # host B: AD survives (below min_docs)
+    assert out.loc[10, "text"] == "AD\nu10" and out.loc[10, "n_kept"] == 2
+    assert out.loc[11, "text"] == "AD\nu11"
+
+
+def test_host_boilerplate_partitioning_invariance(ray_session):
+    """Same corpus through 1 block and 7 blocks → identical output (the
+    distinct-doc partials and two-stage combine are layout-independent)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    hosts = [f"h{i}.com" for i in range(5)]
+    rows = []
+    for d in range(60):
+        h = hosts[d % 5]
+        body = f"body-{d}-{rng.integers(1 << 30)}"
+        rows.append((d, h, f"FOOT-{h}\n{body}"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        df = (
+            dd.host_boilerplate(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # every per-host footer (12 docs each, majority) was stripped
+    assert (outs[0].n_dropped == 1).all() and len(outs[0]) == 60
