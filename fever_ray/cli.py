@@ -429,6 +429,26 @@ def cmd_curate(args) -> int:
         ).map_batches(
             lambda b: b.select(["url", "text"]), batch_format="pyarrow"
         )
+    if args.host_boilerplate:
+        # per-domain nav/footer scrub: strict-majority lines of each host
+        # (>= N distinct pages) stripped from that host's pages only; the
+        # op consumes ds twice (count + scrub) — pin the chain first
+        import pyarrow as pa
+
+        from .ops.dedup import host_boilerplate
+
+        ds = ds.materialize()
+
+        def add_host(b: "pa.Table") -> "pa.Table":
+            return b.append_column("host", hostname_of(b.column("url")))
+
+        ds = host_boilerplate(
+            ds.map_batches(add_host, batch_format="pyarrow"),
+            host_col="host", id_col="url",
+            min_docs=int(args.host_boilerplate),
+        ).map_batches(
+            lambda b: b.select(["url", "text"]), batch_format="pyarrow"
+        )
     if args.trim_dupwin is not None:
         # span-removal exact substring dedup (rewrites text in place);
         # hashed keys are the scale configuration, urls are the row ids.
@@ -1253,6 +1273,11 @@ def main(argv=None) -> int:
     pc_.add_argument("--normalize-text", dest="normalize_text", action="store_true",
                      help="NFC + whitespace canonicalization before any "
                           "content-keyed step; output carries normalized text")
+    pc_.add_argument("--host-boilerplate", dest="host_boilerplate", type=int,
+                     help="strip lines present in > half of a HOST's pages "
+                          "(and at least N pages) — the per-domain "
+                          "nav/footer/cookie-banner scrub; pages scrubbed "
+                          "to empty are dropped")
     pc_.add_argument("--max-dupwin-ratio", dest="max_dupwin_ratio", type=float,
                      help="drop pages whose duplicated n-gram-window fraction "
                           "exceeds this (exact-substring dedup pressure, "
