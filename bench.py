@@ -354,6 +354,25 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # per-host boilerplate scrub at 1M pages: distinct-(host,line) partial
+    # shuffle + two-stage bucketed combine + broadcast membership scrub
+    # (exact-string mode; the gate checks the same op at sf0.01)
+    from fever_ray.ops.dedup import host_boilerplate
+    from fever_ray.ops.extract import hostname_of
+
+    def _pages_hosted():
+        return rd.read_parquet(PAGES_DIR + "/", columns=["url", "text"]).map_batches(
+            lambda b: b.append_column("host", hostname_of(b.column("url"))),
+            batch_format="pyarrow",
+        )
+
+    timings["host_boilerplate_pages"] = _timed(
+        lambda: host_boilerplate(
+            _pages_hosted(), host_col="host", id_col="url",
+            broadcast_bytes=512 << 20,
+        ).materialize()
+    )
+
     # incremental-ingest cross dedup: the 1M-page corpus against its own
     # first shard as the "already ingested" reference — measures the full
     # bloom build + probe + exact-verify path at corpus scale
