@@ -355,8 +355,10 @@ def run_bench() -> dict:
     )
 
     # per-host boilerplate scrub at 1M pages: distinct-(host,line) partial
-    # shuffle + two-stage bucketed combine + broadcast membership scrub
-    # (exact-string mode; the gate checks the same op at sf0.01)
+    # shuffle + two-stage bucketed combine + broadcast membership scrub.
+    # match='hash' is the web-scale configuration (8-byte keys shuffle, not
+    # line text — 7.7 s vs 10.1 s exact here); the gate checks exact-string
+    # mode at sf0.001/0.01/0.1 and pytest asserts hash == exact output
     from fever_ray.ops.dedup import host_boilerplate
     from fever_ray.ops.extract import hostname_of
 
@@ -368,7 +370,7 @@ def run_bench() -> dict:
 
     timings["host_boilerplate_pages"] = _timed(
         lambda: host_boilerplate(
-            _pages_hosted(), host_col="host", id_col="url",
+            _pages_hosted(), host_col="host", id_col="url", match="hash",
             broadcast_bytes=512 << 20,
         ).materialize()
     )

@@ -4141,6 +4141,7 @@ def host_boilerplate(
     frac_den: int = 2,
     broadcast_bytes: int = 256 << 20,
     num_partitions: int | None = None,
+    match: str = "exact",
 ):
     """HOST-scoped frequent-line removal (the RefinedWeb/CCNet per-domain
     boilerplate scrub): a line is boilerplate for a host iff it appears in
@@ -4153,8 +4154,13 @@ def host_boilerplate(
     Output rows: (id_col, text_col rewritten, ``n_kept`` int64,
     ``n_dropped`` int64); documents left with no lines are dropped.  Both
     threshold tests are integer cross-multiplies (no float touches a
-    decision) and matching is exact line-string equality, so the result is
-    a pure function of the corpus, independent of partitioning.
+    decision).  With ``match='exact'`` (default) matching is exact
+    (host, line)-string equality — no hash-collision false drops; with
+    ``match='hash'`` the count shuffle and the boilerplate set carry
+    64-bit hashes of line||sep||host instead of strings (the web-scale
+    configuration, same trade :func:`line_dedup` documents: ~n²/2⁶⁴
+    collision false-drop risk).  Either way the result is a pure function
+    of the corpus, independent of partitioning.
 
     Scale shape (10^12 docs): pass 1 ships per-batch-combined partials
     only — distinct (host, line) pairs with their distinct-doc counts
@@ -4177,6 +4183,9 @@ def host_boilerplate(
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     if frac_num < 0 or frac_den < 1:
         raise ValueError(f"bad frac {frac_num}/{frac_den}")
+    if match not in ("exact", "hash"):
+        raise ValueError(f"match must be 'exact' or 'hash', got {match!r}")
+    hashed = match == "hash"
     n_parts = num_partitions or _auto_parts(ds, floor=32)
     n2 = max(32, n_parts // 4)
 
@@ -4187,13 +4196,22 @@ def host_boilerplate(
 
     def partial(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        empty = pa.table({
-            "src": pa.array([], pa.string()),
-            "ln": pa.array([], pa.string()),
-            "n": pa.array([], pa.int64()),
-            "is_count": pa.array([], pa.int8()),
-            "bucket": pa.array([], pa.int32()),
-        })
+        if hashed:
+            empty = pa.table({
+                "sh": pa.array([], pa.int64()),
+                "kh": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "is_count": pa.array([], pa.int8()),
+                "bucket": pa.array([], pa.int32()),
+            })
+        else:
+            empty = pa.table({
+                "src": pa.array([], pa.string()),
+                "ln": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "is_count": pa.array([], pa.int8()),
+                "bucket": pa.array([], pa.int32()),
+            })
         if n == 0:
             return empty
         _, flat, offsets = _split_lines(batch, text_col, sep)
@@ -4215,6 +4233,36 @@ def host_boilerplate(
         uk, cnt = np.unique(skey, return_counts=True)
         ln_arr = ld.dictionary.take(pa.array(uk % K, pa.int64()))
         src_arr = sd.dictionary.take(pa.array(uk // K, pa.int64()))
+        hs, hc = np.unique(scode, return_counts=True)
+        hsrc = sd.dictionary.take(pa.array(hs, pa.int64()))
+        if hashed:
+            # only hashed keys of the DEDUPED pairs ever move: the key is
+            # computed on <= distinct-(host,line)-per-batch strings locally
+            kh = hash64(_key(ln_arr, src_arr)).view(np.int64)
+            sh_dict = hash64(sd.dictionary).view(np.int64)
+            sh_lines = sh_dict[uk // K]
+            lines_t = pa.table({
+                "sh": pa.array(sh_lines, pa.int64()),
+                "kh": pa.array(kh, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "is_count": pa.array(np.zeros(len(uk), np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (kh.view(np.uint64) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            })
+            shh = sh_dict[hs]
+            hosts_t = pa.table({
+                "sh": pa.array(shh, pa.int64()),
+                "kh": pa.array(np.zeros(len(hs), np.int64), pa.int64()),
+                "n": pa.array(hc, pa.int64()),
+                "is_count": pa.array(np.ones(len(hs), np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (shh.view(np.uint64) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            })
+            return pa.concat_tables([lines_t, hosts_t])
         lb = (hash64(_key(ln_arr, src_arr)) % np.uint64(n_parts)).astype(np.int32)
         lines_t = pa.table({
             "src": src_arr,
@@ -4223,8 +4271,6 @@ def host_boilerplate(
             "is_count": pa.array(np.zeros(len(uk), np.int8), pa.int8()),
             "bucket": pa.array(lb, pa.int32()),
         })
-        hs, hc = np.unique(scode, return_counts=True)
-        hsrc = sd.dictionary.take(pa.array(hs, pa.int64()))
         hb = (hash64(hsrc) % np.uint64(n_parts)).astype(np.int32)
         hosts_t = pa.table({
             "src": hsrc,
@@ -4235,10 +4281,13 @@ def host_boilerplate(
         })
         return pa.concat_tables([lines_t, hosts_t])
 
+    kc, sc = ("kh", "sh") if hashed else ("ln", "src")
+    ktype = pa.int64() if hashed else pa.string()
+
     def _empty_cand() -> pa.Table:
         return pa.table({
-            "src": pa.array([], pa.string()),
-            "ln": pa.array([], pa.string()),
+            sc: pa.array([], ktype),
+            kc: pa.array([], ktype),
             "n": pa.array([], pa.int64()),
             "is_count": pa.array([], pa.int8()),
         })
@@ -4247,8 +4296,8 @@ def host_boilerplate(
         if group.num_rows == 0 or group.num_columns == 0:
             return _empty_cand()
         t = pa.TableGroupBy(
-            group.select(["src", "ln", "is_count", "n"]), ["src", "ln", "is_count"]
-        ).aggregate([("n", "sum")]).rename_columns(["src", "ln", "is_count", "n"])
+            group.select([sc, kc, "is_count", "n"]), [sc, kc, "is_count"]
+        ).aggregate([("n", "sum")]).rename_columns([sc, kc, "is_count", "n"])
         isc = t.column("is_count")
         nn = t.column("n")
         # fuse the min_docs prune for line rows; host rows pass through
@@ -4257,37 +4306,47 @@ def host_boilerplate(
             pc.greater_equal(nn, min_docs),
         )
         t = t.filter(keep)
-        out = t.select(["src", "ln", "n", "is_count"])
-        b2 = (hash64(
-            out.column("src").combine_chunks()
-            if isinstance(out.column("src"), pa.ChunkedArray)
-            else out.column("src")
-        ) % np.uint64(n2)).astype(np.int32)
+        out = t.select([sc, kc, "n", "is_count"])
+        scol = out.column(sc)
+        if isinstance(scol, pa.ChunkedArray):
+            scol = scol.combine_chunks()
+        if hashed:
+            b2 = (
+                scol.to_numpy(zero_copy_only=False).view(np.uint64)
+                % np.uint64(n2)
+            ).astype(np.int32)
+        else:
+            b2 = (hash64(scol) % np.uint64(n2)).astype(np.int32)
         return out.append_column("bucket", pa.array(b2, pa.int32()))
 
     def combine2(group: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "src": pa.array([], pa.string()),
-            "ln": pa.array([], pa.string()),
-        })
+        empty = pa.table({sc: pa.array([], ktype), kc: pa.array([], ktype)})
         if group.num_rows == 0 or group.num_columns == 0:
             return empty
         isc = group.column("is_count").to_numpy(zero_copy_only=False)
         hosts = group.filter(pa.array(isc == 1))
         cands = group.filter(pa.array(isc == 0))
-        if cands.num_rows == 0:
+        if cands.num_rows == 0 or hosts.num_rows == 0:
             return empty
-        hsrc = hosts.column("src")
-        if isinstance(hsrc, pa.ChunkedArray):
-            hsrc = hsrc.combine_chunks()
-        hd = hosts.column("n").to_numpy(zero_copy_only=False)
-        idx = pc.index_in(cands.column("src"), value_set=hsrc)
-        idxn = idx.to_numpy(zero_copy_only=False)
         nd = cands.column("n").to_numpy(zero_copy_only=False)
         # every candidate's host row is in this bucket by construction
-        keep = frac_den * nd > frac_num * hd[idxn]
+        if hashed:
+            hsh = hosts.column(sc).to_numpy(zero_copy_only=False)
+            order = np.argsort(hsh)
+            hsh_s = hsh[order]
+            hd_s = hosts.column("n").to_numpy(zero_copy_only=False)[order]
+            pos = np.searchsorted(hsh_s, cands.column(sc).to_numpy(zero_copy_only=False))
+            keep = frac_den * nd > frac_num * hd_s[pos]
+        else:
+            hsrc = hosts.column(sc)
+            if isinstance(hsrc, pa.ChunkedArray):
+                hsrc = hsrc.combine_chunks()
+            hd = hosts.column("n").to_numpy(zero_copy_only=False)
+            idx = pc.index_in(cands.column(sc), value_set=hsrc)
+            idxn = idx.to_numpy(zero_copy_only=False)
+            keep = frac_den * nd > frac_num * hd[idxn]
         out = cands.filter(pa.array(keep))
-        return out.select(["src", "ln"])
+        return out.select([sc, kc])
 
     bp = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -4308,7 +4367,16 @@ def host_boilerplate(
     tabs = [
         t for t in ray.get(bp.to_arrow_refs()) if t.num_rows and t.num_columns
     ]
-    if tabs:
+    if tabs and hashed:
+        bpt = pa.concat_tables(tabs)
+        keys = np.sort(
+            bpt.column("kh").combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(bpt.column("kh"), pa.ChunkedArray)
+            else bpt.column("kh").to_numpy(zero_copy_only=False)
+        )
+    elif hashed:
+        keys = np.array([], dtype=np.int64)
+    elif tabs:
         bpt = pa.concat_tables(tabs)
         keys = _key(
             bpt.column("ln").combine_chunks()
@@ -4339,8 +4407,15 @@ def host_boilerplate(
             row = np.repeat(np.arange(batch.num_rows, dtype=np.int64), doc_lens)
             srep = src.take(pa.array(row, pa.int64()))
             keyed = _key(flat, srep)
-            keep = pc.invert(pc.is_in(keyed, value_set=bp_set))
-            keep_np = keep.to_numpy(zero_copy_only=False)
+            if hashed:  # sorted int64-view keys → searchsorted probes
+                lh = hash64(keyed).view(np.int64)
+                pos = np.searchsorted(bp_set, lh)
+                pos[pos == len(bp_set)] = 0
+                keep_np = bp_set[pos] != lh
+                keep = pa.array(keep_np)
+            else:
+                keep = pc.invert(pc.is_in(keyed, value_set=bp_set))
+                keep_np = keep.to_numpy(zero_copy_only=False)
         else:
             keep = pa.array(np.ones(len(flat), dtype=bool))
             keep_np = np.ones(len(flat), dtype=bool)

@@ -1485,3 +1485,35 @@ def test_host_boilerplate_partitioning_invariance(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     # every per-host footer (12 docs each, majority) was stripped
     assert (outs[0].n_dropped == 1).all() and len(outs[0]) == 60
+
+
+def test_host_boilerplate_hash_mode_matches_exact(ray_session):
+    """match='hash' (8-byte count-shuffle keys) produces the identical
+    output to match='exact' on the same corpus and partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for d in range(80):
+        h = f"h{d % 6}.com"
+        extra = "PROMO LINE\n" if d % 3 == 0 else ""
+        rows.append((d, h, f"FOOT-{h}\n{extra}body-{d}-{rng.integers(1 << 30)}"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    outs = []
+    for m in ("exact", "hash"):
+        outs.append(
+            dd.host_boilerplate(rd.from_arrow(t).repartition(5), match=m)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # per-host footers (majority on every host) stripped everywhere
+    assert (outs[0].n_dropped >= 1).all()
