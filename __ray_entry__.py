@@ -630,6 +630,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_docs=3, frac_num=1, frac_den=2,
         )
 
+    def q_script_mix(sf):
+        # unicode-script profile over script-mixed synthesis: every 11th
+        # doc gets n_chars+1 Cyrillic chars (flips dominance), everyone
+        # gets id%7 Cyrillic + id%5 Greek tails; RE2 \p{Script} counts on
+        # both sides
+        from fever_ray.ops.textstats import script_mix
+
+        ds = _t(sf, "documents", ["doc_id", "text", "n_chars"])
+
+        def synth_and_profile(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idn = ids.to_numpy(zero_copy_only=False)
+            nch = pc.fill_null(b.column("n_chars"), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            text = b.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            text = pc.fill_null(pc.cast(text, pa.string()), "")
+            cy = pc.binary_repeat(
+                pa.array(["я"] * n),
+                pa.array(np.where(idn % 11 == 0, nch + 1, idn % 7), pa.int64()),
+            )
+            gr = pc.binary_repeat(
+                pa.array(["α"] * n), pa.array(idn % 5, pa.int64())
+            )
+            t2 = pc.binary_join_element_wise(text, cy, gr, "")
+            return script_mix(pa.table({"doc_id": ids, "text": t2}))
+
+        return ds.map_batches(
+            synth_and_profile, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_change_point(sf):
         # exact integer CUSUM-analogue breakpoint per event_type over
         # hourly counts: argmax |m·P_i − i·T|, ties to the smallest bucket
@@ -4373,6 +4409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q_gopher_rules,
         "rule_violation_samples": q_rule_violation_samples,
         "host_boilerplate": q_host_boilerplate,
+        "script_mix": q_script_mix,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -5063,6 +5100,35 @@ def _gopher_rules_sql(
         "FROM tl) "
         f"SELECT doc_id, lang, n_words, CAST({bits} AS BIGINT) AS rule_mask, "
         f"CAST(CASE WHEN {bits} = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept FROM m"
+    )
+
+
+def _script_mix_sql() -> str:
+    """Bit-exact mirror of q_script_mix: the same script-mixed synthesis
+    (repeat is chr-count based on both sides), per-class char counts via
+    RE2 \\p{Script} removal length deltas (length() is CHARS in DuckDB),
+    dominant = first-argmax over the fixed class order as a CASE chain."""
+    classes = ["latin", "cyrillic", "greek", "han", "arabic"]
+    cnt = ", ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '\\p{{{c.capitalize()}}}', "
+        f"'', 'g')) AS BIGINT) AS n_{c}"
+        for c in classes
+    )
+    dom = (
+        "CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND "
+        "n_latin >= n_han AND n_latin >= n_arabic THEN 'latin' "
+        "WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han AND "
+        "n_cyrillic >= n_arabic THEN 'cyrillic' "
+        "WHEN n_greek >= n_han AND n_greek >= n_arabic THEN 'greek' "
+        "WHEN n_han >= n_arabic THEN 'han' ELSE 'arabic' END"
+    )
+    return (
+        "WITH s AS (SELECT doc_id, COALESCE(text, '') || "
+        "repeat('я', CASE WHEN doc_id % 11 = 0 THEN COALESCE(n_chars, 0) + 1 "
+        "ELSE doc_id % 7 END) || repeat('α', doc_id % 5) AS t FROM documents), "
+        f"c AS (SELECT doc_id, {cnt} FROM s) "
+        "SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic, "
+        f"{dom} AS dominant FROM c"
     )
 
 
@@ -6147,6 +6213,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sample_sql({"src0": 3, "src1": 1, "src2": 2}, 19),
         "repeat_corpus": _repeat_corpus_sql({"en": 1, "zh": 3, "fr": 2, "es": 0}, 1),
         "line_dedup": _line_dedup_sql(30),
+        "script_mix": _script_mix_sql(),
         "host_boilerplate": (
             # same synthesized pages (global footer + even-id host banner
             # + own text); a line is host-boilerplate iff it hits >= 3

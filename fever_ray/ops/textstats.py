@@ -2540,3 +2540,47 @@ def zipf_audit(ds, text_col: str = "text"):
     return classes_ds.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+_SCRIPT_CLASSES = (
+    ("latin", r"\p{Latin}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("greek", r"\p{Greek}"),
+    ("han", r"\p{Han}"),
+    ("arabic", r"\p{Arabic}"),
+)
+
+
+def script_mix(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-document Unicode-SCRIPT character profile — the writing-system
+    counterpart of stopword-marker language ID: counts of Latin / Cyrillic
+    / Greek / Han / Arabic characters (RE2 ``\\p{Script}`` classes, so a
+    DuckDB mirror running the same RE2 counts identically) plus the
+    ``dominant`` script elected by first-argmax over that fixed class
+    order.  Mixed-script pages (Latin shell + CJK body, transliteration
+    spam, mojibake) separate cleanly from single-script ones.
+
+    Embarrassingly parallel: five vectorized regex count kernels per
+    batch, integer outputs, no shuffle, no per-row Python.
+    """
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(pc.cast(text, pa.string()), "")
+    cols: dict = {id_col: ids}
+    counts = []
+    for name, pat in _SCRIPT_CLASSES:
+        c = (
+            pc.count_substring_regex(text, pattern=pat)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        counts.append(c)
+        cols[f"n_{name}"] = pa.array(c, pa.int64())
+    dom = np.argmax(np.stack(counts), axis=0)
+    names = np.array([n for n, _ in _SCRIPT_CLASSES])
+    cols["dominant"] = pa.array(names[dom], pa.string())
+    return pa.table(cols)

@@ -1147,3 +1147,36 @@ def test_zorder_layout_morton_and_cells(ray_session):
     bad = pa.table({"x": pa.array([-1], pa.int64()), "y": pa.array([0], pa.int64())})
     with pytest.raises(Exception, match="outside"):
         zorder_layout(rd.from_arrow(bad), "x", "y", bits=8).materialize()
+
+
+def test_script_mix_counts_and_dominance():
+    """Crafted mixed-script docs: per-class counts exact, dominance flips
+    with the majority script, all-equal ties elect by class order."""
+    import pyarrow as pa
+
+    from fever_ray.ops.textstats import script_mix
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "hello world",          # pure latin
+                    "яяяя ab",              # cyrillic-dominant
+                    "αα 漢漢漢",             # han-dominant over greek
+                    "",                     # empty → all zero → latin
+                    "ب漢",                  # han vs arabic tie → han (order)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = script_mix(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_latin"] == 10 and out.loc[1, "dominant"] == "latin"
+    assert out.loc[2, "n_cyrillic"] == 4 and out.loc[2, "n_latin"] == 2
+    assert out.loc[2, "dominant"] == "cyrillic"
+    assert out.loc[3, "n_greek"] == 2 and out.loc[3, "n_han"] == 3
+    assert out.loc[3, "dominant"] == "han"
+    assert out.loc[4, "dominant"] == "latin" and out.loc[4, "n_latin"] == 0
+    assert out.loc[5, "n_arabic"] == 1 and out.loc[5, "n_han"] == 1
+    assert out.loc[5, "dominant"] == "han"
