@@ -465,6 +465,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _ann_recall_gate(sf, ann, threshold=0.6)
 
+    def q_knn_pq_recall_gate(sf):
+        # PQ/ADC path: train per-subspace codebooks on a bounded sample,
+        # encode the corpus to 8-byte codes, ADC-search the CODES, gate
+        # mean recall vs the exact top-5 (same contract as LSH/IVF gates)
+        from fever_ray.ops.knn import knn_pq, pq_encode, train_pq_codebooks
+
+        emb = _t(sf, "embeddings", ["vec_id", "embedding"])
+        books = train_pq_codebooks(emb, m=16, ksub=256, seed=9, sample_rows=4096)
+        codes = pq_encode(emb, books)
+        ann = knn_pq(codes, _queries_mat(sf), books, k=5).take_all()
+        return _ann_recall_gate(sf, ann, threshold=0.5)
+
     # ---- corpus curation -------------------------------------------------
     def q_hash_sample(sf):
         # deterministic Bernoulli(0.25) split keyed on (doc_id, seed=7);
@@ -4400,6 +4412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprint": q_content_fingerprint,
         "knn_lsh_recall_gate": q_knn_lsh_recall_gate,
         "knn_ivf_recall_gate": q_knn_ivf_recall_gate,
+        "knn_pq_recall_gate": q_knn_pq_recall_gate,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "split_assign": q_split_assign,
@@ -6761,6 +6774,15 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q CROSS JOIN embeddings e) WHERE rn <= 5"
         ),
         "knn_ivf_recall_gate": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 3) "
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.query_id, e.vec_id, "
+            "  ROW_NUMBER() OVER (PARTITION BY q.query_id "
+            "    ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rn "
+            "  FROM q CROSS JOIN embeddings e) WHERE rn <= 5"
+        ),
+        "knn_pq_recall_gate": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
             "ORDER BY vec_id LIMIT 3) "
             "SELECT query_id, vec_id FROM ("

@@ -712,6 +712,22 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # PQ/ADC over the same 1M vectors: sample-train 16x256 codebooks,
+    # encode to 16-byte codes (m matmuls per batch), ADC top-10 for 3
+    # queries (LUT gathers — no float reconstruction); the 10^12-vector
+    # index path
+    from fever_ray.ops.knn import knn_pq, pq_encode, train_pq_codebooks
+
+    def _pq_pipeline():
+        emb = _pages_embeddings()
+        books = train_pq_codebooks(emb, m=16, ksub=256, seed=9,
+                                   sample_rows=4096)
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(3, 64))
+        knn_pq(pq_encode(emb, books), q, books, k=10).materialize()
+
+    timings["pq_adc_1m_vectors"] = _timed(_pq_pipeline)
+
     # Frequent-Directions covariance sketch of the same 1M vectors in one
     # UDAF pass (KB partials, salted two-phase merge — no data shuffle)
     from fever_ray.core.udaf import SketchSpec, build_sketches as _bs

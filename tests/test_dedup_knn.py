@@ -1517,3 +1517,48 @@ def test_host_boilerplate_hash_mode_matches_exact(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     # per-host footers (majority on every host) stripped everywhere
     assert (outs[0].n_dropped >= 1).all()
+
+
+# ------------------------------------------------------------------ PQ / ADC
+def test_pq_encode_and_adc_recall(ray_session):
+    """PQ codes are 8 bytes per 64-dim vector; ADC top-k recall vs exact
+    brute force clears the gate threshold on a clustered fixture; encode
+    is partition-invariant (codes identical across block layouts)."""
+    import ray.data as rd
+
+    from fever_ray.ops.knn import (
+        knn_bruteforce, knn_pq, pq_encode, train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    # 6 well-separated cluster centers + per-point jitter → PQ preserves
+    # neighborhoods far better than on isotropic noise
+    centers = rng.normal(size=(6, 64)) * 4.0
+    x = np.vstack([c + rng.normal(size=(80, 64)) * 0.3 for c in centers])
+    ids = np.arange(len(x), dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([row.astype(np.float32) for row in x]),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    books = train_pq_codebooks(ds, m=16, ksub=256, seed=9)
+    assert books.shape == (16, 256, 4)
+
+    codes = pq_encode(ds, books)
+    ct = codes.take_all()
+    assert len(ct) == len(x)
+    code_by_id = {r["vec_id"]: r["pq_code"] for r in ct}
+    assert all(len(v) == 16 for v in code_by_id.values())
+    # partition invariance of the encoding
+    ct2 = pq_encode(rd.from_arrow(t).repartition(7), books).take_all()
+    assert {r["vec_id"]: r["pq_code"] for r in ct2} == code_by_id
+
+    q = x[:5]
+    exact = knn_bruteforce(ds, q, k=10).to_pandas()
+    approx = knn_pq(pq_encode(ds, books), q, books, k=10).to_pandas()
+    recalls = []
+    for qi in range(5):
+        want = set(exact[exact.query_id == qi].vec_id)
+        got = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.7, recalls
