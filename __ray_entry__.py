@@ -477,6 +477,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann = knn_pq(codes, _queries_mat(sf), books, k=5).take_all()
         return _ann_recall_gate(sf, ann, threshold=0.5)
 
+    def q_knn_ivfpq_recall_gate(sf):
+        # two-level IVF-PQ (FAISS layout): coarse cells + residual PQ
+        # codes, per-cell residual LUTs at search; rows/bytes touched both
+        # bounded — the 10^12-vector index shape
+        from fever_ray.ops.knn import ivfpq_encode, knn_ivfpq, train_ivfpq
+
+        emb = _t(sf, "embeddings", ["vec_id", "embedding"])
+        cents, books = train_ivfpq(
+            emb, n_centroids=8, m=16, ksub=256, seed=9, sample_rows=4096
+        )
+        codes = ivfpq_encode(emb, cents, books)
+        ann = knn_ivfpq(
+            codes, _queries_mat(sf), cents, books, k=5, nprobe=6
+        ).take_all()
+        return _ann_recall_gate(sf, ann, threshold=0.5)
+
     # ---- corpus curation -------------------------------------------------
     def q_hash_sample(sf):
         # deterministic Bernoulli(0.25) split keyed on (doc_id, seed=7);
@@ -4413,6 +4429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_recall_gate": q_knn_lsh_recall_gate,
         "knn_ivf_recall_gate": q_knn_ivf_recall_gate,
         "knn_pq_recall_gate": q_knn_pq_recall_gate,
+        "knn_ivfpq_recall_gate": q_knn_ivfpq_recall_gate,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "split_assign": q_split_assign,
@@ -6783,6 +6800,15 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q CROSS JOIN embeddings e) WHERE rn <= 5"
         ),
         "knn_pq_recall_gate": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 3) "
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.query_id, e.vec_id, "
+            "  ROW_NUMBER() OVER (PARTITION BY q.query_id "
+            "    ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rn "
+            "  FROM q CROSS JOIN embeddings e) WHERE rn <= 5"
+        ),
+        "knn_ivfpq_recall_gate": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
             "ORDER BY vec_id LIMIT 3) "
             "SELECT query_id, vec_id FROM ("

@@ -728,17 +728,30 @@ def train_pq_codebooks(
     is bounded by construction (same posture as :func:`train_ivf_centroids`),
     so training cost is independent of corpus size.  Returns float64
     codebooks of shape (m, ksub, d // m)."""
+    x = _driver_sample(ds, sample_rows)
+    return _train_books(x, m, ksub, iters, np.random.default_rng(seed))
+
+
+def _driver_sample(ds, sample_rows: int) -> np.ndarray:
+    """Bounded normalized sample for quantizer training (first
+    ``sample_rows`` rows — cost independent of corpus size)."""
     sample = []
     for batch in ds.iter_batches(batch_size=sample_rows, batch_format="pyarrow"):
         sample.append(_normalize(_embedding_matrix(batch)))
         if sum(len(s) for s in sample) >= sample_rows:
             break
-    x = np.vstack(sample)[:sample_rows]
+    return np.vstack(sample)[:sample_rows]
+
+
+def _train_books(
+    x: np.ndarray, m: int, ksub: int, iters: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Per-subspace mini k-means over training rows ``x`` → (m, ksub,
+    d // m) codebooks (the PQ core, reused by IVF-PQ on residuals)."""
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    rng = np.random.default_rng(seed)
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):
         xs = x[:, j * dsub:(j + 1) * dsub]
@@ -883,4 +896,153 @@ def _codes_matrix_fixed(qcol, m: int) -> np.ndarray:
     off = qcol.offset * m
     return np.frombuffer(buf, dtype=np.uint8)[off:off + len(qcol) * m].reshape(
         len(qcol), m
+    )
+
+
+# ------------------------------------------------------------------- IVF-PQ
+def train_ivfpq(
+    ds,
+    n_centroids: int = 16,
+    m: int = 16,
+    ksub: int = 256,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 9,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the two-level IVF-PQ quantizer (the FAISS IVFPQ layout —
+    Jégou et al. 2011 §V): a coarse k-means partitions space into Voronoi
+    cells; a PQ codebook is trained on the RESIDUALS x − centroid(x),
+    which concentrate near the origin and quantize far better than raw
+    vectors.  Returns (centroids (C, d), books (m, ksub, d//m)) — both
+    from one bounded driver-side sample, cost independent of corpus
+    size."""
+    x = _driver_sample(ds, sample_rows)
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_centroids, len(x))
+    cents = x[rng.choice(len(x), size=k_eff, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(k_eff):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    assign = np.argmax(x @ cents.T, axis=1)
+    books = _train_books(x - cents[assign], m, ksub, iters, rng)
+    return cents, books
+
+
+def ivfpq_encode(ds, cents: np.ndarray, books: np.ndarray, id_col: str = "vec_id"):
+    """Encode every vector to (``cell`` int32, ``pq_code``
+    fixed_size_binary(m)) — the cell id from the coarse quantizer, the
+    code from PQ over the residual.  One coarse matmul + m residual
+    matmuls per batch; packing is a zero-copy buffer view."""
+    import ray
+
+    m = books.shape[0]
+    ref = ray.put((cents, books))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cs, bks = ray.get(ref)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        x = _normalize(_embedding_matrix(batch))
+        cell = np.argmax(x @ cs.T, axis=1)
+        codes = _pq_assign(x - cs[cell], bks)
+        arr = pa.Array.from_buffers(
+            pa.binary(m), len(codes), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({
+            id_col: ids,
+            "cell": pa.array(cell.astype(np.int32), pa.int32()),
+            "pq_code": arr,
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_ivfpq(
+    qds,
+    queries: np.ndarray,
+    cents: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+):
+    """ADC search over IVF-PQ codes: each query probes its ``nprobe``
+    nearest cells with a PER-CELL lookup table built from the query's
+    residual against that cell — only rows in probed cells are gathered,
+    and the per-row cost is m uint8 gathers + a sum.  At 10^12 vectors
+    this is the index layout that bounds both bytes touched (16-byte
+    codes) and rows touched (nprobe/C of the corpus).  Output schema
+    matches :func:`knn_pq`; recall gate-checked like LSH/IVF/PQ."""
+    import ray
+
+    m, ksub, dsub = books.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_cells = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    # LUT[(qi, cell)] lazily per probed pair: r = q - cent; table (m, ksub)
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(q)):
+        for c in q_cells[qi]:
+            c = int(c)
+            probe.setdefault(c, []).append(qi)
+            r = q[qi] - cents[c]
+            lut = np.empty((m, ksub), dtype=np.float64)
+            for j in range(m):
+                rs = r[j * dsub:(j + 1) * dsub]
+                cb = books[j]
+                lut[j] = (rs * rs).sum() - 2.0 * cb @ rs + (cb * cb).sum(1)
+            luts[(qi, c)] = lut
+    ctx = ray.put({"luts": luts, "probe": probe, "m": m})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        c = ray.get(ctx)
+        luts_, probe_, m_ = c["luts"], c["probe"], c["m"]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        codes = _codes_matrix_fixed(batch.column("pq_code"), m_)
+        jj = np.arange(m_)[:, None]
+        out_q, out_id, out_s = [], [], []
+        for cl in np.unique(cell):
+            cl = int(cl)
+            if cl not in probe_:
+                continue
+            sel = np.flatnonzero(cell == cl)
+            sub = codes[sel]
+            for qi in probe_[cl]:
+                dist = luts_[(qi, cl)][jj, sub.T].sum(axis=0)
+                kk = min(k, len(sel))
+                idx = np.argpartition(dist, kth=kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[sel[idx]].tolist())
+                out_s.extend((1.0 - dist[idx] / 2.0).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "adc_cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    candidates = qds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("adc_cosine", "descending"), ("vec_id", "ascending")],
+        )
+        return group.take(order[:k])
+
+    return (
+        candidates.groupby("query_id")
+        .map_groups(global_topk, batch_format="pyarrow")
+        .sort(["query_id", "adc_cosine"], descending=[False, True])
     )
