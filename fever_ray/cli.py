@@ -1017,6 +1017,29 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_fileindex(args) -> int:
+    """Per-file Bloom pruning index: `--input/--out` builds one
+    DCSO-format filter per data file + manifest (one JSON summary line);
+    `--lookup <idx> v1 v2 ...` prints one JSON line mapping each value to
+    its candidate files (no false negatives; false positives at rate p)."""
+    from .io_.fileindex import build_file_bloom_index, lookup_file_bloom_index
+
+    if args.lookup:
+        if not args.values:
+            print("fileindex --lookup needs at least one value")
+            return 2
+        print(json.dumps(lookup_file_bloom_index(args.lookup, args.values),
+                         sort_keys=True))
+        return 0
+    if not (args.input and args.out):
+        print("fileindex needs --input and --out (build) or --lookup (query)")
+        return 2
+    _init_ray(args.num_cpus)
+    print(json.dumps(build_file_bloom_index(
+        args.input, args.out, column=args.column, p=args.p)))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Inverted-index build and/or keyword search over a page table: token
     → (df, postings) written as partitioned parquet; --query prints the
@@ -1377,6 +1400,20 @@ def main(argv=None) -> int:
     pdf.add_argument("--out", default=None)
     pdf.add_argument("--num-cpus", dest="num_cpus", type=int)
     pdf.set_defaults(fn=cmd_diff)
+
+    pfx = sub.add_parser(
+        "fileindex", allow_abbrev=False,
+        help="per-file Bloom pruning index: which data file can contain "
+             "value X (build) / candidate files per value (lookup)",
+    )
+    pfx.add_argument("--input", help="parquet corpus dir (build mode)")
+    pfx.add_argument("--out", help="index dir (build mode; required with --input)")
+    pfx.add_argument("--column", default="url")
+    pfx.add_argument("--p", type=float, default=1e-6)
+    pfx.add_argument("--lookup", help="existing index dir to query")
+    pfx.add_argument("values", nargs="*", help="values to look up")
+    pfx.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pfx.set_defaults(fn=cmd_fileindex)
 
     px = sub.add_parser("index", allow_abbrev=False,
                         help="inverted-index build / keyword search over pages")

@@ -105,3 +105,46 @@ def test_heterogeneous_ipc_shards_unify(ray_session, tmp_path):
     rows = {r["event_id"]: r for r in out}
     assert rows[1]["value"] == 1.5 and rows[1]["ts"] is not None
     assert rows[2]["value"] is None and rows[2]["ts"] is None
+
+
+# ------------------------------------------------------------ file bloom index
+def test_file_bloom_index_prunes_files(ray_session, tmp_path):
+    """Each file's urls resolve to (at least) that file; a value present
+    in two files lists both; an absent value prunes everything at p=1e-6
+    (no false negatives is the hard guarantee, checked for every planted
+    value); rebuild overwrites atomically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fever_ray.io_.fileindex import (
+        build_file_bloom_index, lookup_file_bloom_index,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    files = {}
+    for i in range(3):
+        urls = [f"https://f{i}.com/p{j}" for j in range(50)]
+        if i > 0:
+            urls.append("https://shared.example/x")  # in files 1 and 2
+        path = str(corpus / f"part-{i}.parquet")
+        pq.write_table(pa.table({"url": pa.array(urls)}), path)
+        files[i] = (path, urls)
+
+    out = build_file_bloom_index(str(corpus), str(tmp_path / "idx"), column="url")
+    assert out["files"] == 3
+
+    probes = ["https://f0.com/p7", "https://f2.com/p49",
+              "https://shared.example/x", "https://absent.example/none"]
+    got = lookup_file_bloom_index(str(tmp_path / "idx"), probes)
+    assert files[0][0] in got["https://f0.com/p7"]
+    assert files[2][0] in got["https://f2.com/p49"]
+    assert set(got["https://shared.example/x"]) >= {files[1][0], files[2][0]}
+    assert got["https://absent.example/none"] == []
+    # every planted url must hit its own file (no false negatives)
+    for i, (path, urls) in files.items():
+        sample = lookup_file_bloom_index(str(tmp_path / "idx"), urls[:5])
+        assert all(path in v for v in sample.values())
+    # rebuild is idempotent
+    out2 = build_file_bloom_index(str(corpus), str(tmp_path / "idx"), column="url")
+    assert out2["files"] == 3
