@@ -728,6 +728,21 @@ def run_bench() -> dict:
 
     timings["pq_adc_1m_vectors"] = _timed(_pq_pipeline)
 
+    # two-level IVF-PQ over the same 1M vectors: coarse cells + residual
+    # codes; search gathers only probed-cell rows (bytes AND rows bounded)
+    from fever_ray.ops.knn import ivfpq_encode, knn_ivfpq, train_ivfpq
+
+    def _ivfpq_pipeline():
+        emb = _pages_embeddings()
+        cents, books = train_ivfpq(emb, n_centroids=32, m=16, ksub=256,
+                                   seed=9, sample_rows=4096)
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(3, 64))
+        knn_ivfpq(ivfpq_encode(emb, cents, books), q, cents, books,
+                  k=10, nprobe=4).materialize()
+
+    timings["ivfpq_adc_1m_vectors"] = _timed(_ivfpq_pipeline)
+
     # Frequent-Directions covariance sketch of the same 1M vectors in one
     # UDAF pass (KB partials, salted two-phase merge — no data shuffle)
     from fever_ray.core.udaf import SketchSpec, build_sketches as _bs
