@@ -1437,6 +1437,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_minhash_dedup(sf):
         return minhash_dedup_components(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_minhash_sigs_dedup(sf):
+        # the stored-signature path end-to-end: encode signatures once,
+        # derive LSH candidates from the STORED codes (no text touched),
+        # then the shared verify+components stages — must equal the inline
+        # minhash_dedup result exactly (same oracle SQL)
+        from fever_ray.ops.dedup import (
+            minhash_candidates_from_sigs, minhash_encode,
+        )
+
+        docs = _t(sf, "documents", ["doc_id", "text"])
+        sigs = minhash_encode(docs)
+        pairs = minhash_candidates_from_sigs(sigs)
+        return minhash_dedup_components(docs, pairs=pairs)
+
     def q_source_dup_report(sf):
         from fever_ray.ops.dedup import source_dup_report
 
@@ -4499,6 +4513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "connected_components": q_connected_components,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_sigs_dedup": q_minhash_sigs_dedup,
         "containment_pairs": q_containment_pairs,
         "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
         "allpairs_similarity": q_allpairs_similarity,
@@ -6889,6 +6904,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": _simhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
+        "minhash_sigs_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
         "sorted_neighbor_pairs": _sorted_neighbor_sql(4, 16, 1, 2,
                                                       same_prefix=8),

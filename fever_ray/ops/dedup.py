@@ -111,6 +111,21 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 # ------------------------------------------------------------------ minhash
+def _band_fold(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_docs, num_perm) signatures → (n_docs, bands) band hashes via the
+    splitmix row fold — THE band-key definition; the stored-signature path
+    must produce bit-equal keys to the inline path, so both call this."""
+    from ..sketches.hashing import splitmix64
+
+    n_docs = len(sigs)
+    groups = sigs[:, : bands * rows].reshape(n_docs, bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n_docs, bands), dtype=np.uint64)
+        for r in range(rows):
+            acc = splitmix64(acc ^ groups[:, :, r] ^ np.uint64(r + 1))
+    return acc
+
+
 class MinHashSignatures:
     """Actor stage: per-doc shingle → MinHash signature + LSH band rows.
 
@@ -148,13 +163,7 @@ class MinHashSignatures:
         n_docs = len(ids)
         # band hashes for the whole batch: fold each band's rows (vectorized
         # across docs; loop only over rows-per-band, typically 4)
-        groups = sigs[:, : self.bands * self.rows].reshape(n_docs, self.bands, self.rows)
-        with np.errstate(over="ignore"):
-            acc = np.zeros((n_docs, self.bands), dtype=np.uint64)
-            from ..sketches.hashing import splitmix64
-
-            for r in range(self.rows):
-                acc = splitmix64(acc ^ groups[:, :, r] ^ np.uint64(r + 1))
+        acc = _band_fold(sigs, self.bands, self.rows)
         return pa.table(
             {
                 "band": pa.array(
@@ -199,13 +208,19 @@ def minhash_candidate_pairs(
 
     band_rows = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
 
-    # Pair generation: millions of tiny (band, band_hash) buckets would cost
-    # one Python map_groups call EACH — instead hash-partition buckets into
-    # ~n_parts coarse partitions (one Python call per partition), sort within
-    # the partition, and emit pairs per bucket-run vectorized.
     if n_parts is None:
         n_parts = _auto_parts(ds)
+    return _pairs_from_band_rows(band_rows, n_parts, max_bucket, cross_only)
 
+
+
+def _pairs_from_band_rows(band_rows, n_parts: int, max_bucket: int = 8192,
+                          cross_only: bool = False):
+    """(band, band_hash, doc_id) rows -> deduped candidate pairs with
+    n_bands — the shared pair-generation core behind the inline path
+    (minhash_candidate_pairs) and the stored-signature path
+    (minhash_candidates_from_sigs).  See the caller docstrings for the
+    coarse-partition / max_bucket semantics."""
     def add_part(batch: pa.Table) -> pa.Table:
         bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
         part = (bh.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
@@ -563,6 +578,7 @@ def verified_minhash_edges(
     ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16,
     num_partitions: int = 16, n_parts: int | None = None,
     broadcast_bytes: int = 256 << 20, cross_only: bool = False,
+    pairs=None,
 ):
     """Candidate pairs → exact-Jaccard-verified edge Dataset (doc_a, doc_b,
     jaccard), fully distributed:
@@ -584,14 +600,14 @@ def verified_minhash_edges(
     # empty) block per coarse partition, and Ray's hash-shuffle join stalls
     # when fed hundreds of near-empty input blocks; the candidate set is
     # small, so a narrow coalesce to num_partitions blocks is cheap
-    pairs = (
-        minhash_candidate_pairs(
+    if pairs is None:
+        pairs = minhash_candidate_pairs(
             ds, n_shingle=n_shingle, num_perm=num_perm, bands=bands,
             n_parts=n_parts, cross_only=cross_only,
         )
-        .repartition(num_partitions)
-        .materialize()
-    )
+    # caller-supplied pairs (e.g. from stored signatures) take the same
+    # coalesce so the joins below never see hundreds of near-empty blocks
+    pairs = pairs.repartition(num_partitions).materialize()
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -737,7 +753,7 @@ def connected_components(edges_ds, num_partitions: int = 16, max_rounds: int = 6
 
 def minhash_dedup_components(
     ds, threshold: float = 0.7, n_shingle=3, num_perm=64, bands=16,
-    num_partitions: int = 16, n_parts: int | None = None,
+    num_partitions: int = 16, n_parts: int | None = None, pairs=None,
 ):
     """Full near-dedup: candidates → distributed exact-Jaccard verify →
     distributed connected components → Dataset (doc_id, cluster_id = min
@@ -751,6 +767,7 @@ def minhash_dedup_components(
     edges = verified_minhash_edges(
         ds, threshold=threshold, n_shingle=n_shingle, num_perm=num_perm,
         bands=bands, num_partitions=num_partitions, n_parts=n_parts,
+        pairs=pairs,
     )
     return connected_components(edges, num_partitions=num_partitions)
 
@@ -4436,3 +4453,99 @@ def host_boilerplate(
         return out.filter(pa.array(n_kept > 0))
 
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_encode(
+    ds,
+    n_shingle: int = 3,
+    num_perm: int = 64,
+    seed: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Compute-once MinHash signature storage: (id_col, ``mh_sig``
+    fixed_size_binary(num_perm·8)) per document — the signature pass is
+    the dominant cost of near-dedup over raw text, so incremental
+    pipelines store signatures once and re-derive LSH candidates from
+    them on every later run/snapshot (the ``pq_encode`` posture applied
+    to dedup).  Docs too short to shingle are DROPPED (same contract as
+    the inline path — they cannot near-dup match anything).
+
+    One streaming pass, no shuffle; packing is a zero-copy buffer view."""
+    from ..sketches.minhash import batch_minhash_signatures
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sigs = batch_minhash_signatures(
+            batch.column(text_col), n=n_shingle, num_perm=num_perm, seed=seed
+        )
+        has_sig = sigs[:, 0] != np.iinfo(np.uint64).max
+        ids = ids.filter(pa.array(has_sig))
+        sigs = np.ascontiguousarray(sigs[has_sig])
+        arr = pa.Array.from_buffers(
+            pa.binary(num_perm * 8), len(sigs),
+            [None, pa.py_buffer(sigs.tobytes())],
+        )
+        return pa.table({id_col: ids, "mh_sig": arr})
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_band_rows_from_sigs(
+    sig_ds, num_perm: int = 64, bands: int = 16, id_col: str = "doc_id"
+):
+    """Stored signatures → (band, band_hash, doc_id) rows BIT-EQUAL to
+    the inline ``MinHashSignatures`` stage (both fold through
+    ``_band_fold``), so every downstream pair/verify stage is shared."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("mh_sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = col.buffers()[1]
+        off = col.offset * num_perm * 8
+        sigs = np.frombuffer(buf, dtype=np.uint64)[
+            off // 8: off // 8 + len(col) * num_perm
+        ].reshape(len(col), num_perm)
+        acc = _band_fold(sigs, bands, rows)
+        n_docs = len(ids)
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    type=pa.int32(),
+                ),
+                "band_hash": pa.array(
+                    acc.reshape(-1).astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+            }
+        )
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_candidates_from_sigs(
+    sig_ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    n_parts: int | None = None,
+    max_bucket: int = 8192,
+    cross_only: bool = False,
+    id_col: str = "doc_id",
+):
+    """LSH candidate pairs from STORED signatures — identical output to
+    :func:`minhash_candidate_pairs` over the same corpus (pytest asserts),
+    without touching any text: the re-run cost of incremental near-dedup
+    drops from re-shingling the corpus to streaming 8·num_perm-byte rows."""
+    band_rows = minhash_band_rows_from_sigs(
+        sig_ds, num_perm=num_perm, bands=bands, id_col=id_col
+    )
+    if n_parts is None:
+        n_parts = _auto_parts(sig_ds)
+    return _pairs_from_band_rows(band_rows, n_parts, max_bucket, cross_only)

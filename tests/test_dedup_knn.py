@@ -1611,3 +1611,51 @@ def test_ivfpq_recall_beats_raw_pq_and_is_partition_invariant(ray_session):
     # bounded recall dip
     pruned_df = knn_ivfpq(codes, q, cents, books, k=10, nprobe=2).to_pandas()
     assert mean_recall(pruned_df) >= 0.7, mean_recall(pruned_df)
+
+
+def test_minhash_stored_sigs_match_inline_path(ray_session):
+    """Stored-signature candidates == inline candidates bit-for-bit: the
+    band fold is shared (_band_fold), so (band_hash, pairs, n_bands) all
+    agree; short docs drop identically on both paths."""
+    import pandas as pd
+    import ray.data as rd
+
+    texts = []
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    for d in range(40):
+        if d % 4 == 0:
+            texts.append((d, base + "tail shared"))          # planted dups
+        else:
+            texts.append((d, base + f"unique suffix {d} " * 3))
+    texts.append((100, "too short"))  # below shingle width after tokenize?
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in texts], pa.int64()),
+        "text": pa.array([r[1] for r in texts], pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+
+    inline = (
+        dd.minhash_candidate_pairs(ds, n_shingle=3, num_perm=64, bands=16)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    sigs = dd.minhash_encode(ds, n_shingle=3, num_perm=64)
+    stored = (
+        dd.minhash_candidates_from_sigs(sigs, num_perm=64, bands=16)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inline, stored)
+    # the planted duplicate family is found
+    fam = {0, 4, 8, 12, 16, 20, 24, 28, 32, 36}
+    got = set(inline.doc_a) | set(inline.doc_b)
+    assert fam <= got
+    # band rows bit-equal too
+    br_inline = ds.map_batches(
+        dd.MinHashSignatures(n_shingle=3, num_perm=64, bands=16),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(["doc_id", "band"]).reset_index(drop=True)
+    br_stored = dd.minhash_band_rows_from_sigs(sigs, 64, 16).to_pandas() \
+        .sort_values(["doc_id", "band"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        br_inline[["doc_id", "band", "band_hash"]],
+        br_stored[["doc_id", "band", "band_hash"]],
+    )
