@@ -2591,6 +2591,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_countsketch_point_gate(sf):
+        """CountSketch point-frequency gate (Charikar et al. ICALP'02 §3):
+        the same r=7 x b=1024 signed sketch as ams_f2_gate, but queried
+        per key — median-of-lanes estimates for EVERY distinct user must
+        land within sqrt(8*F2/b) of that user's exact count (exact counts
+        + F2 from the bounded-key tree).  The row is emitted only if the
+        max-over-keys error meets the bound AND the odd-r median path
+        returned exact int64 lane values; the hash payload is the exact
+        integer F2 the oracle mirrors."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+
+        ds = _t(sf, "events", ["user_id"])
+        sk = build_sketches(
+            ds,
+            [SketchSpec("csk", "ams", "user_id", {"r": 7, "b": 1024},
+                        value_kind="int")],
+        )["csk"]
+
+        def cnt_partial(b: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                b.column("user_id").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table(
+                {"user_id": pa.array(u, pa.int64()),
+                 "c": pa.array(c.astype(np.int64))}
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(cnt_partial, batch_format="pyarrow"),
+                    ["user_id"],
+                    [("c", "sum")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        exact = pa.concat_tables(parts)
+        users = exact.column("user_id").to_numpy(zero_copy_only=False)
+        counts = exact.column("c").to_numpy(zero_copy_only=False)
+        f2 = int((counts.astype(object) ** 2).sum())
+        if f2 >= 2**53:
+            raise ValueError("countsketch_point_gate: F2 exceeds float53")
+        est = sk.query_ints(users)
+        ok = (
+            est.dtype == np.int64
+            and float(np.abs(est - counts).max()) <= sk.point_error_bound(f2)
+        )
+        names = ["countsketch_point"] if ok else []
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "exact_value": pa.array([float(f2)] * len(names), pa.float64()),
+            }
+        )
+
     def q_fd_error_gate(sf):
         """Frequent-Directions published-bound gate (Liberty KDD'13 /
         Ghashami et al. SICOMP'16): one UDAF pass builds the mergeable
@@ -4560,6 +4621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
         "ams_f2_gate": q_ams_f2_gate,
+        "countsketch_point_gate": q_countsketch_point_gate,
         "mg_heavy_tokens": q_mg_heavy_tokens,
         "table_profile": q_table_profile,
         "fd_error_gate": q_fd_error_gate,
@@ -7463,6 +7525,13 @@ def oracle_sql() -> dict[str, str]:
             # only if the engine-side AMS estimate met sqrt(8/b)*F2
             "SELECT 'ams_f2' AS check_name, CAST(CAST(SUM(c * c) AS BIGINT) "
             "AS DOUBLE) AS exact_value FROM "
+            "(SELECT COUNT(*) AS c FROM events GROUP BY user_id)"
+        ),
+        "countsketch_point_gate": (
+            # exact F2 of the user_id column; the row exists only if every
+            # per-user median-of-lanes estimate met sqrt(8*F2/b)
+            "SELECT 'countsketch_point' AS check_name, "
+            "CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) AS exact_value FROM "
             "(SELECT COUNT(*) AS c FROM events GROUP BY user_id)"
         ),
         "fd_error_gate": (

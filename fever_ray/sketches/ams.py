@@ -56,13 +56,18 @@ class AMSSketch:
 
     # -- ingestion ----------------------------------------------------------
 
+    def _lane(self, h: np.ndarray, lane: int) -> tuple[np.ndarray, np.ndarray]:
+        """(bucket, sign) for one lane — the ONE derivation shared by ingest
+        and point query so the two can never disagree on placement."""
+        hl = splitmix64(h ^ np.uint64((self.seed << 8) ^ (lane * 2 + 1)))
+        bucket = (hl & np.uint64(self.b - 1)).astype(np.int64)
+        sign = np.where((hl >> np.uint64(63)).astype(np.int64) == 1, 1, -1)
+        return bucket, sign
+
     def _ingest_hashes(self, h: np.ndarray, weights=None) -> None:
-        bmask = np.uint64(self.b - 1)
         for lane in range(self.r):
             # independent bucket/sign lanes: one extra splitmix per lane
-            hl = splitmix64(h ^ np.uint64((self.seed << 8) ^ (lane * 2 + 1)))
-            bucket = (hl & bmask).astype(np.int64)
-            sign = np.where((hl >> np.uint64(63)).astype(np.int64) == 1, 1, -1)
+            bucket, sign = self._lane(h, lane)
             if weights is not None:
                 sign = sign * weights
             np.add.at(self.counters[lane], bucket, sign)
@@ -105,6 +110,40 @@ class AMSSketch:
         """Single-lane 3/4-probability relative error √(8/b); the median of
         r lanes fails only if ≥ half the lanes fail (prob ≤ (1/4)^(r/2))."""
         return float(np.sqrt(8.0 / self.b))
+
+    def _query_hashes(self, h: np.ndarray) -> np.ndarray:
+        ests = np.empty((self.r, len(h)), dtype=np.int64)
+        for lane in range(self.r):
+            bucket, sign = self._lane(h, lane)
+            ests[lane] = sign * self.counters[lane][bucket]
+        ests.sort(axis=0, kind="stable")
+        if self.r % 2:
+            # odd r: the median IS a lane value — exact int64, no float
+            return ests[self.r // 2]
+        mid = self.r // 2
+        return (ests[mid - 1] + ests[mid]).astype(np.float64) / 2.0
+
+    def query(self, values) -> np.ndarray:
+        """CountSketch point-frequency estimates (Charikar, Chen,
+        Farach-Colton ICALP'02 §3): per key, the median over r lanes of
+        sign·counter.  Each lane is UNBIASED (E = f_k; the ±1 signs cancel
+        every other key in expectation) with Var ≤ F₂/b, so a lane lands
+        within √(8·F₂/b) of the true count with probability ≥ 7/8
+        (Chebyshev), and the median of r lanes fails only if ≥ r/2 lanes
+        fail — probability ≤ exp(−r/6) by Chernoff.  Unlike Count-Min the
+        estimate is two-sided (can undercount) but unbiased, which makes
+        it the right primitive for signed/compensated counts.  Odd ``r``
+        returns exact int64 lane values (bit-stable); even ``r`` returns
+        the float midpoint."""
+        return self._query_hashes(hash64(values))
+
+    def query_ints(self, values: np.ndarray) -> np.ndarray:
+        return self._query_hashes(hash64_ints(np.asarray(values, dtype=np.int64)))
+
+    def point_error_bound(self, f2: float) -> float:
+        """|estimate − f_k| ≤ √(8·F₂/b) per lane with prob ≥ 7/8; pass the
+        EXACT F₂ when available (gates), else ``estimate_f2()``."""
+        return float(np.sqrt(8.0 * f2 / self.b))
 
     # -- serialization -------------------------------------------------------
 

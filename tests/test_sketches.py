@@ -411,6 +411,40 @@ def test_ams_merge_is_bit_identical_and_weighted():
     assert ssk.n == 3
 
 
+def test_ams_countsketch_point_estimates_within_bound():
+    """Charikar point queries: odd-r median is exact int64, every key's
+    estimate lands within the √(8·F₂/b) lane bound, and a merged sketch
+    answers bit-identically to the whole-stream sketch."""
+    from fever_ray.sketches.ams import AMSSketch
+
+    rng = np.random.default_rng(23)
+    keys = (rng.zipf(1.4, size=80_000) % 2000).astype(np.int64)
+    sk = AMSSketch.create(r=7, b=1024, seed=0)
+    sk.update_ints(keys)
+    exact = np.bincount(keys, minlength=2000).astype(np.int64)
+    probe = np.arange(2000, dtype=np.int64)
+    est = sk.query_ints(probe)
+    assert est.dtype == np.int64  # odd r → exact lane value
+    f2 = float((exact.astype(np.float64) ** 2).sum())
+    assert np.abs(est - exact).max() <= sk.point_error_bound(f2)
+    # heavy keys recover well; unbiased two-sided errors stay small
+    top = np.argsort(-exact)[:20]
+    assert np.abs(est[top] - exact[top]).max() <= sk.point_error_bound(f2)
+    # merge invariance: split stream → identical point answers
+    acc = AMSSketch.create(r=7, b=1024, seed=0)
+    for part in np.array_split(keys, 5):
+        p = AMSSketch.create(r=7, b=1024, seed=0)
+        p.update_ints(part)
+        acc.merge(p)
+    np.testing.assert_array_equal(acc.query_ints(probe), est)
+    # string path agrees with its own ingest; even r → float midpoint
+    ssk = AMSSketch.create(r=4, b=256, seed=1)
+    ssk.update(["x"] * 50 + ["y"] * 3)
+    sest = ssk.query(["x", "y", "zz"])
+    assert sest.dtype == np.float64
+    assert abs(sest[0] - 50) <= ssk.point_error_bound(50 * 50 + 9)
+
+
 def test_ams_roundtrip_and_validation():
     from fever_ray.sketches.ams import AMSSketch
 
