@@ -1982,6 +1982,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return partial.groupby("hostname").aggregate(Sum("n", alias_name="n"))
 
+    def q_extract_links(sf):
+        """href extraction out of raw page html (ops.links): one vectorized
+        split per batch, regexp_extract_all semantics (non-overlapping
+        left-to-right, closing quote required) — exploded (doc_id, href)
+        rows over the deterministically-linked page derivation."""
+        from fever_ray.ops import links as links_mod
+
+        return links_mod.extract_links(
+            _t(sf, "documents", ["doc_id", "text", "source"])
+        )
+
+    def q_host_link_graph(sf):
+        """site→site link graph: src host parsed from the page url, dst
+        host resolved per href (absolute authority / root-relative → base),
+        exact (src, dst, n_links) counts through the bounded coalesce-tree
+        — hosts are sites, not pages, so no sort shuffle at any scale."""
+        from fever_ray.ops import links as links_mod
+
+        return links_mod.host_link_graph(
+            _t(sf, "documents", ["doc_id", "text", "source"])
+        )
+
     def q_exact_distinct_users(sf):
         from ray.data.aggregate import Count
 
@@ -4618,6 +4640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cidr_match_v6": q_cidr_match_v6,
         "extract_text_len": q_extract_text_len,
         "hostname_counts": q_hostname_counts,
+        "extract_links": q_extract_links,
+        "host_link_graph": q_host_link_graph,
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
         "ams_f2_gate": q_ams_f2_gate,
@@ -5403,6 +5427,12 @@ def _chunk_documents_sql(chunk: int, overlap: int) -> str:
         "AS chunk_text, "
         f"least(CAST({chunk} AS BIGINT), L - i * {s}) AS n_tokens FROM e"
     )
+
+
+def _links_mod():
+    from fever_ray.ops import links
+
+    return links
 
 
 def _token_budget_select_sql(budget: int, seed: int) -> str:
@@ -7366,6 +7396,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_distinct_users": (
             "SELECT COUNT(DISTINCT user_id) AS n_distinct_users FROM events"
+        ),
+        "extract_links": (
+            # the engine PARSES hrefs out of html bytes; the oracle parses
+            # the same derived html with regexp_extract_all — both sides do
+            # real extraction over the shared deterministic link derivation
+            f"WITH {_links_mod().LINKED_PAGES_SQL_CTE} "
+            "SELECT doc_id, UNNEST(regexp_extract_all(html, "
+            "'href=\"([^\"]*)\"', 1)) AS href FROM linked_pages"
+        ),
+        "host_link_graph": (
+            f"WITH {_links_mod().LINKED_PAGES_SQL_CTE}, "
+            "links AS (SELECT url, UNNEST(regexp_extract_all(html, "
+            "'href=\"([^\"]*)\"', 1)) AS href FROM linked_pages), "
+            "hosted AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) "
+            "AS src_host, CASE WHEN href LIKE '/%' THEN "
+            "regexp_extract(url, '^[a-z]+://([^/]+)', 1) ELSE "
+            "regexp_extract(href, '^[a-z]+://([^/]+)', 1) END AS dst_host "
+            "FROM links) "
+            "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links "
+            "FROM hosted GROUP BY src_host, dst_host"
         ),
         "grouped_tail_per_lang": (
             # exact per-lang tail order statistics of token byte lengths;

@@ -1,0 +1,102 @@
+"""Link extraction + host link graph (ops.links)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fever_ray.ops import links as L
+
+
+def _docs(ids, texts=None, sources=None):
+    n = len(ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts or ["t"] * n, pa.string()),
+            "source": pa.array(sources or ["src0"] * n, pa.string()),
+        }
+    )
+
+
+def test_extract_hrefs_regexp_semantics():
+    """Matches regexp_extract_all('href=\"([^\"]*)\"'): left-to-right,
+    closing quote required, empty href kept, in-text matches count."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "html": pa.array(
+                [
+                    '<a href="https://a.test/x">1</a><a href="/rel">2</a>',
+                    "no links at all",
+                    '<a href="">empty</a> then broken <a href="oops',
+                    'text href="https://in-text.test/p" raw',
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = L.extract_hrefs_batch(t)
+    assert out.column("doc_id").to_pylist() == [1, 1, 3, 4]
+    assert out.column("href").to_pylist() == [
+        "https://a.test/x",
+        "/rel",
+        "",
+        "https://in-text.test/p",
+    ]
+
+
+def test_host_of_absolute_relative_other():
+    href = pa.array(
+        ["https://h9.example.org/p/1.html", "/local/3.html", "ftp1://x", "garbage", ""],
+        pa.string(),
+    )
+    base = pa.array(["base.example"] * 5, pa.string())
+    assert L.host_of(href, base).to_pylist() == [
+        "h9.example.org",
+        "base.example",
+        "",  # scheme must be [a-z]+ only — digits don't match, like the oracle
+        "",
+        "",
+    ]
+
+
+def test_linked_pages_derivation_planted_shapes():
+    pages = L.docs_to_linked_pages_batch(_docs([0, 1, 2, 3, 5]))
+    htmls = pages.column("html").to_pylist()
+    assert 'href="/local/0.html"' in htmls[0] and "example.org" not in htmls[0]
+    assert htmls[1].count("href=") == 1  # 1 % 3 == 1 absolute anchor
+    assert htmls[2].count("href=") == 2
+    assert "href=" not in htmls[3]  # 3 % 3 == 0 and 3 % 5 != 0 → zero links
+    assert htmls[4].count("href=") == 3  # 5: two absolute + relative
+
+
+def test_host_link_graph_exact_vs_brute(ray_session):
+    import ray.data as rd
+
+    docs = _docs(list(range(60)), sources=[f"src{i % 4}" for i in range(60)])
+    ds = rd.from_arrow(docs).repartition(7)
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in L.host_link_graph(ds).take_all()
+    }
+    # brute force from the single-batch kernels
+    pages = L.docs_to_linked_pages_batch(docs)
+    links = L.extract_hrefs_batch(pages, keep=("doc_id",))
+    ids = links.column("doc_id").to_numpy(zero_copy_only=False)
+    src = [f"src{int(i) % 4}.example.com" for i in ids]
+    dst = L.host_of(links.column("href"), pa.array(src, pa.string())).to_pylist()
+    exact: dict = {}
+    for s, d in zip(src, dst):
+        exact[(s, d)] = exact.get((s, d), 0) + 1
+    assert got == exact
+    assert sum(got.values()) == links.num_rows
+
+
+def test_extract_links_partition_invariance(ray_session):
+    import ray.data as rd
+
+    docs = _docs(list(range(100)))
+    a = L.extract_links(rd.from_arrow(docs).repartition(1)).take_all()
+    b = L.extract_links(rd.from_arrow(docs).repartition(13)).take_all()
+    key = lambda r: (r["doc_id"], r["href"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
