@@ -755,6 +755,22 @@ def run_bench() -> dict:
         )
     )
 
+    # host link graph over the linked variant of the corpus (≤3 planted
+    # anchors/page, ~1.5 links/page avg): vectorized href extraction out of
+    # raw html + dst-host resolution + bounded-tree exact edge counts —
+    # the whole crawl-graph build as one streaming pass
+    from fever_ray.gen.pages import ensure_pages as _ensure_linked
+    from fever_ray.ops.links import host_links
+
+    links_dir = f"/tmp/fever_ray_pages/bench_{PAGES_ROWS}_links3"
+    _ensure_linked(links_dir, n_rows=PAGES_ROWS, n_files=64, seed=42,
+                   links_per_page=3)
+    timings["link_graph_pages"] = _timed(
+        lambda: host_links(
+            rd.read_parquet(links_dir + "/", columns=["url", "html"])
+        ).materialize()
+    )
+
     docs_per_sec = int(PAGES_ROWS / headline)
     return {
         "metric": "flagship_pages_sketch_build_sec",

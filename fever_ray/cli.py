@@ -1040,6 +1040,54 @@ def cmd_fileindex(args) -> int:
     return 0
 
 
+def cmd_links(args) -> int:
+    """Host-level link graph out of raw page html: extracts href targets
+    (ops.links, one vectorized split per batch), resolves destination
+    hosts, and aggregates exact (src_host, dst_host, n_links) edges.
+    Prints ONE JSON summary line (links, edges, top in-link hub); --out
+    writes the edge table as parquet."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .ops.links import host_links
+
+    _init_ray(args.num_cpus)
+    pages = rd.read_parquet(args.input, columns=["url", "html"])
+    graph = host_links(pages, max_groups=args.max_edges)
+    if args.out:
+        graph = graph.materialize()
+        graph.write_parquet(args.out)
+    edges = [t for t in graph.to_arrow_refs()]
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(edges) if t.num_rows and t.num_columns]
+    if not tabs:
+        print(json.dumps({"links": 0, "edges": 0, "top_hub": None}))
+        return 0
+    t = pa.concat_tables(tabs)
+    import numpy as np
+
+    dst = t.column("dst_host").to_pylist()
+    n = t.column("n_links").to_numpy(zero_copy_only=False)
+    inlinks: dict = {}
+    for d, c in zip(dst, n):
+        inlinks[d] = inlinks.get(d, 0) + int(c)
+    top = max(sorted(inlinks), key=lambda k: inlinks[k])
+    print(
+        json.dumps(
+            {
+                "links": int(n.sum()),
+                "edges": t.num_rows,
+                "top_hub": top,
+                "top_hub_inlinks": inlinks[top],
+                "out": args.out,
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_index(args) -> int:
     """Inverted-index build and/or keyword search over a page table: token
     → (df, postings) written as partitioned parquet; --query prints the
@@ -1219,6 +1267,8 @@ def cmd_gen(args) -> int:
         kwargs["ioc_paths"] = tuple(args.ioc_paths.split(","))
     if args.ioc_frac is not None:
         kwargs["ioc_frac"] = args.ioc_frac
+    if args.links_per_page:
+        kwargs["links_per_page"] = args.links_per_page
     write_pages(args.out, args.rows, n_files=args.files, seed=args.seed, **kwargs)
     print(f"wrote {args.rows} rows in {args.files} files under {args.out}")
     return 0
@@ -1415,6 +1465,18 @@ def main(argv=None) -> int:
     pfx.add_argument("--num-cpus", dest="num_cpus", type=int)
     pfx.set_defaults(fn=cmd_fileindex)
 
+    plk = sub.add_parser(
+        "links", allow_abbrev=False,
+        help="host-level link graph from page html (href extraction + "
+             "exact edge counts)",
+    )
+    plk.add_argument("--input", required=True)
+    plk.add_argument("--out", help="write the edge table as parquet")
+    plk.add_argument("--max-edges", dest="max_edges", type=int,
+                     default=1_000_000)
+    plk.add_argument("--num-cpus", dest="num_cpus", type=int)
+    plk.set_defaults(fn=cmd_links)
+
     px = sub.add_parser("index", allow_abbrev=False,
                         help="inverted-index build / keyword search over pages")
     px.add_argument("--input", required=True)
@@ -1477,6 +1539,9 @@ def main(argv=None) -> int:
     pg.add_argument("--ioc-hosts", dest="ioc_hosts", help="comma-separated hostnames to plant")
     pg.add_argument("--ioc-paths", dest="ioc_paths", help="comma-separated url paths to plant")
     pg.add_argument("--ioc-frac", dest="ioc_frac", type=float, help="fraction of pages carrying a planted IoC")
+    pg.add_argument("--links-per-page", dest="links_per_page", type=int,
+                    default=0,
+                    help="plant up to N intra-corpus anchors per page")
     pg.set_defaults(fn=cmd_gen)
 
     args = p.parse_args(argv)

@@ -80,11 +80,18 @@ def generate_pages(
     ioc_hosts: tuple[str, ...] = (),
     ioc_paths: tuple[str, ...] = (),
     ioc_frac: float = 0.01,
+    links_per_page: int = 0,
 ) -> pa.Table:
     """Generate one deterministic page table.
 
     ``ioc_hosts`` pages get a planted hostname; ``ioc_paths`` pages get a
     planted path — both at rate ``ioc_frac`` (split among the indicators).
+
+    ``links_per_page`` > 0 (opt-in; default output unchanged) appends
+    row i % (links_per_page+1) empty-bodied anchors to each page, each
+    targeting another page's url in the same corpus (deterministic index
+    arithmetic) — empty anchor text keeps the pinned-extractor invariant
+    byte-identical.
     """
     rng = np.random.default_rng(seed)
     w = np.array(_WORDS)
@@ -143,6 +150,23 @@ def generate_pages(
         paras = [" ".join(w[row]) for row in widx]
         texts.append(titles[i] + "\n" + "\n".join(paras))
         htmls.append(build_html(titles[i], paras))
+
+    if links_per_page:
+        # deterministic intra-corpus anchors: page i links to pages
+        # (i*2654435761 + 97*j) % n_rows for j in 1..(i % (k+1)); inserted
+        # before </body> with EMPTY inner text so extract_text(html) stays
+        # byte-identical to `text` (the pinned invariant below still runs).
+        # Applied BEFORE the dup copy so duplicate pages stay byte-copies.
+        close = "</body></html>"
+        for i in range(n_rows):
+            k = i % (links_per_page + 1)
+            if not k:
+                continue
+            tgt = (i * 2654435761 + 97 * np.arange(1, k + 1)) % n_rows
+            anchors = "".join(f'<a href="{urls[t]}"></a>' for t in tgt)
+            h = htmls[i].decode("utf-8")
+            assert h.endswith(close)
+            htmls[i] = (h[: -len(close)] + anchors + close).encode("utf-8")
 
     # duplicate texts/html for the dup suffix too (same page content)
     if n_dup:
@@ -204,7 +228,11 @@ def ensure_pages(
     The marker records the generator version and parameters; a mismatch
     (e.g. the generator changed between rounds) regenerates the corpus."""
     marker = os.path.join(out_dir, "_DONE")
-    stamp = f"version={GEN_VERSION} rows={n_rows} files={n_files} seed={seed}\n"
+    # links_per_page joins the stamp only when set so every pre-existing
+    # cache (built from the links-free stamp format) stays valid
+    lp = kwargs.get("links_per_page", 0)
+    extra = f" links={lp}" if lp else ""
+    stamp = f"version={GEN_VERSION} rows={n_rows} files={n_files} seed={seed}{extra}\n"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == stamp:

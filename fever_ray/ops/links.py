@@ -180,9 +180,10 @@ def extract_links(docs_ds):
     )
 
 
-def host_link_graph(docs_ds, max_groups: int = 1_000_000):
-    """(src_host, dst_host, n_links) — src parsed from the page url, dst
-    resolved per link; exact counts through the bounded coalesce-tree."""
+def host_links(pages_ds, max_groups: int = 1_000_000):
+    """(src_host, dst_host, n_links) over any dataset with (url, html) —
+    src parsed from the page url, dst resolved per link; exact counts
+    through the bounded coalesce-tree (hosts are sites, not pages)."""
     from .aggregates import tree_groupby
 
     def edges(batch: pa.Table) -> pa.Table:
@@ -201,10 +202,14 @@ def host_link_graph(docs_ds, max_groups: int = 1_000_000):
         )
 
     return tree_groupby(
-        linked_pages(docs_ds).map_batches(
-            edges, batch_format="pyarrow", zero_copy_batch=True
-        ),
+        pages_ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True),
         ["src_host", "dst_host"],
         [("n_links", "sum")],
         max_groups=max_groups,
     )
+
+
+def host_link_graph(docs_ds, max_groups: int = 1_000_000):
+    """documents → deterministic linked pages → host link graph (the
+    oracle-gated derivation path; real corpora go through host_links)."""
+    return host_links(linked_pages(docs_ds), max_groups=max_groups)

@@ -92,6 +92,22 @@ def test_host_link_graph_exact_vs_brute(ray_session):
     assert sum(got.values()) == links.num_rows
 
 
+def test_gen_linked_pages_anchor_contract():
+    """gen --links-per-page plants only intra-corpus anchors with empty
+    inner text (pinned-extractor invariant asserted inside the generator),
+    and i % (k+1) anchors per page exactly."""
+    from fever_ray.gen.pages import generate_pages
+
+    t = generate_pages(300, seed=5, links_per_page=3, dup_frac=0.0)
+    out = L.extract_hrefs_batch(t, keep=("url",))
+    assert out.num_rows == sum(i % 4 for i in range(300))
+    corpus_urls = set(t.column("url").to_pylist())
+    assert set(out.column("href").to_pylist()) <= corpus_urls
+    # default output (no flag) has zero hrefs
+    t0 = generate_pages(300, seed=5, dup_frac=0.0)
+    assert L.extract_hrefs_batch(t0, keep=("url",)).num_rows == 0
+
+
 def test_extract_links_partition_invariance(ray_session):
     import ray.data as rd
 
