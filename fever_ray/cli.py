@@ -1040,6 +1040,32 @@ def cmd_fileindex(args) -> int:
     return 0
 
 
+def cmd_plan(args) -> int:
+    """Sketch-driven grouped-aggregation planner: ONE streaming pass
+    probes the group key (HLL distinct + Misra-Gries heavy hitters), then
+    the measured thresholds pick tree_groupby vs bucket_map_groups and a
+    salt fanout for Zipf-hot keys.  Prints ONE JSON line with the
+    recommendation, the reasons, and every probe number it used."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .core.plan import plan_groupby, probe_column
+    from .ops.extract import hostname_of
+
+    _init_ray(args.num_cpus)
+    col = args.column
+    if col == "hostname":
+        ds = rd.read_parquet(args.input, columns=["url"]).map_batches(
+            lambda b: pa.table({"hostname": hostname_of(b.column("url"))}),
+            batch_format="pyarrow",
+        )
+    else:
+        ds = rd.read_parquet(args.input, columns=[col])
+    probe = probe_column(ds, col, k=args.top)
+    print(json.dumps(plan_groupby(probe, workers=args.workers), sort_keys=True))
+    return 0
+
+
 def cmd_links(args) -> int:
     """Host-level link graph out of raw page html: extracts href targets
     (ops.links, one vectorized split per batch), resolves destination
@@ -1464,6 +1490,19 @@ def main(argv=None) -> int:
     pfx.add_argument("values", nargs="*", help="values to look up")
     pfx.add_argument("--num-cpus", dest="num_cpus", type=int)
     pfx.set_defaults(fn=cmd_fileindex)
+
+    ppl = sub.add_parser(
+        "plan", allow_abbrev=False,
+        help="sketch-driven grouped-aggregation planner (probe a group "
+             "key, recommend tree / bucket / salted strategy)",
+    )
+    ppl.add_argument("--input", required=True)
+    ppl.add_argument("--column", default="hostname",
+                     help="group key; 'hostname' derives from url")
+    ppl.add_argument("--workers", type=int, default=32)
+    ppl.add_argument("--top", type=int, default=8)
+    ppl.add_argument("--num-cpus", dest="num_cpus", type=int)
+    ppl.set_defaults(fn=cmd_plan)
 
     plk = sub.add_parser(
         "links", allow_abbrev=False,
