@@ -2004,6 +2004,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "documents", ["doc_id", "text", "source"])
         )
 
+    def q_link_distinct_sources(sf):
+        """Per-destination-host distinct LINKING pages: grouped sparse HLL
+        (p=12) over src urls keyed by dst_host — the link-spam profile
+        (many links, few distinct sources) that only a sketch answers at
+        10^12 pages.  Bound-as-gate: exact per-host distinct counts come
+        from the bounded tree (gate scale only; production stops at the
+        sketch), and a host row is emitted ONLY if its HLL estimate lands
+        within the 3-sigma envelope 3·1.04/√2^12 — so the driver's hash
+        gate doubles as the published-error assertion."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.grouped import grouped_estimates
+        from fever_ray.ops import links as links_mod
+
+        src_ds = links_mod.link_sources(
+            links_mod.linked_pages(_t(sf, "documents", ["doc_id", "text", "source"]))
+        ).materialize()  # two passes (sketch + exact) over ~1.5 rows/doc
+        est_tbl = grouped_estimates(
+            src_ds,
+            "dst_host",
+            SketchSpec("hll_src", "hll", "url", {"p": 12, "sparse": True}),
+            batch_size=4096,
+        )
+        # exact distinct (dst_host, url) pairs through the bounded tree
+        def pair_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by(["dst_host", "url"]).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "dst_host": g.column("dst_host"),
+                    "url": g.column("url"),
+                    "one": pa.array(np.ones(g.num_rows, dtype=np.int64)),
+                }
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    src_ds.map_batches(pair_partial, batch_format="pyarrow"),
+                    ["dst_host", "url"],
+                    [("one", "max")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        pairs = pa.concat_tables(parts)
+        exact_g = pairs.group_by("dst_host").aggregate([("one", "sum")])
+        exact = dict(
+            zip(
+                exact_g.column("dst_host").to_pylist(),
+                [int(v) for v in exact_g.column("one_sum").to_pylist()],
+            )
+        )
+        envelope = 3 * 1.04 / (2**12) ** 0.5
+        hosts, n_src = [], []
+        for k, est in zip(
+            est_tbl.column("key").to_pylist(),
+            est_tbl.column("estimate").to_pylist(),
+        ):
+            n = exact.get(k, 0)
+            if n and abs(est - n) <= envelope * n:
+                hosts.append(k)
+                n_src.append(n)
+        return pa.table(
+            {
+                "dst_host": pa.array(hosts, pa.string()),
+                "n_src": pa.array(n_src, pa.int64()),
+            }
+        )
+
     def q_exact_distinct_users(sf):
         from ray.data.aggregate import Count
 
@@ -4642,6 +4713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hostname_counts": q_hostname_counts,
         "extract_links": q_extract_links,
         "host_link_graph": q_host_link_graph,
+        "link_distinct_sources": q_link_distinct_sources,
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
         "ams_f2_gate": q_ams_f2_gate,
@@ -7404,6 +7476,20 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_links_mod().LINKED_PAGES_SQL_CTE} "
             "SELECT doc_id, UNNEST(regexp_extract_all(html, "
             "'href=\"([^\"]*)\"', 1)) AS href FROM linked_pages"
+        ),
+        "link_distinct_sources": (
+            # exact per-dst-host distinct linking pages; host rows exist
+            # only if the engine's grouped sparse-HLL estimate met the
+            # 3-sigma envelope for that host
+            f"WITH {_links_mod().LINKED_PAGES_SQL_CTE}, "
+            "links AS (SELECT url, UNNEST(regexp_extract_all(html, "
+            "'href=\"([^\"]*)\"', 1)) AS href FROM linked_pages), "
+            "hosted AS (SELECT url, CASE WHEN href LIKE '/%' THEN "
+            "regexp_extract(url, '^[a-z]+://([^/]+)', 1) ELSE "
+            "regexp_extract(href, '^[a-z]+://([^/]+)', 1) END AS dst_host "
+            "FROM links) "
+            "SELECT dst_host, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_src "
+            "FROM hosted GROUP BY dst_host"
         ),
         "host_link_graph": (
             f"WITH {_links_mod().LINKED_PAGES_SQL_CTE}, "

@@ -213,3 +213,20 @@ def host_link_graph(docs_ds, max_groups: int = 1_000_000):
     """documents → deterministic linked pages → host link graph (the
     oracle-gated derivation path; real corpora go through host_links)."""
     return host_links(linked_pages(docs_ds), max_groups=max_groups)
+
+
+def link_sources(pages_ds):
+    """Exploded (dst_host, url) rows — one per link, url = the SOURCE page.
+
+    Feed this to a grouped HLL over ``url`` keyed by ``dst_host`` for the
+    per-site distinct-inlinking-pages profile (link-spam surfaces as a
+    host with many links but few distinct sources) — at 10^12 pages only
+    the sketch answers; KB-sized per-host partials move, never urls."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        links = extract_hrefs_batch(batch, keep=("url",))
+        src = host_of(links.column("url"), links.column("url"))
+        dst = host_of(links.column("href"), src)
+        return pa.table({"dst_host": dst, "url": links.column("url")})
+
+    return pages_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
