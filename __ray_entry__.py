@@ -527,6 +527,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["doc_id", "lang", "split"])
 
+    def q_suggest_card(sf):
+        """Constraint SUGGESTION card (deequ's ConstraintSuggestion,
+        sketch-first — ops.checks.suggest_checks): two streaming passes
+        over documents derive not_null tolerances, small accepted-value
+        domains (Misra-Gries keys, exact below k), and integer ranges.
+        Emitted as (check_name, detail) string rows whose exact values the
+        oracle mirrors with COUNT(nulls) / DISTINCT string_agg / MIN..MAX
+        — the suggestion engine's whole output is hash-gated."""
+        from fever_ray.ops.checks import suggest_checks
+
+        docs = _t(sf, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+        sug = suggest_checks(docs)
+        names, details = [], []
+        for spec in sug["rowlocal"]:
+            if spec["kind"] == "not_null":
+                names.append(spec["name"])
+                details.append(str(spec["max_violations"]))
+            elif spec["kind"] == "in_set":
+                names.append(spec["name"])
+                details.append(",".join(spec["values"]))
+            elif spec["kind"] == "between":
+                names.append(spec["name"])
+                details.append(f"{spec['lo']}..{spec['hi']}")
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "detail": pa.array(details, pa.string()),
+            }
+        )
+
     def q_data_quality(sf):
         # declarative constraint card: completeness + accepted set + range
         # over events, cross-column consistency over documents, key
@@ -4603,6 +4633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "leakage_safe_split": q_leakage_safe_split,
         "data_quality": q_data_quality,
+        "suggest_card": q_suggest_card,
         "change_point": q_change_point,
         "gopher_rules": q_gopher_rules,
         "rule_violation_samples": q_rule_violation_samples,
@@ -6277,6 +6308,25 @@ def oracle_sql() -> dict[str, str]:
             {"train": 0.8, "val": 0.1, "test": 0.1}, 13
         ),
         "data_quality": _data_quality_sql(),
+        "suggest_card": (
+            # exact mirror of the suggestion engine's emitted card rows:
+            # null tolerances, the small accepted domains (lang/source are
+            # far below the 32-value threshold; text never qualifies), and
+            # integer min..max ranges for doc_id / n_chars
+            "SELECT 'suggested.completeness.' || c AS check_name, "
+            "CAST(0 AS VARCHAR) AS detail FROM (VALUES ('doc_id'), "
+            "('text'), ('lang'), ('source'), ('n_chars')) AS t(c) "
+            "UNION ALL SELECT 'suggested.accepted.lang', (SELECT "
+            "string_agg(l, ',' ORDER BY l) FROM (SELECT DISTINCT lang AS l "
+            "FROM documents)) "
+            "UNION ALL SELECT 'suggested.accepted.source', (SELECT "
+            "string_agg(s, ',' ORDER BY s) FROM (SELECT DISTINCT source "
+            "AS s FROM documents)) "
+            "UNION ALL SELECT 'suggested.range.doc_id', MIN(doc_id) || "
+            "'..' || MAX(doc_id) FROM documents "
+            "UNION ALL SELECT 'suggested.range.n_chars', MIN(n_chars) || "
+            "'..' || MAX(n_chars) FROM documents"
+        ),
         "gopher_rules": _gopher_rules_sql(20, 80, 4, 10, _GOPHER_STOPS, 3),
         "rule_violation_samples": (
             # nested-CTE reuse of the ONE gopher mirror: explode fired bits

@@ -625,10 +625,39 @@ def cmd_check(args) -> int:
     training job consumes it)."""
     import ray.data as rd
 
-    from .ops.checks import data_quality_card, rowlocal_checks, unique_check
+    from .ops.checks import (
+        data_quality_card,
+        rowlocal_checks,
+        suggest_checks,
+        unique_check,
+    )
 
     _init_ray(args.num_cpus)
     pages = rd.read_parquet(args.input, columns=["url", "text", "lang", "warc_ts"])
+    if args.suggest:
+        # profile → suggest → immediately verify the suggested suite (the
+        # profiled corpus must pass its own derived constraints)
+        sug = suggest_checks(pages)
+        print(json.dumps(sug, sort_keys=True, default=str))
+        parts = [rowlocal_checks(pages, sug["rowlocal"])]
+        for c in sug["unique_cols"]:
+            parts.append(unique_check(pages, c, name=f"suggested.unique.{c}"))
+        card = data_quality_card(parts).to_pandas()
+        ok = True
+        for r in card.sort_values("check_name").itertuples():
+            print(
+                json.dumps(
+                    {
+                        "check": r.check_name,
+                        "violations": int(r.violations),
+                        "n_rows": int(r.n_rows),
+                        "passed": bool(r.passed),
+                    }
+                )
+            )
+            ok = ok and bool(r.passed)
+        print(json.dumps({"checks": len(card), "all_passed": ok}))
+        return 0 if ok else 1
     langs = [s for s in (args.langs or "en,de,fr,es,it").split(",") if s]
     specs = [
         {"name": "pages.completeness.url", "kind": "not_null", "col": "url"},
@@ -1408,6 +1437,9 @@ def main(argv=None) -> int:
     pck.add_argument("--input", required=True)
     pck.add_argument("--langs", help="comma-separated accepted langs")
     pck.add_argument("--max-dup-urls", dest="max_dup_urls", type=int, default=0)
+    pck.add_argument("--suggest", action="store_true",
+                     help="profile the table, derive a constraint suite "
+                          "(deequ-style suggestion), and verify it")
     pck.add_argument("--num-cpus", dest="num_cpus", type=int)
     pck.set_defaults(fn=cmd_check)
 

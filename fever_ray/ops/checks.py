@@ -160,6 +160,161 @@ def rowlocal_checks(ds, specs: list[dict]):
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+ACCEPT_SET_MAX = 32  # suggest in_set only when the domain is this small
+UNIQUE_MIN_RATIO = 0.98  # suggest uniqueness when distinct ≈ non-null rows
+
+
+def suggest_checks(ds, columns: list[str] | None = None) -> dict:
+    """Constraint suggestion (deequ's ConstraintSuggestion re-expressed
+    sketch-first): TWO streaming passes over the table derive a constraint
+    suite that the profiled corpus itself passes —
+
+    * pass 1 (exact, tree-summed KB partials): per column n, nulls, and
+      numeric/timestamp min/max → ``not_null`` (tolerance = observed null
+      count, guarding regressions beyond today's level) and ``between``.
+    * pass 2 (ONE udaf pass for every column): HLL(p=14) distinct + k=64
+      Misra-Gries — a string domain with ≤ ``ACCEPT_SET_MAX`` distinct
+      values becomes ``in_set`` (MG with ≤ k distinct keys never
+      decrements, so its key set IS the exact domain), and a column whose
+      distinct estimate ≈ its non-null count is suggested for
+      ``unique_check``.
+
+    Returns {"rowlocal": [specs...], "unique_cols": [...], "profile":
+    {col: {n, nulls, distinct_est, ...}}} — specs feed straight into
+    :func:`rowlocal_checks`."""
+    from ..core.udaf import SketchSpec, build_sketches
+    from .aggregates import tree_groupby
+
+    schema = ds.schema()
+    names = list(schema.names)
+    types = dict(zip(names, schema.types))
+    if columns is None:
+        columns = names
+    num_cols = [
+        c
+        for c in columns
+        if pa.types.is_integer(types[c]) or pa.types.is_floating(types[c])
+    ]
+    ts_cols = [c for c in columns if pa.types.is_timestamp(types[c])]
+    str_cols = [
+        c
+        for c in columns
+        if pa.types.is_string(types[c]) or pa.types.is_large_string(types[c])
+    ]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = _combine_chunks(batch.column(c))
+            # None (Arrow null) for non-range columns: min/max skip nulls,
+            # while a NaN would poison the float min/max combine
+            rec = {
+                "col": c,
+                "n": batch.num_rows,
+                "nulls": col.null_count,
+                "lo": None,
+                "hi": None,
+            }
+            if c in num_cols or c in ts_cols:
+                v = col.drop_null()
+                if len(v):
+                    if c in ts_cols:
+                        v = v.cast(pa.int64())
+                    rec["lo"] = float(pc.min(v).as_py())
+                    rec["hi"] = float(pc.max(v).as_py())
+            rows.append(rec)
+        return pa.table(
+            {
+                "col": pa.array([r["col"] for r in rows], pa.string()),
+                "n": pa.array([r["n"] for r in rows], pa.int64()),
+                "nulls": pa.array([r["nulls"] for r in rows], pa.int64()),
+                "lo": pa.array([r["lo"] for r in rows], pa.float64()),
+                "hi": pa.array([r["hi"] for r in rows], pa.float64()),
+            }
+        )
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            tree_groupby(
+                ds.map_batches(
+                    stats_partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["col"],
+                [("n", "sum"), ("nulls", "sum"), ("lo", "min"), ("hi", "max")],
+                max_groups=len(columns),
+            ).to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    stats = {r["col"]: r for r in pa.concat_tables(parts).to_pylist()}
+
+    specs_sk = []
+    for c in str_cols:
+        specs_sk.append(SketchSpec(f"hll:{c}", "hll", c, {"p": 14}))
+        specs_sk.append(SketchSpec(f"mg:{c}", "mg", c, {"k": 64}))
+    for c in num_cols:
+        kind = "int" if pa.types.is_integer(types[c]) else "string"
+        if kind == "int":
+            specs_sk.append(
+                SketchSpec(f"hll:{c}", "hll", c, {"p": 14}, value_kind="int")
+            )
+    sketches = build_sketches(ds, specs_sk) if specs_sk else {}
+
+    rowlocal: list[dict] = []
+    unique_cols: list[str] = []
+    profile: dict = {}
+    for c in columns:
+        st = stats[c]
+        nonnull = st["n"] - st["nulls"]
+        prof = {"n": st["n"], "nulls": st["nulls"]}
+        rowlocal.append(
+            {
+                "name": f"suggested.completeness.{c}",
+                "kind": "not_null",
+                "col": c,
+                "max_violations": int(st["nulls"]),
+            }
+        )
+        hll = sketches.get(f"hll:{c}")
+        if hll is not None:
+            d = float(hll.estimate())
+            prof["distinct_est"] = d
+            if nonnull and d >= UNIQUE_MIN_RATIO * nonnull:
+                unique_cols.append(c)
+            mg = sketches.get(f"mg:{c}")
+            if mg is not None and d <= ACCEPT_SET_MAX:
+                values = sorted(mg.candidates())
+                prof["domain"] = values
+                rowlocal.append(
+                    {
+                        "name": f"suggested.accepted.{c}",
+                        "kind": "in_set",
+                        "col": c,
+                        "values": values,
+                    }
+                )
+        if (c in num_cols or c in ts_cols) and st["lo"] is not None:
+            lo, hi = st["lo"], st["hi"]
+            if c in num_cols and pa.types.is_integer(types[c]):
+                lo, hi = int(lo), int(hi)
+            prof["lo"], prof["hi"] = lo, hi
+            if c in num_cols:
+                rowlocal.append(
+                    {
+                        "name": f"suggested.range.{c}",
+                        "kind": "between",
+                        "col": c,
+                        "lo": lo,
+                        "hi": hi,
+                    }
+                )
+        profile[c] = prof
+    return {"rowlocal": rowlocal, "unique_cols": unique_cols, "profile": profile}
+
+
 def _distinct_count_partial(batch: pa.Table, col: str, n_parts: int) -> pa.Table:
     """Compress a batch to per-distinct (bucket, key, cnt) rows — the only
     rows the uniqueness / FK shuffles ever move."""

@@ -147,3 +147,57 @@ def test_rowlocal_validation(ray_session):
         )
     with pytest.raises(ValueError):
         data_quality_card([])
+
+
+def test_suggest_checks_derives_passing_suite(ray_session):
+    """Suggestion engine: small domains become exact in_set, null
+    tolerances equal observed nulls, integer ranges are exact min/max, a
+    near-unique key is flagged — and the profiled table PASSES its own
+    suggested suite."""
+    import ray.data as rd
+
+    from fever_ray.ops.checks import suggest_checks
+
+    n = 5000
+    rng = np.random.default_rng(9)
+    lang = np.array(["en", "de", "fr"])[rng.integers(0, 3, n)]
+    val = rng.integers(-50, 1000, n)
+    key = np.arange(n)  # fully unique
+    text = np.array([f"t{i}" for i in range(n)], dtype=object)
+    text[::100] = None  # 50 nulls
+    t = pa.table(
+        {
+            "key": pa.array(key, pa.int64()),
+            "lang": pa.array(lang.tolist(), pa.string()),
+            "val": pa.array(val, pa.int64()),
+            "text": pa.array(text.tolist(), pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    sug = suggest_checks(ds)
+    by_name = {s["name"]: s for s in sug["rowlocal"]}
+    assert by_name["suggested.accepted.lang"]["values"] == ["de", "en", "fr"]
+    assert by_name["suggested.completeness.text"]["max_violations"] == 50
+    assert by_name["suggested.completeness.key"]["max_violations"] == 0
+    r = by_name["suggested.range.val"]
+    assert (r["lo"], r["hi"]) == (int(val.min()), int(val.max()))
+    rk = by_name["suggested.range.key"]
+    assert (rk["lo"], rk["hi"]) == (0, n - 1)
+    # key and text are distinct≈non-null-rows → suggested unique; the
+    # 3-value lang and 1050-value val columns are not
+    assert sug["unique_cols"] == ["key", "text"]
+    # the suite it suggested passes on the table that produced it
+    card = _card(rowlocal_checks(ds, sug["rowlocal"]))
+    assert all(p for (_, _, p) in card.values())
+    # and a planted regression (more nulls than profiled) fails it
+    worse = pa.table(
+        {
+            "key": pa.array(key, pa.int64()),
+            "lang": pa.array(["xx"] * n, pa.string()),
+            "val": pa.array(val, pa.int64()),
+            "text": pa.array([None] * n, pa.string()),
+        }
+    )
+    card2 = _card(rowlocal_checks(rd.from_arrow(worse), sug["rowlocal"]))
+    assert card2["suggested.completeness.text"][2] == 0  # failed
+    assert card2["suggested.accepted.lang"][2] == 0
