@@ -2105,6 +2105,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_reciprocal_hosts(sf):
+        """Mutual-citation detection (ops.links.reciprocal_hosts): exact
+        per-direction counts from the bounded tree, then ONE vectorized
+        sort + reduceat pass matches each unordered pair's two
+        orientations.  Edge derivation is arithmetic (source host →
+        doc_id%4 host — dense enough to contain reciprocal pairs at every
+        sf) so the oracle can mirror it and self-join."""
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.ops import links as links_mod
+
+        ds = _t(sf, "documents", ["doc_id", "source"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            lit = lambda s: pa.array([s] * n, type=pa.string())  # noqa: E731
+            src = pc.binary_join_element_wise(
+                b.column("source"), lit(".example.com"), ""
+            )
+            # (doc_id // 20) % 4: decorrelated from source (= doc_id % 20),
+            # so every source links to all four low hosts → reciprocal
+            # pairs exist among src0..src3 at every sf
+            q20 = pc.divide(b.column("doc_id"), pa.scalar(20, pa.int64()))
+            m4 = pc.subtract(
+                q20,
+                pc.multiply(
+                    pc.divide(q20, pa.scalar(4, pa.int64())),
+                    pa.scalar(4, pa.int64()),
+                ),
+            )
+            dst = pc.binary_join_element_wise(
+                lit("src"), pc.cast(m4, pa.string()), lit(".example.com"), ""
+            )
+            g = (
+                pa.table({"src_host": src, "dst_host": dst})
+                .group_by(["src_host", "dst_host"])
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["src_host", "dst_host", "n_links"]).set_column(
+                2, "n_links", g.column("count_all").cast(pa.int64())
+            )
+
+        edge_tbl = agg_mod.tree_groupby(
+            ds.map_batches(edges, batch_format="pyarrow"),
+            ["src_host", "dst_host"],
+            [("n_links", "sum")],
+        )
+        return links_mod.reciprocal_hosts(edge_tbl)
+
     def q_exact_distinct_users(sf):
         from ray.data.aggregate import Count
 
@@ -4745,6 +4793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q_extract_links,
         "host_link_graph": q_host_link_graph,
         "link_distinct_sources": q_link_distinct_sources,
+        "reciprocal_hosts": q_reciprocal_hosts,
         "exact_distinct_users": q_exact_distinct_users,
         "sketch_suite": q_sketch_suite,
         "ams_f2_gate": q_ams_f2_gate,
@@ -7526,6 +7575,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_links_mod().LINKED_PAGES_SQL_CTE} "
             "SELECT doc_id, UNNEST(regexp_extract_all(html, "
             "'href=\"([^\"]*)\"', 1)) AS href FROM linked_pages"
+        ),
+        "reciprocal_hosts": (
+            # mirrored arithmetic edge table + orientation self-join;
+            # host_a < host_b gives one row per unordered reciprocal pair
+            "WITH e AS (SELECT source || '.example.com' AS s, "
+            "'src' || ((doc_id // 20) % 4) || '.example.com' AS d, "
+            "COUNT(*) AS n FROM documents GROUP BY 1, 2) "
+            "SELECT a.s AS host_a, a.d AS host_b, CAST(a.n AS BIGINT) AS "
+            "n_ab, CAST(b.n AS BIGINT) AS n_ba FROM e a JOIN e b ON "
+            "a.s = b.d AND a.d = b.s WHERE a.s < a.d"
         ),
         "link_distinct_sources": (
             # exact per-dst-host distinct linking pages; host rows exist

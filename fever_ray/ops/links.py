@@ -215,6 +215,55 @@ def host_link_graph(docs_ds, max_groups: int = 1_000_000):
     return host_links(linked_pages(docs_ds), max_groups=max_groups)
 
 
+def reciprocal_hosts(edges_ds):
+    """Host pairs linked in BOTH directions (mutual-citation / link-ring
+    signal), one row per unordered pair with both direction counts.
+
+    Input is a host_links edge table — already one skinny row per (src,
+    dst) pair, bounded by the site universe, so after the tree combine the
+    whole table is ONE block and the reversal join is a single vectorized
+    kernel: sort the (min,max,dir) triples once, match adjacent runs.  At
+    an unbounded edge universe, hash-bucket by the unordered pair first
+    (same kernel per bucket)."""
+
+    def detect(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_host").to_numpy(zero_copy_only=False).astype(str)
+        dst = batch.column("dst_host").to_numpy(zero_copy_only=False).astype(str)
+        n = batch.column("n_links").to_numpy(zero_copy_only=False)
+        fwd = src < dst  # canonical orientation; self-loops are not pairs
+        valid = src != dst
+        a = np.where(fwd, src, dst)[valid]
+        b = np.where(fwd, dst, src)[valid]
+        f = fwd[valid]
+        n = n[valid]
+        key = np.char.add(np.char.add(a, "\x00"), b)
+        order = np.argsort(key, kind="stable")
+        key, a, b, f, n = key[order], a[order], b[order], f[order], n[order]
+        if len(key) == 0:
+            return pa.table(
+                {
+                    "host_a": pa.array([], pa.string()),
+                    "host_b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "n_ba": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        n_ab = np.add.reduceat(np.where(f, n, 0), starts)
+        n_ba = np.add.reduceat(np.where(f, 0, n), starts)
+        both = (n_ab > 0) & (n_ba > 0)
+        return pa.table(
+            {
+                "host_a": pa.array(a[starts][both].tolist(), pa.string()),
+                "host_b": pa.array(b[starts][both].tolist(), pa.string()),
+                "n_ab": pa.array(n_ab[both].astype(np.int64)),
+                "n_ba": pa.array(n_ba[both].astype(np.int64)),
+            }
+        )
+
+    return edges_ds.map_batches(detect, batch_format="pyarrow", batch_size=None)
+
+
 def link_sources(pages_ds):
     """Exploded (dst_host, url) rows — one per link, url = the SOURCE page.
 

@@ -108,6 +108,28 @@ def test_gen_linked_pages_anchor_contract():
     assert L.extract_hrefs_batch(t0, keep=("url",)).num_rows == 0
 
 
+def test_reciprocal_hosts_kernel(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "src_host": ["a", "b", "a", "c", "b", "d"],
+            "dst_host": ["b", "a", "c", "a", "b", "a"],
+            "n_links": pa.array([3, 2, 5, 7, 1, 9], pa.int64()),
+        }
+    )
+    out = L.reciprocal_hosts(rd.from_arrow(t)).take_all()
+    got = {(r["host_a"], r["host_b"]): (r["n_ab"], r["n_ba"]) for r in out}
+    # (a,b) both ways, (a,c) both ways; b self-loop dropped; d→a one-way
+    assert got == {("a", "b"): (3, 2), ("a", "c"): (5, 7)}
+    # empty edge table → typed empty output, schema preserved
+    empty = L.reciprocal_hosts(
+        rd.from_arrow(t.slice(0, 0))
+    )
+    et = empty.take_all()
+    assert et == []
+
+
 def test_extract_links_partition_invariance(ray_session):
     import ray.data as rd
 
