@@ -1082,14 +1082,31 @@ def cmd_plan(args) -> int:
     from .ops.extract import hostname_of
 
     _init_ray(args.num_cpus)
+
+    def keyed(path: str, col: str):
+        if col == "hostname":
+            return rd.read_parquet(path, columns=["url"]).map_batches(
+                lambda b: pa.table({"hostname": hostname_of(b.column("url"))}),
+                batch_format="pyarrow",
+            )
+        return rd.read_parquet(path, columns=[col])
+
     col = args.column
-    if col == "hostname":
-        ds = rd.read_parquet(args.input, columns=["url"]).map_batches(
-            lambda b: pa.table({"hostname": hostname_of(b.column("url"))}),
-            batch_format="pyarrow",
+    ds = keyed(args.input, col)
+    if args.right_input:
+        from .core.plan import plan_join, probe_join
+
+        rcol = args.right_column or col
+        rds = keyed(args.right_input, rcol)
+        jp = probe_join(ds, col, rds, rcol)
+        out = plan_join(
+            jp,
+            left_bytes=ds.size_bytes(),
+            right_bytes=rds.size_bytes(),
+            workers=args.workers,
         )
-    else:
-        ds = rd.read_parquet(args.input, columns=[col])
+        print(json.dumps(out, sort_keys=True))
+        return 0
     probe = probe_column(ds, col, k=args.top)
     print(json.dumps(plan_groupby(probe, workers=args.workers), sort_keys=True))
     return 0
@@ -1533,6 +1550,10 @@ def main(argv=None) -> int:
                      help="group key; 'hostname' derives from url")
     ppl.add_argument("--workers", type=int, default=32)
     ppl.add_argument("--top", type=int, default=8)
+    ppl.add_argument("--right-input", dest="right_input",
+                     help="second table: plan a JOIN instead of a groupby")
+    ppl.add_argument("--right-column", dest="right_column",
+                     help="right join key (defaults to --column)")
     ppl.add_argument("--num-cpus", dest="num_cpus", type=int)
     ppl.set_defaults(fn=cmd_plan)
 

@@ -75,6 +75,121 @@ def probe_column(ds, column: str, value_kind: str = "string", k: int = 8) -> Col
     )
 
 
+BROADCAST_CAP_BYTES = 256 << 20  # ray.put lookup side must fit worker heaps
+JOIN_CMS = {"width": 4096, "depth": 5}
+
+
+def probe_join(
+    left_ds,
+    left_key: str,
+    right_ds,
+    right_key: str,
+    value_kind: str = "string",
+) -> dict:
+    """One sketch pass per join side: the column probe (HLL distinct + MG
+    hot share) plus a same-seeded CMS per side, whose inner product is the
+    C&M §4.2 join-SIZE estimate (never undercounts; over by ≤ ε·N_l·N_r).
+    All state is KB-sized regardless of either side's row count."""
+    probes = {}
+    cms = {}
+    for side, ds, col in (("left", left_ds, left_key), ("right", right_ds, right_key)):
+        sk = build_sketches(
+            ds,
+            [
+                SketchSpec("hll", "hll", col, {"p": 14}, value_kind=value_kind),
+                SketchSpec("mg", "mg", col, {"k": 64}, value_kind=value_kind),
+                SketchSpec("cms", "cms", col, dict(JOIN_CMS), value_kind=value_kind),
+            ],
+        )
+        top = [(kk, int(v)) for kk, v in sk["mg"].top_k(8)]
+        n = int(sk["mg"].n)
+        probes[side] = ColumnProbe(
+            column=col,
+            n_rows=n,
+            n_distinct_est=float(sk["hll"].estimate()),
+            top_keys=top,
+            hot_share=(top[0][1] / n) if (top and n) else 0.0,
+        )
+        cms[side] = sk["cms"]
+    return {
+        "left": probes["left"],
+        "right": probes["right"],
+        "join_size_est": int(cms["left"].inner_product(cms["right"])),
+        "join_size_bound": float(
+            cms["left"].epsilon * probes["left"].n_rows * probes["right"].n_rows
+        ),
+    }
+
+
+def plan_join(
+    jp: dict,
+    left_bytes: int | None = None,
+    right_bytes: int | None = None,
+    workers: int = 32,
+    broadcast_cap_bytes: int = BROADCAST_CAP_BYTES,
+) -> dict:
+    """Pick the physical join from the two-sided probe.
+
+    Measured rules (CLAUDE.md / BASELINE.md): a provably-small side rides
+    ``ray.put`` once and joins per batch inside map_batches (no
+    shuffle-actor spin-up); otherwise a bucketed hash join, with small
+    inputs repartitioned to ~n_parts blocks first (hundreds of near-empty
+    blocks stall the shuffle).  The CMS inner product sizes the OUTPUT —
+    a join that explodes (hot×hot) is flagged before it runs."""
+    left, right = jp["left"], jp["right"]
+    reasons = []
+    sides_bytes = {"left": left_bytes, "right": right_bytes}
+    known = {s: b for s, b in sides_bytes.items() if b is not None}
+    small_side = min(known, key=known.get) if known else None
+    if small_side is not None and known[small_side] <= broadcast_cap_bytes:
+        strategy = "broadcast_lookup"
+        n_parts = 1
+        reasons.append(
+            f"{small_side} side ≈{known[small_side] >> 20} MiB ≤ "
+            f"{broadcast_cap_bytes >> 20} MiB cap: ray.put once, per-batch "
+            "lookup inside map_batches — no shuffle-actor spin-up"
+        )
+    else:
+        strategy = "bucketed_hash_join"
+        rows = left.n_rows + right.n_rows
+        n_parts = max(64, -(-rows // TARGET_ROWS_PER_BUCKET))
+        reasons.append(
+            ("no side fits the broadcast cap" if known else "side sizes unknown")
+            + f": hash-bucket both sides {n_parts} ways; repartition any "
+            "small input to ~n_parts blocks first (near-empty-block stall)"
+        )
+    hot_threshold = HOT_KEY_WORKER_SHARE / max(workers, 1)
+    skewed = [
+        s for s, p in (("left", left), ("right", right)) if p.hot_share > hot_threshold
+    ]
+    for s in skewed:
+        p = left if s == "left" else right
+        reasons.append(
+            f"{s} side hot key {p.top_keys[0][0]!r} ≈{p.hot_share:.1%}: "
+            "salt its bucket or pre-aggregate before the exchange"
+        )
+    out_est = jp["join_size_est"]
+    blowup = out_est > 4 * max(left.n_rows, right.n_rows, 1)
+    if blowup:
+        reasons.append(
+            f"estimated output {out_est} rows ≥ 4x the larger input — "
+            "many-to-many key: expect an exploding join, pre-aggregate or "
+            "semi-filter first"
+        )
+    return {
+        "strategy": strategy,
+        "n_parts": int(n_parts),
+        "workers": workers,
+        "join_size_est": out_est,
+        "join_size_bound": jp["join_size_bound"],
+        "skewed_sides": skewed,
+        "blowup": bool(blowup),
+        "reasons": reasons,
+        "left": asdict(left),
+        "right": asdict(right),
+    }
+
+
 def plan_groupby(probe: ColumnProbe, workers: int = 32) -> dict:
     """Apply the measured thresholds to one column probe.
 

@@ -71,3 +71,39 @@ def test_probe_int_column(ray_session):
     assert out["salt_fanout"] == round((1 / 7) * 32 * 2)
     # with 4 workers a 1/7 share is NOT hot: no salt
     assert plan_groupby(p, workers=4)["salt_fanout"] == 1
+
+
+def test_probe_join_size_bound_and_decisions(ray_session):
+    import ray.data as rd
+
+    from fever_ray.core.plan import plan_join, probe_join
+
+    rng = np.random.default_rng(11)
+    lk = np.array([f"k{v}" for v in rng.integers(0, 50, 8000)])
+    rk = np.array([f"k{v}" for v in rng.integers(0, 50, 3000)])
+    lds = rd.from_arrow(pa.table({"key": pa.array(lk.tolist(), pa.string())}))
+    rds = rd.from_arrow(pa.table({"key": pa.array(rk.tolist(), pa.string())}))
+    jp = probe_join(lds, "key", rds, "key")
+    # exact inner-join size = sum over keys of cl*cr
+    lu, lc = np.unique(lk, return_counts=True)
+    ru, rc = np.unique(rk, return_counts=True)
+    rmap = dict(zip(ru.tolist(), rc.tolist()))
+    exact = int(sum(c * rmap.get(k, 0) for k, c in zip(lu.tolist(), lc.tolist())))
+    # CMS inner product NEVER undercounts, over by <= eps*Nl*Nr
+    assert jp["join_size_est"] >= exact
+    assert jp["join_size_est"] <= exact + jp["join_size_bound"]
+    # small known side -> broadcast; unknown sizes -> bucketed
+    out = plan_join(jp, left_bytes=10 << 20, right_bytes=1 << 20)
+    assert out["strategy"] == "broadcast_lookup"
+    out = plan_join(jp)
+    assert out["strategy"] == "bucketed_hash_join"
+    # oversized sides -> bucketed with row-scaled parts
+    out = plan_join(jp, left_bytes=1 << 40, right_bytes=1 << 40)
+    assert out["strategy"] == "bucketed_hash_join"
+    # hot-key side flagged + blowup flag on hot x hot self-join
+    hot = np.array(["h"] * 9000 + ["c"] * 1000)
+    hds = rd.from_arrow(pa.table({"key": pa.array(hot.tolist(), pa.string())}))
+    jph = probe_join(hds, "key", hds, "key")
+    outh = plan_join(jph, left_bytes=1 << 30, right_bytes=1 << 30, workers=32)
+    assert set(outh["skewed_sides"]) == {"left", "right"}
+    assert outh["blowup"]  # 9000^2 >> 4 * 10000
