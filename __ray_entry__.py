@@ -527,6 +527,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["doc_id", "lang", "split"])
 
+    def q_plan_card(sf):
+        """Physical-plan decisions (core.plan) hash-gated end-to-end: the
+        groupby strategy / partition count / salt fanout the sketch probes
+        pick for documents.source and documents.lang.  Below k=64 distinct
+        the MG hot share is EXACT and the HLL threshold comparisons sit
+        far from their boundaries, so the oracle reproduces every decision
+        from exact SQL counts through the same branch arithmetic
+        (round-half-up salt = FLOOR(x + 0.5) on both sides)."""
+        from fever_ray.core.plan import plan_groupby, probe_column
+
+        cols, strats, parts, salts = [], [], [], []
+        for col in ("source", "lang"):
+            out = plan_groupby(
+                probe_column(_t(sf, "documents", [col]), col), workers=32
+            )
+            cols.append(col)
+            strats.append(out["strategy"])
+            parts.append(out["n_parts"])
+            salts.append(out["salt_fanout"])
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "strategy": pa.array(strats, pa.string()),
+                "n_parts": pa.array(parts, pa.int64()),
+                "salt_fanout": pa.array(salts, pa.int64()),
+            }
+        )
+
     def q_suggest_card(sf):
         """Constraint SUGGESTION card (deequ's ConstraintSuggestion,
         sketch-first — ops.checks.suggest_checks): two streaming passes
@@ -4682,6 +4710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": q_leakage_safe_split,
         "data_quality": q_data_quality,
         "suggest_card": q_suggest_card,
+        "plan_card": q_plan_card,
         "change_point": q_change_point,
         "gopher_rules": q_gopher_rules,
         "rule_violation_samples": q_rule_violation_samples,
@@ -6357,6 +6386,28 @@ def oracle_sql() -> dict[str, str]:
             {"train": 0.8, "val": 0.1, "test": 0.1}, 13
         ),
         "data_quality": _data_quality_sql(),
+        "plan_card": (
+            # exact mirror of the planner's branch arithmetic per column:
+            # bounded-distinct -> tree (1 part); hot share > 1/32 -> salt
+            # LEAST(64, GREATEST(4, FLOOR(((top/n)*32)*2 + 0.5)))
+            "WITH stats AS ("
+            "  SELECT 'source' AS col, SUM(c) AS n, COUNT(*) AS d, "
+            "  MAX(c) AS top FROM (SELECT COUNT(*) AS c FROM documents "
+            "  GROUP BY source) "
+            "  UNION ALL "
+            "  SELECT 'lang', SUM(c), COUNT(*), MAX(c) FROM "
+            "  (SELECT COUNT(*) AS c FROM documents GROUP BY lang)"
+            ") SELECT col, "
+            "CASE WHEN d <= 100000 THEN 'tree_groupby' ELSE "
+            "'bucket_map_groups' END AS strategy, "
+            "CAST(CASE WHEN d <= 100000 THEN 1 ELSE "
+            "GREATEST(64, CEIL(CAST(n AS DOUBLE) / 250000)) END AS BIGINT) "
+            "AS n_parts, "
+            "CAST(CASE WHEN (CAST(top AS DOUBLE) / n) > (1.0 / 32) THEN "
+            "LEAST(64, GREATEST(4, FLOOR(((CAST(top AS DOUBLE) / n) * 32) "
+            "* 2 + 0.5))) ELSE 1 END AS BIGINT) AS salt_fanout "
+            "FROM stats"
+        ),
         "suggest_card": (
             # exact mirror of the suggestion engine's emitted card rows:
             # null tolerances, the small accepted domains (lang/source are

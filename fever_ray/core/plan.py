@@ -221,9 +221,11 @@ def plan_groupby(probe: ColumnProbe, workers: int = 32) -> dict:
     salt_fanout = 1
     if probe.hot_share > hot_threshold and probe.n_rows:
         # size the salt so the hot key's partials spread over enough
-        # subtasks to re-balance the pool, bounded to the measured range
+        # subtasks to re-balance the pool, bounded to the measured range.
+        # floor(x + 0.5) (round-half-up) instead of Python's banker round:
+        # the same IEEE arithmetic is SQL-mirrorable (FLOOR(x + 0.5))
         salt_fanout = int(
-            min(MAX_SALT, max(MIN_SALT, round(probe.hot_share * workers * 2)))
+            min(MAX_SALT, max(MIN_SALT, int(probe.hot_share * workers * 2 + 0.5)))
         )
         top_key = probe.top_keys[0][0] if probe.top_keys else "?"
         reasons.append(
