@@ -134,7 +134,7 @@ def extract_hrefs_batch(
     selection by offset mask, ONE max_splits=1 split on ``\"`` for the
     closing quote.  Rows whose candidate never closes its quote are dropped
     (regexp semantics).  O(total html bytes), no Python loop over rows."""
-    html = _str(batch.column(html_col))
+    html = pc.fill_null(_str(batch.column(html_col)), "")  # null page = no links
     parts = pc.split_pattern(html, 'href="')
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(parts)

@@ -45,6 +45,20 @@ def test_extract_hrefs_regexp_semantics():
     ]
 
 
+def test_extract_hrefs_null_and_binary_html():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "html": pa.array(
+                [b'<a href="https://x/y">z</a>', None], pa.large_binary()
+            ),
+        }
+    )
+    out = L.extract_hrefs_batch(t)
+    assert out.column("doc_id").to_pylist() == [1]
+    assert out.column("href").to_pylist() == ["https://x/y"]
+
+
 def test_host_of_absolute_relative_other():
     href = pa.array(
         ["https://h9.example.org/p/1.html", "/local/3.html", "ftp1://x", "garbage", ""],
