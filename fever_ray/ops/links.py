@@ -147,10 +147,42 @@ def extract_hrefs_batch(
     parent = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)[cand_mask]
     cand = flat.filter(pa.array(cand_mask))
     two = pc.split_pattern(cand, '"', max_splits=1)
-    closed = pc.equal(pc.list_value_length(two), 2)
-    href = pc.list_element(two, 0).filter(closed)
-    parent = parent[closed.to_numpy(zero_copy_only=False)]
-    cols = {c: batch.column(c).take(pa.array(parent)) for c in keep}
+    closed = pc.equal(pc.list_value_length(two), 2).to_numpy(zero_copy_only=False)
+    # regexp consumes its whole match, so when a candidate segment has NO
+    # closing quote the regex capture would run PAST the next href="
+    # boundary — the split path restarts there.  A row diverges exactly
+    # when some NON-FINAL candidate is unclosed (an unclosed final
+    # candidate matches nothing on both sides); re-do just those rows
+    # with the real regex (rare path: attribute soup, exactness first)
+    is_last = np.zeros(len(cand), dtype=bool)
+    if len(cand):
+        is_last[np.flatnonzero(np.r_[parent[1:] != parent[:-1], True])] = True
+    bad_rows = np.unique(parent[(~closed) & ~is_last])
+    href = pc.list_element(two, 0).filter(pa.array(closed))
+    parent_c = parent[closed]
+    if len(bad_rows):
+        import re
+
+        rx = re.compile(r'href="([^"]*)"')
+        keep_mask = ~np.isin(parent_c, bad_rows)
+        href = href.filter(pa.array(keep_mask))
+        parent_c = parent_c[keep_mask]
+        html_py = html.take(pa.array(bad_rows)).to_pylist()
+        extra_parent, extra_href = [], []
+        for r, h in zip(bad_rows.tolist(), html_py):
+            for m in rx.findall(h):
+                extra_parent.append(r)
+                extra_href.append(m)
+        parent_c = np.concatenate(
+            [parent_c, np.asarray(extra_parent, np.int64)]
+        )
+        href = pa.concat_arrays(
+            [href.cast(pa.string()), pa.array(extra_href, pa.string())]
+        )
+        order = np.argsort(parent_c, kind="stable")
+        parent_c = parent_c[order]
+        href = href.take(pa.array(order))
+    cols = {c: batch.column(c).take(pa.array(parent_c)) for c in keep}
     cols["href"] = href.cast(pa.string())
     return pa.table(cols)
 

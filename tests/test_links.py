@@ -18,6 +18,52 @@ def _docs(ids, texts=None, sources=None):
     )
 
 
+def test_extract_hrefs_matches_re_findall_property():
+    """Engine extraction == re.findall('href=\"([^\"]*)\"') on adversarial
+    strings, including restart-inside-capture soup the split fast path
+    must repair (unclosed candidate followed by another href=)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rx = re.compile(r'href="([^"]*)"')
+    alphabet = st.sampled_from(['href="', '"', "a", "<a ", "=", " ", "hre"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.lists(alphabet, max_size=12).map("".join), max_size=6))
+    def run(docs):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "html": pa.array(docs, pa.string()),
+            }
+        )
+        out = L.extract_hrefs_batch(t)
+        got = list(
+            zip(out.column("doc_id").to_pylist(), out.column("href").to_pylist())
+        )
+        want = [(i, m) for i, d in enumerate(docs) for m in rx.findall(d)]
+        assert got == want
+
+    run()
+
+
+def test_extract_hrefs_restart_inside_capture():
+    """The documented split-vs-regex divergence case is repaired."""
+    cases = {
+        'href="ahref="b"': ["ahref="],
+        'href="ahref="b" href="c"': ["ahref=", "c"],
+        'href="x" href="nope': ["x"],
+        'href="': [],
+    }
+    for s, want in cases.items():
+        t = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "html": pa.array([s], pa.string())}
+        )
+        assert L.extract_hrefs_batch(t).column("href").to_pylist() == want, s
+
+
 def test_extract_hrefs_regexp_semantics():
     """Matches regexp_extract_all('href=\"([^\"]*)\"'): left-to-right,
     closing quote required, empty href kept, in-text matches count."""
