@@ -1069,6 +1069,39 @@ def cmd_fileindex(args) -> int:
     return 0
 
 
+def cmd_warc(args) -> int:
+    """Crawl-archive ingestion: WARC response records → the standard page
+    parquet layout (url, warc_ts, html, text, lang) with text derived by
+    the PINNED extractor and lang null (downstream lang_id fills it) —
+    after this one pass, every other command runs on the archive."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .io_.warc import read_warc_pages
+    from .ops.extract import extract_text
+
+    _init_ray(args.num_cpus)
+    pages = read_warc_pages(args.input)
+
+    def derive(b: "pa.Table") -> "pa.Table":
+        text = extract_text(b.column("html")).cast(pa.large_string())
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "warc_ts": b.column("warc_ts"),
+                "html": b.column("html"),
+                "text": text,
+                "lang": pa.array([None] * b.num_rows, pa.string()),
+            }
+        )
+
+    out_ds = pages.map_batches(derive, batch_format="pyarrow").materialize()
+    n = out_ds.count()
+    out_ds.write_parquet(args.out)
+    print(json.dumps({"records": n, "out": args.out}))
+    return 0
+
+
 def cmd_plan(args) -> int:
     """Sketch-driven grouped-aggregation planner: ONE streaming pass
     probes the group key (HLL distinct + Misra-Gries heavy hitters), then
@@ -1539,6 +1572,16 @@ def main(argv=None) -> int:
     pfx.add_argument("values", nargs="*", help="values to look up")
     pfx.add_argument("--num-cpus", dest="num_cpus", type=int)
     pfx.set_defaults(fn=cmd_fileindex)
+
+    pwc = sub.add_parser(
+        "warc", allow_abbrev=False,
+        help="ingest WARC crawl archives into the standard page parquet "
+             "layout (pinned extractor derives text)",
+    )
+    pwc.add_argument("--input", required=True, help="WARC file or dir")
+    pwc.add_argument("--out", required=True)
+    pwc.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pwc.set_defaults(fn=cmd_warc)
 
     ppl = sub.add_parser(
         "plan", allow_abbrev=False,
