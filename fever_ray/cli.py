@@ -1074,14 +1074,23 @@ def cmd_warc(args) -> int:
     parquet layout (url, warc_ts, html, text, lang) with text derived by
     the PINNED extractor and lang null (downstream lang_id fills it) —
     after this one pass, every other command runs on the archive."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    import glob as _glob
 
-    from .io_.warc import read_warc_pages
+    import pyarrow as pa
+
+    from .io_.warc import warc_to_pages_resumable
     from .ops.extract import extract_text
 
     _init_ray(args.num_cpus)
-    pages = read_warc_pages(args.input)
+    files = (
+        sorted(
+            f
+            for pat in ("*.warc", "*.warc.gz")
+            for f in _glob.glob(os.path.join(args.input, "**", pat), recursive=True)
+        )
+        if os.path.isdir(args.input)
+        else [args.input]
+    )
 
     def derive(b: "pa.Table") -> "pa.Table":
         text = extract_text(b.column("html")).cast(pa.large_string())
@@ -1095,10 +1104,18 @@ def cmd_warc(args) -> int:
             }
         )
 
-    out_ds = pages.map_batches(derive, batch_format="pyarrow").materialize()
-    n = out_ds.count()
-    out_ds.write_parquet(args.out)
-    print(json.dumps({"records": n, "out": args.out}))
+    res = warc_to_pages_resumable(files, args.out, derive=derive)
+    print(
+        json.dumps(
+            {
+                "archives": len(files),
+                "completed": len(res["completed"]),
+                "skipped": len(res["skipped"]),
+                "records": sum(r["rows"] for r in res["completed"]),
+                "out": os.path.join(args.out, "parts"),
+            }
+        )
+    )
     return 0
 
 

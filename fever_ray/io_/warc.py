@@ -120,6 +120,82 @@ def read_warc_pages(paths):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def warc_to_pages_resumable(
+    input_files: list[str], out_dir: str, derive=None
+) -> dict:
+    """Resumable WARC → page-parquet conversion: one output parquet + one
+    manifest entry per ARCHIVE FILE (atomic tmp+rename, presence = done),
+    so a crashed 100 TB ingest rerun skips finished archives — the same
+    contract as ``run_partitioned_build``.  ``derive(table)->table``
+    post-processes each archive's parsed pages (e.g. pinned-extractor
+    text derivation)."""
+    import ray
+    import ray.data as rd
+
+    from .checkpoint import _atomic_write, done_partitions, partition_key
+
+    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    done = done_partitions(out_dir)
+    done_inputs = {rec["input_path"] for rec in done.values()}
+    pending = [f for f in input_files if f not in done_inputs]
+    completed = []
+    if pending:
+        import json
+
+        import pyarrow.parquet as pq
+
+        ds = rd.read_binary_files(pending, include_paths=True)
+
+        def convert(batch: pa.Table) -> pa.Table:
+            rows_out, keys_out = [], []
+            for path_v, blob in zip(
+                batch.column("path").to_pylist(), batch.column("bytes")
+            ):
+                out = parse_warc_bytes(
+                    blob.as_py() if hasattr(blob, "as_py") else blob
+                )
+                if derive is not None:
+                    out = derive(out)
+                key = partition_key(path_v)
+                ppath = os.path.join(out_dir, "parts", f"{key}.parquet")
+                _atomic_write(ppath, lambda p: pq.write_table(out, p))
+                manifest = {
+                    "partition": key,
+                    "input_path": path_v,
+                    "rows": out.num_rows,
+                    "payload_path": ppath,
+                    "payload_digest": "",
+                    "sketch_ids": [],
+                    "metrics": {"rows": out.num_rows, "payload_bytes": out.nbytes},
+                }
+                _atomic_write(
+                    os.path.join(out_dir, "manifest", f"{key}.json"),
+                    lambda p: open(p, "w").write(json.dumps(manifest, sort_keys=True)),
+                )
+                rows_out.append(out.num_rows)
+                keys_out.append(key)
+            return pa.table(
+                {
+                    "partition": pa.array(keys_out, pa.string()),
+                    "rows": pa.array(np.asarray(rows_out, np.int64)),
+                }
+            )
+
+        completed = [
+            r for t in ray.get(
+                ds.map_batches(convert, batch_format="pyarrow").to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+            for r in t.to_pylist()
+        ]
+    return {
+        "completed": completed,
+        "skipped": sorted(done_inputs & set(input_files)),
+        "out": out_dir,
+    }
+
+
 def write_warc(table: pa.Table, path: str, compress: bool = False) -> str:
     """Page table → one WARC file of response records (round-trip tested
     against the reader; the test-fixture generator for crawl-archive

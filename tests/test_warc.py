@@ -87,3 +87,30 @@ def test_read_warc_pages_dataset_parity(ray_session, tmp_path):
         extract_text(pa.array([sample["html"]], pa.binary()))[0].as_py()
         == t.column("text")[idx].as_py()
     )
+
+
+def test_warc_resumable_conversion(ray_session, tmp_path):
+    from fever_ray.io_.warc import warc_to_pages_resumable
+
+    t = _pages(60, seed=12)
+    f0 = write_warc(t.slice(0, 30), str(tmp_path / "a.warc"))
+    f1 = write_warc(t.slice(30, 30), str(tmp_path / "b.warc"), compress=True)
+    out = str(tmp_path / "out")
+    r1 = warc_to_pages_resumable([f0, f1], out)
+    assert len(r1["completed"]) == 2 and not r1["skipped"]
+    # rerun: both archives skip, outputs untouched
+    r2 = warc_to_pages_resumable([f0, f1], out)
+    assert not r2["completed"] and len(r2["skipped"]) == 2
+    import pyarrow.parquet as pq
+    import glob
+
+    parts = sorted(glob.glob(f"{out}/parts/*.parquet"))
+    assert len(parts) == 2
+    back = pa.concat_tables([pq.read_table(p) for p in parts])
+    assert sorted(back.column("url").to_pylist()) == sorted(
+        t.column("url").to_pylist()
+    )
+    # a NEW archive converts incrementally without touching the old two
+    f2 = write_warc(t.slice(0, 10), str(tmp_path / "c.warc"))
+    r3 = warc_to_pages_resumable([f0, f1, f2], out)
+    assert len(r3["completed"]) == 1 and len(r3["skipped"]) == 2
