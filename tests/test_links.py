@@ -120,6 +120,33 @@ def test_host_of_absolute_relative_other():
     ]
 
 
+def test_host_of_matches_regex_mirror_property():
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rx = re.compile(r"^[a-z]+://([^/]+)")
+    alphabet = st.sampled_from(["https://", "h", "/", ":", ".", "x", "9", "ftp"])
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.lists(alphabet, max_size=8).map("".join), max_size=8))
+    def run(hrefs):
+        got = L.host_of(
+            pa.array(hrefs, pa.string()), pa.array(["B"] * len(hrefs), pa.string())
+        ).to_pylist()
+        want = []
+        for h in hrefs:
+            if h.startswith("/"):
+                want.append("B")
+            else:
+                m = rx.match(h)
+                want.append(m.group(1) if m else "")
+        assert got == want
+
+    run()
+
+
 def test_linked_pages_derivation_planted_shapes():
     pages = L.docs_to_linked_pages_batch(_docs([0, 1, 2, 3, 5]))
     htmls = pages.column("html").to_pylist()
