@@ -2213,6 +2213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 value_kind="int",
             ),
             SketchSpec("cbf_users", "cbf", "user_id", {"n": 100_000, "p": 1e-4}, value_kind="int"),
+            # 19th-session kind: deletion-tolerant distinct (linear counting)
+            SketchSpec("lc_users", "lc", "user_id", {"m": 4096}, value_kind="int"),
         ]
 
         def derive(b: pa.Table) -> pa.Table:
@@ -2242,6 +2244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         rows.append(
             {"sketch": "cbf_users_n_add", "estimate": float(sk["cbf_users"].n_add)}
+        )
+        rows.append(
+            {"sketch": "lc_users", "estimate": float(sk["lc_users"].estimate())}
         )
         return pa.Table.from_pylist(rows)
 
@@ -2787,6 +2792,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "check_name": pa.array(names, pa.string()),
                 "exact_value": pa.array([float(f2)] * len(names), pa.float64()),
+            }
+        )
+
+    def q_dynamic_distinct_gate(sf):
+        """Fully-dynamic distinct count (linear counting, Whang et al.
+        TODS 1990): ONE udaf pass builds TWO LinearCounters — every event
+        occurrence, and the error-event occurrences via a nullable derived
+        column — then subtract() retracts the error stream, leaving bucket
+        occupancy for exactly the users with >=1 surviving event (the HLL-
+        impossible operation: distinct counts that honor deletions).  The
+        row is emitted only if the retraction left zero debt AND the
+        estimate met the published 3-sigma bound; payload = the exact
+        surviving distinct count the oracle mirrors."""
+        import ray
+
+        import fever_ray.ops.aggregates as agg_mod
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+
+        ds = _t(sf, "events", ["user_id", "event_type"])
+
+        def derive(b: pa.Table) -> pa.Table:
+            err = pc.if_else(
+                pc.equal(b.column("event_type"), "error"),
+                b.column("user_id"),
+                pa.scalar(None, pa.int64()),
+            )
+            return pa.table({"user_id": b.column("user_id"), "user_err": err})
+
+        dd = ds.map_batches(derive, batch_format="pyarrow")
+        sk = build_sketches(
+            dd,
+            [
+                SketchSpec("lc_all", "lc", "user_id", {"m": 4096}, value_kind="int"),
+                SketchSpec("lc_err", "lc", "user_err", {"m": 4096}, value_kind="int"),
+            ],
+        )
+        lc = sk["lc_all"].subtract(sk["lc_err"])
+
+        def nonerr_partial(b: pa.Table) -> pa.Table:
+            keep = b.filter(pc.not_equal(b.column("event_type"), "error"))
+            u = np.unique(keep.column("user_id").to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"user_id": pa.array(u, pa.int64()),
+                 "one": pa.array(np.ones(len(u), np.int64))}
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                agg_mod.tree_groupby(
+                    ds.map_batches(nonerr_partial, batch_format="pyarrow"),
+                    ["user_id"],
+                    [("one", "max")],
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+        exact = sum(t.num_rows for t in parts)
+        ok = (
+            lc.debt == 0
+            and abs(lc.estimate() - exact) <= 3 * lc.std_error(exact) + 1
+        )
+        names = ["dynamic_distinct"] if ok else []
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "n_active": pa.array([exact] * len(names), pa.int64()),
             }
         )
 
@@ -4827,6 +4899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_suite": q_sketch_suite,
         "ams_f2_gate": q_ams_f2_gate,
         "countsketch_point_gate": q_countsketch_point_gate,
+        "dynamic_distinct_gate": q_dynamic_distinct_gate,
         "mg_heavy_tokens": q_mg_heavy_tokens,
         "table_profile": q_table_profile,
         "fd_error_gate": q_fd_error_gate,
@@ -7822,6 +7895,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'ams_f2' AS check_name, CAST(CAST(SUM(c * c) AS BIGINT) "
             "AS DOUBLE) AS exact_value FROM "
             "(SELECT COUNT(*) AS c FROM events GROUP BY user_id)"
+        ),
+        "dynamic_distinct_gate": (
+            # exact distinct users with >=1 surviving (non-error) event;
+            # the row exists only if the linear counter, after retracting
+            # the error stream, met the TODS 1990 3-sigma bound with zero
+            # debt
+            "SELECT 'dynamic_distinct' AS check_name, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active "
+            "FROM events WHERE event_type <> 'error'"
         ),
         "countsketch_point_gate": (
             # exact F2 of the user_id column; the row exists only if every

@@ -138,6 +138,11 @@ def _update(sketch, spec: SketchSpec, values) -> None:
         sketch.update(values)
     elif spec.kind == "cbf":
         sketch.add(values)
+    elif spec.kind == "lc":
+        if spec.value_kind == "int":
+            sketch.add_ints(values)
+        else:
+            sketch.add(values)
     else:
         raise ValueError(spec.kind)
 
@@ -346,6 +351,13 @@ def finalize(sketch, spec: SketchSpec, quantiles=(0.01, 0.25, 0.5, 0.75, 0.99)) 
         return {
             "top_k": sketch.top_k(10),
             "undercount_bound": sketch.error_bound(),
+            "n": sketch.n,
+        }
+    if spec.kind == "lc":
+        return {
+            "estimate": sketch.estimate(),
+            "std_error": sketch.std_error(),
+            "debt": sketch.debt,
             "n": sketch.n,
         }
     raise ValueError(spec.kind)

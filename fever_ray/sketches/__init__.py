@@ -24,6 +24,7 @@ from .dd import DDSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
+from .lc import LinearCounter
 from .mg import MisraGries
 from .req import REQ
 from .tdigest import TDigest
@@ -44,6 +45,7 @@ SKETCH_TYPES = {
     "dd": DDSketch,
     "dcms": DyadicCountMin,
     "cbf": CountingBloom,
+    "lc": LinearCounter,
 }
 
 
@@ -64,6 +66,7 @@ __all__ = [
     "FrequentDirections",
     "HyperLogLog",
     "KLL",
+    "LinearCounter",
     "MisraGries",
     "REQ",
     "TDigest",

@@ -12,6 +12,7 @@ SPECS = [
     SketchSpec("hll_urls", "hll", "url", {"p": 12}),
     SketchSpec("cms_langs", "cms", "lang", {"width": 512, "depth": 5}, track=True),
     SketchSpec("bloom_urls", "bloom", "url", {"n": 10000, "p": 1e-5}),
+    SketchSpec("lc_urls", "lc", "url", {"m": 4096}),
 ]
 
 
@@ -29,6 +30,8 @@ def test_coalesce_equals_groupby(ray_session, pages_dir):
     assert a["cms_langs"].total == b["cms_langs"].total
     assert np.array_equal(a["bloom_urls"].v, b["bloom_urls"].v)
     assert a["bloom_urls"].N == b["bloom_urls"].N
+    assert np.array_equal(a["lc_urls"].counts, b["lc_urls"].counts)
+    assert a["lc_urls"].n == b["lc_urls"].n
 
 
 def test_extract_mode_matches_precomputed_text(ray_session, pages_dir):

@@ -1086,3 +1086,79 @@ def test_cbf_weighted_int_keys_roundtrip_and_guards():
         cb.add(ids, counts=np.array([-1] * 1000))
     with pytest.raises(ValueError):
         CountingBloom.create(n=0)
+
+
+def test_linear_counter_dynamic_distinct():
+    """Whang et al. linear counting: estimate within the published bound,
+    retraction via remove/subtract is EXACT (insert A∪B then subtract B ==
+    insert A bit-identically), merge order invariant."""
+    from fever_ray.sketches.lc import LinearCounter
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1500, size=40_000)   # heavy duplication
+    lc = LinearCounter.create(m=4096, seed=1)
+    lc.add_ints(keys)
+    exact = len(np.unique(keys))
+    assert abs(lc.estimate() - exact) <= 3 * lc.std_error(exact) + 1
+    assert lc.debt == 0 and lc.n == len(keys)
+    # full retraction empties the sketch exactly
+    lc.remove_ints(keys)
+    assert lc.occupied == 0 and lc.n == 0 and lc.estimate() == 0.0
+    # subtract(stream B) == never having inserted B (bit-identical counts)
+    a = rng.integers(0, 800, size=10_000)
+    b = rng.integers(0, 800, size=5_000)
+    both = LinearCounter.create(m=1024, seed=3)
+    both.add_ints(np.concatenate([a, b]))
+    sk_b = LinearCounter.create(m=1024, seed=3)
+    sk_b.add_ints(b)
+    both.subtract(sk_b)
+    only_a = LinearCounter.create(m=1024, seed=3)
+    only_a.add_ints(a)
+    np.testing.assert_array_equal(both.counts, only_a.counts)
+    # merge = concatenated stream, any split
+    whole = LinearCounter.create(m=1024, seed=3)
+    whole.add_ints(a)
+    acc = LinearCounter.create(m=1024, seed=3)
+    for part in np.array_split(a, 7):
+        p = LinearCounter.create(m=1024, seed=3)
+        p.add_ints(part)
+        acc.merge(p)
+    np.testing.assert_array_equal(acc.counts, whole.counts)
+    # string path + roundtrip + guards
+    s = LinearCounter.create(m=64, seed=0)
+    s.add(["x", "y", "x"])
+    assert s.n == 3
+    back = LinearCounter.from_bytes(s.to_bytes())
+    np.testing.assert_array_equal(back.counts, s.counts)
+    assert (back.m, back.seed, back.n) == (s.m, s.seed, s.n)
+    s.remove(["zz"])  # removal never inserted → debt surfaces
+    assert s.debt == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        LinearCounter.create(m=100)
+    with _pytest.raises(ValueError):
+        s.merge(LinearCounter.create(m=128, seed=0))
+    # saturation cap (every bucket occupied) returns the documented cap
+    full = LinearCounter.create(m=4, seed=0)
+    full.counts[:] = 1
+    assert full.estimate() == 4 * np.log(4)
+
+
+def test_linear_counter_udaf_pass():
+    """lc rides the one-pass UDAF like every other kind."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fever_ray.core.udaf import SketchSpec, build_sketches, finalize
+    from fever_ray.sketches.lc import LinearCounter
+
+    t = pa.table({"k": pa.array((np.arange(3000) % 700), pa.int64())})
+    sk = build_sketches(
+        rd.from_arrow(t).repartition(5),
+        [SketchSpec("lc_k", "lc", "k", {"m": 4096}, value_kind="int")],
+    )["lc_k"]
+    assert isinstance(sk, LinearCounter)
+    assert abs(sk.estimate() - 700) <= 3 * sk.std_error(700) + 1
+    card = finalize(sk, SketchSpec("lc_k", "lc", "k", {"m": 4096}, value_kind="int"))
+    assert card["debt"] == 0 and card["n"] == 3000
