@@ -755,6 +755,31 @@ def run_bench() -> dict:
         )
     )
 
+    # fully-dynamic distinct urls at 1M pages: build the linear counter
+    # over the whole corpus AND over the first shard's "retraction
+    # stream" in passes, subtract, estimate — the GDPR/correction-stream
+    # shape (distinct counts that honor deletions) end to end
+    def _dynamic_distinct():
+        from fever_ray.core.udaf import SketchSpec, build_sketches
+
+        # m sized to the ~1M distinct domain (load ~0.5): the documented
+        # linear-space price of deletability — 16 MB partials per block,
+        # one per input file, tree-merged
+        spec = [SketchSpec("lc_urls", "lc", "url", {"m": 1 << 21})]
+        full = build_sketches(
+            rd.read_parquet(PAGES_DIR + "/", columns=["url"]), spec,
+            batch_size=None,
+        )["lc_urls"]
+        first = sorted(os.listdir(PAGES_DIR))
+        first = [f for f in first if f.endswith(".parquet")][0]
+        gone = build_sketches(
+            rd.read_parquet(os.path.join(PAGES_DIR, first), columns=["url"]),
+            spec, batch_size=None,
+        )["lc_urls"]
+        return full.subtract(gone).estimate()
+
+    timings["dynamic_distinct_pages"] = _timed(_dynamic_distinct)
+
     # host link graph over the linked variant of the corpus (≤3 planted
     # anchors/page, ~1.5 links/page avg): vectorized href extraction out of
     # raw html + dst-host resolution + bounded-tree exact edge counts —

@@ -134,9 +134,21 @@ class LinearCounter:
     # -- serialization ------------------------------------------------------
 
     def to_bytes(self) -> bytes:
+        """Sparse when < m/8 buckets are occupied (a per-block partial
+        touches at most block_rows buckets, so partial blobs are KB-sized
+        however large m is — the grouped-sparse-HLL trick); dense
+        otherwise.  Both shapes deserialize to the same counters."""
+        nz = np.flatnonzero(self.counts)
+        if len(nz) * 2 < self.m // 8:
+            return (
+                _MAGIC
+                + struct.pack("<iiqbq", self.m, self.seed, self.n, 1, len(nz))
+                + nz.astype("<i8").tobytes()
+                + self.counts[nz].astype("<i8").tobytes()
+            )
         return (
             _MAGIC
-            + struct.pack("<iiq", self.m, self.seed, self.n)
+            + struct.pack("<iiqbq", self.m, self.seed, self.n, 0, 0)
             + self.counts.astype("<i8").tobytes()
         )
 
@@ -144,6 +156,14 @@ class LinearCounter:
     def from_bytes(cls, blob: bytes) -> "LinearCounter":
         if blob[:4] != _MAGIC:
             raise ValueError("not a LinearCounter blob")
-        m, seed, n = struct.unpack("<iiq", blob[4:20])
-        counts = np.frombuffer(blob[20 : 20 + 8 * m], dtype="<i8").astype(np.int64)
+        m, seed, n, sparse, k = struct.unpack("<iiqbq", blob[4:29])
+        if sparse:
+            idx = np.frombuffer(blob[29 : 29 + 8 * k], dtype="<i8")
+            vals = np.frombuffer(blob[29 + 8 * k : 29 + 16 * k], dtype="<i8")
+            counts = np.zeros(m, dtype=np.int64)
+            counts[idx] = vals
+        else:
+            counts = np.frombuffer(blob[29 : 29 + 8 * m], dtype="<i8").astype(
+                np.int64
+            )
         return cls(m, seed, counts, n)
