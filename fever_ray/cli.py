@@ -1321,6 +1321,91 @@ def cmd_bloom(args) -> int:
     return 0
 
 
+def cmd_lcount(args) -> int:
+    """Deletion-tolerant distinct-counter artifact (linear counting):
+    `create` seeds it, `add`/`remove` mutate occurrences in place (multiset
+    contract — removals must match prior adds), `ingest --input <parquet>
+    --column <col>` streams a whole table in via the one-pass UDAF,
+    `show` prints the estimate card.  The distinct analog of `cbloom`:
+    counts that honor retraction without a rebuild."""
+    import numpy as np
+
+    from .sketches.lc import LinearCounter
+
+    def _vals() -> np.ndarray:
+        values = list(args.values)
+        if args.iocs:
+            with open(args.iocs) as fh:
+                values += [line.strip() for line in fh if line.strip()]
+        return np.array(values, dtype=object)
+
+    if args.action == "create":
+        lc = LinearCounter.create(m=args.m)
+        vals = _vals()
+        if len(vals):
+            lc.add(vals)
+        with open(args.file, "wb") as fh:
+            fh.write(lc.to_bytes())
+        print(f"wrote {args.file}: m={lc.m} n={lc.n}")
+        return 0
+    with open(args.file, "rb") as fh:
+        lc = LinearCounter.from_bytes(fh.read())
+    if args.action in ("add", "remove"):
+        vals = _vals()
+        getattr(lc, args.action)(vals)
+        with open(args.file, "wb") as fh:
+            fh.write(lc.to_bytes())
+        print(
+            f"{args.action}: n={lc.n} estimate={lc.estimate():.1f} "
+            f"debt={lc.debt}"
+        )
+    elif args.action == "ingest":
+        if not (args.input and args.column):
+            print("lcount ingest needs --input and --column")
+            return 2
+        import ray.data as rd
+
+        from .core.udaf import SketchSpec, build_sketches
+
+        _init_ray(args.num_cpus)
+        other = build_sketches(
+            rd.read_parquet(args.input, columns=[args.column]),
+            [SketchSpec("lc", "lc", args.column, {"m": lc.m})],
+        )["lc"]
+        if args.retract:
+            lc.subtract(other)
+        else:
+            lc.merge(other)
+        with open(args.file, "wb") as fh:
+            fh.write(lc.to_bytes())
+        print(
+            json.dumps(
+                {
+                    "ingested": other.n,
+                    "retract": bool(args.retract),
+                    "n": lc.n,
+                    "estimate": round(lc.estimate(), 1),
+                    "debt": lc.debt,
+                }
+            )
+        )
+    elif args.action == "show":
+        print(
+            json.dumps(
+                {
+                    "m": lc.m,
+                    "n": lc.n,
+                    "estimate": round(lc.estimate(), 1),
+                    "occupied": lc.occupied,
+                    "std_error": round(lc.std_error(), 2),
+                    "debt": lc.debt,
+                },
+                sort_keys=True,
+            )
+        )
+    return 0
+
+
 def cmd_cbloom(args) -> int:
     """Counting-bloom indicator set: membership with RETRACTION.  Where
     `bloom` manages the DCSO-format artifact (add-only; retraction forces a
@@ -1682,6 +1767,23 @@ def main(argv=None) -> int:
     pcb.add_argument("--capacity", type=int, default=100_000)
     pcb.add_argument("--p", type=float, default=1e-4)
     pcb.set_defaults(fn=cmd_cbloom)
+
+    plc = sub.add_parser(
+        "lcount",
+        allow_abbrev=False,
+        help="deletion-tolerant distinct counter artifact (linear counting)",
+    )
+    plc.add_argument("action", choices=["create", "add", "remove", "ingest", "show"])
+    plc.add_argument("file")
+    plc.add_argument("values", nargs="*")
+    plc.add_argument("--iocs", help="one value per line")
+    plc.add_argument("--m", type=int, default=1 << 16)
+    plc.add_argument("--input", help="parquet dir (ingest mode)")
+    plc.add_argument("--column", help="column to count (ingest mode)")
+    plc.add_argument("--retract", action="store_true",
+                     help="ingest as a RETRACTION stream (subtract)")
+    plc.add_argument("--num-cpus", dest="num_cpus", type=int)
+    plc.set_defaults(fn=cmd_lcount)
 
     pg = sub.add_parser("gen", allow_abbrev=False, help="generate synthetic pages")
     pg.add_argument("--out", required=True)
