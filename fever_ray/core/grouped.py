@@ -145,6 +145,9 @@ def grouped_estimates(
         elif spec.kind in ("tdigest", "kll", "req", "dd"):
             for q in quantiles:
                 rec[f"q{int(q * 100):02d}"] = float(sk.quantile(q))
+        elif spec.kind == "lc":
+            rec["estimate"] = sk.estimate()
+            rec["debt"] = sk.debt
         rows_out.append(rec)
     rows_out.sort(key=lambda r: r["key"])
     if not rows_out:

@@ -105,3 +105,30 @@ def test_cube_rollup_merge_equals_direct(ray_session, pages_dir):
     assert set(per_lang) == set(direct)
     for lang in direct:
         assert per_lang[lang].to_bytes() == direct[lang].to_bytes(), lang
+
+
+def test_grouped_lc_estimates(ray_session):
+    """lc rides the salted grouped path; per-key distinct estimates within
+    the published bound, debt column surfaced."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fever_ray.core.grouped import grouped_estimates
+    from fever_ray.core.udaf import SketchSpec
+
+    g = np.array(["a"] * 6000 + ["b"] * 2000)
+    k = np.concatenate([np.arange(6000) % 500, np.arange(2000) % 100])
+    t = pa.table({"g": pa.array(g.tolist()), "k": pa.array(k, pa.int64())})
+    out = grouped_estimates(
+        rd.from_arrow(t).repartition(5),
+        "g",
+        SketchSpec("lc", "lc", "k", {"m": 4096}, value_kind="int"),
+    )
+    got = {r["key"]: r for r in out.to_pylist()}
+    from fever_ray.sketches.lc import LinearCounter
+
+    probe = LinearCounter.create(m=4096)
+    assert abs(got["a"]["estimate"] - 500) <= 3 * probe.std_error(500) + 1
+    assert abs(got["b"]["estimate"] - 100) <= 3 * probe.std_error(100) + 1
+    assert got["a"]["debt"] == 0 and got["a"]["rows"] == 6000
