@@ -1092,15 +1092,26 @@ def cmd_warc(args) -> int:
         else [args.input]
     )
 
+    lang_id = None
+    if args.lang_id:
+        from .ops.textstats import LangId
+
+        lang_id = LangId()
+
     def derive(b: "pa.Table") -> "pa.Table":
         text = extract_text(b.column("html")).cast(pa.large_string())
+        if lang_id is not None:
+            pred = lang_id(pa.table({"text": text})).column("lang_pred")
+            lang = pred.cast(pa.string())
+        else:
+            lang = pa.array([None] * b.num_rows, pa.string())
         return pa.table(
             {
                 "url": b.column("url"),
                 "warc_ts": b.column("warc_ts"),
                 "html": b.column("html"),
                 "text": text,
-                "lang": pa.array([None] * b.num_rows, pa.string()),
+                "lang": lang,
             }
         )
 
@@ -1682,6 +1693,9 @@ def main(argv=None) -> int:
     )
     pwc.add_argument("--input", required=True, help="WARC file or dir")
     pwc.add_argument("--out", required=True)
+    pwc.add_argument("--lang-id", dest="lang_id", action="store_true",
+                     help="fill lang via the marker-table LangId stage "
+                          "instead of null")
     pwc.add_argument("--num-cpus", dest="num_cpus", type=int)
     pwc.set_defaults(fn=cmd_warc)
 
