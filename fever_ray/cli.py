@@ -1206,18 +1206,53 @@ def cmd_links(args) -> int:
     for d, c in zip(dst, n):
         inlinks[d] = inlinks.get(d, 0) + int(c)
     top = max(sorted(inlinks), key=lambda k: inlinks[k])
-    print(
-        json.dumps(
-            {
-                "links": int(n.sum()),
-                "edges": t.num_rows,
-                "top_hub": top,
-                "top_hub_inlinks": inlinks[top],
-                "out": args.out,
-            },
-            sort_keys=True,
-        )
-    )
+    summary = {
+        "links": int(n.sum()),
+        "edges": t.num_rows,
+        "top_hub": top,
+        "top_hub_inlinks": inlinks[top],
+        "out": args.out,
+    }
+    if args.pagerank:
+        # integer fixed-point PageRank over the CLOSED subgraph: distinct
+        # (src, dst) edges restricted (to fixpoint) to dsts that still
+        # have out-edges — dropped edge count is reported, dangling mass
+        # is not silently invented (ops.graph.pagerank's closure contract)
+        import numpy as np
+        import ray.data as rd
+
+        from .ops.graph import pagerank
+
+        src = np.asarray(t.column("src_host").to_pylist(), dtype=object)
+        dst = np.asarray(t.column("dst_host").to_pylist(), dtype=object)
+        keep = np.ones(len(src), dtype=bool)
+        while True:
+            srcs = set(src[keep].tolist())
+            nk = keep & np.fromiter((d in srcs for d in dst), bool, len(dst))
+            if (nk == keep).all():
+                break
+            keep = nk
+        summary["pagerank_dropped_edges"] = int((~keep).sum())
+        if keep.any():
+            hosts = sorted({*src[keep].tolist(), *dst[keep].tolist()})
+            hid = {h: i for i, h in enumerate(hosts)}
+            e = pa.table(
+                {
+                    "src": pa.array([hid[s] for s in src[keep]], pa.int64()),
+                    "dst": pa.array([hid[d] for d in dst[keep]], pa.int64()),
+                }
+            )
+            pr = pagerank(
+                rd.from_arrow(e), "src", "dst", iterations=args.pagerank
+            ).to_pandas()
+            pr = pr.sort_values(["rank", "node"], ascending=[False, True]).head(10)
+            summary["pagerank_top"] = [
+                {"host": hosts[int(r.node)], "rank": int(r.rank)}
+                for r in pr.itertuples()
+            ]
+        else:
+            summary["pagerank_top"] = []
+    print(json.dumps(summary, sort_keys=True))
     return 0
 
 
@@ -1725,6 +1760,10 @@ def main(argv=None) -> int:
     plk.add_argument("--out", help="write the edge table as parquet")
     plk.add_argument("--max-edges", dest="max_edges", type=int,
                      default=1_000_000)
+    plk.add_argument("--pagerank", type=int, nargs="?", const=3, default=0,
+                     metavar="ITERS",
+                     help="also rank hosts: integer PageRank over the "
+                          "closed link subgraph (default 3 iterations)")
     plk.add_argument("--num-cpus", dest="num_cpus", type=int)
     plk.set_defaults(fn=cmd_links)
 
