@@ -1,0 +1,115 @@
+"""CLI drive tests for the 19th-session surfaces: links (+ --pagerank),
+plan (groupby + join), warc (+ --lang-id, resume), lcount, check --suggest.
+All through cli.main with the session Ray (cli._init_ray is guarded)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fever_ray import cli
+
+
+@pytest.fixture(scope="module")
+def linked_dir(ray_session, tmp_path_factory):
+    from fever_ray.gen.pages import write_pages
+
+    d = str(tmp_path_factory.mktemp("cli") / "lp")
+    write_pages(d, 4000, n_files=4, seed=11, links_per_page=3)
+    return d
+
+
+def _line(capsys) -> dict:
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_links_summary_graph_and_pagerank(linked_dir, tmp_path, capsys):
+    out = str(tmp_path / "graph")
+    rc = cli.main(["links", "--input", linked_dir, "--out", out, "--pagerank"])
+    assert rc == 0
+    line = _line(capsys)
+    assert line["links"] > 0 and line["edges"] > 0
+    # Zipf corpus: the rank-1 host dominates both in-links and PageRank
+    assert line["top_hub"].startswith("alpha0")
+    assert line["pagerank_top"][0]["host"].startswith("alpha0")
+    ranks = [r["rank"] for r in line["pagerank_top"]]
+    assert ranks == sorted(ranks, reverse=True)
+    # edge table written and consistent with the summary
+    edges = pq.read_table(
+        [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")]
+    )
+    assert edges.num_rows == line["edges"]
+    assert int(pa.compute.sum(edges.column("n_links")).as_py()) == line["links"]
+
+
+def test_cli_plan_groupby_and_join(linked_dir, capsys):
+    rc = cli.main(["plan", "--input", linked_dir, "--column", "hostname"])
+    assert rc == 0
+    g = _line(capsys)
+    assert g["strategy"] == "tree_groupby" and g["salt_fanout"] >= 4
+    assert "alpha0" in g["probe"]["top_keys"][0][0]
+    rc = cli.main(
+        ["plan", "--input", linked_dir, "--column", "hostname",
+         "--right-input", linked_dir]
+    )
+    assert rc == 0
+    j = _line(capsys)
+    assert j["blowup"] and set(j["skewed_sides"]) == {"left", "right"}
+    assert j["join_size_est"] > 0
+
+
+def test_cli_warc_roundtrip_resume_langid(ray_session, tmp_path, capsys):
+    from fever_ray.gen.pages import generate_pages
+    from fever_ray.io_.warc import write_warc
+
+    t = generate_pages(200, seed=6)
+    arch = tmp_path / "arch"
+    write_warc(t.slice(0, 100), str(arch / "a.warc"))
+    write_warc(t.slice(100, 100), str(arch / "b.warc"), compress=True)
+    out = str(tmp_path / "wp")
+    rc = cli.main(["warc", "--input", str(arch), "--out", out, "--lang-id"])
+    assert rc == 0
+    first = _line(capsys)
+    assert first["completed"] == 2 and first["records"] == 200
+    rc = cli.main(["warc", "--input", str(arch), "--out", out])
+    assert rc == 0
+    again = _line(capsys)
+    assert again["completed"] == 0 and again["skipped"] == 2
+    parts = [os.path.join(out, "parts", f) for f in os.listdir(out + "/parts")]
+    back = pa.concat_tables([pq.read_table(p) for p in parts])
+    assert back.num_rows == 200
+    # lang filled (word-salad gen text classifies 'und'), text = extractor
+    assert set(back.column("lang").to_pylist()) == {"und"}
+    assert sorted(back.column("url").to_pylist()) == sorted(
+        t.column("url").to_pylist()
+    )
+
+
+def test_cli_lcount_ingest_retract_cycle(ray_session, linked_dir, tmp_path, capsys):
+    f = str(tmp_path / "d.lc")
+    assert cli.main(["lcount", "create", f, "a", "b", "c"]) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["lcount", "ingest", f, "--input", linked_dir, "--column", "url"]
+    ) == 0
+    mid = _line(capsys)
+    assert mid["ingested"] == 4000 and mid["estimate"] > 3000
+    assert cli.main(
+        ["lcount", "ingest", f, "--input", linked_dir, "--column", "url",
+         "--retract"]
+    ) == 0
+    end = _line(capsys)
+    assert end["retract"] and end["n"] == 3 and end["debt"] == 0
+    assert cli.main(["lcount", "show", f]) == 0
+    assert _line(capsys)["estimate"] == 3.0
+
+
+def test_cli_check_suggest_passes_own_suite(ray_session, linked_dir, capsys):
+    rc = cli.main(["check", "--input", linked_dir, "--suggest"])
+    assert rc == 0
+    lines = [json.loads(s) for s in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["all_passed"] and lines[-1]["checks"] >= 4
+    sug = lines[0]
+    assert "lang" in sug["profile"] and len(sug["profile"]["lang"]["domain"]) == 12
