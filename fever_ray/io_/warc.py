@@ -207,6 +207,11 @@ def write_warc(table: pa.Table, path: str, compress: bool = False) -> str:
     for u, t, h in zip(urls, ts, htmls):
         if isinstance(h, str):
             h = h.encode("utf-8")
+        if u != u.strip() or "\r" in u or "\n" in u:
+            # header values cannot carry surrounding whitespace or CRLF —
+            # readers strip them (ours included); refuse loudly instead of
+            # writing a record that cannot round-trip
+            raise ValueError(f"write_warc: url not header-safe: {u!r}")
         secs, us = divmod(int(t), 1_000_000)
         from datetime import datetime, timezone
 

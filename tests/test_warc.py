@@ -114,3 +114,95 @@ def test_warc_resumable_conversion(ray_session, tmp_path):
     f2 = write_warc(t.slice(0, 10), str(tmp_path / "c.warc"))
     r3 = warc_to_pages_resumable([f0, f1, f2], out)
     assert len(r3["completed"]) == 1 and len(r3["skipped"]) == 2
+
+
+def test_warc_payload_containing_record_markers_roundtrips():
+    """Content-Length framing means payload bytes that LOOK like record
+    boundaries (CRLFCRLF, WARC/ magic) must pass through untouched."""
+    evil = [
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n",
+        b'href="x" Content-Length: 9\r\n\r\n',
+        b"",
+        b"\x00\x01\xff\xfe binary \r\n",
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([f"https://x/{i}" for i in range(len(evil))]),
+            "warc_ts": pa.array(
+                [1704067200_000_000 + i for i in range(len(evil))],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "html": pa.array(evil, pa.binary()),
+        }
+    )
+    import io as _io
+
+    for compress in (False, True):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = write_warc(t, f"{d}/e.warc", compress=compress)
+            back = parse_warc_bytes(open(p, "rb").read())
+            assert back.column("html").to_pylist() == evil
+            assert back.column("url").to_pylist() == t.column("url").to_pylist()
+
+
+def test_warc_fuzz_roundtrip_property():
+    """Hypothesis: any (url, ts, payload) table round-trips through
+    write_warc/parse_warc_bytes byte-exactly, payload content arbitrary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(
+                        codec="utf-8", exclude_characters="\r\n"
+                    ),
+                    max_size=20,
+                ).map(lambda u: u.strip()),
+                st.integers(0, 2**48),
+                st.binary(max_size=200),
+            ),
+            max_size=5,
+        )
+    )
+    def run(rows):
+        import tempfile
+
+        t = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            p = write_warc(t, f"{d}/f.warc")
+            back = parse_warc_bytes(open(p, "rb").read())
+        assert back.column("html").to_pylist() == [r[2] for r in rows]
+        assert back.column("url").to_pylist() == [r[0] for r in rows]
+        assert back.column("warc_ts").cast(pa.int64()).to_pylist() == [
+            r[1] for r in rows
+        ]
+
+    run()
+
+
+def test_warc_writer_rejects_header_unsafe_urls():
+    t = pa.table(
+        {
+            "url": pa.array([" padded "], pa.string()),
+            "warc_ts": pa.array([0], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([b"x"], pa.binary()),
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(ValueError, match="header-safe"):
+            write_warc(t, f"{d}/bad.warc")
