@@ -877,6 +877,17 @@ def run_stats() -> None:
                        batch_size=64 * len(STANDARD_SPECS))
     f.take_all()
     print(f.stats())
+
+    # crawl-graph build breakdown (href extraction → edge pre-agg → tree)
+    from fever_ray.gen.pages import ensure_pages as _el
+    from fever_ray.ops.links import host_links
+
+    links_dir = f"/tmp/fever_ray_pages/bench_{PAGES_ROWS}_links3"
+    _el(links_dir, n_rows=PAGES_ROWS, n_files=64, seed=42, links_per_page=3)
+    g = host_links(rd.read_parquet(links_dir + "/", columns=["url", "html"]))
+    g.take_all()
+    print("\n=== link_graph_pages ===")
+    print(g.stats())
     ray.shutdown()
 
 
