@@ -19,11 +19,21 @@ ingests only the EVE event lines it understands (and like
 
 Scale shape: ONE file = one read task (``read_binary_files`` keeps Ray's
 per-file parallelism; crawl archives are many ~1 GB segments, which IS
-the right distribution axis).  Record parsing is a linear bytes scan with
-``bytes.find`` — O(archive bytes), no copies beyond the payload slices —
-and payload bytes land zero-copy into the Arrow binary column.  Gzip
+the right distribution axis).  Record parsing is an incremental stream
+scan — header block, then exactly Content-Length payload bytes — so a
+gzip'd segment is never fully decompressed into one resident bytes
+object (peak extra memory ≈ one record + a 1 MB read buffer).  Gzip
 members decompress as one stream (GzipFile reads concatenated members,
 the Common-Crawl layout).
+
+Real crawl archives (Common Crawl) store the FULL HTTP response —
+status line + headers + body — as the payload of response records,
+flagged ``Content-Type: application/http; msgtype=response``.  For such
+records the HTTP header block is stripped (everything through the first
+``\\r\\n\\r\\n`` inside the payload) so the ``html`` column carries only
+the body; bare payloads (no application/http content-type — this
+module's own writer) pass through untouched, keeping the round-trip
+contract intact.
 """
 
 from __future__ import annotations
@@ -38,6 +48,58 @@ import pyarrow as pa
 _CRLF2 = b"\r\n\r\n"
 
 
+class _RecordStream:
+    """Buffered reader over a (possibly Gzip) stream: header-block and
+    exact-length reads without ever materializing the whole archive."""
+
+    _CHUNK = 1 << 20
+
+    def __init__(self, fh):
+        self.fh = fh
+        self.buf = bytearray()
+        self.off = 0  # absolute offset (decompressed bytes) of buf[0]
+
+    def _fill(self, n: int) -> bool:
+        while len(self.buf) < n:
+            chunk = self.fh.read(max(self._CHUNK, n - len(self.buf)))
+            if not chunk:
+                return False
+            self.buf += chunk
+        return True
+
+    def peek(self, n: int) -> bytes:
+        self._fill(n)
+        return bytes(self.buf[:n])
+
+    def skip(self, n: int) -> None:
+        del self.buf[:n]
+        self.off += n
+
+    def read_exact(self, n: int):
+        """n bytes, or None at EOF (buffer untouched on failure)."""
+        if not self._fill(n):
+            return None
+        out = bytes(self.buf[:n])
+        self.skip(n)
+        return out
+
+    def read_until_crlf2(self):
+        """Bytes up to (excluding) the next CRLFCRLF, consuming the
+        delimiter too; None if EOF arrives first."""
+        start = 0
+        while True:
+            i = self.buf.find(_CRLF2, max(0, start - 3))
+            if i >= 0:
+                out = bytes(self.buf[:i])
+                self.skip(i + 4)
+                return out
+            start = len(self.buf)
+            chunk = self.fh.read(self._CHUNK)
+            if not chunk:
+                return None
+            self.buf += chunk
+
+
 def parse_warc_bytes(blob: bytes) -> pa.Table:
     """Parse one WARC file's bytes → (url, warc_ts, html) table.
 
@@ -46,36 +108,53 @@ def parse_warc_bytes(blob: bytes) -> pa.Table:
     error, not something to silently drop).
     """
     if blob[:2] == b"\x1f\x8b":
-        with gzip.GzipFile(fileobj=io.BytesIO(blob)) as fh:
-            blob = fh.read()
+        fh = gzip.GzipFile(fileobj=io.BytesIO(blob))
+    else:
+        fh = io.BytesIO(blob)
+    with fh:
+        return _parse_warc_stream(_RecordStream(fh))
+
+
+def _parse_warc_stream(st: _RecordStream) -> pa.Table:
     urls, ts_us, payloads = [], [], []
-    pos = 0
-    n = len(blob)
-    while pos < n:
-        if blob[pos : pos + 5] != b"WARC/":
-            raise ValueError(f"WARC: bad record magic at byte {pos}")
-        hdr_end = blob.find(_CRLF2, pos)
-        if hdr_end < 0:
-            raise ValueError(f"WARC: unterminated header block at byte {pos}")
+    while True:
+        head = st.peek(5)
+        if not head:
+            break
+        if head != b"WARC/":
+            raise ValueError(f"WARC: bad record magic at byte {st.off}")
+        rec_off = st.off
+        hdr = st.read_until_crlf2()
+        if hdr is None:
+            raise ValueError(f"WARC: unterminated header block at byte {rec_off}")
         headers = {}
-        for line in blob[pos:hdr_end].split(b"\r\n")[1:]:
+        for line in hdr.split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
         try:
             clen = int(headers[b"content-length"])
         except (KeyError, ValueError):
-            raise ValueError(f"WARC: missing/bad Content-Length at byte {pos}")
-        body = hdr_end + 4
-        if body + clen > n:
-            raise ValueError(f"WARC: truncated payload at byte {body}")
+            raise ValueError(f"WARC: missing/bad Content-Length at byte {rec_off}")
+        body_off = st.off
+        payload = st.read_exact(clen)
+        if payload is None:
+            raise ValueError(f"WARC: truncated payload at byte {body_off}")
         if headers.get(b"warc-type") == b"response":
+            if (
+                headers.get(b"content-type", b"").split(b";")[0].strip()
+                == b"application/http"
+            ):
+                # real crawl archives: payload is the full HTTP response;
+                # html is the body after the HTTP header block
+                i = payload.find(_CRLF2)
+                if i >= 0:
+                    payload = payload[i + 4 :]
             urls.append(headers.get(b"warc-target-uri", b"").decode("utf-8"))
             date = headers.get(b"warc-date", b"").decode("ascii")
             ts_us.append(_parse_warc_date_us(date))
-            payloads.append(blob[body : body + clen])
-        pos = body + clen
-        if blob[pos : pos + 4] == _CRLF2:
-            pos += 4
+            payloads.append(payload)
+        if st.peek(4) == _CRLF2:
+            st.skip(4)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),

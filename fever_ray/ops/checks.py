@@ -214,14 +214,22 @@ def suggest_checks(ds, columns: list[str] | None = None) -> dict:
                 "nulls": col.null_count,
                 "lo": None,
                 "hi": None,
+                "lo_i": None,
+                "hi_i": None,
             }
             if c in num_cols or c in ts_cols:
                 v = col.drop_null()
                 if len(v):
                     if c in ts_cols:
                         v = v.cast(pa.int64())
-                    rec["lo"] = float(pc.min(v).as_py())
-                    rec["hi"] = float(pc.max(v).as_py())
+                    mn, mx = pc.min(v).as_py(), pc.max(v).as_py()
+                    rec["lo"] = float(mn)
+                    rec["hi"] = float(mx)
+                    if c in ts_cols or pa.types.is_integer(types[c]):
+                        # exact int64 lanes: float64 rounds past the true
+                        # min/max for |values| > 2^53 (large id/hash cols)
+                        rec["lo_i"] = int(mn)
+                        rec["hi_i"] = int(mx)
             rows.append(rec)
         return pa.table(
             {
@@ -230,6 +238,8 @@ def suggest_checks(ds, columns: list[str] | None = None) -> dict:
                 "nulls": pa.array([r["nulls"] for r in rows], pa.int64()),
                 "lo": pa.array([r["lo"] for r in rows], pa.float64()),
                 "hi": pa.array([r["hi"] for r in rows], pa.float64()),
+                "lo_i": pa.array([r["lo_i"] for r in rows], pa.int64()),
+                "hi_i": pa.array([r["hi_i"] for r in rows], pa.int64()),
             }
         )
 
@@ -243,7 +253,14 @@ def suggest_checks(ds, columns: list[str] | None = None) -> dict:
                     stats_partial, batch_format="pyarrow", zero_copy_batch=True
                 ),
                 ["col"],
-                [("n", "sum"), ("nulls", "sum"), ("lo", "min"), ("hi", "max")],
+                [
+                    ("n", "sum"),
+                    ("nulls", "sum"),
+                    ("lo", "min"),
+                    ("hi", "max"),
+                    ("lo_i", "min"),
+                    ("hi_i", "max"),
+                ],
                 max_groups=len(columns),
             ).to_arrow_refs()
         )
@@ -298,8 +315,10 @@ def suggest_checks(ds, columns: list[str] | None = None) -> dict:
                 )
         if (c in num_cols or c in ts_cols) and st["lo"] is not None:
             lo, hi = st["lo"], st["hi"]
-            if c in num_cols and pa.types.is_integer(types[c]):
-                lo, hi = int(lo), int(hi)
+            if st.get("lo_i") is not None:
+                # integer/timestamp columns: the exact int64 lanes, not the
+                # float64 shadow (lossy past 2^53)
+                lo, hi = int(st["lo_i"]), int(st["hi_i"])
             prof["lo"], prof["hi"] = lo, hi
             if c in num_cols:
                 rowlocal.append(

@@ -121,7 +121,9 @@ class AMSSketch:
             # odd r: the median IS a lane value — exact int64, no float
             return ests[self.r // 2]
         mid = self.r // 2
-        return (ests[mid - 1] + ests[mid]).astype(np.float64) / 2.0
+        # float64 BEFORE the sum: two extreme int64 lane values can
+        # overflow int64 (numpy wraps silently)
+        return (ests[mid - 1].astype(np.float64) + ests[mid]) / 2.0
 
     def query(self, values) -> np.ndarray:
         """CountSketch point-frequency estimates (Charikar, Chen,

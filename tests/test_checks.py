@@ -201,3 +201,21 @@ def test_suggest_checks_derives_passing_suite(ray_session):
     card2 = _card(rowlocal_checks(rd.from_arrow(worse), sug["rowlocal"]))
     assert card2["suggested.completeness.text"][2] == 0  # failed
     assert card2["suggested.accepted.lang"][2] == 0
+
+
+def test_suggest_checks_int64_range_exact_past_2_53(ray_session):
+    # between bounds on large int64 ids must come from the exact int64
+    # lanes — float64 rounds 2^62+1 and 2^62+3 to the same value
+    import ray.data as rd
+
+    from fever_ray.ops.checks import rowlocal_checks, suggest_checks
+
+    lo_true = (1 << 62) + 1
+    hi_true = (1 << 62) + 3
+    t = pa.table({"bigid": pa.array([lo_true, hi_true, lo_true + 1], pa.int64())})
+    sug = suggest_checks(rd.from_arrow(t))
+    spec = {s["name"]: s for s in sug["rowlocal"]}["suggested.range.bigid"]
+    assert spec["lo"] == lo_true and spec["hi"] == hi_true
+    # the suggested suite passes on the profiled corpus itself
+    card = rowlocal_checks(rd.from_arrow(t), [spec]).to_pandas()
+    assert int(card["violations"].iloc[0]) == 0

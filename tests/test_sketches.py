@@ -1162,3 +1162,23 @@ def test_linear_counter_udaf_pass():
     assert abs(sk.estimate() - 700) <= 3 * sk.std_error(700) + 1
     card = finalize(sk, SketchSpec("lc_k", "lc", "k", {"m": 4096}, value_kind="int"))
     assert card["debt"] == 0 and card["n"] == 3000
+
+
+def test_ams_even_r_median_no_int64_overflow():
+    # even-r midpoint must go float64 BEFORE the sum: two extreme int64
+    # lane values would wrap silently under numpy int64 addition
+    import numpy as np
+
+    from fever_ray.sketches.ams import AMSSketch
+
+    sk = AMSSketch.create(r=2, b=8, seed=0)
+    big = np.iinfo(np.int64).max // 2 + 7
+    sk.counters[:] = 0
+    sk.counters[0, :] = big
+    sk.counters[1, :] = big
+    est = sk.query(np.array(["k1", "k2"]))
+    assert est.dtype == np.float64
+    # both lanes read ±big; the midpoint magnitude is big, not a wrapped
+    # negative garbage value
+    assert np.all(np.abs(est) <= float(big) + 1.0)
+    assert np.all(np.isfinite(est))

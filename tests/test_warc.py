@@ -206,3 +206,66 @@ def test_warc_writer_rejects_header_unsafe_urls():
     with tempfile.TemporaryDirectory() as d:
         with pytest.raises(ValueError, match="header-safe"):
             write_warc(t, f"{d}/bad.warc")
+
+
+def test_warc_application_http_payload_strips_header_block():
+    # Common-Crawl-style response record: payload is the FULL HTTP response
+    # (status line + headers + body) flagged application/http — only the
+    # body may reach the html column.
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Server: nginx\r\n"
+        b"\r\n"
+        b"<html><body>real body</body></html>"
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/cc\r\n"
+        b"WARC-Date: 2024-02-03T04:05:06Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    out = parse_warc_bytes(rec)
+    assert out.column("html")[0].as_py() == b"<html><body>real body</body></html>"
+    # bare payload (no application/http content-type) passes through whole —
+    # the writer round-trip contract
+    bare = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/bare\r\n"
+        b"WARC-Date: 2024-02-03T04:05:06Z\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    out2 = parse_warc_bytes(bare)
+    assert out2.column("html")[0].as_py() == http
+    # headerless application/http payload (no CRLFCRLF): kept as-is
+    rec3 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/nohdr\r\n"
+        b"WARC-Date: 2024-02-03T04:05:06Z\r\n"
+        b"Content-Type: application/http\r\n"
+        b"Content-Length: 5\r\n\r\nnaked\r\n\r\n"
+    )
+    assert parse_warc_bytes(rec3).column("html")[0].as_py() == b"naked"
+
+
+def test_warc_streaming_gzip_large_record_boundaries():
+    # records sized around the 1 MB stream-buffer chunk to cross refill
+    # boundaries inside header and payload reads
+    big = b"x" * ((1 << 20) + 12345)
+    t = pa.table(
+        {
+            "url": pa.array(["https://a/1", "https://a/2", "https://a/3"]),
+            "warc_ts": pa.array([1, 2, 3], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([big, b"tiny", big[: 1 << 20]], pa.binary()),
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = write_warc(t, f"{d}/big.warc.gz", compress=True)
+        back = parse_warc_bytes(open(p, "rb").read())
+        assert back.column("html").to_pylist() == t.column("html").to_pylist()
+        assert back.column("url").to_pylist() == t.column("url").to_pylist()
