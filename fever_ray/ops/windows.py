@@ -254,59 +254,117 @@ def hopping_window(events_ds, ts_col: str = "ts", key: str | None = "event_type"
 
 
 def sessionize(events_ds, key: str = "user_id", ts_col: str = "ts",
-               gap_s: int = 1800):
-    """Gap-based session windows per key.
+               gap_s: int = 1800, num_partitions: int | None = None):
+    """Gap-based session windows per key — fever's flow-context grouping
+    (context_collector.go:39-143; its TTL cap is our gap) as event-time
+    sessions.
 
     Returns one row per session: (key, session_id, session_start,
     session_end, n_events).  session_id = per-key ordinal (0-based by start
-    time).  Partitioning assumption: all rows of one key fit one group (the
-    same assumption fever's in-memory flow-context cache makes,
-    context_collector.go:39-143 — its TTL cap is our group memory cap).
-    """
-    gap_us = gap_s * 1_000_000
+    time).
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].astype("int64").to_numpy()
-        new_session = np.concatenate(([True], np.diff(ts) > gap_us))
-        sid = np.cumsum(new_session) - 1
-        out = (
-            pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "_ts": ts})
-            .groupby("session_id", as_index=False)
-            .agg(
-                **{
-                    key: (key, "first"),
-                    "session_start": ("_ts", "min"),
-                    "session_end": ("_ts", "max"),
-                    "n_events": ("_ts", "size"),
+    Scale shape: ONE shuffle of (key-hash % P) coarse buckets — NOT a
+    per-key ``map_groups`` (high-cardinality keys would pay a per-group
+    sort-shuffle + Python call each); inside a bucket one np.lexsort +
+    vectorized gap/run scan emits every key's sessions at once (the
+    ``running_totals`` kernel shape).  Partitioning assumption: one
+    BUCKET fits a worker — P scales with input blocks via ``_auto_parts``.
+    """
+    from ..sketches.hashing import bucket_of
+    from .dedup import _auto_parts, _key_runs
+
+    gap_us = gap_s * 1_000_000
+    n_parts = num_partitions or _auto_parts(events_ds, floor=32)
+    key_type = events_ds.schema().base_schema.field(key).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        narrow = batch.select([key, ts_col])
+        for c in (key, ts_col):
+            if narrow.column(c).null_count:
+                raise ValueError(
+                    f"sessionize: {c} contains nulls — filter or fill first"
+                )
+        return narrow.append_column(
+            "bucket", pa.array(bucket_of(batch.column(key), n_parts), pa.int32())
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "session_id": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
                 }
             )
+        kc = g.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kcodes = kc.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            g.column(ts_col).cast(pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, kcodes))
+        tO = ts[order]
+        starts_term = _key_runs(kcodes[order])
+        run_start = starts_term[:-1]
+        n = len(order)
+        # a session opens at every key boundary and at every within-key gap
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        np.greater(tO[1:] - tO[:-1], gap_us, out=new_sess[1:])
+        new_sess[run_start] = True
+        s_start = np.flatnonzero(new_sess)
+        s_stop = np.append(s_start[1:], n)  # exclusive
+        # per-key ordinal: sessions are contiguous per key run
+        first_sess_of_run = np.searchsorted(s_start, run_start)
+        sess_per_run = np.diff(np.append(first_sess_of_run, len(s_start)))
+        sid = np.arange(len(s_start), dtype=np.int64) - np.repeat(
+            first_sess_of_run, sess_per_run
         )
-        # pin us resolution: pandas to_datetime defaults to ns, and a value
-        # hash distinguishes datetime64[ns] from the oracle's datetime64[us]
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us").astype(
-            "datetime64[us]"
+        return pa.table(
+            {
+                key: kc.take(pa.array(order[s_start], pa.int64())),
+                "session_id": pa.array(sid, pa.int64()),
+                "session_start": pa.array(tO[s_start], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(tO[s_stop - 1], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(s_stop - s_start, pa.int64()),
+            }
         )
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="us").astype(
-            "datetime64[us]"
-        )
-        return out[[key, "session_id", "session_start", "session_end", "n_events"]]
 
-    return events_ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
-              n_buckets: int = 16, direction: str = "backward",
+              n_buckets: int | None = None, direction: str = "backward",
               right_cols: list[str] | None = None):
     """As-of join: for each left row, the latest right row with
     right.ts <= left.ts (direction='backward') sharing ``key``.
 
     Implementation: hash-bucket both sides on key, union with a side tag,
     co-group per bucket, ``pd.merge_asof`` per bucket after sorting.
-    Partitioning assumption: one bucket fits a worker (choose n_buckets so
-    rows/bucket is bounded; salt hot keys upstream if needed).
+    Partitioning assumption: one bucket fits a worker.  n_buckets defaults
+    to ``_auto_parts`` over the LARGER side (the ops/dedup.py pattern), so
+    rows/bucket stays roughly constant as the input grows instead of one
+    bucket owning 1/16 of everything; salt hot keys upstream if needed.
     """
     from ..sketches.hashing import bucket_of
+    from .dedup import _auto_parts
+
+    if n_buckets is None:
+        n_buckets = max(
+            _auto_parts(left_ds, floor=16), _auto_parts(right_ds, floor=16)
+        )
 
     def _bucket_of(col) -> np.ndarray:
         return bucket_of(col, n_buckets)
