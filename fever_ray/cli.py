@@ -333,19 +333,55 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+EVENT_TAIL_SPECS = None  # built lazily (SketchSpec import is deferred)
+
+
+def _event_tail_specs():
+    from .core.udaf import SketchSpec
+
+    return [
+        SketchSpec("hll_users", "hll", "user_id", {"p": 12}, value_kind="int"),
+        SketchSpec("hll_event_types", "hll", "event_type", {"p": 12}),
+        SketchSpec(
+            "cms_event_types", "cms", "event_type",
+            {"width": 1024, "depth": 5}, track=True,
+        ),
+        SketchSpec("kll_value", "kll", "value", {"k": 200}, value_kind="float"),
+    ]
+
+
 def cmd_follow(args) -> int:
     """Daemon-style tail of a growing shard directory (fever's run loop,
     batch-native): poll → build unseen partitions (checkpointed) → print
-    the refreshed suite; stops after --max-iterations or --max-idle-polls."""
-    from .pipelines.flagship import make_derive_fn, specs_for_input
+    the refreshed suite; stops after --max-iterations or --max-idle-polls.
+
+    ``--tail-journal`` adds the live front door (input_socket.go
+    analogue): each poll first cuts the journal's new complete JSONL
+    lines into an immutable parquet segment under --input (the spool),
+    then the normal checkpointed build picks the segment up — so a writer
+    appending events (directly or via io_.tail.SocketLineServer) streams
+    into the same resumable pipeline."""
     from .pipelines.follow import follow
 
     _init_ray(args.num_cpus)
     pattern = args.input if args.input.endswith(".parquet") else os.path.join(
         args.input, "*.parquet"
     )
-    # narrowed shard dirs (curate output) run the sketches they can derive
-    specs, _src = specs_for_input(args.input)
+    pre_poll = None
+    prepare = None
+    if getattr(args, "tail_journal", None):
+        from .io_.tail import cut_segments
+
+        spool = args.input
+        os.makedirs(spool, exist_ok=True)
+        pre_poll = lambda: cut_segments(args.tail_journal, spool)  # noqa: E731
+        specs = _event_tail_specs()
+    else:
+        from .pipelines.flagship import make_derive_fn, specs_for_input
+
+        # narrowed shard dirs (curate output) run the sketches they can derive
+        specs, _src = specs_for_input(args.input)
+        prepare = make_derive_fn(False)
     for status in follow(
         pattern,
         specs,
@@ -353,7 +389,8 @@ def cmd_follow(args) -> int:
         poll_s=args.poll,
         max_iterations=args.max_iterations,
         max_idle_polls=args.max_idle_polls,
-        prepare=make_derive_fn(False),
+        prepare=prepare,
+        pre_poll=pre_poll,
     ):
         ests = {
             name: round(float(sk.estimate()), 1)
@@ -1783,6 +1820,11 @@ def main(argv=None) -> int:
     pf.add_argument("--poll", type=float, default=5.0)
     pf.add_argument("--max-iterations", dest="max_iterations", type=int)
     pf.add_argument("--max-idle-polls", dest="max_idle_polls", type=int, default=3)
+    pf.add_argument(
+        "--tail-journal", dest="tail_journal",
+        help="growing JSONL event journal; each poll cuts its new complete "
+        "lines into a parquet segment under --input (the spool) first",
+    )
     pf.add_argument("--num-cpus", dest="num_cpus", type=int)
     pf.set_defaults(fn=cmd_follow)
 

@@ -40,6 +40,7 @@ def follow(
     max_iterations: int | None = None,
     max_idle_polls: int | None = None,
     prepare: Callable | None = None,
+    pre_poll: Callable | None = None,
 ) -> Iterator[dict]:
     """Yield one status dict per iteration:
 
@@ -49,7 +50,9 @@ def follow(
     Stops after ``max_iterations`` yields, or after ``max_idle_polls``
     consecutive polls that found no new files (both None = run forever,
     fever-style).  ``poll_s`` sleeps only between *idle* polls, so a test
-    can drive it with ``poll_s=0``.
+    can drive it with ``poll_s=0``.  ``pre_poll`` (if given) runs before
+    every glob — the live-tail hook (`io_.tail.cut_segments`) that turns a
+    growing journal into new spool shards for this loop to find.
     """
     from ..io_.checkpoint import done_partitions
 
@@ -57,6 +60,8 @@ def follow(
     idle = 0
     first = True
     while True:
+        if pre_poll is not None:
+            pre_poll()
         files = sorted(_glob.glob(input_glob))
         # cheap pre-check: when every globbed file is already in the
         # manifest (and we've reported at least once), skip the build —

@@ -83,7 +83,11 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import time
+
+    args = [a for a in sys.argv[1:] if a != "--timing"]
+    timing = "--timing" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
 
     if not ray.is_initialized():
@@ -91,22 +95,35 @@ def main() -> int:
     import __ray_entry__ as entrymod
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
-    names = sys.argv[2:] or sorted(n for n in queries if n in oracles)
+    names = args[1:] or sorted(n for n in queries if n in oracles)
     bad = 0
+    t_start = time.perf_counter()
     for name in names:
         if name not in oracles:
             print(f"{name}: SKIP (no oracle)")
             continue
-        got = to_df(queries[name](sf_dir))
+        t0 = time.perf_counter()
+        # per-query isolation: one crashing query must not zero the sweep
+        try:
+            got = to_df(queries[name](sf_dir))
+        except Exception as e:
+            bad += 1
+            print(f"{name}: CRASH {type(e).__name__}: {e}")
+            continue
+        t_ray = time.perf_counter() - t0
         want = oracle_df(sf_dir, oracles[name])
+        t_sql = time.perf_counter() - t0 - t_ray
         problems = compare(name, got, want)
+        stamp = f"  [ray {t_ray:.2f}s sql {t_sql:.2f}s]" if timing else ""
         if problems:
             bad += 1
-            print(f"{name}: FAIL")
+            print(f"{name}: FAIL{stamp}", flush=True)
             for p in problems:
                 print(f"    {p}")
         else:
-            print(f"{name}: exact")
+            print(f"{name}: exact{stamp}", flush=True)
+    if timing:
+        print(f"TOTAL {time.perf_counter() - t_start:.1f}s for {len(names)} queries")
     ray.shutdown()
     return 1 if bad else 0
 

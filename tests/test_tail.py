@@ -1,0 +1,144 @@
+"""Live-tail ingestion (io_.tail): byte-offset segment cutting is
+incremental + idempotent, the unix-socket line server lands exactly the
+complete lines it was sent, and a follow loop over the spool converges to
+the batch answer over the same lines (input_socket.go analogue)."""
+
+import glob
+import json
+import os
+import socket
+import time
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from fever_ray.io_.tail import SocketLineServer, cut_segments, spooled_offset
+
+
+def _event_line(i: int) -> bytes:
+    return json.dumps(
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T00:{i % 60:02d}:00",
+            "user_id": i % 7,
+            "event_type": ["view", "click", "purchase"][i % 3],
+            "value": i / 4.0,
+            "props": "{}",
+        }
+    ).encode()
+
+
+def _append(journal, lines, partial: bytes = b""):
+    with open(journal, "ab") as fh:
+        for ln in lines:
+            fh.write(ln + b"\n")
+        fh.write(partial)
+
+
+def test_cut_segments_incremental_idempotent(tmp_path):
+    journal = str(tmp_path / "events.jsonl")
+    spool = str(tmp_path / "spool")
+    _append(journal, [_event_line(i) for i in range(10)])
+    r1 = cut_segments(journal, spool)
+    assert r1["rows"] == 10 and r1["start"] == 0
+    # idempotent: nothing new → no-op
+    assert cut_segments(journal, spool)["rows"] == 0
+    # a partial trailing line waits for its newline
+    _append(journal, [_event_line(i) for i in range(10, 15)], partial=b'{"event_id"')
+    r2 = cut_segments(journal, spool)
+    assert r2["rows"] == 5 and r2["start"] == r1["end"]
+    _append(journal, [], partial=b": 99}\n")
+    r3 = cut_segments(journal, spool)
+    assert r3["rows"] == 1
+    # the spool IS the state: offset re-derives from filenames
+    assert spooled_offset(spool) == os.path.getsize(journal)
+    # all segments concatenate to exactly the journal's 16 events
+    rows = sum(
+        pq.read_table(p).num_rows for p in glob.glob(spool + "/seg_*.parquet")
+    )
+    assert rows == 16
+
+
+def test_socket_server_lands_complete_lines(tmp_path):
+    sock = str(tmp_path / "ingest.sock")
+    journal = str(tmp_path / "events.jsonl")
+    with SocketLineServer(sock, journal, max_line_bytes=1 << 16) as srv:
+        c1 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c1.connect(sock)
+        c2 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c2.connect(sock)
+        for i in range(0, 20, 2):
+            c1.sendall(_event_line(i) + b"\n")
+            c2.sendall(_event_line(i + 1) + b"\n")
+        # split send: one line delivered in two writes must still land whole
+        half = _event_line(20)
+        c1.sendall(half[:7])
+        time.sleep(0.3)
+        c1.sendall(half[7:] + b"\n")
+        # an oversized line is dropped and counted, not landed
+        c2.sendall(b"x" * (1 << 17) + b"\n")
+        c2.sendall(_event_line(21) + b"\n")
+        c1.close()
+        c2.close()
+        deadline = time.time() + 10
+        while time.time() < deadline and srv.stats()["lines"] < 22:
+            time.sleep(0.05)
+        st = srv.stats()
+    assert st["lines"] == 22
+    assert st["oversized_dropped"] == 1
+    landed = open(journal, "rb").read().splitlines()
+    assert len(landed) == 22
+    ids = sorted(json.loads(ln)["event_id"] for ln in landed)
+    assert ids == list(range(22))
+    out = cut_segments(journal, str(tmp_path / "spool"))
+    assert out["rows"] == 22
+
+
+def test_follow_tail_converges_to_batch(ray_session, tmp_path):
+    from fever_ray.core.udaf import SketchSpec
+    from fever_ray.io_.checkpoint import run_partitioned_build
+    from fever_ray.pipelines.follow import follow
+
+    specs = [
+        SketchSpec("hll_et", "hll", "event_type", {"p": 12}),
+        SketchSpec("cms_et", "cms", "event_type", {"width": 256, "depth": 5},
+                   track=True),
+    ]
+    journal = str(tmp_path / "events.jsonl")
+    spool = str(tmp_path / "spool")
+    ck = str(tmp_path / "ck")
+
+    it = follow(
+        spool + "/seg_*.parquet",
+        specs,
+        ck,
+        poll_s=0,
+        max_idle_polls=1,
+        pre_poll=lambda: cut_segments(journal, spool),
+    )
+    # writer appends → tail cuts a segment → the checkpointed build sees it
+    _append(journal, [_event_line(i) for i in range(40)])
+    s1 = next(it)
+    assert len(s1["new_files"]) == 1
+    _append(journal, [_event_line(i) for i in range(40, 100)])
+    s2 = next(it)
+    assert len(s2["new_files"]) == 1 and len(s2["skipped_files"]) == 1
+
+    # converges to the batch answer over the SAME lines, bit-identically
+    batch_journal = str(tmp_path / "all.jsonl")
+    _append(batch_journal, [_event_line(i) for i in range(100)])
+    bspool = str(tmp_path / "bspool")
+    cut_segments(batch_journal, bspool)
+    control = run_partitioned_build(
+        sorted(glob.glob(bspool + "/seg_*.parquet")), specs,
+        str(tmp_path / "ck2"),
+    )
+    assert np.array_equal(
+        s2["sketches"]["hll_et"].registers,
+        control["sketches"]["hll_et"].registers,
+    )
+    assert np.array_equal(
+        s2["sketches"]["cms_et"].table, control["sketches"]["cms_et"].table
+    )
+    # idle journal → the generator terminates via max_idle_polls
+    assert list(it) == []
