@@ -12,8 +12,14 @@ container:
   bytes (documented, seeded, reproducible) so downstream stages and tests
   exercise the full dataflow.
 
-A real deployment replaces ``_fake_decode`` with PIL/ffmpeg calls in
-``__init__``-loaded codecs; nothing else changes.
+The REAL codec path exists behind the same interface
+(``DecodeImageStub(codec="auto")``): ``ImageCodec`` optional-imports PIL
+once per actor in ``__init__`` (the actor-pool pattern — never per
+batch), and additionally carries pure-numpy decoders for BMP and
+PPM/PGM, so genuinely real pixel decoding works even in this
+library-free container for those formats; payloads no codec can decode
+fall back to the deterministic fake (or raise with ``strict=True``).
+Video/audio remain stubbed (no ffmpeg anywhere reachable).
 """
 
 from __future__ import annotations
@@ -51,25 +57,185 @@ def _fake_decode(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return widths, heights, feats
 
 
+class ImageCodec:
+    """Per-actor real image codec: PIL when importable (optional import —
+    once in ``__init__``, never per batch), plus pure-numpy decoders for
+    the formats that need no library at all:
+
+    * **BMP** (BITMAPINFOHEADER, uncompressed 24/32-bit): header ints +
+      one bottom-up row flip — np.frombuffer, no Python pixel loop.
+    * **PPM/PGM** (binary P6/P5, maxval ≤ 255): ASCII header scan + one
+      reshape.
+
+    ``decode(payload)`` → ``(width, height, float32 HxWx3 array)`` or
+    ``None`` when no decoder recognizes the payload (caller falls back)."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    @property
+    def has_pil(self) -> bool:
+        return self._pil is not None
+
+    def decode(self, payload: bytes):
+        if not payload:
+            return None
+        if payload[:2] == b"BM":
+            out = self._decode_bmp(payload)
+            if out is not None:
+                return out
+        if payload[:2] in (b"P6", b"P5"):
+            out = self._decode_pnm(payload)
+            if out is not None:
+                return out
+        if self._pil is not None:
+            try:
+                import io as _io
+
+                img = self._pil.open(_io.BytesIO(payload)).convert("RGB")
+                arr = np.asarray(img, dtype=np.float32)
+                return img.width, img.height, arr
+            except Exception:
+                return None
+        return None
+
+    @staticmethod
+    def _decode_bmp(b: bytes):
+        if len(b) < 54:
+            return None
+        off = int.from_bytes(b[10:14], "little")
+        hdr = int.from_bytes(b[14:18], "little")
+        if hdr < 40:  # BITMAPINFOHEADER or later
+            return None
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if comp != 0 or bpp not in (24, 32) or w <= 0 or w > 1 << 16:
+            return None
+        flip = h > 0
+        h = abs(h)
+        if h == 0 or h > 1 << 16:
+            return None
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        if off + stride * h > len(b):
+            return None
+        rows = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)
+        px = rows[:, : w * nb].reshape(h, w, nb)
+        if flip:
+            px = px[::-1]
+        # BMP stores BGR(A)
+        rgb = px[:, :, 2::-1].astype(np.float32)
+        return w, h, rgb
+
+    @staticmethod
+    def _decode_pnm(b: bytes):
+        # binary netpbm: magic, then whitespace/comment-separated w h maxval
+        fields, pos = [], 2
+        while len(fields) < 3 and pos < len(b):
+            c = b[pos : pos + 1]
+            if c == b"#":
+                nl = b.find(b"\n", pos)
+                if nl < 0:
+                    return None
+                pos = nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(b) and not b[end : end + 1].isspace():
+                    end += 1
+                if not b[pos:end].isdigit():
+                    return None
+                fields.append(int(b[pos:end]))
+                pos = end
+        if len(fields) < 3 or pos >= len(b):
+            return None
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16 and 0 < maxval < 256):
+            return None
+        ch = 3 if b[:2] == b"P6" else 1
+        need = w * h * ch
+        if pos + need > len(b):
+            return None
+        px = np.frombuffer(b, np.uint8, need, pos).reshape(h, w, ch)
+        if ch == 1:
+            px = np.repeat(px, 3, axis=2)
+        return w, h, px.astype(np.float32)
+
+
+def _pixel_features(w: int, h: int, arr: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM real statistics of a decoded HxWx3 float32 image:
+    per-channel means, gray std, aspect, log-area, mean |horizontal| and
+    |vertical| gradient of the gray plane (all /255-normalized)."""
+    gray = arr.mean(axis=2)
+    gx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+    gy = np.abs(np.diff(gray, axis=0)).mean() if h > 1 else 0.0
+    return np.array(
+        [
+            arr[:, :, 0].mean() / 255.0,
+            arr[:, :, 1].mean() / 255.0,
+            arr[:, :, 2].mean() / 255.0,
+            gray.std() / 255.0,
+            w / max(h, 1),
+            np.log2(max(w * h, 1)) / 32.0,
+            gx / 255.0,
+            gy / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
 class DecodeImageStub:
     """Actor-pool stage over a binary payload column.
 
-    STUB: real decoding unavailable in this environment.  With
-    ``strict=True`` the stage raises NotImplementedError (the behavior a
-    production build would override); default is the deterministic fake.
-    Use small ``batch_size`` (e.g. 64) — payload rows are wide."""
+    ``codec='fake'`` (default, and the oracle-gated configuration) always
+    produces the deterministic fake decode.  ``codec='auto'`` decodes for
+    real — PIL if importable, BMP/PPM/PGM via the built-in numpy decoders
+    regardless — and falls back to the fake per undecodable payload;
+    ``strict=True`` turns that fallback into a NotImplementedError (so a
+    production job fails loudly on rows its codecs can't handle instead
+    of silently faking them).  Use small ``batch_size`` (e.g. 64) —
+    payload rows are wide."""
 
-    def __init__(self, payload_col: str = "html", strict: bool = False):
+    def __init__(self, payload_col: str = "html", strict: bool = False,
+                 codec: str = "fake"):
+        if codec not in ("fake", "auto"):
+            raise ValueError(f"codec must be 'fake' or 'auto', got {codec!r}")
         self.payload_col = payload_col
         self.strict = strict
+        self.codec = ImageCodec() if codec == "auto" else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
+        if self.strict and self.codec is None:
             raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "container; run with strict=False for the deterministic stub"
+                "strict image decode requires codec='auto' (PIL or a "
+                "BMP/PPM payload); run with strict=False for the "
+                "deterministic stub"
             )
         w, h, feats = _fake_decode(batch.column(self.payload_col))
+        if self.codec is not None:
+            col = batch.column(self.payload_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            for i in range(len(col)):
+                payload = col[i].as_py()
+                real = self.codec.decode(payload) if payload else None
+                if real is not None:
+                    w[i], h[i], feats[i] = real[0], real[1], _pixel_features(*real)
+                elif self.strict:
+                    raise NotImplementedError(
+                        f"no available codec decodes payload row {i} "
+                        f"({len(payload or b'')} bytes; PIL "
+                        f"{'present' if self.codec.has_pil else 'absent'})"
+                    )
         batch = batch.append_column("img_width", pa.array(w, type=pa.int32()))
         batch = batch.append_column("img_height", pa.array(h, type=pa.int32()))
         batch = batch.append_column(
@@ -81,12 +247,14 @@ class DecodeImageStub:
         return batch.drop_columns([self.payload_col])
 
 
-def decode_images(ds, payload_col: str = "html", batch_size: int = 64, concurrency=None):
+def decode_images(ds, payload_col: str = "html", batch_size: int = 64,
+                  concurrency=None, codec: str = "fake"):
     """Wide-row actor stage: deliberately small batches so
-    batch_size × concurrency payload bytes fit worker heaps."""
+    batch_size × concurrency payload bytes fit worker heaps.  The codec
+    (PIL probe included) loads once per actor in ``__init__``."""
     return ds.map_batches(
         DecodeImageStub,
-        fn_constructor_kwargs={"payload_col": payload_col},
+        fn_constructor_kwargs={"payload_col": payload_col, "codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or (1, 4),

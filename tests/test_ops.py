@@ -10,7 +10,12 @@ import pytest
 import fever_ray.ops.aggregates as agg
 from fever_ray.ops.alertify import ExactMatcher, alertify
 from fever_ray.ops.cidr import CidrMatcher, cidr_match, ipv4_to_uint32
-from fever_ray.ops.multimodal import DecodeImageStub, FrameSampleStub, decode_images
+from fever_ray.ops.multimodal import (
+    DecodeImageStub,
+    FrameSampleStub,
+    _fake_decode,
+    decode_images,
+)
 from fever_ray.ops.textstats import LangId, fingerprint, quality_score, token_stats
 
 
@@ -1180,3 +1185,86 @@ def test_script_mix_counts_and_dominance():
     assert out.loc[4, "dominant"] == "latin" and out.loc[4, "n_latin"] == 0
     assert out.loc[5, "n_arabic"] == 1 and out.loc[5, "n_han"] == 1
     assert out.loc[5, "dominant"] == "han"
+
+
+def _bmp_bytes(px: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (bottom-up rows)."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # BGR, flipped
+    data = rows.tobytes()
+    off = 54
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + data
+
+
+def _ppm_bytes(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def test_decode_real_codec_bmp_ppm_exact_pixels():
+    """codec='auto' decodes BMP and PPM for REAL (pure-numpy, no image
+    library needed): exact dimensions + channel means from the pixels."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    m = DecodeImageStub(codec="auto")
+    out = m(pa.table({"html": [_bmp_bytes(px), _ppm_bytes(px), b"<html>not an image</html>"]}))
+    w = out.column("img_width").to_pylist()
+    h = out.column("img_height").to_pylist()
+    feats = np.asarray(out.column("img_features").to_pylist(), dtype=np.float32)
+    assert w[:2] == [7, 7] and h[:2] == [5, 5]
+    for i in range(2):
+        np.testing.assert_allclose(
+            feats[i, :3],
+            px.reshape(-1, 3).mean(axis=0) / 255.0,
+            rtol=1e-5,
+        )
+    # both containers hold the SAME pixels → identical features
+    np.testing.assert_array_equal(feats[0], feats[1])
+    # the undecodable html row fell back to the deterministic fake
+    fake_w, fake_h, fake_f = _fake_decode([b"<html>not an image</html>"])
+    assert (w[2], h[2]) == (int(fake_w[0]), int(fake_h[0]))
+    np.testing.assert_array_equal(feats[2], fake_f[0])
+
+
+def test_decode_strict_auto_raises_on_undecodable():
+    m = DecodeImageStub(codec="auto", strict=True)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    # decodable rows pass strict
+    ok = m(pa.table({"html": [_ppm_bytes(px)]}))
+    assert ok.column("img_width").to_pylist() == [2]
+    with pytest.raises(NotImplementedError):
+        m(pa.table({"html": [b"definitely not an image"]}))
+
+
+def test_decode_real_codec_pil_path():
+    """Green when PIL is importable, skipped otherwise (the container has
+    no image library; the optional-import path is exercised wherever one
+    exists)."""
+    pytest.importorskip("PIL")
+    import io as _io
+
+    from PIL import Image
+
+    px = np.full((4, 6, 3), 128, dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    m = DecodeImageStub(codec="auto")
+    out = m(pa.table({"html": [buf.getvalue()]}))
+    assert out.column("img_width").to_pylist() == [6]
+    assert out.column("img_height").to_pylist() == [4]
