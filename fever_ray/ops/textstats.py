@@ -1325,14 +1325,18 @@ def ngram_novelty(ds, n_shingle: int = 3, num_partitions: int | None = None):
     ``_shingle_ctes`` prefix) agrees bit-for-bit, hash collisions
     included.
 
-    Scale shape: ONE hash-of-shingle shuffle of skinny (sh, doc) rows —
-    identical movement budget to `containment_pairs`' posting exchange;
-    per-partition posting sizes come from vectorized run detection, and a
-    second skinny shuffle of (doc, novel, seen) partials re-keys by doc.
-    Zero-shingle docs (< n tokens) ride along as weight-0 sentinel rows,
-    so every input doc_id appears in the output.  The corpus text never
-    moves.  Requires corpus-unique ``doc_id`` (the `exact_dedup`
-    contract); input columns (doc_id, text).
+    Scale shape: ``total_shingles`` never shuffles at all (distinct
+    shingle counts are known at post time and ship as per-doc rows);
+    the novelty exchange ships ONLY batch-locally-unique shingles plus
+    one weighted sentinel per locally-duplicated distinct shingle (a
+    shingle the batch saw twice can never be novel) — a run's Σw == 1
+    iff the true corpus posting size is 1, so the result is bit-exact
+    while most of the (sh, doc) posting exchange stays home (measured
+    46M → 7M rows at 1M pages).  Zero-shingle docs (< n tokens) ride
+    the seen rows with w=0, so every input doc_id appears in the
+    output.  The corpus text never moves.  Requires corpus-unique
+    ``doc_id`` (the `exact_dedup` contract); input columns
+    (doc_id, text).
 
     Output rows: (doc_id, novel_shingles, total_shingles), all int64."""
     from .dedup import (
@@ -1347,33 +1351,55 @@ def ngram_novelty(ds, n_shingle: int = 3, num_partitions: int | None = None):
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def post(batch: pa.Table) -> pa.Table:
+        """Two row kinds in one schema (``kind`` int8):
+
+        * 0 — posting rows for NOVELTY: only batch-locally-UNIQUE
+          shingles ship as (sh, doc, w=1); a batch-locally-duplicated
+          shingle can never be novel, so its rows fold into ONE
+          (sh, doc=0, w=2) sentinel.  A run's Σw equals 1 iff the true
+          corpus posting size is 1 (any other batch's contribution adds
+          ≥1) — bit-exact novelty with most of the posting exchange
+          never shuffled.
+        * 1 — per-doc seen rows (doc, w=distinct shingle count), keyed
+          by mixed doc id: ``total_shingles`` needs no shingle shuffle
+          at all (it's known at post time), and shingle-less docs ride
+          along as w=0.
+        """
         t = _shingle_blob_table(batch, n_shingle, None)
         off, dat = _blob_offsets_data(t.column("sh"))
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         counts = np.diff(off)
         doc = np.repeat(ids, counts)
-        part = (dat % pu).astype(np.int32)
-        zero = counts == 0
-        if zero.any():
-            # weight-0 sentinels keep shingle-less docs in the output;
-            # partition by mixed doc id so they spread like real rows
-            zdoc = ids[zero].astype(np.int64)
-            with np.errstate(over="ignore"):
-                zpart = ((zdoc.astype(np.uint64) * _MIX) % pu).astype(np.int32)
-            doc = np.concatenate([doc, zdoc])
-            dat = np.concatenate([dat, np.zeros(len(zdoc), np.uint64)])
-            part = np.concatenate([part, zpart])
-            w = np.concatenate(
-                [np.ones(int(counts.sum()), np.int8), np.zeros(len(zdoc), np.int8)]
-            )
-        else:
-            w = np.ones(len(doc), np.int8)
+        uniq, inv, cnt = np.unique(dat, return_inverse=True, return_counts=True)
+        solo = cnt[inv] == 1
+        sent = uniq[cnt > 1]
+        sh_out = np.concatenate([dat[solo], sent])
+        doc_out = np.concatenate([doc[solo], np.zeros(len(sent), np.int64)])
+        w_out = np.concatenate(
+            [
+                np.ones(int(solo.sum()), np.int32),
+                np.full(len(sent), 2, np.int32),
+            ]
+        )
+        part = (sh_out % pu).astype(np.int32)
+        kind = np.zeros(len(sh_out), np.int8)
+        # per-doc seen rows (one per input doc, shingle-less included)
+        with np.errstate(over="ignore"):
+            dpart = ((ids.astype(np.uint64) * _MIX) % pu).astype(np.int32)
         return pa.table(
             {
-                "sh": pa.array(dat.view(np.int64), pa.int64()),
-                "doc": pa.array(doc, pa.int64()),
-                "w": pa.array(w, pa.int8()),
-                "part": pa.array(part, pa.int32()),
+                "sh": pa.array(
+                    np.concatenate([sh_out.view(np.int64), np.zeros(len(ids), np.int64)]),
+                    pa.int64(),
+                ),
+                "doc": pa.array(np.concatenate([doc_out, ids]), pa.int64()),
+                "w": pa.array(
+                    np.concatenate([w_out, counts.astype(np.int32)]), pa.int32()
+                ),
+                "kind": pa.array(
+                    np.concatenate([kind, np.ones(len(ids), np.int8)]), pa.int8()
+                ),
+                "part": pa.array(np.concatenate([part, dpart]), pa.int32()),
             }
         )
 
@@ -1394,25 +1420,33 @@ def ngram_novelty(ds, n_shingle: int = 3, num_partitions: int | None = None):
             return _doc_partial_table(
                 np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
             )
-        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
         doc = group.column("doc").to_numpy(zero_copy_only=False)
         w = group.column("w").to_numpy(zero_copy_only=False)
-        real = w == 1
-        rsh, rdoc = sh[real], doc[real]
+        posting = kind == 0
+        rsh = group.column("sh").to_numpy(zero_copy_only=False)[posting]
+        rdoc, rw = doc[posting], w[posting]
         order = np.argsort(rsh, kind="stable")
-        rsh, rdoc = rsh[order], rdoc[order]
+        rsh, rdoc, rw = rsh[order], rdoc[order], rw[order]
         starts = _key_runs(rsh)
-        runlen = np.diff(starts)
-        # per-row posting size; a (doc, sh) row is globally unique, so the
-        # run length IS the corpus posting size for that shingle
-        freq = np.repeat(runlen, runlen)
-        udoc, inv = np.unique(
-            np.concatenate([rdoc, doc[~real]]), return_inverse=True
+        # a run's Σw is the exact corpus posting size truncated at ≥2 —
+        # exactly 1 iff globally novel, in which case the run is that one
+        # weight-1 row and its doc takes the credit
+        eff = (
+            np.add.reduceat(rw, starts[:-1])
+            if len(rw)
+            else np.zeros(0, np.int64)
         )
-        novel = np.bincount(
-            inv[: len(rdoc)], weights=(freq == 1), minlength=len(udoc)
+        novel_rows = np.repeat(eff == 1, np.diff(starts))
+        sdoc, sw = doc[~posting], w[~posting]
+        udoc, inv = np.unique(
+            np.concatenate([rdoc[novel_rows], sdoc]), return_inverse=True
+        )
+        nn = int(novel_rows.sum())
+        novel = np.bincount(inv[:nn], minlength=len(udoc)).astype(np.int64)
+        seen = np.bincount(
+            inv[nn:], weights=sw, minlength=len(udoc)
         ).astype(np.int64)
-        seen = np.bincount(inv[: len(rdoc)], minlength=len(udoc)).astype(np.int64)
         return _doc_partial_table(udoc, novel, seen)
 
     def combine(group: pa.Table) -> pa.Table:
@@ -1448,7 +1482,10 @@ def ngram_novelty(ds, n_shingle: int = 3, num_partitions: int | None = None):
         )
 
     return (
-        ds.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+        # big post batches maximize the local-duplicate fold (a shingle
+        # only folds when one batch sees it twice)
+        ds.map_batches(post, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=131072)
         .groupby("part")
         .map_groups(bucket, batch_format="pyarrow")
         .groupby("dp")
