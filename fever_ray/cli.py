@@ -1347,6 +1347,34 @@ def cmd_ioc(args) -> int:
     from .sketches.bloom import BloomFilter
 
     _init_ray(args.num_cpus)
+    if getattr(args, "follow", False):
+        # daemon matching with a LIVE filter: `bloom add` rewrites the
+        # artifact, the running loop reloads it on content change and
+        # applies it to every shard from then on (the reference's gRPC
+        # BloomAdd/Reload mgmt plane, mgmtserver.go:96-160, with the
+        # artifact file as the control channel)
+        from .pipelines.iocwatch import ioc_follow
+
+        if not args.out:
+            print("ioc --follow requires --out (per-shard match parquet)")
+            return 2
+        pattern = args.input if args.input.endswith(".parquet") else os.path.join(
+            args.input, "*.parquet"
+        )
+        for status in ioc_follow(
+            pattern,
+            args.bloom_file,
+            args.out,
+            poll_s=args.poll,
+            max_iterations=args.max_iterations,
+            max_idle_polls=args.max_idle_polls,
+            blacklist=tuple(args.blacklist.split(",")) if args.blacklist else (),
+            alert_prefix=args.alert_prefix,
+            compressed=args.bloom_zipped,
+        ):
+            status["new_files"] = len(status["new_files"])
+            print(json.dumps(status), flush=True)
+        return 0
     bloom = BloomFilter.load_with_fallback(args.bloom_file, compressed=args.bloom_zipped)
     blacklist = tuple(args.blacklist.split(",")) if args.blacklist else ()
     ds = rd.read_parquet(args.input, columns=["url"]).map_batches(
@@ -1837,6 +1865,14 @@ def main(argv=None) -> int:
     pi.add_argument("--out")
     pi.add_argument("--limit", type=int, default=20)
     pi.add_argument("--concurrency", type=int, default=8)
+    pi.add_argument(
+        "--follow", action="store_true",
+        help="daemon mode: poll --input for new shards, reload --bloom-file "
+        "on content change (the live BloomAdd/Reload mgmt analogue)",
+    )
+    pi.add_argument("--poll", type=float, default=5.0)
+    pi.add_argument("--max-iterations", dest="max_iterations", type=int)
+    pi.add_argument("--max-idle-polls", dest="max_idle_polls", type=int, default=3)
     pi.add_argument("--num-cpus", dest="num_cpus", type=int)
     pi.set_defaults(fn=cmd_ioc)
 
