@@ -83,10 +83,17 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
+    import json
     import time
 
-    args = [a for a in sys.argv[1:] if a != "--timing"]
-    timing = "--timing" in sys.argv[1:]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--timing"]
+    timing = "--timing" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
 
@@ -97,6 +104,7 @@ def main() -> int:
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = args[1:] or sorted(n for n in queries if n in oracles)
     bad = 0
+    records = {}
     t_start = time.perf_counter()
     for name in names:
         if name not in oracles:
@@ -109,21 +117,42 @@ def main() -> int:
         except Exception as e:
             bad += 1
             print(f"{name}: CRASH {type(e).__name__}: {e}")
+            records[name] = {"status": "crash", "error": f"{type(e).__name__}: {e}"}
             continue
         t_ray = time.perf_counter() - t0
         want = oracle_df(sf_dir, oracles[name])
         t_sql = time.perf_counter() - t0 - t_ray
         problems = compare(name, got, want)
         stamp = f"  [ray {t_ray:.2f}s sql {t_sql:.2f}s]" if timing else ""
+        records[name] = {
+            "status": "exact" if not problems else "fail",
+            "rows": int(len(got)),
+            "ray_sec": round(t_ray, 3),
+            "sql_sec": round(t_sql, 3),
+        }
         if problems:
             bad += 1
+            records[name]["diffs"] = problems
             print(f"{name}: FAIL{stamp}", flush=True)
             for p in problems:
                 print(f"    {p}")
         else:
             print(f"{name}: exact{stamp}", flush=True)
+    total_s = time.perf_counter() - t_start
     if timing:
-        print(f"TOTAL {time.perf_counter() - t_start:.1f}s for {len(names)} queries")
+        print(f"TOTAL {total_s:.1f}s for {len(names)} queries")
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(names),
+            "n_exact": sum(1 for r in records.values() if r["status"] == "exact"),
+            "n_fail": bad,
+            "total_sec": round(total_s, 1),
+            "queries": records,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     ray.shutdown()
     return 1 if bad else 0
 
