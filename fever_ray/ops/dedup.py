@@ -244,9 +244,25 @@ def _pairs_from_band_rows(band_rows, n_parts: int, max_bucket: int = 8192,
         n_over = over_rows = 0
         # singleton buckets dominate a mostly-unique corpus — iterating
         # Python over millions of them just to `continue` was the hot cost
-        # of this kernel; select the multi-member runs vectorized first
+        # of this kernel; select the multi-member runs vectorized first.
+        # Same trap one level up: a bucket whose members are all one
+        # corpus side (cross mode) or all one doc id (re-ingested url →
+        # identical signature) emits nothing, and re-crawled corpora have
+        # ~1e5 such buckets per partition set — compute eligibility
+        # vectorized so the Python loop touches only emitting buckets.
         lens = np.diff(starts)
-        for mi in np.nonzero(lens >= 2)[0]:
+        run_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if cross_only:
+            negs = np.bincount(run_idx, weights=ids < 0, minlength=len(lens))
+            eligible = (lens >= 2) & (negs > 0) & (negs < lens)
+        else:
+            newid = np.empty(n, bool)
+            newid[0] = True
+            newid[1:] = ids[1:] != ids[:-1]  # ids sorted within each run
+            newid[starts[:-1]] = True
+            uniq_lens = np.bincount(run_idx, weights=newid, minlength=len(lens))
+            eligible = uniq_lens >= 2
+        for mi in np.nonzero(eligible)[0]:
             s, e = starts[mi], starts[mi + 1]
             k = e - s
             if cross_only:
@@ -306,10 +322,74 @@ def _pairs_from_band_rows(band_rows, n_parts: int, max_bucket: int = 8192,
         .groupby("part")
         .map_groups(pairs_in_partition, batch_format="pyarrow")
     )
-    # dedup pairs produced by multiple bands
-    from ray.data.aggregate import Count
+    # dedup pairs produced by multiple bands; count how many bands agree
+    return _pair_reduce_bucketed(pairs, "count", "n_bands", n_parts=n_parts)
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_reduce_bucketed(pairs, mode: str, alias: str,
+                          value_col: str | None = None, n_parts: int = 64,
+                          key_a: str = "doc_a", key_b: str = "doc_b"):
+    """One row per (doc_a, doc_b) with count/min/max of ``value_col`` —
+    the coarse-bucket replacement for ``groupby([a, b]).aggregate(...)``
+    on high-cardinality pair keys (the CLAUDE-rule shape: Dataset
+    groupby-aggregate pays the same sort-shuffle tax as map_groups there;
+    a pair-hash bucket shuffle + one vectorized lexsort/reduceat per
+    bucket was measured 5.5x on skinny rows).  Column names match the
+    aggregate it replaces: (doc_a, doc_b, alias)."""
+    pu = np.uint64(n_parts)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch.column(key_a).to_numpy(zero_copy_only=False)
+        b = batch.column(key_b).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pb = splitmix64(a.view(np.uint64) * _PAIR_MIX + b.view(np.uint64))
+        return batch.append_column(
+            "pb", pa.array((pb % pu).astype(np.int32), pa.int32())
+        )
+
+    val_type = None
+    if value_col is not None:
+        val_type = pairs.schema().base_schema.field(value_col).type
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        cols = {
+            key_a: pa.array([], pa.int64()),
+            key_b: pa.array([], pa.int64()),
+            alias: pa.array(
+                [], pa.int64() if val_type is None else val_type
+            ),
+        }
+        if not group.num_rows or not group.num_columns:
+            return pa.table(cols)
+        a = group.column(key_a).to_numpy(zero_copy_only=False)
+        b = group.column(key_b).to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        starts = _key_runs(a, b)
+        lens = np.diff(starts)
+        if mode == "count":
+            agg = lens.astype(np.int64)
+        else:
+            v = group.column(value_col).to_numpy(zero_copy_only=False)[o]
+            red = np.minimum if mode == "min" else np.maximum
+            agg = red.reduceat(v, starts[:-1])
+        first = starts[:-1]
+        return pa.table(
+            {
+                key_a: pa.array(a[first], pa.int64()),
+                key_b: pa.array(b[first], pa.int64()),
+                alias: pa.array(agg),
+            }
+        )
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
@@ -913,9 +993,9 @@ def simhash_near_dup_pairs(
         .groupby("part")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _pair_reduce_bucketed(
+        pairs, "min", "hamming", value_col="hamming", n_parts=n_parts
+    )
 
 
 # ------------------------------------------------------------------ embeddings
@@ -1055,14 +1135,15 @@ def embedding_dup_pairs(
             }
         )
 
-    from ray.data.aggregate import Max
-
     pairs = (
         rows.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return _pair_reduce_bucketed(
+        pairs, "max", "cosine", value_col="cosine", n_parts=n_parts,
+        key_a="vec_a", key_b="vec_b",
+    )
 
 
 # ------------------------------------------------------------- line dedup
