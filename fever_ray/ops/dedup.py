@@ -352,7 +352,13 @@ def _pair_reduce_bucketed(pairs, mode: str, alias: str,
 
     val_type = None
     if value_col is not None:
-        val_type = pairs.schema().base_schema.field(value_col).type
+        sch = pairs.schema().base_schema
+        if hasattr(sch, "field"):
+            val_type = sch.field(value_col).type
+        else:  # PandasBlockSchema (from_pandas inputs): names + np dtypes
+            val_type = pa.from_numpy_dtype(
+                sch.types[list(sch.names).index(value_col)]
+            )
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
         cols = {

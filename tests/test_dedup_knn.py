@@ -1659,3 +1659,122 @@ def test_minhash_stored_sigs_match_inline_path(ray_session):
         br_inline[["doc_id", "band", "band_hash"]],
         br_stored[["doc_id", "band", "band_hash"]],
     )
+
+
+def test_pair_reduce_bucketed_matches_pandas(ray_session):
+    """_pair_reduce_bucketed == pandas groupby for count/min/max on a
+    random pair table with duplicates and negative ids (the cross-dedup
+    sign encoding)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import _pair_reduce_bucketed
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_a": rng.integers(-50, 50, n).astype(np.int64),
+            "doc_b": rng.integers(-50, 50, n).astype(np.int64),
+            "val": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+
+    got_cnt = (
+        _pair_reduce_bucketed(ds, "count", "n_bands", n_parts=13)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want_cnt = (
+        df.groupby(["doc_a", "doc_b"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_bands"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_cnt, want_cnt, check_dtype=False)
+
+    got_min = (
+        _pair_reduce_bucketed(ds, "min", "hamming", value_col="val", n_parts=13)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want_min = (
+        df.groupby(["doc_a", "doc_b"], as_index=False)["val"]
+        .min()
+        .rename(columns={"val": "hamming"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_min, want_min, check_dtype=False)
+
+
+def test_band_pair_kernel_eligibility_brute_parity(ray_session):
+    """The vectorized bucket-eligibility prefilter emits exactly the
+    brute-force pair set: duplicate ids inside buckets (re-ingested
+    urls), single-side cross buckets, and singleton buckets all skip."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import _pairs_from_band_rows
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    band = rng.integers(0, 4, n).astype(np.int64)
+    bh = rng.integers(0, 150, n).astype(np.int64)
+    ids = rng.integers(0, 60, n).astype(np.int64)
+    # cross mode: mixed-sign ids, plenty of single-side buckets
+    ids_cross = np.where(rng.random(n) < 0.3, -ids - 1, ids)
+
+    for cross, use_ids in ((False, ids), (True, ids_cross)):
+        t = pa.table(
+            {
+                "band": pa.array(band),
+                "band_hash": pa.array(bh),
+                "doc_id": pa.array(use_ids),
+            }
+        )
+        got = (
+            _pairs_from_band_rows(
+                rd.from_arrow(t).repartition(5), n_parts=11, cross_only=cross
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        # brute force
+        want = set()
+        dfb = pd.DataFrame({"band": band, "bh": bh, "id": use_ids})
+        for _, grp in dfb.groupby(["band", "bh"]):
+            uids = sorted(set(grp["id"]))
+            if cross:
+                neg = [u for u in uids if u < 0]
+                pos = [u for u in uids if u >= 0]
+                want.update((a, b) for a in neg for b in pos)
+            else:
+                want.update(itertools.combinations(uids, 2))
+        want_df = (
+            pd.DataFrame(sorted(want), columns=["doc_a", "doc_b"])
+            if want
+            else pd.DataFrame({"doc_a": [], "doc_b": []})
+        )
+        got_pairs = got[["doc_a", "doc_b"]]
+        pd.testing.assert_frame_equal(got_pairs, want_df, check_dtype=False)
+        # n_bands counts how many buckets candidated each pair
+        cnt = {}
+        for _, grp in dfb.groupby(["band", "bh"]):
+            uids = sorted(set(grp["id"]))
+            if cross:
+                pp = [(a, b) for a in [u for u in uids if u < 0]
+                      for b in [u for u in uids if u >= 0]]
+            else:
+                pp = list(itertools.combinations(uids, 2))
+            for p in pp:
+                cnt[p] = cnt.get(p, 0) + 1
+        for _, r in got.iterrows():
+            assert cnt[(r["doc_a"], r["doc_b"])] == r["n_bands"]
