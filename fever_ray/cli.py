@@ -625,6 +625,34 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_slurp(args) -> int:
+    """Write a parquet event/page table into time-rotated DBAPI tables
+    (the PostgresSlurper face; sqlite file here, Postgres via a connect
+    factory in library use).  Prints one JSON summary line."""
+    import functools
+    import sqlite3
+
+    import ray.data as rd
+
+    from .io_.dbsink import DBAPITableSink, write_dbapi_tables
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input)
+    sink = DBAPITableSink(
+        functools.partial(sqlite3.connect, args.db, 30.0),
+        table_prefix=args.prefix,
+        ts_col=args.ts_col,
+        rotation_s=args.rotation,
+        chunk_rows=args.chunk_rows,
+        index_cols=tuple(args.index.split(",")) if args.index else (),
+    )
+    # sqlite serializes writers — one task; a Postgres factory runs many
+    res = write_dbapi_tables(ds, sink, concurrency=1)
+    print(json.dumps({"db": args.db, "tables": len(res["tables"]),
+                      "rows": res["rows"], "indexes": len(res["indexes"])}))
+    return 0
+
+
 def cmd_report(args) -> int:
     """One-pass corpus audit card over a page table: doc/token/char
     totals, empty-doc count, token min/max, distinct langs and hosts —
@@ -1688,6 +1716,21 @@ def main(argv=None) -> int:
                           "defaults to the input corpus itself")
     pc_.add_argument("--num-cpus", dest="num_cpus", type=int)
     pc_.set_defaults(fn=cmd_curate)
+
+    psl = sub.add_parser(
+        "slurp", allow_abbrev=False,
+        help="write a parquet table into time-rotated DBAPI tables "
+        "(PostgresSlurper face; sqlite file target)",
+    )
+    psl.add_argument("--input", required=True)
+    psl.add_argument("--db", required=True, help="sqlite database file path")
+    psl.add_argument("--prefix", default="events")
+    psl.add_argument("--ts-col", dest="ts_col", default="ts")
+    psl.add_argument("--rotation", type=int, default=3600)
+    psl.add_argument("--chunk-rows", dest="chunk_rows", type=int, default=5000)
+    psl.add_argument("--index", default="ts")
+    psl.add_argument("--num-cpus", dest="num_cpus", type=int)
+    psl.set_defaults(fn=cmd_slurp)
 
     pq_ = sub.add_parser("report", allow_abbrev=False,
                          help="one-pass corpus audit card as one JSON line")

@@ -204,7 +204,7 @@ class DBAPITableSink(Datasink):
             conn.close()
         self.result = {
             "tables": tables,
-            "rows": write_result.num_rows,
+            "rows": int(write_result.num_rows),
             "indexes": [
                 f"idx_{t}_{c}" for t in tables for c in self.index_cols
             ],
