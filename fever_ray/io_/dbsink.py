@@ -28,6 +28,11 @@ Scale shape: every Ray write task owns one connection and inserts only
 its own blocks (true parallel load on Postgres; serialize with
 ``concurrency=1`` on sqlite); nothing event-sized touches the driver —
 the driver sees only touched-table names.
+
+Reading back needs no custom code: ``ray.data.read_sql(f"SELECT * FROM
+{table}", connect)`` over the rotated table list round-trips the data
+(Ray's built-in DBAPI source), so the sink + read_sql pair closes the
+loop a reference user has with Postgres today.
 """
 
 from __future__ import annotations

@@ -121,3 +121,30 @@ def test_dbsink_bulk_load_hook(ray_session, tmp_path):
     )
     assert total == 500
     conn.close()
+
+
+def test_dbsink_read_back_with_ray_read_sql(ray_session, tmp_path):
+    """Sink + ray.data.read_sql round-trip: what a reference user's
+    Postgres workflow looks like end to end."""
+    import functools
+
+    import ray.data as rd
+
+    db = str(tmp_path / "rt.db")
+    t = _events(n=400, hours=2)
+    sink = DBAPITableSink(
+        functools.partial(sqlite3.connect, db, 30.0), rotation_s=3600
+    )
+    res = write_dbapi_tables(rd.from_arrow(t), sink, concurrency=1)
+    total = 0
+    ids = []
+    for tab in res["tables"]:
+        back = rd.read_sql(
+            f'SELECT * FROM "{tab}"',
+            functools.partial(sqlite3.connect, db, 30.0),
+        )
+        df = back.to_pandas()
+        total += len(df)
+        ids += list(df["event_id"])
+    assert total == 400
+    assert sorted(ids) == list(range(400))
