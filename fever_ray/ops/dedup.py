@@ -1653,35 +1653,10 @@ def minhash_cross_dedup(
         corpus_side, batch_format="pyarrow", zero_copy_batch=True
     ).union(ref_ds.map_batches(ref_side, batch_format="pyarrow", zero_copy_batch=True))
 
-    # sign each side BEFORE the union: a map stage downstream of a
-    # UnionOperator cannot fuse with the upstream reads, so signing the
-    # union pays an extra materialization of both corpora; signing per
-    # side keeps read → side-map → signature in one fused task chain and
-    # unions only the skinny band rows
-    signer = MinHashSignatures(
-        n_shingle=n_shingle, num_perm=num_perm, bands=bands
-    )
-
-    def sign(batch: pa.Table) -> pa.Table:
-        return signer(batch)
-
-    band_rows = (
-        ds.map_batches(corpus_side, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
-        .union(
-            ref_ds.map_batches(
-                ref_side, batch_format="pyarrow", zero_copy_batch=True
-            ).map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
-        )
-    )
-    pairs = _pairs_from_band_rows(
-        band_rows, n_parts or _auto_parts(ds), cross_only=True
-    )
-
     edges = verified_minhash_edges(
         union, threshold=threshold, n_shingle=n_shingle, num_perm=num_perm,
         bands=bands, num_partitions=num_partitions, n_parts=n_parts,
-        broadcast_bytes=broadcast_bytes, cross_only=True, pairs=pairs,
+        broadcast_bytes=broadcast_bytes, cross_only=True,
     )
 
     # matched corpus ids = the nonnegative endpoint of every verified edge
