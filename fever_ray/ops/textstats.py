@@ -163,6 +163,39 @@ class LangId:
         )
 
 
+def _bucketed_ngram_sum(partials, n_parts: int = 32, key: str = "ngram",
+                        val: str = "n"):
+    """Keyed sum of (ngram, n) partial rows via a coarse key-hash bucket
+    shuffle + one Arrow hash-aggregation per bucket.  Replaces
+    ``groupby(key).aggregate(Sum)``, whose sort shuffle pays
+    input_blocks × output_partitions slicing overhead — measured 12.8 s
+    for 1.3M partial rows in 256 blocks at 1M pages vs ~1 s bucketed
+    (the line_dedup coarse-bucket rule, applied to the vocabulary sum
+    every n-gram audit rides)."""
+    from ..sketches.hashing import bucket_of
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "gb", pa.array(bucket_of(batch.column(key), n_parts), pa.int32())
+        )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return pa.table(
+                {key: pa.array([], pa.string()), val: pa.array([], pa.int64())}
+            )
+        g = pa.TableGroupBy(group.select([key, val]), key).aggregate(
+            [(val, "sum")]
+        )
+        return g.select([key, f"{val}_sum"]).rename_columns([key, val])
+
+    return (
+        partials.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gb")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+    )
+
+
 def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
     """Corpus-wide top-k token n-grams by exact count — the vocabulary /
     phrase-frequency profile every corpus audit starts with.
@@ -175,7 +208,6 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
     Per-batch top-k pruning before the sum would be WRONG (a globally
     frequent n-gram can be locally rare everywhere) — pruning happens only
     after the global counts exist."""
-    from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         # per-batch vocabulary partials via the shared _gram_counts kernel;
@@ -189,7 +221,7 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
             )
         return pa.table({"ngram": grams, "n": pa.array(counts, pa.int64())})
 
-    summed = (
+    summed = _bucketed_ngram_sum(
         # batch_size=None (whole block): the partial IS a vocabulary
         # compressor, and 1024-row default batches emit ~block_rows/1024
         # near-uncompressed vocabularies into the groupby (measured 5-40x
@@ -200,8 +232,6 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
             zero_copy_batch=True,
             batch_size=None,
         )
-        .groupby("ngram")
-        .aggregate(Sum("n", alias_name="n"))
     )
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -367,7 +397,7 @@ def heavy_ngrams(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-    summed = survivors.groupby("ngram").aggregate(Sum("n", alias_name="n"))
+    summed = _bucketed_ngram_sum(survivors)
 
     def exact_filter_topk(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
@@ -1672,15 +1702,14 @@ def vocab_coverage(ds, p_num: int = 1, p_den: int = 2, text_col: str = "text"):
         # '' (from empty text) is not a vocabulary token on either side
         return t.filter(pc.not_equal(t.column("token"), ""))
 
-    counts = (
+    counts = _bucketed_ngram_sum(
         ds.map_batches(
             partial_counts,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
-        )
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        ),
+        key="token",
     )
     counts = counts.materialize()  # reused three times below
 
@@ -2525,13 +2554,12 @@ def zipf_audit(ds, text_col: str = "text"):
         t = pa.table({"token": grams, "n": pa.array(counts, pa.int64())})
         return t.filter(pc.not_equal(t.column("token"), ""))
 
-    counts = (
+    counts = _bucketed_ngram_sum(
         ds.map_batches(
             partial_counts, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
-        )
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        ),
+        key="token",
     )
 
     def class_partial(batch: pa.Table) -> pa.Table:
