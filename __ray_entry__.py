@@ -555,6 +555,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_dbsink_roundtrip(sf):
+        """DB table sink round-trip (the PostgresSlurper face,
+        io_.dbsink.DBAPITableSink over stdlib sqlite3): the events table
+        distributes into time-rotated day tables (rotation is a pure
+        function of EVENT time), chunked inserts, deferred indexes —
+        then every rotated table reads back and the union must equal the
+        source rows exactly (timestamps as the sink's ISO-us strings).
+        Reference: slurper_postgres.go:164-236."""
+        import functools
+        import sqlite3
+        import tempfile
+
+        import pandas as pd
+
+        from fever_ray.io_.dbsink import DBAPITableSink, write_dbapi_tables
+
+        with tempfile.TemporaryDirectory() as td:
+            db = f"{td}/events.db"
+            sink = DBAPITableSink(
+                functools.partial(sqlite3.connect, db, 30.0),
+                table_prefix="events",
+                rotation_s=86400,
+                chunk_rows=4096,
+                index_cols=("event_id",),
+            )
+            res = write_dbapi_tables(
+                _t(sf, "events", ["event_id", "ts", "event_type", "value"]),
+                sink,
+                concurrency=1,
+            )
+            conn = sqlite3.connect(db)
+            try:
+                df = pd.concat(
+                    [
+                        pd.read_sql_query(f'SELECT * FROM "{t}"', conn)
+                        for t in res["tables"]
+                    ],
+                    ignore_index=True,
+                )
+            finally:
+                conn.close()
+        return df
+
     def q_suggest_card(sf):
         """Constraint SUGGESTION card (deequ's ConstraintSuggestion,
         sketch-first — ops.checks.suggest_checks): two streaming passes
@@ -4782,6 +4825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": q_leakage_safe_split,
         "data_quality": q_data_quality,
         "suggest_card": q_suggest_card,
+        "dbsink_roundtrip": q_dbsink_roundtrip,
         "plan_card": q_plan_card,
         "change_point": q_change_point,
         "gopher_rules": q_gopher_rules,
@@ -6480,6 +6524,14 @@ def oracle_sql() -> dict[str, str]:
             "LEAST(64, GREATEST(4, FLOOR(((CAST(top AS DOUBLE) / n) * 32) "
             "* 2 + 0.5))) ELSE 1 END AS BIGINT) AS salt_fanout "
             "FROM stats"
+        ),
+        "dbsink_roundtrip": (
+            # the sink's rotated tables union back to the source events;
+            # ts mirrors the sink's Arrow ISO-us strings (duckdb %S is
+            # integer seconds, so .%f appends the 6-digit fraction that
+            # Arrow's %S already includes)
+            "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts, "
+            "event_type, value FROM events"
         ),
         "suggest_card": (
             # exact mirror of the suggestion engine's emitted card rows:

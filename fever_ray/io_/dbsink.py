@@ -135,8 +135,11 @@ class DBAPITableSink(Datasink):
         for name in table.column_names:
             c = table.column(name)
             if pa.types.is_timestamp(c.type):
+                # Arrow %S on timestamp[us] already prints the 6-digit
+                # fractional part (and %f is NOT supported — it would be
+                # emitted literally), so the format stops at %S
                 c = pc.strftime(
-                    pc.cast(c, pa.timestamp("us")), format="%Y-%m-%dT%H:%M:%S.%f"
+                    pc.cast(c, pa.timestamp("us")), format="%Y-%m-%dT%H:%M:%S"
                 )
             cols.append(c.to_pylist())
         return list(zip(*cols)) if cols else []

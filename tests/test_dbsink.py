@@ -63,6 +63,14 @@ def test_dbsink_rotation_chunks_deferred_index(ray_session, tmp_path):
             (lo,),
         ).fetchone()[0]
         assert bad == 0
+        # full ISO-with-microseconds strings (Arrow %S carries the
+        # fractional part; %f would have landed literally)
+        import re
+
+        one = conn.execute(f'SELECT ts FROM "{tab}" LIMIT 1').fetchone()[0]
+        assert re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}", one
+        ), one
     assert total == t.num_rows
 
     # deferred indexes exist after the load, one per (table, col)
