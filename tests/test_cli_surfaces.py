@@ -113,3 +113,109 @@ def test_cli_check_suggest_passes_own_suite(ray_session, linked_dir, capsys):
     assert lines[-1]["all_passed"] and lines[-1]["checks"] >= 4
     sug = lines[0]
     assert "lang" in sug["profile"] and len(sug["profile"]["lang"]["domain"]) == 12
+
+
+def test_cli_follow_tail_journal(ray_session, tmp_path, capsys):
+    journal = str(tmp_path / "events.jsonl")
+    spool = str(tmp_path / "spool")
+    with open(journal, "w") as fh:
+        for i in range(200):
+            fh.write(
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": f"2024-01-01T00:{i % 60:02d}:00",
+                        "user_id": i % 11,
+                        "event_type": ["view", "click"][i % 2],
+                        "value": i / 2.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    rc = cli.main(
+        ["follow", "--input", spool, "--checkpoint", str(tmp_path / "ck"),
+         "--tail-journal", journal, "--poll", "0", "--max-iterations", "1"]
+    )
+    assert rc == 0
+    line = _line(capsys)
+    assert line["new_files"] == 1
+    assert round(line["estimates"]["hll_users"]) == 11
+    # append + rerun resumes: only the new segment processed
+    with open(journal, "a") as fh:
+        fh.write(
+            json.dumps(
+                {"event_id": 999, "ts": "2024-01-01T01:00:00", "user_id": 99,
+                 "event_type": "view", "value": 0.0, "props": "{}"}
+            )
+            + "\n"
+        )
+    rc = cli.main(
+        ["follow", "--input", spool, "--checkpoint", str(tmp_path / "ck"),
+         "--tail-journal", journal, "--poll", "0", "--max-iterations", "1"]
+    )
+    assert rc == 0
+    line = _line(capsys)
+    assert line["new_files"] == 1 and line["total_files"] == 2
+    assert round(line["estimates"]["hll_users"]) == 12
+
+
+def test_cli_ioc_follow_live_reload(ray_session, tmp_path, capsys):
+    from fever_ray.sketches.bloom import BloomFilter, build_filter
+
+    land = tmp_path / "land"
+    land.mkdir()
+    bloom = str(tmp_path / "iocs.bloom")
+    build_filter(["evil-a.test"], n=1000, p=1e-7).save(bloom)
+    pq.write_table(
+        pa.table({"url": ["http://evil-a.test/1", "http://evil-b.test/1"]}),
+        str(land / "s1.parquet"),
+    )
+    args = ["ioc", "--input", str(land), "--bloom-file", bloom, "--follow",
+            "--out", str(tmp_path / "m"), "--poll", "0",
+            "--max-iterations", "1"]
+    assert cli.main(args) == 0
+    assert _line(capsys)["matches"] == 1
+    # live mgmt mutation between polls
+    bf = BloomFilter.load_with_fallback(bloom)
+    bf.add(["evil-b.test"])
+    bf.save(bloom)
+    pq.write_table(
+        pa.table({"url": ["http://evil-b.test/2"]}), str(land / "s2.parquet")
+    )
+    assert cli.main(args) == 0
+    line = _line(capsys)
+    assert line["matches"] == 1 and line["total_matches"] == 2
+
+
+def test_cli_slurp_rotated_tables(ray_session, tmp_path, capsys):
+    import sqlite3
+
+    import numpy as np
+
+    src = str(tmp_path / "ev.parquet")
+    n = 300
+    ts = 1_700_000_000_000_000 + np.arange(n, dtype=np.int64) * 3_600_000_000 // 4
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array(np.linspace(0, 1, n)),
+            }
+        ),
+        src,
+    )
+    db = str(tmp_path / "s.db")
+    rc = cli.main(["slurp", "--input", src, "--db", db, "--rotation", "86400"])
+    assert rc == 0
+    line = _line(capsys)
+    assert line["rows"] == n and line["tables"] >= 3
+    conn = sqlite3.connect(db)
+    tabs = [r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'").fetchall()]
+    assert len(tabs) == line["tables"]
+    total = sum(conn.execute(f'SELECT COUNT(*) FROM "{t}"').fetchone()[0]
+                for t in tabs)
+    assert total == n
+    conn.close()
