@@ -1262,7 +1262,8 @@ def line_dedup(
         return t.filter(pc.greater(t.column("n"), threshold)).select(["ln"])
 
     dup = (
-        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(dup_bucket, batch_format="pyarrow")
         .materialize()
@@ -2089,7 +2090,11 @@ def _dup_key_set(ds, n: int, text_col: str, n_parts: int, hashed: bool):
         return pa.table({"k": ks.filter(pa.array(keep))})
 
     return (
-        ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
+        # ~32k-doc bundles: bigger batches compress repeated window keys
+        # better AND feed the bucket shuffle fewer blocks (sort-shuffle
+        # cost scales with input_blocks x partitions — the editsim rule)
+        ds.map_batches(key_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(dup_bucket, batch_format="pyarrow")
     )
@@ -4528,7 +4533,8 @@ def host_boilerplate(
         return out.select([sc, kc])
 
     bp = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(combine1, batch_format="pyarrow")
         .groupby("bucket")

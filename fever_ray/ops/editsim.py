@@ -374,11 +374,16 @@ def token_edit_dups(
     return (
         # whole-block batches: the token-count partial is a vocabulary
         # compressor (same reasoning as top_ngrams)
+        # ~32k-doc bundles (not per-block batches): Ray's sort shuffle
+        # pays input_blocks x partitions slicing overhead per stage, so
+        # 256 read blocks cost ~12s of pure scheduling across this
+        # 4-shuffle chain — AND a 4k-doc batch compresses its vocabulary
+        # 8x worse than a 32k one.  Measured 14.0s -> ~2s at 1M pages.
         ds.map_batches(
             tok_partial,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=None,
+            batch_size=32768,
         )
         .groupby("part")
         .map_groups(vocab_bucket, batch_format="pyarrow")

@@ -222,15 +222,15 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
         return pa.table({"ngram": grams, "n": pa.array(counts, pa.int64())})
 
     summed = _bucketed_ngram_sum(
-        # batch_size=None (whole block): the partial IS a vocabulary
-        # compressor, and 1024-row default batches emit ~block_rows/1024
-        # near-uncompressed vocabularies into the groupby (measured 5-40x
-        # more shuffle rows AND per-batch overhead at 1M pages)
+        # ~32k-doc bundles: per-block (4k-doc) batches compress their
+        # vocabulary 8x worse AND leave 256 skinny blocks feeding the
+        # bucket shuffle, whose cost scales with input_blocks x
+        # partitions (the editsim rule; measured there 14.0s -> ~2s)
         ds.map_batches(
             partial_counts,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=None,
+            batch_size=32768,
         )
     )
 
@@ -1707,7 +1707,7 @@ def vocab_coverage(ds, p_num: int = 1, p_den: int = 2, text_col: str = "text"):
             partial_counts,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=None,
+            batch_size=32768,
         ),
         key="token",
     )
@@ -2557,7 +2557,7 @@ def zipf_audit(ds, text_col: str = "text"):
     counts = _bucketed_ngram_sum(
         ds.map_batches(
             partial_counts, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=None,
+            batch_size=32768,
         ),
         key="token",
     )
