@@ -2982,7 +2982,8 @@ def sorted_neighbor_pairs(
         return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     bucketed = skinny.map_batches(
-        tag_bucket, batch_format="pyarrow", zero_copy_batch=True
+        tag_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,  # bundle skinny blocks before the bucket sort
     ).materialize()
 
     def count_partial(batch: pa.Table) -> pa.Table:
