@@ -206,7 +206,12 @@ def minhash_candidate_pairs(
     def sign(batch: pa.Table) -> pa.Table:
         return signer(batch)
 
-    band_rows = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+    # ~32k-doc bundles: the signature stage emits 16 skinny band rows per
+    # doc, and the band-bucket sort shuffle downstream pays input_blocks x
+    # partitions (the block-tax rule in CLAUDE.md) — 256 read blocks would
+    # feed it 256 near-identical skinny blocks
+    band_rows = ds.map_batches(sign, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=32768)
 
     if n_parts is None:
         n_parts = _auto_parts(ds)
