@@ -339,7 +339,7 @@ def sessionize(events_ds, key: str = "user_id", ts_col: str = "ts",
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -768,7 +768,7 @@ def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -989,7 +989,7 @@ def transition_counts(
         )
 
     partials = (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -1069,7 +1069,7 @@ def rolling_window_sum(
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -1163,7 +1163,7 @@ def time_range_sum(
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -1264,7 +1264,7 @@ def locf_fill(
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -1615,7 +1615,7 @@ def theil_sen_trend(
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -1736,7 +1736,7 @@ def spearman_corr(
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -1937,7 +1937,7 @@ def burst_max(
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -2035,7 +2035,7 @@ def cohort_retention(
         )
 
     partials = (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -2120,7 +2120,7 @@ def time_to_nth_event(
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -2215,7 +2215,7 @@ def rolling_active_users(
         )
 
     partials = (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -2317,7 +2317,7 @@ def max_streak(
         )
 
     return (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -2531,7 +2531,7 @@ def growth_accounting(
         )
 
     partials = (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -2654,7 +2654,7 @@ def lifecycle_accounting(
         return pa.table(out)
 
     partials = (
-        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        events_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
