@@ -112,7 +112,9 @@ def embedding_cluster(
             out = out.append_column(emb_col, batch.column(emb_col))
         return out
 
-    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    # bundle before the cluster_id groupby (block-tax rule, CLAUDE.md)
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=32768)
 
 
 def _sorted_cluster_matrix(
