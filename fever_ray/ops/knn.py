@@ -440,7 +440,8 @@ def knn_quantized(qds, queries: np.ndarray, k: int = 10,
         )
 
     candidates = qds.map_batches(
-        local_topk, batch_format="pyarrow", zero_copy_batch=True
+        local_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
     )
 
     def global_topk(group: pa.Table) -> pa.Table:
@@ -813,7 +814,9 @@ def pq_encode(ds, books: np.ndarray, id_col: str = "vec_id"):
         )
         return pa.table({id_col: ids, "pq_code": arr})
 
-    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+    # bundle: the encode output feeds downstream shuffles (block-tax rule)
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=32768)
 
 
 def knn_pq(
@@ -869,7 +872,8 @@ def knn_pq(
         )
 
     candidates = qds.map_batches(
-        local_topk, batch_format="pyarrow", zero_copy_batch=True
+        local_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
     )
 
     def global_topk(group: pa.Table) -> pa.Table:
@@ -959,7 +963,8 @@ def ivfpq_encode(ds, cents: np.ndarray, books: np.ndarray, id_col: str = "vec_id
             "pq_code": arr,
         })
 
-    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=32768)
 
 
 def knn_ivfpq(
@@ -1029,7 +1034,8 @@ def knn_ivfpq(
         )
 
     candidates = qds.map_batches(
-        local_topk, batch_format="pyarrow", zero_copy_batch=True
+        local_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
     )
 
     def global_topk(group: pa.Table) -> pa.Table:

@@ -342,7 +342,8 @@ def epoch_shuffle(ds, seed: int = 0, n_buckets: int = 1024, id_col: str = "doc_i
         )
 
     skinny = ds.map_batches(
-        project, batch_format="pyarrow", zero_copy_batch=True
+        project, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
     ).materialize()
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -441,7 +442,8 @@ def pack_sequences(
             }
         )
 
-    skinny = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    skinny = ds.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=32768)
 
     def pack_bucket(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
@@ -538,7 +540,8 @@ def token_budget_select(
         )
 
     skinny = ds.map_batches(
-        project, batch_format="pyarrow", zero_copy_batch=True
+        project, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
     ).materialize()
 
     def sum_partial(batch: pa.Table) -> pa.Table:
@@ -680,7 +683,8 @@ def token_budget_mix(
         )
 
     skinny = ds.map_batches(
-        project, batch_format="pyarrow", zero_copy_batch=True
+        project, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
     ).materialize()
 
     def sum_partial(batch: pa.Table) -> pa.Table:
