@@ -142,3 +142,49 @@ def test_follow_tail_converges_to_batch(ray_session, tmp_path):
     )
     # idle journal → the generator terminates via max_idle_polls
     assert list(it) == []
+
+
+def test_cut_segments_fuzz_random_append_patterns(tmp_path):
+    """Any sequence of appends (partial lines, multi-line bursts, empty
+    appends) cuts into segments whose concatenation is exactly the
+    journal's complete lines, with no duplicates and no loss."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    journal = str(tmp_path / "j.jsonl")
+    spool = str(tmp_path / "spool")
+    written = []
+    pending = b""
+    next_id = 0
+    for _ in range(40):
+        burst = rng.integers(0, 4)
+        chunk = b""
+        for _ in range(burst):
+            ln = _event_line(next_id)
+            written.append(next_id)
+            next_id += 1
+            chunk += ln + b"\n"
+        # sometimes leave a dangling partial line
+        if rng.random() < 0.4:
+            nxt = _event_line(next_id)
+            cut = int(rng.integers(1, len(nxt)))
+            with open(journal, "ab") as fh:
+                fh.write(pending + chunk + nxt[:cut])
+            pending = b""
+            # complete it immediately on the next append
+            with open(journal, "ab") as fh:
+                fh.write(nxt[cut:] + b"\n")
+            written.append(next_id)
+            next_id += 1
+        else:
+            with open(journal, "ab") as fh:
+                fh.write(pending + chunk)
+            pending = b""
+        if rng.random() < 0.7:
+            cut_segments(journal, spool)
+    cut_segments(journal, spool)
+    rows = []
+    for p in sorted(glob.glob(spool + "/seg_*.parquet")):
+        rows += pq.read_table(p).column("event_id").to_pylist()
+    assert rows == written  # order, completeness, no duplicates
+    assert spooled_offset(spool) == os.path.getsize(journal)
