@@ -117,38 +117,37 @@ def ioc_follow(
 
         n_matches = 0
         if pending:
-            matcher = PageIocMatcher(
-                bloom_bytes, blacklist=blacklist, alert_prefix=alert_prefix
-            )
+            # one Ray task per shard: match + atomic write + manifest all
+            # INSIDE the task (the warc_to_pages_resumable contract), so
+            # a 1000-shard backlog drains with full cluster parallelism
+            # and a crash mid-backlog resumes at the manifest boundary.
+            # A raw task (not a Dataset stage) because the unit of work
+            # is one-file-one-atomic-sink — per-file write+rename+manifest
+            # has no map_batches shape.
+            bloom_ref = ray.put(bloom_bytes)
 
-            def match_shard(batch: pa.Table) -> pa.Table:
-                # one shard per task (read_parquet include_paths guides
-                # the split below); matching itself is the standard
-                # vectorized matcher
-                return matcher(batch)
+            @ray.remote
+            def match_shard(path: str) -> int:
+                import pyarrow.parquet as _pq
 
-            for f in pending:
-                out = []
-                for t in (
-                    rd.read_parquet(f, columns=["url"])
-                    .map_batches(match_shard, batch_format="pyarrow")
-                    .to_arrow_refs()
-                ):
-                    tab = ray.get(t)
-                    if tab.num_rows and tab.num_columns:
-                        out.append(tab)
+                m = PageIocMatcher(
+                    ray.get(bloom_ref), blacklist=blacklist,
+                    alert_prefix=alert_prefix,
+                )
+                src = _pq.read_table(path, columns=["url"])
                 table = (
-                    pa.concat_tables(out) if out
+                    m(src)
+                    if src.num_rows
                     else pa.table(
                         {f.name: pa.array([], f.type) for f in page_match_schema}
                     )
                 )
-                key = partition_key(f)
+                key = partition_key(path)
                 ppath = os.path.join(out_dir, "parts", f"{key}.parquet")
                 _atomic_write(ppath, lambda p: pq.write_table(table, p))
                 manifest = {
                     "partition": key,
-                    "input_path": f,
+                    "input_path": path,
                     "rows": table.num_rows,
                     "payload_path": ppath,
                     "bloom_sha": sha,
@@ -160,7 +159,18 @@ def ioc_follow(
                         json.dumps(manifest, sort_keys=True)
                     ),
                 )
-                n_matches += table.num_rows
+                return table.num_rows
+
+            # bounded in-flight window: a huge backlog must not flood the
+            # scheduler or hold every shard's matches in flight at once
+            window = 64
+            futs: list = []
+            for f in pending:
+                futs.append(match_shard.remote(f))
+                if len(futs) >= window:
+                    done, futs = ray.wait(futs, num_returns=1)
+                    n_matches += ray.get(done[0])
+            n_matches += sum(ray.get(futs))
 
         first = False
         idle = 0
