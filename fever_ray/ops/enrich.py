@@ -31,6 +31,26 @@ def default_fake_resolver(ip: str) -> str:
     return "host-" + ip.replace(".", "-") + ".internal.example"
 
 
+def system_rdns_resolver(ip: str, timeout_s: float = 2.0) -> str:
+    """REAL reverse DNS via the system resolver (``socket.gethostbyaddr``
+    → /etc/hosts + configured nameservers) — the production counterpart
+    of the reference's ``net.LookupAddr`` wrapper
+    (util/hostnamer_rdns.go:28-46).  Raises on failure so
+    ``CachedEnricher``'s except path caches the miss, exactly like the
+    reference caches failed lookups.  Pass
+    ``CachedEnricher(resolver=system_rdns_resolver)`` for live
+    resolution; the deterministic fake stays the default because a
+    network dependency must be opted into, never silently on."""
+    import socket
+
+    old = socket.getdefaulttimeout()
+    socket.setdefaulttimeout(timeout_s)
+    try:
+        return socket.gethostbyaddr(ip)[0]
+    finally:
+        socket.setdefaulttimeout(old)
+
+
 class CachedEnricher:
     """Actor stage: per-actor TTL cache + vectorized private-range gate.
 

@@ -64,3 +64,23 @@ def test_multi_forward_routes(ray_session, sf_dir, tmp_path):
     assert set(t_commerce.column("event_type").to_pylist()) <= {"purchase", "signup"}
     assert t_every.num_rows == n_all
     assert t_alerts.num_rows + t_commerce.num_rows < n_all
+
+
+def test_system_rdns_resolver_real_lookup(ray_session):
+    """The REAL resolver path (socket.gethostbyaddr): loopback resolves
+    via /etc/hosts even in a network-less sandbox; an address with no
+    PTR record caches as a miss — the reference's failed-lookup cache
+    entry (hostnamer_rdns.go:28-46)."""
+    import pyarrow as pa
+
+    from fever_ray.ops.enrich import CachedEnricher, system_rdns_resolver
+
+    enr = CachedEnricher(
+        ip_col="ip", out_col="rdns", resolver=system_rdns_resolver
+    )
+    out = enr(pa.table({"ip": ["127.0.0.1", "203.0.113.7", "127.0.0.1"]}))
+    names = out.column("rdns").to_pylist()
+    assert names[0] == names[2] == "localhost"
+    assert names[1] is None
+    # second 127.0.0.1 came from the TTL cache, and the miss is cached too
+    assert enr.hits == 1 and enr.misses == 2
