@@ -733,7 +733,8 @@ def verified_minhash_edges(
 
     sh_ds = (
         _dedup_blobs_by_id(
-            ds.map_batches(blobs, batch_format="pyarrow", zero_copy_batch=True),
+            ds.map_batches(blobs, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=32768),
             num_partitions,
         )
         .repartition(num_partitions)
@@ -3139,7 +3140,8 @@ def sorted_neighbor_pairs(
 
     sh_ds = (
         _dedup_blobs_by_id(
-            ds.map_batches(blobs, batch_format="pyarrow", zero_copy_batch=True),
+            ds.map_batches(blobs, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=32768),
             num_partitions,
         )
         .repartition(num_partitions)
