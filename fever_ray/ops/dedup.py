@@ -2708,6 +2708,7 @@ def containment_pairs(
             lambda b: _shingle_blob_table(b, n_shingle, ray.get(cand_ref)),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            batch_size=32768,
         )
         .repartition(max(n_parts // 8, 8))
         .materialize()
