@@ -69,9 +69,20 @@ def _sql_type(t: pa.DataType) -> str:
 
 
 def _bucket_labels(ts: pa.ChunkedArray | pa.Array, rotation_s: int) -> np.ndarray:
-    """Per-row table label seconds-bucketed from EVENT time (us epoch)."""
+    """Per-row table label seconds-bucketed from EVENT time (us epoch).
+
+    Nulls are rejected up front: to_numpy on a nulled int64 silently
+    promotes to float64 NaN, which would surface much later as an opaque
+    numpy/int conversion error deep inside a Ray write task instead of a
+    clear validation error naming the column."""
     import pyarrow.compute as pc
 
+    if ts.null_count:
+        raise ValueError(
+            f"dbsink: rotation column contains {ts.null_count} null(s) — "
+            "every row needs an event time to pick its table; filter or "
+            "fill first"
+        )
     us = pc.cast(
         pc.cast(ts, pa.timestamp("us")), pa.int64()
     ).to_numpy(zero_copy_only=False)

@@ -128,6 +128,7 @@ class SocketLineServer:
         self._lines = 0
         self._bytes = 0
         self._oversized = 0
+        self._truncated = 0
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "SocketLineServer":
@@ -164,6 +165,10 @@ class SocketLineServer:
                 "lines": self._lines,
                 "bytes": self._bytes,
                 "oversized_dropped": self._oversized,
+                # fragments lost because a client closed without a trailing
+                # newline — that newline can never arrive, so the bytes are
+                # unrecoverable; counted so lossy producers are observable
+                "truncated_dropped": self._truncated,
             }
 
     # -- internals -----------------------------------------------------------
@@ -179,6 +184,9 @@ class SocketLineServer:
                 target=self._handle_conn, args=(conn,), daemon=True
             )
             t.start()
+            # prune finished handlers so _threads stays O(live connections),
+            # not O(connections ever accepted)
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _handle_conn(self, conn: socket.socket) -> None:
@@ -210,6 +218,12 @@ class SocketLineServer:
                     overflow = True
                     pending.clear()
         finally:
+            if pending and not overflow:
+                # EOF with an unterminated fragment: its newline can never
+                # arrive, so the bytes are dropped — but counted, because
+                # a silently lossy edge is how producers ship bugs
+                with self._lock:
+                    self._truncated += 1
             conn.close()
 
     def _append_lines(self, complete: bytes, leading_overflow: bool) -> None:

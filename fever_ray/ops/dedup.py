@@ -54,6 +54,26 @@ def _auto_parts(ds, floor: int = 64, per_file: int = 2) -> int:
     return floor
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """``ds.schema().base_schema`` as a real ``pa.Schema``.
+
+    Parquet-backed datasets hand back Arrow schemas directly; datasets born
+    from ``from_pandas`` / ``from_items`` carry a ``PandasBlockSchema``
+    (names + numpy dtypes, no ``.field``) — map it through
+    ``pa.from_numpy_dtype`` so callers can use one code path (the
+    ``_pair_reduce_bucketed`` fallback, shared)."""
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return sch
+
+    def conv(t):
+        if t is None or getattr(t, "kind", None) == "O":
+            return pa.string()  # pandas object column: strings in practice
+        return pa.from_numpy_dtype(t)
+
+    return pa.schema([(n, conv(t)) for n, t in zip(sch.names, sch.types)])
+
+
 def _chain_pairs(ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Linear fallback for an oversized bucket: adjacent-id chain pairs.
     Preserves connectivity (every member still reaches the bucket's min id

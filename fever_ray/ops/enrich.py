@@ -40,15 +40,37 @@ def system_rdns_resolver(ip: str, timeout_s: float = 2.0) -> str:
     reference caches failed lookups.  Pass
     ``CachedEnricher(resolver=system_rdns_resolver)`` for live
     resolution; the deterministic fake stays the default because a
-    network dependency must be opted into, never silently on."""
-    import socket
+    network dependency must be opted into, never silently on.
 
-    old = socket.getdefaulttimeout()
-    socket.setdefaulttimeout(timeout_s)
-    try:
-        return socket.gethostbyaddr(ip)[0]
-    finally:
-        socket.setdefaulttimeout(old)
+    ``timeout_s`` is enforced by running the lookup on a worker thread
+    with a real deadline: ``socket.setdefaulttimeout`` would only bound
+    Python-created sockets, NOT the libc resolver behind
+    ``gethostbyaddr`` (a dead nameserver would stall ~30 s regardless),
+    and mutating process-global socket state races other threads.  On
+    timeout the orphaned thread finishes in the background (daemon; the
+    libc call cannot be cancelled) — the CALLER is unblocked, which is
+    the property the actor pool needs."""
+    import socket
+    import threading
+
+    box: list = []
+
+    def work():
+        try:
+            box.append(socket.gethostbyaddr(ip))
+        except Exception as e:  # surfaced to the caller below
+            box.append(e)
+
+    # daemon thread (not ThreadPoolExecutor: its workers are non-daemon
+    # and atexit-joined, so a hung libc call would stall process exit)
+    t = threading.Thread(target=work, daemon=True, name=f"rdns-{ip}")
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        raise TimeoutError(f"rdns lookup for {ip} exceeded {timeout_s}s")
+    if isinstance(box[0], Exception):
+        raise box[0]
+    return box[0][0]
 
 
 class CachedEnricher:

@@ -13,19 +13,19 @@ engine, windows become event-time bucket KEYS — strictly stronger semantics
   terminal event / TTL) generalized: per-key gap-based session windows via
   ``groupby(key).map_groups`` over ts-sorted groups.
 * ``asof_join``        — each left row matched to the latest right row with
-  ts ≤ left.ts per key: bucketed co-group + ``pd.merge_asof`` per bucket
-  (the custom-operator pattern: partitioning assumption = one key's rows
-  fit a group).
+  ts ≤ left.ts per key: bucketed co-group + a sorted-run ``searchsorted``
+  Arrow kernel per bucket (the custom-operator pattern: partitioning
+  assumption = one key's rows fit a group).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .aggregates import _cents, _uncents, tree_groupby
+from .dedup import _arrow_schema
 
 
 def tumbling_window(events_ds, ts_col: str = "ts", key: str | None = "event_type",
@@ -275,7 +275,7 @@ def sessionize(events_ds, key: str = "user_id", ts_col: str = "ts",
 
     gap_us = gap_s * 1_000_000
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    key_type = events_ds.schema().base_schema.field(key).type
+    key_type = _arrow_schema(events_ds).field(key).type
 
     def tag(batch: pa.Table) -> pa.Table:
         narrow = batch.select([key, ts_col])
@@ -349,17 +349,30 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
               n_buckets: int | None = None, direction: str = "backward",
               right_cols: list[str] | None = None):
     """As-of join: for each left row, the latest right row with
-    right.ts <= left.ts (direction='backward') sharing ``key``.
+    right.ts <= left.ts (direction='backward'; 'forward' = earliest right
+    row with right.ts >= left.ts) sharing ``key``.
 
     Implementation: hash-bucket both sides on key, union with a side tag,
-    co-group per bucket, ``pd.merge_asof`` per bucket after sorting.
-    Partitioning assumption: one bucket fits a worker.  n_buckets defaults
-    to ``_auto_parts`` over the LARGER side (the ops/dedup.py pattern), so
-    rows/bucket stays roughly constant as the input grows instead of one
-    bucket owning 1/16 of everything; salt hot keys upstream if needed.
+    co-group per bucket; inside a bucket both sides sort by (key-code, ts)
+    once and one vectorized ``searchsorted`` per left key-run finds each
+    row's match — the same sorted-run Arrow kernel as ``sessionize`` /
+    ``interval_join``, no pandas conversion anywhere (ties on right.ts
+    resolve to the last row in stable input order, pd.merge_asof's rule).
+    Unmatched left rows keep their exact integer dtypes; the ``r_*``
+    columns are null for them.  Partitioning assumption: one bucket fits a
+    worker.  n_buckets defaults to ``_auto_parts`` over the LARGER side
+    (the ops/dedup.py pattern), so rows/bucket stays roughly constant as
+    the input grows instead of one bucket owning 1/16 of everything; salt
+    hot keys upstream if needed.
     """
     from ..sketches.hashing import bucket_of
     from .dedup import _auto_parts
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got "
+            f"{direction!r}"
+        )
 
     if n_buckets is None:
         n_buckets = max(
@@ -378,9 +391,9 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
 
         return fn
 
-    lschema = left_ds.schema().base_schema
+    lschema = _arrow_schema(left_ds)
     l_cols = list(lschema.names)
-    r_cols = right_cols if right_cols else list(right_ds.schema().base_schema.names)
+    r_cols = right_cols if right_cols else list(_arrow_schema(right_ds).names)
     if key not in r_cols:
         r_cols = [key] + r_cols
     if ts_col not in r_cols:
@@ -404,7 +417,7 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
     all_types = {}
     for f in lschema:
         all_types[f.name] = f.type
-    for f in right_ds.schema().base_schema:
+    for f in _arrow_schema(right_ds):
         if f.name not in all_types:
             all_types[f.name] = f.type
     # right-side value columns get a suffix to avoid collision (except key/ts)
@@ -431,26 +444,82 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
         batch_format="pyarrow",
     )
 
-    # the union pads each side's missing columns with nulls, which floats
-    # pandas int columns; restore the left schema's integer dtypes after the
-    # side filter (no nulls remain) so e.g. event_id stays int64
-    l_int_cols = [
-        f.name for f in lschema if pa.types.is_integer(f.type) and f.name != key
-    ]
+    # output = left columns (sorted-name order, matching the old pandas
+    # column order) + r_-prefixed right value columns, null where unmatched
+    out_l = sorted(l_cols)
+    out_types = {c: all_types[c] for c in out_l}
+    for c in r_value_cols:
+        out_types[f"r_{c}"] = all_types[c]
+    out_names = out_l + [f"r_{c}" for c in r_value_cols]
+    empty = pa.table({c: pa.nulls(0, out_types[c]) for c in out_names})
+    backward = direction == "backward"
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lt = g[g["__side"] == "l"][[c for c in g.columns if c in l_cols]]
-        rt = g[g["__side"] == "r"][[key, ts_col] + [f"r_{c}" for c in r_value_cols]]
-        lt = lt.astype({c: "int64" for c in l_int_cols if c in lt.columns})
-        lt = lt.sort_values(ts_col, kind="mergesort")
-        rt = rt.sort_values(ts_col, kind="mergesort")
-        out = pd.merge_asof(
-            lt, rt, on=ts_col, by=key, direction=direction, suffixes=("", "_r")
+    def _ts_i64(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        a = col.to_numpy(zero_copy_only=False)
+        return a.view(np.int64) if a.dtype.kind == "M" else a.astype(np.int64)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lt = g.filter(pc.equal(side, "l"))
+        nl = lt.num_rows
+        if not nl:
+            return empty
+        rt = g.filter(pc.equal(side, "r"))
+        nr = rt.num_rows
+        codes = (
+            pc.dictionary_encode(
+                pa.concat_arrays(
+                    [lt.column(key).combine_chunks(),
+                     rt.column(key).combine_chunks()]
+                )
+            ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        return out
+        lc = codes[:nl]
+        lts = _ts_i64(lt.column(ts_col))
+        lorder = np.lexsort((lts, lc))
+        lc, lts = lc[lorder], lts[lorder]
+        match = np.zeros(nl, dtype=np.int64)
+        valid = np.zeros(nl, dtype=bool)
+        if nr:
+            rc = codes[nl:]
+            rts = _ts_i64(rt.column(ts_col))
+            rorder = np.lexsort((rts, rc))
+            rc_s, rts_s = rc[rorder], rts[rorder]
+            run_starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(lc) != 0) + 1, [nl])
+            )
+            for a, b in zip(run_starts[:-1], run_starts[1:]):
+                cs = int(np.searchsorted(rc_s, lc[a]))
+                ce = int(np.searchsorted(rc_s, lc[a], side="right"))
+                blk = rts_s[cs:ce]
+                if backward:
+                    # last right row with rts <= lts; equal-ts ties take
+                    # the last row in stable input order (lexsort is
+                    # stable), pd.merge_asof's tie rule
+                    idx = cs + np.searchsorted(blk, lts[a:b], side="right") - 1
+                    ok = idx >= cs
+                else:
+                    idx = cs + np.searchsorted(blk, lts[a:b], side="left")
+                    ok = idx < ce
+                match[a:b] = np.where(ok, idx, 0)
+                valid[a:b] = ok
+        l_take = pa.array(lorder, pa.int64())
+        cols = {}
+        for c in out_l:
+            cols[c] = pc.take(lt.column(c), l_take)
+        if nr:
+            r_take = pa.array(rorder[match], pa.int64(), mask=~valid)
+            for c in r_value_cols:
+                cols[f"r_{c}"] = pc.take(rt.column(f"r_{c}"), r_take)
+        else:
+            for c in r_value_cols:
+                cols[f"r_{c}"] = pa.nulls(nl, out_types[f"r_{c}"])
+        return pa.table(cols)
 
     both = left_t.union(right_t)
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ interval join
@@ -463,7 +532,7 @@ def interval_join(
     hi: int = 0,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ):
     """Event-time range join: for each left row, EVERY right row sharing
     ``key`` with ``right.ts − left.ts ∈ [lo, hi]`` microseconds (inclusive
@@ -482,19 +551,26 @@ def interval_join(
     range expansion materializes all pairs — no per-row Python, the only
     Python loop is per DISTINCT KEY in the bucket (the coarse-partition +
     vectorized-runs posture of the dedup family).  Partitioning
-    assumption: one bucket's rows fit a worker; size ``n_buckets`` so
-    rows/bucket is bounded and salt hot keys upstream if needed.
+    assumption: one bucket's rows fit a worker; n_buckets defaults to
+    ``_auto_parts`` over the LARGER side (the asof_join rule) so
+    rows/bucket stays roughly constant as the input grows; salt hot keys
+    upstream if needed.
     """
     from ..sketches.hashing import bucket_of
+    from .dedup import _auto_parts
 
     if lo > hi:
         raise ValueError(f"interval_join: lo ({lo}) > hi ({hi})")
+    if n_buckets is None:
+        n_buckets = max(
+            _auto_parts(left_ds, floor=16), _auto_parts(right_ds, floor=16)
+        )
 
     def _bucket_of(col) -> np.ndarray:
         return bucket_of(col, n_buckets)
 
-    lschema = left_ds.schema().base_schema
-    rschema = right_ds.schema().base_schema
+    lschema = _arrow_schema(left_ds)
+    rschema = _arrow_schema(right_ds)
     l_cols = left_cols or list(lschema.names)
     if key not in l_cols:
         l_cols = [key] + l_cols
@@ -723,7 +799,7 @@ def running_totals(events_ds, key: str = "user_id", ts_col: str = "ts",
     from .dedup import _auto_parts
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
     id_type = base_schema.field(id_col).type
     tag = _window_tag_fn(key, ts_col, id_col, value_col, n_parts,
@@ -1026,7 +1102,7 @@ def rolling_window_sum(
     from .dedup import _auto_parts
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
     id_type = base_schema.field(id_col).type
     W = int(window_rows)
@@ -1109,7 +1185,7 @@ def time_range_sum(
     from .dedup import _auto_parts
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
     id_type = base_schema.field(id_col).type
     W = int(window_s) * 1_000_000  # ts is pinned timestamp[us] by the tag
@@ -1198,7 +1274,7 @@ def locf_fill(
     from .dedup import _auto_parts
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
     id_type = base_schema.field(id_col).type
 
@@ -1534,7 +1610,7 @@ def theil_sen_trend(
     from .dedup import _auto_parts
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
     tag = _window_tag_fn(key, ts_col, id_col, value_col, n_parts,
                          "theil_sen_trend")
@@ -1687,7 +1763,7 @@ def spearman_corr(
             "int64 moments (den grows as 4n^4)"
         )
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
     tag = _window_tag_fn(key, ts_col, id_col, value_col, n_parts,
                          "spearman_corr")
@@ -1874,7 +1950,7 @@ def burst_max(
     if window_us <= 0:
         raise ValueError(f"burst_max: window_us must be positive, got {window_us}")
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
     W = np.int64(window_us)
 
@@ -2072,7 +2148,7 @@ def time_to_nth_event(
     from ..sketches.hashing import bucket_of
 
     n_parts = num_partitions or _auto_parts(events_ds, floor=32)
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -2272,7 +2348,7 @@ def max_streak(
             "bucket", pa.array(bucket_of(t.column(key), P), pa.int32())
         )
 
-    base_schema = events_ds.schema().base_schema
+    base_schema = _arrow_schema(events_ds)
     key_type = base_schema.field(key).type
 
     def per_bucket(g: pa.Table) -> pa.Table:

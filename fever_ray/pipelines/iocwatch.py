@@ -68,7 +68,10 @@ def ioc_follow(
 
     ``matches`` counts only this iteration's rows; ``total_matches`` sums
     the manifest.  A changed artifact between iterations sets
-    ``reloaded`` and applies to every shard from that iteration on.
+    ``reloaded`` and applies to every shard from that iteration on; if it
+    changes during an idle stretch (no new files), a reload-only status
+    row (``new_files=[]``) is yielded so the generation change is never
+    silently absorbed.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -105,15 +108,22 @@ def ioc_follow(
         files = sorted(_glob.glob(input_glob))
         pending = [f for f in files if f not in done_inputs]
         if not pending and not first:
-            idle += 1
-            if max_idle_polls is not None and idle >= max_idle_polls:
-                return
-            if poll_s:
-                time.sleep(poll_s)
-            # NOT a yield: an idle poll with an unchanged corpus reports
-            # nothing, fever-style (flush timers fire on data)
-            last_sha = sha
-            continue
+            if not reloaded:
+                idle += 1
+                if max_idle_polls is not None and idle >= max_idle_polls:
+                    return
+                if poll_s:
+                    time.sleep(poll_s)
+                # NOT a yield: an idle poll with an unchanged corpus AND
+                # unchanged filter reports nothing, fever-style (flush
+                # timers fire on data).  last_sha deliberately NOT
+                # advanced here — it tracks the last REPORTED generation,
+                # so an artifact rewritten during an idle stretch still
+                # surfaces as reloaded=True on the next yield.
+                continue
+            # the artifact changed during an idle stretch: fall through
+            # and yield a reload-only status row (new_files=[]) so the
+            # filter-generation change is observable without data
 
         n_matches = 0
         if pending:

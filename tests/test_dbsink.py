@@ -156,3 +156,18 @@ def test_dbsink_read_back_with_ray_read_sql(ray_session, tmp_path):
         ids += list(df["event_id"])
     assert total == 400
     assert sorted(ids) == list(range(400))
+
+
+def test_dbsink_null_rotation_ts_fails_loudly():
+    """A null in the rotation column must raise a clear ValueError naming
+    the problem up front — not a NaN bucket that dies as an opaque
+    numpy/int error deep inside a Ray write task (ADVICE r3)."""
+    import pytest
+
+    from fever_ray.io_.dbsink import _bucket_labels
+
+    ts = pa.chunked_array(
+        [pa.array([1_700_000_000_000_000, None], pa.timestamp("us"))]
+    )
+    with pytest.raises(ValueError, match="null"):
+        _bucket_labels(ts, 3600)

@@ -86,3 +86,35 @@ def test_ioc_follow_live_reload_and_resume(ray_session, tmp_path):
         "http://evil-a.test/x2",
         "http://evil-b.test/y2",
     ]
+
+
+def test_ioc_follow_reload_during_idle_is_reported(ray_session, tmp_path):
+    """An artifact rewritten while the corpus is idle must surface as a
+    reload-only status row (new_files=[]) — idle polls must not absorb
+    the generation change (ADVICE r3: last_sha advanced on idle)."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    bloom_path = str(tmp_path / "iocs.bloom")
+    out = str(tmp_path / "matches")
+    build_filter(["evil-a.test"], n=1000, p=1e-7).save(bloom_path)
+
+    _shard(land / "s1.parquet", URLS_1)
+    it = ioc_follow(
+        str(land / "*.parquet"), bloom_path, out, poll_s=0, max_idle_polls=3
+    )
+    s1 = next(it)
+    assert s1["matches"] == 1 and not s1["reloaded"]
+
+    # rewrite the artifact with NO new shards: the next status row must
+    # report the reload even though there is nothing to scan
+    bf = BloomFilter.load_with_fallback(bloom_path)
+    bf.add(["evil-b.test"])
+    bf.save(bloom_path)
+    s2 = next(it)
+    assert s2["reloaded"] is True
+    assert s2["new_files"] == [] and s2["matches"] == 0
+    assert s2["bloom_sha"] != s1["bloom_sha"]
+    # and the generation is not re-reported on the next data iteration
+    _shard(land / "s2.parquet", URLS_2)
+    s3 = next(it)
+    assert s3["reloaded"] is False and s3["matches"] == 2

@@ -188,3 +188,29 @@ def test_cut_segments_fuzz_random_append_patterns(tmp_path):
         rows += pq.read_table(p).column("event_id").to_pylist()
     assert rows == written  # order, completeness, no duplicates
     assert spooled_offset(spool) == os.path.getsize(journal)
+
+
+def test_socket_server_counts_truncated_eof_fragment(tmp_path):
+    """A client that disconnects without a trailing newline loses the
+    fragment (its newline can never arrive) — the loss must be counted,
+    not silent (ADVICE r3: SocketLineServer dropped it uncounted)."""
+    sock = str(tmp_path / "ingest.sock")
+    journal = str(tmp_path / "events.jsonl")
+    with SocketLineServer(sock, journal, max_line_bytes=1 << 16) as srv:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(sock)
+        c.sendall(_event_line(1) + b"\n")
+        c.sendall(b'{"event_id": 2')  # never terminated
+        time.sleep(0.3)
+        c.close()
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline:
+            s = srv.stats()
+            if s["truncated_dropped"] == 1 and s["lines"] == 1:
+                break
+            time.sleep(0.05)
+        s = srv.stats()
+    assert s["lines"] == 1
+    assert s["truncated_dropped"] == 1
+    # a clean close right after a newline is NOT counted as truncation
+    assert s["oversized_dropped"] == 0

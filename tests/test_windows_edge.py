@@ -1275,3 +1275,78 @@ def test_rolling_distinct_hll_matches_exact_domain_and_bound(ray_session):
         rolling_distinct_hll(ds, window_days=0)
     with pytest.raises(Exception, match="max_days"):
         rolling_distinct_hll(ds, window_days=7, max_days=3)
+
+
+def test_asof_join_from_pandas_blocks(rd):
+    """Datasets born from pandas blocks carry a PandasBlockSchema (no
+    .field); the schema-dependent window ops must take the _arrow_schema
+    fallback, not AttributeError (ADVICE r3 flagged sessionize)."""
+    import pandas as pd
+
+    from fever_ray.ops.windows import sessionize
+
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "user_id": [1, 2, 1],
+                "ts": pd.to_datetime([10, 20, 30], unit="s").astype(
+                    "datetime64[us]"
+                ),
+                "event_id": [1, 2, 3],
+            }
+        )
+    )
+    right = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "user_id": [1, 2],
+                "ts": pd.to_datetime([5, 25], unit="s").astype("datetime64[us]"),
+                "value": [1.0, 2.0],
+            }
+        )
+    )
+    rows = sorted(
+        (r["event_id"], r["r_value"])
+        for r in asof_join(left, right, key="user_id").take_all()
+    )
+    assert rows == [(1, 1.0), (2, None), (3, 1.0)]
+    # sessionize over a pandas-block dataset exercises the same fallback
+    sess = sessionize(left, key="user_id", ts_col="ts", gap_s=5).take_all()
+    assert sum(r["n_events"] for r in sess) == 3
+
+
+def test_asof_join_forward_direction(rd):
+    """direction='forward': earliest right row with ts >= left.ts; ties
+    and absent keys behave symmetrically to backward."""
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": [1, 1, 2],
+                "ts": pa.array([10, 40, 10], pa.timestamp("us")),
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": [1, 1, 2],
+                "ts": pa.array([15, 30, 5], pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0, 3.0]),
+            }
+        )
+    )
+    from fever_ray.ops.windows import asof_join as aj
+
+    rows = sorted(
+        (r["event_id"], r["r_value"])
+        for r in aj(left, right, key="user_id", direction="forward").take_all()
+    )
+    # event 1 (ts=10) → right ts=15; event 2 (ts=40) → none after; event 3
+    # (user 2, ts=10) → none at-or-after 10
+    assert rows == [(1, 1.0), (2, None), (3, None)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        aj(left, right, key="user_id", direction="nearest")
