@@ -598,6 +598,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 conn.close()
         return df
 
+    def q_docsink_roundtrip(sf):
+        """Document-store sink gate (the MongoSlurper face,
+        io_.docsink.MongoDocumentSink over a file-backed stub client):
+        events route to per-type capped collections — the corpus's event
+        vocabulary mapped onto fever's collection names, with one type
+        deliberately left unknown so the misc reroute is exercised — and
+        the per-collection landed counts must equal the SQL routing
+        exactly.  Reference: slurper_mongodb.go:15-110,196-270."""
+        import json as _json
+        import os as _os
+        import tempfile
+
+        from fever_ray.io_.docsink import (
+            MongoDocumentSink,
+            write_document_collections,
+        )
+
+        TYPE_MAP = {"view": "http", "click": "dns", "purchase": "flow",
+                    "signup": "smtp"}  # 'error' stays unknown → misc
+
+        def remap(b: pa.Table) -> pa.Table:
+            et = b.column("event_type")
+            if isinstance(et, pa.ChunkedArray):
+                et = et.combine_chunks()
+            mapped = pa.array(
+                [TYPE_MAP.get(v, v) for v in et.to_pylist()], pa.string()
+            )
+            return b.set_column(
+                b.schema.get_field_index("event_type"), "event_type", mapped
+            )
+
+        # file-backed stub defined as CLOSURES (pickled by value — write
+        # tasks can't import __ray_entry__ by name)
+        def make_stub(root):
+            class Coll:
+                def __init__(self, name):
+                    self.name = name
+
+                def insert_many(self, docs):
+                    with open(_os.path.join(root, f"{self.name}.jsonl"), "a") as fh:
+                        for d in docs:
+                            fh.write(_json.dumps({"event_id": d["event_id"]}) + "\n")
+
+                def create_index(self, keys, background=False):
+                    pass
+
+            class DB:
+                def create_collection(self, name, capped=False, size=0):
+                    pass
+
+                def __getitem__(self, name):
+                    return Coll(name)
+
+            class Client:
+                def __getitem__(self, dbname):
+                    return DB()
+
+                def close(self):
+                    pass
+
+            return Client()
+
+        with tempfile.TemporaryDirectory() as td:
+
+            def connect(root=td):
+                return make_stub(root)
+
+            sink = MongoDocumentSink(connect, chunk_docs=4096)
+            res = write_document_collections(
+                _t(sf, "events", ["event_id", "event_type"]).map_batches(
+                    remap, batch_format="pyarrow"
+                ),
+                sink,
+                concurrency=1,
+            )
+            # read the landed files back: the artifact, not the summary,
+            # is what the gate hashes
+            rows = []
+            for name in sorted(res["collections"]):
+                with open(_os.path.join(td, f"{name}.jsonl")) as fh:
+                    n = sum(1 for _ in fh)
+                rows.append({"collection": name, "n": n})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("collection", pa.string()), ("n", pa.int64())]),
+        )
+
     def q_suggest_card(sf):
         """Constraint SUGGESTION card (deequ's ConstraintSuggestion,
         sketch-first — ops.checks.suggest_checks): two streaming passes
@@ -4826,6 +4913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_quality": q_data_quality,
         "suggest_card": q_suggest_card,
         "dbsink_roundtrip": q_dbsink_roundtrip,
+        "docsink_roundtrip": q_docsink_roundtrip,
         "plan_card": q_plan_card,
         "change_point": q_change_point,
         "gopher_rules": q_gopher_rules,
@@ -6532,6 +6620,14 @@ def oracle_sql() -> dict[str, str]:
             # Arrow's %S already includes)
             "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts, "
             "event_type, value FROM events"
+        ),
+        "docsink_roundtrip": (
+            # the sink's per-collection landed counts: corpus event types
+            # mapped onto fever's collection names, unknown ones in misc
+            "SELECT CASE event_type WHEN 'view' THEN 'http' "
+            "WHEN 'click' THEN 'dns' WHEN 'purchase' THEN 'flow' "
+            "WHEN 'signup' THEN 'smtp' ELSE 'misc' END AS collection, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
         ),
         "suggest_card": (
             # exact mirror of the suggestion engine's emitted card rows:

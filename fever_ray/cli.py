@@ -374,7 +374,25 @@ def cmd_follow(args) -> int:
 
         spool = args.input
         os.makedirs(spool, exist_ok=True)
-        pre_poll = lambda: cut_segments(args.tail_journal, spool)  # noqa: E731
+        drainer = None
+        if getattr(args, "redis_url", None):
+            # queue front door: drain the Redis list into the journal each
+            # poll, then the normal cut/build picks the lines up — queue
+            # users get the checkpoint/replay semantics for free
+            from .io_.tail import RedisQueueDrainer
+
+            drainer = RedisQueueDrainer(
+                args.tail_journal,
+                url=args.redis_url,
+                queue=args.redis_queue,
+            )
+
+        def _pre_poll():
+            if drainer is not None:
+                drainer.drain_until_empty()
+            return cut_segments(args.tail_journal, spool)
+
+        pre_poll = _pre_poll
         specs = _event_tail_specs()
     else:
         from .pipelines.flagship import make_derive_fn, specs_for_input
@@ -1895,6 +1913,15 @@ def main(argv=None) -> int:
         "--tail-journal", dest="tail_journal",
         help="growing JSONL event journal; each poll cuts its new complete "
         "lines into a parquet segment under --input (the spool) first",
+    )
+    pf.add_argument(
+        "--redis-url", dest="redis_url",
+        help="drain this Redis list into --tail-journal each poll "
+        "(requires redis-py; RedisInput analogue)",
+    )
+    pf.add_argument(
+        "--redis-queue", dest="redis_queue", default="suricata",
+        help="Redis list key to drain (default: suricata)",
     )
     pf.add_argument("--num-cpus", dest="num_cpus", type=int)
     pf.set_defaults(fn=cmd_follow)

@@ -243,3 +243,156 @@ class SocketLineServer:
                 fh.write(blob)
             self._lines += len(keep)
             self._bytes += len(blob)
+
+
+class RedisQueueDrainer:
+    """RedisInput analogue — drain a Redis LIST of JSON events into the
+    SAME durable journal :class:`SocketLineServer` appends to, so queue
+    users inherit the ``cut_segments`` checkpoint/replay semantics for
+    free (/root/reference/input/input_redis.go:28-327).
+
+    Drain modes mirror the reference: pipelined ``MULTI`` + batch_size ×
+    ``RPOP`` + ``EXEC`` (input_redis.go:63-136, the high-throughput path)
+    or blocking ``BRPOP`` with a 1 s timeout (:138-161), with the same
+    0.5 s back-off on an empty queue in :meth:`run`.  Elements are whole
+    events (no partial-line reassembly — the queue frames them); an
+    element that is oversized or carries an embedded newline would
+    corrupt the journal's line framing, so it is dropped AND counted
+    (``stats()['malformed_dropped']``), never silently.
+
+    ``client`` is injectable (anything with the redis-py ``pipeline`` /
+    ``rpop`` / ``brpop`` / ``llen`` surface — tests use an in-memory
+    fake); when omitted, ``redis`` is imported lazily (optional
+    dependency, absent in this container) and connected from ``url``.
+    """
+
+    def __init__(
+        self,
+        journal_path: str,
+        client=None,
+        url: str = "redis://localhost:6379/0",
+        queue: str = "suricata",
+        batch_size: int = 256,
+        use_pipelining: bool = True,
+        max_line_bytes: int = 32 << 20,
+        backoff_s: float = 0.5,
+    ):
+        if client is None:
+            try:
+                import redis  # optional dependency
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "redis-py is not installed; pass client= (any object "
+                    "with the redis-py pipeline/rpop/brpop surface) or "
+                    "install redis"
+                ) from e
+            client = redis.Redis.from_url(url)
+        self.client = client
+        self.journal_path = journal_path
+        self.queue = queue
+        self.batch_size = batch_size
+        self.use_pipelining = use_pipelining
+        self.max_line_bytes = max_line_bytes
+        self.backoff_s = backoff_s
+        self._lock = threading.Lock()
+        self._lines = 0
+        self._bytes = 0
+        self._malformed = 0
+
+    @staticmethod
+    def _as_bytes(v) -> bytes:
+        return v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+
+    def _pop_batch(self) -> list[bytes]:
+        if self.use_pipelining:
+            p = self.client.pipeline(transaction=True)
+            for _ in range(self.batch_size):
+                p.rpop(self.queue)
+            out = []
+            for v in p.execute():
+                if v is None:
+                    # first nil means the queue drained mid-batch; the
+                    # remaining replies are nil too (reference breaks at
+                    # the first nil the same way, input_redis.go:121-128)
+                    break
+                out.append(self._as_bytes(v))
+            return out
+        r = self.client.brpop(self.queue, timeout=1)
+        return [self._as_bytes(r[1])] if r else []
+
+    def drain_once(self) -> int:
+        """One pop batch → journal append.  Returns lines landed (0 =
+        queue empty; caller decides whether to back off or stop)."""
+        vals = self._pop_batch()
+        if not vals:
+            return 0
+        keep = []
+        for v in vals:
+            v = bytes(v).strip(b"\n")
+            if not v or len(v) > self.max_line_bytes or b"\n" in v:
+                with self._lock:
+                    self._malformed += 1
+                continue
+            keep.append(v)
+        if keep:
+            blob = b"\n".join(keep) + b"\n"
+            with self._lock:
+                os.makedirs(
+                    os.path.dirname(self.journal_path) or ".", exist_ok=True
+                )
+                with open(self.journal_path, "ab") as fh:
+                    fh.write(blob)
+                self._lines += len(keep)
+                self._bytes += len(blob)
+        return len(keep)
+
+    def drain_until_empty(self, max_batches: int | None = None) -> int:
+        """Drain back-to-back batches until the queue reads empty (the
+        per-poll shape for ``follow --redis-url``: land everything queued,
+        then let the normal cut/build poll proceed)."""
+        total = 0
+        n = 0
+        while True:
+            got = self.drain_once()
+            total += got
+            n += 1
+            if not got or (max_batches is not None and n >= max_batches):
+                return total
+
+    def run(self, stop: threading.Event | None = None,
+            max_drains: int | None = None) -> int:
+        """Reference-style loop: drain, back off ``backoff_s`` when the
+        queue is empty, until ``stop`` is set (or ``max_drains`` pop
+        batches for tests).  Returns total lines landed."""
+        import time as _time
+
+        total = 0
+        drains = 0
+        while not (stop is not None and stop.is_set()):
+            got = self.drain_once()
+            total += got
+            drains += 1
+            if max_drains is not None and drains >= max_drains:
+                break
+            if not got:
+                # BRPOP already blocked for its timeout; the pipelined
+                # path needs the explicit back-off (input_redis.go:19)
+                if self.use_pipelining and self.backoff_s:
+                    _time.sleep(self.backoff_s)
+        return total
+
+    def queue_length(self) -> int | None:
+        """Best-effort LLEN (the reference's perf-stats counter,
+        input_redis.go:196-227); None when the client can't answer."""
+        try:
+            return int(self.client.llen(self.queue))
+        except Exception:
+            return None
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "lines": self._lines,
+                "bytes": self._bytes,
+                "malformed_dropped": self._malformed,
+            }

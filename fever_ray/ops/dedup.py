@@ -356,14 +356,35 @@ _PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 def _pair_reduce_bucketed(pairs, mode: str, alias: str,
                           value_col: str | None = None, n_parts: int = 64,
-                          key_a: str = "doc_a", key_b: str = "doc_b"):
+                          key_a: str = "doc_a", key_b: str = "doc_b",
+                          output_sized: bool = False):
     """One row per (doc_a, doc_b) with count/min/max of ``value_col`` —
     the coarse-bucket replacement for ``groupby([a, b]).aggregate(...)``
     on high-cardinality pair keys (the CLAUDE-rule shape: Dataset
     groupby-aggregate pays the same sort-shuffle tax as map_groups there;
     a pair-hash bucket shuffle + one vectorized lexsort/reduceat per
-    bucket was measured 5.5x on skinny rows).  Column names match the
-    aggregate it replaces: (doc_a, doc_b, alias)."""
+    bucket was measured 5.5x on 16M skinny candidate rows).  Column names
+    match the aggregate it replaces: (doc_a, doc_b, alias).
+
+    ``output_sized=True`` declares the pair set OUTPUT-sized (verified
+    near-dup pairs — orders of magnitude below the candidate stream) and
+    flips to the plain streamed ``groupby.aggregate``: at that size the
+    bucketed path's extra chained all-to-all costs more than it saves
+    (interleaved 5×2 A/B on the embedding_dups bench, near-empty pairs:
+    bucketed 1.27-1.35 s vs streamed aggregate 0.79-0.87 s — the r02→r03
+    regression; a mid-chain materialize size-gate read the same 1.3 s,
+    so the gate itself was the cost).  CANDIDATE-sized pair streams
+    (minhash band counts) must keep the bucketed path."""
+    if output_sized:
+        from ray.data.aggregate import Count, Max, Min
+
+        agg = (
+            Count(alias_name=alias)
+            if mode == "count"
+            else (Min if mode == "min" else Max)(value_col, alias_name=alias)
+        )
+        return pairs.groupby([key_a, key_b]).aggregate(agg)
+
     pu = np.uint64(n_parts)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -417,7 +438,12 @@ def _pair_reduce_bucketed(pairs, mode: str, alias: str,
         )
 
     return (
-        pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        # batch_size bundles the skinny pair rows (the block-tax rule):
+        # upstream verify stages emit one block per partition, many nearly
+        # empty, and the sort shuffle pays input_blocks × n_parts slicing
+        # overhead even on few rows
+        pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=32768)
         .groupby("pb")
         .map_groups(reduce_bucket, batch_format="pyarrow")
     )
@@ -1026,7 +1052,8 @@ def simhash_near_dup_pairs(
         .map_groups(verify_partition, batch_format="pyarrow")
     )
     return _pair_reduce_bucketed(
-        pairs, "min", "hamming", value_col="hamming", n_parts=n_parts
+        pairs, "min", "hamming", value_col="hamming", n_parts=n_parts,
+        output_sized=True,
     )
 
 
@@ -1174,7 +1201,7 @@ def embedding_dup_pairs(
     )
     return _pair_reduce_bucketed(
         pairs, "max", "cosine", value_col="cosine", n_parts=n_parts,
-        key_a="vec_a", key_b="vec_b",
+        key_a="vec_a", key_b="vec_b", output_sized=True,
     )
 
 

@@ -19,7 +19,10 @@ batch), and additionally carries pure-numpy decoders for BMP and
 PPM/PGM, so genuinely real pixel decoding works even in this
 library-free container for those formats; payloads no codec can decode
 fall back to the deterministic fake (or raise with ``strict=True``).
-Video/audio remain stubbed (no ffmpeg anywhere reachable).
+Video frames go through the same seam: ``VideoCodec`` probes for an
+``ffmpeg`` binary per actor (``FrameSampleStub(codec='auto')``) and
+splits its concatenated-PPM output with the built-in netpbm scanner;
+audio remains stubbed (no decoder of any kind reachable here).
 """
 
 from __future__ import annotations
@@ -135,8 +138,11 @@ class ImageCodec:
         return w, h, rgb
 
     @staticmethod
-    def _decode_pnm(b: bytes):
-        # binary netpbm: magic, then whitespace/comment-separated w h maxval
+    def _scan_pnm_header(b: bytes):
+        """Parse a binary-netpbm header: magic, then whitespace/comment-
+        separated w h maxval.  Returns ``(w, h, maxval, data_pos)`` or
+        None — shared by the single-image decoder and the video codec's
+        concatenated-PPM frame splitter."""
         fields, pos = [], 2
         while len(fields) < 3 and pos < len(b):
             c = b[pos : pos + 1]
@@ -161,6 +167,14 @@ class ImageCodec:
         w, h, maxval = fields
         if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16 and 0 < maxval < 256):
             return None
+        return w, h, maxval, pos
+
+    @staticmethod
+    def _decode_pnm(b: bytes):
+        hdr = ImageCodec._scan_pnm_header(b)
+        if hdr is None:
+            return None
+        w, h, _maxval, pos = hdr
         ch = 3 if b[:2] == b"P6" else 1
         need = w * h * ch
         if pos + need > len(b):
@@ -262,23 +276,123 @@ def decode_images(ds, payload_col: str = "html", batch_size: int = 64,
     )
 
 
+class VideoCodec:
+    """Per-actor REAL video frame extractor: probes for an ``ffmpeg``
+    binary ONCE in ``__init__`` (the PIL pattern — per actor, never per
+    batch).  ``extract_frames(payload)`` pipes the container bytes
+    through ``ffmpeg -f image2pipe -vcodec ppm`` and splits the
+    self-describing concatenated P6 frames with the SAME pure-numpy
+    netpbm scanner :class:`ImageCodec` uses — no Python pixel loop, no
+    probe-for-dimensions second binary.  Returns
+    ``[(w, h, float32 HxWx3), ...]`` or None (no binary / undecodable
+    payload), so callers fall back to the deterministic stub exactly
+    like the image path."""
+
+    def __init__(self, binary: str | None = None, timeout_s: float = 120.0):
+        import shutil
+
+        self._bin = binary if binary is not None else shutil.which("ffmpeg")
+        self.timeout_s = timeout_s
+
+    @property
+    def has_ffmpeg(self) -> bool:
+        return self._bin is not None
+
+    def extract_frames(self, payload: bytes, max_frames: int = 4,
+                       fps: float | None = None):
+        if not self._bin or not payload:
+            return None
+        import subprocess
+
+        cmd = [self._bin, "-v", "error", "-i", "pipe:0"]
+        if fps:
+            cmd += ["-vf", f"fps={fps}"]
+        cmd += ["-frames:v", str(int(max_frames)),
+                "-f", "image2pipe", "-vcodec", "ppm", "pipe:1"]
+        try:
+            out = subprocess.run(
+                cmd, input=bytes(payload), capture_output=True,
+                timeout=self.timeout_s,
+            ).stdout
+        except Exception:
+            return None
+        frames, pos = [], 0
+        while len(frames) < max_frames and out[pos : pos + 2] == b"P6":
+            hdr = ImageCodec._scan_pnm_header(out[pos:])
+            if hdr is None:
+                break
+            w, h, _maxval, data = hdr
+            dec = ImageCodec._decode_pnm(out[pos:])
+            if dec is None:
+                break
+            frames.append(dec)
+            pos += data + w * h * 3
+        return frames or None
+
+
 class FrameSampleStub:
     """Video frame-sampling stage shape: emits one row per sampled 'frame'
     (flat_map semantics via map_batches returning more rows than input).
-    Frame count/positions derive deterministically from payload length."""
 
-    def __init__(self, payload_col: str = "html", every_n_bytes: int = 4096, max_frames: int = 4):
+    ``codec='fake'`` (default, the oracle-gated configuration): frame
+    count/positions derive deterministically from payload length, output
+    columns are (… keys, frame_index, frame_offset) — unchanged.
+
+    ``codec='auto'``: a per-actor :class:`VideoCodec` probes for ffmpeg
+    in ``__init__``; payloads it decodes emit their REAL frames (count ≤
+    max_frames) with real ``frame_width``/``frame_height``/
+    ``frame_features`` columns; undecodable payloads (or no binary at
+    all) fall back to the stub fan-out with fake per-frame metadata —
+    or raise with ``strict=True``, mirroring ``DecodeImageStub``."""
+
+    def __init__(self, payload_col: str = "html", every_n_bytes: int = 4096,
+                 max_frames: int = 4, codec: str = "fake",
+                 strict: bool = False, fps: float | None = None,
+                 ffmpeg_binary: str | None = None):
+        if codec not in ("fake", "auto"):
+            raise ValueError(f"codec must be 'fake' or 'auto', got {codec!r}")
         self.payload_col = payload_col
         self.every = every_n_bytes
         self.max_frames = max_frames
+        self.codec = (
+            VideoCodec(binary=ffmpeg_binary) if codec == "auto" else None
+        )
+        self.strict = strict
+        self.fps = fps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        col = batch.column(self.payload_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         lens = pc.binary_length(
-            pc.fill_null(batch.column(self.payload_col), b"")
+            col.fill_null(b"") if col.null_count else col
         ).to_numpy(zero_copy_only=False)
         n_frames = np.clip(lens // self.every, 1, self.max_frames).astype(np.int64)
+
+        real: dict[int, list] = {}
+        if self.codec is not None:
+            fake_w, fake_h, fake_f = _fake_decode(col)
+            for i in range(len(col)):
+                payload = col[i].as_py()
+                frames = (
+                    self.codec.extract_frames(
+                        payload, max_frames=self.max_frames, fps=self.fps
+                    )
+                    if payload
+                    else None
+                )
+                if frames is not None:
+                    real[i] = frames
+                    n_frames[i] = len(frames)
+                elif self.strict:
+                    raise NotImplementedError(
+                        f"no video codec decodes payload row {i} "
+                        f"({len(payload or b'')} bytes; ffmpeg "
+                        f"{'present' if self.codec.has_ffmpeg else 'absent'})"
+                    )
+
         # vectorized fan-out: repeat each source row n_frames[i] times via a
         # single take, then attach per-frame index/offset columns
         rep_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_frames)
@@ -292,7 +406,29 @@ class FrameSampleStub:
         t = t.append_column(
             "frame_offset", pa.array(frame_index * self.every, type=pa.int64())
         )
-        return t
+        if self.codec is None:
+            return t
+        # auto mode: per-frame real metadata where decoded, fake otherwise
+        fw = np.empty(total, np.int32)
+        fh = np.empty(total, np.int32)
+        ff = np.empty((total, FEATURE_DIM), np.float32)
+        for j in range(total):
+            i = int(rep_idx[j])
+            if i in real:
+                w, h, arr = real[i][int(frame_index[j])]
+                fw[j], fh[j] = w, h
+                ff[j] = _pixel_features(w, h, arr)
+            else:
+                fw[j], fh[j] = fake_w[i], fake_h[i]
+                ff[j] = fake_f[i]
+        t = t.append_column("frame_width", pa.array(fw, pa.int32()))
+        t = t.append_column("frame_height", pa.array(fh, pa.int32()))
+        return t.append_column(
+            "frame_features",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(ff.ravel(), pa.float32()), FEATURE_DIM
+            ),
+        )
 
 
 class ResizeStub:

@@ -1268,3 +1268,114 @@ def test_decode_real_codec_pil_path():
     out = m(pa.table({"html": [buf.getvalue()]}))
     assert out.column("img_width").to_pylist() == [6]
     assert out.column("img_height").to_pylist() == [4]
+
+
+def _ppm_frame(w, h, val):
+    import numpy as np
+
+    px = np.full((h, w, 3), val, dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def test_video_codec_splits_concatenated_ppm_frames(tmp_path):
+    """VideoCodec's whole pipe path driven by a FAKE ffmpeg executable
+    that emits two concatenated P6 frames — the plumbing (probe, stdin
+    pipe, frame split via the shared netpbm scanner) is real even where
+    the binary is a stand-in; a real ffmpeg slots in unchanged."""
+    import os
+    import stat
+
+    from fever_ray.ops.multimodal import VideoCodec
+
+    out = tmp_path / "frames.bin"
+    out.write_bytes(_ppm_frame(4, 3, 10) + _ppm_frame(2, 2, 200))
+    fake = tmp_path / "ffmpeg"
+    fake.write_text(f"#!/bin/sh\ncat {out}\n")
+    os.chmod(fake, os.stat(fake).st_mode | stat.S_IXUSR)
+
+    vc = VideoCodec(binary=str(fake))
+    assert vc.has_ffmpeg
+    frames = vc.extract_frames(b"\x00fake-container-bytes", max_frames=4)
+    assert [(w, h) for (w, h, _) in frames] == [(4, 3), (2, 2)]
+    assert frames[0][2].shape == (3, 4, 3) and frames[0][2][0, 0, 0] == 10.0
+    assert frames[1][2][0, 0, 0] == 200.0
+    # max_frames truncates the split
+    assert len(vc.extract_frames(b"x", max_frames=1)) == 1
+    # garbage output → None (caller falls back to the stub)
+    fake.write_text("#!/bin/sh\nprintf 'not-a-ppm'\n")
+    assert vc.extract_frames(b"x") is None
+
+
+def test_frame_sample_auto_real_frames_and_fallback(tmp_path):
+    """codec='auto': decodable payloads emit their REAL frame count and
+    geometry; undecodable ones keep the stub fan-out with fake metadata;
+    the default codec='fake' output schema is unchanged (oracle safety);
+    no ffmpeg at all → pure fallback; strict raises."""
+    import os
+    import stat
+
+    import pytest
+
+    from fever_ray.ops.multimodal import FrameSampleStub
+
+    out = tmp_path / "frames.bin"
+    out.write_bytes(_ppm_frame(4, 3, 10) + _ppm_frame(2, 2, 200))
+    fake = tmp_path / "ffmpeg"
+    # the stand-in decodes only payloads that reach it non-empty (always),
+    # so route: real frames for every row in this table
+    fake.write_text(f"#!/bin/sh\ncat {out}\n")
+    os.chmod(fake, os.stat(fake).st_mode | stat.S_IXUSR)
+
+    t = pa.table({"html": [b"v" * 35, b"w"], "id": [1, 2]})
+    m = FrameSampleStub(
+        payload_col="html", every_n_bytes=10, max_frames=3,
+        codec="auto", ffmpeg_binary=str(fake),
+    )
+    rows = m(t).to_pylist()
+    # both payloads decode to 2 real frames each (not the 3/1 stub counts)
+    assert [r["id"] for r in rows] == [1, 1, 2, 2]
+    assert [(r["frame_width"], r["frame_height"]) for r in rows] == [
+        (4, 3), (2, 2), (4, 3), (2, 2),
+    ]
+    assert all(len(r["frame_features"]) == 8 for r in rows)
+
+    # no binary anywhere → stub counts, fake metadata, same schema
+    m2 = FrameSampleStub(
+        payload_col="html", every_n_bytes=10, max_frames=3,
+        codec="auto", ffmpeg_binary="/nonexistent/ffmpeg",
+    )
+    rows2 = m2(t).to_pylist()
+    assert [r["id"] for r in rows2] == [1, 1, 1, 2]
+    assert "frame_width" in rows2[0]
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        FrameSampleStub(
+            payload_col="html", codec="auto", strict=True,
+            ffmpeg_binary="/nonexistent/ffmpeg",
+        )(t)
+
+    # the oracle-gated default is byte-identical in shape: no frame_width
+    legacy = FrameSampleStub(payload_col="html", every_n_bytes=10, max_frames=3)(t)
+    assert legacy.column_names == ["id", "frame_index", "frame_offset"]
+
+
+def test_video_codec_real_ffmpeg_if_present():
+    """Green only where a real ffmpeg exists (skipped in this container):
+    a synthesized rawvideo clip round-trips through extract_frames."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    if shutil.which("ffmpeg") is None:
+        pytest.skip("no ffmpeg binary in environment")
+    from fever_ray.ops.multimodal import VideoCodec
+
+    mk = subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi", "-i",
+         "testsrc=size=64x48:rate=4:duration=1", "-f", "avi", "pipe:1"],
+        capture_output=True,
+    )
+    frames = VideoCodec().extract_frames(mk.stdout, max_frames=3)
+    assert frames is not None and len(frames) == 3
+    assert all((w, h) == (64, 48) for (w, h, _) in frames)

@@ -214,3 +214,138 @@ def test_socket_server_counts_truncated_eof_fragment(tmp_path):
     assert s["truncated_dropped"] == 1
     # a clean close right after a newline is NOT counted as truncation
     assert s["oversized_dropped"] == 0
+
+
+class _FakePipeline:
+    """Minimal redis-py pipeline: queued RPOPs answered transactionally."""
+
+    def __init__(self, store):
+        self._store = store
+        self._ops = []
+
+    def rpop(self, key):
+        self._ops.append(key)
+
+    def execute(self):
+        out = []
+        for key in self._ops:
+            q = self._store.get(key, [])
+            out.append(q.pop() if q else None)
+        self._ops = []
+        return out
+
+
+class _FakeRedis:
+    """In-memory stand-in for the redis-py surface RedisQueueDrainer
+    uses: lpush producers, RPOP/BRPOP consumers (list tail = oldest)."""
+
+    def __init__(self):
+        self.store: dict[str, list[bytes]] = {}
+
+    def lpush(self, key, *vals):
+        self.store.setdefault(key, [])
+        for v in vals:
+            self.store[key].insert(0, v if isinstance(v, bytes) else str(v).encode())
+
+    def pipeline(self, transaction=True):
+        return _FakePipeline(self.store)
+
+    def brpop(self, key, timeout=1):
+        q = self.store.get(key, [])
+        return (key.encode(), q.pop()) if q else None
+
+    def llen(self, key):
+        return len(self.store.get(key, []))
+
+
+def test_redis_drainer_queue_to_journal_converges_to_batch(ray_session, tmp_path):
+    """Queue drain → durable journal → cut → checkpointed follow build
+    equals the batch answer over the same events (the RedisInput
+    analogue inherits SocketLineServer's replay semantics for free)."""
+    from fever_ray.core.udaf import SketchSpec
+    from fever_ray.io_.checkpoint import run_partitioned_build
+    from fever_ray.io_.tail import RedisQueueDrainer
+    from fever_ray.pipelines.follow import follow
+
+    specs = [SketchSpec("hll_et", "hll", "event_type", {"p": 12})]
+    journal = str(tmp_path / "events.jsonl")
+    spool = str(tmp_path / "spool")
+
+    fake = _FakeRedis()
+    for i in range(60):
+        fake.lpush("suricata", _event_line(i))
+    dr = RedisQueueDrainer(journal, client=fake, queue="suricata", batch_size=16)
+    assert dr.queue_length() == 60
+
+    it = follow(
+        spool + "/seg_*.parquet",
+        specs,
+        str(tmp_path / "ck"),
+        poll_s=0,
+        max_idle_polls=1,
+        pre_poll=lambda: (dr.drain_until_empty(), cut_segments(journal, spool))[-1],
+    )
+    s1 = next(it)
+    assert len(s1["new_files"]) == 1
+    assert dr.queue_length() == 0 and dr.stats()["lines"] == 60
+
+    # second wave through the BRPOP (non-pipelined) mode
+    for i in range(60, 100):
+        fake.lpush("suricata", _event_line(i))
+    dr.use_pipelining = False
+    s2 = next(it)
+    assert dr.stats()["lines"] == 100
+    assert list(it) == []  # drained queue → idle → terminate
+
+    # byte-exact batch control over the same 100 events
+    batch_journal = str(tmp_path / "all.jsonl")
+    _append(batch_journal, [_event_line(i) for i in range(100)])
+    bspool = str(tmp_path / "bspool")
+    cut_segments(batch_journal, bspool)
+    control = run_partitioned_build(
+        sorted(glob.glob(bspool + "/seg_*.parquet")), specs,
+        str(tmp_path / "ck2"),
+    )
+    assert np.array_equal(
+        s2["sketches"]["hll_et"].registers,
+        control["sketches"]["hll_et"].registers,
+    )
+
+
+def test_redis_drainer_drops_and_counts_malformed(tmp_path):
+    """Oversized elements and embedded-newline elements would corrupt the
+    journal's line framing — dropped AND counted, never landed."""
+    from fever_ray.io_.tail import RedisQueueDrainer
+
+    fake = _FakeRedis()
+    fake.lpush("q", b"ok-1", b"x" * 200, b"bad\nsplit", b"", b"ok-2")
+    dr = RedisQueueDrainer(
+        str(tmp_path / "j.jsonl"), client=fake, queue="q",
+        batch_size=8, max_line_bytes=100,
+    )
+    assert dr.drain_once() == 2
+    s = dr.stats()
+    assert s["lines"] == 2 and s["malformed_dropped"] == 3
+    data = open(tmp_path / "j.jsonl", "rb").read()
+    # FIFO order preserved (lpush head, rpop tail)
+    assert data == b"ok-1\nok-2\n"
+
+
+def test_redis_drainer_run_loop_stops_and_counts(tmp_path):
+    """run(max_drains=N) drains everything queued without sleeping when
+    batches keep landing, and stops on the stop event."""
+    import threading
+
+    from fever_ray.io_.tail import RedisQueueDrainer
+
+    fake = _FakeRedis()
+    for i in range(30):
+        fake.lpush("q", _event_line(i))
+    dr = RedisQueueDrainer(
+        str(tmp_path / "j.jsonl"), client=fake, queue="q",
+        batch_size=10, backoff_s=0,
+    )
+    assert dr.run(max_drains=4) == 30  # 3 full batches + 1 empty
+    stop = threading.Event()
+    stop.set()
+    assert dr.run(stop=stop) == 0
