@@ -779,6 +779,39 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # the same SNM blocking over a REALISTIC-vocabulary corpus (50k-token
+    # Zipf pool): the default 60-word corpus makes every text prefix
+    # collide — the blocking key's worst case — so this entry measures the
+    # design, not the degenerate regime (see BASELINE.md for the measured
+    # candidate sparsification)
+    from fever_ray.gen.pages import ensure_pages as _ep
+
+    vocab_dir = f"/tmp/fever_ray_pages/bench_{PAGES_ROWS}_vocab50k"
+    _ep(vocab_dir, n_rows=PAGES_ROWS, n_files=64, seed=42, vocab_size=50_000)
+
+    def _vocab_docs():
+        import pyarrow as pa
+
+        return rd.read_parquet(vocab_dir + "/", columns=["url", "text"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), type=pa.int64()
+                    ),
+                    "text": b.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    timings["snm_pairs_zipf_pages"] = _timed(
+        lambda: sorted_neighbor_pairs(
+            _vocab_docs(), window=4, same_prefix=8,
+            num_partitions=min(NUM_CPUS, 32),
+        ).materialize()
+    )
+
     # SQ8 quantize + signed JL projection of the 1M synthetic vectors
     # (zero-shuffle: two integer-kernel passes over the embedding stream)
     from fever_ray.ops.knn import project_quantized, quantize_embeddings

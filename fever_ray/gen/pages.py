@@ -81,6 +81,7 @@ def generate_pages(
     ioc_paths: tuple[str, ...] = (),
     ioc_frac: float = 0.01,
     links_per_page: int = 0,
+    vocab_size: int = 0,
 ) -> pa.Table:
     """Generate one deterministic page table.
 
@@ -92,9 +93,40 @@ def generate_pages(
     targeting another page's url in the same corpus (deterministic index
     arithmetic) — empty anchor text keeps the pinned-extractor invariant
     byte-identical.
+
+    ``vocab_size`` > 0 (opt-in; default output unchanged) switches word
+    drawing from the 60-word uniform pool to a ``vocab_size``-token pool
+    with Zipf(1.05)-weighted draws — the natural-text regime.  The tiny
+    default vocabulary makes every text prefix collide, which defeats
+    prefix blocking (SNM) by construction; this mode measures blocking
+    designs under realistic sparsification instead of their worst case.
     """
     rng = np.random.default_rng(seed)
     w = np.array(_WORDS)
+    if vocab_size:
+        w = np.array(
+            [
+                _WORDS[i] if i < len(_WORDS)
+                else f"{_WORDS[i % len(_WORDS)]}{i // len(_WORDS)}"
+                for i in range(vocab_size)
+            ],
+            dtype=object,
+        )
+        ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+        p = ranks**-1.05
+        cum = np.cumsum(p / p.sum())
+
+        def wdraw(size):
+            return np.minimum(
+                np.searchsorted(cum, rng.random(size), side="right"),
+                vocab_size - 1,
+            )
+
+    else:
+        # EXACT historical RNG stream: every pre-existing cache/fixture
+        # depends on these draws being byte-identical
+        def wdraw(size):
+            return rng.integers(0, len(w), size)
 
     # hostname pool, Zipf-ranked
     pool = np.array(
@@ -106,8 +138,8 @@ def generate_pages(
     hosts = pool[host_idx].astype(object)
 
     # paths
-    pw1 = w[rng.integers(0, len(w), n_rows)]
-    pw2 = w[rng.integers(0, len(w), n_rows)]
+    pw1 = w[wdraw(n_rows)]
+    pw2 = w[wdraw(n_rows)]
     pnum = rng.integers(0, 10000, n_rows)
     paths = np.array(
         [f"/{a}/{b}-{c}.html" for a, b, c in zip(pw1, pw2, pnum)], dtype=object
@@ -146,7 +178,7 @@ def generate_pages(
     # pre-draw a flat pool of paragraph word indices for speed
     for i in range(n_rows):
         k = int(n_paras[i])
-        widx = rng.integers(0, len(w), size=(k, 12))
+        widx = wdraw((k, 12))
         paras = [" ".join(w[row]) for row in widx]
         texts.append(titles[i] + "\n" + "\n".join(paras))
         htmls.append(build_html(titles[i], paras))
@@ -232,6 +264,8 @@ def ensure_pages(
     # cache (built from the links-free stamp format) stays valid
     lp = kwargs.get("links_per_page", 0)
     extra = f" links={lp}" if lp else ""
+    vs = kwargs.get("vocab_size", 0)
+    extra += f" vocab={vs}" if vs else ""
     stamp = f"version={GEN_VERSION} rows={n_rows} files={n_files} seed={seed}{extra}\n"
     if os.path.exists(marker):
         with open(marker) as fh:

@@ -106,10 +106,20 @@ def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, type=pa.int64()))
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                n_parts: int | None = None):
     """Keep the min-id row per distinct content. Returns (content keeper id,
     n_copies) plus the text hash.  Shuffle key = 64-bit content hash, so the
-    shuffle moves (hash, id) pairs, not text."""
+    shuffle moves (hash, id) pairs, not text.
+
+    Reduce shape: content_hash is effectively UNIQUE per row (dup fraction
+    aside), so ``groupby(content_hash).aggregate`` is the documented
+    high-cardinality-key tax — measured 39.8 s at 10M pages/32 cpus where
+    the whole minhash near-dedup took 24 s.  The coarse hash-bucket
+    groupby + one vectorized sort/reduceat per bucket (the
+    `_bucketed_ngram_sum` rule) replaces it: same (content_hash, keep_id,
+    n_copies) rows bit-exactly, ~n_parts bounded-size partitions."""
+    nb = n_parts or _auto_parts(ds, floor=64)
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col).select([id_col, "content_hash"]),
         batch_format="pyarrow",
@@ -120,14 +130,44 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         t = pa.TableGroupBy(batch, ["content_hash"]).aggregate(
             [(id_col, "min"), (id_col, "count")]
         )
-        return t.rename_columns(["content_hash", "keep_id", "n_copies"])
+        t = t.rename_columns(["content_hash", "keep_id", "n_copies"])
+        h = t.column("content_hash").to_numpy(zero_copy_only=False)
+        pb = (
+            splitmix64(h.view(np.uint64)) % np.uint64(nb)
+        ).astype(np.int32)
+        return t.append_column("pb", pa.array(pb, pa.int32()))
 
-    from ray.data.aggregate import Min, Sum
+    def combine(g: pa.Table) -> pa.Table:
+        if not g.num_rows or not g.num_columns:
+            return pa.table(
+                {
+                    "content_hash": pa.array([], pa.int64()),
+                    "keep_id": pa.array([], pa.int64()),
+                    "n_copies": pa.array([], pa.int64()),
+                }
+            )
+        h = g.column("content_hash").to_numpy(zero_copy_only=False)
+        k = g.column("keep_id").to_numpy(zero_copy_only=False)
+        n = g.column("n_copies").to_numpy(zero_copy_only=False)
+        o = np.argsort(h, kind="stable")
+        h, k, n = h[o], k[o], n[o]
+        first = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        return pa.table(
+            {
+                "content_hash": pa.array(h[first], pa.int64()),
+                "keep_id": pa.array(np.minimum.reduceat(k, first), pa.int64()),
+                "n_copies": pa.array(
+                    np.add.reduceat(n, first).astype(np.int64), pa.int64()
+                ),
+            }
+        )
 
-    partials = hashed.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("content_hash").aggregate(
-        Min("keep_id", alias_name="keep_id"), Sum("n_copies", alias_name="n_copies")
+    # batch_size bundles the skinny partial rows before the bucket shuffle
+    # (the block-tax rule: shuffle cost scales with input_blocks × parts)
+    partials = hashed.map_batches(
+        partial, batch_format="pyarrow", batch_size=32768
     )
+    return partials.groupby("pb").map_groups(combine, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ minhash
@@ -523,20 +563,81 @@ def _blob_offsets_data(col) -> tuple[np.ndarray, np.ndarray]:
     return off // 8, data
 
 
+def _csr_from_blob_ds(sh_ds):
+    """(ids_sorted, offs, flat) CSR of a blob Dataset, Arrow buffers
+    end-to-end: take_all() would round-trip every blob through a Python
+    dict (measured 69 s for 944k blobs); the zero-copy offsets view + one
+    vectorized segment gather does the same re-ordering in ~2 s."""
+    import ray
+
+    tabs = [
+        t
+        for t in ray.get(sh_ds.to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if not tabs:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(1, np.int64),
+            np.zeros(0, np.uint64),
+        )
+    big = pa.concat_tables(tabs)
+    ids = big.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    off_e, dat = _blob_offsets_data(big.column("sh"))
+    lens = np.diff(off_e)
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    ln = lens[order]
+    offs = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
+    total = int(offs[-1])
+    idx = np.repeat(off_e[:-1][order], ln) + (
+        np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], ln)
+    )
+    flat = dat[idx]
+    return ids_sorted, offs, flat
+
+
+def _intersect_with_csr(ids_a_csr, off_a, dat_a, ids_b_csr, off_b, dat_b,
+                        a, b, out_fn, batch):
+    ia = np.searchsorted(ids_a_csr, a)
+    ib = np.searchsorted(ids_b_csr, b)
+    n = len(a)
+    # per-pair np.intersect1d loop: blobs are ~46 elements, so each
+    # intersect is a tiny 92-element sort — measured 6.8x FASTER than a
+    # flat gather + one 12M-element lexsort per block (the big sort's
+    # random-gather pattern is DRAM-bound; don't "vectorize" this one)
+    inter = np.zeros(n, np.int64)
+    la = np.zeros(n, np.int64)
+    lb = np.zeros(n, np.int64)
+    for i in range(n):
+        xa = dat_a[off_a[ia[i]] : off_a[ia[i] + 1]]
+        xb = dat_b[off_b[ib[i]] : off_b[ib[i] + 1]]
+        la[i], lb[i] = len(xa), len(xb)
+        inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
+    return out_fn(batch, inter, la, lb)
+
+
 def _verify_pairs_with_blobs(
     pairs, sh_ds, out_fn, num_partitions: int, broadcast_bytes: int
 ):
     """Shared candidate-pair verification core: pull each pair's two
     shingle blobs and hand (batch, |∩|, |A|, |B|) to ``out_fn``.
 
-    Small side → CSR broadcast fast path (one ray.put of the packed blobs,
-    verification in plain map_batches — each hash join costs a
-    shuffle-actor pool spin-up that dwarfs the work on sparse candidates);
-    above ``broadcast_bytes`` → two bucketed hash joins with a materialize
-    between them (two shuffle pools inside ONE streaming execution
-    deadlock small clusters).  Shared by `verified_minhash_edges`
-    (Jaccard) and `containment_pairs` (containment) so the deadlock /
-    block-stall / packing fixes live in exactly one place."""
+    Small side → CSR broadcast fast path (one ray.put of the packed
+    blobs, verification in plain map_batches — each hash join costs a
+    shuffle-actor pool spin-up that dwarfs the work on sparse
+    candidates).  Above ``broadcast_bytes`` → SLABBED CSR: the sorted
+    candidate-id range splits into K ≈ ceil(bytes/broadcast_bytes)
+    contiguous slabs, each ray.put once (a per-NODE plasma copy at
+    cluster scale, read zero-copy by every task); pairs shuffle ONCE on
+    (slab_a, slab_b, pair-hash) and each group verifies against exactly
+    two slabs.  This replaces the old two-hash-join fallback, which
+    attached both blobs to EVERY pair — at 10M pages / 171M candidate
+    pairs that materialized ~80 GB mid-join and OOM-killed the shuffle
+    aggregator actors; the slabbed path moves each blob exactly once and
+    the pair shuffle stays skinny (two int64s + int32).  Shared by
+    `verified_minhash_edges` (Jaccard) and `containment_pairs`
+    (containment) so these fixes live in exactly one place."""
     import ray
 
     from ..core.bcast import cached_get
@@ -548,38 +649,7 @@ def _verify_pairs_with_blobs(
     _t0 = _time.time()
     blob_bytes = sh_ds.size_bytes() or 0
     if blob_bytes <= broadcast_bytes:
-        # CSR build stays in Arrow buffers end-to-end: take_all() would
-        # round-trip every blob through a Python dict (measured 69 s for
-        # 944k blobs); the zero-copy offsets view + one vectorized segment
-        # gather does the same re-ordering in ~2 s
-        tabs = [
-            t
-            for t in ray.get(sh_ds.to_arrow_refs())
-            if t.num_rows and t.num_columns
-        ]
-        if tabs:
-            big = pa.concat_tables(tabs)
-            ids = (
-                big.column("doc_id")
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            off_e, dat = _blob_offsets_data(big.column("sh"))
-            lens = np.diff(off_e)
-            order = np.argsort(ids, kind="stable")
-            ids_sorted = ids[order]
-            ln = lens[order]
-            offs = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
-            total = int(offs[-1])
-            idx = np.repeat(off_e[:-1][order], ln) + (
-                np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], ln)
-            )
-            flat = dat[idx]
-        else:
-            ids_sorted = np.zeros(0, np.int64)
-            offs = np.zeros(1, np.int64)
-            flat = np.zeros(0, np.uint64)
-        csr_ref = ray.put((ids_sorted, offs, flat))
+        csr_ref = ray.put(_csr_from_blob_ds(sh_ds))
         if _trace:
             print(f"[verify] CSR build+put: {_time.time()-_t0:.2f}s")
 
@@ -587,55 +657,78 @@ def _verify_pairs_with_blobs(
             ids_s, off, dat = cached_get(csr_ref)
             a = batch.column("doc_a").to_numpy(zero_copy_only=False)
             b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            ia = np.searchsorted(ids_s, a)
-            ib = np.searchsorted(ids_s, b)
-            n = batch.num_rows
-            # per-pair np.intersect1d loop: blobs are ~46 elements, so each
-            # intersect is a tiny 92-element sort — measured 6.8x FASTER
-            # than a flat gather + one 12M-element lexsort per block (the
-            # big sort's random-gather pattern is DRAM-bound; don't
-            # "vectorize" this one)
-            inter = np.zeros(n, np.int64)
-            la = np.zeros(n, np.int64)
-            lb = np.zeros(n, np.int64)
-            for i in range(n):
-                xa = dat[off[ia[i]] : off[ia[i] + 1]]
-                xb = dat[off[ib[i]] : off[ib[i] + 1]]
-                la[i], lb[i] = len(xa), len(xb)
-                inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
-            return out_fn(batch, inter, la, lb)
+            return _intersect_with_csr(
+                ids_s, off, dat, ids_s, off, dat, a, b, out_fn, batch
+            )
 
         return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
 
-    j1 = pairs.join(
-        sh_ds, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(
-        lambda b: b.rename_columns(
-            ["sh_a" if c == "sh" else c for c in b.column_names]
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    j2 = j1.join(
-        sh_ds, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=("doc_id",),
+    # ---- slabbed CSR path ----
+    ids_sorted, offs, flat = _csr_from_blob_ds(sh_ds)
+    K = max(2, int(-(-blob_bytes // broadcast_bytes)))
+    n_ids = len(ids_sorted)
+    cut_rows = [(k * n_ids) // K for k in range(K + 1)]
+    slab_refs = []
+    bounds = np.empty(K, np.int64)  # first id of each slab
+    for k in range(K):
+        s, e = cut_rows[k], cut_rows[k + 1]
+        bounds[k] = ids_sorted[s] if s < n_ids else np.iinfo(np.int64).max
+        slab_refs.append(
+            ray.put(
+                (
+                    ids_sorted[s:e],
+                    (offs[s : e + 1] - offs[s]).copy(),
+                    flat[offs[s] : offs[e]].copy(),
+                )
+            )
+        )
+    if _trace:
+        print(f"[verify] slabbed CSR build+put: {_time.time()-_t0:.2f}s "
+              f"(K={K}, {blob_bytes >> 20} MB)")
+    # sub-split each (slab_a, slab_b) cell so parallelism isn't capped at
+    # K² when most pairs land in few cells
+    m = max(1, num_partitions // (K * K) + 1)
+    mm = np.uint64(m)
+
+    def tag_cells(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        sa = np.searchsorted(bounds, a, side="right") - 1
+        sb = np.searchsorted(bounds, b, side="right") - 1
+        with np.errstate(over="ignore"):
+            h = splitmix64(a.view(np.uint64) * _PAIR_MIX + b.view(np.uint64))
+        cell = ((sa * K + sb).astype(np.int64) * m
+                + (h % mm).astype(np.int64))
+        return batch.append_column("__cell", pa.array(cell, pa.int64()))
+
+    # every caller materializes `pairs` before verification, so schema()
+    # is metadata — the typed empty keeps empty map_groups partitions
+    # from emitting a mismatched (zero-column) schema
+    empty_in = pa.table(
+        {f.name: pa.nulls(0, f.type) for f in _arrow_schema(pairs)}
     )
+    zero = np.zeros(0, np.int64)
 
-    def verify_join(batch: pa.Table) -> pa.Table:
-        off_a, dat_a = _blob_offsets_data(batch.column("sh_a"))
-        off_b, dat_b = _blob_offsets_data(batch.column("sh"))
-        n = batch.num_rows
-        inter = np.zeros(n, np.int64)
-        la = np.zeros(n, np.int64)
-        lb = np.zeros(n, np.int64)
-        for i in range(n):
-            xa = dat_a[off_a[i] : off_a[i + 1]]
-            xb = dat_b[off_b[i] : off_b[i + 1]]
-            la[i], lb[i] = len(xa), len(xb)
-            inter[i] = len(np.intersect1d(xa, xb, assume_unique=True))
-        return out_fn(batch, inter, la, lb)
+    def verify_cell(group: pa.Table) -> pa.Table:
+        if not group.num_rows or not group.num_columns:
+            return out_fn(empty_in, zero, zero, zero)
+        cell = int(group.column("__cell")[0].as_py()) // m
+        sa, sb = cell // K, cell % K
+        ids_a, off_a, dat_a = cached_get(slab_refs[sa])
+        ids_b, off_b, dat_b = cached_get(slab_refs[sb])
+        group = group.drop_columns(["__cell"])
+        a = group.column("doc_a").to_numpy(zero_copy_only=False)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False)
+        return _intersect_with_csr(
+            ids_a, off_a, dat_a, ids_b, off_b, dat_b, a, b, out_fn, group
+        )
 
-    return j2.map_batches(verify_join, batch_format="pyarrow")
+    return (
+        pairs.map_batches(tag_cells, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=32768)
+        .groupby("__cell")
+        .map_groups(verify_cell, batch_format="pyarrow")
+    )
 
 
 def _dedup_blobs_by_id(blob_ds, num_partitions: int):

@@ -1,0 +1,272 @@
+"""Order-of-magnitude scale proof: the heavy dedup/curation family at 10M
+pages (10× the per-round bench corpus).
+
+Everything the per-round bench gates runs at 1M pages (sf0.1-equivalent);
+the 100-TB design claims — `_auto_parts` partition scaling, bucket caps,
+the broadcast-vs-join size gates, posting folds — deserve at least one
+order-of-magnitude step to show nothing goes quadratic or single-task.
+This script generates a 10M-page corpus (parallel seeded shards — same
+generator, same schema) and times the heavy family end-to-end, printing
+one JSON line per op plus a final summary line:
+
+    python scale_bench.py                # full 10M (default)
+    SCALE_ROWS=2000000 python scale_bench.py   # smaller step
+    SCALE_OPS=near_dedup,containment python scale_bench.py
+
+Lives next to bench.py (driver-independent; run manually per round and
+record the numbers in BASELINE.md).  Owns its Ray session like bench.py.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+ROWS = int(os.environ.get("SCALE_ROWS", "10000000"))
+FILES = int(os.environ.get("SCALE_FILES", "256"))
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+DIR = f"/tmp/fever_ray_pages/scale_{ROWS}"
+ONLY = [s for s in os.environ.get("SCALE_OPS", "").split(",") if s]
+
+
+def ensure_corpus():
+    """Parallel shard generation: one Ray task per shard with the same
+    per-shard seeds `write_pages` uses (seed + 1000*i), so the corpus is
+    byte-identical to a sequential `write_pages` run — just ~NUM_CPUS×
+    faster to build."""
+    import ray
+
+    from fever_ray.gen.pages import GEN_VERSION
+
+    marker = os.path.join(DIR, "_DONE")
+    stamp = f"version={GEN_VERSION} rows={ROWS} files={FILES} seed=42 scale\n"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return
+    os.makedirs(DIR, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def gen_shard(i: int, rows: int) -> str:
+        import pyarrow.parquet as pq
+
+        from fever_ray.gen.pages import generate_pages
+
+        t = generate_pages(rows, seed=42 + 1000 * i)
+        p = os.path.join(DIR, f"pages-{i:05d}.parquet")
+        pq.write_table(t, p)
+        return p
+
+    per = ROWS // FILES
+    t0 = time.perf_counter()
+    refs = [
+        gen_shard.remote(i, per if i < FILES - 1 else ROWS - per * (FILES - 1))
+        for i in range(FILES)
+    ]
+    ray.get(refs)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    print(
+        json.dumps(
+            {"op": "generate", "rows": ROWS, "files": FILES,
+             "sec": round(time.perf_counter() - t0, 1)}
+        ),
+        flush=True,
+    )
+
+
+def main() -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fever_ray.sketches.hashing import hash64
+
+    ensure_corpus()
+
+    def docs():
+        return rd.read_parquet(DIR + "/", columns=["url", "text"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), pa.int64()
+                    ),
+                    "text": b.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def pages():
+        return rd.read_parquet(DIR + "/", columns=["url", "text"])
+
+    # one untimed warm pass (worker imports + page cache)
+    pages().count()
+
+    results: dict[str, float] = {}
+
+    def run(name: str, fn):
+        if ONLY and name not in ONLY:
+            return
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        rows = out.count() if hasattr(out, "count") else None
+        results[name] = round(dt, 1)
+        print(json.dumps({"op": name, "sec": round(dt, 1), "rows": rows}),
+              flush=True)
+        del out
+        gc.collect()
+
+    from fever_ray.ops.dedup import (
+        containment_pairs,
+        exact_dedup,
+        host_boilerplate,
+        minhash_cross_dedup,
+        minhash_dedup_components,
+    )
+    from fever_ray.ops.extract import hostname_of
+
+    nparts = min(NUM_CPUS, 32)
+
+    run("exact_dedup", lambda: exact_dedup(docs()).materialize())
+    run(
+        "near_dedup",
+        # full pipeline: candidates → distributed verify → connected
+        # components (the bench near_dedup_pages shape)
+        lambda: minhash_dedup_components(
+            docs(), threshold=0.7, num_partitions=nparts
+        ).materialize(),
+    )
+    run("containment", lambda: containment_pairs(docs()).materialize())
+
+    def hosted():
+        return rd.read_parquet(DIR + "/", columns=["url", "text"]).map_batches(
+            lambda b: b.append_column("host", hostname_of(b.column("url"))),
+            batch_format="pyarrow",
+        )
+
+    run(
+        "host_boilerplate",
+        lambda: host_boilerplate(
+            hosted(), host_col="host", id_col="url", match="hash",
+            broadcast_bytes=512 << 20,
+        ).materialize(),
+    )
+
+    def nonneg(ds):
+        # cross-dedup ids must be non-negative (bench's _nonneg shape)
+        def f(b):
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            nn = (ids.view(np.uint64) >> np.uint64(1)).view(np.int64)
+            return b.set_column(
+                b.schema.get_field_index("doc_id"), "doc_id",
+                pa.array(nn, pa.int64()),
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def first_shard_docs():
+        import glob as _glob
+
+        first = sorted(_glob.glob(DIR + "/pages-*.parquet"))[:8]
+        return rd.read_parquet(first, columns=["url", "text"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), pa.int64()
+                    ),
+                    "text": b.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    run(
+        "minhash_cross",
+        lambda: minhash_cross_dedup(
+            nonneg(docs()), nonneg(first_shard_docs()),
+            n_parts=max(NUM_CPUS * 4, 64),
+        ).materialize(),
+    )
+
+    from fever_ray.ops.trainprep import epoch_shuffle
+
+    run(
+        "epoch_shuffle",
+        lambda: epoch_shuffle(
+            pages().map_batches(
+                lambda b: pa.table(
+                    {"doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), pa.int64()
+                    )}
+                ),
+                batch_format="pyarrow",
+            ),
+            seed=1,
+        ).materialize(),
+    )
+
+    # SemDeDup over synthetic 64-dim unit vectors (bench's splitmix
+    # generator, scaled 10×; k scales with the corpus per the SemDeDup
+    # quadratic-in-cluster contract)
+    from fever_ray.ops.cluster import semdedup
+    from fever_ray.sketches.hashing import splitmix64
+
+    def vecs():
+        def f(b):
+            ids = hash64(b.column("url"))
+            n = len(ids)
+            lanes = np.empty((n, 64), dtype=np.float64)
+            x = ids.copy()
+            for j in range(64):
+                x = splitmix64(x ^ np.uint64(j + 1))
+                lanes[:, j] = (x.astype(np.float64) / 2**64) - 0.5
+            lanes /= np.maximum(np.linalg.norm(lanes, axis=1), 1e-12)[:, None]
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        (ids >> np.uint64(1)).view(np.int64), pa.int64()
+                    ),
+                    "embedding": pa.ListArray.from_arrays(
+                        pa.array(np.arange(0, (n + 1) * 64, 64, dtype=np.int32)),
+                        pa.array(lanes.reshape(-1).astype(np.float32)),
+                    ),
+                }
+            )
+
+        return rd.read_parquet(DIR + "/", columns=["url"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    run(
+        "semdedup",
+        lambda: semdedup(
+            vecs(), k=max(256, ROWS // 1000), threshold=0.9
+        ).materialize(),
+    )
+
+    summary = {
+        "metric": "scale_10x_heavy_family_sec",
+        "rows": ROWS,
+        "files": FILES,
+        "num_cpus": NUM_CPUS,
+        "ops": results,
+    }
+    print(json.dumps(summary), flush=True)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1778,3 +1778,33 @@ def test_band_pair_kernel_eligibility_brute_parity(ray_session):
                 cnt[p] = cnt.get(p, 0) + 1
         for _, r in got.iterrows():
             assert cnt[(r["doc_a"], r["doc_b"])] == r["n_bands"]
+
+
+def test_verify_slabbed_csr_equals_broadcast(ray_session):
+    """broadcast_bytes=1 forces the slabbed-CSR verify (the above-cap
+    scale path that replaced the two-hash-join fallback after it
+    materialized ~80 GB of blob-attached pairs at 10M pages) — output
+    must be bit-identical to the broadcast fast path."""
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import containment_pairs, verified_minhash_edges
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def canon(ds, cols):
+        return (
+            ds.materialize().to_pandas().sort_values(cols).reset_index(drop=True)
+        )
+
+    a = canon(containment_pairs(docs), ["doc_a", "doc_b"])
+    b = canon(containment_pairs(docs, broadcast_bytes=1), ["doc_a", "doc_b"])
+    assert len(a) > 0 and a.equals(b)
+
+    c = canon(verified_minhash_edges(docs, threshold=0.7), ["doc_a", "doc_b"])
+    d = canon(
+        verified_minhash_edges(docs, threshold=0.7, broadcast_bytes=1),
+        ["doc_a", "doc_b"],
+    )
+    assert len(c) > 0 and c.equals(d)

@@ -97,3 +97,29 @@ def test_split_url_go_parity():
 def test_hostname_of_strips_port_and_scheme():
     out = hostname_of(["https://a.b.c:8443/x?y=1", "http://plain.org/"]).to_pylist()
     assert out == ["a.b.c", "plain.org"]
+
+
+def test_generate_pages_vocab_mode_opt_in_only():
+    """vocab_size>0 (the realistic-vocabulary SNM regime) keeps the pinned
+    extractor invariant and is deterministic; the DEFAULT output stream is
+    untouched (every cache/fixture depends on those exact draws)."""
+    import numpy as np
+
+    from fever_ray.gen.pages import generate_pages
+    from fever_ray.ops.extract import extract_text
+
+    a = generate_pages(300, seed=11, vocab_size=50_000)
+    b = generate_pages(300, seed=11, vocab_size=50_000)
+    assert a.equals(b)
+    # many distinct tokens (the point of the mode) vs the 60-word default
+    toks = set()
+    for t in a.column("text").to_pylist():
+        toks.update(t.split())
+    assert len(toks) > 2000
+    # pinned-extractor invariant holds in the new mode too
+    ex = extract_text(a.column("html")).cast(a.column("text").type)
+    assert ex.to_pylist() == a.column("text").to_pylist()
+    # default mode: byte-identical with and without the new argument
+    assert generate_pages(300, seed=11).equals(
+        generate_pages(300, seed=11, vocab_size=0)
+    )
