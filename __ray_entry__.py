@@ -4830,6 +4830,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_audio_decode(sf):
+        """Audio-decode stage plumbing gate (DecodeAudioStub, fake lanes):
+        sample_rate/n_frames are pure functions of payload byte length —
+        the actor-pool schema/fan-in is oracle-checked exactly like
+        multimodal_decode; the REAL WAV/AU path is pytest-covered
+        (tests/test_ops.py audio tests)."""
+        from fever_ray.ops.multimodal import decode_audio
+
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+        return decode_audio(
+            pages.map_batches(
+                lambda b: b.select(["doc_id", "html"]), batch_format="pyarrow"
+            ),
+            batch_size=64,
+        ).map_batches(
+            lambda b: b.select(["doc_id", "sample_rate", "n_frames"]),
+            batch_format="pyarrow",
+        )
+
     def q_frame_sample(sf):
         # video frame-sampling PLAN (flat_map fan-out through the actor
         # stage): payload = the text bytes, frame count = clip(len/256, 1, 4)
@@ -5059,6 +5078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cbf_retraction_gate": q_cbf_retraction_gate,
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
+        "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "tumbling_window": q_tumbling_window,
@@ -8193,6 +8213,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 + ((strlen(text) + 46) % 1024) AS INT) AS img_width, "
             "CAST(16 + (((strlen(text) + 46) // 1024) % 1024) AS INT) AS img_height "
             "FROM documents"
+        ),
+        "audio_decode": (
+            # the audio stub's fake lanes are pure byte-length functions:
+            # rate = 8000 + (16 + len%1024)*16, frames = (16 + (len//1024)
+            # % 1024)*256 with len = strlen(text) + 46 (the html template)
+            "SELECT doc_id, "
+            "CAST(8000 + (16 + ((strlen(text) + 46) % 1024)) * 16 AS INT) "
+            "AS sample_rate, "
+            "CAST((16 + (((strlen(text) + 46) // 1024) % 1024)) * 256 "
+            "AS BIGINT) AS n_frames FROM documents"
         ),
         "multimodal_resize": (
             # ResizeStub output geometry is exact integer arithmetic

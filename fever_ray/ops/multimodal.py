@@ -21,8 +21,12 @@ library-free container for those formats; payloads no codec can decode
 fall back to the deterministic fake (or raise with ``strict=True``).
 Video frames go through the same seam: ``VideoCodec`` probes for an
 ``ffmpeg`` binary per actor (``FrameSampleStub(codec='auto')``) and
-splits its concatenated-PPM output with the built-in netpbm scanner;
-audio remains stubbed (no decoder of any kind reachable here).
+splits its concatenated-PPM output with the built-in netpbm scanner.
+Audio decodes for REAL too: ``AudioCodec`` parses RIFF/WAV (integer
+8/16/32-bit + float32 PCM) and Sun AU with pure numpy — no library at
+all — and ``DecodeAudioStub(codec='auto')`` emits real sample-rate /
+frame-count / signal-statistics features with the deterministic fake as
+the per-payload fallback.
 """
 
 from __future__ import annotations
@@ -483,6 +487,203 @@ def resize_images(ds, max_w: int = 224, max_h: int = 224, concurrency=None):
         fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
         batch_format="pyarrow",
         batch_size=4096,
+        concurrency=concurrency or (1, 4),
+        zero_copy_batch=True,
+    )
+
+
+class AudioCodec:
+    """Per-actor REAL audio decoder for the formats that need no library
+    at all (the BMP/PPM posture applied to audio):
+
+    * **WAV** (RIFF PCM integer 8/16/32-bit and IEEE float32, any
+      channel count): chunk-walk the RIFF structure (fmt/data may be
+      preceded by LIST/fact/cue chunks), then ONE ``np.frombuffer`` +
+      reshape — no Python sample loop.
+    * **AU** (Sun/NeXT ``.snd``, big-endian PCM 8/16/32 and float32):
+      6-word header + the same frombuffer path.
+
+    ``decode(payload)`` → ``(sample_rate, float32 (n_frames, channels)
+    in [-1, 1])`` or None when no decoder recognizes the payload (caller
+    falls back to the deterministic fake, exactly like ImageCodec)."""
+
+    _PCM_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+    def decode(self, payload: bytes):
+        if not payload or len(payload) < 12:
+            return None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._decode_wav(payload)
+        if payload[:4] == b".snd":
+            return self._decode_au(payload)
+        return None
+
+    @classmethod
+    def _decode_wav(cls, b: bytes):
+        pos, n = 12, len(b)
+        fmt = None
+        while pos + 8 <= n:
+            cid = b[pos : pos + 4]
+            sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = b[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt " and sz >= 16:
+                fmt = (
+                    int.from_bytes(body[0:2], "little"),   # audio format
+                    int.from_bytes(body[2:4], "little"),   # channels
+                    int.from_bytes(body[4:8], "little"),   # sample rate
+                    int.from_bytes(body[14:16], "little"),  # bits/sample
+                )
+            elif cid == b"data":
+                if fmt is None:
+                    return None
+                afmt, ch, rate, bits = fmt
+                if ch < 1 or rate < 1:
+                    return None
+                if afmt == 1 and bits in cls._PCM_DTYPES:   # integer PCM
+                    dt = np.dtype(cls._PCM_DTYPES[bits])
+                elif afmt == 3 and bits == 32:               # IEEE float
+                    dt = np.dtype("<f4")
+                else:
+                    return None
+                frames = len(body) // (dt.itemsize * ch)
+                if frames == 0:
+                    return None
+                x = np.frombuffer(
+                    body, dt, frames * ch
+                ).reshape(frames, ch).astype(np.float32)
+                if afmt == 1:
+                    if bits == 8:   # WAV 8-bit is UNSIGNED, midpoint 128
+                        x = (x - 128.0) / 128.0
+                    else:
+                        x = x / float(1 << (bits - 1))
+                return rate, x
+            # chunks are word-aligned: odd sizes carry one pad byte
+            pos += 8 + sz + (sz & 1)
+        return None
+
+    @classmethod
+    def _decode_au(cls, b: bytes):
+        if len(b) < 24:
+            return None
+        off = int.from_bytes(b[4:8], "big")
+        enc = int.from_bytes(b[12:16], "big")
+        rate = int.from_bytes(b[16:20], "big")
+        ch = int.from_bytes(b[20:24], "big")
+        if ch < 1 or rate < 1 or off < 24 or off > len(b):
+            return None
+        enc_map = {2: np.dtype(">i1"), 3: np.dtype(">i2"),
+                   5: np.dtype(">i4"), 6: np.dtype(">f4")}
+        if enc not in enc_map:
+            return None
+        dt = enc_map[enc]
+        body = b[off:]
+        frames = len(body) // (dt.itemsize * ch)
+        if frames == 0:
+            return None
+        x = np.frombuffer(body, dt, frames * ch).reshape(frames, ch).astype(
+            np.float32
+        )
+        if enc != 6:
+            x = x / float(1 << (dt.itemsize * 8 - 1))
+        return rate, x
+
+
+def _audio_features(rate: int, x: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM real statistics of decoded (frames, ch) float audio:
+    duration, RMS, peak, zero-crossing rate, spectral centroid/rolloff of
+    the mono mix (one rFFT), channel count, log frame count."""
+    mono = x.mean(axis=1)
+    n = len(mono)
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    peak = float(np.abs(mono).max())
+    zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    spec = np.abs(np.fft.rfft(mono[: min(n, 1 << 16)]))
+    power = spec * spec
+    tot = float(power.sum()) or 1.0
+    freqs = np.fft.rfftfreq(min(n, 1 << 16), d=1.0 / rate)
+    centroid = float((freqs * power).sum() / tot)
+    cum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * cum[-1]))])
+    return np.array(
+        [
+            n / rate,                      # duration s
+            rms,
+            peak,
+            zc / max(n - 1, 1),            # zero-crossing rate
+            centroid / (rate / 2),         # normalized centroid
+            rolloff / (rate / 2),          # normalized 85% rolloff
+            x.shape[1],                    # channels
+            np.log2(max(n, 1)) / 32.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+class DecodeAudioStub:
+    """Actor-pool stage over a binary audio payload column — the audio
+    sibling of ``DecodeImageStub``, same contract: ``codec='fake'``
+    (default) emits the deterministic fake metadata; ``codec='auto'``
+    decodes WAV/AU for real via the library-free :class:`AudioCodec`
+    (per-actor, ``__init__``) and falls back per undecodable payload (or
+    raises with ``strict=True``).  Output columns: ``sample_rate``
+    (int32), ``n_frames`` (int64), ``audio_features``
+    (fixed_size_list<float32>[FEATURE_DIM])."""
+
+    def __init__(self, payload_col: str = "html", strict: bool = False,
+                 codec: str = "fake"):
+        if codec not in ("fake", "auto"):
+            raise ValueError(f"codec must be 'fake' or 'auto', got {codec!r}")
+        self.payload_col = payload_col
+        self.strict = strict
+        self.codec = AudioCodec() if codec == "auto" else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict and self.codec is None:
+            raise NotImplementedError(
+                "strict audio decode requires codec='auto' (a WAV/AU "
+                "payload); run with strict=False for the deterministic stub"
+            )
+        w, h, feats = _fake_decode(batch.column(self.payload_col))
+        # fake lanes: rate from the fake width, frames from byte length
+        rates = (8000 + w.astype(np.int64) * 16).astype(np.int32)
+        frames = (h.astype(np.int64) * 256).astype(np.int64)
+        if self.codec is not None:
+            col = batch.column(self.payload_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            for i in range(len(col)):
+                payload = col[i].as_py()
+                real = self.codec.decode(payload) if payload else None
+                if real is not None:
+                    rate, x = real
+                    rates[i] = rate
+                    frames[i] = len(x)
+                    feats[i] = _audio_features(rate, x)
+                elif self.strict:
+                    raise NotImplementedError(
+                        f"no available codec decodes audio payload row {i} "
+                        f"({len(payload or b'')} bytes)"
+                    )
+        batch = batch.append_column("sample_rate", pa.array(rates, pa.int32()))
+        batch = batch.append_column("n_frames", pa.array(frames, pa.int64()))
+        batch = batch.append_column(
+            "audio_features",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), pa.float32()), FEATURE_DIM
+            ),
+        )
+        return batch.drop_columns([self.payload_col])
+
+
+def decode_audio(ds, payload_col: str = "html", batch_size: int = 64,
+                 concurrency=None, codec: str = "fake"):
+    """Actor-pool wrapper mirroring ``decode_images`` — small batches
+    (audio payloads are wide rows), codec probe once per actor."""
+    return ds.map_batches(
+        DecodeAudioStub,
+        fn_constructor_kwargs={"payload_col": payload_col, "codec": codec},
+        batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency or (1, 4),
         zero_copy_batch=True,
     )

@@ -1379,3 +1379,101 @@ def test_video_codec_real_ffmpeg_if_present():
     frames = VideoCodec().extract_frames(mk.stdout, max_frames=3)
     assert frames is not None and len(frames) == 3
     assert all((w, h) == (64, 48) for (w, h, _) in frames)
+
+
+def _wav_bytes(rate=8000, freq=440.0, secs=0.25, ch=1, bits=16):
+    import struct
+
+    import numpy as np
+
+    n = int(rate * secs)
+    t = np.arange(n) / rate
+    x = np.sin(2 * np.pi * freq * t)
+    if ch == 2:
+        x = np.stack([x, 0.5 * x], axis=1)
+    else:
+        x = x[:, None]
+    if bits == 16:
+        data = (x * 32767).astype("<i2").tobytes()
+        afmt = 1
+    elif bits == 8:
+        data = ((x * 127) + 128).astype(np.uint8).tobytes()
+        afmt = 1
+    else:
+        data = x.astype("<f4").tobytes()
+        afmt = 3
+        bits = 32
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", afmt, ch, rate, rate * block, block, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_audio_codec_decodes_wav_and_au():
+    """Library-free WAV/AU decode: sample rate, shape, amplitude, and the
+    spectral centroid of a pure tone land where physics says."""
+    import struct
+
+    import numpy as np
+
+    from fever_ray.ops.multimodal import AudioCodec, _audio_features
+
+    ac = AudioCodec()
+    for bits in (8, 16, 32):
+        rate, x = ac.decode(_wav_bytes(bits=bits))
+        assert rate == 8000 and x.shape == (2000, 1)
+        assert 0.68 < np.sqrt((x**2).mean()) < 0.74  # sine RMS ≈ 1/√2
+    rate, x = ac.decode(_wav_bytes(ch=2))
+    assert x.shape == (2000, 2) and abs(x[:, 1].std() / x[:, 0].std() - 0.5) < 0.01
+    # a 440 Hz tone's spectral centroid ≈ 440 Hz (normalized by rate/2)
+    f = _audio_features(8000, ac.decode(_wav_bytes(freq=440.0))[1])
+    assert abs(f[4] * 4000 - 440) < 15
+    assert abs(f[0] - 0.25) < 1e-3  # duration
+
+    # AU: big-endian 16-bit, encoding 3
+    pcm = (np.sin(2 * np.pi * 440 * np.arange(2000) / 8000) * 32767).astype(">i2")
+    au = (b".snd" + struct.pack(">IIIII", 24, len(pcm) * 2, 3, 8000, 1)
+          + pcm.tobytes())
+    rate, x = ac.decode(au)
+    assert rate == 8000 and x.shape == (2000, 1)
+
+    # garbage / truncated → None
+    assert ac.decode(b"RIFFxxxxWAVE") is None
+    assert ac.decode(b"\x00" * 64) is None
+
+
+def test_decode_audio_stage_real_and_fallback(ray_session):
+    """DecodeAudioStub(codec='auto') through the actor pool: WAV payloads
+    get real rate/frames/features, non-audio payloads fall back to the
+    deterministic fake; default codec='fake' never inspects bytes."""
+    import numpy as np
+    import ray.data as rd
+
+    from fever_ray.ops.multimodal import decode_audio
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "html": pa.array([_wav_bytes(rate=16000, secs=0.5), b"<html>x</html>"],
+                             pa.binary()),
+        }
+    )
+    rows = sorted(
+        decode_audio(rd.from_arrow(t), codec="auto").take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows[0]["sample_rate"] == 16000 and rows[0]["n_frames"] == 8000
+    assert len(rows[0]["audio_features"]) == 8
+    # the html row took the fake lanes (rate derives from fake width)
+    assert rows[1]["sample_rate"] != 16000
+
+    import pytest
+
+    from fever_ray.ops.multimodal import DecodeAudioStub
+
+    with pytest.raises(NotImplementedError, match="audio"):
+        DecodeAudioStub(payload_col="html", codec="auto", strict=True)(t)
