@@ -361,6 +361,19 @@ def run_bench() -> dict:
             key="user_id",
         ).materialize()
     )
+    # range join at the same 3M/300k-key scale: every quote within ±5
+    # minutes of each event, auto-sized buckets (r4: no fixed-16 default)
+    from fever_ray.ops.windows import interval_join
+
+    timings["interval_3m_events"] = _timed(
+        lambda: interval_join(
+            rd.read_parquet(EVENTS3M_DIR + "/", columns=["user_id", "ts", "event_id"]),
+            rd.read_parquet(QUOTES3M_DIR + "/", columns=["user_id", "ts", "price"]),
+            key="user_id",
+            lo=-300_000_000,
+            hi=300_000_000,
+        ).materialize()
+    )
     timings["lang_id"] = _timed(
         lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8))

@@ -256,6 +256,53 @@ def main() -> int:
         ).materialize(),
     )
 
+    # broader heavy family (same invocation shapes as bench.py's 1M
+    # entries, for the 10×-step ratio table)
+    from fever_ray.ops.curate import curation_filter
+    from fever_ray.ops.dedup import (
+        dup_ngram_windows,
+        line_dedup,
+        sorted_neighbor_pairs,
+    )
+    from fever_ray.ops.editsim import token_edit_dups
+
+    run(
+        "line_dedup",
+        lambda: line_dedup(
+            docs(), threshold=1, match="hash", broadcast_bytes=512 << 20
+        ).materialize(),
+    )
+    run(
+        "dup_ngram",
+        lambda: dup_ngram_windows(
+            docs(), n=8, match="hash", num_partitions=max(NUM_CPUS * 4, 64)
+        ).materialize(),
+    )
+    run(
+        "token_edit",
+        lambda: token_edit_dups(
+            docs(), max_dist=2, min_count=2,
+            num_partitions=max(NUM_CPUS * 2, 32),
+        ).materialize(),
+    )
+    run(
+        "snm",
+        lambda: sorted_neighbor_pairs(
+            docs(), window=4, same_prefix=8, num_partitions=nparts
+        ).materialize(),
+    )
+    run(
+        "curate",
+        lambda: curation_filter(
+            pages(), min_tokens=20, max_dup_ratio=0.8, max_top_frac=0.3
+        )
+        .map_batches(
+            lambda b: b.select(["url", "n_tokens", "dup_token_ratio", "keep"]),
+            batch_format="pyarrow",
+        )
+        .materialize(),
+    )
+
     summary = {
         "metric": "scale_10x_heavy_family_sec",
         "rows": ROWS,
