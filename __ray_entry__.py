@@ -4849,6 +4849,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_image_phash_dups(sf):
+        """Perceptual-hash image dedup gate (ops.multimodal.image_phash_pairs
+        → dedup.hamming_code_pairs): payloads run the pHash actor stage —
+        real DCT hashing for decodable images, the deterministic
+        hash-chain code otherwise — and pair through the banded Hamming
+        core at distance 0.  Dup structure is PLANTED SQL-mirrorably:
+        every 97th doc_id gets one of three fixed payloads (id mod 3), so
+        pairs = same planted group ∪ identical-text unplanted docs; the
+        pHash DCT math itself is pytest-pinned (scale invariance, naive-
+        DCT equality) since a transcendental transform has no SQL mirror."""
+        from fever_ray.ops.multimodal import image_phash_pairs
+
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+
+        def plant(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            html = b.column("html").to_pylist()
+            for i in np.flatnonzero(ids % 97 == 0):
+                html[i] = b"PLANT-%d" % (ids[i] % 3)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "html": pa.array(html, pa.binary()),
+                }
+            )
+
+        return image_phash_pairs(
+            pages.map_batches(
+                lambda b: plant(b.select(["doc_id", "html"])),
+                batch_format="pyarrow",
+            ),
+            max_hamming=0,
+        )
+
     def q_frame_sample(sf):
         # video frame-sampling PLAN (flat_map fan-out through the actor
         # stage): payload = the text bytes, frame count = clip(len/256, 1, 4)
@@ -5079,6 +5113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch_per_host": q_grouped_sketch_per_host,
         "multimodal_decode": q_multimodal_decode,
         "audio_decode": q_audio_decode,
+        "image_phash_dups": q_image_phash_dups,
         "frame_sample": q_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "tumbling_window": q_tumbling_window,
@@ -8213,6 +8248,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 + ((strlen(text) + 46) % 1024) AS INT) AS img_width, "
             "CAST(16 + (((strlen(text) + 46) // 1024) % 1024) AS INT) AS img_height "
             "FROM documents"
+        ),
+        "image_phash_dups": (
+            # distance-0 pairs = equal 64-bit codes = equal payloads:
+            # the three planted groups (every 97th id, by id mod 3) plus
+            # identical-text unplanted docs (html is a pure text template)
+            "WITH d AS (SELECT doc_id, text, doc_id % 97 = 0 AS planted, "
+            "doc_id % 3 AS grp FROM documents) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM d a JOIN d b "
+            "ON a.doc_id < b.doc_id AND ((a.planted AND b.planted AND "
+            "a.grp = b.grp) OR (NOT a.planted AND NOT b.planted AND "
+            "a.text = b.text))"
         ),
         "audio_decode": (
             # the audio stub's fake lanes are pure byte-length functions:

@@ -1048,26 +1048,62 @@ class SimHashFingerprints:
         )
 
 
-def simhash_near_dup_pairs(
-    ds, max_hamming: int = 3, n_parts: int | None = None, max_bucket: int = 8192,
+def hamming_code_pairs(
+    code_ds, max_hamming: int = 3, n_parts: int | None = None,
+    max_bucket: int = 8192, n_bands: int = 4,
+    id_col: str = "doc_id", code_col: str = "code",
 ):
-    """Banded SimHash blocking + exact Hamming verification per bucket.
+    """Banded 64-bit-code blocking + exact Hamming verification — the
+    simhash pipeline's pairing core made CODE-GENERIC: any 64-bit
+    locality-preserving fingerprint (text SimHash, image pHash, audio
+    chromaprint-style codes) pairs through the same machinery.  Input:
+    one (id, code int64) row per item; codes within Hamming distance
+    ``64/n_bands``-pigeonhole share ≥1 band key and get exact-verified.
 
     Same scale guards as the minhash path: ``n_parts`` scales with input
-    size (one map_groups partition must never hold a fixed fraction of ALL
-    band rows) and buckets over ``max_bucket`` — a 16-bit band shared by
-    boilerplate-heavy docs — fall back to Hamming-verified adjacent-id
-    chains with a logged count instead of O(k²) work."""
-    fingerprinter = SimHashFingerprints()
-
-    def fp(batch: pa.Table) -> pa.Table:
-        return fingerprinter(batch)
-
-    rows = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
-
-    # coarse partitions, one Python call each; verify per bucket-run inside
+    size (one map_groups partition must never hold a fixed fraction of
+    ALL band rows) and buckets over ``max_bucket`` fall back to
+    Hamming-verified adjacent-id chains with a logged count instead of
+    O(k²) work.  Output: (doc_a, doc_b, hamming), min-reduced over bands
+    (output-sized streamed aggregate)."""
+    if 64 % n_bands:
+        raise ValueError(f"hamming_code_pairs: n_bands must divide 64, got {n_bands}")
+    band_bits = 64 // n_bands
     if n_parts is None:
-        n_parts = _auto_parts(ds)
+        n_parts = _auto_parts(code_ds)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = (
+            batch.column(code_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        n_docs = len(ids)
+        bands = np.arange(n_bands, dtype=np.uint64)
+        mask = np.uint64((1 << band_bits) - 1)
+        with np.errstate(over="ignore"):
+            keys = (fps[:, None] >> (bands[None, :] * np.uint64(band_bits))) & mask
+        fp_i64 = fps.view(np.int64)  # two's-complement reinterpretation
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n_docs),
+                    type=pa.int32(),
+                ),
+                "band_key": pa.array(
+                    keys.reshape(-1).astype(np.int64), type=pa.int64()
+                ),
+                "code": pa.array(np.repeat(fp_i64, n_bands), type=pa.int64()),
+            }
+        )
+
+    rows = code_ds.map_batches(
+        band_rows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
+    )
 
     def add_part(batch: pa.Table) -> pa.Table:
         bk = batch.column("band_key").to_numpy(zero_copy_only=False)
@@ -1085,7 +1121,7 @@ def simhash_near_dup_pairs(
         band = g.column("band").to_numpy(zero_copy_only=False)
         bk = g.column("band_key").to_numpy(zero_copy_only=False)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        fps = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        fps = g.column("code").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         n = len(ids)
         a_out, b_out, d_out = [], [], []
         n_over = over_rows = 0
@@ -1120,7 +1156,7 @@ def simhash_near_dup_pairs(
                     d_out.append(da[keep])
         if n_over:
             logger.warning(
-                "simhash bands: %d bucket(s) over max_bucket=%d (%d rows total) "
+                "hamming code bands: %d bucket(s) over max_bucket=%d (%d rows total) "
                 "fell back to chain verification", n_over, max_bucket, over_rows,
             )
         if not a_out:
@@ -1147,6 +1183,32 @@ def simhash_near_dup_pairs(
     return _pair_reduce_bucketed(
         pairs, "min", "hamming", value_col="hamming", n_parts=n_parts,
         output_sized=True,
+    )
+
+
+def simhash_near_dup_pairs(
+    ds, max_hamming: int = 3, n_parts: int | None = None, max_bucket: int = 8192,
+):
+    """Banded SimHash blocking + exact Hamming verification per bucket —
+    text fingerprinting (`sketches.minhash.batch_simhash`) feeding the
+    generic `hamming_code_pairs` core."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        from ..sketches.minhash import batch_simhash
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = batch_simhash(batch.column("text"))  # vectorized whole batch
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "code": pa.array(fps.view(np.int64), pa.int64()),
+            }
+        )
+
+    codes = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_code_pairs(
+        codes, max_hamming=max_hamming,
+        n_parts=n_parts or _auto_parts(ds), max_bucket=max_bucket,
     )
 
 

@@ -687,3 +687,120 @@ def decode_audio(ds, payload_col: str = "html", batch_size: int = 64,
         concurrency=concurrency or (1, 4),
         zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------------------ perceptual hash
+def _area_resize(gray: np.ndarray, out_h: int = 32, out_w: int = 32) -> np.ndarray:
+    """Exact area-mean resize of a 2-D array to (out_h, out_w): two
+    ``np.add.reduceat`` passes over block boundaries + one outer-product
+    count division — no interpolation library, no Python pixel loop."""
+    h, w = gray.shape
+    rb = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cb = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    rows = np.add.reduceat(gray, rb, axis=0)
+    blocks = np.add.reduceat(rows, cb, axis=1)
+    # upscaling duplicates boundaries; reduceat then yields the SINGLE
+    # source element for the empty slice (numpy's documented rule), so the
+    # effective count is 1, never the 0 the plain diff computes
+    rcnt = np.maximum(np.diff(np.concatenate((rb, [h]))), 1)
+    ccnt = np.maximum(np.diff(np.concatenate((cb, [w]))), 1)
+    return blocks / np.outer(rcnt, ccnt)
+
+
+def _dct2(x: np.ndarray) -> np.ndarray:
+    """2-D DCT-II via FFT (Makhoul's even-odd reorder), separable — the
+    pHash frequency transform with no scipy dependency."""
+
+    def dct1(v: np.ndarray) -> np.ndarray:  # along the last axis
+        n = v.shape[-1]
+        reordered = np.concatenate(
+            [v[..., ::2], v[..., 1::2][..., ::-1]], axis=-1
+        )
+        V = np.fft.fft(reordered, axis=-1)
+        k = np.arange(n)
+        return 2.0 * np.real(V * np.exp(-1j * np.pi * k / (2 * n)))
+
+    return dct1(dct1(x).T).T
+
+
+def phash64(arr: np.ndarray) -> np.uint64:
+    """Classic 64-bit perceptual hash of a decoded image: gray → 32×32
+    area-mean → 2-D DCT-II → top-left 8×8 low-frequency block → one bit
+    per coefficient above the median of the 63 AC coefficients (DC
+    excluded — it only encodes brightness).  Robust to resize/re-encode;
+    Hamming distance ≈ visual difference."""
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    d = _dct2(_area_resize(gray.astype(np.float64)))
+    blk = d[:8, :8].ravel()
+    med = np.median(blk[1:])
+    bits = blk > med
+    bits[0] = d[0, 0] > med  # DC participates as a bit, not in the median
+    return np.uint64(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+class ImagePHash:
+    """Actor stage: binary image payload → 64-bit pHash code rows
+    (doc_id, code) for `dedup.hamming_code_pairs`.  Real decode via the
+    per-actor :class:`ImageCodec` (PIL optional, BMP/PPM built-in);
+    payloads no codec decodes fall back to a DETERMINISTIC fake code
+    (splitmix chain of the payload hash) so the pipeline stays total —
+    fake codes are uniform random bits, so two of them collide below any
+    small Hamming radius only at ~2⁻⁶⁴-scale rates UNLESS the payloads
+    are byte-identical (equal hashes ⇒ equal codes ⇒ distance 0), which
+    is exactly the degenerate-but-correct answer for exact duplicates."""
+
+    def __init__(self, payload_col: str = "html", id_col: str = "doc_id",
+                 strict: bool = False):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.strict = strict
+        self.codec = ImageCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        col = batch.column(self.payload_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fake = splitmix64(hash64(col.fill_null(b"") if col.null_count else col))
+        codes = fake.copy()
+        for i in range(len(col)):
+            payload = col[i].as_py()
+            real = self.codec.decode(payload) if payload else None
+            if real is not None:
+                codes[i] = phash64(real[2])
+            elif self.strict:
+                raise NotImplementedError(
+                    f"no available codec decodes payload row {i} for pHash"
+                )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "code": pa.array(codes.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def image_phash_pairs(ds, payload_col: str = "html", id_col: str = "doc_id",
+                      max_hamming: int = 6, batch_size: int = 64,
+                      concurrency=None, n_parts: int | None = None,
+                      strict: bool = False):
+    """Image near-duplicate pairs by perceptual hash: the pHash actor
+    stage (decode + DCT, state in ``__init__``) feeding the SAME banded
+    Hamming pairing core text SimHash uses
+    (`ops.dedup.hamming_code_pairs`) — one 64-bit code per image moves,
+    never pixels.  Output: (doc_a, doc_b, hamming)."""
+    from .dedup import _auto_parts, hamming_code_pairs
+
+    codes = ds.map_batches(
+        ImagePHash,
+        fn_constructor_kwargs={
+            "payload_col": payload_col, "id_col": id_col, "strict": strict,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 4),
+        zero_copy_batch=True,
+    )
+    return hamming_code_pairs(
+        codes, max_hamming=max_hamming, n_parts=n_parts or _auto_parts(ds)
+    )

@@ -28,7 +28,11 @@ import time
 ROWS = int(os.environ.get("SCALE_ROWS", "10000000"))
 FILES = int(os.environ.get("SCALE_FILES", "256"))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-DIR = f"/tmp/fever_ray_pages/scale_{ROWS}"
+VOCAB = int(os.environ.get("SCALE_VOCAB", "0"))  # 0 = the 60-word default
+DIR = (
+    f"/tmp/fever_ray_pages/scale_{ROWS}"
+    + (f"_vocab{VOCAB}" if VOCAB else "")
+)
 ONLY = [s for s in os.environ.get("SCALE_OPS", "").split(",") if s]
 
 
@@ -42,8 +46,14 @@ def ensure_corpus():
     from fever_ray.gen.pages import GEN_VERSION
 
     marker = os.path.join(DIR, "_DONE")
-    stamp = f"version={GEN_VERSION} rows={ROWS} files={FILES} seed=42 scale\n"
-    if os.path.exists(marker) and open(marker).read() == stamp:
+    stamp = (f"version={GEN_VERSION} rows={ROWS} files={FILES} seed=42 "
+             f"vocab={VOCAB} scale\n")
+    # pre-vocab caches used a stamp without the vocab field; they are
+    # exactly the vocab=0 corpus, so accept them rather than regenerate
+    legacy = f"version={GEN_VERSION} rows={ROWS} files={FILES} seed=42 scale\n"
+    if os.path.exists(marker) and open(marker).read() in (
+        stamp, legacy if not VOCAB else None
+    ):
         return
     os.makedirs(DIR, exist_ok=True)
 
@@ -53,7 +63,7 @@ def ensure_corpus():
 
         from fever_ray.gen.pages import generate_pages
 
-        t = generate_pages(rows, seed=42 + 1000 * i)
+        t = generate_pages(rows, seed=42 + 1000 * i, vocab_size=VOCAB)
         p = os.path.join(DIR, f"pages-{i:05d}.parquet")
         pq.write_table(t, p)
         return p

@@ -1477,3 +1477,77 @@ def test_decode_audio_stage_real_and_fallback(ray_session):
 
     with pytest.raises(NotImplementedError, match="audio"):
         DecodeAudioStub(payload_col="html", codec="auto", strict=True)(t)
+
+
+def test_phash_invariance_and_discrimination():
+    """pHash math: exact invariance under integer upscale + mild noise of
+    a textured image; unrelated images land near Hamming 32 (random
+    bits); DCT matches the naive O(N²) definition."""
+    import numpy as np
+
+    from fever_ray.ops.multimodal import _dct2, phash64
+
+    rng = np.random.default_rng(5)
+    x = rng.random((32, 32))
+
+    def naive_dct1(v):
+        n = v.shape[-1]
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        return v @ (2 * np.cos(np.pi * (2 * i + 1) * k / (2 * n))).T
+
+    assert np.abs(naive_dct1(naive_dct1(x).T).T - _dct2(x)).max() < 1e-9
+
+    base = rng.integers(0, 256, (32, 32, 3)).astype(np.float64)
+    h0 = int(phash64(base))
+    assert h0 != 0
+    for s in (2, 3):
+        hs = int(phash64(np.kron(base, np.ones((s, s, 1)))))
+        assert bin(h0 ^ hs).count("1") == 0
+    noisy = np.clip(
+        np.kron(base, np.ones((2, 2, 1))) + rng.normal(0, 4, (64, 64, 3)),
+        0, 255,
+    )
+    assert bin(h0 ^ int(phash64(noisy))).count("1") <= 2
+    other = int(phash64(rng.integers(0, 256, (32, 32, 3)).astype(np.float64)))
+    assert bin(h0 ^ other).count("1") > 15
+
+
+def test_image_phash_pairs_finds_visual_dups(ray_session):
+    """End-to-end: BMP payloads through the pHash actor stage + the
+    generic banded Hamming core — an image and its 2x upscale pair at
+    distance 0; an unrelated image pairs with neither; non-image
+    payloads (fake-code fallback) pair only when byte-identical."""
+    import numpy as np
+    import ray.data as rd
+
+    from fever_ray.ops.multimodal import image_phash_pairs
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    up = np.kron(img, np.ones((2, 2, 1))).astype(np.uint8)
+    other = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "html": pa.array(
+                [
+                    _bmp_bytes(img.astype(np.float32)),
+                    _bmp_bytes(up.astype(np.float32)),
+                    _bmp_bytes(other.astype(np.float32)),
+                    b"<html>same bytes</html>",
+                    b"<html>same bytes</html>",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    rows = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in image_phash_pairs(
+            rd.from_arrow(t), max_hamming=4
+        ).take_all()
+    )
+    assert (1, 2, 0) in rows            # visual dup (scale-invariant)
+    assert (4, 5, 0) in rows            # byte-identical fallback codes
+    assert all(3 not in (a, b) for a, b, _ in rows)
