@@ -313,6 +313,96 @@ def main() -> int:
         .materialize(),
     )
 
+    # ---- event-time windows at 10× the bench's 3M-event entries ----
+    EV_ROWS = ROWS * 3  # 30M events at the default 10M-page step
+    EV_KEYS = EV_ROWS // 10
+    EV_DIR = f"/tmp/fever_ray_pages/scale_events_{EV_ROWS}"
+    QT_DIR = f"/tmp/fever_ray_pages/scale_quotes_{EV_ROWS}"
+
+    def ensure_events():
+        if os.path.isdir(EV_DIR) and os.path.isdir(QT_DIR):
+            return
+
+        span_us = 30 * 86_400_000_000
+
+        @ray.remote(num_cpus=1)
+        def gen(dir_, i, n, quotes):
+            import pyarrow.parquet as pq
+
+            rng = np.random.default_rng(770 + i)
+            if quotes:
+                t = pa.table(
+                    {
+                        "user_id": pa.array(
+                            rng.integers(0, EV_KEYS, n), pa.int64()
+                        ),
+                        "ts": pa.array(
+                            rng.integers(0, span_us, n), pa.int64()
+                        ).cast(pa.timestamp("us")),
+                        "price": pa.array(
+                            rng.integers(0, 10_000, n).astype(np.float64)
+                            / 100.0
+                        ),
+                    }
+                )
+            else:
+                t = pa.table(
+                    {
+                        "event_id": pa.array(
+                            np.arange(i * n, (i + 1) * n, dtype=np.int64)
+                        ),
+                        "user_id": pa.array(
+                            rng.integers(0, EV_KEYS, n), pa.int64()
+                        ),
+                        "ts": pa.array(
+                            rng.integers(0, span_us, n), pa.int64()
+                        ).cast(pa.timestamp("us")),
+                    }
+                )
+            pq.write_table(t, os.path.join(dir_, f"p{i:03d}.parquet"))
+
+        for d, total, quotes in ((EV_DIR, EV_ROWS, False),
+                                 (QT_DIR, EV_ROWS // 5, True)):
+            os.makedirs(d + ".tmp", exist_ok=True)
+            files = 64
+            per = total // files
+            ray.get([gen.remote(d + ".tmp", i, per, quotes)
+                     for i in range(files)])
+            os.rename(d + ".tmp", d)
+
+    if not ONLY or {"sessionize", "asof", "interval"} & set(ONLY):
+        ensure_events()
+        from fever_ray.ops.windows import asof_join, interval_join, sessionize
+
+        run(
+            "sessionize",
+            lambda: sessionize(
+                rd.read_parquet(EV_DIR + "/", columns=["user_id", "ts"]),
+                gap_s=1800,
+            ).materialize(),
+        )
+        run(
+            "asof",
+            lambda: asof_join(
+                rd.read_parquet(EV_DIR + "/",
+                                columns=["user_id", "ts", "event_id"]),
+                rd.read_parquet(QT_DIR + "/"),
+                key="user_id",
+            ).materialize(),
+        )
+        run(
+            "interval",
+            lambda: interval_join(
+                rd.read_parquet(EV_DIR + "/",
+                                columns=["user_id", "ts", "event_id"]),
+                rd.read_parquet(QT_DIR + "/",
+                                columns=["user_id", "ts", "price"]),
+                key="user_id",
+                lo=-300_000_000,
+                hi=300_000_000,
+            ).materialize(),
+        )
+
     summary = {
         "metric": "scale_10x_heavy_family_sec",
         "rows": ROWS,
