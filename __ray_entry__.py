@@ -4883,6 +4883,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_hamming=0,
         )
 
+    def q_audio_dup_gate(sf):
+        """Audio near-dup gate (ops.multimodal.audio_dup_pairs →
+        dedup.hamming_code_pairs): the same planted-group construction as
+        image_phash_dups but through the AUDIO fingerprint stage (its own
+        fake-code chain constant, so the two modality code spaces never
+        collide); every 89th doc by id mod 3.  The fingerprint DSP itself
+        (Hz-anchored Haitsma–Kalker sign bits) is pytest-pinned."""
+        from fever_ray.ops.multimodal import audio_dup_pairs
+
+        pages = docs_to_pages(_t(sf, "documents", ["doc_id", "source", "text", "lang"]))
+
+        def plant(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            html = b.column("html").to_pylist()
+            for i in np.flatnonzero(ids % 89 == 0):
+                html[i] = b"CLIP-%d" % (ids[i] % 3)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "html": pa.array(html, pa.binary()),
+                }
+            )
+
+        return audio_dup_pairs(
+            pages.map_batches(
+                lambda b: plant(b.select(["doc_id", "html"])),
+                batch_format="pyarrow",
+            ),
+            max_hamming=0,
+        )
+
     def q_frame_sample(sf):
         # video frame-sampling PLAN (flat_map fan-out through the actor
         # stage): payload = the text bytes, frame count = clip(len/256, 1, 4)
@@ -5114,6 +5145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "audio_decode": q_audio_decode,
         "image_phash_dups": q_image_phash_dups,
+        "audio_dup_gate": q_audio_dup_gate,
         "frame_sample": q_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "tumbling_window": q_tumbling_window,
@@ -8248,6 +8280,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 + ((strlen(text) + 46) % 1024) AS INT) AS img_width, "
             "CAST(16 + (((strlen(text) + 46) // 1024) % 1024) AS INT) AS img_height "
             "FROM documents"
+        ),
+        "audio_dup_gate": (
+            # same construction as image_phash_dups at a different plant
+            # modulus: equal fingerprint codes = equal payloads
+            "WITH d AS (SELECT doc_id, text, doc_id % 89 = 0 AS planted, "
+            "doc_id % 3 AS grp FROM documents) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM d a JOIN d b "
+            "ON a.doc_id < b.doc_id AND ((a.planted AND b.planted AND "
+            "a.grp = b.grp) OR (NOT a.planted AND NOT b.planted AND "
+            "a.text = b.text))"
         ),
         "image_phash_dups": (
             # distance-0 pairs = equal 64-bit codes = equal payloads:

@@ -1551,3 +1551,78 @@ def test_image_phash_pairs_finds_visual_dups(ray_session):
     assert (1, 2, 0) in rows            # visual dup (scale-invariant)
     assert (4, 5, 0) in rows            # byte-identical fallback codes
     assert all(3 not in (a, b) for a, b, _ in rows)
+
+
+def test_audio_fingerprint_invariance_and_discrimination():
+    """Clip-level 64-bit audio fingerprint: Hz-anchored band-difference
+    signs are stable across sample rate and level for the same material,
+    far for different material (the Haitsma-Kalker sign trick, condensed
+    to one code per clip)."""
+    import numpy as np
+
+    from fever_ray.ops.multimodal import audio_fingerprint64
+
+    def tone_seq(rate, freqs, amp=0.8):
+        segs = [
+            amp * np.sin(2 * np.pi * f * np.arange(rate // 4) / rate)
+            for f in freqs
+        ]
+        return np.concatenate(segs)[:, None]
+
+    f1 = [220, 440, 880, 330, 660, 550, 990, 415]
+    a = int(audio_fingerprint64(8000, tone_seq(8000, f1)))
+    b = int(audio_fingerprint64(16000, tone_seq(16000, f1, amp=0.3)))
+    c = int(audio_fingerprint64(8000, tone_seq(8000, list(reversed(f1)))))
+    assert bin(a ^ b).count("1") <= 12   # same material, rate+level changed
+    assert bin(a ^ c).count("1") >= 25   # different material
+    rng = np.random.default_rng(2)
+    noise = int(audio_fingerprint64(8000, rng.normal(0, 0.3, (16000, 1))))
+    assert bin(a ^ noise).count("1") >= 25
+
+
+def test_audio_dup_pairs_finds_reencodes(ray_session):
+    """End-to-end: a clip and its 16 kHz re-encode pair within radius;
+    different material doesn't; byte-identical non-audio payloads pair
+    at 0 via the fallback codes."""
+    import numpy as np
+    import ray.data as rd
+
+    from fever_ray.ops.multimodal import audio_dup_pairs
+
+    def tone_wav(rate, freqs):
+        import struct
+
+        segs = [
+            0.8 * np.sin(2 * np.pi * f * np.arange(rate // 4) / rate)
+            for f in freqs
+        ]
+        x = np.concatenate(segs)
+        data = (x * 32767).astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    f1 = [220, 440, 880, 330, 660, 550, 990, 415]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "html": pa.array(
+                [
+                    tone_wav(8000, f1),
+                    tone_wav(16000, f1),           # re-encode of clip 1
+                    tone_wav(8000, list(reversed(f1))),
+                    b"not audio at all",
+                    b"not audio at all",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    rows = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in audio_dup_pairs(rd.from_arrow(t), max_hamming=12).take_all()
+    )
+    assert (1, 2) in rows
+    assert (4, 5) in rows
+    assert all(3 not in p for p in rows)
