@@ -825,6 +825,34 @@ def run_bench() -> dict:
         ).materialize()
     )
 
+    # the tri-modal code-dedup core at corpus scale: 1M payloads through
+    # the pHash actor stage (fake-code path on html payloads — the hash +
+    # banding + Hamming-verify machinery is what this measures; the DCT
+    # runs only on decodable images) + the shared banded pairing core
+    from fever_ray.ops.multimodal import image_phash_pairs
+
+    def _payload_docs():
+        import pyarrow as pa
+
+        return rd.read_parquet(PAGES_DIR + "/", columns=["url", "html"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64(b.column("url")).view(np.int64), pa.int64()
+                    ),
+                    "html": b.column("html"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    timings["phash_dups_pages"] = _timed(
+        lambda: image_phash_pairs(
+            _payload_docs(), max_hamming=0, batch_size=4096
+        ).materialize()
+    )
+
     # SQ8 quantize + signed JL projection of the 1M synthetic vectors
     # (zero-shuffle: two integer-kernel passes over the embedding stream)
     from fever_ray.ops.knn import project_quantized, quantize_embeddings

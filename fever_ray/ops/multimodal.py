@@ -689,6 +689,31 @@ def decode_audio(ds, payload_col: str = "html", batch_size: int = 64,
     )
 
 
+def _magic_candidates(col: pa.Array, prefixes: tuple,
+                      any_nonempty: bool = False) -> np.ndarray:
+    """Indices of payloads whose leading bytes match one of ``prefixes``
+    — ONE vectorized Arrow slice comparison instead of a Python probe per
+    row (the hot-stage rule).  ``any_nonempty=True`` (a general-purpose
+    codec like PIL is present) returns every non-empty row instead."""
+    import pyarrow.compute as pc
+
+    if any_nonempty:
+        return np.flatnonzero(
+            pc.greater(pc.binary_length(col), 0).to_numpy(zero_copy_only=False)
+        )
+    width = max(len(p) for p in prefixes)
+    heads = pc.binary_slice(col.fill_null(b""), 0, width)
+    mask = np.zeros(len(col), dtype=bool)
+    for p in prefixes:
+        if len(p) == width:
+            mask |= pc.equal(heads, p).to_numpy(zero_copy_only=False)
+        else:
+            mask |= pc.equal(
+                pc.binary_slice(col.fill_null(b""), 0, len(p)), p
+            ).to_numpy(zero_copy_only=False)
+    return np.flatnonzero(mask)
+
+
 # ------------------------------------------------------------ perceptual hash
 def _area_resize(gray: np.ndarray, out_h: int = 32, out_w: int = 32) -> np.ndarray:
     """Exact area-mean resize of a 2-D array to (out_h, out_w): two
@@ -763,15 +788,25 @@ class ImagePHash:
             col = col.combine_chunks()
         fake = splitmix64(hash64(col.fill_null(b"") if col.null_count else col))
         codes = fake.copy()
-        for i in range(len(col)):
+        # vectorized magic-byte prefilter: the per-payload Python decode
+        # probe only runs on rows that CAN be images (BMP/netpbm always;
+        # everything non-trivial when PIL is present) — a corpus of html
+        # payloads costs one Arrow slice comparison, not 1M as_py calls
+        cand = _magic_candidates(
+            col, (b"BM", b"P6", b"P5"), any_nonempty=self.codec.has_pil
+        )
+        n_real = 0
+        for i in cand:
             payload = col[i].as_py()
             real = self.codec.decode(payload) if payload else None
             if real is not None:
                 codes[i] = phash64(real[2])
-            elif self.strict:
-                raise NotImplementedError(
-                    f"no available codec decodes payload row {i} for pHash"
-                )
+                n_real += 1
+        if self.strict and n_real != len(col):
+            raise NotImplementedError(
+                f"{len(col) - n_real} payload row(s) have no decodable "
+                "image for pHash"
+            )
         return pa.table(
             {
                 "doc_id": ids,
@@ -875,16 +910,18 @@ class AudioFingerprintStage:
             ^ np.uint64(0xA5A5A5A55A5A5A5A)
         )
         codes = fake.copy()
-        for i in range(len(col)):
+        n_real = 0
+        for i in _magic_candidates(col, (b"RIFF", b".snd")):
             payload = col[i].as_py()
             real = self.codec.decode(payload) if payload else None
             if real is not None:
                 codes[i] = audio_fingerprint64(*real)
-            elif self.strict:
-                raise NotImplementedError(
-                    f"no available codec decodes audio payload row {i} "
-                    "for fingerprinting"
-                )
+                n_real += 1
+        if self.strict and n_real != len(col):
+            raise NotImplementedError(
+                f"{len(col) - n_real} payload row(s) have no decodable "
+                "audio for fingerprinting"
+            )
         return pa.table(
             {
                 "doc_id": ids,
