@@ -313,6 +313,35 @@ def main() -> int:
         .materialize(),
     )
 
+    # ANN at 10M vectors: SQ8 quantize+project (zero-shuffle integer
+    # passes) and the full IVF-PQ train→encode→ADC-query pipeline (the
+    # probed-cell-bounded scale path; centroids scale ~√10×)
+    from fever_ray.ops.knn import (
+        ivfpq_encode,
+        knn_ivfpq,
+        project_quantized,
+        quantize_embeddings,
+        train_ivfpq,
+    )
+
+    run(
+        "quantize_project",
+        lambda: project_quantized(
+            quantize_embeddings(vecs()), out_dim=16
+        ).materialize(),
+    )
+
+    def _ivfpq():
+        emb = vecs()
+        cents, books = train_ivfpq(emb, n_centroids=96, m=16, ksub=256,
+                                   seed=9, sample_rows=8192)
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(3, 64))
+        return knn_ivfpq(ivfpq_encode(emb, cents, books), q, cents, books,
+                         k=10, nprobe=4).materialize()
+
+    run("ivfpq_adc", _ivfpq)
+
     # ---- event-time windows at 10× the bench's 3M-event entries ----
     EV_ROWS = ROWS * 3  # 30M events at the default 10M-page step
     EV_KEYS = EV_ROWS // 10

@@ -1626,3 +1626,28 @@ def test_audio_dup_pairs_finds_reencodes(ray_session):
     assert (1, 2) in rows
     assert (4, 5) in rows
     assert all(3 not in p for p in rows)
+
+
+def test_codecs_never_crash_on_garbage():
+    """The image/audio/netpbm decoders run on UNTRUSTED payload bytes:
+    any input must yield None (or a valid decode), never an exception —
+    hypothesis fuzz over raw bytes plus magic-prefixed garbage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fever_ray.ops.multimodal import AudioCodec, ImageCodec
+
+    ic, ac = ImageCodec(), AudioCodec()
+    prefixes = [b"", b"BM", b"P6", b"P5", b"RIFF", b"RIFFxxxxWAVE",
+                b".snd", b"P6\n"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=256), st.sampled_from(prefixes))
+    def check(body, prefix):
+        payload = prefix + body
+        out = ic.decode(payload)
+        assert out is None or (len(out) == 3 and out[2].ndim == 3)
+        aout = ac.decode(payload)
+        assert aout is None or (len(aout) == 2 and aout[1].ndim == 2)
+
+    check()
