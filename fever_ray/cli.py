@@ -1079,6 +1079,67 @@ def cmd_embaudit(args) -> int:
     return 0
 
 
+def cmd_mediadup(args) -> int:
+    """Near-duplicate media detection over a binary payload column: pHash
+    for images, the spectral fingerprint for audio — one 64-bit code per
+    payload through the shared banded-Hamming core.  Payloads no codec
+    decodes take the deterministic fallback code, so byte-identical
+    payloads (the gen corpora's planted dup pages) pair at distance 0
+    even in a library-free container.  Prints ONE JSON line."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .ops.multimodal import audio_dup_pairs, image_phash_pairs
+    from .sketches.hashing import hash64
+
+    _init_ray(args.num_cpus)
+    from .sketches.hashing import splitmix64
+
+    def keyed(b: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        # id = hash(url) ⊕ mix(ts): re-crawled records (same url, later
+        # fetch) stay DISTINCT — a payload-dup pair between two crawls of
+        # one page is exactly what this audit reports
+        h = hash64(b.column("url"))
+        ts = pc.cast(b.column("warc_ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = (h ^ splitmix64(ts.view(np.uint64))).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "html": b.column(args.column),
+            }
+        )
+
+    ds = rd.read_parquet(
+        args.input, columns=["url", "warc_ts", args.column]
+    ).map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    op = image_phash_pairs if args.modality == "image" else audio_dup_pairs
+    pairs = op(ds, max_hamming=args.max_hamming).materialize()
+    n_pairs = pairs.count()
+    sample = [
+        {"doc_a": r["doc_a"], "doc_b": r["doc_b"], "hamming": r["hamming"]}
+        for r in pairs.limit(5).take_all()
+    ]
+    if args.out:
+        pairs.write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "modality": args.modality,
+                "pairs": n_pairs,
+                "max_hamming": args.max_hamming,
+                "sample": sample,
+                **({"out": args.out} if args.out else {}),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Snapshot delta between two page tables keyed by url: counts of
     added / removed / changed (content hash) pages as ONE JSON line;
@@ -1925,6 +1986,16 @@ def main(argv=None) -> int:
     )
     pf.add_argument("--num-cpus", dest="num_cpus", type=int)
     pf.set_defaults(fn=cmd_follow)
+
+    pmd = sub.add_parser("mediadup", allow_abbrev=False,
+                         help="near-dup media pairs (pHash / audio fingerprint)")
+    pmd.add_argument("--input", required=True, help="parquet dir of pages")
+    pmd.add_argument("--column", default="html", help="binary payload column")
+    pmd.add_argument("--modality", choices=("image", "audio"), default="image")
+    pmd.add_argument("--max-hamming", dest="max_hamming", type=int, default=6)
+    pmd.add_argument("--out", help="write the pair table as parquet")
+    pmd.add_argument("--num-cpus", dest="num_cpus", type=int)
+    pmd.set_defaults(fn=cmd_mediadup)
 
     pi = sub.add_parser("ioc", allow_abbrev=False, help="IoC matching over pages")
     pi.add_argument("--input", required=True)

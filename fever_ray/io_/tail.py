@@ -46,6 +46,24 @@ import pyarrow as pa
 SEG_PREFIX = "seg_"
 
 
+def _append_journal(path: str, blob: bytes) -> None:
+    """One locked journal append, safe across WRITER OBJECTS and
+    PROCESSES: a socket server and a queue drainer (or two processes)
+    may share one journal, and two interleaved partial writes would
+    corrupt line framing — flock serializes the append; the in-object
+    threading locks only guard counters."""
+    import fcntl
+
+    with open(path, "ab") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            fh.write(blob)
+            fh.flush()
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+
 def _parse_event_lines(chunk: bytes) -> pa.Table:
     """Default line parser: newline-delimited JSON → the standard event
     schema (pyarrow's C++ JSON reader — no Python-per-row parsing)."""
@@ -238,9 +256,8 @@ class SocketLineServer:
         if not keep:
             return
         blob = b"\n".join(keep) + b"\n"
+        _append_journal(self.journal_path, blob)
         with self._lock:
-            with open(self.journal_path, "ab") as fh:
-                fh.write(blob)
             self._lines += len(keep)
             self._bytes += len(blob)
 
@@ -336,12 +353,11 @@ class RedisQueueDrainer:
             keep.append(v)
         if keep:
             blob = b"\n".join(keep) + b"\n"
+            os.makedirs(
+                os.path.dirname(self.journal_path) or ".", exist_ok=True
+            )
+            _append_journal(self.journal_path, blob)
             with self._lock:
-                os.makedirs(
-                    os.path.dirname(self.journal_path) or ".", exist_ok=True
-                )
-                with open(self.journal_path, "ab") as fh:
-                    fh.write(blob)
                 self._lines += len(keep)
                 self._bytes += len(blob)
         return len(keep)

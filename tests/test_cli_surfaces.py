@@ -219,3 +219,30 @@ def test_cli_slurp_rotated_tables(ray_session, tmp_path, capsys):
                 for t in tabs)
     assert total == n
     conn.close()
+
+
+def test_cli_mediadup_finds_planted_payload_dups(linked_dir, tmp_path, capsys):
+    """mediadup at distance 0 over a gen corpus: the planted 5% duplicate
+    pages (re-crawled urls, distinct (url, ts) ids) pair via the
+    fallback codes; the pair table round-trips through --out."""
+    out = str(tmp_path / "dup_pairs")
+    rc = cli.main(
+        ["mediadup", "--input", linked_dir, "--max-hamming", "0",
+         "--out", out]
+    )
+    assert rc == 0
+    line = _line(capsys)
+    n = 4000
+    # ~5% of rows are payload copies; each contributes >= 1 pair
+    assert line["pairs"] >= int(n * 0.04)
+    assert all(s["hamming"] == 0 for s in line["sample"])
+    t = pq.read_table(out)
+    assert t.num_rows == line["pairs"]
+    assert set(t.column_names) == {"doc_a", "doc_b", "hamming"}
+
+    rc = cli.main(
+        ["mediadup", "--input", linked_dir, "--modality", "audio",
+         "--max-hamming", "0"]
+    )
+    assert rc == 0
+    assert _line(capsys)["pairs"] >= int(n * 0.04)
