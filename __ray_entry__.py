@@ -4883,6 +4883,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_hamming=0,
         )
 
+    def q_code_cross_dedup(sf):
+        """Incremental code-dedup gate (dedup.hamming_cross_pairs — the
+        minhash_cross shape for stored 64-bit fingerprints): odd doc_ids
+        are the NEW batch, even the stored REFERENCE, code = doc_id >> 4,
+        radius 0 — so pairs are exactly the odd×even id pairs sharing a
+        16-id block, an integer plan the oracle mirrors."""
+        from fever_ray.ops.dedup import hamming_cross_pairs
+
+        def side(parity):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                sel = ids[ids % 2 == parity]
+                return pa.table(
+                    {
+                        "doc_id": pa.array(sel, pa.int64()),
+                        "code": pa.array(sel >> 4, pa.int64()),
+                    }
+                )
+
+            return _t(sf, "documents", ["doc_id"]).map_batches(
+                f, batch_format="pyarrow"
+            )
+
+        return hamming_cross_pairs(side(1), side(0), max_hamming=0)
+
     def q_audio_dup_gate(sf):
         """Audio near-dup gate (ops.multimodal.audio_dup_pairs →
         dedup.hamming_code_pairs): the same planted-group construction as
@@ -5146,6 +5171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode": q_audio_decode,
         "image_phash_dups": q_image_phash_dups,
         "audio_dup_gate": q_audio_dup_gate,
+        "code_cross_dedup": q_code_cross_dedup,
         "frame_sample": q_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "tumbling_window": q_tumbling_window,
@@ -8280,6 +8306,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 + ((strlen(text) + 46) % 1024) AS INT) AS img_width, "
             "CAST(16 + (((strlen(text) + 46) // 1024) % 1024) AS INT) AS img_height "
             "FROM documents"
+        ),
+        "code_cross_dedup": (
+            # radius-0 cross pairs = odd/even ids sharing a 16-id block
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM documents a "
+            "JOIN documents b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 "
+            "AND a.doc_id // 16 = b.doc_id // 16"
         ),
         "audio_dup_gate": (
             # same construction as image_phash_dups at a different plant

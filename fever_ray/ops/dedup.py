@@ -4928,3 +4928,162 @@ def minhash_candidates_from_sigs(
     if n_parts is None:
         n_parts = _auto_parts(sig_ds)
     return _pairs_from_band_rows(band_rows, n_parts, max_bucket, cross_only)
+
+
+def hamming_cross_pairs(
+    new_codes, ref_codes, max_hamming: int = 3, n_parts: int | None = None,
+    max_bucket: int = 8192, n_bands: int = 4,
+    id_col: str = "doc_id", code_col: str = "code",
+):
+    """Incremental 64-bit-code near-dup: pairs between a NEW batch and an
+    already-ingested REFERENCE code store — `minhash_cross_dedup`'s shape
+    for the fingerprint family (image pHash / audio / SimHash codes are
+    tiny durable artifacts; store them once, match every new crawl batch
+    against history without re-reading any payload).
+
+    Same banded machinery as `hamming_code_pairs`, with a side tag: only
+    (new, ref) pairs emit — new×new and ref×ref are the respective
+    self-dedup jobs' business.  Output: (doc_a=new id, doc_b=ref id,
+    hamming), min-reduced over bands."""
+    if 64 % n_bands:
+        raise ValueError(f"hamming_cross_pairs: n_bands must divide 64, got {n_bands}")
+    band_bits = 64 // n_bands
+    if n_parts is None:
+        n_parts = max(_auto_parts(new_codes), _auto_parts(ref_codes))
+
+    def band_rows(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            fps = (
+                batch.column(code_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            n_docs = len(ids)
+            bands = np.arange(n_bands, dtype=np.uint64)
+            mask = np.uint64((1 << band_bits) - 1)
+            with np.errstate(over="ignore"):
+                keys = (
+                    fps[:, None] >> (bands[None, :] * np.uint64(band_bits))
+                ) & mask
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                    "band": pa.array(
+                        np.tile(np.arange(n_bands, dtype=np.int32), n_docs),
+                        pa.int32(),
+                    ),
+                    "band_key": pa.array(
+                        keys.reshape(-1).astype(np.int64), pa.int64()
+                    ),
+                    "code": pa.array(
+                        np.repeat(fps.view(np.int64), n_bands), pa.int64()
+                    ),
+                    "side": pa.array(
+                        np.full(n_docs * n_bands, side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    rows = new_codes.map_batches(
+        band_rows(0), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
+    ).union(
+        ref_codes.map_batches(
+            band_rows(1), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=32768,
+        )
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bk = batch.column("band_key").to_numpy(zero_copy_only=False)
+        part = (bk.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def verify_partition(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if not group.num_rows or not group.num_columns:
+            return empty
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("band", "ascending"), ("band_key", "ascending"),
+                       ("side", "ascending"), ("doc_id", "ascending")],
+        )
+        g = group.take(order)
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        bk = g.column("band_key").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        fps = g.column("code").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        a_out, b_out, d_out = [], [], []
+        n_over = over_rows = 0
+        starts = _key_runs(band, bk)
+        lens = np.diff(starts)
+        for mi in np.nonzero(lens >= 2)[0]:
+            s, e = starts[mi], starts[mi + 1]
+            # side-sorted run: new rows first, then ref rows
+            ns = int(np.searchsorted(side[s:e], 1))
+            nr = (e - s) - ns
+            if not ns or not nr:
+                continue
+            if ns * nr > max_bucket * max_bucket:
+                # boilerplate band both sides: cap via the chain rule —
+                # pair each new row with ONE adjacent ref row
+                n_over += 1
+                over_rows += e - s
+                k = min(ns, nr)
+                na, rb = ids[s : s + k], ids[s + ns : s + ns + k]
+                da = hamming_distance(fps[s : s + k], fps[s + ns : s + ns + k])
+                keep = da <= max_hamming
+                if keep.any():
+                    a_out.append(na[keep])
+                    b_out.append(rb[keep])
+                    d_out.append(da[keep])
+                continue
+            iu, ju = np.meshgrid(
+                np.arange(ns), np.arange(nr), indexing="ij"
+            )
+            iu, ju = iu.ravel(), ju.ravel()
+            da = hamming_distance(fps[s + iu], fps[s + ns + ju])
+            keep = da <= max_hamming
+            if keep.any():
+                a_out.append(ids[s + iu][keep])
+                b_out.append(ids[s + ns + ju][keep])
+                d_out.append(da[keep])
+        if n_over:
+            logger.warning(
+                "hamming cross bands: %d bucket(s) over the pair cap "
+                "(%d rows total) fell back to chain pairing", n_over, over_rows,
+            )
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "hamming": pa.array(
+                    np.concatenate(d_out).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pairs = (
+        rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify_partition, batch_format="pyarrow")
+    )
+    return _pair_reduce_bucketed(
+        pairs, "min", "hamming", value_col="hamming", n_parts=n_parts,
+        output_sized=True,
+    )

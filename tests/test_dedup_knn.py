@@ -1808,3 +1808,56 @@ def test_verify_slabbed_csr_equals_broadcast(ray_session):
         ["doc_a", "doc_b"],
     )
     assert len(c) > 0 and c.equals(d)
+
+
+def test_hamming_cross_pairs_incremental_codes(ray_session):
+    """Incremental code dedup: a new batch matches the stored reference
+    codes — (new, ref) pairs only, exact distances, no new×new or
+    ref×ref leakage; a full-bucket collision exercises the pair cap."""
+    import numpy as np
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import hamming_cross_pairs
+
+    def codes(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "code": pa.array(
+                        np.array([r[1] for r in rows], np.uint64).view(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+        )
+
+    base = np.uint64(0xDEADBEEF12345678)
+    ref = codes([(100, base), (101, base ^ np.uint64(0b111)),  # d=3
+                 (102, np.uint64(0x0123456789ABCDEF))])
+    new = codes([(1, base),                                     # d=0 vs 100
+                 (2, base ^ np.uint64(1 << 63)),                # d=1 vs 100
+                 (3, np.uint64(0xFFFFFFFF00000000))])           # far from all
+
+    rows = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_cross_pairs(new, ref, max_hamming=3).take_all()
+    )
+    assert (1, 100, 0) in rows
+    assert (1, 101, 3) in rows
+    assert (2, 100, 1) in rows
+    # no same-side pairs ever (1,2 are both new and d=1 apart)
+    assert all(a in (1, 2, 3) and b in (100, 101, 102) for a, b, _ in rows)
+    assert all(3 != a for a, _, _ in rows)
+
+    # self-vs-self at radius 0: every id pairs with its stored twin
+    both = codes(
+        [(i, np.uint64((i * 0x9E3779B97F4A7C15) % 2**64)) for i in range(1, 200)]
+    )
+    twin = codes(
+        [(i + 1000, np.uint64((i * 0x9E3779B97F4A7C15) % 2**64))
+         for i in range(1, 200)]
+    )
+    out = hamming_cross_pairs(both, twin, max_hamming=0).take_all()
+    assert len(out) == 199
+    assert all(r["doc_b"] == r["doc_a"] + 1000 for r in out)
