@@ -1013,28 +1013,27 @@ def collect_scaling_legs() -> dict | None:
     evidence instead of prose in BASELINE.md.
 
     Runs BEFORE the main suite (quiet box, no accumulated object-store /
-    spill state — the measured 1.5-2x late-session regime) and retries the
-    whole measurement up to 3 times when efficiency lands under the
-    documented single-box spread floor, reporting EVERY attempt's
-    efficiency in ``attempt_effs`` so a retried number is disclosed, not
-    laundered.  Never allowed to sink the main artifact: any failure
-    returns None."""
+    spill state — the measured 1.5-2x late-session regime).  Always runs a
+    FIXED 3 attempts (no acceptance threshold — retry-if-low selection
+    biases any reported statistic upward) and reports the MEDIAN attempt as
+    the headline ``eff``; every attempt's efficiency is disclosed in
+    ``attempt_effs`` and the best in ``best_eff``.  Never allowed to sink
+    the main artifact: any failure returns None."""
     attempts: list[dict] = []
     try:
         for _ in range(3):
-            s = run_scaling()
-            attempts.append(s)
-            if s["scaling_efficiency"] >= 0.82:
-                break
-        best = max(attempts, key=lambda s: s["scaling_efficiency"])
+            attempts.append(run_scaling())
+        by_eff = sorted(attempts, key=lambda s: s["scaling_efficiency"])
+        med = by_eff[len(by_eff) // 2]
         return {
-            "lo": {"cpus": best["cpus_lo"], "sec": best["sec_lo"],
-                   "docs_per_sec": best["docs_per_sec_lo"]},
-            "hi": {"cpus": best["cpus_hi"], "sec": best["sec_hi"],
-                   "docs_per_sec": best["docs_per_sec_hi"]},
-            "eff": best["scaling_efficiency"],
+            "lo": {"cpus": med["cpus_lo"], "sec": med["sec_lo"],
+                   "docs_per_sec": med["docs_per_sec_lo"]},
+            "hi": {"cpus": med["cpus_hi"], "sec": med["sec_hi"],
+                   "docs_per_sec": med["docs_per_sec_hi"]},
+            "eff": med["scaling_efficiency"],
+            "best_eff": by_eff[-1]["scaling_efficiency"],
             "attempt_effs": [s["scaling_efficiency"] for s in attempts],
-            "pages_rows": best["pages_rows"],
+            "pages_rows": med["pages_rows"],
         }
     except Exception as e:  # pragma: no cover - defensive
         sys.stderr.write(f"scaling legs failed: {e}\n")

@@ -122,6 +122,28 @@ def cmd_run(args) -> int:
         batch_size=args.batch_size,
     )
     print(res["summary"].to_pandas().to_string(index=False))
+    if getattr(args, "amqp_url", None):
+        # ship the run's summary (and any per-stage metrics records) to a
+        # RabbitMQ exchange — the AMQPSubmitter transport
+        # (/root/reference/util/submitter_amqp.go); needs the optional
+        # `pika` package at runtime
+        from .io_.amqp import AMQPSubmitter, submit_metrics
+
+        sub_ = AMQPSubmitter(
+            args.amqp_url, args.amqp_exchange, compress=args.amqp_gzip
+        )
+        try:
+            for row in res["summary"].to_pylist():
+                sub_.submit(json.dumps(row, default=str), args.amqp_key)
+            n = 1 + (
+                submit_metrics(sub_, args.out, key=args.amqp_key)
+                if args.out
+                else 0
+            )
+            print(f"amqp: submitted summary + {n - 1} metrics records "
+                  f"to {args.amqp_exchange} ({sub_.stats})", file=sys.stderr)
+        finally:
+            sub_.finish()
     return 0
 
 
@@ -1506,6 +1528,54 @@ def cmd_ioc(args) -> int:
 def cmd_bloom(args) -> int:
     from .sketches.bloom import BloomFilter, build_filter
 
+    if args.action == "serve":
+        # live management endpoint on a unix socket — the mgmt-plane wire
+        # (mgmt/mgmtserver.go): BloomAdd streams into the LIVE filter,
+        # BloomSave atomically flips the artifact generation that
+        # `follow --bloom-file` / ioc_follow watch
+        import time as _time
+
+        from .io_.mgmt import MgmtServer
+
+        with MgmtServer(args.file, args.socket, compressed=args.zipped) as srv:
+            print(json.dumps({"socket": args.socket, "bloom": args.file,
+                              **srv.bloom_info()}))
+            sys.stdout.flush()
+            deadline = (_time.time() + args.duration) if args.duration else None
+            try:
+                while deadline is None or _time.time() < deadline:
+                    _time.sleep(0.2)
+            except KeyboardInterrupt:
+                pass
+            print(json.dumps(srv.stats))
+        return 0
+    if getattr(args, "socket", None):
+        # client face of the mgmt protocol (cmd/fever/cmds/bloom.go:24-69):
+        # mutate/inspect the LIVE filter of a running `bloom serve`
+        from .io_.mgmt import MgmtClient
+
+        with MgmtClient(args.socket) as clt:
+            if args.action == "add":
+                values = list(args.values)
+                if args.iocs:
+                    with open(args.iocs) as fh:
+                        values += [ln.strip() for ln in fh if ln.strip()]
+                if not values and not sys.stdin.isatty():
+                    values = [ln.strip() for ln in sys.stdin if ln.strip()]
+                print(json.dumps({"added": clt.bloom_add(values)}))
+            elif args.action == "show":
+                print(json.dumps(clt.bloom_info()))
+            elif args.action == "save":
+                clt.bloom_save()
+            elif args.action == "reload":
+                clt.bloom_reload()
+            else:
+                print(f"action {args.action} needs no --socket", file=sys.stderr)
+                return 2
+        return 0
+    if args.action in ("save", "reload"):
+        print(f"bloom {args.action} requires --socket", file=sys.stderr)
+        return 2
     if args.action == "create":
         with open(args.iocs) as fh:
             iocs = [line.strip() for line in fh if line.strip()]
@@ -1721,6 +1791,14 @@ def main(argv=None) -> int:
     pr.add_argument("--group-by", dest="group_by", default=None,
                     help="grouped resumable build: per-key distinct-url "
                     "HLL card keyed by this column (requires --checkpoint)")
+    pr.add_argument("--amqp-url", dest="amqp_url",
+                    help="submit the run summary + metrics to this RabbitMQ "
+                    "broker (amqp:// URL; needs the optional pika package)")
+    pr.add_argument("--amqp-exchange", dest="amqp_exchange",
+                    default="tdh.metrics")
+    pr.add_argument("--amqp-key", dest="amqp_key", default="fever.stats")
+    pr.add_argument("--amqp-gzip", dest="amqp_gzip", action="store_true",
+                    help="gzip payloads (the reference's UseCompression)")
     pr.set_defaults(fn=cmd_run)
 
     pmg = sub.add_parser(
@@ -2018,13 +2096,25 @@ def main(argv=None) -> int:
     pi.set_defaults(fn=cmd_ioc)
 
     pb = sub.add_parser("bloom", allow_abbrev=False, help="bloom artifact management")
-    pb.add_argument("action", choices=["create", "add", "show", "check"])
+    pb.add_argument(
+        "action",
+        choices=["create", "add", "show", "check", "serve", "save", "reload"],
+    )
     pb.add_argument("file")
     pb.add_argument("values", nargs="*")
     pb.add_argument("--iocs", help="one IoC per line (create)")
     pb.add_argument("--capacity", type=int)
     pb.add_argument("--p", type=float, default=1e-6)
     pb.add_argument("--zipped", action="store_true")
+    pb.add_argument(
+        "--socket",
+        help="mgmt unix socket: serve = listen here; add/show/save/reload = "
+        "talk to a running serve (the fever bloom mgmt verbs)",
+    )
+    pb.add_argument(
+        "--duration", type=float, default=0.0,
+        help="serve: exit after N seconds (0 = until interrupted)",
+    )
     pb.set_defaults(fn=cmd_bloom)
 
     pcb = sub.add_parser(

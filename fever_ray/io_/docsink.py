@@ -134,10 +134,14 @@ class MongoDocumentSink(Datasink):
             db.create_collection(
                 name, capped=True, size=max(1, int(self.max_bytes * frac))
             )
-        except Exception:
-            # already exists (any writer may have won the race) — the
-            # reference logs and continues the same way
-            pass
+        except Exception as exc:
+            # Only the exists-race is benign (any writer may have won it);
+            # real connection/auth failures must not be swallowed here or
+            # they resurface later as an opaque insert_many error.  pymongo
+            # raises CollectionInvalid / "already exists" for the race.
+            msg = str(exc).lower()
+            if "exist" not in msg and type(exc).__name__ != "CollectionInvalid":
+                raise
         created.add(name)
 
     def write(self, blocks: Iterable, ctx) -> dict:

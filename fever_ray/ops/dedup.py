@@ -563,24 +563,21 @@ def _blob_offsets_data(col) -> tuple[np.ndarray, np.ndarray]:
     return off // 8, data
 
 
-def _csr_from_blob_ds(sh_ds):
-    """(ids_sorted, offs, flat) CSR of a blob Dataset, Arrow buffers
-    end-to-end: take_all() would round-trip every blob through a Python
-    dict (measured 69 s for 944k blobs); the zero-copy offsets view + one
-    vectorized segment gather does the same re-ordering in ~2 s."""
-    import ray
+_EMPTY_CSR = (
+    np.zeros(0, np.int64),
+    np.zeros(1, np.int64),
+    np.zeros(0, np.uint64),
+)
 
-    tabs = [
-        t
-        for t in ray.get(sh_ds.to_arrow_refs())
-        if t.num_rows and t.num_columns
-    ]
+
+def _csr_from_tables(tabs):
+    """(ids_sorted, offs, flat) CSR of a list of blob tables, Arrow
+    buffers end-to-end: a per-row Python round-trip would cost ~69 s for
+    944k blobs; the zero-copy offsets view + one vectorized segment
+    gather does the same re-ordering in ~2 s."""
+    tabs = [t for t in tabs if t is not None and t.num_rows and t.num_columns]
     if not tabs:
-        return (
-            np.zeros(0, np.int64),
-            np.zeros(1, np.int64),
-            np.zeros(0, np.uint64),
-        )
+        return _EMPTY_CSR
     big = pa.concat_tables(tabs)
     ids = big.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     off_e, dat = _blob_offsets_data(big.column("sh"))
@@ -595,6 +592,14 @@ def _csr_from_blob_ds(sh_ds):
     )
     flat = dat[idx]
     return ids_sorted, offs, flat
+
+
+def _csr_from_blob_ds(sh_ds):
+    """Whole-Dataset CSR (broadcast fast path — caller has size-gated
+    this under the broadcast cap, so one driver-side copy is fine)."""
+    import ray
+
+    return _csr_from_tables(ray.get(sh_ds.to_arrow_refs()))
 
 
 def _intersect_with_csr(ids_a_csr, off_a, dat_a, ids_b_csr, off_b, dat_b,
@@ -664,27 +669,84 @@ def _verify_pairs_with_blobs(
         return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
 
     # ---- slabbed CSR path ----
-    ids_sorted, offs, flat = _csr_from_blob_ds(sh_ds)
-    K = max(2, int(-(-blob_bytes // broadcast_bytes)))
-    n_ids = len(ids_sorted)
-    cut_rows = [(k * n_ids) // K for k in range(K + 1)]
-    slab_refs = []
+    # Built WITHOUT materializing the blob store on the driver (the old
+    # slicing held O(total blob bytes) driver RSS — a single-node ceiling
+    # on exactly the above-broadcast-cap path).  Pass 1 collects only the
+    # skinny (doc_id, element count) metadata per block; the driver cuts
+    # the sorted id range into BYTE-balanced slab bounds; pass 2 splits
+    # each block by slab and assembles each slab's CSR in worker tasks
+    # (num_returns fan-out → each blob byte moves exactly twice, in
+    # parallel, never through the driver).
+    blk_refs = sh_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def _ids_lens(tab):
+        if not tab.num_rows or not tab.num_columns:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        ids = tab.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        off_e, _ = _blob_offsets_data(tab.column("sh"))
+        return ids, np.diff(off_e).astype(np.int64)
+
+    meta = ray.get([_ids_lens.remote(r) for r in blk_refs])
+    ids_all = (
+        np.concatenate([m[0] for m in meta])
+        if meta
+        else np.zeros(0, np.int64)
+    )
+    lens_all = (
+        np.concatenate([m[1] for m in meta])
+        if meta
+        else np.zeros(0, np.int64)
+    )
+    ids_srt = np.sort(ids_all)
+    cum = np.cumsum(lens_all[np.argsort(ids_all, kind="stable")] * 8)
+    total_bytes = int(cum[-1]) if len(cum) else 0
+    K = max(2, int(-(-total_bytes // broadcast_bytes)))
+    targets = np.arange(1, K) * (total_bytes / K)
+    cut_rows = np.unique(
+        np.concatenate(
+            ([0], np.searchsorted(cum, targets), [len(ids_srt)])
+        )
+    )
+    K = max(2, len(cut_rows) - 1)
+    if len(cut_rows) - 1 < 2:  # degenerate tiny input: row-balanced halves
+        cut_rows = np.array([0, len(ids_srt) // 2, len(ids_srt)])
     bounds = np.empty(K, np.int64)  # first id of each slab
     for k in range(K):
-        s, e = cut_rows[k], cut_rows[k + 1]
-        bounds[k] = ids_sorted[s] if s < n_ids else np.iinfo(np.int64).max
-        slab_refs.append(
-            ray.put(
-                (
-                    ids_sorted[s:e],
-                    (offs[s : e + 1] - offs[s]).copy(),
-                    flat[offs[s] : offs[e]].copy(),
-                )
-            )
+        s = int(cut_rows[k])
+        bounds[k] = ids_srt[s] if s < len(ids_srt) else np.iinfo(np.int64).max
+
+    @ray.remote(num_cpus=0.5)
+    def _split_block(tab, bounds_, K_):
+        if not tab.num_rows or not tab.num_columns:
+            return [None] * K_ if K_ > 1 else None
+        ids = tab.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
+        sl = np.searchsorted(bounds_, ids, side="right") - 1
+        out = []
+        for k in range(K_):
+            rows = np.flatnonzero(sl == k)
+            out.append(tab.take(pa.array(rows)) if len(rows) else None)
+        return out if K_ > 1 else out[0]
+
+    @ray.remote(num_cpus=0.5)
+    def _build_slab(*pieces):
+        return _csr_from_tables(pieces)
+
+    bounds_ref = ray.put(bounds)
+    piece_refs = [
+        _split_block.options(num_returns=K).remote(r, bounds_ref, K)
+        for r in blk_refs
+    ]
+    slab_refs = [
+        _build_slab.remote(*[pr[k] for pr in piece_refs]) for k in range(K)
+    ]
     if _trace:
-        print(f"[verify] slabbed CSR build+put: {_time.time()-_t0:.2f}s "
-              f"(K={K}, {blob_bytes >> 20} MB)")
+        print(f"[verify] slabbed CSR scheduled: {_time.time()-_t0:.2f}s "
+              f"(K={K}, {total_bytes >> 20} MB)")
     # sub-split each (slab_a, slab_b) cell so parallelism isn't capped at
     # K² when most pairs land in few cells
     m = max(1, num_partitions // (K * K) + 1)

@@ -758,8 +758,8 @@ def phash64(arr: np.ndarray) -> np.uint64:
     d = _dct2(_area_resize(gray.astype(np.float64)))
     blk = d[:8, :8].ravel()
     med = np.median(blk[1:])
+    # DC (blk[0]) participates as a bit but not in the median above
     bits = blk > med
-    bits[0] = d[0, 0] > med  # DC participates as a bit, not in the median
     return np.uint64(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
 
 

@@ -246,3 +246,45 @@ def test_cli_mediadup_finds_planted_payload_dups(linked_dir, tmp_path, capsys):
     )
     assert rc == 0
     assert _line(capsys)["pairs"] >= int(n * 0.04)
+
+
+def test_cli_bloom_mgmt_serve_and_client(tmp_path, capsys):
+    """`bloom serve --socket` + the client verbs (add/show/save/reload over
+    the socket) — the fever bloom mgmt CLI face (cmd/fever/cmds/bloom.go),
+    server run in a thread the way a daemon would host it."""
+    import threading
+
+    from fever_ray.io_.mgmt import MgmtServer
+    from fever_ray.sketches.bloom import BloomFilter, build_filter
+
+    f = str(tmp_path / "iocs.bloom")
+    build_filter(["seed.test"], n=1000, p=1e-7).save(f)
+    sock = str(tmp_path / "mgmt.sock")
+    with MgmtServer(f, sock):
+        assert cli.main(["bloom", "add", f, "live.test", "--socket", sock]) == 0
+        assert _line(capsys)["added"] == 1
+        assert cli.main(["bloom", "show", f, "--socket", sock]) == 0
+        info = _line(capsys)
+        assert info["has_bloom"] and info["elements"] >= 2
+        # live add not yet on disk; save flips the artifact generation
+        assert not BloomFilter.load_with_fallback(f).check_one("live.test")
+        assert cli.main(["bloom", "save", f, "--socket", sock]) == 0
+        assert BloomFilter.load_with_fallback(f).check_one("live.test")
+        assert cli.main(["bloom", "reload", f, "--socket", sock]) == 0
+    # save/reload without a socket is a usage error, not a silent no-op
+    assert cli.main(["bloom", "save", f]) == 2
+
+
+def test_cli_bloom_serve_duration_smoke(tmp_path, capsys):
+    """`bloom serve --duration` exits on its own and prints the info line
+    plus a stats line (usable under a process supervisor)."""
+    from fever_ray.sketches.bloom import build_filter
+
+    f = str(tmp_path / "iocs.bloom")
+    build_filter(["seed.test"], n=100, p=1e-6).save(f)
+    sock = str(tmp_path / "mgmt.sock")
+    rc = cli.main(["bloom", "serve", f, "--socket", sock, "--duration", "0.3"])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert lines[0]["socket"] == sock and lines[0]["has_bloom"]
+    assert "requests" in lines[-1]
