@@ -1762,6 +1762,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return containment_pairs(_t(sf, "documents", ["doc_id", "text"]))
 
+    def q_containment_capped(sf):
+        # candidate-ceiling variant: the exact global df-histogram pre-pass
+        # picks the largest effective rarity cap whose PREDICTED pair count
+        # fits 2x the corpus row count (a linear budget), and the expansion
+        # runs at that cap — the deterministic bound on candidate
+        # densification (the 10M step's 171M-pair regime); the oracle
+        # mirrors histogram -> windowed cumulative -> MAX(df) selection
+        from fever_ray.ops.dedup import containment_pairs
+
+        # 20x rows: tightens to cap_eff 3/3/6 at sf0.001/0.01/0.1 (between
+        # the df=2 cliff and the uncapped prediction at every gate scale)
+        docs = _t(sf, "documents", ["doc_id", "text"])
+        return containment_pairs(docs, max_candidates=20 * docs.count())
+
     def q_allpairs_similarity(sf):
         # EXACT set-similarity self-join (AllPairs prefix filter): zero
         # false negatives, the recall-complete complement of MinHash LSH
@@ -5090,6 +5104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "minhash_sigs_dedup": q_minhash_sigs_dedup,
         "containment_pairs": q_containment_pairs,
+        "containment_capped": q_containment_capped,
         "sorted_neighbor_pairs": q_sorted_neighbor_pairs,
         "allpairs_similarity": q_allpairs_similarity,
         "snapshot_diff": q_snapshot_diff,
@@ -6449,12 +6464,20 @@ def _ngram_novelty_sql() -> str:
 
 
 def _containment_pairs_sql(
-    thr_num: int = 4, thr_den: int = 5, cap: int = 16
+    thr_num: int = 4, thr_den: int = 5, cap: int = 16,
+    max_candidates_sql: str | None = None,
 ) -> str:
     """Mirror of ops.dedup.containment_pairs: the shared shingle-hash CTE
     prefix, candidates = pairs sharing a rare shingle (posting size in
     [2, cap]), kept iff thr_den·|∩| ≥ thr_num·min(|A|, |B|) — pure
-    integers, so the gate hashes bit-exactly."""
+    integers, so the gate hashes bit-exactly.
+
+    ``max_candidates_sql`` mirrors ``containment_pairs(max_candidates=...)``
+    (ops/dedup.py containment_cap_eff): df histogram of the rare shingles,
+    integer cumulative predicted-pair count ordered by df, effective cap =
+    MAX(df) whose cumulative fits the ceiling (COALESCE 1 = zero
+    candidates when even df=2 overflows) — the same deterministic
+    selection the engine computes from its exact histogram."""
     ctes = _shingle_ctes("SELECT doc_id, text FROM documents")
     ctes.append(
         ("post", "SELECT doc_id, UNNEST(sh) AS x FROM shu", True)
@@ -6462,15 +6485,43 @@ def _containment_pairs_sql(
     ctes.append(
         (
             "rare",
-            f"SELECT x FROM post GROUP BY x HAVING COUNT(*) BETWEEN 2 AND {cap}",
+            "SELECT x, COUNT(*) AS df FROM post GROUP BY x "
+            f"HAVING COUNT(*) BETWEEN 2 AND {cap}",
             True,
         )
     )
+    if max_candidates_sql is not None:
+        ctes.append(
+            (
+                "caph",
+                "SELECT df, COUNT(*) AS n FROM rare GROUP BY df",
+                True,
+            )
+        )
+        ctes.append(
+            (
+                "cume",
+                "SELECT df, SUM(n * df * (df - 1) // 2) "
+                "OVER (ORDER BY df) AS cum FROM caph",
+                True,
+            )
+        )
+        ctes.append(
+            (
+                "capeff",
+                "SELECT COALESCE(MAX(df), 1) AS c FROM cume "
+                f"WHERE cum <= ({max_candidates_sql})",
+                True,
+            )
+        )
+        rare_gate = " AND r.df <= (SELECT c FROM capeff)"
+    else:
+        rare_gate = ""
     ctes.append(
         (
             "cand",
             "SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM post a "
-            "JOIN rare r ON a.x = r.x JOIN post b ON b.x = a.x "
+            f"JOIN rare r ON a.x = r.x{rare_gate} JOIN post b ON b.x = a.x "
             "WHERE a.doc_id < b.doc_id",
             True,
         )
@@ -7554,6 +7605,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_dedup_sql(),
         "minhash_sigs_dedup": _minhash_dedup_sql(),
         "containment_pairs": _containment_pairs_sql(4, 5, 16),
+        "containment_capped": _containment_pairs_sql(
+            4, 5, 16,
+            max_candidates_sql="SELECT 20 * COUNT(*) FROM documents",
+        ),
         "sorted_neighbor_pairs": _sorted_neighbor_sql(4, 16, 1, 2,
                                                       same_prefix=8),
         "allpairs_similarity": _allpairs_similarity_sql(1, 2),

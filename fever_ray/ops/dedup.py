@@ -2777,6 +2777,89 @@ def _allpairs_by_runlen(ids_sorted: np.ndarray, starts: np.ndarray, cap: int):
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+def containment_cap_eff(
+    ds,
+    n_shingle: int = 3,
+    rare_cap: int = 16,
+    max_candidates: int | None = None,
+    num_partitions: int | None = None,
+) -> tuple[int, int]:
+    """EXACT global shingle document-frequency histogram → the largest
+    effective rarity cap whose predicted candidate count fits a ceiling.
+
+    Returns ``(cap_eff, predicted_pairs)`` where ``cap_eff`` is the
+    largest ``c ≤ rare_cap`` such that ``Σ_{df=2..c} n_df · C(df, 2) ≤
+    max_candidates`` (``n_df`` = number of shingles with global posting
+    size exactly ``df``).  The prediction is an upper bound on the
+    partitioned expansion (local pair dedup only removes rows), so the
+    ceiling is HARD; ``cap_eff`` can land at 1 (zero candidates) when even
+    the df=2 pairs exceed the budget — deterministic, and mirrored
+    verbatim by the SQL oracle (histogram → windowed cumulative → max df).
+
+    Cost: one skinny shuffle of per-batch (shingle, clipped local count)
+    folded rows — each distinct shingle travels once per batch instead of
+    once per (shingle, doc) posting, and counts clip at ``rare_cap + 1``
+    (a clipped count is already provably over-cap, and totals ≤ rare_cap
+    are sums of unclipped values, so the histogram below the cap is
+    exact)."""
+    n_parts = num_partitions or _auto_parts(ds)
+    pu = np.uint64(n_parts)
+    clip = rare_cap + 1
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = _shingle_blob_table(batch, n_shingle, None)
+        _off, dat = _blob_offsets_data(t.column("sh"))
+        uniq, cnt = np.unique(dat, return_counts=True)
+        return pa.table(
+            {
+                "sh": pa.array(uniq.view(np.int64), pa.int64()),
+                "c": pa.array(
+                    np.minimum(cnt, clip).astype(np.int32), pa.int32()
+                ),
+                "part": pa.array((uniq % pu).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def hist(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"df": pa.array([], pa.int32()), "n": pa.array([], pa.int64())}
+        )
+        if not group.num_rows or not group.num_columns:
+            return empty
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sh, kind="stable")
+        starts = _key_runs(sh[order])
+        tot = np.minimum(np.add.reduceat(c[order], starts[:-1]), clip)
+        df, n = np.unique(tot[(tot >= 2) & (tot <= rare_cap)],
+                          return_counts=True)
+        return pa.table(
+            {
+                "df": pa.array(df.astype(np.int32), pa.int32()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=131072)
+        .groupby("part")
+        .map_groups(hist, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ (rare_cap - 1) rows per partition — KB-sized
+    counts = np.zeros(rare_cap + 1, np.int64)
+    for row in parts:
+        counts[int(row["df"])] += int(row["n"])
+    dfs = np.arange(rare_cap + 1, dtype=np.int64)
+    cum = np.cumsum(counts * (dfs * (dfs - 1) // 2))
+    if max_candidates is None:
+        return rare_cap, int(cum[rare_cap])
+    fit = np.flatnonzero(cum <= max_candidates)
+    cap_eff = int(fit[-1]) if len(fit) else 1
+    cap_eff = max(cap_eff, 1)
+    return min(cap_eff, rare_cap), int(cum[min(cap_eff, rare_cap)])
+
+
 def containment_pairs(
     ds,
     thr_num: int = 4,
@@ -2785,6 +2868,7 @@ def containment_pairs(
     rare_cap: int = 16,
     num_partitions: int | None = None,
     broadcast_bytes: int = 512 << 20,
+    max_candidates: int | None = None,
 ):
     """One-sided near-dup detection: pairs whose shingle-set CONTAINMENT
     ``|A ∩ B| / min(|A|, |B|)`` is ≥ ``thr_num / thr_den`` — the
@@ -2813,7 +2897,18 @@ def containment_pairs(
     (hash-of-pair partitions); verification reuses the candidate-only
     blob machinery with the CSR broadcast fast path and the bucketed
     join fallback above ``broadcast_bytes``.  The corpus text never
-    moves."""
+    moves.
+
+    Candidate growth is PROVABLY LINEAR in corpus size: every posting row
+    belongs to at most one rare run of length ≤ rare_cap, so expansion
+    emits ≤ (rare_cap − 1)/2 pairs per posting row (7.5× at the default
+    cap) no matter how pathological the shingle distribution — there is
+    no quadratic regime.  ``max_candidates`` additionally bounds the
+    CONSTANT: an exact global df-histogram pre-pass
+    (:func:`containment_cap_eff`, one extra skinny shuffle) picks the
+    largest effective cap whose predicted pair count fits the ceiling and
+    the expansion runs at that cap — deterministic, SQL-mirrorable, and a
+    documented recall trade exactly like ``rare_cap`` itself."""
     import ray
     import ray.data as rd
 
@@ -2825,6 +2920,11 @@ def containment_pairs(
     if rare_cap < 2:
         raise ValueError(
             f"containment_pairs: rare_cap must be >= 2, got {rare_cap}"
+        )
+    cap_eff = rare_cap
+    if max_candidates is not None:
+        cap_eff, _pred = containment_cap_eff(
+            ds, n_shingle, rare_cap, max_candidates, num_partitions
         )
     n_parts = num_partitions or _auto_parts(ds)
     pu = np.uint64(n_parts)
@@ -2895,13 +2995,13 @@ def containment_pairs(
         # surviving rows are all weight-1, so pair expansion is unchanged
         lens = np.diff(starts)
         eff = np.add.reduceat(w, starts[:-1])
-        keep_run = eff <= rare_cap
+        keep_run = eff <= cap_eff
         if not keep_run.all():
             doc = doc[np.repeat(keep_run, lens)]
             starts = np.concatenate(
                 ([0], np.cumsum(lens[keep_run]))
             ).astype(np.int64)
-        a, b = _allpairs_by_runlen(doc, starts, rare_cap)
+        a, b = _allpairs_by_runlen(doc, starts, cap_eff)
         if not len(a):
             return empty
         # local pair dedup (the same pair can arise from many shared rare

@@ -159,6 +159,15 @@ def main() -> int:
         ).materialize(),
     )
     run("containment", lambda: containment_pairs(docs()).materialize())
+    # candidate-ceiling variant: the exact df-histogram pre-pass tightens
+    # the rarity cap so predicted pairs fit a linear 4x-rows budget — the
+    # deterministic bound on the 10M step's candidate densification
+    run(
+        "containment_capped",
+        lambda: containment_pairs(
+            docs(), max_candidates=4 * ROWS
+        ).materialize(),
+    )
 
     def hosted():
         return rd.read_parquet(DIR + "/", columns=["url", "text"]).map_batches(
@@ -208,6 +217,32 @@ def main() -> int:
             nonneg(docs()), nonneg(first_shard_docs()),
             n_parts=max(NUM_CPUS * 4, 64),
         ).materialize(),
+    )
+
+    # banded-Hamming pairing core at full code scale: one int64 code per
+    # row, every even/odd id pair shares a code → ROWS/2 exact-dup pairs
+    # out (linear output, the tri-modal media-dedup movement budget)
+    from fever_ray.ops.dedup import hamming_code_pairs
+    from fever_ray.sketches.hashing import splitmix64 as _smx
+
+    def code_rows():
+        def f(b):
+            i = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(i, pa.int64()),
+                    "code": pa.array(
+                        _smx((i >> 1).astype(np.uint64)).view(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return rd.range(ROWS).map_batches(f, batch_format="pyarrow")
+
+    run(
+        "hamming_codes",
+        lambda: hamming_code_pairs(code_rows(), max_hamming=0).materialize(),
     )
 
     from fever_ray.ops.trainprep import epoch_shuffle

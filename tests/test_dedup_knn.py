@@ -1861,3 +1861,63 @@ def test_hamming_cross_pairs_incremental_codes(ray_session):
     out = hamming_cross_pairs(both, twin, max_hamming=0).take_all()
     assert len(out) == 199
     assert all(r["doc_b"] == r["doc_a"] + 1000 for r in out)
+
+
+def test_containment_cap_eff_histogram_and_ceiling(ray_session):
+    """containment_cap_eff: the exact global df histogram picks the
+    largest cap whose predicted pair count fits the ceiling; the capped
+    run equals the brute replica at that cap (the rare_cap recall trade,
+    applied deterministically); an impossible ceiling yields cap 1 =
+    zero candidates (hard ceiling, never 'approximately respected')."""
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import containment_cap_eff, containment_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"c{i}" for i in range(80)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(80)]
+    texts += [texts[i] + " tail drift" for i in range(8)]  # near-pairs
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ds = rd.from_arrow(t).repartition(7)
+
+    # uncapped prediction is an upper bound on the realized candidates and
+    # equals the brute histogram arithmetic
+    from collections import defaultdict
+
+    from fever_ray.sketches.minhash import shingle_hashes
+
+    posting = defaultdict(int)
+    for tx in texts:
+        for x in set(shingle_hashes(tx, n=3).tolist()):
+            posting[x] += 1
+    want_pred = sum(
+        df * (df - 1) // 2 for df in posting.values() if 2 <= df <= 16
+    )
+    cap, pred = containment_cap_eff(ds)
+    assert (cap, pred) == (16, want_pred)
+
+    # a mid-range ceiling tightens the cap; predicted stays under it and
+    # the capped output == brute replica at that cap (bit-exact trade)
+    ceiling = max(want_pred // 3, 1)
+    cap_t, pred_t = containment_cap_eff(ds, max_candidates=ceiling)
+    assert 1 <= cap_t < 16 and pred_t <= ceiling
+    if cap_t >= 2:
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_small"])
+            for r in containment_pairs(
+                ds, 4, 5, max_candidates=ceiling
+            ).take_all()
+        }
+        assert got == _brute_containment(texts, ids, 4, 5, cap=cap_t)
+
+    # impossible ceiling: cap 1, zero predicted, zero rows out
+    cap0, pred0 = containment_cap_eff(ds, max_candidates=0)
+    assert (cap0, pred0) == (1, 0)
+    assert containment_pairs(ds, 4, 5, max_candidates=0).count() == 0
+
+    # partition invariance of the histogram pre-pass
+    cap_b, pred_b = containment_cap_eff(
+        rd.from_arrow(t).repartition(2), max_candidates=ceiling
+    )
+    assert (cap_b, pred_b) == (cap_t, pred_t)
