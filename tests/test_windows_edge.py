@@ -1350,3 +1350,58 @@ def test_asof_join_forward_direction(rd):
 
     with pytest.raises(ValueError, match="direction"):
         aj(left, right, key="user_id", direction="nearest")
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_tie_heavy_matches_pandas(rd, direction):
+    """Adversarial fixture for the merged-scan kernel (round 5): many
+    duplicate (key, ts) rows on BOTH sides so equal-timestamp tie rules
+    decide the matched ROW IDENTITY, pinned against pd.merge_asof (the
+    semantics the kernel mirrors: backward ties take the last right row
+    in stable input order, forward ties the first)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    nl, nr, nkey, nts = 600, 500, 7, 11  # dense collisions by construction
+    lk = rng.integers(0, nkey, nl).astype(np.int64)
+    lt = rng.integers(0, nts, nl).astype(np.int64)
+    rk = rng.integers(0, nkey, nr).astype(np.int64)
+    rt = rng.integers(0, nts, nr).astype(np.int64)
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(lk, pa.int64()),
+                "ts": pa.array(lt, pa.int64()).cast(pa.timestamp("us")),
+                "event_id": pa.array(np.arange(nl), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(rk, pa.int64()),
+                "ts": pa.array(rt, pa.int64()).cast(pa.timestamp("us")),
+                "ridx": pa.array(np.arange(nr), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["event_id"]: r["r_ridx"]
+        for r in asof_join(
+            left, right, key="user_id", direction=direction
+        ).take_all()
+    }
+    lt_f = pd.DataFrame({"user_id": lk, "ts": lt, "event_id": np.arange(nl)})
+    rt_f = pd.DataFrame({"user_id": rk, "ts": rt, "ridx": np.arange(nr)})
+    want = pd.merge_asof(
+        lt_f.sort_values("ts", kind="mergesort"),
+        rt_f.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="user_id",
+        direction=direction,
+    )
+    want_map = {
+        int(e): (None if pd.isna(x) else int(x))
+        for e, x in zip(want["event_id"], want["ridx"])
+    }
+    assert got == want_map  # exact matched-row identity, not just values
