@@ -54,6 +54,20 @@ def _auto_parts(ds, floor: int = 64, per_file: int = 2) -> int:
     return floor
 
 
+def _coalesce_for_shuffle(ds, max_blocks: int = 256):
+    """Ray's sort shuffle degrades SUPER-linearly in INPUT block count —
+    measured (round 5, identity shuffle of 100M skinny rows into 64
+    partitions): 200 input blocks 2.6 s, 1024 blocks 144.8 s (56×), and
+    coalescing 1024 → 128 first costs one narrow 1.3 s pass after which
+    the shuffle reads 2.2 s.  Call on SKINNY partial tables right before
+    a bucket groupby; materializes to read the block count (the blocks
+    are about to be pinned by the shuffle anyway)."""
+    ds = ds.materialize()
+    if ds.num_blocks() > max_blocks:
+        ds = ds.repartition(max_blocks)
+    return ds
+
+
 def _arrow_schema(ds) -> pa.Schema:
     """``ds.schema().base_schema`` as a real ``pa.Schema``.
 
@@ -163,9 +177,11 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     # batch_size bundles the skinny partial rows before the bucket shuffle
-    # (the block-tax rule: shuffle cost scales with input_blocks × parts)
-    partials = hashed.map_batches(
-        partial, batch_format="pyarrow", batch_size=32768
+    # (the block-tax rule: shuffle cost scales with input_blocks × parts);
+    # _coalesce_for_shuffle guards the 100M-scale block-count cliff (1024
+    # partial blocks made the 64-partition shuffle 146 s; coalesced, 3.5 s)
+    partials = _coalesce_for_shuffle(
+        hashed.map_batches(partial, batch_format="pyarrow", batch_size=32768)
     )
     return partials.groupby("pb").map_groups(combine, batch_format="pyarrow")
 
@@ -392,6 +408,26 @@ def _pairs_from_band_rows(band_rows, n_parts: int, max_bucket: int = 8192,
 
 
 _PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hamming_pair_reduce(pairs, n_parts: int):
+    """Min-hamming reduce for the banded-code verify cores, regime-gated
+    on the MEASURED pair-row count rather than a caller declaration:
+    media/code dup sets are usually output-sized (near-empty → the
+    streamed aggregate wins by ~0.5 s flat, the r4 embedding_dups rule),
+    but a heavily-duplicated corpus emits each dup pair once per band —
+    at 100M half-duplicated codes that is 200M rows, where the streamed
+    ``groupby.aggregate`` measured ~13 min and the bucketed reduce
+    minutes (the high-cardinality-aggregate rule).  The pairs table is
+    materialized by the verify shuffle anyway, so the count is free;
+    reduce partitions scale with the measured pair volume."""
+    pairs = pairs.materialize()
+    n_pair_rows = pairs.count()
+    return _pair_reduce_bucketed(
+        pairs, "min", "hamming", value_col="hamming",
+        n_parts=max(n_parts, int(-(-n_pair_rows // 2_000_000))),
+        output_sized=n_pair_rows <= 4_000_000,
+    )
 
 
 def _pair_reduce_bucketed(pairs, mode: str, alias: str,
@@ -1112,7 +1148,7 @@ class SimHashFingerprints:
 
 def hamming_code_pairs(
     code_ds, max_hamming: int = 3, n_parts: int | None = None,
-    max_bucket: int = 8192, n_bands: int = 4,
+    max_bucket: int = 8192, n_bands: int | None = None,
     id_col: str = "doc_id", code_col: str = "code",
 ):
     """Banded 64-bit-code blocking + exact Hamming verification — the
@@ -1120,16 +1156,37 @@ def hamming_code_pairs(
     locality-preserving fingerprint (text SimHash, image pHash, audio
     chromaprint-style codes) pairs through the same machinery.  Input:
     one (id, code int64) row per item; codes within Hamming distance
-    ``64/n_bands``-pigeonhole share ≥1 band key and get exact-verified.
+    ``n_bands − 1`` (pigeonhole) share ≥1 band key and get
+    exact-verified.
+
+    ``n_bands`` defaults to the MINIMAL pigeonhole banding — the
+    smallest divisor of 64 that is ≥ ``max_hamming + 1`` — because the
+    output is provably invariant to extra bands (they only rediscover
+    the same pairs; the min-reduce dedups them) while each extra band
+    both multiplies the shuffled rows and NARROWS the band keys: at
+    100M codes, fixed 4 bands = 16-bit keys = 65k distinct keys/band,
+    so every bucket held ~1.5k rows and in-bucket verification went
+    quadratic (~3×10¹¹ hamming evals, measured ~16 min); the minimal
+    1 band at max_hamming=0 keys buckets on the FULL 64-bit code.
 
     Same scale guards as the minhash path: ``n_parts`` scales with input
     size (one map_groups partition must never hold a fixed fraction of
     ALL band rows) and buckets over ``max_bucket`` fall back to
     Hamming-verified adjacent-id chains with a logged count instead of
-    O(k²) work.  Output: (doc_a, doc_b, hamming), min-reduced over bands
-    (output-sized streamed aggregate)."""
+    O(k²) work.  Output: (doc_a, doc_b, hamming), min-reduced over
+    bands (regime-gated on measured pair volume)."""
+    if n_bands is None:
+        n_bands = next(
+            b for b in (1, 2, 4, 8, 16, 32, 64) if b >= max_hamming + 1
+        )
     if 64 % n_bands:
         raise ValueError(f"hamming_code_pairs: n_bands must divide 64, got {n_bands}")
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"hamming_code_pairs: n_bands={n_bands} cannot guarantee recall "
+            f"at max_hamming={max_hamming} (pigeonhole needs >= "
+            f"{max_hamming + 1} bands)"
+        )
     band_bits = 64 // n_bands
     if n_parts is None:
         n_parts = _auto_parts(code_ds)
@@ -1242,10 +1299,7 @@ def hamming_code_pairs(
         .groupby("part")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
-    return _pair_reduce_bucketed(
-        pairs, "min", "hamming", value_col="hamming", n_parts=n_parts,
-        output_sized=True,
-    )
+    return _hamming_pair_reduce(pairs, n_parts)
 
 
 def simhash_near_dup_pairs(
@@ -5094,7 +5148,7 @@ def minhash_candidates_from_sigs(
 
 def hamming_cross_pairs(
     new_codes, ref_codes, max_hamming: int = 3, n_parts: int | None = None,
-    max_bucket: int = 8192, n_bands: int = 4,
+    max_bucket: int = 8192, n_bands: int | None = None,
     id_col: str = "doc_id", code_col: str = "code",
 ):
     """Incremental 64-bit-code near-dup: pairs between a NEW batch and an
@@ -5106,9 +5160,23 @@ def hamming_cross_pairs(
     Same banded machinery as `hamming_code_pairs`, with a side tag: only
     (new, ref) pairs emit — new×new and ref×ref are the respective
     self-dedup jobs' business.  Output: (doc_a=new id, doc_b=ref id,
-    hamming), min-reduced over bands."""
+    hamming), min-reduced over bands.
+
+    ``n_bands`` defaults to the minimal pigeonhole banding (the
+    `hamming_code_pairs` rule — extra bands are provably redundant and
+    narrow the band keys into the quadratic-bucket regime at scale)."""
+    if n_bands is None:
+        n_bands = next(
+            b for b in (1, 2, 4, 8, 16, 32, 64) if b >= max_hamming + 1
+        )
     if 64 % n_bands:
         raise ValueError(f"hamming_cross_pairs: n_bands must divide 64, got {n_bands}")
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"hamming_cross_pairs: n_bands={n_bands} cannot guarantee recall "
+            f"at max_hamming={max_hamming} (pigeonhole needs >= "
+            f"{max_hamming + 1} bands)"
+        )
     band_bits = 64 // n_bands
     if n_parts is None:
         n_parts = max(_auto_parts(new_codes), _auto_parts(ref_codes))
@@ -5245,7 +5313,4 @@ def hamming_cross_pairs(
         .groupby("part")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
-    return _pair_reduce_bucketed(
-        pairs, "min", "hamming", value_col="hamming", n_parts=n_parts,
-        output_sized=True,
-    )
+    return _hamming_pair_reduce(pairs, n_parts)

@@ -341,10 +341,17 @@ def epoch_shuffle(ds, seed: int = 0, n_buckets: int = 1024, id_col: str = "doc_i
             }
         )
 
-    skinny = ds.map_batches(
-        project, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=32768,
-    ).materialize()
+    from .dedup import _coalesce_for_shuffle
+
+    # _coalesce_for_shuffle: the sort shuffle's input-block-count cliff
+    # (measured round 5: 1024 skinny blocks made a 64-partition shuffle
+    # 56x slower than 200 blocks; coalescing costs one narrow pass)
+    skinny = _coalesce_for_shuffle(
+        ds.map_batches(
+            project, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=32768,
+        )
+    )
 
     def count_partial(batch: pa.Table) -> pa.Table:
         b = batch.column("bucket").to_numpy(zero_copy_only=False)

@@ -1921,3 +1921,43 @@ def test_containment_cap_eff_histogram_and_ceiling(ray_session):
         rd.from_arrow(t).repartition(2), max_candidates=ceiling
     )
     assert (cap_b, pred_b) == (cap_t, pred_t)
+
+
+def test_hamming_code_pairs_band_invariance(ray_session):
+    """The pair output is invariant to n_bands >= max_hamming+1 (extra
+    bands only rediscover the same pairs; the min-reduce dedups them) —
+    the invariance that justifies the round-5 minimal-pigeonhole default.
+    Also: under-banding raises instead of silently losing recall."""
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import hamming_code_pairs
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    codes = rng.integers(0, 2**63, n).astype(np.int64)
+    codes[1::7] = codes[::7][: len(codes[1::7])]          # exact dups
+    m = len(codes[2::11])
+    flip = np.int64(1) << rng.integers(0, 64, m).astype(np.int64)
+    codes[2::11] = codes[::11][:m] ^ flip  # 1-bit dups
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "code": pa.array(codes, pa.int64()),
+        }
+    )
+    for h in (0, 1, 3):
+        outs = []
+        for nb in ([1, 2, 4] if h == 0 else [2, 4] if h == 1 else [4, 8]):
+            ds = rd.from_arrow(t).repartition(6)
+            rows = sorted(
+                (r["doc_a"], r["doc_b"], r["hamming"])
+                for r in hamming_code_pairs(
+                    ds, max_hamming=h, n_bands=nb
+                ).take_all()
+            )
+            outs.append(rows)
+        assert all(o == outs[0] for o in outs[1:]), f"h={h}"
+        assert len(outs[0]) > 0
+    # defaults pick the minimal pigeonhole divisor of 64
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_code_pairs(rd.from_arrow(t), max_hamming=3, n_bands=2)
