@@ -345,6 +345,87 @@ def sessionize(events_ds, key: str = "user_id", ts_col: str = "ts",
     )
 
 
+def _bucket_exchange(both, n_buckets: int, join_bucket, empty: pa.Table,
+                     max_cells: int = 256):
+    """Two-stage raw-task exchange replacing ``groupby("__bucket")
+    .map_groups(join_bucket)`` for the co-grouped join kernels.
+
+    Why not the Dataset groupby: at 300M+ rows the union's tag maps and
+    the sort operator interlock inside one streaming execution — the
+    maps sit backpressured holding both sides' full output (23.5 GB)
+    while the sort admits nothing and CPUs idle (measured round 5; a
+    lazy repartition and an explicit 30 GB resource budget both leave
+    the same wedge, and a pinned materialize of the union overflows
+    store + spill).  The exchange does what the sort would, with raw
+    tasks: each tagged block splits by ``__bucket % K`` into K pieces
+    (``num_returns`` fan-out — pieces stream straight to their reducer,
+    nothing is globally pinned), and each cell task concatenates its
+    pieces and runs ``join_bucket`` once.  Correctness does not depend
+    on one-bucket-per-cell: the kernels co-group keys internally
+    (dictionary codes), and ``__bucket = hash(key) % n_buckets`` keeps
+    every key wholly inside one cell.  Every row moves exactly once;
+    K ≤ ``max_cells`` bounds the fan-out width while cells stay
+    key-complete for any n_buckets."""
+    import ray
+    import ray.data as rd
+
+    K = max(1, min(max_cells, n_buckets))
+
+    @ray.remote(num_cpus=0.5)
+    def split(tab: pa.Table, K_: int):
+        if not tab.num_rows or not tab.num_columns:
+            return [None] * K_ if K_ > 1 else None
+        b = (
+            tab.column("__bucket").to_numpy(zero_copy_only=False)
+            % K_
+        )
+        order = np.argsort(b, kind="stable")
+        t = tab.take(pa.array(order))
+        bs = b[order]
+        bounds = np.searchsorted(bs, np.arange(K_ + 1))
+        out = [
+            t.slice(int(bounds[k]), int(bounds[k + 1] - bounds[k]))
+            if bounds[k + 1] > bounds[k]
+            else None
+            for k in range(K_)
+        ]
+        return out if K_ > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def reduce_cell(*pieces):
+        tabs = [p for p in pieces if p is not None and p.num_rows]
+        if not tabs:
+            return empty
+        return join_bucket(pa.concat_tables(tabs))
+
+    refs = both.to_arrow_refs()
+    piece_refs = [split.options(num_returns=K).remote(r, K) for r in refs]
+    if K == 1:
+        piece_refs = [[r] for r in piece_refs]
+    outs = [
+        reduce_cell.remote(*[pr[k] for pr in piece_refs]) for k in range(K)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
+def _union_cogroup(both, n_buckets: int, join_bucket, empty: pa.Table,
+                   exchange_rows: int = 16_000_000):
+    """Run ``join_bucket`` over every ``__bucket`` co-group of the tagged
+    union, picking the shuffle mechanism by MEASURED size: the union is
+    materialized (which also breaks the tag-map/sort backpressure
+    interlock — see `_bucket_exchange`), its row count read for free,
+    and unions past ``exchange_rows`` take the raw-task exchange while
+    smaller ones keep the Dataset groupby (the exchange's fan-out
+    overhead costs ~1.5 s at 3M rows where the sort shuffle is already
+    fast — measured round 5)."""
+    both = both.materialize()
+    if both.count() > exchange_rows:
+        return _bucket_exchange(both, n_buckets, join_bucket, empty)
+    return both.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
 def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
               n_buckets: int | None = None, direction: str = "backward",
               right_cols: list[str] | None = None):
@@ -546,8 +627,9 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str = "ts",
                 cols[f"r_{c}"] = pa.nulls(nl, out_types[f"r_{c}"])
         return pa.table(cols)
 
-    both = left_t.union(right_t)
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+    return _union_cogroup(
+        left_t.union(right_t), n_buckets, join_bucket, empty
+    )
 
 
 # ------------------------------------------------------------ interval join
@@ -721,10 +803,8 @@ def interval_join(
             cols[f"r_{c}"] = pc.take(rt.column(f"r_{c}"), r_take)
         return pa.table(cols)
 
-    return (
-        left_t.union(right_t)
-        .groupby("__bucket")
-        .map_groups(join_bucket, batch_format="pyarrow")
+    return _union_cogroup(
+        left_t.union(right_t), n_buckets, join_bucket, empty
     )
 
 
