@@ -1961,3 +1961,38 @@ def test_hamming_code_pairs_band_invariance(ray_session):
     # defaults pick the minimal pigeonhole divisor of 64
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_code_pairs(rd.from_arrow(t), max_hamming=3, n_bands=2)
+
+
+def test_coalesce_for_shuffle_branches(ray_session):
+    """_coalesce_for_shuffle: many-block skinny inputs coalesce to the
+    cap (the round-5 sort-shuffle block-count cliff guard), few-block
+    inputs pass through; rows identical either way — and exact_dedup
+    (a caller) stays partition-invariant across extreme block counts."""
+    import ray.data as rd
+
+    from fever_ray.ops.dedup import _coalesce_for_shuffle, exact_dedup
+
+    t = pa.table({"x": pa.array(np.arange(5000), pa.int64())})
+    many = rd.from_arrow(t).repartition(500)
+    out = _coalesce_for_shuffle(many, max_blocks=64).materialize()
+    assert out.num_blocks() <= 64
+    assert sorted(r["x"] for r in out.take_all()) == list(range(5000))
+    few = rd.from_arrow(t).repartition(8)
+    out2 = _coalesce_for_shuffle(few, max_blocks=64)
+    assert out2.num_blocks() == 8  # untouched below the cap
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300), pa.int64()),
+            "text": [f"doc body {i % 120}" for i in range(300)],
+        }
+    )
+    a = sorted(
+        tuple(sorted(r.items()))
+        for r in exact_dedup(rd.from_arrow(docs).repartition(300)).take_all()
+    )
+    b = sorted(
+        tuple(sorted(r.items()))
+        for r in exact_dedup(rd.from_arrow(docs).repartition(2)).take_all()
+    )
+    assert a == b and len(a) == 120

@@ -1405,3 +1405,65 @@ def test_asof_join_tie_heavy_matches_pandas(rd, direction):
         for e, x in zip(want["event_id"], want["ridx"])
     }
     assert got == want_map  # exact matched-row identity, not just values
+
+
+def test_bucket_exchange_equals_groupby_path(rd, monkeypatch):
+    """The raw-task bucket exchange (the >16M-row shuffle mechanism,
+    round 5) forced on SMALL inputs must be bit-equal to the Dataset
+    groupby path for asof AND interval — same kernels, different
+    exchange; key-completeness per cell is the only requirement."""
+    import fever_ray.ops.windows as W
+    from fever_ray.ops.windows import interval_join
+
+    rng = np.random.default_rng(53)
+    nl, nr, nkey = 800, 600, 37
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(rng.integers(0, nkey, nl), pa.int64()),
+                "ts": pa.array(
+                    rng.integers(0, 500, nl), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "event_id": pa.array(np.arange(nl), pa.int64()),
+            }
+        )
+    ).repartition(7)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(rng.integers(0, nkey, nr), pa.int64()),
+                "ts": pa.array(
+                    rng.integers(0, 500, nr), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "price": pa.array(rng.integers(0, 9999, nr).astype(np.float64)),
+            }
+        )
+    ).repartition(3)
+
+    def run_both(fn):
+        groupby_rows = sorted(
+            tuple(sorted(r.items())) for r in fn().take_all()
+        )
+        orig = W._union_cogroup
+        monkeypatch.setattr(
+            W, "_union_cogroup",
+            lambda both, nb, jb, empty: orig(both, nb, jb, empty,
+                                             exchange_rows=0),
+        )
+        try:
+            exchange_rows = sorted(
+                tuple(sorted(r.items())) for r in fn().take_all()
+            )
+        finally:
+            monkeypatch.setattr(W, "_union_cogroup", orig)
+        return groupby_rows, exchange_rows
+
+    for fn in (
+        lambda: W.asof_join(left, right, key="user_id"),
+        lambda: W.asof_join(left, right, key="user_id", direction="forward"),
+        lambda: interval_join(
+            left, right, key="user_id", lo=-50, hi=50
+        ),
+    ):
+        g, e = run_both(fn)
+        assert g == e and len(g) > 0
